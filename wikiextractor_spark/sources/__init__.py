@@ -1,0 +1,6 @@
+from wikiextractor_spark.sources.dump import (  # noqa: F401
+    discover_base_prefix,
+    read_pages,
+)
+from wikiextractor_spark.sources.vital import read_vital_titles  # noqa: F401
+from wikiextractor_spark.sources.tables import load_tables, register_views  # noqa: F401
