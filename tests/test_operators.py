@@ -1,0 +1,173 @@
+"""Smoke + semantics tests for the extension operators on real
+testdata parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.operators import dedup, multimodal, similarity
+from wikiextractor_spark.functions import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    # duplicate every row, then dedup must restore the original count
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    kept = dedup.dedup_exact(doubled)
+    assert kept.count() == docs.count()
+    # survivors are the smallest ids
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_exact_duplicate_groups(docs):
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    groups = dedup.exact_duplicate_groups(doubled)
+    assert groups.filter(F.col("n_copies") != 2).count() == 0
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "совершенно другой текст не похожий вообще ни на что"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_candidate_pairs(df).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = dedup.minhash_signature(docs.limit(20)).collect()
+    s2 = dedup.minhash_signature(docs.limit(20)).collect()
+    assert {r["doc_id"]: r["sig"] for r in s1} == {r["doc_id"]: r["sig"] for r in s2}
+
+
+def test_simhash_close_for_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_hamming_pairs(df, max_distance=32).collect()}
+    assert pairs[(1, 2)] < pairs[(1, 3)]
+    assert pairs[(1, 2)] < pairs[(2, 3)]
+
+
+def test_ngram_jaccard_bounds(docs):
+    rows = dedup.ngram_jaccard_pairs(docs, max_id=15).collect()
+    assert rows, "expected some pairs"
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_cosine_pairs_range(emb):
+    rows = similarity.cosine_pairs(emb, max_id=20).collect()
+    assert len(rows) == 20 * 19 // 2
+    for r in rows:
+        assert -1.000001 <= r["cos"] <= 1.000001
+
+
+def test_ann_brute_force_topk(emb):
+    out = similarity.ann_brute_force_topk(emb, query_ids=[0, 1], k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        cos_sorted = sorted((x["cos"] for x in rs), reverse=True)
+        assert [x["cos"] for x in sorted(rs, key=lambda x: x["rank"])] == cos_sorted
+
+
+def test_ann_lsh_subset_of_bucket(emb):
+    buckets = {r["vec_id"]: r["bucket"] for r in similarity.lsh_bucket(emb).collect()}
+    out = similarity.ann_lsh_topk(emb, query_ids=[0], k=3).collect()
+    for r in out:
+        assert buckets[r["neighbor_id"]] == buckets[0]
+
+
+def test_lsh_bucket_histogram(emb):
+    hist = similarity.lsh_bucket_histogram(emb).collect()
+    assert sum(r["n_vecs"] for r in hist) == emb.count()
+
+
+def test_textstats_columns(docs):
+    out = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.bpe_token_count(F.col("text")).alias("n_bpe"),
+        textstats.punct_ratio(F.col("text")).alias("punct"),
+        textstats.quality_score().alias("q"),
+        textstats.lang_id().alias("lang_pred"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.min_word_hash(F.col("text")).alias("mwh"),
+    ).collect()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert r["n_bpe"] > 0
+        assert 0.0 <= r["punct"] <= 1.0
+        assert r["lang_pred"] in ("en", "de", "es", "fr")
+        assert len(r["fp"]) == 32 and len(r["mwh"]) == 32
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_fake_binary(docs.limit(50))
+    meta = multimodal.decode_media_meta(media)
+    rows = meta.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_bytes"] > 0 and 64 <= r["width"] < 256 and 1 <= r["channels"] <= 3
+        if r["media_type"] != "video":
+            assert r["n_frames"] == 1
+    stats = multimodal.media_stats(meta).collect()
+    assert {r["media_type"] for r in stats} <= {"image", "audio", "video"}
+    decoded = multimodal.decode_media(media).collect()
+    assert all(len(r["pixels"]) == 16 for r in decoded)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, codec="pil")
+
+
+def test_streaming_clean_and_windows(spark, sf_dir, tmp_path):
+    from wikiextractor_spark.streaming import (
+        clean_documents_stream,
+        windowed_event_counts,
+    )
+
+    q1 = clean_documents_stream(
+        spark,
+        f"{sf_dir}",  # directory containing documents.parquet… use a copy
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q1.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert set(out.columns) == {"doc_id", "lang", "cleaned"}
+
+    import shutil, os
+    ev_dir = tmp_path / "events_in"
+    os.makedirs(ev_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
+    q2 = windowed_event_counts(spark, str(ev_dir), query_name="evc_test")
+    q2.awaitTermination(120)
+    agg = spark.sql("SELECT * FROM evc_test").collect()
+    assert agg and all(r["n_events"] > 0 for r in agg)

@@ -1,0 +1,101 @@
+"""Text-analysis functions for training-data pipelines: token
+counting, quality scoring, language ID, fingerprinting.
+
+All native Catalyst (string/array/higher-order functions) — these run
+in whole-stage codegen on every document of a 100 TB corpus, so no
+Python is allowed here.  Each has an exact DuckDB oracle twin in
+``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# A BPE-ish tokenizer regex: letter runs, digit runs, single
+# punctuation marks (common whitespace-insensitive pre-tokenization).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic.  Deliberately literal so the oracle can inline them.
+STOPWORDS = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"),
+}
+
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+
+def words(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Regex pre-tokenization count (BPE-ish)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
+def _hits_expr(text_col: str, lang: str) -> Column:
+    lits = ", ".join("'%s'" % w for w in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), w -> array_contains(array({lits}), w)))"
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic family's
+    cheapest member, fully vectorizable)."""
+    return {lang: _hits_expr(text_col, lang) for lang in STOPWORDS}
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """argmax over language scores, deterministic tie-break by the
+    fixed language order en > de > es > fr."""
+    s = lang_scores(text_col)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.round(
+        F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", "")) / F.length(col), 6
+    )
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    total = F.size(F.split(F.col(text_col), " "))
+    return F.round(_hits_expr(text_col, "en") / total, 6)
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic: length band + stopword density −
+    punctuation noise.  Same closed formula on both engines."""
+    n_chars = F.length(F.col(text_col))
+    length_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_term
+        + F.lit(0.4) * stopword_ratio(text_col) * 10
+        - F.lit(0.3) * punct_ratio(F.col(text_col)),
+        6,
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 over lowercased, whitespace-collapsed
+    text (the exact-dedup key for fuzzy-normalized content)."""
+    return F.md5(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def min_word_hash(col: Column) -> Column:
+    """1-hash MinHash over words — the cheapest document sketch."""
+    return F.array_min(F.transform(words(col), F.md5))

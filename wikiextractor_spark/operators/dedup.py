@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are native Catalyst (higher-order array functions, no
+Python UDFs, no driver-side loops) so they scale to 100 TB:
+
+* exact / normalized dedup — hash-groupBy with map-side partial agg;
+* MinHash + LSH — per-row signatures via ``transform``/``array_min``
+  (narrow, no shuffle), then ONE shuffle on (band, band_hash) for the
+  candidate join: the standard sub-quadratic near-dup topology.  No
+  O(n²) pair enumeration ever materializes;
+* SimHash — per-row 32-bit signature from word hashes, again fully
+  narrow;
+* n-gram Jaccard — exact verification on a bounded candidate set.
+
+Hash functions are md5-hex (lexicographic min for MinHash) so the
+DuckDB oracle can reproduce signatures bit-for-bit — a deliberate
+engine-agnostic choice over murmur3 (``F.hash``), which DuckDB cannot
+match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def content_key(col, normalized: bool = False):
+    """md5 content key; ``normalized`` lowercases and collapses
+    whitespace first (near-exact dedup)."""
+    if normalized:
+        col = F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.md5(col)
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """→ one row per distinct content: ``(content_key, n_copies,
+    keep_id)`` where ``keep_id`` is the smallest id (the survivor).
+    One shuffle on the content hash; partial aggregation map-side."""
+    return (
+        df.select(content_key(F.col(text_col), normalized).alias("content_key"),
+                  F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Keep exactly one row (smallest id) per distinct content."""
+    w = Window.partitionBy(content_key(F.col(text_col), normalized)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _shingles_sql(text_col: str, k: int = 3) -> str:
+    """Word k-shingles as a SQL array expression (falls back to the
+    whole text when shorter than k words)."""
+    return f"""
+        CASE WHEN size(split({text_col}, ' ')) >= {k}
+        THEN transform(
+            sequence(0, size(split({text_col}, ' ')) - {k}),
+            i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))
+        ELSE array({text_col}) END
+        """
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle: int = 3,
+) -> DataFrame:
+    """→ ``(id, sig array<string>)``: per seed j, the lexicographic min
+    of ``md5(j || '|' || shingle)``.  Pure narrow higher-order
+    expressions — zero shuffle, zero Python.
+
+    NB: written as ONE SQL expression with SQL lambdas.  Composing
+    several Python-lambda ``F.transform`` columns over a shared
+    subexpression mis-binds lambda variables (verified on 4.1.2);
+    SQL-side lambda scoping is correct.
+    """
+    sig = F.expr(
+        f"""
+        transform(sequence(0, {num_hashes - 1}),
+                  j -> array_min(transform({_shingles_sql(text_col, shingle)},
+                                           s -> md5(concat(cast(j as string), '|', s)))))
+        """
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2,
+) -> DataFrame:
+    """→ ``(id, band, band_hash)``: the LSH bucketing grain.  Documents
+    sharing any (band, band_hash) are near-dup candidates."""
+    cols = []
+    for b in range(bands):
+        h = F.md5(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+        cols.append(F.struct(F.lit(b).alias("band"), h.alias("band_hash")))
+    return (
+        sigs.select(id_col, F.explode(F.array(*cols)).alias("bb"))
+        .select(id_col, "bb.band", "bb.band_hash")
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle: int = 3,
+    bands: int = 4, rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH: the only wide
+    op is the equi-join on (band, band_hash) — sub-quadratic and
+    AQE-skew-friendly at scale."""
+    buckets = minhash_band_buckets(
+        minhash_signature(df, text_col, id_col, num_hashes, shingle),
+        id_col, bands, rows_per_band,
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ ``(id, simhash bigint)``: 32-bit SimHash over word md5s,
+    computed per row with higher-order functions (narrow, shuffle-free).
+    Word value = first 8 md5 hex chars as uint32; signature bit i is
+    the sign of Σ(±1) over words at bit i."""
+    vals = (
+        f"transform(split({text_col}, ' '), "
+        f"w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+    )
+    bits = (
+        f"transform(sequence(0, 31), i -> CASE WHEN "
+        f"aggregate({vals}, cast(0 as bigint), "
+        f"(acc, v) -> acc + (pmod(shiftright(v, i), 2) * 2 - 1)) > 0 "
+        f"THEN cast(1 as bigint) ELSE cast(0 as bigint) END)"
+    )
+    sig = (
+        f"aggregate(zip_with({bits}, sequence(0, 31), "
+        f"(b, i) -> b * shiftleft(cast(1 as bigint), i)), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return df.select(F.col(id_col), F.expr(sig).alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_distance: int = 4, max_id: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance on a bounded id
+    range (exact verification grain; at scale, pre-bucket by signature
+    bytes first — see minhash LSH for the sub-quadratic topology)."""
+    sigs = simhash32(df, text_col, id_col)
+    if max_id is not None:
+        sigs = sigs.filter(F.col(id_col) < max_id)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification pass over candidates)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_id: int = 50, min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact word-set Jaccard for all pairs in a bounded id range —
+    the verification stage normally fed by LSH candidates.  Expressed
+    with explode + groupBy joins (ANSI-portable for the oracle)."""
+    words = (
+        df.filter(F.col(id_col) < max_id)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .distinct()
+    )
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = words.alias("a"), words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

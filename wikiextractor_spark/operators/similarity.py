@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH bucketing as the scale path (bucket first — one narrow
+projection — then search only within buckets).  Everything is native
+Catalyst higher-order functions: ``zip_with`` + ``aggregate`` compute
+dot products JVM-side with zero Python and zero shuffle per row;
+the only wide ops are the final top-k window / bucket join.
+
+Floats are cast to double before any arithmetic and cosines rounded
+to 6 decimals so results are engine-portable (DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    max_id: int = 50,
+) -> DataFrame:
+    """All-pairs cosine on a bounded id range: the exact verification
+    grain (no threshold → no float-boundary flakiness; callers filter
+    on the rounded value)."""
+    small = emb.filter(F.col(id_col) < max_id).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+    )
+
+
+def ann_brute_force_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for a handful of query vectors.
+
+    The query side is tiny ⇒ **broadcast** it; the big side streams
+    through one narrow projection — the right 100 TB plan (one pass
+    over the corpus, per-partition top-k via the window after AQE)."""
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("q_v")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# --------------------------------------------------------------------------
+
+def hyperplanes(num_planes: int = 8, dim: int = 64, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from a tiny LCG — pure-Python so
+    the exact same literals are inlined into BOTH the Spark plan and
+    the DuckDB oracle SQL."""
+    state = seed
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1 if (state >> 33) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    emb: DataFrame, num_planes: int = 8, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """→ ``(id, bucket int)``: sign-pattern of dot products with the
+    fixed hyperplanes.  One narrow projection — embarrassingly
+    parallel; at scale, follow with a join on ``bucket`` to search
+    candidates only (same topology as minhash LSH)."""
+    planes = hyperplanes(num_planes, dim, seed)
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, plane_col) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + bit * F.lit(1 << p)
+    return emb.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_bucket_histogram(emb: DataFrame, **kwargs) -> DataFrame:
+    """Bucket occupancy — the skew diagnostic for the LSH index."""
+    return (
+        lsh_bucket(emb, **kwargs)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5,
+    num_planes: int = 8, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, so
+    the scan joins on ``bucket`` instead of cross-joining the corpus.
+    Recall < 1 by construction; compare with ann_brute_force_topk."""
+    buckets = lsh_bucket(emb, num_planes, dim, seed, id_col, vec_col)
+    base = emb.join(buckets, id_col).select(
+        F.col(id_col), F.col("bucket"), _as_double(F.col(vec_col)).alias("v")
+    )
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("v").alias("q_v"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

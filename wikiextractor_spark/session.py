@@ -29,6 +29,9 @@ def get_spark(app_name: str = "wikiextractor-spark", cpus: int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # the events table stores TIMESTAMP(NANOS) parquet, which Spark
+        # rejects unless read as raw nanos (converted in tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -44,6 +47,7 @@ def tune(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(key, value)

@@ -4,7 +4,9 @@ events documents embeddings."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wikiextractor_spark.session import tune
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -12,11 +14,24 @@ TABLE_NAMES = (
 )
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as raw nanos
+        # (spark.sql.legacy.parquet.nanosAsLong, set by tune()) and
+        # floor-convert to micros as TIMESTAMP_NTZ — bit-identical to
+        # DuckDB's nanos→micros truncation, naive like the other
+        # tables' timestamp_ntz columns.
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+        )
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {
-        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for name in TABLE_NAMES
-    }
+    tune(spark)
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

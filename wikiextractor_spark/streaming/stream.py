@@ -1,0 +1,96 @@
+"""Structured Streaming wrappers (SURVEY.md §2.10).
+
+The reference is strictly batch, but every cleaning operator is
+stateless per row, so the same expressions lift onto ``readStream``
+for free: continuous ingestion of dump/document directories.  The
+event-window aggregation shows the stateful side: watermarked
+tumbling windows over the ``events`` stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from wikiextractor_spark.functions.cleaning import clean_markup_native
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+# ts read as raw nanos (the driver's parquet stores TIMESTAMP(NANOS),
+# unreadable as TimestampType — see sources/tables.py) and converted
+# below.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def clean_documents_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+):
+    """File-source stream of document parquet → the SAME native clean
+    chain used in batch → parquet sink.  ``availableNow`` processes the
+    backlog then stops (the batch-parity trigger; drop it for a live
+    tail)."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("cleaned", clean_markup_native(F.col("text")))
+        .select("doc_id", "lang", "cleaned")
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession, input_dir: str, window: str = "1 hour",
+    watermark: str = "2 hours", query_name: str = "event_counts",
+):
+    """Watermarked tumbling-window counts per event_type over a
+    streamed events directory, materialized to an in-memory sink
+    (swap for kafka/parquet in production).  Late rows beyond the
+    watermark are dropped — the streaming-correctness contract."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
