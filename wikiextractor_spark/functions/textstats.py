@@ -66,26 +66,40 @@ def lang_id(text_col: str = "text") -> Column:
     )
 
 
-def punct_ratio(col: Column) -> Column:
-    return F.round(
-        F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", "")) / F.length(col), 6
+def raw_punct_ratio(text_col: str = "text") -> Column:
+    """Unrounded punctuation-character ratio.  The exact operation
+    sequence (``* 1.0 /``) is mirrored in the DuckDB oracle so the
+    doubles are bit-identical."""
+    c = F.col(text_col)
+    return (
+        F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) * F.lit(1.0)
+        / F.length(c)
     )
 
 
-def stopword_ratio(text_col: str = "text") -> Column:
+def punct_ratio(col: Column) -> Column:
+    return F.round(
+        F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", "")) * F.lit(1.0)
+        / F.length(col),
+        6,
+    )
+
+
+def raw_stopword_ratio(text_col: str = "text") -> Column:
     total = F.size(F.split(F.col(text_col), " "))
-    return F.round(_hits_expr(text_col, "en") / total, 6)
+    return _hits_expr(text_col, "en") * F.lit(1.0) / total
 
 
 def quality_score(text_col: str = "text") -> Column:
     """Composite quality heuristic: length band + stopword density −
-    punctuation noise.  Same closed formula on both engines."""
+    punctuation noise.  The formula uses UNROUNDED ratios and one
+    final round, with the identical operation order in the oracle."""
     n_chars = F.length(F.col(text_col))
     length_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     return F.round(
         F.lit(0.5) * length_term
-        + F.lit(0.4) * stopword_ratio(text_col) * 10
-        - F.lit(0.3) * punct_ratio(F.col(text_col)),
+        + F.lit(4.0) * raw_stopword_ratio(text_col)
+        - F.lit(0.3) * raw_punct_ratio(text_col),
         6,
     )
 

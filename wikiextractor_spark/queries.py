@@ -1,0 +1,941 @@
+"""The driver-contract query battery.
+
+Every entry pairs a Spark query (DataFrame/SQL API, Catalyst-planned)
+with a DuckDB oracle that must hash-match it at sf0.01 (row count +
+schema + order-insensitive value hash — ``__spark_entry__``).
+
+Engine-portability rules used throughout (so the hash can't flake):
+
+* money/价值 sums integerize per row FIRST — ``CAST(ROUND(x*100) AS
+  BIGINT)`` — then sum exactly in integer domain; float summation
+  order never matters;
+* cosines and ratios are ``round(…, 6)`` on both sides;
+* every top-k goes through ``row_number`` with a unique tie-break;
+* all hashing is md5 (DuckDB cannot reproduce murmur3);
+* timestamps stay naive (timestamp_ntz / DuckDB TIMESTAMP) and render
+  via date_format/strftime when grouped.
+
+Queries marked ``oracle=None`` are non-SQL-expressible (full fidelity
+clean/compact UDFs) and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wikiextractor_spark.functions.cleaning import (
+    clean_markup_duckdb_sql,
+    clean_markup_native,
+)
+from wikiextractor_spark.operators import dedup, multimodal, similarity
+from wikiextractor_spark.session import tune
+from wikiextractor_spark.sources.tables import load_table, register_views
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def sql_query(name: str, spark_sql: str, duck_sql: str | None = None):
+    """Register a pure-SQL query: Spark runs ``spark_sql`` over the
+    registered views; DuckDB runs ``duck_sql`` (defaults to the same
+    string when the dialects agree)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY[name] = (fn, duck_sql if duck_sql is not None else spark_sql)
+    return fn
+
+
+def _docs(spark, sf_dir):
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    tune(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ==========================================================================
+# 1. Reference-parity: cleaning, filters, joins, projections (SURVEY §2)
+# ==========================================================================
+
+_WRAP_SPARK_PRE = "[[link|"
+_WRAP_SPARK_POST = "]]s <b>tag</b> <!-- note --> '''bold''' ext [http://x.com anchor] ....."
+
+
+@query(
+    "wx_clean_native",
+    "SELECT doc_id, %s AS cleaned FROM documents"
+    % clean_markup_duckdb_sql(
+        "'%s' || text || ' %s'" % (_WRAP_SPARK_PRE, _WRAP_SPARK_POST.replace("'", "''"))
+    ),
+)
+def wx_clean_native(spark, sf_dir):
+    """Speed-mode clean (C4-C27 regex subset) as one whole-stage-codegen
+    Column chain; the oracle is machine-generated from the same step
+    table (SURVEY §2.4)."""
+    wrapped = F.concat(
+        F.lit(_WRAP_SPARK_PRE), F.col("text"), F.lit(" " + _WRAP_SPARK_POST)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", clean_markup_native(wrapped).alias("cleaned")
+    )
+
+
+@query("wx_clean_fidelity", None)
+def wx_clean_fidelity(spark, sf_dir):
+    """Fidelity-mode clean: full C1-C27 chain incl. nested-template
+    drop and stateful placeholders — pandas UDF, not SQL-expressible
+    (rows-only check)."""
+    from wikiextractor_spark.udfs import clean_wikitext_udf
+
+    wrapped = F.concat(
+        F.lit("{{tmpl|x}} [[link|"),
+        F.col("text"),
+        F.lit("]]s <math>E=mc^2</math> &amp;nbsp; '''b''' <!--c-->"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", clean_wikitext_udf(wrapped).alias("cleaned")
+    )
+
+
+@query(
+    "wx_compact_lines",
+    """
+    SELECT doc_id, 0 AS line_no, 'Head.' AS line FROM documents
+    UNION ALL SELECT doc_id, 1, text FROM documents
+    UNION ALL SELECT doc_id, 2, 'Tail line x.' FROM documents
+    """,
+)
+def wx_compact_lines(spark, sf_dir):
+    """compact() state machine via UDF + posexplode.  The synthesized
+    document exercises header flush, list drop, paren drop, and
+    punctuation-only-line drop; the oracle enumerates the exactly-
+    predictable output lines (text is single-line plain words)."""
+    from wikiextractor_spark.udfs import compact_lines_udf
+
+    doc = F.concat(
+        F.lit("== Head ==\n* list item\n(paren line)\n"),
+        F.col("text"),
+        F.lit("\nTail line x."),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(compact_lines_udf(doc)).alias("line_no", "line")
+    )
+
+
+@query(
+    "wx_unescape_entities",
+    "SELECT doc_id, chr(160) || ' A B &bogus; ' || text AS unescaped FROM documents",
+)
+def wx_unescape_entities(spark, sf_dir):
+    """Double entity decode with leave-malformed semantics (C13): the
+    oracle states the expected decoded bytes directly."""
+    from wikiextractor_spark.udfs import unescape_entities_udf
+
+    wrapped = F.concat(F.lit("&amp;nbsp; &#65; &#x42; &bogus; "), F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        unescape_entities_udf(unescape_entities_udf(wrapped)).alias("unescaped"),
+    )
+
+
+@query("wx_drop_templates", "SELECT doc_id, text AS detemplated FROM documents")
+def wx_drop_templates(spark, sf_dir):
+    """Nested {{template}} removal (C1): markup wrapped around the
+    document vanishes entirely, so the oracle is the bare text."""
+    from wikiextractor_spark.udfs import drop_templates_udf
+
+    wrapped = F.concat(
+        F.lit("{{cite|"),
+        F.substring("text", 1, 5),
+        F.lit("{{inner}}"),
+        F.lit("}}"),
+        F.col("text"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", drop_templates_udf(wrapped).alias("detemplated")
+    )
+
+
+@query("wx_drop_tables", "SELECT doc_id, text AS detabled FROM documents")
+def wx_drop_tables(spark, sf_dir):
+    """Nested {|table|} removal (C2)."""
+    from wikiextractor_spark.udfs import drop_tables_udf
+
+    wrapped = F.concat(F.lit("{|r|c{|nested|}x|}"), F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", drop_tables_udf(wrapped).alias("detabled")
+    )
+
+
+@query(
+    "wx_expand_wikilinks",
+    "SELECT doc_id, ' ' || substring(text, 1, 3) || 's ' || text AS linked FROM documents",
+)
+def wx_expand_wikilinks(spark, sf_dir):
+    """Wikilink expansion (C3/P5): foreign-namespace link deleted,
+    anchor + plural trail kept."""
+    from wikiextractor_spark.udfs import expand_wikilinks_udf
+
+    wrapped = F.concat(
+        F.lit("[[Category:X|y]] [[target|"),
+        F.substring("text", 1, 3),
+        F.lit("]]s "),
+        F.col("text"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", expand_wikilinks_udf(wrapped).alias("linked")
+    )
+
+
+_TITLE_CASE_SPARK = (
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'Plain_' || CAST(doc_id AS STRING) "
+    "WHEN 1 THEN 'w:Acc_' || CAST(doc_id AS STRING) "
+    "WHEN 2 THEN 'Category:Rej_' || CAST(doc_id AS STRING) "
+    "ELSE '3001: Odyssey_' || CAST(doc_id AS STRING) END"
+)
+_TITLE_CASE_DUCK = _TITLE_CASE_SPARK.replace("AS STRING", "AS VARCHAR")
+
+sql_query(
+    "wx_namespace_filter",
+    f"""
+    SELECT doc_id, title FROM (
+      SELECT doc_id, {_TITLE_CASE_SPARK} AS title FROM documents
+    ) WHERE instr(title, ':') = 0 OR substring_index(title, ':', 1) = 'w'
+    """,
+    f"""
+    SELECT doc_id, title FROM (
+      SELECT doc_id, {_TITLE_CASE_DUCK} AS title FROM documents
+    ) WHERE strpos(title, ':') = 0 OR split_part(title, ':', 1) = 'w'
+    """,
+)
+
+sql_query(
+    "wx_incubator_filter",
+    """
+    SELECT doc_id, parts[2] AS title FROM (
+      SELECT doc_id,
+             split('Wp/' || CASE WHEN doc_id % 3 = 0 THEN 'enm' ELSE 'other' END
+                   || '/Title_' || CAST(doc_id AS STRING)
+                   || CASE WHEN doc_id % 2 = 0 THEN '/Sub' ELSE '' END, '/') AS parts
+      FROM documents
+    ) WHERE size(parts) > 2 AND parts[1] = 'enm'
+    """,
+    """
+    SELECT doc_id, parts[3] AS title FROM (
+      SELECT doc_id,
+             string_split('Wp/' || CASE WHEN doc_id % 3 = 0 THEN 'enm' ELSE 'other' END
+                   || '/Title_' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0 THEN '/Sub' ELSE '' END, '/') AS parts
+      FROM documents
+    ) WHERE len(parts) > 2 AND parts[2] = 'enm'
+    """,
+)
+
+
+@query(
+    "wx_vital_join",
+    """
+    WITH pages AS (SELECT doc_id, 'Doc_' || CAST(doc_id AS VARCHAR) AS title FROM documents),
+         vital AS (SELECT 'Doc_' || CAST(doc_id AS VARCHAR) AS title,
+                          ['vital', 'g' || CAST(doc_id % 3 AS VARCHAR)] AS tags
+                   FROM documents WHERE doc_id % 7 = 0)
+    SELECT p.doc_id, p.title, array_to_string(v.tags, '|||') AS tags_joined
+    FROM pages p JOIN vital v ON p.title = v.title
+    """,
+)
+def wx_vital_join(spark, sf_dir):
+    """J1+J2: vital-titles membership as a broadcast semi join plus the
+    tags lookup as a broadcast left join (reference's set/dict probes,
+    WikiExtractor.py:630,634)."""
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("Doc_"), F.col("doc_id").cast("string")).alias("title")
+    )
+    vital = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.concat(F.lit("Doc_"), F.col("doc_id").cast("string")).alias("title"),
+            F.array(
+                F.lit("vital"),
+                F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string")),
+            ).alias("tags"),
+        )
+    )
+    b = F.broadcast(vital)
+    return (
+        pages.join(b, "title", "left_semi")
+        .join(b, "title", "left")
+        .select(
+            "doc_id", "title", F.concat_ws("|||", "tags").alias("tags_joined")
+        )
+    )
+
+
+@query(
+    "wx_url_and_header",
+    """
+    SELECT doc_id,
+           'https://xx.wikipedia.org/wiki?curid=' || CAST(doc_id AS VARCHAR) AS url,
+           chr(10) || 'Doc_' || CAST(doc_id AS VARCHAR) || ':' AS header
+    FROM documents
+    """,
+)
+def wx_url_and_header(spark, sf_dir):
+    """F1 url synthesis + R2 header rendering as format_string."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.format_string(
+            "%s?curid=%s", F.lit("https://xx.wikipedia.org/wiki"), F.col("doc_id")
+        ).alias("url"),
+        F.format_string(
+            "\n%s:%s",
+            F.concat(F.lit("Doc_"), F.col("doc_id").cast("string")),
+            F.lit(""),
+        ).alias("header"),
+    )
+
+
+# ==========================================================================
+# 2. Text analysis
+# ==========================================================================
+
+from wikiextractor_spark.functions import textstats  # noqa: E402
+
+_STOP_EN = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
+
+
+@query(
+    "ta_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def ta_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    t = F.col("text")
+    n_tok = textstats.token_count(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        textstats.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(
+            F.length(F.replace(t, F.lit(" "), F.lit(""))) * F.lit(1.0) / n_tok, 6
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "ta_quality_score",
+    f"""
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+           round(len(list_filter(string_split(text, ' '), w -> list_contains([{_STOP_EN}], w)))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(0.5 * least(length(text) / 500.0, 1.0)
+                 + 4.0 * (len(list_filter(string_split(text, ' '), w -> list_contains([{_STOP_EN}], w)))
+                          * 1.0 / len(string_split(text, ' ')))
+                 - 0.3 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)),
+                 6) AS quality
+    FROM documents
+    """,
+)
+def ta_quality_score(spark, sf_dir):
+    """Quality heuristics: punctuation ratio, stopword density, and the
+    composite score."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textstats.punct_ratio(F.col("text")).alias("punct_ratio"),
+        F.round(textstats.raw_stopword_ratio("text"), 6).alias("stopword_ratio"),
+        textstats.quality_score("text").alias("quality"),
+    )
+
+
+_LANG_HITS_DUCK = {
+    lang: (
+        "len(list_filter(string_split(text, ' '), w -> list_contains([%s], w)))"
+        % ", ".join("'%s'" % w for w in ws)
+    )
+    for lang, ws in textstats.STOPWORDS.items()
+}
+
+@query(
+    "ta_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                WHEN de >= es AND de >= fr THEN 'de'
+                WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred,
+           en AS en_hits
+    FROM (SELECT doc_id, lang,
+                 {_LANG_HITS_DUCK['en']} AS en, {_LANG_HITS_DUCK['de']} AS de,
+                 {_LANG_HITS_DUCK['es']} AS es, {_LANG_HITS_DUCK['fr']} AS fr
+          FROM documents)
+    """,
+)
+def ta_lang_id(spark, sf_dir):
+    """Stopword-profile language ID with deterministic tie-break."""
+    scores = textstats.lang_scores("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        textstats.lang_id("text").alias("lang_pred"),
+        scores["en"].cast("long").alias("en_hits"),
+    )
+
+
+@query(
+    "ta_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           list_min([md5(w) for w in string_split(text, ' ')]) AS min_word_hash
+    FROM documents
+    """,
+)
+def ta_fingerprint(spark, sf_dir):
+    """Document fingerprints: normalized-content md5 + 1-hash MinHash."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.min_word_hash(F.col("text")).alias("min_word_hash"),
+    )
+
+
+# ==========================================================================
+# 3. Deduplication
+# ==========================================================================
+
+@query(
+    "dd_exact_groups",
+    """
+    SELECT md5(text) AS content_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    GROUP BY md5(text)
+    """,
+)
+def dd_exact_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy over a corpus with every doc
+    duplicated (map-side partial agg; one shuffle on the content key)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup.exact_duplicate_groups(doubled)
+
+
+@query(
+    "dd_normalized_count",
+    r"""
+    SELECT lang,
+           COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def dd_normalized_count(spark, sf_dir):
+    """Near-exact dedup grain: distinct normalized content per lang."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.countDistinct(dedup.content_key(F.col("text"), normalized=True)).alias(
+            "n_distinct"
+        ),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(string_split(text, ' ')) >= 3 "
+    "THEN [array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ') "
+    "      for i in range(len(string_split(text, ' ')) - 2)] "
+    "ELSE [text] END"
+)
+_DUCK_SIG = (
+    "[list_min([md5(CAST(j AS VARCHAR) || '|' || s) for s in (%s)]) for j in range(8)]"
+    % _DUCK_SHINGLES
+)
+
+
+@query(
+    "dd_minhash_signature",
+    f"SELECT doc_id, {_DUCK_SIG} AS sig FROM documents WHERE doc_id < 100",
+)
+def dd_minhash_signature(spark, sf_dir):
+    """MinHash signatures (8 hashes over word 3-shingles) — pure
+    higher-order expressions, bit-identical across engines."""
+    return dedup.minhash_signature(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    )
+
+
+@query(
+    "dd_lsh_candidate_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, {_DUCK_SIG} AS sig
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), ',')) AS bh
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+    """,
+)
+def dd_lsh_candidate_pairs(spark, sf_dir):
+    """Banded MinHash-LSH near-dup candidates over a corpus with
+    planted duplicates; the only shuffle is the (band, hash) join."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup.minhash_lsh_candidate_pairs(doubled)
+
+
+_DUCK_SIMHASH = """
+    CAST(list_sum([
+      CASE WHEN list_sum([
+        ((((('0x' || substring(md5(w), 1, 8))::UBIGINT >> i) & 1)::BIGINT) * 2 - 1)
+        for w in string_split(text, ' ')
+      ]) > 0 THEN (1::BIGINT << i) ELSE 0 END
+      for i in range(32)
+    ]) AS BIGINT)
+"""
+
+
+@query(
+    "dd_simhash",
+    f"SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM documents WHERE doc_id < 200",
+)
+def dd_simhash(spark, sf_dir):
+    """32-bit SimHash signatures — narrow higher-order expressions."""
+    return dedup.simhash32(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+
+@query(
+    "dd_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 30
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """Exact word-set Jaccard verification over a bounded pair range."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_id=30)
+
+
+# ==========================================================================
+# 4. Similarity search (embeddings)
+# ==========================================================================
+
+_DUCK_COS = (
+    "round(list_sum([ae[i+1] * be[i+1] for i in range(64)]) / "
+    "(sqrt(list_sum([ae[i+1] * ae[i+1] for i in range(64)])) * "
+    " sqrt(list_sum([be[i+1] * be[i+1] for i in range(64)]))), 6)"
+)
+
+
+@query(
+    "sim_cosine_pairs",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 40)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_DUCK_COS.replace('ae', 'a.e').replace('be', 'b.e')} AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    """,
+)
+def sim_cosine_pairs(spark, sf_dir):
+    """All-pairs cosine on a bounded range — zip_with/aggregate dot
+    products, JVM-side."""
+    return similarity.cosine_pairs(_emb(spark, sf_dir), max_id=40)
+
+
+@query(
+    "sim_ann_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2)),
+    s AS (
+      SELECT q_id, v.vec_id AS neighbor_id,
+             {_DUCK_COS.replace('ae', 'qe').replace('be', 'v.e')} AS cos
+      FROM q, v WHERE v.vec_id != q_id
+    ),
+    r AS (SELECT q_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT q_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
+def sim_ann_topk(spark, sf_dir):
+    """Exact ANN baseline: brute-force cosine top-5 for 3 broadcast
+    query vectors, deterministic rank tie-break."""
+    return similarity.ann_brute_force_topk(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2], k=5
+    ).select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+def _duck_lsh_bucket_sql() -> str:
+    planes = similarity.hyperplanes(8, 64, 42)
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join("%d.0" % x for x in plane)
+        terms.append(
+            f"(CASE WHEN list_sum([e[i+1] * ([{lits}])[i+1] for i in range(64)]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "sim_lsh_buckets",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id, {_duck_lsh_bucket_sql()} AS bucket FROM v
+    """,
+)
+def sim_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (deterministic ±1
+    planes inlined identically into both engines)."""
+    return similarity.lsh_bucket(_emb(spark, sf_dir)).select(
+        "vec_id", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+@query(
+    "sim_lsh_histogram",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, {_duck_lsh_bucket_sql()} AS bucket FROM v)
+    SELECT bucket, COUNT(*) AS n_vecs FROM b GROUP BY bucket
+    """,
+)
+def sim_lsh_histogram(spark, sf_dir):
+    """LSH bucket occupancy — the skew diagnostic."""
+    return similarity.lsh_bucket_histogram(_emb(spark, sf_dir)).select(
+        F.col("bucket").cast("long").alias("bucket"), "n_vecs"
+    )
+
+
+# ==========================================================================
+# 5. Relational battery (TPC-H-flavored; aggregates, joins, windows,
+#    set ops, pivots — SURVEY §2.7/2.8 extension surface)
+# ==========================================================================
+
+sql_query(
+    "rel_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+           CAST(ROUND(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) * 1.0 / COUNT(*)) AS BIGINT) AS avg_disc_bp,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+sql_query(
+    "rel_top_orders",
+    """
+    SELECT o_orderkey, revenue_cents, rn FROM (
+      SELECT o.o_orderkey AS o_orderkey,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+             ROW_NUMBER() OVER (
+               ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) DESC,
+                        o.o_orderkey) AS rn
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey
+    ) t WHERE rn <= 10
+    """,
+)
+
+sql_query(
+    "rel_region_revenue",
+    """
+    SELECT n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+
+sql_query(
+    "rel_customer_rank",
+    """
+    SELECT c_custkey, c_mktsegment, rnk FROM (
+      SELECT c_custkey, c_mktsegment,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
+                                   c_custkey) AS rnk
+      FROM customer
+    ) t WHERE rnk <= 5
+    """,
+)
+
+sql_query(
+    "rel_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+    FROM orders
+    """,
+)
+
+sql_query(
+    "rel_brand_stats",
+    """
+    SELECT p_brand,
+           COUNT(DISTINCT p_type) AS n_types,
+           COUNT(*) AS n_parts,
+           MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+           SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS price_cents
+    FROM part GROUP BY p_brand
+    """,
+)
+
+sql_query(
+    "rel_setops",
+    """
+    SELECT c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal >= 5000
+      UNION
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) u
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+
+sql_query(
+    "rel_status_matrix",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           COUNT(*) AS n_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+sql_query(
+    "rel_supplier_volume",
+    """
+    SELECT /*+ BROADCAST(s), BROADCAST(n) */
+           s.s_name, n.n_name,
+           COUNT(*) AS n_lineitems,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS volume_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_name, n.n_name
+    """,
+    """
+    SELECT s.s_name, n.n_name,
+           COUNT(*) AS n_lineitems,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS volume_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_name, n.n_name
+    """,
+)
+
+sql_query(
+    "rel_order_lineitem_antijoin",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    ) AND o_totalprice > 100000
+    """,
+)
+
+# ==========================================================================
+# 6. Events: time windows, JSON, sessionization, funnel
+# ==========================================================================
+
+sql_query(
+    "ev_hourly_rollup",
+    """
+    SELECT date_format(ts, 'yyyy-MM-dd HH:00:00') AS hour_s, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY date_format(ts, 'yyyy-MM-dd HH:00:00'), event_type
+    """,
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour_s, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d %H:00:00'), event_type
+    """,
+)
+
+sql_query(
+    "ev_json_props",
+    """
+    SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY CAST(get_json_object(props, '$.k') AS BIGINT) % 10
+    """,
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+    """,
+)
+
+_SESS_SPARK = """
+    WITH marked AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+                  OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM (SELECT user_id, event_id, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) DIV 1000000 AS duration_s
+    FROM sessions GROUP BY user_id, sess_id
+"""
+
+sql_query(
+    "ev_sessionize",
+    _SESS_SPARK,
+    _SESS_SPARK
+    .replace("unix_micros(CAST(ts AS TIMESTAMP))", "epoch_us(ts)")
+    .replace("DIV 1000000", "// 1000000"),
+)
+
+sql_query(
+    "ev_signup_purchase_funnel",
+    """
+    SELECT COUNT(*) AS n_converted FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN unix_micros(CAST(ts AS TIMESTAMP)) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN unix_micros(CAST(ts AS TIMESTAMP)) END) AS first_purchase
+      FROM events GROUP BY user_id
+    ) t WHERE first_signup IS NOT NULL AND first_purchase > first_signup
+    """,
+    """
+    SELECT COUNT(*) AS n_converted FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+      FROM events GROUP BY user_id
+    ) t WHERE first_signup IS NOT NULL AND first_purchase > first_signup
+    """,
+)
+
+sql_query(
+    "ev_type_value_windows",
+    """
+    SELECT event_type, user_mod, n, total_cents FROM (
+      SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_mod,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+      FROM events GROUP BY event_type, user_id % 5
+    ) t
+    """,
+)
+
+# ==========================================================================
+# 7. Multimodal binary columns
+# ==========================================================================
+
+_DUCK_MEDIA_META = """
+    SELECT doc_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS INT) AS height,
+           CAST(1 + ('0x' || substring(md5(text), 5, 2))::INT % 3 AS INT) AS channels,
+           CAST(CASE WHEN (['image', 'audio', 'video'])[(doc_id % 3) + 1] = 'video'
+                THEN 8 + ('0x' || substring(md5(text), 7, 2))::INT % 120
+                ELSE 1 END AS INT) AS n_frames
+    FROM documents
+"""
+
+@query("mm_media_meta", _DUCK_MEDIA_META)
+def mm_media_meta(spark, sf_dir):
+    """Binary media columns: attach payloads, extract typed metadata
+    via Arrow-batched mapInPandas.  The oracle reproduces the fake
+    decoder's md5-derived dimensions in SQL — proving the Python
+    plumbing end to end."""
+    media = multimodal.attach_fake_binary(_docs(spark, sf_dir))
+    return multimodal.decode_media_meta(media)
+
+
+@query(
+    "mm_media_stats",
+    f"""
+    SELECT media_type, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+           round(AVG(width), 4) AS avg_width, round(AVG(height), 4) AS avg_height,
+           MAX(n_frames) AS max_frames
+    FROM ({_DUCK_MEDIA_META}) meta GROUP BY media_type
+    """,
+)
+def mm_media_stats(spark, sf_dir):
+    """Typed-metadata rollup over the decoded media table."""
+    media = multimodal.attach_fake_binary(_docs(spark, sf_dir))
+    return multimodal.media_stats(multimodal.decode_media_meta(media))
