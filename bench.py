@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Headline set = one representative per operator family, so the number
+tracks the whole engine: wiki cleaning (native + fidelity UDF),
+dedup (exact + MinHash-LSH), similarity (ANN top-k), relational
+(agg/join/window), events (sessionize + rollup), text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wikiextractor_spark.session import get_spark
+    from wikiextractor_spark.queries import REGISTRY
+
+    spark = get_spark("wikiextractor-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "wx_clean_native",
+        "wx_clean_fidelity",
+        "wx_compact_lines",
+        "ta_token_stats",
+        "ta_quality_score",
+        "dd_exact_groups",
+        "dd_lsh_candidate_pairs",
+        "dd_simhash",
+        "sim_cosine_pairs",
+        "sim_ann_topk",
+        "rel_pricing_summary",
+        "rel_top_orders",
+        "rel_region_revenue",
+        "rel_running_total",
+        "ev_hourly_rollup",
+        "ev_sessionize",
+        "mm_media_meta",
+    ]
+
+    # one warm-up action so JVM/codegen startup isn't billed to q1
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn, _oracle = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full evaluation without driver-side result transfer
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,13 +72,19 @@ def dedup_exact(
 
 def _shingles_sql(text_col: str, k: int = 3) -> str:
     """Word k-shingles as a SQL array expression (falls back to the
-    whole text when shorter than k words)."""
+    whole text when shorter than k words).
+
+    ``split()`` is bound ONCE through a 1-element-array lambda
+    (``transform(array(x), ws -> …)[0]``): naively inlining it makes
+    Catalyst re-evaluate the split per sequence element — O(words²)
+    per row (measured 12s for 10k rows at sf0.1; ~0.5s bound)."""
     return f"""
-        CASE WHEN size(split({text_col}, ' ')) >= {k}
-        THEN transform(
-            sequence(0, size(split({text_col}, ' ')) - {k}),
-            i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))
-        ELSE array({text_col}) END
+        transform(array(split({text_col}, ' ')), ws ->
+          CASE WHEN size(ws) >= {k}
+          THEN transform(sequence(0, size(ws) - {k}),
+                         i -> concat_ws(' ', slice(ws, i + 1, {k})))
+          ELSE array({text_col}) END
+        )[0]
         """
 
 
@@ -97,9 +103,11 @@ def minhash_signature(
     """
     sig = F.expr(
         f"""
-        transform(sequence(0, {num_hashes - 1}),
-                  j -> array_min(transform({_shingles_sql(text_col, shingle)},
-                                           s -> md5(concat(cast(j as string), '|', s)))))
+        transform(array({_shingles_sql(text_col, shingle)}), sh ->
+          transform(sequence(0, {num_hashes - 1}),
+                    j -> array_min(transform(sh,
+                         s -> md5(concat(cast(j as string), '|', s)))))
+        )[0]
         """
     )
     return df.select(F.col(id_col), sig.alias("sig"))
@@ -128,11 +136,19 @@ def minhash_lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH: the only wide
     op is the equi-join on (band, band_hash) — sub-quadratic and
-    AQE-skew-friendly at scale."""
+    AQE-skew-friendly at scale.
+
+    The bucket table is persisted before the self-join: without a
+    materialization barrier, Catalyst's projection collapse inlines
+    the (large) signature expression into every band hash on BOTH
+    join sides — ~8× recomputation and a codegen blowup (measured
+    26s → ~2s at sf0.1).  At real scale you persist/checkpoint the
+    sketch table before the candidate join for exactly this reason.
+    """
     buckets = minhash_band_buckets(
         minhash_signature(df, text_col, id_col, num_hashes, shingle),
         id_col, bands, rows_per_band,
-    )
+    ).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -159,20 +175,24 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     computed per row with higher-order functions (narrow, shuffle-free).
     Word value = first 8 md5 hex chars as uint32; signature bit i is
     the sign of Σ(±1) over words at bit i."""
+    # word hash values bound ONCE via the array-wrap trick (see
+    # _shingles_sql): inlined, they'd be recomputed for each of the
+    # 32 bit positions.
     vals = (
         f"transform(split({text_col}, ' '), "
         f"w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
     )
     bits = (
-        f"transform(sequence(0, 31), i -> CASE WHEN "
-        f"aggregate({vals}, cast(0 as bigint), "
-        f"(acc, v) -> acc + (pmod(shiftright(v, i), 2) * 2 - 1)) > 0 "
-        f"THEN cast(1 as bigint) ELSE cast(0 as bigint) END)"
+        "transform(sequence(0, 31), i -> CASE WHEN "
+        "aggregate(vs, cast(0 as bigint), "
+        "(acc, v) -> acc + (pmod(shiftright(v, i), 2) * 2 - 1)) > 0 "
+        "THEN cast(1 as bigint) ELSE cast(0 as bigint) END)"
     )
     sig = (
+        f"transform(array({vals}), vs -> "
         f"aggregate(zip_with({bits}, sequence(0, 31), "
         f"(b, i) -> b * shiftleft(cast(1 as bigint), i)), "
-        f"cast(0 as bigint), (acc, x) -> acc + x)"
+        f"cast(0 as bigint), (acc, x) -> acc + x))[0]"
     )
     return df.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
