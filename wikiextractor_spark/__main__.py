@@ -1,0 +1,102 @@
+"""CLI mirroring the reference's surface (reference
+``WikiExtractor.py:683-754``) plus engine extensions.
+
+    python -m wikiextractor_spark --infn DUMP [--incubator LANG]
+        [--compress] [--out DIR] [--parser xml|line] [--vitalfn FILE]
+
+Differences from the reference CLI, by design: output goes to a
+directory of part files (``--out``, default ``./wiki_out``) instead of
+an append-only ``wiki.txt`` in CWD; ``--vitalfn`` (wired but disabled
+upstream) actually works; ``--parser line`` selects the bug-compatible
+fallback parser.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from wikiextractor_spark.config import ExtractorConfig
+from wikiextractor_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="wikiextractor_spark", description="PySpark WikiExtractor"
+    )
+    p.add_argument("--infn", required=True, help="dump file (xml/.bz2/.gz)")
+    p.add_argument(
+        "--incubator",
+        default="",
+        help="incubator language code (e.g. enm); keeps Wp/LANG/Title pages",
+    )
+    p.add_argument("--compress", action="store_true", help="bzip2 output")
+    p.add_argument("--out", default="wiki_out", help="output directory")
+    p.add_argument(
+        "--parser",
+        choices=("xml", "line"),
+        default="xml",
+        help="xml = splittable Catalyst-native source (default); "
+        "line = bug-compatible reference parser (one task per file)",
+    )
+    p.add_argument("--vitalfn", default=None, help="vital titles side file")
+    p.add_argument(
+        "--max-records-per-file",
+        type=int,
+        default=None,
+        help="size-split the output (the reference's intended "
+        "OutputSplitter behavior)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = ExtractorConfig(incubator=args.incubator, compress=args.compress)
+    spark = get_spark("wikiextractor-spark-cli")
+    try:
+        if args.parser == "line":
+            from pyspark.sql import functions as F
+
+            from wikiextractor_spark.sink import render_documents, write_documents
+            from wikiextractor_spark.sources.dump import filter_pages
+            from wikiextractor_spark.sources.lineparser import read_pages_lineparser
+            from wikiextractor_spark.sources.vital import (
+                apply_vital_filter,
+                read_vital_titles,
+            )
+            from wikiextractor_spark.udfs import make_clean_udf, make_compact_udf
+
+            pages = filter_pages(
+                read_pages_lineparser(spark, args.infn).drop("page_id_raw"), cfg
+            )
+            vital = (
+                read_vital_titles(spark, args.vitalfn) if args.vitalfn else None
+            )
+            pages = apply_vital_filter(pages, vital)
+            docs = pages.withColumn(
+                "cleaned", make_clean_udf(cfg)(F.col("text"))
+            ).withColumn("lines", make_compact_udf(cfg.keep_sections)(F.col("cleaned")))
+            write_documents(
+                render_documents(docs),
+                args.out,
+                compress=cfg.compress,
+                max_records_per_file=args.max_records_per_file,
+            )
+        else:
+            from wikiextractor_spark.pipeline import extract_to_text
+
+            extract_to_text(
+                spark,
+                args.infn,
+                args.out,
+                cfg,
+                vital_path=args.vitalfn,
+                max_records_per_file=args.max_records_per_file,
+            )
+        print(f"wrote {args.out}")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
