@@ -939,3 +939,191 @@ def mm_media_stats(spark, sf_dir):
     """Typed-metadata rollup over the decoded media table."""
     media = multimodal.attach_fake_binary(_docs(spark, sf_dir))
     return multimodal.media_stats(multimodal.decode_media_meta(media))
+
+
+# ==========================================================================
+# 8. Extended battery: grouping sets, subqueries, percentiles, date and
+#    array functions, n-grams, embedding near-dup, streaming
+# ==========================================================================
+
+sql_query(
+    "rel_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+
+sql_query(
+    "rel_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+
+sql_query(
+    "rel_in_subquery",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+)
+
+sql_query(
+    "rel_scalar_subquery",
+    """
+    SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+
+sql_query(
+    "rel_median_price",
+    """
+    SELECT l_returnflag,
+           percentile(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS median_cents,
+           percentile(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.9) AS p90_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS median_cents,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.9) AS p90_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+sql_query(
+    "ev_date_parts",
+    """
+    SELECT CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,
+           CAST(month(ts) AS BIGINT) AS mon,
+           CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS days_in,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY dayofweek(ts) - 1, month(ts), datediff(CAST(ts AS DATE), DATE '2024-01-01')
+    """,
+    """
+    SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+           CAST(date_part('month', ts) AS BIGINT) AS mon,
+           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_in,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+
+sql_query(
+    "ev_user_event_sets",
+    """
+    SELECT user_id,
+           sort_array(collect_set(event_type)) AS types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+
+sql_query(
+    "ta_top_bigrams",
+    """
+    SELECT bigram, n, rn FROM (
+      SELECT bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM (
+        SELECT explode(
+          transform(array(split(text, ' ')), ws ->
+            transform(sequence(0, size(ws) - 2),
+                      i -> concat_ws(' ', element_at(ws, i + 1), element_at(ws, i + 2))))[0]
+        ) AS bigram
+        FROM documents
+      ) b GROUP BY bigram
+    ) t WHERE rn <= 20
+    """,
+    """
+    SELECT bigram, n, rn FROM (
+      SELECT bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM (
+        SELECT unnest([ws[i+1] || ' ' || ws[i+2] for i in range(len(ws) - 1)]) AS bigram
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents) w
+      ) b GROUP BY bigram
+    ) t WHERE rn <= 20
+    """,
+)
+
+
+@query(
+    "dd_embedding_neighbor",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100),
+    s AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_DUCK_COS.replace('ae', 'a.e').replace('be', 'b.e')} AS cos
+      FROM v a JOIN v b ON a.vec_id != b.vec_id
+    ),
+    r AS (SELECT vec_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM s)
+    SELECT vec_id, neighbor_id, cos FROM r WHERE rn = 1
+    """,
+)
+def dd_embedding_neighbor(spark, sf_dir):
+    """Embedding-cosine near-dup: nearest neighbor per vector on a
+    bounded range (the verification grain for embedding dedup)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    base = emb.select(
+        "vec_id", similarity._as_double(F.col("embedding")).alias("v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            similarity.cosine(F.col("a.v"), F.col("b.v")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query("st_stream_hourly", None)
+def st_stream_hourly(spark, sf_dir):
+    """Structured Streaming entry: watermarked tumbling-window counts
+    over the events stream, availableNow (batch-parity trigger), read
+    back from the in-memory sink.  Not oracle-expressible — the driver
+    records the rows-only check; tests/test_oracle_extended.py pins
+    value equality against the batch ev_hourly_rollup query."""
+    from wikiextractor_spark.streaming import windowed_event_counts
+
+    q = windowed_event_counts(
+        spark, sf_dir, query_name="st_stream_hourly_sink",
+        path_glob="events.parquet",
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        """
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:00:00') AS hour_s,
+               event_type, n_events, total_value
+        FROM st_stream_hourly_sink
+        """
+    )

@@ -43,11 +43,15 @@ def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tunings to an externally-created session
     (the round driver builds its own SparkSession; queries call this
     defensively so timezone/Arrow behavior is deterministic)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # right-size shuffles for the local harness (the default 200
+        # adds pure latency at test scale; AQE coalesces upward fine)
+        ("spark.sql.shuffle.partitions", cpus),
     ):
         try:
             spark.conf.set(key, value)

@@ -71,14 +71,19 @@ def clean_documents_stream(
 def windowed_event_counts(
     spark: SparkSession, input_dir: str, window: str = "1 hour",
     watermark: str = "2 hours", query_name: str = "event_counts",
+    path_glob: str | None = None,
 ):
     """Watermarked tumbling-window counts per event_type over a
     streamed events directory, materialized to an in-memory sink
     (swap for kafka/parquet in production).  Late rows beyond the
     watermark are dropped — the streaming-correctness contract."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if path_glob:
+        # the streaming file source only accepts directories; the glob
+        # narrows to the events file inside a mixed-table directory
+        reader = reader.option("pathGlobFilter", path_glob)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
