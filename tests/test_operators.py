@@ -171,3 +171,18 @@ def test_streaming_clean_and_windows(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     agg = spark.sql("SELECT * FROM evc_test").collect()
     assert agg and all(r["n_events"] > 0 for r in agg)
+
+
+def test_multimodal_resize_and_frames(docs):
+    media = multimodal.attach_fake_binary(docs.limit(30))
+    resized = multimodal.resize_media(media, width=32, height=32).collect()
+    assert len(resized) == 30
+    assert all(r["width"] == 32 and len(r["pixels"]) == 32 * 32 // 8 for r in resized)
+    frames = multimodal.sample_frames(media, n_frames=4).collect()
+    n_videos = sum(1 for r in media.collect() if r["media_type"] == "video")
+    assert len(frames) == 4 * n_videos
+    # deterministic per (doc, frame)
+    frames2 = multimodal.sample_frames(media, n_frames=4).collect()
+    assert {(r["doc_id"], r["frame_no"]): bytes(r["frame"]) for r in frames} == {
+        (r["doc_id"], r["frame_no"]): bytes(r["frame"]) for r in frames2
+    }

@@ -131,3 +131,65 @@ def media_stats(meta: DataFrame) -> DataFrame:
         F.round(F.avg("height"), 4).alias("avg_height"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("pixels", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize stub over decoded media: deterministic fake resample
+    (content-hash tiled to the target size).  Real plumbing — schema,
+    Arrow batching, partition preservation — with the resample kernel
+    swappable for PIL/libvips."""
+
+    def _batches(iterator):
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                digest = hashlib.md5(payload).digest()
+                n = max(1, (width * height) // 16)
+                rows.append((doc_id, mtype, (digest * n)[: width * height // 8], width, height))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stub for video payloads: emits ``n_frames``
+    deterministic fake frames per video row (UDTF-shaped: one input
+    row fans out to N output rows through mapInPandas)."""
+
+    def _batches(iterator):
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                if mtype != "video":
+                    continue
+                payload = bytes(payload) if payload is not None else b""
+                for k in range(n_frames):
+                    frame = hashlib.md5(payload + k.to_bytes(4, "big")).digest()
+                    rows.append((doc_id, k, frame))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return df.mapInPandas(_batches, schema=FRAMES_SCHEMA)
