@@ -216,3 +216,17 @@ def test_write_documents_text(spark, tmp_path):
         (out / p).read_text(encoding="utf8") for p in parts
     )
     assert "Alpha:" in payload and "Beta:" in payload
+
+
+def test_write_documents_structured(spark, tmp_path):
+    from wikiextractor_spark.pipeline import extract_documents
+    from wikiextractor_spark.sink import write_documents_structured
+
+    (tmp_path / "dump.xml").write_text(DUMP, encoding="utf8")
+    docs = extract_documents(spark, str(tmp_path / "dump.xml"))
+    write_documents_structured(docs, str(tmp_path / "pq"), fmt="parquet")
+    back = spark.read.parquet(str(tmp_path / "pq"))
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"page_id", "url", "title", "tags", "cleaned", "lines"}
+    write_documents_structured(docs, str(tmp_path / "js"), fmt="jsonl")
+    assert spark.read.json(str(tmp_path / "js")).count() == docs.count()

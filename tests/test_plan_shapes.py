@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the scale-critical properties —
+pushdown, pruning, broadcast choice, shuffle-freedom — must survive
+refactors.  These read `.explain` output, the same evidence a human
+would check before a 100 TB run."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_token_stats_prunes_columns(spark, sf_dir):
+    p = plan_of(REGISTRY["ta_token_stats"][0](spark, sf_dir))
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and "doc_id" in read[0] and "text" in read[0]
+    assert "lang" not in read[0] and "source" not in read[0]
+
+
+def test_pricing_summary_pushes_filter(spark, sf_dir):
+    p = plan_of(REGISTRY["rel_pricing_summary"][0](spark, sf_dir))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed)
+
+
+def test_region_revenue_broadcasts_dims(spark, sf_dir):
+    p = plan_of(REGISTRY["rel_region_revenue"][0](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_wiki_pipeline_is_shuffle_free(spark, tmp_path):
+    from wikiextractor_spark.pipeline import extract_documents
+
+    dump = tmp_path / "dump.xml"
+    dump.write_text(
+        "<mediawiki><siteinfo><base>https://x.org/wiki/M</base></siteinfo>"
+        "<page><title>A</title><id>1</id><revision><id>9</id>"
+        '<text xml:space="preserve">body</text></revision></page></mediawiki>',
+        encoding="utf8",
+    )
+    p = plan_of(extract_documents(spark, str(dump)))
+    assert "Exchange" not in p  # narrow end to end
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    p = plan_of(REGISTRY["sim_ann_topk"][0](spark, sf_dir))
+    assert "Broadcast" in p
+
+
+def test_native_clean_no_python(spark, sf_dir):
+    p = plan_of(REGISTRY["wx_clean_native"][0](spark, sf_dir))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

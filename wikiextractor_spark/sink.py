@@ -53,3 +53,28 @@ def write_documents(
     if compress:
         writer = writer.option("compression", "bzip2")
     writer.text(out_dir)
+
+
+def write_documents_structured(
+    docs: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    partition_by: str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Training-pipeline sink: the typed document table (id, url,
+    title, tags, cleaned text, lines) as parquet or jsonl — the format
+    downstream Spark/DuckDB jobs actually want, vs the reference's
+    plain-text record stream.  ``partition_by`` enables partition
+    pruning for downstream readers (e.g. by lang at corpus scale)."""
+    writer = docs.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if fmt == "parquet":
+        writer.parquet(out_dir)
+    elif fmt in ("json", "jsonl"):
+        writer.json(out_dir)
+    else:
+        raise ValueError(f"unsupported sink format: {fmt!r}")
