@@ -29,11 +29,26 @@ def extract_documents(
     dump_path: str,
     cfg: ExtractorConfig = ExtractorConfig(),
     vital_path: str | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Dump → cleaned documents:
-    ``(page_id, url, title, tags, cleaned, lines)``."""
+    ``(page_id, url, title, tags, cleaned, lines)``.
+
+    ``min_parallelism`` (default: the cluster's defaultParallelism):
+    when the scan produces fewer splits — a single uncompressed XML
+    file is NOT splittable by the XML source (verified) — the pages
+    are repartitioned once before the UDF stage, trading one cheap
+    raw-text shuffle for N× parallel Arrow workers.  On real
+    many-file/bz2 inputs the scan already has enough splits and this
+    is a no-op.
+    """
     prefix = discover_base_prefix(spark, dump_path)
     pages = filter_pages(read_pages(spark, dump_path), cfg)
+
+    if min_parallelism is None:
+        min_parallelism = spark.sparkContext.defaultParallelism
+    if min_parallelism > 1 and pages.rdd.getNumPartitions() < min_parallelism:
+        pages = pages.repartition(min_parallelism)
 
     vital = read_vital_titles(spark, vital_path) if vital_path else None
     pages = apply_vital_filter(pages, vital)

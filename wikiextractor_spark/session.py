@@ -28,6 +28,10 @@ def get_spark(app_name: str = "wikiextractor-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # finer input splits than the 128m default: the wiki pipeline
+        # is Python-UDF-bound, so more splits = more parallel Arrow
+        # workers even on medium-sized single files
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
         # the events table stores TIMESTAMP(NANOS) parquet, which Spark
         # rejects unless read as raw nanos (converted in tables.py)

@@ -70,22 +70,25 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 def discover_base_prefix(spark: SparkSession, path: str) -> str | None:
     """Read ``/mediawiki/siteinfo/base`` once on the driver and derive
     the URL prefix (reference ``WikiExtractor.py:72-73, 647-651``):
-    ``prefix = base[:base.rfind('/')]``.  One tiny driver-side scan;
-    the value is injected into the plan as a literal.
+    ``prefix = base[:base.rfind('/')]``.
+
+    Implementation: the ``<base>`` element lives in the dump header,
+    so scan only the first lines with the (lazy) text source — an XML
+    read with ``rowTag siteinfo`` would parse the ENTIRE dump for one
+    header value (measured: 2.2s of a 7.8s pipeline on an 8 MB dump;
+    arbitrarily worse at 100 TB).  The value is injected into the plan
+    as a literal.
     """
-    si_schema = StructType([StructField("base", StringType())])
-    rows = (
-        spark.read.format("xml")
-        .option("rowTag", "siteinfo")
-        .schema(si_schema)
-        .load(path)
-        .limit(1)
-        .collect()
-    )
-    if not rows or rows[0]["base"] is None:
-        return None
-    base = rows[0]["base"]
-    return base[: base.rfind("/")]
+    import re as _re
+
+    base_re = _re.compile(r"<base>(.*?)</base>")
+    rows = spark.read.text(path).limit(400).collect()
+    for row in rows:
+        m = base_re.search(row["value"])
+        if m:
+            base = m.group(1)
+            return base[: base.rfind("/")]
+    return None
 
 
 def filter_pages(df: DataFrame, cfg: ExtractorConfig = ExtractorConfig()) -> DataFrame:

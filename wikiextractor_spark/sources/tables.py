@@ -29,9 +29,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (session id, sf_dir) → loaded tables; avoids re-reading 10 parquet
+# footers on every query call in the same session (the battery runs
+# 50+ queries back to back).
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
     tune(spark)
-    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    tables = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    _CACHE[key] = tables
+    return tables
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
