@@ -1127,3 +1127,60 @@ def st_stream_hourly(spark, sf_dir):
         FROM st_stream_hourly_sink
         """
     )
+
+
+sql_query(
+    "ta_tfidf_keywords",
+    """
+    WITH exploded AS (
+      SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM exploded GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS d FROM exploded GROUP BY w),
+    n AS (SELECT COUNT(*) AS total FROM documents),
+    scored AS (
+      SELECT tf.doc_id AS doc_id, tf.w AS w, tf.c AS c, df.d AS d, n.total AS total,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.c * ln(n.total * 1.0 / df.d), 6) DESC, tf.w
+             ) AS rn
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, w AS term, round(c * ln(total * 1.0 / d), 6) AS tfidf, rn
+    FROM scored WHERE rn <= 3 AND doc_id < 50
+    """,
+    """
+    WITH exploded AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM exploded GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS d FROM exploded GROUP BY w),
+    n AS (SELECT COUNT(*) AS total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.c, df.d, n.total,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.c * ln(n.total * 1.0 / df.d), 6) DESC, tf.w
+             ) AS rn
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, w AS term,
+           round(c * ln(total * 1.0 / d), 6) AS tfidf, rn
+    FROM scored WHERE rn <= 3 AND doc_id < 50
+    """,
+)
+
+
+@query("agg_approx_distinct", None)
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog sketches: approx_count_distinct per event_type next
+    to the exact count (rows-only — HLL estimates are engine-specific
+    by nature; the exact column anchors sanity in tests)."""
+    from wikiextractor_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n"),
+    )
