@@ -50,6 +50,8 @@ def main() -> None:
         "ev_hourly_rollup",
         "ev_sessionize",
         "mm_media_meta",
+        "ta_tfidf_keywords",
+        "rel_rollup",
     ]
 
     # one warm-up action so JVM/codegen startup isn't billed to q1
