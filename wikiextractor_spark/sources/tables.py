@@ -15,6 +15,10 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # tune() BEFORE any read: a fresh driver session rejects the
+    # events table's TIMESTAMP(NANOS) parquet unless nanosAsLong is
+    # set, and query execution order is not ours to choose
+    tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): read as raw nanos
