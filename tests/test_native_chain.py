@@ -108,3 +108,20 @@ def test_udfs_round_trip(spark):
         assert by_id[i]["unesc"] == textops.unescape_entities(t)
         assert by_id[i]["clean"] == textops.clean_wikitext(t)
         assert by_id[i]["lines"] == textops.compact_lines(t, False)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_python_twin_vs_duckdb_fuzz(seed):
+    """Randomized markup soup through the Python-re twin and the
+    DuckDB(RE2) oracle — pins pattern-semantics agreement beyond the
+    fixture set (the Spark/Java side is pinned by the fixture and
+    document-level tests above)."""
+    import random
+
+    rng = random.Random(42 + seed)
+    alphabet = "abcdefgh '\"[]<>!?().,-=*:;&# \n{}|"
+    sql = "SELECT %s AS c FROM (SELECT ? AS t)" % clean_markup_duckdb_sql("t")
+    for _ in range(120):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 160)))
+        got = duckdb.execute(sql, [text]).fetchone()[0]
+        assert got == clean_markup_python(text), repr(text)

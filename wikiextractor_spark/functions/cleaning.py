@@ -180,14 +180,26 @@ def clean_markup_duckdb_sql(expr: str) -> str:
 
 
 def clean_markup_python(text: str) -> str:
-    """Reference-kernel twin of the native chain (same step subset,
-    Python ``re``) — used by tests to pin the Java-regex translation."""
+    """Python twin of the native chain (same step subset) — used by
+    tests to pin the Java-regex translation.
+
+    Compiled with ``re.ASCII``: Java and RE2 use ASCII ``\\w``/``\\W``
+    by default, while Python defaults to Unicode.  The difference is
+    observable — C19 itself injects non-ASCII guillemets which C25's
+    ``\\n\\W+?\\n`` then treats differently per engine (found by
+    fuzzing).  The *fidelity* kernel (textops.clean_wikitext) keeps
+    Python/Unicode semantics, faithfully matching the reference."""
     import re
 
     out = text
     for step in NATIVE_STEPS:
         if isinstance(step, RegexStep):
-            out = re.sub(step.pattern, step.replacement.replace("\\1", "\\g<1>"), out)
+            out = re.sub(
+                step.pattern,
+                step.replacement.replace("\\1", "\\g<1>"),
+                out,
+                flags=re.ASCII,
+            )
         else:
             out = out.replace(step.find, step.replacement)
     return out
