@@ -36,11 +36,12 @@ def main() -> None:
         "wx_clean_native",
         "wx_clean_fidelity",
         "wx_compact_lines",
-        "ta_token_stats",
-        "ta_quality_score",
+        "ta_text_profile",
+        "ta_lang_fingerprint",
         "dd_exact_groups",
         "dd_lsh_candidate_pairs",
         "dd_simhash",
+        "dd_embedding_neighbor",
         "sim_cosine_pairs",
         "sim_ann_topk",
         "rel_pricing_summary",
@@ -52,6 +53,8 @@ def main() -> None:
         "mm_media_meta",
         "ta_tfidf_keywords",
         "rel_rollup",
+        "agg_approx_distinct",
+        "st_stream_hourly",
     ]
 
     # one warm-up action so JVM/codegen startup isn't billed to q1

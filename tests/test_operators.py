@@ -167,10 +167,21 @@ def test_streaming_clean_and_windows(spark, sf_dir, tmp_path):
     ev_dir = tmp_path / "events_in"
     os.makedirs(ev_dir, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
-    q2 = windowed_event_counts(spark, str(ev_dir), query_name="evc_test")
+    # production path: append-mode parquet sink, state stays on executors
+    q2 = windowed_event_counts(
+        spark, str(ev_dir), str(tmp_path / "ev_out"), str(tmp_path / "ev_ckpt"),
+        watermark="1 second",
+    )
     q2.awaitTermination(120)
-    agg = spark.sql("SELECT * FROM evc_test").collect()
+    agg = spark.read.parquet(str(tmp_path / "ev_out")).collect()
     assert agg and all(r["n_events"] > 0 for r in agg)
+    # harness-only memory sink still works for interactive inspection
+    from wikiextractor_spark.streaming import windowed_event_counts_memory
+
+    q3 = windowed_event_counts_memory(spark, str(ev_dir), query_name="evc_test")
+    q3.awaitTermination(120)
+    mem = spark.sql("SELECT * FROM evc_test").collect()
+    assert len(mem) >= len(agg)
 
 
 def test_multimodal_resize_and_frames(docs):

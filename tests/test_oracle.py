@@ -1,16 +1,30 @@
 """Local replica of the driver's correctness gate: every query in
 ``queries()`` is run on Spark and compared to its DuckDB
 ``oracle_sql()`` — row count, column names, and order-insensitive
-value equality at sf0.01 (override with SPARK_GRAFT_TEST_SF_DIR).
+value equality at sf0.01 (override with SPARK_GRAFT_ORACLE_SF_DIR).
+
+FAITHFULNESS MATTERS: round 1 shipped 14 driver failures behind a
+green local gate because this file compared ``fetchall()`` tuples
+(DuckDB HUGEINT → Python int; lists hashable).  The driver
+canonicalizes through *pandas* — ``toPandas()`` / ``.df()``, columns
+sorted by name, ``sort_values`` over all columns, dtype-sensitive
+stringification — so:
+
+* DuckDB ``SUM(BIGINT)`` → HUGEINT → pandas float64 renders "450.0"
+  while Spark int64 renders "450" → hash mismatch;
+* ARRAY output columns become ndarray cells and ``sort_values``
+  raises ``unhashable type: 'numpy.ndarray'``.
+
+This replica goes through the same pandas path so both classes fail
+locally first.
 """
 
 from __future__ import annotations
 
-import datetime
-import math
 import os
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -33,54 +47,43 @@ def _duck_con():
     return con
 
 
-def _normalize(v):
-    if v is None:
-        return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # queries pre-round; this guards repr noise only
-        return f"{v:.9g}"
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_normalize(x) for x in v) + "]"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
-
-
-def _canon(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_normalize(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    """The driver's canonicalization: columns sorted by name, rows
+    sorted by all columns (pandas ``sort_values`` — raises on
+    unhashable cells, as the driver does), values stringified
+    dtype-sensitively (int64 "450" vs float64 "450.0" DIFFER)."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return [
+        tuple(str(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     fn = QUERIES[name]
     df = fn(spark, SF_DIR)
-    spark_rows = [tuple(r) for r in df.collect()]
-    spark_cols = df.columns
+    spark_pdf = df.toPandas()
 
     if name not in ORACLES:
-        assert len(spark_rows) > 0, f"{name}: rows-only check failed (0 rows)"
+        assert len(spark_pdf) > 0, f"{name}: rows-only check failed (0 rows)"
+        # rows-only results still flow through the driver canonicalizer
+        _canon(spark_pdf)
         return
 
-    con = _duck_con()
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = _duck_con().execute(ORACLES[name]).df()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {list(spark_pdf.columns)} vs"
+        f" {list(duck_pdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
-    a = _canon(spark_rows, spark_cols)
-    b = _canon(duck_rows, duck_cols)
+    a = _canon(spark_pdf)
+    b = _canon(duck_pdf)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")

@@ -8,15 +8,32 @@ from wikiextractor_spark.queries import REGISTRY
 
 
 def test_stream_matches_batch_rollup(spark):
-    """The streaming hourly rollup (availableNow) must equal the batch
-    ev_hourly_rollup on counts (streaming is the same expressions
-    lifted onto readStream)."""
+    """The streaming hourly rollup (availableNow, append-mode file
+    sink, 1s watermark) must equal the batch ev_hourly_rollup on every
+    CLOSED window — i.e. every window whose end precedes the final
+    watermark (max event time - 1s).  Later windows are legitimately
+    withheld by append-mode semantics."""
+    import datetime
+
+    from wikiextractor_spark.sources.tables import load_table
+
     sf = "/root/testdata/sf0.001"
     stream = REGISTRY["st_stream_hourly"][0](spark, sf)
     batch = REGISTRY["ev_hourly_rollup"][0](spark, sf)
     s = {(r["hour_s"], r["event_type"]): r["n_events"] for r in stream.collect()}
     b = {(r["hour_s"], r["event_type"]): r["n_events"] for r in batch.collect()}
-    assert s == b
+
+    max_ts = load_table(spark, sf, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(seconds=1)
+    expected = {
+        k: v
+        for k, v in b.items()
+        if datetime.datetime.strptime(k[0], "%Y-%m-%d %H:%M:%S")
+        + datetime.timedelta(hours=1)
+        <= cutoff
+    }
+    assert s == expected
+    assert len(s) > 0
 
 
 def test_rollup_has_grand_total(spark):

@@ -22,7 +22,7 @@ def plan_of(df) -> str:
 
 
 def test_token_stats_prunes_columns(spark, sf_dir):
-    p = plan_of(REGISTRY["ta_token_stats"][0](spark, sf_dir))
+    p = plan_of(REGISTRY["ta_text_profile"][0](spark, sf_dir))
     read = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read and "doc_id" in read[0] and "text" in read[0]
     assert "lang" not in read[0] and "source" not in read[0]

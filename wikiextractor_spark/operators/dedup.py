@@ -129,6 +129,10 @@ def minhash_band_buckets(
     )
 
 
+# the one persisted sketch table alive at a time (see docstring below)
+_last_buckets: DataFrame | None = None
+
+
 def minhash_lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle: int = 3,
@@ -144,11 +148,21 @@ def minhash_lsh_candidate_pairs(
     join sides — ~8× recomputation and a codegen blowup (measured
     26s → ~2s at sf0.1).  At real scale you persist/checkpoint the
     sketch table before the candidate join for exactly this reason.
+
+    Cache lifecycle: each call unpersists the previous call's bucket
+    table (repeated battery/bench invocations in one session would
+    otherwise accumulate cached blocks); the LAST bucket table stays
+    cached while its candidate DataFrame is alive — callers wanting a
+    fully clean session use ``spark.catalog.clearCache()``.
     """
+    global _last_buckets
+    if _last_buckets is not None:
+        _last_buckets.unpersist()
     buckets = minhash_band_buckets(
         minhash_signature(df, text_col, id_col, num_hashes, shingle),
         id_col, bands, rows_per_band,
     ).persist()
+    _last_buckets = buckets
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

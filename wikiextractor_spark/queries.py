@@ -13,7 +13,14 @@ Engine-portability rules used throughout (so the hash can't flake):
 * every top-k goes through ``row_number`` with a unique tie-break;
 * all hashing is md5 (DuckDB cannot reproduce murmur3);
 * timestamps stay naive (timestamp_ntz / DuckDB TIMESTAMP) and render
-  via date_format/strftime when grouped.
+  via date_format/strftime when grouped;
+* every DuckDB aggregate/window SUM gets an outer ``CAST(... AS
+  BIGINT)`` — DuckDB promotes SUM(BIGINT) to HUGEINT, which the
+  driver's pandas canonicalizer renders as float ("450.0" vs Spark's
+  "450") and the value hash diverges (all 12 r1 hash failures);
+* no ARRAY-typed output columns — the driver's pandas sort_values
+  crashes on ndarray cells; arrays serialize to one delimited string
+  on both engines (``concat_ws`` / ``array_to_string``).
 
 Queries marked ``oracle=None`` are non-SQL-expressible (full fidelity
 clean/compact UDFs) and get the driver's weaker rows-only check.
@@ -209,24 +216,20 @@ _TITLE_CASE_SPARK = (
 )
 _TITLE_CASE_DUCK = _TITLE_CASE_SPARK.replace("AS STRING", "AS VARCHAR")
 
+# P2 (namespace filter, case-sensitive raw-title prefix) and P4
+# (incubator Wp/LANG/Real title truncation) in one query: a UNION of
+# the two filter outputs with a `rule` discriminator.  Merged so the
+# battery fits the driver's 50-entry cap while still evidencing both
+# inventory rows (r1 had them as wx_namespace_filter /
+# wx_incubator_filter, both green).
 sql_query(
-    "wx_namespace_filter",
+    "wx_title_filters",
     f"""
-    SELECT doc_id, title FROM (
+    SELECT 'ns' AS rule, doc_id, title FROM (
       SELECT doc_id, {_TITLE_CASE_SPARK} AS title FROM documents
     ) WHERE instr(title, ':') = 0 OR substring_index(title, ':', 1) = 'w'
-    """,
-    f"""
-    SELECT doc_id, title FROM (
-      SELECT doc_id, {_TITLE_CASE_DUCK} AS title FROM documents
-    ) WHERE strpos(title, ':') = 0 OR split_part(title, ':', 1) = 'w'
-    """,
-)
-
-sql_query(
-    "wx_incubator_filter",
-    """
-    SELECT doc_id, parts[2] AS title FROM (
+    UNION ALL
+    SELECT 'incubator' AS rule, doc_id, parts[2] AS title FROM (
       SELECT doc_id,
              split('Wp/' || CASE WHEN doc_id % 3 = 0 THEN 'enm' ELSE 'other' END
                    || '/Title_' || CAST(doc_id AS STRING)
@@ -234,8 +237,12 @@ sql_query(
       FROM documents
     ) WHERE size(parts) > 2 AND parts[1] = 'enm'
     """,
-    """
-    SELECT doc_id, parts[3] AS title FROM (
+    f"""
+    SELECT 'ns' AS rule, doc_id, title FROM (
+      SELECT doc_id, {_TITLE_CASE_DUCK} AS title FROM documents
+    ) WHERE strpos(title, ':') = 0 OR split_part(title, ':', 1) = 'w'
+    UNION ALL
+    SELECT 'incubator' AS rule, doc_id, parts[3] AS title FROM (
       SELECT doc_id,
              string_split('Wp/' || CASE WHEN doc_id % 3 = 0 THEN 'enm' ELSE 'other' END
                    || '/Title_' || CAST(doc_id AS VARCHAR)
@@ -258,9 +265,9 @@ sql_query(
     """,
 )
 def wx_vital_join(spark, sf_dir):
-    """J1+J2: vital-titles membership as a broadcast semi join plus the
-    tags lookup as a broadcast left join (reference's set/dict probes,
-    WikiExtractor.py:630,634)."""
+    """J1+J2: vital-titles membership + tags lookup as ONE broadcast
+    inner join (reference's set/dict probes, WikiExtractor.py:630,634;
+    the r1 semi-join-then-left-join was a redundant double probe)."""
     docs = _docs(spark, sf_dir)
     pages = docs.select(
         "doc_id", F.concat(F.lit("Doc_"), F.col("doc_id").cast("string")).alias("title")
@@ -275,10 +282,9 @@ def wx_vital_join(spark, sf_dir):
             ).alias("tags"),
         )
     )
-    b = F.broadcast(vital)
+    # one broadcast inner join does membership + tag lookup together
     return (
-        pages.join(b, "title", "left_semi")
-        .join(b, "title", "left")
+        pages.join(F.broadcast(vital), "title", "inner")
         .select(
             "doc_id", "title", F.concat_ws("|||", "tags").alias("tags_joined")
         )
@@ -318,36 +324,19 @@ from wikiextractor_spark.functions import textstats  # noqa: E402
 _STOP_EN = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
 
 
+# Token counting (whitespace + BPE-ish regex) and quality heuristics
+# (punct ratio, stopword density, composite score) in one per-document
+# projection.  Merged from r1's ta_token_stats + ta_quality_score
+# (both green) to fit the driver's 50-entry cap — one scan instead of
+# two is also the plan a 100 TB profiling pass would run.
 @query(
-    "ta_token_stats",
+    "ta_text_profile",
     f"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
            length(text) AS n_chars,
-           round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len
-    FROM documents
-    """,
-)
-def ta_token_stats(spark, sf_dir):
-    """Token counting: whitespace tokens + BPE-ish regex tokens."""
-    t = F.col("text")
-    n_tok = textstats.token_count(t)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        textstats.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
-        F.length(t).alias("n_chars"),
-        F.round(
-            F.length(F.replace(t, F.lit(" "), F.lit(""))) * F.lit(1.0) / n_tok, 6
-        ).alias("avg_token_len"),
-    )
-
-
-@query(
-    "ta_quality_score",
-    f"""
-    SELECT doc_id,
+           round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
            round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
            round(len(list_filter(string_split(text, ' '), w -> list_contains([{_STOP_EN}], w)))
                  * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
@@ -359,12 +348,19 @@ def ta_token_stats(spark, sf_dir):
     FROM documents
     """,
 )
-def ta_quality_score(spark, sf_dir):
-    """Quality heuristics: punctuation ratio, stopword density, and the
-    composite score."""
+def ta_text_profile(spark, sf_dir):
+    """Token counting + quality heuristics in one narrow projection."""
+    t = F.col("text")
+    n_tok = textstats.token_count(t)
     return _docs(spark, sf_dir).select(
         "doc_id",
-        textstats.punct_ratio(F.col("text")).alias("punct_ratio"),
+        n_tok.alias("n_tokens"),
+        textstats.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(
+            F.length(F.replace(t, F.lit(" "), F.lit(""))) * F.lit(1.0) / n_tok, 6
+        ).alias("avg_token_len"),
+        textstats.punct_ratio(t).alias("punct_ratio"),
         F.round(textstats.raw_stopword_ratio("text"), 6).alias("stopword_ratio"),
         textstats.quality_score("text").alias("quality"),
     )
@@ -378,44 +374,34 @@ _LANG_HITS_DUCK = {
     for lang, ws in textstats.STOPWORDS.items()
 }
 
+# Language-ID (stopword profiles, deterministic tie-break) and
+# document fingerprinting (normalized md5 + 1-hash MinHash) in one
+# projection.  Merged from r1's ta_lang_id + ta_fingerprint (both
+# green) to fit the driver's 50-entry cap.
 @query(
-    "ta_lang_id",
-    f"""
+    "ta_lang_fingerprint",
+    rf"""
     SELECT doc_id, lang,
            CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
                 WHEN de >= es AND de >= fr THEN 'de'
                 WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred,
-           en AS en_hits
-    FROM (SELECT doc_id, lang,
+           en AS en_hits,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           list_min([md5(w) for w in string_split(text, ' ')]) AS min_word_hash
+    FROM (SELECT doc_id, lang, text,
                  {_LANG_HITS_DUCK['en']} AS en, {_LANG_HITS_DUCK['de']} AS de,
                  {_LANG_HITS_DUCK['es']} AS es, {_LANG_HITS_DUCK['fr']} AS fr
           FROM documents)
     """,
 )
-def ta_lang_id(spark, sf_dir):
-    """Stopword-profile language ID with deterministic tie-break."""
+def ta_lang_fingerprint(spark, sf_dir):
+    """Stopword-profile language ID + content fingerprints."""
     scores = textstats.lang_scores("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
         textstats.lang_id("text").alias("lang_pred"),
         scores["en"].cast("long").alias("en_hits"),
-    )
-
-
-@query(
-    "ta_fingerprint",
-    r"""
-    SELECT doc_id,
-           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-           list_min([md5(w) for w in string_split(text, ' ')]) AS min_word_hash
-    FROM documents
-    """,
-)
-def ta_fingerprint(spark, sf_dir):
-    """Document fingerprints: normalized-content md5 + 1-hash MinHash."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
         textstats.fingerprint(F.col("text")).alias("fp"),
         textstats.min_word_hash(F.col("text")).alias("min_word_hash"),
     )
@@ -478,14 +464,17 @@ _DUCK_SIG = (
 
 @query(
     "dd_minhash_signature",
-    f"SELECT doc_id, {_DUCK_SIG} AS sig FROM documents WHERE doc_id < 100",
+    f"SELECT doc_id, array_to_string({_DUCK_SIG}, ',') AS sig FROM documents"
+    " WHERE doc_id < 100",
 )
 def dd_minhash_signature(spark, sf_dir):
     """MinHash signatures (8 hashes over word 3-shingles) — pure
-    higher-order expressions, bit-identical across engines."""
+    higher-order expressions, bit-identical across engines.  The
+    signature array is serialized to one comma-joined string: the
+    driver canonicalizer cannot sort ndarray cells."""
     return dedup.minhash_signature(
         _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    )
+    ).select("doc_id", F.concat_ws(",", "sig").alias("sig"))
 
 
 @query(
@@ -622,33 +611,31 @@ def _duck_lsh_bucket_sql() -> str:
     return " + ".join(terms)
 
 
+# Random-hyperplane LSH bucket assignment (deterministic ±1 planes
+# inlined identically into both engines) + per-bucket occupancy (the
+# skew diagnostic) as a window count.  Merged from r1's
+# sim_lsh_buckets + sim_lsh_histogram (both green) to fit the
+# driver's 50-entry cap.
 @query(
     "sim_lsh_buckets",
     f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT vec_id, {_duck_lsh_bucket_sql()} AS bucket FROM v
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, {_duck_lsh_bucket_sql()} AS bucket FROM v)
+    SELECT vec_id, bucket,
+           CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+    FROM b
     """,
 )
 def sim_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH bucket assignment (deterministic ±1
-    planes inlined identically into both engines)."""
-    return similarity.lsh_bucket(_emb(spark, sf_dir)).select(
-        "vec_id", F.col("bucket").cast("long").alias("bucket")
-    )
+    """LSH bucket assignment with per-bucket occupancy attached."""
+    from pyspark.sql import Window
 
-
-@query(
-    "sim_lsh_histogram",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    b AS (SELECT vec_id, {_duck_lsh_bucket_sql()} AS bucket FROM v)
-    SELECT bucket, COUNT(*) AS n_vecs FROM b GROUP BY bucket
-    """,
-)
-def sim_lsh_histogram(spark, sf_dir):
-    """LSH bucket occupancy — the skew diagnostic."""
-    return similarity.lsh_bucket_histogram(_emb(spark, sf_dir)).select(
-        F.col("bucket").cast("long").alias("bucket"), "n_vecs"
+    return (
+        similarity.lsh_bucket(_emb(spark, sf_dir))
+        .select("vec_id", F.col("bucket").cast("long").alias("bucket"))
+        .withColumn(
+            "bucket_size", F.count("*").over(Window.partitionBy("bucket"))
+        )
     )
 
 
@@ -661,9 +648,9 @@ sql_query(
     "rel_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
            CAST(ROUND(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) * 1.0 / COUNT(*)) AS BIGINT) AS avg_disc_bp,
            COUNT(*) AS count_order
     FROM lineitem
@@ -677,7 +664,7 @@ sql_query(
     """
     SELECT o_orderkey, revenue_cents, rn FROM (
       SELECT o.o_orderkey AS o_orderkey,
-             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
              ROW_NUMBER() OVER (
                ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) DESC,
                         o.o_orderkey) AS rn
@@ -694,7 +681,7 @@ sql_query(
     "rel_region_revenue",
     """
     SELECT n.n_name,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_items
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -724,9 +711,9 @@ sql_query(
     "rel_running_total",
     """
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
     FROM orders
     """,
 )
@@ -738,7 +725,7 @@ sql_query(
            COUNT(DISTINCT p_type) AS n_types,
            COUNT(*) AS n_parts,
            MIN(p_size) AS min_size, MAX(p_size) AS max_size,
-           SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS price_cents
+           CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
     FROM part GROUP BY p_brand
     """,
 )
@@ -760,9 +747,9 @@ sql_query(
     "rel_status_matrix",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
            COUNT(*) AS n_total
     FROM orders GROUP BY o_orderpriority
     """,
@@ -774,7 +761,7 @@ sql_query(
     SELECT /*+ BROADCAST(s), BROADCAST(n) */
            s.s_name, n.n_name,
            COUNT(*) AS n_lineitems,
-           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS volume_cents
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS volume_cents
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -783,7 +770,7 @@ sql_query(
     """
     SELECT s.s_name, n.n_name,
            COUNT(*) AS n_lineitems,
-           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS volume_cents
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS volume_cents
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -811,13 +798,13 @@ sql_query(
     """
     SELECT date_format(ts, 'yyyy-MM-dd HH:00:00') AS hour_s, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY date_format(ts, 'yyyy-MM-dd HH:00:00'), event_type
     """,
     """
     SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour_s, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY strftime(ts, '%Y-%m-%d %H:00:00'), event_type
     """,
 )
@@ -850,8 +837,8 @@ _SESS_SPARK = """
     ),
     sessions AS (
       SELECT user_id, event_id, ts_us,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       FROM marked
     )
     SELECT user_id, sess_id, COUNT(*) AS n_events,
@@ -893,7 +880,7 @@ sql_query(
     SELECT event_type, user_mod, n, total_cents FROM (
       SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_mod,
              COUNT(*) AS n,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY event_type, user_id % 5
     ) t
     """,
@@ -929,7 +916,7 @@ def mm_media_meta(spark, sf_dir):
 @query(
     "mm_media_stats",
     f"""
-    SELECT media_type, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+    SELECT media_type, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            round(AVG(width), 4) AS avg_width, round(AVG(height), 4) AS avg_height,
            MAX(n_frames) AS max_frames
     FROM ({_DUCK_MEDIA_META}) meta GROUP BY media_type
@@ -951,7 +938,7 @@ sql_query(
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -1025,13 +1012,13 @@ sql_query(
     "ev_user_event_sets",
     """
     SELECT user_id,
-           sort_array(collect_set(event_type)) AS types,
+           concat_ws(',', sort_array(collect_set(event_type))) AS types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events GROUP BY user_id
     """,
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events GROUP BY user_id
     """,
@@ -1109,23 +1096,31 @@ def dd_embedding_neighbor(spark, sf_dir):
 @query("st_stream_hourly", None)
 def st_stream_hourly(spark, sf_dir):
     """Structured Streaming entry: watermarked tumbling-window counts
-    over the events stream, availableNow (batch-parity trigger), read
-    back from the in-memory sink.  Not oracle-expressible — the driver
-    records the rows-only check; tests/test_oracle_extended.py pins
-    value equality against the batch ev_hourly_rollup query."""
+    over the events stream, availableNow (batch-parity trigger),
+    written by the executors to a parquet file sink in APPEND mode and
+    read back — no aggregate state ever lands on the driver (r1 used a
+    memory/`complete` sink, a scale-killer).  Append-mode semantics:
+    windows close only once the watermark passes their end, so the
+    trailing window of event time stays open and unemitted — the
+    production contract.  Not oracle-expressible — the driver records
+    the rows-only check; tests/test_oracle_extended.py pins emitted
+    windows value-equal to the batch ev_hourly_rollup query."""
+    import tempfile
+
     from wikiextractor_spark.streaming import windowed_event_counts
 
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="st_stream_hourly_")
     q = windowed_event_counts(
-        spark, sf_dir, query_name="st_stream_hourly_sink",
-        path_glob="events.parquet",
+        spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt",
+        watermark="1 second", path_glob="events.parquet",
     )
-    q.awaitTermination(300)
-    return spark.sql(
-        """
-        SELECT date_format(window.start, 'yyyy-MM-dd HH:00:00') AS hour_s,
-               event_type, n_events, total_value
-        FROM st_stream_hourly_sink
-        """
+    q.awaitTermination(120)
+    return spark.read.parquet(f"{base}/out").select(
+        F.date_format("window.start", "yyyy-MM-dd HH:00:00").alias("hour_s"),
+        "event_type",
+        "n_events",
+        "total_value",
     )
 
 

@@ -78,11 +78,31 @@ def discover_base_prefix(spark: SparkSession, path: str) -> str | None:
     header value (measured: 2.2s of a 7.8s pipeline on an 8 MB dump;
     arbitrarily worse at 100 TB).  The value is injected into the plan
     as a literal.
+
+    Multi-file dumps: ``limit(400)`` over the whole load draws rows
+    from whichever split Spark schedules first, so the header (always
+    in the FIRST file) could be missed.  The probe therefore resolves
+    the lexicographically-first member file driver-side and reads only
+    its head; non-local filesystems (no listable path) fall back to
+    the whole-load probe.
     """
+    import glob as _glob
+    import os as _os
     import re as _re
 
     base_re = _re.compile(r"<base>(.*?)</base>")
-    rows = spark.read.text(path).limit(400).collect()
+    probe_path = path
+    try:
+        if _os.path.isdir(path):
+            members = sorted(_glob.glob(_os.path.join(path, "*")))
+        else:
+            members = sorted(_glob.glob(path))
+        members = [m for m in members if _os.path.isfile(m)]
+        if members:
+            probe_path = members[0]
+    except OSError:
+        pass
+    rows = spark.read.text(probe_path).limit(400).collect()
     for row in rows:
         m = base_re.search(row["value"])
         if m:

@@ -1,4 +1,6 @@
 from wikiextractor_spark.streaming.stream import (  # noqa: F401
     clean_documents_stream,
     windowed_event_counts,
+    windowed_event_counts_memory,
+    windowed_event_stream,
 )
