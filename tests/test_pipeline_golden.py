@@ -193,6 +193,27 @@ def test_url_prefix_discovery(spark, tmp_path):
     assert urls[1] == "https://xx.wikipedia.org/wiki?curid=1"
 
 
+def test_url_prefix_discovery_multifile(spark, tmp_path):
+    """A split dump where ``<base>`` lives ONLY in the first member
+    file: the header probe must target the lexicographically-first
+    file, not whichever split Spark schedules first (r1 used
+    ``limit(400)`` over the whole load — undefined split order)."""
+    d = tmp_path / "dump_dir"
+    d.mkdir()
+    head, _, tail = DUMP.partition("  <page>\n    <title>Beta</title>")
+    (d / "a_dump.xml").write_text(head + "</mediawiki>\n", encoding="utf8")
+    # second file: pages only, NO siteinfo/base header
+    (d / "b_dump.xml").write_text(
+        "<mediawiki>\n  <page>\n    <title>Beta</title>" + tail,
+        encoding="utf8",
+    )
+    docs = extract_documents(spark, str(d))
+    urls = {r["title"]: r["url"] for r in docs.select("title", "url").collect()}
+    assert urls["Alpha"] == "https://xx.wikipedia.org/wiki?curid=1"
+    # pages from the headerless file get the SAME discovered prefix
+    assert urls["Beta"] == "https://xx.wikipedia.org/wiki?curid=4"
+
+
 def test_vital_titles_join(spark, tmp_path):
     (tmp_path / "dump.xml").write_text(DUMP, encoding="utf8")
     (tmp_path / "vital.txt").write_text(
