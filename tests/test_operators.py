@@ -184,6 +184,54 @@ def test_streaming_clean_and_windows(spark, sf_dir, tmp_path):
     assert len(mem) >= len(agg)
 
 
+def test_asof_join_semantics(spark):
+    from wikiextractor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 10, "e")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 11, 200.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in asof_join(left, right, on="k", how="left").collect()
+    }
+    assert got[(1, 10)] == (10, 100.0)   # equal ts matches
+    assert got[(1, 20)] == (15, 150.0)   # most recent prior wins
+    assert got[(1, 5)] == (None, None)   # nothing at-or-before
+    assert got[(2, 10)] == (None, None)  # right row is later
+    assert got[(3, 10)] == (None, None)  # key absent on the right
+    inner = asof_join(left, right, on="k", how="inner").collect()
+    assert {(r["k"], r["ts"]) for r in inner} == {(1, 10), (1, 20)}
+
+
+def test_asof_join_plan_no_pair_explosion(spark):
+    """The as-of composition must plan as ONE key shuffle + window —
+    never a nested-loop/cartesian inequality join."""
+    import contextlib, io
+
+    from wikiextractor_spark.operators.asof import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("x"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, on="k").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
 def test_multimodal_resize_and_frames(docs):
     media = multimodal.attach_fake_binary(docs.limit(30))
     resized = multimodal.resize_media(media, width=32, height=32).collect()

@@ -1,1 +1,1 @@
-from wikiextractor_spark.operators import dedup, multimodal, similarity  # noqa: F401
+from wikiextractor_spark.operators import asof, dedup, multimodal, similarity  # noqa: F401

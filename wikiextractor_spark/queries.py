@@ -886,6 +886,55 @@ sql_query(
     """,
 )
 
+@query(
+    "ev_asof_join",
+    """
+    WITH signups AS (
+      SELECT user_id, ts, MAX(value) AS sig_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(s.ts) AS signup_us,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS value_cents,
+           CAST(ROUND(s.sig_value * 100) AS BIGINT) AS sig_cents
+    FROM purch p ASOF JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def ev_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    at-or-before signup.  Spark lacks ASOF JOIN, so the engine uses
+    the union + running-last() composition (operators/asof.py): one
+    shuffle on the key, no per-key pair explosion.  The oracle is
+    DuckDB's native ASOF JOIN — two independent implementations of
+    the same semantics."""
+    from wikiextractor_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("sig_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, signups, on="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("purchase_us"),
+        F.expr("unix_micros(CAST(asof_ts AS TIMESTAMP))").alias("signup_us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
+        F.expr("CAST(ROUND(asof_sig_value * 100) AS BIGINT)").alias("sig_cents"),
+    )
+
+
 # ==========================================================================
 # 7. Multimodal binary columns
 # ==========================================================================
@@ -953,22 +1002,19 @@ sql_query(
     """,
 )
 
+# IN-subquery (plans as a left-semi join) + scalar subquery (one
+# broadcast scalar) in a single query.  Merged from r1's
+# rel_in_subquery + rel_scalar_subquery (both green) to free a
+# battery slot under the driver's 50-entry cap.
 sql_query(
-    "rel_in_subquery",
+    "rel_subqueries",
     """
-    SELECT c_custkey, c_mktsegment FROM customer
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
     WHERE c_custkey IN (
       SELECT o_custkey FROM orders WHERE o_totalprice > 300000
-    )
-    """,
-)
-
-sql_query(
-    "rel_scalar_subquery",
-    """
-    SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
-    FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    ) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
     """,
 )
 
