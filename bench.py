@@ -52,7 +52,9 @@ def main() -> None:
         "ev_sessionize",
         "mm_media_meta",
         "ta_tfidf_keywords",
-        "rel_rollup",
+        "rel_grouping_sets",
+        "rel_range_join",
+        "ev_asof_join",
         "agg_approx_distinct",
         "st_stream_hourly",
     ]

@@ -232,6 +232,43 @@ def test_asof_join_plan_no_pair_explosion(spark):
     assert "Window" in plan
 
 
+def test_range_join_semantics(spark):
+    from wikiextractor_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 9.999), (4, 10.0), (5, 25.0), (6, -1.0)],
+        "pid long, x double",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 5.0, 15.0), (300, 30.0, 40.0)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", bucket_width=4.0).collect()
+    }
+    # pid 1: lo inclusive; pid 2/3: overlapping intervals both match;
+    # pid 4: hi exclusive (10.0 not in [0,10)); pid 5/6: no interval
+    assert got == {(1, 100), (2, 100), (2, 200), (3, 100), (3, 200), (4, 200)}
+
+
+def test_range_join_plan_no_pair_explosion(spark):
+    import contextlib, io
+
+    from wikiextractor_spark.operators.rangejoin import range_join
+
+    points = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    intervals = spark.range(10).select(
+        (F.col("id") * 100.0).alias("lo"), (F.col("id") * 100.0 + 100.0).alias("hi")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(points, intervals, "x", bucket_width=100.0).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_multimodal_resize_and_frames(docs):
     media = multimodal.attach_fake_binary(docs.limit(30))
     resized = multimodal.resize_media(media, width=32, height=32).collect()

@@ -37,13 +37,24 @@ def test_stream_matches_batch_rollup(spark):
 
 
 def test_rollup_has_grand_total(spark):
-    df = REGISTRY["rel_rollup"][0](spark, "/root/testdata/sf0.001")
-    rows = df.collect()
-    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    df = REGISTRY["rel_grouping_sets"][0](spark, "/root/testdata/sf0.001")
+    rows = [r for r in df.collect() if r["family"] == "rollup"]
+    grand = [r for r in rows if r["k1"] is None and r["k2"] is None]
     assert len(grand) == 1
     assert grand[0]["n"] == sum(
-        r["n"] for r in rows if r["l_returnflag"] is not None and r["l_linestatus"] is not None
+        r["n"] for r in rows if r["k1"] is not None and r["k2"] is not None
     )
+    cube = [
+        r
+        for r in REGISTRY["rel_grouping_sets"][0](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r["family"] == "cube"
+    ]
+    # cube emits all 4 grouping combinations incl. the grand total
+    assert any(r["k1"] is None and r["k2"] is None for r in cube)
+    assert any(r["k1"] is not None and r["k2"] is None for r in cube)
+    assert any(r["k1"] is None and r["k2"] is not None for r in cube)
 
 
 def test_embedding_neighbor_symmetric_bound(spark):

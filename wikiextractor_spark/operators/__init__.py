@@ -1,1 +1,7 @@
-from wikiextractor_spark.operators import asof, dedup, multimodal, similarity  # noqa: F401
+from wikiextractor_spark.operators import (  # noqa: F401
+    asof,
+    dedup,
+    multimodal,
+    rangejoin,
+    similarity,
+)

@@ -982,25 +982,74 @@ def mm_media_stats(spark, sf_dir):
 #    array functions, n-grams, embedding near-dup, streaming
 # ==========================================================================
 
+# ROLLUP over lineitem + CUBE over orders in one query, discriminated
+# by a `family` tag.  Merged from r1's rel_rollup + rel_cube (both
+# green) to free a battery slot under the driver's 50-entry cap; the
+# cube branch gets its own non-null cents measure so the union stays
+# int64 through pandas.
 sql_query(
-    "rel_rollup",
+    "rel_grouping_sets",
     """
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS family, l_returnflag AS k1, l_linestatus AS k2,
            COUNT(*) AS n,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-)
-
-sql_query(
-    "rel_cube",
-    """
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    UNION ALL
+    SELECT 'cube' AS family, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
+
+
+# part prices span [900, 999.9] at every SF: 20 width-5 bands
+_RANGE_BANDS_DUCK = (
+    "SELECT g AS band_id, 900.0 + g * 5.0 AS lo, 905.0 + g * 5.0 AS hi"
+    " FROM range(0, 20) t(g)"
+)
+
+
+@query(
+    "rel_range_join",
+    f"""
+    WITH bands AS ({_RANGE_BANDS_DUCK}),
+    j AS (
+      SELECT b.band_id, p.p_retailprice
+      FROM part p JOIN bands b
+        ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    )
+    SELECT band_id, COUNT(*) AS n_parts,
+           MIN(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS max_cents
+    FROM j GROUP BY band_id
+    """,
+)
+def rel_range_join(spark, sf_dir):
+    """Range join: parts matched to price bands.  Spark would plan the
+    bare inequality join as BroadcastNestedLoopJoin; the engine uses
+    the bucket-binning composition (operators/rangejoin.py) — explode
+    intervals into covered buckets, equi-join on the bucket, re-check
+    the exact predicate.  The oracle runs the naive inequality join in
+    DuckDB — independent implementations, same semantics."""
+    from wikiextractor_spark.operators.rangejoin import range_join
+
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (900.0 + F.col("id") * 5.0).alias("lo"),
+        (905.0 + F.col("id") * 5.0).alias("hi"),
+    )
+    points = part.select("p_retailprice")
+    j = range_join(points, bands, "p_retailprice", bucket_width=5.0)
+    cents = F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)")
+    return j.groupBy("band_id").agg(
+        F.count("*").alias("n_parts"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
 
 # IN-subquery (plans as a left-semi join) + scalar subquery (one
 # broadcast scalar) in a single query.  Merged from r1's
