@@ -57,6 +57,82 @@ def test_rollup_has_grand_total(spark):
     assert any(r["k1"] is None and r["k2"] is not None for r in cube)
 
 
+def _stream_sessions(spark, src_dir, query_name, **kwargs):
+    """Run the stateful sessionizer availableNow into a memory sink
+    (update mode) and keep the LAST emit per (user, sess_id)."""
+    from wikiextractor_spark.streaming import sessionize_stream
+
+    sess = sessionize_stream(spark, src_dir, **kwargs)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {}
+    # memory sink appends update-mode emits in batch order: later
+    # snapshots of an open session overwrite earlier ones
+    for r in spark.sql(f"SELECT * FROM {query_name}").collect():
+        out[(r["user_id"], r["sess_id"])] = (r["n_events"], r["duration_s"])
+    return out
+
+
+def _batch_sessions(spark, sf):
+    batch = REGISTRY["ev_sessionize"][0](spark, sf)
+    return {
+        (r["user_id"], r["sess_id"]): (r["n_events"], r["duration_s"])
+        for r in batch.collect()
+    }
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == the batch window-SQL
+    sessionize after keeping each session's final emit."""
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "ev_single"
+    src.mkdir()
+    shutil.copy(f"{sf}/events.parquet", src / "events.parquet")
+    got = _stream_sessions(spark, str(src), "sess_single")
+    assert got == _batch_sessions(spark, sf)
+
+
+def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
+    """Split the events by time into two files processed as separate
+    micro-batches (maxFilesPerTrigger=1): sessions crossing the split
+    must be stitched by the carried GroupState — the result still
+    equals the batch sessionize over the full data."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    mid = ev.approxQuantile("ts", [0.5], 0.001)[0]
+    src = tmp_path / "ev_split"
+    src.mkdir()
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(str(src / "b"))
+    files = []
+    for part in ("a", "b"):
+        inner = [
+            f for f in os.listdir(src / part) if f.endswith(".parquet")
+        ][0]
+        dst = src / f"{part}.parquet"
+        os.rename(src / part / inner, dst)
+        files.append(dst)
+    # the file source processes oldest-modified first: pin mtimes
+    os.utime(files[0], (1_000_000_000, 1_000_000_000))
+    os.utime(files[1], (1_000_000_100, 1_000_000_100))
+
+    got = _stream_sessions(
+        spark, str(src), "sess_split",
+        path_glob="*.parquet", max_files_per_trigger=1,
+    )
+    assert got == _batch_sessions(spark, sf)
+
+
 def test_embedding_neighbor_symmetric_bound(spark):
     df = REGISTRY["dd_embedding_neighbor"][0](spark, "/root/testdata/sf0.001")
     rows = df.collect()

@@ -1,3 +1,6 @@
+from wikiextractor_spark.streaming.sessionize import (  # noqa: F401
+    sessionize_stream,
+)
 from wikiextractor_spark.streaming.stream import (  # noqa: F401
     clean_documents_stream,
     windowed_event_counts,
