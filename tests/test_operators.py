@@ -269,6 +269,48 @@ def test_range_join_plan_no_pair_explosion(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_join_equals_plain_join(spark):
+    from wikiextractor_spark.operators.skew import salted_join
+
+    # 90% of fact rows hit one hot key
+    fact = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    for how in ("inner", "left"):
+        plain = {
+            (r["fact_id"], r["label"])
+            for r in fact.join(dim, "k", how).collect()
+        }
+        salted = {
+            (r["fact_id"], r["label"])
+            for r in salted_join(fact, dim, "k", buckets=8, how=how).collect()
+        }
+        assert salted == plain
+    # a dim key missing from fact must not resurface (inner semantics)
+    assert salted_join(
+        fact, dim.filter(F.col("k") == 49), "k", buckets=4
+    ).count() == fact.filter(F.col("k") == 49).count()
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    import contextlib, io
+
+    from wikiextractor_spark.operators.skew import salted_join
+
+    fact = spark.range(100).select((F.col("id") % 3).alias("k"), "id")
+    dim = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_join(fact, dim, "k", buckets=4).explain("formatted")
+    plan = buf.getvalue()
+    assert "_salt" in plan  # the salt participates in the join keys
+
+
 def test_multimodal_resize_and_frames(docs):
     media = multimodal.attach_fake_binary(docs.limit(30))
     resized = multimodal.resize_media(media, width=32, height=32).collect()

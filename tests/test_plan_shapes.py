@@ -62,6 +62,40 @@ def test_wiki_pipeline_is_shuffle_free(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", p_auto)) <= 1
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Pre-bucketing both join sides on the key (same bucket count)
+    lets a sort-merge join read co-located buckets with NO shuffle —
+    the 100 TB pattern for repeated joins on the same key (write once
+    bucketed, join many times shuffle-free)."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for name in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / name))
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(
+            spark.table("bt_b").withColumnRenamed("v", "v2"), "k"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bt_a", "bt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_ann_broadcasts_queries(spark, sf_dir):
     p = plan_of(REGISTRY["sim_ann_topk"][0](spark, sf_dir))
     assert "Broadcast" in p

@@ -4,4 +4,5 @@ from wikiextractor_spark.operators import (  # noqa: F401
     multimodal,
     rangejoin,
     similarity,
+    skew,
 )
