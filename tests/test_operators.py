@@ -269,6 +269,33 @@ def test_range_join_plan_no_pair_explosion(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_near_end_to_end(spark, docs):
+    """Planted exact copies (jaccard 1.0) must be LSH-proposed,
+    Jaccard-verified, and dropped; the survivors are the original
+    smaller ids."""
+    base = docs.select("doc_id", "text").limit(100)
+    doubled = base.union(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    kept = dedup.dedup_near(doubled, threshold=0.9)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    # some SOURCE docs are themselves near-identical (the corpus has
+    # natural near-dups); originals without a smaller-id near-dup in
+    # the source corpus must all survive
+    native_losers = {
+        r["id_b"]
+        for r in dedup.near_duplicate_pairs(base, threshold=0.9).collect()
+    }
+    assert base_ids - native_losers <= kept_ids
+    assert not native_losers & kept_ids
+    assert not {i + 1_000_000 for i in base_ids} & kept_ids
+    pairs = dedup.near_duplicate_pairs(doubled, threshold=0.9).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert all(a < b for a, b in planted)
+    assert {(i, i + 1_000_000) for i in base_ids} <= planted
+
+
 def test_salted_join_equals_plain_join(spark):
     from wikiextractor_spark.operators.skew import salted_join
 

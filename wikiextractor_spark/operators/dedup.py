@@ -270,3 +270,60 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end near-dup dedup: LSH candidates → exact verify → survivors
+# --------------------------------------------------------------------------
+
+def near_duplicate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verified near-duplicate pairs: MinHash-LSH proposes candidates
+    (sub-quadratic, one (band, hash) shuffle), then exact word-set
+    Jaccard is computed ONLY for candidate pairs — never all-pairs.
+    The verification work is Σ|words| over candidate pairs: linear in
+    the candidate list, the scale-correct topology.
+
+    → ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+    """
+    cand = minhash_lsh_candidate_pairs(df, text_col, id_col)
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).distinct()
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    wa = words.select(F.col(id_col).alias("id_a"), "w")
+    wb = words.select(F.col(id_col).alias("id_b"), "w")
+    inter = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_near(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop near-duplicates: any row with a verified near-dup of
+    SMALLER id is removed (the standard single-pass survivor policy —
+    each duplicate chain keeps its minimum id; exact connected-
+    component survivors would need an iterative closure, overkill for
+    dedup).  One left-anti join against the verified pair list."""
+    losers = near_duplicate_pairs(df, text_col, id_col, threshold).select(
+        F.col("id_b").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
