@@ -52,6 +52,7 @@ def main() -> None:
         "ev_sessionize",
         "mm_media_meta",
         "ta_tfidf_keywords",
+        "ta_chunk_documents",
         "rel_grouping_sets",
         "rel_range_join",
         "ev_asof_join",

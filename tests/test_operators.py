@@ -269,6 +269,38 @@ def test_range_join_plan_no_pair_explosion(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_chunk_documents_edges(spark):
+    from wikiextractor_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),                      # shorter than one chunk
+            (2, " ".join(f"w{i}" for i in range(8))),   # exactly one chunk
+            (3, " ".join(f"w{i}" for i in range(9))),   # one word over
+            (4, " ".join(f"w{i}" for i in range(20))),  # several chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=2)
+    rows = {
+        (r["doc_id"], r["chunk_no"]): (r["chunk"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert rows[(1, 0)] == ("a b c", 3)
+    assert max(no for d, no in rows if d == 2) == 0        # fits → 1 chunk
+    assert max(no for d, no in rows if d == 3) == 1        # 9 words → 2
+    # step = 6: consecutive chunks overlap by exactly 2 tokens
+    c0, c1 = rows[(4, 0)][0].split(" "), rows[(4, 1)][0].split(" ")
+    assert c0[-2:] == c1[:2]
+    assert rows[(4, 0)][1] == 8
+    # every token of every doc appears in some chunk
+    covered = set()
+    for (d, _no), (chunk, _n) in rows.items():
+        if d == 4:
+            covered.update(chunk.split(" "))
+    assert covered == {f"w{i}" for i in range(20)}
+
+
 def test_dedup_near_end_to_end(spark, docs):
     """Planted exact copies (jaccard 1.0) must be LSH-proposed,
     Jaccard-verified, and dropped; the survivors are the original

@@ -1,5 +1,6 @@
 from wikiextractor_spark.operators import (  # noqa: F401
     asof,
+    chunking,
     dedup,
     multimodal,
     rangejoin,

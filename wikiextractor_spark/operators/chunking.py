@@ -1,0 +1,54 @@
+"""Document chunking for LLM training-data prep: split each document
+into fixed-size token windows with overlap.
+
+Pure narrow higher-order expressions — zero shuffle, zero Python —
+so it runs at scan speed on 100 TB: ``split`` once per row (bound
+through the one-element-array idiom, see dedup._shingles_sql), a
+``sequence``-driven ``transform`` producing (chunk_no, chunk)
+structs, then ``explode``.
+
+Chunk count: 1 when the document fits in one chunk, else
+``ceil((n_words - overlap) / step)`` with ``step = chunk - overlap``
+— integer math identical in Spark and DuckDB so the battery oracle
+can reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_tokens: int = 64, overlap: int = 16,
+) -> DataFrame:
+    """→ ``(id, chunk_no, chunk, n_tokens)``: whitespace-token windows
+    of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    chunks = F.expr(
+        f"""
+        transform(array(split({text_col}, ' ')), ws ->
+          transform(
+            sequence(0,
+              (CASE WHEN size(ws) <= {chunk_tokens} THEN 1
+                    ELSE ((size(ws) - {overlap}) + {step} - 1) DIV {step}
+               END) - 1),
+            i -> struct(
+              i AS chunk_no,
+              concat_ws(' ', slice(ws, i * {step} + 1, {chunk_tokens})) AS chunk
+            )))[0]
+        """
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_no").cast("long").alias("chunk_no"),
+            F.col("c.chunk").alias("chunk"),
+            F.size(F.split(F.col("c.chunk"), " ")).cast("long").alias("n_tokens"),
+        )
+    )

@@ -952,29 +952,40 @@ _DUCK_MEDIA_META = """
     FROM documents
 """
 
-@query("mm_media_meta", _DUCK_MEDIA_META)
-def mm_media_meta(spark, sf_dir):
-    """Binary media columns: attach payloads, extract typed metadata
-    via Arrow-batched mapInPandas.  The oracle reproduces the fake
-    decoder's md5-derived dimensions in SQL — proving the Python
-    plumbing end to end."""
-    media = multimodal.attach_fake_binary(_docs(spark, sf_dir))
-    return multimodal.decode_media_meta(media)
-
-
+# Binary media decode + the per-type rollup in one query: the typed
+# metadata rows carry their media_type's count / byte total / max
+# frames as window aggregates.  Merged from r1's mm_media_meta +
+# mm_media_stats (the 3-row stats output becomes three window columns
+# on the 500-row meta output) to free a battery slot; the standalone
+# media_stats operator remains pytest-covered.
 @query(
-    "mm_media_stats",
+    "mm_media_meta",
     f"""
-    SELECT media_type, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           round(AVG(width), 4) AS avg_width, round(AVG(height), 4) AS avg_height,
-           MAX(n_frames) AS max_frames
-    FROM ({_DUCK_MEDIA_META}) meta GROUP BY media_type
+    SELECT doc_id, media_type, n_bytes, width, height, channels, n_frames,
+           CAST(COUNT(*) OVER (PARTITION BY media_type) AS BIGINT) AS n_type_items,
+           CAST(SUM(n_bytes) OVER (PARTITION BY media_type) AS BIGINT) AS type_bytes,
+           CAST(MAX(n_frames) OVER (PARTITION BY media_type) AS INT) AS max_type_frames
+    FROM ({_DUCK_MEDIA_META}) meta
     """,
 )
-def mm_media_stats(spark, sf_dir):
-    """Typed-metadata rollup over the decoded media table."""
+def mm_media_meta(spark, sf_dir):
+    """Binary media columns: attach payloads, extract typed metadata
+    via Arrow-batched mapInPandas, and attach the per-type rollup as
+    window aggregates.  The oracle reproduces the fake decoder's
+    md5-derived dimensions in SQL — proving the Python plumbing end
+    to end."""
+    from pyspark.sql import Window
+
     media = multimodal.attach_fake_binary(_docs(spark, sf_dir))
-    return multimodal.media_stats(multimodal.decode_media_meta(media))
+    meta = multimodal.decode_media_meta(media)
+    w = Window.partitionBy("media_type")
+    return meta.select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "channels",
+        "n_frames",
+        F.count("*").over(w).alias("n_type_items"),
+        F.sum("n_bytes").over(w).alias("type_bytes"),
+        F.max("n_frames").over(w).alias("max_type_frames"),
+    )
 
 
 # ==========================================================================
@@ -1146,6 +1157,36 @@ sql_query(
     ) t WHERE rn <= 20
     """,
 )
+
+
+@query(
+    "ta_chunk_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws,
+                 CASE WHEN len(ws) <= 16 THEN 1
+                      ELSE (len(ws) - 4 + 11) // 12 END AS nc
+          FROM w),
+    c AS (SELECT doc_id,
+                 unnest([{'no': i,
+                          'chunk': array_to_string(ws[(i*12+1):(i*12+16)], ' ')}
+                         for i in range(nc)]) AS s
+          FROM n)
+    SELECT doc_id, s.no AS chunk_no, s.chunk AS chunk,
+           len(string_split(s.chunk, ' ')) AS n_tokens
+    FROM c
+    """,
+)
+def ta_chunk_documents(spark, sf_dir):
+    """LLM-prep document chunking: 16-token windows, 4-token overlap
+    (operators/chunking.py — narrow higher-order expressions, scan
+    speed).  The oracle rebuilds the same windows with DuckDB list
+    comprehensions."""
+    from wikiextractor_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=16, overlap=4
+    )
 
 
 @query(
