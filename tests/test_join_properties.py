@@ -1,0 +1,90 @@
+"""Property-based tests: the composed join operators (as-of via
+union+running-last, range via bucket binning) must agree with naive
+brute-force reference implementations on randomized inputs — the
+same differential strategy SURVEY.md §5 uses for the text kernels.
+
+Examples are kept small (Spark jobs per example); the value is in the
+randomized shapes — empty sides, duplicate keys, boundary timestamps,
+interval overlaps and zero-width intervals.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+KEYS = st.integers(min_value=0, max_value=3)
+TS = st.integers(min_value=0, max_value=20)
+
+FACTS = st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12)
+RIGHTS = st.lists(st.tuples(KEYS, TS), min_size=0, max_size=8)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(facts=FACTS, rights=RIGHTS)
+@_SETTINGS
+def test_asof_join_matches_naive(spark, facts, rights):
+    from wikiextractor_spark.operators.asof import asof_join
+
+    # unique (key, ts) on the right — the operator's documented contract
+    rights = sorted({(k, ts) for k, ts in rights})
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(facts)] or [(None, None, None)],
+        "fid long, k long, ts long",
+    ).filter("fid IS NOT NULL")
+    right = spark.createDataFrame(
+        [(k, ts, k * 100 + ts) for k, ts in rights] or [(None, None, None)],
+        "k long, ts long, v long",
+    ).filter("k IS NOT NULL")
+
+    got = {
+        (r["fid"], r["asof_ts"], r["asof_v"])
+        for r in asof_join(left, right, on="k", how="left").collect()
+    }
+    want = set()
+    for i, (k, ts) in enumerate(facts):
+        cands = [(rts, k * 100 + rts) for rk, rts in rights if rk == k and rts <= ts]
+        if cands:
+            rts, v = max(cands)
+            want.add((i, rts, v))
+        else:
+            want.add((i, None, None))
+    assert got == want
+
+
+INTERVALS = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 10)), min_size=0, max_size=6
+)
+POINTS = st.lists(st.integers(min_value=-2, max_value=30), min_size=0, max_size=12)
+WIDTHS = st.sampled_from([1.0, 2.5, 7.0])
+
+
+@given(points=POINTS, intervals=INTERVALS, width=WIDTHS)
+@_SETTINGS
+def test_range_join_matches_naive(spark, points, intervals, width):
+    from wikiextractor_spark.operators.rangejoin import range_join
+
+    ivs = [(i, float(lo), float(lo + length)) for i, (lo, length) in enumerate(intervals)]
+    pts = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)] or [(None, None)],
+        "pid long, x double",
+    ).filter("pid IS NOT NULL")
+    iv_df = spark.createDataFrame(
+        ivs or [(None, None, None)], "iid long, lo double, hi double"
+    ).filter("iid IS NOT NULL")
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv_df, "x", bucket_width=width).collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, x in enumerate(points)
+        for ii, lo, hi in ivs
+        if lo <= x < hi
+    }
+    assert got == want
