@@ -269,6 +269,48 @@ def test_range_join_plan_no_pair_explosion(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_deterministic_sample(spark):
+    from wikiextractor_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(10_000).select(F.col("id").alias("user_id"))
+    s1 = {r["user_id"] for r in deterministic_sample(df, "user_id", 0.2).collect()}
+    s2 = {r["user_id"] for r in deterministic_sample(df, "user_id", 0.2).collect()}
+    assert s1 == s2                      # reproducible
+    assert 0.15 < len(s1) / 10_000 < 0.25  # ~fraction
+    # consistency across tables sharing the key: gating events by the
+    # same key keeps exactly the sampled users' rows
+    ev = spark.range(30_000).select((F.col("id") % 10_000).alias("user_id"))
+    ev_s = {r["user_id"] for r in deterministic_sample(ev, "user_id", 0.2).collect()}
+    assert ev_s == s1
+    # a different salt draws an (almost surely) different sample
+    s3 = {r["user_id"] for r in deterministic_sample(df, "user_id", 0.2, salt="x").collect()}
+    assert s3 != s1
+    # monotone: a bigger gate contains the smaller one
+    s4 = {r["user_id"] for r in deterministic_sample(df, "user_id", 0.5).collect()}
+    assert s1 <= s4
+
+
+def test_cap_per_group(spark):
+    from wikiextractor_spark.operators.sampling import cap_per_group
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("doc_id")
+    )
+    capped = cap_per_group(df, ["g"], k=10, id_col="doc_id")
+    sizes = {
+        r["g"]: r["n"]
+        for r in capped.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 10 for n in sizes.values()) and len(sizes) == 3
+    # deterministic selection
+    a = {tuple(r) for r in capped.collect()}
+    b = {tuple(r) for r in cap_per_group(df, ["g"], 10, "doc_id").collect()}
+    assert a == b
+    # groups smaller than k survive whole
+    small = cap_per_group(df.filter(F.col("doc_id") < 5), ["g"], 10, "doc_id")
+    assert small.count() == 5
+
+
 def test_chunk_documents_edges(spark):
     from wikiextractor_spark.operators.chunking import chunk_documents
 

@@ -4,6 +4,7 @@ from wikiextractor_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     rangejoin,
+    sampling,
     similarity,
     skew,
 )

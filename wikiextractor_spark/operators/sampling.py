@@ -1,0 +1,59 @@
+"""Deterministic sampling for training-data mixing.
+
+``df.sample()`` is seed-dependent per partitioning and non-reproducible
+across runs/cluster layouts; training-data pipelines need sampling
+that is a pure function of the ROW so reruns, backfills, and
+train/eval splits agree everywhere.  Both operators here gate on
+md5 of a key column — narrow, shuffle-free (the per-group cap pays
+one shuffle on the group key), engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(col, salt: str):
+    """md5-derived uniform bucket in [0, 1e6) — a pure function of
+    (value, salt), identical on any engine with md5."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash-gating ``key_col``:
+    the same key always lands on the same side of the gate, so samples
+    are reproducible and CONSISTENT across tables sharing the key
+    (sample users, get all their events).  Different ``salt`` values
+    draw independent samples — disjoint train/eval splits come from
+    complementary gates on one salt, not two salts."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(
+        _hash_bucket(F.col(key_col), salt) < int(round(fraction * _BUCKETS))
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_cols: list[str], k: int, id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the down-sampling step that
+    stops a few giant groups (one domain, one language, one user)
+    from dominating a training mix.  Selection is deterministic:
+    rows are ranked by the md5 of their id (a reproducible shuffle),
+    tie-broken by id.  One shuffle on the group key."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
