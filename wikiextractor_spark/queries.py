@@ -22,8 +22,13 @@ Engine-portability rules used throughout (so the hash can't flake):
   crashes on ndarray cells; arrays serialize to one delimited string
   on both engines (``concat_ws`` / ``array_to_string``).
 
-Queries marked ``oracle=None`` are non-SQL-expressible (full fidelity
-clean/compact UDFs) and get the driver's weaker rows-only check.
+As of round 3 every battery entry carries an oracle — the three r2
+rows-only slots were upgraded: ``wx_clean_fidelity`` states the full
+fidelity output (the synthetic text is clean-stable, so the wrapper's
+markup maps to fixed literals), ``st_stream_hourly`` states the
+append-mode closed-window set, and ``agg_approx_distinct`` states the
+HLL 5%-error-band contract.  ``oracle=None`` remains supported for
+genuinely non-SQL-expressible ops.
 """
 
 from __future__ import annotations
@@ -101,17 +106,34 @@ def wx_clean_native(spark, sf_dir):
     )
 
 
-@query("wx_clean_fidelity", None)
+@query(
+    "wx_clean_fidelity",
+    # The synthetic document text is clean-stable (no markup-reactive
+    # bytes — verified at every SF), so the full fidelity output on the
+    # wrapped input is exactly text + a fixed suffix: template dropped
+    # (C1), wikilink expanded with plural trail (C3), math/code →
+    # placeholder_1 (C18), entities double-decoded &amp;nbsp;→&nbsp;→
+    # NBSP (C13), bold stripped (C7-C12), comment dropped (C14), spaces
+    # collapsed (C22).  The oracle states those semantics literally —
+    # a full value-hash check on the complete C1-C27 pandas-UDF chain
+    # (upgraded from r2's rows-only slot).
+    "SELECT doc_id, text || 's formula_1 codice_1 ' || chr(160) || ' b ' AS cleaned"
+    " FROM documents",
+)
 def wx_clean_fidelity(spark, sf_dir):
     """Fidelity-mode clean: full C1-C27 chain incl. nested-template
-    drop and stateful placeholders — pandas UDF, not SQL-expressible
-    (rows-only check)."""
+    drop and stateful placeholders (pandas UDF).  NB no space between
+    the template and the wikilink: template removal would leave a
+    leading space and the bug-compatible preformatted rule C20 would
+    then drop the entire (single-line) document — r2's wrapper did
+    exactly that, which made the old rows-only check vacuous (500
+    empty strings)."""
     from wikiextractor_spark.udfs import clean_wikitext_udf
 
     wrapped = F.concat(
-        F.lit("{{tmpl|x}} [[link|"),
+        F.lit("{{tmpl|x}}[[link|"),
         F.col("text"),
-        F.lit("]]s <math>E=mc^2</math> &amp;nbsp; '''b''' <!--c-->"),
+        F.lit("]]s <math>E=mc^2</math> <code>x=1</code> &amp;nbsp; '''b''' <!--c-->"),
     )
     return _docs(spark, sf_dir).select(
         "doc_id", clean_wikitext_udf(wrapped).alias("cleaned")
@@ -1229,7 +1251,24 @@ def dd_embedding_neighbor(spark, sf_dir):
     )
 
 
-@query("st_stream_hourly", None)
+@query(
+    "st_stream_hourly",
+    # Append-mode emission is SQL-expressible after the fact: a window
+    # is emitted iff its end precedes the final watermark
+    # (max event time − 1s delay).  The oracle computes that closed-
+    # window set from the batch table — upgrading r2's rows-only slot
+    # to a full hash check on the streaming sink's output.
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 1 SECOND
+    GROUP BY 1, 2
+    """,
+)
 def st_stream_hourly(spark, sf_dir):
     """Structured Streaming entry: watermarked tumbling-window counts
     over the events stream, availableNow (batch-parity trigger),
@@ -1238,26 +1277,57 @@ def st_stream_hourly(spark, sf_dir):
     memory/`complete` sink, a scale-killer).  Append-mode semantics:
     windows close only once the watermark passes their end, so the
     trailing window of event time stays open and unemitted — the
-    production contract.  Not oracle-expressible — the driver records
-    the rows-only check; tests/test_oracle_extended.py pins emitted
-    windows value-equal to the batch ev_hourly_rollup query."""
+    production contract, and exactly the closed-window set the DuckDB
+    oracle states (the same equality tests/test_oracle_extended.py
+    pins against the batch rollup).  A belt-and-braces cutoff filter
+    re-applies the closed-window predicate on the read-back rows so
+    the result can never over-claim if a future Spark version's
+    eviction boundary shifts.  Values are summed as integer cents
+    (order-independent, oracle-portable)."""
+    import datetime
+    import shutil
     import tempfile
 
     from wikiextractor_spark.streaming import windowed_event_counts
 
     tune(spark)
     base = tempfile.mkdtemp(prefix="st_stream_hourly_")
-    q = windowed_event_counts(
-        spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt",
-        watermark="1 second", path_glob="events.parquet",
-    )
-    q.awaitTermination(120)
-    return spark.read.parquet(f"{base}/out").select(
-        F.date_format("window.start", "yyyy-MM-dd HH:00:00").alias("hour_s"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
+    try:
+        q = windowed_event_counts(
+            spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt",
+            watermark="1 second", path_glob="events.parquet",
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "st_stream_hourly: streaming query did not drain in 120s — "
+                "refusing to return a partial sink read"
+            )
+        max_ts = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts").alias("m"))
+            .collect()[0]["m"]
+        )
+        cutoff_s = (max_ts - datetime.timedelta(seconds=1)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        out = (
+            spark.read.parquet(f"{base}/out")
+            .filter(
+                F.date_format("window.end", "yyyy-MM-dd HH:mm:ss") <= F.lit(cutoff_s)
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:00:00").alias("hour_s"),
+                "event_type",
+                "n_events",
+                "value_cents",
+            )
+        )
+        # materialize executor-side before deleting the sink files; the
+        # checkpointed RDD is freed by the ContextCleaner on GC
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 sql_query(
@@ -1302,16 +1372,42 @@ sql_query(
 )
 
 
-@query("agg_approx_distinct", None)
+@query(
+    "agg_approx_distinct",
+    # HLL estimates are engine-specific, but the HLL CONTRACT is not:
+    # the default rsd is 5%, so the estimate must land within the 5%
+    # relative-error band of the exact count — a property DuckDB can
+    # state as a constant.  The raw sketch value stays out of the
+    # output (unhashable across engines); the band boolean plus the
+    # exact anchors upgrade r2's rows-only slot to a hash check.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """HyperLogLog sketches: approx_count_distinct per event_type next
-    to the exact count (rows-only — HLL estimates are engine-specific
-    by nature; the exact column anchors sanity in tests)."""
-    from wikiextractor_spark.sources.tables import load_table
-
+    """HyperLogLog sketches: approx_count_distinct per event_type,
+    checked against the exact count via a 5% relative-error band
+    (the estimator's default rsd) — measured error on this data is
+    ~0.7%."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count("*").alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
     )

@@ -88,7 +88,13 @@ def windowed_event_stream(
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # integerize per row BEFORE summing (the battery's money
+            # rule): the sum is exact in integer domain, so the value
+            # is independent of aggregation order — oracle-portable,
+            # unlike a float sum whose low bits depend on partitioning
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                "value_cents"
+            ),
         )
     )
 
