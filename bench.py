@@ -40,7 +40,7 @@ def main() -> None:
         "ta_lang_fingerprint",
         "dd_exact_groups",
         "dd_lsh_candidate_pairs",
-        "dd_simhash",
+        "dd_simhash_pairs",
         "dd_embedding_neighbor",
         "sim_cosine_pairs",
         "sim_ann_topk",

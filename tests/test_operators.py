@@ -71,6 +71,45 @@ def test_simhash_close_for_near_dup(spark):
     assert pairs[(1, 2)] < pairs[(2, 3)]
 
 
+def test_simhash_candidate_pairs_equal_all_pairs(docs):
+    """The pigeonhole candidate stage must find EXACTLY the pairs the
+    naive all-pairs Hamming join finds (zero false negatives by the
+    pigeonhole argument; the exact re-check kills false positives)."""
+    base = docs.select("doc_id", "text").limit(80)
+    doubled = base.union(base.withColumn("doc_id", F.col("doc_id") + 5000))
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(doubled, max_distance=3).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(doubled, max_distance=3).collect()
+    }
+    assert bucketed == naive
+    # every planted exact copy is a distance-0 pair
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    for i in base_ids:
+        assert bucketed[(i, i + 5000)] == 0
+
+
+def test_simhash_candidate_pairs_plan_no_pair_explosion(spark):
+    """The candidate stage must plan as an equi-join on the pigeonhole
+    blocks — never a nested-loop / cartesian all-pairs join."""
+    import contextlib, io
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma") for i in range(50)],
+        "doc_id long, text string",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.simhash_candidate_pairs(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "block_idx" in plan and "block_val" in plan
+
+
 def test_ngram_jaccard_bounds(docs):
     rows = dedup.ngram_jaccard_pairs(docs, max_id=15).collect()
     assert rows, "expected some pairs"

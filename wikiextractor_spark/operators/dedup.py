@@ -129,10 +129,6 @@ def minhash_band_buckets(
     )
 
 
-# the one persisted sketch table alive at a time (see docstring below)
-_last_buckets: DataFrame | None = None
-
-
 def minhash_lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle: int = 3,
@@ -142,27 +138,25 @@ def minhash_lsh_candidate_pairs(
     op is the equi-join on (band, band_hash) — sub-quadratic and
     AQE-skew-friendly at scale.
 
-    The bucket table is persisted before the self-join: without a
-    materialization barrier, Catalyst's projection collapse inlines
-    the (large) signature expression into every band hash on BOTH
-    join sides — ~8× recomputation and a codegen blowup (measured
-    26s → ~2s at sf0.1).  At real scale you persist/checkpoint the
-    sketch table before the candidate join for exactly this reason.
+    The bucket table is materialized (eager ``localCheckpoint``)
+    before the self-join: without a materialization barrier,
+    Catalyst's projection collapse inlines the (large) signature
+    expression into every band hash on BOTH join sides — ~8×
+    recomputation and a codegen blowup (measured 26s → ~2s at sf0.1).
 
-    Cache lifecycle: each call unpersists the previous call's bucket
-    table (repeated battery/bench invocations in one session would
-    otherwise accumulate cached blocks); the LAST bucket table stays
-    cached while its candidate DataFrame is alive — callers wanting a
-    fully clean session use ``spark.catalog.clearCache()``.
+    Lifecycle: the checkpointed blocks are freed by Spark's
+    ContextCleaner once the returned DataFrame is garbage-collected —
+    no module-global cache, so concurrent/interleaved callers each own
+    their materialization (r2 kept one global persisted table and
+    unpersisted it on the NEXT call, which could yank the cache out
+    from under a still-live candidate DataFrame).  On a real cluster
+    swap ``localCheckpoint`` for a reliable ``checkpoint`` dir so the
+    sketch survives executor loss.
     """
-    global _last_buckets
-    if _last_buckets is not None:
-        _last_buckets.unpersist()
     buckets = minhash_band_buckets(
         minhash_signature(df, text_col, id_col, num_hashes, shingle),
         id_col, bands, rows_per_band,
-    ).persist()
-    _last_buckets = buckets
+    ).localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -211,13 +205,84 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
+def simhash_blocks(
+    sigs: DataFrame, id_col: str = "doc_id", n_blocks: int = 4,
+) -> DataFrame:
+    """→ ``(id, simhash, block_idx, block_val)``: the 32-bit signature
+    split into ``n_blocks`` contiguous bit blocks (widths as even as
+    possible).  Pigeonhole grain for sub-quadratic Hamming search: a
+    pair differing in fewer than ``n_blocks`` bits MUST agree exactly
+    on at least one block."""
+    if not 1 <= n_blocks <= 32:
+        raise ValueError(f"need 1 <= n_blocks <= 32, got {n_blocks}")
+    widths = [32 // n_blocks + (1 if i < 32 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    structs = ", ".join(
+        f"struct({i} AS block_idx, "
+        f"pmod(shiftright(simhash, {offsets[i]}), {1 << widths[i]}) AS block_val)"
+        for i in range(n_blocks)
+    )
+    return sigs.select(
+        id_col, "simhash", F.explode(F.expr(f"array({structs})")).alias("b")
+    ).select(id_col, "simhash", "b.block_idx", "b.block_val")
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Verified SimHash near-dup pairs at scale: the pigeonhole
+    candidate stage replaces the all-pairs join.
+
+    With the signature split into ``max_distance + 1`` blocks
+    (:func:`simhash_blocks`), any pair within the distance budget
+    shares ≥ 1 exact block — so ONE equi-join on (block_idx,
+    block_val) proposes a candidate superset with zero false
+    negatives, and the exact ``bit_count(a XOR b)`` re-check runs only
+    on candidates.  Sub-quadratic (the same topology as minhash LSH;
+    plan-tested to never be a nested-loop/cartesian join).
+
+    → ``(id_a, id_b, sim_a, sim_b, hamming)`` with
+    ``hamming <= max_distance``.
+    """
+    sigs = simhash32(df, text_col, id_col)
+    # materialization barrier: the signature expression is large;
+    # without it, projection collapse inlines it into both join sides
+    # (see minhash_lsh_candidate_pairs).
+    blocks = simhash_blocks(sigs, id_col, max_distance + 1).localCheckpoint(
+        eager=True
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_distance
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_distance: int = 4, max_id: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance on a bounded id
-    range (exact verification grain; at scale, pre-bucket by signature
-    bytes first — see minhash LSH for the sub-quadratic topology)."""
+    range — the exact all-pairs VERIFICATION grain only (tests use it
+    to pin :func:`simhash_candidate_pairs`, the sub-quadratic scale
+    path)."""
     sigs = simhash32(df, text_col, id_col)
     if max_id is not None:
         sigs = sigs.filter(F.col(id_col) < max_id)

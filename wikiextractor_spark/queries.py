@@ -537,13 +537,38 @@ _DUCK_SIMHASH = """
 """
 
 
+# r2's dd_simhash (signatures only, bounded range) was folded into
+# this slot: the pair output carries both signatures (sim_a/sim_b), so
+# signature correctness stays hash-checked while the slot ALSO proves
+# the sub-quadratic pigeonhole candidate topology.  The oracle is the
+# NAIVE all-pairs Hamming join in DuckDB — two independent
+# implementations of the same semantics (like ev_asof_join).
 @query(
-    "dd_simhash",
-    f"SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM documents WHERE doc_id < 200",
+    "dd_simhash_pairs",
+    f"""
+    WITH sigs AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_SIMHASH} AS simhash
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
 )
-def dd_simhash(spark, sf_dir):
-    """32-bit SimHash signatures — narrow higher-order expressions."""
-    return dedup.simhash32(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over a corpus with planted duplicates:
+    pigeonhole blocks (4 blocks of 8 bits for distance ≤ 3) →
+    equi-join on (block_idx, block_val) → exact Hamming re-check.
+    Never an all-pairs join (plan-tested)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup.simhash_candidate_pairs(doubled, max_distance=3)
 
 
 @query(
