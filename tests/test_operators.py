@@ -329,6 +329,23 @@ def test_deterministic_sample(spark):
     assert s1 <= s4
 
 
+def test_deterministic_sample_null_keys(spark):
+    """NULL keys must get a deterministic fate, not silent loss:
+    fraction=1.0 is the identity even with NULL keys present."""
+    from wikiextractor_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,)], "user_id long"
+    )
+    assert deterministic_sample(df, "user_id", 1.0).count() == 3
+    # NULL rows land on one reproducible side of any gate
+    a = deterministic_sample(df, "user_id", 0.5).filter(
+        F.col("user_id").isNull()).count()
+    b = deterministic_sample(df, "user_id", 0.5).filter(
+        F.col("user_id").isNull()).count()
+    assert a == b
+
+
 def test_cap_per_group(spark):
     from wikiextractor_spark.operators.sampling import cap_per_group
 

@@ -72,10 +72,15 @@ def _stream_sessions(spark, src_dir, query_name, **kwargs):
     )
     q.awaitTermination(120)
     out = {}
-    # memory sink appends update-mode emits in batch order: later
-    # snapshots of an open session overwrite earlier ones
+    marker = {}
+    # keep the row with the LARGEST last_ts_us emit marker per key —
+    # a monotone merge rule independent of the sink's scan order (an
+    # unordered scan may return earlier-batch snapshots later)
     for r in spark.sql(f"SELECT * FROM {query_name}").collect():
-        out[(r["user_id"], r["sess_id"])] = (r["n_events"], r["duration_s"])
+        k = (r["user_id"], r["sess_id"])
+        if k not in marker or r["last_ts_us"] >= marker[k]:
+            marker[k] = r["last_ts_us"]
+            out[k] = (r["n_events"], r["duration_s"])
     return out
 
 
@@ -131,6 +136,49 @@ def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
         path_glob="*.parquet", max_files_per_trigger=1,
     )
     assert got == _batch_sessions(spark, sf)
+
+
+def test_sessionize_drops_cross_batch_stragglers(spark, tmp_path):
+    """An event arriving in a LATER micro-batch with ts older than the
+    group's carried last_ts must not move session time backwards: it
+    is dropped and surfaced in n_late (r2 treated it as a continuation,
+    corrupting the session)."""
+    import os
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sec = 1_000_000_000  # events.ts is raw nanos
+    batch_a = spark.createDataFrame(
+        [(1, 1000 * sec, 7, "view", 1.0, "{}"),
+         (2, 1010 * sec, 7, "view", 1.0, "{}")], schema
+    )
+    batch_b = spark.createDataFrame(
+        [(3, 500 * sec, 7, "view", 1.0, "{}"),
+         (4, 1020 * sec, 7, "view", 1.0, "{}")], schema
+    )
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for name, df in (("a", batch_a), ("b", batch_b)):
+        df.coalesce(1).write.parquet(str(src / f"{name}_dir"))
+        inner = [f for f in os.listdir(src / f"{name}_dir")
+                 if f.endswith(".parquet")][0]
+        os.rename(src / f"{name}_dir" / inner, src / f"{name}.parquet")
+    os.utime(src / "a.parquet", (1_000_000_000, 1_000_000_000))
+    os.utime(src / "b.parquet", (1_000_000_100, 1_000_000_100))
+
+    got = _stream_sessions(
+        spark, str(src), "sess_late",
+        path_glob="*.parquet", max_files_per_trigger=1,
+        gap_s=60, watermark="10 hours",
+    )
+    # one session: events at 1000/1010/1020s; the 500s straggler gone
+    assert got == {(7, 1): (3, 20)}
+    late = spark.sql(
+        "SELECT sum(n_late) AS n FROM sess_late"
+    ).collect()[0]["n"]
+    assert late == 1
 
 
 def test_embedding_neighbor_symmetric_bound(spark):

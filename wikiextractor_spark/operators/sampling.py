@@ -17,8 +17,14 @@ _BUCKETS = 1_000_000
 
 def _hash_bucket(col, salt: str):
     """md5-derived uniform bucket in [0, 1e6) — a pure function of
-    (value, salt), identical on any engine with md5."""
-    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    (value, salt), identical on any engine with md5.  NULL keys hash
+    via a sentinel so they get a deterministic fate: without the
+    coalesce, ``md5(concat(NULL, salt))`` is NULL, the gate predicate
+    is NULL, and NULL-key rows silently vanish even at fraction=1.0 —
+    silent data loss in a training-data prep operator."""
+    h = F.md5(
+        F.concat(F.coalesce(col.cast("string"), F.lit("<null>")), F.lit(salt))
+    )
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
 
 

@@ -10,13 +10,32 @@ micro-batches.  A session that starts in batch N and continues in
 batch N+1 is stitched together by the carried state, which a
 batch-per-file rerun could never do.
 
-Semantics match the batch ``ev_sessionize`` battery query: a new
-session opens when the gap since the user's previous event exceeds
-``gap_s``; ids count from 1 in event-time order.  Each batch emits
-(update mode) one row per session TOUCHED in that batch — closed
-sessions are final, the open session is a snapshot superseded by a
-later emit with the same (user_id, sess_id).  Readers keep the last
-emit per key (tests pin stream == batch after that dedup).
+Semantics match the batch ``ev_sessionize`` battery query **provided
+events arrive in event-time order across micro-batches** (within a
+batch they are sorted; the batch query globally sorts).  Ordering
+discipline for cross-batch stragglers:
+
+* the stream carries ``withWatermark`` on the event time, so rows
+  later than the watermark delay are dropped by Spark before the
+  operator ever sees them;
+* rows inside the watermark but older than the group's carried
+  ``last_ts`` (which would move session time backwards and mis-split
+  or merge sessions) are counted and dropped by the operator — they
+  are reported in the emitted ``n_late`` column rather than silently
+  corrupting state.
+
+Idle sessions are closed by an **event-time timeout**: when the
+watermark passes ``last_ts + gap``, the open session is emitted one
+final time and its state removed — so per-user state cannot grow
+without bound in a long-running stream (r2 used ``NoTimeout``, which
+never expired state).
+
+Each batch emits (update mode) one row per session TOUCHED in that
+batch — closed sessions are final, the open session is a snapshot
+superseded by a later emit with the same (user_id, sess_id).  Readers
+keep, per (user_id, sess_id), the row with the LARGEST ``last_ts_us``
+marker (ties are value-identical): a monotone merge rule that does not
+depend on any sink scan order.
 
 The operator returns the streaming DataFrame; the SINK is the
 caller's choice (tests use a memory sink in update mode; production
@@ -45,6 +64,10 @@ SESSION_OUTPUT = StructType(
         StructField("sess_id", LongType()),
         StructField("n_events", LongType()),
         StructField("duration_s", LongType()),
+        # monotone emit marker: readers keep max per (user_id, sess_id)
+        StructField("last_ts_us", LongType()),
+        # cross-batch stragglers dropped by the operator this emit
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -64,6 +87,19 @@ def _make_sessionizer(gap_us: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session can
+            # never be extended — emit its final form, drop the state
+            last_ts, sess_id, start, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, sess_id, n, (last_ts - start) // 1_000_000,
+                  last_ts, 0)],
+                columns=[f.name for f in SESSION_OUTPUT.fields],
+            )
+            return
+
         if state.exists:
             last_ts, sess_id, start, n = state.get
         else:
@@ -73,14 +109,21 @@ def _make_sessionizer(gap_us: int):
         # meaningful after concatenating and sorting the WHOLE batch
         all_ts = pd.concat([pdf["ts_us"] for pdf in pdfs]).sort_values()
 
-        out: list[tuple[int, int, int, int]] = []
+        out: list[tuple[int, int, int, int, int, int]] = []
+        n_late = 0
         for ts in all_ts:
             ts = int(ts)
+            if last_ts is not None and ts < last_ts:
+                # cross-batch straggler inside the watermark: applying
+                # it would move session time backwards — drop + count
+                n_late += 1
+                continue
             if last_ts is None or ts - last_ts > gap_us:
                 if last_ts is not None:
                     # close the previous session (final emit)
                     out.append(
-                        (user_id, sess_id, n, (last_ts - start) // 1_000_000)
+                        (user_id, sess_id, n,
+                         (last_ts - start) // 1_000_000, last_ts, 0)
                     )
                 sess_id += 1
                 start = ts
@@ -88,14 +131,24 @@ def _make_sessionizer(gap_us: int):
             else:
                 n += 1
             last_ts = ts
-        if last_ts is None:  # defensive: no data and no prior state
+        if last_ts is None:  # all rows were stragglers and no state
             return
         state.update((last_ts, sess_id, start, n))
+        # close the open session once the watermark passes last_ts+gap
+        # (timestamp must stay ahead of the current watermark)
+        timeout_ms = max(
+            (last_ts + gap_us) // 1000 + 1,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         # snapshot of the still-open session; superseded by a later
-        # emit with the same (user_id, sess_id) if it grows
-        out.append((user_id, sess_id, n, (last_ts - start) // 1_000_000))
+        # emit with the same (user_id, sess_id) and larger last_ts_us
+        out.append(
+            (user_id, sess_id, n, (last_ts - start) // 1_000_000,
+             last_ts, n_late)
+        )
         yield pd.DataFrame(
-            out, columns=["user_id", "sess_id", "n_events", "duration_s"]
+            out, columns=[f.name for f in SESSION_OUTPUT.fields]
         )
 
     return sessionize
@@ -104,22 +157,31 @@ def _make_sessionizer(gap_us: int):
 def sessionize_stream(
     spark: SparkSession, input_dir: str, gap_s: int = 1800,
     path_glob: str | None = None, max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming per-user sessionization; see module docstring.
     ``max_files_per_trigger`` forces multi-micro-batch processing so
-    tests can prove state survives batch boundaries."""
+    tests can prove state survives batch boundaries; ``watermark`` is
+    the lateness budget (rows later than it never reach the operator,
+    and idle sessions expire once it passes ``last_ts + gap``)."""
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    events = reader.parquet(input_dir).select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    events = (
+        reader.parquet(input_dir)
+        .select(
+            "user_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+        )
+        .withWatermark("event_time", watermark)
     )
     return events.groupBy("user_id").applyInPandasWithState(
         _make_sessionizer(gap_s * 1_000_000),
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
