@@ -50,20 +50,63 @@ def _hits_expr(text_col: str, lang: str) -> Column:
 
 def lang_scores(text_col: str = "text") -> dict[str, Column]:
     """Per-language stopword-hit counts (the n-gram-heuristic family's
-    cheapest member, fully vectorizable)."""
+    cheapest member, fully vectorizable).  Each column re-splits the
+    text — fine for a single score; for ALL scores use
+    :func:`lang_hits`, which binds the split once."""
     return {lang: _hits_expr(text_col, lang) for lang in STOPWORDS}
+
+
+def _stop_arrays_sql() -> str:
+    return ", ".join(
+        "array(%s)" % ", ".join(f"'{w}'" for w in ws)
+        for ws in STOPWORDS.values()
+    )
+
+
+def _hits_sql(text_col: str) -> str:
+    # the split is bound ONCE through the one-element-array lambda
+    # idiom (see dedup._shingles_sql), and the four stopword arrays
+    # live in a single folded literal — one small codegen unit instead
+    # of one filter-chain per (language × reference)
+    return (
+        f"transform(array(split({text_col}, ' ')), ws -> "
+        f"transform(array({_stop_arrays_sql()}), sw -> "
+        f"size(filter(ws, w -> array_contains(sw, w)))))[0]"
+    )
+
+
+def lang_hits(text_col: str = "text") -> Column:
+    """→ ``array<int>`` of stopword hits in STOPWORDS order
+    (en, de, es, fr), computed in ONE bound expression.  Alias it to a
+    column and derive lang_pred / per-language scores from the cheap
+    array references — Catalyst keeps a multi-referenced non-trivial
+    alias materialized, so the filter chain runs once per row."""
+    return F.expr(_hits_sql(text_col))
+
+
+def lang_pred_from_hits(hits: Column) -> Column:
+    """argmax over a :func:`lang_hits` array, deterministic tie-break
+    by the fixed language order en > de > es > fr."""
+    e, d, s, f = (F.element_at(hits, i) for i in range(1, 5))
+    return (
+        F.when((e >= d) & (e >= s) & (e >= f), "en")
+        .when((d >= s) & (d >= f), "de")
+        .when(s >= f, "es")
+        .otherwise("fr")
+    )
 
 
 def lang_id(text_col: str = "text") -> Column:
     """argmax over language scores, deterministic tie-break by the
-    fixed language order en > de > es > fr."""
-    s = lang_scores(text_col)
-    return (
-        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
-        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
-        .when(s["es"] >= s["fr"], "es")
-        .otherwise("fr")
+    fixed language order en > de > es > fr.  The hits array is bound
+    once via a lambda let-binding (r2 inlined the per-language filter
+    chain into every CASE branch — ~11 copies in codegen)."""
+    case = (
+        "CASE WHEN h[0] >= h[1] AND h[0] >= h[2] AND h[0] >= h[3] THEN 'en' "
+        "WHEN h[1] >= h[2] AND h[1] >= h[3] THEN 'de' "
+        "WHEN h[2] >= h[3] THEN 'es' ELSE 'fr' END"
     )
+    return F.expr(f"transform(array({_hits_sql(text_col)}), h -> {case})[0]")
 
 
 def raw_punct_ratio(text_col: str = "text") -> Column:

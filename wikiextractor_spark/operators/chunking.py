@@ -39,16 +39,21 @@ def chunk_documents(
                END) - 1),
             i -> struct(
               i AS chunk_no,
-              concat_ws(' ', slice(ws, i * {step} + 1, {chunk_tokens})) AS chunk
+              concat_ws(' ', slice(ws, i * {step} + 1, {chunk_tokens})) AS chunk,
+              least({chunk_tokens}, size(ws) - i * {step}) AS n_toks
             )))[0]
         """
     )
+    # n_tokens is pure arithmetic — each window holds
+    # min(chunk_tokens, words remaining) tokens, so re-splitting the
+    # emitted chunk (a regex split per output row on an otherwise
+    # scan-speed operator) is never needed
     return (
         df.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,
             F.col("c.chunk_no").cast("long").alias("chunk_no"),
             F.col("c.chunk").alias("chunk"),
-            F.size(F.split(F.col("c.chunk"), " ")).cast("long").alias("n_tokens"),
+            F.col("c.n_toks").cast("long").alias("n_tokens"),
         )
     )

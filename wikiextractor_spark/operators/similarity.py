@@ -111,15 +111,37 @@ def lsh_bucket(
     """→ ``(id, bucket int)``: sign-pattern of dot products with the
     fixed hyperplanes.  One narrow projection — embarrassingly
     parallel; at scale, follow with a join on ``bucket`` to search
-    candidates only (same topology as minhash LSH)."""
+    candidates only (same topology as minhash LSH).
+
+    The planes live in ONE nested array literal (constant-folded) and
+    the whole bucket is a single bound expression: the cast vector and
+    the plane matrix are lambda-bound once, and the per-plane sign
+    bits come from a transform over the matrix — one small codegen
+    unit instead of r2's eight separate 64-literal dot-product trees
+    (the Janino-compile cost PERF.md flagged at battery scale)."""
     planes = hyperplanes(num_planes, dim, seed)
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(v, plane_col) > 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket + bit * F.lit(1 << p)
-    return emb.select(F.col(id_col), bucket.alias("bucket"))
+    planes_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{float(x)}D" for x in plane)
+        for plane in planes
+    )
+    # identical arithmetic to the r2 version: same double cast, same
+    # left-fold dot product, same `> 0` sign test, same 2^p weights —
+    # the oracle hashes are unchanged
+    expr = f"""
+      transform(array(transform({vec_col}, x -> cast(x as double))), v ->
+        aggregate(
+          zip_with(
+            transform({planes_sql}, p ->
+              CASE WHEN aggregate(zip_with(v, p, (x, y) -> x * y),
+                                  cast(0.0 as double),
+                                  (acc, z) -> acc + z) > 0
+                   THEN 1 ELSE 0 END),
+            sequence(0, {num_planes - 1}),
+            (bit, i) -> bit * shiftleft(1, i)),
+          0, (acc, z) -> acc + z)
+      )[0]
+    """
+    return emb.select(F.col(id_col), F.expr(expr).alias("bucket"))
 
 
 def lsh_bucket_histogram(emb: DataFrame, **kwargs) -> DataFrame:
