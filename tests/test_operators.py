@@ -426,6 +426,95 @@ def test_dedup_near_end_to_end(spark, docs):
     assert {(i, i + 1_000_000) for i in base_ids} <= planted
 
 
+def test_connected_component_survivors(spark):
+    """Min-label propagation: a transitive chain 1~2~3 (1 and 3 not
+    directly paired) keeps exactly ONE survivor per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in dedup.connected_component_labels(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_near_component_survivors(spark, docs):
+    """survivors='component' keeps the component-min id of every
+    planted duplicate group (exact copies form one component)."""
+    base = docs.select("doc_id", "text").limit(40)
+    tripled = (
+        base.union(base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        .union(base.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    )
+    kept = dedup.dedup_near(tripled, threshold=0.9, survivors="component")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # no survivor is a planted copy, and at most one per component
+    assert not {i for i in kept_ids if i >= 1_000_000}
+    chain = dedup.dedup_near(tripled, threshold=0.9, survivors="chain")
+    assert kept_ids <= {r["doc_id"] for r in chain.select("doc_id").collect()}
+
+
+def test_asof_join_bucketed_equals_plain(spark):
+    """The time-bucketed hot-key variant must be value-identical to
+    the plain composition, including cross-bucket carries and empty
+    buckets between a right row and its left consumers."""
+    from wikiextractor_spark.operators.asof import asof_join, asof_join_bucketed
+
+    left = spark.range(300).select(
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") * 37) % 1000).alias("ts"),
+        F.col("id").alias("x"),
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") * 91) % 1000).alias("ts"),
+        F.col("id").alias("v"),
+    ).groupBy("k", "ts").agg(F.max("v").alias("v"))  # unique (k, ts)
+    for how in ("inner", "left"):
+        plain = {
+            (r["k"], r["ts"], r["x"]): (r["asof_ts"], r["asof_v"])
+            for r in asof_join(left, right, on="k", how=how).collect()
+        }
+        for width in (50, 1000, 7):
+            bucketed = {
+                (r["k"], r["ts"], r["x"]): (r["asof_ts"], r["asof_v"])
+                for r in asof_join_bucketed(
+                    left, right, on="k", how=how, bucket_width=width
+                ).collect()
+            }
+            assert bucketed == plain, (how, width)
+
+
+def test_decode_media_codec_gating(docs):
+    """codec='auto' falls back to the fake kernel when PIL is absent
+    (value-identical to codec='fake'); codec='pil' raises loudly."""
+    media = multimodal.attach_fake_binary(docs.limit(20))
+    fake = {
+        r["doc_id"]: (bytes(r["pixels"]), r["width"], r["height"])
+        for r in multimodal.decode_media(media, codec="fake").collect()
+    }
+    auto = {
+        r["doc_id"]: (bytes(r["pixels"]), r["width"], r["height"])
+        for r in multimodal.decode_media(media, codec="auto").collect()
+    }
+    try:
+        import PIL.Image  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert auto == fake
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(media, codec="pil")
+    else:
+        # real branch: image rows decoded by PIL (payloads here are
+        # not real images, so PIL fails per-row and falls back too)
+        assert set(auto) == set(fake)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, codec="ffmpeg")
+
+
 def test_salted_join_equals_plain_join(spark):
     from wikiextractor_spark.operators.skew import salted_join
 

@@ -45,6 +45,14 @@ def main() -> None:
 
     from wikiextractor_spark.queries import REGISTRY
 
+    # battery-shape contract: exactly 50 registry entries, every one
+    # with a DuckDB oracle (r3 upgraded the last 3 rows-only slots).
+    # A registry merge/add that silently changes the driver's battery
+    # must fail HERE, in the same session and order the driver uses.
+    n_oracles = sum(1 for _fn, oracle in REGISTRY.values() if oracle is not None)
+    assert len(REGISTRY) == 50, f"registry has {len(REGISTRY)} entries, expected 50"
+    assert n_oracles == 50, f"{n_oracles} oracles, expected 50"
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "

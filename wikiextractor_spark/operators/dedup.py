@@ -379,16 +379,86 @@ def near_duplicate_pairs(
     )
 
 
+def connected_component_labels(
+    pairs: DataFrame, max_iter: int = 20,
+) -> DataFrame:
+    """→ ``(id, label)``: min-label propagation over an undirected pair
+    list — every node gets the smallest id reachable through the pair
+    graph (its connected component's representative).
+
+    Bounded iterative closure: each round is one equi-join + one
+    min-agg (both on the node key), and labels are re-materialized via
+    ``localCheckpoint`` so lineage stays flat.  Convergence needs
+    O(component diameter) rounds — duplicate clusters are shallow in
+    practice, and ``max_iter`` hard-bounds the work.  The driver-side
+    loop only reads ONE scalar per round (the changed-count
+    convergence check), never data.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_near(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    threshold: float = 0.8,
+    threshold: float = 0.8, survivors: str = "chain",
 ) -> DataFrame:
-    """Drop near-duplicates: any row with a verified near-dup of
-    SMALLER id is removed (the standard single-pass survivor policy —
-    each duplicate chain keeps its minimum id; exact connected-
-    component survivors would need an iterative closure, overkill for
-    dedup).  One left-anti join against the verified pair list."""
-    losers = near_duplicate_pairs(df, text_col, id_col, threshold).select(
-        F.col("id_b").alias(id_col)
+    """Drop near-duplicates, keeping one survivor per duplicate group.
+
+    ``survivors='chain'`` (default): any row with a verified near-dup
+    of SMALLER id is removed — single pass, one left-anti join.  Note
+    the greedy asymmetry: in a star ``2~5, 3~5`` both 2 and 3 survive
+    (they are not near-dups of each other), while a transitive chain
+    ``A~B~C with A≁C`` keeps only A even though C's only verified
+    near-dup (B) was itself dropped.
+
+    ``survivors='component'``: exactly ONE survivor per connected
+    component of the verified pair graph (its minimum id), via bounded
+    min-label propagation (:func:`connected_component_labels`).
+    Stricter mix control — a chain can never leak two survivors — at
+    the cost of the iterative closure.
+    """
+    if survivors not in ("chain", "component"):
+        raise ValueError(
+            f"survivors must be 'chain' or 'component', got {survivors!r}"
+        )
+    pairs = near_duplicate_pairs(df, text_col, id_col, threshold)
+    if survivors == "chain":
+        losers = pairs.select(F.col("id_b").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    labels = connected_component_labels(pairs)
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
