@@ -245,6 +245,13 @@ def simhash_candidate_pairs(
 
     → ``(id_a, id_b, sim_a, sim_b, hamming)`` with
     ``hamming <= max_distance``.
+
+    Scale note: block-bucket collision rate is birthday-bounded by the
+    block width — with 32-bit signatures and 8-bit blocks the buckets
+    saturate beyond ~10⁵ docs.  At corpus scale use a wider SimHash
+    (64/128-bit) so each block carries 16+ bits; the topology here is
+    unchanged, 32-bit is the grain the DuckDB oracle can reproduce
+    md5-for-md5.
     """
     sigs = simhash32(df, text_col, id_col)
     # materialization barrier: the signature expression is large;
@@ -254,7 +261,13 @@ def simhash_candidate_pairs(
         eager=True
     )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    # the exact Hamming re-check runs BEFORE distinct: block buckets
+    # propose far more false candidates than true pairs (birthday
+    # collisions on small blocks), and the filter is a cheap narrow
+    # expression while distinct is a shuffle — dedup the survivors,
+    # not the candidate stream
+    return (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
@@ -267,11 +280,9 @@ def simhash_candidate_pairs(
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_distance)
         .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= max_distance
     )
 
 
