@@ -144,6 +144,55 @@ def test_ann_lsh_subset_of_bucket(emb):
         assert buckets[r["neighbor_id"]] == buckets[0]
 
 
+def test_ivf_centroids_deterministic_balanced(emb):
+    c1 = similarity.ivf_centroids(emb, k=8, iters=2)
+    c2 = similarity.ivf_centroids(emb, k=8, iters=2)
+    assert c1 == c2  # md5-seeded init + Lloyd: no RNG anywhere
+    assigned = similarity.ivf_assign(emb, c1)
+    occ = {r["centroid_id"]: r["n"] for r in
+           assigned.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()}
+    assert set(occ) <= set(range(8))
+    assert sum(occ.values()) == emb.count()
+    # no degenerate clustering: every bucket below half the corpus
+    assert max(occ.values()) < emb.count() // 2
+
+
+def test_ann_ivf_recall_and_full_probe_exactness(emb):
+    """nprobe=k probes every bucket, so IVF must equal brute force
+    EXACTLY; partial probes trade recall monotonically."""
+    cents = similarity.ivf_centroids(emb, k=16, iters=2)
+    qids = [0, 1, 2]
+    brute = {(r["q_id"], r["neighbor_id"])
+             for r in similarity.ann_brute_force_topk(emb, qids, k=5).collect()}
+
+    def recall(nprobe):
+        got = {(r["q_id"], r["neighbor_id"])
+               for r in similarity.ann_ivf_topk(
+                   emb, qids, k=5, nprobe=nprobe, centroids=cents).collect()}
+        return len(got & brute)
+
+    full = recall(16)
+    assert full == len(brute) == 15
+    r2, r8 = recall(2), recall(8)
+    assert r2 <= r8 <= full
+    assert r8 >= 10  # measured 14/15; generous deterministic floor
+
+
+def test_ann_ivf_plan_no_cross_join(emb):
+    import contextlib, io
+
+    cents = similarity.ivf_centroids(emb, k=4, iters=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.ann_ivf_topk(
+            emb, [0], k=3, nprobe=2, centroids=cents
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "centroid_id" in plan  # the probe equi-join key
+
+
 def test_lsh_bucket_histogram(emb):
     hist = similarity.lsh_bucket_histogram(emb).collect()
     assert sum(r["n_vecs"] for r in hist) == emb.count()

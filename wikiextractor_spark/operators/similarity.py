@@ -153,6 +153,165 @@ def lsh_bucket_histogram(emb: DataFrame, **kwargs) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed scale path
+# --------------------------------------------------------------------------
+
+def _centroid_scores_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """Dot products of a (cast) vector against every centroid, as ONE
+    bound expression over a folded nested literal (same codegen shape
+    as lsh_bucket)."""
+    c_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{float(x)}D" for x in c) for c in centroids
+    )
+    return f"""
+      transform(array(transform({vec_col}, x -> cast(x as double))), v ->
+        transform({c_sql}, c ->
+          aggregate(zip_with(v, c, (x, y) -> x * y),
+                    cast(0.0 as double), (acc, z) -> acc + z))
+      )[0]
+    """
+
+
+def _normalize(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [x / n for x in vec]
+
+
+def ivf_centroids(
+    emb: DataFrame, k: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: ``k`` L2-normalized centroids
+    via Lloyd iterations, everything distributed except the k×dim
+    centroid matrix itself (which is genuinely driver-sized — it IS
+    the broadcast dimension of the index).
+
+    * init: the ``k`` vectors with the smallest ``md5(id)`` — a
+      deterministic, engine-reproducible spread sample (no RNG, no
+      seed drift across reruns/backfills);
+    * assign: one NARROW pass per iteration — argmax of dot(v, c)
+      against the folded centroid literal, no join, no shuffle;
+    * update: per-cluster elementwise mean via ``posexplode`` +
+      one groupBy — the only shuffle, on (cluster, position) grain.
+
+    Returns plain Python lists (normalized) so callers can inline
+    them as literals into search/assign expressions.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1, iters >= 0, got {k}/{iters}")
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seed_rows = (
+        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = [_normalize(list(r["v"])) for r in seed_rows]
+    for _ in range(iters):
+        scores = _centroid_scores_sql("v", centroids)
+        assigned = base.withColumn("_s", F.expr(scores)).select(
+            "v",
+            (F.expr("array_position(_s, array_max(_s))") - 1).alias("_c"),
+        )
+        means = (
+            assigned.select("_c", F.posexplode("v").alias("_p", "_x"))
+            .groupBy("_c", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_p", "_m"))
+                ).alias("_pm")
+            )
+            .select("_c", F.expr("transform(_pm, s -> s._m)").alias("_mean"))
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:  # empty clusters keep their old centroid
+            new[int(r["_c"])] = _normalize(list(r["_mean"]))
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """→ ``(id, centroid_id)``: nearest-centroid bucket per vector —
+    one narrow scan-speed pass (the index build)."""
+    scores = _centroid_scores_sql(vec_col, centroids)
+    return (
+        emb.withColumn("_s", F.expr(scores))
+        .select(
+            F.col(id_col),
+            (F.expr("array_position(_s, array_max(_s))") - 1)
+            .cast("int")
+            .alias("centroid_id"),
+        )
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose centroid bucket
+    is among each query's ``nprobe`` nearest centroids.
+
+    Plan shape: the corpus gets ONE narrow assignment pass, the
+    (query, probe-bucket) side is tiny and **broadcast**, and the only
+    join is an equi-join on ``centroid_id`` — never a cross join over
+    the corpus (plan-tested).  Work per query ≈ nprobe/k of the
+    corpus; recall < 1 by construction — compare
+    :func:`ann_brute_force_topk`, tune (n_centroids, nprobe).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, iters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    base = emb.join(assigned, id_col).select(
+        F.col(id_col), F.col("centroid_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    scores = _centroid_scores_sql("v", centroids)
+    probes = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .withColumn("_s", F.expr(scores))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.explode(
+                F.expr(
+                    f"slice(transform(array_sort(zip_with(_s, "
+                    f"sequence(0, {len(centroids) - 1}), "
+                    f"(s, i) -> struct(-s AS negs, i AS i))), "
+                    f"p -> p.i), 1, {nprobe})"
+                )
+            ).alias("q_centroid"),
+        )
+    )
+    scored = (
+        base.join(
+            F.broadcast(probes),
+            (F.col("centroid_id") == F.col("q_centroid"))
+            & (F.col(id_col) != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5,
     num_planes: int = 8, dim: int = 64, seed: int = 42,
