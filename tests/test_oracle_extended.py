@@ -138,6 +138,43 @@ def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
     assert got == _batch_sessions(spark, sf)
 
 
+def test_sessionize_parquet_sink_matches_batch(spark, tmp_path):
+    """The production foreachBatch parquet log, merged on read, must
+    equal the batch sessionize — including sessions stitched across a
+    forced two-batch split (update rows from both batches land in the
+    log; read_sessions keeps the max-marker emit)."""
+    import os
+
+    from wikiextractor_spark.streaming import read_sessions, sessionize_to_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    mid = ev.approxQuantile("ts", [0.5], 0.001)[0]
+    src = tmp_path / "ev_split_pq"
+    src.mkdir()
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(str(src / "b"))
+    files = []
+    for part in ("a", "b"):
+        inner = [f for f in os.listdir(src / part) if f.endswith(".parquet")][0]
+        dst = src / f"{part}.parquet"
+        os.rename(src / part / inner, dst)
+        files.append(dst)
+    os.utime(files[0], (1_000_000_000, 1_000_000_000))
+    os.utime(files[1], (1_000_000_100, 1_000_000_100))
+
+    q = sessionize_to_parquet(
+        spark, str(src), str(tmp_path / "sess_log"), str(tmp_path / "sess_ckpt"),
+        path_glob="*.parquet", max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(120)
+    merged = {
+        (r["user_id"], r["sess_id"]): (r["n_events"], r["duration_s"])
+        for r in read_sessions(spark, str(tmp_path / "sess_log")).collect()
+    }
+    assert merged == _batch_sessions(spark, sf)
+
+
 def test_sessionize_drops_cross_batch_stragglers(spark, tmp_path):
     """An event arriving in a LATER micro-batch with ts older than the
     group's carried last_ts must not move session time backwards: it

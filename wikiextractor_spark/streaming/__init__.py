@@ -1,5 +1,7 @@
 from wikiextractor_spark.streaming.sessionize import (  # noqa: F401
+    read_sessions,
     sessionize_stream,
+    sessionize_to_parquet,
 )
 from wikiextractor_spark.streaming.stream import (  # noqa: F401
     clean_documents_stream,

@@ -185,3 +185,55 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sessionize_to_parquet(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    **kwargs,
+):
+    """Production sink for the stateful sessionizer: ``foreachBatch``
+    appends each micro-batch's update rows to a parquet LOG (the
+    parquet file sink only accepts append-mode streams, and a stateful
+    update stream needs exactly this escape hatch).
+
+    The log is merge-on-read (:func:`read_sessions`): per-batch work
+    is one bounded append — never a rewrite of the whole table, which
+    is the scale-killer a naive "read + merge + overwrite" upsert
+    pays every batch.  Long-running streams periodically compact by
+    writing ``read_sessions()`` out as a fresh log generation (or land
+    the log in a table format with real upserts — Delta/Iceberg — on
+    clusters that have one).
+
+    ``kwargs`` pass through to :func:`sessionize_stream`.
+    """
+    sess = sessionize_stream(spark, input_dir, **kwargs)
+
+    def _append_updates(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        sess.writeStream.foreachBatch(_append_updates)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read over the :func:`sessionize_to_parquet` log: keep,
+    per (user_id, sess_id), the emit with the largest monotone
+    ``last_ts_us`` marker — later snapshots supersede earlier ones
+    regardless of file/scan order."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id", "sess_id")
+        .orderBy(F.desc("last_ts_us"), F.desc("n_events"))
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
