@@ -144,6 +144,39 @@ def test_ann_lsh_subset_of_bucket(emb):
         assert buckets[r["neighbor_id"]] == buckets[0]
 
 
+def test_embedding_near_dup_finds_planted_copies(spark, emb):
+    """Exact duplicate vectors share every band's bucket, so the
+    banded-LSH near-dup must find ALL planted copies; survivors of the
+    cosine re-check are genuinely >= threshold."""
+    base = emb.limit(60)
+    doubled = base.union(
+        base.withColumn("vec_id", F.col("vec_id") + 10_000)
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.embedding_near_duplicate_pairs(
+            doubled, threshold=0.98
+        ).collect()
+    }
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    for i in base_ids:
+        assert pairs[(i, i + 10_000)] == 1.0
+    assert all(c >= 0.98 for c in pairs.values())
+
+
+def test_embedding_near_dup_plan_no_pair_explosion(emb):
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.embedding_near_duplicate_pairs(emb.limit(50)).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_centroids_deterministic_balanced(emb):
     c1 = similarity.ivf_centroids(emb, k=8, iters=2)
     c2 = similarity.ivf_centroids(emb, k=8, iters=2)

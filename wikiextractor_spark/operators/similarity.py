@@ -119,15 +119,24 @@ def lsh_bucket(
     bits come from a transform over the matrix — one small codegen
     unit instead of r2's eight separate 64-literal dot-product trees
     (the Janino-compile cost PERF.md flagged at battery scale)."""
-    planes = hyperplanes(num_planes, dim, seed)
+    expr = _lsh_bucket_sql(vec_col, hyperplanes(num_planes, dim, seed))
+    return emb.select(F.col(id_col), F.expr(expr).alias("bucket"))
+
+
+def _lsh_bucket_sql(vec_col: str, planes: list[list[int]]) -> str:
+    """Sign-pattern bucket as ONE bound SQL expression: the plane
+    matrix is a single constant-folded nested literal, the cast vector
+    is lambda-bound once, and per-plane sign bits come from a
+    transform over the matrix — one small codegen unit instead of
+    N separate literal-array dot-product trees.  Arithmetic is
+    identical to the r2 per-plane version (same double cast, same
+    left-fold dot product, same `> 0` sign test, same 2^p weights), so
+    oracle hashes are unchanged."""
     planes_sql = "array(%s)" % ", ".join(
         "array(%s)" % ", ".join(f"{float(x)}D" for x in plane)
         for plane in planes
     )
-    # identical arithmetic to the r2 version: same double cast, same
-    # left-fold dot product, same `> 0` sign test, same 2^p weights —
-    # the oracle hashes are unchanged
-    expr = f"""
+    return f"""
       transform(array(transform({vec_col}, x -> cast(x as double))), v ->
         aggregate(
           zip_with(
@@ -136,12 +145,77 @@ def lsh_bucket(
                                   cast(0.0 as double),
                                   (acc, z) -> acc + z) > 0
                    THEN 1 ELSE 0 END),
-            sequence(0, {num_planes - 1}),
+            sequence(0, {len(planes) - 1}),
             (bit, i) -> bit * shiftleft(1, i)),
           0, (acc, z) -> acc + z)
       )[0]
     """
-    return emb.select(F.col(id_col), F.expr(expr).alias("bucket"))
+
+
+def embedding_near_duplicate_pairs(
+    emb: DataFrame, threshold: float = 0.98,
+    bands: int = 4, planes_per_band: int = 8, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at corpus grain — the
+    sub-quadratic scale path behind the bounded ``dd_embedding_
+    neighbor`` verifier.
+
+    Topology mirrors banded MinHash-LSH (OR-amplification): ``bands``
+    independent hyperplane sets (seeded ``seed+b``) each bucket every
+    vector in ONE narrow pass; candidates are pairs sharing any
+    (band, bucket) — one equi-join, never all-pairs (plan-tested) —
+    and the exact cosine runs on candidates only, before the distinct
+    so the dedup shuffle sees survivors.  Identical vectors share
+    every band's bucket, so exact-duplicate recall is 1; near-dup
+    recall rises with more bands / fewer planes per band (standard
+    LSH tuning).
+
+    → ``(id_a, id_b, cos)`` with ``cos >= threshold``.
+    """
+    band_structs = ", ".join(
+        f"struct({b} AS band, "
+        f"{_lsh_bucket_sql(vec_col, hyperplanes(planes_per_band, dim, seed + b))}"
+        f" AS bucket)"
+        for b in range(bands)
+    )
+    # materialization barrier before the self-join: without it,
+    # projection collapse inlines the bucket expressions into both
+    # join sides (see dedup.minhash_lsh_candidate_pairs)
+    sketch = (
+        emb.select(
+            F.col(id_col),
+            F.explode(F.expr(f"array({band_structs})")).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)
+    )
+    a, b = sketch.alias("a"), sketch.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    vecs = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
 
 
 def lsh_bucket_histogram(emb: DataFrame, **kwargs) -> DataFrame:
