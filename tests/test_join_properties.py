@@ -88,3 +88,45 @@ def test_range_join_matches_naive(spark, points, intervals, width):
         if lo <= x < hi
     }
     assert got == want
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1, max_size=24,
+)
+
+
+@given(words=WORDS, chunk=st.sampled_from([4, 8]), overlap=st.sampled_from([0, 2]))
+@_SETTINGS
+def test_chunking_reassembles_to_original(spark, words, chunk, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0)
+    and concatenating must reproduce the original token stream, and
+    every n_tokens must equal the chunk's real token count."""
+    from wikiextractor_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_no"], r["chunk"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    rebuilt = []
+    for no, text, n_tok in rows:
+        toks = text.split(" ")
+        assert n_tok == len(toks)
+        rebuilt.extend(toks if no == 0 else toks[overlap:])
+    assert rebuilt == words
+
+
+@given(words=st.permutations(["a", "bb", "ccc", "dd", "e", "ff", "g", "hh"]))
+@_SETTINGS
+def test_simhash_is_word_order_invariant(spark, words):
+    """SimHash is a bag-of-words signature: permuting words must not
+    change it (the property LSH blocks rely on)."""
+    from wikiextractor_spark.operators.dedup import simhash32
+
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a bb ccc dd e ff g hh")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash32(df).collect()}
+    assert sigs[1] == sigs[2]

@@ -177,6 +177,23 @@ def test_embedding_near_dup_plan_no_pair_explosion(emb):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_embeddings_survivor_policies(emb):
+    base = emb.limit(50)
+    doubled = base.union(
+        base.withColumn("vec_id", F.col("vec_id") + 10_000)
+    )
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    for policy in ("chain", "component"):
+        kept = {
+            r["vec_id"]
+            for r in similarity.dedup_embeddings(
+                doubled, threshold=0.98, survivors=policy
+            ).select("vec_id").collect()
+        }
+        assert not kept & {i + 10_000 for i in base_ids}  # copies gone
+        assert kept <= base_ids
+
+
 def test_ivf_centroids_deterministic_balanced(emb):
     c1 = similarity.ivf_centroids(emb, k=8, iters=2)
     c2 = similarity.ivf_centroids(emb, k=8, iters=2)

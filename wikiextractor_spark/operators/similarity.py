@@ -218,6 +218,35 @@ def embedding_near_duplicate_pairs(
     )
 
 
+def dedup_embeddings(
+    emb: DataFrame, threshold: float = 0.98, survivors: str = "chain",
+    id_col: str = "vec_id", vec_col: str = "embedding", **lsh_kwargs,
+) -> DataFrame:
+    """Drop embedding near-duplicates, keeping one survivor per
+    duplicate group — same survivor policies as ``dedup.dedup_near``
+    (``'chain'``: one anti-join against smaller-id pair losers;
+    ``'component'``: exactly one survivor per connected component via
+    bounded min-label propagation), fed by the sub-quadratic
+    banded-LSH candidate stage."""
+    if survivors not in ("chain", "component"):
+        raise ValueError(
+            f"survivors must be 'chain' or 'component', got {survivors!r}"
+        )
+    pairs = embedding_near_duplicate_pairs(
+        emb, threshold, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+    )
+    if survivors == "chain":
+        losers = pairs.select(F.col("id_b").alias(id_col))
+        return emb.join(losers, id_col, "left_anti")
+    from wikiextractor_spark.operators.dedup import connected_component_labels
+
+    labels = connected_component_labels(pairs)
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return emb.join(losers, id_col, "left_anti")
+
+
 def lsh_bucket_histogram(emb: DataFrame, **kwargs) -> DataFrame:
     """Bucket occupancy — the skew diagnostic for the LSH index."""
     return (
