@@ -59,8 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle for each query; non-SQL-expressible ops (fidelity
-    clean UDF) are omitted → driver records rows-only checks."""
+    """DuckDB oracle for each query — since round 3 every battery
+    entry carries one (genuinely non-SQL-expressible ops would be
+    omitted → rows-only check; none currently are)."""
     from wikiextractor_spark.queries import REGISTRY
 
     return {
