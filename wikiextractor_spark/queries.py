@@ -1348,6 +1348,16 @@ def st_stream_hourly(spark, sf_dir):
 
     tune(spark)
     base = tempfile.mkdtemp(prefix="st_stream_hourly_")
+    # Scope the state-store partition count to the streaming query:
+    # stateful aggregation keeps one state store (and one checkpoint
+    # delta file per micro-batch) per shuffle partition, so the
+    # session's CPU-count setting pays 32 stores' worth of file I/O
+    # for a few thousand windows.  The value is captured into the
+    # checkpoint's offset metadata at first batch, so it must stay set
+    # until the query drains; restored in the finally.  On a real
+    # cluster this knob scales with state size, not core count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = windowed_event_counts(
             spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt",
@@ -1383,6 +1393,7 @@ def st_stream_hourly(spark, sf_dir):
         # checkpointed RDD is freed by the ContextCleaner on GC
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
 
 
