@@ -63,6 +63,34 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to q1
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # warm the Structured Streaming machinery the same way: a minimal
+    # stateful availableNow query over the 5-row region table pays the
+    # one-time class-loading + state-store-provider init (~3s) that
+    # would otherwise be billed to st_stream_hourly rather than to the
+    # engine.  Steady-state streaming cost is what the timing should
+    # measure; tests/test_streaming pin the semantics.
+    import shutil
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        region_schema = spark.read.parquet(f"{sf_dir}/region.parquet").schema
+        wq = (
+            spark.readStream.schema(region_schema)
+            .option("pathGlobFilter", "region.parquet")
+            .parquet(sf_dir)
+            .groupBy("r_regionkey")
+            .count()
+            .writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{warm_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(60)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
     timings: dict[str, float] = {}
     for name in headline:
         fn, _oracle = REGISTRY[name]

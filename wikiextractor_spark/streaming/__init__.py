@@ -1,3 +1,8 @@
+from wikiextractor_spark.streaming.dedup import (  # noqa: F401
+    dedup_events_to_parquet,
+    deduped_document_stream,
+    deduped_event_stream,
+)
 from wikiextractor_spark.streaming.sessionize import (  # noqa: F401
     read_sessions,
     sessionize_stream,
