@@ -1,0 +1,125 @@
+"""Sequence packing (operators/packing.py) and the end-to-end corpus
+composition (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from wikiextractor_spark.operators.corpus import prepare_corpus
+from wikiextractor_spark.operators.packing import pack_sequences, pack_stats
+
+BUDGET = 100
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    # adversarial mix: exact-budget rows, tiny rows, an over-budget
+    # row, and a spread that forces multi-bin packing
+    rows = [(i, t) for i, t in enumerate(
+        [100, 1, 99, 50, 50, 50, 33, 33, 33, 250, 7, 93, 60, 41]
+    )]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_every_row_assigned_once(spark, token_df):
+    packed = pack_sequences(token_df, budget=BUDGET).cache()
+    assert packed.count() == token_df.count()
+    assert packed.select("doc_id").distinct().count() == token_df.count()
+    # token counts survive the round-trip
+    got = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    want = {r["doc_id"]: r["n_tokens"] for r in token_df.collect()}
+    assert got == want
+
+
+def test_no_normal_pack_exceeds_budget(spark, token_df):
+    packed = pack_sequences(token_df, budget=BUDGET)
+    sums = (
+        packed.filter(~F.col("over_budget"))
+        .groupBy("pack_id").agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    assert sums and all(r["s"] <= BUDGET for r in sums)
+
+
+def test_over_budget_rows_isolated(spark, token_df):
+    packed = pack_sequences(token_df, budget=BUDGET).cache()
+    over = packed.filter(F.col("over_budget")).collect()
+    assert [r["doc_id"] for r in over] == [9]  # the 250-token row
+    # its pack contains nothing else
+    pid = over[0]["pack_id"]
+    assert packed.filter(F.col("pack_id") == pid).count() == 1
+
+
+def test_deterministic(spark, token_df):
+    a = sorted(map(tuple, pack_sequences(token_df, budget=BUDGET).collect()))
+    b = sorted(map(tuple, pack_sequences(token_df, budget=BUDGET).collect()))
+    assert a == b
+
+
+def test_packing_is_reasonably_tight(spark, token_df):
+    """FFD within a group must not be far from the token-sum lower
+    bound.  One group ⇒ the classic FFD guarantee applies."""
+    packed = pack_sequences(token_df, budget=BUDGET, num_groups=1)
+    n_packs = (
+        packed.filter(~F.col("over_budget"))
+        .select("pack_id").distinct().count()
+    )
+    tok_sum = sum(
+        r["n_tokens"] for r in token_df.filter(F.col("n_tokens") <= BUDGET).collect()
+    )
+    lower = -(-tok_sum // BUDGET)  # ceil
+    assert n_packs <= 2 * lower  # loose, but catches degenerate 1-per-pack
+
+
+def test_pack_stats(spark, token_df):
+    packed = pack_sequences(token_df, budget=BUDGET, num_groups=1)
+    stats = pack_stats(packed, BUDGET).collect()[0]
+    assert stats["n_packs"] >= 1
+    assert 0.0 < stats["mean_fill"] <= 1.0
+    assert stats["wasted_tokens"] >= 0
+
+
+def test_prepare_corpus_end_to_end(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = prepare_corpus(
+        docs,
+        min_quality=0.0,
+        dedup="exact",
+        sample_fraction=0.5,
+        chunk_tokens=64,
+        overlap=16,
+        pack_budget=256,
+    ).cache()
+    n = out.count()
+    assert n > 0
+    # chunk grain: every chunk_id unique, every chunk in exactly one pack
+    assert out.select("chunk_id").distinct().count() == n
+    sums = (
+        out.filter(~F.col("over_budget"))
+        .groupBy("pack_id").agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    assert all(r["s"] <= 256 for r in sums)
+    # no chunk exceeds the chunk size, so nothing can be over budget
+    assert out.filter(F.col("over_budget")).count() == 0
+    # sampling happened at DOCUMENT grain: doc count strictly between
+    # 0 and the deduped doc total
+    n_docs = out.select("doc_id").distinct().count()
+    n_all = docs.count()
+    assert 0 < n_docs < n_all
+
+
+def test_prepare_corpus_filters_push_to_scan(spark, sf_dir):
+    """The lang/quality filters must appear in the scan's pushed or
+    post-scan filter stage BEFORE any exchange — i.e. the plan filters
+    first, shuffles later."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import re
+
+    out = prepare_corpus(docs, target_lang="en", dedup="exact")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # a Filter containing the language predicate sits DIRECTLY above
+    # the FileScan (below the dedup Exchange), so the scan-side rows
+    # are cut before any shuffle
+    assert re.search(r"Filter .*= en\)\n\s*\+- FileScan", plan), plan

@@ -1,0 +1,91 @@
+"""End-to-end training-corpus preparation: the canonical composition
+of the engine's training-data operators into one declarative flow.
+
+    raw documents
+      → language filter        (textstats.lang_id, native)
+      → quality gate           (textstats.quality_score, native)
+      → dedup                  (exact hash-groupBy or LSH near-dup)
+      → deterministic sample   (hash-gate, reproducible)
+      → chunk                  (overlap windows, scan-speed)
+      → pack                   (FFD token-budget packs)
+
+Every stage is the already-tested operator, so this module adds no
+new semantics — it pins the COMPOSITION: stage order (cheap narrow
+filters before shuffling dedup; sample before chunk so the gate keys
+on documents, not chunks) and the single place a user points at to go
+from a raw corpus to training-ready sequences.
+
+The whole flow is lazy: callers get one DataFrame whose plan Catalyst
+optimizes end-to-end (the lang/quality filters reach the parquet scan
+ahead of any shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wikiextractor_spark.functions.textstats import lang_id, quality_score
+from wikiextractor_spark.operators.chunking import chunk_documents
+from wikiextractor_spark.operators.dedup import dedup_exact, dedup_near
+from wikiextractor_spark.operators.packing import pack_sequences
+from wikiextractor_spark.operators.sampling import deterministic_sample
+
+
+def prepare_corpus(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *,
+    target_lang: str | None = None,
+    min_quality: float | None = None,
+    dedup: str | None = "exact",
+    near_threshold: float = 0.8,
+    sample_fraction: float | None = None,
+    sample_salt: str = "corpus",
+    chunk_tokens: int | None = None,
+    overlap: int = 0,
+    pack_budget: int | None = None,
+) -> DataFrame:
+    """Raw documents → training-ready rows; every stage optional.
+
+    Returns documents (id, text, …) when ``chunk_tokens`` is None,
+    chunks ``(id, chunk_no, chunk, n_tokens)`` when set, and packed
+    chunks ``(…, pack_id, over_budget)`` when ``pack_budget`` is also
+    set (chunk ids are made unique per chunk before packing).
+
+    Stage order is the scale-correct one: narrow filters first (they
+    push to the scan and shrink every later shuffle), dedup before
+    sampling (so the sample rate applies to unique content), sampling
+    on document ids (consistent across tables), chunking and packing
+    last (they multiply rows).
+    """
+    out = df
+    if target_lang is not None:
+        out = out.filter(lang_id(text_col) == target_lang)
+    if min_quality is not None:
+        out = out.filter(quality_score(text_col) >= min_quality)
+    if dedup == "exact":
+        out = dedup_exact(out, text_col, id_col)
+    elif dedup == "near":
+        out = dedup_near(out, text_col, id_col, threshold=near_threshold)
+    elif dedup is not None:
+        raise ValueError(f"dedup must be 'exact', 'near', or None, got {dedup!r}")
+    if sample_fraction is not None:
+        out = deterministic_sample(out, id_col, sample_fraction, sample_salt)
+    if chunk_tokens is None:
+        if pack_budget is not None:
+            raise ValueError("pack_budget requires chunk_tokens")
+        return out
+    chunks = chunk_documents(out, text_col, id_col, chunk_tokens, overlap)
+    if pack_budget is None:
+        return chunks
+    # one id per CHUNK so packing's unit is the training row; the
+    # shift keeps (doc_id, chunk_no) recoverable from the packed id
+    chunks = chunks.withColumn(
+        "chunk_id",
+        (F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("chunk_no")),
+    )
+    assignment = pack_sequences(
+        chunks, token_col="n_tokens", id_col="chunk_id", budget=pack_budget
+    ).select("chunk_id", "pack_id", "over_budget")
+    # one co-partitioned equi-join to carry the text alongside the
+    # assignment (the packer ships only (id, tokens) through Python)
+    return chunks.join(assignment, "chunk_id")
