@@ -466,6 +466,68 @@ def test_cap_per_group(spark):
     assert small.count() == 5
 
 
+def test_split_train_eval(spark):
+    from wikiextractor_spark.operators.sampling import (
+        deterministic_sample,
+        split_train_eval,
+    )
+
+    df = spark.range(10_000).select(F.col("id").alias("user_id"))
+    train, ev = split_train_eval(df, "user_id", 0.1)
+    tr = {r["user_id"] for r in train.collect()}
+    ho = {r["user_id"] for r in ev.collect()}
+    # disjoint and exhaustive — no key lost, none on both sides
+    assert tr.isdisjoint(ho) and len(tr) + len(ho) == 10_000
+    assert 0.06 < len(ho) / 10_000 < 0.14
+    # reproducible
+    tr2, _ = split_train_eval(df, "user_id", 0.1)
+    assert {r["user_id"] for r in tr2.collect()} == tr
+    # eval side IS the deterministic sample at the same (fraction,
+    # salt): one hash family, complementary gates
+    samp = {
+        r["user_id"]
+        for r in deterministic_sample(df, "user_id", 0.1, salt="split").collect()
+    }
+    assert samp == ho
+
+
+def test_stratified_sample(spark):
+    from wikiextractor_spark.operators.sampling import stratified_sample
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    got = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}, key_col="doc_id"
+    )
+    rates = {
+        r["lang"]: r["n"] / 10_000
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.45 < rates["en"] < 0.55
+    assert 0.07 < rates["de"] < 0.13
+    assert "fr" not in rates  # default_fraction=0 drops unlisted groups
+    # default keeps unlisted groups at the given rate
+    with_default = stratified_sample(
+        df, "lang", {"en": 0.5}, key_col="doc_id", default_fraction=1.0
+    )
+    n_fr = with_default.filter(F.col("lang") == "fr").count()
+    assert n_fr == 10_000
+    # deterministic
+    a = {r["doc_id"] for r in got.collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "lang", {"en": 0.5, "de": 0.1}, key_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+
+
 def test_chunk_documents_edges(spark):
     from wikiextractor_spark.operators.chunking import chunk_documents
 

@@ -63,3 +63,43 @@ def cap_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def split_train_eval(
+    df: DataFrame, key_col: str, eval_fraction: float, salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """→ ``(train, eval)``: a disjoint, exhaustive, reproducible split
+    by complementary gates on ONE hash — every key lands in exactly
+    one side, holdout membership never drifts between runs, and keys
+    shared across tables (a user's documents and events) land on the
+    SAME side when split with the same salt.  Two filters over one
+    narrow hash — no shuffle, no sampling bias from data order."""
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(f"eval_fraction must be in [0, 1], got {eval_fraction}")
+    gate = int(round(eval_fraction * _BUCKETS))
+    bucket = _hash_bucket(F.col(key_col), salt)
+    return df.filter(bucket >= gate), df.filter(bucket < gate)
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, fractions: dict, key_col: str,
+    default_fraction: float = 0.0, salt: str = "",
+) -> DataFrame:
+    """Per-group hash-gate sampling — the mix-rebalancing step: keep
+    ``fractions[group]`` of each group's keys (``default_fraction``
+    for unlisted groups).  The per-group thresholds fold into ONE
+    narrow CASE expression (groups are mix buckets — languages,
+    sources, quality bands — so the dict is small by construction);
+    selection stays deterministic and cross-table consistent exactly
+    like :func:`deterministic_sample`.  No shuffle."""
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    gate = F.lit(int(round(default_fraction * _BUCKETS)))
+    for g, frac in sorted(fractions.items()):
+        gate = F.when(
+            F.col(group_col) == F.lit(g), F.lit(int(round(frac * _BUCKETS)))
+        ).otherwise(gate)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < gate)

@@ -1457,14 +1457,19 @@ sql_query(
 )
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog sketches: approx_count_distinct per event_type,
-    checked against the exact count via a 5% relative-error band
-    (the estimator's default rsd) — measured error on this data is
-    ~0.7%."""
+    checked against the exact count via a 5% relative-error band.
+
+    The sketch runs at rsd=0.01 so the asserted band is 5 standard
+    deviations wide — the default rsd=0.05 makes 5% a ONE-sigma band,
+    which genuinely missed at sf0.1 (estimate 1400 vs exact 1500,
+    6.7% error) even though it held at the driver's sf0.01.  The
+    tighter sketch is ~16K registers per group — noise for a
+    per-group aggregate at any scale."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("_approx"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n"),
         )
