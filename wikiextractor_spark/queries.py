@@ -509,21 +509,30 @@ _DUCK_SHINGLES = (
     "      for i in range(len(string_split(text, ' ')) - 2)] "
     "ELSE [text] END"
 )
-_DUCK_SIG = (
-    "[list_min([md5(CAST(j AS VARCHAR) || '|' || s) for s in (%s)]) for j in range(8)]"
-    % _DUCK_SHINGLES
+# one md5 per shingle reduced mod P, then the affine seed family —
+# the same construction (and the same inlined (a_j, b_j) literals) as
+# dedup.minhash_signature
+_DUCK_HS = (
+    "[((('0x' || substring(md5(s), 1, 8))::UBIGINT)::BIGINT %% %d) "
+    "for s in (%s)]" % (dedup.MINHASH_P, _DUCK_SHINGLES)
+)
+_DUCK_SIG = "[%s]" % ", ".join(
+    f"list_min([({a} * h + {b}) % {dedup.MINHASH_P} for h in hs])"
+    for a, b in dedup._minhash_coeffs(8)
 )
 
 
 @query(
     "dd_minhash_signature",
-    f"SELECT doc_id, array_to_string({_DUCK_SIG}, ',') AS sig FROM documents"
-    " WHERE doc_id < 100",
+    f"""
+    SELECT doc_id, array_to_string({_DUCK_SIG}, ',') AS sig
+    FROM (SELECT doc_id, {_DUCK_HS} AS hs FROM documents WHERE doc_id < 100)
+    """,
 )
 def dd_minhash_signature(spark, sf_dir):
-    """MinHash signatures (8 hashes over word 3-shingles) — pure
-    higher-order expressions, bit-identical across engines.  The
-    signature array is serialized to one comma-joined string: the
+    """MinHash signatures (8 affine hashes over md5'd word 3-shingles)
+    — pure higher-order expressions, bit-identical across engines.
+    The signature array is serialized to one comma-joined string: the
     driver canonicalizer cannot sort ndarray cells."""
     return dedup.minhash_signature(
         _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
@@ -533,11 +542,12 @@ def dd_minhash_signature(spark, sf_dir):
 @query(
     "dd_lsh_candidate_pairs",
     f"""
-    WITH sigs AS (
-      SELECT doc_id, {_DUCK_SIG} AS sig
+    WITH hs AS (
+      SELECT doc_id, {_DUCK_HS} AS hs
       FROM (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 1000000, text FROM documents)
     ),
+    sigs AS (SELECT doc_id, {_DUCK_SIG} AS sig FROM hs),
     bands AS (
       SELECT doc_id, b,
              md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), ',')) AS bh
