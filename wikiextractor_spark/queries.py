@@ -1469,17 +1469,19 @@ def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog sketches: approx_count_distinct per event_type,
     checked against the exact count via a 5% relative-error band.
 
-    The sketch runs at rsd=0.01 so the asserted band is 5 standard
+    The sketch runs at rsd=0.02 so the asserted band is ~4.5 standard
     deviations wide — the default rsd=0.05 makes 5% a ONE-sigma band,
     which genuinely missed at sf0.1 (estimate 1400 vs exact 1500,
-    6.7% error) even though it held at the driver's sf0.01.  The
-    tighter sketch is ~16K registers per group — noise for a
-    per-group aggregate at any scale."""
+    6.7% error) even though it held at the driver's sf0.01.  Measured
+    at rsd=0.02: worst error 0.4% across sf0.001/0.01/0.1.  rsd=0.01
+    would be tighter still but trips a 3× slower HLL++ register
+    regime (measured 1.8 s vs 0.6 s warm at sf0.1); 0.02 buys the
+    statistical safety at sketch-merge speed."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n"),
         )
