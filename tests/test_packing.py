@@ -110,6 +110,19 @@ def test_prepare_corpus_end_to_end(spark, sf_dir):
     assert 0 < n_docs < n_all
 
 
+def test_prepare_corpus_with_decontamination(spark, sf_dir):
+    """The optional benchmark stage drops exact copies of benchmark
+    docs while leaving the rest of the composition intact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.orderBy("doc_id").limit(2).select("text")
+    kept = prepare_corpus(docs, dedup=None, benchmark=bench,
+                          decontam_threshold=0.5)
+    dropped = docs.count() - kept.count()
+    assert dropped >= 2  # at least the two planted benchmark docs
+    poisoned = {r.doc_id for r in docs.orderBy("doc_id").limit(2).collect()}
+    assert not {r.doc_id for r in kept.select("doc_id").collect()} & poisoned
+
+
 def test_prepare_corpus_filters_push_to_scan(spark, sf_dir):
     """The lang/quality filters must appear in the scan's pushed or
     post-scan filter stage BEFORE any exchange — i.e. the plan filters

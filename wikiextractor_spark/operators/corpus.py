@@ -5,6 +5,7 @@ of the engine's training-data operators into one declarative flow.
       → language filter        (textstats.lang_id, native)
       → quality gate           (textstats.quality_score, native)
       → dedup                  (exact hash-groupBy or LSH near-dup)
+      → decontaminate          (benchmark n-gram overlap, broadcast)
       → deterministic sample   (hash-gate, reproducible)
       → chunk                  (overlap windows, scan-speed)
       → pack                   (FFD token-budget packs)
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from wikiextractor_spark.functions.textstats import lang_id, quality_score
 from wikiextractor_spark.operators.chunking import chunk_documents
+from wikiextractor_spark.operators.decontam import decontaminate
 from wikiextractor_spark.operators.dedup import dedup_exact, dedup_near
 from wikiextractor_spark.operators.packing import pack_sequences
 from wikiextractor_spark.operators.sampling import deterministic_sample
@@ -38,6 +40,9 @@ def prepare_corpus(
     min_quality: float | None = None,
     dedup: str | None = "exact",
     near_threshold: float = 0.8,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    decontam_threshold: float = 0.1,
     sample_fraction: float | None = None,
     sample_salt: str = "corpus",
     chunk_tokens: int | None = None,
@@ -68,6 +73,13 @@ def prepare_corpus(
         out = dedup_near(out, text_col, id_col, threshold=near_threshold)
     elif dedup is not None:
         raise ValueError(f"dedup must be 'exact', 'near', or None, got {dedup!r}")
+    if benchmark is not None:
+        # after dedup (fewer docs to gram-hash), before sampling (the
+        # sample rate should apply to the clean population)
+        out = decontaminate(
+            out, benchmark, text_col=text_col, id_col=id_col,
+            n=decontam_ngram, threshold=decontam_threshold,
+        )
     if sample_fraction is not None:
         out = deterministic_sample(out, id_col, sample_fraction, sample_salt)
     if chunk_tokens is None:
