@@ -110,6 +110,26 @@ def test_prepare_corpus_end_to_end(spark, sf_dir):
     assert 0 < n_docs < n_all
 
 
+def test_prepare_corpus_repetition_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly normal document with plenty of distinct words "
+                "covering several different topics and never repeating itself "
+                "even once across its full length today"),
+            (2, "spam spam spam spam spam spam spam spam spam spam spam spam "
+                "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "write to bob@example.com with plenty of other distinct words "
+                "covering several different topics and never repeating itself "
+                "even once across its full length today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(docs, dedup=None, drop_repetitive=True, redact=True)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert set(rows) == {1, 3}          # repetitive doc dropped
+    assert "<EMAIL>" in rows[3] and "bob@" not in rows[3]
+
+
 def test_prepare_corpus_with_decontamination(spark, sf_dir):
     """The optional benchmark stage drops exact copies of benchmark
     docs while leaving the rest of the composition intact."""

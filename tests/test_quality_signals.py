@@ -1,0 +1,202 @@
+"""Repetition signals + PII redaction: naive-Python differentials and
+planted-example pins."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.functions.pii import (
+    PII_PATTERNS,
+    has_pii,
+    pii_counts,
+    redact_pii,
+)
+from wikiextractor_spark.functions.repetition import (
+    dup_line_char_fraction,
+    dup_line_fraction,
+    dup_ngram_fraction,
+    is_repetitive,
+    repetition_signals,
+    top_ngram_fraction,
+)
+
+# ---------------------------------------------------------------- repetition
+
+REP_DOCS = [
+    (1, "alpha beta gamma\ndelta epsilon\nzeta eta theta"),          # clean
+    (2, "nav home about contact\nreal content sentence with quite a few more "
+        "unique words inside\nnav home about contact\nnav home about contact"),  # dup lines
+    (3, "buy now " * 20),                                             # one phrase
+    (4, ""),                                                          # empty
+    (5, "only one line here"),
+    (6, "a b c d e f g h i j a b c d e f g h i j unique tail words"),  # dup grams
+]
+
+
+def _lines(t: str) -> list[str]:
+    return [l.strip() for l in t.split("\n") if l.strip()]
+
+
+def _grams(t: str, n: int) -> list[str]:
+    ws = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ") if w]
+    if not ws:
+        return []
+    if len(ws) < n:
+        return [" ".join(ws)]
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def _naive(t: str) -> dict[str, float]:
+    ls = _lines(t)
+    out = {}
+    out["dup_line_frac"] = (len(ls) - len(set(ls))) / len(ls) if ls else 0.0
+    if ls:
+        dup_chars = sum(len(l) for l in ls if ls.count(l) > 1)
+        out["dup_line_char_frac"] = dup_chars / sum(len(l) for l in ls)
+    else:
+        out["dup_line_char_frac"] = 0.0
+    for n, key in [(2, "top_2gram_frac"), (3, "top_3gram_frac")]:
+        gs = _grams(t, n)
+        out[key] = max(gs.count(g) for g in set(gs)) / len(gs) if gs else 0.0
+    gs = _grams(t, 5)
+    out["dup_5gram_frac"] = (
+        sum(1 for g in gs if gs.count(g) > 1) / len(gs) if gs else 0.0
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def rep_df(spark):
+    return spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+
+
+def test_repetition_signals_match_naive(rep_df):
+    rows = rep_df.select(
+        "doc_id", "text", repetition_signals("text").alias("s")
+    ).collect()
+    for r in rows:
+        want = _naive(r.text)
+        got = r.s.asDict()
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=1e-9), (r.doc_id, k, got[k], v)
+
+
+def test_repetition_extremes(rep_df):
+    got = {
+        r.doc_id: r.s.asDict()
+        for r in rep_df.select("doc_id", repetition_signals("text").alias("s")).collect()
+    }
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == pytest.approx(0.5)  # 2 repeats among 4 lines
+    assert got[3]["top_2gram_frac"] > 0.4                  # phrase-stuffed
+    assert got[4] == {k: 0.0 for k in got[4]}              # empty doc all zero
+    assert got[6]["dup_5gram_frac"] > 0.5
+
+
+def test_is_repetitive_gate(rep_df):
+    flagged = {
+        r.doc_id for r in rep_df.filter(is_repetitive("text")).collect()
+    }
+    assert {2, 3, 6} <= flagged
+    assert 1 not in flagged and 5 not in flagged
+
+
+def test_individual_functions_consistent_with_struct(rep_df):
+    row = (
+        rep_df.filter("doc_id = 2")
+        .select(
+            dup_line_fraction("text").alias("a"),
+            dup_line_char_fraction("text").alias("b"),
+            top_ngram_fraction("text", 2).alias("c"),
+            dup_ngram_fraction("text", 5).alias("d"),
+            repetition_signals("text").alias("s"),
+        )
+        .collect()[0]
+    )
+    assert row.a == row.s.dup_line_frac
+    assert row.b == row.s.dup_line_char_frac
+    assert row.c == row.s.top_2gram_frac
+    assert row.d == row.s.dup_5gram_frac
+
+
+def test_ngram_validation(rep_df):
+    with pytest.raises(ValueError):
+        top_ngram_fraction("text", 0)
+    with pytest.raises(ValueError):
+        dup_ngram_fraction("text", 0)
+
+
+# ----------------------------------------------------------------------- PII
+
+PII_DOCS = [
+    (1, "contact alice.smith+tag@example.co.uk for details", {"email": 1}),
+    (2, "server at 192.168.0.1 and 10.0.0.255 responded", {"ipv4": 2}),
+    (3, "ssn 123-45-6789 on file", {"ssn": 1}),
+    (4, "call (555) 123-4567 or 555.987.6543 today", {"phone": 2}),
+    (5, "version 1.2.3.4.5 and 999.999.1.1 are not addresses", {}),
+    (6, "clean text with numbers 12345 and words only", {}),
+    (7, "mail a@b.io, ip 8.8.8.8, call +1 212 555 0199", {"email": 1, "ipv4": 1, "phone": 1}),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in PII_DOCS], "doc_id long, text string"
+    )
+
+
+def test_pii_counts(pii_df):
+    got = {
+        r.doc_id: {k: v for k, v in r.c.asDict().items() if v}
+        for r in pii_df.select("doc_id", pii_counts("text").alias("c")).collect()
+    }
+    for doc_id, _, want in PII_DOCS:
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_redaction_removes_all_pii(pii_df):
+    red = pii_df.select(
+        "doc_id", redact_pii("text").alias("text")
+    )
+    # post-redaction, every detector reports zero
+    leftover = red.select(pii_counts("text").alias("c")).collect()
+    for r in leftover:
+        assert all(v == 0 for v in r.c.asDict().values()), r
+    # placeholders present where PII was
+    texts = {r.doc_id: r.text for r in red.collect()}
+    assert "<EMAIL>" in texts[1] and "alice" not in texts[1]
+    assert texts[2].count("<IP>") == 2
+    assert "<ID>" in texts[3]
+    assert texts[4].count("<PHONE>") == 2
+    # clean docs untouched
+    orig = {i: t for i, t, _ in PII_DOCS}
+    assert texts[5] == orig[5] and texts[6] == orig[6]
+
+
+def test_has_pii_matches_counts(pii_df):
+    rows = pii_df.select(
+        "doc_id", has_pii("text").alias("h"), pii_counts("text").alias("c")
+    ).collect()
+    for r in rows:
+        assert r.h == (sum(r.c.asDict().values()) > 0)
+
+
+def test_selective_kinds(pii_df):
+    red = {
+        r.doc_id: r.t
+        for r in pii_df.select(
+            "doc_id", redact_pii("text", kinds=("email",)).alias("t")
+        ).collect()
+    }
+    assert "<EMAIL>" in red[1]
+    assert "192.168.0.1" in red[2]  # ipv4 untouched when not requested
+
+
+def test_patterns_compile_in_python_too():
+    # patterns stay portable (documented Java/Python divergence aside)
+    for kind, (p, _) in PII_PATTERNS.items():
+        re.compile(p)

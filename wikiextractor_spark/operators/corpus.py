@@ -4,6 +4,8 @@ of the engine's training-data operators into one declarative flow.
     raw documents
       → language filter        (textstats.lang_id, native)
       → quality gate           (textstats.quality_score, native)
+      → repetition gate        (repetition.is_repetitive, native)
+      → PII redaction          (pii.redact_pii, native)
       → dedup                  (exact hash-groupBy or LSH near-dup)
       → decontaminate          (benchmark n-gram overlap, broadcast)
       → deterministic sample   (hash-gate, reproducible)
@@ -25,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from wikiextractor_spark.functions.pii import redact_pii
+from wikiextractor_spark.functions.repetition import is_repetitive
 from wikiextractor_spark.functions.textstats import lang_id, quality_score
 from wikiextractor_spark.operators.chunking import chunk_documents
 from wikiextractor_spark.operators.decontam import decontaminate
@@ -38,6 +42,8 @@ def prepare_corpus(
     *,
     target_lang: str | None = None,
     min_quality: float | None = None,
+    drop_repetitive: bool = False,
+    redact: bool = False,
     dedup: str | None = "exact",
     near_threshold: float = 0.8,
     benchmark: DataFrame | None = None,
@@ -67,6 +73,12 @@ def prepare_corpus(
         out = out.filter(lang_id(text_col) == target_lang)
     if min_quality is not None:
         out = out.filter(quality_score(text_col) >= min_quality)
+    if drop_repetitive:
+        out = out.filter(~is_repetitive(text_col))
+    if redact:
+        # redact BEFORE dedup so two docs differing only in their PII
+        # (same boilerplate, different email) collapse together
+        out = out.withColumn(text_col, redact_pii(text_col))
     if dedup == "exact":
         out = dedup_exact(out, text_col, id_col)
     elif dedup == "near":
