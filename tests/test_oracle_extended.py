@@ -223,3 +223,83 @@ def test_embedding_neighbor_symmetric_bound(spark):
     rows = df.collect()
     assert len(rows) == 100  # one neighbor per vec
     assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+
+
+def test_decontam_report_matches_duckdb_string_grams(spark, sf_dir):
+    """The xxhash64-based contamination report must agree doc-by-doc
+    with an independent DuckDB implementation that compares the gram
+    STRINGS directly (no hashing) — two different representations of
+    the same semantics."""
+    import duckdb
+
+    from wikiextractor_spark.operators.decontam import contamination_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.orderBy("doc_id").limit(5).select("text")
+    rep = contamination_report(docs, bench, n=13, threshold=0.1)
+    got = {r.doc_id: (r.n_grams, r.n_hits) for r in rep.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = con.execute(
+        """
+        WITH norm AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ') ws
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+                 ELSE [array_to_string(ws[i+1:i+13], ' ')
+                       for i in range(0, len(ws)-13+1)]
+            END gs
+          FROM norm),
+        bench AS (
+          SELECT DISTINCT unnest(gs) g FROM grams
+          WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)),
+        exploded AS (SELECT doc_id, len(gs) n_grams, unnest(gs) g FROM grams)
+        SELECT doc_id, any_value(n_grams),
+               sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)::BIGINT
+        FROM exploded GROUP BY doc_id
+        """
+    ).fetchall()
+    con.close()
+    want = {r[0]: (r[1], r[2]) for r in oracle}
+    assert got == want
+
+
+def test_dup_line_fraction_matches_duckdb(spark, sf_dir):
+    """Repetition signal vs an independent DuckDB list-expression
+    twin on the real documents table."""
+    import duckdb
+
+    from wikiextractor_spark.functions.repetition import dup_line_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: r.f
+        for r in docs.select("doc_id", dup_line_fraction("text").alias("f")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(
+        """
+        WITH l AS (
+          SELECT doc_id,
+                 [x for x in list_transform(string_split(text, chr(10)),
+                  y -> trim(y)) if x != ''] ls
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN len(ls)=0 THEN 0.0
+               ELSE (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls) END f
+        FROM l
+        """
+    ).fetchall()
+    con.close()
+    assert all(abs(f - got[d]) < 1e-9 for d, f in rows)
