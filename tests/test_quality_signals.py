@@ -200,3 +200,39 @@ def test_patterns_compile_in_python_too():
     # patterns stay portable (documented Java/Python divergence aside)
     for kind, (p, _) in PII_PATTERNS.items():
         re.compile(p)
+
+
+# ------------------------------------------------------- rolling fingerprint
+
+
+def test_rolling_fingerprint(spark):
+    from wikiextractor_spark.functions.textstats import (
+        ROLLING_FP_MOD,
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "world hello"), (3, "hello world"),
+         (4, "Hello   WORLD"), (5, "")],
+        "id long, text string",
+    )
+    h = {
+        r.id: r.h
+        for r in df.select("id", rolling_fingerprint(F.col("text")).alias("h")).collect()
+    }
+    # normalization (case + whitespace) and order sensitivity
+    assert h[1] == h[3] == h[4]
+    assert h[1] != h[2]
+    # all values inside the modulus
+    assert all(0 <= v < ROLLING_FP_MOD for v in h.values())
+    # composability: h(a ++ b) = (h(a) * base^|b| + h(b)) mod M —
+    # the identity that lets shard fingerprints combine in a
+    # tree-reduction without re-reading text
+    a, b = "quick brown fox", "jumps over lazy dogs"
+    full, ha, hb = [
+        r.h
+        for r in spark.createDataFrame([(f"{a} {b}",), (a,), (b,)], "text string")
+        .select(rolling_fingerprint(F.col("text")).alias("h"))
+        .collect()
+    ]
+    assert (ha * pow(1_000_003, 4, ROLLING_FP_MOD) + hb) % ROLLING_FP_MOD == full

@@ -156,3 +156,32 @@ def fingerprint(col: Column) -> Column:
 def min_word_hash(col: Column) -> Column:
     """1-hash MinHash over words — the cheapest document sketch."""
     return F.array_min(F.transform(words(col), F.md5))
+
+
+ROLLING_FP_MOD = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def rolling_fingerprint(col: Column, base: int = 1_000_003) -> Column:
+    """Order-sensitive polynomial rolling hash over word hashes:
+    ``h = (h * base + (xxhash64(word) mod M)) mod M`` with
+    M = 2³¹−1, one O(words) aggregate pass (Rabin-Karp family).
+
+    The explicit modulus keeps every intermediate < 2⁵², so the math
+    is safe under ANSI mode (Spark 4 default) where a bigint
+    wraparound would *throw*, and the identity stays portable to any
+    engine with 64-bit integers.
+
+    Complements :func:`fingerprint` (md5 of normalized text — order
+    falls out of the byte stream): the rolling form is incrementally
+    composable, so shard-level fingerprints combine without
+    re-reading text — ``h(a ++ b) = (h(a) * base^|b| + h(b)) mod M``
+    — which is what a 100 TB tree-reduction wants.  All JVM-side:
+    xxhash64 per word, no crypto hash, no Python."""
+    m = F.lit(ROLLING_FP_MOD).cast("long")
+    b = F.lit(base).cast("long")
+    ws = F.split(F.regexp_replace(F.lower(col), r"\s+", " "), " ")
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * b + F.pmod(F.xxhash64(w), m), m),
+    )
