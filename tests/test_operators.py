@@ -556,6 +556,34 @@ def test_stratified_sample(spark):
     assert a == b
 
 
+def test_sample_token_budget(spark, sf_dir):
+    from wikiextractor_spark.operators.sampling import sample_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.sum(F.size(F.split("text", " "))).alias("t")
+    total = docs.select(tok).collect()[0]["t"]
+
+    budget = total // 3
+    s = sample_token_budget(docs, budget)
+    got = s.select(tok).collect()[0]["t"]
+    # within sampling noise of the target (wide band: few hundred docs)
+    assert 0.75 * budget <= got <= 1.25 * budget
+    # reproducible: same ids both runs
+    a = {r.doc_id for r in s.select("doc_id").collect()}
+    b = {r.doc_id for r in sample_token_budget(docs, budget).select("doc_id").collect()}
+    assert a == b
+    # budget >= total is the identity
+    assert sample_token_budget(docs, total).count() == docs.count()
+    # token_col grain: exact column is used, not a text re-split
+    with_tok = docs.withColumn("n_tok", F.size(F.split("text", " ")))
+    s2 = sample_token_budget(with_tok, budget, token_col="n_tok")
+    assert {r.doc_id for r in s2.select("doc_id").collect()} == a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_token_budget(docs, -1)
+
+
 def test_chunk_documents_edges(spark):
     from wikiextractor_spark.operators.chunking import chunk_documents
 

@@ -2,6 +2,7 @@ from wikiextractor_spark.operators import (  # noqa: F401
     asof,
     chunking,
     corpus,
+    decontam,
     dedup,
     multimodal,
     packing,

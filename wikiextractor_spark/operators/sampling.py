@@ -103,3 +103,41 @@ def stratified_sample(
             F.col(group_col) == F.lit(g), F.lit(int(round(frac * _BUCKETS)))
         ).otherwise(gate)
     return df.filter(_hash_bucket(F.col(key_col), salt) < gate)
+
+
+def sample_token_budget(
+    df: DataFrame, budget_tokens: int, id_col: str = "doc_id",
+    token_col: str | None = None, text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Reproducible ~``budget_tokens``-sized subset ("give me a 10B
+    token slice of this corpus"): one aggregate pass measures the
+    total token count, the keep-fraction is ``budget / total``, and
+    selection is the same hash gate as :func:`deterministic_sample` —
+    narrow, shuffle-free, cross-table consistent on ``id_col``.
+
+    The returned sample's token count is budget ± sampling noise
+    (relative error ~1/√n_kept_docs — fractions of a percent at
+    corpus scale), which is the scale-correct contract: hitting the
+    budget EXACTLY requires a global running sum over a total order —
+    a single-partition window no 100 TB corpus should pay for a
+    tolerance nobody needs.  Token counting uses ``token_col`` when
+    the grain already carries one (e.g. chunked output), else
+    whitespace tokens of ``text_col``.
+
+    Deterministic given (corpus, salt): the measured total is a pure
+    function of the data, so reruns gate identically.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    n_tok = (
+        F.col(token_col) if token_col
+        else F.size(F.split(F.col(text_col), " "))
+    )
+    total = df.select(
+        F.sum(n_tok.cast("long")).alias("t")
+    ).collect()[0]["t"] or 0
+    if total <= budget_tokens:
+        return df
+    fraction = budget_tokens / total
+    return deterministic_sample(df, id_col, fraction, salt)
