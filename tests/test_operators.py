@@ -787,3 +787,31 @@ def test_multimodal_resize_and_frames(docs):
     assert {(r["doc_id"], r["frame_no"]): bytes(r["frame"]) for r in frames} == {
         (r["doc_id"], r["frame_no"]): bytes(r["frame"]) for r in frames2
     }
+
+
+def test_multimodal_extract_features(docs, spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wikiextractor_spark.operators.similarity import ann_topk_blas
+
+    media = multimodal.attach_fake_binary(docs.limit(30))
+    feats = multimodal.extract_features(media, dim=32)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows[:5]:
+        assert len(r["embedding"]) == 32
+        assert abs(math.sqrt(sum(x * x for x in r["embedding"])) - 1.0) < 1e-3
+    # deterministic
+    again = {r["doc_id"]: r["embedding"] for r in multimodal.extract_features(media, dim=32).collect()}
+    assert {r["doc_id"]: r["embedding"] for r in rows} == again
+    # the typed array<float> output feeds the ANN path directly
+    vecs = feats.select(F.col("doc_id").alias("vec_id"), "embedding")
+    qids = [rows[0]["doc_id"], rows[1]["doc_id"]]
+    topk = ann_topk_blas(vecs, query_ids=qids, k=3)
+    assert topk.count() == 2 * 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.extract_features(media, dim=0)

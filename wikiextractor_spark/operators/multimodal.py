@@ -20,7 +20,9 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -251,3 +253,53 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
 
     return df.mapInPandas(_batches, schema=FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-extraction stub over media payloads: a deterministic
+    unit-norm ``float[dim]`` embedding per row, derived from the
+    content hash (the fake stands in for a model forward pass — no
+    inference runtime ships in this container).
+
+    The Spark plumbing is the real deliverable and is exactly what a
+    model-backed kernel needs: Arrow-batched ``mapInPandas`` (the
+    model loads once per python worker, amortized over batches, NOT
+    once per row), a typed ``array<float>`` output that feeds the
+    similarity operators directly (``ann_topk``/``ann_topk_blas``/
+    IVF), and numpy-vectorized normalization per batch.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def _batches(iterator):
+        import numpy as np
+
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                # expand the 16-byte digest into dim pseudo-random
+                # floats (counter-mode md5), then L2-normalize
+                need = (dim * 4 + 15) // 16
+                buf = b"".join(
+                    hashlib.md5(payload + k.to_bytes(4, "big")).digest()
+                    for k in range(need)
+                )
+                v = np.frombuffer(buf[: dim * 4], dtype=np.uint32).astype(np.float64)
+                v = (v / 2**32) * 2.0 - 1.0
+                v = v / (np.linalg.norm(v) or 1.0)
+                rows.append((doc_id, mtype, v.astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(_batches, schema=FEATURES_SCHEMA)
