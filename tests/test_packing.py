@@ -143,6 +143,18 @@ def test_prepare_corpus_with_decontamination(spark, sf_dir):
     assert not {r.doc_id for r in kept.select("doc_id").collect()} & poisoned
 
 
+def test_prepare_corpus_token_budget(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    out = prepare_corpus(docs, dedup=None, token_budget=total // 2)
+    got = out.select(F.sum(F.size(F.split("text", " "))).alias("t")).collect()[0]["t"]
+    assert 0.7 * (total // 2) <= got <= 1.3 * (total // 2)
+    with pytest.raises(ValueError):
+        prepare_corpus(docs, sample_fraction=0.5, token_budget=100)
+
+
 def test_prepare_corpus_filters_push_to_scan(spark, sf_dir):
     """The lang/quality filters must appear in the scan's pushed or
     post-scan filter stage BEFORE any exchange — i.e. the plan filters

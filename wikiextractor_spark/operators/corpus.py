@@ -34,7 +34,10 @@ from wikiextractor_spark.operators.chunking import chunk_documents
 from wikiextractor_spark.operators.decontam import decontaminate
 from wikiextractor_spark.operators.dedup import dedup_exact, dedup_near
 from wikiextractor_spark.operators.packing import pack_sequences
-from wikiextractor_spark.operators.sampling import deterministic_sample
+from wikiextractor_spark.operators.sampling import (
+    deterministic_sample,
+    sample_token_budget,
+)
 
 
 def prepare_corpus(
@@ -50,6 +53,7 @@ def prepare_corpus(
     decontam_ngram: int = 13,
     decontam_threshold: float = 0.1,
     sample_fraction: float | None = None,
+    token_budget: int | None = None,
     sample_salt: str = "corpus",
     chunk_tokens: int | None = None,
     overlap: int = 0,
@@ -92,8 +96,20 @@ def prepare_corpus(
             out, benchmark, text_col=text_col, id_col=id_col,
             n=decontam_ngram, threshold=decontam_threshold,
         )
+    if sample_fraction is not None and token_budget is not None:
+        raise ValueError("give sample_fraction OR token_budget, not both")
     if sample_fraction is not None:
         out = deterministic_sample(out, id_col, sample_fraction, sample_salt)
+    elif token_budget is not None:
+        # NB: unlike every other stage this one runs an eager
+        # measuring aggregate over the upstream plan (budget/total
+        # needs the total), so it breaks the one-lazy-plan property —
+        # acceptable because the measurement is one cheap agg and the
+        # gate itself stays narrow
+        out = sample_token_budget(
+            out, token_budget, id_col=id_col, text_col=text_col,
+            salt=sample_salt,
+        )
     if chunk_tokens is None:
         if pack_budget is not None:
             raise ValueError("pack_budget requires chunk_tokens")
