@@ -139,12 +139,12 @@ def dup_ngram_fraction(text_col: str = "text", n: int = 5) -> Column:
     )
 
 
-def repetition_signals(text_col: str = "text") -> Column:
-    """All repetition signals as one struct column
-    ``(dup_line_frac, dup_line_char_frac, top_2gram_frac,
-    top_3gram_frac, dup_5gram_frac)``.  The normalized word array is
-    bound ONCE for the three gram signals and the line array once for
-    the two line signals — one normalization pass per row total."""
+def _signals_struct_sql(text_col: str) -> str:
+    """SQL for the bound signal struct ``(n_words, dup_line_frac,
+    dup_line_char_frac, top_2gram_frac, top_3gram_frac,
+    dup_5gram_frac)`` — nested lambda binding: the outer transform
+    binds the line array, the inner binds the normalized word array,
+    so all signals share one split + one normalization per row."""
 
     def gram_signal(n: int, body: str) -> str:
         return (
@@ -154,13 +154,10 @@ def repetition_signals(text_col: str = "text") -> Column:
 
     ls = _NONEMPTY_LINES.format(t=text_col)
     ws = _NORM_WORDS.format(t=text_col)
-    # nested lambda binding: outer binds the line array, inner binds
-    # the word array; the struct body references both — one split and
-    # one normalization per row for all five signals
-    return F.expr(
-        f"""
+    return f"""
         transform(array({ls}), ls ->
           transform(array({ws}), ws -> struct(
+            size(ws) AS n_words,
             CASE WHEN size(ls) = 0 THEN 0.0D
                  ELSE (size(ls) - size(array_distinct(ls))) * 1.0 / size(ls)
             END AS dup_line_frac,
@@ -175,7 +172,13 @@ def repetition_signals(text_col: str = "text") -> Column:
             {gram_signal(5, _dup_positions_sql("gs") + " * 1.0 / size(gs)")}
               AS dup_5gram_frac))[0])[0]
         """
-    )
+
+
+def repetition_signals(text_col: str = "text") -> Column:
+    """All repetition signals as one struct column ``(n_words,
+    dup_line_frac, dup_line_char_frac, top_2gram_frac,
+    top_3gram_frac, dup_5gram_frac)`` — compute once, gate on any."""
+    return F.expr(_signals_struct_sql(text_col))
 
 
 def is_repetitive(
@@ -194,14 +197,20 @@ def is_repetitive(
     Docs under ``min_words`` are never flagged here: a 4-word doc has
     top-2-gram fraction 1/3 by construction, so the ratio thresholds
     only mean something past a minimum length (Gopher likewise gates
-    short docs with a separate length filter, not these signals)."""
-    long_enough = (
-        F.size(F.expr(_NORM_WORDS.format(t=text_col))) >= min_words
-    )
-    return long_enough & (
-        (dup_line_fraction(text_col) > max_dup_line_frac)
-        | (dup_line_char_fraction(text_col) > max_dup_line_char_frac)
-        | (top_ngram_fraction(text_col, 2) > max_top_2gram_frac)
-        | (top_ngram_fraction(text_col, 3) > max_top_3gram_frac)
-        | (dup_ngram_fraction(text_col, 5) > max_dup_5gram_frac)
+    short docs with a separate length filter, not these signals).
+
+    The gate binds the signal STRUCT once and compares its fields —
+    composing the five standalone signal functions instead would
+    re-normalize and re-sort per signal (measured 4.0 s vs 1.3 s over
+    sf0.1)."""
+    return F.expr(
+        f"""
+        transform(array({_signals_struct_sql(text_col)}), s ->
+          s.n_words >= {min_words} AND (
+            s.dup_line_frac > {max_dup_line_frac}D
+            OR s.dup_line_char_frac > {max_dup_line_char_frac}D
+            OR s.top_2gram_frac > {max_top_2gram_frac}D
+            OR s.top_3gram_frac > {max_top_3gram_frac}D
+            OR s.dup_5gram_frac > {max_dup_5gram_frac}D))[0]
+        """
     )
