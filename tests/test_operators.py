@@ -815,3 +815,53 @@ def test_multimodal_extract_features(docs, spark):
 
     with _pytest.raises(ValueError):
         multimodal.extract_features(media, dim=0)
+
+
+def test_heavy_hitters_matches_full_groupby(docs, spark):
+    from wikiextractor_spark.operators.sketches import heavy_hitters
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    for k in (5, 20):
+        got = [(r["value"], r["n"]) for r in heavy_hitters(words, "w", k=k).collect()]
+        want = [
+            (r["w"], r["n"])
+            for r in words.filter("w != ''")
+            .groupBy("w")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "w")
+            .limit(k)
+            .collect()
+        ]
+        assert got == want
+
+
+def test_heavy_hitters_thin_spread_value(spark):
+    """A value spread thinly across many partitions must still win:
+    the per-TASK counter (not per-batch) merges its occurrences."""
+    from wikiextractor_spark.operators.sketches import heavy_hitters
+
+    # 'hot' appears twice in each of 200 groups of otherwise-unique
+    # values; every partition sees it only a few times
+    df = (
+        spark.range(10_000)
+        .repartition(16)
+        .selectExpr("CASE WHEN id % 25 < 2 THEN 'hot' ELSE concat('v', id) END AS w")
+    )
+    top = heavy_hitters(df, "w", k=1, candidates_per_partition=5).collect()
+    assert top[0]["value"] == "hot"
+    assert top[0]["n"] == 800  # 2 of every 25 ids
+
+
+def test_heavy_hitters_plan_and_validation(docs, spark):
+    from wikiextractor_spark.operators.sketches import heavy_hitters
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    out = heavy_hitters(words, "w", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters(words, "w", k=0)
+    with _pytest.raises(ValueError):
+        heavy_hitters(words, "w", k=10, candidates_per_partition=5)

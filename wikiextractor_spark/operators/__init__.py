@@ -9,5 +9,6 @@ from wikiextractor_spark.operators import (  # noqa: F401
     rangejoin,
     sampling,
     similarity,
+    sketches,
     skew,
 )
