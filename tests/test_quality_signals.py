@@ -236,3 +236,52 @@ def test_rolling_fingerprint(spark):
         .collect()
     ]
     assert (ha * pow(1_000_003, 4, ROLLING_FP_MOD) + hb) % ROLLING_FP_MOD == full
+
+
+# ------------------------------------------------------------ URL / domains
+
+
+URL_DOCS = [
+    (1, "see https://example.com/page. and http://www.Example.com/other?q=1,"),
+    (2, "nothing here"),
+    (3, "links https://a.org/x https://a.org/y (https://b.net/z)"),
+    (4, "with port http://user@sub.example.com:8080/p!"),
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(URL_DOCS, "doc_id long, text string")
+
+
+def test_extract_urls(url_df):
+    from wikiextractor_spark.functions.urls import extract_urls
+
+    got = {
+        r.doc_id: r.u
+        for r in url_df.select("doc_id", extract_urls("text").alias("u")).collect()
+    }
+    # trailing sentence punctuation trimmed; query strings kept
+    assert got[1] == ["https://example.com/page", "http://www.Example.com/other?q=1"]
+    assert got[2] == []
+    assert len(got[3]) == 3 and got[3][2] == "https://b.net/z"
+    assert got[4] == ["http://user@sub.example.com:8080/p"]
+
+
+def test_doc_urls_domains(url_df):
+    from wikiextractor_spark.functions.urls import doc_urls
+
+    got = {(r.doc_id, r.domain) for r in doc_urls(url_df).collect()}
+    # lowercased, www-stripped, port/userinfo handled by parse_url
+    assert got == {
+        (1, "example.com"), (3, "a.org"), (3, "b.net"), (4, "sub.example.com"),
+    }
+
+
+def test_domain_counts_full_and_topk_agree(url_df):
+    from wikiextractor_spark.functions.urls import domain_counts
+
+    full = [(r.domain, r.n_urls, r.n_docs) for r in domain_counts(url_df).collect()]
+    assert full[0] == ("a.org", 2, 1) and ("example.com", 2, 1) in full[:2]
+    top = [(r.domain, r.n_urls, r.n_docs) for r in domain_counts(url_df, top_k=2).collect()]
+    assert top == full[:2]
