@@ -110,6 +110,73 @@ def test_simhash_candidate_pairs_plan_no_pair_explosion(spark):
     assert "block_idx" in plan and "block_val" in plan
 
 
+def test_simhash32_candidate_pairs_equal_all_pairs(docs):
+    """The legacy 32-bit grain keeps the same zero-false-negative
+    pigeonhole guarantee (8-bit blocks) — pinned so ``sig_bits=32``
+    stays a correct small-data verification path."""
+    base = docs.select("doc_id", "text").limit(60)
+    doubled = base.union(base.withColumn("doc_id", F.col("doc_id") + 5000))
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(
+            doubled, max_distance=3, sig_bits=32
+        ).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(
+            doubled, max_distance=3, sig_bits=32
+        ).collect()
+    }
+    assert bucketed == naive
+
+
+def test_simhash_planted_dups_found_at_both_widths(docs):
+    """Exact copies are Hamming-0 in ANY signature width — every
+    planted pair must surface from both the 32- and 64-bit pipelines."""
+    base = docs.select("doc_id", "text").limit(40)
+    doubled = base.union(base.withColumn("doc_id", F.col("doc_id") + 5000))
+    ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    for bits in (32, 64):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_candidate_pairs(
+                doubled, max_distance=3, sig_bits=bits
+            ).collect()
+        }
+        for i in ids:
+            assert pairs[(i, i + 5000)] == 0, (bits, i)
+
+
+def test_simhash64_bucket_occupancy_beats_32(docs):
+    """THE point of the 64-bit width: 16-bit pigeonhole blocks keep
+    buckets sparse where 8-bit blocks birthday-collide.  On the
+    doubled corpus the 64-bit path must propose FAR fewer candidate
+    pairs (measured ~12× on sf0.001: 120856 → 9532; residual buckets
+    reflect genuinely similar synthetic docs, not hash collisions)."""
+    base = docs.select("doc_id", "text")
+    doubled = base.union(base.withColumn("doc_id", F.col("doc_id") + 5000))
+
+    def bucket_stats(bits):
+        sigs = (dedup.simhash64 if bits == 64 else dedup.simhash32)(doubled)
+        occ = (
+            dedup.simhash_blocks(sigs, n_blocks=4, sig_bits=bits)
+            .groupBy("block_idx", "block_val")
+            .count()
+        )
+        row = occ.agg(
+            F.max("count").alias("mx"),
+            # candidate pairs the equi-join would propose: C(n,2) per bucket
+            F.sum(F.expr("count * (count - 1) / 2")).alias("pairs"),
+        ).collect()[0]
+        return row["mx"], row["pairs"]
+
+    mx32, pairs32 = bucket_stats(32)
+    mx64, pairs64 = bucket_stats(64)
+    assert pairs64 * 4 < pairs32, (pairs64, pairs32)
+    assert mx64 < mx32
+
+
 def test_ngram_jaccard_bounds(docs):
     rows = dedup.ngram_jaccard_pairs(docs, max_id=15).collect()
     assert rows, "expected some pairs"

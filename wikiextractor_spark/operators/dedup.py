@@ -215,49 +215,100 @@ def minhash_lsh_candidate_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """→ ``(id, simhash bigint)``: 32-bit SimHash over word md5s,
-    computed per row with higher-order functions (narrow, shuffle-free).
-    Word value = first 8 md5 hex chars as uint32; signature bit i is
-    the sign of Σ(±1) over words at bit i."""
+def _simhash_sql(text_col: str, sig_bits: int) -> str:
+    """SQL-lambda SimHash expression over whitespace words.
+
+    Word value = leading md5 hex chars as an unsigned ``sig_bits``-wide
+    integer (64-bit assembled from two 32-bit halves so the signed
+    ``conv`` cast never overflows); signature bit i is the sign of
+    Σ(±1) over words at bit i.  The assembled signature is a signed
+    bigint whose BIT PATTERN is the signature — bit 63 lands on the
+    sign bit (``shiftleft(1L, 63)`` = Long.MIN), which two's-complement
+    addition sets exactly.  DuckDB mirrors it md5-for-md5 (see
+    queries.py _DUCK_SIMHASH64).
+    """
+    if sig_bits == 32:
+        vals = (
+            f"transform(split({text_col}, ' '), "
+            f"w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+        )
+    elif sig_bits == 64:
+        # hi/lo 32-bit halves: conv() yields a decimal STRING and a
+        # direct 16-hex-char cast overflows signed bigint for values
+        # >= 2^63; shiftleft keeps the bit pattern and the + cannot
+        # carry into already-zero low bits, so this is ANSI-safe.
+        vals = (
+            f"transform(split({text_col}, ' '), w -> "
+            f"shiftleft(cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint), 32)"
+            f" + cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint))"
+        )
+    else:
+        raise ValueError(f"sig_bits must be 32 or 64, got {sig_bits}")
+    n = sig_bits
     # word hash values bound ONCE via the array-wrap trick (see
     # _shingles_sql): inlined, they'd be recomputed for each of the
-    # 32 bit positions.
-    vals = (
-        f"transform(split({text_col}, ' '), "
-        f"w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
-    )
+    # n bit positions.  pmod(shiftright(v, i), 2) extracts bit i
+    # correctly for NEGATIVE v too (arithmetic shift + positive mod).
     bits = (
-        "transform(sequence(0, 31), i -> CASE WHEN "
+        f"transform(sequence(0, {n - 1}), i -> CASE WHEN "
         "aggregate(vs, cast(0 as bigint), "
         "(acc, v) -> acc + (pmod(shiftright(v, i), 2) * 2 - 1)) > 0 "
         "THEN cast(1 as bigint) ELSE cast(0 as bigint) END)"
     )
-    sig = (
+    return (
         f"transform(array({vals}), vs -> "
-        f"aggregate(zip_with({bits}, sequence(0, 31), "
+        f"aggregate(zip_with({bits}, sequence(0, {n - 1}), "
         f"(b, i) -> b * shiftleft(cast(1 as bigint), i)), "
         f"cast(0 as bigint), (acc, x) -> acc + x))[0]"
     )
-    return df.select(F.col(id_col), F.expr(sig).alias("simhash"))
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ ``(id, simhash bigint)``: 32-bit SimHash over word md5s,
+    computed per row with higher-order functions (narrow, shuffle-free).
+    Kept as the small-data/teaching grain; production near-dup uses
+    :func:`simhash64` (32-bit block buckets birthday-saturate past
+    ~10⁵ docs)."""
+    return df.select(
+        F.col(id_col), F.expr(_simhash_sql(text_col, 32)).alias("simhash")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ ``(id, simhash bigint)``: 64-bit SimHash (full bigint bit
+    pattern, sign bit = signature bit 63).  The corpus-scale grain:
+    with distance ≤ 3 pigeonholed into four 16-bit blocks, buckets
+    stay sparse to ~10⁸ docs (birthday bound √(2^16·ln…) per idx ≫
+    the 8-bit blocks' ~10⁵ saturation point)."""
+    return df.select(
+        F.col(id_col), F.expr(_simhash_sql(text_col, 64)).alias("simhash")
+    )
 
 
 def simhash_blocks(
     sigs: DataFrame, id_col: str = "doc_id", n_blocks: int = 4,
+    sig_bits: int = 32,
 ) -> DataFrame:
-    """→ ``(id, simhash, block_idx, block_val)``: the 32-bit signature
-    split into ``n_blocks`` contiguous bit blocks (widths as even as
-    possible).  Pigeonhole grain for sub-quadratic Hamming search: a
-    pair differing in fewer than ``n_blocks`` bits MUST agree exactly
-    on at least one block."""
-    if not 1 <= n_blocks <= 32:
-        raise ValueError(f"need 1 <= n_blocks <= 32, got {n_blocks}")
-    widths = [32 // n_blocks + (1 if i < 32 % n_blocks else 0)
+    """→ ``(id, simhash, block_idx, block_val)``: the ``sig_bits``-wide
+    signature split into ``n_blocks`` contiguous bit blocks (widths as
+    even as possible).  Pigeonhole grain for sub-quadratic Hamming
+    search: a pair differing in fewer than ``n_blocks`` bits MUST agree
+    exactly on at least one block."""
+    if not 1 <= n_blocks <= sig_bits:
+        raise ValueError(f"need 1 <= n_blocks <= {sig_bits}, got {n_blocks}")
+    widths = [sig_bits // n_blocks + (1 if i < sig_bits % n_blocks else 0)
               for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def _val(i: int) -> str:
+        if widths[i] >= 64:
+            # full-signature block: pmod's 1<<64 modulus would not fit
+            # a bigint literal; the identity is exactly right.
+            return "simhash"
+        return f"pmod(shiftright(simhash, {offsets[i]}), {1 << widths[i]})"
+
     structs = ", ".join(
-        f"struct({i} AS block_idx, "
-        f"pmod(shiftright(simhash, {offsets[i]}), {1 << widths[i]}) AS block_val)"
+        f"struct({i} AS block_idx, {_val(i)} AS block_val)"
         for i in range(n_blocks)
     )
     return sigs.select(
@@ -267,7 +318,7 @@ def simhash_blocks(
 
 def simhash_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_distance: int = 3,
+    max_distance: int = 3, sig_bits: int = 64,
 ) -> DataFrame:
     """Verified SimHash near-dup pairs at scale: the pigeonhole
     candidate stage replaces the all-pairs join.
@@ -284,19 +335,19 @@ def simhash_candidate_pairs(
     ``hamming <= max_distance``.
 
     Scale note: block-bucket collision rate is birthday-bounded by the
-    block width — with 32-bit signatures and 8-bit blocks the buckets
-    saturate beyond ~10⁵ docs.  At corpus scale use a wider SimHash
-    (64/128-bit) so each block carries 16+ bits; the topology here is
-    unchanged, 32-bit is the grain the DuckDB oracle can reproduce
-    md5-for-md5.
+    block width.  The default 64-bit signature with distance ≤ 3 gives
+    four 16-bit blocks — buckets stay sparse to ~10⁸ docs, and DuckDB
+    still mirrors it md5-for-md5 (16 leading hex chars).  The 32-bit
+    grain (8-bit blocks, saturates ~10⁵ docs) is kept for small-data
+    verification via ``sig_bits=32``.
     """
-    sigs = simhash32(df, text_col, id_col)
+    sigs = (simhash64 if sig_bits == 64 else simhash32)(df, text_col, id_col)
     # materialization barrier: the signature expression is large;
     # without it, projection collapse inlines it into both join sides
     # (see minhash_lsh_candidate_pairs).
-    blocks = simhash_blocks(sigs, id_col, max_distance + 1).localCheckpoint(
-        eager=True
-    )
+    blocks = simhash_blocks(
+        sigs, id_col, max_distance + 1, sig_bits
+    ).localCheckpoint(eager=True)
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     # the exact Hamming re-check runs BEFORE distinct: block buckets
@@ -325,13 +376,13 @@ def simhash_candidate_pairs(
 
 def simhash_hamming_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_distance: int = 4, max_id: int | None = None,
+    max_distance: int = 4, max_id: int | None = None, sig_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance on a bounded id
     range — the exact all-pairs VERIFICATION grain only (tests use it
     to pin :func:`simhash_candidate_pairs`, the sub-quadratic scale
     path)."""
-    sigs = simhash32(df, text_col, id_col)
+    sigs = (simhash64 if sig_bits == 64 else simhash32)(df, text_col, id_col)
     if max_id is not None:
         sigs = sigs.filter(F.col(id_col) < max_id)
     a, b = sigs.alias("a"), sigs.alias("b")

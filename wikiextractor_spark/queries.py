@@ -567,13 +567,20 @@ def dd_lsh_candidate_pairs(spark, sf_dir):
     return dedup.minhash_lsh_candidate_pairs(doubled)
 
 
-_DUCK_SIMHASH = """
+# 64-bit SimHash: word hash = 16 leading md5 hex chars as UBIGINT;
+# signature bit 63 lands on the bigint sign bit, and DuckDB refuses
+# `1::BIGINT << 63` (overflow check), so that term is the Long.MIN
+# literal — two's-complement addition sets the bit exactly, matching
+# Spark's shiftleft(1L, 63) (see dedup._simhash_sql).
+_DUCK_SIMHASH64 = """
     CAST(list_sum([
       CASE WHEN list_sum([
-        ((((('0x' || substring(md5(w), 1, 8))::UBIGINT >> i) & 1)::BIGINT) * 2 - 1)
+        ((((('0x' || substring(md5(w), 1, 16))::UBIGINT >> i) & 1)::BIGINT) * 2 - 1)
         for w in string_split(text, ' ')
-      ]) > 0 THEN (1::BIGINT << i) ELSE 0 END
-      for i in range(32)
+      ]) > 0 THEN (CASE WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                   ELSE (1::BIGINT << i) END)
+      ELSE 0::BIGINT END
+      for i in range(64)
     ]) AS BIGINT)
 """
 
@@ -588,7 +595,7 @@ _DUCK_SIMHASH = """
     "dd_simhash_pairs",
     f"""
     WITH sigs AS MATERIALIZED (
-      SELECT doc_id, {_DUCK_SIMHASH} AS simhash
+      SELECT doc_id, {_DUCK_SIMHASH64} AS simhash
       FROM (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 1000000, text FROM documents)
     )
@@ -602,9 +609,10 @@ _DUCK_SIMHASH = """
 )
 def dd_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs over a corpus with planted duplicates:
-    pigeonhole blocks (4 blocks of 8 bits for distance ≤ 3) →
-    equi-join on (block_idx, block_val) → exact Hamming re-check.
-    Never an all-pairs join (plan-tested)."""
+    64-bit signatures pigeonholed into 4 blocks of 16 bits for
+    distance ≤ 3 → equi-join on (block_idx, block_val) → exact Hamming
+    re-check.  Never an all-pairs join (plan-tested); 16-bit buckets
+    stay sparse to ~10⁸ docs (the 32-bit/8-bit grain saturated ~10⁵)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = docs.union(
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
