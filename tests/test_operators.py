@@ -919,6 +919,32 @@ def test_heavy_hitters_thin_spread_value(spark):
     assert top[0]["n"] == 800  # 2 of every 25 ids
 
 
+def test_heavy_hitters_bounded_memory_high_cardinality(spark):
+    """Per-task distinct cardinality ≫ candidates_per_partition: the
+    Misra-Gries summary holds ≤ m entries between batches (the old
+    exact dict would hold ~12k strings per task here) yet the true
+    heavy hitters still win with exact counts."""
+    from wikiextractor_spark.operators.sketches import heavy_hitters
+
+    # 5 hot values at 10% share each; ~100k singleton values
+    df = (
+        spark.range(200_000)
+        .repartition(8)
+        .selectExpr(
+            "CASE WHEN id % 10 < 5 THEN concat('hot', id % 5) "
+            "ELSE concat('v', id) END AS w"
+        )
+    )
+    got = [
+        (r["value"], r["n"])
+        for r in heavy_hitters(
+            df, "w", k=5, candidates_per_partition=50
+        ).collect()
+    ]
+    want = [(f"hot{i}", 20_000) for i in range(5)]
+    assert got == want
+
+
 def test_heavy_hitters_plan_and_validation(docs, spark):
     from wikiextractor_spark.operators.sketches import heavy_hitters
 
