@@ -417,6 +417,53 @@ def test_streaming_clean_and_windows(spark, sf_dir, tmp_path):
     assert len(mem) >= len(agg)
 
 
+def test_streaming_eviction_boundary_inclusive(spark, tmp_path):
+    """Pin Spark's append-mode eviction boundary (r3 ADVICE): a window
+    whose end EQUALS the final watermark is emitted (inclusive, i.e.
+    emit when watermark >= window end).  st_stream_hourly's oracle and
+    read-back filter both use `window_end <= max_ts - delay`; this
+    test is what licenses the <= — if a Spark upgrade makes eviction
+    strict, this fails before the battery flakes."""
+    import datetime
+
+    from wikiextractor_spark.session import tune
+    from wikiextractor_spark.streaming import windowed_event_counts
+
+    tune(spark)
+
+    def nanos(s):
+        return int(
+            datetime.datetime.fromisoformat(s + "+00:00").timestamp()
+            * 1_000_000_000
+        )
+
+    # window [10:00, 11:00); final event at exactly 11:00:01 with a 1s
+    # watermark delay -> final watermark = 11:00:00 == window end
+    rows = [
+        (1, nanos("2024-01-01 10:15:00"), 1, "click", 1.0, "{}"),
+        (2, nanos("2024-01-01 10:45:00"), 1, "click", 1.0, "{}"),
+        (3, nanos("2024-01-01 11:00:01"), 1, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    q = windowed_event_counts(
+        spark, str(tmp_path / "in"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), watermark="1 second",
+    )
+    assert q.awaitTermination(120)
+    emitted = {
+        (str(r["window"]["end"]), r["event_type"], r["n_events"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # the boundary window IS emitted; the still-open trailing window
+    # (containing the 11:00:01 event) is NOT
+    assert emitted == {("2024-01-01 11:00:00", "click", 2)}
+
+
 def test_asof_join_semantics(spark):
     from wikiextractor_spark.operators.asof import asof_join
 
@@ -721,6 +768,46 @@ def test_connected_component_survivors(spark):
         for r in dedup.connected_component_labels(pairs).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_component_long_chain_pointer_jumping(spark):
+    """A 300-hop chain converges well inside max_iter=20: pointer
+    jumping halves the unresolved distance per round (~log₂ rounds),
+    where plain neighbor-min propagation would need 300 rounds and
+    silently over-segment (r3 ADVICE)."""
+    import warnings as _w
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)  # non-convergence fails
+        labels = {
+            r["id"]: r["label"]
+            for r in dedup.connected_component_labels(pairs, max_iter=20).collect()
+        }
+    assert set(labels.values()) == {0}
+    assert len(labels) == 301
+
+
+def test_connected_component_nonconvergence_is_loud(spark):
+    """When max_iter is genuinely too small the result must not be
+    silent: 'warn' raises RuntimeWarning, 'raise' raises."""
+    import warnings as _w
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        dedup.connected_component_labels(pairs, max_iter=1).collect()
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_component_labels(
+            pairs, max_iter=1, on_nonconverged="raise"
+        ).collect()
+    with pytest.raises(ValueError):
+        dedup.connected_component_labels(pairs, on_nonconverged="bogus")
 
 
 def test_dedup_near_component_survivors(spark, docs):

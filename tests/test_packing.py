@@ -110,6 +110,34 @@ def test_prepare_corpus_end_to_end(spark, sf_dir):
     assert 0 < n_docs < n_all
 
 
+def test_prepare_corpus_chunk_id_range_guard(spark):
+    """chunk_id = doc_id << 20 | chunk_no collides silently out of
+    range — the in-projection raise_error guard must trip for
+    doc_id >= 2^43 (r3 'What's wrong' #4) and stay silent in range."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [(1 << 43, "alpha beta gamma delta " * 20)], "doc_id long, text string"
+    )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception),
+                       match="chunk_id packing needs"):
+        prepare_corpus(
+            bad, dedup=None, chunk_tokens=16, pack_budget=64
+        ).collect()
+    ok = spark.createDataFrame(
+        [((1 << 43) - 1, "alpha beta gamma delta " * 20)],
+        "doc_id long, text string",
+    )
+    rows = prepare_corpus(
+        ok, dedup=None, chunk_tokens=16, pack_budget=64
+    ).collect()
+    assert rows and all(
+        r["chunk_id"] == ((1 << 43) - 1) * (1 << 20) + r["chunk_no"]
+        for r in rows
+    )
+
+
 def test_prepare_corpus_repetition_and_redaction(spark):
     docs = spark.createDataFrame(
         [

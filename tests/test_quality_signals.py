@@ -246,6 +246,9 @@ URL_DOCS = [
     (2, "nothing here"),
     (3, "links https://a.org/x https://a.org/y (https://b.net/z)"),
     (4, "with port http://user@sub.example.com:8080/p!"),
+    # regex-matched but hostless: parse_url HOST is NULL — must drop
+    # from doc_urls so exact and top-k rollups agree (r3 ADVICE)
+    (5, "broken https://. scheme only"),
 ]
 
 
@@ -285,3 +288,6 @@ def test_domain_counts_full_and_topk_agree(url_df):
     assert full[0] == ("a.org", 2, 1) and ("example.com", 2, 1) in full[:2]
     top = [(r.domain, r.n_urls, r.n_docs) for r in domain_counts(url_df, top_k=2).collect()]
     assert top == full[:2]
+    # the planted hostless URL (doc 5) must not create a NULL-domain
+    # group on EITHER path
+    assert all(d is not None for d, _, _ in full)

@@ -32,8 +32,11 @@ def extract_urls(col: Column | str) -> Column:
 def url_domain(url: Column) -> Column:
     """Registrable host of a URL, lowercased, ``www.`` stripped
     (``parse_url`` is the JVM's own URL parser — no regex fragility
-    for userinfo/ports/IPv6)."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    for userinfo/ports/IPv6).  ``try_parse_url``: under Spark 4 ANSI
+    the plain form THROWS on malformed matches (e.g. scheme-only
+    ``https://``) instead of yielding NULL — a crawled corpus will
+    contain those."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -41,10 +44,15 @@ def doc_urls(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """→ ``(id, url, domain)``: one row per URL occurrence.  Narrow
-    (explode only); rows with no URLs drop out."""
+    (explode only); rows with no URLs drop out, as do matches whose
+    HOST ``parse_url`` cannot parse (domain NULL) — filtering those
+    HERE keeps every downstream rollup path consistent (the top-k
+    heavy-hitter pass drops NULL keys; the exact path would otherwise
+    emit a NULL-domain group the top-k path can never surface)."""
     return (
         df.select(F.col(id_col), F.explode(extract_urls(text_col)).alias("url"))
         .withColumn("domain", url_domain(F.col("url")))
+        .filter(F.col("domain").isNotNull())
     )
 
 

@@ -118,11 +118,20 @@ def prepare_corpus(
     if pack_budget is None:
         return chunks
     # one id per CHUNK so packing's unit is the training row; the
-    # shift keeps (doc_id, chunk_no) recoverable from the packed id
-    chunks = chunks.withColumn(
-        "chunk_id",
-        (F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("chunk_no")),
+    # shift keeps (doc_id, chunk_no) recoverable from the packed id.
+    # Range contract: doc_id ∈ [0, 2^43) and chunk_no < 2^20, else the
+    # packed id collides silently — enforced per row INSIDE the
+    # projection (raise_error is JVM-side and adds no extra pass over
+    # the corpus, unlike a driver-side max-agg)
+    guard = (
+        f"CASE WHEN {id_col} < 0 OR {id_col} >= {1 << 43} "
+        f"OR chunk_no >= {1 << 20} THEN "
+        f"raise_error(concat('chunk_id packing needs 0 <= {id_col} < 2^43 "
+        f"and chunk_no < 2^20; got {id_col}=', {id_col}, "
+        f"', chunk_no=', chunk_no)) "
+        f"ELSE cast({id_col} as long) * {1 << 20} + chunk_no END"
     )
+    chunks = chunks.withColumn("chunk_id", F.expr(guard))
     assignment = pack_sequences(
         chunks, token_col="n_tokens", id_col="chunk_id", budget=pack_budget
     ).select("chunk_id", "pack_id", "over_budget")

@@ -1328,8 +1328,12 @@ def dd_embedding_neighbor(spark, sf_dir):
 @query(
     "st_stream_hourly",
     # Append-mode emission is SQL-expressible after the fact: a window
-    # is emitted iff its end precedes the final watermark
-    # (max event time − 1s delay).  The oracle computes that closed-
+    # is emitted iff its end precedes OR EQUALS the final watermark
+    # (max event time − 1s delay) — the inclusive boundary is pinned
+    # by tests/test_operators.py::test_streaming_eviction_boundary_
+    # inclusive on synthetic data whose max ts sits exactly at
+    # window_end + delay, so the <= below cannot silently flake if a
+    # Spark upgrade shifts eviction.  The oracle computes that closed-
     # window set from the batch table — upgrading r2's rows-only slot
     # to a full hash check on the streaming sink's output.
     """

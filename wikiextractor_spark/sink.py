@@ -131,6 +131,9 @@ def write_sized_parquet(
             sample = sample.persist()
             k = sample.count()
             if k == 0:
+                # release the empty sample BEFORE rebinding, or its
+                # cached blocks outlive the function (r3 ADVICE)
+                sample.unpersist()
                 sample = df.limit(min(n_rows, 10_000)).persist()
                 k = sample.count()
             tmp = tempfile.mkdtemp(prefix="sizing_sample_")
