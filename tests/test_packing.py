@@ -80,6 +80,63 @@ def test_pack_stats(spark, token_df):
     assert stats["wasted_tokens"] >= 0
 
 
+def test_segment_tree_first_fit_equals_linear_scan(spark):
+    """The capacity-indexed first fit must be ASSIGNMENT-IDENTICAL to
+    the naive linear scan (the segment tree's leftmost descent finds
+    the same lowest-indexed fitting pack)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 130)) for i in range(400)]
+    packed = {
+        r["doc_id"]: (r["pack_id"], r["over_budget"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, n_tokens long"),
+            budget=BUDGET, num_groups=1,
+        ).collect()
+    }
+
+    # reference: the pre-r4 linear-scan FFD, group 0 only
+    srt = sorted(rows, key=lambda t: (-t[1], t[0]))
+    caps: list[int] = []
+    want = {}
+    for i, toks in srt:
+        if toks > BUDGET:
+            caps.append(0)
+            want[i] = (len(caps) - 1, True)
+            continue
+        for j, c in enumerate(caps):
+            if toks <= c:
+                caps[j] = c - toks
+                want[i] = (j, False)
+                break
+        else:
+            caps.append(BUDGET - toks)
+            want[i] = (len(caps) - 1, False)
+    assert packed == want
+
+
+def test_packing_adversarial_mix_is_fast(spark):
+    """10⁵ near-half-budget rows in ONE group: every row fails to fit
+    every open pack, the old linear scan's O(n²) worst case (minutes);
+    the segment tree answers each probe from the root in O(1) here.
+    Done-criterion from r3: finishes in seconds."""
+    import time
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(BUDGET // 2 + 1) + (F.col("id") % 10)).alias("n_tokens"),
+    )
+    t0 = time.monotonic()
+    packed = pack_sequences(df, budget=BUDGET, num_groups=1).cache()
+    n = packed.count()
+    elapsed = time.monotonic() - t0
+    assert n == 100_000
+    # every pack holds exactly one row (nothing fits with anything)
+    assert packed.select("pack_id").distinct().count() == 100_000
+    assert elapsed < 60, f"adversarial packing took {elapsed:.1f}s"
+
+
 def test_prepare_corpus_end_to_end(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = prepare_corpus(

@@ -60,26 +60,65 @@ def pack_sequences(
         ).reset_index(drop=True)
         group_key = int(pdf["_grp"].iloc[0])
         base = group_key << _GROUP_SHIFT
-        capacities: list[int] = []  # remaining tokens per open pack
+        # Capacity-indexed first fit: a max-segment-tree over pack
+        # indices (tree[v] = max remaining capacity in v's subtree;
+        # leftmost descent) finds the LOWEST-indexed pack that fits in
+        # O(log packs) — assignment-identical to a linear scan, but an
+        # adversarial mix (everything just over budget/2 → every row
+        # scans all open packs) is O(n log n) instead of O(n²) Python
+        # steps per group (r3 'What's wrong' #2).
+        size = 1                    # leaf slots (power of two)
+        tree = [0, 0]               # 1-indexed heap layout; tree[1] = root
+        remaining: list[int] = []   # per-pack remaining (leaf mirror)
+
+        def _update(leaf: int, cap: int) -> None:
+            v = size + leaf
+            tree[v] = cap
+            v //= 2
+            while v:
+                tree[v] = max(tree[2 * v], tree[2 * v + 1])
+                v //= 2
+
+        def _open(cap: int) -> int:
+            nonlocal size, tree
+            remaining.append(cap)
+            if len(remaining) > size:
+                # double the leaf span and rebuild — O(size), so the
+                # doublings cost O(n) total (amortized O(1) per pack)
+                size *= 2
+                tree = [0] * (2 * size)
+                tree[size : size + len(remaining)] = remaining
+                for v in range(size - 1, 0, -1):
+                    tree[v] = max(tree[2 * v], tree[2 * v + 1])
+            else:
+                _update(len(remaining) - 1, cap)
+            return len(remaining) - 1
+
+        def _first_fit(need: int) -> int | None:
+            # unopened leaf slots hold 0, which only a need-0 row could
+            # phantom-match — the empty check closes that hole
+            if not remaining or tree[1] < need:
+                return None
+            v = 1
+            while v < size:
+                v = 2 * v if tree[2 * v] >= need else 2 * v + 1
+            return v - size
+
         pack_ids = []
         over = []
         for toks in pdf[token_col].astype("int64"):
             toks = int(toks)
             if toks > budget:
-                capacities.append(0)  # dedicated, already full
-                pack_ids.append(base + len(capacities) - 1)
+                pack_ids.append(base + _open(0))  # dedicated, already full
                 over.append(True)
                 continue
-            # first fit: tokens arrive in decreasing order, so open
-            # packs fill front-to-back and the scan stays short
-            for i, cap in enumerate(capacities):
-                if toks <= cap:
-                    capacities[i] = cap - toks
-                    pack_ids.append(base + i)
-                    break
+            i = _first_fit(toks)
+            if i is None:
+                i = _open(budget - toks)
             else:
-                capacities.append(budget - toks)
-                pack_ids.append(base + len(capacities) - 1)
+                remaining[i] -= toks
+                _update(i, remaining[i])
+            pack_ids.append(base + i)
             over.append(False)
         pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
         pdf["over_budget"] = pd.Series(over, dtype="bool")
