@@ -379,6 +379,68 @@ def test_multimodal_plumbing(docs):
         multimodal.decode_media(media, codec="pil")
 
 
+def test_pil_probe_routes_image_path(monkeypatch):
+    """Contract for the day a real codec exists (r3 next-round #6):
+    with a PIL stub importable, codec='auto' must route image rows
+    through PIL (probe True); without it, the fake kernel serves
+    (probe False).  Driven at the extracted kernel grain — a
+    driver-side sys.modules patch can never reach Spark workers."""
+    import sys
+    import types
+
+    # --- probe outcome 1: this container has no PIL
+    assert not multimodal._pil_available()
+    assert multimodal._pil_decode_meta is not None  # import stays lazy
+
+    # --- probe outcome 2: a minimal PIL stub appears
+    class _StubImage:
+        width, height, n_frames = 7, 5, 2
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def tobytes(self):
+            return b"stub-pixels-stub-pixels"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = staticmethod(lambda fp: _StubImage())
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    assert multimodal._pil_available()
+    assert multimodal._pil_decode_meta(b"anything") == (7, 5, 3, 2)
+
+    # image row + use_real: dims and pixels come from the stub
+    row = multimodal._decode_row(1, b"payload", "image", True)
+    assert row == (1, "image", b"stub-pixels-stub", 7, 5)
+    # non-image rows and use_real=False stay on the fake kernel
+    import hashlib as _hl
+
+    fake_pixels = (_hl.md5(b"payload").digest() * 4)[:16]
+    assert multimodal._decode_row(1, b"payload", "audio", True)[2] == fake_pixels
+    assert multimodal._decode_row(1, b"payload", "image", False)[2] == fake_pixels
+
+
+def test_decode_media_auto_equals_fake_without_pil(spark):
+    """In this container codec='auto' must degrade to the fake kernel
+    byte-for-byte (the call-time probe returns False)."""
+    media = spark.createDataFrame(
+        [(1, b"aa", "image"), (2, b"bb", "audio")],
+        "doc_id long, media binary, media_type string",
+    )
+    auto = sorted(map(tuple, multimodal.decode_media(media, codec="auto").collect()))
+    fake = sorted(map(tuple, multimodal.decode_media(media, codec="fake").collect()))
+    assert auto == fake
+
+
 def test_streaming_clean_and_windows(spark, sf_dir, tmp_path):
     from wikiextractor_spark.streaming import (
         clean_documents_stream,

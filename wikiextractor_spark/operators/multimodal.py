@@ -153,32 +153,48 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     use_real = codec in ("auto", "pil") and _pil_available()
 
     def _batches(iterator):
+        # executors RE-PROBE PIL in their own interpreter: the driver's
+        # probe only gates the 'pil' strictness check, so a cluster
+        # where workers lack the lib degrades per the codec contract
+        # instead of assuming the driver's environment
+        worker_real = use_real and _pil_available()
         for pdf in iterator:
-            rows = []
-            for doc_id, payload, mtype in zip(
-                pdf["doc_id"], pdf["media"], pdf["media_type"]
-            ):
-                payload = bytes(payload) if payload is not None else b""
-                real = (
-                    _pil_decode_meta(payload)
-                    if use_real and mtype == "image"
-                    else None
+            rows = [
+                _decode_row(
+                    doc_id,
+                    bytes(payload) if payload is not None else b"",
+                    mtype,
+                    worker_real,
                 )
-                if real is not None:
-                    w, h, _, _ = real
-                    import io as _io
-
-                    import PIL.Image as _img
-
-                    with _img.open(_io.BytesIO(payload)) as im:
-                        pixels = im.tobytes()[:16]
-                else:
-                    w, h, _, _ = _fake_decode_meta(payload, mtype)
-                    pixels = (hashlib.md5(payload).digest() * 4)[:16]
-                rows.append((doc_id, mtype, pixels, w, h))
+                for doc_id, payload, mtype in zip(
+                    pdf["doc_id"], pdf["media"], pdf["media_type"]
+                )
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.mapInPandas(_batches, schema=DECODED_SCHEMA)
+
+
+def _decode_row(
+    doc_id: int, payload: bytes, mtype: str, use_real: bool,
+) -> tuple:
+    """One row of :func:`decode_media` — module-level so the PIL
+    routing contract is testable without Spark workers (the probe test
+    monkeypatches a PIL stub and drives this directly; a driver-side
+    ``sys.modules`` patch can never reach a worker process)."""
+    real = _pil_decode_meta(payload) if use_real and mtype == "image" else None
+    if real is not None:
+        import io as _io
+
+        import PIL.Image as _img
+
+        w, h, _, _ = real
+        with _img.open(_io.BytesIO(payload)) as im:
+            pixels = im.tobytes()[:16]
+    else:
+        w, h, _, _ = _fake_decode_meta(payload, mtype)
+        pixels = (hashlib.md5(payload).digest() * 4)[:16]
+    return (doc_id, mtype, pixels, w, h)
 
 
 def media_stats(meta: DataFrame) -> DataFrame:
