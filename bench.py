@@ -53,6 +53,7 @@ def main() -> None:
         "mm_media_meta",
         "ta_tfidf_keywords",
         "ta_chunk_documents",
+        "corpus_prepare",
         "rel_grouping_sets",
         "rel_range_join",
         "ev_asof_join",

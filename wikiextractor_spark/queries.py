@@ -827,19 +827,6 @@ sql_query(
 )
 
 sql_query(
-    "rel_setops",
-    """
-    SELECT c_custkey FROM (
-      SELECT c_custkey FROM customer WHERE c_acctbal >= 5000
-      UNION
-      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    ) u
-    EXCEPT
-    SELECT c_custkey FROM customer WHERE c_acctbal < 0
-    """,
-)
-
-sql_query(
     "rel_status_matrix",
     """
     SELECT o_orderpriority,
@@ -1159,9 +1146,10 @@ def rel_range_join(spark, sf_dir):
     )
 
 # IN-subquery (plans as a left-semi join) + scalar subquery (one
-# broadcast scalar) in a single query.  Merged from r1's
-# rel_in_subquery + rel_scalar_subquery (both green) to free a
-# battery slot under the driver's 50-entry cap.
+# broadcast scalar) + UNION/EXCEPT set ops in a single query.  Merged
+# from r1's rel_in_subquery + rel_scalar_subquery and r3's rel_setops
+# (all green) to free battery slots under the driver's 50-entry cap
+# (r4 claimed the freed slot for corpus_prepare).
 sql_query(
     "rel_subqueries",
     """
@@ -1169,6 +1157,15 @@ sql_query(
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
     FROM customer
     WHERE c_custkey IN (
+      SELECT c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal >= 5000
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      ) u
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    AND c_custkey IN (
       SELECT o_custkey FROM orders WHERE o_totalprice > 300000
     ) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
     """,
@@ -1282,6 +1279,87 @@ def ta_chunk_documents(spark, sf_dir):
 
     return chunk_documents(
         _docs(spark, sf_dir), chunk_tokens=16, overlap=4
+    )
+
+
+# The flagship composition under the driver's oracle (r3 next-round
+# #3): every stage of prepare_corpus in this configuration is
+# md5-expressible, so DuckDB states the WHOLE pipeline — lang filter
+# (stopword-profile argmax), quality gate (rounded composite), exact
+# dedup (min-id survivor per md5(text), planted copies dropped),
+# deterministic hash-gate sample (salt 'corpus', fraction 0.6), and
+# 16/4 overlap chunking.  Stage formulas are copied verbatim from the
+# per-stage oracles (ta_lang_fingerprint, ta_text_profile,
+# dd_exact_groups, ta_chunk_documents) so a corpus_prepare mismatch
+# localizes to the COMPOSITION, not a stage.
+@query(
+    "corpus_prepare",
+    rf"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             {_LANG_HITS_DUCK['en']} AS en, {_LANG_HITS_DUCK['de']} AS de,
+             {_LANG_HITS_DUCK['es']} AS es, {_LANG_HITS_DUCK['fr']} AS fr,
+             round(0.5 * least(length(text) / 500.0, 1.0)
+                   + 4.0 * ({_LANG_HITS_DUCK['en']} * 1.0
+                            / len(string_split(text, ' ')))
+                   - 0.3 * (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                            * 1.0 / length(text)), 6) AS q
+      FROM src
+    ),
+    gated AS (
+      SELECT doc_id, text FROM scored
+      WHERE (CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                  WHEN de >= es AND de >= fr THEN 'de'
+                  WHEN es >= fr THEN 'es' ELSE 'fr' END) = 'en'
+        AND q >= 0.5
+    ),
+    ded AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+    ),
+    samp AS (
+      SELECT doc_id, text FROM ded
+      WHERE ('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR), 'corpus')), 1, 8))::UBIGINT
+            % 1000000 < 600000
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM samp),
+    n AS (SELECT doc_id, ws,
+                 CASE WHEN len(ws) <= 16 THEN 1
+                      ELSE (len(ws) - 4 + 11) // 12 END AS nc
+          FROM w),
+    c AS (SELECT doc_id,
+                 unnest([{{'no': i,
+                          'chunk': array_to_string(ws[(i*12+1):(i*12+16)], ' ')}}
+                         for i in range(nc)]) AS s
+          FROM n)
+    SELECT doc_id, s.no AS chunk_no, s.chunk AS chunk,
+           len(string_split(s.chunk, ' ')) AS n_tokens
+    FROM c
+    """,
+)
+def corpus_prepare(spark, sf_dir):
+    """End-to-end prepare_corpus over a corpus with planted duplicates:
+    lang filter → quality gate → exact dedup → deterministic sample →
+    chunk, composed as ONE lazy plan (narrow filters reach the scan
+    below the dedup Exchange — plan-audited in tests).  The one
+    battery entry that exercises operator COMPOSITION rather than a
+    single operator."""
+    from wikiextractor_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return corpus.prepare_corpus(
+        doubled, target_lang="en", min_quality=0.5, dedup="exact",
+        sample_fraction=0.6, sample_salt="corpus",
+        chunk_tokens=16, overlap=4,
     )
 
 
