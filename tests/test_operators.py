@@ -948,6 +948,23 @@ def test_decode_media_codec_gating(docs):
         multimodal.decode_media(media, codec="ffmpeg")
 
 
+def test_spread_for_compute_conditional(spark):
+    """spread_for_compute must widen a low-split frame to the default
+    parallelism and pass an already-wide frame through UNTOUCHED (no
+    shuffle at corpus scale, where splits >> cores)."""
+    from wikiextractor_spark.operators.skew import spread_for_compute
+
+    narrow = spark.range(1000).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    spread = spread_for_compute(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    assert spread.count() == 1000
+
+    wide = spark.range(1000).repartition(target + 8)
+    assert spread_for_compute(wide) is wide  # identity, not a new plan
+    assert spread_for_compute(narrow, min_partitions=1) is narrow
+
+
 def test_salted_join_equals_plain_join(spark):
     from wikiextractor_spark.operators.skew import salted_join
 

@@ -192,8 +192,14 @@ def minhash_lsh_candidate_pairs(
     swap ``localCheckpoint`` for a reliable ``checkpoint`` dir so the
     sketch survives executor loss.
     """
+    from wikiextractor_spark.operators.skew import spread_for_compute
+
+    # the signature pass is compute-bound: spread a low-split input
+    # (single file / single row group) across the cores first — no-op
+    # whenever upstream already has enough splits (see skew.py)
+    src = spread_for_compute(df.select(id_col, text_col))
     buckets = minhash_band_buckets(
-        minhash_signature(df, text_col, id_col, num_hashes, shingle),
+        minhash_signature(src, text_col, id_col, num_hashes, shingle),
         id_col, bands, rows_per_band,
     ).localCheckpoint(eager=True)
     a = buckets.alias("a")
@@ -343,7 +349,13 @@ def simhash_candidate_pairs(
     grain (8-bit blocks, saturates ~10⁵ docs) is kept for small-data
     verification via ``sig_bits=32``.
     """
-    sigs = (simhash64 if sig_bits == 64 else simhash32)(df, text_col, id_col)
+    from wikiextractor_spark.operators.skew import spread_for_compute
+
+    # signature pass is compute-bound (64 interpreted bit-tallies per
+    # word): spread a low-split input across the cores first — no-op
+    # whenever upstream already has enough splits (see skew.py)
+    src = spread_for_compute(df.select(id_col, text_col))
+    sigs = (simhash64 if sig_bits == 64 else simhash32)(src, text_col, id_col)
     # materialization barrier: the signature expression is large;
     # without it, projection collapse inlines it into both join sides
     # (see minhash_lsh_candidate_pairs).
