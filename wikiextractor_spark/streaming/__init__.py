@@ -2,6 +2,8 @@ from wikiextractor_spark.streaming.dedup import (  # noqa: F401
     dedup_events_to_parquet,
     deduped_document_stream,
     deduped_event_stream,
+    near_dedup_documents_incremental,
+    near_deduped_document_stream,
 )
 from wikiextractor_spark.streaming.sessionize import (  # noqa: F401
     read_sessions,

@@ -99,3 +99,134 @@ def deduped_document_stream(
         .withColumn("content_hash", F.sha2(F.col("text"), 256))
         .dropDuplicates(["content_hash"])
     )
+
+
+def near_deduped_document_stream(
+    spark: SparkSession, input_dir: str, path_glob: str | None = None,
+) -> DataFrame:
+    """Documents stream with SIGNATURE-GRAIN near dedup: first arrival
+    of each 64-bit SimHash signature wins.
+
+    The signature is a narrow expression (``dedup._simhash_sql``), so
+    it streams like any projection; the only stateful op is the drop.
+    Grain contract, stated honestly: signature EQUALITY collapses
+    exact copies and most tiny edits (the sign-sum is robust to a few
+    changed words), but two docs at small positive Hamming distance
+    are NOT collapsed — that needs the cross-bucket candidate join,
+    which is :func:`near_dedup_documents_incremental`'s micro-batch
+    job.  Same unbounded-state trade as
+    :func:`deduped_document_stream`, same ``ingest_ts`` escape hatch.
+    """
+    from wikiextractor_spark.operators.dedup import _simhash_sql
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return (
+        reader.parquet(input_dir)
+        .withColumn("simhash", F.expr(_simhash_sql("text", 64)))
+        .dropDuplicates(["simhash"])
+    )
+
+
+def near_dedup_documents_incremental(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    state_dir: str, max_distance: int = 3, path_glob: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """TRUE Hamming ≤ ``max_distance`` near-dedup over an unbounded
+    document stream, as micro-batch increments (``foreachBatch``).
+
+    Why not one stateful operator: a doc's 4 pigeonhole blocks land in
+    4 DIFFERENT state-store keys, and "is this doc a near-dup" is a
+    disjunction over those buckets — no single ``applyInPandasWithState``
+    group can decide emit-vs-drop alone.  The batch topology already
+    solves this with an equi-join, so the streaming lift runs that
+    join per micro-batch against an accumulating signature store:
+
+    1. signatures for the batch (narrow);
+    2. in-batch near-dups dropped with the batch operator's chain rule
+       (any row with a verified near-dup of smaller id);
+    3. survivors pigeonhole-joined against the STORED signatures —
+       a batch-vs-store join on (block_idx, block_val), exact
+       ``bit_count`` re-check, matched docs dropped;
+    4. remaining docs appended to ``out_dir``; their signatures
+       appended to the store — both written under
+       ``batch_id=<epoch>`` partitions with per-partition overwrite,
+       so a replayed micro-batch (foreachBatch is at-least-once)
+       rewrites its own partition instead of duplicating it.
+
+    The store carries ``(doc_id, simhash)`` only — 16 bytes/doc, no
+    text — so the per-batch join side stays a fraction of corpus
+    size, and at scale it can be bucketed by block value.  Returns the
+    StreamingQuery.
+    """
+    from wikiextractor_spark.operators.dedup import (
+        simhash64,
+        simhash_blocks,
+        simhash_candidate_pairs,
+    )
+
+    n_blocks = max_distance + 1
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # (2) in-batch chain dedup at the same Hamming grain
+        in_batch_losers = (
+            simhash_candidate_pairs(batch_df, max_distance=max_distance)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch_df.join(in_batch_losers, "doc_id", "left_anti")
+        sigs = simhash64(survivors).localCheckpoint(eager=True)
+        # (3) cross-batch: pigeonhole join vs the stored signatures
+        try:
+            stored = spark.read.parquet(state_dir).select("doc_id", "simhash")
+        except Exception:  # first batch: no store yet
+            stored = None
+        if stored is not None and stored.take(1):
+            b_blocks = simhash_blocks(sigs, n_blocks=n_blocks, sig_bits=64)
+            s_blocks = simhash_blocks(stored, n_blocks=n_blocks, sig_bits=64)
+            dup_ids = (
+                b_blocks.alias("b")
+                .join(
+                    s_blocks.alias("s"),
+                    (F.col("b.block_idx") == F.col("s.block_idx"))
+                    & (F.col("b.block_val") == F.col("s.block_val")),
+                )
+                .filter(
+                    F.bit_count(
+                        F.col("b.simhash").bitwiseXOR(F.col("s.simhash"))
+                    )
+                    <= max_distance
+                )
+                .select(F.col("b.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(dup_ids, "doc_id", "left_anti")
+            sigs = sigs.join(dup_ids, "doc_id", "left_anti")
+        # (4) idempotent per-batch writes: a replayed batch overwrites
+        # its own partition, never duplicates it
+        # batch_id is carried by the hive-style PATH (partition
+        # discovery re-derives the column on read); writing it as a
+        # physical column too would collide with the inferred one
+        survivors.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        sigs.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    writer = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
