@@ -112,13 +112,20 @@ def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
     equals the batch sessionize over the full data."""
     import os
 
+    from wikiextractor_spark.streaming.stream import event_time_micros_expr
+
     sf = "/root/testdata/sf0.001"
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    mid = ev.approxQuantile("ts", [0.5], 0.001)[0]
+    # split on epoch micros: approxQuantile takes numeric columns only,
+    # and the physical ts type varies by data generation (long nanos /
+    # timestamp / timestamp_ntz) — normalize via the streaming helper
+    us = event_time_micros_expr(ev.schema["ts"].dataType)
+    ev = ev.withColumn("_ts_us", us)
+    mid = ev.approxQuantile("_ts_us", [0.5], 0.001)[0]
     src = tmp_path / "ev_split"
     src.mkdir()
-    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(str(src / "a"))
-    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(str(src / "b"))
+    ev.filter(F.col("_ts_us") <= mid).drop("_ts_us").coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("_ts_us") > mid).drop("_ts_us").coalesce(1).write.parquet(str(src / "b"))
     files = []
     for part in ("a", "b"):
         inner = [
@@ -147,13 +154,17 @@ def test_sessionize_parquet_sink_matches_batch(spark, tmp_path):
 
     from wikiextractor_spark.streaming import read_sessions, sessionize_to_parquet
 
+    from wikiextractor_spark.streaming.stream import event_time_micros_expr
+
     sf = "/root/testdata/sf0.001"
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    mid = ev.approxQuantile("ts", [0.5], 0.001)[0]
+    us = event_time_micros_expr(ev.schema["ts"].dataType)
+    ev = ev.withColumn("_ts_us", us)
+    mid = ev.approxQuantile("_ts_us", [0.5], 0.001)[0]
     src = tmp_path / "ev_split_pq"
     src.mkdir()
-    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(str(src / "a"))
-    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(str(src / "b"))
+    ev.filter(F.col("_ts_us") <= mid).drop("_ts_us").coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("_ts_us") > mid).drop("_ts_us").coalesce(1).write.parquet(str(src / "b"))
     files = []
     for part in ("a", "b"):
         inner = [f for f in os.listdir(src / part) if f.endswith(".parquet")][0]

@@ -5,6 +5,7 @@ events documents embeddings."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from wikiextractor_spark.session import tune
 
@@ -21,15 +22,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as raw nanos
-        # (spark.sql.legacy.parquet.nanosAsLong, set by tune()) and
-        # floor-convert to micros as TIMESTAMP_NTZ — bit-identical to
-        # DuckDB's nanos→micros truncation, naive like the other
-        # tables' timestamp_ntz columns.
-        df = df.withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
-        )
+        # Normalize events.ts to TIMESTAMP_NTZ regardless of how the
+        # generator wrote it — the physical parquet type has changed
+        # across driver rounds, so adapt to what the scan produced:
+        #   * LongType: TIMESTAMP(NANOS) parquet read as raw nanos
+        #     (spark.sql.legacy.parquet.nanosAsLong, set by tune());
+        #     floor-convert to micros — bit-identical to DuckDB's
+        #     nanos→micros truncation.
+        #   * TimestampType: TIMESTAMP(MICROS/MILLIS) adjusted-to-UTC;
+        #     reinterpret as naive (session tz is pinned UTC).
+        #   * TimestampNTZType: already canonical, leave untouched.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+            )
+        elif isinstance(ts_type, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(TimestampNTZType()))
     return df
 
 

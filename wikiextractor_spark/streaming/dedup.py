@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from wikiextractor_spark.streaming.stream import DOCUMENTS_SCHEMA, EVENTS_SCHEMA
+from wikiextractor_spark.streaming.stream import (
+    DOCUMENTS_SCHEMA,
+    event_time_expr,
+    events_schema_for,
+    events_ts_type,
+)
 
 
 def deduped_event_stream(
@@ -42,15 +47,15 @@ def deduped_event_stream(
     ``watermark`` apart are NOT collapsed — that is the contract knob,
     sized to the upstream redelivery horizon.
     """
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = events_ts_type(spark, input_dir, path_glob)
+    reader = spark.readStream.schema(events_schema_for(ts_type))
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     return (
         reader.parquet(input_dir)
-        # same nanos→timestamp normalization as the batch reader
-        # (sources/tables.py): the driver's parquet stores
-        # TIMESTAMP(NANOS), read raw and converted here
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # same ts normalization as the batch reader (sources/tables.py),
+        # adaptive to the physical parquet type via a footer probe
+        .withColumn("ts", event_time_expr(ts_type))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )

@@ -56,7 +56,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from wikiextractor_spark.streaming.stream import EVENTS_SCHEMA
+from wikiextractor_spark.streaming.stream import (
+    event_time_expr,
+    event_time_micros_expr,
+    events_schema_for,
+    events_ts_type,
+)
 
 SESSION_OUTPUT = StructType(
     [
@@ -164,7 +169,8 @@ def sessionize_stream(
     tests can prove state survives batch boundaries; ``watermark`` is
     the lateness budget (rows later than it never reach the operator,
     and idle sessions expire once it passes ``last_ts + gap``)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = events_ts_type(spark, input_dir, path_glob)
+    reader = spark.readStream.schema(events_schema_for(ts_type))
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     if max_files_per_trigger:
@@ -173,8 +179,8 @@ def sessionize_stream(
         reader.parquet(input_dir)
         .select(
             "user_id",
-            F.expr("ts DIV 1000").alias("ts_us"),
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+            event_time_micros_expr(ts_type).alias("ts_us"),
+            event_time_expr(ts_type).alias("event_time"),
         )
         .withWatermark("event_time", watermark)
     )

@@ -31,9 +31,13 @@ DOCUMENTS_SCHEMA = StructType(
     ]
 )
 
-# ts read as raw nanos (the driver's parquet stores TIMESTAMP(NANOS),
-# unreadable as TimestampType — see sources/tables.py) and converted
-# below.
+# The physical parquet type of events.ts has varied across data
+# generations (TIMESTAMP(NANOS) read as raw int64 nanos under
+# nanosAsLong; naive TIMESTAMP(MICROS) read as TIMESTAMP_NTZ;
+# adjusted-to-UTC TIMESTAMP read as TIMESTAMP).  The streaming file
+# source needs the schema up front, so the readers below probe one
+# batch footer (cheap: metadata only, no row I/O) and adapt — the same
+# normalization the batch loader does in sources/tables.py.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -44,6 +48,46 @@ EVENTS_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+def events_ts_type(spark: SparkSession, input_dir: str, path_glob: str | None):
+    """Footer-probe the physical type of ``ts`` in the events parquet
+    under ``input_dir`` (batch read = one footer fetch, no data scan)."""
+    reader = spark.read
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.parquet(input_dir).schema["ts"].dataType
+
+
+def events_schema_for(ts_type) -> StructType:
+    """EVENTS_SCHEMA with ``ts`` declared as the probed physical type."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def event_time_expr(ts_type):
+    """Normalize raw ``ts`` → TimestampType event time.  Raw int64 is
+    nanos (floor-divide to micros, matching DuckDB's nanos→micros
+    truncation); timestamp flavors cast directly (session tz is pinned
+    UTC, so NTZ→LTZ preserves the wall clock)."""
+    if isinstance(ts_type, LongType):
+        return F.timestamp_micros(F.expr("ts DIV 1000"))
+    return F.col("ts").cast(TimestampType())
+
+
+def event_time_micros_expr(ts_type):
+    """Same normalization, as raw epoch micros (LongType)."""
+    if isinstance(ts_type, LongType):
+        return F.expr("ts DIV 1000")
+    return F.unix_micros(F.col("ts").cast(TimestampType()))
 
 
 def clean_documents_stream(
@@ -76,14 +120,15 @@ def windowed_event_stream(
     DataFrame: counts + value sum per (window, event_type) over a
     streamed events directory.  Late rows beyond the watermark are
     dropped — the streaming-correctness contract."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = events_ts_type(spark, input_dir, path_glob)
+    reader = spark.readStream.schema(events_schema_for(ts_type))
     if path_glob:
         # the streaming file source only accepts directories; the glob
         # narrows to the events file inside a mixed-table directory
         reader = reader.option("pathGlobFilter", path_glob)
     return (
         reader.parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withColumn("ts", event_time_expr(ts_type))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(
