@@ -1,21 +1,28 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no codec libraries, so the default *decode* kernels
-are deterministic fakes — but every piece of Spark plumbing around
-them is real and tested: binary schemas, Arrow-batched ``mapInPandas``
-with bounded batch shapes, metadata projection, partition-friendly
-layout.  ``decode_media(codec='auto')`` probes for PIL at call time
-(executors re-probe in their own interpreter) and uses it for image
-rows when importable, falling back to the fake kernel — so the code
-needs no edits the day it runs somewhere with real codecs;
-``codec='pil'`` makes a missing library a loud error instead of
-silently-fake pixels.
+Image rows are REAL: :func:`attach_fake_binary` synthesizes valid
+24/32-bpp (and paletted 8-bpp) BMP files entirely JVM-side — header,
+palette, and pixel data assembled as native hex/`unhex` expressions,
+no Python in the generator — and the default image kernel is a
+pure-Python BMP/PPM *header parser* (:func:`_bmp_decode_meta` /
+:func:`_ppm_decode_meta`): width, height, and channels come from
+parsing real bytes, not from a content hash.  Audio/video decode
+kernels remain deterministic fakes (no ffmpeg-class library ships in
+this container), with the Spark plumbing — binary schemas,
+Arrow-batched ``mapInPandas`` with bounded batch shapes, metadata
+projection, partition-friendly layout — real and tested throughout.
+``decode_media(codec='auto')`` additionally probes for PIL at call
+time (executors re-probe in their own interpreter) and prefers it for
+image rows when importable, so arbitrary formats work the day a real
+codec library exists; ``codec='pil'`` makes a missing library a loud
+error instead of silently-degraded decode.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -53,22 +60,95 @@ DECODED_SCHEMA = StructType(
 )
 
 
+# grayscale palette for 8-bpp BMPs: 256 BGRA quads (i, i, i, 0)
+_GRAY_PALETTE_HEX = "".join(f"{i:02x}{i:02x}{i:02x}00" for i in range(256))
+
+
+def _le_hex(expr: str, nbytes: int) -> str:
+    """SQL fragment: ``expr`` (a non-negative int) as little-endian hex
+    of exactly ``nbytes`` bytes — the byte-swap BMP headers need."""
+    h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+    parts = ", ".join(
+        f"substring({h}, {2 * i + 1}, 2)" for i in reversed(range(nbytes))
+    )
+    return f"concat({parts})"
+
+
 def attach_fake_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Build an opaque media column from text bytes (the test stand-in
-    for real image/audio payloads) plus a media_type tag."""
-    return df.select(
+    """Build an opaque media column per doc (the test stand-in for a
+    real payload store) plus a media_type tag.
+
+    Image rows get VALID BMP files: geometry and bit depth are
+    md5-derived (so a SQL oracle can restate them), but the payload is
+    a structurally correct BMP — 14-byte file header, 40-byte
+    BITMAPINFOHEADER, grayscale palette when 8-bpp, 4-byte-aligned
+    rows of pixel data — assembled entirely JVM-side as one hex
+    string per row and `unhex`ed to binary (zero Python; the
+    generator stays a narrow projection).  Audio/video rows keep raw
+    text bytes (no portable container format is synthesizable without
+    a codec library)."""
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.encode(F.col(text_col), "UTF-8").alias("raw"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col(id_col) % 3 + 1).cast("int"),
         ).alias("media_type"),
     )
+    geom = (
+        base.select(
+            "*",
+            F.expr("4 + CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 60").alias("w"),
+            F.expr("4 + CAST(conv(substring(h, 3, 2), 16, 10) AS INT) % 60").alias("ht"),
+            F.expr(
+                "element_at(array(8, 24, 32),"
+                " CAST(conv(substring(h, 5, 2), 16, 10) AS INT) % 3 + 1)"
+            ).alias("bpp"),
+        )
+        .select(
+            "*",
+            # BMP rows are padded to 4-byte boundaries
+            F.expr("((w * (bpp DIV 8) + 3) DIV 4) * 4").alias("rowsize"),
+            F.expr("IF(bpp = 8, 1024, 0)").alias("palette_bytes"),
+        )
+        .select("*", F.expr("rowsize * ht").alias("img_size"))
+    )
+    bmp_hex = F.expr(
+        "concat("
+        "'424d', "  # 'BM'
+        + _le_hex("54 + palette_bytes + img_size", 4)
+        + ", '00000000', "  # reserved
+        + _le_hex("54 + palette_bytes", 4)  # pixel-data offset
+        + ", '28000000', "  # BITMAPINFOHEADER size = 40
+        + _le_hex("w", 4)
+        + ", "
+        + _le_hex("ht", 4)
+        + ", '0100', "  # planes = 1
+        + _le_hex("bpp", 2)
+        + ", '00000000', "  # BI_RGB (uncompressed)
+        + _le_hex("img_size", 4)
+        + ", '130b0000', '130b0000', "  # 2835 px/m (72 dpi)
+        + _le_hex("IF(bpp = 8, 256, 0)", 4)  # palette entries
+        + ", '00000000', "  # important colors
+        f"IF(bpp = 8, '{_GRAY_PALETTE_HEX}', ''), "
+        # pixel fill: the md5 hex (16 bytes) tiled to img_size bytes
+        "substring(repeat(h, CAST(ceil(img_size / 16.0) AS INT)), 1, img_size * 2)"
+        ")"
+    )
+    return geom.select(
+        "doc_id",
+        F.when(F.col("media_type") == "image", F.unhex(bmp_hex))
+        .otherwise(F.col("raw"))
+        .alias("media"),
+        "media_type",
+    )
 
 
 def _fake_decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
     """Deterministic fake decode: dimensions derived from a content
-    hash.  A real deployment replaces this with PIL/libvips/ffmpeg —
+    hash.  The fallback for media with no parseable container header
+    (audio/video here — no ffmpeg-class library in this container) —
     everything around it (schema, batching, partitioning) is the real
     production plumbing."""
     h = hashlib.md5(payload).digest()
@@ -79,9 +159,77 @@ def _fake_decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int, i
     return width, height, channels, n_frames
 
 
+def _bmp_decode_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL image decode, no codec library needed: parse the BMP file
+    header + DIB header with `struct` and return
+    (width, height, channels, n_frames, pixel_offset).  Returns None
+    on anything that is not a structurally valid BMP so callers can
+    fall back."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    file_size, _res, pix_offset = struct.unpack_from("<III", payload, 2)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:  # BITMAPCOREHEADER etc. — not emitted here
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    if planes != 1 or bpp not in (1, 4, 8, 16, 24, 32):
+        return None
+    if width <= 0 or height == 0:
+        return None
+    height = abs(height)  # negative = top-down row order
+    if pix_offset > len(payload) or file_size > len(payload):
+        return None
+    channels = bpp // 8 if bpp >= 24 else (3 if bpp == 16 else 1)
+    return width, height, channels, 1, pix_offset
+
+
+def _ppm_decode_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Netpbm binary header parse (P5 grayscale / P6 RGB): magic,
+    then whitespace/comment-separated width, height, maxval, then one
+    whitespace byte before pixel data.  Returns the same tuple shape
+    as :func:`_bmp_decode_meta`, or None."""
+    if len(payload) < 7 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        return None
+    channels = 3 if payload[1:2] == b"6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":  # comment runs to end of line
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(fields) < 3 or not payload[pos : pos + 1].isspace():
+        return None
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        return None
+    return width, height, channels, 1, pos + 1
+
+
+def _image_header_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """The default image kernel: try each pure-Python header parser in
+    turn (BMP, then PPM/PGM)."""
+    return _bmp_decode_meta(payload) or _ppm_decode_meta(payload)
+
+
 def decode_media_meta(df: DataFrame) -> DataFrame:
     """``mapInPandas`` metadata extraction over binary payloads —
-    Arrow batches in, Arrow batches out, no row-at-a-time Python."""
+    Arrow batches in, Arrow batches out, no row-at-a-time Python.
+    Image rows are decoded for real (BMP/PPM header parse over the
+    actual bytes); undecodable payloads and audio/video fall back to
+    the deterministic fake kernel."""
 
     def _batches(iterator):
         for pdf in iterator:
@@ -90,7 +238,11 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media"], pdf["media_type"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, c, nf = _fake_decode_meta(payload, mtype)
+                parsed = _image_header_meta(payload) if mtype == "image" else None
+                if parsed is not None:
+                    w, h, c, nf, _off = parsed
+                else:
+                    w, h, c, nf = _fake_decode_meta(payload, mtype)
                 rows.append((doc_id, mtype, len(payload), w, h, c, nf))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields]
@@ -130,14 +282,16 @@ def _pil_decode_meta(payload: bytes) -> tuple[int, int, int, int] | None:
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode payloads to a pixel buffer.
 
-    ``codec='fake'`` (default): deterministic md5-derived buffers —
-    always available, and what the battery oracle reproduces.
-    ``codec='auto'``: use PIL for image rows when importable in this
-    interpreter, falling back to the fake kernel otherwise (and for
-    non-image media).  ``codec='pil'``: require PIL — raises
-    ``NotImplementedError`` when the library is absent (this
-    container), so a mis-configured production job fails loudly
-    instead of silently shipping fake pixels."""
+    Image rows with a parseable container header (BMP/PPM) decode for
+    REAL under every codec: dimensions from the parsed header, pixel
+    bytes from the file's actual pixel-data section.  The codecs
+    differ on everything else: ``codec='fake'`` (default) falls back
+    to deterministic md5-derived buffers; ``codec='auto'``
+    additionally tries PIL first for image rows when importable in
+    this interpreter (arbitrary formats, not just BMP/PPM);
+    ``codec='pil'``: require PIL — raises ``NotImplementedError``
+    when the library is absent (this container), so a mis-configured
+    production job fails loudly instead of silently degrading."""
     if codec not in ("fake", "auto", "pil"):
         raise NotImplementedError(
             f"codec {codec!r}: supported codecs are 'fake', 'auto', 'pil' "
@@ -191,6 +345,13 @@ def _decode_row(
         w, h, _, _ = real
         with _img.open(_io.BytesIO(payload)) as im:
             pixels = im.tobytes()[:16]
+        return (doc_id, mtype, pixels, w, h)
+    parsed = _image_header_meta(payload) if mtype == "image" else None
+    if parsed is not None:
+        # real decode: dims from the parsed header, pixels from the
+        # file's actual pixel-data section (zero-padded if short)
+        w, h, _, _, off = parsed
+        pixels = payload[off : off + 16].ljust(16, b"\x00")
     else:
         w, h, _, _ = _fake_decode_meta(payload, mtype)
         pixels = (hashlib.md5(payload).digest() * 4)[:16]

@@ -1022,17 +1022,41 @@ def ev_asof_join(spark, sf_dir):
 # 7. Multimodal binary columns
 # ==========================================================================
 
+# Image rows carry real synthesized BMPs (operators/multimodal.py):
+# the oracle states the BMP geometry arithmetic — md5-derived width/
+# height/bit-depth, 4-byte row alignment, 54-byte headers + 1024-byte
+# palette when 8-bpp — and the engine must RE-PARSE those fields from
+# the generated bytes (struct-unpacked headers), so a hash match
+# proves generator and parser agree end to end.  Audio/video rows
+# keep the md5-fake kernel (no container format without a codec lib).
 _DUCK_MEDIA_META = """
-    SELECT doc_id,
-           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS INT) AS width,
-           CAST(64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS INT) AS height,
-           CAST(1 + ('0x' || substring(md5(text), 5, 2))::INT % 3 AS INT) AS channels,
-           CAST(CASE WHEN (['image', 'audio', 'video'])[(doc_id % 3) + 1] = 'video'
+    WITH m AS (
+      SELECT doc_id, text,
+             (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+             ('0x' || substring(md5(text), 1, 2))::INT AS h0,
+             ('0x' || substring(md5(text), 3, 2))::INT AS h1,
+             ('0x' || substring(md5(text), 5, 2))::INT AS h2
+      FROM documents
+    ), g AS (
+      SELECT *, 4 + h0 % 60 AS w, 4 + h1 % 60 AS ht,
+             ([8, 24, 32])[(h2 % 3) + 1] AS bpp
+      FROM m
+    )
+    SELECT doc_id, media_type,
+           CAST(CASE WHEN media_type = 'image'
+                THEN 54 + (CASE WHEN bpp = 8 THEN 1024 ELSE 0 END)
+                     + ((w * (bpp // 8) + 3) // 4) * 4 * ht
+                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN media_type = 'image' THEN w
+                ELSE 64 + h0 % 192 END AS INT) AS width,
+           CAST(CASE WHEN media_type = 'image' THEN ht
+                ELSE 64 + h1 % 192 END AS INT) AS height,
+           CAST(CASE WHEN media_type = 'image' THEN bpp // 8
+                ELSE 1 + h2 % 3 END AS INT) AS channels,
+           CAST(CASE WHEN media_type = 'video'
                 THEN 8 + ('0x' || substring(md5(text), 7, 2))::INT % 120
                 ELSE 1 END AS INT) AS n_frames
-    FROM documents
+    FROM g
 """
 
 # Binary media decode + the per-type rollup in one query: the typed
@@ -1052,11 +1076,13 @@ _DUCK_MEDIA_META = """
     """,
 )
 def mm_media_meta(spark, sf_dir):
-    """Binary media columns: attach payloads, extract typed metadata
-    via Arrow-batched mapInPandas, and attach the per-type rollup as
-    window aggregates.  The oracle reproduces the fake decoder's
-    md5-derived dimensions in SQL — proving the Python plumbing end
-    to end."""
+    """Binary media columns: attach payloads (valid synthesized BMPs
+    for image rows), extract typed metadata via Arrow-batched
+    mapInPandas — image dims REALLY parsed from the BMP headers, not
+    hashed — and attach the per-type rollup as window aggregates.
+    The oracle restates the BMP geometry arithmetic (and the fake
+    kernel's md5 dims for audio/video) in SQL, so a hash match proves
+    the generate→parse round trip end to end."""
     from pyspark.sql import Window
 
     media = multimodal.attach_fake_binary(_docs(spark, sf_dir))
