@@ -220,3 +220,119 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     # the store holds exactly the survivors' signatures
     stored = {r["doc_id"] for r in spark.read.parquet(str(state)).collect()}
     assert stored == {1, 3, 11}
+
+
+def test_incremental_store_is_bucketed_and_pruned(spark, tmp_path):
+    """The signature store must be hive-partitioned by bucket and the
+    per-batch read must touch ONLY matching partition paths — the
+    property that bounds a long-lived stream's per-batch read cost by
+    bucket occupancy instead of store lifetime."""
+    import glob
+    import os
+
+    from wikiextractor_spark.streaming import near_dedup_documents_incremental
+    from wikiextractor_spark.streaming.dedup import read_store_buckets
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    texts = [
+        (i, f"document number {i} with some distinct words {i * 7}",
+         "en", "t", 40)
+        for i in range(1, 9)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    spark.createDataFrame(texts, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(scratch))
+    part = glob.glob(f"{scratch}/part-*.parquet")[0]
+    shutil.copy(part, src / "f1.parquet")
+
+    state = tmp_path / "state"
+    q = near_dedup_documents_incremental(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(state),
+    )
+    _drain(q)
+
+    # layout: batch_id=<n>/bucket=<b>/ hive partitions
+    bucket_dirs = glob.glob(f"{state}/batch_id=*/bucket=*")
+    assert bucket_dirs, os.listdir(state)
+    present = sorted(
+        {int(d.rsplit("bucket=", 1)[1]) for d in bucket_dirs}
+    )
+    assert len(present) >= 2  # 8 docs x 4 blocks spread over buckets
+
+    # a pruned read scans files ONLY under the requested buckets
+    want = present[:2]
+    got_files = read_store_buckets(spark, str(state), want).inputFiles()
+    assert got_files
+    for f in got_files:
+        assert any(f"bucket={b}/" in f for b in want), f
+    # and the full read sees strictly more files than the pruned one
+    all_files = read_store_buckets(spark, str(state), None).inputFiles()
+    assert set(got_files) < set(all_files)
+
+
+def test_incremental_transient_store_error_fails_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A transient store-read failure must FAIL the micro-batch (the
+    checkpoint retries it) — never silently skip cross-batch dedup and
+    emit near-duplicates.  Only path-not-found means 'first batch'."""
+    import glob
+
+    import wikiextractor_spark.streaming.dedup as sd
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def land(df, name):
+        scratch = tmp_path / f"_scratch_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.copy(part, src / name)
+
+    land(
+        spark.createDataFrame([(1, base, "en", "t", len(base))], schema),
+        "f1.parquet",
+    )
+    out, ckpt, state = tmp_path / "out", tmp_path / "ckpt", tmp_path / "state"
+    q = sd.near_dedup_documents_incremental(
+        spark, str(src), str(out), str(ckpt), str(state), max_distance=6,
+    )
+    _drain(q)
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1}
+
+    # batch 2 arrives while the store read hits a transient IO error
+    near = base.replace("kappa", "changed")
+    land(
+        spark.createDataFrame([(10, near, "en", "t", len(near))], schema),
+        "f2.parquet",
+    )
+
+    def _boom(*a, **kw):
+        raise OSError("transient store outage")
+
+    monkeypatch.setattr(sd, "read_store_buckets", _boom)
+    q = sd.near_dedup_documents_incremental(
+        spark, str(src), str(out), str(ckpt), str(state), max_distance=6,
+    )
+    with pytest.raises(Exception, match="transient store outage"):
+        q.awaitTermination(120)
+    # the failed batch committed nothing: no near-duplicate leaked
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1}
+
+    # un-patched retry from the same checkpoint reprocesses the batch
+    # and the store join suppresses the near-copy
+    monkeypatch.undo()
+    q = sd.near_dedup_documents_incremental(
+        spark, str(src), str(out), str(ckpt), str(state), max_distance=6,
+    )
+    _drain(q)
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1}

@@ -134,6 +134,60 @@ def near_deduped_document_stream(
     )
 
 
+# Signature-store bucketing: each block row lands in partition
+# bucket = block_idx * B + (block_val mod B).  A micro-batch touches
+# at most n_blocks * B buckets (and usually far fewer), so the store
+# read is bounded by BUCKET OCCUPANCY — matching partitions only —
+# not by how long the stream has been alive.
+STORE_BUCKETS_PER_BLOCK = 16
+
+
+def _store_bucket_col(n_buckets: int = STORE_BUCKETS_PER_BLOCK):
+    return (
+        F.col("block_idx") * n_buckets
+        + F.pmod(F.col("block_val"), F.lit(n_buckets))
+    ).alias("bucket")
+
+
+def read_store_buckets(
+    spark: SparkSession, state_dir: str, buckets: list[int] | None = None,
+) -> DataFrame | None:
+    """Bucket-bounded read of the signature store: list the store's
+    ``bucket=`` partition directories (driver-side Hadoop-FS glob, the
+    same listing any FileIndex does) and hand the reader ONLY the
+    directories whose bucket is in ``buckets`` — the scan cost bound
+    does not depend on the optimizer pruning anything.  ``None``
+    buckets = the whole store (maintenance path).
+
+    Returns ``None`` when the store directory does not exist yet
+    (first batch) or no requested bucket has a partition.  The
+    existence check is explicit, so a *transient* listing/IO failure
+    raises instead of masquerading as an empty store — callers let
+    that fail the micro-batch and the checkpoint retry it."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    if buckets is None:
+        return spark.read.parquet(state_dir)
+    want = set(buckets)
+    statuses = (
+        fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/*/bucket=*"))
+        or []
+    )
+    paths = [
+        p
+        for st in statuses
+        for p in [st.getPath().toString()]
+        if int(p.rsplit("bucket=", 1)[1]) in want
+    ]
+    if not paths:
+        return None
+    # basePath keeps batch_id/bucket as derived partition columns
+    return spark.read.option("basePath", state_dir).parquet(*paths)
+
+
 def near_dedup_documents_incremental(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
     state_dir: str, max_distance: int = 3, path_glob: str | None = None,
@@ -152,18 +206,27 @@ def near_dedup_documents_incremental(
     1. signatures for the batch (narrow);
     2. in-batch near-dups dropped with the batch operator's chain rule
        (any row with a verified near-dup of smaller id);
-    3. survivors pigeonhole-joined against the STORED signatures —
+    3. survivors pigeonhole-joined against the STORED block rows —
        a batch-vs-store join on (block_idx, block_val), exact
        ``bit_count`` re-check, matched docs dropped;
-    4. remaining docs appended to ``out_dir``; their signatures
-       appended to the store — both written under
+    4. remaining docs appended to ``out_dir``; their signatures'
+       BLOCK rows appended to the store — both written under
        ``batch_id=<epoch>`` partitions with per-partition overwrite,
        so a replayed micro-batch (foreachBatch is at-least-once)
        rewrites its own partition instead of duplicating it.
 
-    The store carries ``(doc_id, simhash)`` only — 16 bytes/doc, no
-    text — so the per-batch join side stays a fraction of corpus
-    size, and at scale it can be bucketed by block value.  Returns the
+    Store layout and the long-lived-stream bound: the store holds
+    block-exploded rows ``(doc_id, simhash, block_idx, block_val)`` —
+    ``n_blocks`` × 16 bytes per surviving doc, no text — hive-
+    partitioned by ``bucket = block_idx * B + block_val mod B``
+    (B = :data:`STORE_BUCKETS_PER_BLOCK`).  Each micro-batch collects
+    its own distinct bucket set (a driver-side list bounded by
+    ``n_blocks * B`` ints, ≤ 64 at the defaults, NOT by data size)
+    and reads only matching store partitions via
+    :func:`read_store_buckets`, so per-batch read cost is bucket
+    occupancy, not store lifetime.  A store-read failure other than
+    store-does-not-exist-yet FAILS the batch — the checkpoint retries
+    it — rather than silently skipping cross-batch dedup.  Returns the
     StreamingQuery.
     """
     from wikiextractor_spark.operators.dedup import (
@@ -186,14 +249,20 @@ def near_dedup_documents_incremental(
         )
         survivors = batch_df.join(in_batch_losers, "doc_id", "left_anti")
         sigs = simhash64(survivors).localCheckpoint(eager=True)
-        # (3) cross-batch: pigeonhole join vs the stored signatures
-        try:
-            stored = spark.read.parquet(state_dir).select("doc_id", "simhash")
-        except Exception:  # first batch: no store yet
-            stored = None
-        if stored is not None and stored.take(1):
-            b_blocks = simhash_blocks(sigs, n_blocks=n_blocks, sig_bits=64)
-            s_blocks = simhash_blocks(stored, n_blocks=n_blocks, sig_bits=64)
+        b_blocks = (
+            simhash_blocks(sigs, n_blocks=n_blocks, sig_bits=64)
+            .withColumn("bucket", _store_bucket_col())
+            .localCheckpoint(eager=True)
+        )
+        # the batch's bucket footprint: ≤ n_blocks * B ints, driver-side
+        batch_buckets = [
+            r["bucket"] for r in b_blocks.select("bucket").distinct().collect()
+        ]
+        # (3) cross-batch: pigeonhole join vs matching store partitions
+        # (None = store absent or no bucket overlap; transient listing
+        # failures raise and fail the batch → checkpoint retries)
+        s_blocks = read_store_buckets(spark, state_dir, batch_buckets)
+        if s_blocks is not None:
             dup_ids = (
                 b_blocks.alias("b")
                 .join(
@@ -211,7 +280,7 @@ def near_dedup_documents_incremental(
                 .distinct()
             )
             survivors = survivors.join(dup_ids, "doc_id", "left_anti")
-            sigs = sigs.join(dup_ids, "doc_id", "left_anti")
+            b_blocks = b_blocks.join(dup_ids, "doc_id", "left_anti")
         # (4) idempotent per-batch writes: a replayed batch overwrites
         # its own partition, never duplicates it
         # batch_id is carried by the hive-style PATH (partition
@@ -220,7 +289,7 @@ def near_dedup_documents_incremental(
         survivors.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
-        sigs.write.mode("overwrite").parquet(
+        b_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
             f"{state_dir}/batch_id={batch_id}"
         )
 
