@@ -1061,21 +1061,82 @@ def test_decode_media_codec_gating(docs):
         multimodal.decode_media(media, codec="ffmpeg")
 
 
-def test_spread_for_compute_conditional(spark):
-    """spread_for_compute must widen a low-split frame to the default
-    parallelism and pass an already-wide frame through UNTOUCHED (no
-    shuffle at corpus scale, where splits >> cores)."""
-    from wikiextractor_spark.operators.skew import spread_for_compute
+def test_spread_for_compute_conditional(spark, tmp_path, monkeypatch):
+    """spread_for_compute must widen a low-split FILE-BACKED frame to
+    the default parallelism, pass a many-file frame through UNTOUCHED
+    (no shuffle at corpus scale, where splits >> cores), treat
+    non-file frames as unknown (pass-through unless the caller
+    asserts), and never touch df.rdd — an .rdd access would compile a
+    physical plan outside AQE."""
+    from pyspark.sql import DataFrame
 
-    narrow = spark.range(1000).coalesce(1)
+    from wikiextractor_spark.operators.skew import (
+        _effective_splits,
+        spread_for_compute,
+    )
+
     target = spark.sparkContext.defaultParallelism
+
+    # single-row-group parquet: the canonical low-split shape
+    single = tmp_path / "single"
+    spark.range(1000).coalesce(1).write.parquet(str(single))
+    narrow = spark.read.parquet(str(single)).select("id")
+    assert _effective_splits(narrow, target) == 1
+
+    # the probe must not compile a plan via .rdd
+    def _no_rdd(self):
+        raise AssertionError("spread_for_compute touched df.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_no_rdd))
     spread = spread_for_compute(narrow)
+    assert spread is not narrow
+    monkeypatch.undo()
     assert spread.rdd.getNumPartitions() == target
     assert spread.count() == 1000
 
-    wide = spark.range(1000).repartition(target + 8)
-    assert spread_for_compute(wide) is wide  # identity, not a new plan
+    # many files >= target cores: identity, not a new plan
+    many = tmp_path / "many"
+    spark.range(1000).repartition(target + 8).write.parquet(str(many))
+    wide = spark.read.parquet(str(many))
+    assert spread_for_compute(wide) is wide
+
+    # in-memory frame: unknown splits -> untouched...
+    mem = spark.range(1000).coalesce(1)
+    assert _effective_splits(mem, target) is None
+    assert spread_for_compute(mem) is mem
+    # ...unless the caller asserts the split count
+    forced = spread_for_compute(mem, assume_splits=1)
+    assert forced is not mem and forced.rdd.getNumPartitions() == target
+
+    # explicit min_partitions below the estimate: identity
     assert spread_for_compute(narrow, min_partitions=1) is narrow
+
+
+def test_effective_splits_codec_and_rowgroups(spark, tmp_path):
+    """The split estimate is codec- and row-group-aware: unsplittable
+    compressed files count one split each; a parquet file counts
+    min(size splits, row groups)."""
+    from wikiextractor_spark.operators.skew import _effective_splits
+
+    target = 64  # force the per-file stat path
+    # 3-row-group parquet (small: size splits = 1 -> min(1, 3) = 1)
+    p = tmp_path / "rg"
+    spark.range(300).repartition(3).write.parquet(str(p))
+    df = spark.read.parquet(str(p))
+    nfiles = len(df.inputFiles())
+    assert _effective_splits(df, target) == nfiles  # 1 per small file
+
+    # unsplittable text: one split per file regardless of size
+    t = tmp_path / "txt"
+    t.mkdir()
+    (t / "a.json.gz").write_bytes(b"\x1f\x8b" + b"x" * 100)
+    import gzip
+
+    with gzip.open(t / "a.json.gz", "wt") as f:
+        for i in range(100):
+            f.write(f'{{"doc_id": {i}, "text": "t{i}"}}\n')
+    gz = spark.read.schema("doc_id long, text string").json(str(t))
+    assert _effective_splits(gz, target) == 1
 
 
 def test_salted_join_equals_plain_join(spark):

@@ -23,7 +23,11 @@ equi-join — salt only routes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def salted_join(
@@ -58,6 +62,7 @@ def salted_join(
 
 def spread_for_compute(
     df: DataFrame, min_partitions: int | None = None,
+    assume_splits: int | None = None,
 ) -> DataFrame:
     """Repartition a narrow frame so compute-bound passes use every
     core — a NO-OP whenever upstream already has enough splits.
@@ -77,8 +82,78 @@ def spread_for_compute(
     frame passes through untouched — this is explicitly NOT a
     repartition-always (which would shuffle the full corpus for
     nothing).
+
+    The split probe reads the frame's FILE LEAVES (``inputFiles`` +
+    driver-side footer/size stats), never ``df.rdd`` — an ``.rdd``
+    access compiles a physical plan OUTSIDE AQE, so its partition
+    count can disagree with what the AQE-planned query actually runs,
+    and the conversion is wasted work on every call.  When the leaves
+    are unknowable cheaply (in-memory frames, non-local schemes) the
+    estimate is None and the frame passes through untouched — at
+    scale pass-through is the correct default, and callers that KNOW
+    their input is low-split can force the spread with
+    ``assume_splits``.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits = assume_splits if assume_splits is not None else _effective_splits(df, target)
+    if splits is not None and splits < target:
         return df.repartition(target)
     return df
+
+
+# compressed whole-file codecs: one split per file, no matter the size
+_UNSPLITTABLE_SUFFIXES = (".bz2", ".gz", ".zst", ".lz4", ".deflate")
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    m = re.match(r"(\d+)", raw)
+    return int(m.group(1)) if m else 134_217_728
+
+
+def _effective_splits(df: DataFrame, target: int) -> int | None:
+    """Estimate the scan parallelism of ``df``'s file leaves WITHOUT
+    compiling a physical plan.
+
+    Per local file: unsplittable-codec files count 1; parquet counts
+    ``min(size-based splits, row groups)`` (a single-row-group file
+    yields one working task no matter how many byte-range splits
+    Spark cuts — the exact shape the spread exists to fix); other
+    formats count size-based splits.  Returns None (= unknown, caller
+    passes through) for non-file-backed frames and non-local schemes.
+    Footer/size stats run only when the file count is already below
+    ``target``, so the driver never stats more than ``target`` files.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= target:
+        return len(files)
+    max_bytes = _max_partition_bytes(df.sparkSession)
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        path = re.sub("^file:/+", "/", uri)
+        lower = path.lower()
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        size_splits = max(1, math.ceil(size / max_bytes))
+        if lower.endswith(_UNSPLITTABLE_SUFFIXES):
+            total += 1
+        elif lower.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+
+                row_groups = pq.ParquetFile(path).metadata.num_row_groups
+            except Exception:
+                row_groups = 1
+            total += max(1, min(size_splits, row_groups))
+        else:
+            total += size_splits
+    return total
