@@ -1285,6 +1285,47 @@ def test_heavy_hitters_bounded_memory_high_cardinality(spark):
     assert got == want
 
 
+def test_heavy_hitters_candidate_broadcast_is_capped(spark):
+    """With artificially many partitions, the broadcast candidate set
+    must stay under max_candidates — the merge tree bounds it by a
+    constant, not by m x n_tasks — while the true heavy hitters still
+    win with exact counts."""
+    from wikiextractor_spark.operators.sketches import (
+        candidate_values,
+        heavy_hitters,
+    )
+
+    # 64 partitions x m=50 would union up to 3200 candidates unmerged
+    df = (
+        spark.range(100_000)
+        .repartition(64)
+        .selectExpr(
+            "CASE WHEN id % 10 < 3 THEN concat('hot', id % 3) "
+            "ELSE concat('v', id) END AS w"
+        )
+    )
+    src = df.selectExpr("CAST(w AS STRING) AS value")
+    n_cand = candidate_values(
+        src, m=50, max_candidates=100, merge_parallelism=8
+    ).count()
+    assert n_cand <= 100
+
+    got = [
+        (r["value"], r["n"])
+        for r in heavy_hitters(
+            df, "w", k=3, candidates_per_partition=50, max_candidates=100,
+            merge_parallelism=8,
+        ).collect()
+    ]
+    assert got == [(f"hot{i}", 10_000) for i in range(3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "w", k=30, candidates_per_partition=40,
+                      max_candidates=20)
+
+
 def test_heavy_hitters_plan_and_validation(docs, spark):
     from wikiextractor_spark.operators.sketches import heavy_hitters
 

@@ -19,6 +19,12 @@ The classic two-pass shape avoids it:
    heavy hitter — which by averaging is a local heavy hitter in at
    least one partition — always reaches the candidate union;
    ``candidates_per_partition`` is the explicit recall/width knob.
+1b. **Bounded merge (tiny shuffle)**: the per-task summaries feed a
+   weighted Misra-Gries merge tree (MG summaries are mergeable with
+   no error-bound loss) that caps the candidate set at
+   ``max_candidates`` rows — the broadcast width is a hard constant,
+   NOT m × n_tasks (which at 100k-task scale would be a ~20M-row
+   broadcast).
 2. **Exact pass (small shuffle)**: re-count ONLY candidate values —
    the corpus streams once more through a broadcast semi-join on the
    candidate set, and the final groupBy shuffles just candidate rows.
@@ -35,24 +41,35 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def heavy_hitters(
-    df: DataFrame, col: str, k: int = 20,
-    candidates_per_partition: int = 200,
-) -> DataFrame:
-    """→ ``(value, n)``: the top-``k`` most frequent values of ``col``
-    with exact counts, without shuffling the full distinct-value set.
-    """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if candidates_per_partition < k:
-        raise ValueError(
-            f"candidates_per_partition ({candidates_per_partition}) must be >= k ({k})"
-        )
-    src = df.select(F.col(col).cast("string").alias("value")).filter(
-        F.col("value").isNotNull()
-    )
+def _mg_decrement(counts: dict, cap: int) -> dict:
+    """One Misra-Gries decrement step: subtract the (cap+1)-th largest
+    count everywhere and drop non-positives — ≤ cap survivors, each an
+    underestimate by at most the total decremented mass."""
+    if len(counts) <= cap:
+        return counts
+    thresh = heapq.nlargest(cap + 1, counts.values())[cap]
+    return {v: c - thresh for v, c in counts.items() if c > thresh}
 
-    m = candidates_per_partition
+
+def candidate_values(
+    src: DataFrame, m: int, max_candidates: int, merge_parallelism: int,
+) -> DataFrame:
+    """The bounded candidate stage of :func:`heavy_hitters`: per-task
+    Misra-Gries summaries, then a weighted MG MERGE TREE that caps the
+    final candidate set at ``max_candidates`` rows no matter how many
+    tasks contributed.
+
+    Without the merge, the candidate union is bounded only by
+    m × n_tasks — at 100k-task corpus scale with m=200 that is a
+    ~20M-row broadcast, past any sane broadcast budget.  MG summaries
+    are mergeable (Agarwal et al., "Mergeable Summaries": merging
+    size-M summaries yields a size-M summary with the combined
+    stream's n/(M+1) error bound), so two weighted merge levels give
+    an EXPLICIT bound: level 1 hash-partitions partials by value over
+    ``merge_parallelism`` tasks (same value always sums in one task)
+    and caps each at ``max_candidates``; level 2 merges those in one
+    task — fan-in ≤ max_candidates × merge_parallelism rows — and
+    caps the result at ``max_candidates``."""
 
     def _local_top(iterator):
         # ONE Misra-Gries summary per TASK (not per Arrow batch):
@@ -64,20 +81,62 @@ def heavy_hitters(
         for pdf in iterator:
             for v, c in pdf["value"].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
-            if len(counts) > m:
-                # subtract the (m+1)-th largest count everywhere and
-                # drop non-positives: ≤ m survivors, each counter an
-                # underestimate by at most the total decremented mass
-                thresh = heapq.nlargest(m + 1, counts.values())[m]
-                counts = {v: c - thresh for v, c in counts.items()
-                          if c > thresh}
+            counts = _mg_decrement(counts, m)
         top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
         yield pd.DataFrame(top[:m], columns=["value", "n_local"])
 
-    candidates = (
-        src.mapInPandas(_local_top, schema="value string, n_local long")
+    def _merge_weighted(iterator):
+        counts: dict[str, int] = {}
+        for pdf in iterator:
+            for v, c in zip(pdf["value"], pdf["n_local"]):
+                counts[v] = counts.get(v, 0) + int(c)
+            counts = _mg_decrement(counts, max_candidates)
+        top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+        yield pd.DataFrame(
+            top[:max_candidates], columns=["value", "n_local"]
+        )
+
+    schema = "value string, n_local long"
+    partials = src.mapInPandas(_local_top, schema=schema)
+    level1 = partials.repartition(merge_parallelism, "value").mapInPandas(
+        _merge_weighted, schema=schema
+    )
+    return (
+        level1.repartition(1)
+        .mapInPandas(_merge_weighted, schema=schema)
         .select("value")
-        .distinct()
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 20,
+    candidates_per_partition: int = 200,
+    max_candidates: int | None = None,
+    merge_parallelism: int = 32,
+) -> DataFrame:
+    """→ ``(value, n)``: the top-``k`` most frequent values of ``col``
+    with exact counts, without shuffling the full distinct-value set.
+
+    ``max_candidates`` (default ``16 × candidates_per_partition``) is
+    the HARD width of the broadcast candidate set — the recall knob at
+    the global grain, as ``candidates_per_partition`` is at the task
+    grain.  Values with true frequency above n/(max_candidates+1)
+    are guaranteed to survive the merge tree.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates_per_partition < k:
+        raise ValueError(
+            f"candidates_per_partition ({candidates_per_partition}) must be >= k ({k})"
+        )
+    cap = max_candidates if max_candidates is not None else 16 * candidates_per_partition
+    if cap < k:
+        raise ValueError(f"max_candidates ({cap}) must be >= k ({k})")
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    candidates = candidate_values(
+        src, candidates_per_partition, cap, merge_parallelism
     )
     return (
         src.join(F.broadcast(candidates), "value", "left_semi")
