@@ -130,3 +130,72 @@ def test_simhash_is_word_order_invariant(spark, words):
     )
     sigs = {r["doc_id"]: r["simhash"] for r in simhash32(df).collect()}
     assert sigs[1] == sigs[2]
+
+
+def test_asof_bucketed_equals_plain_at_sf01(spark):
+    """r4 advice #7: the bucketed as-of (hot-key mitigation) must be
+    value-equal to the plain union+running-last as-of at sf0.1 size
+    under AQE — not just on the small randomized examples above."""
+    from pyspark.sql import functions as F
+
+    from wikiextractor_spark.operators.asof import asof_join, asof_join_bucketed
+    from wikiextractor_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("sig_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def canon(df):
+        return sorted(
+            (r["event_id"], r["asof_ts"], r["asof_sig_value"])
+            for r in df.select("event_id", "asof_ts", "asof_sig_value").collect()
+        )
+
+    plain = canon(asof_join(purchases, signups, on="user_id"))
+    bucketed = canon(
+        asof_join_bucketed(purchases, signups, on="user_id")
+    )
+    assert len(plain) > 1000
+    assert plain == bucketed
+
+
+def test_salted_join_equals_plain_at_sf01(spark):
+    """r4 advice #7: salted_join must be row-for-row equal to the
+    plain equi-join on real sf0.1 tables under AQE (salt only routes,
+    never changes results) — for both inner and left joins, including
+    unmatched left rows."""
+    from pyspark.sql import functions as F
+
+    from wikiextractor_spark.operators.skew import salted_join
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("pk"),
+            F.col("l_quantity"),
+        )
+    )
+    # drop a slice of parts so the left join exercises unmatched rows
+    part = (
+        spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+        .filter(F.col("p_partkey") % 10 != 0)
+        .select(F.col("p_partkey").alias("pk"), F.col("p_brand"))
+    )
+
+    def canon(df):
+        return sorted(
+            (r["l_orderkey"], r["pk"], str(r["l_quantity"]), r["p_brand"])
+            for r in df.collect()
+        )
+
+    for how in ("inner", "left"):
+        plain = canon(li.join(part, "pk", how))
+        salted = canon(salted_join(li, part, on="pk", buckets=8, how=how))
+        assert len(plain) > 10_000
+        assert plain == salted
