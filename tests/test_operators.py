@@ -466,6 +466,56 @@ def test_ppm_header_parser():
     assert multimodal._image_header_meta(p6) == (640, 480, 3, 1, 27)
 
 
+def test_bmp_pixel_array_and_real_resize(spark):
+    """The numpy BMP pixel decode must recover exact pixel values
+    (bottom-up flip, padding strip, palette resolve), and resize_media
+    must nearest-neighbor-resample REAL pixels for image rows."""
+    import struct
+
+    import numpy as np
+
+    # 2x2 24-bpp BMP, bottom-up: file rows are (bottom), (top)
+    w = h = 2
+    rowsize = ((w * 3 + 3) // 4) * 4  # 8: 6 pixel bytes + 2 pad
+    bottom = bytes([10, 10, 10, 20, 20, 20]) + b"\x00\x00"
+    top = bytes([30, 30, 30, 40, 40, 40]) + b"\x00\x00"
+    img = bottom + top
+    head = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
+                      2835, 2835, 0, 0)
+    payload = head + dib + img
+
+    arr = multimodal._bmp_pixel_array(payload)
+    assert arr.shape == (2, 2, 3)
+    # top-down after flip: row 0 is the TOP image row
+    assert arr[0, 0, 0] == 30 and arr[0, 1, 0] == 40
+    assert arr[1, 0, 0] == 10 and arr[1, 1, 0] == 20
+
+    media = spark.createDataFrame(
+        [(1, payload, "image")], "doc_id long, media binary, media_type string",
+    )
+    out = multimodal.resize_media(media, width=4, height=4).collect()[0]
+    got = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(4, 4)
+    # nearest-neighbor 2x upscale: each source pixel becomes a 2x2 tile
+    want = np.array([[30, 30, 40, 40], [30, 30, 40, 40],
+                     [10, 10, 20, 20], [10, 10, 20, 20]], dtype=np.uint8)
+    assert (got == want).all()
+
+    # features: identical pixels embed identically; different pixels move it
+    f1 = multimodal.extract_features(media, dim=48).collect()[0]["embedding"]
+    media2 = spark.createDataFrame(
+        [(2, payload, "image")], "doc_id long, media binary, media_type string",
+    )
+    f2 = multimodal.extract_features(media2, dim=48).collect()[0]["embedding"]
+    assert f1 == f2  # content-derived, id-independent
+    brighter = payload[:54] + bytes(min(255, b + 100) for b in img)
+    media3 = spark.createDataFrame(
+        [(3, brighter, "image")], "doc_id long, media binary, media_type string",
+    )
+    f3 = multimodal.extract_features(media3, dim=48).collect()[0]["embedding"]
+    assert f1 != f3
+
+
 def test_decode_media_real_pixels_from_bmp(spark):
     """decode_media serves REAL pixel bytes for parseable images: the
     first 16 bytes of the file's pixel-data section, not an md5 fake."""
@@ -1185,7 +1235,9 @@ def test_multimodal_resize_and_frames(docs):
     media = multimodal.attach_fake_binary(docs.limit(30))
     resized = multimodal.resize_media(media, width=32, height=32).collect()
     assert len(resized) == 30
-    assert all(r["width"] == 32 and len(r["pixels"]) == 32 * 32 // 8 for r in resized)
+    # one gray byte per target pixel from BOTH kernels (real BMP
+    # resample for images, hash fake for audio/video)
+    assert all(r["width"] == 32 and len(r["pixels"]) == 32 * 32 for r in resized)
     frames = multimodal.sample_frames(media, n_frames=4).collect()
     n_videos = sum(1 for r in media.collect() if r["media_type"] == "video")
     assert len(frames) == 4 * n_videos

@@ -389,22 +389,77 @@ FRAMES_SCHEMA = StructType(
 )
 
 
+def _bmp_pixel_array(payload: bytes):
+    """Decode a synthesized-class BMP to an (h, w, channels) uint8
+    numpy array — bottom-up row order flipped to top-down, row padding
+    stripped, palette indices resolved through the color table for
+    8-bpp.  Pure numpy (no codec library); returns None for anything
+    :func:`_bmp_decode_meta` rejects or a bit depth below 8."""
+    import numpy as np
+
+    parsed = _bmp_decode_meta(payload)
+    if parsed is None:
+        return None
+    w, h, channels, _nf, off = parsed
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp < 8:
+        return None
+    bytes_pp = bpp // 8
+    rowsize = ((w * bytes_pp + 3) // 4) * 4
+    need = rowsize * h
+    data = payload[off : off + need]
+    if len(data) < need:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, rowsize)
+    arr = arr[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    (raw_height,) = struct.unpack_from("<i", payload, 22)
+    if raw_height > 0:  # positive height = bottom-up storage
+        arr = arr[::-1]
+    if bpp == 8:
+        # resolve palette indices to gray via the BGRA color table's
+        # blue byte (the synthesized palettes are grayscale)
+        palette = np.frombuffer(payload[54 : 54 + 1024], dtype=np.uint8)
+        arr = palette[arr[:, :, 0].astype(np.int64) * 4][:, :, None]
+    return arr
+
+
 def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize stub over decoded media: deterministic fake resample
-    (content-hash tiled to the target size).  Real plumbing — schema,
-    Arrow batching, partition preservation — with the resample kernel
-    swappable for PIL/libvips."""
+    """Resize decoded media to ``width`` × ``height``.
+
+    Image rows with parseable BMP payloads are resampled for REAL:
+    numpy nearest-neighbor over the actual pixel array (grayscale-
+    collapsed so the output buffer has a fixed one-byte-per-pixel
+    shape across 8/24/32-bpp inputs).  Non-image media and
+    undecodable payloads keep the deterministic content-hash fake.
+    The Spark plumbing — schema, Arrow batching, partition
+    preservation — is identical for both kernels, so a PIL/libvips
+    resample drops in without touching the operator."""
 
     def _batches(iterator):
+        import numpy as np
+
         for pdf in iterator:
             rows = []
             for doc_id, payload, mtype in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_type"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                digest = hashlib.md5(payload).digest()
-                n = max(1, (width * height) // 16)
-                rows.append((doc_id, mtype, (digest * n)[: width * height // 8], width, height))
+                arr = _bmp_pixel_array(payload) if mtype == "image" else None
+                if arr is not None:
+                    # nearest-neighbor index maps + channel mean → one
+                    # byte per target pixel, any input bit depth
+                    src_h, src_w = arr.shape[:2]
+                    ys = (np.arange(height) * src_h) // height
+                    xs = (np.arange(width) * src_w) // width
+                    gray = arr.mean(axis=2, dtype=np.float64).astype(np.uint8)
+                    pixels = gray[np.ix_(ys, xs)].tobytes()
+                else:
+                    # fake kernel: content hash tiled to the same
+                    # 1-byte-per-pixel buffer shape as the real path
+                    digest = hashlib.md5(payload).digest()
+                    n = (width * height + 15) // 16
+                    pixels = (digest * n)[: width * height]
+                rows.append((doc_id, mtype, pixels, width, height))
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
@@ -442,17 +497,25 @@ FEATURES_SCHEMA = StructType(
 
 
 def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
-    """Feature-extraction stub over media payloads: a deterministic
-    unit-norm ``float[dim]`` embedding per row, derived from the
-    content hash (the fake stands in for a model forward pass — no
-    inference runtime ships in this container).
+    """Feature extraction over media payloads: a deterministic
+    unit-norm ``float[dim]`` embedding per row.
 
-    The Spark plumbing is the real deliverable and is exactly what a
-    model-backed kernel needs: Arrow-batched ``mapInPandas`` (the
-    model loads once per python worker, amortized over batches, NOT
-    once per row), a typed ``array<float>`` output that feeds the
-    similarity operators directly (``ann_topk``/``ann_topk_blas``/
-    IVF), and numpy-vectorized normalization per batch.
+    Image rows with parseable BMP payloads are featurized from REAL
+    pixels: a 32-bin grayscale intensity histogram plus nearest-
+    neighbor-sampled row/column mean profiles, tiled/truncated to
+    ``dim`` — content-derived in the way a visual embedding is (two
+    images with identical pixels embed identically; crops/recolors
+    move the vector), while staying codec-library-free.  Audio/video
+    and undecodable payloads keep the counter-mode-md5 fake (a model
+    forward pass stands behind the same interface; no inference
+    runtime ships in this container).
+
+    The Spark plumbing is what a model-backed kernel needs:
+    Arrow-batched ``mapInPandas`` (a model would load once per python
+    worker, amortized over batches, NOT once per row), a typed
+    ``array<float>`` output that feeds the similarity operators
+    directly (``ann_topk``/``ann_topk_blas``/IVF), and
+    numpy-vectorized math per row.
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
@@ -460,21 +523,38 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     def _batches(iterator):
         import numpy as np
 
+        def _fake(payload: bytes) -> "np.ndarray":
+            # expand the 16-byte digest into dim pseudo-random
+            # floats (counter-mode md5)
+            need = (dim * 4 + 15) // 16
+            buf = b"".join(
+                hashlib.md5(payload + k.to_bytes(4, "big")).digest()
+                for k in range(need)
+            )
+            v = np.frombuffer(buf[: dim * 4], dtype=np.uint32).astype(np.float64)
+            return (v / 2**32) * 2.0 - 1.0
+
+        def _real(arr) -> "np.ndarray":
+            gray = arr.mean(axis=2, dtype=np.float64)
+            hist, _ = np.histogram(gray, bins=32, range=(0.0, 256.0))
+            hist = hist / max(1, gray.size)
+            h, w = gray.shape
+            ys = (np.arange(16) * h) // 16
+            xs = (np.arange(16) * w) // 16
+            rows_prof = gray[ys].mean(axis=1) / 255.0
+            cols_prof = gray[:, xs].mean(axis=0) / 255.0
+            base = np.concatenate([hist, rows_prof, cols_prof])
+            reps = (dim + len(base) - 1) // len(base)
+            return np.tile(base, reps)[:dim]
+
         for pdf in iterator:
             rows = []
             for doc_id, payload, mtype in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_type"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                # expand the 16-byte digest into dim pseudo-random
-                # floats (counter-mode md5), then L2-normalize
-                need = (dim * 4 + 15) // 16
-                buf = b"".join(
-                    hashlib.md5(payload + k.to_bytes(4, "big")).digest()
-                    for k in range(need)
-                )
-                v = np.frombuffer(buf[: dim * 4], dtype=np.uint32).astype(np.float64)
-                v = (v / 2**32) * 2.0 - 1.0
+                arr = _bmp_pixel_array(payload) if mtype == "image" else None
+                v = _real(arr) if arr is not None else _fake(payload)
                 v = v / (np.linalg.norm(v) or 1.0)
                 rows.append((doc_id, mtype, v.astype(np.float32).tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
