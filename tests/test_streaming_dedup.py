@@ -336,3 +336,75 @@ def test_incremental_transient_store_error_fails_batch(
     )
     _drain(q)
     assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1}
+
+
+def test_signature_store_compaction(spark, tmp_path):
+    """Compaction must collapse the accumulated batch_id generations
+    into one, preserve the exact signature row set and bucket layout,
+    and leave the incremental stream suppressing near-dups afterwards."""
+    import glob
+
+    from wikiextractor_spark.streaming import (
+        compact_signature_store,
+        near_dedup_documents_incremental,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def land(rows, name):
+        scratch = tmp_path / f"_scratch_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.copy(part, src / name)
+
+    out, ckpt, state = tmp_path / "out", tmp_path / "ckpt", tmp_path / "state"
+    land([(1, base, "en", "t", 1)], "f1.parquet")
+    q = near_dedup_documents_incremental(
+        spark, str(src), str(out), str(ckpt), str(state), max_distance=6)
+    _drain(q)
+    land([(3, other, "en", "t", 1)], "f2.parquet")
+    q = near_dedup_documents_incremental(
+        spark, str(src), str(out), str(ckpt), str(state), max_distance=6)
+    _drain(q)
+
+    def gens():
+        return sorted(glob.glob(f"{state}/batch_id=*"))
+
+    def rows():
+        return sorted(
+            (r["doc_id"], r["simhash"], r["block_idx"], r["block_val"],
+             r["bucket"])
+            for r in spark.read.parquet(str(state)).collect()
+        )
+
+    assert len(gens()) == 2
+    before = rows()
+    assert compact_signature_store(spark, str(state)) == 2
+    assert len(gens()) == 1
+    assert rows() == before
+    # idempotent: single generation -> nothing to do
+    assert compact_signature_store(spark, str(state)) == 0
+    # one file per bucket in the compacted generation
+    for bdir in glob.glob(f"{state}/batch_id=*/bucket=*"):
+        assert len(glob.glob(f"{bdir}/part-*.parquet")) == 1
+
+    # the stream still suppresses near-dups against the compacted store
+    near = base.replace("kappa", "changed")
+    land([(10, near, "en", "t", 1), (11, "wholly new unrelated content words", "en", "t", 1)], "f3.parquet")
+    q = near_dedup_documents_incremental(
+        spark, str(src), str(out), str(ckpt), str(state), max_distance=6)
+    _drain(q)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 3, 11}, got

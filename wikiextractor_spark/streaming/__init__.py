@@ -1,4 +1,5 @@
 from wikiextractor_spark.streaming.dedup import (  # noqa: F401
+    compact_signature_store,
     dedup_events_to_parquet,
     deduped_document_stream,
     deduped_event_stream,

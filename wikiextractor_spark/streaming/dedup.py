@@ -304,3 +304,47 @@ def near_dedup_documents_incremental(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
+    """Rewrite the store's accumulated ``batch_id=`` generations into
+    ONE consolidated generation — the maintenance pass a long-lived
+    stream needs, since every micro-batch adds a small parquet
+    partition and file count otherwise grows with stream lifetime.
+
+    Layout is preserved (hive ``batch_id=<gen>/bucket=<b>`` with one
+    file per bucket, via a shuffle on bucket), so
+    :func:`read_store_buckets` pruning is unchanged.  Write-then-
+    delete ordering makes a crash mid-compaction leave duplicated
+    signature rows, never missing ones — duplicate store rows are
+    harmless to the dedup join (candidate ids are ``distinct``), so
+    the failure mode is extra work, not emitted duplicates.  Run only
+    while the stream is stopped: a concurrent ``foreachBatch`` writer
+    creates new generations this pass would not see.  Returns the
+    number of generations removed."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    gens = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    ]
+    if len(gens) <= 1:
+        return 0
+    gen_ids = [int(p.getName().split("=", 1)[1]) for p in gens]
+    new_gen = max(gen_ids) + 1
+    rows = read_store_buckets(spark, state_dir, None).select(
+        "doc_id", "simhash", "block_idx", "block_val", "bucket"
+    )
+    (
+        rows.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{state_dir}/batch_id={new_gen}")
+    )
+    for p in gens:
+        fs.delete(p, True)
+    return len(gens)
