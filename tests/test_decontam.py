@@ -137,3 +137,102 @@ def test_validation_errors(frames):
         contamination_report(docs, bench, threshold=0.0)
     with pytest.raises(ValueError):
         doc_ngram_hashes(docs, n=0)
+
+
+def _canon_report(df):
+    return sorted(
+        (r.doc_id, r.n_grams, r.n_hits, round(r.hit_frac, 9), r.contaminated)
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("n", [2, 13])
+def test_bloom_report_identical_to_broadcast(frames, n):
+    """The large-benchmark Bloom path must be BIT-IDENTICAL to the
+    broadcast path: Bloom has no false negatives, and the exact
+    semi-join strips its false positives."""
+    from wikiextractor_spark.operators.decontam import (
+        contamination_report_bloom,
+    )
+
+    docs, bench = frames
+    want = _canon_report(contamination_report(docs, bench, n=n, threshold=0.5))
+    got = _canon_report(
+        contamination_report_bloom(docs, bench, n=n, threshold=0.5)
+    )
+    assert got == want
+
+
+def test_bloom_report_survives_heavy_false_positives(frames):
+    """A deliberately tiny bitmap (512 bits, k=2) makes Bloom false
+    positives near-certain — the exact semi-join must still strip
+    every one, leaving results identical to the broadcast path."""
+    from wikiextractor_spark.operators.decontam import (
+        contamination_report_bloom,
+    )
+
+    docs, bench = frames
+    want = _canon_report(contamination_report(docs, bench, n=2, threshold=0.5))
+    got = _canon_report(
+        contamination_report_bloom(
+            docs, bench, n=2, threshold=0.5, m_bits=512, k=2
+        )
+    )
+    assert got == want
+
+
+def test_bloom_prefilter_drops_noncandidates(spark):
+    """On a corpus with NO benchmark overlap and a well-sized bitmap,
+    the Bloom prefilter passes (almost) nothing into the exact join —
+    the property that keeps the shuffle a sliver at corpus scale."""
+    import numpy as np
+
+    from wikiextractor_spark.operators.decontam import (
+        _bloom_positions,
+        benchmark_gram_set,
+        build_bloom,
+    )
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "concat('unique words num', CAST(id AS STRING), ' follow here now then') AS text",
+    )
+    bench = spark.createDataFrame(
+        [("entirely different benchmark sentence about nothing shared",)],
+        "text string",
+    )
+    bench_hashes = benchmark_gram_set(bench, n=3)
+    bitmap = build_bloom(bench_hashes, m_bits=1 << 20, k=6)
+    # every benchmark gram must probe positive (no false negatives)
+    vals = np.array(
+        [r.gram_hash for r in bench_hashes.collect()], dtype=np.int64
+    ).view(np.uint64)
+    for pos in _bloom_positions(vals, 1 << 20, 6):
+        assert ((bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all()
+
+    from wikiextractor_spark.operators.decontam import (
+        _explode_with_count,
+        contamination_report_bloom,
+    )
+
+    report = contamination_report_bloom(docs, bench, n=3, threshold=0.5)
+    rows = report.collect()
+    assert len(rows) == 500
+    assert all(r.n_hits == 0 and not r.contaminated for r in rows)
+
+
+def test_decontaminate_bloom_route(frames):
+    """decontaminate(benchmark_broadcast=False) drops exactly the docs
+    the broadcast route drops."""
+    docs, bench = frames
+    want = sorted(
+        r.doc_id
+        for r in decontaminate(docs, bench, n=2, threshold=0.5).collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in decontaminate(
+            docs, bench, n=2, threshold=0.5, benchmark_broadcast=False
+        ).collect()
+    )
+    assert got == want

@@ -31,6 +31,7 @@ training-data-pipeline extension (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -146,6 +147,7 @@ def decontaminate(
     docs: DataFrame, benchmark: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
     n: int = 13, threshold: float = 0.1,
+    benchmark_broadcast: bool = True,
 ) -> DataFrame:
     """Drop contaminated documents: ``docs`` minus every row whose
     benchmark ``n``-gram overlap fraction reaches ``threshold``.
@@ -153,9 +155,17 @@ def decontaminate(
     The flagged-id list is usually small (contamination is rare), so
     the anti-join is AQE-broadcastable at runtime; the corpus is
     touched exactly twice (flag pass + anti-join probe).
+
+    ``benchmark_broadcast=False`` switches the flag pass to
+    :func:`contamination_report_bloom` for benchmarks whose gram set
+    exceeds the broadcast budget (decontaminating against another
+    corpus / all prior training data): a few-MB Bloom bitmap replaces
+    the broadcast, with an exact semi-join on the candidate sliver
+    keeping results identical.
     """
+    report = contamination_report if benchmark_broadcast else contamination_report_bloom
     flagged = (
-        contamination_report(
+        report(
             docs, benchmark, text_col=text_col, id_col=id_col,
             n=n, threshold=threshold,
         )
@@ -163,3 +173,162 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Large-benchmark path: Bloom-prefiltered decontamination
+# --------------------------------------------------------------------------
+#
+# The broadcast path above assumes the benchmark gram set fits the
+# broadcast budget (true for MB-scale eval sets).  When the benchmark
+# is itself large — decontaminating against another CORPUS, a giant
+# eval union, or all prior training data — broadcasting its distinct
+# gram hashes stops being possible, and the naive alternative
+# (shuffle-joining the exploded 100 TB corpus against the benchmark on
+# gram_hash) shuffles the entire exploded corpus.
+#
+# The Bloom path keeps corpus-scale work NARROW: a bitmap over the
+# benchmark gram hashes (built distributed, OR-merged on the driver,
+# re-broadcast as a few MB regardless of benchmark cardinality)
+# prefilters corpus grams to candidates = true hits + false positives;
+# only that sliver shuffles into an EXACT semi-join against the
+# benchmark gram set, so false positives are removed and the report is
+# bit-identical to the broadcast path.  Bloom filters have no false
+# negatives, so no hit can be missed.
+
+_SPLITMIX_1 = 0x9E3779B97F4A7C15
+_SPLITMIX_2 = 0xBF58476D1CE4E5B9
+_SPLITMIX_3 = 0x94D049BB133111EB
+
+
+def _splitmix64_np(x):
+    """Vectorized splitmix64 finalizer: the second, independent hash
+    the Kirsch-Mitzenmacher double-hashing scheme needs, derived from
+    the stored xxhash64 value so build and probe agree without a
+    second JVM hash column."""
+    import numpy as np
+
+    z = (x + np.uint64(_SPLITMIX_1)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z = (z * np.uint64(_SPLITMIX_2)).astype(np.uint64)
+    z ^= z >> np.uint64(27)
+    z = (z * np.uint64(_SPLITMIX_3)).astype(np.uint64)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(h1, m_bits: int, k: int):
+    """k probe positions per hash (Kirsch-Mitzenmacher: h1 + i*h2)."""
+    import numpy as np
+
+    h1 = h1.astype(np.uint64)
+    h2 = _splitmix64_np(h1) | np.uint64(1)  # odd => full-period stride
+    m = np.uint64(m_bits)
+    return [
+        ((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(k)
+    ]
+
+
+def build_bloom(
+    hashes: DataFrame, m_bits: int = 1 << 24, k: int = 6,
+    build_partitions: int = 8,
+):
+    """Bloom bitmap (numpy uint8 array, m_bits/8 bytes) over a bigint
+    ``gram_hash`` column.  Each build partition sets bits into its own
+    bitmap (numpy, vectorized); the driver ORs ``build_partitions``
+    bitmaps — the only driver-side cost is partitions × m_bits/8
+    bytes, independent of benchmark cardinality."""
+    import numpy as np
+
+    if m_bits % 8:
+        raise ValueError(f"m_bits must be a multiple of 8, got {m_bits}")
+
+    def _partition_bitmap(iterator):
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        saw = False
+        for pdf in iterator:
+            vals = pdf["gram_hash"].to_numpy(dtype=np.int64)
+            if not len(vals):
+                continue
+            saw = True
+            for pos in _bloom_positions(vals.view(np.uint64), m_bits, k):
+                np.bitwise_or.at(
+                    bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes() if saw else b""]})
+
+    parts = (
+        hashes.select("gram_hash")
+        .repartition(build_partitions)
+        .mapInPandas(_partition_bitmap, schema="bitmap binary")
+        .collect()
+    )
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts:
+        if row["bitmap"]:
+            out |= np.frombuffer(bytes(row["bitmap"]), dtype=np.uint8)
+    return out
+
+
+def contamination_report_bloom(
+    docs: DataFrame, benchmark: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    n: int = 13, threshold: float = 0.1,
+    m_bits: int = 1 << 24, k: int = 6,
+) -> DataFrame:
+    """:func:`contamination_report` for benchmarks too large to
+    broadcast — same output, bit for bit (differential-tested).
+
+    Corpus-scale stages stay narrow: gram + explode (no shuffle),
+    Bloom probe (Arrow-batched numpy against the broadcast bitmap —
+    the one Python stage, vectorized per batch).  Only candidate rows
+    (true hits + Bloom false positives, a sliver of the corpus) enter
+    the exact semi-join that removes false positives; the benchmark
+    side shuffles once, bounded by benchmark size.  Per-doc gram
+    counts come from a second narrow pass over the text rather than a
+    corpus-wide rollup of exploded rows, and the final hit-count join
+    is AQE-broadcastable because contaminated docs are rare."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
+
+    bench_hashes = benchmark_gram_set(benchmark, text_col=text_col, n=n)
+    bitmap = build_bloom(bench_hashes, m_bits=m_bits, k=k)
+    bitmap_bc = docs.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    @pandas_udf("boolean")
+    def _may_contain(h: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bitmap_bc.value, dtype=np.uint8)
+        vals = h.to_numpy(dtype=np.int64).view(np.uint64)
+        ok = np.ones(len(vals), dtype=bool)
+        for pos in _bloom_positions(vals, m_bits, k):
+            ok &= (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(ok)
+
+    exploded = _explode_with_count(docs, text_col, id_col, n)
+    candidates = exploded.filter(_may_contain(F.col("gram_hash")))
+    hit_counts = (
+        candidates.join(bench_hashes, "gram_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    doc_grain = docs.select(
+        F.col(id_col),
+        F.size(_grams_expr(text_col, n)).cast("long").alias("n_grams"),
+    )
+    return (
+        doc_grain.join(hit_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),
+            (F.col("n_hits") / F.col("n_grams") >= threshold).alias("contaminated"),
+        )
+    )
