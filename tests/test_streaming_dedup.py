@@ -408,3 +408,35 @@ def test_signature_store_compaction(spark, tmp_path):
     _drain(q)
     got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
     assert got == {1, 3, 11}, got
+
+
+def test_replayed_batch_does_not_self_dedup(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a crash
+    mid-write must NOT join against its own partial store partition —
+    that would see its own signatures at Hamming 0 and drop every doc.
+    The store read excludes the current batch's own generation."""
+    from wikiextractor_spark.streaming.dedup import dedup_batch_against_store
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batch = spark.createDataFrame(
+        [
+            (1, "first document with its own words entirely", "en", "t", 1),
+            (2, "second document sharing nothing with first", "en", "t", 1),
+        ],
+        schema,
+    ).localCheckpoint(eager=True)
+    state = tmp_path / "state"
+
+    first = dedup_batch_against_store(spark, batch, str(state), 7, max_distance=6)
+    assert {r["doc_id"] for r in first.collect()} == {1, 2}
+    # the store now holds batch 7's signatures; the replay of batch 7
+    # must survive identically, not self-dedup to nothing
+    replay = dedup_batch_against_store(spark, batch, str(state), 7, max_distance=6)
+    assert {r["doc_id"] for r in replay.collect()} == {1, 2}
+    # while a LATER batch with a copy is still suppressed
+    later = spark.createDataFrame(
+        [(9, "first document with its own words entirely", "en", "t", 1)],
+        schema,
+    ).localCheckpoint(eager=True)
+    out = dedup_batch_against_store(spark, later, str(state), 8, max_distance=6)
+    assert out.count() == 0

@@ -151,6 +151,7 @@ def _store_bucket_col(n_buckets: int = STORE_BUCKETS_PER_BLOCK):
 
 def read_store_buckets(
     spark: SparkSession, state_dir: str, buckets: list[int] | None = None,
+    exclude_gen: int | str | None = None,
 ) -> DataFrame | None:
     """Bucket-bounded read of the signature store: list the store's
     ``bucket=`` partition directories (driver-side Hadoop-FS glob, the
@@ -158,6 +159,13 @@ def read_store_buckets(
     directories whose bucket is in ``buckets`` — the scan cost bound
     does not depend on the optimizer pruning anything.  ``None``
     buckets = the whole store (maintenance path).
+
+    ``exclude_gen`` skips one ``batch_id=<gen>`` generation entirely:
+    a REPLAYED micro-batch (foreachBatch is at-least-once) must not
+    join against its own possibly-partial partition from the failed
+    attempt — it would see its own signatures at Hamming 0 and drop
+    every one of its docs as "duplicates" — and must not scan files
+    its own overwrite is about to delete.
 
     Returns ``None`` when the store directory does not exist yet
     (first batch) or no requested bucket has a partition.  The
@@ -169,23 +177,99 @@ def read_store_buckets(
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
-    if buckets is None:
-        return spark.read.parquet(state_dir)
-    want = set(buckets)
+    want = None if buckets is None else set(buckets)
+    skip_gen = None if exclude_gen is None else f"batch_id={exclude_gen}"
     statuses = (
         fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/*/bucket=*"))
         or []
     )
-    paths = [
-        p
-        for st in statuses
-        for p in [st.getPath().toString()]
-        if int(p.rsplit("bucket=", 1)[1]) in want
-    ]
+    paths = []
+    for st in statuses:
+        path = st.getPath()
+        if skip_gen is not None and path.getParent().getName() == skip_gen:
+            continue
+        if want is not None and int(path.getName().split("=", 1)[1]) not in want:
+            continue
+        paths.append(path.toString())
     if not paths:
         return None
     # basePath keeps batch_id/bucket as derived partition columns
     return spark.read.option("basePath", state_dir).parquet(*paths)
+
+
+def dedup_batch_against_store(
+    spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int,
+    max_distance: int = 3, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """One micro-batch of incremental Hamming ≤ ``max_distance``
+    near-dedup: in-batch chain dedup, pigeonhole join against the
+    bucketed signature store, and the idempotent store write for the
+    surviving signatures (under ``batch_id=<id>``, so an at-least-once
+    replay overwrites its own partition).  Returns the surviving batch
+    rows — the reusable core of
+    :func:`near_dedup_documents_incremental`, shared with the
+    streaming corpus-preparation flow."""
+    from wikiextractor_spark.operators.dedup import (
+        simhash64,
+        simhash_blocks,
+        simhash_candidate_pairs,
+    )
+
+    n_blocks = max_distance + 1
+    # in-batch chain dedup at the same Hamming grain
+    in_batch_losers = (
+        simhash_candidate_pairs(
+            batch_df, text_col=text_col, id_col=id_col,
+            max_distance=max_distance,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = batch_df.join(in_batch_losers, id_col, "left_anti")
+    sigs = simhash64(survivors, text_col, id_col).localCheckpoint(eager=True)
+    b_blocks = (
+        simhash_blocks(sigs, id_col=id_col, n_blocks=n_blocks, sig_bits=64)
+        .withColumn("bucket", _store_bucket_col())
+        .localCheckpoint(eager=True)
+    )
+    # the batch's bucket footprint: ≤ n_blocks * B ints, driver-side
+    batch_buckets = [
+        r["bucket"] for r in b_blocks.select("bucket").distinct().collect()
+    ]
+    # cross-batch: pigeonhole join vs matching store partitions
+    # (None = store absent or no bucket overlap; transient listing
+    # failures raise and fail the batch → checkpoint retries).
+    # exclude_gen: an at-least-once REPLAY must not join against its
+    # own partial partition — it would self-dedup to nothing
+    s_blocks = read_store_buckets(
+        spark, state_dir, batch_buckets, exclude_gen=batch_id
+    )
+    if s_blocks is not None:
+        dup_ids = (
+            b_blocks.alias("b")
+            .join(
+                s_blocks.alias("s"),
+                (F.col("b.block_idx") == F.col("s.block_idx"))
+                & (F.col("b.block_val") == F.col("s.block_val")),
+            )
+            .filter(
+                F.bit_count(
+                    F.col("b.simhash").bitwiseXOR(F.col("s.simhash"))
+                )
+                <= max_distance
+            )
+            .select(F.col(f"b.{id_col}").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(dup_ids, id_col, "left_anti")
+        b_blocks = b_blocks.join(dup_ids, id_col, "left_anti")
+    # idempotent per-batch store write: batch_id is carried by the
+    # hive-style PATH (partition discovery re-derives the column on
+    # read); writing it as a physical column too would collide
+    b_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{state_dir}/batch_id={batch_id}"
+    )
+    return survivors
 
 
 def near_dedup_documents_incremental(
@@ -229,68 +313,15 @@ def near_dedup_documents_incremental(
     it — rather than silently skipping cross-batch dedup.  Returns the
     StreamingQuery.
     """
-    from wikiextractor_spark.operators.dedup import (
-        simhash64,
-        simhash_blocks,
-        simhash_candidate_pairs,
-    )
-
-    n_blocks = max_distance + 1
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        batch_df = batch_df.localCheckpoint(eager=True)
-        # (2) in-batch chain dedup at the same Hamming grain
-        in_batch_losers = (
-            simhash_candidate_pairs(batch_df, max_distance=max_distance)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
+        survivors = dedup_batch_against_store(
+            spark, batch_df.localCheckpoint(eager=True), state_dir, batch_id,
+            max_distance=max_distance,
         )
-        survivors = batch_df.join(in_batch_losers, "doc_id", "left_anti")
-        sigs = simhash64(survivors).localCheckpoint(eager=True)
-        b_blocks = (
-            simhash_blocks(sigs, n_blocks=n_blocks, sig_bits=64)
-            .withColumn("bucket", _store_bucket_col())
-            .localCheckpoint(eager=True)
-        )
-        # the batch's bucket footprint: ≤ n_blocks * B ints, driver-side
-        batch_buckets = [
-            r["bucket"] for r in b_blocks.select("bucket").distinct().collect()
-        ]
-        # (3) cross-batch: pigeonhole join vs matching store partitions
-        # (None = store absent or no bucket overlap; transient listing
-        # failures raise and fail the batch → checkpoint retries)
-        s_blocks = read_store_buckets(spark, state_dir, batch_buckets)
-        if s_blocks is not None:
-            dup_ids = (
-                b_blocks.alias("b")
-                .join(
-                    s_blocks.alias("s"),
-                    (F.col("b.block_idx") == F.col("s.block_idx"))
-                    & (F.col("b.block_val") == F.col("s.block_val")),
-                )
-                .filter(
-                    F.bit_count(
-                        F.col("b.simhash").bitwiseXOR(F.col("s.simhash"))
-                    )
-                    <= max_distance
-                )
-                .select(F.col("b.doc_id").alias("doc_id"))
-                .distinct()
-            )
-            survivors = survivors.join(dup_ids, "doc_id", "left_anti")
-            b_blocks = b_blocks.join(dup_ids, "doc_id", "left_anti")
-        # (4) idempotent per-batch writes: a replayed batch overwrites
-        # its own partition, never duplicates it
-        # batch_id is carried by the hive-style PATH (partition
-        # discovery re-derives the column on read); writing it as a
-        # physical column too would collide with the inferred one
         survivors.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
-        )
-        b_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{state_dir}/batch_id={batch_id}"
         )
 
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -334,8 +365,17 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     ]
     if len(gens) <= 1:
         return 0
-    gen_ids = [int(p.getName().split("=", 1)[1]) for p in gens]
-    new_gen = max(gen_ids) + 1
+    # the compacted generation gets a NON-NUMERIC name ("c<n>"): the
+    # stream's own batch ids are a monotone integer sequence from its
+    # checkpoint, so a numeric compaction gen would eventually collide
+    # with a future micro-batch's overwrite and destroy the store
+    gen_ids = [
+        int(v.lstrip("c"))
+        for p in gens
+        for v in [p.getName().split("=", 1)[1]]
+        if v.lstrip("c").isdigit()
+    ]
+    new_gen = f"c{max(gen_ids, default=0) + 1}"
     rows = read_store_buckets(spark, state_dir, None).select(
         "doc_id", "simhash", "block_idx", "block_val", "bucket"
     )
