@@ -440,3 +440,85 @@ def test_replayed_batch_does_not_self_dedup(spark, tmp_path):
     ).localCheckpoint(eager=True)
     out = dedup_batch_against_store(spark, later, str(state), 8, max_distance=6)
     assert out.count() == 0
+
+
+def test_prepare_corpus_stream_end_to_end(spark, tmp_path):
+    """The streaming corpus-prep flow must apply the full composition
+    per micro-batch: lang filter, in-batch + cross-batch near dedup
+    via the signature store, benchmark decontamination, chunking and
+    packing — across two availableNow runs."""
+    import glob
+
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    german = (
+        "der die das und ist nicht ein eine mit von zu auf fuer den "
+        "dem des im am um an bei nach aus"
+    )
+    contaminated = (
+        "held out evaluation sentence that must never reach training "
+        "data at all in any form whatsoever"
+    )
+    fresh = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    bench = spark.createDataFrame([(contaminated,)], "text string")
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def land(rows, name):
+        scratch = tmp_path / f"_scratch_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.copy(part, src / name)
+
+    def run():
+        q = prepare_corpus_stream(
+            spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            str(tmp_path / "state"),
+            target_lang="en", dedup="near", max_distance=6,
+            benchmark=bench, decontam_ngram=3, decontam_threshold=0.5,
+            chunk_tokens=8, pack_budget=16,
+        )
+        assert q.awaitTermination(120), "stream did not drain"
+
+    def doc(i, text):
+        return (i, text, "xx", "t", len(text))
+
+    # batch 1: A (en), exact copy of A (in-batch dup), German doc
+    land([doc(1, base), doc(2, base), doc(3, german)], "f1.parquet")
+    run()
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    assert {r["doc_id"] for r in out1.collect()} == {1}
+    # chunked + packed schema with the budget invariant
+    assert {"chunk_no", "chunk", "n_tokens", "chunk_id", "pack_id",
+            "over_budget"} <= set(out1.columns)
+    sums = (
+        out1.filter(~F.col("over_budget"))
+        .groupBy("batch_id", "pack_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    assert sums and all(r["s"] <= 16 for r in sums)
+    # the 20-word doc chunks into ceil(20/8) = 3 chunks
+    assert out1.count() == 3
+
+    # batch 2: near-copy of A (cross-batch suppressed), contaminated
+    # doc (decontam drop), fresh doc (survives)
+    land(
+        [doc(10, base.replace("kappa", "edited")), doc(11, contaminated),
+         doc(12, fresh)],
+        "f2.parquet",
+    )
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1, 12}, got

@@ -1,3 +1,6 @@
+from wikiextractor_spark.streaming.corpus import (  # noqa: F401
+    prepare_corpus_stream,
+)
 from wikiextractor_spark.streaming.dedup import (  # noqa: F401
     compact_signature_store,
     dedup_events_to_parquet,

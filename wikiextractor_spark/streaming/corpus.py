@@ -1,0 +1,138 @@
+"""Streaming corpus preparation: the :func:`~wikiextractor_spark.
+operators.corpus.prepare_corpus` composition lifted onto an unbounded
+document stream.
+
+A training-data pipeline rarely gets its corpus as one finished
+snapshot — crawls land continuously.  This flow runs the same staged
+composition per micro-batch via ``foreachBatch``:
+
+    raw documents (stream)
+      → narrow filters / redaction      (stateless: identical per batch)
+      → cross-batch near dedup          (bucketed signature store —
+                                         the ONE stage that needs
+                                         cross-batch state)
+      → decontaminate                   (static benchmark, broadcast
+                                         per batch)
+      → deterministic sample            (hash gate: stateless AND
+                                         replay-idempotent — the same
+                                         doc id gates identically in
+                                         any batch)
+      → chunk → pack                    (packs are per micro-batch;
+                                         FFD needs a bounded working
+                                         set, and a training shard is
+                                         naturally batch-grained)
+
+Stage trades stated explicitly:
+
+* ``token_budget`` sampling is NOT offered — it needs the corpus-wide
+  token total, which an unbounded stream never has.  Use
+  ``sample_fraction`` (stateless) and budget offline.
+* Packs never span micro-batches: ``pack_id`` is unique only within a
+  batch's output partition (read with the ``batch_id`` column).
+* Output and signature-store writes land under ``batch_id=<epoch>``
+  with per-partition overwrite, so an at-least-once replay rewrites
+  its own partition; the store read excludes the replaying batch's own
+  generation (see ``dedup.read_store_buckets``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wikiextractor_spark.streaming.dedup import dedup_batch_against_store
+from wikiextractor_spark.streaming.stream import DOCUMENTS_SCHEMA
+
+
+def prepare_corpus_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    state_dir: str, path_glob: str | None = None,
+    trigger_available_now: bool = True,
+    *,
+    target_lang: str | None = None,
+    min_quality: float | None = None,
+    drop_repetitive: bool = False,
+    redact: bool = False,
+    dedup: str | None = "near",
+    max_distance: int = 3,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    decontam_threshold: float = 0.1,
+    sample_fraction: float | None = None,
+    sample_salt: str = "corpus",
+    chunk_tokens: int | None = None,
+    overlap: int = 0,
+    pack_budget: int | None = None,
+):
+    """Continuous corpus preparation over a document-directory stream.
+
+    ``dedup='near'`` is the cross-batch Hamming ≤ ``max_distance``
+    suppression backed by the bucketed signature store; ``None`` skips
+    dedup (for exact-hash streaming dedup use
+    :func:`~wikiextractor_spark.streaming.deduped_document_stream`,
+    whose state lives in the streaming state store).  All other knobs
+    mirror :func:`~wikiextractor_spark.operators.corpus.prepare_corpus`
+    and are applied with the same stage order per micro-batch.
+    Returns the StreamingQuery.
+    """
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    if dedup not in ("near", None):
+        raise ValueError(
+            f"streaming dedup must be 'near' or None, got {dedup!r}; "
+            "exact-hash streaming dedup is deduped_document_stream"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # narrow stages: filters + redaction (stage order identical to
+        # the batch composition — prepare_corpus with the stateful and
+        # row-multiplying stages switched off)
+        filtered = prepare_corpus(
+            batch_df,
+            target_lang=target_lang,
+            min_quality=min_quality,
+            drop_repetitive=drop_repetitive,
+            redact=redact,
+            dedup=None,
+        ).localCheckpoint(eager=True)
+        if dedup == "near":
+            survivors = dedup_batch_against_store(
+                spark, filtered, state_dir, batch_id,
+                max_distance=max_distance,
+            )
+        else:
+            survivors = filtered
+        # downstream stages: decontaminate + sample + chunk + pack,
+        # again via the batch composition with the upstream stages off
+        out = prepare_corpus(
+            survivors,
+            dedup=None,
+            benchmark=benchmark,
+            decontam_ngram=decontam_ngram,
+            decontam_threshold=decontam_threshold,
+            sample_fraction=sample_fraction,
+            sample_salt=sample_salt,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            pack_budget=pack_budget,
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if trigger_available_now:
+        return (
+            reader.parquet(input_dir)
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
