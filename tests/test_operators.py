@@ -1391,3 +1391,49 @@ def test_heavy_hitters_plan_and_validation(docs, spark):
         heavy_hitters(words, "w", k=0)
     with _pytest.raises(ValueError):
         heavy_hitters(words, "w", k=10, candidates_per_partition=5)
+
+
+def test_ivf_index_persist_and_probe(spark, tmp_path):
+    """build_ivf_index -> ann_ivf_topk_indexed must equal the
+    in-memory ann_ivf_topk on the SAME centroids, reload the trained
+    centroid matrix exactly, and scan only the probed centroid_id
+    partitions (explicit path selection, not optimizer pruning)."""
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        load_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, idx, k=8, iters=2)
+    assert load_ivf_centroids(spark, idx) == centroids
+
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(3).collect()]
+    want = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in ann_ivf_topk(
+            emb, qids, k=5, nprobe=3, centroids=centroids
+        ).collect()
+    )
+    indexed = ann_ivf_topk_indexed(spark, idx, qids, k=5, nprobe=3)
+    got = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in indexed.collect()
+    )
+    assert want and got == want
+
+    # probe-side scan bound: every scanned file sits in a probed
+    # centroid partition, and fewer partitions than the full index
+    import glob
+
+    all_parts = glob.glob(f"{idx}/vectors/centroid_id=*")
+    assert len(all_parts) >= 4  # 8 centroids over 200 vectors
+    files = indexed.inputFiles()
+    probed_dirs = {
+        f.rsplit("/", 1)[0].rsplit("centroid_id=", 1)[1]
+        for f in files
+        if "centroid_id=" in f
+    }
+    assert len(probed_dirs) <= 3 * 3  # queries x nprobe upper bound

@@ -517,3 +517,153 @@ def ann_topk_blas(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index: build once, probe many
+# --------------------------------------------------------------------------
+
+def build_ivf_index(
+    emb: DataFrame, index_dir: str, k: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer and PERSIST the index:
+
+    * ``<index_dir>/centroids`` — the k×dim centroid matrix (one
+      tiny parquet file);
+    * ``<index_dir>/vectors``  — every corpus vector with its
+      assignment, hive-partitioned by ``centroid_id``.
+
+    The partitioning is the scale payoff: a probe touches only its
+    ``nprobe`` centroid partitions of the corpus — at 100 TB the
+    difference between reading nprobe/k of the data and all of it —
+    and the one-time build cost (train + assign + one partitioned
+    write) amortizes over every subsequent query batch, instead of
+    re-training and re-assigning per call the way the in-memory
+    :func:`ann_ivf_topk` does.  Returns the trained centroids."""
+    spark = emb.sparkSession
+    centroids = ivf_centroids(emb, k, iters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    (
+        emb.join(assigned, id_col)
+        .select(F.col(id_col), F.col("centroid_id"), F.col(vec_col))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    (
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "centroid_id int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/centroids")
+    )
+    return centroids
+
+
+def load_ivf_centroids(spark, index_dir: str) -> list[list[float]]:
+    """The trained centroid matrix back from :func:`build_ivf_index`
+    (driver-sized by construction: k×dim doubles)."""
+    rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    return [
+        list(r["centroid"])
+        for r in sorted(rows, key=lambda r: r["centroid_id"])
+    ]
+
+
+def _index_partition_paths(
+    spark, index_dir: str, buckets: list[int],
+) -> list[str]:
+    """Existing ``centroid_id=`` partition dirs among ``buckets`` —
+    an explicit Hadoop-FS listing, so the probe's read bound never
+    depends on the optimizer pruning anything (same pattern as the
+    streaming signature store)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/vectors")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    want = set(buckets)
+    statuses = (
+        fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/vectors/centroid_id=*"))
+        or []
+    )
+    return [
+        p.toString()
+        for st in statuses
+        for p in [st.getPath()]
+        if int(p.getName().split("=", 1)[1]) in want
+    ]
+
+
+def ann_ivf_topk_indexed(
+    spark, index_dir: str, query_ids: list[int], k: int = 5,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_ivf_topk` against a PERSISTED index — identical
+    semantics and output (value-equality tested against the in-memory
+    path on the same centroids), but the corpus scan reads ONLY the
+    union of the queries' probe partitions: explicit
+    ``centroid_id=<b>`` directory selection, ≤ queries × nprobe
+    directories, never the whole vectors table."""
+    centroids = load_ivf_centroids(spark, index_dir)
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    base_all = vectors.select(
+        F.col(id_col), F.col("centroid_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    scores = _centroid_scores_sql("v", centroids)
+    probes = (
+        base_all.filter(F.col(id_col).isin(query_ids))
+        .withColumn("_s", F.expr(scores))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.explode(
+                F.expr(
+                    f"slice(transform(array_sort(zip_with(_s, "
+                    f"sequence(0, {len(centroids) - 1}), "
+                    f"(s, i) -> struct(-s AS negs, i AS i))), "
+                    f"p -> p.i), 1, {nprobe})"
+                )
+            ).alias("q_centroid"),
+        )
+        .localCheckpoint(eager=True)  # probes are tiny; don't rescan
+    )
+    buckets = [
+        r["q_centroid"]
+        for r in probes.select("q_centroid").distinct().collect()
+    ]
+    paths = _index_partition_paths(spark, index_dir, buckets)
+    if not paths:
+        return probes.select(
+            F.col("q_id"),
+            F.col("q_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
+    pruned = (
+        spark.read.option("basePath", f"{index_dir}/vectors")
+        .parquet(*paths)
+        .select(
+            F.col(id_col), F.col("centroid_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+    )
+    scored = (
+        pruned.join(
+            F.broadcast(probes),
+            (F.col("centroid_id") == F.col("q_centroid"))
+            & (F.col(id_col) != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
