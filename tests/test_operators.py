@@ -1437,3 +1437,60 @@ def test_ivf_index_persist_and_probe(spark, tmp_path):
         if "centroid_id=" in f
     }
     assert len(probed_dirs) <= 3 * 3  # queries x nprobe upper bound
+
+
+def test_bmp_pixel_array_palette_bounds(spark):
+    """A foreign/malformed 8-bpp BMP (short or absent color table, or
+    pixel indices past the table) must decode to None — and the Spark
+    kernels must fall back to the fake path, never crash the job."""
+    import hashlib
+    import struct
+
+    def bmp8(n_palette_entries, pixel_index):
+        w = h = 2
+        rowsize = 4  # ((2*1+3)//4)*4
+        pal = bytes(
+            b for i in range(n_palette_entries) for b in (i, i, i, 0)
+        )
+        off = 54 + len(pal)
+        img = bytes([pixel_index] * (rowsize * h))
+        head = b"BM" + struct.pack("<IHHI", off + len(img), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(img),
+                          2835, 2835, n_palette_entries, 0)
+        return head + dib + pal + img
+
+    ok = bmp8(16, 3)
+    assert multimodal._bmp_pixel_array(ok) is not None
+    # index past the (short) table → undecodable, not IndexError
+    assert multimodal._bmp_pixel_array(bmp8(4, 9)) is None
+    # absent table entirely
+    assert multimodal._bmp_pixel_array(bmp8(0, 0)) is None
+
+    # end to end: the malformed row takes the fake kernel, no crash
+    bad = bmp8(4, 9)
+    media = spark.createDataFrame(
+        [(1, bad, "image")], "doc_id long, media binary, media_type string",
+    )
+    row = multimodal.resize_media(media, width=4, height=4).collect()[0]
+    digest = hashlib.md5(bad).digest()
+    assert bytes(row["pixels"]) == (digest * 1)[:16]
+
+
+def test_event_stream_starts_on_empty_directory(spark, tmp_path):
+    """A live tail may start before any file exists: the ts-type
+    footer probe must fall back to the canonical type and the stream
+    must start (and drain empty) instead of failing analysis."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from wikiextractor_spark.streaming import windowed_event_counts
+    from wikiextractor_spark.streaming.stream import events_ts_type
+
+    empty = tmp_path / "empty_events"
+    empty.mkdir()
+    assert isinstance(
+        events_ts_type(spark, str(empty), None), TimestampNTZType
+    )
+    q = windowed_event_counts(
+        spark, str(empty), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(60)

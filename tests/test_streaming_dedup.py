@@ -339,9 +339,11 @@ def test_incremental_transient_store_error_fails_batch(
 
 
 def test_signature_store_compaction(spark, tmp_path):
-    """Compaction must collapse the accumulated batch_id generations
-    into one, preserve the exact signature row set and bucket layout,
-    and leave the incremental stream suppressing near-dups afterwards."""
+    """Compaction must collapse the OLDER batch_id generations into
+    one — the NEWEST numeric generation always stays untouched, so a
+    batch whose checkpoint never committed can still replay with its
+    own generation excluded — preserve the exact signature row set
+    and bucket layout, and leave the stream suppressing near-dups."""
     import glob
 
     from wikiextractor_spark.streaming import (
@@ -370,14 +372,13 @@ def test_signature_store_compaction(spark, tmp_path):
         shutil.copy(part, src / name)
 
     out, ckpt, state = tmp_path / "out", tmp_path / "ckpt", tmp_path / "state"
-    land([(1, base, "en", "t", 1)], "f1.parquet")
-    q = near_dedup_documents_incremental(
-        spark, str(src), str(out), str(ckpt), str(state), max_distance=6)
-    _drain(q)
-    land([(3, other, "en", "t", 1)], "f2.parquet")
-    q = near_dedup_documents_incremental(
-        spark, str(src), str(out), str(ckpt), str(state), max_distance=6)
-    _drain(q)
+    texts = [(1, base), (3, other),
+             (5, "third batch document with its very own words")]
+    for i, (did, text) in enumerate(texts, 1):
+        land([(did, text, "en", "t", 1)], f"f{i}.parquet")
+        q = near_dedup_documents_incremental(
+            spark, str(src), str(out), str(ckpt), str(state), max_distance=6)
+        _drain(q)
 
     def gens():
         return sorted(glob.glob(f"{state}/batch_id=*"))
@@ -389,25 +390,62 @@ def test_signature_store_compaction(spark, tmp_path):
             for r in spark.read.parquet(str(state)).collect()
         )
 
-    assert len(gens()) == 2
+    assert len(gens()) == 3
     before = rows()
+    # gens 0 and 1 fold into c3; the newest numeric gen (2) is kept
     assert compact_signature_store(spark, str(state)) == 2
-    assert len(gens()) == 1
+    left = {g.rsplit("batch_id=", 1)[1] for g in gens()}
+    assert left == {"2", "c3"}
     assert rows() == before
-    # idempotent: single generation -> nothing to do
+    # idempotent: only the kept-newest gen + one compacted gen remain
     assert compact_signature_store(spark, str(state)) == 0
     # one file per bucket in the compacted generation
-    for bdir in glob.glob(f"{state}/batch_id=*/bucket=*"):
+    for bdir in glob.glob(f"{state}/batch_id=c3/bucket=*"):
         assert len(glob.glob(f"{bdir}/part-*.parquet")) == 1
 
     # the stream still suppresses near-dups against the compacted store
     near = base.replace("kappa", "changed")
-    land([(10, near, "en", "t", 1), (11, "wholly new unrelated content words", "en", "t", 1)], "f3.parquet")
+    land([(10, near, "en", "t", 1),
+          (11, "zebra quartz jungle velvet meadow copper sunset harbor "
+               "granite willow ember falcon prism lantern orchid thunder",
+           "en", "t", 1)], "f9.parquet")
     q = near_dedup_documents_incremental(
         spark, str(src), str(out), str(ckpt), str(state), max_distance=6)
     _drain(q)
     got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
-    assert got == {1, 3, 11}, got
+    assert got == {1, 3, 5, 11}, got
+
+
+def test_compaction_preserves_uncommitted_batch_replayability(spark, tmp_path):
+    """The data-loss window compaction must NOT have: batch N's store
+    write landed but its checkpoint never committed; compaction runs;
+    the restart replays batch N.  Because the newest generation is
+    kept out of the compaction, the replay's exclude_gen=N still
+    covers every one of its own signatures — the batch survives
+    instead of self-deduping to nothing."""
+    import glob
+
+    from wikiextractor_spark.streaming import compact_signature_store
+    from wikiextractor_spark.streaming.dedup import dedup_batch_against_store
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(
+        [(1, "generation zero document words here", "en", "t", 1)], schema
+    ).localCheckpoint(eager=True)
+    b1 = spark.createDataFrame(
+        [(2, "the crashed batch distinct content words", "en", "t", 1)], schema
+    ).localCheckpoint(eager=True)
+    state = tmp_path / "state"
+    assert dedup_batch_against_store(spark, b0, str(state), 0).count() == 1
+    # batch 1's store write lands (checkpoint commit then "crashes")
+    assert dedup_batch_against_store(spark, b1, str(state), 1).count() == 1
+    # operator compacts while the stream is stopped: gen 1 must be kept
+    compact_signature_store(spark, str(state))
+    kept = {g.rsplit("batch_id=", 1)[1] for g in glob.glob(f"{state}/batch_id=*")}
+    assert "1" in kept
+    # restart replays batch 1: its docs must survive
+    replay = dedup_batch_against_store(spark, b1, str(state), 1)
+    assert {r["doc_id"] for r in replay.collect()} == {2}
 
 
 def test_replayed_batch_does_not_self_dedup(spark, tmp_path):

@@ -313,9 +313,17 @@ def contamination_report_bloom(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+    # gram COUNT is pure arithmetic on the word count — no second
+    # hashing pass over the corpus (F.size(_grams_expr(...)) would
+    # re-run normalize+split+xxhash64 per doc just to count): docs
+    # shorter than n words emit exactly one whole-doc gram, others
+    # emit n_words - n + 1
     doc_grain = docs.select(
         F.col(id_col),
-        F.size(_grams_expr(text_col, n)).cast("long").alias("n_grams"),
+        F.expr(
+            f"transform(array({_norm_words_sql(text_col)}), ws -> "
+            f"IF(size(ws) < {n}, 1, size(ws) - {n} + 1))[0]"
+        ).cast("long").alias("n_grams"),
     )
     return (
         doc_grain.join(hit_counts, id_col, "left")

@@ -417,9 +417,20 @@ def _bmp_pixel_array(payload: bytes):
         arr = arr[::-1]
     if bpp == 8:
         # resolve palette indices to gray via the BGRA color table's
-        # blue byte (the synthesized palettes are grayscale)
-        palette = np.frombuffer(payload[54 : 54 + 1024], dtype=np.uint8)
-        arr = palette[arr[:, :, 0].astype(np.int64) * 4][:, :, None]
+        # blue byte (the synthesized palettes are grayscale).  The
+        # table sits between the DIB header and the pixel data and may
+        # hold FEWER than 256 entries (legal when biClrUsed < 256) or
+        # be absent in a malformed file — an out-of-table pixel index
+        # means undecodable, never an IndexError out of the kernel
+        (dib_size,) = struct.unpack_from("<I", payload, 14)
+        palette = np.frombuffer(
+            payload[14 + dib_size : off], dtype=np.uint8
+        )
+        n_entries = len(palette) // 4
+        idx = arr[:, :, 0].astype(np.int64)
+        if n_entries == 0 or int(idx.max(initial=0)) >= n_entries:
+            return None
+        arr = palette[idx * 4][:, :, None]
     return arr
 
 

@@ -560,6 +560,18 @@ def build_ivf_index(
         .write.mode("overwrite")
         .parquet(f"{index_dir}/centroids")
     )
+    # id→centroid lookup, RANGE-sorted on the id so a probe's
+    # isin(query_ids) filter prunes to a few row groups via parquet
+    # min-max stats — the query-vector fetch never scans the (much
+    # wider) vectors table
+    (
+        emb.join(assigned, id_col)
+        .select(F.col(id_col), F.col("centroid_id"))
+        .repartitionByRange(8, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/assignments")
+    )
     return centroids
 
 
@@ -580,19 +592,15 @@ def _index_partition_paths(
     an explicit Hadoop-FS listing, so the probe's read bound never
     depends on the optimizer pruning anything (same pattern as the
     streaming signature store)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/vectors")
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    from wikiextractor_spark.fsutil import int_partition_dirs
+
     want = set(buckets)
-    statuses = (
-        fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/vectors/centroid_id=*"))
-        or []
-    )
     return [
-        p.toString()
-        for st in statuses
-        for p in [st.getPath()]
-        if int(p.getName().split("=", 1)[1]) in want
+        path
+        for cid, path in int_partition_dirs(
+            spark, f"{index_dir}/vectors/centroid_id=*", "centroid_id"
+        )
+        if cid in want
     ]
 
 
@@ -602,19 +610,46 @@ def ann_ivf_topk_indexed(
 ) -> DataFrame:
     """:func:`ann_ivf_topk` against a PERSISTED index — identical
     semantics and output (value-equality tested against the in-memory
-    path on the same centroids), but the corpus scan reads ONLY the
-    union of the queries' probe partitions: explicit
-    ``centroid_id=<b>`` directory selection, ≤ queries × nprobe
-    directories, never the whole vectors table."""
+    path on the same centroids), but NO stage scans the whole vectors
+    table: the query vectors come from the narrow id→centroid
+    assignments lookup (range-sorted on id, so the isin filter prunes
+    by row-group min-max) plus the queries' OWN centroid partitions,
+    and the candidate scan reads only the union of the probe
+    partitions — explicit ``centroid_id=<b>`` directory selection,
+    ≤ queries × nprobe directories."""
     centroids = load_ivf_centroids(spark, index_dir)
-    vectors = spark.read.parquet(f"{index_dir}/vectors")
-    base_all = vectors.select(
-        F.col(id_col), F.col("centroid_id"),
-        _as_double(F.col(vec_col)).alias("v"),
+    # (1) the queries' home centroids: a filter on the 2-column
+    # range-sorted lookup — tiny result, driver-collected
+    q_homes = [
+        r["centroid_id"]
+        for r in spark.read.parquet(f"{index_dir}/assignments")
+        .filter(F.col(id_col).isin(query_ids))
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    home_paths = _index_partition_paths(spark, index_dir, q_homes)
+    if not home_paths:
+        empty = spark.range(0)
+        return empty.select(
+            empty["id"].alias("q_id"),
+            empty["id"].alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(1).alias("rank"),
+        )
+    # (2) the query vectors, read from their home partitions only
+    q_base = (
+        spark.read.option("basePath", f"{index_dir}/vectors")
+        .parquet(*home_paths)
+        .filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col), F.col("centroid_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
     )
     scores = _centroid_scores_sql("v", centroids)
     probes = (
-        base_all.filter(F.col(id_col).isin(query_ids))
+        q_base
         .withColumn("_s", F.expr(scores))
         .select(
             F.col(id_col).alias("q_id"),

@@ -120,8 +120,13 @@ def heavy_hitters(
     ``max_candidates`` (default ``16 × candidates_per_partition``) is
     the HARD width of the broadcast candidate set — the recall knob at
     the global grain, as ``candidates_per_partition`` is at the task
-    grain.  Values with true frequency above n/(max_candidates+1)
-    are guaranteed to survive the merge tree.
+    grain.  Survival guarantee, error terms summed over the tree: the
+    per-task summaries under-count by at most n/(m+1) total and each
+    of the two merge levels decrements at most n/(max_candidates+1)
+    more, so any value with true frequency
+    **> n/(m+1) + 2·n/(max_candidates+1)** is guaranteed a candidate
+    slot (with the default cap = 16m that bound is ≈ 1.125·n/(m+1),
+    i.e. the task-grain knob dominates).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

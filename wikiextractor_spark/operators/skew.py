@@ -152,7 +152,12 @@ def _effective_splits(df: DataFrame, target: int) -> int | None:
 
                 row_groups = pq.ParquetFile(path).metadata.num_row_groups
             except Exception:
-                row_groups = 1
+                # footer unreadable (no pyarrow, encrypted, transient):
+                # fall back to the codec-agnostic SIZE estimate — never
+                # to 1, which would claim a huge well-split file is one
+                # task and trigger the full shuffle this probe exists
+                # to avoid
+                row_groups = size_splits
             total += max(1, min(size_splits, row_groups))
         else:
             total += size_splits

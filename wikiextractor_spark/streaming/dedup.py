@@ -172,25 +172,23 @@ def read_store_buckets(
     existence check is explicit, so a *transient* listing/IO failure
     raises instead of masquerading as an empty store — callers let
     that fail the micro-batch and the checkpoint retry it."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    from wikiextractor_spark.fsutil import hadoop_fs, int_partition_dirs
+
+    jpath, fs = hadoop_fs(spark, state_dir)
     if not fs.exists(jpath):
         return None
     want = None if buckets is None else set(buckets)
     skip_gen = None if exclude_gen is None else f"batch_id={exclude_gen}"
-    statuses = (
-        fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/*/bucket=*"))
-        or []
-    )
     paths = []
-    for st in statuses:
-        path = st.getPath()
-        if skip_gen is not None and path.getParent().getName() == skip_gen:
+    for bucket, path in int_partition_dirs(
+        spark, f"{state_dir}/*/bucket=*", "bucket"
+    ):
+        gen = path.rstrip("/").rsplit("/", 2)[-2]
+        if skip_gen is not None and gen == skip_gen:
             continue
-        if want is not None and int(path.getName().split("=", 1)[1]) not in want:
+        if want is not None and bucket not in want:
             continue
-        paths.append(path.toString())
+        paths.append(path)
     if not paths:
         return None
     # basePath keeps batch_id/bucket as derived partition columns
@@ -351,11 +349,20 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     harmless to the dedup join (candidate ids are ``distinct``), so
     the failure mode is extra work, not emitted duplicates.  Run only
     while the stream is stopped: a concurrent ``foreachBatch`` writer
-    creates new generations this pass would not see.  Returns the
-    number of generations removed."""
+    creates new generations this pass would not see.
+
+    The NEWEST numeric generation is always left alone: if the stream
+    crashed after that batch's store write but before its checkpoint
+    commit, the restart will REPLAY that batch, and the replay's
+    self-exclusion (``read_store_buckets(exclude_gen=N)``) only works
+    while those rows still live under ``batch_id=N`` — folding them
+    into the compacted generation would make the replayed batch match
+    its own signatures at Hamming 0 and silently drop every one of
+    its documents.  Returns the number of generations removed."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
     jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    root, fs = hadoop_fs(spark, state_dir)
     if not fs.exists(root):
         return 0
     gens = [
@@ -363,21 +370,33 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
         for st in fs.listStatus(root)
         if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
     ]
-    if len(gens) <= 1:
+    gen_vals = [p.getName().split("=", 1)[1] for p in gens]
+    numeric = sorted(
+        (int(v), p) for v, p in zip(gen_vals, gens) if v.isdigit()
+    )
+    # keep the newest numeric gen out of the compaction (see above)
+    keep = {numeric[-1][1].toString()} if numeric else set()
+    compactable = [p for p in gens if p.toString() not in keep]
+    if len(compactable) <= 1:
         return 0
     # the compacted generation gets a NON-NUMERIC name ("c<n>"): the
     # stream's own batch ids are a monotone integer sequence from its
     # checkpoint, so a numeric compaction gen would eventually collide
     # with a future micro-batch's overwrite and destroy the store
     gen_ids = [
-        int(v.lstrip("c"))
-        for p in gens
-        for v in [p.getName().split("=", 1)[1]]
-        if v.lstrip("c").isdigit()
+        int(v.lstrip("c")) for v in gen_vals if v.lstrip("c").isdigit()
     ]
     new_gen = f"c{max(gen_ids, default=0) + 1}"
-    rows = read_store_buckets(spark, state_dir, None).select(
-        "doc_id", "simhash", "block_idx", "block_val", "bucket"
+    paths = []
+    for p in compactable:
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{p}/bucket=*")) or []:
+            paths.append(st.getPath().toString())
+    if not paths:
+        return 0
+    rows = (
+        spark.read.option("basePath", state_dir)
+        .parquet(*paths)
+        .select("doc_id", "simhash", "block_idx", "block_val", "bucket")
     )
     (
         rows.repartition("bucket")
@@ -385,6 +404,6 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
         .partitionBy("bucket")
         .parquet(f"{state_dir}/batch_id={new_gen}")
     )
-    for p in gens:
+    for p in compactable:
         fs.delete(p, True)
-    return len(gens)
+    return len(compactable)

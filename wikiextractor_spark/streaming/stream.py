@@ -52,11 +52,24 @@ EVENTS_SCHEMA = StructType(
 
 def events_ts_type(spark: SparkSession, input_dir: str, path_glob: str | None):
     """Footer-probe the physical type of ``ts`` in the events parquet
-    under ``input_dir`` (batch read = one footer fetch, no data scan)."""
+    under ``input_dir`` (batch read = one footer fetch, no data scan).
+
+    A live tail may start on a directory with NO files yet — the probe
+    then falls back to TIMESTAMP_NTZ (the canonical type every batch
+    loader normalizes to, and what current generators write), so the
+    stream still starts and picks files up as they arrive instead of
+    failing on the schema inference the old fixed-schema readers never
+    needed."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import TimestampNTZType
+
     reader = spark.read
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
-    return reader.parquet(input_dir).schema["ts"].dataType
+    try:
+        return reader.parquet(input_dir).schema["ts"].dataType
+    except AnalysisException:
+        return TimestampNTZType()
 
 
 def events_schema_for(ts_type) -> StructType:
