@@ -1494,3 +1494,39 @@ def test_event_stream_starts_on_empty_directory(spark, tmp_path):
         spark, str(empty), str(tmp_path / "out"), str(tmp_path / "ckpt"),
     )
     assert q.awaitTermination(60)
+
+
+def test_image_header_parsers_never_raise_on_fuzz():
+    """Robustness contract for the pure-Python header parsers: on
+    ARBITRARY bytes they return None or a well-formed tuple — never
+    raise (a raise inside the mapInPandas kernel kills the job)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def run(payload):
+        for parser in (
+            multimodal._bmp_decode_meta,
+            multimodal._ppm_decode_meta,
+            multimodal._image_header_meta,
+        ):
+            out = parser(payload)
+            assert out is None or (
+                len(out) == 5 and out[0] > 0 and out[1] > 0
+            )
+        arr = multimodal._bmp_pixel_array(payload)
+        assert arr is None or arr.ndim == 3
+
+    run()
+
+    # BMP-prefixed fuzz: exercise the header-field paths specifically
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=60, max_size=200))
+    def run_bm(tail):
+        payload = b"BM" + tail
+        out = multimodal._bmp_decode_meta(payload)
+        assert out is None or (out[0] > 0 and out[1] > 0)
+        arr = multimodal._bmp_pixel_array(payload)
+        assert arr is None or arr.ndim == 3
+
+    run_bm()
