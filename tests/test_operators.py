@@ -1530,3 +1530,50 @@ def test_image_header_parsers_never_raise_on_fuzz():
         assert arr is None or arr.ndim == 3
 
     run_bm()
+
+
+def test_cross_corpus_near_pairs_and_subtract(spark, docs):
+    """Cross-corpus near-dedup: planted copies and near-copies of
+    corpus A inside corpus B must pair up (and be subtractable),
+    unrelated docs must not, and the candidate join must agree with
+    the naive cross Hamming join on a bounded sample."""
+    from wikiextractor_spark.operators.dedup import (
+        cross_corpus_near_pairs,
+        simhash64,
+        subtract_near_duplicates,
+    )
+
+    a = docs.select("doc_id", "text").limit(60).localCheckpoint(eager=True)
+    # corpus B: 30 exact copies of A (shifted ids) + fresh docs
+    copies = a.limit(30).withColumn("doc_id", F.col("doc_id") + 10_000)
+    fresh = spark.createDataFrame(
+        [(20_000 + i,
+          f"completely unrelated text number {i} with nothing shared "
+          f"from the other corpus at all {i * 31}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    b = copies.union(fresh).localCheckpoint(eager=True)
+
+    pairs = cross_corpus_near_pairs(a, b, max_distance=3)
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    copy_ids = {r["doc_id"] for r in a.limit(30).collect()}
+    # every planted copy pairs with its source at hamming 0
+    assert {(i, i + 10_000) for i in copy_ids} <= got
+    # no fresh doc pairs with anything
+    assert not {p for p in got if p[1] >= 20_000}
+
+    # differential vs the naive cross join on signatures
+    sa = {r["doc_id"]: r["simhash"] for r in simhash64(a).collect()}
+    sb = {r["doc_id"]: r["simhash"] for r in simhash64(b).collect()}
+    naive = {
+        (i, j)
+        for i, si in sa.items()
+        for j, sj in sb.items()
+        if bin((si ^ sj) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == naive
+
+    kept = subtract_near_duplicates(b, a, max_distance=3)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {20_000 + i for i in range(20)}

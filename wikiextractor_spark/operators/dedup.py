@@ -610,3 +610,75 @@ def dedup_near(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def cross_corpus_near_pairs(
+    left: DataFrame, right: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora at Hamming ≤
+    ``max_distance`` — the cross-corpus variant of
+    :func:`simhash_candidate_pairs` (did any training doc leak into
+    the new crawl?  which docs of corpus B near-copy corpus A?).
+
+    Same pigeonhole topology: both sides get narrow 64-bit signatures
+    and block rows; candidates come from ONE equi-join on
+    (block_idx, block_val) ACROSS the corpora — never left × right —
+    and the exact ``bit_count`` re-check runs before the distinct.
+    Unlike the self-join variant there is no id ordering between
+    sides, so every (left, right) match is reported once.
+
+    → ``(left_id, right_id, sim_left, sim_right, hamming)``.
+    """
+    from wikiextractor_spark.operators.skew import spread_for_compute
+
+    n_blocks = max_distance + 1
+
+    def _blocks(df: DataFrame) -> DataFrame:
+        src = spread_for_compute(df.select(id_col, text_col))
+        sigs = simhash64(src, text_col, id_col)
+        return simhash_blocks(sigs, id_col, n_blocks, 64).localCheckpoint(
+            eager=True
+        )
+
+    lb, rb = _blocks(left).alias("l"), _blocks(right).alias("r")
+    ham = F.bit_count(
+        F.col("sim_left").bitwiseXOR(F.col("sim_right"))
+    ).cast("int")
+    return (
+        lb.join(
+            rb,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            F.col("l.simhash").alias("sim_left"),
+            F.col("r.simhash").alias("sim_right"),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
+def subtract_near_duplicates(
+    left: DataFrame, right: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """``left`` minus every doc with a Hamming ≤ ``max_distance``
+    near-copy in ``right`` — cross-corpus dedup as a set operation
+    (deduplicate a new crawl against the already-kept corpus without
+    re-deduplicating the kept side).  One anti-join on the flagged-id
+    set, which is AQE-broadcastable because matches are rare."""
+    flagged = (
+        cross_corpus_near_pairs(
+            left, right, text_col, id_col, max_distance
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+    return left.join(flagged, id_col, "left_anti")
