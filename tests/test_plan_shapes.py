@@ -104,3 +104,40 @@ def test_ann_broadcasts_queries(spark, sf_dir):
 def test_native_clean_no_python(spark, sf_dir):
     p = plan_of(REGISTRY["wx_clean_native"][0](spark, sf_dir))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_no_unbounded_cartesian_in_any_battery_query(spark):
+    """Global plan hygiene over ALL 50 battery queries: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only in
+    the known set whose non-equi side is tiny BY CONSTRUCTION —
+    bounded-id all-pairs verification grains (sim_cosine_pairs,
+    dd_embedding_neighbor), the broadcast-queries ANN scan
+    (sim_ann_topk), and the 1-row corpus-total cross join
+    (ta_tfidf_keywords).  A new query that plans an unbounded
+    cartesian fails here before it ever reaches the driver."""
+    import contextlib
+    import io
+
+    from wikiextractor_spark.queries import REGISTRY
+
+    BNLJ_BOUNDED_BY_DESIGN = {
+        "sim_cosine_pairs",
+        "sim_ann_topk",
+        "dd_embedding_neighbor",
+        "ta_tfidf_keywords",
+    }
+    offenders = {}
+    for name, (fn, _oracle) in REGISTRY.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_BOUNDED_BY_DESIGN
+        ):
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
