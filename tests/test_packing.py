@@ -253,3 +253,37 @@ def test_prepare_corpus_filters_push_to_scan(spark, sf_dir):
     # the FileScan (below the dedup Exchange), so the scan-side rows
     # are cut before any shuffle
     assert re.search(r"Filter .*= en\)\n\s*\+- FileScan", plan), plan
+
+
+def test_prepare_corpus_dedup_against_kept_corpus(spark):
+    """prepare_corpus(dedup_against=...) must drop near-copies of the
+    already-kept corpus after in-corpus dedup, keeping genuinely new
+    docs — the incremental crawl flow."""
+    from pyspark.sql import functions as F
+
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    kept = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(50).localCheckpoint(eager=True)
+    # crawl: copies of kept docs (shifted ids), an in-crawl dup pair,
+    # and fresh docs
+    fresh = spark.createDataFrame(
+        [(90_000 + i,
+          f"brand new crawl document {i} with vocabulary nothing "
+          f"previously kept ever used {i * 13}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    crawl = (
+        kept.limit(20).withColumn("doc_id", F.col("doc_id") + 50_000)
+        .union(fresh)
+        .union(fresh.limit(1).withColumn("doc_id", F.lit(99_999)))
+    )
+    out = prepare_corpus(
+        crawl, dedup="exact", dedup_against=kept, cross_max_distance=3,
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    # copies of kept docs gone; in-crawl dup collapsed to smallest id;
+    # fresh docs survive
+    assert got == {90_000 + i for i in range(10)}, got

@@ -49,6 +49,8 @@ def prepare_corpus(
     redact: bool = False,
     dedup: str | None = "exact",
     near_threshold: float = 0.8,
+    dedup_against: DataFrame | None = None,
+    cross_max_distance: int = 3,
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 13,
     decontam_threshold: float = 0.1,
@@ -71,6 +73,11 @@ def prepare_corpus(
     sampling (so the sample rate applies to unique content), sampling
     on document ids (consistent across tables), chunking and packing
     last (they multiply rows).
+
+    ``dedup_against`` subtracts near-copies (Hamming ≤
+    ``cross_max_distance``) of an ALREADY-KEPT corpus after in-corpus
+    dedup — the incremental-crawl flow: new data dedups against
+    everything previously accepted without re-processing it.
     """
     out = df
     if target_lang is not None:
@@ -89,6 +96,17 @@ def prepare_corpus(
         out = dedup_near(out, text_col, id_col, threshold=near_threshold)
     elif dedup is not None:
         raise ValueError(f"dedup must be 'exact', 'near', or None, got {dedup!r}")
+    if dedup_against is not None:
+        # cross-corpus subtraction AFTER in-corpus dedup: drop every
+        # doc with a Hamming <= cross_max_distance near-copy in the
+        # already-kept corpus (incremental crawl hygiene) without
+        # re-deduplicating the kept side
+        from wikiextractor_spark.operators.dedup import subtract_near_duplicates
+
+        out = subtract_near_duplicates(
+            out, dedup_against, text_col, id_col,
+            max_distance=cross_max_distance,
+        )
     if benchmark is not None:
         # after dedup (fewer docs to gram-hash), before sampling (the
         # sample rate should apply to the clean population)
