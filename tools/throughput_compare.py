@@ -189,6 +189,7 @@ def main() -> None:
             "Generated by `tools/throughput_compare.py` "
             f"({n_pages} pages × repeat {repeat}).\n"
         )
+        f.write(tail)
 
 
 if __name__ == "__main__":
