@@ -164,7 +164,18 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "PERF.md"), "w") as f:
+    # PERF.md accumulates round-over-round history below the header
+    # this tool generates; overwriting it would destroy that record.
+    # Refresh only the generated header block (everything above the
+    # first "## " section), preserving the rest.
+    perf_path = os.path.join(REPO, "PERF.md")
+    tail = ""
+    if os.path.exists(perf_path):
+        existing = open(perf_path).read()
+        cut = existing.find("\n## ")
+        if cut >= 0:
+            tail = existing[cut:]
+    with open(perf_path, "w") as f:
         f.write(
             "# PERF — single-node throughput vs the reference\n\n"
             f"Synthetic dump: {n_pages} pages, {mb:.1f} MB (sf0.1 document "
