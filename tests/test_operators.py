@@ -1577,3 +1577,19 @@ def test_cross_corpus_near_pairs_and_subtract(spark, docs):
     kept = subtract_near_duplicates(b, a, max_distance=3)
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids == {20_000 + i for i in range(20)}
+
+
+def test_ivf_centroids_degenerate_inputs(spark, emb):
+    """Fewer vectors than k trains one centroid per vector; an empty
+    corpus raises a clear ValueError instead of a VOID-type analyzer
+    error from an empty centroid literal."""
+    import pytest as _pytest
+
+    from wikiextractor_spark.operators.similarity import ivf_centroids
+
+    tiny = emb.limit(5)
+    cents = ivf_centroids(tiny, k=16, iters=1)
+    assert len(cents) == 5
+
+    with _pytest.raises(ValueError, match="no vectors"):
+        ivf_centroids(emb.filter("vec_id < 0"), k=4, iters=1)

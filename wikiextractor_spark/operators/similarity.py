@@ -312,6 +312,14 @@ def ivf_centroids(
         .collect()
     )
     centroids = [_normalize(list(r["v"])) for r in seed_rows]
+    if not centroids:
+        # an empty centroid literal would otherwise surface as an
+        # inscrutable VOID-type analyzer error deep in the score expr
+        raise ValueError(
+            "ivf_centroids: the corpus has no vectors to train on"
+        )
+    # fewer vectors than k: every vector becomes its own centroid
+    # (the quantizer degenerates gracefully instead of erroring)
     for _ in range(iters):
         scores = _centroid_scores_sql("v", centroids)
         assigned = base.withColumn("_s", F.expr(scores)).select(
