@@ -291,3 +291,107 @@ def test_domain_counts_full_and_topk_agree(url_df):
     # the planted hostless URL (doc 5) must not create a NULL-domain
     # group on EITHER path
     assert all(d is not None for d, _, _ in full)
+
+
+def test_unigram_lm_fit_and_score(spark):
+    """Corpus-LM quality: the fitted unigram model matches exact
+    counts (DuckDB twin), common-word docs outscore gibberish, OOV
+    tokens take the floor, and the gate keeps exactly the docs at or
+    above the threshold."""
+    import math
+
+    import duckdb
+
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores,
+        filter_by_logprob,
+        fit_unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the the the the"),
+            (4, "zyxwvut qponmlk jihgfed"),  # pure OOV gibberish
+        ],
+        "doc_id long, text string",
+    )
+    lm = fit_unigram_lm(docs, vocab_size=100)
+    got = {
+        r["token"]: r["logp"]
+        for r in lm.filter("token IS NOT NULL").collect()
+    }
+    # DuckDB twin of the fit
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        WITH t AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM (VALUES ('the cat sat on the mat'), ('the dog sat on the log'),
+                       ('the the the the'), ('zyxwvut qponmlk jihgfed')) v(text)
+        )
+        SELECT token, ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM t)) AS logp
+        FROM t GROUP BY token
+        """
+    ).fetchall()
+    want = {t: lp for t, lp in rows}
+    assert set(got) == set(want)
+    for t in got:
+        assert abs(got[t] - want[t]) < 1e-9, t
+
+    scores = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+        for r in doc_logprob_scores(docs, lm).collect()
+    }
+    assert scores[1][0] == 6 and scores[4][0] == 3
+    # the all-'the' doc has the highest mean logp; gibberish the lowest
+    assert scores[3][1] > scores[1][1] > scores[4][1]
+    # OOV floor: every gibberish token is out of vocab... but with
+    # vocab_size=100 nothing is OOV here, so refit with a tiny vocab
+    lm_small = fit_unigram_lm(docs, vocab_size=1)  # only 'the' kept
+    total = 6 + 6 + 4 + 3  # tokens across the corpus
+    floor = math.log(0.5 / total)
+    s4 = {
+        r["doc_id"]: r["mean_logp"]
+        for r in doc_logprob_scores(docs, lm_small).collect()
+    }
+    assert abs(s4[4] - floor) < 1e-9  # all-OOV doc sits exactly at it
+
+    # docs 1 and 2 are frequency-symmetric (cat/mat vs dog/log all
+    # singletons) so both sit exactly at the threshold
+    kept = filter_by_logprob(docs, lm, min_mean_logp=scores[1][1] - 1e-9)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+
+    # scoring under a model FIT ON ANOTHER CORPUS (the reuse contract)
+    ref = spark.createDataFrame(
+        [(10, "completely different reference vocabulary here")],
+        "doc_id long, text string",
+    )
+    lm_ref = fit_unigram_lm(ref, vocab_size=100)
+    cross = doc_logprob_scores(docs, lm_ref).collect()
+    assert len(cross) == 4  # every doc scores, all tokens at the floor
+
+
+def test_unigram_lm_plan_no_token_shuffle(spark):
+    """The scoring join must broadcast the vocab — the corpus side
+    never shuffles on tokens."""
+    import contextlib
+    import io
+
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores,
+        fit_unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    lm = fit_unigram_lm(docs, vocab_size=50)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        doc_logprob_scores(docs, lm).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

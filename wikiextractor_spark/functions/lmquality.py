@@ -1,0 +1,120 @@
+"""Corpus-LM quality scoring: the perplexity-proxy filter
+(CCNet-style) a training pipeline runs between heuristic quality
+gates and dedup.
+
+A unigram language model is fitted ON THE CORPUS ITSELF (or a
+reference corpus): per-token probabilities from global counts, with
+out-of-vocabulary tokens floored.  Each document then scores as the
+mean token log-probability — documents full of gibberish, boilerplate
+codes, or the wrong register sit far below the corpus mode and can be
+gated on a percentile.
+
+100 TB shape
+------------
+* **Fit** is one token-count aggregate bounded to the top
+  ``vocab_size`` tokens via the capped heavy-hitter pass (never a
+  full distinct-token shuffle) plus one scalar total — the model is
+  a driver-sized (token, logp) table no matter the corpus size.
+* **Score** is narrow: explode tokens, broadcast-join the vocab
+  (BroadcastHashJoin — no corpus shuffle), one per-doc mean rollup.
+* The fitted model is a plain DataFrame, so it can be persisted and
+  reused to score OTHER corpora (score a new crawl under the kept
+  corpus's model — drift shows up as a score shift).
+
+No reference counterpart (`/root/reference/WikiExtractor.py` has no
+quality surface) — extension per SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens_expr(text_col: str):
+    """Lowercased whitespace tokens (the same normalization the other
+    text-analysis signals use), empties dropped."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def fit_unigram_lm(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = 50_000,
+    floor_logp: float | None = None,
+) -> DataFrame:
+    """→ ``(token, logp)`` for the ``vocab_size`` most frequent
+    tokens, probabilities from global corpus counts.
+
+    ``floor_logp`` (default: ``log(0.5 / total_tokens)`` — half a
+    count) is attached to the special row ``token = NULL`` so scorers
+    carry the OOV floor with the model instead of a side channel."""
+    from wikiextractor_spark.operators.sketches import heavy_hitters
+
+    exploded = docs.select(
+        F.explode(_tokens_expr(text_col)).alias("token")
+    )
+    total = exploded.count()
+    if total == 0:
+        raise ValueError("fit_unigram_lm: corpus has no tokens")
+    # per-task candidate cap scales with the vocab: m = vocab_size
+    # keeps the MG recall bound at ~n/(vocab_size+1) while per-task
+    # memory stays O(vocab_size + batch-distinct)
+    top = heavy_hitters(
+        exploded, "token", k=vocab_size,
+        candidates_per_partition=max(200, vocab_size),
+    ).select(
+        F.col("value").alias("token"),
+        F.log(F.col("n") / F.lit(float(total))).alias("logp"),
+    )
+    if floor_logp is None:
+        floor_logp = math.log(0.5 / total)
+    floor_row = docs.sparkSession.createDataFrame(
+        [(None, float(floor_logp))], "token string, logp double"
+    )
+    return top.unionByName(floor_row)
+
+
+def doc_logprob_scores(
+    docs: DataFrame, lm: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(id_col, n_tokens, mean_logp)``: per-document mean token
+    log-probability under the fitted model.  One narrow explode, one
+    broadcast join on the vocab, one per-doc rollup — the corpus
+    never shuffles on tokens."""
+    floor_rows = lm.filter(F.col("token").isNull()).collect()
+    if len(floor_rows) != 1:
+        raise ValueError(
+            "doc_logprob_scores: the model must carry exactly one "
+            "NULL-token floor row (use fit_unigram_lm)"
+        )
+    floor = float(floor_rows[0]["logp"])
+    vocab = F.broadcast(lm.filter(F.col("token").isNotNull()))
+    exploded = docs.select(
+        F.col(id_col), F.explode(_tokens_expr(text_col)).alias("token")
+    )
+    return (
+        exploded.join(vocab, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.coalesce(F.col("logp"), F.lit(floor))).alias("mean_logp"),
+        )
+    )
+
+
+def filter_by_logprob(
+    docs: DataFrame, lm: DataFrame, min_mean_logp: float,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents scoring at or above ``min_mean_logp`` under the
+    model — the gate itself; pick the threshold from the score
+    distribution (e.g. a low percentile of a trusted sample)."""
+    keep = (
+        doc_logprob_scores(docs, lm, text_col, id_col)
+        .filter(F.col("mean_logp") >= min_mean_logp)
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
