@@ -287,3 +287,35 @@ def test_prepare_corpus_dedup_against_kept_corpus(spark):
     # copies of kept docs gone; in-crawl dup collapsed to smallest id;
     # fresh docs survive
     assert got == {90_000 + i for i in range(10)}, got
+
+
+def test_prepare_corpus_lm_gate(spark):
+    """The LM gate inside prepare_corpus drops low-logprob docs
+    (gibberish under the corpus model) before dedup, and the knobs
+    must be given together."""
+    import pytest as _pytest
+
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores,
+        fit_unigram_lm,
+    )
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "common words repeated across every single document here")
+         for i in range(20)]
+        + [(99, "zzqqx wvvkj pplmn oorrt uuyyw")],
+        "doc_id long, text string",
+    )
+    lm = fit_unigram_lm(docs, vocab_size=100)
+    scores = {r["doc_id"]: r["mean_logp"]
+              for r in doc_logprob_scores(docs, lm).collect()}
+    cut = (scores[0] + scores[99]) / 2
+    out = prepare_corpus(docs, logprob_lm=lm, min_mean_logp=cut, dedup="exact")
+    got = {r["doc_id"] for r in out.collect()}
+    assert 99 not in got and 0 in got
+    # exact dedup collapsed the 20 identical docs to the smallest id
+    assert got == {0}
+
+    with _pytest.raises(ValueError, match="go together"):
+        prepare_corpus(docs, logprob_lm=lm)

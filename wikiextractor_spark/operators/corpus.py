@@ -46,6 +46,8 @@ def prepare_corpus(
     target_lang: str | None = None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
+    logprob_lm: DataFrame | None = None,
+    min_mean_logp: float | None = None,
     redact: bool = False,
     dedup: str | None = "exact",
     near_threshold: float = 0.8,
@@ -86,6 +88,17 @@ def prepare_corpus(
         out = out.filter(quality_score(text_col) >= min_quality)
     if drop_repetitive:
         out = out.filter(~is_repetitive(text_col))
+    if (logprob_lm is None) != (min_mean_logp is None):
+        raise ValueError("logprob_lm and min_mean_logp go together")
+    if logprob_lm is not None:
+        # LM gate after the heuristic gates (they are cheaper) and
+        # before dedup; the model is a fitted DataFrame — typically
+        # fit_unigram_lm on this corpus or a trusted reference one
+        from wikiextractor_spark.functions.lmquality import filter_by_logprob
+
+        out = filter_by_logprob(
+            out, logprob_lm, min_mean_logp, text_col, id_col
+        )
     if redact:
         # redact BEFORE dedup so two docs differing only in their PII
         # (same boilerplate, different email) collapse together

@@ -51,6 +51,8 @@ def prepare_corpus_stream(
     target_lang: str | None = None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
+    logprob_lm: DataFrame | None = None,
+    min_mean_logp: float | None = None,
     redact: bool = False,
     dedup: str | None = "near",
     max_distance: int = 3,
@@ -93,6 +95,11 @@ def prepare_corpus_stream(
             target_lang=target_lang,
             min_quality=min_quality,
             drop_repetitive=drop_repetitive,
+            # a PRE-FITTED model only (fit on the kept corpus or a
+            # trusted reference): fitting per micro-batch would make
+            # the gate drift with batch composition
+            logprob_lm=logprob_lm,
+            min_mean_logp=min_mean_logp,
             redact=redact,
             dedup=None,
         ).localCheckpoint(eager=True)
