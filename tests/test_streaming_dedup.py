@@ -560,3 +560,35 @@ def test_prepare_corpus_stream_end_to_end(spark, tmp_path):
     run()
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1, 12}, got
+
+
+def test_prepare_corpus_stream_fully_filtered_batch(spark, tmp_path):
+    """A micro-batch whose docs ALL fail the narrow filters must
+    drain cleanly (empty dedup join, empty store write, empty output
+    partition) — not crash the stream."""
+    import glob
+
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    german = (
+        "der die das und ist nicht ein eine mit von zu auf fuer den "
+        "dem des im am um an bei nach aus"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    spark.createDataFrame(
+        [(1, german, "de", "t", 1)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "state"), target_lang="en", dedup="near",
+        chunk_tokens=8,
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    out_files = glob.glob(f"{tmp_path}/out/batch_id=*/part-*.parquet")
+    if out_files:  # empty write is fine; rows must be zero either way
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 0
