@@ -1593,3 +1593,42 @@ def test_ivf_centroids_degenerate_inputs(spark, emb):
 
     with _pytest.raises(ValueError, match="no vectors"):
         ivf_centroids(emb.filter("vec_id < 0"), k=4, iters=1)
+
+
+def test_cross_corpus_precomputed_blocks_equal_inline(spark, docs):
+    """cross_corpus_near_pairs(right_blocks=...) must equal the inline
+    right= path — the kept corpus is signatured once, persisted, and
+    never re-processed on incremental runs."""
+    import pytest as _pytest
+
+    from wikiextractor_spark.operators.dedup import (
+        cross_corpus_near_pairs,
+        simhash_block_rows,
+        subtract_near_duplicates,
+    )
+
+    kept = docs.select("doc_id", "text").limit(40).localCheckpoint(eager=True)
+    crawl = kept.limit(10).withColumn("doc_id", F.col("doc_id") + 7_000)
+    blocks = simhash_block_rows(kept, max_distance=3)
+
+    inline = sorted(
+        (r["left_id"], r["right_id"])
+        for r in cross_corpus_near_pairs(crawl, kept, max_distance=3).collect()
+    )
+    pre = sorted(
+        (r["left_id"], r["right_id"])
+        for r in cross_corpus_near_pairs(
+            crawl, max_distance=3, right_blocks=blocks
+        ).collect()
+    )
+    assert inline and pre == inline
+
+    kept_out = subtract_near_duplicates(
+        crawl, max_distance=3, right_blocks=blocks
+    )
+    assert kept_out.count() == 0  # every crawl doc is a kept copy
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        cross_corpus_near_pairs(crawl, kept, right_blocks=blocks)
+    with _pytest.raises(ValueError, match="exactly one"):
+        cross_corpus_near_pairs(crawl)

@@ -395,3 +395,22 @@ def test_unigram_lm_plan_no_token_shuffle(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_filter_by_logprob_tokenless_docs(spark):
+    """Zero-token docs have no score: dropped by default (stated
+    behavior), passed through with keep_tokenless=True."""
+    from wikiextractor_spark.functions.lmquality import (
+        filter_by_logprob,
+        fit_unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real words in here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    lm = fit_unigram_lm(docs.filter("doc_id = 1"), vocab_size=10)
+    dropped = filter_by_logprob(docs, lm, min_mean_logp=-1e9)
+    assert {r["doc_id"] for r in dropped.collect()} == {1}
+    kept = filter_by_logprob(docs, lm, min_mean_logp=-1e9, keep_tokenless=True)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}

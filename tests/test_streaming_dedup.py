@@ -592,3 +592,60 @@ def test_prepare_corpus_stream_fully_filtered_batch(spark, tmp_path):
     out_files = glob.glob(f"{tmp_path}/out/batch_id=*/part-*.parquet")
     if out_files:  # empty write is fine; rows must be zero either way
         assert spark.read.parquet(str(tmp_path / "out")).count() == 0
+
+
+def test_store_listing_skips_malformed_partition_dirs(spark, tmp_path):
+    """Foreign directories in the store tree (non-numeric or
+    int()-rejected bucket values, stray names) are skipped by the
+    listing, never crash it."""
+    import glob
+
+    from wikiextractor_spark.streaming.dedup import (
+        dedup_batch_against_store,
+        read_store_buckets,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batch = spark.createDataFrame(
+        [(1, "some document words here now", "en", "t", 1)], schema
+    ).localCheckpoint(eager=True)
+    state = tmp_path / "state"
+    dedup_batch_against_store(spark, batch, str(state), 0)
+    # plant malformed partition dirs a foreign writer might leave
+    for bad in ("bucket=--5", "bucket=x9", "bucket=³", "_temporary"):
+        (state / "batch_id=0" / bad).mkdir(parents=True, exist_ok=True)
+    got = read_store_buckets(spark, str(state), None)
+    assert got is not None and got.count() > 0
+    # and a follow-up batch still runs end to end
+    batch2 = spark.createDataFrame(
+        [(2, "entirely different second doc content", "en", "t", 1)], schema
+    ).localCheckpoint(eager=True)
+    out = dedup_batch_against_store(spark, batch2, str(state), 1)
+    assert out.count() == 1
+
+
+def test_compaction_removes_empty_generations(spark, tmp_path):
+    """All-empty compactable generations (fully-filtered micro-batches)
+    are still DELETED — the store's directory count must not grow with
+    stream lifetime."""
+    import glob
+
+    from wikiextractor_spark.streaming import compact_signature_store
+    from wikiextractor_spark.streaming.dedup import dedup_batch_against_store
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    state = tmp_path / "state"
+    # three generations: two empty + one real (the newest, kept)
+    for bid in (0, 1):
+        dedup_batch_against_store(
+            spark, empty.localCheckpoint(eager=True), str(state), bid
+        )
+    real = spark.createDataFrame(
+        [(5, "real content document words", "en", "t", 1)], schema
+    ).localCheckpoint(eager=True)
+    dedup_batch_against_store(spark, real, str(state), 2)
+
+    assert compact_signature_store(spark, str(state)) == 2
+    left = {p.rsplit("batch_id=", 1)[1] for p in glob.glob(f"{state}/batch_id=*")}
+    assert left == {"2"}  # empty gens deleted, nothing to rewrite

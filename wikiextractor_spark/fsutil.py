@@ -41,9 +41,13 @@ def int_partition_dirs(
     spark: SparkSession, glob: str, key: str,
 ) -> list[tuple[int, str]]:
     """:func:`hive_partition_dirs` keeping only integer-valued
-    partitions (non-numeric values skipped, not crashed on)."""
-    return [
-        (int(v), p)
-        for v, p in hive_partition_dirs(spark, glob, key)
-        if v.lstrip("-").isdigit()
-    ]
+    partitions (non-numeric values skipped, not crashed on —
+    including values isdigit() accepts but int() rejects, like
+    superscripts or double signs)."""
+    out = []
+    for v, p in hive_partition_dirs(spark, glob, key):
+        try:
+            out.append((int(v), p))
+        except ValueError:
+            continue
+    return out

@@ -73,7 +73,11 @@ def fit_unigram_lm(
     floor_row = docs.sparkSession.createDataFrame(
         [(None, float(floor_logp))], "token string, logp double"
     )
-    return top.unionByName(floor_row)
+    # materialize the (small) model NOW: every scoring call both
+    # collects the floor row and broadcast-joins the vocab, and an
+    # unmaterialized model would re-run the whole heavy-hitter fit per
+    # use (and per micro-batch when passed into a stream)
+    return top.unionByName(floor_row).localCheckpoint(eager=True)
 
 
 def doc_logprob_scores(
@@ -108,13 +112,21 @@ def doc_logprob_scores(
 def filter_by_logprob(
     docs: DataFrame, lm: DataFrame, min_mean_logp: float,
     text_col: str = "text", id_col: str = "doc_id",
+    keep_tokenless: bool = False,
 ) -> DataFrame:
     """Keep documents scoring at or above ``min_mean_logp`` under the
     model — the gate itself; pick the threshold from the score
-    distribution (e.g. a low percentile of a trusted sample)."""
-    keep = (
-        doc_logprob_scores(docs, lm, text_col, id_col)
-        .filter(F.col("mean_logp") >= min_mean_logp)
-        .select(id_col)
-    )
-    return docs.join(keep, id_col, "left_semi")
+    distribution (e.g. a low percentile of a trusted sample).
+
+    Documents with ZERO tokens (empty/whitespace-only text) have no
+    score; by default they are dropped — stated explicitly, because
+    the join shape would otherwise do it silently — and
+    ``keep_tokenless=True`` passes them through instead (defer their
+    fate to a length gate)."""
+    scores = doc_logprob_scores(docs, lm, text_col, id_col)
+    keep = scores.filter(F.col("mean_logp") >= min_mean_logp).select(id_col)
+    kept = docs.join(keep, id_col, "left_semi")
+    if not keep_tokenless:
+        return kept
+    tokenless = docs.join(scores.select(id_col), id_col, "left_anti")
+    return kept.unionByName(tokenless)

@@ -612,10 +612,30 @@ def dedup_near(
     return df.join(losers, id_col, "left_anti")
 
 
+def simhash_block_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Materialized pigeonhole block rows ``(id, simhash, block_idx,
+    block_val)`` for a corpus — the reusable artifact of the SimHash
+    candidate topology.  Persist this (16 bytes × (d+1) per doc, no
+    text) for a kept corpus and hand it to
+    :func:`cross_corpus_near_pairs` via ``right_blocks`` so
+    incremental runs never re-signature the kept side."""
+    from wikiextractor_spark.operators.skew import spread_for_compute
+
+    src = spread_for_compute(df.select(id_col, text_col))
+    sigs = simhash64(src, text_col, id_col)
+    return simhash_blocks(sigs, id_col, max_distance + 1, 64).localCheckpoint(
+        eager=True
+    )
+
+
 def cross_corpus_near_pairs(
-    left: DataFrame, right: DataFrame,
+    left: DataFrame, right: DataFrame | None = None,
     text_col: str = "text", id_col: str = "doc_id",
     max_distance: int = 3,
+    right_blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora at Hamming ≤
     ``max_distance`` — the cross-corpus variant of
@@ -629,20 +649,22 @@ def cross_corpus_near_pairs(
     Unlike the self-join variant there is no id ordering between
     sides, so every (left, right) match is reported once.
 
+    ``right_blocks`` accepts PRECOMPUTED block rows for the kept side
+    (:func:`simhash_block_rows`, persisted once) so incremental-crawl
+    callers don't re-signature a multi-TB kept corpus on every run;
+    give exactly one of ``right`` / ``right_blocks``.
+
     → ``(left_id, right_id, sim_left, sim_right, hamming)``.
     """
-    from wikiextractor_spark.operators.skew import spread_for_compute
+    if (right is None) == (right_blocks is None):
+        raise ValueError("give exactly one of right / right_blocks")
 
-    n_blocks = max_distance + 1
-
-    def _blocks(df: DataFrame) -> DataFrame:
-        src = spread_for_compute(df.select(id_col, text_col))
-        sigs = simhash64(src, text_col, id_col)
-        return simhash_blocks(sigs, id_col, n_blocks, 64).localCheckpoint(
-            eager=True
-        )
-
-    lb, rb = _blocks(left).alias("l"), _blocks(right).alias("r")
+    lb = simhash_block_rows(left, text_col, id_col, max_distance).alias("l")
+    rb = (
+        right_blocks
+        if right_blocks is not None
+        else simhash_block_rows(right, text_col, id_col, max_distance)
+    ).alias("r")
     ham = F.bit_count(
         F.col("sim_left").bitwiseXOR(F.col("sim_right"))
     ).cast("int")
@@ -665,18 +687,24 @@ def cross_corpus_near_pairs(
 
 
 def subtract_near_duplicates(
-    left: DataFrame, right: DataFrame,
+    left: DataFrame, right: DataFrame | None = None,
     text_col: str = "text", id_col: str = "doc_id",
     max_distance: int = 3,
+    right_blocks: DataFrame | None = None,
 ) -> DataFrame:
     """``left`` minus every doc with a Hamming ≤ ``max_distance``
     near-copy in ``right`` — cross-corpus dedup as a set operation
     (deduplicate a new crawl against the already-kept corpus without
     re-deduplicating the kept side).  One anti-join on the flagged-id
-    set, which is AQE-broadcastable because matches are rare."""
+    set, which is AQE-broadcastable because matches are rare.
+
+    For repeated incremental runs, persist the kept side's block rows
+    once (:func:`simhash_block_rows`) and pass ``right_blocks`` — the
+    kept corpus is then never re-signatured."""
     flagged = (
         cross_corpus_near_pairs(
-            left, right, text_col, id_col, max_distance
+            left, right, text_col, id_col, max_distance,
+            right_blocks=right_blocks,
         )
         .select(F.col("left_id").alias(id_col))
         .distinct()

@@ -571,9 +571,12 @@ def build_ivf_index(
     # id→centroid lookup, RANGE-sorted on the id so a probe's
     # isin(query_ids) filter prunes to a few row groups via parquet
     # min-max stats — the query-vector fetch never scans the (much
-    # wider) vectors table
+    # wider) vectors table.  Derived by READING BACK the just-written
+    # vectors parquet (column-pruned to the two narrow columns), not
+    # by re-running the full-corpus centroid-scoring assignment a
+    # second time.
     (
-        emb.join(assigned, id_col)
+        spark.read.parquet(f"{index_dir}/vectors")
         .select(F.col(id_col), F.col("centroid_id"))
         .repartitionByRange(8, F.col(id_col))
         .sortWithinPartitions(id_col)

@@ -129,17 +129,11 @@ def prepare_corpus_stream(
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
-    if trigger_available_now:
-        return (
-            reader.parquet(input_dir)
-            .writeStream.foreachBatch(_process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-    return (
+    writer = (
         reader.parquet(input_dir)
         .writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

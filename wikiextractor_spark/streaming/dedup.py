@@ -391,19 +391,22 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     for p in compactable:
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{p}/bucket=*")) or []:
             paths.append(st.getPath().toString())
-    if not paths:
-        return 0
-    rows = (
-        spark.read.option("basePath", state_dir)
-        .parquet(*paths)
-        .select("doc_id", "simhash", "block_idx", "block_val", "bucket")
-    )
-    (
-        rows.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{state_dir}/batch_id={new_gen}")
-    )
+    if paths:
+        rows = (
+            spark.read.option("basePath", state_dir)
+            .parquet(*paths)
+            .select("doc_id", "simhash", "block_idx", "block_val", "bucket")
+        )
+        (
+            rows.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{state_dir}/batch_id={new_gen}")
+        )
+    # delete even when every compactable gen was EMPTY (fully-filtered
+    # micro-batches write empty batch_id dirs): without this the store
+    # root's directory count grows with stream lifetime and every
+    # bucket glob slows down
     for p in compactable:
         fs.delete(p, True)
     return len(compactable)

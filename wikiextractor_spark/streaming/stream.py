@@ -54,22 +54,38 @@ def events_ts_type(spark: SparkSession, input_dir: str, path_glob: str | None):
     """Footer-probe the physical type of ``ts`` in the events parquet
     under ``input_dir`` (batch read = one footer fetch, no data scan).
 
-    A live tail may start on a directory with NO files yet — the probe
-    then falls back to TIMESTAMP_NTZ (the canonical type every batch
-    loader normalizes to, and what current generators write), so the
-    stream still starts and picks files up as they arrive instead of
-    failing on the schema inference the old fixed-schema readers never
-    needed."""
-    from pyspark.errors import AnalysisException
+    A live tail may start on a directory that EXISTS but has no
+    matching files yet — only then does the probe fall back to
+    TIMESTAMP_NTZ (the canonical type every batch loader normalizes
+    to, and what current generators write), so the stream still starts
+    and picks files up as they arrive.  A nonexistent path or a
+    corrupt/foreign file still fails fast at start — swallowing those
+    would turn a typo'd input_dir into a silently idle stream."""
     from pyspark.sql.types import TimestampNTZType
 
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jpath, fs = hadoop_fs(spark, input_dir)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(
+            f"events stream input directory does not exist: {input_dir}"
+        )
+    jvm = spark._jvm
+    pattern = f"{input_dir.rstrip('/')}/{path_glob or '*'}"
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern)) or []
+    has_files = any(not st.isDirectory() for st in statuses)
+    has_dirs = any(st.isDirectory() for st in statuses)
+    if not has_files and not has_dirs:
+        return TimestampNTZType()  # empty so far: canonical fallback
     reader = spark.read
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     try:
         return reader.parquet(input_dir).schema["ts"].dataType
-    except AnalysisException:
-        return TimestampNTZType()
+    except Exception:
+        if has_files:
+            raise  # real files that cannot be read: fail fast
+        return TimestampNTZType()  # only empty subdirectories so far
 
 
 def events_schema_for(ts_type) -> StructType:
