@@ -649,3 +649,50 @@ def test_compaction_removes_empty_generations(spark, tmp_path):
     assert compact_signature_store(spark, str(state)) == 2
     left = {p.rsplit("batch_id=", 1)[1] for p in glob.glob(f"{state}/batch_id=*")}
     assert left == {"2"}  # empty gens deleted, nothing to rewrite
+
+
+def test_prepare_corpus_stream_lm_gate(spark, tmp_path):
+    """The pre-fitted LM gate works inside the streaming flow: the
+    gibberish doc is dropped per micro-batch under the reference
+    model, common-vocabulary docs survive."""
+    import glob
+
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores,
+        fit_unigram_lm,
+    )
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    ref = spark.createDataFrame(
+        [(i, "common reference words shared across documents", "en", "t", 1)
+         for i in range(5)],
+        schema,
+    )
+    lm = fit_unigram_lm(ref, vocab_size=50)
+    good = (1, "common words shared across reference documents", "en", "t", 1)
+    bad = (2, "zzqqx wvvkj pplmn oorrt uuyyw", "en", "t", 1)
+    scores = {
+        r["doc_id"]: r["mean_logp"]
+        for r in doc_logprob_scores(
+            spark.createDataFrame([good, bad], schema), lm
+        ).collect()
+    }
+    cut = (scores[1] + scores[2]) / 2
+
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    spark.createDataFrame([good, bad], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "state"), logprob_lm=lm, min_mean_logp=cut,
+        dedup="near",
+    )
+    assert q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1}, got
