@@ -1632,3 +1632,29 @@ def test_cross_corpus_precomputed_blocks_equal_inline(spark, docs):
         cross_corpus_near_pairs(crawl, kept, right_blocks=blocks)
     with _pytest.raises(ValueError, match="exactly one"):
         cross_corpus_near_pairs(crawl)
+
+
+def test_heavy_hitters_recall_guarantee_boundary(spark):
+    """The documented survival bound: a value with true frequency
+    above n/(m+1) + 2n/(max_candidates+1) must ALWAYS surface with
+    its exact count, even against a worst-case singleton flood and a
+    tiny merge cap."""
+    from wikiextractor_spark.operators.sketches import heavy_hitters
+
+    m, cap = 10, 40
+    n_hot = 1500
+    n_noise = 8500  # all singletons
+    # bound = 10000/11 + 2*10000/41 ~= 1397 < 1500: guaranteed
+    df = (
+        spark.range(n_hot + n_noise)
+        .repartition(16)
+        .selectExpr(
+            f"CASE WHEN id < {n_hot} THEN 'hot' "
+            "ELSE concat('v', id) END AS w"
+        )
+    )
+    got = heavy_hitters(
+        df, "w", k=1, candidates_per_partition=m, max_candidates=cap,
+        merge_parallelism=4,
+    ).collect()
+    assert [(r["value"], r["n"]) for r in got] == [("hot", n_hot)]
