@@ -1658,3 +1658,76 @@ def test_heavy_hitters_recall_guarantee_boundary(spark):
         merge_parallelism=4,
     ).collect()
     assert [(r["value"], r["n"]) for r in got] == [("hot", n_hot)]
+
+
+def test_max_partition_bytes_parses_size_suffixes(spark):
+    """spark.sql.files.maxPartitionBytes accepts JavaUtils byte-string
+    suffixes ('128m'); a suffix-blind parse would read 128 bytes and
+    inflate the split estimate ~1e6x, silently disabling the spread
+    for externally-configured sessions."""
+    from wikiextractor_spark.operators.skew import _max_partition_bytes
+
+    key = "spark.sql.files.maxPartitionBytes"
+    orig = spark.conf.get(key)
+    try:
+        for raw, want in [
+            ("134217728", 134_217_728),
+            ("128m", 128 << 20),
+            ("128MB", 128 << 20),
+            ("1g", 1 << 30),
+            (" 64k ", 64 << 10),
+        ]:
+            spark.conf.set(key, raw)
+            assert _max_partition_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, orig)
+
+
+def test_bloom_auto_sizing_and_fill_warning(spark):
+    """m_bits=None sizes the bitmap from the benchmark gram count
+    (~10 bits/gram, power of two, >= 2^20); a deliberately undersized
+    explicit m_bits warns on >50% fill but stays bit-identical to the
+    broadcast report."""
+    import warnings as w
+
+    from wikiextractor_spark.operators.decontam import (
+        contamination_report,
+        contamination_report_bloom,
+        sized_m_bits,
+    )
+
+    assert sized_m_bits(100) == 1 << 20  # floor
+    assert sized_m_bits(1 << 24) == 1 << 28  # 10 bits/gram rounded up
+    assert sized_m_bits((1 << 24) + 1) == 1 << 28
+
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        schema,
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(10)],
+        schema,
+    )
+    exact = sorted(
+        tuple(r) for r in contamination_report(
+            docs, bench, n=3, threshold=0.2
+        ).collect()
+    )
+    # auto-sized: no warning expected at this scale
+    with w.catch_warnings():
+        w.simplefilter("error")
+        auto = sorted(
+            tuple(r) for r in contamination_report_bloom(
+                docs, bench, n=3, threshold=0.2
+            ).collect()
+        )
+    assert auto == exact
+    # pathologically small explicit bitmap: warns, still exact
+    with pytest.warns(UserWarning, match="fill ratio"):
+        tiny = sorted(
+            tuple(r) for r in contamination_report_bloom(
+                docs, bench, n=3, threshold=0.2, m_bits=64, k=3
+            ).collect()
+        )
+    assert tiny == exact

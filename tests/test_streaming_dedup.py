@@ -614,6 +614,9 @@ def test_store_listing_skips_malformed_partition_dirs(spark, tmp_path):
     # plant malformed partition dirs a foreign writer might leave
     for bad in ("bucket=--5", "bucket=x9", "bucket=³", "_temporary"):
         (state / "batch_id=0" / bad).mkdir(parents=True, exist_ok=True)
+    # ...and a stray FILE whose name looks like a partition dir: the
+    # listing must filter on isDirectory, not just the name prefix
+    (state / "batch_id=0" / "bucket=3").write_bytes(b"not a directory")
     got = read_store_buckets(spark, str(state), None)
     assert got is not None and got.count() > 0
     # and a follow-up batch still runs end to end

@@ -22,6 +22,9 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# everything above this marker in PERF.md is regenerated; everything
+# below it (round-over-round history, hand-written recaps) is kept
+SENTINEL = "<!-- PERF-HISTORY: hand-written content below survives regeneration -->\n"
 sys.path.insert(0, REPO)
 
 PAGE_TMPL = """  <page>
@@ -166,15 +169,21 @@ def main() -> None:
 
     # PERF.md accumulates round-over-round history below the header
     # this tool generates; overwriting it would destroy that record.
-    # Refresh only the generated header block (everything above the
-    # first "## " section), preserving the rest.
+    # Refresh only the generated block: cut at the explicit sentinel
+    # the tool writes (hand-written prose below it survives even when
+    # it sits above the first "## " heading); first-"## " is only the
+    # legacy fallback for a PERF.md that predates the sentinel.
     perf_path = os.path.join(REPO, "PERF.md")
     tail = ""
     if os.path.exists(perf_path):
         existing = open(perf_path).read()
-        cut = existing.find("\n## ")
+        cut = existing.find(SENTINEL)
         if cut >= 0:
-            tail = existing[cut:]
+            tail = existing[cut + len(SENTINEL):]
+        else:
+            cut = existing.find("\n## ")
+            if cut >= 0:
+                tail = existing[cut:]
     with open(perf_path, "w") as f:
         f.write(
             "# PERF — single-node throughput vs the reference\n\n"
@@ -200,6 +209,7 @@ def main() -> None:
             "Generated by `tools/throughput_compare.py` "
             f"({n_pages} pages × repeat {repeat}).\n"
         )
+        f.write(SENTINEL)
         f.write(tail)
 
 

@@ -31,7 +31,7 @@ def hive_partition_dirs(
     out = []
     for st in fs.globStatus(jpath) or []:
         name = st.getPath().getName()
-        if not name.startswith(f"{key}="):
+        if not name.startswith(f"{key}=") or not st.isDirectory():
             continue
         out.append((name.split("=", 1)[1], st.getPath().toString()))
     return out

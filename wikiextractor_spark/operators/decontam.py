@@ -31,6 +31,8 @@ training-data-pipeline extension (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -228,6 +230,15 @@ def _bloom_positions(h1, m_bits: int, k: int):
     ]
 
 
+def sized_m_bits(n_grams: int, bits_per_gram: int = 10, floor: int = 1 << 20) -> int:
+    """Bloom size for ``n_grams`` distinct grams: ~``bits_per_gram``
+    bits each (k=6 at 10 bits/gram ≈ 1% FPR), rounded UP to a power
+    of two so the Kirsch-Mitzenmacher modulo stays cheap and the
+    bitmap never shrinks below ``floor`` bits."""
+    want = max(floor, n_grams * bits_per_gram)
+    return 1 << (want - 1).bit_length()
+
+
 def build_bloom(
     hashes: DataFrame, m_bits: int = 1 << 24, k: int = 6,
     build_partitions: int = 8,
@@ -273,10 +284,18 @@ def contamination_report_bloom(
     docs: DataFrame, benchmark: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
     n: int = 13, threshold: float = 0.1,
-    m_bits: int = 1 << 24, k: int = 6,
+    m_bits: int | None = None, k: int = 6,
 ) -> DataFrame:
     """:func:`contamination_report` for benchmarks too large to
     broadcast — same output, bit for bit (differential-tested).
+
+    ``m_bits=None`` (default) sizes the bitmap from the benchmark's
+    own distinct-gram count (~10 bits/gram, power-of-two, ≥2^20) —
+    a fixed size would silently degrade to FPR→1 on "all prior
+    training data"-scale benchmarks, turning the candidate sliver
+    into the whole exploded corpus.  Pass an explicit ``m_bits`` to
+    pin the size; a >50% fill ratio raises a ``UserWarning`` either
+    way (correctness is unaffected, the narrow-scan benefit is).
 
     Corpus-scale stages stay narrow: gram + explode (no shuffle),
     Bloom probe (Arrow-batched numpy against the broadcast bitmap —
@@ -294,7 +313,20 @@ def contamination_report_bloom(
         raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
 
     bench_hashes = benchmark_gram_set(benchmark, text_col=text_col, n=n)
+    if m_bits is None:
+        # one count over the (cached) gram set buys a bitmap that
+        # tracks benchmark scale instead of hoping 2^24 is enough
+        bench_hashes = bench_hashes.persist()
+        m_bits = sized_m_bits(bench_hashes.count())
     bitmap = build_bloom(bench_hashes, m_bits=m_bits, k=k)
+    fill = float(np.unpackbits(bitmap).sum()) / m_bits
+    if fill > 0.5:
+        warnings.warn(
+            f"bloom fill ratio {fill:.2f} > 0.5 at m_bits={m_bits}: "
+            "false-positive rate is degrading; pass a larger m_bits "
+            "(or leave m_bits=None to auto-size)",
+            stacklevel=2,
+        )
     bitmap_bc = docs.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 
     @pandas_udf("boolean")

@@ -105,10 +105,25 @@ def spread_for_compute(
 _UNSPLITTABLE_SUFFIXES = (".bz2", ".gz", ".zst", ".lz4", ".deflate")
 
 
+# Spark accepts JavaUtils byte-string suffixes for size confs; a
+# suffix-blind parse would read '128m' as 128 bytes and inflate the
+# split estimate ~1e6x, silently disabling the spread.
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
 def _max_partition_bytes(spark: SparkSession) -> int:
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    m = re.match(r"(\d+)", raw)
-    return int(m.group(1)) if m else 134_217_728
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if m and m.group(2).lower() in _BYTE_SUFFIX:
+        return int(m.group(1)) * _BYTE_SUFFIX[m.group(2).lower()]
+    return 134_217_728
 
 
 def _effective_splits(df: DataFrame, target: int) -> int | None:
