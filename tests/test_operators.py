@@ -373,11 +373,17 @@ def test_multimodal_plumbing(docs):
             # real BMP header parse: generator geometry bounds
             assert 4 <= r["width"] < 64 and 4 <= r["height"] < 64
             assert r["channels"] in (1, 3, 4) and r["n_frames"] == 1
+        elif r["media_type"] == "audio":
+            # real RIFF/WAV parse: width=sample_rate, height=bits,
+            # n_frames=sample frames (generator parameter bounds)
+            assert r["width"] in (8000, 16000, 22050, 44100)
+            assert r["height"] in (8, 16) and r["channels"] in (1, 2)
+            assert 64 <= r["n_frames"] <= 2000
         else:
-            # md5-fake kernel for audio/video
-            assert 64 <= r["width"] < 256 and 1 <= r["channels"] <= 3
-            if r["media_type"] != "video":
-                assert r["n_frames"] == 1
+            # real Y4M parse: even spatial dims, YUV channels
+            assert 16 <= r["width"] <= 70 and r["width"] % 2 == 0
+            assert 16 <= r["height"] <= 70 and r["channels"] == 3
+            assert 2 <= r["n_frames"] <= 8
     stats = multimodal.media_stats(meta).collect()
     assert {r["media_type"] for r in stats} <= {"image", "audio", "video"}
     decoded = multimodal.decode_media(media).collect()
@@ -1235,8 +1241,8 @@ def test_multimodal_resize_and_frames(docs):
     media = multimodal.attach_fake_binary(docs.limit(30))
     resized = multimodal.resize_media(media, width=32, height=32).collect()
     assert len(resized) == 30
-    # one gray byte per target pixel from BOTH kernels (real BMP
-    # resample for images, hash fake for audio/video)
+    # one gray byte per target pixel from EVERY kernel (real BMP
+    # resample, real PCM resample, real Y-plane resize)
     assert all(r["width"] == 32 and len(r["pixels"]) == 32 * 32 for r in resized)
     frames = multimodal.sample_frames(media, n_frames=4).collect()
     n_videos = sum(1 for r in media.collect() if r["media_type"] == "video")
@@ -1731,3 +1737,107 @@ def test_bloom_auto_sizing_and_fill_warning(spark):
             ).collect()
         )
     assert tiny == exact
+
+
+def test_synthesized_wavs_are_valid_files(docs):
+    """The JVM-side generator must emit structurally valid WAVs: the
+    stdlib `wave` module (an independent RIFF parser) recovers exactly
+    the md5-derived parameters the DuckDB oracle states, and the
+    engine's own chunk walker agrees with it."""
+    import hashlib
+    import io
+    import wave
+
+    media = multimodal.attach_fake_binary(docs.limit(60))
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(60).collect()}
+    audio = [r for r in media.collect() if r["media_type"] == "audio"]
+    assert audio
+    for r in audio:
+        payload = bytes(r["media"])
+        dig = hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getframerate() == (8000, 16000, 22050, 44100)[int(dig[0:2], 16) % 4]
+            assert w.getnchannels() == 1 + int(dig[2:4], 16) % 2
+            assert w.getsampwidth() == (1, 2)[int(dig[4:6], 16) % 2]
+            assert w.getnframes() == 64 + int(dig[6:10], 16) % 1937
+        parsed = multimodal._wav_decode_meta(payload)
+        assert parsed is not None
+        sr, bits, nch, frames, off, dsize = parsed
+        assert (sr, bits // 8, nch, frames) == (
+            w.getframerate(), w.getsampwidth(), w.getnchannels(), w.getnframes()
+        )
+        assert len(payload) == 44 + dsize == 44 + frames * nch * (bits // 8)
+
+
+def test_synthesized_y4m_are_valid_streams(docs):
+    """The JVM-side generator must emit structurally valid Y4M: ASCII
+    header tokens, one FRAME marker per frame, exact C420 plane sizes,
+    and the parser-recovered parameters match the md5 derivation the
+    DuckDB oracle states."""
+    import hashlib
+
+    media = multimodal.attach_fake_binary(docs.limit(60))
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(60).collect()}
+    videos = [r for r in media.collect() if r["media_type"] == "video"]
+    assert videos
+    for r in videos:
+        payload = bytes(r["media"])
+        dig = hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+        w = (8 + int(dig[0:2], 16) % 28) * 2
+        h = (8 + int(dig[2:4], 16) % 28) * 2
+        nfr = 2 + int(dig[4:6], 16) % 7
+        header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        assert payload.startswith(header)
+        frame_size = (w * h * 3) // 2
+        assert len(payload) == len(header) + nfr * (6 + frame_size)
+        parsed = multimodal._y4m_decode_meta(payload)
+        assert parsed == (w, h, 3, nfr, len(header) + 6, frame_size)
+        # every FRAME marker sits exactly where the stride says
+        for k in range(nfr):
+            off = len(header) + k * (6 + frame_size)
+            assert payload[off : off + 6] == b"FRAME\n"
+
+
+def test_real_audio_video_kernels_content_derived(docs, spark):
+    """Resize/frames/features consume REAL decoded content: the audio
+    resample equals a direct numpy resample of the PCM samples, video
+    frames are verbatim payload slices, and features react to content
+    (two different docs embed differently) while undecodable payloads
+    still fall back to the fake kernel."""
+    import numpy as np
+
+    media = multimodal.attach_fake_binary(docs.limit(30))
+    rows = {r["doc_id"]: r for r in media.collect()}
+
+    # audio resize = NN resample of the real sample vector
+    resized = {r["doc_id"]: r for r in multimodal.resize_media(media, 8, 8).collect()}
+    a_id = next(i for i, r in rows.items() if r["media_type"] == "audio")
+    samples = multimodal._wav_sample_array(bytes(rows[a_id]["media"]))
+    idx = (np.arange(64) * len(samples)) // 64
+    assert bytes(resized[a_id]["pixels"]) == samples[idx].tobytes()
+
+    # video resize = NN resize of the real first-frame luma plane
+    v_id = next(i for i, r in rows.items() if r["media_type"] == "video")
+    luma = multimodal._y4m_luma_plane(bytes(rows[v_id]["media"]))
+    ys = (np.arange(8) * luma.shape[0]) // 8
+    xs = (np.arange(8) * luma.shape[1]) // 8
+    assert bytes(resized[v_id]["pixels"]) == luma[np.ix_(ys, xs)].tobytes()
+
+    # sampled frames are verbatim slices of the container
+    payload = bytes(rows[v_id]["media"])
+    w, h, _c, total, first_off, fsize = multimodal._y4m_decode_meta(payload)
+    frames = {
+        r["frame_no"]: bytes(r["frame"])
+        for r in multimodal.sample_frames(media, n_frames=2).collect()
+        if r["doc_id"] == v_id
+    }
+    for k in (0, 1):
+        off = first_off + ((k * total) // 2) * (6 + fsize)
+        assert frames[k] == payload[off : off + fsize]
+
+    # undecodable audio payload falls back to the fake kernel
+    junk = spark.createDataFrame(
+        [(1, b"not a wav", "audio")], "doc_id long, media binary, media_type string"
+    )
+    meta = multimodal.decode_media_meta(junk).collect()[0]
+    assert meta["width"] == 64 + __import__("hashlib").md5(b"not a wav").digest()[0] % 192

@@ -1,22 +1,32 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Image rows are REAL: :func:`attach_fake_binary` synthesizes valid
-24/32-bpp (and paletted 8-bpp) BMP files entirely JVM-side — header,
-palette, and pixel data assembled as native hex/`unhex` expressions,
-no Python in the generator — and the default image kernel is a
-pure-Python BMP/PPM *header parser* (:func:`_bmp_decode_meta` /
-:func:`_ppm_decode_meta`): width, height, and channels come from
-parsing real bytes, not from a content hash.  Audio/video decode
-kernels remain deterministic fakes (no ffmpeg-class library ships in
-this container), with the Spark plumbing — binary schemas,
-Arrow-batched ``mapInPandas`` with bounded batch shapes, metadata
-projection, partition-friendly layout — real and tested throughout.
-``decode_media(codec='auto')`` additionally probes for PIL at call
+All three modalities are REAL: :func:`attach_fake_binary` synthesizes
+valid container files entirely JVM-side — 24/32-bpp (and paletted
+8-bpp) BMP images, RIFF/PCM WAV audio, and YUV4MPEG2 (Y4M, C420)
+video, each assembled as native hex/`unhex` expressions, no Python in
+the generator — and the default kernels are pure-Python *container
+parsers* (:func:`_bmp_decode_meta` / :func:`_ppm_decode_meta` /
+:func:`_wav_decode_meta` / :func:`_y4m_decode_meta`): dimensions,
+sample rates, channel counts, and frame counts come from parsing real
+bytes with ``struct``/numpy, not from a content hash.  The
+deterministic md5 fake kernel remains only as the documented fallback
+for payloads with no parseable container header.  Compressed-codec
+decode (JPEG pixels, MP3 samples, H.264 frames) is where a library
+would slot in: ``decode_media(codec='auto')`` probes for PIL at call
 time (executors re-probe in their own interpreter) and prefers it for
-image rows when importable, so arbitrary formats work the day a real
-codec library exists; ``codec='pil'`` makes a missing library a loud
-error instead of silently-degraded decode.
+image rows when importable; ``codec='pil'`` makes a missing library a
+loud error instead of silently-degraded decode.
+
+Metadata mapping per modality (MEDIA_META_SCHEMA is deliberately one
+fixed shape so the rollups stay native aggs):
+
+- image: width/height/channels from the pixel grid, n_frames = 1
+- audio: width = sample_rate (Hz), height = bits per sample,
+  channels = PCM channel count, n_frames = sample frames (one frame =
+  one sample across channels — standard audio terminology)
+- video: width/height = spatial dims, channels = 3 (YUV planes; 1 for
+  Cmono), n_frames = container frame count
 """
 
 from __future__ import annotations
@@ -53,7 +63,7 @@ DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("media_type", StringType()),
-        StructField("pixels", BinaryType()),  # decoded payload (fake)
+        StructField("pixels", BinaryType()),  # decoded payload (truncated)
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
     ]
@@ -78,18 +88,23 @@ def attach_fake_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """Build an opaque media column per doc (the test stand-in for a
     real payload store) plus a media_type tag.
 
-    Image rows get VALID BMP files: geometry and bit depth are
-    md5-derived (so a SQL oracle can restate them), but the payload is
-    a structurally correct BMP — 14-byte file header, 40-byte
-    BITMAPINFOHEADER, grayscale palette when 8-bpp, 4-byte-aligned
-    rows of pixel data — assembled entirely JVM-side as one hex
-    string per row and `unhex`ed to binary (zero Python; the
-    generator stays a narrow projection).  Audio/video rows keep raw
-    text bytes (no portable container format is synthesizable without
-    a codec library)."""
+    Every row gets a VALID container file: parameters (geometry, bit
+    depth, sample rate, frame count) are md5-derived so a SQL oracle
+    can restate them, but the payloads are structurally correct —
+
+    - image: BMP — 14-byte file header, 40-byte BITMAPINFOHEADER,
+      grayscale palette when 8-bpp, 4-byte-aligned pixel rows
+    - audio: WAV — canonical 44-byte RIFF/fmt/data layout, PCM,
+      1-2 channels × 8/16-bit × {8,16,22.05,44.1} kHz
+    - video: Y4M (YUV4MPEG2) — ASCII stream header, ``FRAME\\n``
+      markers, raw C420 planar frames (even spatial dims by
+      construction)
+
+    — all assembled entirely JVM-side as one hex string per row and
+    `unhex`ed to binary (zero Python; the generator stays a narrow
+    projection)."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("raw"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -99,18 +114,36 @@ def attach_fake_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc
     geom = (
         base.select(
             "*",
+            # image geometry
             F.expr("4 + CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 60").alias("w"),
             F.expr("4 + CAST(conv(substring(h, 3, 2), 16, 10) AS INT) % 60").alias("ht"),
             F.expr(
                 "element_at(array(8, 24, 32),"
                 " CAST(conv(substring(h, 5, 2), 16, 10) AS INT) % 3 + 1)"
             ).alias("bpp"),
+            # audio parameters
+            F.expr(
+                "element_at(array(8000, 16000, 22050, 44100),"
+                " CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 4 + 1)"
+            ).alias("sr"),
+            F.expr("1 + CAST(conv(substring(h, 3, 2), 16, 10) AS INT) % 2").alias("nch"),
+            F.expr(
+                "element_at(array(8, 16),"
+                " CAST(conv(substring(h, 5, 2), 16, 10) AS INT) % 2 + 1)"
+            ).alias("bits"),
+            F.expr("64 + CAST(conv(substring(h, 7, 4), 16, 10) AS INT) % 1937").alias("nsamp"),
+            # video parameters (×2 keeps C420 subsampling legal)
+            F.expr("(8 + CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 28) * 2").alias("vw"),
+            F.expr("(8 + CAST(conv(substring(h, 3, 2), 16, 10) AS INT) % 28) * 2").alias("vh"),
+            F.expr("2 + CAST(conv(substring(h, 5, 2), 16, 10) AS INT) % 7").alias("nfr"),
         )
         .select(
             "*",
             # BMP rows are padded to 4-byte boundaries
             F.expr("((w * (bpp DIV 8) + 3) DIV 4) * 4").alias("rowsize"),
             F.expr("IF(bpp = 8, 1024, 0)").alias("palette_bytes"),
+            F.expr("nsamp * nch * (bits DIV 8)").alias("dsize"),
+            F.expr("(vw * vh * 3) DIV 2").alias("fsize"),  # C420 frame
         )
         .select("*", F.expr("rowsize * ht").alias("img_size"))
     )
@@ -136,10 +169,43 @@ def attach_fake_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc
         "substring(repeat(h, CAST(ceil(img_size / 16.0) AS INT)), 1, img_size * 2)"
         ")"
     )
+    wav_hex = F.expr(
+        "concat("
+        "'52494646', "  # 'RIFF'
+        + _le_hex("36 + dsize", 4)  # RIFF chunk size
+        + ", '57415645', "  # 'WAVE'
+        "'666d7420', '10000000', "  # 'fmt ' + chunk size 16
+        "'0100', "  # PCM
+        + _le_hex("nch", 2)
+        + ", "
+        + _le_hex("sr", 4)
+        + ", "
+        + _le_hex("sr * nch * (bits DIV 8)", 4)  # byte rate
+        + ", "
+        + _le_hex("nch * (bits DIV 8)", 2)  # block align
+        + ", "
+        + _le_hex("bits", 2)
+        + ", '64617461', "  # 'data'
+        + _le_hex("dsize", 4)
+        # sample fill: the md5 hex tiled to dsize bytes
+        + ", substring(repeat(h, CAST(ceil(dsize / 16.0) AS INT)), 1, dsize * 2)"
+        ")"
+    )
+    y4m_hex = F.expr(
+        "concat("
+        # ASCII stream header, newline-terminated
+        "hex(concat('YUV4MPEG2 W', CAST(vw AS STRING), ' H', CAST(vh AS STRING),"
+        " ' F25:1 Ip A1:1 C420jpeg', chr(10))), "
+        # nfr frames, each 'FRAME\\n' + md5-tiled C420 plane bytes
+        "repeat(concat('4652414d450a',"
+        " substring(repeat(h, CAST(ceil(fsize / 16.0) AS INT)), 1, fsize * 2)), nfr)"
+        ")"
+    )
     return geom.select(
         "doc_id",
         F.when(F.col("media_type") == "image", F.unhex(bmp_hex))
-        .otherwise(F.col("raw"))
+        .when(F.col("media_type") == "audio", F.unhex(wav_hex))
+        .otherwise(F.unhex(y4m_hex))
         .alias("media"),
         "media_type",
     )
@@ -148,7 +214,7 @@ def attach_fake_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def _fake_decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
     """Deterministic fake decode: dimensions derived from a content
     hash.  The fallback for media with no parseable container header
-    (audio/video here — no ffmpeg-class library in this container) —
+    (compressed codecs — no ffmpeg-class library in this container) —
     everything around it (schema, batching, partitioning) is the real
     production plumbing."""
     h = hashlib.md5(payload).digest()
@@ -224,12 +290,128 @@ def _image_header_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
     return _bmp_decode_meta(payload) or _ppm_decode_meta(payload)
 
 
+def _wav_decode_meta(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """REAL audio decode, no codec library needed: walk the RIFF
+    chunk list with `struct` and return (sample_rate, bits_per_sample,
+    channels, n_sample_frames, data_offset, data_size).  Returns None
+    on anything that is not a structurally valid PCM WAV so callers
+    can fall back."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16 and body + 16 <= len(payload):
+            audio_fmt, nch, sr = struct.unpack_from("<HHI", payload, body)
+            (bits,) = struct.unpack_from("<H", payload, body + 14)
+            if audio_fmt != 1 or nch < 1 or sr <= 0 or bits not in (8, 16, 24, 32):
+                return None  # non-PCM or malformed: not decodable here
+            fmt = (sr, bits, nch)
+        elif cid == b"data":
+            if fmt is None:
+                return None  # data before fmt: malformed
+            sr, bits, nch = fmt
+            dsize = min(csize, len(payload) - body)
+            frames = dsize // (nch * (bits // 8))
+            return sr, bits, nch, frames, body, dsize
+        pos = body + csize + (csize & 1)  # RIFF chunks are word-aligned
+    return None
+
+
+# Y4M colorspace token → (bytes per w*h pixels numerator/denominator,
+# channel count); C420 stores w*h luma + 2 quarter-size chroma planes
+_Y4M_COLORSPACE = {
+    "420": (3, 2, 3),
+    "422": (4, 2, 3),
+    "444": (6, 2, 3),
+    "mono": (2, 2, 1),
+}
+
+
+def _y4m_decode_meta(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """REAL video decode, no codec library needed: parse the YUV4MPEG2
+    ASCII stream header, then walk the actual ``FRAME`` markers
+    counting whole frames present in the payload.  Returns (width,
+    height, channels, n_frames, first_frame_offset, frame_size) or
+    None on anything that is not a structurally valid Y4M stream."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n", 0, 4096)  # header is short by spec
+    if nl < 0:
+        return None
+    w = h = None
+    cs = "420"  # Y4M default when no C tag present
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        try:
+            if t.startswith("W"):
+                w = int(t[1:])
+            elif t.startswith("H"):
+                h = int(t[1:])
+            elif t.startswith("C"):
+                cs = t[1:]
+        except ValueError:
+            return None
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    for prefix, (num, den, channels) in _Y4M_COLORSPACE.items():
+        if cs.startswith(prefix):
+            frame_size = (w * h * num) // den
+            break
+    else:
+        return None
+    pos, n, first_off = nl + 1, 0, None
+    while pos < len(payload) and payload[pos : pos + 5] == b"FRAME":
+        fnl = payload.find(b"\n", pos, pos + 4096)
+        if fnl < 0:
+            break
+        data = fnl + 1
+        if data + frame_size > len(payload):
+            break  # truncated trailing frame: not counted
+        if first_off is None:
+            first_off = data
+        n += 1
+        pos = data + frame_size
+    if n == 0:
+        return None
+    return w, h, channels, n, first_off, frame_size
+
+
+def _container_meta(payload: bytes, mtype: str) -> tuple[int, int, int, int] | None:
+    """Route to the modality's pure-Python container parser and map
+    its fields onto the fixed (width, height, channels, n_frames)
+    metadata shape (see module docstring for the mapping).  None when
+    the payload has no parseable container header."""
+    if mtype == "image":
+        parsed = _image_header_meta(payload)
+        if parsed is not None:
+            w, h, c, nf, _off = parsed
+            return w, h, c, nf
+    elif mtype == "audio":
+        parsed = _wav_decode_meta(payload)
+        if parsed is not None:
+            sr, bits, nch, frames, _off, _dsize = parsed
+            return sr, bits, nch, frames
+    elif mtype == "video":
+        parsed = _y4m_decode_meta(payload)
+        if parsed is not None:
+            w, h, c, nf, _off, _fsize = parsed
+            return w, h, c, nf
+    return None
+
+
 def decode_media_meta(df: DataFrame) -> DataFrame:
     """``mapInPandas`` metadata extraction over binary payloads —
     Arrow batches in, Arrow batches out, no row-at-a-time Python.
-    Image rows are decoded for real (BMP/PPM header parse over the
-    actual bytes); undecodable payloads and audio/video fall back to
-    the deterministic fake kernel."""
+    All three modalities decode for REAL (BMP/PPM, WAV, Y4M container
+    parse over the actual bytes); only undecodable payloads fall back
+    to the deterministic fake kernel."""
 
     def _batches(iterator):
         for pdf in iterator:
@@ -238,9 +420,9 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media"], pdf["media_type"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                parsed = _image_header_meta(payload) if mtype == "image" else None
+                parsed = _container_meta(payload, mtype)
                 if parsed is not None:
-                    w, h, c, nf, _off = parsed
+                    w, h, c, nf = parsed
                 else:
                     w, h, c, nf = _fake_decode_meta(payload, mtype)
                 rows.append((doc_id, mtype, len(payload), w, h, c, nf))
@@ -346,16 +528,29 @@ def _decode_row(
         with _img.open(_io.BytesIO(payload)) as im:
             pixels = im.tobytes()[:16]
         return (doc_id, mtype, pixels, w, h)
-    parsed = _image_header_meta(payload) if mtype == "image" else None
-    if parsed is not None:
-        # real decode: dims from the parsed header, pixels from the
-        # file's actual pixel-data section (zero-padded if short)
-        w, h, _, _, off = parsed
-        pixels = payload[off : off + 16].ljust(16, b"\x00")
-    else:
-        w, h, _, _ = _fake_decode_meta(payload, mtype)
-        pixels = (hashlib.md5(payload).digest() * 4)[:16]
-    return (doc_id, mtype, pixels, w, h)
+    if mtype == "image":
+        parsed = _image_header_meta(payload)
+        if parsed is not None:
+            # real decode: dims from the parsed header, pixels from
+            # the file's actual pixel-data section (zero-padded if
+            # short)
+            w, h, _, _, off = parsed
+            return (doc_id, mtype, payload[off : off + 16].ljust(16, b"\x00"), w, h)
+    elif mtype == "audio":
+        wav = _wav_decode_meta(payload)
+        if wav is not None:
+            # real decode: first PCM bytes from the actual data chunk;
+            # the decoded buffer's logical shape is frames × channels
+            _sr, _bits, nch, frames, off, _dsize = wav
+            return (doc_id, mtype, payload[off : off + 16].ljust(16, b"\x00"), frames, nch)
+    elif mtype == "video":
+        y4m = _y4m_decode_meta(payload)
+        if y4m is not None:
+            # real decode: first bytes of the first frame's Y plane
+            w, h, _, _, off, _fsize = y4m
+            return (doc_id, mtype, payload[off : off + 16].ljust(16, b"\x00"), w, h)
+    w, h, _, _ = _fake_decode_meta(payload, mtype)
+    return (doc_id, mtype, (hashlib.md5(payload).digest() * 4)[:16], w, h)
 
 
 def media_stats(meta: DataFrame) -> DataFrame:
@@ -434,17 +629,62 @@ def _bmp_pixel_array(payload: bytes):
     return arr
 
 
-def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize decoded media to ``width`` × ``height``.
+def _wav_sample_array(payload: bytes):
+    """Decode a PCM WAV to a mono uint8 sample vector — 16-bit samples
+    down-shifted to their high byte (offset to unsigned), channels
+    averaged.  Pure numpy; returns None for anything
+    :func:`_wav_decode_meta` rejects or an exotic bit depth."""
+    import numpy as np
 
-    Image rows with parseable BMP payloads are resampled for REAL:
-    numpy nearest-neighbor over the actual pixel array (grayscale-
-    collapsed so the output buffer has a fixed one-byte-per-pixel
-    shape across 8/24/32-bpp inputs).  Non-image media and
-    undecodable payloads keep the deterministic content-hash fake.
-    The Spark plumbing — schema, Arrow batching, partition
-    preservation — is identical for both kernels, so a PIL/libvips
-    resample drops in without touching the operator."""
+    parsed = _wav_decode_meta(payload)
+    if parsed is None:
+        return None
+    _sr, bits, nch, frames, off, _dsize = parsed
+    if bits not in (8, 16) or frames == 0:
+        return None
+    n = frames * nch
+    if bits == 8:  # 8-bit PCM is unsigned by spec
+        samples = np.frombuffer(payload, np.uint8, n, off).astype(np.float64)
+    else:
+        samples = (
+            np.frombuffer(payload, np.dtype("<i2"), n, off).astype(np.float64)
+            / 256.0
+            + 128.0
+        )
+    return samples.reshape(frames, nch).mean(axis=1).astype(np.uint8)
+
+
+def _y4m_luma_plane(payload: bytes, frame_idx: int = 0):
+    """Extract one frame's Y (luma) plane from a Y4M stream as an
+    (h, w) uint8 numpy array.  Pure numpy; returns None for anything
+    :func:`_y4m_decode_meta` rejects or an out-of-range index."""
+    import numpy as np
+
+    parsed = _y4m_decode_meta(payload)
+    if parsed is None:
+        return None
+    w, h, _c, n, first_off, frame_size = parsed
+    if not 0 <= frame_idx < n:
+        return None
+    # frames sit at fixed strides after the first (all FRAME\n markers
+    # are bare 6-byte lines in streams this parser accepted)
+    off = first_off + frame_idx * (6 + frame_size)
+    return np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize decoded media to a ``width`` × ``height`` byte buffer.
+
+    All three modalities resample for REAL when the container parses:
+    images nearest-neighbor over the actual (grayscale-collapsed)
+    pixel array; audio nearest-neighbor over the actual mono PCM
+    sample sequence (the 1-D analog of spatial resize — width×height
+    evenly-spaced samples); video nearest-neighbor over the first
+    frame's actual Y plane.  Undecodable payloads keep the
+    deterministic content-hash fake.  The Spark plumbing — schema,
+    Arrow batching, partition preservation — is identical for every
+    kernel, so a PIL/libvips/ffmpeg resample drops in without
+    touching the operator."""
 
     def _batches(iterator):
         import numpy as np
@@ -455,16 +695,32 @@ def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
                 pdf["doc_id"], pdf["media"], pdf["media_type"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                arr = _bmp_pixel_array(payload) if mtype == "image" else None
-                if arr is not None:
-                    # nearest-neighbor index maps + channel mean → one
-                    # byte per target pixel, any input bit depth
-                    src_h, src_w = arr.shape[:2]
-                    ys = (np.arange(height) * src_h) // height
-                    xs = (np.arange(width) * src_w) // width
-                    gray = arr.mean(axis=2, dtype=np.float64).astype(np.uint8)
-                    pixels = gray[np.ix_(ys, xs)].tobytes()
-                else:
+                pixels = None
+                if mtype == "image":
+                    arr = _bmp_pixel_array(payload)
+                    if arr is not None:
+                        # nearest-neighbor index maps + channel mean →
+                        # one byte per target pixel, any input depth
+                        src_h, src_w = arr.shape[:2]
+                        ys = (np.arange(height) * src_h) // height
+                        xs = (np.arange(width) * src_w) // width
+                        gray = arr.mean(axis=2, dtype=np.float64).astype(np.uint8)
+                        pixels = gray[np.ix_(ys, xs)].tobytes()
+                elif mtype == "audio":
+                    samples = _wav_sample_array(payload)
+                    if samples is not None:
+                        idx = (
+                            np.arange(width * height) * len(samples)
+                        ) // (width * height)
+                        pixels = samples[idx].tobytes()
+                elif mtype == "video":
+                    luma = _y4m_luma_plane(payload)
+                    if luma is not None:
+                        src_h, src_w = luma.shape
+                        ys = (np.arange(height) * src_h) // height
+                        xs = (np.arange(width) * src_w) // width
+                        pixels = luma[np.ix_(ys, xs)].tobytes()
+                if pixels is None:
                     # fake kernel: content hash tiled to the same
                     # 1-byte-per-pixel buffer shape as the real path
                     digest = hashlib.md5(payload).digest()
@@ -477,9 +733,14 @@ def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame-sampling stub for video payloads: emits ``n_frames``
-    deterministic fake frames per video row (UDTF-shaped: one input
-    row fans out to N output rows through mapInPandas)."""
+    """Frame sampling over video payloads (UDTF-shaped: one input row
+    fans out to ``n_frames`` output rows through mapInPandas).
+
+    Y4M payloads sample for REAL: ``n_frames`` evenly-spaced indices
+    over the container's actual frame count, each emitting the
+    frame's raw C420 plane bytes sliced straight out of the stream.
+    Undecodable payloads emit deterministic fake frames so the fan-out
+    shape is invariant (exactly ``n_frames`` rows per video row)."""
 
     def _batches(iterator):
         for pdf in iterator:
@@ -490,9 +751,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 if mtype != "video":
                     continue
                 payload = bytes(payload) if payload is not None else b""
-                for k in range(n_frames):
-                    frame = hashlib.md5(payload + k.to_bytes(4, "big")).digest()
-                    rows.append((doc_id, k, frame))
+                parsed = _y4m_decode_meta(payload)
+                if parsed is not None:
+                    _w, _h, _c, total, first_off, frame_size = parsed
+                    for k in range(n_frames):
+                        idx = (k * total) // n_frames
+                        off = first_off + idx * (6 + frame_size)
+                        rows.append((doc_id, k, payload[off : off + frame_size]))
+                else:
+                    for k in range(n_frames):
+                        frame = hashlib.md5(payload + k.to_bytes(4, "big")).digest()
+                        rows.append((doc_id, k, frame))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
 
     return df.mapInPandas(_batches, schema=FRAMES_SCHEMA)
@@ -511,13 +780,16 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     """Feature extraction over media payloads: a deterministic
     unit-norm ``float[dim]`` embedding per row.
 
-    Image rows with parseable BMP payloads are featurized from REAL
-    pixels: a 32-bin grayscale intensity histogram plus nearest-
-    neighbor-sampled row/column mean profiles, tiled/truncated to
-    ``dim`` — content-derived in the way a visual embedding is (two
-    images with identical pixels embed identically; crops/recolors
-    move the vector), while staying codec-library-free.  Audio/video
-    and undecodable payloads keep the counter-mode-md5 fake (a model
+    All three modalities featurize from REAL decoded content when the
+    container parses: images a 32-bin grayscale intensity histogram
+    plus nearest-neighbor-sampled row/column mean profiles; audio a
+    32-bin amplitude histogram plus 32 windowed RMS-energy values
+    over the actual PCM samples; video the first frame's 32-bin luma
+    histogram plus per-frame mean-luma profile (motion envelope),
+    each tiled/truncated to ``dim`` — content-derived in the way a
+    learned embedding is (identical content embeds identically;
+    edits move the vector), while staying codec-library-free.
+    Undecodable payloads keep the counter-mode-md5 fake (a model
     forward pass stands behind the same interface; no inference
     runtime ships in this container).
 
@@ -545,7 +817,11 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
             v = np.frombuffer(buf[: dim * 4], dtype=np.uint32).astype(np.float64)
             return (v / 2**32) * 2.0 - 1.0
 
-        def _real(arr) -> "np.ndarray":
+        def _tile(base: "np.ndarray") -> "np.ndarray":
+            reps = (dim + len(base) - 1) // len(base)
+            return np.tile(base, reps)[:dim]
+
+        def _real_image(arr) -> "np.ndarray":
             gray = arr.mean(axis=2, dtype=np.float64)
             hist, _ = np.histogram(gray, bins=32, range=(0.0, 256.0))
             hist = hist / max(1, gray.size)
@@ -554,9 +830,32 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
             xs = (np.arange(16) * w) // 16
             rows_prof = gray[ys].mean(axis=1) / 255.0
             cols_prof = gray[:, xs].mean(axis=0) / 255.0
-            base = np.concatenate([hist, rows_prof, cols_prof])
-            reps = (dim + len(base) - 1) // len(base)
-            return np.tile(base, reps)[:dim]
+            return _tile(np.concatenate([hist, rows_prof, cols_prof]))
+
+        def _real_audio(samples) -> "np.ndarray":
+            hist, _ = np.histogram(samples, bins=32, range=(0.0, 256.0))
+            hist = hist / max(1, samples.size)
+            # 32 windowed RMS values over the centered waveform: the
+            # coarse energy envelope a spectral frontend would refine
+            idx = (np.arange(33) * len(samples)) // 32
+            centered = samples.astype(np.float64) - 128.0
+            rms = np.array([
+                np.sqrt(np.mean(centered[a:b] ** 2)) / 128.0 if b > a else 0.0
+                for a, b in zip(idx[:-1], idx[1:])
+            ])
+            return _tile(np.concatenate([hist, rms]))
+
+        def _real_video(payload: bytes, luma) -> "np.ndarray":
+            hist, _ = np.histogram(luma, bins=32, range=(0.0, 256.0))
+            hist = hist / max(1, luma.size)
+            # per-frame mean luma, nearest-neighbor-sampled to 32: a
+            # coarse motion/brightness envelope across real frames
+            _w, _h, _c, total, _off, _fs = _y4m_decode_meta(payload)
+            means = np.array([
+                float(_y4m_luma_plane(payload, (k * total) // 32).mean()) / 255.0
+                for k in range(32)
+            ])
+            return _tile(np.concatenate([hist, means]))
 
         for pdf in iterator:
             rows = []
@@ -564,8 +863,21 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
                 pdf["doc_id"], pdf["media"], pdf["media_type"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                arr = _bmp_pixel_array(payload) if mtype == "image" else None
-                v = _real(arr) if arr is not None else _fake(payload)
+                v = None
+                if mtype == "image":
+                    arr = _bmp_pixel_array(payload)
+                    if arr is not None:
+                        v = _real_image(arr)
+                elif mtype == "audio":
+                    samples = _wav_sample_array(payload)
+                    if samples is not None and samples.size:
+                        v = _real_audio(samples)
+                elif mtype == "video":
+                    luma = _y4m_luma_plane(payload)
+                    if luma is not None:
+                        v = _real_video(payload, luma)
+                if v is None:
+                    v = _fake(payload)
                 v = v / (np.linalg.norm(v) or 1.0)
                 rows.append((doc_id, mtype, v.astype(np.float32).tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])

@@ -1022,40 +1022,56 @@ def ev_asof_join(spark, sf_dir):
 # 7. Multimodal binary columns
 # ==========================================================================
 
-# Image rows carry real synthesized BMPs (operators/multimodal.py):
-# the oracle states the BMP geometry arithmetic — md5-derived width/
-# height/bit-depth, 4-byte row alignment, 54-byte headers + 1024-byte
-# palette when 8-bpp — and the engine must RE-PARSE those fields from
-# the generated bytes (struct-unpacked headers), so a hash match
-# proves generator and parser agree end to end.  Audio/video rows
-# keep the md5-fake kernel (no container format without a codec lib).
+# Every media row carries a real synthesized container file
+# (operators/multimodal.py): BMP images, RIFF/PCM WAV audio, Y4M
+# video.  The oracle states the generator's parameter arithmetic —
+# md5-derived geometry/bit-depth/sample-rate/frame-count plus each
+# container's exact byte-layout accounting (54-byte BMP headers +
+# palette + 4-byte row alignment; 44-byte canonical WAV header +
+# PCM data; ASCII Y4M header + per-frame FRAME\n markers + C420
+# planes) — and the engine must RE-PARSE those fields from the
+# generated bytes (struct-unpacked RIFF chunks, Y4M token walk), so
+# a hash match proves generator and parser agree end to end.
 _DUCK_MEDIA_META = """
     WITH m AS (
       SELECT doc_id, text,
              (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
              ('0x' || substring(md5(text), 1, 2))::INT AS h0,
              ('0x' || substring(md5(text), 3, 2))::INT AS h1,
-             ('0x' || substring(md5(text), 5, 2))::INT AS h2
+             ('0x' || substring(md5(text), 5, 2))::INT AS h2,
+             ('0x' || substring(md5(text), 7, 4))::INT AS h3
       FROM documents
     ), g AS (
       SELECT *, 4 + h0 % 60 AS w, 4 + h1 % 60 AS ht,
-             ([8, 24, 32])[(h2 % 3) + 1] AS bpp
+             ([8, 24, 32])[(h2 % 3) + 1] AS bpp,
+             ([8000, 16000, 22050, 44100])[(h0 % 4) + 1] AS sr,
+             1 + h1 % 2 AS nch,
+             ([8, 16])[(h2 % 2) + 1] AS bits,
+             64 + h3 % 1937 AS nsamp,
+             (8 + h0 % 28) * 2 AS vw,
+             (8 + h1 % 28) * 2 AS vh,
+             2 + h2 % 7 AS nfr
       FROM m
     )
     SELECT doc_id, media_type,
-           CAST(CASE WHEN media_type = 'image'
+           CAST(CASE media_type
+                WHEN 'image'
                 THEN 54 + (CASE WHEN bpp = 8 THEN 1024 ELSE 0 END)
                      + ((w * (bpp // 8) + 3) // 4) * 4 * ht
-                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-           CAST(CASE WHEN media_type = 'image' THEN w
-                ELSE 64 + h0 % 192 END AS INT) AS width,
-           CAST(CASE WHEN media_type = 'image' THEN ht
-                ELSE 64 + h1 % 192 END AS INT) AS height,
-           CAST(CASE WHEN media_type = 'image' THEN bpp // 8
-                ELSE 1 + h2 % 3 END AS INT) AS channels,
-           CAST(CASE WHEN media_type = 'video'
-                THEN 8 + ('0x' || substring(md5(text), 7, 2))::INT % 120
-                ELSE 1 END AS INT) AS n_frames
+                WHEN 'audio'
+                THEN 44 + nsamp * nch * (bits // 8)
+                ELSE octet_length(encode('YUV4MPEG2 W' || vw || ' H' || vh
+                       || ' F25:1 Ip A1:1 C420jpeg')) + 1
+                     + nfr * (6 + (vw * vh * 3) // 2)
+                END AS BIGINT) AS n_bytes,
+           CAST(CASE media_type WHEN 'image' THEN w
+                WHEN 'audio' THEN sr ELSE vw END AS INT) AS width,
+           CAST(CASE media_type WHEN 'image' THEN ht
+                WHEN 'audio' THEN bits ELSE vh END AS INT) AS height,
+           CAST(CASE media_type WHEN 'image' THEN bpp // 8
+                WHEN 'audio' THEN nch ELSE 3 END AS INT) AS channels,
+           CAST(CASE media_type WHEN 'image' THEN 1
+                WHEN 'audio' THEN nsamp ELSE nfr END AS INT) AS n_frames
     FROM g
 """
 
@@ -1076,13 +1092,14 @@ _DUCK_MEDIA_META = """
     """,
 )
 def mm_media_meta(spark, sf_dir):
-    """Binary media columns: attach payloads (valid synthesized BMPs
-    for image rows), extract typed metadata via Arrow-batched
-    mapInPandas — image dims REALLY parsed from the BMP headers, not
-    hashed — and attach the per-type rollup as window aggregates.
-    The oracle restates the BMP geometry arithmetic (and the fake
-    kernel's md5 dims for audio/video) in SQL, so a hash match proves
-    the generate→parse round trip end to end."""
+    """Binary media columns: attach payloads (valid synthesized BMP /
+    WAV / Y4M container files), extract typed metadata via
+    Arrow-batched mapInPandas — dims, sample rates, and frame counts
+    REALLY parsed from the container bytes, not hashed — and attach
+    the per-type rollup as window aggregates.  The oracle restates
+    each generator's parameter arithmetic and byte-layout accounting
+    in SQL, so a hash match proves all three generate→parse round
+    trips end to end."""
     from pyspark.sql import Window
 
     media = multimodal.attach_fake_binary(_docs(spark, sf_dir))
