@@ -97,8 +97,31 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 
 
 def test_ann_broadcasts_queries(spark, sf_dir):
-    p = plan_of(REGISTRY["sim_ann_topk"][0](spark, sf_dir))
+    # the battery slot returns an eagerly-checkpointed result (so its
+    # temp index dir can be deleted), which hides the probe plan —
+    # assert the broadcast on the operators themselves: the tiny
+    # query side must broadcast in both the brute-force baseline and
+    # the persisted-index probe
+    from wikiextractor_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(similarity.ann_brute_force_topk(emb, query_ids=[0, 1, 2], k=5))
     assert "Broadcast" in p
+
+    import shutil
+    import tempfile
+
+    index_dir = tempfile.mkdtemp(prefix="wx_ivf_plan_")
+    try:
+        similarity.build_ivf_index(emb, index_dir, k=4, iters=1)
+        p = plan_of(
+            similarity.ann_ivf_topk_indexed(
+                spark, index_dir, query_ids=[0, 1], k=3, nprobe=2
+            )
+        )
+        assert "Broadcast" in p
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def test_native_clean_no_python(spark, sf_dir):

@@ -464,43 +464,61 @@ def ta_lang_fingerprint(spark, sf_dir):
 # 3. Deduplication
 # ==========================================================================
 
+# Exact duplicate groups over a doubled corpus + the normalized-
+# distinct-per-lang rollup in one discriminated union.  Merged from
+# r1's dd_exact_groups + dd_normalized_count (both green since r1) to
+# free a battery slot under the driver's 50-entry cap for the r6
+# cross-corpus operators; both verifications survive intact as
+# families of one output.
 @query(
     "dd_exact_groups",
-    """
-    SELECT md5(text) AS content_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
-    FROM (SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 1000000, text FROM documents)
-    GROUP BY md5(text)
+    r"""
+    SELECT 'exact' AS family, content_key AS k, n_copies AS a, keep_id AS b
+    FROM (
+      SELECT md5(text) AS content_key, COUNT(*) AS n_copies,
+             MIN(doc_id) AS keep_id
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      GROUP BY md5(text)
+    ) e
+    UNION ALL
+    SELECT 'norm' AS family, lang AS k,
+           COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS a,
+           COUNT(*) AS b
+    FROM documents GROUP BY lang
     """,
 )
 def dd_exact_groups(spark, sf_dir):
     """Exact dedup: hash-groupBy over a corpus with every doc
-    duplicated (map-side partial agg; one shuffle on the content key)."""
+    duplicated (map-side partial agg; one shuffle on the content key),
+    plus the near-exact grain — distinct normalized content per lang —
+    as a second family of the same output."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = docs.union(
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
     )
-    return dedup.exact_duplicate_groups(doubled)
-
-
-@query(
-    "dd_normalized_count",
-    r"""
-    SELECT lang,
-           COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY lang
-    """,
-)
-def dd_normalized_count(spark, sf_dir):
-    """Near-exact dedup grain: distinct normalized content per lang."""
-    docs = _docs(spark, sf_dir)
-    return docs.groupBy("lang").agg(
-        F.countDistinct(dedup.content_key(F.col("text"), normalized=True)).alias(
-            "n_distinct"
-        ),
-        F.count("*").alias("n_docs"),
+    exact = dedup.exact_duplicate_groups(doubled).select(
+        F.lit("exact").alias("family"),
+        F.col("content_key").alias("k"),
+        F.col("n_copies").alias("a"),
+        F.col("keep_id").alias("b"),
     )
+    norm = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.countDistinct(
+                dedup.content_key(F.col("text"), normalized=True)
+            ).alias("a"),
+            F.count("*").alias("b"),
+        )
+        .select(
+            F.lit("norm").alias("family"), F.col("lang").alias("k"), "a", "b"
+        )
+    )
+    return exact.unionByName(norm)
+
+
 
 
 _DUCK_SHINGLES = (
@@ -620,6 +638,85 @@ def dd_simhash_pairs(spark, sf_dir):
     return dedup.simhash_candidate_pairs(doubled, max_distance=3)
 
 
+# r6's cross-corpus near-dedup, driver-verified: a "new crawl" (a
+# quarter of the corpus under shifted ids, plus suffix-perturbed
+# variants that generally drift past the distance bound) against the
+# kept corpus via PRECOMPUTED block rows (the incremental-run path).
+# The oracle is the NAIVE cross Hamming join over the same
+# construction — two independent implementations, like
+# dd_simhash_pairs.  The 'kept' family is subtract_near_duplicates
+# (the set-operation wrapper) on the same inputs.
+@query(
+    "dd_cross_corpus",
+    f"""
+    WITH kept AS (SELECT doc_id, text FROM documents),
+    crawl AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' zqwx unrelated trailer tokens qzkv' AS text
+      FROM documents WHERE doc_id % 4 = 1
+    ),
+    ls AS (SELECT doc_id, {_DUCK_SIMHASH64} AS simhash FROM crawl),
+    rs AS (SELECT doc_id, {_DUCK_SIMHASH64} AS simhash FROM kept),
+    pairs AS (
+      SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             l.simhash AS sim_left, r.simhash AS sim_right,
+             CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+      FROM ls l JOIN rs r ON bit_count(xor(l.simhash, r.simhash)) <= 3
+    )
+    SELECT 'pair' AS family, left_id, right_id, sim_left, sim_right, hamming
+    FROM pairs
+    UNION ALL
+    SELECT 'kept' AS family, c.doc_id AS left_id,
+           CAST(-1 AS BIGINT) AS right_id, CAST(0 AS BIGINT) AS sim_left,
+           CAST(0 AS BIGINT) AS sim_right, CAST(-1 AS INT) AS hamming
+    FROM crawl c
+    WHERE c.doc_id NOT IN (SELECT left_id FROM pairs)
+    """,
+)
+def dd_cross_corpus(spark, sf_dir):
+    """Cross-corpus near-dedup (r6): SimHash pigeonhole candidates
+    BETWEEN a new crawl and the kept corpus — the kept side supplied
+    as PRECOMPUTED block rows (simhash_block_rows, the incremental
+    path that never re-signatures the kept corpus) — plus the crawl
+    minus its near-copies (subtract_near_duplicates) as a second
+    family.  Never a crawl × kept cross join (plan-tested in pytest);
+    the oracle runs the naive cross Hamming join."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    crawl = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" zqwx unrelated trailer tokens qzkv")
+            ).alias("text"),
+        )
+    )
+    kept_blocks = dedup.simhash_block_rows(docs)
+    pairs = dedup.cross_corpus_near_pairs(
+        crawl, right_blocks=kept_blocks, max_distance=3
+    )
+    survivors = dedup.subtract_near_duplicates(
+        crawl, right_blocks=kept_blocks, max_distance=3
+    )
+    return pairs.select(
+        F.lit("pair").alias("family"), "left_id", "right_id",
+        "sim_left", "sim_right", "hamming",
+    ).unionByName(
+        survivors.select(
+            F.lit("kept").alias("family"),
+            F.col("doc_id").alias("left_id"),
+            F.lit(-1).cast("long").alias("right_id"),
+            F.lit(0).cast("long").alias("sim_left"),
+            F.lit(0).cast("long").alias("sim_right"),
+            F.lit(-1).cast("int").alias("hamming"),
+        )
+    )
+
+
 @query(
     "dd_ngram_jaccard",
     """
@@ -688,11 +785,33 @@ def sim_cosine_pairs(spark, sf_dir):
     """,
 )
 def sim_ann_topk(spark, sf_dir):
-    """Exact ANN baseline: brute-force cosine top-5 for 3 broadcast
-    query vectors, deterministic rank tie-break."""
-    return similarity.ann_brute_force_topk(
-        _emb(spark, sf_dir), query_ids=[0, 1, 2], k=5
-    ).select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    """ANN top-5 through the PERSISTED IVF index (r6): train → hive-
+    partitioned vector store → assignments lookup → explicit-
+    partition-pruned probe — probed EXHAUSTIVELY (nprobe =
+    n_centroids), which makes the result exactly the brute-force
+    baseline, so the exact SQL oracle verifies the whole index
+    machinery end to end (any vector lost or double-counted by the
+    build/store/probe path fails the hash).  Sub-exhaustive-nprobe
+    recall is pytest-pinned; the in-memory brute-force baseline
+    remains pytest-covered."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="wx_ivf_battery_")
+    try:
+        similarity.build_ivf_index(emb, index_dir, k=8, iters=2)
+        out = similarity.ann_ivf_topk_indexed(
+            spark, index_dir, query_ids=[0, 1, 2], k=5, nprobe=8
+        ).select(
+            "q_id", "neighbor_id", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        # the result is tiny (queries × k); materialize it so the
+        # index directory can be deleted before the caller collects
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def _duck_lsh_bucket_sql() -> str:
@@ -892,21 +1011,49 @@ sql_query(
     """,
 )
 
+# JSON-props extraction rollup + the calendar-function rollup in one
+# discriminated union.  Merged from r1's ev_json_props + ev_date_parts
+# (both green since r1) to free a battery slot under the driver's
+# 50-entry cap for the r6 operators; the date family pads the unused
+# measures with -1 so every column stays a non-null BIGINT through
+# pandas.
 sql_query(
     "ev_json_props",
     """
-    SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod,
+    SELECT 'json' AS family,
+           CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k1,
+           CAST(-1 AS BIGINT) AS k2, CAST(-1 AS BIGINT) AS k3,
            COUNT(*) AS n,
-           MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+           MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS lo,
+           MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS hi
     FROM events GROUP BY CAST(get_json_object(props, '$.k') AS BIGINT) % 10
+    UNION ALL
+    SELECT 'date' AS family,
+           CAST(dayofweek(ts) - 1 AS BIGINT) AS k1,
+           CAST(month(ts) AS BIGINT) AS k2,
+           CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS k3,
+           COUNT(*) AS n,
+           CAST(-1 AS BIGINT) AS lo, CAST(-1 AS BIGINT) AS hi
+    FROM events
+    GROUP BY dayofweek(ts) - 1, month(ts),
+             datediff(CAST(ts AS DATE), DATE '2024-01-01')
     """,
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+    SELECT 'json' AS family,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k1,
+           CAST(-1 AS BIGINT) AS k2, CAST(-1 AS BIGINT) AS k3,
            COUNT(*) AS n,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS lo,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS hi
     FROM events GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+    UNION ALL
+    SELECT 'date' AS family,
+           CAST(date_part('dow', ts) AS BIGINT) AS k1,
+           CAST(date_part('month', ts) AS BIGINT) AS k2,
+           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS k3,
+           COUNT(*) AS n,
+           CAST(-1 AS BIGINT) AS lo, CAST(-1 AS BIGINT) AS hi
+    FROM events GROUP BY 2, 3, 4
     """,
 )
 
@@ -1230,25 +1377,7 @@ sql_query(
     """,
 )
 
-sql_query(
-    "ev_date_parts",
-    """
-    SELECT CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,
-           CAST(month(ts) AS BIGINT) AS mon,
-           CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS days_in,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY dayofweek(ts) - 1, month(ts), datediff(CAST(ts AS DATE), DATE '2024-01-01')
-    """,
-    """
-    SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
-           CAST(date_part('month', ts) AS BIGINT) AS mon,
-           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_in,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY 1, 2, 3
-    """,
-)
+# (ev_date_parts merged into ev_json_props above — r7.)
 
 sql_query(
     "ev_user_event_sets",
@@ -1266,33 +1395,7 @@ sql_query(
     """,
 )
 
-sql_query(
-    "ta_top_bigrams",
-    """
-    SELECT bigram, n, rn FROM (
-      SELECT bigram, COUNT(*) AS n,
-             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
-      FROM (
-        SELECT explode(
-          transform(array(split(text, ' ')), ws ->
-            transform(sequence(0, size(ws) - 2),
-                      i -> concat_ws(' ', element_at(ws, i + 1), element_at(ws, i + 2))))[0]
-        ) AS bigram
-        FROM documents
-      ) b GROUP BY bigram
-    ) t WHERE rn <= 20
-    """,
-    """
-    SELECT bigram, n, rn FROM (
-      SELECT bigram, COUNT(*) AS n,
-             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
-      FROM (
-        SELECT unnest([ws[i+1] || ' ' || ws[i+2] for i in range(len(ws) - 1)]) AS bigram
-        FROM (SELECT string_split(text, ' ') AS ws FROM documents) w
-      ) b GROUP BY bigram
-    ) t WHERE rn <= 20
-    """,
-)
+# (ta_top_bigrams merged into ta_tfidf_keywords below — r7.)
 
 
 @query(
@@ -1403,6 +1506,114 @@ def corpus_prepare(spark, sf_dir):
         doubled, target_lang="en", min_quality=0.5, dedup="exact",
         sample_fraction=0.6, sample_salt="corpus",
         chunk_tokens=16, overlap=4,
+    )
+
+
+# r6's Bloom-prefiltered decontamination, driver-verified: the oracle
+# joins on the n-gram STRINGS (independent of the engine's xxhash64
+# hashing), so a hash match proves normalize → gram → Bloom probe →
+# exact semi-join → per-doc rollup end to end, including that Bloom
+# false positives were fully removed.  The benchmark is a slice of
+# the corpus itself, so contamination genuinely occurs (benchmark
+# docs score 1.0, sharers partially).
+@query(
+    "decontam_bloom",
+    r"""
+    WITH nw AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE [array_to_string(list_slice(ws, i + 1, i + 3), ' ')
+                        for i in range(len(ws) - 2)]
+             END AS grams
+      FROM nw
+    ),
+    e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+    bench AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id < 25)
+    ),
+    agg AS (
+      SELECT e.doc_id, e.n_grams, COUNT(b.gram) AS n_hits
+      FROM e LEFT JOIN bench b ON e.gram = b.gram
+      GROUP BY e.doc_id, e.n_grams
+    )
+    SELECT doc_id, n_grams, n_hits,
+           round(n_hits * 1.0 / n_grams, 6) AS hit_frac,
+           n_hits * 1.0 / n_grams >= 0.3 AS contaminated
+    FROM agg
+    """,
+)
+def decontam_bloom(spark, sf_dir):
+    """Contamination report through the LARGE-benchmark Bloom path
+    (r6): bitmap auto-sized from the benchmark gram count, narrow
+    Arrow-batched probe over the exploded corpus, exact semi-join on
+    the candidate sliver — bit-identical to the broadcast path by
+    construction, here checked against an independent string-join
+    oracle.  n=3 word-grams, threshold 0.3."""
+    from wikiextractor_spark.operators import decontam
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 25)
+    report = decontam.contamination_report_bloom(
+        docs, bench, n=3, threshold=0.3
+    )
+    return report.select(
+        "doc_id", "n_grams", "n_hits",
+        F.round("hit_frac", 6).alias("hit_frac"),
+        "contaminated",
+    )
+
+
+# r6's corpus-LM quality gate, driver-verified: the vocab cap sits
+# far above the corpus's distinct-token count, so the heavy-hitter
+# fit must return the EXACT full unigram model (any counter loss
+# would shift every logp and fail the hash), and scoring must
+# reproduce per-doc mean log-probabilities to 6 decimals against
+# DuckDB's independent fit of the same model.
+@query(
+    "lm_quality_gate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM toks),
+    vocab AS (
+      SELECT token, ln(COUNT(*) * 1.0 / (SELECT total FROM tot)) AS logp
+      FROM toks GROUP BY token
+    ),
+    agg AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(v.logp) AS mean_logp
+      FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, round(mean_logp, 6) AS mean_logp,
+           mean_logp >= -7.97 AS keep
+    FROM agg
+    """,
+)
+def lm_quality_gate(spark, sf_dir):
+    """Perplexity-proxy quality gate (r6): fit the unigram LM on the
+    corpus itself (capped heavy-hitter pass, exact here because the
+    cap exceeds the distinct-token count), score every document as
+    mean token log-probability (narrow explode + broadcast vocab
+    join), and gate on a fixed threshold."""
+    from wikiextractor_spark.functions import lmquality
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lm = lmquality.fit_unigram_lm(docs, vocab_size=100_000)
+    scores = lmquality.doc_logprob_scores(docs, lm)
+    return scores.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_logp", 6).alias("mean_logp"),
+        (F.col("mean_logp") >= -7.97).alias("keep"),
     )
 
 
@@ -1540,6 +1751,11 @@ def st_stream_hourly(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# Per-doc TF-IDF keywords + global top-20 bigrams in one
+# discriminated union.  Merged from r2's ta_tfidf_keywords + r1's
+# ta_top_bigrams (both green) to free a battery slot under the
+# driver's 50-entry cap for the r6 operators; bigram rows carry their
+# count as the score and -1 as the doc id.
 sql_query(
     "ta_tfidf_keywords",
     """
@@ -1557,8 +1773,24 @@ sql_query(
              ) AS rn
       FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
     )
-    SELECT doc_id, w AS term, round(c * ln(total * 1.0 / d), 6) AS tfidf, rn
+    SELECT 'tfidf' AS family, doc_id, w AS term,
+           round(c * ln(total * 1.0 / d), 6) AS score, rn
     FROM scored WHERE rn <= 3 AND doc_id < 50
+    UNION ALL
+    SELECT 'bigram' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           bigram AS term, CAST(n AS DOUBLE) AS score, rn
+    FROM (
+      SELECT bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM (
+        SELECT explode(
+          transform(array(split(text, ' ')), ws ->
+            transform(sequence(0, size(ws) - 2),
+                      i -> concat_ws(' ', element_at(ws, i + 1), element_at(ws, i + 2))))[0]
+        ) AS bigram
+        FROM documents
+      ) b GROUP BY bigram
+    ) t WHERE rn <= 20
     """,
     """
     WITH exploded AS (
@@ -1575,9 +1807,20 @@ sql_query(
              ) AS rn
       FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
     )
-    SELECT doc_id, w AS term,
-           round(c * ln(total * 1.0 / d), 6) AS tfidf, rn
+    SELECT 'tfidf' AS family, doc_id, w AS term,
+           round(c * ln(total * 1.0 / d), 6) AS score, rn
     FROM scored WHERE rn <= 3 AND doc_id < 50
+    UNION ALL
+    SELECT 'bigram' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           bigram AS term, CAST(n AS DOUBLE) AS score, rn
+    FROM (
+      SELECT bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM (
+        SELECT unnest([ws[i+1] || ' ' || ws[i+2] for i in range(len(ws) - 1)]) AS bigram
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents) w
+      ) b GROUP BY bigram
+    ) t WHERE rn <= 20
     """,
 )
 
