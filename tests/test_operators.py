@@ -1841,3 +1841,142 @@ def test_real_audio_video_kernels_content_derived(docs, spark):
     )
     meta = multimodal.decode_media_meta(junk).collect()[0]
     assert meta["width"] == 64 + __import__("hashlib").md5(b"not a wav").digest()[0] % 192
+
+
+def test_semantic_dedup_pairs_matches_bruteforce_within_clusters(spark, emb):
+    """SemDeDup pairs must equal the brute-force all-pairs cosine
+    restricted to same-cluster pairs, and exact-duplicate recall must
+    be 1 (identical vectors always share a cluster)."""
+    from wikiextractor_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+        semantic_dedup_pairs,
+    )
+
+    base = emb.filter(F.col("vec_id") < 120)
+    # plant exact duplicates: vec_id+10000 copies of the first 10
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(planted)
+
+    cents = ivf_centroids(corpus, k=8, iters=2)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in semantic_dedup_pairs(
+            corpus, threshold=0.9, centroids=cents
+        ).collect()
+    }
+    # exact duplicates recalled with cos = 1
+    for i in range(10):
+        assert got.get((i, i + 10000)) == 1.0
+
+    # equivalence: same-cluster brute force at the same threshold
+    assigned = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(corpus, cents).collect()}
+    vecs = corpus.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+        if assigned[r["id_a"]] == assigned[r["id_b"]]
+    }
+    assert got == brute
+
+
+def test_semantic_dedup_survivors_and_plan(spark, emb):
+    """Chain survivors drop every pair loser; component survivors keep
+    exactly one id per connected component; the pair stage never plans
+    a cartesian product."""
+    import contextlib
+    import io
+
+    from wikiextractor_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    base = emb.filter(F.col("vec_id") < 80)
+    planted = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(planted)
+
+    for policy in ("chain", "component"):
+        kept = semantic_dedup(
+            corpus, threshold=0.999, survivors=policy, n_clusters=8
+        )
+        kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+        # each planted copy pairs with its source at cos=1: the copy
+        # (larger id) must be gone, the source kept
+        for i in range(8):
+            assert i in kept_ids and (i + 10000) not in kept_ids
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        semantic_dedup_pairs(corpus, n_clusters=8).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+
+    with pytest.raises(ValueError):
+        semantic_dedup(corpus, survivors="nope")
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(corpus, threshold=1.5)
+
+
+def test_temperature_mix(spark):
+    """alpha=1 at the default target is the identity; alpha=0 flattens
+    toward uniform (small domains kept whole, large ones down-sampled
+    toward target/k); selection is deterministic across runs."""
+    from wikiextractor_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(90)]
+        + [(i + 2000, "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+
+    # alpha=1, target=N: natural mix, every rate caps at 1 -> identity
+    assert temperature_mix(df, "domain", alpha=1.0).count() == 1000
+
+    # alpha=0: uniform weights -> target/3 per domain; 'small' (10)
+    # and 'mid' (90) fit under 1000/3 so are kept whole, 'big' is
+    # down-sampled to ~333
+    flat = temperature_mix(df, "domain", alpha=0.0)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in flat.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom["small"] == 10 and by_dom["mid"] == 90
+    assert 233 <= by_dom["big"] <= 433  # ~333 +- hash-gate noise
+
+    # deterministic: the same call keeps the same rows
+    ids1 = sorted(r["doc_id"] for r in flat.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in temperature_mix(df, "domain", alpha=0.0).collect()
+    )
+    assert ids1 == ids2
+
+    # intermediate alpha lands between natural and uniform for 'big'
+    mid_alpha = temperature_mix(df, "domain", alpha=0.5)
+    n_big_mid = mid_alpha.filter(F.col("domain") == "big").count()
+    assert by_dom["big"] <= n_big_mid <= 900
+
+    # explicit smaller target scales everything down
+    n_target = temperature_mix(df, "domain", alpha=1.0, target_rows=500).count()
+    assert 350 <= n_target <= 650
+
+    with pytest.raises(ValueError):
+        temperature_mix(df, "domain", alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_mix(df, "domain", target_rows=-1)

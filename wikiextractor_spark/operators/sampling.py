@@ -105,6 +105,52 @@ def stratified_sample(
     return df.filter(_hash_bucket(F.col(key_col), salt) < gate)
 
 
+def temperature_mix(
+    df: DataFrame, group_col: str, alpha: float = 0.7,
+    key_col: str = "doc_id", target_rows: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-reweighted domain mixing — the multinomial
+    α-sampling used to rebalance multilingual / multi-domain LLM
+    corpora (XLM-R / mBERT style): domain weights ``q_d ∝ p_d^α``
+    where ``p_d = n_d / N``, so α=1 keeps the natural mix and α→0
+    flattens toward uniform, up-weighting low-resource domains.
+
+    Per-domain keep-rates ``min(1, target·q_d / n_d)`` are derived
+    from ONE count aggregate (domains are mix buckets — languages,
+    sources — so the count table is driver-sized by construction) and
+    applied through the same deterministic hash gate as
+    :func:`stratified_sample`: narrow, shuffle-free, reproducible,
+    cross-table consistent on ``key_col``.  ``target_rows`` defaults
+    to N (pure re-weighting at roughly constant size); rates cap at 1
+    — this operator never up-SAMPLES a domain (no row duplication),
+    it re-weights by down-sampling the others, the standard
+    one-epoch-corpus formulation.
+    """
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_rows is not None and target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df
+    target = total if target_rows is None else target_rows
+    weights = {g: (n / total) ** alpha for g, n in counts.items()}
+    z = sum(weights.values()) or 1.0
+    fractions = {
+        g: min(1.0, (target * weights[g] / z) / counts[g]) for g in counts
+    }
+    return stratified_sample(
+        df, group_col, fractions, key_col, default_fraction=0.0, salt=salt
+    )
+
+
 def sample_token_budget(
     df: DataFrame, budget_tokens: int, id_col: str = "doc_id",
     token_col: str | None = None, text_col: str = "text",

@@ -257,6 +257,93 @@ def lsh_bucket_histogram(emb: DataFrame, **kwargs) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster, then dedup within clusters
+# --------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    emb: DataFrame, threshold: float = 0.95,
+    n_clusters: int = 64, iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embeddings (reusing the IVF
+    coarse quantizer), then compare pairs WITHIN each cluster only.
+
+    The published trade vs banded LSH
+    (:func:`embedding_near_duplicate_pairs`): pair candidates come
+    from ONE equi-join on ``centroid_id`` — cost Σ_c n_c² ≈ n²/k for
+    balanced clusters, never all-pairs (plan-tested) — and
+    cross-cluster near-dups are missed BY DESIGN (semantic duplicates
+    embed close together, so they land in one cluster; the cluster
+    boundary is the recall knob, ``n_clusters`` the cost knob).
+    Identical vectors always share a cluster (assignment is a pure
+    function of the vector), so exact-duplicate recall is 1.
+
+    → ``(id_a, id_b, centroid_id, cos)`` with ``cos >= threshold``.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_clusters, iters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).localCheckpoint(
+        eager=True  # barrier: the argmax scoring pass runs ONCE, not
+        # once per self-join side after projection collapse
+    )
+    base = emb.join(assigned, id_col).select(
+        F.col(id_col), F.col("centroid_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.95, survivors: str = "chain",
+    id_col: str = "vec_id", vec_col: str = "embedding", **cluster_kwargs,
+) -> DataFrame:
+    """Drop semantic near-duplicates, keeping one survivor per group —
+    the same survivor policies as :func:`dedup_embeddings` ('chain' /
+    'component'), fed by the cluster-bounded pair stage.  At corpus
+    scale pass ``centroids=`` trained once (or reuse a persisted IVF
+    index's centroids via :func:`load_ivf_centroids`) so repeated runs
+    never refit the quantizer."""
+    if survivors not in ("chain", "component"):
+        raise ValueError(
+            f"survivors must be 'chain' or 'component', got {survivors!r}"
+        )
+    pairs = semantic_dedup_pairs(
+        emb, threshold, id_col=id_col, vec_col=vec_col, **cluster_kwargs
+    )
+    if survivors == "chain":
+        losers = pairs.select(F.col("id_b").alias(id_col))
+        return emb.join(losers, id_col, "left_anti")
+    from wikiextractor_spark.operators.dedup import connected_component_labels
+
+    labels = connected_component_labels(
+        pairs.select("id_a", "id_b")
+    )
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return emb.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the centroid-bucketed scale path
 # --------------------------------------------------------------------------
 
