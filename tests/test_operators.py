@@ -1980,3 +1980,31 @@ def test_temperature_mix(spark):
         temperature_mix(df, "domain", alpha=-0.1)
     with pytest.raises(ValueError):
         temperature_mix(df, "domain", target_rows=-1)
+
+
+def test_y4m_frame_params_variable_stride(spark):
+    """The Y4M spec allows per-frame parameters (``FRAMEI...\\n``):
+    frame extraction must walk the actual markers, not assume a fixed
+    6-byte stride."""
+    import numpy as np
+
+    w, h, fs = 4, 2, 12  # C420: 4*2*3/2
+    frames = [bytes(range(i * 16, i * 16 + fs)) for i in range(3)]
+    payload = b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\n"
+    markers = [b"FRAME\n", b"FRAMEIt\n", b"FRAMEXlonger params\n"]
+    for m, f in zip(markers, frames):
+        payload += m + f
+    parsed = multimodal._y4m_decode_meta(payload)
+    assert parsed is not None and parsed[3] == 3  # all 3 frames seen
+    for i in range(3):
+        luma = multimodal._y4m_luma_plane(payload, i)
+        assert luma is not None
+        assert luma.tobytes() == frames[i][: w * h]
+    media = spark.createDataFrame(
+        [(1, payload, "video")], "doc_id long, media binary, media_type string"
+    )
+    got = {
+        r["frame_no"]: bytes(r["frame"])
+        for r in multimodal.sample_frames(media, n_frames=3).collect()
+    }
+    assert got == {0: frames[0], 1: frames[1], 2: frames[2]}

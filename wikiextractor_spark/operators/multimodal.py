@@ -654,6 +654,26 @@ def _wav_sample_array(payload: bytes):
     return samples.reshape(frames, nch).mean(axis=1).astype(np.uint8)
 
 
+def _y4m_frame_offsets(payload: bytes) -> list[int] | None:
+    """Byte offsets of every frame's plane data in a Y4M stream —
+    walked marker by marker rather than assuming a fixed stride,
+    because the spec allows per-frame parameters (``FRAMEI...\\n``)
+    that make marker lines variable-length."""
+    parsed = _y4m_decode_meta(payload)
+    if parsed is None:
+        return None
+    _w, _h, _c, n, first_off, frame_size = parsed
+    offsets = [first_off]
+    pos = first_off + frame_size
+    while len(offsets) < n:
+        fnl = payload.find(b"\n", pos, pos + 4096)
+        if fnl < 0:
+            break
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + frame_size
+    return offsets if len(offsets) == n else None
+
+
 def _y4m_luma_plane(payload: bytes, frame_idx: int = 0):
     """Extract one frame's Y (luma) plane from a Y4M stream as an
     (h, w) uint8 numpy array.  Pure numpy; returns None for anything
@@ -663,13 +683,13 @@ def _y4m_luma_plane(payload: bytes, frame_idx: int = 0):
     parsed = _y4m_decode_meta(payload)
     if parsed is None:
         return None
-    w, h, _c, n, first_off, frame_size = parsed
+    w, h, _c, n, _first_off, _frame_size = parsed
     if not 0 <= frame_idx < n:
         return None
-    # frames sit at fixed strides after the first (all FRAME\n markers
-    # are bare 6-byte lines in streams this parser accepted)
-    off = first_off + frame_idx * (6 + frame_size)
-    return np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
+    offsets = _y4m_frame_offsets(payload)
+    if offsets is None:
+        return None
+    return np.frombuffer(payload, np.uint8, w * h, offsets[frame_idx]).reshape(h, w)
 
 
 def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
@@ -752,11 +772,11 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     continue
                 payload = bytes(payload) if payload is not None else b""
                 parsed = _y4m_decode_meta(payload)
-                if parsed is not None:
-                    _w, _h, _c, total, first_off, frame_size = parsed
+                offsets = _y4m_frame_offsets(payload) if parsed else None
+                if parsed is not None and offsets is not None:
+                    _w, _h, _c, total, _first_off, frame_size = parsed
                     for k in range(n_frames):
-                        idx = (k * total) // n_frames
-                        off = first_off + idx * (6 + frame_size)
+                        off = offsets[(k * total) // n_frames]
                         rows.append((doc_id, k, payload[off : off + frame_size]))
                 else:
                     for k in range(n_frames):
