@@ -708,6 +708,61 @@ def build_ivf_index(
     return centroids
 
 
+def ivf_index_add(
+    spark, index_dir: str, new_emb: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED IVF index without retraining
+    the quantizer or rewriting existing partitions — the incremental
+    path for a growing corpus (new crawl snapshots indexed nightly
+    against centroids trained once).
+
+    The new batch is assigned against the STORED centroids (one
+    narrow scoring pass), append-written into its centroid partitions
+    (clustered first, so each touched directory gains a bounded file
+    count), and appended to the id→centroid assignments lookup (each
+    appended file is itself range-sorted on the id, so per-file
+    row-group min-max pruning keeps working for probe lookups).
+    Centroid directories that were empty at build time are created on
+    first use — the probe's explicit listing picks them up
+    automatically.  Quantization quality drifts as the corpus grows
+    away from the trained centroids; retrain + rebuild when the
+    cluster-size histogram (:func:`ivf_index_stats`) skews."""
+    centroids = load_ivf_centroids(spark, index_dir)
+    assigned = ivf_assign(new_emb, centroids, id_col, vec_col).localCheckpoint(
+        eager=True  # one scoring pass, reused by both writes below
+    )
+    (
+        new_emb.join(assigned, id_col)
+        .select(F.col(id_col), F.col("centroid_id"), F.col(vec_col))
+        .repartition(F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    (
+        assigned.select(F.col(id_col), F.col("centroid_id"))
+        .repartitionByRange(8, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .write.mode("append")
+        .parquet(f"{index_dir}/assignments")
+    )
+
+
+def ivf_index_stats(spark, index_dir: str) -> DataFrame:
+    """→ ``(centroid_id, n_vectors)`` per partition of a persisted
+    index — the health/skew diagnostic that decides when incremental
+    adds have drifted far enough to retrain (a handful of giant
+    clusters means probes re-read most of the corpus; many empties
+    mean wasted directories).  Scans only the two narrow index
+    columns, never the vectors."""
+    return (
+        spark.read.parquet(f"{index_dir}/assignments")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def load_ivf_centroids(spark, index_dir: str) -> list[list[float]]:
     """The trained centroid matrix back from :func:`build_ivf_index`
     (driver-sized by construction: k×dim doubles)."""
