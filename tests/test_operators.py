@@ -2060,3 +2060,91 @@ def test_ivf_index_incremental_add(spark, emb, tmp_path):
         ).collect()
     }
     assert any(i >= 60 for i in ids) and any(i < 60 for i in ids)
+
+
+def _naive_trim(texts: dict, n: int, min_count: int) -> dict:
+    """Reference implementation of repeated-span trimming: count every
+    n-word window across the corpus, mark covered word indices, keep
+    the rest."""
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        ws = t.split(" ")
+        for i in range(max(0, len(ws) - n + 1)):
+            grams[" ".join(ws[i : i + n])] += 1
+    out = {}
+    for k, t in texts.items():
+        ws = t.split(" ")
+        covered = [False] * len(ws)
+        for i in range(max(0, len(ws) - n + 1)):
+            if grams[" ".join(ws[i : i + n])] >= min_count:
+                for j in range(i, i + n):
+                    covered[j] = True
+        out[k] = " ".join(w for w, c in zip(ws, covered) if not c)
+    return out
+
+
+def test_trim_repeated_spans_planted_and_differential(spark):
+    """A paragraph shared by two docs is cut from BOTH (ExactSubstr
+    policy), unique text passes through byte-identical, within-doc
+    repetition counts, and the operator matches a naive reference
+    implementation on a randomized corpus."""
+    import random
+
+    from wikiextractor_spark.operators.spans import (
+        repeated_span_report,
+        trim_repeated_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    texts = {
+        1: "intro one two three " + boiler + " outro alpha beta",
+        2: "different lead here " + boiler + " and a tail part",
+        3: "totally unique document with no shared windows at all",
+        # within-doc repetition: the same 6-gram twice
+        4: " ".join(f"r{i % 6}" for i in range(12)) + " unique suffix words",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_words"])
+        for r in trim_repeated_spans(df, n=6, min_count=2).collect()
+    }
+    want = _naive_trim(texts, 6, 2)
+    for k in texts:
+        assert got[k][0] == want[k], k
+    assert boiler.split(" ")[0] not in got[1][0]
+    assert got[3] == (texts[3], 0)  # unique doc untouched
+    assert got[4][1] > 0  # within-doc repeat trimmed
+
+    rep = {
+        r["doc_id"]: r for r in repeated_span_report(df, n=6, min_count=2).collect()
+    }
+    assert rep[3]["n_spans"] == 0 and rep[3]["covered_frac"] == 0.0
+    assert rep[1]["n_covered"] == len(texts[1].split()) - len(want[1].split())
+
+    # randomized differential: a corpus with injected shared spans
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = " ".join(rng.choice(vocab) for _ in range(9))
+    rnd = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        + (f" {shared} " + " ".join(rng.choice(vocab) for _ in range(4))
+           if i % 3 == 0 else "")
+        for i in range(24)
+    }
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in rnd.items()], "doc_id long, text string"
+    )
+    got_r = {
+        r["doc_id"]: r["text"]
+        for r in trim_repeated_spans(rdf, n=5, min_count=2).collect()
+    }
+    assert got_r == _naive_trim(rnd, 5, 2)
+
+    with pytest.raises(ValueError):
+        trim_repeated_spans(df, n=0)
+    with pytest.raises(ValueError):
+        trim_repeated_spans(df, min_count=1)
