@@ -42,7 +42,7 @@ def main() -> None:
         "dd_lsh_candidate_pairs",
         "dd_simhash_pairs",
         "dd_embedding_neighbor",
-        "sim_cosine_pairs",
+        "dd_trim_spans",
         "sim_ann_topk",
         "rel_pricing_summary",
         "rel_top_orders",

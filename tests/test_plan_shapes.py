@@ -133,18 +133,18 @@ def test_no_unbounded_cartesian_in_any_battery_query(spark):
     """Global plan hygiene over ALL 50 battery queries: no
     CartesianProduct anywhere, and BroadcastNestedLoopJoin only in
     the known set whose non-equi side is tiny BY CONSTRUCTION —
-    bounded-id all-pairs verification grains (sim_cosine_pairs,
-    dd_embedding_neighbor), the broadcast-queries ANN scan
-    (sim_ann_topk), and the 1-row corpus-total cross join
-    (ta_tfidf_keywords).  A new query that plans an unbounded
-    cartesian fails here before it ever reaches the driver."""
+    bounded-id all-pairs verification grains (dd_embedding_neighbor,
+    which carries the former sim_cosine_pairs family), the
+    broadcast-queries ANN scan (sim_ann_topk), and the 1-row
+    corpus-total cross join (ta_tfidf_keywords).  A new query that
+    plans an unbounded cartesian fails here before it ever reaches
+    the driver."""
     import contextlib
     import io
 
     from wikiextractor_spark.queries import REGISTRY
 
     BNLJ_BOUNDED_BY_DESIGN = {
-        "sim_cosine_pairs",
         "sim_ann_topk",
         "dd_embedding_neighbor",
         "ta_tfidf_keywords",

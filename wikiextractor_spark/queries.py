@@ -717,6 +717,66 @@ def dd_cross_corpus(spark, sf_dir):
     )
 
 
+# r7's sub-document dedup, driver-verified: repeated-span trimming
+# (the distributed word-gram form of Lee et al.'s ExactSubstr) over a
+# corpus with 100 planted full copies — every word of those docs sits
+# under a repeated 6-gram, so both copies trim to empty, while
+# naturally-repeated spans in the rest trim wherever they occur.  The
+# oracle recomputes gram counts, coverage, and the surviving word
+# sequence with DuckDB list comprehensions over the gram STRINGS
+# (independent of the engine's xxhash64).
+@query(
+    "dd_trim_spans",
+    """
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+    g AS (
+      SELECT doc_id,
+             unnest([{'p': i,
+                      'gr': array_to_string(list_slice(ws, i + 1, i + 6), ' ')}
+                     for i in range(greatest(len(ws) - 5, 0))]) AS s
+      FROM w
+    ),
+    e AS (SELECT doc_id, s.p AS p, s.gr AS gr FROM g),
+    rep AS (SELECT gr FROM e GROUP BY gr HAVING COUNT(*) >= 2),
+    hit AS (
+      SELECT e.doc_id,
+             flatten([[p + j for j in range(6)] for p in list(e.p)]) AS cov
+      FROM e JOIN rep USING (gr) GROUP BY e.doc_id
+    ),
+    k AS (
+      SELECT w.doc_id, ws,
+             [ws[i + 1] for i in range(len(ws))
+              if cov IS NULL OR NOT list_contains(cov, i)] AS kept
+      FROM w LEFT JOIN hit USING (doc_id)
+    )
+    SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS text,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed_words
+    FROM k
+    """,
+)
+def dd_trim_spans(spark, sf_dir):
+    """Repeated-span trimming (r7, operators/spans.py): remove every
+    occurrence of any 6-word window appearing ≥2 times across a
+    corpus with planted full copies — one narrow gram pass, one
+    gram-hash shuffle, native interval merge + higher-order word cut,
+    zero Python row-wise."""
+    from wikiextractor_spark.operators import spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    return spans.trim_repeated_spans(corpus, n=6, min_count=2).select(
+        "doc_id", "text", "n_removed_words"
+    )
+
+
 @query(
     "dd_ngram_jaccard",
     """
@@ -753,19 +813,7 @@ _DUCK_COS = (
 )
 
 
-@query(
-    "sim_cosine_pairs",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 40)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_DUCK_COS.replace('ae', 'a.e').replace('be', 'b.e')} AS cos
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    """,
-)
-def sim_cosine_pairs(spark, sf_dir):
-    """All-pairs cosine on a bounded range — zip_with/aggregate dot
-    products, JVM-side."""
-    return similarity.cosine_pairs(_emb(spark, sf_dir), max_id=40)
+# (sim_cosine_pairs merged into dd_embedding_neighbor — r7.)
 
 
 @query(
@@ -1617,6 +1665,11 @@ def lm_quality_gate(spark, sf_dir):
     )
 
 
+# Nearest neighbor per vector + all-pairs cosine in one discriminated
+# union (both bounded verification grains over the same cosine
+# kernel).  Merged from r1's dd_embedding_neighbor + sim_cosine_pairs
+# (both green since r1) to free a battery slot under the driver's
+# 50-entry cap for the r7 repeated-span operator.
 @query(
     "dd_embedding_neighbor",
     f"""
@@ -1629,12 +1682,20 @@ def lm_quality_gate(spark, sf_dir):
     r AS (SELECT vec_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
           FROM s)
-    SELECT vec_id, neighbor_id, cos FROM r WHERE rn = 1
+    SELECT 'nn' AS family, vec_id AS id_a, neighbor_id AS id_b, cos
+    FROM r WHERE rn = 1
+    UNION ALL
+    SELECT 'pair' AS family, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_DUCK_COS.replace('ae', 'a.e').replace('be', 'b.e')} AS cos
+    FROM (SELECT * FROM v WHERE vec_id < 40) a
+    JOIN (SELECT * FROM v WHERE vec_id < 40) b ON a.vec_id < b.vec_id
     """,
 )
 def dd_embedding_neighbor(spark, sf_dir):
     """Embedding-cosine near-dup: nearest neighbor per vector on a
-    bounded range (the verification grain for embedding dedup)."""
+    bounded range (the verification grain for embedding dedup), plus
+    the bounded all-pairs cosine grain (r1's sim_cosine_pairs) as a
+    second family of the same output."""
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
@@ -1650,11 +1711,21 @@ def dd_embedding_neighbor(spark, sf_dir):
         ).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    nn = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .select(
+            F.lit("nn").alias("family"),
+            F.col("vec_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos",
+        )
     )
+    pairs = similarity.cosine_pairs(_emb(spark, sf_dir), max_id=40).select(
+        F.lit("pair").alias("family"), "id_a", "id_b", "cos"
+    )
+    return nn.unionByName(pairs)
 
 
 @query(
