@@ -2148,3 +2148,72 @@ def test_trim_repeated_spans_planted_and_differential(spark):
         trim_repeated_spans(df, n=0)
     with pytest.raises(ValueError):
         trim_repeated_spans(df, min_count=1)
+
+
+def test_training_shards_deterministic_and_selectable(spark, docs, tmp_path):
+    """Shard membership and within-shard order are pure functions of
+    (id, seed): two writes are byte-order-identical, the union of
+    shards is the corpus, a different seed draws a different order,
+    and loaders can select explicit shard subsets."""
+    from wikiextractor_spark.sink import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    src = docs.limit(200).select("doc_id", "text")
+    d1, d2, d3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    assert write_training_shards(src, d1, n_shards=4, seed="ep0") == 4
+    write_training_shards(src, d2, n_shards=4, seed="ep0")
+    write_training_shards(src, d3, n_shards=4, seed="ep1")
+
+    def order(path, ids=None):
+        df = read_training_shards(spark, path, ids)
+        return [
+            (r["shard_id"], r["doc_id"])
+            for r in df.select("shard_id", "doc_id").collect()
+        ]
+
+    # same seed -> identical shard contents and order
+    a, b = order(d1), order(d2)
+    assert sorted(a) == sorted(b)
+
+    def by_shard(rows):
+        return {s: [i for ss, i in rows if ss == s] for s in {s for s, _ in rows}}
+
+    per_shard_a = by_shard(a)
+    assert per_shard_a == by_shard(b)
+
+    # union of shards = corpus, no duplication
+    assert sorted(i for _s, i in a) == sorted(
+        r["doc_id"] for r in src.collect()
+    )
+
+    # a different seed shuffles differently (overwhelmingly likely)
+    c = order(d3)
+    assert {s: [i for ss, i in c if ss == s] for s in {s for s, _ in c}} != per_shard_a
+
+    # explicit shard selection returns exactly those shards
+    sel = order(d1, ids=[0, 2])
+    assert {s for s, _ in sel} <= {0, 2}
+    assert sorted(sel) == sorted((s, i) for s, i in a if s in (0, 2))
+
+    # within-shard order is the hash order (reproducible shuffle)
+    got0 = [i for s, i in order(d1, ids=[0])]
+    want0 = [
+        r["doc_id"]
+        for r in src.withColumn(
+            "_o", F.xxhash64(F.col("doc_id").cast("string"), F.lit("ep0"))
+        )
+        .withColumn("_s", F.pmod(F.col("_o"), F.lit(4)))
+        .filter(F.col("_s") == 0)
+        .orderBy("_o", "doc_id")
+        .collect()
+    ]
+    assert got0 == want0
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        write_training_shards(src, str(tmp_path / "bad"), n_shards=0)
+    with _p.raises(ValueError):
+        read_training_shards(spark, d1, [99])

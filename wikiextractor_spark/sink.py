@@ -159,3 +159,73 @@ def write_sized_parquet(
         return n_files
     finally:
         df.unpersist()
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    seed: str = "",
+    id_col: str = "doc_id",
+) -> int:
+    """Deterministic global shuffle + sharded export — the last step
+    of a training-data pipeline: examples must reach the trainer in a
+    reproducible pseudo-random order, decorrelated from crawl/source
+    order (long runs of one domain bias gradients), split into fixed
+    shards for data-parallel loaders.
+
+    ``rand()``-based shuffles are layout-dependent and unrepeatable;
+    here both shard MEMBERSHIP and within-shard ORDER are pure
+    functions of ``(id, seed)``: order key = ``xxhash64(id, seed)``,
+    shard = that key mod ``n_shards`` (statistically equal-sized), so
+    any rerun on any cluster layout reproduces byte-identical shards.
+    Different seeds draw independent orders — one per epoch.
+
+    Layout: ONE exchange keyed on the shard id, a per-shard sort, and
+    a hive-partitioned write (``shard_id=K/``), so loader-side workers
+    select their shards by explicit directory — no file-listing
+    guesswork, same pattern as the IVF index partitions.  Parquet
+    preserves row order within files, and each shard directory is
+    written by exactly one task.
+
+    Returns ``n_shards``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ord_key = F.xxhash64(F.col(id_col).cast("string"), F.lit(str(seed)))
+    (
+        df.withColumn("_ord", ord_key)
+        .withColumn("shard_id", F.pmod(F.col("_ord"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "_ord", id_col)
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    return n_shards
+
+
+def read_training_shards(
+    spark, out_dir: str, shard_ids: list[int] | None = None,
+):
+    """Read back shards written by :func:`write_training_shards` —
+    all of them, or an explicit subset by shard id (the data-parallel
+    loader case: worker w reads shards w, w+W, w+2W...).  Directory
+    selection is an explicit FS listing (``fsutil.int_partition_dirs``)
+    so the read bound never depends on partition-pruning heuristics;
+    unknown ids are simply absent.  Row order within a shard is the
+    written order (parquet preserves it; one file per shard
+    directory)."""
+    from wikiextractor_spark.fsutil import int_partition_dirs
+
+    dirs = int_partition_dirs(spark, f"{out_dir}/shard_id=*", "shard_id")
+    if shard_ids is not None:
+        want = set(shard_ids)
+        dirs = [(i, p) for i, p in dirs if i in want]
+    if not dirs:
+        raise ValueError(
+            f"no matching shard directories under {out_dir!r} "
+            f"(requested {sorted(set(shard_ids)) if shard_ids is not None else 'all'})"
+        )
+    return spark.read.option("basePath", out_dir).parquet(*[p for _i, p in dirs])
