@@ -232,7 +232,10 @@ def test_sessionize_drops_cross_batch_stragglers(spark, tmp_path):
 def test_embedding_neighbor_symmetric_bound(spark):
     df = REGISTRY["dd_embedding_neighbor"][0](spark, "/root/testdata/sf0.001")
     rows = df.collect()
-    assert len(rows) == 100  # one neighbor per vec
+    nn = [r for r in rows if r["family"] == "nn"]
+    pairs = [r for r in rows if r["family"] == "pair"]
+    assert len(nn) == 100  # one neighbor per vec
+    assert len(pairs) == 40 * 39 // 2  # bounded all-pairs family (r7)
     assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
 
 
