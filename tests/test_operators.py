@@ -2217,3 +2217,61 @@ def test_training_shards_deterministic_and_selectable(spark, docs, tmp_path):
         write_training_shards(src, str(tmp_path / "bad"), n_shards=0)
     with _p.raises(ValueError):
         read_training_shards(spark, d1, [99])
+
+
+def test_temperature_mix_null_domain(spark):
+    """A NULL domain must neither crash the driver-side fraction sort
+    nor silently vanish: NULL-group rows are gated like any other
+    domain."""
+    from wikiextractor_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # alpha=1 at the default target: every rate caps at 1 -> identity,
+    # INCLUDING the NULL-domain rows
+    assert temperature_mix(df, "domain", alpha=1.0).count() == 100
+    out = temperature_mix(df, "domain", alpha=0.0, target_rows=60)
+    by = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by.get("a", 0) > 0 and by.get(None, 0) > 0
+
+
+def test_y4m_unknown_colorspace_rejected():
+    """10-bit / alpha colorspace variants must reject (fake fallback)
+    rather than walk frame markers at a wrong stride; 444alpha sizes
+    its fourth plane correctly."""
+    w, h = 4, 2
+    base = b"YUV4MPEG2 W4 H2 F25:1 C%s\n"
+    for cs, fs in ((b"420p10", None), (b"422p12", None), (b"444alpha", w * h * 4)):
+        frame = bytes(range(48))[: fs or 12]
+        payload = base % cs + b"FRAME\n" + frame
+        parsed = multimodal._y4m_decode_meta(payload)
+        if fs is None:
+            assert parsed is None, cs
+        else:
+            assert parsed is not None and parsed[5] == fs and parsed[2] == 4
+
+
+def test_ivf_rebuild_overwrites_centroids(spark, emb, tmp_path):
+    """Rebuilding an index into the same directory must fully replace
+    the centroid matrix — stale part files alongside the new one
+    would make the loader read the union (silently wrong probes)."""
+    from wikiextractor_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_centroids,
+    )
+
+    base = emb.filter(F.col("vec_id") < 60)
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(base, index_dir, k=6, iters=1)
+    assert len(load_ivf_centroids(spark, index_dir)) == 6
+    # plant a stale extra file the way a pre-r7 Spark write would have
+    import shutil
+
+    src = f"{index_dir}/centroids/part-00000.parquet"
+    shutil.copy(src, f"{index_dir}/centroids/part-00000-stale.parquet")
+    assert len(load_ivf_centroids(spark, index_dir)) == 12  # the bug shape
+    build_ivf_index(base, index_dir, k=4, iters=1)
+    assert len(load_ivf_centroids(spark, index_dir)) == 4

@@ -313,13 +313,24 @@ def contamination_report_bloom(
         raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
 
     bench_hashes = benchmark_gram_set(benchmark, text_col=text_col, n=n)
-    if m_bits is None:
+    auto_sized = m_bits is None
+    if auto_sized:
         # one count over the (cached) gram set buys a bitmap that
         # tracks benchmark scale instead of hoping 2^24 is enough
         bench_hashes = bench_hashes.persist()
         m_bits = sized_m_bits(bench_hashes.count())
     bitmap = build_bloom(bench_hashes, m_bits=m_bits, k=k)
-    fill = float(np.unpackbits(bitmap).sum()) / m_bits
+    if auto_sized:
+        # the cache served count + build; release it now rather than
+        # leak one persisted gram set per call — the exact semi-join
+        # below recomputes the (benchmark-sized, narrow) set once
+        bench_hashes.unpersist()
+    # popcount via a 256-entry LUT: np.unpackbits would materialize
+    # 8x the bitmap (8 GB transient for a 2^33-bit auto-sized bloom —
+    # exactly the huge-benchmark scale this path exists for); the LUT
+    # gather is 1x and the dtype'd sum avoids a widening copy
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    fill = float(lut[bitmap].sum(dtype=np.uint64)) / m_bits
     if fill > 0.5:
         warnings.warn(
             f"bloom fill ratio {fill:.2f} > 0.5 at m_bits={m_bits}: "

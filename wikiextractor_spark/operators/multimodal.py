@@ -323,11 +323,20 @@ def _wav_decode_meta(
 
 
 # Y4M colorspace token → (bytes per w*h pixels numerator/denominator,
-# channel count); C420 stores w*h luma + 2 quarter-size chroma planes
+# channel count); C420 stores w*h luma + 2 quarter-size chroma planes.
+# EXACT tokens only: prefix matching would silently mis-size variants
+# like C444alpha (4 planes, not 3) or the 10/12-bit C420p10 family
+# (2 bytes/sample) — unknown tokens must reject so callers fall back
+# instead of walking frame markers at the wrong stride.
 _Y4M_COLORSPACE = {
+    "420jpeg": (3, 2, 3),
+    "420mpeg2": (3, 2, 3),
+    "420paldv": (3, 2, 3),
     "420": (3, 2, 3),
+    "411": (3, 2, 3),
     "422": (4, 2, 3),
     "444": (6, 2, 3),
+    "444alpha": (8, 2, 4),
     "mono": (2, 2, 1),
 }
 
@@ -360,12 +369,10 @@ def _y4m_decode_meta(
             return None
     if not w or not h or w <= 0 or h <= 0:
         return None
-    for prefix, (num, den, channels) in _Y4M_COLORSPACE.items():
-        if cs.startswith(prefix):
-            frame_size = (w * h * num) // den
-            break
-    else:
-        return None
+    if cs not in _Y4M_COLORSPACE:
+        return None  # unknown/10-bit variant: wrong stride if guessed
+    num, den, channels = _Y4M_COLORSPACE[cs]
+    frame_size = (w * h * num) // den
     pos, n, first_off = nl + 1, 0, None
     while pos < len(payload) and payload[pos : pos + 5] == b"FRAME":
         fnl = payload.find(b"\n", pos, pos + 4096)
@@ -865,14 +872,26 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
             ])
             return _tile(np.concatenate([hist, rms]))
 
-        def _real_video(payload: bytes, luma) -> "np.ndarray":
-            hist, _ = np.histogram(luma, bins=32, range=(0.0, 256.0))
-            hist = hist / max(1, luma.size)
+        def _real_video(payload: bytes) -> "np.ndarray | None":
+            # parse the container ONCE and index planes by offset:
+            # going through _y4m_luma_plane per sample would re-walk
+            # every frame marker ~65 times per row
+            parsed = _y4m_decode_meta(payload)
+            offsets = _y4m_frame_offsets(payload) if parsed else None
+            if parsed is None or offsets is None:
+                return None
+            w, h, _c, total, _off, _fs = parsed
+
+            def plane(i: int):
+                return np.frombuffer(payload, np.uint8, w * h, offsets[i])
+
+            luma0 = plane(0)
+            hist, _ = np.histogram(luma0, bins=32, range=(0.0, 256.0))
+            hist = hist / max(1, luma0.size)
             # per-frame mean luma, nearest-neighbor-sampled to 32: a
             # coarse motion/brightness envelope across real frames
-            _w, _h, _c, total, _off, _fs = _y4m_decode_meta(payload)
             means = np.array([
-                float(_y4m_luma_plane(payload, (k * total) // 32).mean()) / 255.0
+                float(plane((k * total) // 32).mean()) / 255.0
                 for k in range(32)
             ])
             return _tile(np.concatenate([hist, means]))
@@ -893,9 +912,7 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
                     if samples is not None and samples.size:
                         v = _real_audio(samples)
                 elif mtype == "video":
-                    luma = _y4m_luma_plane(payload)
-                    if luma is not None:
-                        v = _real_video(payload, luma)
+                    v = _real_video(payload)
                 if v is None:
                     v = _fake(payload)
                 v = v / (np.linalg.norm(v) or 1.0)

@@ -91,17 +91,29 @@ def stratified_sample(
     narrow CASE expression (groups are mix buckets — languages,
     sources, quality bands — so the dict is small by construction);
     selection stays deterministic and cross-table consistent exactly
-    like :func:`deterministic_sample`.  No shuffle."""
+    like :func:`deterministic_sample`.  No shuffle.
+
+    A ``None`` key in ``fractions`` gates the NULL group explicitly
+    (``==`` can never match NULL, so without it NULL-group rows take
+    ``default_fraction``) — data-derived dicts like
+    :func:`temperature_mix`'s need this, since real corpora carry
+    NULL domains."""
     for g, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
     gate = F.lit(int(round(default_fraction * _BUCKETS)))
-    for g, frac in sorted(fractions.items()):
-        gate = F.when(
-            F.col(group_col) == F.lit(g), F.lit(int(round(frac * _BUCKETS)))
-        ).otherwise(gate)
+    # sort on the stringified key: group values may be mixed-type or
+    # None (sorted() would TypeError), and the order only needs to be
+    # deterministic for plan stability, not semantically meaningful
+    for g, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else F.col(group_col) == F.lit(g)
+        )
+        gate = F.when(cond, F.lit(int(round(frac * _BUCKETS)))).otherwise(gate)
     return df.filter(_hash_bucket(F.col(key_col), salt) < gate)
 
 

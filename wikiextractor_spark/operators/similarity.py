@@ -655,22 +655,32 @@ def build_ivf_index(
     )
     # the centroid matrix is DRIVER-sized (k×dim doubles — it is the
     # broadcast dimension of the index), so write it with pyarrow
-    # directly when the store is a local path: a Spark write of a few
-    # local rows pays the full FileFormatWriter job + commit rounds
-    # (measured 1.4-4.4 s of pure overhead on local[8..32]) for no
-    # distribution benefit.  Non-local URIs (hdfs://, s3a://...) keep
-    # the Spark write, which speaks every Hadoop filesystem.
+    # directly when the store RESOLVES to the local filesystem: a
+    # Spark write of a few local rows pays the full FileFormatWriter
+    # job + commit rounds (measured 1.4-4.4 s of pure overhead on
+    # local[8..32]) for no distribution benefit.  Resolution goes
+    # through the Hadoop FS layer — a scheme-less path means
+    # fs.defaultFS, which on a real cluster is HDFS/S3, where the
+    # Spark write (which speaks every Hadoop filesystem) must be
+    # used; a regex on the string would mis-route that case to the
+    # driver's local disk.
     import os
     import re
+    import shutil
 
-    if not re.match(r"^[a-z][a-z0-9+.-]*://", index_dir) or index_dir.startswith(
-        "file://"
-    ):
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jpath, fs = hadoop_fs(spark, f"{index_dir}/centroids")
+    if fs.getScheme() == "file":
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        cdir = re.sub("^file:/+", "/", f"{index_dir}/centroids")
-        os.makedirs(cdir, exist_ok=True)
+        cdir = re.sub("^file:/+", "/", jpath.toString())
+        # overwrite semantics: clear any previous centroids (a stale
+        # Spark-written part file alongside the new one would make
+        # load_ivf_centroids read the union — silently wrong probes)
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir)
         pq.write_table(
             pa.table(
                 {

@@ -1642,7 +1642,7 @@ def decontam_bloom(spark, sf_dir):
       FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id
     )
     SELECT doc_id, n_tokens, round(mean_logp, 6) AS mean_logp,
-           mean_logp >= -7.97 AS keep
+           round(mean_logp, 6) >= -7.97 AS keep
     FROM agg
     """,
 )
@@ -1657,11 +1657,15 @@ def lm_quality_gate(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     lm = lmquality.fit_unigram_lm(docs, vocab_size=100_000)
     scores = lmquality.doc_logprob_scores(docs, lm)
+    # the gate compares the ROUNDED mean on both engines: AVG
+    # summation order differs across engines, and an unrounded
+    # comparison could flip the boolean within float noise of the
+    # threshold while the rounded score column still matched
     return scores.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("mean_logp", 6).alias("mean_logp"),
-        (F.col("mean_logp") >= -7.97).alias("keep"),
+        (F.round("mean_logp", 6) >= -7.97).alias("keep"),
     )
 
 
