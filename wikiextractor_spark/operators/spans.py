@@ -90,14 +90,20 @@ def repeated_span_positions(
         raise ValueError(f"need n >= 1, got {n}")
     if min_count < 2:
         raise ValueError(f"need min_count >= 2, got {min_count}")
+    from pyspark.sql import Window
+
+    # ONE shuffle of the exploded corpus: a per-gram window count in
+    # place of groupBy + semi-join, which would shuffle the same
+    # exploded rows twice (once to count, once to join the counts
+    # back) — at 100 TB the exploded set is the dominant volume, so
+    # halving its shuffles halves the operator's network cost
     pos = _gram_positions(docs, n, text_col, id_col)
-    repeated = (
-        pos.groupBy("gram_hash")
-        .agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("gram_hash")
+    return (
+        pos.withColumn("_n", F.count("*").over(w))
         .filter(F.col("_n") >= min_count)
-        .select("gram_hash")
+        .select(id_col, "pos")
     )
-    return pos.join(repeated, "gram_hash", "left_semi").select(id_col, "pos")
 
 
 def repeated_span_report(
