@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from wikiextractor_spark.config import ExtractorConfig
+from wikiextractor_spark.operators.skew import spread_for_compute
 from wikiextractor_spark.sink import render_documents, write_documents
 from wikiextractor_spark.sources.dump import (
     discover_base_prefix,
@@ -47,8 +48,21 @@ def extract_documents(
 
     if min_parallelism is None:
         min_parallelism = spark.sparkContext.defaultParallelism
-    if min_parallelism > 1 and pages.rdd.getNumPartitions() < min_parallelism:
-        pages = pages.repartition(min_parallelism)
+    if min_parallelism > 1:
+        # the XML source yields ONE split per file regardless of size
+        # (verified: a single uncompressed dump is not splittable, and
+        # bz2/gz are whole-file codecs), so the file count IS the scan
+        # parallelism — a size-based estimate would overcount on a big
+        # single-file dump and silently skip the spread.  The probe
+        # never touches df.rdd (which would compile a physical plan
+        # outside AQE, see skew.py).
+        try:
+            n_files = len(pages.inputFiles()) or None
+        except Exception:
+            n_files = None
+        pages = spread_for_compute(
+            pages, min_parallelism, assume_splits=n_files
+        )
 
     vital = read_vital_titles(spark, vital_path) if vital_path else None
     pages = apply_vital_filter(pages, vital)
