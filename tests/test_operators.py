@@ -1300,6 +1300,63 @@ def test_heavy_hitters_matches_full_groupby(docs, spark):
         assert got == want
 
 
+def test_heavy_hitters_with_total_matches_separate_passes(docs, spark):
+    """The fused candidates+total pass must agree with heavy_hitters
+    AND an exact count — same top-k, exact grand total, no extra
+    corpus scan paid for the scalar."""
+    from wikiextractor_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_with_total,
+    )
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        "w != ''"
+    )
+    topk, total = heavy_hitters_with_total(words, "w", k=10)
+    assert total == words.count()
+    got = [(r["value"], r["n"]) for r in topk.collect()]
+    want = [
+        (r["value"], r["n"])
+        for r in heavy_hitters(words, "w", k=10).collect()
+    ]
+    assert got == want
+    # empty input: total 0, no candidates, no crash
+    topk0, total0 = heavy_hitters_with_total(
+        words.filter("w = 'no-such-token'"), "w", k=5
+    )
+    assert total0 == 0 and topk0.count() == 0
+
+
+def test_lm_threshold_from_quantile(spark):
+    """threshold_from_quantile: gating at the q-quantile keeps about
+    1-q of the corpus, deterministically given the data."""
+    from wikiextractor_spark.functions.lmquality import (
+        filter_by_logprob,
+        fit_unigram_lm,
+        threshold_from_quantile,
+    )
+
+    # doc i mixes i+1 in-vocab tokens with one OOV token, so the mean
+    # log-probability increases strictly with doc_id — every doc has a
+    # distinct score and the q-quantile cut is unambiguous
+    rows = [(i, ("the " * (i + 1)) + f"zzz{i}q") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = fit_unigram_lm(docs, vocab_size=1)  # vocab = {'the'}
+
+    thr = threshold_from_quantile(lm, docs, q=0.20)
+    kept = filter_by_logprob(docs, lm, min_mean_logp=thr)
+    n = kept.count()
+    # the bottom ~20% (the lowest-scoring docs) drops
+    assert 75 <= n <= 85
+    assert kept.filter("doc_id < 15").count() == 0
+    # deterministic given the data
+    assert thr == threshold_from_quantile(lm, docs, q=0.20)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        threshold_from_quantile(lm, docs, q=1.5)
+
+
 def test_heavy_hitters_thin_spread_value(spark):
     """A value spread thinly across many partitions must still win:
     the per-TASK counter (not per-batch) merges its occurrences."""

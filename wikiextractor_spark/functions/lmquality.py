@@ -49,22 +49,30 @@ def fit_unigram_lm(
 
     ``floor_logp`` (default: ``log(0.5 / total_tokens)`` — half a
     count) is attached to the special row ``token = NULL`` so scorers
-    carry the OOV floor with the model instead of a side channel."""
-    from wikiextractor_spark.operators.sketches import heavy_hitters
+    carry the OOV floor with the model instead of a side channel.
+
+    Cost shape: the token total is tallied INSIDE the heavy-hitter
+    candidate pass (:func:`heavy_hitters_with_total`), so fitting
+    never pays a separate full ``count()`` scan; the candidate
+    broadcast is hard-capped at ``2 × vocab_size`` rows (the explicit
+    global-merge bound — the 16×m default would make it 16×vocab
+    wide for no recall gain at this m:k ratio)."""
+    from wikiextractor_spark.operators.sketches import heavy_hitters_with_total
 
     exploded = docs.select(
         F.explode(_tokens_expr(text_col)).alias("token")
     )
-    total = exploded.count()
-    if total == 0:
-        raise ValueError("fit_unigram_lm: corpus has no tokens")
     # per-task candidate cap scales with the vocab: m = vocab_size
     # keeps the MG recall bound at ~n/(vocab_size+1) while per-task
     # memory stays O(vocab_size + batch-distinct)
-    top = heavy_hitters(
+    topk, total = heavy_hitters_with_total(
         exploded, "token", k=vocab_size,
         candidates_per_partition=max(200, vocab_size),
-    ).select(
+        max_candidates=2 * max(200, vocab_size),
+    )
+    if total == 0:
+        raise ValueError("fit_unigram_lm: corpus has no tokens")
+    top = topk.select(
         F.col("value").alias("token"),
         F.log(F.col("n") / F.lit(float(total))).alias("logp"),
     )
@@ -107,6 +115,30 @@ def doc_logprob_scores(
             F.avg(F.coalesce(F.col("logp"), F.lit(floor))).alias("mean_logp"),
         )
     )
+
+
+def threshold_from_quantile(
+    lm: DataFrame, docs: DataFrame, q: float,
+    text_col: str = "text", id_col: str = "doc_id",
+    relative_error: float = 0.01,
+) -> float:
+    """The ``min_mean_logp`` at quantile ``q`` of the corpus's score
+    distribution — so a caller can say "drop the bottom 5%"
+    (``q=0.05``) instead of hand-picking a log-probability.
+
+    Uses ``approxQuantile`` (Greenwald-Khanna: one pass, driver state
+    O(1/relative_error), no sort shuffle — the scale-correct way to
+    get one percentile from a 100 TB score column).  Feed the result
+    to :func:`filter_by_logprob`; since the gate keeps scores
+    ``>= threshold``, it retains ≈ ``1 - q`` of the scored corpus
+    (± relative_error, ties included)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    scores = doc_logprob_scores(docs, lm, text_col, id_col)
+    got = scores.approxQuantile("mean_logp", [q], relative_error)
+    if not got:
+        raise ValueError("threshold_from_quantile: corpus has no scored docs")
+    return float(got[0])
 
 
 def filter_by_logprob(

@@ -85,6 +85,19 @@ def candidate_values(
         top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
         yield pd.DataFrame(top[:m], columns=["value", "n_local"])
 
+    schema = "value string, n_local long"
+    partials = src.mapInPandas(_local_top, schema=schema)
+    return merge_candidate_partials(partials, max_candidates, merge_parallelism)
+
+
+def merge_candidate_partials(
+    partials: DataFrame, max_candidates: int, merge_parallelism: int,
+) -> DataFrame:
+    """The merge-tree half of :func:`candidate_values`, split out so a
+    caller that produced the per-task summaries itself (e.g. a pass
+    that also tallies totals — :func:`heavy_hitters_with_total`) can
+    reuse the bounded two-level weighted merge."""
+
     def _merge_weighted(iterator):
         counts: dict[str, int] = {}
         for pdf in iterator:
@@ -97,7 +110,6 @@ def candidate_values(
         )
 
     schema = "value string, n_local long"
-    partials = src.mapInPandas(_local_top, schema=schema)
     level1 = partials.repartition(merge_parallelism, "value").mapInPandas(
         _merge_weighted, schema=schema
     )
@@ -150,3 +162,74 @@ def heavy_hitters(
         .orderBy(F.desc("n"), "value")
         .limit(k)
     )
+
+
+def heavy_hitters_with_total(
+    df: DataFrame, col: str, k: int = 20,
+    candidates_per_partition: int = 200,
+    max_candidates: int | None = None,
+    merge_parallelism: int = 32,
+) -> tuple[DataFrame, int]:
+    """:func:`heavy_hitters` plus the EXACT total row count, tallied
+    INSIDE the candidate pass — for callers (the unigram-LM fit) that
+    need both the top-k and the grand total and would otherwise pay a
+    separate full ``count()`` scan for a single scalar.
+
+    Each task's Misra-Gries pass already streams every row, so it
+    also sums its row count and emits it as one sentinel row
+    (``value = NULL`` — impossible as a candidate, NULLs are filtered
+    before the pass).  The per-task summaries are materialized once
+    (they are tiny: ≤ m+1 rows per task), then the total is a sum over
+    sentinels and the candidate set is the usual bounded merge tree —
+    the corpus itself is scanned once for candidates+total and once
+    for the exact recount, never a third time.
+
+    → ``(topk_df, total)``; the count happens eagerly.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = candidates_per_partition
+    if m < k:
+        raise ValueError(
+            f"candidates_per_partition ({m}) must be >= k ({k})"
+        )
+    cap = max_candidates if max_candidates is not None else 16 * m
+    if cap < k:
+        raise ValueError(f"max_candidates ({cap}) must be >= k ({k})")
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+
+    def _local_top_and_total(iterator):
+        counts: dict[str, int] = {}
+        total = 0
+        for pdf in iterator:
+            total += len(pdf)
+            for v, c in pdf["value"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            counts = _mg_decrement(counts, m)
+        top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+        yield pd.DataFrame(
+            top[:m] + [(None, total)], columns=["value", "n_local"]
+        )
+
+    partials = src.mapInPandas(
+        _local_top_and_total, schema="value string, n_local long"
+    ).localCheckpoint(eager=True)
+    total_row = (
+        partials.filter(F.col("value").isNull())
+        .agg(F.sum("n_local").alias("t"))
+        .collect()[0]
+    )
+    total = int(total_row["t"] or 0)
+    candidates = merge_candidate_partials(
+        partials.filter(F.col("value").isNotNull()), cap, merge_parallelism
+    )
+    topk = (
+        src.join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "value")
+        .limit(k)
+    )
+    return topk, total
