@@ -1642,6 +1642,93 @@ def test_cross_corpus_near_pairs_and_subtract(spark, docs):
     assert kept_ids == {20_000 + i for i in range(20)}
 
 
+def test_cross_corpus_jaccard_pairs_and_subtract(spark, docs):
+    """Cross-corpus dedup at the Jaccard grain: planted copies and
+    token-level near-copies of corpus A inside corpus B pair up with
+    the right exact Jaccard, unrelated docs do not, and subtraction
+    removes exactly the flagged crawl docs."""
+    from wikiextractor_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+        subtract_jaccard_duplicates,
+    )
+
+    a = docs.select("doc_id", "text").limit(40).localCheckpoint(eager=True)
+    # corpus B: 15 exact copies (shifted ids), 5 near-copies (one word
+    # appended — high but sub-1.0 Jaccard), 10 fresh docs
+    copies = a.limit(15).withColumn("doc_id", F.col("doc_id") + 10_000)
+    near = (
+        a.orderBy("doc_id").limit(20).orderBy(F.desc("doc_id")).limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzappended")))
+    )
+    fresh = spark.createDataFrame(
+        [(20_000 + i,
+          f"completely unrelated text number {i} with nothing shared "
+          f"from the other corpus at all {i * 31}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    b = copies.union(near).union(fresh).localCheckpoint(eager=True)
+
+    pairs = cross_corpus_jaccard_pairs(b, a, threshold=0.5)
+    got = {(r["left_id"], r["right_id"]): r["jaccard"] for r in pairs.collect()}
+    copy_ids = {r["doc_id"] for r in a.limit(15).collect()}
+    # every planted exact copy pairs with its source at jaccard 1.0
+    for i in copy_ids:
+        assert got.get((i + 10_000, i)) == 1.0
+    # no fresh doc pairs with anything
+    assert not {p for p in got if p[0] >= 20_000}
+    # near-copies that produced candidates score strictly below 1.0
+    near_ids = {r["doc_id"] for r in near.collect()}
+    near_hits = {p: j for p, j in got.items() if p[0] in near_ids}
+    assert all(0.5 <= j < 1.0 for j in near_hits.values())
+
+    kept = subtract_jaccard_duplicates(b, a, threshold=0.5)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    flagged = {p[0] for p in got}
+    assert kept_ids == {r["doc_id"] for r in b.collect()} - flagged
+    assert {20_000 + i for i in range(10)} <= kept_ids
+
+
+def test_cross_corpus_jaccard_precomputed_bands(spark, docs):
+    """The right_bands path verifies from persisted signatures (the
+    minhash estimate) without touching the kept corpus's text: exact
+    copies still score 1.0, and the candidate join never degenerates
+    into a cartesian/nested-loop product."""
+    import contextlib
+    import io
+
+    import pytest as _pytest
+
+    from wikiextractor_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+        minhash_band_rows,
+    )
+
+    kept = docs.select("doc_id", "text").limit(30).localCheckpoint(eager=True)
+    crawl = kept.limit(10).withColumn("doc_id", F.col("doc_id") + 7_000)
+    bands = minhash_band_rows(kept, num_hashes=16)
+
+    pairs = cross_corpus_jaccard_pairs(
+        crawl, num_hashes=16, threshold=0.9, right_bands=bands
+    )
+    got = {(r["left_id"], r["right_id"]): r["jaccard"] for r in pairs.collect()}
+    for r in crawl.collect():
+        assert got.get((r["doc_id"], r["doc_id"] - 7_000)) == 1.0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        cross_corpus_jaccard_pairs(crawl, kept, right_bands=bands)
+    with _pytest.raises(ValueError, match="exactly one"):
+        cross_corpus_jaccard_pairs(crawl)
+
+
 def test_ivf_centroids_degenerate_inputs(spark, emb):
     """Fewer vectors than k trains one centroid per vector; an empty
     corpus raises a clear ValueError instead of a VOID-type analyzer

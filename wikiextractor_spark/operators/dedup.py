@@ -145,9 +145,15 @@ def minhash_signature(
 def minhash_band_buckets(
     sigs: DataFrame, id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2,
+    keep_sig: bool = False,
 ) -> DataFrame:
     """→ ``(id, band, band_hash)``: the LSH bucketing grain.  Documents
-    sharing any (band, band_hash) are near-dup candidates."""
+    sharing any (band, band_hash) are near-dup candidates.
+
+    ``keep_sig=True`` carries the signature array through the band
+    explode (``(id, sig, band, band_hash)``) — for artifact writers
+    that need sig AND bands without recomputing the (expensive)
+    signature expression on a second branch of the plan."""
     cols = []
     for b in range(bands):
         # sig is array<bigint>; stringify for the band hash exactly as
@@ -162,9 +168,10 @@ def minhash_band_buckets(
             )
         )
         cols.append(F.struct(F.lit(b).alias("band"), h.alias("band_hash")))
+    carried = [id_col, "sig"] if keep_sig else [id_col]
     return (
-        sigs.select(id_col, F.explode(F.array(*cols)).alias("bb"))
-        .select(id_col, "bb.band", "bb.band_hash")
+        sigs.select(*carried, F.explode(F.array(*cols)).alias("bb"))
+        .select(*carried, "bb.band", "bb.band_hash")
     )
 
 
@@ -705,6 +712,162 @@ def subtract_near_duplicates(
         cross_corpus_near_pairs(
             left, right, text_col, id_col, max_distance,
             right_blocks=right_blocks,
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+    return left.join(flagged, id_col, "left_anti")
+
+
+def minhash_band_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle: int = 3,
+    bands: int = 4, rows_per_band: int = 2,
+) -> DataFrame:
+    """Materialized MinHash-LSH band rows ``(id, sig, band,
+    band_hash)`` — the Jaccard-grain analog of
+    :func:`simhash_block_rows`.  Persist this for a kept corpus
+    (``bands`` rows × ~(8·num_hashes + 50) bytes per doc, no text)
+    and hand it to :func:`cross_corpus_jaccard_pairs` via
+    ``right_bands`` so incremental crawls never re-shingle the kept
+    side.  The signature rides along so the signature-estimate verify
+    works from the artifact alone."""
+    from wikiextractor_spark.operators.skew import spread_for_compute
+
+    src = spread_for_compute(df.select(id_col, text_col))
+    sigs = minhash_signature(src, text_col, id_col, num_hashes, shingle)
+    return minhash_band_buckets(
+        sigs, id_col, bands, rows_per_band, keep_sig=True
+    ).localCheckpoint(eager=True)
+
+
+def cross_corpus_jaccard_pairs(
+    left: DataFrame, right: DataFrame | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle: int = 3,
+    bands: int = 4, rows_per_band: int = 2,
+    threshold: float = 0.8,
+    right_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora at word-set Jaccard ≥
+    ``threshold`` — the Jaccard-grain sibling of
+    :func:`cross_corpus_near_pairs` for callers whose near-dup
+    definition is token overlap rather than SimHash-Hamming.
+
+    Topology: both sides get banded MinHash rows; candidates come
+    from ONE equi-join on (band, band_hash) ACROSS the corpora —
+    never left × right — and only candidate pairs are verified.
+
+    Verification grain follows what the right side provides:
+
+    * ``right`` (texts) → **exact** word-set Jaccard, computed only
+      over candidates (Σ|words| linear in the candidate list, as in
+      :func:`near_duplicate_pairs`).
+    * ``right_bands`` (persisted :func:`minhash_band_rows`) → the
+      **signature estimate** (matching-minhash fraction, resolution
+      ``1/num_hashes`` — size the artifact's ``num_hashes``
+      accordingly, e.g. 128 for ±0.09 @95%), since the kept corpus's
+      text is by design not re-read.  The estimate is unbiased for
+      the same shingle grain the signatures were built with.
+
+    → ``(left_id, right_id, jaccard)``; give exactly one of
+    ``right`` / ``right_bands``, whose ``num_hashes``/``shingle``/
+    band shape must match the arguments."""
+    if (right is None) == (right_bands is None):
+        raise ValueError("give exactly one of right / right_bands")
+
+    lb = minhash_band_rows(
+        left, text_col, id_col, num_hashes, shingle, bands, rows_per_band
+    ).alias("l")
+    rb = (
+        right_bands
+        if right_bands is not None
+        else minhash_band_rows(
+            right, text_col, id_col, num_hashes, shingle, bands, rows_per_band
+        )
+    ).alias("r")
+    joined = lb.join(
+        rb,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_hash") == F.col("r.band_hash")),
+    )
+
+    if right_bands is not None:
+        # estimate mode: the sigs ARE the verification payload, so
+        # they ride through the distinct
+        est = (
+            F.expr(
+                "size(filter(zip_with(sig_l, sig_r, (a, b) -> a <=> b),"
+                " x -> x))"
+            )
+            / F.lit(float(num_hashes))
+        )
+        return (
+            joined.select(
+                F.col(f"l.{id_col}").alias("left_id"),
+                F.col(f"r.{id_col}").alias("right_id"),
+                F.col("l.sig").alias("sig_l"),
+                F.col("r.sig").alias("sig_r"),
+            )
+            .distinct()
+            .select("left_id", "right_id", F.round(est, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # exact mode: dedup the pair list on the narrow id columns only —
+    # no reason to shuffle the signature arrays into the distinct
+    pairs = joined.select(
+        F.col(f"l.{id_col}").alias("left_id"),
+        F.col(f"r.{id_col}").alias("right_id"),
+    ).distinct()
+    wl = (
+        left.select(
+            F.col(id_col).alias("left_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        ).distinct()
+    )
+    wr = (
+        right.select(
+            F.col(id_col).alias("right_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        ).distinct()
+    )
+    nl = wl.groupBy("left_id").agg(F.count("*").alias("n_l"))
+    nr = wr.groupBy("right_id").agg(F.count("*").alias("n_r"))
+    inter = (
+        pairs.join(wl, "left_id")
+        .join(wr, ["right_id", "w"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_l") + F.col("n_r") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(nl, "left_id").join(nr, "right_id")
+        .select("left_id", "right_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def subtract_jaccard_duplicates(
+    left: DataFrame, right: DataFrame | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle: int = 3,
+    bands: int = 4, rows_per_band: int = 2,
+    threshold: float = 0.8,
+    right_bands: DataFrame | None = None,
+) -> DataFrame:
+    """``left`` minus every doc with a word-set Jaccard ≥
+    ``threshold`` near-copy in ``right`` — cross-corpus dedup as a
+    set operation at the token-overlap grain.  Same incremental
+    contract as :func:`subtract_near_duplicates`: persist the kept
+    side's band rows once (:func:`minhash_band_rows`) and pass
+    ``right_bands``."""
+    flagged = (
+        cross_corpus_jaccard_pairs(
+            left, right, text_col, id_col, num_hashes, shingle,
+            bands, rows_per_band, threshold, right_bands=right_bands,
         )
         .select(F.col("left_id").alias(id_col))
         .distinct()
