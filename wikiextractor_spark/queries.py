@@ -665,15 +665,58 @@ def dd_simhash_pairs(spark, sf_dir):
              l.simhash AS sim_left, r.simhash AS sim_right,
              CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
       FROM ls l JOIN rs r ON bit_count(xor(l.simhash, r.simhash)) <= 3
+    ),
+    lband AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), ',')) AS bh
+      FROM (SELECT doc_id, {_DUCK_SIG} AS sig
+            FROM (SELECT doc_id, {_DUCK_HS} AS hs FROM crawl)),
+           (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    rband AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), ',')) AS bh
+      FROM (SELECT doc_id, {_DUCK_SIG} AS sig
+            FROM (SELECT doc_id, {_DUCK_HS} AS hs FROM kept)),
+           (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+      FROM lband l JOIN rband r ON l.b = r.b AND l.bh = r.bh
+    ),
+    lw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM crawl),
+    rw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM kept),
+    lsz AS (SELECT doc_id, COUNT(*) AS n FROM lw GROUP BY doc_id),
+    rsz AS (SELECT doc_id, COUNT(*) AS n FROM rw GROUP BY doc_id),
+    inter AS (
+      SELECT c.left_id, c.right_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN lw ON lw.doc_id = c.left_id
+      JOIN rw ON rw.doc_id = c.right_id AND rw.w = lw.w
+      GROUP BY c.left_id, c.right_id
+    ),
+    jp AS (
+      SELECT left_id, right_id,
+             round(n_inter * 1.0 / (la.n + ra.n - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN lsz la ON la.doc_id = left_id
+      JOIN rsz ra ON ra.doc_id = right_id
     )
-    SELECT 'pair' AS family, left_id, right_id, sim_left, sim_right, hamming
+    SELECT 'pair' AS family, left_id, right_id, sim_left, sim_right, hamming,
+           CAST(-1 AS DOUBLE) AS jaccard
     FROM pairs
     UNION ALL
     SELECT 'kept' AS family, c.doc_id AS left_id,
            CAST(-1 AS BIGINT) AS right_id, CAST(0 AS BIGINT) AS sim_left,
-           CAST(0 AS BIGINT) AS sim_right, CAST(-1 AS INT) AS hamming
+           CAST(0 AS BIGINT) AS sim_right, CAST(-1 AS INT) AS hamming,
+           CAST(-1 AS DOUBLE) AS jaccard
     FROM crawl c
     WHERE c.doc_id NOT IN (SELECT left_id FROM pairs)
+    UNION ALL
+    SELECT 'jpair' AS family, left_id, right_id,
+           CAST(0 AS BIGINT) AS sim_left, CAST(0 AS BIGINT) AS sim_right,
+           CAST(-1 AS INT) AS hamming, jaccard
+    FROM jp WHERE jaccard >= 0.5
     """,
 )
 def dd_cross_corpus(spark, sf_dir):
@@ -683,7 +726,13 @@ def dd_cross_corpus(spark, sf_dir):
     path that never re-signatures the kept corpus) — plus the crawl
     minus its near-copies (subtract_near_duplicates) as a second
     family.  Never a crawl × kept cross join (plan-tested in pytest);
-    the oracle runs the naive cross Hamming join."""
+    the oracle runs the naive cross Hamming join.
+
+    The 'jpair' family (r7) is the JACCARD grain on the same corpora:
+    cross_corpus_jaccard_pairs with exact word-set verification —
+    banded-MinHash candidates across the corpora (the oracle mirrors
+    the banding md5-for-md5, so LSH false negatives agree by
+    construction), Jaccard ≥ 0.5."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     crawl = docs.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -702,9 +751,11 @@ def dd_cross_corpus(spark, sf_dir):
     survivors = dedup.subtract_near_duplicates(
         crawl, right_blocks=kept_blocks, max_distance=3
     )
+    jpairs = dedup.cross_corpus_jaccard_pairs(crawl, docs, threshold=0.5)
     return pairs.select(
         F.lit("pair").alias("family"), "left_id", "right_id",
         "sim_left", "sim_right", "hamming",
+        F.lit(-1.0).cast("double").alias("jaccard"),
     ).unionByName(
         survivors.select(
             F.lit("kept").alias("family"),
@@ -713,6 +764,15 @@ def dd_cross_corpus(spark, sf_dir):
             F.lit(0).cast("long").alias("sim_left"),
             F.lit(0).cast("long").alias("sim_right"),
             F.lit(-1).cast("int").alias("hamming"),
+            F.lit(-1.0).cast("double").alias("jaccard"),
+        )
+    ).unionByName(
+        jpairs.select(
+            F.lit("jpair").alias("family"), "left_id", "right_id",
+            F.lit(0).cast("long").alias("sim_left"),
+            F.lit(0).cast("long").alias("sim_right"),
+            F.lit(-1).cast("int").alias("hamming"),
+            F.col("jaccard").cast("double"),
         )
     )
 
