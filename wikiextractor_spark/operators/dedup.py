@@ -473,10 +473,28 @@ def near_duplicate_pairs(
 
     → ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
     """
-    cand = minhash_lsh_candidate_pairs(df, text_col, id_col)
-    words = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).distinct()
+    # materialize the (small-by-design) candidate list once: it feeds
+    # three plan branches (the id restriction below + the inter join),
+    # and un-materialized each branch would re-run the LSH band join
+    cand = minhash_lsh_candidate_pairs(df, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    # the exact verify only ever reads word sets of CANDIDATE docs, so
+    # restrict the explode+distinct to them — at corpus scale the
+    # distinct-token shuffle is the big cost, and paying it for every
+    # doc when candidates are a sliver is the wrong asymptotic
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    words = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .distinct()
+    )
     sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
 
     wa = words.select(F.col(id_col).alias("id_a"), "w")
@@ -815,19 +833,37 @@ def cross_corpus_jaccard_pairs(
         )
 
     # exact mode: dedup the pair list on the narrow id columns only —
-    # no reason to shuffle the signature arrays into the distinct
-    pairs = joined.select(
-        F.col(f"l.{id_col}").alias("left_id"),
-        F.col(f"r.{id_col}").alias("right_id"),
-    ).distinct()
+    # no reason to shuffle the signature arrays into the distinct —
+    # and materialize it once (it feeds the two id restrictions below
+    # plus the inter join; un-materialized each branch would re-run
+    # the band join)
+    pairs = (
+        joined.select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # word sets only for docs that actually appear in a candidate pair
+    # (see near_duplicate_pairs: the distinct-token shuffle must scale
+    # with the candidate sliver, not the corpus)
     wl = (
-        left.select(
+        left.join(
+            pairs.select(F.col("left_id").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        )
+        .select(
             F.col(id_col).alias("left_id"),
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         ).distinct()
     )
     wr = (
-        right.select(
+        right.join(
+            pairs.select(F.col("right_id").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        )
+        .select(
             F.col(id_col).alias("right_id"),
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         ).distinct()
