@@ -2419,3 +2419,121 @@ def test_ivf_rebuild_overwrites_centroids(spark, emb, tmp_path):
     assert len(load_ivf_centroids(spark, index_dir)) == 12  # the bug shape
     build_ivf_index(base, index_dir, k=4, iters=1)
     assert len(load_ivf_centroids(spark, index_dir)) == 4
+
+
+def test_boilerplate_line_removal(spark):
+    """C4/RefinedWeb-style line dedup: lines whose normalized form
+    appears in >= min_docs distinct docs are removed everywhere
+    (original bytes preserved for survivors, order intact, blank
+    lines kept); within-doc repetition alone never triggers it."""
+    from wikiextractor_spark.operators.spans import (
+        boilerplate_line_counts,
+        remove_boilerplate_lines,
+    )
+
+    bp = "Subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening one\n{bp}\nunique closing one"),
+            (2, f"{bp}\nunique middle two\n\nafter a blank line"),
+            # cosmetic variant: case + extra whitespace, must match
+            (3, f"second doc line\n  subscribe   to our NEWSLETTER "),
+            # within-doc repetition of a line NOT shared across docs
+            (4, "echo echo line\necho echo line\necho echo line"),
+            (5, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+    counts = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_line_counts(docs, min_docs=3).collect()
+    }
+    assert counts == {"subscribe to our newsletter": 3}
+
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[1] == ("unique opening one\nunique closing one", 1)
+    # blank line survives (never counted, never removed)
+    assert out[2] == ("unique middle two\n\nafter a blank line", 1)
+    assert out[3] == ("second doc line", 1)
+    # 3 in-doc copies but only 1 distinct doc: kept
+    assert out[4] == ("echo echo line\necho echo line\necho echo line", 0)
+    assert out[5] == ("nothing shared here at all", 0)
+
+    # doc that is ALL boilerplate empties but never disappears
+    all_bp = spark.createDataFrame(
+        [(i, bp) for i in range(4)], "doc_id long, text string"
+    )
+    gone = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in remove_boilerplate_lines(all_bp, min_docs=3).collect()
+    }
+    assert gone == {i: ("", 1) for i in range(4)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(docs, min_docs=1)
+
+
+def test_boilerplate_line_removal_duckdb_twin(spark, docs):
+    """Differential vs an independent DuckDB restatement on real
+    document texts (line grain manufactured by replacing every 5th
+    space with a newline, so docs share their most common 'lines')."""
+    import duckdb
+
+    from wikiextractor_spark.operators.spans import remove_boilerplate_lines
+
+    src = (
+        docs.select("doc_id", "text").limit(80)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n"
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in remove_boilerplate_lines(src, min_docs=2).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("src", src.toPandas())
+    rows = con.execute(
+        """
+        WITH l AS (
+          SELECT doc_id, g.i AS pos, g.line,
+                 lower(trim(regexp_replace(g.line, '\\s+', ' ', 'g'))) AS norm
+          FROM src,
+               LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                               generate_subscripts(string_split(text, chr(10)), 1) AS i) g
+        ),
+        flagged AS (
+          SELECT norm FROM (SELECT DISTINCT doc_id, norm FROM l WHERE len(norm) >= 1)
+          GROUP BY norm HAVING COUNT(*) >= 2
+        ),
+        kept AS (
+          SELECT doc_id, pos, line FROM l
+          WHERE NOT (len(norm) >= 1 AND norm IN (SELECT norm FROM flagged))
+        ),
+        reb AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               COALESCE(reb.text, '') AS text,
+               len(string_split(s.text, chr(10))) - COALESCE(reb.n_kept, 0) AS n_removed
+        FROM src s LEFT JOIN reb ON reb.doc_id = s.doc_id
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], r[2]) for r in rows}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k], k

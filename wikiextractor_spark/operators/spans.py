@@ -199,3 +199,132 @@ def trim_repeated_spans(
             ).cast("long").alias("n_removed_words"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate lines (C4 / RefinedWeb-style line dedup)
+# --------------------------------------------------------------------------
+
+def _norm_line(col):
+    """Matching grain for line dedup: trimmed, internal whitespace
+    collapsed, lowercased — cosmetic variants of the same boilerplate
+    ("Subscribe  to our newsletter " vs "subscribe to our newsletter")
+    must hash together."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def boilerplate_line_counts(
+    docs: DataFrame, min_docs: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """→ ``(line, n_docs)``: normalized lines appearing in at least
+    ``min_docs`` DISTINCT documents — the corpus's boilerplate
+    inventory (nav menus, cookie banners, license footers), ordered
+    nowhere (add your own sort; at corpus scale you'd top-k this).
+
+    Counting grain is documents, not occurrences: a line repeated 50
+    times inside ONE page is repetition (see
+    ``functions/repetition.py``), not cross-document boilerplate.
+
+    100 TB shape: one narrow line explode, one (line, doc) distinct
+    shuffle, one map-side-combined count — the same topology as the
+    decontamination gram count.  Lines shorter than
+    ``min_line_chars`` after normalization (blank lines, stray
+    punctuation) are excluded from counting entirely.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    norm = _norm_line(F.col("_raw"))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+        )
+        .select(F.col(id_col), norm.alias("line"))
+        .filter(F.length("line") >= min_line_chars)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame, min_docs: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Remove every line whose NORMALIZED form appears in at least
+    ``min_docs`` distinct documents — all copies, from every document
+    (the C4/RefinedWeb line-dedup policy; the cross-document sibling
+    of :func:`trim_repeated_spans`, at line rather than n-gram
+    grain).
+
+    Output: the input columns with ``text_col`` rewritten to the
+    surviving lines (original bytes, original order — normalization
+    is only the MATCHING grain) plus ``n_removed_lines``.  Lines
+    shorter than ``min_line_chars`` after normalization — blank
+    separator lines above all — are never counted and never removed,
+    so paragraph structure survives.
+
+    100 TB shape: the flagged set is built from 8-byte ``xxhash64``
+    line keys (narrow; hash collisions can over-remove with
+    probability ~n²/2⁶⁴, the standard trade every hash-keyed dedup
+    here makes), the corpus-side membership join is AQE-broadcastable
+    when boilerplate is sparse, and the only doc-grain shuffle is the
+    inherent reassembly groupBy.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    norm = _norm_line(F.col("line"))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select(
+        F.col(id_col), "pos", "line",
+        F.xxhash64(norm).alias("_lh"),
+        (F.length(norm) >= min_line_chars).alias("_el"),
+    )
+    flagged = (
+        lines.filter("_el")
+        .select("_lh", id_col)
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("_lh")
+    )
+    # remove only lines that are BOTH flagged and locally eligible:
+    # membership is keyed on the hash, eligibility re-checked per line
+    # so an (astronomically unlikely) collision with a short line
+    # cannot delete structure the contract promises to keep
+    kept = (
+        lines.join(flagged.withColumn("_flag", F.lit(True)), "_lh", "left")
+        .filter(~(F.col("_el") & F.col("_flag").isNotNull()))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"),
+        ).alias("_new_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    out_cols = docs.columns
+    return (
+        docs.withColumn(
+            "_n_lines", F.size(F.split(F.col(text_col), "\n"))
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            *[
+                F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col)
+                if c == text_col
+                else F.col(c)
+                for c in out_cols
+            ],
+            (
+                F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed_lines"),
+        )
+    )
