@@ -319,3 +319,32 @@ def test_prepare_corpus_lm_gate(spark):
 
     with _pytest.raises(ValueError, match="go together"):
         prepare_corpus(docs, logprob_lm=lm)
+
+
+def test_prepare_corpus_boilerplate_stage(spark):
+    """The boilerplate stage strips cross-document lines BEFORE dedup,
+    so docs differing only in shared boilerplate collapse to one
+    survivor; the output schema is unchanged (no n_removed_lines)."""
+    bp = "Subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp}\nthe shared body text"),
+            (2, f"the shared body text\n{bp}"),
+            (3, f"{bp}\na different body entirely"),
+            (4, "untouched document four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(docs, boilerplate_min_docs=3, dedup="exact")
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text"}
+    # docs 1 and 2 become identical after the strip -> one survivor
+    assert len({1, 2} & set(rows)) == 1
+    surviving = rows[min({1, 2} & set(rows))]
+    assert surviving == "the shared body text"
+    assert rows[3] == "a different body entirely"
+    assert rows[4] == "untouched document four"
+
+    # without the stage, nothing collapses
+    noop = prepare_corpus(docs, dedup="exact")
+    assert noop.count() == 4

@@ -6,6 +6,7 @@ of the engine's training-data operators into one declarative flow.
       → quality gate           (textstats.quality_score, native)
       → repetition gate        (repetition.is_repetitive, native)
       → PII redaction          (pii.redact_pii, native)
+      → boilerplate lines      (spans.remove_boilerplate_lines, C4-style)
       → dedup                  (exact hash-groupBy or LSH near-dup)
       → decontaminate          (benchmark n-gram overlap, broadcast)
       → deterministic sample   (hash-gate, reproducible)
@@ -49,6 +50,7 @@ def prepare_corpus(
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
     redact: bool = False,
+    boilerplate_min_docs: int | None = None,
     dedup: str | None = "exact",
     near_threshold: float = 0.8,
     dedup_against: DataFrame | None = None,
@@ -103,6 +105,16 @@ def prepare_corpus(
         # redact BEFORE dedup so two docs differing only in their PII
         # (same boilerplate, different email) collapse together
         out = out.withColumn(text_col, redact_pii(text_col))
+    if boilerplate_min_docs is not None:
+        # cross-document boilerplate lines come out AFTER the narrow
+        # gates (they shrink the line-count input) and BEFORE dedup:
+        # stripping shared nav/footer lines lets docs that differ only
+        # in boilerplate collapse in the dedup stage
+        from wikiextractor_spark.operators.spans import remove_boilerplate_lines
+
+        out = remove_boilerplate_lines(
+            out, boilerplate_min_docs, text_col, id_col
+        ).drop("n_removed_lines")
     if dedup == "exact":
         out = dedup_exact(out, text_col, id_col)
     elif dedup == "near":
