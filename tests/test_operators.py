@@ -1168,6 +1168,32 @@ def test_spread_for_compute_conditional(spark, tmp_path, monkeypatch):
     assert spread_for_compute(narrow, min_partitions=1) is narrow
 
 
+def test_packed_file_splits_estimate(spark, tmp_path):
+    """packed_file_splits for one-split-per-file sources: bounded by
+    the file count on few-big-file layouts AND by Spark's small-file
+    bin-packing estimate on many-small-file layouts; None for
+    in-memory frames."""
+    from wikiextractor_spark.operators.skew import packed_file_splits
+
+    # one file -> 1, no matter the byte-based estimate
+    one = tmp_path / "one.txt"
+    one.write_text("x" * 10_000)
+    assert packed_file_splits(spark.read.text(str(one))) == 1
+
+    # many tiny files: the packing estimate (total + n*openCost over
+    # maxPartitionBytes) caps far below the file count
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(40):
+        (many / f"p{i}.txt").write_text(f"line {i}\n")
+    est = packed_file_splits(spark.read.text(str(many)))
+    # 40 files x 4MB openCost / 128MB maxPartitionBytes ~ 2
+    assert est is not None and est < 40
+
+    # in-memory: unknown
+    assert packed_file_splits(spark.range(5)) is None
+
+
 def test_effective_splits_codec_and_rowgroups(spark, tmp_path):
     """The split estimate is codec- and row-group-aware: unsplittable
     compressed files count one split each; a parquet file counts
@@ -2472,6 +2498,31 @@ def test_boilerplate_line_removal(spark):
         for r in remove_boilerplate_lines(all_bp, min_docs=3).collect()
     }
     assert gone == {i: ("", 1) for i in range(4)}
+
+    # tab/CR-edged variants normalize to the clean twin (collapse
+    # BEFORE trim), lone-tab separator lines stay protected like
+    # blank ones, and NULL text stays NULL with a zero count
+    messy = spark.createDataFrame(
+        [
+            (1, f"{bp}\nkeep one"),
+            (2, f"\t{bp}  \r\nkeep two"),
+            (3, f"{bp.upper()}\r\nkeep three"),
+            (4, "\t\nkeep four"),
+            (5, "\t\nkeep five"),
+            (6, "\t\nkeep six"),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    m = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in remove_boilerplate_lines(messy, min_docs=3).collect()
+    }
+    assert m[1] == ("keep one", 1)
+    assert m[2] == ("keep two", 1)
+    assert m[3] == ("keep three", 1)
+    assert m[4] == ("\t\nkeep four", 0)
+    assert m[7] == (None, 0)
 
     import pytest as _pytest
 

@@ -332,12 +332,14 @@ def test_prepare_corpus_boilerplate_stage(spark):
             (2, f"the shared body text\n{bp}"),
             (3, f"{bp}\na different body entirely"),
             (4, "untouched document four"),
+            (5, bp),  # entirely boilerplate -> dropped, not leaked empty
         ],
         "doc_id long, text string",
     )
     out = prepare_corpus(docs, boilerplate_min_docs=3, dedup="exact")
     rows = {r["doc_id"]: r["text"] for r in out.collect()}
     assert set(out.columns) == {"doc_id", "text"}
+    assert 5 not in rows
     # docs 1 and 2 become identical after the strip -> one survivor
     assert len({1, 2} & set(rows)) == 1
     surviving = rows[min({1, 2} & set(rows))]
@@ -345,6 +347,6 @@ def test_prepare_corpus_boilerplate_stage(spark):
     assert rows[3] == "a different body entirely"
     assert rows[4] == "untouched document four"
 
-    # without the stage, nothing collapses
+    # without the stage, nothing collapses and nothing drops
     noop = prepare_corpus(docs, dedup="exact")
-    assert noop.count() == 4
+    assert noop.count() == 5

@@ -54,9 +54,14 @@ def fit_unigram_lm(
     Cost shape: the token total is tallied INSIDE the heavy-hitter
     candidate pass (:func:`heavy_hitters_with_total`), so fitting
     never pays a separate full ``count()`` scan; the candidate
-    broadcast is hard-capped at ``2 × vocab_size`` rows (the explicit
-    global-merge bound — the 16×m default would make it 16×vocab
-    wide for no recall gain at this m:k ratio)."""
+    broadcast is hard-capped at ``2 × max(200, vocab_size)`` rows.
+    Recall trade, stated: with cap = 2m the merge tree guarantees a
+    candidate slot for any token with frequency
+    > n/(m+1) + 2n/(2m+1) ≈ 2n/m (vs ≈ 1.125n/m at the 16×m
+    default) — deliberate: vocab-boundary tokens near rank
+    ``vocab_size`` carry log-probs within a fraction of a nat of the
+    OOV floor, so their scoring impact is marginal while the 16×m
+    broadcast (800k rows at vocab 50k) is not."""
     from wikiextractor_spark.operators.sketches import heavy_hitters_with_total
 
     exploded = docs.select(

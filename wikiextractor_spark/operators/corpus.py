@@ -115,6 +115,10 @@ def prepare_corpus(
         out = remove_boilerplate_lines(
             out, boilerplate_min_docs, text_col, id_col
         ).drop("n_removed_lines")
+        # docs that were ENTIRELY boilerplate come out empty — drop
+        # them here (the C4 policy) rather than leak zero-content
+        # rows into chunk/pack; the operator itself never drops rows
+        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
     if dedup == "exact":
         out = dedup_exact(out, text_col, id_col)
     elif dedup == "near":

@@ -461,6 +461,58 @@ def ngram_jaccard_pairs(
 # End-to-end near-dup dedup: LSH candidates → exact verify → survivors
 # --------------------------------------------------------------------------
 
+def _exact_jaccard_over_pairs(
+    pairs: DataFrame, a_src: DataFrame, b_src: DataFrame,
+    a_key: str, b_key: str, text_col: str, id_col: str, threshold: float,
+) -> DataFrame:
+    """Exact word-set Jaccard restricted to an explicit candidate
+    pair list — the ONE verification implementation behind
+    :func:`near_duplicate_pairs` (self-dedup, ``a_src is b_src``) and
+    :func:`cross_corpus_jaccard_pairs` (two corpora), so the grains
+    cannot drift.
+
+    Word sets are computed ONLY for docs appearing in a pair
+    (semi-join before the explode): at corpus scale the
+    distinct-token shuffle is the big cost, and paying it for every
+    doc when candidates are a sliver is the wrong asymptotic.
+    ``pairs`` should be materialized by the caller (it feeds the two
+    id restrictions plus the intersection join).
+
+    → ``(a_key, b_key, jaccard)`` with ``jaccard >= threshold``."""
+
+    def _side_words(src: DataFrame, key: str) -> DataFrame:
+        return (
+            src.join(
+                pairs.select(F.col(key).alias(id_col)).distinct(),
+                id_col, "left_semi",
+            )
+            .select(
+                F.col(id_col).alias(key),
+                F.explode(F.split(F.col(text_col), " ")).alias("w"),
+            )
+            .distinct()
+        )
+
+    wa = _side_words(a_src, a_key)
+    wb = _side_words(b_src, b_key)
+    na = wa.groupBy(a_key).agg(F.count("*").alias("_n_a"))
+    nb = wb.groupBy(b_key).agg(F.count("*").alias("_n_b"))
+    inter = (
+        pairs.join(wa, a_key)
+        .join(wb, [b_key, "w"])
+        .groupBy(a_key, b_key)
+        .agg(F.count("*").alias("_ni"))
+    )
+    jac = F.round(
+        F.col("_ni") / (F.col("_n_a") + F.col("_n_b") - F.col("_ni")), 6
+    )
+    return (
+        inter.join(na, a_key).join(nb, b_key)
+        .select(a_key, b_key, jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.8,
@@ -474,46 +526,13 @@ def near_duplicate_pairs(
     → ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
     """
     # materialize the (small-by-design) candidate list once: it feeds
-    # three plan branches (the id restriction below + the inter join),
-    # and un-materialized each branch would re-run the LSH band join
+    # three plan branches inside the verifier, and un-materialized
+    # each branch would re-run the LSH band join
     cand = minhash_lsh_candidate_pairs(df, text_col, id_col).localCheckpoint(
         eager=True
     )
-    # the exact verify only ever reads word sets of CANDIDATE docs, so
-    # restrict the explode+distinct to them — at corpus scale the
-    # distinct-token shuffle is the big cost, and paying it for every
-    # doc when candidates are a sliver is the wrong asymptotic
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    words = (
-        df.join(cand_ids, id_col, "left_semi")
-        .select(
-            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
-        )
-        .distinct()
-    )
-    sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
-
-    wa = words.select(F.col(id_col).alias("id_a"), "w")
-    wb = words.select(F.col(id_col).alias("id_b"), "w")
-    inter = (
-        cand.join(wa, "id_a")
-        .join(wb, ["id_b", "w"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.round(
-        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-    )
-    return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return _exact_jaccard_over_pairs(
+        cand, df, df, "id_a", "id_b", text_col, id_col, threshold
     )
 
 
@@ -741,6 +760,7 @@ def minhash_band_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle: int = 3,
     bands: int = 4, rows_per_band: int = 2,
+    keep_sig: bool = True,
 ) -> DataFrame:
     """Materialized MinHash-LSH band rows ``(id, sig, band,
     band_hash)`` — the Jaccard-grain analog of
@@ -748,14 +768,18 @@ def minhash_band_rows(
     (``bands`` rows × ~(8·num_hashes + 50) bytes per doc, no text)
     and hand it to :func:`cross_corpus_jaccard_pairs` via
     ``right_bands`` so incremental crawls never re-shingle the kept
-    side.  The signature rides along so the signature-estimate verify
-    works from the artifact alone."""
+    side.  The signature rides along (default) so the
+    signature-estimate verify works from the artifact alone;
+    ``keep_sig=False`` drops it for callers that only need the
+    candidate topology (the exact-verify path re-reads texts anyway
+    and has no use for ~8·num_hashes dead bytes per band row in its
+    checkpoint and join shuffle)."""
     from wikiextractor_spark.operators.skew import spread_for_compute
 
     src = spread_for_compute(df.select(id_col, text_col))
     sigs = minhash_signature(src, text_col, id_col, num_hashes, shingle)
     return minhash_band_buckets(
-        sigs, id_col, bands, rows_per_band, keep_sig=True
+        sigs, id_col, bands, rows_per_band, keep_sig=keep_sig
     ).localCheckpoint(eager=True)
 
 
@@ -794,14 +818,19 @@ def cross_corpus_jaccard_pairs(
     if (right is None) == (right_bands is None):
         raise ValueError("give exactly one of right / right_bands")
 
+    # signatures are verification payload only in estimate mode; the
+    # exact path re-reads texts, so its band rows stay id-narrow
+    estimate = right_bands is not None
     lb = minhash_band_rows(
-        left, text_col, id_col, num_hashes, shingle, bands, rows_per_band
+        left, text_col, id_col, num_hashes, shingle, bands, rows_per_band,
+        keep_sig=estimate,
     ).alias("l")
     rb = (
         right_bands
-        if right_bands is not None
+        if estimate
         else minhash_band_rows(
-            right, text_col, id_col, num_hashes, shingle, bands, rows_per_band
+            right, text_col, id_col, num_hashes, shingle, bands,
+            rows_per_band, keep_sig=False,
         )
     ).alias("r")
     joined = lb.join(
@@ -810,9 +839,9 @@ def cross_corpus_jaccard_pairs(
         & (F.col("l.band_hash") == F.col("r.band_hash")),
     )
 
-    if right_bands is not None:
-        # estimate mode: the sigs ARE the verification payload, so
-        # they ride through the distinct
+    if estimate:
+        # the sigs ARE the verification payload, so they ride
+        # through the distinct
         est = (
             F.expr(
                 "size(filter(zip_with(sig_l, sig_r, (a, b) -> a <=> b),"
@@ -832,11 +861,10 @@ def cross_corpus_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
-    # exact mode: dedup the pair list on the narrow id columns only —
-    # no reason to shuffle the signature arrays into the distinct —
-    # and materialize it once (it feeds the two id restrictions below
-    # plus the inter join; un-materialized each branch would re-run
-    # the band join)
+    # exact mode: dedup the pair list on the narrow id columns and
+    # materialize it once (it feeds the id restrictions plus the
+    # intersection join inside the shared verifier; un-materialized
+    # each branch would re-run the band join)
     pairs = (
         joined.select(
             F.col(f"l.{id_col}").alias("left_id"),
@@ -845,44 +873,8 @@ def cross_corpus_jaccard_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # word sets only for docs that actually appear in a candidate pair
-    # (see near_duplicate_pairs: the distinct-token shuffle must scale
-    # with the candidate sliver, not the corpus)
-    wl = (
-        left.join(
-            pairs.select(F.col("left_id").alias(id_col)).distinct(),
-            id_col, "left_semi",
-        )
-        .select(
-            F.col(id_col).alias("left_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("w"),
-        ).distinct()
-    )
-    wr = (
-        right.join(
-            pairs.select(F.col("right_id").alias(id_col)).distinct(),
-            id_col, "left_semi",
-        )
-        .select(
-            F.col(id_col).alias("right_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("w"),
-        ).distinct()
-    )
-    nl = wl.groupBy("left_id").agg(F.count("*").alias("n_l"))
-    nr = wr.groupBy("right_id").agg(F.count("*").alias("n_r"))
-    inter = (
-        pairs.join(wl, "left_id")
-        .join(wr, ["right_id", "w"])
-        .groupBy("left_id", "right_id")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = F.round(
-        F.col("n_inter") / (F.col("n_l") + F.col("n_r") - F.col("n_inter")), 6
-    )
-    return (
-        inter.join(nl, "left_id").join(nr, "right_id")
-        .select("left_id", "right_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return _exact_jaccard_over_pairs(
+        pairs, left, right, "left_id", "right_id", text_col, id_col, threshold
     )
 
 

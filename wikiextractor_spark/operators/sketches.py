@@ -120,6 +120,40 @@ def merge_candidate_partials(
     )
 
 
+def _checked_params_and_src(
+    df: DataFrame, col: str, k: int,
+    candidates_per_partition: int, max_candidates: int | None,
+) -> tuple[DataFrame, int]:
+    """Shared validation + source projection of the two heavy-hitter
+    entry points; returns ``(src, cap)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = candidates_per_partition
+    if m < k:
+        raise ValueError(
+            f"candidates_per_partition ({m}) must be >= k ({k})"
+        )
+    cap = max_candidates if max_candidates is not None else 16 * m
+    if cap < k:
+        raise ValueError(f"max_candidates ({cap}) must be >= k ({k})")
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    return src, cap
+
+
+def _exact_topk(src: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Shared exact-recount stage: re-count ONLY candidate values via
+    a broadcast semi-join, shuffle just candidate rows."""
+    return (
+        src.join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "value")
+        .limit(k)
+    )
+
+
 def heavy_hitters(
     df: DataFrame, col: str, k: int = 20,
     candidates_per_partition: int = 200,
@@ -140,28 +174,13 @@ def heavy_hitters(
     slot (with the default cap = 16m that bound is ≈ 1.125·n/(m+1),
     i.e. the task-grain knob dominates).
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if candidates_per_partition < k:
-        raise ValueError(
-            f"candidates_per_partition ({candidates_per_partition}) must be >= k ({k})"
-        )
-    cap = max_candidates if max_candidates is not None else 16 * candidates_per_partition
-    if cap < k:
-        raise ValueError(f"max_candidates ({cap}) must be >= k ({k})")
-    src = df.select(F.col(col).cast("string").alias("value")).filter(
-        F.col("value").isNotNull()
+    src, cap = _checked_params_and_src(
+        df, col, k, candidates_per_partition, max_candidates
     )
     candidates = candidate_values(
         src, candidates_per_partition, cap, merge_parallelism
     )
-    return (
-        src.join(F.broadcast(candidates), "value", "left_semi")
-        .groupBy("value")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "value")
-        .limit(k)
-    )
+    return _exact_topk(src, candidates, k)
 
 
 def heavy_hitters_with_total(
@@ -186,19 +205,10 @@ def heavy_hitters_with_total(
 
     → ``(topk_df, total)``; the count happens eagerly.
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    m = candidates_per_partition
-    if m < k:
-        raise ValueError(
-            f"candidates_per_partition ({m}) must be >= k ({k})"
-        )
-    cap = max_candidates if max_candidates is not None else 16 * m
-    if cap < k:
-        raise ValueError(f"max_candidates ({cap}) must be >= k ({k})")
-    src = df.select(F.col(col).cast("string").alias("value")).filter(
-        F.col("value").isNotNull()
+    src, cap = _checked_params_and_src(
+        df, col, k, candidates_per_partition, max_candidates
     )
+    m = candidates_per_partition
 
     def _local_top_and_total(iterator):
         counts: dict[str, int] = {}
@@ -225,11 +235,4 @@ def heavy_hitters_with_total(
     candidates = merge_candidate_partials(
         partials.filter(F.col("value").isNotNull()), cap, merge_parallelism
     )
-    topk = (
-        src.join(F.broadcast(candidates), "value", "left_semi")
-        .groupBy("value")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "value")
-        .limit(k)
-    )
-    return topk, total
+    return _exact_topk(src, candidates, k), total

@@ -177,3 +177,54 @@ def _effective_splits(df: DataFrame, target: int) -> int | None:
         else:
             total += size_splits
     return total
+
+
+def _open_cost_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if m and m.group(2).lower() in _BYTE_SUFFIX:
+        return int(m.group(1)) * _BYTE_SUFFIX[m.group(2).lower()]
+    return 4_194_304
+
+
+def packed_file_splits(df: DataFrame) -> int | None:
+    """Scan-parallelism estimate for ONE-SPLIT-PER-FILE sources (the
+    XML dump reader — verified unable to split a single uncompressed
+    file — and whole-file codecs like gz).
+
+    Two regimes bound the real partition count:
+
+    * few big files — one task each, so the FILE COUNT is the cap;
+    * many small files — Spark BIN-PACKS files into shared partitions
+      up to ``maxPartitionBytes`` (each file padded by
+      ``openCostInBytes``), so the packing estimate
+      ``ceil((total + n·openCost) / maxPartitionBytes)`` is the cap
+      (a raw file count here would overstate parallelism and make a
+      caller skip a spread it needs).
+
+    The estimate is the min of the two.  For codecs Hadoop CAN split
+    (bz2) this may undercount on big files and trigger a spread that
+    strictly adds parallelism — the cheap direction of wrong.
+    Returns None (caller decides; pass-through is the scale default)
+    for non-file-backed frames and non-local schemes.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        try:
+            total += os.path.getsize(re.sub("^file:/+", "/", uri))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    packed = math.ceil(
+        (total + len(files) * _open_cost_bytes(spark))
+        / _max_partition_bytes(spark)
+    )
+    return max(1, min(len(files), packed))

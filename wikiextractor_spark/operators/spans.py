@@ -206,11 +206,15 @@ def trim_repeated_spans(
 # --------------------------------------------------------------------------
 
 def _norm_line(col):
-    """Matching grain for line dedup: trimmed, internal whitespace
-    collapsed, lowercased — cosmetic variants of the same boilerplate
-    ("Subscribe  to our newsletter " vs "subscribe to our newsletter")
-    must hash together."""
-    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    """Matching grain for line dedup: whitespace runs collapsed, THEN
+    trimmed, then lowercased — cosmetic variants of the same
+    boilerplate ("\\tSubscribe  to our newsletter\\r" vs "subscribe
+    to our newsletter") must hash together.  Collapse must precede
+    the trim: ``trim`` strips only spaces, so a tab/CR-edged line
+    would otherwise normalize with residual ' ' padding (failing to
+    match its clean twin) and a lone '\\t' separator would become
+    ' ' — eligible for removal despite the blank-line contract."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
 def boilerplate_line_counts(
@@ -310,7 +314,16 @@ def remove_boilerplate_lines(
         ).alias("_new_text"),
         F.count("*").alias("_n_kept"),
     )
+    # NULL text stays NULL with a zero count (a NULL document is not
+    # an empty one); fully-boilerplate docs empty to '' but never
+    # disappear
     out_cols = docs.columns
+    new_text = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.coalesce(F.col("_new_text"), F.lit(""))
+    )
+    n_removed = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
+    )
     return (
         docs.withColumn(
             "_n_lines", F.size(F.split(F.col(text_col), "\n"))
@@ -318,13 +331,9 @@ def remove_boilerplate_lines(
         .join(rebuilt, id_col, "left")
         .select(
             *[
-                F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col)
-                if c == text_col
-                else F.col(c)
+                new_text.alias(text_col) if c == text_col else F.col(c)
                 for c in out_cols
             ],
-            (
-                F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed_lines"),
+            n_removed.cast("long").alias("n_removed_lines"),
         )
     )

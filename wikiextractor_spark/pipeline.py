@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from wikiextractor_spark.config import ExtractorConfig
-from wikiextractor_spark.operators.skew import spread_for_compute
+from wikiextractor_spark.operators.skew import (
+    packed_file_splits,
+    spread_for_compute,
+)
 from wikiextractor_spark.sink import render_documents, write_documents
 from wikiextractor_spark.sources.dump import (
     discover_base_prefix,
@@ -49,20 +52,19 @@ def extract_documents(
     if min_parallelism is None:
         min_parallelism = spark.sparkContext.defaultParallelism
     if min_parallelism > 1:
-        # the XML source yields ONE split per file regardless of size
-        # (verified: a single uncompressed dump is not splittable, and
-        # bz2/gz are whole-file codecs), so the file count IS the scan
-        # parallelism — a size-based estimate would overcount on a big
-        # single-file dump and silently skip the spread.  The probe
-        # never touches df.rdd (which would compile a physical plan
-        # outside AQE, see skew.py).
-        try:
-            n_files = len(pages.inputFiles()) or None
-        except Exception:
-            n_files = None
-        pages = spread_for_compute(
-            pages, min_parallelism, assume_splits=n_files
-        )
+        # scan-parallelism estimate for the one-split-per-file XML
+        # source: min(file count, Spark's small-file bin-packing
+        # estimate) — file count alone would overstate parallelism on
+        # many-small-file dumps (Spark packs them into shared
+        # partitions) and a pure size estimate would overstate it on
+        # a big single-file dump (the XML reader cannot split one).
+        # The probe never touches df.rdd (which would compile a
+        # physical plan outside AQE, see skew.py).
+        splits = packed_file_splits(pages)
+        if splits is not None:
+            pages = spread_for_compute(
+                pages, min_parallelism, assume_splits=splits
+            )
 
     vital = read_vital_titles(spark, vital_path) if vital_path else None
     pages = apply_vital_filter(pages, vital)
