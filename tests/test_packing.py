@@ -350,3 +350,46 @@ def test_prepare_corpus_boilerplate_stage(spark):
     # without the stage, nothing collapses and nothing drops
     noop = prepare_corpus(docs, dedup="exact")
     assert noop.count() == 5
+
+
+def test_corpus_stats_and_lang_breakdown(spark):
+    """corpus_stats: one-row profile with exact counts and sane
+    signal rates; quantiles exact on a small corpus (the sketch is
+    exact below its accuracy bound); lang_breakdown agrees with a
+    full groupBy."""
+    from wikiextractor_spark.operators.corpus import (
+        corpus_stats,
+        lang_breakdown,
+    )
+
+    # token counts 1..100 -> unambiguous quantiles, plus one empty
+    # doc and one PII doc
+    rows = [(i, " ".join(["the"] * i)) for i in range(1, 101)]
+    rows.append((200, ""))
+    rows.append((201, "write to someone@example.com for details"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    r = corpus_stats(docs).collect()[0]
+    assert r["n_docs"] == 102
+    assert r["n_tokens"] == sum(range(1, 101)) + 0 + 6
+    assert 49 <= r["tokens_p50"] <= 51
+    assert 94 <= r["tokens_p95"] <= 97
+    assert abs(r["frac_pii"] - round(1 / 102, 4)) < 1e-9
+    assert abs(r["frac_empty"] - round(1 / 102, 4)) < 1e-9
+    # quality_score is a composite (unbounded above); the empty doc
+    # must not ANSI-crash the average, it is just excluded
+    assert r["avg_quality"] is not None and r["avg_quality"] > 0
+    # 100 of 102 docs are single-token-repeated -> high repetitive rate
+    assert 0.5 <= r["frac_repetitive"] <= 1.0
+
+    lb = {r["value"]: r["n"] for r in lang_breakdown(docs, k=5).collect()}
+    from wikiextractor_spark.functions.textstats import lang_id
+
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.select(lang_id("text").alias("lang"))
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in lb.items():
+        assert full[lang] == n
+    assert sum(lb.values()) == 102 or len(lb) == 5
