@@ -436,10 +436,16 @@ def ivf_centroids(
 def ivf_assign(
     emb: DataFrame, centroids: list[list[float]],
     id_col: str = "vec_id", vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """→ ``(id, centroid_id)``: nearest-centroid bucket per vector —
-    one narrow scan-speed pass (the index build)."""
+    one narrow scan-speed pass (the index build).  ``keep_vec=True``
+    carries the vector through (``(id, centroid_id, vec)``) so a
+    consumer that needs both — the partitioned index write — gets
+    them from THIS pass instead of joining the assignment back to the
+    corpus (an avoidable corpus-grain shuffle)."""
     scores = _centroid_scores_sql(vec_col, centroids)
+    carried = [F.col(vec_col)] if keep_vec else []
     return (
         emb.withColumn("_s", F.expr(scores))
         .select(
@@ -447,6 +453,7 @@ def ivf_assign(
             (F.expr("array_position(_s, array_max(_s))") - 1)
             .cast("int")
             .alias("centroid_id"),
+            *carried,
         )
     )
 
@@ -638,9 +645,11 @@ def build_ivf_index(
     :func:`ann_ivf_topk` does.  Returns the trained centroids."""
     spark = emb.sparkSession
     centroids = ivf_centroids(emb, k, iters, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
     (
-        emb.join(assigned, id_col)
+        # ONE pass scores and carries the vector (keep_vec) — joining
+        # a separate (id, centroid_id) projection back to the corpus
+        # would re-scan it and add a corpus-grain join for nothing
+        ivf_assign(emb, centroids, id_col, vec_col, keep_vec=True)
         .select(F.col(id_col), F.col("centroid_id"), F.col(vec_col))
         # hash-cluster on the partition key before the partitioned
         # write: without this, partitionBy emits one file per
