@@ -2588,3 +2588,56 @@ def test_boilerplate_line_removal_duckdb_twin(spark, docs):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == want[k], k
+
+
+def test_boilerplate_line_removal_random_differential(spark):
+    """Seeded randomized differential vs a pure-Python model: on a
+    random corpus drawn from a tiny line vocabulary (maximizing
+    cross-doc collisions), the engine's removal equals the
+    from-scratch reimplementation doc for doc."""
+    import random
+    import re as _re
+
+    from wikiextractor_spark.operators.spans import remove_boilerplate_lines
+
+    rng = random.Random(1234)
+    vocab = [
+        "subscribe now", "  Subscribe   NOW ", "\tcontact us\r",
+        "contact us", "x", " ", "", "\t", "some longer unique line %d",
+        "another body sentence", "ANOTHER body   sentence",
+    ]
+    docs = []
+    for i in range(60):
+        lines = []
+        for j in range(rng.randint(0, 6)):
+            t = rng.choice(vocab)
+            lines.append(t % (i * 10 + j) if "%d" in t else t)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    min_docs, min_chars = 3, 1
+
+    def norm(line):
+        return _re.sub(r"\s+", " ", line).strip().lower()
+
+    per_doc = {i: t.split("\n") for i, t in docs}
+    seen = {}
+    for i, lines in per_doc.items():
+        for n in {norm(l) for l in lines if len(norm(l)) >= min_chars}:
+            seen[n] = seen.get(n, 0) + 1
+    flagged = {n for n, c in seen.items() if c >= min_docs}
+    want = {}
+    for i, lines in per_doc.items():
+        kept = [
+            l for l in lines
+            if not (len(norm(l)) >= min_chars and norm(l) in flagged)
+        ]
+        want[i] = ("\n".join(kept), len(lines) - len(kept))
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in remove_boilerplate_lines(
+            df, min_docs=min_docs, min_line_chars=min_chars
+        ).collect()
+    }
+    assert got == want

@@ -27,6 +27,14 @@ Stage trades stated explicitly:
 * ``token_budget`` sampling is NOT offered — it needs the corpus-wide
   token total, which an unbounded stream never has.  Use
   ``sample_fraction`` (stateless) and budget offline.
+* ``boilerplate_min_docs`` (cross-document line removal) is NOT
+  offered either — "appears in ≥ N distinct documents" is a
+  corpus-wide count: a per-batch count would miss boilerplate spread
+  thinly across batches, and a cross-batch line-count store would
+  need retroactive rewrites of already-emitted batches the moment a
+  line crosses the threshold.  Run
+  :func:`~wikiextractor_spark.operators.spans.remove_boilerplate_lines`
+  as a batch pass over the accumulated output instead.
 * Packs never span micro-batches: ``pack_id`` is unique only within a
   batch's output partition (read with the ``batch_id`` column).
 * Output and signature-store writes land under ``batch_id=<epoch>``
