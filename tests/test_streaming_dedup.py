@@ -526,6 +526,7 @@ def test_prepare_corpus_stream_end_to_end(spark, tmp_path):
             target_lang="en", dedup="near", max_distance=6,
             benchmark=bench, decontam_ngram=3, decontam_threshold=0.5,
             chunk_tokens=8, pack_budget=16,
+            stats_dir=str(tmp_path / "stats"),
         )
         assert q.awaitTermination(120), "stream did not drain"
 
@@ -560,6 +561,18 @@ def test_prepare_corpus_stream_end_to_end(spark, tmp_path):
     run()
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1, 12}, got
+
+    # per-batch observability: an in/out corpus_stats row pair per
+    # micro-batch, keyed by batch_id — both batches landed 3 docs and
+    # kept exactly 1 through the gates + dedup + decontam
+    stats = {
+        (r["batch_id"], r["stage"]): r["n_docs"]
+        for r in spark.read.parquet(str(tmp_path / "stats")).collect()
+    }
+    batches = sorted({b for b, _ in stats})
+    assert len(batches) == 2
+    for b in batches:
+        assert stats[(b, "in")] == 3 and stats[(b, "out")] == 1
 
 
 def test_prepare_corpus_stream_fully_filtered_batch(spark, tmp_path):

@@ -45,7 +45,7 @@ Stage trades stated explicitly:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from wikiextractor_spark.streaming.dedup import dedup_batch_against_store
 from wikiextractor_spark.streaming.stream import DOCUMENTS_SCHEMA
@@ -72,6 +72,7 @@ def prepare_corpus_stream(
     chunk_tokens: int | None = None,
     overlap: int = 0,
     pack_budget: int | None = None,
+    stats_dir: str | None = None,
 ):
     """Continuous corpus preparation over a document-directory stream.
 
@@ -83,6 +84,20 @@ def prepare_corpus_stream(
     mirror :func:`~wikiextractor_spark.operators.corpus.prepare_corpus`
     and are applied with the same stage order per micro-batch.
     Returns the StreamingQuery.
+
+    ``stats_dir`` turns on per-batch observability: each micro-batch
+    appends TWO :func:`~wikiextractor_spark.operators.corpus.corpus_stats`
+    rows — ``stage='in'`` over the raw batch, ``stage='out'`` over
+    the kept DOCUMENTS after every document-grain stage (gates,
+    dedup, decontamination, sampling; before the row-multiplying
+    chunk/pack) — keyed by ``batch_id``.  The
+    in-vs-out delta per batch is the drop-rate alerting signal a
+    production ingest watches (a batch whose out/in ratio collapses
+    means upstream drift, a dedup store anomaly, or a bad gate
+    threshold).  Costs one extra narrow aggregate pass per stage per
+    batch; idempotent under replay (stats land under their own
+    ``batch_id=<epoch>`` partition with overwrite, exactly like the
+    data partitions).
     """
     from wikiextractor_spark.operators.corpus import prepare_corpus
 
@@ -118,9 +133,9 @@ def prepare_corpus_stream(
             )
         else:
             survivors = filtered
-        # downstream stages: decontaminate + sample + chunk + pack,
-        # again via the batch composition with the upstream stages off
-        out = prepare_corpus(
+        # downstream document-grain stages: decontaminate + sample —
+        # the last point where a row still IS a document
+        kept = prepare_corpus(
             survivors,
             dedup=None,
             benchmark=benchmark,
@@ -128,11 +143,31 @@ def prepare_corpus_stream(
             decontam_threshold=decontam_threshold,
             sample_fraction=sample_fraction,
             sample_salt=sample_salt,
+        )
+        if stats_dir is not None:
+            # the stats agg and the output write both consume `kept`;
+            # materialize once so decontamination doesn't run twice
+            kept = kept.localCheckpoint(eager=True)
+        # row-multiplying stages last: chunk + pack
+        out = prepare_corpus(
+            kept,
+            dedup=None,
             chunk_tokens=chunk_tokens,
             overlap=overlap,
             pack_budget=pack_budget,
         )
         out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if stats_dir is not None:
+            from wikiextractor_spark.operators.corpus import corpus_stats
+
+            stats = corpus_stats(batch_df).withColumn(
+                "stage", F.lit("in")
+            ).unionByName(
+                corpus_stats(kept).withColumn("stage", F.lit("out"))
+            )
+            stats.coalesce(1).write.mode("overwrite").parquet(
+                f"{stats_dir}/batch_id={batch_id}"
+            )
 
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if path_glob:
