@@ -2641,3 +2641,53 @@ def test_boilerplate_line_removal_random_differential(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_near_best_survivor(spark):
+    """survivors='best' keeps the highest-scoring member of each
+    near-dup component (ties to the smallest id), not the smallest
+    id; docs outside the pair graph survive untouched."""
+    import pytest as _pytest
+
+    from wikiextractor_spark.operators.dedup import dedup_near
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base.replace("kappa", "edited")),
+            (2, base + " extra trailing tokens here"),  # longest copy
+            (3, base.replace("sigma", "changed")),
+            (9, "a completely different document about other things "
+                "entirely with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+    kept_best = {
+        r["doc_id"]
+        for r in dedup_near(
+            docs, threshold=0.7, survivors="best",
+            score=F.length("text"),
+        ).collect()
+    }
+    assert kept_best == {2, 9}
+
+    kept_comp = {
+        r["doc_id"]
+        for r in dedup_near(docs, threshold=0.7, survivors="component").collect()
+    }
+    assert kept_comp == {1, 9}
+
+    # default score path (quality_score): still exactly one survivor
+    # per component
+    kept_q = {
+        r["doc_id"]
+        for r in dedup_near(docs, threshold=0.7, survivors="best").collect()
+    }
+    assert 9 in kept_q and len(kept_q) == 2
+
+    with _pytest.raises(ValueError, match="score"):
+        dedup_near(docs, survivors="chain", score=F.length("text"))

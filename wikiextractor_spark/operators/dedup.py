@@ -625,6 +625,7 @@ def connected_component_labels(
 def dedup_near(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.8, survivors: str = "chain",
+    score=None,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one survivor per duplicate group.
 
@@ -640,14 +641,50 @@ def dedup_near(
     min-label propagation (:func:`connected_component_labels`).
     Stricter mix control — a chain can never leak two survivors — at
     the cost of the iterative closure.
+
+    ``survivors='best'``: one survivor per connected component, chosen
+    as the member with the HIGHEST ``score`` (default:
+    ``textstats.quality_score`` over ``text_col``; pass any Column —
+    document length, a pre-joined LM score — for a different keep
+    policy).  Near-dup members genuinely differ (that is what makes
+    them near rather than exact dups), so which copy survives matters:
+    id order keeps whichever crawl happened to land first, while a
+    quality argmax keeps the best-extracted copy.  Ties break on the
+    smallest id for determinism.  Same closure cost as 'component'
+    plus one small window over component members only.
     """
-    if survivors not in ("chain", "component"):
+    if survivors not in ("chain", "component", "best"):
         raise ValueError(
-            f"survivors must be 'chain' or 'component', got {survivors!r}"
+            f"survivors must be 'chain', 'component', or 'best', "
+            f"got {survivors!r}"
         )
+    if score is not None and survivors != "best":
+        raise ValueError("score= only applies to survivors='best'")
     pairs = near_duplicate_pairs(df, text_col, id_col, threshold)
     if survivors == "chain":
         losers = pairs.select(F.col("id_b").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    if survivors == "best":
+        from pyspark.sql import Window
+
+        if score is None:
+            from wikiextractor_spark.functions.textstats import quality_score
+
+            score = quality_score(text_col)
+        labels = connected_component_labels(pairs)
+        # scores only for docs that are IN a component (inner join);
+        # everything outside the pair graph survives untouched
+        members = df.join(
+            labels.select(F.col("id").alias(id_col), "label"), id_col
+        ).select(F.col(id_col), F.col("label"), score.alias("_score"))
+        w = Window.partitionBy("label").orderBy(
+            F.desc("_score"), F.asc(id_col)
+        )
+        losers = (
+            members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(id_col)
+        )
         return df.join(losers, id_col, "left_anti")
     labels = connected_component_labels(pairs)
     losers = labels.filter(F.col("label") != F.col("id")).select(
