@@ -2691,3 +2691,17 @@ def test_dedup_near_best_survivor(spark):
 
     with _pytest.raises(ValueError, match="score"):
         dedup_near(docs, survivors="chain", score=F.length("text"))
+
+    # empty-text docs form a component (whole-text shingle fallback ->
+    # identical signatures); the default quality score must not
+    # ANSI-crash on them — they rank below every scored doc and one
+    # survives per component
+    with_empty = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "some perfectly ordinary real text here")],
+        "doc_id long, text string",
+    )
+    kept_e = {
+        r["doc_id"]
+        for r in dedup_near(with_empty, survivors="best").collect()
+    }
+    assert 3 in kept_e and len(kept_e) == 2

@@ -367,15 +367,18 @@ def test_corpus_stats_and_lang_breakdown(spark):
     rows = [(i, " ".join(["the"] * i)) for i in range(1, 101)]
     rows.append((200, ""))
     rows.append((201, "write to someone@example.com for details"))
+    rows.append((202, None))  # NULL text ≡ empty: same denominator
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     r = corpus_stats(docs).collect()[0]
-    assert r["n_docs"] == 102
-    assert r["n_tokens"] == sum(range(1, 101)) + 0 + 6
-    assert 49 <= r["tokens_p50"] <= 51
+    assert r["n_docs"] == 103
+    # empty/NULL docs contribute ZERO tokens (split('') would report
+    # a phantom one); the PII doc has 5 whitespace words
+    assert r["n_tokens"] == sum(range(1, 101)) + 0 + 5 + 0
+    assert 48 <= r["tokens_p50"] <= 51
     assert 94 <= r["tokens_p95"] <= 97
-    assert abs(r["frac_pii"] - round(1 / 102, 4)) < 1e-9
-    assert abs(r["frac_empty"] - round(1 / 102, 4)) < 1e-9
+    assert abs(r["frac_pii"] - round(1 / 103, 4)) < 1e-9
+    assert abs(r["frac_empty"] - round(2 / 103, 4)) < 1e-9
     # quality_score is a composite (unbounded above); the empty doc
     # must not ANSI-crash the average, it is just excluded
     assert r["avg_quality"] is not None and r["avg_quality"] > 0
@@ -392,4 +395,4 @@ def test_corpus_stats_and_lang_breakdown(spark):
     }
     for lang, n in lb.items():
         assert full[lang] == n
-    assert sum(lb.values()) == 102 or len(lb) == 5
+    assert sum(lb.values()) == 103 or len(lb) == 5

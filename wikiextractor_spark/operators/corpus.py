@@ -187,14 +187,18 @@ def prepare_corpus(
     return chunks.join(assignment, "chunk_id")
 
 
-def corpus_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-) -> DataFrame:
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus profile — the health report an operator reads
     before and after :func:`prepare_corpus`:
 
     ``(n_docs, n_tokens, avg_tokens, tokens_p50, tokens_p95,
     tokens_p99, avg_quality, frac_repetitive, frac_pii, frac_empty)``
+
+    NULL text is treated as empty text throughout, so every rate
+    shares the ``n_docs`` denominator; empty/NULL docs contribute
+    ZERO tokens (``split('')`` would otherwise report a phantom
+    token), are excluded from the quality average (its ratio terms
+    ANSI-error on ''), and surface in ``frac_empty``.
 
     100 TB shape: ONE narrow aggregate over the corpus.  Every signal
     is a native per-row expression (token counts, the quality score,
@@ -208,52 +212,45 @@ def corpus_stats(
     :func:`lang_breakdown`.
     """
     from wikiextractor_spark.functions.pii import has_pii
-    from wikiextractor_spark.functions.textstats import (
-        quality_score,
-        token_count,
-    )
+    from wikiextractor_spark.functions.textstats import token_count
 
-    toks = token_count(F.col(text_col))
-    return df.agg(
+    # one denominator for every rate: NULL ≡ '' before any signal
+    src = df.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+    toks = F.when(nonempty, token_count(F.col(text_col))).otherwise(F.lit(0))
+    return src.agg(
         F.count("*").alias("n_docs"),
         F.sum(toks).cast("long").alias("n_tokens"),
         F.round(F.avg(toks), 2).alias("avg_tokens"),
         F.percentile_approx(toks, 0.5).alias("tokens_p50"),
         F.percentile_approx(toks, 0.95).alias("tokens_p95"),
         F.percentile_approx(toks, 0.99).alias("tokens_p99"),
-        # quality is averaged over non-empty docs only: its ratio
-        # terms divide by the text length, which ANSI-errors on ''
-        # (empty docs are reported separately as frac_empty)
         F.round(
-            F.avg(
-                F.when(
-                    F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0,
-                    quality_score(text_col),
-                )
-            ), 4,
+            F.avg(F.when(nonempty, quality_score(text_col))), 4
         ).alias("avg_quality"),
         F.round(
             F.avg(is_repetitive(text_col).cast("double")), 4
         ).alias("frac_repetitive"),
         F.round(F.avg(has_pii(text_col).cast("double")), 4).alias("frac_pii"),
-        F.round(
-            F.avg(
-                (F.length(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
-                 == 0).cast("double")
-            ), 4,
-        ).alias("frac_empty"),
+        F.round(F.avg((~nonempty).cast("double")), 4).alias("frac_empty"),
     )
 
 
 def lang_breakdown(
     df: DataFrame, k: int = 20, text_col: str = "text",
 ) -> DataFrame:
-    """→ ``(value, n)``: the corpus's top-``k`` predicted languages
-    with exact counts, via the capped heavy-hitter pass (the lang-ID
-    grain is small, but the pass keeps the shape safe if a caller
-    points it at a fine-grained label column instead)."""
-    from wikiextractor_spark.operators.sketches import heavy_hitters
-
-    return heavy_hitters(
-        df.select(lang_id(text_col).alias("lang")), "lang", k=k,
+    """→ ``(lang, n)``: the corpus's top-``k`` predicted languages
+    with exact counts.  The lang-ID label space is a handful of
+    values, so this is ONE native groupBy with map-side combine
+    (≤ |labels| rows per task cross the shuffle) — the heavy-hitter
+    sketch machinery would route the corpus through Arrow twice for a
+    grain that needs neither a cap nor a recount."""
+    return (
+        df.select(lang_id(text_col).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(k)
     )

@@ -670,7 +670,14 @@ def dedup_near(
         if score is None:
             from wikiextractor_spark.functions.textstats import quality_score
 
-            score = quality_score(text_col)
+            # empty-text docs DO form components (the whole-text
+            # shingle fallback gives identical signatures), and the
+            # quality ratios divide by the text length — guard them to
+            # NULL, which desc_nulls_last ranks below every real score
+            score = F.when(
+                F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0,
+                quality_score(text_col),
+            )
         labels = connected_component_labels(pairs)
         # scores only for docs that are IN a component (inner join);
         # everything outside the pair graph survives untouched
@@ -678,7 +685,7 @@ def dedup_near(
             labels.select(F.col("id").alias(id_col), "label"), id_col
         ).select(F.col(id_col), F.col("label"), score.alias("_score"))
         w = Window.partitionBy("label").orderBy(
-            F.desc("_score"), F.asc(id_col)
+            F.desc_nulls_last("_score"), F.asc(id_col)
         )
         losers = (
             members.withColumn("_rn", F.row_number().over(w))

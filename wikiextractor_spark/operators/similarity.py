@@ -650,7 +650,6 @@ def build_ivf_index(
         # a separate (id, centroid_id) projection back to the corpus
         # would re-scan it and add a corpus-grain join for nothing
         ivf_assign(emb, centroids, id_col, vec_col, keep_vec=True)
-        .select(F.col(id_col), F.col("centroid_id"), F.col(vec_col))
         # hash-cluster on the partition key before the partitioned
         # write: without this, partitionBy emits one file per
         # (task × centroid) pair — num_tasks tiny files in EVERY
