@@ -540,21 +540,83 @@ _DUCK_SIG = "[%s]" % ", ".join(
 )
 
 
+# (r1's dd_minhash_signature rotated out late-r7: the signature
+# construction stays hash-verified md5-for-md5 inside
+# dd_lsh_candidate_pairs and dd_cross_corpus's jpair family, freeing
+# the slot for the C4-style boilerplate-line removal.)
 @query(
-    "dd_minhash_signature",
-    f"""
-    SELECT doc_id, array_to_string({_DUCK_SIG}, ',') AS sig
-    FROM (SELECT doc_id, {_DUCK_HS} AS hs FROM documents WHERE doc_id < 100)
+    "dd_boilerplate_lines",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g')
+               AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, g.i AS pos, g.line,
+             lower(trim(regexp_replace(g.line, '\s+', ' ', 'g'))) AS norm
+      FROM src,
+           LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                           generate_subscripts(string_split(text, chr(10)), 1) AS i) g
+    ),
+    flagged AS (
+      SELECT norm, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, norm FROM l WHERE len(norm) >= 1)
+      GROUP BY norm HAVING COUNT(*) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM l
+      WHERE NOT (len(norm) >= 1 AND norm IN (SELECT norm FROM flagged))
+    ),
+    reb AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT 'doc' AS family, s.doc_id,
+           COALESCE(reb.text, '') AS text,
+           CAST(len(string_split(s.text, chr(10))) - COALESCE(reb.n_kept, 0)
+                AS BIGINT) AS n
+    FROM src s LEFT JOIN reb ON reb.doc_id = s.doc_id
+    UNION ALL
+    SELECT 'line' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           norm AS text, CAST(n_docs AS BIGINT) AS n
+    FROM flagged
     """,
 )
-def dd_minhash_signature(spark, sf_dir):
-    """MinHash signatures (8 affine hashes over md5'd word 3-shingles)
-    — pure higher-order expressions, bit-identical across engines.
-    The signature array is serialized to one comma-joined string: the
-    driver canonicalizer cannot sort ndarray cells."""
-    return dedup.minhash_signature(
-        _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    ).select("doc_id", F.concat_ws(",", "sig").alias("sig"))
+def dd_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate-line removal (late r7,
+    operators/spans.py): lines whose normalized form appears in ≥ 2
+    distinct documents are removed everywhere (the C4/RefinedWeb
+    line-dedup policy), over a corpus whose texts are given line
+    structure by breaking after every 5th word.  Two families: 'doc'
+    rows are the rewritten documents with their removal counts
+    (original bytes/order preserved for survivors), 'line' rows are
+    the boilerplate inventory (normalized line, distinct-doc count).
+    The oracle restates normalization (collapse-then-trim),
+    distinct-document counting, and order-preserving reassembly over
+    the line STRINGS — independent of the engine's xxhash64 keys."""
+    from wikiextractor_spark.operators import spans
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    removed = spans.remove_boilerplate_lines(src, min_docs=2).select(
+        F.lit("doc").alias("family"), "doc_id", "text",
+        F.col("n_removed_lines").alias("n"),
+    )
+    counts = spans.boilerplate_line_counts(src, min_docs=2).select(
+        F.lit("line").alias("family"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("line").alias("text"),
+        F.col("n_docs").cast("long").alias("n"),
+    )
+    return removed.unionByName(counts)
 
 
 @query(
