@@ -385,7 +385,7 @@ def test_corpus_stats_and_lang_breakdown(spark):
     # 100 of 102 docs are single-token-repeated -> high repetitive rate
     assert 0.5 <= r["frac_repetitive"] <= 1.0
 
-    lb = {r["value"]: r["n"] for r in lang_breakdown(docs, k=5).collect()}
+    lb = {r["lang"]: r["n"] for r in lang_breakdown(docs, k=5).collect()}
     from wikiextractor_spark.functions.textstats import lang_id
 
     full = {

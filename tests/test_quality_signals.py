@@ -414,3 +414,55 @@ def test_filter_by_logprob_tokenless_docs(spark):
     assert {r["doc_id"] for r in dropped.collect()} == {1}
     kept = filter_by_logprob(docs, lm, min_mean_logp=-1e9, keep_tokenless=True)
     assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+
+
+def test_canonical_url_and_dedup(spark):
+    """canonical_url maps cosmetic fetch variants to one key (scheme/
+    authority case, default ports, fragments, tracking params, param
+    order, trailing slashes) while preserving semantic differences
+    (non-default ports, path case, www, real params); dedup_by_url
+    keeps the smallest id per key and passes unparseable rows
+    through."""
+    from wikiextractor_spark.functions.urls import canonical_url, dedup_by_url
+
+    pairs = [
+        # variants of ONE canonical form
+        ("HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?b=2&a=1", "https://example.com/a/b?a=1&b=2"),
+        ("http://example.com:80", "http://example.com/"),
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com/?gclid=abc&fbclid=z", "https://example.com/"),
+        # semantic differences preserved
+        ("http://example.com:8080/a/", "http://example.com:8080/a"),
+        ("https://www.example.com/Path/", "https://www.example.com/Path"),
+        ("https://example.com/path", "https://example.com/path"),
+        ("https://example.com/PATH", "https://example.com/PATH"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in pairs], "u string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in pairs]
+    # malformed: NULL key
+    bad = spark.createDataFrame([("nope",), ("https://",)], "u string")
+    assert [
+        r["c"] for r in bad.select(canonical_url(F.col("u")).alias("c")).collect()
+    ] == [None, None]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://example.com/a/b?b=2&a=1"),
+            (2, "HTTPS://Example.COM:443/a/b/?utm_source=x&a=1&b=2"),
+            (3, "http://example.com"),
+            (4, "http://example.com:80/"),
+            (5, "not a url"),
+            (6, "also not one"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in dedup_by_url(docs).collect()}
+    assert kept == {1, 3, 5, 6}
+    dropped = {r["doc_id"] for r in dedup_by_url(docs, keep_unparseable=False).collect()}
+    assert dropped == {1, 3}

@@ -85,3 +85,96 @@ def domain_counts(
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     )
     return top.join(per_doc, "domain").orderBy(F.desc("n_urls"), "domain")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (crawl-frontier / URL-grain dedup)
+# --------------------------------------------------------------------------
+
+# session/click identifiers that vary per visit without changing the
+# resource — the standard strip set for crawl dedup
+TRACKING_PARAMS = (
+    r"utm_[a-z]+|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|igshid|"
+    r"ref|ref_src|spm|yclid|_hsenc|_hsmi|vero_id|wickedid|oly_enc_id"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for URL-grain dedup — the same page
+    fetched through cosmetic variants must map to one key:
+
+    * scheme and authority lowercased; the scheme's DEFAULT port
+      (``:80`` http / ``:443`` https) dropped, any other port kept;
+    * fragment dropped (client-side only — never a different fetch);
+    * tracking parameters stripped (``utm_*``/click ids —
+      ``TRACKING_PARAMS``), surviving query params SORTED (order is
+      not semantic in practice and varies across link generators);
+    * empty path normalized to ``/``; trailing slashes on a non-root
+      path dropped (``/a/`` ≡ ``/a`` — the dominant server behavior;
+      path case is preserved, paths ARE case-sensitive);
+    * the host itself is otherwise untouched — ``www.`` is NOT
+      stripped here (unlike the :func:`url_domain` rollup grain,
+      ``www.x.org`` and ``x.org`` can serve different content).
+
+    Malformed URLs (``try_parse_url`` finds no scheme or host) →
+    NULL, so dedup callers can keep-or-quarantine them explicitly.
+    All native expressions — one codegen pass, no UDF."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    # AUTHORITY keeps the port (HOST does not); userinfo is rare in
+    # crawls and kept verbatim when present
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(f"(?i)^({TRACKING_PARAMS})="),
+        )
+    )
+    query_part = F.when(
+        F.size(kept_params) > 0,
+        F.concat(F.lit("?"), F.concat_ws("&", kept_params)),
+    ).otherwise(F.lit(""))
+    host = F.try_parse_url(url, F.lit("HOST"))
+    return F.when(
+        scheme.isNotNull() & host.isNotNull(),
+        F.concat(scheme, F.lit("://"), auth, path, query_part),
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+    keep_unparseable: bool = True,
+) -> DataFrame:
+    """Keep ONE row per :func:`canonical_url` key — crawl-frontier
+    dedup (the same page fetched via http/https, with tracking
+    params, with a fragment, with a trailing slash, is one fetch).
+    Survivor = smallest ``id_col`` per key, deterministically.
+
+    Rows whose URL does not canonicalize (no scheme/host) have no
+    key; by default they all pass through (stated — a NULL-keyed
+    groupBy would silently collapse them to one row), and
+    ``keep_unparseable=False`` drops them instead.
+
+    One shuffle on the canonical key; everything else narrow."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_ck", canonical_url(F.col(url_col)))
+    parseable = keyed.filter(F.col("_ck").isNotNull())
+    w = Window.partitionBy("_ck").orderBy(F.asc(id_col))
+    kept = (
+        parseable.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_ck")
+    )
+    if not keep_unparseable:
+        return kept
+    return kept.unionByName(keyed.filter(F.col("_ck").isNull()).drop("_ck"))
