@@ -438,6 +438,10 @@ def test_canonical_url_and_dedup(spark):
         ("https://www.example.com/Path/", "https://www.example.com/Path"),
         ("https://example.com/path", "https://example.com/path"),
         ("https://example.com/PATH", "https://example.com/PATH"),
+        # bare ?ref= is semantic (GitHub-style branch refs) — kept
+        ("https://host.org/api/file?ref=main", "https://host.org/api/file?ref=main"),
+        # userinfo is case-sensitive — verbatim; host still lowercases
+        ("https://UserA@Example.COM/x", "https://UserA@example.com/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in pairs], "u string")
     got = [

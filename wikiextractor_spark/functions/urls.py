@@ -92,10 +92,14 @@ def domain_counts(
 # --------------------------------------------------------------------------
 
 # session/click identifiers that vary per visit without changing the
-# resource — the standard strip set for crawl dedup
+# resource — the standard strip set for crawl dedup.  Deliberately
+# NOT included: bare ``ref`` — it is semantic on major hosts
+# (GitHub/GitLab ``?ref=<branch>`` names a different resource), and a
+# global strip would silently merge distinct documents; host-scoped
+# strip lists handle it, a global one must not
 TRACKING_PARAMS = (
     r"utm_[a-z]+|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|igshid|"
-    r"ref|ref_src|spm|yclid|_hsenc|_hsmi|vero_id|wickedid|oly_enc_id"
+    r"ref_src|spm|yclid|_hsenc|_hsmi|vero_id|wickedid|oly_enc_id"
 )
 
 
@@ -114,15 +118,20 @@ def canonical_url(url: Column) -> Column:
       path case is preserved, paths ARE case-sensitive);
     * the host itself is otherwise untouched — ``www.`` is NOT
       stripped here (unlike the :func:`url_domain` rollup grain,
-      ``www.x.org`` and ``x.org`` can serve different content).
+      ``www.x.org`` and ``x.org`` can serve different content) — and
+      userinfo, when present, is kept verbatim (case-sensitive per
+      RFC 3986; only host:port lowercases).
 
     Malformed URLs (``try_parse_url`` finds no scheme or host) →
     NULL, so dedup callers can keep-or-quarantine them explicitly.
     All native expressions — one codegen pass, no UDF."""
     scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
-    # AUTHORITY keeps the port (HOST does not); userinfo is rare in
-    # crawls and kept verbatim when present
-    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    # AUTHORITY keeps the port (HOST does not).  Only host:port is
+    # case-insensitive — userinfo is case-SENSITIVE per RFC 3986, so
+    # it is split off verbatim and only the remainder lowercased
+    raw_auth = F.try_parse_url(url, F.lit("AUTHORITY"))
+    userinfo = F.regexp_extract(raw_auth, r"^(.*@)", 1)
+    auth = F.concat(userinfo, F.lower(F.regexp_replace(raw_auth, r"^.*@", "")))
     auth = (
         F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
@@ -164,17 +173,28 @@ def dedup_by_url(
     groupBy would silently collapse them to one row), and
     ``keep_unparseable=False`` drops them instead.
 
-    One shuffle on the canonical key; everything else narrow."""
+    One shuffle on the canonical key; everything else narrow.  The
+    passthrough is a surrogate-key branch of the SAME pass, not a
+    second scan: each unparseable row windows under its own
+    ``\\x00<id>`` key (no canonical URL can start with ``\\x00`` —
+    they all start with a scheme), so the input is read and
+    canonicalized exactly once either way."""
     from pyspark.sql import Window
 
     keyed = df.withColumn("_ck", canonical_url(F.col(url_col)))
-    parseable = keyed.filter(F.col("_ck").isNotNull())
+    if not keep_unparseable:
+        keyed = keyed.filter(F.col("_ck").isNotNull())
+    else:
+        keyed = keyed.withColumn(
+            "_ck",
+            F.coalesce(
+                F.col("_ck"),
+                F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+            ),
+        )
     w = Window.partitionBy("_ck").orderBy(F.asc(id_col))
-    kept = (
-        parseable.withColumn("_rn", F.row_number().over(w))
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_ck")
     )
-    if not keep_unparseable:
-        return kept
-    return kept.unionByName(keyed.filter(F.col("_ck").isNull()).drop("_ck"))
