@@ -164,3 +164,33 @@ def test_no_unbounded_cartesian_in_any_battery_query(spark):
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_dedup_by_url_single_pass_single_shuffle(spark, sf_dir):
+    """dedup_by_url's keep-unparseable default must stay ONE pass over
+    the source (surrogate-key branch, not a self-union re-scan) and
+    one window shuffle on the canonical key."""
+    import re
+
+    from wikiextractor_spark.functions.urls import dedup_by_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://x.org/p/"), F.col("doc_id")).alias("url")
+    )
+    p = plan_of(dedup_by_url(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "CartesianProduct" not in p
+
+
+def test_boilerplate_removal_no_cartesian(spark, sf_dir):
+    """The boilerplate-line membership join must never degenerate to a
+    cartesian/nested-loop product."""
+    from wikiextractor_spark.operators.spans import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = plan_of(remove_boilerplate_lines(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
