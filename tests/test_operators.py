@@ -2705,3 +2705,63 @@ def test_dedup_near_best_survivor(spark):
         for r in dedup_near(with_empty, survivors="best").collect()
     }
     assert 3 in kept_e and len(kept_e) == 2
+
+
+def test_cross_corpus_embedding_pairs_and_subtract(spark, emb):
+    """Semantic cross-corpus dedup: exact and scaled copies of corpus
+    A's vectors planted in corpus B pair up at cos=1.0 (scale
+    invariance), unrelated random vectors do not, subtraction removes
+    exactly the flagged left-side ids, and the candidate join never
+    degenerates to a cartesian product."""
+    import contextlib
+    import io
+
+    from wikiextractor_spark.operators.similarity import (
+        cross_corpus_embedding_pairs,
+        subtract_embedding_duplicates,
+    )
+
+    kept = emb.select("vec_id", "embedding").limit(40).localCheckpoint(
+        eager=True
+    )
+    # crawl: 10 exact copies, 5 scaled copies (x2.5 — same direction),
+    # 5 fresh pseudo-random vectors
+    copies = kept.limit(10).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    scaled = (
+        kept.orderBy("vec_id").limit(15).orderBy(F.desc("vec_id")).limit(5)
+        .select(
+            (F.col("vec_id") + 20_000).alias("vec_id"),
+            F.expr("transform(embedding, x -> x * 2.5f)").alias("embedding"),
+        )
+    )
+    fresh = spark.range(5).select(
+        (F.col("id") + 30_000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "cast(pmod(xxhash64(id * 64 + i), 997) as float) - 498.5f)"
+        ).alias("embedding"),
+    )
+    crawl = copies.union(scaled).union(fresh).localCheckpoint(eager=True)
+
+    pairs = cross_corpus_embedding_pairs(crawl, kept, threshold=0.999)
+    got = {(r["left_id"], r["right_id"]): r["cos"] for r in pairs.collect()}
+    for r in copies.collect():
+        assert got.get((r["vec_id"], r["vec_id"] - 10_000)) == 1.0
+    for r in scaled.collect():
+        assert got.get((r["vec_id"], r["vec_id"] - 20_000)) == 1.0
+    assert not {p for p in got if p[0] >= 30_000}
+
+    kept_out = subtract_embedding_duplicates(crawl, kept, threshold=0.999)
+    out_ids = {r["vec_id"] for r in kept_out.collect()}
+    flagged = {p[0] for p in got}
+    assert out_ids == {r["vec_id"] for r in crawl.collect()} - flagged
+    assert {30_000 + i for i in range(5)} <= out_ids
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -908,3 +908,101 @@ def ann_ivf_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cross_corpus_embedding_pairs(
+    left: DataFrame, right: DataFrame, threshold: float = 0.98,
+    bands: int = 4, planes_per_band: int = 8, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates BETWEEN two corpora — the
+    semantic member of the cross-corpus family (SimHash-Hamming and
+    MinHash-Jaccard are the text grains): which docs of a new crawl
+    are paraphrase-level copies of the kept corpus / of a held-out
+    benchmark, even when token-grain dedup misses the rewording.
+
+    Same banded hyperplane-LSH topology as
+    :func:`embedding_near_duplicate_pairs`, with both corpora
+    sketched under the SAME seeded planes so shared buckets are
+    comparable; candidates come from ONE (band, bucket) equi-join
+    ACROSS the corpora — never left × right — and exact cosine runs
+    on candidates only.  No id ordering between sides: every
+    (left, right) match reports once.
+
+    No persisted-artifact variant here (unlike the text grains): the
+    bucket sketch is a few dot products per vector — cheap next to a
+    MinHash/SimHash signature pass — and exact-cosine verification
+    needs the kept side's VECTORS regardless, so persisting buckets
+    alone would not spare a read of the kept corpus.
+
+    → ``(left_id, right_id, cos)`` with ``cos >= threshold``.
+    """
+
+    def _sketch(emb: DataFrame) -> DataFrame:
+        band_structs = ", ".join(
+            f"struct({b} AS band, "
+            f"{_lsh_bucket_sql(vec_col, hyperplanes(planes_per_band, dim, seed + b))}"
+            f" AS bucket)"
+            for b in range(bands)
+        )
+        # materialization barrier against projection collapse into the
+        # join (see embedding_near_duplicate_pairs)
+        return (
+            emb.select(
+                F.col(id_col),
+                F.explode(F.expr(f"array({band_structs})")).alias("bb"),
+            )
+            .select(id_col, "bb.band", "bb.bucket")
+            .localCheckpoint(eager=True)
+        )
+
+    ls, rs = _sketch(left).alias("l"), _sketch(right).alias("r")
+    cand = (
+        ls.join(
+            rs,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+    lv = left.select(
+        F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("lv")
+    )
+    rv = right.select(
+        F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("rv")
+    )
+    return (
+        cand.join(lv, "left_id")
+        .join(rv, "right_id")
+        .select(
+            "left_id", "right_id",
+            F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def subtract_embedding_duplicates(
+    left: DataFrame, right: DataFrame, threshold: float = 0.98,
+    id_col: str = "vec_id", vec_col: str = "embedding", **lsh_kwargs,
+) -> DataFrame:
+    """``left`` minus every vector with a cosine ≥ ``threshold``
+    near-copy in ``right`` — SEMANTIC DECONTAMINATION when ``right``
+    is a held-out benchmark's embeddings (rephrased eval items slip
+    past n-gram decontamination; their embeddings do not), and
+    semantic incremental-crawl dedup when ``right`` is the kept
+    corpus.  One anti-join on the flagged-id set, AQE-broadcastable
+    because matches are rare."""
+    flagged = (
+        cross_corpus_embedding_pairs(
+            left, right, threshold, id_col=id_col, vec_col=vec_col,
+            **lsh_kwargs,
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+    return left.join(flagged, id_col, "left_anti")
