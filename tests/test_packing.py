@@ -396,3 +396,39 @@ def test_corpus_stats_and_lang_breakdown(spark):
     for lang, n in lb.items():
         assert full[lang] == n
     assert sum(lb.values()) == 103 or len(lb) == 5
+
+
+def test_prepare_corpus_semantic_decontamination(spark):
+    """Docs whose embedding is paraphrase-close (cosine >= threshold)
+    to a benchmark embedding drop, even though their TEXT shares no
+    n-grams with anything; unrelated docs survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a reworded version of the benchmark idea entirely"),
+            (2, "an unrelated document about something different"),
+            (3, "yet another independent document on its own topic"),
+        ],
+        "doc_id long, text string",
+    )
+    # doc 1's embedding == the benchmark item (a paraphrase in
+    # embedding space); docs 2/3 point elsewhere
+    v_bench = [1.0] * 32 + [0.0] * 32
+    v_other = [0.0] * 32 + [1.0] * 32
+    v_third = ([1.0, -1.0] * 32)
+    emb = spark.createDataFrame(
+        [(1, v_bench), (2, v_other), (3, v_third)],
+        "vec_id long, embedding array<float>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, [x * 3.0 for x in v_bench])],  # scaled: same direction
+        "vec_id long, embedding array<float>",
+    )
+    out = prepare_corpus(
+        docs, dedup=None,
+        embeddings=emb, benchmark_embeddings=bench_emb,
+        semantic_threshold=0.99,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
+
+    with pytest.raises(ValueError, match="go together"):
+        prepare_corpus(docs, dedup=None, embeddings=emb)

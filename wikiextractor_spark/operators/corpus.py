@@ -58,6 +58,10 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 13,
     decontam_threshold: float = 0.1,
+    embeddings: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.98,
+    embedding_id_col: str = "vec_id",
     sample_fraction: float | None = None,
     token_budget: int | None = None,
     sample_salt: str = "corpus",
@@ -143,6 +147,27 @@ def prepare_corpus(
             out, benchmark, text_col=text_col, id_col=id_col,
             n=decontam_ngram, threshold=decontam_threshold,
         )
+    if (embeddings is None) != (benchmark_embeddings is None):
+        raise ValueError("embeddings and benchmark_embeddings go together")
+    if embeddings is not None:
+        # SEMANTIC decontamination next to the n-gram one: drop docs
+        # whose embedding sits at cosine >= semantic_threshold of a
+        # benchmark item — paraphrased leakage that token overlap
+        # misses.  `embeddings` maps this corpus's ids
+        # (embedding_id_col ↔ id_col values) to vectors.
+        from wikiextractor_spark.operators.similarity import (
+            cross_corpus_embedding_pairs,
+        )
+
+        flagged = (
+            cross_corpus_embedding_pairs(
+                embeddings, benchmark_embeddings, semantic_threshold,
+                id_col=embedding_id_col,
+            )
+            .select(F.col("left_id").alias(id_col))
+            .distinct()
+        )
+        out = out.join(flagged, id_col, "left_anti")
     if sample_fraction is not None and token_budget is not None:
         raise ValueError("give sample_fraction OR token_budget, not both")
     if sample_fraction is not None:
