@@ -984,8 +984,8 @@ def sim_ann_topk(spark, sf_dir):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
-def _duck_lsh_bucket_sql() -> str:
-    planes = similarity.hyperplanes(8, 64, 42)
+def _duck_lsh_bucket_sql(seed: int = 42) -> str:
+    planes = similarity.hyperplanes(8, 64, seed)
     terms = []
     for p, plane in enumerate(planes):
         lits = ", ".join("%d.0" % x for x in plane)
@@ -1815,13 +1815,49 @@ def lm_quality_gate(spark, sf_dir):
            {_DUCK_COS.replace('ae', 'a.e').replace('be', 'b.e')} AS cos
     FROM (SELECT * FROM v WHERE vec_id < 40) a
     JOIN (SELECT * FROM v WHERE vec_id < 40) b ON a.vec_id < b.vec_id
+    UNION ALL
+    SELECT 'xc' AS family, left_id AS id_a, right_id AS id_b, cos
+    FROM (
+      WITH lv AS (SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings WHERE vec_id < 60),
+      rv AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             FROM embeddings WHERE vec_id < 60),
+      lb AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, {_duck_lsh_bucket_sql(42 + b)} AS bucket FROM lv"
+            for b in range(4)
+        )}
+      ),
+      rb AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, {_duck_lsh_bucket_sql(42 + b)} AS bucket FROM rv"
+            for b in range(4)
+        )}
+      ),
+      cand AS (
+        SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+        FROM lb l JOIN rb r ON l.band = r.band AND l.bucket = r.bucket
+      )
+      SELECT left_id, right_id,
+             {_DUCK_COS.replace('ae', 'lv.e').replace('be', 'rv.e')} AS cos
+      FROM cand
+      JOIN lv ON lv.vec_id = left_id
+      JOIN rv ON rv.vec_id = right_id
+    ) WHERE cos >= 0.98
     """,
 )
 def dd_embedding_neighbor(spark, sf_dir):
     """Embedding-cosine near-dup: nearest neighbor per vector on a
     bounded range (the verification grain for embedding dedup), plus
     the bounded all-pairs cosine grain (r1's sim_cosine_pairs) as a
-    second family of the same output."""
+    second family of the same output.
+
+    The 'xc' family (late r7) drives cross_corpus_embedding_pairs —
+    SEMANTIC cross-corpus dedup: a crawl of shifted-id copies of the
+    kept side's vectors, candidates from the banded hyperplane
+    equi-join ACROSS corpora (the oracle mirrors each band's seeded
+    plane literals exactly, so LSH candidate sets agree by
+    construction), exact cosine ≥ 0.98 on candidates."""
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
@@ -1851,7 +1887,21 @@ def dd_embedding_neighbor(spark, sf_dir):
     pairs = similarity.cosine_pairs(_emb(spark, sf_dir), max_id=40).select(
         F.lit("pair").alias("family"), "id_a", "id_b", "cos"
     )
-    return nn.unionByName(pairs)
+    kept = _emb(spark, sf_dir).filter(F.col("vec_id") < 60).select(
+        "vec_id", "embedding"
+    )
+    crawl = kept.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    xc = similarity.cross_corpus_embedding_pairs(
+        crawl, kept, threshold=0.98
+    ).select(
+        F.lit("xc").alias("family"),
+        F.col("left_id").alias("id_a"),
+        F.col("right_id").alias("id_b"),
+        "cos",
+    )
+    return nn.unionByName(pairs).unionByName(xc)
 
 
 @query(
