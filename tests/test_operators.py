@@ -2721,12 +2721,14 @@ def test_cross_corpus_embedding_pairs_and_subtract(spark, emb):
         subtract_embedding_duplicates,
     )
 
-    kept = emb.select("vec_id", "embedding").limit(40).localCheckpoint(
-        eager=True
+    kept = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(40)
+        .localCheckpoint(eager=True)
     )
     # crawl: 10 exact copies, 5 scaled copies (x2.5 — same direction),
-    # 5 fresh pseudo-random vectors
-    copies = kept.limit(10).select(
+    # 5 fresh pseudo-random vectors (ordered limits: an unordered
+    # limit could pick different rows on re-evaluation)
+    copies = kept.orderBy("vec_id").limit(10).select(
         (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
     )
     scaled = (
@@ -2765,3 +2767,20 @@ def test_cross_corpus_embedding_pairs_and_subtract(spark, emb):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_bucket_dim_mismatch_raises(spark, emb):
+    """A vector whose length differs from the hyperplane dim must
+    raise loudly, not silently land every vector in bucket 0 (which
+    would degenerate the band equi-join into an all-pairs product)."""
+    import pytest as _pytest
+
+    from wikiextractor_spark.operators.similarity import lsh_bucket
+
+    ok = lsh_bucket(emb.limit(5))
+    assert ok.count() == 5
+    short = emb.limit(5).select(
+        "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    with _pytest.raises(Exception, match="expected 64-dim vector"):
+        lsh_bucket(short).collect()

@@ -463,10 +463,15 @@ def test_canonical_url_and_dedup(spark):
             (4, "http://example.com:80/"),
             (5, "not a url"),
             (6, "also not one"),
+            # unparseable rows with DUPLICATE ids: pass-through must be
+            # per ROW (a surrogate keyed on the id would collapse them)
+            (7, "junk one"),
+            (7, "junk two"),
         ],
         "doc_id long, url string",
     )
-    kept = {r["doc_id"] for r in dedup_by_url(docs).collect()}
-    assert kept == {1, 3, 5, 6}
+    kept = dedup_by_url(docs).collect()
+    assert {r["doc_id"] for r in kept} == {1, 3, 5, 6, 7}
+    assert len([r for r in kept if r["doc_id"] == 7]) == 2
     dropped = {r["doc_id"] for r in dedup_by_url(docs, keep_unparseable=False).collect()}
     assert dropped == {1, 3}

@@ -175,21 +175,32 @@ def dedup_by_url(
 
     One shuffle on the canonical key; everything else narrow.  The
     passthrough is a surrogate-key branch of the SAME pass, not a
-    second scan: each unparseable row windows under its own
-    ``\\x00<id>`` key (no canonical URL can start with ``\\x00`` —
-    they all start with a scheme), so the input is read and
-    canonicalized exactly once either way."""
+    second scan: each unparseable row windows under its own unique
+    ``\\x00<row-id>`` key (no canonical URL can start with ``\\x00``
+    — they all start with a scheme; per-ROW uniqueness, so duplicate
+    or NULL ids cannot collapse unparseable rows), and the input is
+    read and canonicalized exactly once either way."""
     from pyspark.sql import Window
 
     keyed = df.withColumn("_ck", canonical_url(F.col(url_col)))
     if not keep_unparseable:
         keyed = keyed.filter(F.col("_ck").isNotNull())
     else:
+        # surrogate uniqueness must not depend on the id column:
+        # duplicate or NULL ids would collapse unparseable rows into
+        # one window group and silently drop all but one, breaking
+        # the pass-through contract.  monotonically_increasing_id is
+        # unique per row; nondeterminism across runs is fine — every
+        # unparseable row keeps rank 1 in its singleton group either
+        # way, so the OUTPUT set is deterministic.
         keyed = keyed.withColumn(
             "_ck",
             F.coalesce(
                 F.col("_ck"),
-                F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+                F.concat(
+                    F.lit("\x00"),
+                    F.monotonically_increasing_id().cast("string"),
+                ),
             ),
         )
     w = Window.partitionBy("_ck").orderBy(F.asc(id_col))

@@ -21,7 +21,11 @@ from a raw corpus to training-ready sequences.
 
 The whole flow is lazy: callers get one DataFrame whose plan Catalyst
 optimizes end-to-end (the lang/quality filters reach the parquet scan
-ahead of any shuffle).
+ahead of any shuffle).  Stated eager exceptions: ``token_budget``
+(needs a measuring aggregate), near dedup (the LSH candidate sketch
+materializes against projection collapse), and semantic
+decontamination (same sketch materialization) — each runs its
+bounded job at composition time.
 """
 
 from __future__ import annotations
@@ -62,6 +66,7 @@ def prepare_corpus(
     benchmark_embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.98,
     embedding_id_col: str = "vec_id",
+    semantic_lsh: dict | None = None,
     sample_fraction: float | None = None,
     token_budget: int | None = None,
     sample_salt: str = "corpus",
@@ -155,18 +160,20 @@ def prepare_corpus(
         # benchmark item — paraphrased leakage that token overlap
         # misses.  `embeddings` maps this corpus's ids
         # (embedding_id_col ↔ id_col values) to vectors.
+        # ``semantic_lsh`` forwards the LSH shape (dim= above all:
+        # the default is 64 and the sketch raise_errors on any other
+        # vector length rather than degenerate); like token_budget,
+        # this stage is an EAGER exception to the one-lazy-plan rule
+        # (the sketch materializes so the band join doesn't recompute
+        # it per side).
         from wikiextractor_spark.operators.similarity import (
-            cross_corpus_embedding_pairs,
+            flagged_embedding_ids,
         )
 
-        flagged = (
-            cross_corpus_embedding_pairs(
-                embeddings, benchmark_embeddings, semantic_threshold,
-                id_col=embedding_id_col,
-            )
-            .select(F.col("left_id").alias(id_col))
-            .distinct()
-        )
+        flagged = flagged_embedding_ids(
+            embeddings, benchmark_embeddings, semantic_threshold,
+            id_col=embedding_id_col, **(semantic_lsh or {}),
+        ).withColumnRenamed(embedding_id_col, id_col)
         out = out.join(flagged, id_col, "left_anti")
     if sample_fraction is not None and token_budget is not None:
         raise ValueError("give sample_fraction OR token_budget, not both")

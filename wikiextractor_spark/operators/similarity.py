@@ -136,7 +136,21 @@ def _lsh_bucket_sql(vec_col: str, planes: list[list[int]]) -> str:
         "array(%s)" % ", ".join(f"{float(x)}D" for x in plane)
         for plane in planes
     )
+    # dimension guard, stated loudly: zip_with pads the shorter array
+    # with NULLs, so a vector whose length differs from the plane dim
+    # would make every dot-product NULL, every sign bit 0, and every
+    # vector land in bucket 0 of every band — the (band, bucket)
+    # equi-join then silently degenerates to an all-pairs product on a
+    # constant key that no CartesianProduct plan pin can see.  The
+    # guard is JVM-side, per-row O(1), and never fires on matching
+    # dims, so oracle parity is untouched.
+    dim = len(planes[0])
     return f"""
+      CASE WHEN size({vec_col}) != {dim} THEN
+        raise_error(concat('lsh bucket: expected {dim}-dim vector, got ',
+                           size({vec_col}),
+                           ' — pass dim= matching your embeddings'))
+      ELSE
       transform(array(transform({vec_col}, x -> cast(x as double))), v ->
         aggregate(
           zip_with(
@@ -149,6 +163,7 @@ def _lsh_bucket_sql(vec_col: str, planes: list[list[int]]) -> str:
             (bit, i) -> bit * shiftleft(1, i)),
           0, (acc, z) -> acc + z)
       )[0]
+      END
     """
 
 
@@ -986,6 +1001,25 @@ def cross_corpus_embedding_pairs(
     )
 
 
+def flagged_embedding_ids(
+    left: DataFrame, right: DataFrame, threshold: float = 0.98,
+    id_col: str = "vec_id", vec_col: str = "embedding", **lsh_kwargs,
+) -> DataFrame:
+    """Distinct left-side ids with a cosine ≥ ``threshold`` near-copy
+    in ``right`` — the one flagged-set implementation behind
+    :func:`subtract_embedding_duplicates` and ``prepare_corpus``'s
+    semantic-decontamination stage (one anti-join target, one place
+    for the semantics to live)."""
+    return (
+        cross_corpus_embedding_pairs(
+            left, right, threshold, id_col=id_col, vec_col=vec_col,
+            **lsh_kwargs,
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+
+
 def subtract_embedding_duplicates(
     left: DataFrame, right: DataFrame, threshold: float = 0.98,
     id_col: str = "vec_id", vec_col: str = "embedding", **lsh_kwargs,
@@ -997,12 +1031,7 @@ def subtract_embedding_duplicates(
     semantic incremental-crawl dedup when ``right`` is the kept
     corpus.  One anti-join on the flagged-id set, AQE-broadcastable
     because matches are rare."""
-    flagged = (
-        cross_corpus_embedding_pairs(
-            left, right, threshold, id_col=id_col, vec_col=vec_col,
-            **lsh_kwargs,
-        )
-        .select(F.col("left_id").alias(id_col))
-        .distinct()
+    flagged = flagged_embedding_ids(
+        left, right, threshold, id_col, vec_col, **lsh_kwargs
     )
     return left.join(flagged, id_col, "left_anti")
