@@ -2784,3 +2784,45 @@ def test_lsh_bucket_dim_mismatch_raises(spark, emb):
     )
     with _pytest.raises(Exception, match="expected 64-dim vector"):
         lsh_bucket(short).collect()
+
+
+def test_ann_ivf_search_vectors(spark, emb, tmp_path):
+    """The serving path: searching the persisted index with an
+    EXTERNAL query vector.  For a vector that happens to equal a
+    corpus member, the results must equal ann_ivf_topk_indexed's for
+    that member — except the member itself now appears as its own
+    top-1 neighbor (no self-exclusion across id spaces)."""
+    import pytest as _pytest
+
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_search_vectors,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    corpus = emb.limit(300).localCheckpoint(eager=True)
+    build_ivf_index(corpus, idx, k=4, iters=1)
+
+    member = corpus.filter(F.col("vec_id") == 7).collect()[0]
+    by_id = [
+        (r["neighbor_id"], r["cos"])
+        for r in ann_ivf_topk_indexed(
+            spark, idx, query_ids=[7], k=3, nprobe=4
+        ).orderBy("rank").collect()
+    ]
+    by_vec = [
+        (r["neighbor_id"], r["cos"])
+        for r in ann_ivf_search_vectors(
+            spark, idx, [(99, list(member["embedding"]))], k=4, nprobe=4
+        ).orderBy("rank").collect()
+    ]
+    # the external query finds the member itself first (cos 1.0),
+    # then the member's own neighbors in order
+    assert by_vec[0] == (7, 1.0)
+    assert by_vec[1:] == by_id
+
+    with _pytest.raises(ValueError, match="dims"):
+        ann_ivf_search_vectors(spark, idx, [(1, [1.0, 2.0])])
+    with _pytest.raises(ValueError, match="no query"):
+        ann_ivf_search_vectors(spark, idx, [])

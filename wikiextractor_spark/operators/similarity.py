@@ -886,6 +886,22 @@ def ann_ivf_topk_indexed(
         )
         .localCheckpoint(eager=True)  # probes are tiny; don't rescan
     )
+    return _probe_and_rank(
+        spark, index_dir, probes, k, id_col, vec_col, exclude_self=True
+    )
+
+
+def _probe_and_rank(
+    spark, index_dir: str, probes: DataFrame, k: int,
+    id_col: str, vec_col: str, exclude_self: bool,
+) -> DataFrame:
+    """Shared probe-partition scan + exact-cosine ranking behind the
+    two persisted-index search paths: ``probes`` is a TINY broadcast
+    frame ``(q_id, q_v array<double>, q_centroid)``, and only the
+    union of its centroid partitions is read (explicit directory
+    selection).  ``exclude_self`` drops the corpus row whose id
+    equals ``q_id`` — right for corpus-member queries, wrong for
+    external vectors whose ids live in a different id space."""
     buckets = [
         r["q_centroid"]
         for r in probes.select("q_centroid").distinct().collect()
@@ -906,12 +922,11 @@ def ann_ivf_topk_indexed(
             _as_double(F.col(vec_col)).alias("v"),
         )
     )
+    cond = F.col("centroid_id") == F.col("q_centroid")
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col("q_id"))
     scored = (
-        pruned.join(
-            F.broadcast(probes),
-            (F.col("centroid_id") == F.col("q_centroid"))
-            & (F.col(id_col) != F.col("q_id")),
-        )
+        pruned.join(F.broadcast(probes), cond)
         .select(
             "q_id",
             F.col(id_col).alias("neighbor_id"),
@@ -922,6 +937,52 @@ def ann_ivf_topk_indexed(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ann_ivf_search_vectors(
+    spark, index_dir: str, queries: list[tuple[int, list[float]]],
+    k: int = 5, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors from a PERSISTED index for NEW query vectors —
+    the serving path (:func:`ann_ivf_topk_indexed` searches by corpus
+    member id; real retrieval searches by an embedding the corpus has
+    never seen).
+
+    ``queries`` is a driver-sized ``[(q_id, vector), ...]`` list:
+    centroid selection happens driver-side against the loaded k×dim
+    matrix (the same -score/index ordering the indexed path uses in
+    SQL, so both paths probe identical buckets for identical
+    vectors), then the tiny probe frame broadcasts and ONLY the
+    probed ``centroid_id=`` partitions are read — ≤ queries × nprobe
+    directories, never the corpus.  Query ids live in the CALLER's id
+    space: no self-exclusion against corpus ids.
+
+    → ``(q_id, neighbor_id, cos, rank)`` with ``rank <= k``."""
+    if not queries:
+        raise ValueError("ann_ivf_search_vectors: no query vectors")
+    centroids = load_ivf_centroids(spark, index_dir)
+    dim = len(centroids[0])
+    rows = []
+    n = min(nprobe, len(centroids))
+    for qid, vec in queries:
+        v = [float(x) for x in vec]
+        if len(v) != dim:
+            raise ValueError(
+                f"ann_ivf_search_vectors: query {qid} has {len(v)} dims, "
+                f"index centroids have {dim}"
+            )
+        scores = [sum(a * b for a, b in zip(v, c)) for c in centroids]
+        order = sorted(
+            range(len(centroids)), key=lambda i: (-scores[i], i)
+        )[:n]
+        rows.extend((qid, v, cid) for cid in order)
+    probes = spark.createDataFrame(
+        rows, "q_id long, q_v array<double>, q_centroid int"
+    )
+    return _probe_and_rank(
+        spark, index_dir, probes, k, id_col, vec_col, exclude_self=False
     )
 
 
