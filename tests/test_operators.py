@@ -2826,3 +2826,23 @@ def test_ann_ivf_search_vectors(spark, emb, tmp_path):
         ann_ivf_search_vectors(spark, idx, [(1, [1.0, 2.0])])
     with _pytest.raises(ValueError, match="no query"):
         ann_ivf_search_vectors(spark, idx, [])
+    v = list(member["embedding"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        ann_ivf_search_vectors(spark, idx, [(1, v), (1, v)])
+
+
+def test_lsh_bucket_null_vector_gets_null_bucket(spark, emb):
+    """NULL embeddings must get a NULL bucket (dropped by every
+    equi-join — conservative keep), not fall through the ANSI
+    size(NULL)=NULL dim check into bucket 0 of every band."""
+    from wikiextractor_spark.operators.similarity import lsh_bucket
+
+    mixed = emb.limit(3).select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    rows = {r["vec_id"]: r["bucket"] for r in lsh_bucket(mixed).collect()}
+    assert rows[0] is None
+    assert all(v is not None for k, v in rows.items() if k != 0)

@@ -144,9 +144,16 @@ def _lsh_bucket_sql(vec_col: str, planes: list[list[int]]) -> str:
     # constant key that no CartesianProduct plan pin can see.  The
     # guard is JVM-side, per-row O(1), and never fires on matching
     # dims, so oracle parity is untouched.
+    # NULL arm FIRST: under ANSI size(NULL) is NULL, so without it a
+    # NULL embedding would fall through the dim check into bucket 0
+    # of every band — the same silent degeneracy.  A NULL vector gets
+    # a NULL bucket instead: equi-joins drop NULL keys, so rows with
+    # failed/missing embeddings simply never become candidates
+    # (conservative keep — gate embedder failures upstream).
     dim = len(planes[0])
     return f"""
-      CASE WHEN size({vec_col}) != {dim} THEN
+      CASE WHEN {vec_col} IS NULL THEN CAST(NULL AS INT)
+      WHEN size({vec_col}) != {dim} THEN
         raise_error(concat('lsh bucket: expected {dim}-dim vector, got ',
                            size({vec_col}),
                            ' — pass dim= matching your embeddings'))
@@ -868,13 +875,31 @@ def ann_ivf_topk_indexed(
             _as_double(F.col(vec_col)).alias("v"),
         )
     )
-    scores = _centroid_scores_sql("v", centroids)
-    probes = (
-        q_base
-        .withColumn("_s", F.expr(scores))
+    probes = _probe_rows(
+        q_base.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_v")),
+        centroids, nprobe,
+    )
+    return _probe_and_rank(
+        spark, index_dir, probes, k, id_col, vec_col, exclude_self=True
+    )
+
+
+def _probe_rows(
+    queries: DataFrame, centroids: list[list[float]], nprobe: int,
+) -> DataFrame:
+    """``(q_id, q_v)`` → exploded ``(q_id, q_v, q_centroid)`` probe
+    rows: each query's top-``nprobe`` centroids by dot product, ties
+    to the smaller index.  ONE implementation (the SQL expression)
+    behind both persisted-index search paths — member-id queries and
+    external vectors — so probe selection can never drift between
+    them.  Eagerly materialized: probes are tiny and feed two plan
+    branches."""
+    scores = _centroid_scores_sql("q_v", centroids)
+    return (
+        queries.withColumn("_s", F.expr(scores))
         .select(
-            F.col(id_col).alias("q_id"),
-            F.col("v").alias("q_v"),
+            "q_id",
+            "q_v",
             F.explode(
                 F.expr(
                     f"slice(transform(array_sort(zip_with(_s, "
@@ -884,10 +909,7 @@ def ann_ivf_topk_indexed(
                 )
             ).alias("q_centroid"),
         )
-        .localCheckpoint(eager=True)  # probes are tiny; don't rescan
-    )
-    return _probe_and_rank(
-        spark, index_dir, probes, k, id_col, vec_col, exclude_self=True
+        .localCheckpoint(eager=True)
     )
 
 
@@ -962,25 +984,29 @@ def ann_ivf_search_vectors(
     → ``(q_id, neighbor_id, cos, rank)`` with ``rank <= k``."""
     if not queries:
         raise ValueError("ann_ivf_search_vectors: no query vectors")
+    qids = [q for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "ann_ivf_search_vectors: duplicate q_ids — each query needs "
+            "its own id, or the rank window merges their neighbor sets"
+        )
     centroids = load_ivf_centroids(spark, index_dir)
     dim = len(centroids[0])
-    rows = []
-    n = min(nprobe, len(centroids))
     for qid, vec in queries:
-        v = [float(x) for x in vec]
-        if len(v) != dim:
+        if len(vec) != dim:
             raise ValueError(
-                f"ann_ivf_search_vectors: query {qid} has {len(v)} dims, "
+                f"ann_ivf_search_vectors: query {qid} has {len(vec)} dims, "
                 f"index centroids have {dim}"
             )
-        scores = [sum(a * b for a, b in zip(v, c)) for c in centroids]
-        order = sorted(
-            range(len(centroids)), key=lambda i: (-scores[i], i)
-        )[:n]
-        rows.extend((qid, v, cid) for cid in order)
-    probes = spark.createDataFrame(
-        rows, "q_id long, q_v array<double>, q_centroid int"
+    q_frame = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "q_id long, q_v array<double>",
     )
+    # probe selection goes through the SAME SQL expression the
+    # member-id path uses (_probe_rows) — identical buckets for
+    # identical vectors by construction, not by a mirrored Python
+    # reimplementation that could drift
+    probes = _probe_rows(q_frame, centroids, nprobe)
     return _probe_and_rank(
         spark, index_dir, probes, k, id_col, vec_col, exclude_self=False
     )
