@@ -432,3 +432,23 @@ def test_prepare_corpus_semantic_decontamination(spark):
 
     with pytest.raises(ValueError, match="go together"):
         prepare_corpus(docs, dedup=None, embeddings=emb)
+
+    # non-64-dim embeddings work through semantic_lsh (dim=...); the
+    # default dim would raise_error rather than silently degenerate
+    emb32 = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    bench32 = bench_emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    out32 = prepare_corpus(
+        docs, dedup=None,
+        embeddings=emb32, benchmark_embeddings=bench32,
+        semantic_threshold=0.99, semantic_lsh={"dim": 32},
+    )
+    assert {r["doc_id"] for r in out32.collect()} == {2, 3}
+    with pytest.raises(Exception, match="expected 64-dim"):
+        prepare_corpus(
+            docs, dedup=None,
+            embeddings=emb32, benchmark_embeddings=bench32,
+        ).collect()
