@@ -2846,3 +2846,61 @@ def test_lsh_bucket_null_vector_gets_null_bucket(spark, emb):
     rows = {r["vec_id"]: r["bucket"] for r in lsh_bucket(mixed).collect()}
     assert rows[0] is None
     assert all(v is not None for k, v in rows.items() if k != 0)
+
+
+def test_cap_group_tokens(spark):
+    """Token-grain mix cap: each group keeps its hash-ordered prefix
+    within max_tokens (overshoot <= the last kept row), every
+    non-empty group keeps >= 1 row even when its first row alone
+    exceeds the cap, small groups pass untouched, and the selection
+    matches a pure-Python replay of the same ordering."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from wikiextractor_spark.operators.sampling import cap_group_tokens
+
+    rows = []
+    # domain 'big': 20 docs x 50 tokens = 1000 tokens
+    for i in range(20):
+        rows.append((i, "big", " ".join(["w"] * 50)))
+    # domain 'small': 2 docs x 10 tokens
+    for i in range(100, 102):
+        rows.append((i, "small", " ".join(["w"] * 10)))
+    # domain 'huge-doc': one 500-token doc, over any small cap
+    rows.append((200, "huge", " ".join(["w"] * 500)))
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+    out = cap_group_tokens(docs, ["domain"], max_tokens=200, salt="s")
+    got = {r["doc_id"] for r in out.collect()}
+
+    # pure-Python replay: same md5 bucket (value THEN salt, first 8
+    # hex chars mod 1e6 — see sampling._hash_bucket), same
+    # exclusive-cumsum gate
+    def hb(i):
+        return int(hashlib.md5(f"{i}s".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    want = set()
+    for dom in ("big", "small", "huge"):
+        members = sorted(
+            [(i, t) for i, d, t in rows if d == dom],
+            key=lambda p: (hb(p[0]), p[0]),
+        )
+        cum = 0
+        for i, t in members:
+            if cum < 200:
+                want.add(i)
+            cum += len(t.split(" "))
+    assert got == want
+    # invariants: small group untouched, huge group keeps exactly its
+    # one row, big group's kept tokens stay within cap + one row
+    assert {100, 101} <= got and 200 in got
+    big_kept = len([i for i in got if i < 100]) * 50
+    assert 200 <= big_kept <= 200 + 50
+    # deterministic across runs
+    assert got == {
+        r["doc_id"]
+        for r in cap_group_tokens(docs, ["domain"], 200, salt="s").collect()
+    }
+    with _pytest.raises(ValueError, match="max_tokens"):
+        cap_group_tokens(docs, ["domain"], 0)

@@ -65,6 +65,47 @@ def cap_per_group(
     )
 
 
+def cap_group_tokens(
+    df: DataFrame, group_cols: list[str], max_tokens: int,
+    id_col: str = "doc_id", token_col: str | None = None,
+    text_col: str = "text", salt: str = "",
+) -> DataFrame:
+    """Keep at most ~``max_tokens`` TOKENS per group — the
+    RefinedWeb/Gopher-style mix control at the token grain
+    (:func:`cap_per_group` caps row counts, but a domain of few huge
+    documents can dominate a token budget while staying under any
+    row cap).
+
+    Per group, rows are ranked by the md5 of their id (the same
+    reproducible shuffle every sampler here uses, ties to the id) and
+    kept while the cumulative token count BEFORE the row is under the
+    cap — so every non-empty group keeps at least its first-ranked
+    row and overshoots by at most that one row's tokens (an
+    include-own-count gate would silently empty any group whose
+    first row alone exceeds the cap).
+
+    One shuffle on the group key; the running sum is a per-group
+    window (group partitions must fit a task — the same contract as
+    every per-group window here).  Deterministic given (data, salt).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    n_tok = (
+        F.col(token_col) if token_col
+        else F.size(F.split(F.col(text_col), " "))
+    ).cast("long")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_hash_bucket(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("_cum_before", F.coalesce(F.sum(n_tok).over(w), F.lit(0)))
+        .filter(F.col("_cum_before") < max_tokens)
+        .drop("_cum_before")
+    )
+
+
 def split_train_eval(
     df: DataFrame, key_col: str, eval_fraction: float, salt: str = "split",
 ) -> tuple[DataFrame, DataFrame]:
