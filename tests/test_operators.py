@@ -2837,7 +2837,7 @@ def test_lsh_bucket_null_vector_gets_null_bucket(spark, emb):
     size(NULL)=NULL dim check into bucket 0 of every band."""
     from wikiextractor_spark.operators.similarity import lsh_bucket
 
-    mixed = emb.limit(3).select(
+    mixed = emb.filter(F.col("vec_id") < 3).select(
         "vec_id",
         F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
             F.col("embedding")

@@ -65,6 +65,16 @@ def cap_per_group(
     )
 
 
+def _token_count_expr(token_col: str | None, text_col: str):
+    """The one definition of "token count" the token-grain samplers
+    share (cap_group_tokens, sample_token_budget): an explicit count
+    column when the grain carries one, else whitespace tokens."""
+    return (
+        F.col(token_col) if token_col
+        else F.size(F.split(F.col(text_col), " "))
+    )
+
+
 def cap_group_tokens(
     df: DataFrame, group_cols: list[str], max_tokens: int,
     id_col: str = "doc_id", token_col: str | None = None,
@@ -80,9 +90,9 @@ def cap_group_tokens(
     reproducible shuffle every sampler here uses, ties to the id) and
     kept while the cumulative token count BEFORE the row is under the
     cap — so every non-empty group keeps at least its first-ranked
-    row and overshoots by at most that one row's tokens (an
-    include-own-count gate would silently empty any group whose
-    first row alone exceeds the cap).
+    row, and the overshoot is bounded by the LAST KEPT row's tokens
+    (an include-own-count gate would instead silently empty any
+    group whose first row alone exceeds the cap).
 
     One shuffle on the group key; the running sum is a per-group
     window (group partitions must fit a task — the same contract as
@@ -90,19 +100,21 @@ def cap_group_tokens(
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
-    n_tok = (
-        F.col(token_col) if token_col
-        else F.size(F.split(F.col(text_col), " "))
-    ).cast("long")
+    n_tok = _token_count_expr(token_col, text_col).cast("long")
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(_hash_bucket(F.col(id_col), salt), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # collision-safe scratch column: clobbering a caller's column of
+    # the same name would silently drop their data
+    cum = "_cum_before"
+    while cum in df.columns:
+        cum += "_"
     return (
-        df.withColumn("_cum_before", F.coalesce(F.sum(n_tok).over(w), F.lit(0)))
-        .filter(F.col("_cum_before") < max_tokens)
-        .drop("_cum_before")
+        df.withColumn(cum, F.coalesce(F.sum(n_tok).over(w), F.lit(0)))
+        .filter(F.col(cum) < max_tokens)
+        .drop(cum)
     )
 
 
@@ -229,10 +241,7 @@ def sample_token_budget(
     """
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
-    n_tok = (
-        F.col(token_col) if token_col
-        else F.size(F.split(F.col(text_col), " "))
-    )
+    n_tok = _token_count_expr(token_col, text_col)
     total = df.select(
         F.sum(n_tok.cast("long")).alias("t")
     ).collect()[0]["t"] or 0

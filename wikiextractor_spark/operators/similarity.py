@@ -972,11 +972,11 @@ def ann_ivf_search_vectors(
     member id; real retrieval searches by an embedding the corpus has
     never seen).
 
-    ``queries`` is a driver-sized ``[(q_id, vector), ...]`` list:
-    centroid selection happens driver-side against the loaded k×dim
-    matrix (the same -score/index ordering the indexed path uses in
-    SQL, so both paths probe identical buckets for identical
-    vectors), then the tiny probe frame broadcasts and ONLY the
+    ``queries`` is a driver-sized ``[(q_id, vector), ...]`` list,
+    validated driver-side (dims, duplicate ids) and then run through
+    the SAME probe-selection SQL as the member-id path
+    (:func:`_probe_rows` — identical buckets for identical vectors
+    by construction); the tiny probe frame broadcasts and ONLY the
     probed ``centroid_id=`` partitions are read — ≤ queries × nprobe
     directories, never the corpus.  Query ids live in the CALLER's id
     space: no self-exclusion against corpus ids.
