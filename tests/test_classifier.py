@@ -1,0 +1,172 @@
+"""Trained quality classifier: fit separation, native-only scoring
+plan, model portability, gating, and edge cases."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.functions import classifier as clf
+
+
+STOP = "the of and in to a is was for on as by with at from".split()
+WORDS = (
+    "system history village player music government science river "
+    "language record water between united people century company "
+    "school north american national following second world war army "
+    "built known major early region state small large"
+).split()
+
+
+def _good_doc(rng):
+    n = rng.randint(40, 160)
+    out = []
+    for _ in range(n):
+        out.append(rng.choice(STOP) if rng.random() < 0.4 else rng.choice(WORDS))
+        if rng.random() < 0.08:
+            out[-1] += "."
+    return " ".join(out)
+
+
+def _bad_doc(rng):
+    kind = rng.randrange(4)
+    if kind == 0:  # punctuation/symbol noise
+        return " ".join(
+            "".join(rng.choice("!@#$%^&*()[]{};:<>|\\/~`+=-_") for _ in range(rng.randint(3, 9)))
+            for _ in range(rng.randint(10, 60))
+        )
+    if kind == 1:  # digit dumps
+        return " ".join(str(rng.randrange(10**6)) for _ in range(rng.randint(15, 80)))
+    if kind == 2:  # ALLCAPS gibberish
+        return " ".join(
+            "".join(rng.choice("BCDFGHJKLMNPQRSTVWXZ") for _ in range(rng.randint(4, 11)))
+            for _ in range(rng.randint(10, 60))
+        )
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 4)))
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rng = random.Random(7)
+    rows = [(i, _good_doc(rng), 1) for i in range(200)] + [
+        (1000 + i, _bad_doc(rng), 0) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_fit_separates_labeled_sample(labeled):
+    m = clf.fit_quality_classifier(labeled, reg_param=0.1)
+    assert all(math.isfinite(w) for w in m.weights)
+    scored = clf.score_quality(labeled, m)
+    acc = scored.select(
+        F.avg(
+            ((F.col("quality_logit") >= 0).cast("int") == F.col("label")).cast(
+                "double"
+            )
+        )
+    ).first()[0]
+    assert acc >= 0.95
+    # learned signs agree with the prior: stopwords up, noise down
+    w = dict(zip(m.feature_names, m.weights))
+    assert w["stopword_ratio"] > 0
+    assert w["punct_ratio"] < 0 and w["digit_ratio"] < 0
+
+
+def test_default_model_separates(labeled):
+    """The frozen DEFAULT_MODEL (fit once from this exact generator,
+    then rounded to 4 decimals) still separates a fresh sample."""
+    scored = clf.score_quality(labeled, clf.DEFAULT_MODEL)
+    acc = scored.select(
+        F.avg(
+            ((F.col("quality_logit") >= 0).cast("int") == F.col("label")).cast(
+                "double"
+            )
+        )
+    ).first()[0]
+    assert acc >= 0.95
+
+
+def test_scoring_plan_is_native_single_projection(labeled):
+    scored = clf.score_quality(labeled, clf.DEFAULT_MODEL)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # no shuffle at inference
+
+
+def test_gate_pushes_down_and_filters(labeled):
+    gated = clf.gate_by_classifier(labeled, clf.DEFAULT_MODEL, threshold=0.0)
+    kept = gated.select("label").groupBy("label").count().collect()
+    by_label = {r["label"]: r["count"] for r in kept}
+    assert by_label.get(1, 0) > by_label.get(0, 0)
+
+
+def test_model_json_round_trip():
+    m = clf.DEFAULT_MODEL
+    m2 = clf.QualityModel.from_json(m.to_json())
+    assert m2 == m
+
+
+def test_model_validation():
+    with pytest.raises(ValueError):
+        clf.QualityModel(("length_band",), (1.0, 2.0), 0.0)
+    with pytest.raises(ValueError):
+        clf.QualityModel(("no_such_feature",), (1.0,), 0.0)
+
+
+def test_empty_and_edge_text_score_finite(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "a"), (4, "1234567890"), (5, "!!!")],
+        "doc_id long, text string",
+    )
+    rows = clf.score_quality(df, clf.DEFAULT_MODEL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["quality_logit"] is not None
+        assert math.isfinite(r["quality_logit"])
+
+
+def test_threshold_from_quantile(labeled):
+    thr = clf.classifier_threshold_from_quantile(labeled, 0.25)
+    kept = clf.gate_by_classifier(labeled, threshold=thr).count()
+    total = labeled.count()
+    # approxQuantile with tight rel-error: keep fraction ~ 0.75
+    assert 0.70 <= kept / total <= 0.80
+
+
+def test_probability_is_sigmoid_of_logit(labeled):
+    both = labeled.select(
+        clf.logit_expr(clf.DEFAULT_MODEL).alias("z"),
+        clf.probability_expr(clf.DEFAULT_MODEL).alias("p"),
+    ).collect()
+    for r in both:
+        assert abs(r["p"] - 1.0 / (1.0 + math.exp(-r["z"]))) < 1e-12
+        assert 0.0 <= r["p"] <= 1.0
+
+
+def test_logit_sql_matches_spark_on_testdata(spark, sf_dir):
+    """Engine parity of the oracle restatement on real documents —
+    the exact check the driver battery runs, pinned locally."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = {
+        r["doc_id"]: r["q"]
+        for r in clf.score_quality(docs, clf.DEFAULT_MODEL)
+        .select("doc_id", F.round("quality_logit", 6).alias("q"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = dict(
+        con.execute(
+            f"SELECT doc_id, round({clf.logit_sql(clf.DEFAULT_MODEL)}, 6) "
+            "FROM documents"
+        ).fetchall()
+    )
+    assert s == d

@@ -1,0 +1,340 @@
+"""Trained document-quality classifier (CCNet-style model filtering).
+
+The reference pipeline (`/root/reference/WikiExtractor.py`) filters
+only by structural heuristics; production training-data pipelines
+(CCNet, fastText quality filters) add a TRAINED classifier: fit a
+small linear model on a labeled sample ("wiki-like" vs "raw crawl"),
+then score every document and keep the high scorers.
+
+Spark-first split of labor, designed for the 100 TB asymmetry
+between fitting and scoring:
+
+- **FIT** runs on the labeled sample (thousands to a few million
+  rows) through ``pyspark.ml`` LogisticRegression — the L-BFGS
+  gradient passes are distributed ``treeAggregate``s, and the only
+  thing that ever reaches the driver is the coefficient vector.
+- **SCORE** is pure native column arithmetic: the fitted model is a
+  driver-sized list of ``(feature, weight)`` floats inlined as
+  literals into ONE codegen projection.  No UDF, no MLlib, no
+  shuffle at inference — scoring 100 TB is a scan-speed map.
+
+Every feature is defined TWICE — a PySpark ``Column`` and a DuckDB
+SQL fragment with the identical operation order — so a fixed-weight
+scoring pass is exactly restatable as ANSI SQL (the driver-oracle
+battery uses this).  The linear score exposed for gating is the raw
+LOGIT (monotone in the probability), which keeps the oracle free of
+``exp()`` and therefore bit-stable across libm implementations;
+``probability_expr`` applies the sigmoid when a calibrated [0, 1]
+score is wanted Python-side.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.functions import textstats
+
+# --------------------------------------------------------------------------
+# Feature registry: name -> (native Column factory, DuckDB SQL factory).
+#
+# Rules that keep the two engines bit-identical:
+#  - every ratio multiplies by 1.0 BEFORE dividing (the repo-wide
+#    convention mirrored by all green oracle slots);
+#  - denominators are wrapped in greatest(..., 1) so empty text
+#    yields finite features instead of NULL/divide-by-zero;
+#  - no exp/log/trig — plain +, *, /, least/greatest only.
+# --------------------------------------------------------------------------
+
+
+def _f_length_band(t: str) -> Column:
+    return F.least(F.length(F.col(t)) / F.lit(500.0), F.lit(1.0))
+
+
+def _d_length_band(t: str) -> str:
+    return f"least(length({t}) / 500.0, 1.0)"
+
+
+def _f_stopword_ratio(t: str) -> Column:
+    stop_lits = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
+    return F.expr(
+        f"size(filter(split({t}, ' '), w -> array_contains(array({stop_lits}), w)))"
+    ) * F.lit(1.0) / F.size(F.split(F.col(t), " "))
+
+
+def _d_stopword_ratio(t: str) -> str:
+    stop_lits = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
+    return (
+        f"len(list_filter(string_split({t}, ' '), w -> list_contains([{stop_lits}], w)))"
+        f" * 1.0 / len(string_split({t}, ' '))"
+    )
+
+
+def _f_punct_ratio(t: str) -> Column:
+    c = F.col(t)
+    return (
+        F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) * F.lit(1.0)
+        / F.greatest(F.length(c), F.lit(1))
+    )
+
+
+def _d_punct_ratio(t: str) -> str:
+    return (
+        f"length(regexp_replace({t}, '[A-Za-z0-9\\s]', '', 'g')) * 1.0"
+        f" / greatest(length({t}), 1)"
+    )
+
+
+def _f_digit_ratio(t: str) -> Column:
+    c = F.col(t)
+    return (
+        F.length(F.regexp_replace(c, r"[^0-9]", "")) * F.lit(1.0)
+        / F.greatest(F.length(c), F.lit(1))
+    )
+
+
+def _d_digit_ratio(t: str) -> str:
+    return (
+        f"length(regexp_replace({t}, '[^0-9]', '', 'g')) * 1.0"
+        f" / greatest(length({t}), 1)"
+    )
+
+
+def _f_caps_ratio(t: str) -> Column:
+    c = F.col(t)
+    return (
+        F.length(F.regexp_replace(c, r"[^A-Z]", "")) * F.lit(1.0)
+        / F.greatest(F.length(c), F.lit(1))
+    )
+
+
+def _d_caps_ratio(t: str) -> str:
+    return (
+        f"length(regexp_replace({t}, '[^A-Z]', '', 'g')) * 1.0"
+        f" / greatest(length({t}), 1)"
+    )
+
+
+def _f_mean_word_len(t: str) -> Column:
+    c = F.col(t)
+    return (
+        F.length(F.replace(c, F.lit(" "), F.lit(""))) * F.lit(1.0)
+        / F.size(F.split(c, " "))
+    )
+
+
+def _d_mean_word_len(t: str) -> str:
+    return (
+        f"length(replace({t}, ' ', '')) * 1.0 / len(string_split({t}, ' '))"
+    )
+
+
+FEATURES: dict[str, tuple] = {
+    "length_band": (_f_length_band, _d_length_band),
+    "stopword_ratio": (_f_stopword_ratio, _d_stopword_ratio),
+    "punct_ratio": (_f_punct_ratio, _d_punct_ratio),
+    "digit_ratio": (_f_digit_ratio, _d_digit_ratio),
+    "caps_ratio": (_f_caps_ratio, _d_caps_ratio),
+    "mean_word_len": (_f_mean_word_len, _d_mean_word_len),
+}
+
+DEFAULT_FEATURES = tuple(FEATURES)
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """A fitted linear quality model — driver-sized and JSON-portable.
+
+    ``weights`` are on the ORIGINAL feature scale (pyspark.ml's
+    ``standardization=True`` standardizes internally during
+    optimization but reports coefficients back on the input scale),
+    so scoring needs no mean/std bookkeeping.
+    """
+
+    feature_names: tuple[str, ...]
+    weights: tuple[float, ...]
+    intercept: float
+
+    def __post_init__(self):
+        if len(self.feature_names) != len(self.weights):
+            raise ValueError(
+                "feature_names and weights length mismatch: "
+                f"{len(self.feature_names)} vs {len(self.weights)}"
+            )
+        unknown = [n for n in self.feature_names if n not in FEATURES]
+        if unknown:
+            raise ValueError(f"unknown features: {unknown}")
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "feature_names": list(self.feature_names),
+                "weights": list(self.weights),
+                "intercept": self.intercept,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "QualityModel":
+        d = json.loads(s)
+        return QualityModel(
+            tuple(d["feature_names"]), tuple(d["weights"]), float(d["intercept"])
+        )
+
+
+# Pretrained default: fit once (seeded, pyspark.ml L-BFGS,
+# reg_param=0.1 so separable training data doesn't blow the weights
+# up) on a synthetic wiki-like-vs-noise sample (the generator lives
+# in tests/test_classifier.py::test_default_model_separates) and
+# frozen to 4 decimals.  Rounding the published weights makes the
+# literal inlined on both engines identical by construction.
+# Positive evidence: stopword density, length; negative:
+# punctuation/digit/caps noise, inflated word length.
+DEFAULT_MODEL = QualityModel(
+    feature_names=DEFAULT_FEATURES,
+    weights=(1.8404, 9.4167, -1.3423, -1.5615, -0.9314, -0.5698),
+    intercept=1.4095,
+)
+
+
+def feature_expr(name: str, text_col: str = "text") -> Column:
+    """The named feature as a native Column (null-safe, no UDF)."""
+    return FEATURES[name][0](text_col)
+
+
+def feature_sql(name: str, text_col: str = "text") -> str:
+    """The named feature as the bit-identical DuckDB fragment."""
+    return FEATURES[name][1](text_col)
+
+
+def logit_expr(model: QualityModel, text_col: str = "text") -> Column:
+    """The model's linear score as ONE native expression.
+
+    Accumulation order is fixed (intercept, then features in
+    declaration order, left-associated) and mirrored exactly by
+    :func:`logit_sql`, so a round() of either side hash-matches."""
+    z = F.lit(model.intercept)
+    for name, w in zip(model.feature_names, model.weights):
+        z = z + F.lit(w) * feature_expr(name, text_col)
+    return z
+
+
+def logit_sql(model: QualityModel, text_col: str = "text") -> str:
+    """DuckDB restatement of :func:`logit_expr`, same op order."""
+    z = repr(model.intercept)
+    for name, w in zip(model.feature_names, model.weights):
+        z = f"({z} + {w!r} * ({feature_sql(name, text_col)}))"
+    return z
+
+
+def probability_expr(model: QualityModel, text_col: str = "text") -> Column:
+    """Calibrated [0, 1] score (sigmoid of the logit).  Python-side
+    convenience — the battery oracle sticks to the logit to stay
+    libm-independent."""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_expr(model, text_col)))
+
+
+def featurize(
+    df: DataFrame,
+    text_col: str = "text",
+    features: tuple[str, ...] = DEFAULT_FEATURES,
+) -> DataFrame:
+    """Append one column per feature (names = feature names).  One
+    narrow projection; the text column's split/regex subexpressions
+    stay inside a single codegen stage."""
+    return df.select(
+        "*", *[feature_expr(n, text_col).alias(n) for n in features]
+    )
+
+
+def fit_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    features: tuple[str, ...] = DEFAULT_FEATURES,
+    max_iter: int = 100,
+    reg_param: float = 0.0,
+) -> QualityModel:
+    """Fit the linear quality model on a labeled sample.
+
+    ``labeled`` needs ``text_col`` and a 0/1 ``label_col`` (1 =
+    high-quality).  The fit is pyspark.ml LogisticRegression
+    (distributed L-BFGS with internal standardization); only the
+    coefficient vector crosses the driver.  At 100 TB the labeled
+    sample is the small side by construction — label a few hundred
+    thousand docs, fit here, then score the corpus with
+    :func:`score_quality` at scan speed.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = featurize(
+        labeled.select(F.col(label_col).cast("double").alias("label"), text_col),
+        text_col,
+        features,
+    )
+    assembled = VectorAssembler(
+        inputCols=list(features), outputCol="features", handleInvalid="skip"
+    ).transform(feats)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    m = lr.fit(assembled)
+    weights = tuple(float(w) for w in m.coefficients.toArray())
+    if not all(math.isfinite(w) for w in weights) or not math.isfinite(
+        float(m.intercept)
+    ):
+        raise ValueError(
+            "classifier fit produced non-finite weights — check for "
+            "degenerate features or a single-class label column"
+        )
+    return QualityModel(tuple(features), weights, float(m.intercept))
+
+
+def score_quality(
+    df: DataFrame,
+    model: QualityModel = DEFAULT_MODEL,
+    text_col: str = "text",
+    output_col: str = "quality_logit",
+) -> DataFrame:
+    """Append the model score (raw logit) as one native column.  The
+    inference plan is a single projection — no UDF, no join, no
+    shuffle; Catalyst folds the weight literals into codegen."""
+    return df.withColumn(output_col, logit_expr(model, text_col))
+
+
+def gate_by_classifier(
+    df: DataFrame,
+    model: QualityModel = DEFAULT_MODEL,
+    threshold: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents the model scores at or above ``threshold``
+    (logit scale; 0.0 = P(quality) >= 0.5).  Pure filter — pushes
+    down to the scan like any other predicate."""
+    return df.where(logit_expr(model, text_col) >= F.lit(threshold))
+
+
+def classifier_threshold_from_quantile(
+    df: DataFrame,
+    q: float,
+    model: QualityModel = DEFAULT_MODEL,
+    text_col: str = "text",
+    relative_error: float = 0.001,
+) -> float:
+    """Logit threshold that drops (approximately) the bottom ``q``
+    fraction of ``df`` — "cut the worst 5%" without hand-picking a
+    logit.  One approxQuantile pass (Greenwald-Khanna, driver gets
+    one float)."""
+    if not 0.0 <= q < 1.0:
+        raise ValueError(f"q must be in [0, 1), got {q}")
+    scored = score_quality(df, model, text_col, "_q_logit")
+    return scored.approxQuantile("_q_logit", [q], relative_error)[0]

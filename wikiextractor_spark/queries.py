@@ -996,31 +996,45 @@ def _duck_lsh_bucket_sql(seed: int = 42) -> str:
     return " + ".join(terms)
 
 
-# Random-hyperplane LSH bucket assignment (deterministic ±1 planes
-# inlined identically into both engines) + per-bucket occupancy (the
-# skew diagnostic) as a window count.  Merged from r1's
-# sim_lsh_buckets + sim_lsh_histogram (both green) to fit the
-# driver's 50-entry cap.
-@query(
-    "sim_lsh_buckets",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    b AS (SELECT vec_id, {_duck_lsh_bucket_sql()} AS bucket FROM v)
-    SELECT vec_id, bucket,
-           CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
-    FROM b
-    """,
-)
-def sim_lsh_buckets(spark, sf_dir):
-    """LSH bucket assignment with per-bucket occupancy attached."""
-    from pyspark.sql import Window
+def _classifier_oracle_sql() -> str:
+    from wikiextractor_spark.functions import classifier as _clf
 
-    return (
-        similarity.lsh_bucket(_emb(spark, sf_dir))
-        .select("vec_id", F.col("bucket").cast("long").alias("bucket"))
-        .withColumn(
-            "bucket_size", F.count("*").over(Window.partitionBy("bucket"))
-        )
+    m = _clf.DEFAULT_MODEL
+    return f"""
+    SELECT doc_id,
+           round({_clf.feature_sql('digit_ratio')}, 6) AS digit_ratio,
+           round({_clf.feature_sql('caps_ratio')}, 6) AS caps_ratio,
+           round({_clf.logit_sql(m)}, 6) AS quality_logit,
+           ({_clf.logit_sql(m)}) >= 0.0 AS keep
+    FROM documents
+    """
+
+
+# Trained-classifier quality scoring (CCNet-style model filtering,
+# r7): the pretrained DEFAULT_MODEL's weights inline as literals
+# into one native projection — the oracle restates the identical
+# left-associated arithmetic, so the hash verifies the whole
+# featurize→logit→gate path bit-for-bit.  Rotated into the slot of
+# r1's sim_lsh_buckets (VERDICT r6: subsumed by the ANN paths —
+# hyperplane bucketing stays verified inside dd_embedding_neighbor
+# and the lsh_bucket pytest battery) to fit the driver's 50-entry
+# cap.  Fit itself (pyspark.ml L-BFGS) is pytest-pinned: iterative
+# optimization is not SQL-expressible.
+@query("ta_quality_classifier", _classifier_oracle_sql())
+def ta_quality_classifier(spark, sf_dir):
+    """Score every document with the pretrained linear quality model
+    and attach the keep/drop decision — a scan-speed single
+    projection (no UDF, no shuffle; see functions/classifier.py)."""
+    from wikiextractor_spark.functions import classifier as clf
+
+    m = clf.DEFAULT_MODEL
+    z = clf.logit_expr(m)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(clf.feature_expr("digit_ratio"), 6).alias("digit_ratio"),
+        F.round(clf.feature_expr("caps_ratio"), 6).alias("caps_ratio"),
+        F.round(z, 6).alias("quality_logit"),
+        (z >= F.lit(0.0)).alias("keep"),
     )
 
 
