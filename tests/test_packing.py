@@ -452,3 +452,39 @@ def test_prepare_corpus_semantic_decontamination(spark):
             docs, dedup=None,
             embeddings=emb32, benchmark_embeddings=bench32,
         ).collect()
+
+
+def test_prepare_corpus_classifier_gate(spark):
+    """The trained-classifier stage inside prepare_corpus drops
+    model-rejected docs with the other narrow gates, stays a pure
+    filter (no shuffle added), and respects a custom threshold."""
+    from wikiextractor_spark.functions.classifier import (
+        DEFAULT_MODEL,
+        score_quality,
+    )
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    good = ("the history of the village is a record of the people and "
+            "the land with a school by the river known for its music")
+    bad = "@#$% !!%^ 1234567 &&** 98765 ((&& 55555 ^^%$ 000111"
+    docs = spark.createDataFrame(
+        [(i, good) for i in range(5)] + [(99, bad)],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(docs, classifier_model=DEFAULT_MODEL, dedup=None)
+    got = {r["doc_id"] for r in out.collect()}
+    assert 99 not in got and got == {0, 1, 2, 3, 4}
+
+    # a threshold above every score drops everything
+    top = score_quality(docs, DEFAULT_MODEL).agg(
+        F.max("quality_logit")
+    ).first()[0]
+    assert prepare_corpus(
+        docs, classifier_model=DEFAULT_MODEL,
+        classifier_threshold=top + 1.0, dedup=None,
+    ).count() == 0
+
+    # the gate composes with dedup: survivors collapse to one doc
+    assert {r["doc_id"] for r in prepare_corpus(
+        docs, classifier_model=DEFAULT_MODEL, dedup="exact"
+    ).collect()} == {0}

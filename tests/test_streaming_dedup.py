@@ -712,3 +712,36 @@ def test_prepare_corpus_stream_lm_gate(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1}, got
+
+
+def test_prepare_corpus_stream_classifier_gate(spark, tmp_path):
+    """The pre-fitted trained-classifier gate works inside the
+    streaming flow: the noise doc is dropped per micro-batch, the
+    wiki-like doc survives."""
+    import glob
+
+    from wikiextractor_spark.functions.classifier import DEFAULT_MODEL
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    good = (1, "the history of the village is a record of the people "
+               "and the land with a school by the river", "en", "t", 1)
+    bad = (2, "@#$% !!%^ 1234567 &&** 98765 ((&& 55555 ^^%$ 000111",
+           "en", "t", 1)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    spark.createDataFrame([good, bad], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "state"), classifier_model=DEFAULT_MODEL,
+        dedup="near",
+    )
+    assert q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1}, got

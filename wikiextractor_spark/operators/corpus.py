@@ -5,6 +5,7 @@ of the engine's training-data operators into one declarative flow.
       → language filter        (textstats.lang_id, native)
       → quality gate           (textstats.quality_score, native)
       → repetition gate        (repetition.is_repetitive, native)
+      → trained classifier     (classifier.gate_by_classifier, native)
       → PII redaction          (pii.redact_pii, native)
       → boilerplate lines      (spans.remove_boilerplate_lines, C4-style)
       → dedup                  (exact hash-groupBy or LSH near-dup)
@@ -51,6 +52,8 @@ def prepare_corpus(
     target_lang: str | None = None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
+    classifier_model=None,
+    classifier_threshold: float = 0.0,
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
     redact: bool = False,
@@ -99,6 +102,16 @@ def prepare_corpus(
         out = out.filter(quality_score(text_col) >= min_quality)
     if drop_repetitive:
         out = out.filter(~is_repetitive(text_col))
+    if classifier_model is not None:
+        # trained-model gate (functions/classifier.py QualityModel)
+        # with the other narrow native filters: the weights inline as
+        # literals, so this is one more pushdown-able predicate, not
+        # a join — cheaper than the LM gate that follows
+        from wikiextractor_spark.functions.classifier import gate_by_classifier
+
+        out = gate_by_classifier(
+            out, classifier_model, classifier_threshold, text_col
+        )
     if (logprob_lm is None) != (min_mean_logp is None):
         raise ValueError("logprob_lm and min_mean_logp go together")
     if logprob_lm is not None:

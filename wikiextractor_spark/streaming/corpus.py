@@ -59,6 +59,8 @@ def prepare_corpus_stream(
     target_lang: str | None = None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
+    classifier_model=None,
+    classifier_threshold: float = 0.0,
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
     redact: bool = False,
@@ -118,9 +120,11 @@ def prepare_corpus_stream(
             target_lang=target_lang,
             min_quality=min_quality,
             drop_repetitive=drop_repetitive,
-            # a PRE-FITTED model only (fit on the kept corpus or a
+            # PRE-FITTED models only (fit on the kept corpus or a
             # trusted reference): fitting per micro-batch would make
-            # the gate drift with batch composition
+            # the gates drift with batch composition
+            classifier_model=classifier_model,
+            classifier_threshold=classifier_threshold,
             logprob_lm=logprob_lm,
             min_mean_logp=min_mean_logp,
             redact=redact,
