@@ -2904,3 +2904,92 @@ def test_cap_group_tokens(spark):
     }
     with _pytest.raises(ValueError, match="max_tokens"):
         cap_group_tokens(docs, ["domain"], 0)
+
+
+def test_upsample_groups_integer_and_fractional(spark):
+    """Integer factors repeat every row exactly; a fractional factor
+    repeats the hash-gated share of keys one extra time, keeping the
+    expected multiple; epoch numbers are 0-based and contiguous."""
+    from wikiextractor_spark.operators.sampling import upsample_groups
+
+    docs = spark.createDataFrame(
+        [(i, "wiki" if i < 200 else "crawl") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    out = upsample_groups(docs, "source", {"wiki": 3.0})
+    by = {r["source"]: r["count"]
+          for r in out.groupBy("source").count().collect()}
+    assert by == {"wiki": 600, "crawl": 800}  # crawl defaults to 1 epoch
+    epochs = {r["epoch"] for r in out.filter("source = 'wiki'")
+              .select("epoch").distinct().collect()}
+    assert epochs == {0, 1, 2}
+    # every wiki key appears exactly 3 times
+    bad = (out.filter("source = 'wiki'").groupBy("doc_id").count()
+           .filter("count != 3").count())
+    assert bad == 0
+
+    frac = upsample_groups(docs, "source", {"crawl": 1.5})
+    n_crawl = frac.filter("source = 'crawl'").count()
+    assert 1100 <= n_crawl <= 1300  # ~1.5 x 800, hash-gate noise
+    # deterministic: rerun reproduces the same extra-copy set
+    again = upsample_groups(docs, "source", {"crawl": 1.5})
+    assert (frac.exceptAll(again).count() == 0
+            and again.exceptAll(frac).count() == 0)
+
+
+def test_upsample_groups_zero_drop_and_validation(spark):
+    from wikiextractor_spark.operators.sampling import upsample_groups
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "doc_id long, source string"
+    )
+    out = upsample_groups(docs, "source", {"a": 0.0, None: 2.0})
+    got = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+    assert got == {(2, 0), (3, 0), (3, 1)}  # a dropped, NULL doubled
+
+    with pytest.raises(ValueError, match="finite"):
+        upsample_groups(docs, "source", {"a": float("nan")})
+    with pytest.raises(ValueError, match="epoch"):
+        upsample_groups(docs.withColumn("epoch", F.lit(0)), "source", {"a": 2})
+
+
+def test_upsample_groups_plan_is_narrow(spark):
+    """Row multiplication must not shuffle: the plan is scan →
+    filter/project → explode, with no Exchange."""
+    from wikiextractor_spark.operators.sampling import upsample_groups
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(10)], "doc_id long, source string"
+    )
+    plan = upsample_groups(docs, "source", {"a": 2.5})._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_perplexity_buckets(spark):
+    """Thirds of the score distribution land in head/middle/tail;
+    fluent docs rank head, gibberish ranks tail; zero-token docs get
+    a NULL bucket."""
+    from wikiextractor_spark.functions.lmquality import (
+        fit_unigram_lm,
+        perplexity_buckets,
+    )
+
+    # doc i blends i in-vocabulary tokens with (30 - i) unseen ones,
+    # so mean_logp rises strictly with i and the quantile cuts fall
+    # BETWEEN documents (tied scores would sit on the boundary and
+    # make the >=-inclusive labels group-size dependent)
+    rows = [
+        (i, " ".join(["common"] * i + [f"qq{i}x{j}" for j in range(30 - i)]))
+        for i in range(30)
+    ] + [(999, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = fit_unigram_lm(docs, vocab_size=100)
+    out = perplexity_buckets(docs, lm, relative_error=0.001)
+    got = {r["doc_id"]: r["ppx_bucket"] for r in out.collect()}
+    assert got[29] == "head" and got[15] == "middle" and got[0] == "tail"
+    assert got[999] is None
+    assert out.count() == 31  # left join keeps every doc
+
+    with pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(docs, lm, cuts=(0.0, 0.5))

@@ -167,3 +167,46 @@ def filter_by_logprob(
         return kept
     tokenless = docs.join(scores.select(id_col), id_col, "left_anti")
     return kept.unionByName(tokenless)
+
+
+def perplexity_buckets(
+    docs: DataFrame, lm: DataFrame,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    text_col: str = "text", id_col: str = "doc_id",
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """CCNet-style head/middle/tail split: label every document by
+    where its LM score falls in the corpus score distribution —
+    ``head`` = most-fluent third, ``tail`` = least — so downstream
+    mixing can weight buckets instead of hard-dropping (the CCNet
+    observation: the tail is noisier but not worthless).
+
+    Scale shape: the two cut points come from ONE approxQuantile
+    pass (driver gets two floats); labeling is then a narrow CASE
+    over the scored join — no sort, no ntile window (a global ntile
+    would funnel the corpus through a total order).  Documents with
+    zero tokens have no score and get a NULL bucket (the same
+    explicit no-score contract as :func:`filter_by_logprob`).
+
+    Returns ``docs`` + ``mean_logp`` + ``ppx_bucket``.  ``cuts`` are
+    the (lower, upper) quantiles of ``mean_logp``; note HIGHER
+    mean_logp = LOWER perplexity = ``head``.
+    """
+    lo_q, hi_q = cuts
+    if not 0.0 < lo_q <= hi_q < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo <= hi < 1, got {cuts}")
+    scores = doc_logprob_scores(docs, lm, text_col, id_col)
+    got = scores.approxQuantile("mean_logp", [lo_q, hi_q], relative_error)
+    if not got:
+        raise ValueError("perplexity_buckets: corpus has no scored docs")
+    lo, hi = float(got[0]), float(got[1])
+    bucket = (
+        F.when(F.col("mean_logp").isNull(), F.lit(None).cast("string"))
+        .when(F.col("mean_logp") >= hi, F.lit("head"))
+        .when(F.col("mean_logp") >= lo, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        docs.join(scores, id_col, "left")
+        .withColumn("ppx_bucket", bucket)
+    )

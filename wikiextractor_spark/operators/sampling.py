@@ -249,3 +249,59 @@ def sample_token_budget(
         return df
     fraction = budget_tokens / total
     return deterministic_sample(df, id_col, fraction, salt)
+
+
+def upsample_groups(
+    df: DataFrame, group_col: str, factors: dict,
+    key_col: str = "doc_id", salt: str = "epoch",
+) -> DataFrame:
+    """Repeat each group's rows by a (possibly fractional) factor —
+    the up-sampling half of mix control that :func:`temperature_mix`
+    deliberately leaves out: multi-epoch repetition of small
+    high-quality domains (wiki ×3.5, books ×2) while the rest of the
+    corpus stays at one epoch.
+
+    A factor ``f`` becomes ``floor(f)`` full copies of every row plus
+    one extra copy for the deterministic hash-gated ``f - floor(f)``
+    fraction of keys — so the group's expected token multiple is
+    exactly ``f`` and reruns reproduce the same extra-copy set.
+    Copies are distinguished by an ``epoch`` column (0-based) so
+    downstream shard assignment / packing can spread repeats instead
+    of co-locating them; callers that need unique ids re-key on
+    ``(key, epoch)``.
+
+    Shape: one narrow ``explode(sequence(...))`` — row multiplication
+    with NO shuffle and no driver-side data.  Groups absent from
+    ``factors`` default to 1.0 (one epoch, ``epoch=0``); a factor of
+    0 drops the group.  Factors must be finite and >= 0.
+    """
+    for g, f in factors.items():
+        if not (f >= 0.0) or f != f or f == float("inf"):
+            raise ValueError(f"factor for group {g!r} must be finite >= 0")
+    if "epoch" in df.columns:
+        raise ValueError("df already has an 'epoch' column")
+
+    # per-row full-copy count and fractional remainder, as one CASE
+    # chain over the (driver-sized) factor table
+    whole = F.lit(1)
+    frac_gate = F.lit(0)
+    for g, f in sorted(factors.items(), key=lambda kv: str(kv[0])):
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else F.col(group_col) == F.lit(g)
+        )
+        whole = F.when(cond, F.lit(int(f))).otherwise(whole)
+        frac_gate = F.when(
+            cond, F.lit(int(round((f - int(f)) * _BUCKETS)))
+        ).otherwise(frac_gate)
+
+    n_copies = whole + (
+        _hash_bucket(F.col(key_col), salt) < frac_gate
+    ).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.expr("sequence(0, _n - 1)")))
+        .drop("_n")
+    )
