@@ -170,3 +170,110 @@ def test_logit_sql_matches_spark_on_testdata(spark, sf_dir):
         ).fetchall()
     )
     assert s == d
+
+
+# ---------------- hashed n-gram (fastText-shape) classifier ----------------
+
+
+def test_hashed_classifier_separates(labeled):
+    """Content model alone: high but not perfect accuracy on the
+    shared fixture — its 'tiny fragment' negatives are built FROM
+    good-pool words, so they are shape-bad, not content-bad (the
+    feature model's job).  Combining both models separates fully."""
+    w, prior = clf.fit_hashed_classifier(labeled)
+    scored = clf.score_hashed(labeled, w, prior)
+    acc = scored.select(
+        F.avg(
+            ((F.col("content_logit") >= 0).cast("int") == F.col("label")).cast(
+                "double"
+            )
+        )
+    ).first()[0]
+    assert acc >= 0.85
+    # content + shape: every doc the content model passes but the
+    # shape model rejects (the fragments) is caught by the AND gate
+    both = scored.withColumn(
+        "shape", clf.logit_expr(clf.DEFAULT_MODEL)
+    )
+    combined_acc = both.select(
+        F.avg(
+            (
+                ((F.col("content_logit") >= 0) & (F.col("shape") >= 0)).cast(
+                    "int"
+                )
+                == F.col("label")
+            ).cast("double")
+        )
+    ).first()[0]
+    assert combined_acc >= 0.97
+
+
+def test_hashed_classifier_content_not_shape(spark):
+    """Unlike the feature model, the hashed model separates docs with
+    IDENTICAL shape statistics but different vocabulary — the content
+    signal is what it adds."""
+    good_words = "history village river school music people".split()
+    bad_words = "viagra casino jackpot winner claim bonus".split()
+    rows = [(i, " ".join(good_words[i % 3:] + good_words[: i % 3]), 1)
+            for i in range(30)]
+    rows += [(100 + i, " ".join(bad_words[i % 3:] + bad_words[: i % 3]), 0)
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, prior = clf.fit_hashed_classifier(df)
+    got = {r["doc_id"]: r["content_logit"]
+           for r in clf.score_hashed(df, w, prior).collect()}
+    assert all(got[i] > 0 for i in range(30))
+    assert all(got[100 + i] < 0 for i in range(30))
+
+
+def test_hashed_classifier_empty_doc_scores_prior(spark):
+    df = spark.createDataFrame(
+        [(1, "good words here", 1), (2, "bad stuff there", 0)],
+        "doc_id long, text string, label int",
+    )
+    w, prior = clf.fit_hashed_classifier(df)
+    scored = clf.score_hashed(
+        spark.createDataFrame([(9, "")], "doc_id long, text string"), w, prior
+    )
+    assert scored.first()["content_logit"] == pytest.approx(prior)
+
+
+def test_hashed_classifier_unseen_tokens_score_prior(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", 1), (2, "delta epsilon zeta", 0)],
+        "doc_id long, text string, label int",
+    )
+    w, prior = clf.fit_hashed_classifier(df, bigrams=False)
+    scored = clf.score_hashed(
+        spark.createDataFrame(
+            [(9, "totally novel vocabulary")], "doc_id long, text string"
+        ),
+        w, prior, bigrams=False,
+    )
+    # unseen buckets are absent from the weight table -> contribute 0
+    assert scored.first()["content_logit"] == pytest.approx(prior)
+
+
+def test_hashed_classifier_single_class_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", 1)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        clf.fit_hashed_classifier(df)
+
+
+def test_hashed_scoring_plan_broadcasts_weights(labeled):
+    w, prior = clf.fit_hashed_classifier(labeled)
+    plan = clf.score_hashed(labeled, w, prior)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_classifier_deterministic(labeled):
+    w1, p1 = clf.fit_hashed_classifier(labeled)
+    w2, p2 = clf.fit_hashed_classifier(labeled)
+    assert p1 == p2
+    d1 = {r["bucket"]: r["weight"] for r in w1.collect()}
+    d2 = {r["bucket"]: r["weight"] for r in w2.collect()}
+    assert d1 == d2

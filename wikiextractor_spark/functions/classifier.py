@@ -338,3 +338,142 @@ def classifier_threshold_from_quantile(
         raise ValueError(f"q must be in [0, 1), got {q}")
     scored = score_quality(df, model, text_col, "_q_logit")
     return scored.approxQuantile("_q_logit", [q], relative_error)[0]
+
+
+# --------------------------------------------------------------------------
+# Hashed n-gram classifier (fastText/CCNet shape).
+#
+# The interpretable-features model above captures document SHAPE;
+# the standard CCNet filter also learns document CONTENT — a linear
+# model over hashed word n-grams.  Here that is a Naive-Bayes
+# log-odds fit: per hashed n-gram, w = log-odds of the gram under
+# good vs bad, which is (a) a closed-form pure AGGREGATION (one
+# explode + groupBy over the labeled sample — no iterative
+# optimizer, fully distributed, deterministic), and (b) linear at
+# inference exactly like fastText: score = prior + Σ w[h(gram)].
+#
+# Scale split: fit touches only the labeled sample; the weight table
+# is ≤ num_buckets rows (2^18 default — a few MB), so inference over
+# 100 TB is explode → BROADCAST join → one map-side-combined sum per
+# doc.  No Python anywhere.
+# --------------------------------------------------------------------------
+
+
+def _hashed_grams(text_col: str, num_buckets: int, bigrams: bool) -> Column:
+    """Lowercased word unigrams (+ optional bigrams), each hashed to
+    a bucket via non-negative xxhash64 mod num_buckets.  One nested
+    HOF expression — evaluated once per row, JVM-side."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    uni = toks
+    if bigrams:
+        grams = (
+            f"concat({uni}, transform(slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
+            f" (t, i) -> concat(t, '_', element_at({toks}, i + 2))))"
+        )
+    else:
+        grams = uni
+    return F.expr(
+        f"transform({grams}, g -> pmod(xxhash64(g), {num_buckets}L))"
+    )
+
+
+def fit_hashed_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    num_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """→ ``(weights, prior)``: per-bucket log-odds weights and the
+    class-prior intercept, fit on a 0/1-labeled sample (1 = good).
+
+    ``w_b = log((n_good_b + α) / (N_good + α·B)) −
+    log((n_bad_b + α) / (N_bad + α·B))`` with add-α smoothing, so
+    unseen buckets contribute 0 by construction (they are simply
+    absent from the table — the smoothing mass difference is folded
+    into nothing rather than materializing B rows).  The prior is
+    ``log(n_good_docs / n_bad_docs)``.
+
+    The fit is ONE explode + groupBy(bucket) aggregate over the
+    sample; the returned ``weights`` DataFrame has at most
+    ``num_buckets`` rows (bounded, broadcastable).  Persist it with
+    a plain parquet write to reuse across runs.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    lab = F.col(label_col).cast("int")
+    base = labeled.select(
+        lab.alias("_y"),
+        _hashed_grams(text_col, num_buckets, bigrams).alias("_g"),
+    )
+    doc_counts = base.agg(
+        F.sum("_y").alias("n_good"),
+        F.sum(1 - F.col("_y")).alias("n_bad"),
+    ).first()
+    n_good_docs, n_bad_docs = doc_counts["n_good"], doc_counts["n_bad"]
+    if not n_good_docs or not n_bad_docs:
+        raise ValueError(
+            "fit_hashed_classifier needs both classes present, got "
+            f"good={n_good_docs} bad={n_bad_docs}"
+        )
+    counts = (
+        base.select("_y", F.explode("_g").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("_y").alias("_ng"),
+            F.sum(1 - F.col("_y")).alias("_nb"),
+        )
+    )
+    # class gram totals: one tiny agg over the bucket table (already
+    # shuffled), not a second corpus pass
+    totals = counts.agg(
+        F.sum("_ng").alias("tg"), F.sum("_nb").alias("tb")
+    ).first()
+    tg, tb = float(totals["tg"]), float(totals["tb"])
+    b = float(num_buckets)
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("_ng") + alpha) / F.lit(tg + alpha * b))
+            - F.log((F.col("_nb") + alpha) / F.lit(tb + alpha * b))
+        ).alias("weight"),
+    )
+    prior = math.log(n_good_docs / n_bad_docs)
+    return weights, prior
+
+
+def score_hashed(
+    docs: DataFrame,
+    weights: DataFrame,
+    prior: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    output_col: str = "content_logit",
+) -> DataFrame:
+    """Score documents under a fitted hashed-gram model: ``prior +
+    Σ weight[h(gram)]`` per document, higher = more good-like.
+
+    100 TB shape: the corpus explodes to gram grain ONCE, joins the
+    broadcast weight table (bounded by num_buckets), and re-aggregates
+    per document with map-side partial sums — one shuffle at
+    document grain, no Python.  Docs with no grams (empty text)
+    score exactly ``prior``.  ``num_buckets``/``bigrams`` must match
+    the fit (they define the hash space).
+    """
+    grams = docs.select(
+        F.col(id_col), _hashed_grams(text_col, num_buckets, bigrams).alias("_g")
+    )
+    summed = (
+        grams.select(id_col, F.explode_outer("_g").alias("bucket"))
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.coalesce(F.sum("weight"), F.lit(0.0)) + F.lit(prior)).alias(
+                output_col
+            )
+        )
+    )
+    return docs.join(summed, id_col, "left")
