@@ -2947,8 +2947,10 @@ def test_upsample_groups_zero_drop_and_validation(spark):
     got = {(r["doc_id"], r["epoch"]) for r in out.collect()}
     assert got == {(2, 0), (3, 0), (3, 1)}  # a dropped, NULL doubled
 
-    with pytest.raises(ValueError, match="finite"):
+    with pytest.raises(ValueError, match="10000"):
         upsample_groups(docs, "source", {"a": float("nan")})
+    with pytest.raises(ValueError, match="10000"):
+        upsample_groups(docs, "source", {"a": 1e9})
     with pytest.raises(ValueError, match="epoch"):
         upsample_groups(docs.withColumn("epoch", F.lit(0)), "source", {"a": 2})
 

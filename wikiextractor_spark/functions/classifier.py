@@ -362,18 +362,21 @@ def classifier_threshold_from_quantile(
 def _hashed_grams(text_col: str, num_buckets: int, bigrams: bool) -> Column:
     """Lowercased word unigrams (+ optional bigrams), each hashed to
     a bucket via non-negative xxhash64 mod num_buckets.  One nested
-    HOF expression — evaluated once per row, JVM-side."""
+    HOF expression, JVM-side; the token split is LET-BOUND via the
+    ``transform(array(...), ts -> ...)[0]`` idiom the repo's other
+    multi-reference expressions use, so it evaluates once per row
+    instead of once per reference (3× with bigrams)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    uni = toks
     if bigrams:
         grams = (
-            f"concat({uni}, transform(slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
-            f" (t, i) -> concat(t, '_', element_at({toks}, i + 2))))"
+            "concat(ts, transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+            " (t, i) -> concat(t, '_', element_at(ts, i + 2))))"
         )
     else:
-        grams = uni
+        grams = "ts"
     return F.expr(
-        f"transform({grams}, g -> pmod(xxhash64(g), {num_buckets}L))"
+        f"transform(array({toks}), ts -> "
+        f"transform({grams}, g -> pmod(xxhash64(g), {num_buckets}L)))[0]"
     )
 
 

@@ -273,11 +273,16 @@ def upsample_groups(
     Shape: one narrow ``explode(sequence(...))`` — row multiplication
     with NO shuffle and no driver-side data.  Groups absent from
     ``factors`` default to 1.0 (one epoch, ``epoch=0``); a factor of
-    0 drops the group.  Factors must be finite and >= 0.
+    0 drops the group.  Factors must be in [0, 10000] — epoch counts
+    are single-to-double digits in practice, and the cap turns a
+    misplaced-decimal factor (1e9 rows per row) into a loud error
+    instead of a cluster-sized explode.
     """
     for g, f in factors.items():
-        if not (f >= 0.0) or f != f or f == float("inf"):
-            raise ValueError(f"factor for group {g!r} must be finite >= 0")
+        if not (0.0 <= f <= 10_000.0):
+            raise ValueError(
+                f"factor for group {g!r} must be in [0, 10000], got {f!r}"
+            )
     if "epoch" in df.columns:
         raise ValueError("df already has an 'epoch' column")
 
