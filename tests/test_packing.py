@@ -488,3 +488,32 @@ def test_prepare_corpus_classifier_gate(spark):
     assert {r["doc_id"] for r in prepare_corpus(
         docs, classifier_model=DEFAULT_MODEL, dedup="exact"
     ).collect()} == {0}
+
+
+def test_prepare_corpus_content_gate(spark):
+    """The hashed-gram content gate inside prepare_corpus drops docs
+    whose vocabulary the fitted model rejects, and the knobs must be
+    given together."""
+    from wikiextractor_spark.functions.classifier import fit_hashed_classifier
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    good = "history village river school music people land record"
+    bad = "viagra casino jackpot winner claim bonus prize lottery"
+    labeled = spark.createDataFrame(
+        [(i, good, 1) for i in range(10)]
+        + [(100 + i, bad, 0) for i in range(10)],
+        "doc_id long, text string, label int",
+    )
+    w, prior = fit_hashed_classifier(labeled)
+    docs = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    out = prepare_corpus(
+        docs, content_weights=(w, prior), min_content_logit=0.0, dedup=None
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # output keeps the document schema (no score column leaks)
+    assert out.columns == docs.columns
+
+    with pytest.raises(ValueError, match="go together"):
+        prepare_corpus(docs, content_weights=(w, prior))

@@ -6,6 +6,7 @@ of the engine's training-data operators into one declarative flow.
       → quality gate           (textstats.quality_score, native)
       → repetition gate        (repetition.is_repetitive, native)
       → trained classifier     (classifier.gate_by_classifier, native)
+      → content classifier     (classifier.score_hashed, broadcast join)
       → PII redaction          (pii.redact_pii, native)
       → boilerplate lines      (spans.remove_boilerplate_lines, C4-style)
       → dedup                  (exact hash-groupBy or LSH near-dup)
@@ -54,6 +55,9 @@ def prepare_corpus(
     drop_repetitive: bool = False,
     classifier_model=None,
     classifier_threshold: float = 0.0,
+    content_weights: tuple[DataFrame, float] | None = None,
+    min_content_logit: float | None = None,
+    content_hash_opts: dict | None = None,
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
     redact: bool = False,
@@ -112,6 +116,26 @@ def prepare_corpus(
         out = gate_by_classifier(
             out, classifier_model, classifier_threshold, text_col
         )
+    if (content_weights is None) != (min_content_logit is None):
+        raise ValueError("content_weights and min_content_logit go together")
+    if content_weights is not None:
+        # hashed-gram content gate (functions/classifier.py
+        # fit_hashed_classifier output): like the LM gate below it is
+        # join-backed (explode → broadcast weight join → doc-grain
+        # sum), so it runs after every pure-predicate gate has
+        # shrunk the corpus
+        from wikiextractor_spark.functions.classifier import score_hashed
+
+        w, prior = content_weights
+        scored = score_hashed(
+            out.select(id_col, text_col), w, prior,
+            text_col=text_col, id_col=id_col,
+            **(content_hash_opts or {}),
+        )
+        keep = scored.filter(
+            F.col("content_logit") >= min_content_logit
+        ).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
     if (logprob_lm is None) != (min_mean_logp is None):
         raise ValueError("logprob_lm and min_mean_logp go together")
     if logprob_lm is not None:

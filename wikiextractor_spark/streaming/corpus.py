@@ -61,6 +61,9 @@ def prepare_corpus_stream(
     drop_repetitive: bool = False,
     classifier_model=None,
     classifier_threshold: float = 0.0,
+    content_weights=None,
+    min_content_logit: float | None = None,
+    content_hash_opts: dict | None = None,
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
     redact: bool = False,
@@ -125,6 +128,9 @@ def prepare_corpus_stream(
             # the gates drift with batch composition
             classifier_model=classifier_model,
             classifier_threshold=classifier_threshold,
+            content_weights=content_weights,
+            min_content_logit=min_content_logit,
+            content_hash_opts=content_hash_opts,
             logprob_lm=logprob_lm,
             min_mean_logp=min_mean_logp,
             redact=redact,
