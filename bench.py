@@ -52,6 +52,7 @@ def main() -> None:
         "ev_sessionize",
         "mm_media_meta",
         "ta_tfidf_keywords",
+        "ta_quality_classifier",
         "ta_chunk_documents",
         "corpus_prepare",
         "rel_grouping_sets",

@@ -970,7 +970,14 @@ def sim_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     index_dir = tempfile.mkdtemp(prefix="wx_ivf_battery_")
     try:
-        similarity.build_ivf_index(emb, index_dir, k=8, iters=2)
+        # iters=1 exercises the Lloyd update loop once — enough to
+        # verify the train→store→probe machinery this slot exists
+        # for (the exhaustive probe equals brute force for ANY
+        # centroids, so extra iterations only moved partition
+        # balance, at ~1.3 s per iteration of shuffle+collect;
+        # convergence quality itself is pytest-pinned by the recall
+        # curve in test_operators.py)
+        similarity.build_ivf_index(emb, index_dir, k=8, iters=1)
         out = similarity.ann_ivf_topk_indexed(
             spark, index_dir, query_ids=[0, 1, 2], k=5, nprobe=8
         ).select(
