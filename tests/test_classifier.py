@@ -277,3 +277,17 @@ def test_hashed_classifier_deterministic(labeled):
     d1 = {r["bucket"]: r["weight"] for r in w1.collect()}
     d2 = {r["bucket"]: r["weight"] for r in w2.collect()}
     assert d1 == d2
+
+
+def test_threshold_from_quantile_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no scored docs"):
+        clf.classifier_threshold_from_quantile(empty, 0.1)
+
+
+def test_hashed_fit_is_materialized(labeled):
+    """The returned weight table must not re-run the fit per action:
+    its plan is a (checkpointed) scan, not the explode+groupBy."""
+    w, _ = clf.fit_hashed_classifier(labeled)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "HashAggregate" not in plan

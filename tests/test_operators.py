@@ -2995,3 +2995,15 @@ def test_perplexity_buckets(spark):
 
     with pytest.raises(ValueError, match="cuts"):
         perplexity_buckets(docs, lm, cuts=(0.0, 0.5))
+
+
+def test_upsample_groups_scratch_column_collision(spark):
+    """A caller's own '_n_copies'/'_n' column must survive untouched."""
+    from wikiextractor_spark.operators.sampling import upsample_groups
+
+    docs = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 9)], "doc_id long, source string, _n_copies int"
+    )
+    out = upsample_groups(docs, "source", {"a": 2.0})
+    rows = {(r["doc_id"], r["epoch"]): r["_n_copies"] for r in out.collect()}
+    assert rows == {(1, 0): 7, (1, 1): 7, (2, 0): 9}

@@ -60,10 +60,11 @@ def _d_length_band(t: str) -> str:
 
 
 def _f_stopword_ratio(t: str) -> Column:
-    stop_lits = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
-    return F.expr(
-        f"size(filter(split({t}, ' '), w -> array_contains(array({stop_lits}), w)))"
-    ) * F.lit(1.0) / F.size(F.split(F.col(t), " "))
+    # the hit count is textstats' own expression, so the classifier
+    # feature can never diverge from the lang-ID definition
+    return textstats._hits_expr(t, "en") * F.lit(1.0) / F.size(
+        F.split(F.col(t), " ")
+    )
 
 
 def _d_stopword_ratio(t: str) -> str:
@@ -337,7 +338,13 @@ def classifier_threshold_from_quantile(
     if not 0.0 <= q < 1.0:
         raise ValueError(f"q must be in [0, 1), got {q}")
     scored = score_quality(df, model, text_col, "_q_logit")
-    return scored.approxQuantile("_q_logit", [q], relative_error)[0]
+    got = scored.approxQuantile("_q_logit", [q], relative_error)
+    if not got:
+        raise ValueError(
+            "classifier_threshold_from_quantile: no scored docs "
+            "(empty input or all-NULL text)"
+        )
+    return got[0]
 
 
 # --------------------------------------------------------------------------
@@ -420,6 +427,11 @@ def fit_hashed_classifier(
             "fit_hashed_classifier needs both classes present, got "
             f"good={n_good_docs} bad={n_bad_docs}"
         )
+    # materialize the bucket counts: they feed BOTH the totals agg
+    # and the weight projection (and the returned model is reused per
+    # action / per micro-batch downstream), so the explode+groupBy
+    # over the sample must run exactly once — the same contract
+    # fit_unigram_lm states for its vocab table
     counts = (
         base.select("_y", F.explode("_g").alias("bucket"))
         .groupBy("bucket")
@@ -427,9 +439,10 @@ def fit_hashed_classifier(
             F.sum("_y").alias("_ng"),
             F.sum(1 - F.col("_y")).alias("_nb"),
         )
+        .localCheckpoint(eager=True)
     )
     # class gram totals: one tiny agg over the bucket table (already
-    # shuffled), not a second corpus pass
+    # shuffled and materialized), not a second corpus pass
     totals = counts.agg(
         F.sum("_ng").alias("tg"), F.sum("_nb").alias("tb")
     ).first()
@@ -443,6 +456,9 @@ def fit_hashed_classifier(
         ).alias("weight"),
     )
     prior = math.log(n_good_docs / n_bad_docs)
+    # weights is a narrow projection over the materialized counts, so
+    # downstream re-use (per action, per micro-batch) never re-runs
+    # the fit
     return weights, prior
 
 

@@ -195,7 +195,13 @@ def perplexity_buckets(
     lo_q, hi_q = cuts
     if not 0.0 < lo_q <= hi_q < 1.0:
         raise ValueError(f"cuts must satisfy 0 < lo <= hi < 1, got {cuts}")
-    scores = doc_logprob_scores(docs, lm, text_col, id_col)
+    # materialize the narrow (id, mean_logp) table: it feeds BOTH the
+    # quantile action and the labeling join, and the scoring pass
+    # (explode + broadcast vocab join + per-doc rollup) is the
+    # expensive part — without this the corpus is scored twice
+    scores = doc_logprob_scores(docs, lm, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     got = scores.approxQuantile("mean_logp", [lo_q, hi_q], relative_error)
     if not got:
         raise ValueError("perplexity_buckets: corpus has no scored docs")

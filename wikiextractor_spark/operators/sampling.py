@@ -304,9 +304,14 @@ def upsample_groups(
     n_copies = whole + (
         _hash_bucket(F.col(key_col), salt) < frac_gate
     ).cast("int")
+    # collision-safe scratch column: clobbering a caller's column of
+    # the same name would silently drop their data
+    n = "_n_copies"
+    while n in df.columns:
+        n += "_"
     return (
-        df.withColumn("_n", n_copies)
-        .filter(F.col("_n") > 0)
-        .withColumn("epoch", F.explode(F.expr("sequence(0, _n - 1)")))
-        .drop("_n")
+        df.withColumn(n, n_copies)
+        .filter(F.col(n) > 0)
+        .withColumn("epoch", F.explode(F.expr(f"sequence(0, `{n}` - 1)")))
+        .drop(n)
     )
