@@ -517,3 +517,18 @@ def test_prepare_corpus_content_gate(spark):
 
     with pytest.raises(ValueError, match="go together"):
         prepare_corpus(docs, content_weights=(w, prior))
+
+
+def test_prepare_corpus_gopher_gate(spark):
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with energy "
+         "and grace to be of note have"] * 5
+    )
+    docs = spark.createDataFrame(
+        [(1, good), (2, " ".join(["#tag"] * 60))],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(docs, gopher=True, dedup=None)
+    assert {r["doc_id"] for r in out.collect()} == {1}

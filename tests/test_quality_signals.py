@@ -475,3 +475,64 @@ def test_canonical_url_and_dedup(spark):
     assert len([r for r in kept if r["doc_id"] == 7]) == 2
     dropped = {r["doc_id"] for r in dedup_by_url(docs, keep_unparseable=False).collect()}
     assert dropped == {1, 3}
+
+
+# ---------------------- Gopher shape rules (A1.1) ----------------------
+
+
+def test_gopher_signals_and_gate(spark):
+    from wikiextractor_spark.functions.gopher import (
+        gopher_signals,
+        passes_gopher_rules,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with energy "
+         "and grace to be of note have"] * 5
+    )
+    rows = [
+        (1, good),
+        (2, "short doc"),                       # word-count floor
+        (3, " ".join(["#tag"] * 60)),           # symbol ratio + stopword floor
+        (4, "\n".join(["• item of the list to be"] * 30) + "\n" + good),
+        (5, " ".join(["123456"] * 80)),         # alpha-word floor
+        (6, None),                              # NULL text fails
+        (7, good + " " + " ".join(["end of line..."] * 0)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in df.filter(passes_gopher_rules()).collect()}
+    assert kept == {1, 7}
+
+    s = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", gopher_signals().alias("s")).collect()}
+    assert s[1]["stop_hits"] == 8 and s[1]["alpha_word_frac"] == 1.0
+    assert s[3]["symbol_word_ratio"] == 1.0
+    assert s[4]["bullet_line_frac"] > 0.9
+    assert s[5]["alpha_word_frac"] == 0.0
+
+
+def test_gopher_ellipsis_and_thresholds(spark):
+    from wikiextractor_spark.functions.gopher import passes_gopher_rules
+
+    base = ("the cat and the dog have gone to be of use with that "
+            "group and more words follow here now then")
+    many_ellipsis = "\n".join([base + "..."] * 10)
+    df = spark.createDataFrame(
+        [(1, many_ellipsis)], "doc_id long, text string"
+    )
+    # every line ends with '...' -> fails the default 0.3 cap...
+    assert df.filter(passes_gopher_rules(min_words=10)).count() == 0
+    # ...but passes with the cap lifted
+    assert df.filter(
+        passes_gopher_rules(min_words=10, max_ellipsis_line_frac=1.0)
+    ).count() == 1
+
+
+def test_gopher_gate_is_narrow_plan(spark, sf_dir):
+    from wikiextractor_spark.functions.gopher import passes_gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = docs.filter(passes_gopher_rules())._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -5,6 +5,7 @@ of the engine's training-data operators into one declarative flow.
       → language filter        (textstats.lang_id, native)
       → quality gate           (textstats.quality_score, native)
       → repetition gate        (repetition.is_repetitive, native)
+      → Gopher shape rules     (gopher.passes_gopher_rules, native)
       → trained classifier     (classifier.gate_by_classifier, native)
       → content classifier     (classifier.score_hashed, broadcast join)
       → PII redaction          (pii.redact_pii, native)
@@ -53,6 +54,7 @@ def prepare_corpus(
     target_lang: str | None = None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
+    gopher: bool = False,
     classifier_model=None,
     classifier_threshold: float = 0.0,
     content_weights: tuple[DataFrame, float] | None = None,
@@ -106,6 +108,14 @@ def prepare_corpus(
         out = out.filter(quality_score(text_col) >= min_quality)
     if drop_repetitive:
         out = out.filter(~is_repetitive(text_col))
+    if gopher:
+        # Gopher A1.1 shape rules (word/char bands, symbol + bullet +
+        # ellipsis fractions, alpha-word and stopword floors) — one
+        # more narrow pushdown-able predicate; the same paper's
+        # repetition rules are the drop_repetitive gate above
+        from wikiextractor_spark.functions.gopher import passes_gopher_rules
+
+        out = out.filter(passes_gopher_rules(text_col))
     if classifier_model is not None:
         # trained-model gate (functions/classifier.py QualityModel)
         # with the other narrow native filters: the weights inline as

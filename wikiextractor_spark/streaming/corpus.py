@@ -59,6 +59,7 @@ def prepare_corpus_stream(
     target_lang: str | None = None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
+    gopher: bool = False,
     classifier_model=None,
     classifier_threshold: float = 0.0,
     content_weights=None,
@@ -123,6 +124,7 @@ def prepare_corpus_stream(
             target_lang=target_lang,
             min_quality=min_quality,
             drop_repetitive=drop_repetitive,
+            gopher=gopher,
             # PRE-FITTED models only (fit on the kept corpus or a
             # trusted reference): fitting per micro-batch would make
             # the gates drift with batch composition
