@@ -536,3 +536,63 @@ def test_gopher_gate_is_narrow_plan(spark, sf_dir):
     ).executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------- domain blocklist gate ----------------------
+
+
+def test_host_suffixes(spark):
+    from wikiextractor_spark.functions.urls import host_suffixes
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com/p?q=1"),
+         (2, "https://www.example.org/"),
+         (3, "not a url"),
+         (4, None)],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", host_suffixes(F.col("url")).alias("s")).collect()}
+    assert got[1] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[2] == ["example.org", "org"]  # www. stripped
+    assert got[3] is None and got[4] is None
+
+
+def test_filter_blocked_domains(spark):
+    from wikiextractor_spark.functions.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(1, "https://spam.example.com/page"),   # subdomain of blocked
+         (2, "https://example.com/x"),           # exactly blocked
+         (3, "https://example.com.evil.net/y"),  # NOT blocked (suffix only)
+         (4, "https://clean.org/z"),
+         (5, "garbage"),                         # unparseable
+         (6, None)],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in
+            filter_blocked_domains(df, ["example.com"]).collect()}
+    assert kept == {3, 4, 5, 6}
+    # unparseable rows droppable on request
+    kept2 = {r["doc_id"] for r in filter_blocked_domains(
+        df, ["example.com"], keep_unparseable=False).collect()}
+    assert kept2 == {3, 4}
+
+    # DataFrame blocklist + validation
+    bl = spark.createDataFrame([("clean.org",)], "domain string")
+    assert {r["doc_id"] for r in
+            filter_blocked_domains(df, bl).collect()} == {1, 2, 3, 5, 6}
+    with pytest.raises(ValueError, match="domain"):
+        filter_blocked_domains(df, df)
+
+
+def test_filter_blocked_domains_plan_broadcasts(spark):
+    from wikiextractor_spark.functions.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(i, f"https://site{i}.com/") for i in range(100)],
+        "doc_id long, url string",
+    )
+    plan = filter_blocked_domains(df, ["bad.com"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -209,3 +209,73 @@ def dedup_by_url(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_ck")
     )
+
+
+def host_suffixes(url: Column) -> Column:
+    """All dot-suffixes of a URL's host, most-specific first —
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]`` — so blocklist matching is an equi-join on
+    an exploded bounded array (hosts have ≤ ~10 labels) instead of
+    an unjoinable ``endswith`` predicate.  NULL/unparseable URLs
+    yield NULL."""
+    host = url_domain(url)
+    # let-bind the label array once (the repo's transform(array(...))
+    # idiom): without it the parse_url+split chain re-evaluates per
+    # reference
+    return F.transform(
+        F.array(F.split(host, r"\.")),
+        lambda ps: F.transform(
+            F.sequence(F.lit(1), F.size(ps)),
+            lambda i: F.array_join(F.slice(ps, i, F.size(ps) - i + 1), "."),
+        ),
+    ).getItem(0)
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep_unparseable: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL's host is a blocked domain OR any
+    subdomain of one — the C4/RefinedWeb curated-blocklist gate.
+
+    Scale shape: each row explodes its ≤ ~10 host suffixes once and
+    semi-joins the BROADCAST blocklist on exact suffix equality (a
+    curated list is driver-sized by construction), yielding the
+    blocked id set; the corpus then anti-joins that id set.  The
+    corpus itself never shuffles on a derived key — only (id,
+    suffix) pairs enter the probe, and the blocked-id side is
+    usually a sliver.
+
+    ``blocklist`` entries are bare lowercase domains
+    (``example.com``); a DataFrame blocklist must have a single
+    ``domain`` string column.  Rows whose URL has no parseable host
+    match nothing; by default they pass through,
+    ``keep_unparseable=False`` drops them (stated, like
+    :func:`dedup_by_url`)."""
+    if isinstance(blocklist, list):
+        bl = df.sparkSession.createDataFrame(
+            [(d.lower().lstrip("."),) for d in blocklist], "domain string"
+        )
+    else:
+        if blocklist.columns != ["domain"]:
+            raise ValueError(
+                "blocklist DataFrame must have exactly one 'domain' "
+                f"column, got {blocklist.columns}"
+            )
+        bl = blocklist
+    blocked_ids = (
+        df.select(
+            F.col(id_col),
+            F.explode(host_suffixes(F.col(url_col))).alias("domain"),
+        )
+        .join(F.broadcast(bl), "domain", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    out = df.join(blocked_ids, id_col, "left_anti")
+    if not keep_unparseable:
+        out = out.filter(url_domain(F.col(url_col)).isNotNull())
+    return out
