@@ -532,3 +532,19 @@ def test_prepare_corpus_gopher_gate(spark):
     )
     out = prepare_corpus(docs, gopher=True, dedup=None)
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_prepare_corpus_url_blocklist(spark):
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "keep this text", "https://good.org/a"),
+         (2, "drop this text", "https://spam.bad.net/b")],
+        "doc_id long, text string, url string",
+    )
+    out = prepare_corpus(docs, url_blocklist=["bad.net"], dedup=None)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+    no_url = docs.drop("url")
+    with pytest.raises(ValueError, match="no 'url' column"):
+        prepare_corpus(no_url, url_blocklist=["bad.net"], dedup=None)

@@ -6,6 +6,7 @@ of the engine's training-data operators into one declarative flow.
       → quality gate           (textstats.quality_score, native)
       → repetition gate        (repetition.is_repetitive, native)
       → Gopher shape rules     (gopher.passes_gopher_rules, native)
+      → URL blocklist          (urls.filter_blocked_domains, broadcast)
       → trained classifier     (classifier.gate_by_classifier, native)
       → content classifier     (classifier.score_hashed, broadcast join)
       → PII redaction          (pii.redact_pii, native)
@@ -55,6 +56,8 @@ def prepare_corpus(
     min_quality: float | None = None,
     drop_repetitive: bool = False,
     gopher: bool = False,
+    url_blocklist: DataFrame | list | None = None,
+    url_col: str = "url",
     classifier_model=None,
     classifier_threshold: float = 0.0,
     content_weights: tuple[DataFrame, float] | None = None,
@@ -116,6 +119,17 @@ def prepare_corpus(
         from wikiextractor_spark.functions.gopher import passes_gopher_rules
 
         out = out.filter(passes_gopher_rules(text_col))
+    if url_blocklist is not None:
+        # curated-domain gate: needs the corpus to carry a URL column
+        # (crawled corpora do; wiki-derived ones may not — loud error
+        # beats silently gating nothing)
+        if url_col not in out.columns:
+            raise ValueError(
+                f"url_blocklist given but no {url_col!r} column present"
+            )
+        from wikiextractor_spark.functions.urls import filter_blocked_domains
+
+        out = filter_blocked_domains(out, url_blocklist, url_col, id_col)
     if classifier_model is not None:
         # trained-model gate (functions/classifier.py QualityModel)
         # with the other narrow native filters: the weights inline as
