@@ -596,3 +596,72 @@ def test_filter_blocked_domains_plan_broadcasts(spark):
     plan = filter_blocked_domains(df, ["bad.com"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_filter_blocked_domains_null_and_duplicate_ids(spark):
+    """NULL-id rows gate at the ROW grain (blocked ones cannot leak
+    through the id join); duplicate non-NULL ids use taint
+    semantics — every row of a blocked id drops."""
+    from wikiextractor_spark.functions.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(1, "https://ok.org/a"),
+         (None, "https://spam.bad.net/x"),     # NULL id + blocked -> drop
+         (None, "https://fine.org/y"),          # NULL id + clean  -> keep
+         (5, "https://bad.net/y"),              # tainted id...
+         (5, "https://fine.org/z")],            # ...drops both rows
+        "doc_id long, url string",
+    )
+    kept = [(r["doc_id"], r["url"]) for r in
+            filter_blocked_domains(df, ["bad.net"]).collect()]
+    assert sorted(kept, key=str) == sorted(
+        [(1, "https://ok.org/a"), (None, "https://fine.org/y")], key=str)
+
+
+def test_filter_blocked_domains_normalizes_entries_and_fqdn(spark):
+    """'www.'-prefixed blocklist entries and trailing-dot FQDN hosts
+    must both match (either would silently leak otherwise)."""
+    from wikiextractor_spark.functions.urls import (
+        filter_blocked_domains,
+        host_suffixes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://spam.bad.net./x"),       # absolute FQDN form
+         (2, "https://www.bad.net/y"),
+         (3, "https://clean.org/z")],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in
+            filter_blocked_domains(df, ["www.bad.net"]).collect()}
+    assert kept == {3}
+    sfx = df.filter("doc_id = 1").select(
+        host_suffixes(F.col("url")).alias("s")).first()["s"]
+    assert sfx == ["spam.bad.net", "bad.net", "net"]  # no '' garbage entry
+
+
+def test_gopher_crlf_lines(spark):
+    """CRLF documents: the ellipsis-line rule must see the '...'
+    (trim() alone would leave a trailing \\r and never match)."""
+    from wikiextractor_spark.functions.gopher import gopher_signals
+
+    base = "the cat and the dog have gone to be of use with that group"
+    crlf = "\r\n".join([base + "..."] * 10)
+    lf = "\n".join([base + "..."] * 10)
+    got = {r["doc_id"]: r["s"]["ellipsis_line_frac"] for r in
+           spark.createDataFrame([(1, crlf), (2, lf)],
+                                 "doc_id long, text string")
+           .select("doc_id", gopher_signals().alias("s")).collect()}
+    assert got[1] == got[2] == 1.0
+
+
+def test_repetition_crlf_matches_naive(spark):
+    """The shared line split is CRLF-aware, keeping the SQL signals
+    equal to the naive differential (whose strip() removes \\r)."""
+    t = "nav home\r\nreal content here\r\nnav home\r\nnav home"
+    got = (spark.createDataFrame([(1, t)], "doc_id long, text string")
+           .select(repetition_signals("text").alias("s")).first()["s"])
+    want = _naive(t)
+    assert got["dup_line_frac"] == pytest.approx(want["dup_line_frac"])
+    assert got["dup_line_char_frac"] == pytest.approx(
+        want["dup_line_char_frac"])

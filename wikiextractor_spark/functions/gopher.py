@@ -20,13 +20,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from wikiextractor_spark.functions.repetition import _NONEMPTY_LINES
+
 # the eight words Gopher requires at least two of (distinct)
 REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 _BULLETS = ("•", "‣", "▪", "-", "*")
 
 _WORDS = "filter(split({t}, '\\\\s+'), w -> w != '')"
-_LINES = "filter(transform(split({t}, '\\n'), l -> trim(l)), l -> l != '')"
+# ONE line-split definition repo-wide (CRLF-aware, trimmed,
+# non-empty) — imported, not duplicated, so a line-handling fix can
+# never diverge between the repetition and Gopher gates
+_LINES = _NONEMPTY_LINES
 
 
 def _signals_struct_sql(text_col: str) -> str:
@@ -43,6 +48,7 @@ def _signals_struct_sql(text_col: str) -> str:
     )
     return f"""
         transform(array({ws}), ws ->
+          transform(array(transform(ws, w -> lower(w))), lws ->
           transform(array({ls}), ls -> struct(
             size(ws) AS n_words,
             CASE WHEN size(ws) = 0 THEN 0.0D
@@ -62,8 +68,8 @@ def _signals_struct_sql(text_col: str) -> str:
                  ELSE size(filter(ws, w -> w rlike '[A-Za-z]')) * 1.0 / size(ws)
             END AS alpha_word_frac,
             size(filter(array({stop_lits}),
-                        s -> array_contains(transform(ws, w -> lower(w)), s)))
-              AS stop_hits))[0])[0]
+                        s -> array_contains(lws, s)))
+              AS stop_hits))[0])[0])[0]
         """
 
 

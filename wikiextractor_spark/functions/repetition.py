@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-_NONEMPTY_LINES = "filter(transform(split({t}, '\\n'), l -> trim(l)), l -> l != '')"
+# split on \r?\n: SQL trim() does NOT strip \r, so a CRLF corpus
+# would otherwise see every line carry a trailing \r — breaking
+# equality-based dup detection AND diverging from the naive-Python
+# differential (whose str.strip() removes \r)
+_NONEMPTY_LINES = (
+    "filter(transform(split({t}, '\\\\r?\\\\n'), l -> trim(l)), l -> l != '')"
+)
 
 # words of the normalized text; empty docs yield [] (one ''-gram
 # would score top_ngram_frac = 1.0 and wrongly flag empty docs)

@@ -37,7 +37,10 @@ def url_domain(url: Column) -> Column:
     ``https://``) instead of yielding NULL — a crawled corpus will
     contain those."""
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
-    return F.regexp_replace(host, r"^www\.", "")
+    # the trailing dot of an absolute FQDN ('example.com.') names the
+    # same resource per DNS — strip it, or suffix/equality matching
+    # (blocklists, domain rollups) silently misses the dotted form
+    return F.regexp_replace(host, r"^www\.|\.$", "")
 
 
 def doc_urls(
@@ -250,14 +253,26 @@ def filter_blocked_domains(
     usually a sliver.
 
     ``blocklist`` entries are bare lowercase domains
-    (``example.com``); a DataFrame blocklist must have a single
-    ``domain`` string column.  Rows whose URL has no parseable host
-    match nothing; by default they pass through,
-    ``keep_unparseable=False`` drops them (stated, like
-    :func:`dedup_by_url`)."""
+    (``example.com``); leading ``www.`` and dots are normalized away
+    exactly like :func:`url_domain` normalizes hosts (a curated list
+    full of ``www.``-prefixed entries would otherwise be silently
+    inert).  A DataFrame blocklist must have a single ``domain``
+    string column and gets the same normalization.
+
+    Semantics are ID-GRAIN for non-NULL ids: an id with ANY blocked
+    URL is dropped in full (taint semantics — under duplicate ids,
+    every row of a blocked id goes).  Rows with a NULL id are gated
+    at the ROW grain through a separate packed-row pass over that
+    sliver, so NULL-id blocked rows cannot leak through the id join.
+    Rows whose URL has no parseable host match nothing; by default
+    they pass through, ``keep_unparseable=False`` drops them
+    (stated, like :func:`dedup_by_url`)."""
+    norm = lambda c: F.regexp_replace(  # noqa: E731 — mirrors url_domain
+        F.lower(F.trim(c)), r"^\.+|^www\.|\.$", ""
+    )
     if isinstance(blocklist, list):
         bl = df.sparkSession.createDataFrame(
-            [(d.lower().lstrip("."),) for d in blocklist], "domain string"
+            [(d,) for d in blocklist], "domain string"
         )
     else:
         if blocklist.columns != ["domain"]:
@@ -266,8 +281,11 @@ def filter_blocked_domains(
                 f"column, got {blocklist.columns}"
             )
         bl = blocklist
+    bl = bl.select(norm(F.col("domain")).alias("domain"))
+
+    main = df.filter(F.col(id_col).isNotNull())
     blocked_ids = (
-        df.select(
+        main.select(
             F.col(id_col),
             F.explode(host_suffixes(F.col(url_col))).alias("domain"),
         )
@@ -275,7 +293,36 @@ def filter_blocked_domains(
         .select(id_col)
         .distinct()
     )
-    out = df.join(blocked_ids, id_col, "left_anti")
+    out = main.join(blocked_ids, id_col, "left_anti")
+
+    nulls = df.filter(F.col(id_col).isNull())
+    # row-grain path for the NULL-id sliver: the whole row rides a
+    # struct through one LINEAR explode → broadcast join → regroup
+    # plan keyed by a per-row surrogate (assigned once, upstream of
+    # the shuffle — no branch reuse, so recompute determinism is the
+    # same contract dedup_by_url's surrogate relies on)
+    # the surrogate MUST be projected BEFORE the explode: evaluated in
+    # the same select as the generator it runs once per exploded
+    # output row (each suffix gets its own id) and the regroup never
+    # reassembles the document
+    packed = nulls.select(
+        F.struct(*nulls.columns).alias("_row"),
+        F.monotonically_increasing_id().alias("_rid"),
+        host_suffixes(F.col(url_col)).alias("_sfx"),
+    ).select("_row", "_rid", F.explode_outer("_sfx").alias("domain"))
+    kept_nulls = (
+        packed.join(
+            F.broadcast(bl.withColumn("_hit", F.lit(1))), "domain", "left"
+        )
+        .groupBy("_rid")
+        .agg(
+            F.any_value(F.col("_row")).alias("_row"),
+            F.max(F.coalesce(F.col("_hit"), F.lit(0))).alias("_b"),
+        )
+        .filter(F.col("_b") == 0)
+        .select("_row.*")
+    )
+    out = out.unionByName(kept_nulls)
     if not keep_unparseable:
         out = out.filter(url_domain(F.col(url_col)).isNotNull())
     return out

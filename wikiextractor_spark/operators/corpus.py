@@ -2,11 +2,11 @@
 of the engine's training-data operators into one declarative flow.
 
     raw documents
+      → URL blocklist          (urls.filter_blocked_domains, broadcast)
       → language filter        (textstats.lang_id, native)
       → quality gate           (textstats.quality_score, native)
       → repetition gate        (repetition.is_repetitive, native)
       → Gopher shape rules     (gopher.passes_gopher_rules, native)
-      → URL blocklist          (urls.filter_blocked_domains, broadcast)
       → trained classifier     (classifier.gate_by_classifier, native)
       → content classifier     (classifier.score_hashed, broadcast join)
       → PII redaction          (pii.redact_pii, native)
@@ -105,6 +105,19 @@ def prepare_corpus(
     everything previously accepted without re-processing it.
     """
     out = df
+    if url_blocklist is not None:
+        # FIRST, before any text gate: the blocklist probe self-joins
+        # its input (blocked-id sliver → anti join), so it must see
+        # the raw column-pruned scan — placed later it would re-run
+        # every interpreted text-lambda gate on both branches.  It is
+        # also the cheapest gate (parse_url on short strings).
+        if url_col not in out.columns:
+            raise ValueError(
+                f"url_blocklist given but no {url_col!r} column present"
+            )
+        from wikiextractor_spark.functions.urls import filter_blocked_domains
+
+        out = filter_blocked_domains(out, url_blocklist, url_col, id_col)
     if target_lang is not None:
         out = out.filter(lang_id(text_col) == target_lang)
     if min_quality is not None:
@@ -119,17 +132,6 @@ def prepare_corpus(
         from wikiextractor_spark.functions.gopher import passes_gopher_rules
 
         out = out.filter(passes_gopher_rules(text_col))
-    if url_blocklist is not None:
-        # curated-domain gate: needs the corpus to carry a URL column
-        # (crawled corpora do; wiki-derived ones may not — loud error
-        # beats silently gating nothing)
-        if url_col not in out.columns:
-            raise ValueError(
-                f"url_blocklist given but no {url_col!r} column present"
-            )
-        from wikiextractor_spark.functions.urls import filter_blocked_domains
-
-        out = filter_blocked_domains(out, url_blocklist, url_col, id_col)
     if classifier_model is not None:
         # trained-model gate (functions/classifier.py QualityModel)
         # with the other narrow native filters: the weights inline as

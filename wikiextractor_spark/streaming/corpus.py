@@ -27,6 +27,11 @@ Stage trades stated explicitly:
 * ``token_budget`` sampling is NOT offered — it needs the corpus-wide
   token total, which an unbounded stream never has.  Use
   ``sample_fraction`` (stateless) and budget offline.
+* ``url_blocklist`` is NOT offered — the streaming document schema
+  (``DOCUMENTS_SCHEMA``) carries no URL column, so the gate would
+  raise on every batch; run
+  :func:`~wikiextractor_spark.functions.urls.filter_blocked_domains`
+  on the crawl frontier upstream of ingestion instead.
 * ``boilerplate_min_docs`` (cross-document line removal) is NOT
   offered either — "appears in ≥ N distinct documents" is a
   corpus-wide count: a per-batch count would miss boilerplate spread
