@@ -665,3 +665,25 @@ def test_repetition_crlf_matches_naive(spark):
     assert got["dup_line_frac"] == pytest.approx(want["dup_line_frac"])
     assert got["dup_line_char_frac"] == pytest.approx(
         want["dup_line_char_frac"])
+
+
+def test_perplexity_buckets_plan_no_global_sort(spark):
+    """Bucketing must come from quantile THRESHOLDS (two driver
+    floats), never a global sort/ntile — the property that keeps it
+    viable at corpus scale."""
+    from wikiextractor_spark.functions.lmquality import (
+        fit_unigram_lm,
+        perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    lm = fit_unigram_lm(docs, vocab_size=50)
+    plan = perplexity_buckets(docs, lm)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # per-partition SMJ sorts ("... false, 0") are fine; a GLOBAL
+    # sort ("... true, 0") or any Window would be the ntile shape
+    assert "true, 0" not in plan
+    assert "Window" not in plan
