@@ -687,3 +687,59 @@ def test_perplexity_buckets_plan_no_global_sort(spark):
     # sort ("... true, 0") or any Window would be the ntile shape
     assert "true, 0" not in plan
     assert "Window" not in plan
+
+
+def test_gates_robust_on_adversarial_text(spark):
+    """One batch of adversarial documents (regex metachars, CJK,
+    emoji, RTL, control chars, huge tokens, mixed newlines, NULL)
+    through every new gate expression: nothing raises, every signal
+    lands in its contract range, the boolean gates stay boolean."""
+    from wikiextractor_spark.functions.classifier import (
+        DEFAULT_MODEL,
+        logit_expr,
+    )
+    from wikiextractor_spark.functions.gopher import (
+        gopher_signals,
+        passes_gopher_rules,
+    )
+    from wikiextractor_spark.functions.urls import host_suffixes
+
+    adversarial = [
+        "a]b[c(d)e{f}g|h\\i^j$k.l*m+n?o",     # regex metachars
+        "中文文本没有空格也没有英文字母",          # CJK, no spaces
+        "🎉🎊💥 emoji only 🚀🌟",
+        "مرحبا بالعالم هذا نص عربي",            # RTL
+        "line1\rline2\r\nline3\nline4",        # mixed newlines
+        "\t\t\v\f      ",       # exotic whitespace
+        "x" * 50_000,                          # one huge token
+        ("tok " * 20_000).strip(),             # many tokens
+        "\x00\x01\x02 control \x1f chars",
+        "'); DROP TABLE docs; --",             # quote-ish content
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t, f"https://h{i}.example/{t[:5] if t else ''}")
+         for i, t in enumerate(adversarial)],
+        "doc_id long, text string, url string",
+    )
+    rows = df.select(
+        "doc_id",
+        gopher_signals().alias("s"),
+        passes_gopher_rules().alias("keep"),
+        logit_expr(DEFAULT_MODEL).alias("z"),
+        host_suffixes(F.col("url")).alias("sfx"),
+    ).collect()
+    assert len(rows) == len(adversarial)
+    for r in rows:
+        if r["s"] is not None and r["s"]["n_words"] is not None:
+            s = r["s"]
+            assert s["n_words"] >= 0
+            for frac in ("bullet_line_frac", "ellipsis_line_frac",
+                         "alpha_word_frac"):
+                assert s[frac] is None or 0.0 <= s[frac] <= 1.0
+            assert s["stop_hits"] is not None and 0 <= s["stop_hits"] <= 8
+        assert r["keep"] in (True, False, None)
+        if r["z"] is not None:
+            import math as _m
+            assert _m.isfinite(r["z"])
