@@ -743,3 +743,87 @@ def test_gates_robust_on_adversarial_text(spark):
         if r["z"] is not None:
             import math as _m
             assert _m.isfinite(r["z"])
+
+
+# --------------------------- interpolated bigram LM ---------------------------
+
+
+def test_bigram_lm_prices_word_order(spark):
+    """The bigram model's reason to exist: a shuffled-word doc keeps
+    its unigram score but loses the conditional term."""
+    import random as _random
+
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores,
+        doc_logprob_scores_bigram,
+        fit_bigram_lm,
+    )
+
+    sent = "the cat sat on the mat and the dog ran to the tree"
+    rng = _random.Random(3)
+    shuffled_words = sent.split()
+    rng.shuffle(shuffled_words)
+    shuffled = " ".join(shuffled_words)
+    corpus = spark.createDataFrame(
+        [(i, sent) for i in range(20)], "doc_id long, text string"
+    )
+    uni, bi = fit_bigram_lm(corpus, vocab_size=100, bigram_size=200)
+
+    probe = spark.createDataFrame(
+        [(1, sent), (2, shuffled)], "doc_id long, text string"
+    )
+    u = {r["doc_id"]: r["mean_logp"]
+         for r in doc_logprob_scores(probe, uni).collect()}
+    b = {r["doc_id"]: r["mean_logp"]
+         for r in doc_logprob_scores_bigram(probe, uni, bi).collect()}
+    # same multiset of words -> identical unigram scores
+    assert u[1] == pytest.approx(u[2])
+    # ...but the natural order scores strictly higher under bigrams
+    assert b[1] > b[2] + 0.5
+
+
+def test_bigram_lm_backoff_and_edges(spark):
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores_bigram,
+        fit_bigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    uni, bi = fit_bigram_lm(corpus, vocab_size=50, bigram_size=50)
+    probe = spark.createDataFrame(
+        [(1, "alpha"),                  # single token: unigram only
+         (2, "alpha zzz"),              # unseen pair AND unseen w2
+         (3, ""),                       # no tokens: no score row
+         (4, "beta alpha")],            # seen words, unseen pair
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            doc_logprob_scores_bigram(probe, uni, bi).collect()}
+    assert 3 not in rows
+    assert rows[1]["n_tokens"] == 1
+    import math as _m
+    for r in rows.values():
+        assert _m.isfinite(r["mean_logp"])
+    # unseen pair of SEEN words backs off to (1-lam)*p_uni < p_uni,
+    # so it scores below the fluent corpus sentence but stays finite
+    with pytest.raises(ValueError, match="lam"):
+        doc_logprob_scores_bigram(probe, uni, bi, lam=1.0)
+
+
+def test_bigram_scoring_plan_broadcasts(spark):
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores_bigram,
+        fit_bigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(5)], "doc_id long, text string"
+    )
+    uni, bi = fit_bigram_lm(corpus, vocab_size=20, bigram_size=20)
+    plan = doc_logprob_scores_bigram(corpus, uni, bi)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan

@@ -32,12 +32,17 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 
+def _tokens_sql(text_col: str) -> str:
+    """The token expression as a SQL fragment, for call sites that
+    nest it inside a larger ``F.expr`` (a Column's ``toString`` does
+    NOT round-trip lambda variables into parseable SQL)."""
+    return f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+
+
 def _tokens_expr(text_col: str):
     """Lowercased whitespace tokens (the same normalization the other
     text-analysis signals use), empties dropped."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    return F.expr(_tokens_sql(text_col))
 
 
 def fit_unigram_lm(
@@ -215,4 +220,143 @@ def perplexity_buckets(
     return (
         docs.join(scores, id_col, "left")
         .withColumn("ppx_bucket", bucket)
+    )
+
+
+def fit_bigram_lm(
+    docs: DataFrame, text_col: str = "text",
+    vocab_size: int = 50_000, bigram_size: int = 200_000,
+) -> tuple[DataFrame, DataFrame]:
+    """→ ``(unigram_lm, bigram_table)``: one n-gram order up from
+    :func:`fit_unigram_lm` (the CCNet direction — their production
+    filter is a 5-gram KenLM; a corpus-fit interpolated bigram
+    captures local word ORDER, which no unigram model can see).
+
+    ``bigram_table`` is ``(w1, w2, logp_cond)`` for the
+    ``bigram_size`` most frequent adjacent pairs, with
+    ``logp_cond = log(c(w1,w2) / c(w1))`` — the ML conditional.
+    Pairs whose ``w1`` falls outside the unigram vocabulary are
+    dropped (their mass backs off to the unigram side at scoring).
+
+    Cost shape: exactly two bounded corpus scans — the unigram
+    heavy-hitter fit and a pair-grain heavy-hitter pass — and both
+    models stay driver-sized tables regardless of corpus size.
+    """
+    from wikiextractor_spark.operators.sketches import heavy_hitters
+
+    uni = fit_unigram_lm(docs, text_col, vocab_size)
+    # unigram COUNTS (not logp) for the conditional's denominator:
+    # re-derive from the model instead of a third scan — logp was
+    # log(c/total), so c = exp(logp) * total; carry total via the
+    # floor row's definition (floor = log(0.5/total))
+    floor = float(
+        uni.filter(F.col("token").isNull()).first()["logp"]
+    )
+    total = 0.5 / math.exp(floor)
+    uni_counts = uni.filter(F.col("token").isNotNull()).select(
+        F.col("token").alias("w1"),
+        (F.exp(F.col("logp")) * F.lit(total)).alias("_c1"),
+    )
+    # adjacent pairs, NUL-joined (no whitespace token can contain \x00)
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                # NB sequence(1, 0) is the DESCENDING [1, 0], not
+                # empty — docs under 2 tokens need the explicit arm
+                f"transform(array({_tokens_sql(text_col)}), ws -> "
+                "CASE WHEN size(ws) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(ws) - 1), "
+                "i -> concat(ws[i - 1], '\\u0000', ws[i])) END)[0]"
+            )
+        ).alias("pair")
+    )
+    top_pairs = heavy_hitters(
+        pairs, "pair", k=bigram_size,
+        candidates_per_partition=max(200, bigram_size),
+        max_candidates=2 * max(200, bigram_size),
+    )
+    bigram = (
+        top_pairs.select(
+            F.split_part(F.col("value"), F.lit("\x00"), F.lit(1)).alias("w1"),
+            F.split_part(F.col("value"), F.lit("\x00"), F.lit(2)).alias("w2"),
+            F.col("n").alias("_cp"),
+        )
+        .join(F.broadcast(uni_counts), "w1")
+        .select(
+            "w1", "w2",
+            F.log(F.col("_cp") / F.col("_c1")).alias("logp_cond"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return uni, bigram
+
+
+def doc_logprob_scores_bigram(
+    docs: DataFrame, uni_lm: DataFrame, bigram: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(id_col, n_tokens, mean_logp)`` under the interpolated
+    bigram model: position 0 scores ``log(p_uni(w0))``; position i>0
+    scores ``log(λ·p_ml(w_i|w_{i-1}) + (1−λ)·p_uni(w_i))`` —
+    Jelinek-Mercer backoff, never zero because ``p_uni`` is floored.
+
+    100 TB shape: ONE explode to (doc, prev, token) position grain,
+    TWO broadcast joins (bigram table, unigram vocab), one per-doc
+    rollup — the corpus never shuffles on tokens or pairs.  Shuffled
+    word salad keeps its unigram score but loses here: word ORDER is
+    exactly what the conditional term prices.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    floor_rows = uni_lm.filter(F.col("token").isNull()).collect()
+    if len(floor_rows) != 1:
+        raise ValueError(
+            "doc_logprob_scores_bigram: the unigram model must carry "
+            "exactly one NULL-token floor row (use fit_bigram_lm)"
+        )
+    p_floor = math.exp(float(floor_rows[0]["logp"]))
+    positions = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                # same sequence(1, 0) == [1, 0] trap: empty docs need
+                # the explicit empty arm
+                f"transform(array({_tokens_sql(text_col)}), ws -> "
+                "CASE WHEN size(ws) = 0 THEN "
+                "array() "
+                "ELSE transform(sequence(1, size(ws)), i -> "
+                "struct(CASE WHEN i = 1 THEN NULL ELSE ws[i - 2] END AS w1, "
+                "ws[i - 1] AS w2)) END)[0]"
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    vocab = F.broadcast(
+        uni_lm.filter(F.col("token").isNotNull()).select(
+            F.col("token").alias("w2"), F.exp("logp").alias("_pu")
+        )
+    )
+    joined = (
+        positions.join(F.broadcast(bigram), ["w1", "w2"], "left")
+        .join(vocab, "w2", "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("w1").isNull(),
+                F.log(F.coalesce(F.col("_pu"), F.lit(p_floor))),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(lam)
+                    * F.coalesce(F.exp("logp_cond"), F.lit(0.0))
+                    + F.lit(1.0 - lam)
+                    * F.coalesce(F.col("_pu"), F.lit(p_floor))
+                )
+            )
+            .alias("_lp"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("_lp").alias("mean_logp"),
     )
