@@ -827,3 +827,20 @@ def test_bigram_scoring_plan_broadcasts(spark):
     ).executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_threshold_from_quantile_scores(spark):
+    from wikiextractor_spark.functions.lmquality import (
+        threshold_from_quantile_scores,
+    )
+
+    scores = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, mean_logp double"
+    )
+    thr = threshold_from_quantile_scores(scores, 0.25, relative_error=0.001)
+    kept = scores.filter(F.col("mean_logp") >= thr).count()
+    assert 73 <= kept <= 77
+    with pytest.raises(ValueError, match="no scored rows"):
+        threshold_from_quantile_scores(
+            spark.createDataFrame([], "doc_id long, mean_logp double"), 0.5
+        )

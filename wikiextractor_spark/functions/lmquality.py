@@ -360,3 +360,21 @@ def doc_logprob_scores_bigram(
         F.count("*").alias("n_tokens"),
         F.avg("_lp").alias("mean_logp"),
     )
+
+
+def threshold_from_quantile_scores(
+    scores: DataFrame, q: float,
+    score_col: str = "mean_logp", relative_error: float = 0.01,
+) -> float:
+    """:func:`threshold_from_quantile` generalized to ANY score table
+    (e.g. :func:`doc_logprob_scores_bigram` output, a classifier's
+    logits): the value at quantile ``q`` of ``score_col``, one
+    approxQuantile pass."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    got = scores.approxQuantile(score_col, [q], relative_error)
+    if not got:
+        raise ValueError(
+            "threshold_from_quantile_scores: no scored rows"
+        )
+    return float(got[0])
