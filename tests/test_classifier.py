@@ -281,7 +281,7 @@ def test_hashed_classifier_deterministic(labeled):
 
 def test_threshold_from_quantile_empty_input_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
-    with pytest.raises(ValueError, match="no scored docs"):
+    with pytest.raises(ValueError, match="no scored rows"):
         clf.classifier_threshold_from_quantile(empty, 0.1)
 
 

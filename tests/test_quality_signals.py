@@ -807,8 +807,14 @@ def test_bigram_lm_backoff_and_edges(spark):
     import math as _m
     for r in rows.values():
         assert _m.isfinite(r["mean_logp"])
-    # unseen pair of SEEN words backs off to (1-lam)*p_uni < p_uni,
-    # so it scores below the fluent corpus sentence but stays finite
+    # the backoff ARM must actually fire: an unseen pair of SEEN
+    # words gets (1-lam)*p_uni < lam*p_ml + (1-lam)*p_uni, so the
+    # fluent seen-pair doc strictly outranks it (a regression that
+    # scored unseen pairs as seen would pass finiteness alone)
+    fluent = {r["doc_id"]: r["mean_logp"] for r in doc_logprob_scores_bigram(
+        spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string"),
+        uni, bi).collect()}
+    assert fluent[9] > rows[4]["mean_logp"] + 0.1
     with pytest.raises(ValueError, match="lam"):
         doc_logprob_scores_bigram(probe, uni, bi, lam=1.0)
 
@@ -844,3 +850,31 @@ def test_threshold_from_quantile_scores(spark):
         threshold_from_quantile_scores(
             spark.createDataFrame([], "doc_id long, mean_logp double"), 0.5
         )
+
+
+def test_bigram_pair_encoding_is_collision_free(spark):
+    """Regex \\s does not match NUL, so tokens can CONTAIN \\x00; a
+    separator encoding would collide ('a\\x00b','c') with
+    ('a','b\\x00c') and fan out the scoring join.  The length-prefix
+    encoding must keep them distinct — and tokens containing ':'
+    (the prefix delimiter) must round-trip too."""
+    from wikiextractor_spark.functions.lmquality import (
+        doc_logprob_scores_bigram,
+        fit_bigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "a\x00b c") for i in range(5)]
+        + [(10 + i, "a b\x00c") for i in range(5)]
+        + [(20 + i, "x:y z:w") for i in range(5)],
+        "doc_id long, text string",
+    )
+    uni, bi = fit_bigram_lm(corpus, vocab_size=50, bigram_size=50)
+    pairs = {(r["w1"], r["w2"]) for r in bi.collect()}
+    assert ("a\x00b", "c") in pairs and ("a", "b\x00c") in pairs
+    assert ("a", "b") not in pairs  # the collision artifact
+    assert ("x:y", "z:w") in pairs
+    # scoring joins stay row-exact: each doc has exactly one pair
+    # position + one first token
+    rows = doc_logprob_scores_bigram(corpus, uni, bi).collect()
+    assert all(r["n_tokens"] == 2 for r in rows)

@@ -335,16 +335,14 @@ def classifier_threshold_from_quantile(
     fraction of ``df`` — "cut the worst 5%" without hand-picking a
     logit.  One approxQuantile pass (Greenwald-Khanna, driver gets
     one float)."""
-    if not 0.0 <= q < 1.0:
-        raise ValueError(f"q must be in [0, 1), got {q}")
-    scored = score_quality(df, model, text_col, "_q_logit")
-    got = scored.approxQuantile("_q_logit", [q], relative_error)
-    if not got:
-        raise ValueError(
-            "classifier_threshold_from_quantile: no scored docs "
-            "(empty input or all-NULL text)"
-        )
-    return got[0]
+    from wikiextractor_spark.functions.lmquality import (
+        threshold_from_quantile_scores,
+    )
+
+    return threshold_from_quantile_scores(
+        score_quality(df, model, text_col, "_q_logit"), q,
+        score_col="_q_logit", relative_error=relative_error,
+    )
 
 
 # --------------------------------------------------------------------------

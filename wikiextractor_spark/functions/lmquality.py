@@ -35,8 +35,11 @@ from pyspark.sql import DataFrame, functions as F
 def _tokens_sql(text_col: str) -> str:
     """The token expression as a SQL fragment, for call sites that
     nest it inside a larger ``F.expr`` (a Column's ``toString`` does
-    NOT round-trip lambda variables into parseable SQL)."""
-    return f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    NOT round-trip lambda variables into parseable SQL).  The column
+    name is backtick-quoted so names needing escaping ('my text',
+    'text-v2') keep working as they did under ``F.col``."""
+    quoted = "`%s`" % text_col.replace("`", "``")
+    return f"filter(split(lower({quoted}), '\\\\s+'), t -> t != '')"
 
 
 def _tokens_expr(text_col: str):
@@ -142,13 +145,10 @@ def threshold_from_quantile(
     to :func:`filter_by_logprob`; since the gate keeps scores
     ``>= threshold``, it retains ≈ ``1 - q`` of the scored corpus
     (± relative_error, ties included)."""
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0, 1], got {q}")
-    scores = doc_logprob_scores(docs, lm, text_col, id_col)
-    got = scores.approxQuantile("mean_logp", [q], relative_error)
-    if not got:
-        raise ValueError("threshold_from_quantile: corpus has no scored docs")
-    return float(got[0])
+    return threshold_from_quantile_scores(
+        doc_logprob_scores(docs, lm, text_col, id_col), q,
+        relative_error=relative_error,
+    )
 
 
 def filter_by_logprob(
@@ -238,9 +238,11 @@ def fit_bigram_lm(
     Pairs whose ``w1`` falls outside the unigram vocabulary are
     dropped (their mass backs off to the unigram side at scoring).
 
-    Cost shape: exactly two bounded corpus scans — the unigram
-    heavy-hitter fit and a pair-grain heavy-hitter pass — and both
-    models stay driver-sized tables regardless of corpus size.
+    Cost shape: two bounded heavy-hitter passes — the unigram fit
+    and a pair-grain pass — each of which reads the corpus twice
+    (candidate sweep + exact recount, the sketches.py contract), so
+    fitting costs FOUR corpus scans total; both models stay
+    driver-sized tables regardless of corpus size.
     """
     from wikiextractor_spark.operators.sketches import heavy_hitters
 
@@ -257,7 +259,11 @@ def fit_bigram_lm(
         F.col("token").alias("w1"),
         (F.exp(F.col("logp")) * F.lit(total)).alias("_c1"),
     )
-    # adjacent pairs, NUL-joined (no whitespace token can contain \x00)
+    # adjacent pairs, length-prefix encoded ('<len(w1)>:<w1><w2>'):
+    # a separator-based encoding is NOT collision-free — regex \s
+    # does not match \x00, so a NUL can sit INSIDE a token and a
+    # separator pair ('a\x00b','c') would collide with ('a','b\x00c');
+    # the length prefix decodes unambiguously for any token bytes
     pairs = docs.select(
         F.explode(
             F.expr(
@@ -266,7 +272,8 @@ def fit_bigram_lm(
                 f"transform(array({_tokens_sql(text_col)}), ws -> "
                 "CASE WHEN size(ws) < 2 THEN array() "
                 "ELSE transform(sequence(1, size(ws) - 1), "
-                "i -> concat(ws[i - 1], '\\u0000', ws[i])) END)[0]"
+                "i -> concat(cast(length(ws[i - 1]) as string), ':', "
+                "ws[i - 1], ws[i])) END)[0]"
             )
         ).alias("pair")
     )
@@ -275,10 +282,21 @@ def fit_bigram_lm(
         candidates_per_partition=max(200, bigram_size),
         max_candidates=2 * max(200, bigram_size),
     )
+    # decode the length prefix: digits before the FIRST ':' are
+    # len(w1) by construction (w1 itself may contain ':' — the
+    # prefix tells us exactly where it ends, so no ambiguity)
     bigram = (
         top_pairs.select(
-            F.split_part(F.col("value"), F.lit("\x00"), F.lit(1)).alias("w1"),
-            F.split_part(F.col("value"), F.lit("\x00"), F.lit(2)).alias("w2"),
+            F.expr(
+                "substring(substring(value, "
+                "length(split_part(value, ':', 1)) + 2), "
+                "1, cast(split_part(value, ':', 1) as int))"
+            ).alias("w1"),
+            F.expr(
+                "substring(substring(value, "
+                "length(split_part(value, ':', 1)) + 2), "
+                "cast(split_part(value, ':', 1) as int) + 1)"
+            ).alias("w2"),
             F.col("n").alias("_cp"),
         )
         .join(F.broadcast(uni_counts), "w1")
