@@ -3007,3 +3007,37 @@ def test_upsample_groups_scratch_column_collision(spark):
     out = upsample_groups(docs, "source", {"a": 2.0})
     rows = {(r["doc_id"], r["epoch"]): r["_n_copies"] for r in out.collect()}
     assert rows == {(1, 0): 7, (1, 1): 7, (2, 0): 9}
+
+
+def test_weighted_sample_proportionality(spark):
+    """High-weight rows survive at ~their weight ratio; the draw is
+    deterministic; NULL/NaN/negative weights drop; validation."""
+    from wikiextractor_spark.operators.sampling import weighted_sample
+
+    rows = ([(i, 1.0) for i in range(2000)]
+            + [(10_000 + i, 4.0) for i in range(2000)])
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "w")
+    by = {r["w"]: r["count"] for r in out.groupBy("w").count().collect()}
+    assert by[4.0] == 2000                    # max weight keeps all
+    assert 400 <= by[1.0] <= 600              # ~1/4 of 2000
+    again = weighted_sample(df, "w")
+    assert out.exceptAll(again).count() == 0  # deterministic
+
+    # target fraction: unclipped expectation ~ target
+    frac = weighted_sample(df, "w", target_fraction=0.4)
+    assert 0.30 <= frac.count() / 4000 <= 0.45
+
+    bad = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, -1.0), (4, float("nan"))],
+        "doc_id long, w double",
+    )
+    kept = {r["doc_id"] for r in weighted_sample(bad, "w").collect()}
+    assert kept <= {1} and 2 not in kept and 3 not in kept and 4 not in kept
+
+    with pytest.raises(ValueError, match="positive weight"):
+        weighted_sample(
+            spark.createDataFrame([(1, -2.0)], "doc_id long, w double"), "w"
+        )
+    with pytest.raises(ValueError, match="target_fraction"):
+        weighted_sample(df, "w", target_fraction=1.5)

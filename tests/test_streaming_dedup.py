@@ -745,3 +745,38 @@ def test_prepare_corpus_stream_classifier_gate(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1}, got
+
+
+def test_prepare_corpus_stream_content_gate(spark, tmp_path):
+    """The pre-fitted hashed content model gates per micro-batch."""
+    import glob
+
+    from wikiextractor_spark.functions.classifier import fit_hashed_classifier
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    good_text = "history of the village river school music people land"
+    bad_text = "casino jackpot winner bonus prize lottery claim now"
+    labeled = spark.createDataFrame(
+        [(i, good_text, 1) for i in range(10)]
+        + [(100 + i, bad_text, 0) for i in range(10)],
+        "doc_id long, text string, label int",
+    )
+    w, prior = fit_hashed_classifier(labeled)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    spark.createDataFrame(
+        [(1, good_text, "en", "t", 1), (2, bad_text, "en", "t", 1)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "state"), content_weights=(w, prior),
+        min_content_logit=0.0, dedup="near",
+    )
+    assert q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1}, got

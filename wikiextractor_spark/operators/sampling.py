@@ -315,3 +315,54 @@ def upsample_groups(
         .withColumn("epoch", F.explode(F.expr(f"sequence(0, `{n}` - 1)")))
         .drop(n)
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, target_fraction: float | None = None,
+    key_col: str = "doc_id", salt: str = "wsample",
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability
+    PROPORTIONAL to ``weight_col`` instead of hard-thresholding —
+    the DCLM/FineWeb-style alternative to a binary quality gate
+    (high scorers almost surely survive, low scorers survive at a
+    rate that preserves some tail diversity).
+
+    Keep rule: ``hash_bucket(key) < min(1, scale · w / w_max) · B``
+    — the same deterministic md5 gate as every sampler here, so the
+    draw is reproducible and cross-table consistent on ``key_col``.
+    Without ``target_fraction``, ``scale = 1`` (the max-weight row
+    keeps with probability 1).  With it, ``scale`` is solved from
+    one aggregate so the UNCLIPPED expected keep-rate equals the
+    target; rows whose scaled probability clips at 1 bias the
+    realized fraction LOW (stated: an exact fixed point needs
+    iteration no one-pass sampler should pay for).
+
+    Rows with NULL, NaN, or negative weight are dropped (stated —
+    they have no meaningful keep-probability).  One aggregate pass
+    (max + sum over the weight column), then one narrow filter.
+    """
+    stats = df.agg(
+        F.max(weight_col).alias("mx"), F.sum(weight_col).alias("sm"),
+        F.count(weight_col).alias("n"),
+    ).first()
+    if not stats["n"] or stats["mx"] is None or stats["mx"] <= 0:
+        raise ValueError(
+            "weighted_sample: no rows with a positive weight"
+        )
+    mx, sm, n = float(stats["mx"]), float(stats["sm"]), int(stats["n"])
+    if target_fraction is None:
+        scale = 1.0
+    else:
+        if not 0.0 < target_fraction <= 1.0:
+            raise ValueError(
+                f"target_fraction must be in (0, 1], got {target_fraction}"
+            )
+        # E[w/mx] = sm / (n * mx); scale so scale * E[w/mx] = target
+        scale = target_fraction * n * mx / sm
+    w = F.col(weight_col)
+    p = F.least(F.lit(1.0), F.lit(scale) * w / F.lit(mx))
+    gate = (p * F.lit(_BUCKETS)).cast("long")
+    return df.filter(
+        w.isNotNull() & (w > 0) & ~F.isnan(w.cast("double"))
+        & (_hash_bucket(F.col(key_col), salt) < gate)
+    )
