@@ -430,7 +430,7 @@ def test_prepare_corpus_semantic_decontamination(spark):
     )
     assert {r["doc_id"] for r in out.collect()} == {2, 3}
 
-    with pytest.raises(ValueError, match="go together"):
+    with pytest.raises(ValueError, match="unused"):
         prepare_corpus(docs, dedup=None, embeddings=emb)
 
     # non-64-dim embeddings work through semantic_lsh (dim=...); the
@@ -548,3 +548,33 @@ def test_prepare_corpus_url_blocklist(spark):
     no_url = docs.drop("url")
     with pytest.raises(ValueError, match="no 'url' column"):
         prepare_corpus(no_url, url_blocklist=["bad.net"], dedup=None)
+
+
+def test_prepare_corpus_semantic_dedup(spark):
+    """dedup='semantic' drops embedding near-copies (SemDeDup grain),
+    keeps docs without an embedding row, and validates its knobs."""
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    v1 = [1.0] + [0.0] * 63
+    v2 = [0.999] + [0.001] * 63   # near-copy of v1
+    v3 = [0.0] * 63 + [1.0]       # orthogonal
+    docs = spark.createDataFrame(
+        [(1, "first doc text"), (2, "second doc text"),
+         (3, "third doc text"), (4, "doc with no embedding")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, embedding array<double>"
+    )
+    out = prepare_corpus(
+        docs, dedup="semantic", embeddings=emb,
+        semantic_cluster={"n_clusters": 1},
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 4 in kept and 3 in kept       # unmapped + orthogonal survive
+    assert len(kept & {1, 2}) == 1       # one of the near-pair drops
+
+    with pytest.raises(ValueError, match="requires embeddings"):
+        prepare_corpus(docs, dedup="semantic")
+    with pytest.raises(ValueError, match="unused"):
+        prepare_corpus(docs, dedup="exact", embeddings=emb)

@@ -11,7 +11,8 @@ of the engine's training-data operators into one declarative flow.
       → content classifier     (classifier.score_hashed, broadcast join)
       → PII redaction          (pii.redact_pii, native)
       → boilerplate lines      (spans.remove_boilerplate_lines, C4-style)
-      → dedup                  (exact hash-groupBy or LSH near-dup)
+      → dedup                  (exact hash-groupBy, LSH near-dup, or
+                                SemDeDup semantic via embeddings)
       → decontaminate          (benchmark n-gram overlap, broadcast)
       → deterministic sample   (hash-gate, reproducible)
       → chunk                  (overlap windows, scan-speed)
@@ -69,6 +70,8 @@ def prepare_corpus(
     boilerplate_min_docs: int | None = None,
     dedup: str | None = "exact",
     near_threshold: float = 0.8,
+    semantic_dedup_threshold: float = 0.95,
+    semantic_cluster: dict | None = None,
     dedup_against: DataFrame | None = None,
     cross_max_distance: int = 3,
     benchmark: DataFrame | None = None,
@@ -195,8 +198,34 @@ def prepare_corpus(
         out = dedup_exact(out, text_col, id_col)
     elif dedup == "near":
         out = dedup_near(out, text_col, id_col, threshold=near_threshold)
+    elif dedup == "semantic":
+        # SemDeDup grain: paraphrase-level duplicates by embedding
+        # cosine, clustered by the IVF quantizer so pairing stays
+        # within clusters.  Docs WITHOUT an embedding row pass
+        # through (stated — the losers anti-join only removes ids
+        # the pair stage actually condemned; a semi-join on
+        # survivors would silently drop unmapped docs).
+        if embeddings is None:
+            raise ValueError("dedup='semantic' requires embeddings")
+        from wikiextractor_spark.operators.similarity import semantic_dedup
+
+        emb_kept = embeddings.join(
+            out.select(F.col(id_col).alias(embedding_id_col)),
+            embedding_id_col, "left_semi",
+        )
+        survivors = semantic_dedup(
+            emb_kept, semantic_dedup_threshold, id_col=embedding_id_col,
+            **(semantic_cluster or {}),
+        )
+        losers = emb_kept.join(
+            survivors.select(embedding_id_col), embedding_id_col, "left_anti"
+        ).select(F.col(embedding_id_col).alias(id_col))
+        out = out.join(losers, id_col, "left_anti")
     elif dedup is not None:
-        raise ValueError(f"dedup must be 'exact', 'near', or None, got {dedup!r}")
+        raise ValueError(
+            "dedup must be 'exact', 'near', 'semantic', or None, "
+            f"got {dedup!r}"
+        )
     if dedup_against is not None:
         # cross-corpus subtraction AFTER in-corpus dedup: drop every
         # doc with a Hamming <= cross_max_distance near-copy in the
@@ -215,9 +244,18 @@ def prepare_corpus(
             out, benchmark, text_col=text_col, id_col=id_col,
             n=decontam_ngram, threshold=decontam_threshold,
         )
-    if (embeddings is None) != (benchmark_embeddings is None):
-        raise ValueError("embeddings and benchmark_embeddings go together")
-    if embeddings is not None:
+    if benchmark_embeddings is not None and embeddings is None:
+        raise ValueError("benchmark_embeddings requires embeddings")
+    if (
+        embeddings is not None
+        and benchmark_embeddings is None
+        and dedup != "semantic"
+    ):
+        raise ValueError(
+            "embeddings given but unused: pass benchmark_embeddings "
+            "(semantic decontamination) and/or dedup='semantic'"
+        )
+    if embeddings is not None and benchmark_embeddings is not None:
         # SEMANTIC decontamination next to the n-gram one: drop docs
         # whose embedding sits at cosine >= semantic_threshold of a
         # benchmark item — paraphrased leakage that token overlap
