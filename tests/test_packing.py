@@ -578,3 +578,84 @@ def test_prepare_corpus_semantic_dedup(spark):
         prepare_corpus(docs, dedup="semantic")
     with pytest.raises(ValueError, match="unused"):
         prepare_corpus(docs, dedup="exact", embeddings=emb)
+
+
+def test_prepare_corpus_every_stage_at_once(spark):
+    """The whole composition with EVERY stage enabled — the knob-
+    interaction smoke: url blocklist, lang/quality/repetition/Gopher
+    gates, shape + content classifiers, LM gate, boilerplate lines,
+    near dedup, cross-corpus subtraction, n-gram + semantic
+    decontamination, sampling, chunking, packing — one lazy-ish plan
+    that must produce exactly the surviving good doc's chunks."""
+    from wikiextractor_spark.functions.classifier import (
+        DEFAULT_MODEL,
+        fit_hashed_classifier,
+    )
+    from wikiextractor_spark.functions.lmquality import fit_unigram_lm
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    good = ("the history of the village is a record of the people and "
+            "the land with a school by the river known for its music "
+            "and the years of the growth that came to be of note have "
+            "led to the state of the region that we see in the record "
+            "now and the people of the village hold that the land and "
+            "the river have given them the music and the school")
+    boiler = "Subscribe to our newsletter"
+    # doc 2 is a NEAR-dup (one word changed): identical docs would
+    # make every line cross-document "boilerplate" and empty both
+    rows = [
+        (1, good + "\n" + boiler, "https://good.org/1"),
+        (2, good.replace("music", "songs") + "\n" + boiler,
+         "https://good.org/2"),
+        (3, good, "https://spam.bad.net/x"),                  # blocked domain
+        (4, "zzqqx wvvkj pplmn oorrt uuyyw " * 12, "https://good.org/4"),
+        (5, "buy now " * 40, "https://good.org/5"),           # repetitive
+        (6, "@#$% ^^&* !!! 123 456 789 000 111", "https://good.org/6"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    lm = fit_unigram_lm(docs.filter("doc_id in (1, 2)"), vocab_size=200)
+    labeled = spark.createDataFrame(
+        [(1, good, 1), (2, "casino jackpot winner bonus " * 8, 0)],
+        "doc_id long, text string, label int",
+    )
+    w, prior = fit_hashed_classifier(labeled)
+    bench = spark.createDataFrame(
+        [(100, "completely unrelated benchmark prompt about astrophysics "
+               "and the spectra of distant quasars measured at night")],
+        "doc_id long, text string",
+    )
+    v = [1.0] + [0.0] * 63
+    emb = spark.createDataFrame(
+        [(i, v[-i:] + v[:-i]) for i in range(1, 7)],
+        "vec_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(100, [0.0] * 32 + [1.0] + [0.0] * 31)],
+        "vec_id long, embedding array<double>",
+    )
+    out = prepare_corpus(
+        docs,
+        url_blocklist=["bad.net"],
+        target_lang="en",
+        min_quality=0.2,
+        drop_repetitive=True,
+        gopher=True,
+        classifier_model=DEFAULT_MODEL,
+        content_weights=(w, prior), min_content_logit=-5.0,
+        logprob_lm=lm, min_mean_logp=-8.0,
+        redact=True,
+        boilerplate_min_docs=2,
+        dedup="near", near_threshold=0.7,
+        benchmark=bench,
+        embeddings=emb, benchmark_embeddings=bench_emb,
+        sample_fraction=1.0,
+        chunk_tokens=16, overlap=0,
+        pack_budget=64,
+    )
+    rows_out = out.collect()
+    assert rows_out, "composition must keep the good document"
+    kept_docs = {r["doc_id"] for r in rows_out}
+    assert kept_docs == {1}  # near-dup collapsed, everything bad gone
+    # boilerplate stripped before chunking
+    assert all(boiler.lower() not in r["chunk"].lower() for r in rows_out)
+    assert all(r["pack_id"] is not None for r in rows_out)

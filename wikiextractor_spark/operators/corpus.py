@@ -149,15 +149,20 @@ def prepare_corpus(
         raise ValueError("content_weights and min_content_logit go together")
     if content_weights is not None:
         # hashed-gram content gate (functions/classifier.py
-        # fit_hashed_classifier output): like the LM gate below it is
-        # join-backed (explode → broadcast weight join → doc-grain
-        # sum), so it runs after every pure-predicate gate has
-        # shrunk the corpus
+        # fit_hashed_classifier output).  The keep-id set is computed
+        # from the RAW pruned (id, text) scan, not from `out`: the
+        # score is per-document and runs before any text mutation, so
+        # the result is identical — while a semi-join of `out`
+        # against scores-of-`out` would DUPLICATE the whole upstream
+        # gate chain into the score branch (each join-backed stage
+        # doubling it again — measured 9 min vs seconds on a
+        # six-stage stack).  Scoring a few already-gated docs is the
+        # cheap side of that trade.
         from wikiextractor_spark.functions.classifier import score_hashed
 
         w, prior = content_weights
         scored = score_hashed(
-            out.select(id_col, text_col), w, prior,
+            df.select(id_col, text_col), w, prior,
             text_col=text_col, id_col=id_col,
             **(content_hash_opts or {}),
         )
@@ -168,14 +173,21 @@ def prepare_corpus(
     if (logprob_lm is None) != (min_mean_logp is None):
         raise ValueError("logprob_lm and min_mean_logp go together")
     if logprob_lm is not None:
-        # LM gate after the heuristic gates (they are cheaper) and
-        # before dedup; the model is a fitted DataFrame — typically
-        # fit_unigram_lm on this corpus or a trusted reference one
-        from wikiextractor_spark.functions.lmquality import filter_by_logprob
+        # LM gate: keep-ids from the RAW pruned scan for the same
+        # no-plan-duplication reason as the content gate above
+        # (scores are per-doc, text still unmutated here); tokenless
+        # docs have no score row, so the semi-join drops them —
+        # filter_by_logprob's default contract
+        from wikiextractor_spark.functions.lmquality import doc_logprob_scores
 
-        out = filter_by_logprob(
-            out, logprob_lm, min_mean_logp, text_col, id_col
+        lm_keep = (
+            doc_logprob_scores(
+                df.select(id_col, text_col), logprob_lm, text_col, id_col
+            )
+            .filter(F.col("mean_logp") >= min_mean_logp)
+            .select(id_col)
         )
+        out = out.join(lm_keep, id_col, "left_semi")
     if redact:
         # redact BEFORE dedup so two docs differing only in their PII
         # (same boilerplate, different email) collapse together
