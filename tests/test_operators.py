@@ -3022,7 +3022,10 @@ def test_weighted_sample_proportionality(spark):
     assert by[4.0] == 2000                    # max weight keeps all
     assert 400 <= by[1.0] <= 600              # ~1/4 of 2000
     again = weighted_sample(df, "w")
-    assert out.exceptAll(again).count() == 0  # deterministic
+    # symmetric: sub-multiset in one direction alone would pass a
+    # draw that nondeterministically kept MORE rows
+    assert (out.exceptAll(again).count() == 0
+            and again.exceptAll(out).count() == 0)
 
     # target fraction: unclipped expectation ~ target
     frac = weighted_sample(df, "w", target_fraction=0.4)
@@ -3033,11 +3036,24 @@ def test_weighted_sample_proportionality(spark):
         "doc_id long, w double",
     )
     kept = {r["doc_id"] for r in weighted_sample(bad, "w").collect()}
-    assert kept <= {1} and 2 not in kept and 3 not in kept and 4 not in kept
+    # the sole valid row is also the max weight -> kept with p=1
+    assert kept == {1}
 
-    with pytest.raises(ValueError, match="positive weight"):
-        weighted_sample(
-            spark.createDataFrame([(1, -2.0)], "doc_id long, w double"), "w"
-        )
+    # no valid rows -> empty frame (consistent with the other
+    # samplers), never a crash — and invalid rows must not poison
+    # the calibration stats (a NaN max would disable proportionality)
+    assert weighted_sample(
+        spark.createDataFrame([(1, -2.0)], "doc_id long, w double"), "w"
+    ).count() == 0
+    poisoned = spark.createDataFrame(
+        [(i, 1.0) for i in range(2000)]
+        + [(10_000 + i, 4.0) for i in range(2000)]
+        + [(99_999, float("nan")), (99_998, -50.0)],
+        "doc_id long, w double",
+    )
+    pby = {r["w"]: r["count"] for r in weighted_sample(poisoned, "w")
+           .groupBy("w").count().collect()}
+    assert pby.get(4.0) == 2000 and 400 <= pby.get(1.0, 0) <= 600
+
     with pytest.raises(ValueError, match="target_fraction"):
         weighted_sample(df, "w", target_fraction=1.5)

@@ -28,9 +28,17 @@ The whole flow is lazy: callers get one DataFrame whose plan Catalyst
 optimizes end-to-end (the lang/quality filters reach the parquet scan
 ahead of any shuffle).  Stated eager exceptions: ``token_budget``
 (needs a measuring aggregate), near dedup (the LSH candidate sketch
-materializes against projection collapse), and semantic
-decontamination (same sketch materialization) — each runs its
-bounded job at composition time.
+materializes against projection collapse), semantic decontamination
+(same sketch materialization), and ``dedup='semantic'`` (centroid
+fit + kept-embeddings checkpoint, which semantic_dedup would
+otherwise re-derive per reference) — each runs its bounded job at
+composition time.
+
+Contract: ``id_col`` values are assumed UNIQUE per document — the
+whole module keys on them (hash-gate sampling, dedup survivors,
+chunk-id packing, and the join-backed gates whose keep-id sets are
+computed from the raw scan).  Feed duplicate ids through
+``dedup_exact`` or re-keying first.
 """
 
 from __future__ import annotations
@@ -221,10 +229,17 @@ def prepare_corpus(
             raise ValueError("dedup='semantic' requires embeddings")
         from wikiextractor_spark.operators.similarity import semantic_dedup
 
+        # materialize the kept-embeddings sliver: semantic_dedup
+        # references its input ~5 times (self-join sides, survivor
+        # and loser anti-joins) plus the iterative centroid fit — an
+        # unmaterialized plan would embed the whole upstream gate
+        # chain into every reference, the exact compounding blowup
+        # the join-backed gates above avoid.  This makes
+        # dedup='semantic' an EAGER stage (stated in the module doc).
         emb_kept = embeddings.join(
             out.select(F.col(id_col).alias(embedding_id_col)),
             embedding_id_col, "left_semi",
-        )
+        ).localCheckpoint(eager=True)
         survivors = semantic_dedup(
             emb_kept, semantic_dedup_threshold, id_col=embedding_id_col,
             **(semantic_cluster or {}),

@@ -337,32 +337,37 @@ def weighted_sample(
     realized fraction LOW (stated: an exact fixed point needs
     iteration no one-pass sampler should pay for).
 
-    Rows with NULL, NaN, or negative weight are dropped (stated —
-    they have no meaningful keep-probability).  One aggregate pass
-    (max + sum over the weight column), then one narrow filter.
+    Rows with NULL, NaN, or non-positive weight are dropped (stated —
+    they have no meaningful keep-probability) and are EXCLUDED from
+    the calibration stats too: a single NaN would otherwise poison
+    ``max``/``sum`` (Spark orders NaN above every double) and
+    silently disable the proportionality, and negative weights would
+    deflate the solved scale.  ``target_fraction`` is therefore
+    relative to the VALID (positive-weight) population.  An input
+    with no valid rows returns an empty frame, like every other
+    sampler in this module.  One aggregate pass over the valid rows,
+    then one narrow filter.
     """
-    stats = df.agg(
+    if target_fraction is not None and not 0.0 < target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    w = F.col(weight_col)
+    valid = df.filter(
+        w.isNotNull() & ~F.isnan(w.cast("double")) & (w > 0)
+    )
+    stats = valid.agg(
         F.max(weight_col).alias("mx"), F.sum(weight_col).alias("sm"),
         F.count(weight_col).alias("n"),
     ).first()
-    if not stats["n"] or stats["mx"] is None or stats["mx"] <= 0:
-        raise ValueError(
-            "weighted_sample: no rows with a positive weight"
-        )
+    if not stats["n"]:
+        return valid  # empty frame, original schema
     mx, sm, n = float(stats["mx"]), float(stats["sm"]), int(stats["n"])
     if target_fraction is None:
         scale = 1.0
     else:
-        if not 0.0 < target_fraction <= 1.0:
-            raise ValueError(
-                f"target_fraction must be in (0, 1], got {target_fraction}"
-            )
         # E[w/mx] = sm / (n * mx); scale so scale * E[w/mx] = target
         scale = target_fraction * n * mx / sm
-    w = F.col(weight_col)
     p = F.least(F.lit(1.0), F.lit(scale) * w / F.lit(mx))
     gate = (p * F.lit(_BUCKETS)).cast("long")
-    return df.filter(
-        w.isNotNull() & (w > 0) & ~F.isnan(w.cast("double"))
-        & (_hash_bucket(F.col(key_col), salt) < gate)
-    )
+    return valid.filter(_hash_bucket(F.col(key_col), salt) < gate)
