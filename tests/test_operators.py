@@ -3057,3 +3057,61 @@ def test_weighted_sample_proportionality(spark):
 
     with pytest.raises(ValueError, match="target_fraction"):
         weighted_sample(df, "w", target_fraction=1.5)
+
+
+def test_hashed_embeddings_contracts(spark):
+    """Model-free feature-hashed embeddings: identical docs map to
+    identical unit vectors, near-dups sit at high cosine, unrelated
+    docs near zero, empty/NULL docs get NULL, the plan is narrow."""
+    import math
+
+    from wikiextractor_spark.operators.similarity import hashed_embeddings
+
+    long_a = " ".join(f"word{i}" for i in range(200))
+    long_b = long_a.replace("word5 ", "changed ")
+    other = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b), (4, other),
+         (5, "   "), (6, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["vec_id"]: r["embedding"]
+            for r in hashed_embeddings(df).collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert rows[1] == rows[2]
+    assert all(abs(math.sqrt(cos(v, v)) - 1.0) < 1e-9
+               for v in rows.values() if v is not None)
+    assert cos(rows[1], rows[3]) > 0.95
+    assert abs(cos(rows[1], rows[4])) < 0.3
+    assert rows[5] is None and rows[6] is None
+    plan = hashed_embeddings(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="dim"):
+        hashed_embeddings(df, dim=1)
+
+
+def test_hashed_embeddings_feed_semantic_dedup(spark):
+    """The model-free vectors drive the semantic family end to end:
+    prepare_corpus(dedup='semantic') on raw text alone collapses the
+    planted paraphrase-grade near-dup."""
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+    from wikiextractor_spark.operators.similarity import hashed_embeddings
+
+    base = " ".join(f"word{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("word7 ", "seven ")),
+         (3, " ".join(f"tok{i}" for i in range(150)))],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(
+        docs, dedup="semantic",
+        embeddings=hashed_embeddings(docs),
+        semantic_dedup_threshold=0.9,
+        semantic_cluster={"n_clusters": 1},
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 3 in kept and len(kept & {1, 2}) == 1

@@ -1122,3 +1122,46 @@ def subtract_embedding_duplicates(
         left, right, threshold, id_col, vec_col, **lsh_kwargs
     )
     return left.join(flagged, id_col, "left_anti")
+
+
+def hashed_embeddings(
+    df: DataFrame, dim: int = 64,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(vec_id, embedding)``: model-free document embeddings by
+    feature hashing — each lowercased token adds ±1 (sign and bucket
+    both from xxhash64) into a ``dim``-length accumulator, then L2
+    normalization.  This is the classic hashing-trick projection:
+    cosine between two documents approximates their token-overlap
+    correlation, which is exactly the grain the semantic family
+    needs when no learned embeddings exist — it makes SemDeDup
+    (``prepare_corpus(dedup='semantic')``), ANN search, and
+    embedding decontamination runnable on raw text alone.
+
+    Scale shape: ONE narrow per-row expression — the token array is
+    folded into the accumulator with ``aggregate`` (O(dim) per
+    token, interpreted, zero shuffle, zero Python).  The alternative
+    (explode → groupBy(id, bucket) → re-assemble) costs a
+    token-grain shuffle of the whole corpus; at 100 TB the narrow
+    fold wins by the shuffle it never does.  Empty/whitespace-only
+    docs get a NULL embedding (stated — a zero vector has no
+    direction; downstream LSH/IVF already NULL-guard).
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    acc = (
+        f"aggregate({toks}, array_repeat(0.0D, {dim}), (acc, t) -> "
+        "transform(array(struct(pmod(xxhash64(t), %d) AS b, "
+        "IF(pmod(xxhash64(t, 42L), 2) = 0, 1.0D, -1.0D) AS s)), h -> "
+        "transform(acc, (x, i) -> x + IF(h.b = i, h.s, 0.0D)))[0])"
+        % dim
+    )
+    vec = (
+        "transform(array(%s), v -> transform(array(sqrt(aggregate(v, 0.0D, "
+        "(a, x) -> a + x * x))), n -> CASE WHEN n = 0.0D THEN NULL "
+        "ELSE transform(v, x -> x / n) END)[0])[0]" % acc
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.expr(vec).alias("embedding")
+    )
