@@ -3115,3 +3115,73 @@ def test_hashed_embeddings_feed_semantic_dedup(spark):
     )
     kept = {r["doc_id"] for r in out.collect()}
     assert 3 in kept and len(kept & {1, 2}) == 1
+
+
+def _clustered_vectors(n, dim=64, centers=5, seed=13):
+    import random as _r
+
+    rng = _r.Random(seed)
+    cs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(centers)]
+    out = []
+    for i in range(n):
+        c = cs[i % centers]
+        out.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    return out
+
+
+def test_pq_encode_contracts(spark):
+    from wikiextractor_spark.operators.similarity import pq_encode, train_pq
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(80), "vec_id long, embedding array<double>"
+    )
+    books = train_pq(emb, m=8, k=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    codes = pq_encode(emb, books)
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 8 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+    # deterministic
+    again = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert rows == again
+    # the encode plan is narrow (no shuffle)
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="divide"):
+        train_pq(emb, m=7)
+
+
+def test_pq_search_recall_vs_brute_force(spark):
+    """Asymmetric-distance search over the compressed corpus must
+    recover most of the exact top-k — the PQ recall trade on
+    clusterable data."""
+    from wikiextractor_spark.operators.similarity import (
+        ann_brute_force_topk,
+        pq_encode,
+        pq_search,
+        train_pq,
+    )
+
+    data = _clustered_vectors(100)
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    books = train_pq(emb, m=8, k=16)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+
+    queries = [(i, v) for i, v in data[:3]]
+    got = pq_search(codes, books, queries, topk=5)
+    exact = ann_brute_force_topk(emb, query_ids=[0, 1, 2], k=5)
+    g = {}
+    for r in got.collect():
+        g.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    recalls = [len(g[q] & e[q]) / 5 for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # every query got exactly topk rows, ranked 1..k
+    for q, ids in g.items():
+        assert len(ids) == 5
+
+    with pytest.raises(ValueError, match="at least one query"):
+        pq_search(codes, books, [])

@@ -1165,3 +1165,150 @@ def hashed_embeddings(
     return df.select(
         F.col(id_col).alias("vec_id"), F.expr(vec).alias("embedding")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search" — the IVF-PQ memory
+# layout used by billion-scale ANN systems).
+#
+# The vector splits into m subspaces; each subspace quantizes to one
+# of k sub-centroids, so a dim-float vector compresses to m small
+# ints (dim=64, m=8, k=16 → 8 codes ≈ 8 bytes vs 512 — a 64×
+# storage cut, the difference between spilling and fitting the
+# candidate set at 100 TB).  Search is ASYMMETRIC: the query stays
+# exact; per (query, subspace) a k-entry lookup table of partial dot
+# products is precomputed driver-side, so scoring a database code is
+# m table lookups instead of a dim-length dot product.
+# --------------------------------------------------------------------------
+
+
+def train_pq(
+    emb: DataFrame, m: int = 16, k: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """→ ``m`` codebooks of ``k`` sub-centroids each, trained by the
+    same deterministic Lloyd machinery as :func:`ivf_centroids` on
+    each subspace slice.  ``m`` must divide ``dim``.  The result is
+    driver-sized by construction (m·k·dim/m = k·dim floats) — it IS
+    the broadcast dimension of the index, exactly like the coarse
+    centroids.  Cost: m bounded sub-trainings over a sliced
+    projection of the corpus.
+
+    Sizing: recall rises with code bits ``m·log2(k)``.  On data with
+    cluster structure m=8/k=16 (32 bits) already recovers most exact
+    neighbors; on UNSTRUCTURED embeddings (measured on the random
+    testdata vectors) it drops to ~0.2 recall@5 while m=16/k=16
+    (64 bits — still an 8× storage cut at dim=64) reaches 0.4-1.0 —
+    hence the m=16 default.  Budget bits to your data's structure."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias(
+                "_sub"
+            ),
+        )
+        books.append(
+            ivf_centroids(sliced, k=k, iters=iters, id_col=id_col,
+                          vec_col="_sub")
+        )
+    return books
+
+
+def _pq_codes_sql(vec_col: str, books: list[list[list[float]]]) -> str:
+    """The m-length code array as one bound expression: per subspace,
+    argmax of the sub-vector against that subspace's codebook."""
+    sub = len(books[0][0])
+    parts = []
+    for j, book in enumerate(books):
+        scores = _centroid_scores_sql(
+            f"slice({vec_col}, {j * sub + 1}, {sub})", book
+        )
+        parts.append(
+            f"transform(array({scores}), s -> "
+            "array_position(s, array_max(s)) - 1)[0]"
+        )
+    return "array(%s)" % ", ".join(f"cast({p} as int)" for p in parts)
+
+
+def pq_encode(
+    emb: DataFrame, books: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """→ ``(id, codes array<int>)``: the compressed corpus — one
+    narrow scan-speed pass, no shuffle.  Persist this instead of the
+    raw vectors for the memory-bound candidate stages."""
+    return emb.select(
+        F.col(id_col),
+        F.expr(_pq_codes_sql(vec_col, books)).alias("codes"),
+    )
+
+
+def pq_search(
+    codes: DataFrame, books: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]], topk: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """→ ``(q_id, neighbor_id, score, rank)``: asymmetric-distance
+    top-k of each query against the COMPRESSED corpus.
+
+    Per query the driver builds the m×k partial-dot lookup table
+    (m·k floats — trivially literal-sized); a database row's score is
+    then ``Σ_j LUT[j][code_j]`` — m array lookups per (row, query),
+    folded into one bound expression.  Scores approximate the exact
+    dot product with quantization error; ranking quality is the PQ
+    recall trade (tested against brute force).  One narrow scan ×
+    len(queries) score columns, then the same per-query window top-k
+    every ANN path here uses — shuffle volume is q·n score rows at
+    most, and the scan reads CODES (m ints/row), not vectors."""
+    if not queries:
+        raise ValueError("pq_search needs at least one query")
+    m = len(books)
+    score_rows = []
+    for q_id, q in enumerate(queries):
+        qid, qv = q
+        luts = []
+        sub = len(books[0][0])
+        for j, book in enumerate(books):
+            qs = qv[j * sub: (j + 1) * sub]
+            luts.append([
+                sum(x * y for x, y in zip(qs, c)) for c in book
+            ])
+        lut_sql = "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"{v}D" for v in row) for row in luts
+        )
+        # NB bracket indexing `t[i]` is 0-BASED in Spark SQL (it is
+        # element_at that is 1-based) — codes are already 0-based
+        expr = (
+            f"aggregate(zip_with(codes, {lut_sql}, (c, t) -> t[c]), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        score_rows.append((qid, expr))
+    from pyspark.sql import Window
+
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.expr(e).alias(f"_s{qid}") for qid, e in score_rows],
+    )
+    per_q = [
+        scored.select(
+            F.lit(qid).alias("q_id"), "neighbor_id",
+            F.round(F.col(f"_s{qid}"), 6).alias("score"),
+        ).filter(F.col("neighbor_id") != qid)
+        for qid, _ in score_rows
+    ]
+    union = per_q[0]
+    for d in per_q[1:]:
+        union = union.unionByName(d)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        union.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
