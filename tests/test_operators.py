@@ -3185,3 +3185,52 @@ def test_pq_search_recall_vs_brute_force(spark):
 
     with pytest.raises(ValueError, match="at least one query"):
         pq_search(codes, books, [])
+
+
+def test_ivf_pq_composed_search(spark):
+    """The IVF-PQ composition: probe pruning + compressed scoring
+    still recovers most exact neighbors on clustered data, serves
+    never-seen query vectors, and excludes a query from its own
+    neighbors when it exists in the corpus."""
+    from wikiextractor_spark.operators.similarity import (
+        ann_brute_force_topk,
+        ann_ivf_pq_topk,
+    )
+
+    data = _clustered_vectors(120)
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    queries = [(i, v) for i, v in data[:3]]
+    got = ann_ivf_pq_topk(
+        emb, queries, topk=5, nprobe=4, n_centroids=8, m=16, k_sub=16
+    )
+    exact = ann_brute_force_topk(emb, query_ids=[0, 1, 2], k=5)
+    g, e = {}, {}
+    for r in got.collect():
+        g.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    for r in exact.collect():
+        e.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    recalls = [len(g[q] & e[q]) / 5 for q in e]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    assert all(q not in ids for q, ids in g.items())  # self-excluded
+
+    # refine=1 (pure PQ order) degrades on tight clusters — identical
+    # codes tie-break by id; the re-rank must beat it
+    raw = ann_ivf_pq_topk(
+        emb, queries, topk=5, nprobe=4, refine=1, n_centroids=8,
+        m=16, k_sub=16,
+    )
+    g1 = {}
+    for r in raw.collect():
+        g1.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    raw_recall = sum(len(g1[q] & e[q]) / 5 for q in e) / len(e)
+    assert sum(recalls) / len(recalls) >= raw_recall
+
+    # a NEW vector (not in the corpus) is served too
+    new_q = [(999_999, [v + 0.01 for v in data[0][1]])]
+    served = ann_ivf_pq_topk(
+        emb, new_q, topk=3, nprobe=4, n_centroids=8, m=16, k_sub=16
+    ).collect()
+    assert len(served) == 3 and {r["q_id"] for r in served} == {999_999}
+
+    with pytest.raises(ValueError, match="at least one query"):
+        ann_ivf_pq_topk(emb, [])
