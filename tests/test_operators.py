@@ -3169,7 +3169,7 @@ def test_pq_search_recall_vs_brute_force(spark):
     codes = pq_encode(emb, books).localCheckpoint(eager=True)
 
     queries = [(i, v) for i, v in data[:3]]
-    got = pq_search(codes, books, queries, topk=5)
+    got = pq_search(codes, books, queries, topk=5, exclude_self=True)
     exact = ann_brute_force_topk(emb, query_ids=[0, 1, 2], k=5)
     g = {}
     for r in got.collect():
@@ -3201,7 +3201,8 @@ def test_ivf_pq_composed_search(spark):
     emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
     queries = [(i, v) for i, v in data[:3]]
     got = ann_ivf_pq_topk(
-        emb, queries, topk=5, nprobe=4, n_centroids=8, m=16, k_sub=16
+        emb, queries, topk=5, nprobe=4, n_centroids=8, m=16, k_sub=16,
+        exclude_self=True,
     )
     exact = ann_brute_force_topk(emb, query_ids=[0, 1, 2], k=5)
     g, e = {}, {}
@@ -3217,7 +3218,7 @@ def test_ivf_pq_composed_search(spark):
     # codes tie-break by id; the re-rank must beat it
     raw = ann_ivf_pq_topk(
         emb, queries, topk=5, nprobe=4, refine=1, n_centroids=8,
-        m=16, k_sub=16,
+        m=16, k_sub=16, exclude_self=True,
     )
     g1 = {}
     for r in raw.collect():
@@ -3234,3 +3235,34 @@ def test_ivf_pq_composed_search(spark):
 
     with pytest.raises(ValueError, match="at least one query"):
         ann_ivf_pq_topk(emb, [])
+
+
+def test_pq_serving_guards(spark):
+    """The serving-surface guards the sibling path established:
+    dimension mismatch, duplicate q_ids, no silent caller-space
+    self-exclusion, wrong-dim corpus at train time."""
+    from wikiextractor_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        train_pq,
+    )
+
+    data = _clustered_vectors(40)
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    books = train_pq(emb, m=8, k=8)
+    codes = pq_encode(emb, books)
+
+    with pytest.raises(ValueError, match="64-dim"):
+        pq_search(codes, books, [(1, [0.0] * 32)])
+    with pytest.raises(ValueError, match="duplicate"):
+        pq_search(codes, books, [(1, data[0][1]), (1, data[1][1])])
+
+    # caller-space ids: default keeps a corpus row sharing the id
+    got = pq_search(codes, books, [(0, data[0][1])], topk=3).collect()
+    assert 0 in {r["neighbor_id"] for r in got}  # itself, score ~max
+
+    short = spark.createDataFrame(
+        [(i, v[:32]) for i, v in data], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="expected 64-dim"):
+        train_pq(short)

@@ -1204,6 +1204,19 @@ def train_pq(
     hence the m=16 default.  Budget bits to your data's structure."""
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
+    # one-row probe: a corpus whose vectors are not dim-long would
+    # otherwise train truncated (longer) or degenerate empty-slice
+    # (shorter) codebooks with no error
+    got = (
+        emb.select(F.size(F.col(vec_col)).alias("_n"))
+        .filter(F.col("_n").isNotNull())
+        .first()
+    )
+    if got is not None and got["_n"] != dim:
+        raise ValueError(
+            f"train_pq: expected {dim}-dim vectors, corpus has "
+            f"{got['_n']} — pass dim= matching your embeddings"
+        )
     sub = dim // m
     books = []
     for j in range(m):
@@ -1249,67 +1262,85 @@ def pq_encode(
     )
 
 
+def _pq_stack_branches(
+    books: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+) -> list[str]:
+    """Per-query ``stack`` branches: q_id literal + LUT-sum score
+    expression over the ``codes`` column (one branch per query, all
+    evaluated in a single pass over the codes scan)."""
+    sub = len(books[0][0])
+    branches = []
+    for qid, qv in queries:
+        luts = []
+        for j, book in enumerate(books):
+            qs = qv[j * sub: (j + 1) * sub]
+            luts.append([sum(x * y for x, y in zip(qs, c)) for c in book])
+        lut_sql = "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"{v}D" for v in row) for row in luts
+        )
+        # NB bracket indexing `t[i]` is 0-BASED in Spark SQL (it is
+        # element_at that is 1-based) — codes are already 0-based
+        branches.append(
+            f"{qid}L, aggregate(zip_with(codes, {lut_sql}, "
+            "(c, t) -> t[c]), 0.0D, (acc, x) -> acc + x)"
+        )
+    return branches
+
+
+def _validate_pq_queries(queries, dim: int) -> None:
+    """Shared guards for the PQ serving surface (mirrors
+    ann_ivf_search_vectors): non-empty, unique caller-space q_ids,
+    every vector exactly ``dim``-dimensional — silent truncation in
+    the LUT/probe zips would otherwise return wrong neighbors with
+    no error."""
+    if not queries:
+        raise ValueError("need at least one query")
+    ids = [q for q, _ in queries]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"duplicate q_ids in queries: {sorted(ids)}")
+    for qid, qv in queries:
+        if len(qv) != dim:
+            raise ValueError(
+                f"query {qid}: expected {dim}-dim vector, got {len(qv)}"
+            )
+
+
 def pq_search(
     codes: DataFrame, books: list[list[list[float]]],
     queries: list[tuple[int, list[float]]], topk: int = 5,
-    id_col: str = "vec_id",
+    id_col: str = "vec_id", exclude_self: bool = False,
 ) -> DataFrame:
     """→ ``(q_id, neighbor_id, score, rank)``: asymmetric-distance
     top-k of each query against the COMPRESSED corpus.
 
     Per query the driver builds the m×k partial-dot lookup table
     (m·k floats — trivially literal-sized); a database row's score is
-    then ``Σ_j LUT[j][code_j]`` — m array lookups per (row, query),
-    folded into one bound expression.  Scores approximate the exact
-    dot product with quantization error; ranking quality is the PQ
-    recall trade (tested against brute force).  One narrow scan ×
-    len(queries) score columns, then the same per-query window top-k
-    every ANN path here uses — shuffle volume is q·n score rows at
-    most, and the scan reads CODES (m ints/row), not vectors."""
-    if not queries:
-        raise ValueError("pq_search needs at least one query")
-    m = len(books)
-    score_rows = []
-    for q_id, q in enumerate(queries):
-        qid, qv = q
-        luts = []
-        sub = len(books[0][0])
-        for j, book in enumerate(books):
-            qs = qv[j * sub: (j + 1) * sub]
-            luts.append([
-                sum(x * y for x, y in zip(qs, c)) for c in book
-            ])
-        lut_sql = "array(%s)" % ", ".join(
-            "array(%s)" % ", ".join(f"{v}D" for v in row) for row in luts
-        )
-        # NB bracket indexing `t[i]` is 0-BASED in Spark SQL (it is
-        # element_at that is 1-based) — codes are already 0-based
-        expr = (
-            f"aggregate(zip_with(codes, {lut_sql}, (c, t) -> t[c]), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-        score_rows.append((qid, expr))
-    from pyspark.sql import Window
+    ``Σ_j LUT[j][code_j]`` — m array lookups per (row, query).  All
+    queries score in ONE pass over the codes scan via ``stack``
+    (q rows out per input row), then the same per-query window top-k
+    every ANN path here uses.  Scores approximate the exact dot
+    product with quantization error (see :func:`train_pq` sizing).
 
-    scored = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        *[F.expr(e).alias(f"_s{qid}") for qid, e in score_rows],
-    )
-    per_q = [
-        scored.select(
-            F.lit(qid).alias("q_id"), "neighbor_id",
-            F.round(F.col(f"_s{qid}"), 6).alias("score"),
-        ).filter(F.col("neighbor_id") != qid)
-        for qid, _ in score_rows
-    ]
-    union = per_q[0]
-    for d in per_q[1:]:
-        union = union.unionByName(d)
+    Query ids live in the CALLER's id space: no self-exclusion by
+    default (a new vector's id colliding with an unrelated corpus id
+    must not silently drop a true neighbor); pass
+    ``exclude_self=True`` when query ids ARE corpus ids."""
+    m = len(books)
+    sub = len(books[0][0])
+    _validate_pq_queries(queries, m * sub)
+    branches = _pq_stack_branches(books, queries)
+    scored = codes.selectExpr(
+        f"{id_col} as neighbor_id",
+        f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
+    ).withColumn("score", F.round("score", 6))
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return (
-        union.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
 
@@ -1322,41 +1353,41 @@ def ann_ivf_pq_topk(
     n_centroids: int = 16, iters: int = 2,
     m: int = 16, k_sub: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
-    """IVF-PQ: the canonical billion-scale ANN composition — the
-    coarse quantizer prunes WHICH vectors are candidates (each query
-    probes its ``nprobe`` nearest centroid buckets, ~nprobe/k of the
-    corpus) and product quantization compresses WHAT is read for
-    them (m code ints instead of dim floats, scored by per-query
-    lookup tables).  Both index artifacts (``centroids``, ``books``)
-    are driver-sized; pass pre-trained ones so repeated query
-    batches never refit.
+    """IVF-PQ with exact re-ranking: the canonical billion-scale ANN
+    composition — the coarse quantizer prunes WHICH vectors are
+    candidates (each query probes its ``nprobe`` nearest centroid
+    buckets), product quantization bounds WHAT the candidate scan
+    reads (m code ints, LUT-scored), and ``refine`` re-ranks the
+    ``topk·refine`` PQ shortlist with exact cosine over raw vectors
+    fetched by ONE semi-join on that tiny id set (FAISS IVFPQR
+    shape).  Without re-ranking, tightly clustered points quantize
+    to IDENTICAL codes and within-cluster order degenerates to the
+    id tie-break — measured recall@5 ~0.3 (refine=1) vs ~0.9
+    (refine=4) on clustered data.
 
-    ``refine`` adds the standard exact re-ranking pass (FAISS
-    IVFPQR shape): PQ shortlists ``topk·refine`` candidates per
-    query, their RAW vectors are fetched by a semi-join on that tiny
-    id set, and exact cosine re-ranks the shortlist.  Without it,
-    tightly clustered points quantize to IDENTICAL codes and the
-    within-cluster order degenerates to the id tie-break — measured
-    recall@5 dropped from ~0.9 (refine=4) to ~0.3 (refine=1) on
-    clustered data.  ``refine=1`` disables re-ranking (pure PQ
-    order).  Queries are explicit ``(q_id, vector)`` pairs (the
-    serving shape — new vectors never seen by the corpus are fine);
-    a query id that also exists in the corpus is excluded from its
-    own neighbors like every ANN path here."""
+    Batched plan: ONE pass over the materialized codes scores every
+    query (probe membership enforced per (query, centroid) inside
+    the same pass) and ONE scan of ``emb`` fetches all shortlist
+    vectors — corpus reads do not scale with query count.  Index
+    artifacts (``centroids``, ``books``) are driver-sized; pass
+    pre-trained ones so repeated batches never refit.  Query ids are
+    caller-space (no self-exclusion unless ``exclude_self=True``,
+    like :func:`pq_search`)."""
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
-    if not queries:
-        raise ValueError("ann_ivf_pq_topk needs at least one query")
     if centroids is None:
         centroids = ivf_centroids(emb, n_centroids, iters, id_col, vec_col)
+    dim = len(centroids[0])
+    _validate_pq_queries(queries, dim)
     if books is None:
         books = train_pq(
             emb, m=m, k=k_sub, iters=iters, id_col=id_col, vec_col=vec_col,
-            dim=len(centroids[0]),
+            dim=dim,
         )
-    # one narrow pass carries assignment AND codes; materialize the
-    # (id, centroid, codes) table once — it is referenced per query
+    # one narrow pass carries assignment AND codes; materialize —
+    # every per-query probe filter reads this, not the raw corpus
     coded = (
         ivf_assign(emb, centroids, id_col, vec_col, keep_vec=True)
         .select(
@@ -1365,49 +1396,66 @@ def ann_ivf_pq_topk(
         )
         .localCheckpoint(eager=True)
     )
-    # driver-side probe selection per query (centroids are local)
+
     def _top_centroids(qv):
-        scored = sorted(
+        scored_c = sorted(
             ((sum(x * y for x, y in zip(qv, c)), i)
              for i, c in enumerate(centroids)),
             key=lambda t: (-t[0], t[1]),
         )
-        return [i for _, i in scored[:nprobe]]
+        return [i for _, i in scored_c[:nprobe]]
 
-    results = []
+    # ONE pass over the materialized codes: all queries score via a
+    # stacked projection, and per-(query, centroid) probe membership
+    # is a predicate applied BEFORE any window — ranking only ever
+    # sees the probed slivers, never the full q×n score set
+    branches = _pq_stack_branches(books, queries)
+    stacked = coded.selectExpr(
+        f"{id_col} as neighbor_id", "centroid_id",
+        f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
+    ).withColumn("score", F.round("score", 6))
+    if exclude_self:
+        stacked = stacked.filter(F.col("neighbor_id") != F.col("q_id"))
+    probe_pred = None
     for qid, qv in queries:
-        probe = _top_centroids(qv)
-        sliver = coded.filter(F.col("centroid_id").isin(probe)).select(
-            id_col, "codes"
+        cond = (F.col("q_id") == qid) & F.col("centroid_id").isin(
+            _top_centroids(qv)
         )
-        shortlist = pq_search(
-            sliver, books, [(qid, qv)], topk=topk * refine, id_col=id_col
+        probe_pred = cond if probe_pred is None else (probe_pred | cond)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        stacked.filter(probe_pred)
+        .drop("centroid_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk * refine)
+    )
+    if refine == 1:
+        return shortlist.filter(F.col("rank") <= topk)
+    # the shortlist feeds two joins below — materialize the tiny
+    # (queries × topk × refine)-row set once
+    shortlist = shortlist.localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "q_id long, q_v array<double>",
+    )
+    cand_vecs = emb.join(
+        shortlist.select(F.col("neighbor_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    ).select(F.col(id_col).alias("neighbor_id"),
+             _as_double(F.col(vec_col)).alias("v"))
+    exact = (
+        shortlist.select("q_id", "neighbor_id")
+        .join(cand_vecs, "neighbor_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id", "neighbor_id",
+            F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("score"),
         )
-        if refine == 1:
-            results.append(shortlist)
-            continue
-        # exact re-rank: fetch raw vectors for the shortlist ids only
-        # (queries × topk × refine rows — a sliver) and score exactly
-        cand = emb.join(
-            shortlist.select(F.col("neighbor_id").alias(id_col)),
-            id_col, "left_semi",
-        ).select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        q_lit = "array(%s)" % ", ".join(f"{float(x)}D" for x in qv)
-        exact = cand.select(
-            F.lit(qid).alias("q_id"),
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                cosine(F.expr(q_lit), F.col("v")), 6
-            ).alias("score"),
-        )
-        w = Window.partitionBy("q_id").orderBy(
-            F.desc("score"), F.asc("neighbor_id")
-        )
-        results.append(
-            exact.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= topk)
-        )
-    out = results[0]
-    for d in results[1:]:
-        out = out.unionByName(d)
-    return out
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
