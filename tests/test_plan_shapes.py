@@ -194,3 +194,27 @@ def test_boilerplate_removal_no_cartesian(spark, sf_dir):
     p = plan_of(remove_boilerplate_lines(docs))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_repeated_spans_no_window_exchange(spark, sf_dir):
+    """The corpus-repeated gram count must go through groupBy (map-side
+    partial aggregation absorbs hot grams) + a membership join — NEVER
+    a window over gram_hash, which ships every occurrence of a hot
+    gram to one task with no combine (VERDICT r7 straggler)."""
+    from wikiextractor_spark.operators.spans import (
+        repeated_span_positions,
+        trim_repeated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for df in (
+        repeated_span_positions(docs, n=10),
+        trim_repeated_spans(docs, n=10),
+    ):
+        p = plan_of(df)
+        assert "Window" not in p
+        # partial + final count of the gram inventory
+        assert "partial_count" in p
+        assert "CartesianProduct" not in p

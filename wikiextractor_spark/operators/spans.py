@@ -90,20 +90,24 @@ def repeated_span_positions(
         raise ValueError(f"need n >= 1, got {n}")
     if min_count < 2:
         raise ValueError(f"need min_count >= 2, got {min_count}")
-    from pyspark.sql import Window
-
-    # ONE shuffle of the exploded corpus: a per-gram window count in
-    # place of groupBy + semi-join, which would shuffle the same
-    # exploded rows twice (once to count, once to join the counts
-    # back) — at 100 TB the exploded set is the dominant volume, so
-    # halving its shuffles halves the operator's network cost
+    # flagged-set topology (same as remove_boilerplate_lines below):
+    # the count goes through groupBy, whose map-side partial
+    # aggregation collapses each hot gram to one row per task BEFORE
+    # the exchange — a window-over-gram_hash count would instead ship
+    # every occurrence of a gram to a single task, and the operator's
+    # home workload (boilerplate repeated across billions of pages)
+    # produces exactly those hot keys.  The flagged inventory is
+    # sparse in healthy corpora, so the membership join back onto the
+    # positions is AQE-broadcastable: the exploded rows are never
+    # shuffled at all, only recomputed from the narrow scan.
     pos = _gram_positions(docs, n, text_col, id_col)
-    w = Window.partitionBy("gram_hash")
-    return (
-        pos.withColumn("_n", F.count("*").over(w))
+    flagged = (
+        pos.groupBy("gram_hash")
+        .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= min_count)
-        .select(id_col, "pos")
+        .select("gram_hash")
     )
+    return pos.join(flagged, "gram_hash", "semi").select(id_col, "pos")
 
 
 def repeated_span_report(
