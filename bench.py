@@ -51,7 +51,7 @@ def main() -> None:
         "ev_hourly_rollup",
         "ev_sessionize",
         "mm_media_meta",
-        "ta_tfidf_keywords",
+        "ta_term_stats",
         "ta_quality_classifier",
         "ta_chunk_documents",
         "corpus_prepare",

@@ -238,6 +238,23 @@ def test_hashed_classifier_empty_doc_scores_prior(spark):
     assert scored.first()["content_logit"] == pytest.approx(prior)
 
 
+def test_hashed_classifier_null_text_scores_null(spark):
+    """NULL text scores NULL (not `prior`): every other text gate
+    drops NULL text, and a positive prior above the content-gate
+    threshold must not let NULL-text docs through the one remaining
+    gate (ADVICE r7)."""
+    df = spark.createDataFrame(
+        [(1, "good words here", 1), (2, "bad stuff there", 0)],
+        "doc_id long, text string, label int",
+    )
+    w, prior = clf.fit_hashed_classifier(df)
+    scored = clf.score_hashed(
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        w, prior,
+    )
+    assert scored.first()["content_logit"] is None
+
+
 def test_hashed_classifier_unseen_tokens_score_prior(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma", 1), (2, "delta epsilon zeta", 0)],

@@ -145,8 +145,8 @@ def test_adversarial_quirks_reproduced():
 def test_stuck_intext_swallows_pages():
     """A multi-line <text> whose closing </text> line starts with a
     different raw tag leaves the parser in text mode: following pages
-    are swallowed and the first id leaks (verified reference behavior,
-    see .claude/skills/verify/SKILL.md)."""
+    are swallowed and the first id leaks (behavior verified by running
+    the reference CLI on this exact layout)."""
     dump = """<mediawiki>
   <page>
     <title>Alpha</title>

@@ -136,7 +136,7 @@ def test_no_unbounded_cartesian_in_any_battery_query(spark):
     bounded-id all-pairs verification grains (dd_embedding_neighbor,
     which carries the former sim_cosine_pairs family), the
     broadcast-queries ANN scan (sim_ann_topk), and the 1-row
-    corpus-total cross join (ta_tfidf_keywords).  A new query that
+    corpus-total cross join (ta_term_stats).  A new query that
     plans an unbounded cartesian fails here before it ever reaches
     the driver."""
     import contextlib
@@ -147,7 +147,7 @@ def test_no_unbounded_cartesian_in_any_battery_query(spark):
     BNLJ_BOUNDED_BY_DESIGN = {
         "sim_ann_topk",
         "dd_embedding_neighbor",
-        "ta_tfidf_keywords",
+        "ta_term_stats",
     }
     offenders = {}
     for name, (fn, _oracle) in REGISTRY.items():

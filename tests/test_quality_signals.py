@@ -578,6 +578,14 @@ def test_filter_blocked_domains(spark):
         df, ["example.com"], keep_unparseable=False).collect()}
     assert kept2 == {3, 4}
 
+    # normalizations must COMPOSE: a leading dot before 'www.' used
+    # to consume position 0 in a single-alternation regexp_replace,
+    # leaving 'www.example.com' — which matches no host (url_domain
+    # strips www.) — a silently-inert blocklist entry
+    kept3 = {r["doc_id"] for r in
+             filter_blocked_domains(df, [".www.example.com."]).collect()}
+    assert kept3 == {3, 4, 5, 6}
+
     # DataFrame blocklist + validation
     bl = spark.createDataFrame([("clean.org",)], "domain string")
     assert {r["doc_id"] for r in

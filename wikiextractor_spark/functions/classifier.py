@@ -477,8 +477,12 @@ def score_hashed(
     broadcast weight table (bounded by num_buckets), and re-aggregates
     per document with map-side partial sums — one shuffle at
     document grain, no Python.  Docs with no grams (empty text)
-    score exactly ``prior``.  ``num_buckets``/``bigrams`` must match
-    the fit (they define the hash space).
+    score exactly ``prior``; docs with NULL text score NULL — every
+    other text gate here (Gopher, shape classifier, LM) drops NULL
+    text, and a NULL-text doc sneaking through the content gate at
+    ``prior`` would be the one inconsistent path.
+    ``num_buckets``/``bigrams`` must match the fit (they define the
+    hash space).
     """
     grams = docs.select(
         F.col(id_col), _hashed_grams(text_col, num_buckets, bigrams).alias("_g")
@@ -493,4 +497,9 @@ def score_hashed(
             )
         )
     )
-    return docs.join(summed, id_col, "left")
+    return docs.join(summed, id_col, "left").withColumn(
+        output_col,
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("double")
+        ).otherwise(F.col(output_col)),
+    )

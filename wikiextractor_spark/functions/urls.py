@@ -267,8 +267,17 @@ def filter_blocked_domains(
     Rows whose URL has no parseable host match nothing; by default
     they pass through, ``keep_unparseable=False`` drops them
     (stated, like :func:`dedup_by_url`)."""
+    # chained, not one alternation: with r'^\.+|^www\.|\.$' in a
+    # single regexp_replace the leading-dot match consumes position 0
+    # and the anchored ^www\. can never fire afterwards, so an entry
+    # like '.www.example.com' would normalize to 'www.example.com'
+    # and silently never match (url_domain strips www.)
     norm = lambda c: F.regexp_replace(  # noqa: E731 — mirrors url_domain
-        F.lower(F.trim(c)), r"^\.+|^www\.|\.$", ""
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim(c)), r"^\.+", ""),
+            r"^www\.", "",
+        ),
+        r"\.$", "",
     )
     if isinstance(blocklist, list):
         bl = df.sparkSession.createDataFrame(

@@ -1586,7 +1586,7 @@ sql_query(
     """,
 )
 
-# (ta_top_bigrams merged into ta_tfidf_keywords below — r7.)
+# (ta_top_bigrams merged into ta_term_stats below — r7.)
 
 
 @query(
@@ -2022,10 +2022,12 @@ def st_stream_hourly(spark, sf_dir):
 # Per-doc TF-IDF keywords + global top-20 bigrams in one
 # discriminated union.  Merged from r2's ta_tfidf_keywords + r1's
 # ta_top_bigrams (both green) to free a battery slot under the
-# driver's 50-entry cap for the r6 operators; bigram rows carry their
-# count as the score and -1 as the doc id.
+# driver's 50-entry cap for the r6 operators; renamed to
+# ta_term_stats in r8 so the slot name states that its timing covers
+# BOTH families.  Bigram rows carry their count as the score and -1
+# as the doc id.
 sql_query(
-    "ta_tfidf_keywords",
+    "ta_term_stats",
     """
     WITH exploded AS (
       SELECT doc_id, explode(split(text, ' ')) AS w FROM documents

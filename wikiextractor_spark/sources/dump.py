@@ -13,8 +13,9 @@ from the reference's quirky line parser):
   the schema simply prunes revision ids out of the scan.
 * the reference only recognizes a tag when it is the *first* tag on
   its physical line, silently swallowing text on unusual layouts
-  (verified — see .claude/skills/verify/SKILL.md); the XML source
-  parses any well-formed layout.
+  (verified against the reference CLI on adversarial layouts — see
+  tests/test_lineparser.py); the XML source parses any well-formed
+  layout.
 * compressed dumps: Spark/Hadoop auto-detect ``.bz2`` (splittable)
   and ``.gz`` (NOT splittable — one task per file; prefer bz2 or
   multi-file input at scale, SURVEY.md §2.1 S1).
