@@ -369,18 +369,44 @@ def semantic_dedup(
 # IVF (inverted-file) ANN — the centroid-bucketed scale path
 # --------------------------------------------------------------------------
 
-def _centroid_scores_sql(vec_col: str, centroids: list[list[float]]) -> str:
-    """Dot products of a (cast) vector against every centroid, as ONE
-    bound expression over a folded nested literal (same codegen shape
-    as lsh_bucket)."""
+def _centroid_scores_sql(
+    vec_col: str, centroids: list[list[float]], metric: str = "dot",
+) -> str:
+    """Per-centroid scores of a (cast) vector, as ONE bound expression
+    over a folded nested literal (same codegen shape as lsh_bucket).
+
+    ``metric="dot"``: plain dot products (the cosine/IVF path —
+    centroids are unit-norm there, so argmax(dot) = argmin(angle)).
+    ``metric="l2"``: ``v·c − ‖c‖²/2`` so that argmax equals argmin of
+    the squared L2 distance ``‖v−c‖²`` (the ‖v‖² term is constant per
+    row) — the assignment PQ codebooks need, where centroids are RAW
+    subspace means, not unit vectors."""
+    if metric == "dot":
+        c_sql = "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"{float(x)}D" for x in c)
+            for c in centroids
+        )
+        return f"""
+          transform(array(transform({vec_col}, x -> cast(x as double))), v ->
+            transform({c_sql}, c ->
+              aggregate(zip_with(v, c, (x, y) -> x * y),
+                        cast(0.0 as double), (acc, z) -> acc + z))
+          )[0]
+        """
+    if metric != "l2":
+        raise ValueError(f"metric must be 'dot' or 'l2', got {metric!r}")
     c_sql = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(f"{float(x)}D" for x in c) for c in centroids
+        "named_struct('c', array(%s), 'b', %sD)" % (
+            ", ".join(f"{float(x)}D" for x in c),
+            0.5 * sum(float(x) * float(x) for x in c),
+        )
+        for c in centroids
     )
     return f"""
       transform(array(transform({vec_col}, x -> cast(x as double))), v ->
-        transform({c_sql}, c ->
-          aggregate(zip_with(v, c, (x, y) -> x * y),
-                    cast(0.0 as double), (acc, z) -> acc + z))
+        transform({c_sql}, s ->
+          aggregate(zip_with(v, s.c, (x, y) -> x * y),
+                    cast(0.0 as double), (acc, z) -> acc + z) - s.b)
       )[0]
     """
 
@@ -393,11 +419,23 @@ def _normalize(vec: list[float]) -> list[float]:
 def ivf_centroids(
     emb: DataFrame, k: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> list[list[float]]:
-    """Train an IVF coarse quantizer: ``k`` L2-normalized centroids
-    via Lloyd iterations, everything distributed except the k×dim
-    centroid matrix itself (which is genuinely driver-sized — it IS
-    the broadcast dimension of the index).
+    """Train an IVF coarse quantizer: ``k`` centroids via Lloyd
+    iterations, everything distributed except the k×dim centroid
+    matrix itself (which is genuinely driver-sized — it IS the
+    broadcast dimension of the index).
+
+    ``metric="cosine"`` (default, the coarse-quantizer path):
+    centroids are L2-NORMALIZED after seeding and after every mean
+    update, and assignment is argmax of dot(v, c) — spherical
+    k-means.  ``metric="l2"`` (the PQ-codebook path): centroids are
+    RAW subspace means and assignment is argmin of L2 distance —
+    plain Lloyd, minimizing reconstruction error the way Jégou 2011
+    trains sub-codebooks.  Normalizing sub-codebooks would be wrong
+    there: sub-vectors of unit-norm embeddings have norm ≪ 1, so
+    unit-norm sub-centroids inflate every asymmetric partial dot
+    ``q·ĉ`` by a per-vector-varying factor and distort PQ ranking.
 
     * init: the ``k`` vectors with the smallest ``md5(id)`` — a
       deterministic, engine-reproducible spread sample (no RNG, no
@@ -412,6 +450,10 @@ def ivf_centroids(
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1, iters >= 0, got {k}/{iters}")
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    score_metric = "dot" if metric == "cosine" else "l2"
+    shape = _normalize if metric == "cosine" else list
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     seed_rows = (
         base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
@@ -420,7 +462,7 @@ def ivf_centroids(
         .select("v")
         .collect()
     )
-    centroids = [_normalize(list(r["v"])) for r in seed_rows]
+    centroids = [shape(list(r["v"])) for r in seed_rows]
     if not centroids:
         # an empty centroid literal would otherwise surface as an
         # inscrutable VOID-type analyzer error deep in the score expr
@@ -430,7 +472,7 @@ def ivf_centroids(
     # fewer vectors than k: every vector becomes its own centroid
     # (the quantizer degenerates gracefully instead of erroring)
     for _ in range(iters):
-        scores = _centroid_scores_sql("v", centroids)
+        scores = _centroid_scores_sql("v", centroids, metric=score_metric)
         assigned = base.withColumn("_s", F.expr(scores)).select(
             "v",
             (F.expr("array_position(_s, array_max(_s))") - 1).alias("_c"),
@@ -450,7 +492,7 @@ def ivf_centroids(
         )
         new = list(centroids)
         for r in means:  # empty clusters keep their old centroid
-            new[int(r["_c"])] = _normalize(list(r["_mean"]))
+            new[int(r["_c"])] = shape(list(r["_mean"]))
         centroids = new
     return centroids
 
@@ -1190,18 +1232,31 @@ def train_pq(
 ) -> list[list[list[float]]]:
     """→ ``m`` codebooks of ``k`` sub-centroids each, trained by the
     same deterministic Lloyd machinery as :func:`ivf_centroids` on
-    each subspace slice.  ``m`` must divide ``dim``.  The result is
-    driver-sized by construction (m·k·dim/m = k·dim floats) — it IS
-    the broadcast dimension of the index, exactly like the coarse
-    centroids.  Cost: m bounded sub-trainings over a sliced
-    projection of the corpus.
+    each subspace slice — in its ``metric="l2"`` mode: sub-centroids
+    are RAW subspace means assigned by L2 distance, so codes minimize
+    reconstruction error (Jégou 2011).  Unit-normalizing them (the
+    coarse quantizer's mode) would be wrong here: sub-vectors of
+    unit-norm embeddings have norm ≪ 1, so unit-norm sub-centroids
+    inflate every asymmetric partial dot ``q·ĉ`` by a
+    per-vector-varying factor and systematically distort PQ ranking.
+    ``m`` must divide ``dim``.  The result is driver-sized by
+    construction (m·k·dim/m = k·dim floats) — it IS the broadcast
+    dimension of the index, exactly like the coarse centroids.
+    Cost: m bounded sub-trainings over a sliced projection of the
+    corpus.
 
-    Sizing: recall rises with code bits ``m·log2(k)``.  On data with
-    cluster structure m=8/k=16 (32 bits) already recovers most exact
-    neighbors; on UNSTRUCTURED embeddings (measured on the random
-    testdata vectors) it drops to ~0.2 recall@5 while m=16/k=16
-    (64 bits — still an 8× storage cut at dim=64) reaches 0.4-1.0 —
-    hence the m=16 default.  Budget bits to your data's structure."""
+    Sizing: recall rises with code bits ``m·log2(k)``.  Measured on
+    the unit-norm testdata embeddings: m=8/k=16 (32 bits) ~0.2
+    recall@5 / ~0.5 at the topk×4 shortlist grain; m=16/k=16 (64
+    bits — still an 8× storage cut at dim=64) ~0.4 / ~0.7 — hence
+    the m=16 default, and refine re-ranking as the recall path.
+    Codebook-mode ablation (ADVICE r7): raw-mean L2 codebooks vs the
+    old unit-normalized ones measured WITHIN NOISE on both clustered
+    and unstructured data (the absolute numbers are bit-budget
+    limits, not normalization artifacts); raw means are kept because
+    the asymmetric estimator ``Σ q_j·ĉ_j ≈ q·x`` is then unbiased,
+    and residual encoding (FAISS IVFPQ) measured no better on this
+    data — documented so future rounds don't re-litigate."""
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     # one-row probe: a corpus whose vectors are not dim-long would
@@ -1228,19 +1283,21 @@ def train_pq(
         )
         books.append(
             ivf_centroids(sliced, k=k, iters=iters, id_col=id_col,
-                          vec_col="_sub")
+                          vec_col="_sub", metric="l2")
         )
     return books
 
 
 def _pq_codes_sql(vec_col: str, books: list[list[list[float]]]) -> str:
     """The m-length code array as one bound expression: per subspace,
-    argmax of the sub-vector against that subspace's codebook."""
+    the L2-nearest sub-centroid of the sub-vector (via the biased
+    dot-product scores — same assignment metric the codebooks were
+    trained with)."""
     sub = len(books[0][0])
     parts = []
     for j, book in enumerate(books):
         scores = _centroid_scores_sql(
-            f"slice({vec_col}, {j * sub + 1}, {sub})", book
+            f"slice({vec_col}, {j * sub + 1}, {sub})", book, metric="l2"
         )
         parts.append(
             f"transform(array({scores}), s -> "
