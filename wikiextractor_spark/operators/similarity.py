@@ -1319,6 +1319,31 @@ def pq_encode(
     )
 
 
+def _pq_lut(
+    books: list[list[list[float]]], qv: list[float]
+) -> list[list[float]]:
+    """The m×k partial-dot lookup table of one query against the
+    codebooks: ``lut[j][c] = q_subj · books[j][c]`` — m·k floats,
+    computed driver-side (trivially sized)."""
+    sub = len(books[0][0])
+    return [
+        [
+            sum(x * y for x, y in zip(qv[j * sub: (j + 1) * sub], c))
+            for c in book
+        ]
+        for j, book in enumerate(books)
+    ]
+
+
+# ``aggregate(zip_with(codes, lut, ...))``: a database row's PQ score
+# is m table lookups.  NB bracket indexing `t[i]` is 0-BASED in Spark
+# SQL (element_at is the 1-based one) — codes are already 0-based.
+_PQ_LUT_SCORE = (
+    "aggregate(zip_with(codes, {lut}, (c, t) -> t[c]), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+
+
 def _pq_stack_branches(
     books: list[list[list[float]]],
     queries: list[tuple[int, list[float]]],
@@ -1326,23 +1351,45 @@ def _pq_stack_branches(
     """Per-query ``stack`` branches: q_id literal + LUT-sum score
     expression over the ``codes`` column (one branch per query, all
     evaluated in a single pass over the codes scan)."""
-    sub = len(books[0][0])
     branches = []
     for qid, qv in queries:
-        luts = []
-        for j, book in enumerate(books):
-            qs = qv[j * sub: (j + 1) * sub]
-            luts.append([sum(x * y for x, y in zip(qs, c)) for c in book])
+        luts = _pq_lut(books, qv)
         lut_sql = "array(%s)" % ", ".join(
             "array(%s)" % ", ".join(f"{v}D" for v in row) for row in luts
         )
-        # NB bracket indexing `t[i]` is 0-BASED in Spark SQL (it is
-        # element_at that is 1-based) — codes are already 0-based
         branches.append(
-            f"{qid}L, aggregate(zip_with(codes, {lut_sql}, "
-            "(c, t) -> t[c]), 0.0D, (acc, x) -> acc + x)"
+            f"{qid}L, " + _PQ_LUT_SCORE.format(lut=lut_sql)
         )
     return branches
+
+
+def _pq_query_frame(
+    spark, books: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    centroids: list[list[float]] | None = None, nprobe: int | None = None,
+) -> DataFrame:
+    """The BROADCAST side of the joined PQ-scoring path: one row per
+    query — ``(q_id, q_v, lut)`` — exploded to one row per (query,
+    probed centroid) when ``centroids``/``nprobe`` are given.  LUTs
+    are computed driver-side (m·k floats per query); the frame is
+    queries × nprobe rows, always broadcast-sized."""
+    rows = []
+    for qid, qv in queries:
+        lut = _pq_lut(books, qv)
+        if centroids is None:
+            rows.append((int(qid), [float(x) for x in qv], lut))
+        else:
+            scored_c = sorted(
+                ((sum(x * y for x, y in zip(qv, c)), i)
+                 for i, c in enumerate(centroids)),
+                key=lambda t: (-t[0], t[1]),
+            )
+            for _, ci in scored_c[:nprobe]:
+                rows.append((int(qid), [float(x) for x in qv], lut, ci))
+    schema = "q_id long, q_v array<double>, lut array<array<double>>"
+    if centroids is not None:
+        schema += ", q_centroid int"
+    return spark.createDataFrame(rows, schema)
 
 
 def _validate_pq_queries(queries, dim: int) -> None:
@@ -1367,6 +1414,7 @@ def pq_search(
     codes: DataFrame, books: list[list[list[float]]],
     queries: list[tuple[int, list[float]]], topk: int = 5,
     id_col: str = "vec_id", exclude_self: bool = False,
+    broadcast_threshold: int = 256,
 ) -> DataFrame:
     """→ ``(q_id, neighbor_id, score, rank)``: asymmetric-distance
     top-k of each query against the COMPRESSED corpus.
@@ -1374,10 +1422,19 @@ def pq_search(
     Per query the driver builds the m×k partial-dot lookup table
     (m·k floats — trivially literal-sized); a database row's score is
     ``Σ_j LUT[j][code_j]`` — m array lookups per (row, query).  All
-    queries score in ONE pass over the codes scan via ``stack``
-    (q rows out per input row), then the same per-query window top-k
-    every ANN path here uses.  Scores approximate the exact dot
-    product with quantization error (see :func:`train_pq` sizing).
+    queries score in ONE pass over the codes scan, then the same
+    per-query window top-k every ANN path here uses.  Scores
+    approximate the exact dot product with quantization error (see
+    :func:`train_pq` sizing).
+
+    Up to ``broadcast_threshold`` queries the scoring projection is a
+    ``stack`` with one inlined-LUT branch per query (zero joins);
+    above it, per-query branches would blow up the generated SQL and
+    codegen, so the LUTs ship as a BROADCAST ``(q_id, lut)`` frame
+    cross-joined against the codes — same q×n scored rows, query
+    count bounded only by broadcast size (tested at 1000).  Both
+    paths produce identical rows by construction (shared LUT math and
+    score expression; equality-tested).
 
     Query ids live in the CALLER's id space: no self-exclusion by
     default (a new vector's id colliding with an unrelated corpus id
@@ -1386,11 +1443,24 @@ def pq_search(
     m = len(books)
     sub = len(books[0][0])
     _validate_pq_queries(queries, m * sub)
-    branches = _pq_stack_branches(books, queries)
-    scored = codes.selectExpr(
-        f"{id_col} as neighbor_id",
-        f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
-    ).withColumn("score", F.round("score", 6))
+    if len(queries) > broadcast_threshold:
+        qframe = _pq_query_frame(codes.sparkSession, books, queries)
+        scored = (
+            codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+            .crossJoin(F.broadcast(qframe.select("q_id", "lut")))
+            .select(
+                "q_id", "neighbor_id",
+                F.round(
+                    F.expr(_PQ_LUT_SCORE.format(lut="lut")), 6
+                ).alias("score"),
+            )
+        )
+    else:
+        branches = _pq_stack_branches(books, queries)
+        scored = codes.selectExpr(
+            f"{id_col} as neighbor_id",
+            f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
+        ).withColumn("score", F.round("score", 6))
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(
@@ -1411,6 +1481,7 @@ def ann_ivf_pq_topk(
     m: int = 16, k_sub: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
     exclude_self: bool = False,
+    broadcast_threshold: int = 256,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking: the canonical billion-scale ANN
     composition — the coarse quantizer prunes WHICH vectors are
@@ -1427,7 +1498,12 @@ def ann_ivf_pq_topk(
     Batched plan: ONE pass over the materialized codes scores every
     query (probe membership enforced per (query, centroid) inside
     the same pass) and ONE scan of ``emb`` fetches all shortlist
-    vectors — corpus reads do not scale with query count.  Index
+    vectors — corpus reads do not scale with query count.  Up to
+    ``broadcast_threshold`` queries the scoring is a stacked
+    projection with inlined LUT literals; above it, LUTs + probe
+    centroids ship as a broadcast frame equi-joined on the centroid
+    id, so the generated SQL stays constant-size at any batch size
+    (tested at 1000 queries; both paths equality-tested).  Index
     artifacts (``centroids``, ``books``) are driver-sized; pass
     pre-trained ones so repeated batches never refit.  Query ids are
     caller-space (no self-exclusion unless ``exclude_self=True``,
@@ -1454,38 +1530,62 @@ def ann_ivf_pq_topk(
         .localCheckpoint(eager=True)
     )
 
-    def _top_centroids(qv):
-        scored_c = sorted(
-            ((sum(x * y for x, y in zip(qv, c)), i)
-             for i, c in enumerate(centroids)),
-            key=lambda t: (-t[0], t[1]),
+    spark = emb.sparkSession
+    if len(queries) > broadcast_threshold:
+        # joined path (large batches): per-query LUTs + probe
+        # centroids ship as ONE broadcast frame, equi-joined on the
+        # centroid id — the generated SQL stays constant-size however
+        # many queries the batch carries (per-query stack branches
+        # and OR-chained probe predicates blow up codegen past a few
+        # hundred queries)
+        qframe = _pq_query_frame(spark, books, queries, centroids, nprobe)
+        scored = (
+            coded.join(
+                F.broadcast(qframe.select("q_id", "lut", "q_centroid")),
+                F.col("centroid_id") == F.col("q_centroid"),
+            )
+            .select(
+                "q_id", F.col(id_col).alias("neighbor_id"),
+                F.round(
+                    F.expr(_PQ_LUT_SCORE.format(lut="lut")), 6
+                ).alias("score"),
+            )
         )
-        return [i for _, i in scored_c[:nprobe]]
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
+    else:
+        def _top_centroids(qv):
+            scored_c = sorted(
+                ((sum(x * y for x, y in zip(qv, c)), i)
+                 for i, c in enumerate(centroids)),
+                key=lambda t: (-t[0], t[1]),
+            )
+            return [i for _, i in scored_c[:nprobe]]
 
-    # ONE pass over the materialized codes: all queries score via a
-    # stacked projection, and per-(query, centroid) probe membership
-    # is a predicate applied BEFORE any window — ranking only ever
-    # sees the probed slivers, never the full q×n score set
-    branches = _pq_stack_branches(books, queries)
-    stacked = coded.selectExpr(
-        f"{id_col} as neighbor_id", "centroid_id",
-        f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
-    ).withColumn("score", F.round("score", 6))
-    if exclude_self:
-        stacked = stacked.filter(F.col("neighbor_id") != F.col("q_id"))
-    probe_pred = None
-    for qid, qv in queries:
-        cond = (F.col("q_id") == qid) & F.col("centroid_id").isin(
-            _top_centroids(qv)
-        )
-        probe_pred = cond if probe_pred is None else (probe_pred | cond)
+        # ONE pass over the materialized codes: all queries score via
+        # a stacked projection, and per-(query, centroid) probe
+        # membership is a predicate applied BEFORE any window —
+        # ranking only ever sees the probed slivers, never the full
+        # q×n score set
+        branches = _pq_stack_branches(books, queries)
+        stacked = coded.selectExpr(
+            f"{id_col} as neighbor_id", "centroid_id",
+            f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
+        ).withColumn("score", F.round("score", 6))
+        if exclude_self:
+            stacked = stacked.filter(F.col("neighbor_id") != F.col("q_id"))
+        probe_pred = None
+        for qid, qv in queries:
+            cond = (F.col("q_id") == qid) & F.col("centroid_id").isin(
+                _top_centroids(qv)
+            )
+            probe_pred = cond if probe_pred is None else (probe_pred | cond)
+        scored = stacked.filter(probe_pred).drop("centroid_id")
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     shortlist = (
-        stacked.filter(probe_pred)
-        .drop("centroid_id")
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk * refine)
     )
     if refine == 1:
@@ -1493,7 +1593,6 @@ def ann_ivf_pq_topk(
     # the shortlist feeds two joins below — materialize the tiny
     # (queries × topk × refine)-row set once
     shortlist = shortlist.localCheckpoint(eager=True)
-    spark = emb.sparkSession
     qdf = spark.createDataFrame(
         [(qid, [float(x) for x in qv]) for qid, qv in queries],
         "q_id long, q_v array<double>",
