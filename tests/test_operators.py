@@ -3333,3 +3333,114 @@ def test_pq_broadcast_join_path_equals_stack_path(spark):
     served = pq_search(codes, books, big, topk=2)
     counts = served.groupBy("q_id").count().collect()
     assert len(counts) == 1000 and all(r["count"] == 2 for r in counts)
+
+
+def test_ivf_index_pq_build_and_serving(spark, emb, tmp_path):
+    """A pq= build persists codes IN the vectors table and the
+    codebooks next to the centroids; the use_pq serving path scores
+    codes off disk (column-pruned — the scan that feeds the LUT join
+    never reads the vector column) and equals the in-memory
+    ann_ivf_pq_topk on the same centroids/books."""
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        ann_ivf_search_vectors,
+        build_ivf_index,
+        ivf_index_add,
+        load_ivf_centroids,
+        load_pq_books,
+        pq_encode,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    corpus = emb.limit(200).localCheckpoint(eager=True)
+    centroids = build_ivf_index(
+        corpus, idx, k=4, iters=1, pq={"m": 8, "k": 8, "iters": 1}
+    )
+    books = load_pq_books(spark, idx)
+    assert books is not None and len(books) == 8
+    assert all(len(b) <= 8 for b in books)
+
+    # stored codes equal a fresh encode under the stored books
+    stored = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    fresh = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(corpus, books).collect()
+    }
+    assert stored == fresh
+
+    qrows = corpus.filter(F.col("vec_id") < 3).collect()
+    queries = [(900 + r["vec_id"], [float(x) for x in r["embedding"]])
+               for r in qrows]
+    served = ann_ivf_search_vectors(
+        spark, idx, queries, k=4, nprobe=2, use_pq=True, refine=3
+    )
+    mem = ann_ivf_pq_topk(
+        corpus, queries, topk=4, nprobe=2, refine=3,
+        centroids=load_ivf_centroids(spark, idx), books=books,
+    )
+    s_rows = sorted(
+        (r["q_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in served.collect()
+    )
+    m_rows = sorted(
+        (r["q_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in mem.collect()
+    )
+    assert s_rows == m_rows
+
+    # bytes-read bound: the code-scoring scan is pruned to the codes
+    # column (no embedding), and the refine fetch pushes the id
+    # filter down to the parquet scan.  localCheckpoint truncates the
+    # shortlist's lineage out of the final explain, so neutralize it
+    # for the plan inspection only.
+    import contextlib
+    import io
+    from unittest import mock
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; its subclass overrides the method)
+    _DF = type(corpus)
+
+    with mock.patch.object(
+        _DF, "localCheckpoint", lambda self, eager=True: self
+    ):
+        full = ann_ivf_search_vectors(
+            spark, idx, queries, k=4, nprobe=2, use_pq=True, refine=3
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            full.explain("formatted")
+    plan = buf.getvalue()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("codes" in l and "embedding" not in l for l in scans), scans
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("vec_id" in l and "in(" in l.lower() for l in pushed), pushed
+
+    # incremental add encodes against the STORED books
+    extra = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 220)
+    ).localCheckpoint(eager=True)
+    ivf_index_add(spark, idx, extra)
+    stored2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    fresh2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(extra, books).collect()
+    }
+    assert all(stored2[i] == fresh2[i] for i in fresh2)
+
+    # a non-PQ index refuses use_pq loudly
+    import pytest as _pytest
+
+    idx2 = str(tmp_path / "plain")
+    build_ivf_index(corpus.limit(50), idx2, k=2, iters=0)
+    assert load_pq_books(spark, idx2) is None
+    with _pytest.raises(ValueError, match="pq_books"):
+        ann_ivf_search_vectors(
+            spark, idx2, queries[:1], use_pq=True
+        )

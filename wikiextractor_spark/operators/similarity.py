@@ -689,16 +689,59 @@ def ann_topk_blas(
 # Persisted IVF index: build once, probe many
 # --------------------------------------------------------------------------
 
+def _write_driver_parquet(spark, path: str, arrow_table, spark_df) -> None:
+    """Persist a DRIVER-sized artifact (centroid matrix, PQ
+    codebooks): with pyarrow directly when ``path`` RESOLVES to the
+    local filesystem — a Spark write of a few local rows pays the
+    full FileFormatWriter job + commit rounds (measured 1.4-4.4 s of
+    pure overhead on local[8..32]) for no distribution benefit — and
+    with the Spark writer otherwise (it speaks every Hadoop
+    filesystem).  Resolution goes through the Hadoop FS layer — a
+    scheme-less path means fs.defaultFS, which on a real cluster is
+    HDFS/S3; a regex on the string would mis-route that case to the
+    driver's local disk.  ``arrow_table``/``spark_df`` are thunks so
+    the losing path is never built.
+
+    Overwrite semantics on the local path: the directory is cleared
+    first — a stale part file alongside the new one would make the
+    loader read the union, silently wrong."""
+    import os
+    import re
+    import shutil
+
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jpath, fs = hadoop_fs(spark, path)
+    if fs.getScheme() == "file":
+        import pyarrow.parquet as pq
+
+        cdir = re.sub("^file:/+", "/", jpath.toString())
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir)
+        pq.write_table(arrow_table(), f"{cdir}/part-00000.parquet")
+    else:
+        spark_df().coalesce(1).write.mode("overwrite").parquet(path)
+
+
 def build_ivf_index(
     emb: DataFrame, index_dir: str, k: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    pq: dict | None = None,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer and PERSIST the index:
 
     * ``<index_dir>/centroids`` — the k×dim centroid matrix (one
       tiny parquet file);
     * ``<index_dir>/vectors``  — every corpus vector with its
-      assignment, hive-partitioned by ``centroid_id``.
+      assignment, hive-partitioned by ``centroid_id``;
+    * with ``pq={...}`` (keys ``m``/``k``/``iters``, defaults
+      16/16/2): ``<index_dir>/pq_books`` — the trained sub-codebooks
+      (driver-sized, like the centroids) — and a ``codes`` column in
+      the vectors table, so a PQ-scored probe
+      (:func:`ann_ivf_search_vectors` ``use_pq=True``) reads m ints
+      per row off disk instead of the dim-float vector: at 100 TB
+      THAT is the point of PQ — the 64× cut reaches the serving
+      scan's bytes-read, not just an in-memory re-encode.
 
     The partitioning is the scale payoff: a probe touches only its
     ``nprobe`` centroid partitions of the corpus — at 100 TB the
@@ -709,68 +752,81 @@ def build_ivf_index(
     :func:`ann_ivf_topk` does.  Returns the trained centroids."""
     spark = emb.sparkSession
     centroids = ivf_centroids(emb, k, iters, id_col, vec_col)
+    books = None
+    if pq is not None:
+        books = train_pq(
+            emb, m=pq.get("m", 16), k=pq.get("k", 16),
+            iters=pq.get("iters", 2), id_col=id_col, vec_col=vec_col,
+            dim=len(centroids[0]),
+        )
+    # ONE pass scores and carries the vector (keep_vec) — joining a
+    # separate (id, centroid_id) projection back to the corpus would
+    # re-scan it and add a corpus-grain join for nothing; the PQ
+    # codes ride the same pass (narrow expression over the carried
+    # vector)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, keep_vec=True)
+    if books is not None:
+        assigned = assigned.withColumn(
+            "codes", F.expr(_pq_codes_sql(vec_col, books))
+        )
     (
-        # ONE pass scores and carries the vector (keep_vec) — joining
-        # a separate (id, centroid_id) projection back to the corpus
-        # would re-scan it and add a corpus-grain join for nothing
-        ivf_assign(emb, centroids, id_col, vec_col, keep_vec=True)
         # hash-cluster on the partition key before the partitioned
         # write: without this, partitionBy emits one file per
         # (task × centroid) pair — num_tasks tiny files in EVERY
         # centroid directory at any scale; with it, each directory
         # gets at most a few task-sized files and the probe's pruned
         # reads open bounded file counts
-        .repartition(F.col("centroid_id"))
+        assigned.repartition(F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{index_dir}/vectors")
     )
-    # the centroid matrix is DRIVER-sized (k×dim doubles — it is the
-    # broadcast dimension of the index), so write it with pyarrow
-    # directly when the store RESOLVES to the local filesystem: a
-    # Spark write of a few local rows pays the full FileFormatWriter
-    # job + commit rounds (measured 1.4-4.4 s of pure overhead on
-    # local[8..32]) for no distribution benefit.  Resolution goes
-    # through the Hadoop FS layer — a scheme-less path means
-    # fs.defaultFS, which on a real cluster is HDFS/S3, where the
-    # Spark write (which speaks every Hadoop filesystem) must be
-    # used; a regex on the string would mis-route that case to the
-    # driver's local disk.
-    import os
-    import re
-    import shutil
-
-    from wikiextractor_spark.fsutil import hadoop_fs
-
-    jpath, fs = hadoop_fs(spark, f"{index_dir}/centroids")
-    if fs.getScheme() == "file":
+    def _centroids_arrow():
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        cdir = re.sub("^file:/+", "/", jpath.toString())
-        # overwrite semantics: clear any previous centroids (a stale
-        # Spark-written part file alongside the new one would make
-        # load_ivf_centroids read the union — silently wrong probes)
-        shutil.rmtree(cdir, ignore_errors=True)
-        os.makedirs(cdir)
-        pq.write_table(
-            pa.table(
-                {
-                    "centroid_id": pa.array(range(len(centroids)), pa.int32()),
-                    "centroid": pa.array(centroids, pa.list_(pa.float64())),
-                }
-            ),
-            f"{cdir}/part-00000.parquet",
+        return pa.table(
+            {
+                "centroid_id": pa.array(range(len(centroids)), pa.int32()),
+                "centroid": pa.array(centroids, pa.list_(pa.float64())),
+            }
         )
-    else:
-        (
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)],
-                "centroid_id int, centroid array<double>",
+
+    _write_driver_parquet(
+        spark,
+        f"{index_dir}/centroids",
+        _centroids_arrow,
+        lambda: spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "centroid_id int, centroid array<double>",
+        ),
+    )
+    if books is not None:
+        flat = [
+            (j, c, list(map(float, vec)))
+            for j, book in enumerate(books)
+            for c, vec in enumerate(book)
+        ]
+
+        def _books_arrow():
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "subspace": pa.array([r[0] for r in flat], pa.int32()),
+                    "code": pa.array([r[1] for r in flat], pa.int32()),
+                    "centroid": pa.array(
+                        [r[2] for r in flat], pa.list_(pa.float64())
+                    ),
+                }
             )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/centroids")
+
+        _write_driver_parquet(
+            spark,
+            f"{index_dir}/pq_books",
+            _books_arrow,
+            lambda: spark.createDataFrame(
+                flat, "subspace int, code int, centroid array<double>"
+            ),
         )
     # id→centroid lookup, RANGE-sorted on the id so a probe's
     # isin(query_ids) filter prunes to a few row groups via parquet
@@ -807,17 +863,26 @@ def ivf_index_add(
     row-group min-max pruning keeps working for probe lookups).
     Centroid directories that were empty at build time are created on
     first use — the probe's explicit listing picks them up
-    automatically.  Quantization quality drifts as the corpus grows
+    automatically.  On a PQ-carrying index the new vectors are
+    encoded against the STORED codebooks (frozen, like the
+    centroids — code drift is the same retrain signal).
+    Quantization quality drifts as the corpus grows
     away from the trained centroids; retrain + rebuild when the
     cluster-size histogram (:func:`ivf_index_stats`) skews."""
     centroids = load_ivf_centroids(spark, index_dir)
+    books = load_pq_books(spark, index_dir)
     assigned = ivf_assign(new_emb, centroids, id_col, vec_col).localCheckpoint(
         eager=True  # one scoring pass, reused by both writes below
     )
+    appended = new_emb.join(assigned, id_col).select(
+        F.col(id_col), F.col("centroid_id"), F.col(vec_col)
+    )
+    if books is not None:
+        appended = appended.withColumn(
+            "codes", F.expr(_pq_codes_sql(vec_col, books))
+        )
     (
-        new_emb.join(assigned, id_col)
-        .select(F.col(id_col), F.col("centroid_id"), F.col(vec_col))
-        .repartition(F.col("centroid_id"))
+        appended.repartition(F.col("centroid_id"))
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(f"{index_dir}/vectors")
@@ -852,6 +917,30 @@ def load_ivf_centroids(spark, index_dir: str) -> list[list[float]]:
     return [
         list(r["centroid"])
         for r in sorted(rows, key=lambda r: r["centroid_id"])
+    ]
+
+
+def load_pq_books(
+    spark, index_dir: str,
+) -> list[list[list[float]]] | None:
+    """The PQ sub-codebooks back from a :func:`build_ivf_index`
+    ``pq=...`` build (driver-sized: m·k sub-centroids), or ``None``
+    for an index built without PQ — callers branch on that instead
+    of a filesystem probe of their own."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jpath, fs = hadoop_fs(spark, f"{index_dir}/pq_books")
+    if not fs.exists(jpath):
+        return None
+    rows = spark.read.parquet(f"{index_dir}/pq_books").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["subspace"]), {})[int(r["code"])] = list(
+            r["centroid"]
+        )
+    return [
+        [by_sub[j][c] for c in sorted(by_sub[j])]
+        for j in sorted(by_sub)
     ]
 
 
@@ -1008,6 +1097,7 @@ def ann_ivf_search_vectors(
     spark, index_dir: str, queries: list[tuple[int, list[float]]],
     k: int = 5, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    use_pq: bool = False, refine: int = 4,
 ) -> DataFrame:
     """Top-k neighbors from a PERSISTED index for NEW query vectors —
     the serving path (:func:`ann_ivf_topk_indexed` searches by corpus
@@ -1023,9 +1113,21 @@ def ann_ivf_search_vectors(
     directories, never the corpus.  Query ids live in the CALLER's id
     space: no self-exclusion against corpus ids.
 
+    ``use_pq=True`` (requires a ``pq=`` build): the candidate scan
+    reads ``(id, codes)`` — m ints per row, NOT the dim-float
+    vector — LUT-scores them against a broadcast per-query table,
+    shortlists ``k·refine`` per query, and re-ranks the shortlist
+    with exact cosine over raw vectors fetched by a pushed-down id
+    filter on the probed partitions.  Bytes-read bound: the probed
+    partitions' codes column for scoring, plus the raw-vector
+    row groups the shortlist id filter cannot prune — never the
+    vector column of the whole index.  Same output contract.
+
     → ``(q_id, neighbor_id, cos, rank)`` with ``rank <= k``."""
     if not queries:
         raise ValueError("ann_ivf_search_vectors: no query vectors")
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
     qids = [q for q, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError(
@@ -1049,8 +1151,111 @@ def ann_ivf_search_vectors(
     # identical vectors by construction, not by a mirrored Python
     # reimplementation that could drift
     probes = _probe_rows(q_frame, centroids, nprobe)
-    return _probe_and_rank(
-        spark, index_dir, probes, k, id_col, vec_col, exclude_self=False
+    if not use_pq:
+        return _probe_and_rank(
+            spark, index_dir, probes, k, id_col, vec_col,
+            exclude_self=False,
+        )
+    books = load_pq_books(spark, index_dir)
+    if books is None:
+        raise ValueError(
+            "ann_ivf_search_vectors: use_pq=True but the index at "
+            f"{index_dir!r} has no pq_books — rebuild with "
+            "build_ivf_index(..., pq={...})"
+        )
+    return _probe_and_rank_pq(
+        spark, index_dir, probes, books, dict(queries), k, refine,
+        id_col, vec_col,
+    )
+
+
+def _probe_and_rank_pq(
+    spark, index_dir: str, probes: DataFrame,
+    books: list[list[list[float]]], query_vecs: dict[int, list[float]],
+    k: int, refine: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """PQ-scored probe of a persisted index: the candidate scan reads
+    the probed partitions COLUMN-PRUNED to ``(id, codes)`` (m ints
+    per row — the 64× cut reaching disk), LUT-scores them against the
+    broadcast probe frame, shortlists ``k·refine`` ids per query,
+    then re-ranks with exact cosine over raw vectors fetched with a
+    pushed-down ``id IN (shortlist)`` filter — the shortlist is
+    driver-sized by construction (≤ queries × k × refine), so the
+    collect is an artifact read, not a data read."""
+    buckets = [
+        r["q_centroid"]
+        for r in probes.select("q_centroid").distinct().collect()
+    ]
+    paths = _index_partition_paths(spark, index_dir, buckets)
+    if not paths:
+        return probes.select(
+            F.col("q_id"),
+            F.col("q_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
+    luts = spark.createDataFrame(
+        [(int(q), _pq_lut(books, v)) for q, v in query_vecs.items()],
+        "q_id long, lut array<array<double>>",
+    )
+    # probes already carries (q_id, q_centroid); attaching the LUT is
+    # a tiny driver-frame join, broadcast below as one unit
+    probe_luts = probes.select("q_id", "q_centroid").join(luts, "q_id")
+    codes_scan = (
+        spark.read.option("basePath", f"{index_dir}/vectors")
+        .parquet(*paths)
+        .select(F.col(id_col), F.col("centroid_id"), F.col("codes"))
+    )
+    scored = (
+        codes_scan.join(
+            F.broadcast(probe_luts),
+            F.col("centroid_id") == F.col("q_centroid"),
+        )
+        .select(
+            "q_id", F.col(id_col).alias("neighbor_id"),
+            F.round(F.expr(_PQ_LUT_SCORE.format(lut="lut")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = [
+        r["neighbor_id"]
+        for r in shortlist.select("neighbor_id").distinct().collect()
+    ]
+    vec_scan = (
+        spark.read.option("basePath", f"{index_dir}/vectors")
+        .parquet(*paths)
+        # pushed-down membership filter: row groups whose id stats
+        # exclude the shortlist never decompress the vector column
+        .filter(F.col(id_col).isin(cand_ids))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+    )
+    exact = (
+        shortlist.join(vec_scan, "neighbor_id")
+        .join(F.broadcast(probes.select("q_id", "q_v").distinct()), "q_id")
+        .select(
+            "q_id", "neighbor_id",
+            F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
     )
 
 
