@@ -308,3 +308,42 @@ def test_hashed_fit_is_materialized(labeled):
     w, _ = clf.fit_hashed_classifier(labeled)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "HashAggregate" not in plan
+
+
+def test_hashed_weights_roundtrip_and_tsv(spark, tmp_path):
+    """External-model adapter: export a fitted hashed-gram model,
+    reload it, scores bit-identical; TSV import with an explicit
+    prior; the floor/prior double-supply contract raises."""
+    df = spark.createDataFrame(
+        [(1, "good words here always", 1), (2, "bad spam stuff there", 0),
+         (3, "more good words here", 1), (4, "spam bad junk", 0)],
+        "doc_id long, text string, label int",
+    )
+    w, prior = clf.fit_hashed_classifier(df)
+    path = str(tmp_path / "weights.parquet")
+    clf.save_hashed_weights(w, prior, path)
+    w2, prior2 = clf.load_hashed_weights(spark, path)
+    assert prior2 == prior
+    before = {r["doc_id"]: r["content_logit"]
+              for r in clf.score_hashed(df, w, prior).collect()}
+    after = {r["doc_id"]: r["content_logit"]
+             for r in clf.score_hashed(df, w2, prior2).collect()}
+    assert before == after  # bit-identical round trip
+
+    # TSV import (fastText-style two-column dump)
+    rows = w.collect()
+    tsv = tmp_path / "weights.tsv"
+    tsv.write_text(
+        "".join(f"{r['bucket']}\t{r['weight']}\n" for r in rows)
+    )
+    w3, prior3 = clf.load_hashed_weights(spark, str(tsv), prior=prior)
+    after3 = {r["doc_id"]: r["content_logit"]
+              for r in clf.score_hashed(df, w3, prior3).collect()}
+    assert before == after3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prior"):
+        clf.load_hashed_weights(spark, path, prior=0.5)  # double prior
+    with _pytest.raises(ValueError, match="prior"):
+        clf.load_hashed_weights(spark, str(tsv))  # missing prior

@@ -886,3 +886,43 @@ def test_bigram_pair_encoding_is_collision_free(spark):
     # position + one first token
     rows = doc_logprob_scores_bigram(corpus, uni, bi).collect()
     assert all(r["n_tokens"] == 2 for r in rows)
+
+
+# ---------------------- external LM adapter ----------------------
+
+
+def test_logprob_table_roundtrip_and_tsv(spark, tmp_path):
+    """Export a fitted unigram LM, reload it, scores bit-identical;
+    TSV import with an explicit floor; floor contract raises on
+    double/missing supply."""
+    from wikiextractor_spark.functions import lmquality as lmq
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ran"),
+         (3, "zz qq xx unseen")],
+        "doc_id long, text string",
+    )
+    lm = lmq.fit_unigram_lm(docs, vocab_size=100)
+    path = str(tmp_path / "lm.parquet")
+    lmq.save_logprob_table(lm, path)
+    lm2 = lmq.load_logprob_table(spark, path)
+    before = {r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+              for r in lmq.doc_logprob_scores(docs, lm).collect()}
+    after = {r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+             for r in lmq.doc_logprob_scores(docs, lm2).collect()}
+    assert before == after  # bit-identical round trip
+
+    # TSV (KenLM-ish unigram dump): token<TAB>logp, floor passed in
+    floor = [r["logp"] for r in lm.collect() if r["token"] is None][0]
+    rows = [r for r in lm.collect() if r["token"] is not None]
+    tsv = tmp_path / "lm.tsv"
+    tsv.write_text("".join(f"{r['token']}\t{r['logp']}\n" for r in rows))
+    lm3 = lmq.load_logprob_table(spark, str(tsv), floor_logp=floor)
+    after3 = {r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+              for r in lmq.doc_logprob_scores(docs, lm3).collect()}
+    assert before == after3
+
+    with pytest.raises(ValueError, match="floor"):
+        lmq.load_logprob_table(spark, path, floor_logp=-5.0)
+    with pytest.raises(ValueError, match="floor"):
+        lmq.load_logprob_table(spark, str(tsv))

@@ -503,3 +503,94 @@ def score_hashed(
             F.col(text_col).isNull(), F.lit(None).cast("double")
         ).otherwise(F.col(output_col)),
     )
+
+
+# --------------------------------------------------------------------------
+# External-model adapters: bring-your-own hashed-gram weights
+# --------------------------------------------------------------------------
+
+def save_hashed_weights(
+    weights: DataFrame, prior: float, path: str,
+) -> None:
+    """Persist a fitted hashed-gram model — the ``(weights, prior)``
+    pair :func:`fit_hashed_classifier` returns — as one parquet file.
+    The prior rides as a ``bucket = NULL`` row (the same
+    carry-the-scalar-with-the-model shape as the LM's NULL-token
+    floor), so the artifact is self-contained."""
+    prior_row = weights.sparkSession.createDataFrame(
+        [(None, float(prior))], "bucket bigint, weight double"
+    )
+    (
+        weights.select(F.col("bucket").cast("long"), "weight")
+        .unionByName(prior_row)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_hashed_weights(
+    spark, path: str, fmt: str | None = None, prior: float | None = None,
+) -> tuple[DataFrame, float]:
+    """Load PRETRAINED per-bucket weights into :func:`score_hashed` —
+    the fastText-style workflow where the content classifier was
+    trained elsewhere (or exported by :func:`save_hashed_weights`)
+    instead of corpus-fit here.  The scoring machinery is already
+    model-agnostic (broadcast weight join + doc-grain sum); this is
+    only the import surface.
+
+    Formats: ``parquet`` (columns ``bucket bigint, weight double``,
+    optionally a ``bucket = NULL`` prior row) or ``tsv`` (two
+    tab-separated columns, no header); ``fmt=None`` infers tsv from a
+    ``.tsv``/``.txt`` suffix.  A TSV cannot express the prior row, so
+    pass ``prior=``; supplying both (or neither) raises, exactly like
+    the LM loader's floor contract.  The caller must score with the
+    same ``num_buckets``/``bigrams`` the weights were trained with —
+    they define the hash space and cannot be recovered from the
+    table.
+
+    → ``(weights, prior)``, weights materialized (re-used per action
+    and per micro-batch)."""
+    if fmt is None:
+        fmt = "tsv" if path.rsplit(".", 1)[-1] in ("tsv", "txt") else "parquet"
+    if fmt == "parquet":
+        raw = spark.read.parquet(path).select(
+            F.col("bucket").cast("long"), "weight"
+        )
+    elif fmt == "tsv":
+        raw = (
+            spark.read.option("sep", "\t")
+            .schema("bucket bigint, weight double")
+            .csv(path)
+            .filter(F.col("bucket").isNotNull())
+        )
+    else:
+        raise ValueError(f"fmt must be 'parquet' or 'tsv', got {fmt!r}")
+    prior_rows = raw.filter(F.col("bucket").isNull()).collect()
+    if len(prior_rows) > 1 or (len(prior_rows) == 1 and prior is not None):
+        raise ValueError(
+            "load_hashed_weights: the table carries its own prior row "
+            "— passing prior= too (or multiple prior rows) would "
+            "double-count it"
+        )
+    if len(prior_rows) == 1:
+        if prior_rows[0]["weight"] is None:
+            raise ValueError(
+                "load_hashed_weights: the NULL-bucket prior row has a "
+                "NULL weight"
+            )
+        prior = float(prior_rows[0]["weight"])
+    elif prior is None:
+        raise ValueError(
+            "load_hashed_weights: no NULL-bucket prior row in the "
+            "table — pass prior= for the class-prior intercept"
+        )
+    bad = raw.filter(
+        F.col("bucket").isNotNull() & F.col("weight").isNull()
+    ).count()
+    if bad:
+        raise ValueError(f"load_hashed_weights: {bad} buckets with NULL weight")
+    weights = raw.filter(F.col("bucket").isNotNull()).localCheckpoint(
+        eager=True
+    )
+    return weights, float(prior)

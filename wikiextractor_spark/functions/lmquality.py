@@ -396,3 +396,87 @@ def threshold_from_quantile_scores(
             "threshold_from_quantile_scores: no scored rows"
         )
     return float(got[0])
+
+
+# --------------------------------------------------------------------------
+# External-model adapters: bring-your-own log-prob table
+# --------------------------------------------------------------------------
+
+def save_logprob_table(lm: DataFrame, path: str) -> None:
+    """Persist a fitted ``(token, logp)`` model — including the
+    NULL-token OOV floor row — as one parquet file, the round-trip
+    sibling of :func:`load_logprob_table`.  The model is driver-sized
+    by construction (vocab-capped), so one coalesced file keeps the
+    reload a single-file read."""
+    lm.select("token", "logp").coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def load_logprob_table(
+    spark, path: str, fmt: str | None = None,
+    floor_logp: float | None = None,
+) -> DataFrame:
+    """Load a PRETRAINED token→log-prob table into the scoring paths
+    (:func:`doc_logprob_scores`, :func:`filter_by_logprob`,
+    :func:`perplexity_buckets`) — the CCNet-style workflow where the
+    quality LM was trained elsewhere (a KenLM unigram dump, a
+    published wiki LM) instead of corpus-fit here.
+
+    Formats: ``parquet`` (columns ``token string, logp double``) or
+    ``tsv`` (two tab-separated columns, no header — the classic
+    ARPA-adjacent dump shape); ``fmt=None`` infers tsv from a
+    ``.tsv``/``.txt`` suffix, parquet otherwise.
+
+    The OOV floor: a parquet model may already carry the NULL-token
+    floor row (:func:`fit_unigram_lm` writes one); a TSV cannot
+    express it, so pass ``floor_logp``.  Supplying BOTH (or a
+    floorless parquet without ``floor_logp``) raises — scoring with
+    an accidental double/missing floor silently shifts every
+    document's score.  Returns the model materialized, like
+    :func:`fit_unigram_lm` (scorers re-use it per action and per
+    micro-batch)."""
+    if fmt is None:
+        fmt = "tsv" if path.rsplit(".", 1)[-1] in ("tsv", "txt") else "parquet"
+    if fmt == "parquet":
+        raw = spark.read.parquet(path).select("token", "logp")
+    elif fmt == "tsv":
+        raw = (
+            spark.read.option("sep", "\t")
+            .schema("token string, logp double")
+            .csv(path)
+            .filter(F.col("token").isNotNull())
+        )
+    else:
+        raise ValueError(f"fmt must be 'parquet' or 'tsv', got {fmt!r}")
+    floors = raw.filter(F.col("token").isNull()).collect()
+    n_floor = len(floors)
+    if n_floor == 1 and floors[0]["logp"] is None:
+        raise ValueError(
+            "load_logprob_table: the NULL-token floor row has a NULL "
+            "logp"
+        )
+    if n_floor > 1 or (n_floor == 1 and floor_logp is not None):
+        raise ValueError(
+            "load_logprob_table: the table carries its own OOV floor "
+            "row — passing floor_logp too (or multiple floor rows) "
+            "would double-floor the model"
+        )
+    if n_floor == 0:
+        if floor_logp is None:
+            raise ValueError(
+                "load_logprob_table: no NULL-token floor row in the "
+                "table — pass floor_logp= for the OOV fallback"
+            )
+        floor_row = spark.createDataFrame(
+            [(None, float(floor_logp))], "token string, logp double"
+        )
+        raw = raw.unionByName(floor_row)
+    bad = raw.filter(
+        F.col("token").isNotNull() & F.col("logp").isNull()
+    ).count()
+    if bad:
+        raise ValueError(
+            f"load_logprob_table: {bad} tokens with NULL logp"
+        )
+    return raw.localCheckpoint(eager=True)
