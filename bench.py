@@ -47,7 +47,7 @@ def main() -> None:
         "rel_pricing_summary",
         "rel_top_orders",
         "rel_region_revenue",
-        "rel_running_total",
+        "rel_window_funcs",
         "ev_hourly_rollup",
         "ev_sessionize",
         "mm_media_meta",

@@ -181,32 +181,43 @@ def wx_unescape_entities(spark, sf_dir):
     )
 
 
-@query("wx_drop_templates", "SELECT doc_id, text AS detemplated FROM documents")
-def wx_drop_templates(spark, sf_dir):
-    """Nested {{template}} removal (C1): markup wrapped around the
-    document vanishes entirely, so the oracle is the bare text."""
-    from wikiextractor_spark.udfs import drop_templates_udf
+# Nested {{template}} (C1) and {|table|} (C2) removal in one
+# discriminated union — both kernels share the parameterized
+# dropNested UDF, and both families have been green since r1
+# (wx_drop_templates / wx_drop_tables); merged in r8 to free a
+# battery slot under the driver's 50-entry cap for the PQ serving
+# slot.  Markup wrapped around the document vanishes entirely, so
+# each family's oracle is the bare text.
+@query(
+    "wx_drop_nested",
+    """
+    SELECT 'template' AS family, doc_id, text AS cleaned FROM documents
+    UNION ALL
+    SELECT 'table' AS family, doc_id, text AS cleaned FROM documents
+    """,
+)
+def wx_drop_nested(spark, sf_dir):
+    from wikiextractor_spark.udfs import drop_tables_udf, drop_templates_udf
 
-    wrapped = F.concat(
+    docs = _docs(spark, sf_dir)
+    tmpl_wrapped = F.concat(
         F.lit("{{cite|"),
         F.substring("text", 1, 5),
         F.lit("{{inner}}"),
         F.lit("}}"),
         F.col("text"),
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id", drop_templates_udf(wrapped).alias("detemplated")
-    )
-
-
-@query("wx_drop_tables", "SELECT doc_id, text AS detabled FROM documents")
-def wx_drop_tables(spark, sf_dir):
-    """Nested {|table|} removal (C2)."""
-    from wikiextractor_spark.udfs import drop_tables_udf
-
-    wrapped = F.concat(F.lit("{|r|c{|nested|}x|}"), F.col("text"))
-    return _docs(spark, sf_dir).select(
-        "doc_id", drop_tables_udf(wrapped).alias("detabled")
+    tbl_wrapped = F.concat(F.lit("{|r|c{|nested|}x|}"), F.col("text"))
+    return docs.select(
+        F.lit("template").alias("family"),
+        "doc_id",
+        drop_templates_udf(tmpl_wrapped).alias("cleaned"),
+    ).unionByName(
+        docs.select(
+            F.lit("table").alias("family"),
+            "doc_id",
+            drop_tables_udf(tbl_wrapped).alias("cleaned"),
+        )
     )
 
 
@@ -991,6 +1002,98 @@ def sim_ann_topk(spark, sf_dir):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+# IVF-PQ with exact refine (r7 similarity.py:1186+, driver-verified
+# r8).  iters=0 makes both artifact fits EXACTLY restatable in SQL:
+# the coarse centroids are the md5-ordered seed vectors and every PQ
+# sub-codebook is the raw subspace slice of those same seeds (l2
+# mode, no normalization — the r8 codebook fix), so the oracle
+# rebuilds codes, LUT scores, the k·refine shortlist, and the exact
+# cosine re-rank from first principles.  nprobe = n_centroids probes
+# exhaustively, keeping the oracle centroid-independent on the probe
+# side (sub-exhaustive probe recall is pytest-pinned; the coarse
+# quantizer machinery is verified by sim_ann_topk).
+@query(
+    "sim_ann_pq",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (
+      SELECT e, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c
+      FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8
+    ),
+    book AS (
+      SELECT t.j, s.c, s.e[t.j*8+1 : t.j*8+8] AS bc,
+             0.5 * list_sum([s.e[t.j*8+i+1] * s.e[t.j*8+i+1] for i in range(8)]) AS bias
+      FROM seeds s, range(8) t(j)
+    ),
+    ascore AS (
+      SELECT v.vec_id, bk.j, bk.c,
+             list_sum([v.e[bk.j*8+i+1] * bk.bc[i+1] for i in range(8)]) - bk.bias AS s
+      FROM v, book bk
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY s DESC, c) AS rn
+        FROM ascore) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2)),
+    jdots AS (
+      SELECT q.q_id, cd.vec_id, cd.j,
+             list_sum([q.qe[cd.j*8+i+1] * bk.bc[i+1] for i in range(8)]) AS d
+      FROM q, codes cd JOIN book bk ON bk.j = cd.j AND bk.c = cd.c
+      WHERE cd.vec_id != q.q_id
+    ),
+    pq AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             round(list_sum(list(d ORDER BY j)), 6) AS pqs
+      FROM jdots GROUP BY q_id, vec_id
+    ),
+    short AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY pqs DESC, neighbor_id) AS rn
+        FROM pq) t WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT s.q_id, s.neighbor_id,
+             {_DUCK_COS.replace('ae', 'q.qe').replace('be', 'v.e')} AS score
+      FROM short s JOIN q ON q.q_id = s.q_id JOIN v ON v.vec_id = s.neighbor_id
+    )
+    SELECT q_id, neighbor_id, score, rank FROM (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM exact) t WHERE rank <= 5
+    """,
+)
+def sim_ann_pq(spark, sf_dir):
+    """Product quantization end to end: deterministic codebook fit
+    (iters=0 — seed sub-slices), scan-speed encode, one-pass
+    asymmetric LUT scoring, k·refine shortlist, exact cosine
+    re-rank.  Every stage is re-derived independently by the SQL
+    oracle; a wrong code, a biased LUT, or a shortlist off-by-one
+    fails the hash."""
+    emb = _emb(spark, sf_dir)
+    centroids = similarity.ivf_centroids(emb, k=8, iters=0)
+    books = similarity.train_pq(emb, m=8, k=8, iters=0)
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qrows
+    ]
+    out = similarity.ann_ivf_pq_topk(
+        emb, queries, topk=5, nprobe=8, refine=2,
+        centroids=centroids, books=books, exclude_self=True,
+    )
+    return out.select(
+        "q_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _duck_lsh_bucket_sql(seed: int = 42) -> str:
     planes = similarity.hyperplanes(8, 64, seed)
     terms = []
@@ -1043,6 +1146,156 @@ def ta_quality_classifier(spark, sf_dir):
         F.round(z, 6).alias("quality_logit"),
         (z >= F.lit(0.0)).alias("keep"),
     )
+
+
+# Gopher A1.1 shape rules + the domain-blocklist gate (both late-r7
+# native expressions, driver-verified r8) in one long-form
+# discriminated slot: one row per (doc, signal) for the Gopher family
+# — n_words, mean_word_len, symbol/bullet/ellipsis/alpha fractions,
+# stop-hits, and the ANDed keep — plus one 'blocklist/kept' row per
+# document surviving the subdomain-suffix blocklist on a synthesized
+# URL column (doc_id % 5 cycles: blocked subdomain, clean, blocked
+# exact behind www., unparseable, and the suffix-TRAP host
+# bad.com.evil.io that a naive endswith would wrongly block).  One
+# blocklist entry is '.www.bad.com.' — the oracle normalizes it to
+# bad.com like the engine must (the r8 chained-normalization fix is
+# driver-pinned here).
+_GOPHER_DUCK = r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws,
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
+                                        l -> trim(l)), l -> l != '') AS ls
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_sum([length(w) for w in ws]) * 1.0 / len(ws)
+             END AS mean_word_len,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE ((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, chr(8230), '')))
+                        + (length(text) - length(replace(text, '...', ''))) // 3)
+                       * 1.0 / len(ws)
+             END AS symbol_word_ratio,
+             CASE WHEN len(ls) = 0 THEN 0.0
+                  ELSE len(list_filter(ls, l ->
+                         starts_with(l, chr(8226)) OR starts_with(l, chr(8227))
+                         OR starts_with(l, chr(9642)) OR starts_with(l, '-')
+                         OR starts_with(l, '*'))) * 1.0 / len(ls)
+             END AS bullet_line_frac,
+             CASE WHEN len(ls) = 0 THEN 0.0
+                  ELSE len(list_filter(ls, l ->
+                         ends_with(l, chr(8230)) OR ends_with(l, '...')))
+                       * 1.0 / len(ls)
+             END AS ellipsis_line_frac,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                       * 1.0 / len(ws)
+             END AS alpha_word_frac,
+             len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                             s -> list_contains([lower(w) for w in ws], s)))
+               AS stop_hits
+      FROM base
+    ),
+    gop AS (
+      SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+             bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+             stop_hits,
+             (n_words >= 50 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_word_ratio <= 0.1
+              AND bullet_line_frac <= 0.9
+              AND ellipsis_line_frac <= 0.3
+              AND alpha_word_frac >= 0.8
+              AND stop_hits >= 2) AS keep
+      FROM sig
+    ),
+    hosts AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'spam.bad.com'
+               WHEN 1 THEN 'ok.org'
+               WHEN 2 THEN 'block.net'
+               WHEN 3 THEN NULL
+               ELSE 'bad.com.evil.io'
+             END AS host
+      FROM documents
+    )
+    SELECT 'gopher' AS family, doc_id, metric, value FROM (
+      SELECT doc_id, unnest(['n_words', 'mean_word_len', 'symbol_word_ratio',
+                             'bullet_line_frac', 'ellipsis_line_frac',
+                             'alpha_word_frac', 'stop_hits', 'keep']) AS metric,
+             unnest([CAST(n_words AS DOUBLE), round(mean_word_len, 6),
+                     round(symbol_word_ratio, 6), round(bullet_line_frac, 6),
+                     round(ellipsis_line_frac, 6), round(alpha_word_frac, 6),
+                     CAST(stop_hits AS DOUBLE),
+                     CASE WHEN keep THEN 1.0 ELSE 0.0 END]) AS value
+      FROM gop
+    ) g
+    UNION ALL
+    SELECT 'blocklist' AS family, doc_id, 'kept' AS metric, 1.0 AS value
+    FROM hosts
+    WHERE host IS NULL OR NOT (
+      host = 'bad.com' OR ends_with(host, '.bad.com')
+      OR host = 'block.net' OR ends_with(host, '.block.net'))
+"""
+
+
+@query("ta_gopher_blocklist", _GOPHER_DUCK)
+def ta_gopher_blocklist(spark, sf_dir):
+    """Gopher shape signals + gate and the domain-blocklist gate,
+    long-form.  The blocklist family synthesizes hosts from doc_id
+    (subdomain hit, clean, www.-wrapped exact hit, unparseable,
+    suffix trap) and uses a dirty blocklist entry ('.www.bad.com.')
+    that only the chained normalization matches."""
+    from wikiextractor_spark.functions.gopher import (
+        gopher_signals,
+        passes_gopher_rules,
+    )
+    from wikiextractor_spark.functions.urls import filter_blocked_domains
+
+    docs = _docs(spark, sf_dir)
+    sig = docs.select(
+        "doc_id", gopher_signals("text").alias("s"),
+        passes_gopher_rules("text").alias("keep"),
+    )
+    gop = sig.selectExpr(
+        "'gopher' AS family",
+        "doc_id",
+        """stack(8,
+          'n_words', CAST(s.n_words AS DOUBLE),
+          'mean_word_len', round(s.mean_word_len, 6),
+          'symbol_word_ratio', round(s.symbol_word_ratio, 6),
+          'bullet_line_frac', round(s.bullet_line_frac, 6),
+          'ellipsis_line_frac', round(s.ellipsis_line_frac, 6),
+          'alpha_word_frac', round(s.alpha_word_frac, 6),
+          'stop_hits', CAST(s.stop_hits AS DOUBLE),
+          'keep', CASE WHEN keep THEN 1.0D ELSE 0.0D END
+        ) AS (metric, value)""",
+    )
+    with_urls = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT) "
+            "WHEN 0 THEN 'https://spam.bad.com/p/' || doc_id "
+            "WHEN 1 THEN 'https://ok.org/p/' || doc_id "
+            "WHEN 2 THEN 'https://www.block.net/p/' || doc_id "
+            "WHEN 3 THEN 'not a url ' || doc_id "
+            "ELSE 'https://bad.com.evil.io/p/' || doc_id END"
+        ).alias("url"),
+    )
+    kept = filter_blocked_domains(
+        with_urls, [".www.bad.com.", "block.net"]
+    ).select(
+        F.lit("blocklist").alias("family"),
+        "doc_id",
+        F.lit("kept").alias("metric"),
+        F.lit(1.0).alias("value"),
+    )
+    return gop.unionByName(kept)
 
 
 # ==========================================================================
@@ -1100,28 +1353,34 @@ sql_query(
     """,
 )
 
-sql_query(
-    "rel_customer_rank",
-    """
-    SELECT c_custkey, c_mktsegment, rnk FROM (
+# Per-segment top-5 rank + per-customer running order total in one
+# discriminated union (both green since r1 as rel_customer_rank /
+# rel_running_total — the two window-function families); merged in r8
+# to free a battery slot for the bigram-LM scorer.  Uniform schema:
+# (family, k1, k2, val).
+_REL_WINDOW_SPARK = """
+    SELECT 'rank' AS family, c_custkey AS k1, c_mktsegment AS k2,
+           CAST(rnk AS BIGINT) AS val
+    FROM (
       SELECT c_custkey, c_mktsegment,
              RANK() OVER (PARTITION BY c_mktsegment
                           ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
                                    c_custkey) AS rnk
       FROM customer
     ) t WHERE rnk <= 5
-    """,
-)
-
-sql_query(
-    "rel_running_total",
-    """
-    SELECT o_custkey, o_orderkey,
+    UNION ALL
+    SELECT 'running' AS family, o_custkey AS k1,
+           CAST(o_orderkey AS STRING) AS k2,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS val
     FROM orders
-    """,
+"""
+
+sql_query(
+    "rel_window_funcs",
+    _REL_WINDOW_SPARK,
+    _REL_WINDOW_SPARK.replace("AS STRING", "AS VARCHAR"),
 )
 
 sql_query(
@@ -1275,36 +1534,36 @@ sql_query(
     .replace("DIV 1000000", "// 1000000"),
 )
 
-sql_query(
-    "ev_signup_purchase_funnel",
-    """
-    SELECT COUNT(*) AS n_converted FROM (
+# Signup→purchase funnel + per-(type, user-bucket) value rollups in
+# one discriminated union (both green since r1 as
+# ev_signup_purchase_funnel / ev_type_value_windows); merged in r8 to
+# free a battery slot for the Gopher+blocklist gate.  The funnel row
+# carries NULLs in the rollup-only columns.
+_EV_ROLLUPS_SPARK = """
+    SELECT 'funnel' AS family, CAST(NULL AS STRING) AS event_type,
+           CAST(NULL AS BIGINT) AS user_mod, COUNT(*) AS n,
+           CAST(NULL AS BIGINT) AS total_cents
+    FROM (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'signup' THEN unix_micros(CAST(ts AS TIMESTAMP)) END) AS first_signup,
              MIN(CASE WHEN event_type = 'purchase' THEN unix_micros(CAST(ts AS TIMESTAMP)) END) AS first_purchase
       FROM events GROUP BY user_id
     ) t WHERE first_signup IS NOT NULL AND first_purchase > first_signup
-    """,
-    """
-    SELECT COUNT(*) AS n_converted FROM (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
-             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
-      FROM events GROUP BY user_id
-    ) t WHERE first_signup IS NOT NULL AND first_purchase > first_signup
-    """,
-)
-
-sql_query(
-    "ev_type_value_windows",
-    """
-    SELECT event_type, user_mod, n, total_cents FROM (
+    UNION ALL
+    SELECT 'windows' AS family, event_type, user_mod, n, total_cents FROM (
       SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_mod,
              COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY event_type, user_id % 5
     ) t
-    """,
+"""
+
+sql_query(
+    "ev_event_rollups",
+    _EV_ROLLUPS_SPARK,
+    _EV_ROLLUPS_SPARK
+    .replace("unix_micros(CAST(ts AS TIMESTAMP))", "epoch_us(ts)")
+    .replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)"),
 )
 
 @query(
@@ -1809,6 +2068,89 @@ def lm_quality_gate(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("mean_logp", 6).alias("mean_logp"),
         (F.round("mean_logp", 6) >= -7.97).alias("keep"),
+    )
+
+
+# Interpolated bigram LM scoring (late r7 lmquality.py:226+,
+# driver-verified r8): corpus-fit conditional bigram table +
+# Jelinek-Mercer backoff onto the floored unigram.  The oracle
+# re-derives BOTH model fits exactly (the heavy-hitter caps exceed
+# the corpus vocabulary/pair inventory at every battery SF, so the
+# capped fit equals exact counts — same argument lm_quality_gate
+# documents) and mirrors the engine's arithmetic composition
+# including the count-recovery round trip c1 = exp(ln(c1/total))·total
+# the Spark side performs, so the doubles agree bit-for-bit before
+# the final round.
+@query(
+    "lm_bigram_scores",
+    r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t != '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u.w1, u.w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': CASE WHEN i = 0 THEN NULL ELSE w[i] END,
+                        'w2': w[i+1]} for i in range(len(w))]) AS u
+        FROM ws) t
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM pos),
+    uni AS (
+      SELECT w2 AS w, COUNT(*) AS c,
+             exp(ln(COUNT(*) * 1.0 / (SELECT total FROM tot))) AS pu,
+             exp(ln(COUNT(*) * 1.0 / (SELECT total FROM tot)))
+               * (SELECT total FROM tot) AS c1rec
+      FROM pos GROUP BY w2
+    ),
+    pairs AS (
+      SELECT w1, w2, COUNT(*) AS cp FROM pos
+      WHERE w1 IS NOT NULL GROUP BY w1, w2
+    ),
+    big AS (
+      SELECT p.w1, p.w2, ln(p.cp / u.c1rec) AS logp_cond
+      FROM pairs p JOIN uni u ON u.w = p.w1
+    ),
+    scored AS (
+      SELECT pos.doc_id,
+             CASE WHEN pos.w1 IS NULL
+               THEN ln(coalesce(u.pu, exp(ln(0.5 * 1.0 / (SELECT total FROM tot)))))
+               ELSE ln(0.7 * coalesce(exp(b.logp_cond), 0.0)
+                       + 0.3 * coalesce(u.pu, exp(ln(0.5 * 1.0 / (SELECT total FROM tot)))))
+             END AS lp
+      FROM pos
+      LEFT JOIN big b ON b.w1 = pos.w1 AND b.w2 = pos.w2
+      LEFT JOIN uni u ON u.w = pos.w2
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(AVG(lp), 6) AS mean_logp,
+           round(AVG(lp), 6) >= -4.2 AS keep
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_scores(spark, sf_dir):
+    """Bigram-LM perplexity proxy: fit both model tables on the
+    corpus (two bounded heavy-hitter passes, exact at battery SFs),
+    score every document as the mean interpolated token
+    log-probability (one position explode + two broadcast joins),
+    and gate on a fixed threshold of the ROUNDED mean (AVG summation
+    order differs across engines)."""
+    from wikiextractor_spark.functions import lmquality
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    uni, bigram = lmquality.fit_bigram_lm(
+        docs, vocab_size=100_000, bigram_size=300_000
+    )
+    scores = lmquality.doc_logprob_scores_bigram(
+        docs, uni, bigram, lam=0.7
+    )
+    return scores.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_logp", 6).alias("mean_logp"),
+        (F.round("mean_logp", 6) >= -4.2).alias("keep"),
     )
 
 
