@@ -780,3 +780,48 @@ def test_prepare_corpus_stream_content_gate(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1}, got
+
+
+def test_prepare_corpus_stream_gopher_parity_with_batch(spark, tmp_path):
+    """The Gopher gate is reachable per micro-batch, and one batch
+    through the streaming composition keeps EXACTLY the documents the
+    batch composition keeps with the same flags (VERDICT r7 #8)."""
+    import glob
+
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stop_rich = (
+        "the history of the village is a record of the people and the "
+        "land that came to be known with the river and the school "
+    ) * 4  # > 50 words, stopword-rich, alpha-heavy
+    rows = [
+        (1, stop_rich.strip(), "en", "t", 1),               # passes
+        (2, "too few words here", "en", "t", 1),            # n_words < 50
+        (3, ("#tag " * 60).strip(), "en", "t", 1),          # symbol ratio
+        (4, stop_rich.strip() + " extra tail words", "en", "t", 1),  # passes
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "state"), gopher=True, dedup=None,
+    )
+    assert q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in prepare_corpus(batch_df, gopher=True, dedup=None).collect()
+    }
+    assert streamed == batch
+    assert 2 not in streamed and 3 not in streamed
+    assert {1, 4} <= streamed
