@@ -3444,3 +3444,56 @@ def test_ivf_index_pq_build_and_serving(spark, emb, tmp_path):
         ann_ivf_search_vectors(
             spark, idx2, queries[:1], use_pq=True
         )
+
+
+def test_ivf_index_pq_member_queries(spark, emb, tmp_path):
+    """Member-id search with use_pq: same PQ-scored candidate scan as
+    the external-vector path, self excluded.  For a member whose
+    vector is also submitted externally, the external result equals
+    the member result after dropping the self row."""
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_search_vectors,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivfpq_member")
+    corpus = emb.limit(150).localCheckpoint(eager=True)
+    build_ivf_index(corpus, idx, k=4, iters=1, pq={"m": 8, "k": 8})
+
+    member = corpus.filter(F.col("vec_id") == 5).collect()[0]
+    # refine=60 makes the k·refine shortlist exceed the corpus, so
+    # the exact re-rank sees every candidate and the two paths must
+    # agree exactly (at small refine their PQ shortlists legitimately
+    # differ — the external path spends one slot on the self row)
+    by_id = [
+        (r["neighbor_id"], r["cos"])
+        for r in ann_ivf_topk_indexed(
+            spark, idx, query_ids=[5], k=3, nprobe=4, use_pq=True,
+            refine=60,
+        ).orderBy("rank").collect()
+    ]
+    by_vec = [
+        (r["neighbor_id"], r["cos"])
+        for r in ann_ivf_search_vectors(
+            spark, idx, [(77, list(member["embedding"]))], k=4, nprobe=4,
+            use_pq=True, refine=60,
+        ).orderBy("rank").collect()
+    ]
+    assert by_vec[0] == (5, 1.0)  # finds itself first, cos 1.0
+    assert by_vec[1:] == by_id    # then the member's own neighbors
+    assert all(n != 5 for n, _ in by_id)  # self excluded
+    # small-refine path still serves: k rows, self excluded, ranked
+    small = ann_ivf_topk_indexed(
+        spark, idx, query_ids=[5], k=3, nprobe=4, use_pq=True, refine=3,
+    ).collect()
+    assert len(small) == 3
+    assert all(r["neighbor_id"] != 5 for r in small)
+    assert sorted(r["rank"] for r in small) == [1, 2, 3]
+
+    import pytest as _pytest
+
+    idx2 = str(tmp_path / "plain2")
+    build_ivf_index(corpus.limit(30), idx2, k=2, iters=0)
+    with _pytest.raises(ValueError, match="pq_books"):
+        ann_ivf_topk_indexed(spark, idx2, [5], use_pq=True)

@@ -966,6 +966,7 @@ def _index_partition_paths(
 def ann_ivf_topk_indexed(
     spark, index_dir: str, query_ids: list[int], k: int = 5,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    use_pq: bool = False, refine: int = 4,
 ) -> DataFrame:
     """:func:`ann_ivf_topk` against a PERSISTED index — identical
     semantics and output (value-equality tested against the in-memory
@@ -975,7 +976,14 @@ def ann_ivf_topk_indexed(
     by row-group min-max) plus the queries' OWN centroid partitions,
     and the candidate scan reads only the union of the probe
     partitions — explicit ``centroid_id=<b>`` directory selection,
-    ≤ queries × nprobe directories."""
+    ≤ queries × nprobe directories.
+
+    ``use_pq=True``/``refine``: same PQ-scored candidate scan as
+    :func:`ann_ivf_search_vectors` (m-int codes off disk, exact
+    re-rank of the k·refine sliver), with the member row itself
+    excluded like the non-PQ path."""
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
     centroids = load_ivf_centroids(spark, index_dir)
     # (1) the queries' home centroids: a filter on the 2-column
     # range-sorted lookup — tiny result, driver-collected
@@ -1010,8 +1018,21 @@ def ann_ivf_topk_indexed(
         q_base.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_v")),
         centroids, nprobe,
     )
-    return _probe_and_rank(
-        spark, index_dir, probes, k, id_col, vec_col, exclude_self=True
+    if not use_pq:
+        return _probe_and_rank(
+            spark, index_dir, probes, k, id_col, vec_col,
+            exclude_self=True,
+        )
+    books = load_pq_books(spark, index_dir)
+    if books is None:
+        raise ValueError(
+            "ann_ivf_topk_indexed: use_pq=True but the index at "
+            f"{index_dir!r} has no pq_books — rebuild with "
+            "build_ivf_index(..., pq={...})"
+        )
+    return _probe_and_rank_pq(
+        spark, index_dir, probes, books, k, refine, id_col, vec_col,
+        exclude_self=True,
     )
 
 
@@ -1164,15 +1185,16 @@ def ann_ivf_search_vectors(
             "build_ivf_index(..., pq={...})"
         )
     return _probe_and_rank_pq(
-        spark, index_dir, probes, books, dict(queries), k, refine,
-        id_col, vec_col,
+        spark, index_dir, probes, books, k, refine, id_col, vec_col,
+        exclude_self=False,
     )
 
 
 def _probe_and_rank_pq(
     spark, index_dir: str, probes: DataFrame,
-    books: list[list[list[float]]], query_vecs: dict[int, list[float]],
+    books: list[list[list[float]]],
     k: int, refine: int, id_col: str, vec_col: str,
+    exclude_self: bool,
 ) -> DataFrame:
     """PQ-scored probe of a persisted index: the candidate scan reads
     the probed partitions COLUMN-PRUNED to ``(id, codes)`` (m ints
@@ -1181,7 +1203,10 @@ def _probe_and_rank_pq(
     then re-ranks with exact cosine over raw vectors fetched with a
     pushed-down ``id IN (shortlist)`` filter — the shortlist is
     driver-sized by construction (≤ queries × k × refine), so the
-    collect is an artifact read, not a data read."""
+    collect is an artifact read, not a data read.  Query vectors for
+    the LUTs come off the (tiny, materialized) probe frame itself, so
+    both serving paths — external vectors and corpus-member ids —
+    feed this unchanged."""
     buckets = [
         r["q_centroid"]
         for r in probes.select("q_centroid").distinct().collect()
@@ -1195,7 +1220,10 @@ def _probe_and_rank_pq(
             F.lit(1).alias("rank"),
         ).limit(0)
     luts = spark.createDataFrame(
-        [(int(q), _pq_lut(books, v)) for q, v in query_vecs.items()],
+        [
+            (int(r["q_id"]), _pq_lut(books, list(r["q_v"])))
+            for r in probes.select("q_id", "q_v").distinct().collect()
+        ],
         "q_id long, lut array<array<double>>",
     )
     # probes already carries (q_id, q_centroid); attaching the LUT is
@@ -1218,6 +1246,8 @@ def _probe_and_rank_pq(
             ),
         )
     )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
