@@ -347,3 +347,34 @@ def test_hashed_weights_roundtrip_and_tsv(spark, tmp_path):
         clf.load_hashed_weights(spark, path, prior=0.5)  # double prior
     with _pytest.raises(ValueError, match="prior"):
         clf.load_hashed_weights(spark, str(tsv))  # missing prior
+
+
+def test_hashed_weights_malformed_artifacts_raise(spark, tmp_path):
+    """Review findings r8: a bucket value the long cast cannot
+    represent must RAISE — not be silently dropped (TSV) or promoted
+    to the prior row (string-typed parquet)."""
+    import pytest as _pytest
+
+    # string-typed parquet with one non-numeric bucket
+    bad_pq = str(tmp_path / "badbucket.parquet")
+    spark.createDataFrame(
+        [("12", 0.5), ("oops", 0.1)], "bucket string, weight double"
+    ).coalesce(1).write.parquet(bad_pq)
+    with _pytest.raises(ValueError, match="cannot be read as long"):
+        clf.load_hashed_weights(spark, bad_pq, prior=0.0)
+
+    # TSV with a corrupt bucket field: must raise, not drop the row
+    tsv = tmp_path / "corrupt.tsv"
+    tsv.write_text("12\t0.5\nnot_a_bucket\t0.1\n")
+    with _pytest.raises(ValueError, match="cannot be read as long"):
+        clf.load_hashed_weights(spark, str(tsv), prior=0.0)
+
+    # TSV with a non-numeric weight
+    tsv2 = tmp_path / "badweight.tsv"
+    tsv2.write_text("12\tNaW\n")
+    with _pytest.raises(ValueError, match="not numeric"):
+        clf.load_hashed_weights(spark, str(tsv2), prior=0.0)
+
+    # unknown fmt
+    with _pytest.raises(ValueError, match="fmt"):
+        clf.load_hashed_weights(spark, str(tsv), fmt="csv", prior=0.0)

@@ -3497,3 +3497,16 @@ def test_ivf_index_pq_member_queries(spark, emb, tmp_path):
     build_ivf_index(corpus.limit(30), idx2, k=2, iters=0)
     with _pytest.raises(ValueError, match="pq_books"):
         ann_ivf_topk_indexed(spark, idx2, [5], use_pq=True)
+
+
+def test_build_ivf_index_rejects_unknown_pq_keys(spark, emb, tmp_path):
+    """A typo'd pq key (e.g. k_sub, mirroring ann_ivf_pq_topk's
+    parameter name) must raise instead of silently training default
+    codebooks."""
+    from wikiextractor_spark.operators.similarity import build_ivf_index
+
+    with pytest.raises(ValueError, match="k_sub"):
+        build_ivf_index(
+            emb.limit(20), str(tmp_path / "x"), k=2, iters=0,
+            pq={"m": 8, "k_sub": 8},
+        )

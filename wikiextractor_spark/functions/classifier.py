@@ -550,47 +550,20 @@ def load_hashed_weights(
     table.
 
     → ``(weights, prior)``, weights materialized (re-used per action
-    and per micro-batch)."""
-    if fmt is None:
-        fmt = "tsv" if path.rsplit(".", 1)[-1] in ("tsv", "txt") else "parquet"
-    if fmt == "parquet":
-        raw = spark.read.parquet(path).select(
-            F.col("bucket").cast("long"), "weight"
-        )
-    elif fmt == "tsv":
-        raw = (
-            spark.read.option("sep", "\t")
-            .schema("bucket bigint, weight double")
-            .csv(path)
-            .filter(F.col("bucket").isNotNull())
-        )
-    else:
-        raise ValueError(f"fmt must be 'parquet' or 'tsv', got {fmt!r}")
-    prior_rows = raw.filter(F.col("bucket").isNull()).collect()
-    if len(prior_rows) > 1 or (len(prior_rows) == 1 and prior is not None):
-        raise ValueError(
-            "load_hashed_weights: the table carries its own prior row "
-            "— passing prior= too (or multiple prior rows) would "
-            "double-count it"
-        )
-    if len(prior_rows) == 1:
-        if prior_rows[0]["weight"] is None:
-            raise ValueError(
-                "load_hashed_weights: the NULL-bucket prior row has a "
-                "NULL weight"
-            )
-        prior = float(prior_rows[0]["weight"])
-    elif prior is None:
-        raise ValueError(
-            "load_hashed_weights: no NULL-bucket prior row in the "
-            "table — pass prior= for the class-prior intercept"
-        )
-    bad = raw.filter(
-        F.col("bucket").isNotNull() & F.col("weight").isNull()
-    ).count()
-    if bad:
-        raise ValueError(f"load_hashed_weights: {bad} buckets with NULL weight")
-    weights = raw.filter(F.col("bucket").isNotNull()).localCheckpoint(
-        eager=True
+    and per micro-batch).
+
+    Validation (shared with the LM loader via :mod:`modelio`, so the
+    two contracts can never drift): a bucket value the long cast
+    cannot represent RAISES instead of becoming NULL — silently
+    dropping it would load a model with missing weights, and
+    promoting it to the prior row would replace the intercept; the
+    prior must be supplied exactly once."""
+    from wikiextractor_spark.functions.modelio import load_keyed_table
+
+    weights, prior = load_keyed_table(
+        spark, path, fmt,
+        key_col="bucket", key_type="long", value_col="weight",
+        scalar_name="prior", scalar=prior,
+        caller="load_hashed_weights",
     )
-    return weights, float(prior)
+    return weights.localCheckpoint(eager=True), float(prior)

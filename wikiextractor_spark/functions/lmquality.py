@@ -435,48 +435,20 @@ def load_logprob_table(
     an accidental double/missing floor silently shifts every
     document's score.  Returns the model materialized, like
     :func:`fit_unigram_lm` (scorers re-use it per action and per
-    micro-batch)."""
-    if fmt is None:
-        fmt = "tsv" if path.rsplit(".", 1)[-1] in ("tsv", "txt") else "parquet"
-    if fmt == "parquet":
-        raw = spark.read.parquet(path).select("token", "logp")
-    elif fmt == "tsv":
-        raw = (
-            spark.read.option("sep", "\t")
-            .schema("token string, logp double")
-            .csv(path)
-            .filter(F.col("token").isNotNull())
-        )
-    else:
-        raise ValueError(f"fmt must be 'parquet' or 'tsv', got {fmt!r}")
-    floors = raw.filter(F.col("token").isNull()).collect()
-    n_floor = len(floors)
-    if n_floor == 1 and floors[0]["logp"] is None:
-        raise ValueError(
-            "load_logprob_table: the NULL-token floor row has a NULL "
-            "logp"
-        )
-    if n_floor > 1 or (n_floor == 1 and floor_logp is not None):
-        raise ValueError(
-            "load_logprob_table: the table carries its own OOV floor "
-            "row — passing floor_logp too (or multiple floor rows) "
-            "would double-floor the model"
-        )
-    if n_floor == 0:
-        if floor_logp is None:
-            raise ValueError(
-                "load_logprob_table: no NULL-token floor row in the "
-                "table — pass floor_logp= for the OOV fallback"
-            )
-        floor_row = spark.createDataFrame(
-            [(None, float(floor_logp))], "token string, logp double"
-        )
-        raw = raw.unionByName(floor_row)
-    bad = raw.filter(
-        F.col("token").isNotNull() & F.col("logp").isNull()
-    ).count()
-    if bad:
-        raise ValueError(
-            f"load_logprob_table: {bad} tokens with NULL logp"
-        )
-    return raw.localCheckpoint(eager=True)
+    micro-batch).
+
+    Validation (shared with the classifier's weight loader via
+    :mod:`modelio`, so the two contracts can never drift): malformed
+    values raise, the floor must be supplied exactly once."""
+    from wikiextractor_spark.functions.modelio import load_keyed_table
+
+    table, floor = load_keyed_table(
+        spark, path, fmt,
+        key_col="token", key_type="string", value_col="logp",
+        scalar_name="floor_logp", scalar=floor_logp,
+        caller="load_logprob_table",
+    )
+    floor_row = spark.createDataFrame(
+        [(None, float(floor))], "token string, logp double"
+    )
+    return table.unionByName(floor_row).localCheckpoint(eager=True)

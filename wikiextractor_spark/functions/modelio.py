@@ -1,0 +1,113 @@
+"""Shared import machinery for bring-your-own model artifacts.
+
+Both external-model adapters — the LM's token→logp table
+(:mod:`lmquality`) and the hashed classifier's bucket→weight table
+(:mod:`classifier`) — are the same shape: a two-column keyed table
+plus one scalar (OOV floor / class prior) that may ride inside the
+artifact as a NULL-key row or be supplied by the caller, never both
+and never neither.  One implementation here so the validation order
+and the error contract can never drift between them (they had
+already begun to — the same corrupt artifact produced different
+errors from the two loaders before this was factored).
+
+Malformed values are a RAISE, not a silent repair: a non-numeric
+bucket in a parquet column or a corrupt TSV field would otherwise
+either be dropped (a model that "loads fine" with missing weights —
+every score silently shifts) or, worse, cast to NULL and consumed as
+the scalar row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def infer_fmt(path: str, fmt: str | None) -> str:
+    if fmt is None:
+        return "tsv" if path.rsplit(".", 1)[-1] in ("tsv", "txt") else "parquet"
+    if fmt not in ("parquet", "tsv"):
+        raise ValueError(f"fmt must be 'parquet' or 'tsv', got {fmt!r}")
+    return fmt
+
+
+def load_keyed_table(
+    spark,
+    path: str,
+    fmt: str | None,
+    key_col: str,
+    key_type: str,
+    value_col: str,
+    scalar_name: str,
+    scalar: float | None,
+    caller: str,
+) -> tuple[DataFrame, float]:
+    """→ ``(table, scalar)``: the keyed rows (key cast to
+    ``key_type``, value to double, both validated — a value the cast
+    cannot represent raises instead of becoming NULL) and the scalar,
+    taken from the single NULL-key row or the ``scalar`` argument.
+    The table excludes the scalar row and is NOT materialized —
+    callers compose their final shape and checkpoint once."""
+    fmt = infer_fmt(path, fmt)
+    if fmt == "parquet":
+        raw = spark.read.parquet(path).select(key_col, value_col)
+    else:
+        # read both fields as STRINGS and convert explicitly below:
+        # a typed csv schema in PERMISSIVE mode silently nulls any
+        # unparseable field, which either drops the row or promotes
+        # it to the scalar row
+        raw = (
+            spark.read.option("sep", "\t")
+            .schema(f"{key_col} string, {value_col} string")
+            .csv(path)
+        )
+    # try_cast, not cast: under ANSI mode a malformed value makes a
+    # plain cast throw a generic NumberFormatException mid-job; the
+    # NULL + explicit count below turns it into this loader's stated
+    # contract error instead
+    raw = raw.select(
+        F.col(key_col).alias("_rk"),
+        F.col(key_col).try_cast(key_type).alias("_k"),
+        F.col(value_col).alias("_rv"),
+        F.col(value_col).try_cast("double").alias("_v"),
+    )
+    bad_keys = raw.filter(
+        F.col("_rk").isNotNull() & F.col("_k").isNull()
+    ).count()
+    if bad_keys:
+        raise ValueError(
+            f"{caller}: {bad_keys} rows whose {key_col} cannot be "
+            f"read as {key_type} — refusing to guess (a malformed "
+            "key silently dropped or promoted to the "
+            f"{scalar_name} row would shift every score)"
+        )
+    bad_vals = raw.filter(
+        F.col("_rv").isNotNull() & F.col("_v").isNull()
+    ).count()
+    if bad_vals:
+        raise ValueError(
+            f"{caller}: {bad_vals} rows whose {value_col} is not "
+            "numeric"
+        )
+    scalar_rows = raw.filter(F.col("_k").isNull()).collect()
+    if len(scalar_rows) == 1 and scalar_rows[0]["_v"] is None:
+        raise ValueError(
+            f"{caller}: the NULL-{key_col} {scalar_name} row has a "
+            f"NULL {value_col}"
+        )
+    if len(scalar_rows) > 1 or (len(scalar_rows) == 1 and scalar is not None):
+        raise ValueError(
+            f"{caller}: the table carries its own {scalar_name} row "
+            f"— passing {scalar_name}= too (or multiple "
+            f"{scalar_name} rows) would double-count it"
+        )
+    if len(scalar_rows) == 1:
+        scalar = float(scalar_rows[0]["_v"])
+    elif scalar is None:
+        raise ValueError(
+            f"{caller}: no NULL-{key_col} {scalar_name} row in the "
+            f"table — pass {scalar_name}= "
+        )
+    table = raw.filter(F.col("_k").isNotNull()).select(
+        F.col("_k").alias(key_col), F.col("_v").alias(value_col)
+    )
+    return table, float(scalar)

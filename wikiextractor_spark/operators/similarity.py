@@ -754,6 +754,15 @@ def build_ivf_index(
     centroids = ivf_centroids(emb, k, iters, id_col, vec_col)
     books = None
     if pq is not None:
+        unknown = set(pq) - {"m", "k", "iters"}
+        if unknown:
+            # a typo'd key (k_sub, n_bits, ...) silently falling back
+            # to defaults would train the wrong codebooks with no
+            # error — every other contract in this module raises
+            raise ValueError(
+                f"build_ivf_index: unknown pq keys {sorted(unknown)} "
+                "— valid: m, k, iters"
+            )
         books = train_pq(
             emb, m=pq.get("m", 16), k=pq.get("k", 16),
             iters=pq.get("iters", 2), id_col=id_col, vec_col=vec_col,
@@ -985,6 +994,17 @@ def ann_ivf_topk_indexed(
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
     centroids = load_ivf_centroids(spark, index_dir)
+    # validate the PQ artifact BEFORE any Spark job runs: a pure
+    # misconfiguration (use_pq against a raw-vector index) should
+    # fail at artifact-read cost, not after the assignments read,
+    # partition listing, and probe materialization
+    books = load_pq_books(spark, index_dir) if use_pq else None
+    if use_pq and books is None:
+        raise ValueError(
+            "ann_ivf_topk_indexed: use_pq=True but the index at "
+            f"{index_dir!r} has no pq_books — rebuild with "
+            "build_ivf_index(..., pq={...})"
+        )
     # (1) the queries' home centroids: a filter on the 2-column
     # range-sorted lookup — tiny result, driver-collected
     q_homes = [
@@ -1022,13 +1042,6 @@ def ann_ivf_topk_indexed(
         return _probe_and_rank(
             spark, index_dir, probes, k, id_col, vec_col,
             exclude_self=True,
-        )
-    books = load_pq_books(spark, index_dir)
-    if books is None:
-        raise ValueError(
-            "ann_ivf_topk_indexed: use_pq=True but the index at "
-            f"{index_dir!r} has no pq_books — rebuild with "
-            "build_ivf_index(..., pq={...})"
         )
     return _probe_and_rank_pq(
         spark, index_dir, probes, books, k, refine, id_col, vec_col,
@@ -1156,6 +1169,15 @@ def ann_ivf_search_vectors(
             "its own id, or the rank window merges their neighbor sets"
         )
     centroids = load_ivf_centroids(spark, index_dir)
+    # validate the PQ artifact BEFORE the probe job (same fail-fast
+    # contract as ann_ivf_topk_indexed)
+    books = load_pq_books(spark, index_dir) if use_pq else None
+    if use_pq and books is None:
+        raise ValueError(
+            "ann_ivf_search_vectors: use_pq=True but the index at "
+            f"{index_dir!r} has no pq_books — rebuild with "
+            "build_ivf_index(..., pq={...})"
+        )
     dim = len(centroids[0])
     for qid, vec in queries:
         if len(vec) != dim:
@@ -1176,13 +1198,6 @@ def ann_ivf_search_vectors(
         return _probe_and_rank(
             spark, index_dir, probes, k, id_col, vec_col,
             exclude_self=False,
-        )
-    books = load_pq_books(spark, index_dir)
-    if books is None:
-        raise ValueError(
-            "ann_ivf_search_vectors: use_pq=True but the index at "
-            f"{index_dir!r} has no pq_books — rebuild with "
-            "build_ivf_index(..., pq={...})"
         )
     return _probe_and_rank_pq(
         spark, index_dir, probes, books, k, refine, id_col, vec_col,
@@ -1598,6 +1613,24 @@ def _pq_stack_branches(
     return branches
 
 
+def _top_probe_centroids(
+    centroids: list[list[float]], qv: list[float], nprobe: int,
+) -> list[int]:
+    """Driver-side probe selection for the IN-MEMORY PQ paths (the
+    persisted-index paths use the ``_probe_rows`` SQL instead): the
+    query's top-``nprobe`` centroids by dot product, ties to the
+    smaller index.  ONE implementation behind both batch-size
+    branches of ``ann_ivf_pq_topk`` — a tie-break or metric edit in
+    a single copy would otherwise change neighbors depending on
+    whether the batch crosses ``broadcast_threshold``."""
+    scored_c = sorted(
+        ((sum(x * y for x, y in zip(qv, c)), i)
+         for i, c in enumerate(centroids)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in scored_c[:nprobe]]
+
+
 def _pq_query_frame(
     spark, books: list[list[list[float]]],
     queries: list[tuple[int, list[float]]],
@@ -1614,12 +1647,7 @@ def _pq_query_frame(
         if centroids is None:
             rows.append((int(qid), [float(x) for x in qv], lut))
         else:
-            scored_c = sorted(
-                ((sum(x * y for x, y in zip(qv, c)), i)
-                 for i, c in enumerate(centroids)),
-                key=lambda t: (-t[0], t[1]),
-            )
-            for _, ci in scored_c[:nprobe]:
+            for ci in _top_probe_centroids(centroids, qv, nprobe):
                 rows.append((int(qid), [float(x) for x in qv], lut, ci))
     schema = "q_id long, q_v array<double>, lut array<array<double>>"
     if centroids is not None:
@@ -1789,14 +1817,6 @@ def ann_ivf_pq_topk(
         if exclude_self:
             scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
     else:
-        def _top_centroids(qv):
-            scored_c = sorted(
-                ((sum(x * y for x, y in zip(qv, c)), i)
-                 for i, c in enumerate(centroids)),
-                key=lambda t: (-t[0], t[1]),
-            )
-            return [i for _, i in scored_c[:nprobe]]
-
         # ONE pass over the materialized codes: all queries score via
         # a stacked projection, and per-(query, centroid) probe
         # membership is a predicate applied BEFORE any window —
@@ -1812,7 +1832,7 @@ def ann_ivf_pq_topk(
         probe_pred = None
         for qid, qv in queries:
             cond = (F.col("q_id") == qid) & F.col("centroid_id").isin(
-                _top_centroids(qv)
+                _top_probe_centroids(centroids, qv, nprobe)
             )
             probe_pred = cond if probe_pred is None else (probe_pred | cond)
         scored = stacked.filter(probe_pred).drop("centroid_id")
