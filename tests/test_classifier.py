@@ -378,3 +378,22 @@ def test_hashed_weights_malformed_artifacts_raise(spark, tmp_path):
     # unknown fmt
     with _pytest.raises(ValueError, match="fmt"):
         clf.load_hashed_weights(spark, str(tsv), fmt="csv", prior=0.0)
+
+
+def test_hashed_weights_missing_value_raises(spark, tmp_path):
+    """Review finding r8: a keyed row with a MISSING value (TSV line
+    with no tab, NULL parquet cell) must raise — it would otherwise
+    load as a zero-weight bucket and silently shift every score."""
+    import pytest as _pytest
+
+    tsv = tmp_path / "missing.tsv"
+    tsv.write_text("12\t0.5\n13\n")
+    with _pytest.raises(ValueError, match="missing or not numeric"):
+        clf.load_hashed_weights(spark, str(tsv), prior=0.0)
+
+    null_pq = str(tmp_path / "nullweight.parquet")
+    spark.createDataFrame(
+        [(12, 0.5), (13, None)], "bucket bigint, weight double"
+    ).coalesce(1).write.parquet(null_pq)
+    with _pytest.raises(ValueError, match="missing or not numeric"):
+        clf.load_hashed_weights(spark, null_pq, prior=0.0)

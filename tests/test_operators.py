@@ -3510,3 +3510,23 @@ def test_build_ivf_index_rejects_unknown_pq_keys(spark, emb, tmp_path):
             emb.limit(20), str(tmp_path / "x"), k=2, iters=0,
             pq={"m": 8, "k_sub": 8},
         )
+
+
+def test_ivf_rebuild_without_pq_clears_stale_books(spark, emb, tmp_path):
+    """A rebuild WITHOUT pq= must remove a previous build's codebooks:
+    a stale pq_books directory would make load_pq_books misreport the
+    raw-vector index as PQ-carrying (use_pq guard passes, then the
+    probe dies on the missing codes column; ivf_index_add would
+    encode appends against stale books)."""
+    from wikiextractor_spark.operators.similarity import (
+        build_ivf_index,
+        load_pq_books,
+    )
+
+    idx = str(tmp_path / "rebuilt")
+    corpus = emb.limit(40).localCheckpoint(eager=True)
+    build_ivf_index(corpus, idx, k=2, iters=0, pq={"m": 8, "k": 4})
+    assert load_pq_books(spark, idx) is not None
+    build_ivf_index(corpus, idx, k=2, iters=0)  # rebuild, no pq
+    assert load_pq_books(spark, idx) is None
+    assert "codes" not in spark.read.parquet(f"{idx}/vectors").columns

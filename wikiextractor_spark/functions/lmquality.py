@@ -254,10 +254,15 @@ def fit_bigram_lm(
     floor = float(
         uni.filter(F.col("token").isNull()).first()["logp"]
     )
-    total = 0.5 / math.exp(floor)
+    # both recoveries round to the INTEGER each value provably is
+    # (token totals and counts): the exp/log round trips land within
+    # 1e-16 relative of the true integer, and carrying that epsilon
+    # into log(cp/c1) would make the conditional differ from an
+    # exact-count restatement (the battery oracle) at the last ulp
+    total = round(0.5 / math.exp(floor))
     uni_counts = uni.filter(F.col("token").isNotNull()).select(
         F.col("token").alias("w1"),
-        (F.exp(F.col("logp")) * F.lit(total)).alias("_c1"),
+        F.round(F.exp(F.col("logp")) * F.lit(float(total))).alias("_c1"),
     )
     # adjacent pairs, length-prefix encoded ('<len(w1)>:<w1><w2>'):
     # a separator-based encoding is NOT collision-free — regex \s

@@ -70,25 +70,37 @@ def load_keyed_table(
         F.col(value_col).alias("_rv"),
         F.col(value_col).try_cast("double").alias("_v"),
     )
-    bad_keys = raw.filter(
-        F.col("_rk").isNotNull() & F.col("_k").isNull()
-    ).count()
-    if bad_keys:
+    # ONE validation pass over the artifact (bad keys, bad values,
+    # scalar rows all from a single aggregate) — three separate
+    # actions would re-scan the file three times for nothing
+    stats = raw.agg(
+        F.sum(
+            (F.col("_rk").isNotNull() & F.col("_k").isNull()).cast("long")
+        ).alias("bad_keys"),
+        F.sum(
+            (F.col("_k").isNotNull() & F.col("_v").isNull()).cast("long")
+        ).alias("bad_vals"),
+        F.collect_list(
+            F.when(F.col("_rk").isNull(), F.struct(F.col("_v")))
+        ).alias("scalars"),
+    ).first()
+    if stats["bad_keys"]:
         raise ValueError(
-            f"{caller}: {bad_keys} rows whose {key_col} cannot be "
-            f"read as {key_type} — refusing to guess (a malformed "
-            "key silently dropped or promoted to the "
+            f"{caller}: {stats['bad_keys']} rows whose {key_col} "
+            f"cannot be read as {key_type} — refusing to guess (a "
+            "malformed key silently dropped or promoted to the "
             f"{scalar_name} row would shift every score)"
         )
-    bad_vals = raw.filter(
-        F.col("_rv").isNotNull() & F.col("_v").isNull()
-    ).count()
-    if bad_vals:
+    if stats["bad_vals"]:
+        # covers both a non-numeric value and a MISSING one (a TSV
+        # line with no tab, a NULL parquet cell): loading such a row
+        # is exactly the silently-shifted-scores failure this module
+        # exists to prevent
         raise ValueError(
-            f"{caller}: {bad_vals} rows whose {value_col} is not "
-            "numeric"
+            f"{caller}: {stats['bad_vals']} rows whose {value_col} "
+            "is missing or not numeric"
         )
-    scalar_rows = raw.filter(F.col("_k").isNull()).collect()
+    scalar_rows = list(stats["scalars"])
     if len(scalar_rows) == 1 and scalar_rows[0]["_v"] is None:
         raise ValueError(
             f"{caller}: the NULL-{key_col} {scalar_name} row has a "

@@ -837,6 +837,17 @@ def build_ivf_index(
                 flat, "subspace int, code int, centroid array<double>"
             ),
         )
+    else:
+        # a REBUILD without pq= must not leave a previous build's
+        # codebooks behind: load_pq_books would report the raw-vector
+        # index as PQ-carrying, the use_pq fail-fast guard would
+        # pass, and ivf_index_add would encode appends against stale
+        # books into a table whose base rows carry no codes
+        from wikiextractor_spark.fsutil import hadoop_fs
+
+        jbooks, bfs = hadoop_fs(spark, f"{index_dir}/pq_books")
+        if bfs.exists(jbooks):
+            bfs.delete(jbooks, True)
     # id→centroid lookup, RANGE-sorted on the id so a probe's
     # isin(query_ids) filter prunes to a few row groups via parquet
     # min-max stats — the query-vector fetch never scans the (much

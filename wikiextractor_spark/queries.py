@@ -2077,10 +2077,13 @@ def lm_quality_gate(spark, sf_dir):
 # re-derives BOTH model fits exactly (the heavy-hitter caps exceed
 # the corpus vocabulary/pair inventory at every battery SF, so the
 # capped fit equals exact counts — same argument lm_quality_gate
-# documents) and mirrors the engine's arithmetic composition
-# including the count-recovery round trip c1 = exp(ln(c1/total))·total
-# the Spark side performs, so the doubles agree bit-for-bit before
-# the final round.
+# documents) and mirrors the engine's arithmetic composition: counts
+# are exact integers on both sides (the engine ROUNDS its
+# exp/log-recovered totals back to the integers they provably are —
+# lmquality.py fit_bigram_lm), the (1−λ) weight is written as the
+# same 1.0−0.7 double, and ln/exp compose identically (the shared
+# libm-agreement assumption every green ln-using slot already
+# makes); the final round-6 absorbs AVG summation-order noise.
 @query(
     "lm_bigram_scores",
     r"""
@@ -2101,8 +2104,7 @@ def lm_quality_gate(spark, sf_dir):
     uni AS (
       SELECT w2 AS w, COUNT(*) AS c,
              exp(ln(COUNT(*) * 1.0 / (SELECT total FROM tot))) AS pu,
-             exp(ln(COUNT(*) * 1.0 / (SELECT total FROM tot)))
-               * (SELECT total FROM tot) AS c1rec
+             CAST(COUNT(*) AS DOUBLE) AS c1
       FROM pos GROUP BY w2
     ),
     pairs AS (
@@ -2110,7 +2112,7 @@ def lm_quality_gate(spark, sf_dir):
       WHERE w1 IS NOT NULL GROUP BY w1, w2
     ),
     big AS (
-      SELECT p.w1, p.w2, ln(p.cp / u.c1rec) AS logp_cond
+      SELECT p.w1, p.w2, ln(p.cp / u.c1) AS logp_cond
       FROM pairs p JOIN uni u ON u.w = p.w1
     ),
     scored AS (
@@ -2118,7 +2120,7 @@ def lm_quality_gate(spark, sf_dir):
              CASE WHEN pos.w1 IS NULL
                THEN ln(coalesce(u.pu, exp(ln(0.5 * 1.0 / (SELECT total FROM tot)))))
                ELSE ln(0.7 * coalesce(exp(b.logp_cond), 0.0)
-                       + 0.3 * coalesce(u.pu, exp(ln(0.5 * 1.0 / (SELECT total FROM tot)))))
+                       + (1.0 - 0.7) * coalesce(u.pu, exp(ln(0.5 * 1.0 / (SELECT total FROM tot)))))
              END AS lp
       FROM pos
       LEFT JOIN big b ON b.w1 = pos.w1 AND b.w2 = pos.w2
