@@ -1,0 +1,223 @@
+"""WARC/WET source: Common-Crawl-style extracted-text archives.
+
+Crawl-based training-data pipelines (C4, RefinedWeb, FineWeb) start
+from WET files — WARC envelopes whose ``conversion`` records carry
+the extracted plain text of one page each:
+
+    WARC/1.0
+    WARC-Type: conversion
+    WARC-Target-URI: http://example.com/
+    WARC-Date: 2021-01-01T00:00:00Z
+    Content-Type: text/plain
+    Content-Length: 1234
+    <blank line>
+    <exactly Content-Length BYTES of text>
+    <blank line><blank line>
+
+Two readers, one output schema ``(path, url, warc_date, record_type,
+content_length, text)``:
+
+* ``strict=True`` (default, byte-exact): one whole file per task via
+  the ``binaryFile`` source, parsed by an Arrow-batched
+  ``mapInPandas`` kernel that honors ``Content-Length`` BYTE counts
+  exactly — a payload line that happens to start with ``WARC/1.0``
+  cannot split a record, multibyte UTF-8 cannot shift a boundary,
+  and gzip members (``.wet.gz`` ships as concatenated members) are
+  decompressed in-stream.  The per-task unit is one file, which IS
+  the real-world parallel grain: crawls ship as thousands of
+  ~100-150 MB ``.wet.gz`` members, so a 1000-executor cluster gets
+  1000-way parallelism from the file listing alone.  Bound stated:
+  ``binaryFile`` loads one file per row (Spark caps a row at 2 GB);
+  standard crawl members are far below it.
+* ``strict=False`` (native, splittable): ``spark.read.text`` with
+  ``lineSep="\\nWARC/1.0"`` splits records inside even a single huge
+  UNCOMPRESSED file (the one case per-file parallelism can't cover)
+  and parses headers with native expressions — zero Python.  Trades
+  stated plainly: a payload LINE beginning with ``WARC/1.0`` falsely
+  splits that record, and trailing newlines are trimmed instead of
+  byte-counted (tested equal to strict on payloads without trailing
+  newlines).
+
+This kernel is a SOURCE-side Arrow batch, not part of the SURVEY
+§2.11 cleaning-UDF budget (which stays exactly the five in
+``udfs.py``).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WET_SCHEMA = (
+    "path string, url string, warc_date string, record_type string, "
+    "content_length long, text string"
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress ALL concatenated gzip members (``.wet.gz`` files
+    are multi-member by spec — one member per record group; a plain
+    ``zlib`` one-shot would stop at the first member boundary)."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        if d.unused_data == data:  # no progress: corrupt tail
+            raise ValueError("read_wet: corrupt gzip member")
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _parse_wet_member(path: str, data: bytes):
+    """Yield record dicts from one WET file's bytes, honoring
+    Content-Length exactly.  Records without Content-Length are
+    skipped (WARC mandates the header; a record missing it has no
+    reliable payload boundary)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        he_crlf = data.find(b"\r\n\r\n", start)
+        he_lf = data.find(b"\n\n", start)
+        ends = [(e, sep) for e, sep in ((he_crlf, 4), (he_lf, 2)) if e >= 0]
+        if not ends:
+            break
+        hend, sep_len = min(ends)
+        headers = {}
+        for line in data[start:hend].split(b"\n")[1:]:
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.strip().lower()] = v.strip()
+        body_start = hend + sep_len
+        try:
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            pos = body_start
+            continue
+        payload = data[body_start: body_start + clen]
+        pos = body_start + clen
+        yield {
+            "path": path,
+            "url": headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", "replace"
+            ) or None,
+            "warc_date": headers.get(b"warc-date", b"").decode(
+                "utf-8", "replace"
+            ) or None,
+            "record_type": headers.get(b"warc-type", b"").decode(
+                "utf-8", "replace"
+            ) or None,
+            "content_length": clen,
+            "text": payload.decode("utf-8", "replace"),
+        }
+
+
+def read_wet(
+    spark: SparkSession, path: str, strict: bool = True,
+    record_types: tuple[str, ...] = ("conversion",),
+) -> DataFrame:
+    """→ one row per WET record of a kept type (default: the
+    ``conversion`` text records; pass ``record_types=None`` to keep
+    every record including ``warcinfo``).  See the module docstring
+    for the strict-vs-native trade."""
+    if strict:
+        import pandas as pd
+
+        def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            cols = [
+                "path", "url", "warc_date", "record_type",
+                "content_length", "text",
+            ]
+            for pdf in batches:
+                rows = [
+                    rec
+                    for p, content in zip(pdf["path"], pdf["content"])
+                    for rec in _parse_wet_member(p, bytes(content))
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+        out = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path", "content")
+            .mapInPandas(parse, WET_SCHEMA)
+        )
+    else:
+        # native record split: lineSep consumes '\nWARC/1.0', so the
+        # first row keeps its 'WARC/1.0' prefix and later rows start
+        # at the line after it — both shapes parse below.  Headers
+        # end at the first blank line (CRLF or LF).
+        raw = spark.read.option("lineSep", "\nWARC/1.0").text(path)
+        hdr_end = F.expr(
+            r"""
+            CASE
+              WHEN instr(value, '\r\n\r\n') > 0
+                   AND (instr(value, '\n\n') = 0
+                        OR instr(value, '\r\n\r\n') <= instr(value, '\n\n'))
+              THEN instr(value, '\r\n\r\n') + 3
+              WHEN instr(value, '\n\n') > 0 THEN instr(value, '\n\n') + 1
+              ELSE 0
+            END
+            """
+        )
+        out = (
+            raw.withColumn("_he", hdr_end)
+            .filter(F.col("_he") > 0)
+            .select(
+                F.input_file_name().alias("path"),
+                F.regexp_extract(
+                    F.col("value"), r"WARC-Target-URI:\s*(\S+)", 1
+                ).alias("url"),
+                F.regexp_extract(
+                    F.col("value"), r"WARC-Date:\s*(\S+)", 1
+                ).alias("warc_date"),
+                F.regexp_extract(
+                    F.col("value"), r"WARC-Type:\s*(\S+)", 1
+                ).alias("record_type"),
+                F.regexp_extract(
+                    F.col("value"), r"Content-Length:\s*(\d+)", 1
+                ).try_cast("long").alias("content_length"),
+                F.regexp_replace(
+                    F.expr("substring(value, _he + 1)"),
+                    r"[\r\n]+$", "",
+                ).alias("text"),
+            )
+            .withColumn(
+                "url", F.when(F.col("url") != "", F.col("url"))
+            )
+            .withColumn(
+                "warc_date",
+                F.when(F.col("warc_date") != "", F.col("warc_date")),
+            )
+            .withColumn(
+                "record_type",
+                F.when(F.col("record_type") != "", F.col("record_type")),
+            )
+        )
+    if record_types is not None:
+        out = out.filter(F.col("record_type").isin(list(record_types)))
+    return out
+
+
+def wet_documents(
+    spark: SparkSession, path: str, strict: bool = True,
+) -> DataFrame:
+    """WET conversion records shaped as the engine's ``documents``
+    surface — ``(doc_id, url, text)`` with a deterministic 64-bit id
+    hashed from (url, date) so replays and backfills assign stably —
+    ready for ``prepare_corpus`` / the dedup and quality families."""
+    recs = read_wet(spark, path, strict=strict)
+    return recs.select(
+        F.xxhash64(
+            F.coalesce(F.col("url"), F.lit("")),
+            F.coalesce(F.col("warc_date"), F.lit("")),
+        ).alias("doc_id"),
+        "url",
+        "text",
+    )
