@@ -397,3 +397,28 @@ def test_hashed_weights_missing_value_raises(spark, tmp_path):
     ).coalesce(1).write.parquet(null_pq)
     with _pytest.raises(ValueError, match="missing or not numeric"):
         clf.load_hashed_weights(spark, null_pq, prior=0.0)
+
+
+def test_hashed_weights_tsv_empty_key_and_quotes(spark, tmp_path):
+    """Review findings r8: a TSV line with an empty key field is
+    corrupt (a TSV cannot carry the prior row) — raise, never consume
+    it as the prior; and keys containing double quotes load verbatim
+    (csv quote handling disabled)."""
+    import pytest as _pytest
+
+    bad = tmp_path / "emptykey.tsv"
+    bad.write_text("12\t0.5\n\t-2.0\n")
+    with _pytest.raises(ValueError, match="cannot carry the prior"):
+        clf.load_hashed_weights(spark, str(bad), prior=0.0)
+    with _pytest.raises(ValueError, match="cannot carry the prior"):
+        clf.load_hashed_weights(spark, str(bad))
+
+    # quoted-looking LM tokens load verbatim through the shared
+    # helper (string key type)
+    from wikiextractor_spark.functions import lmquality as lmq
+
+    tsv = tmp_path / "quoted.tsv"
+    tsv.write_text('"foo"\t-3.2\n"bar\t-4.0\nplain\t-1.0\n')
+    lm = lmq.load_logprob_table(spark, str(tsv), floor_logp=-9.0)
+    toks = {r["token"] for r in lm.collect() if r["token"] is not None}
+    assert toks == {'"foo"', '"bar', "plain"}

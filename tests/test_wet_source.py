@@ -148,3 +148,58 @@ def test_corrupt_gzip_raises(spark, tmp_path):
     p.write_bytes(b"\x1f\x8b" + b"\x00" * 40)
     with pytest.raises(Exception, match="gzip|decompress"):
         read_wet(spark, str(p), strict=True).collect()
+
+
+def test_negative_content_length_skipped_not_looped(spark, tmp_path):
+    """Review finding r8: a negative Content-Length must not walk the
+    cursor backwards into an infinite re-parse loop."""
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://neg.example/\r\n"
+        b"Content-Length: -100\r\n"
+        b"\r\n"
+    )
+    p = tmp_path / "neg.wet"
+    p.write_bytes(bad + _record("http://ok.example/", DATE, "fine"))
+    got = [r["url"] for r in read_wet(spark, str(p), strict=True).collect()]
+    assert got == ["http://ok.example/"]
+
+
+def test_truncated_payload_raises(spark, tmp_path):
+    """A file that ends inside a record's claimed payload must raise,
+    not yield a silently short (content_length, text) pair."""
+    full = _record("http://cut.example/", DATE, "x" * 500)
+    p = tmp_path / "cut.wet"
+    p.write_bytes(full[: len(full) - 300])
+    with pytest.raises(Exception, match="truncated record"):
+        read_wet(spark, str(p), strict=True).collect()
+
+
+def test_truncated_gzip_member_raises(spark, tmp_path):
+    """A gzip member cut mid-stream must raise instead of silently
+    dropping the records in the lost tail."""
+    member = gzip.compress(_record("http://gz.example/", DATE, "y" * 2000))
+    p = tmp_path / "cutgz.wet.gz"
+    p.write_bytes(member[: len(member) // 2])
+    with pytest.raises(Exception, match="truncated gzip"):
+        read_wet(spark, str(p), strict=True).collect()
+
+
+def test_wet_doc_ids_distinct_for_same_url_date(spark, tmp_path):
+    """doc_id hashes (url, date, text): two fetches of the same URL at
+    the same date with DIFFERENT content get distinct ids."""
+    p = tmp_path / "dupurl.wet"
+    p.write_bytes(
+        _record("http://dup.example/", DATE, "first body")
+        + _record("http://dup.example/", DATE, "second body")
+    )
+    ids = [r["doc_id"] for r in wet_documents(spark, str(p)).collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2
+
+
+def test_wet_readers_exported_from_sources_package():
+    from wikiextractor_spark.sources import read_wet as rw
+    from wikiextractor_spark.sources import wet_documents as wd
+
+    assert callable(rw) and callable(wd)

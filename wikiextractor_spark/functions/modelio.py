@@ -54,9 +54,14 @@ def load_keyed_table(
         # read both fields as STRINGS and convert explicitly below:
         # a typed csv schema in PERMISSIVE mode silently nulls any
         # unparseable field, which either drops the row or promotes
-        # it to the scalar row
+        # it to the scalar row.  Quote handling is DISABLED — a
+        # whitespace-tokenized vocabulary legitimately contains
+        # tokens with double quotes, and the csv default would strip
+        # them (silent key rewrite) or swallow the tab separator on
+        # an unbalanced quote
         raw = (
             spark.read.option("sep", "\t")
+            .option("quote", "")
             .schema(f"{key_col} string, {value_col} string")
             .csv(path)
         )
@@ -101,6 +106,18 @@ def load_keyed_table(
             "is missing or not numeric"
         )
     scalar_rows = list(stats["scalars"])
+    if fmt == "tsv" and scalar_rows:
+        # the documented TSV contract is "a TSV cannot express the
+        # scalar row — pass it as an argument"; a line with an empty
+        # first field is therefore CORRUPT, and silently consuming
+        # its value as the scalar (csv turns '' into a NULL key)
+        # would be the exact scalar-promotion failure this module
+        # exists to prevent
+        raise ValueError(
+            f"{caller}: {len(scalar_rows)} TSV rows with an empty "
+            f"{key_col} field — a TSV cannot carry the "
+            f"{scalar_name} row; pass {scalar_name}= instead"
+        )
     if len(scalar_rows) == 1 and scalar_rows[0]["_v"] is None:
         raise ValueError(
             f"{caller}: the NULL-{key_col} {scalar_name} row has a "

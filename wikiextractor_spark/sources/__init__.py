@@ -8,3 +8,4 @@ from wikiextractor_spark.sources.jsonl import (  # noqa: F401
 )
 from wikiextractor_spark.sources.vital import read_vital_titles  # noqa: F401
 from wikiextractor_spark.sources.tables import load_tables, register_views  # noqa: F401
+from wikiextractor_spark.sources.wet import read_wet, wet_documents  # noqa: F401

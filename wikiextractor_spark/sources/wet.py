@@ -65,6 +65,14 @@ def _gunzip_members(data: bytes) -> bytes:
         d = zlib.decompressobj(wbits=31)
         out.append(d.decompress(data))
         out.append(d.flush())
+        if not d.eof:
+            # the member ran out of input mid-stream (a download cut
+            # short): partial plaintext would silently DROP the
+            # records in the lost tail — the zero-progress check
+            # below never fires for truncation, only for garbage
+            raise ValueError(
+                "read_wet: truncated gzip member — partial archive"
+            )
         if d.unused_data == data:  # no progress: corrupt tail
             raise ValueError("read_wet: corrupt gzip member")
         data = d.unused_data
@@ -100,6 +108,21 @@ def _parse_wet_member(path: str, data: bytes):
         except (KeyError, ValueError):
             pos = body_start
             continue
+        if clen < 0:
+            # a negative length would walk the cursor BACKWARDS and
+            # re-find the same record forever (bytes.find treats a
+            # negative start as a from-the-end slice index)
+            pos = body_start
+            continue
+        if body_start + clen > n:
+            # fewer bytes remain than the record claims (truncated
+            # uncompressed file): yielding the short slice as if it
+            # were the full record would hand downstream consumers
+            # silently inconsistent (content_length, text) pairs
+            raise ValueError(
+                "read_wet: truncated record — file ends inside a "
+                f"{clen}-byte payload"
+            )
         payload = data[body_start: body_start + clen]
         pos = body_start + clen
         yield {
@@ -210,13 +233,17 @@ def wet_documents(
 ) -> DataFrame:
     """WET conversion records shaped as the engine's ``documents``
     surface — ``(doc_id, url, text)`` with a deterministic 64-bit id
-    hashed from (url, date) so replays and backfills assign stably —
-    ready for ``prepare_corpus`` / the dedup and quality families."""
+    hashed from (url, date, text) so replays and backfills assign
+    stably and two fetches of the same URL with different content
+    get distinct ids (only byte-identical re-fetches collide — which
+    IS the exact-dedup grain downstream) — ready for
+    ``prepare_corpus`` / the dedup and quality families."""
     recs = read_wet(spark, path, strict=strict)
     return recs.select(
         F.xxhash64(
             F.coalesce(F.col("url"), F.lit("")),
             F.coalesce(F.col("warc_date"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
         ).alias("doc_id"),
         "url",
         "text",
