@@ -3530,3 +3530,71 @@ def test_ivf_rebuild_without_pq_clears_stale_books(spark, emb, tmp_path):
     build_ivf_index(corpus, idx, k=2, iters=0)  # rebuild, no pq
     assert load_pq_books(spark, idx) is None
     assert "codes" not in spark.read.parquet(f"{idx}/vectors").columns
+
+
+def test_sq8_encode_and_recall(spark, emb):
+    """Scalar quantization: int8 codes in range, deterministic,
+    narrow encode plan, and near-exact recall (8 bits/dim keeps far
+    more information than PQ's ~1 bit/dim)."""
+    from wikiextractor_spark.operators.similarity import (
+        ann_brute_force_topk,
+        sq_encode,
+        sq_search,
+        train_sq,
+    )
+
+    corpus = emb.limit(200).localCheckpoint(eager=True)
+    sq = train_sq(corpus)
+    assert len(sq) == 64
+    assert all(st >= 0 for _lo, st in sq)
+
+    codes = sq_encode(corpus, sq).localCheckpoint(eager=True)
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(0 <= c <= 255 for cs in rows.values() for c in cs)
+    again = {r["vec_id"]: r["codes"] for r in sq_encode(corpus, sq).collect()}
+    assert rows == again
+    plan = sq_encode(corpus, sq)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    qrows = corpus.filter(F.col("vec_id") < 5).collect()
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
+               for r in qrows]
+    got = sq_search(codes, sq, queries, topk=5, exclude_self=True)
+    exact = ann_brute_force_topk(corpus, query_ids=[q for q, _ in queries], k=5)
+    g, e = {}, {}
+    for r in got.collect():
+        g.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    for r in exact.collect():
+        e.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(g[q] & e[q]) / 5 for q in e) / len(e)
+    assert recall >= 0.8, recall
+    for ids in g.values():
+        assert len(ids) == 5
+
+    # serving guards shared with the PQ family
+    with pytest.raises(ValueError, match="at least one query"):
+        sq_search(codes, sq, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        sq_search(codes, sq, [(1, queries[0][1]), (1, queries[1][1])])
+    with pytest.raises(ValueError, match="64-dim"):
+        sq_search(codes, sq, [(1, [0.0] * 32)])
+
+
+def test_sq8_constant_dimension_roundtrip(spark):
+    """A constant dimension gets step 0 and decodes exactly — no
+    divide-by-zero, no code drift."""
+    from wikiextractor_spark.operators.similarity import (
+        sq_encode,
+        sq_search,
+        train_sq,
+    )
+
+    rows = [(i, [1.5, float(i % 7), -2.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sq = train_sq(df)
+    assert sq[0][1] == 0.0 and sq[2][1] == 0.0  # constant dims
+    codes = {r["vec_id"]: r["codes"] for r in sq_encode(df, sq).collect()}
+    assert all(c[0] == 0 and c[2] == 0 for c in codes.values())
+    got = sq_search(codes=sq_encode(df, sq), sq=sq,
+                    queries=[(0, rows[0][1])], topk=3).collect()
+    assert len(got) == 3
