@@ -825,3 +825,76 @@ def test_prepare_corpus_stream_gopher_parity_with_batch(spark, tmp_path):
     assert streamed == batch
     assert 2 not in streamed and 3 not in streamed
     assert {1, 4} <= streamed
+
+
+def test_index_embeddings_stream_and_replay_idempotence(spark, tmp_path):
+    """Streaming IVF maintenance: new embedding files append to a
+    pre-built index per micro-batch; a replayed batch id is skipped
+    (the append would otherwise double-insert); a missing index fails
+    fast; served neighbors include streamed vectors."""
+    import glob
+
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_search_vectors,
+        build_ivf_index,
+        ivf_index_stats,
+    )
+    from wikiextractor_spark.streaming import (
+        add_embeddings_batch,
+        index_embeddings_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("embedding")
+    ).localCheckpoint(eager=True)
+    base = emb.filter(F.col("vec_id") < 30)
+    extra = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 45))
+
+    idx = str(tmp_path / "stream_idx")
+    build_ivf_index(base, idx, k=2, iters=1)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    extra.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = index_embeddings_stream(
+        spark, str(src), idx, str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+    total = sum(
+        r["n_vectors"] for r in ivf_index_stats(spark, idx).collect()
+    )
+    assert total == 45
+
+    # a streamed vector is servable
+    target = extra.filter(F.col("vec_id") == 40).collect()[0]
+    got = ann_ivf_search_vectors(
+        spark, idx, [(9000, list(target["embedding"]))], k=1, nprobe=2
+    ).collect()
+    assert got[0]["neighbor_id"] == 40 and got[0]["cos"] == 1.0
+
+    # replaying an APPLIED batch id is a no-op (ledger hit)
+    assert add_embeddings_batch(spark, idx, extra, batch_id=0) is False
+    total2 = sum(
+        r["n_vectors"] for r in ivf_index_stats(spark, idx).collect()
+    )
+    assert total2 == 45
+
+    # a NEW batch id applies; an empty batch is ledgered as applied
+    more = emb.filter((F.col("vec_id") >= 45) & (F.col("vec_id") < 50))
+    assert add_embeddings_batch(spark, idx, more, batch_id=7) is True
+    assert add_embeddings_batch(spark, idx, more, batch_id=7) is False
+    empty = emb.filter(F.col("vec_id") < 0)
+    assert add_embeddings_batch(spark, idx, empty, batch_id=8) is True
+    assert add_embeddings_batch(spark, idx, empty, batch_id=8) is False
+
+    # missing index fails fast at start
+    with pytest.raises(Exception):
+        index_embeddings_stream(
+            spark, str(src), str(tmp_path / "no_such_idx"),
+            str(tmp_path / "ckpt2"),
+        )

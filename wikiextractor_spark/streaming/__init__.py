@@ -20,3 +20,7 @@ from wikiextractor_spark.streaming.stream import (  # noqa: F401
     windowed_event_counts_memory,
     windowed_event_stream,
 )
+from wikiextractor_spark.streaming.annindex import (  # noqa: F401
+    add_embeddings_batch,
+    index_embeddings_stream,
+)
