@@ -44,6 +44,7 @@ def main() -> None:
         "dd_embedding_neighbor",
         "dd_trim_spans",
         "sim_ann_topk",
+        "sim_ann_pq",
         "rel_pricing_summary",
         "rel_top_orders",
         "rel_region_revenue",
