@@ -3549,8 +3549,11 @@ def test_sq8_encode_and_recall(spark, emb):
     assert all(st >= 0 for _lo, st in sq)
 
     codes = sq_encode(corpus, sq).localCheckpoint(eager=True)
+    # codes are true 1-byte elements (level - 128 in a SIGNED byte):
+    # element width IS the compression story for SQ
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
     rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
-    assert all(0 <= c <= 255 for cs in rows.values() for c in cs)
+    assert all(-128 <= c <= 127 for cs in rows.values() for c in cs)
     again = {r["vec_id"]: r["codes"] for r in sq_encode(corpus, sq).collect()}
     assert rows == again
     plan = sq_encode(corpus, sq)._jdf.queryExecution().executedPlan().toString()
@@ -3594,7 +3597,55 @@ def test_sq8_constant_dimension_roundtrip(spark):
     sq = train_sq(df)
     assert sq[0][1] == 0.0 and sq[2][1] == 0.0  # constant dims
     codes = {r["vec_id"]: r["codes"] for r in sq_encode(df, sq).collect()}
-    assert all(c[0] == 0 and c[2] == 0 for c in codes.values())
+    assert all(c[0] == -128 and c[2] == -128 for c in codes.values())
     got = sq_search(codes=sq_encode(df, sq), sq=sq,
                     queries=[(0, rows[0][1])], topk=3).collect()
     assert len(got) == 3
+
+
+def test_sq8_guards_and_broadcast_path(spark, emb):
+    """Review findings r8: dim-mismatched or NULL-element code rows
+    RAISE instead of silently vanishing from results; all-NULL
+    training dimensions raise the contract error; the >threshold
+    broadcast path equals the stack path exactly."""
+    from wikiextractor_spark.operators.similarity import (
+        sq_encode,
+        sq_search,
+        train_sq,
+    )
+
+    corpus = emb.limit(60).localCheckpoint(eager=True)
+    sq = train_sq(corpus)
+    codes = sq_encode(corpus, sq).localCheckpoint(eager=True)
+    qrows = corpus.filter(F.col("vec_id") < 4).collect()
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
+               for r in qrows]
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["neighbor_id"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    stacked = sq_search(codes, sq, queries, topk=3)
+    joined = sq_search(codes, sq, queries, topk=3, broadcast_threshold=2)
+    assert rows(stacked) == rows(joined)
+
+    # a short-codes row raises on BOTH paths
+    short = spark.createDataFrame(
+        [(999, [0] * 32)], "vec_id long, codes array<int>"
+    ).select("vec_id", F.expr("transform(codes, c -> cast(c as tinyint))")
+             .alias("codes"))
+    for kw in ({}, {"broadcast_threshold": 0}):
+        with pytest.raises(Exception, match="does not match"):
+            sq_search(codes.unionByName(short), sq, queries[:1],
+                      topk=3, **kw).collect()
+
+    # all-NULL training dimension
+    null_dim = corpus.select(
+        "vec_id",
+        F.expr("transform(embedding, (x, i) -> IF(i = 3, NULL, "
+               "cast(x as double)))").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="NULL in every"):
+        train_sq(null_dim)

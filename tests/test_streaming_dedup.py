@@ -898,3 +898,39 @@ def test_index_embeddings_stream_and_replay_idempotence(spark, tmp_path):
             spark, str(src), str(tmp_path / "no_such_idx"),
             str(tmp_path / "ckpt2"),
         )
+
+
+def test_ingest_ledger_lifecycle(spark, tmp_path):
+    """Review findings r8: a rebuild clears the ingest ledger (a
+    stale one would silently skip the new stream's renumbered
+    batches), and compact_ingest_log folds the one-file-per-batch
+    ledger into a single file without losing ids."""
+    import glob as _glob
+
+    from wikiextractor_spark.operators.similarity import build_ivf_index
+    from wikiextractor_spark.streaming import (
+        add_embeddings_batch,
+        compact_ingest_log,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("embedding"),
+    ).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "ledger_idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 20), idx, k=2, iters=0)
+    batch = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
+    for b in (0, 1, 2):
+        assert add_embeddings_batch(spark, idx, batch.limit(1 + b),
+                                    batch_id=b) is True
+    assert compact_ingest_log(spark, idx) == 3
+    assert len(_glob.glob(f"{idx}/ingest_log/part-*.parquet")) == 1
+    # compaction preserves the skip set
+    assert add_embeddings_batch(spark, idx, batch, batch_id=1) is False
+
+    # REBUILD clears the ledger: batch 0 of the new lineage applies
+    build_ivf_index(emb.filter(F.col("vec_id") < 20), idx, k=2, iters=0)
+    assert add_embeddings_batch(spark, idx, batch, batch_id=0) is True

@@ -848,6 +848,15 @@ def build_ivf_index(
         jbooks, bfs = hadoop_fs(spark, f"{index_dir}/pq_books")
         if bfs.exists(jbooks):
             bfs.delete(jbooks, True)
+    # ANY rebuild invalidates the streaming ingest ledger: micro-batch
+    # numbering restarts with a fresh checkpoint, and a stale ledger
+    # would make streaming/annindex silently skip the new stream's
+    # first batches as "already applied"
+    from wikiextractor_spark.fsutil import hadoop_fs as _hfs
+
+    jlog, lfs = _hfs(spark, f"{index_dir}/ingest_log")
+    if lfs.exists(jlog):
+        lfs.delete(jlog, True)
     # id→centroid lookup, RANGE-sorted on the id so a probe's
     # isin(query_ids) filter prunes to a few row groups via parquet
     # min-max stats — the query-vector fetch never scans the (much
@@ -1908,6 +1917,14 @@ def train_sq(
     )
     if not rows:
         raise ValueError("train_sq: the corpus has no vectors to train on")
+    all_null = sorted(int(r["_p"]) for r in rows if r["_lo"] is None)
+    if all_null:
+        # min/max skip NULLs, so an all-NULL dimension surfaces here —
+        # raise the module's contract error, not a driver TypeError
+        raise ValueError(
+            f"train_sq: dimensions {all_null} are NULL in every "
+            "vector — clean the embedding column first"
+        )
     by_p = {int(r["_p"]): (float(r["_lo"]), float(r["_hi"])) for r in rows}
     return [
         (by_p[p][0], (by_p[p][1] - by_p[p][0]) / 255.0)
@@ -1916,16 +1933,21 @@ def train_sq(
 
 
 def _sq_codec_sql(vec_col: str, sq: list[tuple[float, float]]) -> str:
-    """int8 codes as one bound expression: per dimension,
-    ``clamp(round((x − min)/step), 0, 255)`` (0 when the dimension is
-    constant)."""
+    """TINYINT codes as one bound expression: per dimension,
+    ``clamp(round((x − min)/step), 0, 255) − 128`` (−128 when the
+    dimension is constant).  The −128 shift fits the unsigned 0..255
+    level into Spark's SIGNED byte — element width is the ENTIRE
+    compression story for SQ (code count equals dim, unlike PQ), so
+    codes must actually be 1 byte, not a 4-byte int that matches the
+    float32 source width.  The search path folds the shift back into
+    its per-query base term."""
     params = "array(%s)" % ", ".join(
         f"named_struct('lo', {lo}D, 'st', {st}D)" for lo, st in sq
     )
     return f"""
       zip_with(transform({vec_col}, x -> cast(x as double)), {params},
-        (x, p) -> CASE WHEN p.st = 0.0D THEN 0
-          ELSE cast(greatest(0.0D, least(255.0D, round((x - p.lo) / p.st))) as int)
+        (x, p) -> CASE WHEN p.st = 0.0D THEN cast(-128 as tinyint)
+          ELSE cast(greatest(0.0D, least(255.0D, round((x - p.lo) / p.st))) - 128 as tinyint)
         END)
     """
 
@@ -1934,51 +1956,101 @@ def sq_encode(
     emb: DataFrame, sq: list[tuple[float, float]],
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """→ ``(id, codes array<int> in [0, 255])`` — one narrow
-    scan-speed pass, no shuffle, like :func:`pq_encode`."""
+    """→ ``(id, codes array<tinyint> in [−128, 127]: level − 128)`` —
+    one narrow scan-speed pass, no shuffle, like :func:`pq_encode`,
+    at one byte per dimension (the 4× cut vs float32)."""
     return emb.select(
         F.col(id_col),
         F.expr(_sq_codec_sql(vec_col, sq)).alias("codes"),
     )
 
 
+def _sq_query_params(
+    sq: list[tuple[float, float]], qv: list[float],
+) -> tuple[float, list[float]]:
+    """``(base, weights)`` of one query against the codec, with the
+    stored codes' −128 shift folded into the base:
+    ``q·x̂ = Σ q_i·(min_i + step_i·(c'_i + 128))
+          = (Σ q_i·min_i + 128·Σ w_i) + Σ w_i·c'_i``."""
+    w = [float(q) * st for q, (_lo, st) in zip(qv, sq)]
+    base = sum(float(q) * lo for q, (lo, _st) in zip(qv, sq))
+    return base + 128.0 * sum(w), w
+
+
 def sq_search(
     codes: DataFrame, sq: list[tuple[float, float]],
     queries: list[tuple[int, list[float]]], topk: int = 5,
     id_col: str = "vec_id", exclude_self: bool = False,
+    broadcast_threshold: int = 256,
 ) -> DataFrame:
     """→ ``(q_id, neighbor_id, score, rank)``: asymmetric top-k of
     each query against the int8-compressed corpus.
 
     The decoded dot product is affine in the codes:
-    ``q·x̂ = Σ q_i·(min_i + step_i·c_i) = base_q + Σ w_i·c_i`` with
-    ``base_q = Σ q_i·min_i`` and ``w_i = q_i·step_i`` — both
-    driver-computed per query, so a database row scores in one
-    zip_with fold over its codes (no lookup tables needed; this is
-    why SQ serves faster than PQ at the same candidate count).  All
-    queries score in ONE ``stack`` pass like :func:`pq_search`; at
-    SQ's modest compression the family targets exact-ish recall, so
-    no refine stage is composed here (measured recall@5 ≈ 1.0 on the
-    testdata embeddings — pytest-pinned ≥ 0.8).
+    ``q·x̂ = base_q + Σ w_i·c_i`` with ``base_q``/``w`` driver-computed
+    per query (:func:`_sq_query_params`), so a database row scores in
+    one zip_with fold over its codes — no lookup tables, which is why
+    SQ serves faster than PQ at the same candidate count.  Up to
+    ``broadcast_threshold`` queries the scoring is one ``stack`` pass
+    with inlined literals; above it the ``(q_id, base, w)`` frame
+    broadcasts and cross-joins, exactly like :func:`pq_search`'s
+    large-batch path (inlined branches grow as queries × dim and blow
+    up codegen).  At SQ's modest compression the family targets
+    exact-ish recall, so no refine stage is composed here (measured
+    recall@5 ≈ 1.0 on the testdata embeddings — pytest-pinned ≥ 0.8).
+
+    A corpus row whose ``codes`` length differs from the codec's dim
+    (or carries a NULL element) RAISES — zip_with would otherwise
+    NULL its score and silently drop it from every result, the exact
+    asymmetry this family's raise-don't-guess contract forbids.
 
     Query ids are caller-space (no self-exclusion unless
     ``exclude_self=True``), like every serving path here."""
     dim = len(sq)
     _validate_pq_queries(queries, dim)
-    branches = []
-    for qid, qv in queries:
-        base = sum(float(q) * lo for q, (lo, _st) in zip(qv, sq))
-        w_sql = "array(%s)" % ", ".join(
-            f"{float(q) * st}D" for q, (_lo, st) in zip(qv, sq)
+    guarded = (
+        f"IF(size(codes) = {dim} AND NOT exists(codes, c -> c IS NULL), "
+        "codes, raise_error(concat('sq_search: codes row does not match "
+        f"the {dim}-dim codec (wrong length or NULL element)')))"
+    )
+    if len(queries) > broadcast_threshold:
+        qframe = codes.sparkSession.createDataFrame(
+            [
+                (int(qid),) + _sq_query_params(sq, qv)
+                for qid, qv in queries
+            ],
+            "q_id long, base double, w array<double>",
         )
-        branches.append(
-            f"{qid}L, {base}D + aggregate(zip_with(codes, {w_sql}, "
-            "(c, w) -> w * c), 0.0D, (acc, x) -> acc + x)"
+        scored = (
+            codes.selectExpr(
+                f"{id_col} as neighbor_id", f"{guarded} as codes"
+            )
+            .crossJoin(F.broadcast(qframe))
+            .selectExpr(
+                "q_id", "neighbor_id",
+                "round(base + aggregate(zip_with(codes, w, "
+                "(c, x) -> x * c), 0.0D, (acc, x) -> acc + x), 6) as score",
+            )
         )
-    scored = codes.selectExpr(
-        f"{id_col} as neighbor_id",
-        f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
-    ).withColumn("score", F.round("score", 6))
+    else:
+        branches = []
+        for qid, qv in queries:
+            base, w = _sq_query_params(sq, qv)
+            w_sql = "array(%s)" % ", ".join(f"{x}D" for x in w)
+            branches.append(
+                f"{qid}L, {base}D + aggregate(zip_with(_codes, {w_sql}, "
+                "(c, x) -> x * c), 0.0D, (acc, x) -> acc + x)"
+            )
+        scored = (
+            codes.selectExpr(
+                f"{id_col} as neighbor_id", f"{guarded} as _codes"
+            )
+            .selectExpr(
+                "neighbor_id",
+                f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
+            )
+            .withColumn("score", F.round("score", 6))
+        )
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(

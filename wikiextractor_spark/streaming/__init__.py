@@ -24,3 +24,6 @@ from wikiextractor_spark.streaming.annindex import (  # noqa: F401
     add_embeddings_batch,
     index_embeddings_stream,
 )
+from wikiextractor_spark.streaming.annindex import (  # noqa: F401
+    compact_ingest_log,
+)

@@ -10,12 +10,31 @@ contract the corpus stream uses for its classifiers (training per
 micro-batch would drift with batch composition; quantizer retrain is
 an offline decision driven by :func:`ivf_index_stats`).
 
-Replay idempotence, stated: ``ivf_index_add`` is an APPEND — an
-at-least-once redelivery would double-insert every vector of the
-replayed batch.  Each applied batch id is therefore recorded in a
-tiny ``<index_dir>/ingest_log`` ledger and re-deliveries are skipped
-before any write — the standard ``foreachBatch`` idempotency
-pattern (single-writer per index, like the signature store).
+Delivery contract, stated precisely:
+
+* **Replays of completed batches are exact-once**: every applied
+  batch id is recorded in a tiny ``<index_dir>/ingest_log`` ledger
+  and re-deliveries skip before any write (the standard
+  ``foreachBatch`` idempotency pattern; single writer per index,
+  like the signature store).
+* **A crash BETWEEN the index append and the ledger commit can
+  duplicate that one batch** on restart — the two writes are not
+  atomic (the index layout is hive-partitioned by centroid, which
+  rules out the sibling signature store's per-``batch_id=``
+  overwrite trick).  Detect via :func:`ivf_index_stats` against the
+  source count after an unclean stop; recover by rebuilding or by
+  deduplicating search results on ``neighbor_id``.
+* **The ledger is coupled to ONE checkpoint lineage**: Spark numbers
+  micro-batches per checkpoint, so recreating the checkpoint dir
+  without rebuilding the index would renumber batches from 0 and
+  the stale ledger would silently skip them.  ``build_ivf_index``
+  therefore deletes ``ingest_log`` on every rebuild; if you must
+  re-checkpoint WITHOUT rebuilding, clear ``ingest_log`` yourself.
+
+The applied-id set is cached in the writer's closure (single-writer
+contract) so steady state does one ledger READ at stream start, not
+one per batch; each applied batch appends one tiny ledger file —
+compact with :func:`compact_ingest_log` on long-running streams.
 """
 
 from __future__ import annotations
@@ -40,15 +59,21 @@ def _applied_batches(spark: SparkSession, index_dir: str) -> set[int]:
 def add_embeddings_batch(
     spark: SparkSession, index_dir: str, batch_df: DataFrame,
     batch_id: int, id_col: str = "vec_id", vec_col: str = "embedding",
+    _applied: set[int] | None = None,
 ) -> bool:
-    """Append one batch to the index EXACTLY ONCE: returns False (no
-    write) when ``batch_id`` is already in the ingest ledger —
-    re-running the same batch, as an at-least-once source replay
-    does, must not double-insert its vectors.  Empty batches are
-    ledgered too, so a replayed empty epoch stays a no-op."""
+    """Append one batch to the index at most once per ledger lineage:
+    returns False (no write) when ``batch_id`` is already in the
+    ingest ledger.  Empty batches are ledgered too, so a replayed
+    empty epoch stays a no-op.  ``_applied`` is the stream writer's
+    cached id set (kept in sync here); omit it for one-off calls.
+    See the module docstring for the exact delivery contract."""
     from wikiextractor_spark.operators.similarity import ivf_index_add
 
-    if batch_id in _applied_batches(spark, index_dir):
+    applied = (
+        _applied if _applied is not None
+        else _applied_batches(spark, index_dir)
+    )
+    if batch_id in applied:
         return False
     if batch_df.take(1):
         ivf_index_add(
@@ -62,7 +87,23 @@ def add_embeddings_batch(
         .write.mode("append")
         .parquet(f"{index_dir}/ingest_log")
     )
+    applied.add(int(batch_id))
     return True
+
+
+def compact_ingest_log(spark: SparkSession, index_dir: str) -> int:
+    """Rewrite the one-file-per-batch ledger as a single file (run
+    between stream runs — the ledger is integers, always tiny) and
+    return the number of applied batches.  Same maintenance role as
+    the signature store's compaction."""
+    applied = sorted(_applied_batches(spark, index_dir))
+    (
+        spark.createDataFrame([(b,) for b in applied], "batch_id long")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/ingest_log")
+    )
+    return len(applied)
 
 
 def index_embeddings_stream(
@@ -83,6 +124,10 @@ def index_embeddings_stream(
     # dies inside foreachBatch with a buried read error
     load_ivf_centroids(spark, index_dir)
 
+    # one ledger read for the whole run (single-writer contract);
+    # add_embeddings_batch keeps the set current per applied batch
+    applied = _applied_batches(spark, index_dir)
+
     reader = spark.readStream.schema(schema)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
@@ -90,7 +135,8 @@ def index_embeddings_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         add_embeddings_batch(
-            spark, index_dir, batch_df, batch_id, id_col, vec_col
+            spark, index_dir, batch_df, batch_id, id_col, vec_col,
+            _applied=applied,
         )
 
     writer = (
