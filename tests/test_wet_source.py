@@ -118,18 +118,26 @@ def test_native_path_matches_strict_on_benign_payloads(spark, tmp_path):
     assert "MapInPandas" not in plan
 
 
-def test_missing_content_length_skipped(spark, tmp_path):
+def test_missing_content_length_raises(spark, tmp_path):
+    """A record without Content-Length has NO reliable payload
+    boundary: resyncing on the next record magic could land inside
+    that payload and emit a phantom record (review finding r8) — so
+    the strict parser raises instead of guessing."""
     broken = (
         b"WARC/1.0\r\n"
         b"WARC-Type: conversion\r\n"
         b"WARC-Target-URI: http://broken.example/\r\n"
         b"\r\n"
-        b"unbounded payload\r\n\r\n"
+        # adversarial payload: a fake embedded record that a naive
+        # resync would emit as a real (url, text) row
+        b"page about WARC:\nWARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://attacker.example/\r\n"
+        b"Content-Length: 4\r\n\r\nevil\r\n\r\n"
     )
     p = tmp_path / "mixed.wet"
     p.write_bytes(broken + _record("http://ok.example/", DATE, "fine"))
-    got = [r["url"] for r in read_wet(spark, str(p), strict=True).collect()]
-    assert got == ["http://ok.example/"]
+    with pytest.raises(Exception, match="Content-Length"):
+        read_wet(spark, str(p), strict=True).collect()
 
 
 def test_wet_documents_shape_and_determinism(spark, tmp_path):
@@ -150,9 +158,11 @@ def test_corrupt_gzip_raises(spark, tmp_path):
         read_wet(spark, str(p), strict=True).collect()
 
 
-def test_negative_content_length_skipped_not_looped(spark, tmp_path):
-    """Review finding r8: a negative Content-Length must not walk the
-    cursor backwards into an infinite re-parse loop."""
+def test_negative_content_length_raises(spark, tmp_path):
+    """Review finding r8: a negative Content-Length must raise — it
+    would otherwise walk the cursor backwards into an infinite
+    re-parse loop (bytes.find treats a negative start as a
+    from-the-end index)."""
     bad = (
         b"WARC/1.0\r\n"
         b"WARC-Type: conversion\r\n"
@@ -162,8 +172,43 @@ def test_negative_content_length_skipped_not_looped(spark, tmp_path):
     )
     p = tmp_path / "neg.wet"
     p.write_bytes(bad + _record("http://ok.example/", DATE, "fine"))
-    got = [r["url"] for r in read_wet(spark, str(p), strict=True).collect()]
-    assert got == ["http://ok.example/"]
+    with pytest.raises(Exception, match="negative Content-Length"):
+        read_wet(spark, str(p), strict=True).collect()
+
+
+def test_header_truncated_file_raises(spark, tmp_path):
+    """A file cut mid-HEADER raises like the mid-payload cut does —
+    silently returning the earlier records would hide the loss."""
+    full = _record("http://a.example/", DATE, "body") + (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Tar"
+    )
+    p = tmp_path / "headcut.wet"
+    p.write_bytes(full)
+    with pytest.raises(Exception, match="header block"):
+        read_wet(spark, str(p), strict=True).collect()
+
+
+def test_native_path_case_insensitive_headers(spark, tmp_path):
+    """WARC header field names are case-insensitive by spec — the
+    native path's regexes must match 'Warc-Type:'/'content-length:'
+    like the strict path's lowercased header dict does."""
+    rec = (
+        "WARC/1.0\r\n"
+        "Warc-Type: conversion\r\n"
+        "warc-target-uri: http://case.example/\r\n"
+        "WARC-DATE: 2021-06-01T12:00:00Z\r\n"
+        "content-length: 4\r\n"
+        "\r\n"
+        "text\r\n\r\n"
+    ).encode()
+    p = tmp_path / "cased.wet"
+    p.write_bytes(rec)
+    for strict in (True, False):
+        rows = read_wet(spark, str(p), strict=strict).collect()
+        assert len(rows) == 1, strict
+        assert rows[0]["url"] == "http://case.example/"
+        assert rows[0]["record_type"] == "conversion"
+        assert rows[0]["text"] == "text"
 
 
 def test_truncated_payload_raises(spark, tmp_path):

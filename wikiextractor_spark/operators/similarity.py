@@ -875,9 +875,14 @@ def build_ivf_index(
     return centroids
 
 
+_UNSET = object()
+
+
 def ivf_index_add(
     spark, index_dir: str, new_emb: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    books=_UNSET,
 ) -> None:
     """Append new vectors to a PERSISTED IVF index without retraining
     the quantizer or rewriting existing partitions — the incremental
@@ -897,9 +902,17 @@ def ivf_index_add(
     centroids — code drift is the same retrain signal).
     Quantization quality drifts as the corpus grows
     away from the trained centroids; retrain + rebuild when the
-    cluster-size histogram (:func:`ivf_index_stats`) skews."""
-    centroids = load_ivf_centroids(spark, index_dir)
-    books = load_pq_books(spark, index_dir)
+    cluster-size histogram (:func:`ivf_index_stats`) skews.
+
+    ``centroids``/``books``: the stored artifacts, passable by
+    callers that add REPEATEDLY against one frozen index (the
+    streaming ingest loop) so each batch skips the artifact
+    re-reads; ``books=None`` means "no PQ" explicitly — omit the
+    argument to auto-load."""
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, index_dir)
+    if books is _UNSET:
+        books = load_pq_books(spark, index_dir)
     assigned = ivf_assign(new_emb, centroids, id_col, vec_col).localCheckpoint(
         eager=True  # one scoring pass, reused by both writes below
     )
@@ -1520,13 +1533,22 @@ def train_pq(
     recall@5 / ~0.5 at the topk×4 shortlist grain; m=16/k=16 (64
     bits — still an 8× storage cut at dim=64) ~0.4 / ~0.7 — hence
     the m=16 default, and refine re-ranking as the recall path.
-    Codebook-mode ablation (ADVICE r7): raw-mean L2 codebooks vs the
-    old unit-normalized ones measured WITHIN NOISE on both clustered
-    and unstructured data (the absolute numbers are bit-budget
-    limits, not normalization artifacts); raw means are kept because
-    the asymmetric estimator ``Σ q_j·ĉ_j ≈ q·x`` is then unbiased,
-    and residual encoding (FAISS IVFPQ) measured no better on this
-    data — documented so future rounds don't re-litigate."""
+    Codebook-mode ablation (ADVICE r7), stated per grain: on
+    unstructured/real unit-norm vectors the raw-mean L2 codebooks
+    and the old unit-normalized ones measured within noise of each
+    other at every grain; on TIGHTLY-CLUSTERED synthetic data the
+    old normalized codebooks scored HIGHER final-grain recall
+    (≈0.56 vs ≈0.4 at m=8 on the pinned fixture) despite
+    reconstructing ~27× WORSE — their error accidentally shatters
+    identical-code clusters, substituting noise for the id
+    tie-break, while well-reconstructing codes collapse
+    within-cluster order.  Raw means are kept anyway: the asymmetric
+    estimator ``Σ q_j·ĉ_j ≈ q·x`` is unbiased, shortlist-grain
+    recall (what refine actually consumes) matched within noise, and
+    the refine stage — not final-grain PQ order — is the family's
+    documented recall path.  Residual encoding (FAISS IVFPQ)
+    measured no better on this data — all recorded here so future
+    rounds don't re-litigate."""
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     # one-row probe: a corpus whose vectors are not dim-long would
@@ -1901,7 +1923,7 @@ def ann_ivf_pq_topk(
 # --------------------------------------------------------------------------
 
 def train_sq(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    emb: DataFrame, vec_col: str = "embedding",
 ) -> list[tuple[float, float]]:
     """→ per-dimension ``(min, step)`` with ``step = (max − min)/255``
     — the affine int8 codec, trained in ONE tiny dim-grain aggregate

@@ -33,10 +33,14 @@ content_length, text)``:
   ``lineSep="\\nWARC/1.0"`` splits records inside even a single huge
   UNCOMPRESSED file (the one case per-file parallelism can't cover)
   and parses headers with native expressions — zero Python.  Trades
-  stated plainly: a payload LINE beginning with ``WARC/1.0`` falsely
-  splits that record, and trailing newlines are trimmed instead of
-  byte-counted (tested equal to strict on payloads without trailing
-  newlines).
+  stated plainly: (a) a payload LINE beginning with ``WARC/1.0``
+  falsely splits that record; (b) trailing newlines are trimmed
+  instead of byte-counted, so ``content_length`` is the
+  header-DECLARED value and is not re-verified against the trimmed
+  text (the strict path's truncation guard has no native analog);
+  tested equal to strict on payloads without trailing newlines.
+  Header names match case-insensitively on both paths (WARC field
+  names are case-insensitive by spec).
 
 This kernel is a SOURCE-side Arrow batch, not part of the SURVEY
 §2.11 cleaning-UDF budget (which stays exactly the five in
@@ -81,9 +85,14 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def _parse_wet_member(path: str, data: bytes):
     """Yield record dicts from one WET file's bytes, honoring
-    Content-Length exactly.  Records without Content-Length are
-    skipped (WARC mandates the header; a record missing it has no
-    reliable payload boundary)."""
+    Content-Length exactly.  Malformed structure RAISES, never
+    resyncs: a record with a missing/negative Content-Length has no
+    reliable payload boundary, so scanning forward for the next
+    record magic could land INSIDE that record's payload and emit a
+    phantom record whose (url, text) never existed — the exact
+    attack the byte-exact contract exists to prevent.  A file cut
+    mid-HEADER raises for the same reason the mid-payload cut does:
+    silently returning the earlier records would hide the loss."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     pos, n = 0, len(data)
@@ -95,7 +104,10 @@ def _parse_wet_member(path: str, data: bytes):
         he_lf = data.find(b"\n\n", start)
         ends = [(e, sep) for e, sep in ((he_crlf, 4), (he_lf, 2)) if e >= 0]
         if not ends:
-            break
+            raise ValueError(
+                "read_wet: truncated record — file ends inside a "
+                "header block"
+            )
         hend, sep_len = min(ends)
         headers = {}
         for line in data[start:hend].split(b"\n")[1:]:
@@ -106,14 +118,15 @@ def _parse_wet_member(path: str, data: bytes):
         try:
             clen = int(headers[b"content-length"])
         except (KeyError, ValueError):
-            pos = body_start
-            continue
+            raise ValueError(
+                "read_wet: record without a valid Content-Length "
+                "header — its payload has no reliable boundary "
+                "(WARC mandates the header)"
+            )
         if clen < 0:
-            # a negative length would walk the cursor BACKWARDS and
-            # re-find the same record forever (bytes.find treats a
-            # negative start as a from-the-end slice index)
-            pos = body_start
-            continue
+            raise ValueError(
+                f"read_wet: negative Content-Length {clen}"
+            )
         if body_start + clen > n:
             # fewer bytes remain than the record claims (truncated
             # uncompressed file): yielding the short slice as if it
@@ -195,16 +208,16 @@ def read_wet(
             .select(
                 F.input_file_name().alias("path"),
                 F.regexp_extract(
-                    F.col("value"), r"WARC-Target-URI:\s*(\S+)", 1
+                    F.col("value"), r"(?i)WARC-Target-URI:\s*(\S+)", 1
                 ).alias("url"),
                 F.regexp_extract(
-                    F.col("value"), r"WARC-Date:\s*(\S+)", 1
+                    F.col("value"), r"(?i)WARC-Date:\s*(\S+)", 1
                 ).alias("warc_date"),
                 F.regexp_extract(
-                    F.col("value"), r"WARC-Type:\s*(\S+)", 1
+                    F.col("value"), r"(?i)WARC-Type:\s*(\S+)", 1
                 ).alias("record_type"),
                 F.regexp_extract(
-                    F.col("value"), r"Content-Length:\s*(\d+)", 1
+                    F.col("value"), r"(?i)Content-Length:\s*(\d+)", 1
                 ).try_cast("long").alias("content_length"),
                 F.regexp_replace(
                     F.expr("substring(value, _he + 1)"),

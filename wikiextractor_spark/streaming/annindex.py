@@ -59,13 +59,15 @@ def _applied_batches(spark: SparkSession, index_dir: str) -> set[int]:
 def add_embeddings_batch(
     spark: SparkSession, index_dir: str, batch_df: DataFrame,
     batch_id: int, id_col: str = "vec_id", vec_col: str = "embedding",
-    _applied: set[int] | None = None,
+    _applied: set[int] | None = None, _artifacts: tuple | None = None,
 ) -> bool:
     """Append one batch to the index at most once per ledger lineage:
     returns False (no write) when ``batch_id`` is already in the
     ingest ledger.  Empty batches are ledgered too, so a replayed
-    empty epoch stays a no-op.  ``_applied`` is the stream writer's
-    cached id set (kept in sync here); omit it for one-off calls.
+    empty epoch stays a no-op.  ``_applied``/``_artifacts`` are the
+    stream writer's caches (applied-id set, kept in sync here, and
+    the frozen ``(centroids, books)`` pair so per-batch appends skip
+    the artifact re-reads); omit both for one-off calls.
     See the module docstring for the exact delivery contract."""
     from wikiextractor_spark.operators.similarity import ivf_index_add
 
@@ -76,10 +78,13 @@ def add_embeddings_batch(
     if batch_id in applied:
         return False
     if batch_df.take(1):
+        kwargs = {}
+        if _artifacts is not None:
+            kwargs = {"centroids": _artifacts[0], "books": _artifacts[1]}
         ivf_index_add(
             spark, index_dir,
             batch_df.select(F.col(id_col), F.col(vec_col)),
-            id_col, vec_col,
+            id_col, vec_col, **kwargs,
         )
     (
         spark.createDataFrame([(int(batch_id),)], "batch_id long")
@@ -118,11 +123,19 @@ def index_embeddings_stream(
     :func:`~wikiextractor_spark.operators.similarity.build_ivf_index`;
     a PQ-carrying index gets its appends encoded against the stored
     codebooks automatically).  Returns the StreamingQuery."""
-    from wikiextractor_spark.operators.similarity import load_ivf_centroids
+    from wikiextractor_spark.operators.similarity import (
+        load_ivf_centroids,
+        load_pq_books,
+    )
 
-    # fail fast on a missing index — otherwise the first micro-batch
-    # dies inside foreachBatch with a buried read error
-    load_ivf_centroids(spark, index_dir)
+    # fail fast on a missing index, and load the FROZEN artifacts
+    # exactly once for the run — the stream's contract declares them
+    # immutable for its lifetime, so re-reading centroids/codebooks
+    # per micro-batch would be pure overhead
+    artifacts = (
+        load_ivf_centroids(spark, index_dir),
+        load_pq_books(spark, index_dir),
+    )
 
     # one ledger read for the whole run (single-writer contract);
     # add_embeddings_batch keeps the set current per applied batch
@@ -136,7 +149,7 @@ def index_embeddings_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         add_embeddings_batch(
             spark, index_dir, batch_df, batch_id, id_col, vec_col,
-            _applied=applied,
+            _applied=applied, _artifacts=artifacts,
         )
 
     writer = (
