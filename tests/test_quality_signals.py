@@ -926,3 +926,52 @@ def test_logprob_table_roundtrip_and_tsv(spark, tmp_path):
         lmq.load_logprob_table(spark, path, floor_logp=-5.0)
     with pytest.raises(ValueError, match="floor"):
         lmq.load_logprob_table(spark, str(tsv))
+
+
+# ---------------------- corpus drift (LM divergence) ----------------------
+
+
+def test_lm_divergence_identical_shifted_disjoint(spark):
+    from wikiextractor_spark.functions import lmquality as lmq
+
+    same = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ran to the cat")],
+        "doc_id long, text string",
+    )
+    shifted = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "buy casino bonus now deals")],
+        "doc_id long, text string",
+    )
+    disjoint = spark.createDataFrame(
+        [(1, "zz qq xx yy ww vv"), (2, "aa bb cc dd ee ff")],
+        "doc_id long, text string",
+    )
+    lm1 = lmq.fit_unigram_lm(same, vocab_size=100)
+    lm1b = lmq.fit_unigram_lm(same, vocab_size=100)
+    lm2 = lmq.fit_unigram_lm(shifted, vocab_size=100)
+    lm3 = lmq.fit_unigram_lm(disjoint, vocab_size=100)
+
+    import math as _m
+
+    d_same = lmq.lm_js_divergence(lm1, lm1b)
+    d_shift = lmq.lm_js_divergence(lm1, lm2)
+    d_far = lmq.lm_js_divergence(lm1, lm3)
+    assert abs(d_same) < 1e-9
+    assert 0 < d_shift < d_far <= _m.log(2) + 1e-6
+    # symmetric (JS property)
+    assert lmq.lm_js_divergence(lm2, lm1) == pytest.approx(d_shift)
+
+    # per-token drill-down: the spam vocabulary dominates the drift
+    top = (
+        lmq.token_divergence(lm1, lm2)
+        .orderBy(F.desc("js_term"))
+        .limit(5)
+        .collect()
+    )
+    assert {"casino", "bonus"} & {r["token"] for r in top}
+
+    # contract: models without a floor row raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="floor"):
+        lmq.lm_js_divergence(lm1.filter(F.col("token").isNotNull()), lm2)

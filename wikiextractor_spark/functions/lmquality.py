@@ -457,3 +457,72 @@ def load_logprob_table(
         [(None, float(floor))], "token string, logp double"
     )
     return table.unionByName(floor_row).localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------------
+# Corpus drift: divergence between two fitted unigram models
+# --------------------------------------------------------------------------
+
+def _lm_probs(lm: DataFrame, suffix: str):
+    """(vocab rows as (token, p<suffix>), floor probability) of a
+    fitted model — shared unpacking for the divergence tools."""
+    floor_rows = lm.filter(F.col("token").isNull()).collect()
+    if len(floor_rows) != 1:
+        raise ValueError(
+            "lm divergence: each model must carry exactly one "
+            "NULL-token floor row (use fit_unigram_lm / "
+            "load_logprob_table)"
+        )
+    floor = math.exp(float(floor_rows[0]["logp"]))
+    vocab = lm.filter(F.col("token").isNotNull()).select(
+        "token", F.exp("logp").alias(f"p{suffix}")
+    )
+    return vocab, floor
+
+
+def token_divergence(lm_a: DataFrame, lm_b: DataFrame) -> DataFrame:
+    """→ ``(token, p_a, p_b, js_term)`` over the UNION of both
+    vocabularies: each token's probability under both models (the
+    other model's OOV floor where absent) and its contribution to
+    the Jensen-Shannon divergence — the per-token drill-down behind
+    :func:`lm_js_divergence`.  Sort descending on ``js_term`` for
+    "which tokens drifted" (new spam vocabulary, a language shift, a
+    boilerplate wave).
+
+    Scale shape: one full-outer join of two driver-sized vocab
+    tables (each capped by its fit's ``vocab_size``) — no corpus
+    scan; drift monitoring on 100 TB costs whatever the two fits
+    cost, which production runs amortize per snapshot anyway.
+
+    Stated approximation: with OOV floors the two distributions are
+    not exactly normalized, so the JS value is the floored-model
+    divergence, not the true-corpus one — fine for MONITORING (the
+    quantity is compared against its own history), stated so nobody
+    publishes it as an information-theoretic measurement."""
+    va, fa = _lm_probs(lm_a, "_a")
+    vb, fb = _lm_probs(lm_b, "_b")
+    joined = va.join(vb, "token", "full_outer").select(
+        "token",
+        F.coalesce("p_a", F.lit(fa)).alias("p_a"),
+        F.coalesce("p_b", F.lit(fb)).alias("p_b"),
+    )
+    # js_term = 0.5·p_a·ln(p_a/m) + 0.5·p_b·ln(p_b/m), m = (p_a+p_b)/2
+    return joined.withColumn(
+        "js_term",
+        0.5 * F.col("p_a")
+        * F.log(F.col("p_a") / ((F.col("p_a") + F.col("p_b")) / 2))
+        + 0.5 * F.col("p_b")
+        * F.log(F.col("p_b") / ((F.col("p_a") + F.col("p_b")) / 2)),
+    )
+
+
+def lm_js_divergence(lm_a: DataFrame, lm_b: DataFrame) -> float:
+    """Jensen-Shannon divergence (nats) between two fitted unigram
+    models — the snapshot-over-snapshot drift alarm: 0 for identical
+    corpora, ln(2) ≈ 0.693 for disjoint vocabularies.  One scalar
+    aggregate over :func:`token_divergence`; see its docstring for
+    the shape and the stated floor approximation."""
+    row = token_divergence(lm_a, lm_b).agg(
+        F.sum("js_term").alias("_js")
+    ).first()
+    return float(row["_js"])
