@@ -953,6 +953,13 @@ def test_lm_divergence_identical_shifted_disjoint(spark):
 
     import math as _m
 
+    # two floor-only (empty-vocab) models: identical floored
+    # distributions, divergence 0 — not a TypeError from SUM-of-none
+    empty = spark.createDataFrame(
+        [(None, -5.0)], "token string, logp double"
+    )
+    assert lmq.lm_js_divergence(empty, empty) == 0.0
+
     d_same = lmq.lm_js_divergence(lm1, lm1b)
     d_shift = lmq.lm_js_divergence(lm1, lm2)
     d_far = lmq.lm_js_divergence(lm1, lm3)
@@ -971,7 +978,5 @@ def test_lm_divergence_identical_shifted_disjoint(spark):
     assert {"casino", "bonus"} & {r["token"] for r in top}
 
     # contract: models without a floor row raise
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="floor"):
+    with pytest.raises(ValueError, match="floor"):
         lmq.lm_js_divergence(lm1.filter(F.col("token").isNotNull()), lm2)

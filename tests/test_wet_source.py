@@ -248,3 +248,37 @@ def test_wet_readers_exported_from_sources_package():
     from wikiextractor_spark.sources import wet_documents as wd
 
     assert callable(rw) and callable(wd)
+
+
+def test_unterminated_header_absorbing_next_record_raises(spark, tmp_path):
+    """Review finding r8: a header missing its blank-line terminator
+    must not silently ABSORB the following record (merging two
+    record starts into one phantom row) — it raises."""
+    cut_header = (
+        b"WARC/1.0\r\n"
+        b"WARC-Target-URI: http://victim.example/\r\n"
+    )  # no blank line before the next record begins
+    p = tmp_path / "absorb.wet"
+    p.write_bytes(cut_header + _record("http://ok.example/", DATE, "fine"))
+    with pytest.raises(Exception, match="unterminated header"):
+        read_wet(spark, str(p), strict=True).collect()
+
+
+def test_native_headers_extracted_from_header_block_only(spark, tmp_path):
+    """Review finding r8: native-path header regexes read the HEADER
+    BLOCK only — 'warc-date:' strings inside the page text must not
+    populate the column when the real header is absent."""
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://nodate.example/\r\n"
+        "Content-Length: 32\r\n"
+        "\r\n"
+        "page about warc-date: 1999-01-01"
+    ).encode() + b"\r\n\r\n"
+    p = tmp_path / "payload_header.wet"
+    p.write_bytes(rec)
+    rows = read_wet(spark, str(p), strict=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["warc_date"] is None  # NOT the payload string
+    assert "warc-date" in rows[0]["text"]

@@ -48,6 +48,21 @@ def _tokens_expr(text_col: str):
     return F.expr(_tokens_sql(text_col))
 
 
+def _lm_floor_logp(lm: DataFrame, caller: str) -> float:
+    """The model's OOV floor log-probability from its single
+    NULL-token row — ONE implementation of the model-unpacking
+    contract behind every scorer and the divergence tools, so the
+    convention (and its error message) cannot drift between them."""
+    rows = lm.filter(F.col("token").isNull()).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{caller}: the model must carry exactly one NULL-token "
+            "floor row (fit_unigram_lm / fit_bigram_lm / "
+            "load_logprob_table all produce one)"
+        )
+    return float(rows[0]["logp"])
+
+
 def fit_unigram_lm(
     docs: DataFrame, text_col: str = "text", vocab_size: int = 50_000,
     floor_logp: float | None = None,
@@ -109,13 +124,7 @@ def doc_logprob_scores(
     log-probability under the fitted model.  One narrow explode, one
     broadcast join on the vocab, one per-doc rollup — the corpus
     never shuffles on tokens."""
-    floor_rows = lm.filter(F.col("token").isNull()).collect()
-    if len(floor_rows) != 1:
-        raise ValueError(
-            "doc_logprob_scores: the model must carry exactly one "
-            "NULL-token floor row (use fit_unigram_lm)"
-        )
-    floor = float(floor_rows[0]["logp"])
+    floor = _lm_floor_logp(lm, "doc_logprob_scores")
     vocab = F.broadcast(lm.filter(F.col("token").isNotNull()))
     exploded = docs.select(
         F.col(id_col), F.explode(_tokens_expr(text_col)).alias("token")
@@ -332,13 +341,9 @@ def doc_logprob_scores_bigram(
     """
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
-    floor_rows = uni_lm.filter(F.col("token").isNull()).collect()
-    if len(floor_rows) != 1:
-        raise ValueError(
-            "doc_logprob_scores_bigram: the unigram model must carry "
-            "exactly one NULL-token floor row (use fit_bigram_lm)"
-        )
-    p_floor = math.exp(float(floor_rows[0]["logp"]))
+    p_floor = math.exp(
+        _lm_floor_logp(uni_lm, "doc_logprob_scores_bigram")
+    )
     positions = docs.select(
         F.col(id_col),
         F.explode(
@@ -466,14 +471,7 @@ def load_logprob_table(
 def _lm_probs(lm: DataFrame, suffix: str):
     """(vocab rows as (token, p<suffix>), floor probability) of a
     fitted model — shared unpacking for the divergence tools."""
-    floor_rows = lm.filter(F.col("token").isNull()).collect()
-    if len(floor_rows) != 1:
-        raise ValueError(
-            "lm divergence: each model must carry exactly one "
-            "NULL-token floor row (use fit_unigram_lm / "
-            "load_logprob_table)"
-        )
-    floor = math.exp(float(floor_rows[0]["logp"]))
+    floor = math.exp(_lm_floor_logp(lm, "lm divergence"))
     vocab = lm.filter(F.col("token").isNotNull()).select(
         "token", F.exp("logp").alias(f"p{suffix}")
     )
@@ -525,4 +523,6 @@ def lm_js_divergence(lm_a: DataFrame, lm_b: DataFrame) -> float:
     row = token_divergence(lm_a, lm_b).agg(
         F.sum("js_term").alias("_js")
     ).first()
-    return float(row["_js"])
+    # SUM over zero rows is NULL: two floor-only models (empty
+    # vocabularies) have identical (floored) distributions — 0.0
+    return 0.0 if row["_js"] is None else float(row["_js"])

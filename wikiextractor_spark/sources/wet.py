@@ -109,6 +109,15 @@ def _parse_wet_member(path: str, data: bytes):
                 "header block"
             )
         hend, sep_len = min(ends)
+        if data.find(b"\nWARC/", start, hend) >= 0:
+            # another record begins before this header's blank-line
+            # terminator: the header was cut mid-file and would
+            # silently ABSORB the next record, yielding a merged
+            # (url, text) pair that never existed
+            raise ValueError(
+                "read_wet: truncated record — another record starts "
+                "inside an unterminated header block"
+            )
         headers = {}
         for line in data[start:hend].split(b"\n")[1:]:
             if b":" in line:
@@ -202,22 +211,27 @@ def read_wet(
             END
             """
         )
+        # header fields extract from the HEADER BLOCK only — a regex
+        # over the whole value would happily match 'warc-date: ...'
+        # appearing inside the page text whenever the real header is
+        # absent (payload pollution)
+        hdr = F.expr("substring(value, 1, _he)")
         out = (
             raw.withColumn("_he", hdr_end)
             .filter(F.col("_he") > 0)
             .select(
                 F.input_file_name().alias("path"),
                 F.regexp_extract(
-                    F.col("value"), r"(?i)WARC-Target-URI:\s*(\S+)", 1
+                    hdr, r"(?i)WARC-Target-URI:\s*(\S+)", 1
                 ).alias("url"),
                 F.regexp_extract(
-                    F.col("value"), r"(?i)WARC-Date:\s*(\S+)", 1
+                    hdr, r"(?i)WARC-Date:\s*(\S+)", 1
                 ).alias("warc_date"),
                 F.regexp_extract(
-                    F.col("value"), r"(?i)WARC-Type:\s*(\S+)", 1
+                    hdr, r"(?i)WARC-Type:\s*(\S+)", 1
                 ).alias("record_type"),
                 F.regexp_extract(
-                    F.col("value"), r"(?i)Content-Length:\s*(\d+)", 1
+                    hdr, r"(?i)Content-Length:\s*(\d+)", 1
                 ).try_cast("long").alias("content_length"),
                 F.regexp_replace(
                     F.expr("substring(value, _he + 1)"),
