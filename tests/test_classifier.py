@@ -422,3 +422,29 @@ def test_hashed_weights_tsv_empty_key_and_quotes(spark, tmp_path):
     lm = lmq.load_logprob_table(spark, str(tsv), floor_logp=-9.0)
     toks = {r["token"] for r in lm.collect() if r["token"] is not None}
     assert toks == {'"foo"', '"bar', "plain"}
+
+
+def test_hashed_weights_fractional_key_raises(spark, tmp_path):
+    """ADVICE r9: try_cast('long') of a float-typed parquet bucket
+    TRUNCATES (3.7 → 3) instead of producing the NULL the bad-key
+    count catches — a fractional key must RAISE (silent key rewrite
+    contradicts the module's refuse-to-guess contract), while
+    integral-valued doubles (3.0) still load exactly."""
+    import pytest as _pytest
+
+    frac = str(tmp_path / "frac.parquet")
+    spark.createDataFrame(
+        [(12.0, 0.5), (3.7, 0.1)], "bucket double, weight double"
+    ).coalesce(1).write.parquet(frac)
+    with _pytest.raises(ValueError, match="fractional"):
+        clf.load_hashed_weights(spark, frac, prior=0.0)
+
+    ok = str(tmp_path / "intdoubles.parquet")
+    spark.createDataFrame(
+        [(12.0, 0.5), (3.0, 0.1)], "bucket double, weight double"
+    ).coalesce(1).write.parquet(ok)
+    w, prior = clf.load_hashed_weights(spark, ok, prior=0.25)
+    assert {(r["bucket"], r["weight"]) for r in w.collect()} == {
+        (12, 0.5), (3, 0.1)
+    }
+    assert prior == 0.25

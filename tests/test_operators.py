@@ -3655,3 +3655,95 @@ def test_sq8_guards_and_broadcast_path(spark, emb):
     )
     with pytest.raises(ValueError, match="NULL in every"):
         train_sq(null_dim)
+
+
+def test_pq_codes_shape_guard_raises(spark, emb, tmp_path):
+    """ADVICE r9: PQ scoring (pq_search and the persisted use_pq
+    probe) must RAISE on a codes row with the wrong length or a NULL
+    element — zip_with/t[c] would otherwise NULL-score it and
+    silently drop it from every shortlist, the exact asymmetry the
+    sibling sq_search already guards against."""
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_search_vectors,
+        build_ivf_index,
+        pq_encode,
+        pq_search,
+        train_pq,
+    )
+
+    corpus = emb.limit(60).localCheckpoint(eager=True)
+    books = train_pq(corpus, m=8, k=8, iters=0)
+    codes = pq_encode(corpus, books).localCheckpoint(eager=True)
+    qrows = corpus.filter(F.col("vec_id") < 3).collect()
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
+               for r in qrows]
+
+    short = spark.createDataFrame(
+        [(901, [0] * 4)], "vec_id long, codes array<int>"
+    )
+    nulled = spark.createDataFrame(
+        [(902, [0] * 7 + [None])], "vec_id long, codes array<int>"
+    )
+    for bad in (short, nulled):
+        # both serving paths: inlined stack and broadcast join
+        for kw in ({}, {"broadcast_threshold": 0}):
+            with pytest.raises(Exception, match="does not match"):
+                pq_search(codes.unionByName(bad), books, queries[:1],
+                          topk=3, **kw).collect()
+
+    # persisted path: a corrupt codes row planted INSIDE the index
+    # partitions must raise at serving time, not vanish
+    pidx = str(tmp_path / "pqidx")
+    build_ivf_index(
+        corpus, pidx, k=2, iters=0, pq={"m": 8, "k": 8, "iters": 0}
+    )
+    one = spark.read.parquet(f"{pidx}/vectors").limit(1)
+    (
+        one.withColumn("codes", F.expr("slice(codes, 1, 4)"))
+        .withColumn("vec_id", F.lit(990_001))
+        .withColumn("centroid_id", F.lit(0))
+        .repartition(1)
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(f"{pidx}/vectors")
+    )
+    with pytest.raises(Exception, match="does not match"):
+        ann_ivf_search_vectors(
+            spark, pidx, queries[:1], k=3, nprobe=2,
+            use_pq=True, refine=2,
+        ).collect()
+
+
+def test_ivf_index_add_books_none_on_pq_index_raises(spark, emb, tmp_path):
+    """ADVICE r9 (medium): books=None on a PQ-carrying index would
+    append rows WITHOUT a codes column — a mixed-schema vectors table
+    whose code-less rows silently vanish from every use_pq probe.
+    The add must fail fast instead (mirror of the build's stale-books
+    guard); explicit books=None on a PLAIN index stays valid (the
+    streaming loop's artifact cache passes it)."""
+    from wikiextractor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        load_ivf_centroids,
+    )
+
+    corpus = emb.limit(40).localCheckpoint(eager=True)
+    extra = emb.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "pqidx")
+    build_ivf_index(corpus, idx, k=2, iters=0,
+                    pq={"m": 8, "k": 8, "iters": 0})
+    with pytest.raises(ValueError, match="code-less"):
+        ivf_index_add(spark, idx, extra, books=None)
+    # nothing was appended by the refused call
+    n = spark.read.parquet(f"{idx}/vectors").count()
+    assert n == 40
+
+    plain = str(tmp_path / "plainidx")
+    build_ivf_index(corpus, plain, k=2, iters=0)
+    ivf_index_add(
+        spark, plain, extra,
+        centroids=load_ivf_centroids(spark, plain), books=None,
+    )
+    assert spark.read.parquet(f"{plain}/vectors").count() == 50

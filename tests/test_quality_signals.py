@@ -980,3 +980,18 @@ def test_lm_divergence_identical_shifted_disjoint(spark):
     # contract: models without a floor row raise
     with pytest.raises(ValueError, match="floor"):
         lmq.lm_js_divergence(lm1.filter(F.col("token").isNotNull()), lm2)
+
+
+def test_filter_blocked_domains_multi_trailing_dots(spark):
+    """ADVICE r9: the trailing strip is \\.+$ to mirror the leading
+    \\.+ rule — an entry like 'bad.com..' must still match (a single
+    \\.$ left 'bad.com.' behind and the entry silently never fired)."""
+    from wikiextractor_spark.functions.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(1, "https://bad.com/x"), (2, "https://clean.org/y")],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in
+            filter_blocked_domains(df, ["bad.com.."]).collect()}
+    assert kept == {2}

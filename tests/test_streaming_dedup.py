@@ -934,3 +934,70 @@ def test_ingest_ledger_lifecycle(spark, tmp_path):
     # REBUILD clears the ledger: batch 0 of the new lineage applies
     build_ivf_index(emb.filter(F.col("vec_id") < 20), idx, k=2, iters=0)
     assert add_embeddings_batch(spark, idx, batch, batch_id=0) is True
+
+
+def test_add_embeddings_batch_single_materialization(spark, tmp_path,
+                                                     monkeypatch):
+    """VERDICT r8 item 6: the per-batch emptiness pre-check is gone —
+    add_embeddings_batch runs exactly ONE take() (the post-checkpoint
+    probe inside ivf_index_add, a driver-side block read), and an
+    EMPTY batch skips both index writes (no new files) while still
+    ledgering exact-once."""
+    import glob as _glob
+
+    from wikiextractor_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_centroids,
+        load_pq_books,
+    )
+    from wikiextractor_spark.streaming import add_embeddings_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("embedding"),
+    ).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "probe_idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 20), idx, k=2, iters=0)
+    artifacts = (
+        load_ivf_centroids(spark, idx), load_pq_books(spark, idx),
+    )
+
+    calls = []
+    _DF = type(emb)  # concrete class (DataFrame is abstract in Spark 4)
+    orig_take = _DF.take
+
+    def counted_take(self, num):
+        calls.append(num)
+        return orig_take(self, num)
+
+    monkeypatch.setattr(_DF, "take", counted_take)
+
+    batch = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
+    applied: set[int] = set()
+    assert add_embeddings_batch(
+        spark, idx, batch, batch_id=0, _applied=applied,
+        _artifacts=artifacts,
+    ) is True
+    assert calls == [1]  # ONE probe, inside ivf_index_add
+
+    # empty batch: ledgered, but neither index table gains a file
+    before_v = sorted(_glob.glob(f"{idx}/vectors/**/*.parquet",
+                                 recursive=True))
+    before_a = sorted(_glob.glob(f"{idx}/assignments/*.parquet"))
+    calls.clear()
+    empty = emb.filter(F.col("vec_id") < 0)
+    assert add_embeddings_batch(
+        spark, idx, empty, batch_id=1, _applied=applied,
+        _artifacts=artifacts,
+    ) is True
+    assert sorted(_glob.glob(f"{idx}/vectors/**/*.parquet",
+                             recursive=True)) == before_v
+    assert sorted(_glob.glob(f"{idx}/assignments/*.parquet")) == before_a
+    assert calls == [1]
+    assert add_embeddings_batch(
+        spark, idx, empty, batch_id=1, _applied=applied,
+        _artifacts=artifacts,
+    ) is False

@@ -282,3 +282,28 @@ def test_native_headers_extracted_from_header_block_only(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["warc_date"] is None  # NOT the payload string
     assert "warc-date" in rows[0]["text"]
+
+
+def test_native_header_value_cannot_shadow_later_header(spark, tmp_path):
+    """ADVICE r9: native-path header regexes are LINE-anchored — a
+    header VALUE that contains another header's name (a query string
+    like ?WARC-Type:response in the target URI, appearing BEFORE the
+    real WARC-Type line) must not be matched as that header."""
+    body = b"anchored body"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Target-URI: http://x.example/?WARC-Type:response\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Date: 2021-06-01T12:00:00Z\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    p = tmp_path / "shadow.wet"
+    p.write_bytes(rec)
+    for strict in (True, False):
+        rows = read_wet(spark, str(p), strict=strict).collect()
+        assert len(rows) == 1, strict
+        assert rows[0]["record_type"] == "conversion", strict
+        assert rows[0]["url"] == "http://x.example/?WARC-Type:response"
+        assert rows[0]["warc_date"] == "2021-06-01T12:00:00Z"
+        assert rows[0]["text"] == "anchored body"

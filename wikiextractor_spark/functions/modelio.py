@@ -75,6 +75,19 @@ def load_keyed_table(
         F.col(value_col).alias("_rv"),
         F.col(value_col).try_cast("double").alias("_v"),
     )
+    # an integral key_type accepts fractional inputs by TRUNCATING
+    # (try_cast('long') of a double 3.7 yields 3 — a silent key
+    # rewrite, not a NULL the bad_keys count would catch), so the
+    # cast must also round-trip numerically: try_cast keeps a
+    # malformed raw key from throwing here (it is already counted in
+    # bad_keys), and eqNullSafe keeps genuine-NULL keys (the scalar
+    # row) out of the count
+    if key_type in ("byte", "short", "int", "long"):
+        truncated = F.col("_k").isNotNull() & ~F.col("_k").cast(
+            "double"
+        ).eqNullSafe(F.col("_rk").try_cast("double"))
+    else:
+        truncated = F.lit(False)
     # ONE validation pass over the artifact (bad keys, bad values,
     # scalar rows all from a single aggregate) — three separate
     # actions would re-scan the file three times for nothing
@@ -82,6 +95,7 @@ def load_keyed_table(
         F.sum(
             (F.col("_rk").isNotNull() & F.col("_k").isNull()).cast("long")
         ).alias("bad_keys"),
+        F.sum(truncated.cast("long")).alias("bad_truncated"),
         F.sum(
             (F.col("_k").isNotNull() & F.col("_v").isNull()).cast("long")
         ).alias("bad_vals"),
@@ -95,6 +109,13 @@ def load_keyed_table(
             f"cannot be read as {key_type} — refusing to guess (a "
             "malformed key silently dropped or promoted to the "
             f"{scalar_name} row would shift every score)"
+        )
+    if stats["bad_truncated"]:
+        raise ValueError(
+            f"{caller}: {stats['bad_truncated']} rows whose {key_col} "
+            f"is fractional — casting to {key_type} would silently "
+            "rewrite the key by truncation; fix the artifact (keys "
+            "must be exact integers)"
         )
     if stats["bad_vals"]:
         # covers both a non-numeric value and a MISSING one (a TSV

@@ -272,12 +272,15 @@ def filter_blocked_domains(
     # and the anchored ^www\. can never fire afterwards, so an entry
     # like '.www.example.com' would normalize to 'www.example.com'
     # and silently never match (url_domain strips www.)
+    # trailing strip is \.+$ to mirror the leading \.+ rule — with
+    # a single \.$ an entry like 'bad.com..' would normalize to
+    # 'bad.com.' and silently never match any host
     norm = lambda c: F.regexp_replace(  # noqa: E731 — mirrors url_domain
         F.regexp_replace(
             F.regexp_replace(F.lower(F.trim(c)), r"^\.+", ""),
             r"^www\.", "",
         ),
-        r"\.$", "",
+        r"\.+$", "",
     )
     if isinstance(blocklist, list):
         bl = df.sparkSession.createDataFrame(

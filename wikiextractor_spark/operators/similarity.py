@@ -913,9 +913,24 @@ def ivf_index_add(
         centroids = load_ivf_centroids(spark, index_dir)
     if books is _UNSET:
         books = load_pq_books(spark, index_dir)
+    elif books is None and load_pq_books(spark, index_dir) is not None:
+        # mirrors the build's stale-books fail-fast: appending
+        # code-less rows to a PQ-carrying index makes a mixed-schema
+        # vectors table whose rows NULL-score in use_pq probes and
+        # silently vanish from every PQ result
+        raise ValueError(
+            "ivf_index_add: books=None would append code-less rows to "
+            f"a PQ-carrying index ({index_dir}) — omit the argument to "
+            "auto-load the stored codebooks"
+        )
     assigned = ivf_assign(new_emb, centroids, id_col, vec_col).localCheckpoint(
         eager=True  # one scoring pass, reused by both writes below
     )
+    # the checkpoint just materialized the batch, so this emptiness
+    # probe is a driver-side block read, not a job — empty appends
+    # (replayed empty stream epochs) skip both writes entirely
+    if not assigned.take(1):
+        return
     appended = new_emb.join(assigned, id_col).select(
         F.col(id_col), F.col("centroid_id"), F.col(vec_col)
     )
@@ -1280,7 +1295,13 @@ def _probe_and_rank_pq(
     codes_scan = (
         spark.read.option("basePath", f"{index_dir}/vectors")
         .parquet(*paths)
-        .select(F.col(id_col), F.col("centroid_id"), F.col("codes"))
+        .select(
+            F.col(id_col), F.col("centroid_id"),
+            # persisted codes are external input at serving time
+            # (an index mutated outside ivf_index_add could carry
+            # short/NULL rows): shape-guard, don't silently drop
+            F.expr(_pq_guarded_codes_sql(len(books))).alias("codes"),
+        )
     )
     scored = (
         codes_scan.join(
@@ -1636,6 +1657,23 @@ _PQ_LUT_SCORE = (
 )
 
 
+def _pq_guarded_codes_sql(m: int) -> str:
+    """Shape guard applied ONCE where externally-supplied codes enter
+    a PQ scoring plan (``pq_search``'s caller frame, the persisted
+    codes scan in ``_probe_and_rank_pq``): a row whose ``codes``
+    length differs from the codebook count, or that carries a NULL
+    element, RAISES instead of NULL-scoring through
+    ``zip_with``/``t[c]`` and silently vanishing from every shortlist
+    — the same raise-don't-guess contract ``sq_search`` enforces.
+    Internally-derived codes (``_pq_codes_sql`` over raw vectors)
+    are valid by construction and skip the guard."""
+    return (
+        f"IF(size(codes) = {m} AND NOT exists(codes, c -> c IS NULL), "
+        "codes, raise_error(concat('pq: codes row does not match the "
+        f"{m}-subspace codebooks (wrong length or NULL element)')))"
+    )
+
+
 def _pq_stack_branches(
     books: list[list[list[float]]],
     queries: list[tuple[int, list[float]]],
@@ -1748,10 +1786,15 @@ def pq_search(
     m = len(books)
     sub = len(books[0][0])
     _validate_pq_queries(queries, m * sub)
+    # caller-supplied codes: shape-guard once in the entry projection
+    # (sq_search parity) so a short/NULL row raises, never NULL-drops
+    guarded = codes.selectExpr(
+        f"{id_col} as neighbor_id", f"{_pq_guarded_codes_sql(m)} as codes"
+    )
     if len(queries) > broadcast_threshold:
         qframe = _pq_query_frame(codes.sparkSession, books, queries)
         scored = (
-            codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+            guarded
             .crossJoin(F.broadcast(qframe.select("q_id", "lut")))
             .select(
                 "q_id", "neighbor_id",
@@ -1762,8 +1805,8 @@ def pq_search(
         )
     else:
         branches = _pq_stack_branches(books, queries)
-        scored = codes.selectExpr(
-            f"{id_col} as neighbor_id",
+        scored = guarded.selectExpr(
+            "neighbor_id",
             f"stack({len(branches)}, {', '.join(branches)}) as (q_id, score)",
         ).withColumn("score", F.round("score", 6))
     if exclude_self:

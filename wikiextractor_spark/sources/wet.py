@@ -214,7 +214,11 @@ def read_wet(
         # header fields extract from the HEADER BLOCK only — a regex
         # over the whole value would happily match 'warc-date: ...'
         # appearing inside the page text whenever the real header is
-        # absent (payload pollution)
+        # absent (payload pollution) — and are LINE-ANCHORED
+        # ((?im)^...): a header VALUE containing another header name
+        # (a WARC-Target-URI like http://x/?WARC-Type:response on an
+        # earlier line) must not shadow the real header line, matching
+        # the strict path's line-grain parse
         hdr = F.expr("substring(value, 1, _he)")
         out = (
             raw.withColumn("_he", hdr_end)
@@ -222,16 +226,16 @@ def read_wet(
             .select(
                 F.input_file_name().alias("path"),
                 F.regexp_extract(
-                    hdr, r"(?i)WARC-Target-URI:\s*(\S+)", 1
+                    hdr, r"(?im)^WARC-Target-URI:[ \t]*(\S+)", 1
                 ).alias("url"),
                 F.regexp_extract(
-                    hdr, r"(?i)WARC-Date:\s*(\S+)", 1
+                    hdr, r"(?im)^WARC-Date:[ \t]*(\S+)", 1
                 ).alias("warc_date"),
                 F.regexp_extract(
-                    hdr, r"(?i)WARC-Type:\s*(\S+)", 1
+                    hdr, r"(?im)^WARC-Type:[ \t]*(\S+)", 1
                 ).alias("record_type"),
                 F.regexp_extract(
-                    hdr, r"(?i)Content-Length:\s*(\d+)", 1
+                    hdr, r"(?im)^Content-Length:[ \t]*(\d+)", 1
                 ).try_cast("long").alias("content_length"),
                 F.regexp_replace(
                     F.expr("substring(value, _he + 1)"),

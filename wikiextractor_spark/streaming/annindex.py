@@ -77,15 +77,18 @@ def add_embeddings_batch(
     )
     if batch_id in applied:
         return False
-    if batch_df.take(1):
-        kwargs = {}
-        if _artifacts is not None:
-            kwargs = {"centroids": _artifacts[0], "books": _artifacts[1]}
-        ivf_index_add(
-            spark, index_dir,
-            batch_df.select(F.col(id_col), F.col(vec_col)),
-            id_col, vec_col, **kwargs,
-        )
+    kwargs = {}
+    if _artifacts is not None:
+        kwargs = {"centroids": _artifacts[0], "books": _artifacts[1]}
+    # no emptiness pre-check here: ivf_index_add materializes the
+    # batch once (its assignment checkpoint) and no-ops the writes
+    # itself when empty — a separate take(1) would be one extra
+    # Spark job per micro-batch on the hot streaming path
+    ivf_index_add(
+        spark, index_dir,
+        batch_df.select(F.col(id_col), F.col(vec_col)),
+        id_col, vec_col, **kwargs,
+    )
     (
         spark.createDataFrame([(int(batch_id),)], "batch_id long")
         .coalesce(1)
