@@ -1001,3 +1001,64 @@ def test_add_embeddings_batch_single_materialization(spark, tmp_path,
         spark, idx, empty, batch_id=1, _applied=applied,
         _artifacts=artifacts,
     ) is False
+
+
+def test_prepare_corpus_stream_url_blocklist_parity_with_batch(
+        spark, tmp_path):
+    """VERDICT r8 item 4: the URL/domain gate is reachable per
+    micro-batch via schema=DOCUMENTS_URL_SCHEMA (the blocklist is a
+    static broadcast, stateless per batch), one batch through the
+    streaming composition keeps EXACTLY the documents the batch
+    composition keeps with the same flags, and a blocklist without a
+    url column in the schema fails fast at stream definition."""
+    import glob
+
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+    from wikiextractor_spark.streaming import (
+        DOCUMENTS_URL_SCHEMA,
+        prepare_corpus_stream,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long, url string")
+    rows = [
+        (1, "kept text one", "en", "t", 1, "https://clean.org/a"),
+        (2, "blocked text", "en", "t", 1, "https://spam.bad.net/x"),
+        (3, "blocked subdomain", "en", "t", 1, "https://deep.bad.net/y"),
+        (4, "kept text two", "en", "t", 1, "https://fine.io/z"),
+        (5, "no url row", "en", "t", 1, None),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "state"), schema=DOCUMENTS_URL_SCHEMA,
+        url_blocklist=["bad.net"], dedup=None,
+    )
+    assert q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in prepare_corpus(
+            batch_df, url_blocklist=["bad.net"], dedup=None
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed == {1, 4, 5}  # NULL-url rows pass (stated contract)
+
+    # blocklist without a url column in the schema: fails at stream
+    # DEFINITION, before any batch runs
+    with pytest.raises(ValueError, match="no 'url' column"):
+        prepare_corpus_stream(
+            spark, str(src), str(tmp_path / "out2"),
+            str(tmp_path / "ckpt2"), str(tmp_path / "state2"),
+            url_blocklist=["bad.net"], dedup=None,
+        )

@@ -726,7 +726,7 @@ def _write_driver_parquet(spark, path: str, arrow_table, spark_df) -> None:
 def build_ivf_index(
     emb: DataFrame, index_dir: str, k: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    pq: dict | None = None,
+    pq: dict | None = None, sq: bool = False,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer and PERSIST the index:
 
@@ -741,7 +741,14 @@ def build_ivf_index(
       (:func:`ann_ivf_search_vectors` ``use_pq=True``) reads m ints
       per row off disk instead of the dim-float vector: at 100 TB
       THAT is the point of PQ — the 64× cut reaches the serving
-      scan's bytes-read, not just an in-memory re-encode.
+      scan's bytes-read, not just an in-memory re-encode;
+    * with ``sq=True``: ``<index_dir>/sq_codec`` — the per-dimension
+      affine int8 codec (driver-sized: 2·dim floats) — and an
+      ``sq_codes array<tinyint>`` column in the vectors table, so an
+      SQ-scored probe (``use_sq=True``) reads dim BYTES per row off
+      disk: the 4× near-exact-recall tier between raw vectors and PQ.
+      ``pq=`` and ``sq=True`` compose freely (each adds its own
+      column; serving picks one per call).
 
     The partitioning is the scale payoff: a probe touches only its
     ``nprobe`` centroid partitions of the corpus — at 100 TB the
@@ -768,15 +775,20 @@ def build_ivf_index(
             iters=pq.get("iters", 2), id_col=id_col, vec_col=vec_col,
             dim=len(centroids[0]),
         )
+    codec = train_sq(emb, vec_col) if sq else None
     # ONE pass scores and carries the vector (keep_vec) — joining a
     # separate (id, centroid_id) projection back to the corpus would
-    # re-scan it and add a corpus-grain join for nothing; the PQ
-    # codes ride the same pass (narrow expression over the carried
+    # re-scan it and add a corpus-grain join for nothing; the PQ/SQ
+    # codes ride the same pass (narrow expressions over the carried
     # vector)
     assigned = ivf_assign(emb, centroids, id_col, vec_col, keep_vec=True)
     if books is not None:
         assigned = assigned.withColumn(
             "codes", F.expr(_pq_codes_sql(vec_col, books))
+        )
+    if codec is not None:
+        assigned = assigned.withColumn(
+            "sq_codes", F.expr(_sq_codec_sql(vec_col, codec))
         )
     (
         # hash-cluster on the partition key before the partitioned
@@ -848,6 +860,39 @@ def build_ivf_index(
         jbooks, bfs = hadoop_fs(spark, f"{index_dir}/pq_books")
         if bfs.exists(jbooks):
             bfs.delete(jbooks, True)
+    if codec is not None:
+        flat_sq = [
+            (p, float(lo), float(st)) for p, (lo, st) in enumerate(codec)
+        ]
+
+        def _codec_arrow():
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "dim": pa.array([r[0] for r in flat_sq], pa.int32()),
+                    "lo": pa.array([r[1] for r in flat_sq], pa.float64()),
+                    "step": pa.array([r[2] for r in flat_sq], pa.float64()),
+                }
+            )
+
+        _write_driver_parquet(
+            spark,
+            f"{index_dir}/sq_codec",
+            _codec_arrow,
+            lambda: spark.createDataFrame(
+                flat_sq, "dim int, lo double, step double"
+            ),
+        )
+    else:
+        # same stale-artifact rule as pq_books: a rebuild without
+        # sq= must not leave a previous build's codec claiming the
+        # raw-vector table carries sq_codes
+        from wikiextractor_spark.fsutil import hadoop_fs as _hfs_sq
+
+        jcodec, cfs = _hfs_sq(spark, f"{index_dir}/sq_codec")
+        if cfs.exists(jcodec):
+            cfs.delete(jcodec, True)
     # ANY rebuild invalidates the streaming ingest ledger: micro-batch
     # numbering restarts with a fresh checkpoint, and a stale ledger
     # would make streaming/annindex silently skip the new stream's
@@ -882,7 +927,7 @@ def ivf_index_add(
     spark, index_dir: str, new_emb: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
-    books=_UNSET,
+    books=_UNSET, sq=_UNSET,
 ) -> None:
     """Append new vectors to a PERSISTED IVF index without retraining
     the quantizer or rewriting existing partitions — the incremental
@@ -904,11 +949,11 @@ def ivf_index_add(
     away from the trained centroids; retrain + rebuild when the
     cluster-size histogram (:func:`ivf_index_stats`) skews.
 
-    ``centroids``/``books``: the stored artifacts, passable by
-    callers that add REPEATEDLY against one frozen index (the
+    ``centroids``/``books``/``sq``: the stored artifacts, passable
+    by callers that add REPEATEDLY against one frozen index (the
     streaming ingest loop) so each batch skips the artifact
-    re-reads; ``books=None`` means "no PQ" explicitly — omit the
-    argument to auto-load."""
+    re-reads; ``books=None``/``sq=None`` mean "no PQ"/"no SQ"
+    explicitly — omit the arguments to auto-load."""
     if centroids is None:
         centroids = load_ivf_centroids(spark, index_dir)
     if books is _UNSET:
@@ -922,6 +967,15 @@ def ivf_index_add(
             "ivf_index_add: books=None would append code-less rows to "
             f"a PQ-carrying index ({index_dir}) — omit the argument to "
             "auto-load the stored codebooks"
+        )
+    if sq is _UNSET:
+        sq = load_sq_codec(spark, index_dir)
+    elif sq is None and load_sq_codec(spark, index_dir) is not None:
+        # same mixed-schema hazard as books=None, for the SQ column
+        raise ValueError(
+            "ivf_index_add: sq=None would append code-less rows to "
+            f"an SQ-carrying index ({index_dir}) — omit the argument "
+            "to auto-load the stored codec"
         )
     assigned = ivf_assign(new_emb, centroids, id_col, vec_col).localCheckpoint(
         eager=True  # one scoring pass, reused by both writes below
@@ -937,6 +991,10 @@ def ivf_index_add(
     if books is not None:
         appended = appended.withColumn(
             "codes", F.expr(_pq_codes_sql(vec_col, books))
+        )
+    if sq is not None:
+        appended = appended.withColumn(
+            "sq_codes", F.expr(_sq_codec_sql(vec_col, sq))
         )
     (
         appended.repartition(F.col("centroid_id"))
@@ -1001,6 +1059,23 @@ def load_pq_books(
     ]
 
 
+def load_sq_codec(
+    spark, index_dir: str,
+) -> list[tuple[float, float]] | None:
+    """The per-dimension ``(min, step)`` affine codec back from a
+    :func:`build_ivf_index` ``sq=True`` build (driver-sized: 2·dim
+    floats), or ``None`` for an index built without SQ — callers
+    branch on that instead of a filesystem probe of their own."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jpath, fs = hadoop_fs(spark, f"{index_dir}/sq_codec")
+    if not fs.exists(jpath):
+        return None
+    rows = spark.read.parquet(f"{index_dir}/sq_codec").collect()
+    by_dim = {int(r["dim"]): (float(r["lo"]), float(r["step"])) for r in rows}
+    return [by_dim[p] for p in range(len(by_dim))]
+
+
 def _index_partition_paths(
     spark, index_dir: str, buckets: list[int],
 ) -> list[str]:
@@ -1023,7 +1098,7 @@ def _index_partition_paths(
 def ann_ivf_topk_indexed(
     spark, index_dir: str, query_ids: list[int], k: int = 5,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    use_pq: bool = False, refine: int = 4,
+    use_pq: bool = False, use_sq: bool = False, refine: int = 4,
 ) -> DataFrame:
     """:func:`ann_ivf_topk` against a PERSISTED index — identical
     semantics and output (value-equality tested against the in-memory
@@ -1038,11 +1113,18 @@ def ann_ivf_topk_indexed(
     ``use_pq=True``/``refine``: same PQ-scored candidate scan as
     :func:`ann_ivf_search_vectors` (m-int codes off disk, exact
     re-rank of the k·refine sliver), with the member row itself
-    excluded like the non-PQ path."""
+    excluded like the non-PQ path.  ``use_sq=True``: same shape with
+    the int8 scalar codec (dim bytes per row); mutually exclusive
+    with ``use_pq`` per call."""
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
+    if use_pq and use_sq:
+        raise ValueError(
+            "ann_ivf_topk_indexed: use_pq and use_sq are mutually "
+            "exclusive — pick one candidate representation per call"
+        )
     centroids = load_ivf_centroids(spark, index_dir)
-    # validate the PQ artifact BEFORE any Spark job runs: a pure
+    # validate the PQ/SQ artifact BEFORE any Spark job runs: a pure
     # misconfiguration (use_pq against a raw-vector index) should
     # fail at artifact-read cost, not after the assignments read,
     # partition listing, and probe materialization
@@ -1052,6 +1134,13 @@ def ann_ivf_topk_indexed(
             "ann_ivf_topk_indexed: use_pq=True but the index at "
             f"{index_dir!r} has no pq_books — rebuild with "
             "build_ivf_index(..., pq={...})"
+        )
+    codec = load_sq_codec(spark, index_dir) if use_sq else None
+    if use_sq and codec is None:
+        raise ValueError(
+            "ann_ivf_topk_indexed: use_sq=True but the index at "
+            f"{index_dir!r} has no sq_codec — rebuild with "
+            "build_ivf_index(..., sq=True)"
         )
     # (1) the queries' home centroids: a filter on the 2-column
     # range-sorted lookup — tiny result, driver-collected
@@ -1086,13 +1175,18 @@ def ann_ivf_topk_indexed(
         q_base.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_v")),
         centroids, nprobe,
     )
-    if not use_pq:
-        return _probe_and_rank(
-            spark, index_dir, probes, k, id_col, vec_col,
+    if use_pq:
+        return _probe_and_rank_pq(
+            spark, index_dir, probes, books, k, refine, id_col, vec_col,
             exclude_self=True,
         )
-    return _probe_and_rank_pq(
-        spark, index_dir, probes, books, k, refine, id_col, vec_col,
+    if use_sq:
+        return _probe_and_rank_sq(
+            spark, index_dir, probes, codec, k, refine, id_col, vec_col,
+            exclude_self=True,
+        )
+    return _probe_and_rank(
+        spark, index_dir, probes, k, id_col, vec_col,
         exclude_self=True,
     )
 
@@ -1179,7 +1273,7 @@ def ann_ivf_search_vectors(
     spark, index_dir: str, queries: list[tuple[int, list[float]]],
     k: int = 5, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    use_pq: bool = False, refine: int = 4,
+    use_pq: bool = False, use_sq: bool = False, refine: int = 4,
 ) -> DataFrame:
     """Top-k neighbors from a PERSISTED index for NEW query vectors —
     the serving path (:func:`ann_ivf_topk_indexed` searches by corpus
@@ -1205,11 +1299,23 @@ def ann_ivf_search_vectors(
     row groups the shortlist id filter cannot prune — never the
     vector column of the whole index.  Same output contract.
 
+    ``use_sq=True`` (requires an ``sq=True`` build): same shape with
+    the int8 scalar codec — the candidate scan reads ``(id,
+    sq_codes)`` (dim bytes per row, the 4× near-exact-recall tier)
+    and scores with the affine per-query fold; same shortlist +
+    exact-refine sliver.  ``use_pq`` and ``use_sq`` are mutually
+    exclusive per call (one candidate representation per probe).
+
     → ``(q_id, neighbor_id, cos, rank)`` with ``rank <= k``."""
     if not queries:
         raise ValueError("ann_ivf_search_vectors: no query vectors")
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
+    if use_pq and use_sq:
+        raise ValueError(
+            "ann_ivf_search_vectors: use_pq and use_sq are mutually "
+            "exclusive — pick one candidate representation per call"
+        )
     qids = [q for q, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError(
@@ -1217,14 +1323,21 @@ def ann_ivf_search_vectors(
             "its own id, or the rank window merges their neighbor sets"
         )
     centroids = load_ivf_centroids(spark, index_dir)
-    # validate the PQ artifact BEFORE the probe job (same fail-fast
-    # contract as ann_ivf_topk_indexed)
+    # validate the PQ/SQ artifact BEFORE the probe job (same
+    # fail-fast contract as ann_ivf_topk_indexed)
     books = load_pq_books(spark, index_dir) if use_pq else None
     if use_pq and books is None:
         raise ValueError(
             "ann_ivf_search_vectors: use_pq=True but the index at "
             f"{index_dir!r} has no pq_books — rebuild with "
             "build_ivf_index(..., pq={...})"
+        )
+    codec = load_sq_codec(spark, index_dir) if use_sq else None
+    if use_sq and codec is None:
+        raise ValueError(
+            "ann_ivf_search_vectors: use_sq=True but the index at "
+            f"{index_dir!r} has no sq_codec — rebuild with "
+            "build_ivf_index(..., sq=True)"
         )
     dim = len(centroids[0])
     for qid, vec in queries:
@@ -1242,13 +1355,18 @@ def ann_ivf_search_vectors(
     # identical vectors by construction, not by a mirrored Python
     # reimplementation that could drift
     probes = _probe_rows(q_frame, centroids, nprobe)
-    if not use_pq:
-        return _probe_and_rank(
-            spark, index_dir, probes, k, id_col, vec_col,
+    if use_pq:
+        return _probe_and_rank_pq(
+            spark, index_dir, probes, books, k, refine, id_col, vec_col,
             exclude_self=False,
         )
-    return _probe_and_rank_pq(
-        spark, index_dir, probes, books, k, refine, id_col, vec_col,
+    if use_sq:
+        return _probe_and_rank_sq(
+            spark, index_dir, probes, codec, k, refine, id_col, vec_col,
+            exclude_self=False,
+        )
+    return _probe_and_rank(
+        spark, index_dir, probes, k, id_col, vec_col,
         exclude_self=False,
     )
 
@@ -1317,6 +1435,21 @@ def _probe_and_rank_pq(
     )
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
+    return _exact_rerank_shortlist(
+        spark, index_dir, paths, scored, probes, k, refine, id_col, vec_col,
+    )
+
+
+def _exact_rerank_shortlist(
+    spark, index_dir: str, paths: list[str], scored: DataFrame,
+    probes: DataFrame, k: int, refine: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """Shared tail of the quantized serving paths (PQ and SQ): rank
+    the approximate scores, keep each query's ``k·refine`` shortlist,
+    and re-rank it with EXACT cosine over raw vectors fetched by a
+    pushed-down ``id IN (shortlist)`` filter on the probed
+    partitions.  The shortlist is driver-sized by construction
+    (≤ queries × k × refine), so the collect is an artifact read."""
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
@@ -1355,6 +1488,82 @@ def _probe_and_rank_pq(
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _probe_and_rank_sq(
+    spark, index_dir: str, probes: DataFrame,
+    codec: list[tuple[float, float]],
+    k: int, refine: int, id_col: str, vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """SQ-scored probe of a persisted index — the 4×-compression
+    sibling of :func:`_probe_and_rank_pq`: the candidate scan reads
+    the probed partitions COLUMN-PRUNED to ``(id, sq_codes)`` (dim
+    BYTES per row — the 4× cut vs float32 reaching disk), scores each
+    row with the affine fold ``base_q + Σ w_i·c_i`` against a
+    broadcast per-query ``(base, w)`` frame (no lookup tables —
+    :func:`_sq_query_params`), shortlists ``k·refine`` ids per query,
+    then exact-reranks the sliver exactly like the PQ path.  Bytes
+    read: the probed partitions' ``sq_codes`` column plus the
+    raw-vector row groups the shortlist id filter cannot prune —
+    never the vector column of the whole index."""
+    buckets = [
+        r["q_centroid"]
+        for r in probes.select("q_centroid").distinct().collect()
+    ]
+    paths = _index_partition_paths(spark, index_dir, buckets)
+    if not paths:
+        return probes.select(
+            F.col("q_id"),
+            F.col("q_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
+    dim = len(codec)
+    qparams = spark.createDataFrame(
+        [
+            (int(r["q_id"]),) + _sq_query_params(codec, list(r["q_v"]))
+            for r in probes.select("q_id", "q_v").distinct().collect()
+        ],
+        "q_id long, base double, w array<double>",
+    )
+    probe_params = probes.select("q_id", "q_centroid").join(qparams, "q_id")
+    guarded = (
+        f"IF(size(sq_codes) = {dim} AND NOT exists(sq_codes, "
+        "c -> c IS NULL), sq_codes, raise_error(concat('sq probe: "
+        f"sq_codes row does not match the {dim}-dim codec (wrong "
+        "length or NULL element)')))"
+    )
+    codes_scan = (
+        spark.read.option("basePath", f"{index_dir}/vectors")
+        .parquet(*paths)
+        .selectExpr(
+            id_col, "centroid_id",
+            # persisted codes are external input at serving time:
+            # shape-guard (raise, never NULL-drop), like the PQ scan
+            f"{guarded} as sq_codes",
+        )
+    )
+    scored = (
+        codes_scan.join(
+            F.broadcast(probe_params),
+            F.col("centroid_id") == F.col("q_centroid"),
+        )
+        .select(
+            "q_id", F.col(id_col).alias("neighbor_id"),
+            F.round(
+                F.expr(
+                    "base + aggregate(zip_with(sq_codes, w, "
+                    "(c, x) -> x * c), 0.0D, (acc, x) -> acc + x)"
+                ), 6,
+            ).alias("score"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
+    return _exact_rerank_shortlist(
+        spark, index_dir, paths, scored, probes, k, refine, id_col, vec_col,
     )
 
 

@@ -1058,20 +1058,58 @@ def sim_ann_topk(spark, sf_dir):
       SELECT s.q_id, s.neighbor_id,
              {_DUCK_COS.replace('ae', 'q.qe').replace('be', 'v.e')} AS score
       FROM short s JOIN q ON q.q_id = s.q_id JOIN v ON v.vec_id = s.neighbor_id
+    ),
+    dims AS (
+      SELECT t.j, min(v.e[t.j+1]) AS lo,
+             (max(v.e[t.j+1]) - min(v.e[t.j+1])) / 255.0 AS st
+      FROM v, range(64) t(j) GROUP BY t.j
+    ),
+    sqcodes AS (
+      SELECT v.vec_id,
+             list(CASE WHEN d.st = 0.0 THEN -128.0
+                  ELSE greatest(0.0, least(255.0,
+                         round((v.e[d.j+1] - d.lo) / d.st))) - 128.0
+                  END ORDER BY d.j) AS c
+      FROM v, dims d GROUP BY v.vec_id
+    ),
+    codec AS (
+      SELECT list(lo ORDER BY j) AS lo, list(st ORDER BY j) AS st FROM dims
+    ),
+    sqp AS (
+      SELECT q.q_id,
+             list_sum([q.qe[i+1] * k.lo[i+1] for i in range(64)])
+               + 128.0 * list_sum([q.qe[i+1] * k.st[i+1] for i in range(64)]) AS base,
+             [q.qe[i+1] * k.st[i+1] for i in range(64)] AS w
+      FROM q, codec k
+    ),
+    sqs AS (
+      SELECT p.q_id, c.vec_id AS neighbor_id,
+             round(p.base + list_sum([p.w[i+1] * c.c[i+1] for i in range(64)]), 6) AS score
+      FROM sqp p, sqcodes c WHERE c.vec_id != p.q_id
     )
-    SELECT q_id, neighbor_id, score, rank FROM (
+    SELECT 'pq' AS family, q_id, neighbor_id, score, rank FROM (
       SELECT q_id, neighbor_id, score,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
       FROM exact) t WHERE rank <= 5
+    UNION ALL
+    SELECT 'sq' AS family, q_id, neighbor_id, score, rank FROM (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM sqs) t WHERE rank <= 5
     """,
 )
 def sim_ann_pq(spark, sf_dir):
-    """Product quantization end to end: deterministic codebook fit
-    (iters=0 — seed sub-slices), scan-speed encode, one-pass
-    asymmetric LUT scoring, k·refine shortlist, exact cosine
-    re-rank.  Every stage is re-derived independently by the SQL
-    oracle; a wrong code, a biased LUT, or a shortlist off-by-one
-    fails the hash."""
+    """Both quantization tiers end to end, discriminated by family.
+    'pq': deterministic codebook fit (iters=0 — seed sub-slices),
+    scan-speed encode, one-pass asymmetric LUT scoring, k·refine
+    shortlist, exact cosine re-rank.  'sq' (r8 scalar quantization,
+    driver-verified r9): the per-dim affine int8 codec trained as one
+    dim-grain aggregate, tinyint encode, and the asymmetric
+    base + Σ w·c fold — the oracle re-derives the codec (min/step per
+    dimension), every code (clamp + round), the per-query (base, w)
+    params, and the fold from first principles, so a wrong clamp
+    boundary, a mis-shifted −128, or a drifted fold association fails
+    the hash.  Each family's wrong-stage failure is independent."""
     emb = _emb(spark, sf_dir)
     centroids = similarity.ivf_centroids(emb, k=8, iters=0)
     books = similarity.train_pq(emb, m=8, k=8, iters=0)
@@ -1084,14 +1122,24 @@ def sim_ann_pq(spark, sf_dir):
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in qrows
     ]
-    out = similarity.ann_ivf_pq_topk(
+    pq_out = similarity.ann_ivf_pq_topk(
         emb, queries, topk=5, nprobe=8, refine=2,
         centroids=centroids, books=books, exclude_self=True,
-    )
-    return out.select(
+    ).select(
+        F.lit("pq").alias("family"),
         "q_id", "neighbor_id", "score",
         F.col("rank").cast("long").alias("rank"),
     )
+    codec = similarity.train_sq(emb)
+    sq_out = similarity.sq_search(
+        similarity.sq_encode(emb, codec), codec, queries,
+        topk=5, exclude_self=True,
+    ).select(
+        F.lit("sq").alias("family"),
+        "q_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return pq_out.unionByName(sq_out)
 
 
 def _duck_lsh_bucket_sql(seed: int = 42) -> str:
@@ -1383,26 +1431,30 @@ sql_query(
     _REL_WINDOW_SPARK.replace("AS STRING", "AS VARCHAR"),
 )
 
+# Brand-grain part stats + order-status pivot matrix in one
+# discriminated union (merged from r1's rel_brand_stats +
+# rel_status_matrix — both green since r1 — to free a battery slot
+# for the r9 WET source under the driver's 50-entry cap, the same
+# rotation precedent as rel_grouping_sets and mm_media_meta).  The
+# status family gains a cents measure so its c4/cents columns are
+# non-degenerate.
 sql_query(
-    "rel_brand_stats",
+    "rel_brand_status",
     """
-    SELECT p_brand,
-           COUNT(DISTINCT p_type) AS n_types,
-           COUNT(*) AS n_parts,
-           MIN(p_size) AS min_size, MAX(p_size) AS max_size,
-           CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    SELECT 'brand' AS family, p_brand AS k1,
+           COUNT(DISTINCT p_type) AS c1,
+           COUNT(*) AS c2,
+           CAST(MIN(p_size) AS BIGINT) AS c3,
+           CAST(MAX(p_size) AS BIGINT) AS c4,
+           CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM part GROUP BY p_brand
-    """,
-)
-
-sql_query(
-    "rel_status_matrix",
-    """
-    SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           COUNT(*) AS n_total
+    UNION ALL
+    SELECT 'status' AS family, o_orderpriority AS k1,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           COUNT(*) AS c4,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -1709,6 +1761,83 @@ def mm_media_meta(spark, sf_dir):
         F.sum("n_bytes").over(w).alias("type_bytes"),
         F.max("n_frames").over(w).alias("max_type_frames"),
     )
+
+
+# WARC/WET source round trip (r8 sources/wet.py:166+, driver-verified
+# r9): WET member bytes are synthesized JVM-SIDE from the documents
+# table — real headers, Content-Length BYTE accounting via
+# octet_length over the UTF-8 payload, CRLF blank-line terminators —
+# written as .wet part files and parsed back through the strict
+# byte-exact reader (binaryFile + Arrow kernel).  Every 7th payload
+# embeds a line starting with the record magic 'WARC/1.0' and every
+# URI carries a '?WARC-Type:response' query string, so a parser that
+# splits on the magic or matches headers unanchored produces
+# different rows and fails the hash.  The oracle restates the
+# generator arithmetic directly from documents (the mm_media_meta
+# pattern): a hash match proves generate → write → parse agree
+# byte-for-byte end to end.  The native splittable reader's parity
+# with strict stays pytest-pinned (tests/test_wet_source.py).
+@query(
+    "src_wet",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'http://ex.org/' || doc_id || '?WARC-Type:response' AS url,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || chr(10) || 'WARC/1.0' || chr(10)
+                       || 'fake header tail'
+                  ELSE text END AS payload
+      FROM documents
+    )
+    SELECT url, '2021-06-01T12:00:00Z' AS warc_date,
+           'conversion' AS record_type,
+           CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
+           payload AS text
+    FROM d
+    """,
+)
+def src_wet(spark, sf_dir):
+    """Strict WET source end to end: synthesize member bytes from the
+    documents table in one narrow JVM-side projection, write them as
+    real .wet files, and parse them back with the byte-exact reader
+    — url, date, type, declared Content-Length, and payload must all
+    round-trip, including payloads containing the record magic and
+    URIs containing header names."""
+    import shutil
+    import tempfile
+
+    from wikiextractor_spark.sources.wet import read_wet
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    payload = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit("\nWARC/1.0\nfake header tail")),
+    ).otherwise(F.col("text"))
+    member = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
+              "WARC-Target-URI: http://ex.org/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?WARC-Type:response\r\n"
+              "WARC-Date: 2021-06-01T12:00:00Z\r\n"
+              "Content-Type: text/plain\r\nContent-Length: "),
+        F.octet_length("payload").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("payload"),
+        F.lit("\r\n\r\n"),
+    )
+    tmpdir = tempfile.mkdtemp(prefix="src_wet_")
+    try:
+        (
+            docs.withColumn("payload", payload)
+            .select(member.alias("value"))
+            .write.mode("overwrite").text(f"{tmpdir}/crawl")
+        )
+        out = read_wet(spark, f"{tmpdir}/crawl", strict=True).select(
+            "url", "warc_date", "record_type", "content_length", "text"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 # ==========================================================================
@@ -2051,14 +2180,28 @@ def decontam_bloom(spark, sf_dir):
 def lm_quality_gate(spark, sf_dir):
     """Perplexity-proxy quality gate (r6): fit the unigram LM on the
     corpus itself (capped heavy-hitter pass, exact here because the
-    cap exceeds the distinct-token count), score every document as
-    mean token log-probability (narrow explode + broadcast vocab
-    join), and gate on a fixed threshold."""
+    cap exceeds the distinct-token count), export it through the
+    external-model adapter (save → reload: the scoring model is the
+    IMPORTED artifact, so the unchanged oracle hash proves
+    imported-artifact scoring is bit-identical to fit-path scoring —
+    r8 modelio end-to-end, driver-verified r9), and score every
+    document as mean token log-probability (narrow explode +
+    broadcast vocab join), gating on a fixed threshold."""
+    import shutil
+    import tempfile
+
     from wikiextractor_spark.functions import lmquality
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     lm = lmquality.fit_unigram_lm(docs, vocab_size=100_000)
-    scores = lmquality.doc_logprob_scores(docs, lm)
+    tmpdir = tempfile.mkdtemp(prefix="lm_gate_")
+    try:
+        lmquality.save_logprob_table(lm, f"{tmpdir}/model.parquet")
+        lm = lmquality.load_logprob_table(spark, f"{tmpdir}/model.parquet")
+        scores = lmquality.doc_logprob_scores(docs, lm)
+        scores = scores.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     # the gate compares the ROUNDED mean on both engines: AVG
     # summation order differs across engines, and an unrounded
     # comparison could flip the boolean within float noise of the

@@ -1,4 +1,5 @@
 from wikiextractor_spark.streaming.corpus import (  # noqa: F401
+    DOCUMENTS_URL_SCHEMA,
     prepare_corpus_stream,
 )
 from wikiextractor_spark.streaming.dedup import (  # noqa: F401

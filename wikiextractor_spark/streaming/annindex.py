@@ -80,6 +80,8 @@ def add_embeddings_batch(
     kwargs = {}
     if _artifacts is not None:
         kwargs = {"centroids": _artifacts[0], "books": _artifacts[1]}
+        if len(_artifacts) > 2:
+            kwargs["sq"] = _artifacts[2]
     # no emptiness pre-check here: ivf_index_add materializes the
     # batch once (its assignment checkpoint) and no-ops the writes
     # itself when empty — a separate take(1) would be one extra
@@ -129,6 +131,7 @@ def index_embeddings_stream(
     from wikiextractor_spark.operators.similarity import (
         load_ivf_centroids,
         load_pq_books,
+        load_sq_codec,
     )
 
     # fail fast on a missing index, and load the FROZEN artifacts
@@ -138,6 +141,7 @@ def index_embeddings_stream(
     artifacts = (
         load_ivf_centroids(spark, index_dir),
         load_pq_books(spark, index_dir),
+        load_sq_codec(spark, index_dir),
     )
 
     # one ledger read for the whole run (single-writer contract);

@@ -27,11 +27,14 @@ Stage trades stated explicitly:
 * ``token_budget`` sampling is NOT offered — it needs the corpus-wide
   token total, which an unbounded stream never has.  Use
   ``sample_fraction`` (stateless) and budget offline.
-* ``url_blocklist`` is NOT offered — the streaming document schema
-  (``DOCUMENTS_SCHEMA``) carries no URL column, so the gate would
-  raise on every batch; run
-  :func:`~wikiextractor_spark.functions.urls.filter_blocked_domains`
-  on the crawl frontier upstream of ingestion instead.
+* ``url_blocklist`` needs a URL column: the default streaming schema
+  (``DOCUMENTS_SCHEMA``) carries none, so pass
+  ``schema=DOCUMENTS_URL_SCHEMA`` (or your own schema with the
+  ``url_col`` column) alongside the blocklist — real crawl streams
+  carry URLs.  The blocklist is a static broadcast, so the gate is
+  stateless and runs FIRST per micro-batch, exactly like the batch
+  composition (parity-pinned); a blocklist without a matching schema
+  column fails fast at stream definition, not per batch.
 * ``boilerplate_min_docs`` (cross-document line removal) is NOT
   offered either — "appears in ≥ N distinct documents" is a
   corpus-wide count: a per-batch count would miss boilerplate spread
@@ -51,16 +54,26 @@ Stage trades stated explicitly:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from wikiextractor_spark.streaming.dedup import dedup_batch_against_store
 from wikiextractor_spark.streaming.stream import DOCUMENTS_SCHEMA
+
+# DOCUMENTS_SCHEMA + the url column a crawl stream carries — the
+# schema to pass when wiring ``url_blocklist`` (the default schema
+# has no url, and the gate refuses to run without one)
+DOCUMENTS_URL_SCHEMA = StructType(
+    DOCUMENTS_SCHEMA.fields + [StructField("url", StringType())]
+)
 
 
 def prepare_corpus_stream(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
     state_dir: str, path_glob: str | None = None,
-    trigger_available_now: bool = True,
+    trigger_available_now: bool = True, schema=DOCUMENTS_SCHEMA,
     *,
+    url_blocklist=None,
+    url_col: str = "url",
     target_lang: str | None = None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
@@ -117,15 +130,28 @@ def prepare_corpus_stream(
             f"streaming dedup must be 'near' or None, got {dedup!r}; "
             "exact-hash streaming dedup is deduped_document_stream"
         )
+    if url_blocklist is not None and url_col not in schema.fieldNames():
+        # fail at stream DEFINITION, not inside every micro-batch:
+        # the batch composition's per-call raise would otherwise fire
+        # only once the first batch lands
+        raise ValueError(
+            f"url_blocklist given but the stream schema has no "
+            f"{url_col!r} column — pass schema=DOCUMENTS_URL_SCHEMA "
+            "(or a schema carrying the url column)"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         # narrow stages: filters + redaction (stage order identical to
         # the batch composition — prepare_corpus with the stateful and
-        # row-multiplying stages switched off)
+        # row-multiplying stages switched off; the URL gate is a
+        # static broadcast, stateless per batch, and runs FIRST like
+        # the batch stage order mandates)
         filtered = prepare_corpus(
             batch_df,
+            url_blocklist=url_blocklist,
+            url_col=url_col,
             target_lang=target_lang,
             min_quality=min_quality,
             drop_repetitive=drop_repetitive,
@@ -186,7 +212,7 @@ def prepare_corpus_stream(
                 f"{stats_dir}/batch_id={batch_id}"
             )
 
-    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    reader = spark.readStream.schema(schema)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     writer = (
