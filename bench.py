@@ -61,6 +61,7 @@ def main() -> None:
         "ev_asof_join",
         "agg_approx_distinct",
         "st_stream_hourly",
+        "src_wet",
     ]
 
     # one warm-up action so JVM/codegen startup isn't billed to q1

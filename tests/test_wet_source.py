@@ -307,3 +307,72 @@ def test_native_header_value_cannot_shadow_later_header(spark, tmp_path):
         assert rows[0]["url"] == "http://x.example/?WARC-Type:response"
         assert rows[0]["warc_date"] == "2021-06-01T12:00:00Z"
         assert rows[0]["text"] == "anchored body"
+
+
+def test_wet_to_prepare_corpus_end_to_end(spark, tmp_path):
+    """VERDICT r8 item 8 (stretch): the full crawl-to-corpus path as
+    ONE plan — a synthesized multi-member .wet.gz through
+    wet_documents → prepare_corpus (URL blocklist + Gopher + exact
+    dedup), survivor set pinned; the plan audit shows the WET parse
+    kernel as the only Python stage."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    stop_rich = (
+        "the history of the village is a record of the people and the "
+        "land that came to be known with the river and the school "
+    ) * 4  # > 50 words, stopword-rich — passes the Gopher gate
+    records = [
+        # (url, text) — each survives/falls at a specific stage
+        ("http://keep.example/a", stop_rich.strip()),            # kept
+        ("http://spam.bad.net/x", stop_rich.strip() + " spam"),  # blocklist
+        ("http://keep.example/dup", stop_rich.strip()),          # exact dup
+        ("http://keep.example/b", "too few words here"),         # Gopher
+        ("http://keep.example/c", stop_rich.strip() + " tail"),  # kept
+    ]
+    # multi-member gzip: each record its own member (the crawl wire
+    # format), concatenated
+    p = tmp_path / "crawl.wet.gz"
+    p.write_bytes(
+        b"".join(gzip.compress(_record(u, DATE, t)) for u, t in records)
+    )
+
+    docs = wet_documents(spark, str(p), strict=True)
+    out = prepare_corpus(
+        docs,
+        url_blocklist=["bad.net"],
+        gopher=True,
+        dedup="exact",
+    )
+    kept = {r["url"] for r in out.select("url").collect()}
+    # the dup pair keeps exactly one member (min-id survivor — which
+    # of the two urls wins depends on the content hash ids)
+    dup_urls = {"http://keep.example/a", "http://keep.example/dup"}
+    assert len(kept & dup_urls) == 1
+    assert "http://keep.example/c" in kept
+    assert "http://spam.bad.net/x" not in kept
+    assert "http://keep.example/b" not in kept
+    assert len(kept) == 2
+
+    # plan audit: the WET parse kernel (MapInPandas) is the ONLY
+    # Python operator kind — every gate after the source is
+    # JVM-native.  It appears in at most two plan branches: the
+    # blocklist stage's probe self-joins the raw scan by stated
+    # contract (operators/corpus.py — the probe must see the raw
+    # column-pruned scan), which re-evaluates the source kernel on
+    # the sliver branch; a real crawl flow lands the parsed docs in
+    # parquet between parse and corpus prep.
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    py_ops = re.findall(r"^\(\d+\) (\w*(?:EvalPython|MapInPandas|"
+                        r"MapInArrow)\w*)", plan, re.M)
+    assert py_ops and set(py_ops) == {"MapInPandas"}, plan
+    assert len(py_ops) <= 2, plan
