@@ -985,13 +985,22 @@ def test_lm_divergence_identical_shifted_disjoint(spark):
 def test_filter_blocked_domains_multi_trailing_dots(spark):
     """ADVICE r9: the trailing strip is \\.+$ to mirror the leading
     \\.+ rule — an entry like 'bad.com..' must still match (a single
-    \\.$ left 'bad.com.' behind and the entry silently never fired)."""
+    \\.$ left 'bad.com.' behind and the entry silently never fired).
+    url_domain strips ALL trailing dots too (review r9 — a pure
+    mirror: the JVM URL parser itself rejects multi-dot hosts, so
+    'bad.com..' URLs are NULL-host unparseable and ride the stated
+    keep_unparseable contract, never a normalization mismatch)."""
     from wikiextractor_spark.functions.urls import filter_blocked_domains
 
     df = spark.createDataFrame(
-        [(1, "https://bad.com/x"), (2, "https://clean.org/y")],
+        [(1, "https://bad.com/x"), (2, "https://clean.org/y"),
+         (3, "https://bad.com../y")],
         "doc_id long, url string",
     )
     kept = {r["doc_id"] for r in
             filter_blocked_domains(df, ["bad.com.."]).collect()}
-    assert kept == {2}
+    assert kept == {2, 3}  # 3 is unparseable → kept by default
+    kept2 = {r["doc_id"] for r in
+             filter_blocked_domains(df, ["bad.com.."],
+                                    keep_unparseable=False).collect()}
+    assert kept2 == {2}

@@ -936,8 +936,8 @@ def test_ingest_ledger_lifecycle(spark, tmp_path):
     assert add_embeddings_batch(spark, idx, batch, batch_id=0) is True
 
 
-def test_add_embeddings_batch_single_materialization(spark, tmp_path,
-                                                     monkeypatch):
+def test_add_embeddings_batch_single_materialization(spark, sf_dir,
+                                                     tmp_path, monkeypatch):
     """VERDICT r8 item 6: the per-batch emptiness pre-check is gone —
     add_embeddings_batch runs exactly ONE take() (the post-checkpoint
     probe inside ivf_index_add, a driver-side block read), and an
@@ -949,10 +949,11 @@ def test_add_embeddings_batch_single_materialization(spark, tmp_path,
         build_ivf_index,
         load_ivf_centroids,
         load_pq_books,
+        load_sq_codec,
     )
     from wikiextractor_spark.streaming import add_embeddings_batch
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))")
@@ -962,7 +963,9 @@ def test_add_embeddings_batch_single_materialization(spark, tmp_path,
     idx = str(tmp_path / "probe_idx")
     build_ivf_index(emb.filter(F.col("vec_id") < 20), idx, k=2, iters=0)
     artifacts = (
-        load_ivf_centroids(spark, idx), load_pq_books(spark, idx),
+        load_ivf_centroids(spark, idx),
+        load_pq_books(spark, idx),
+        load_sq_codec(spark, idx),
     )
 
     calls = []
@@ -975,6 +978,21 @@ def test_add_embeddings_batch_single_materialization(spark, tmp_path,
 
     monkeypatch.setattr(_DF, "take", counted_take)
 
+    # review r9: with the 3-tuple artifact cache, appends make ZERO
+    # per-batch artifact reads (absent artifacts pass as the
+    # probe-free VERIFIED_ABSENT marker, not as probed None)
+    from wikiextractor_spark.operators import similarity as _sim
+
+    probes = []
+    for loader in ("load_pq_books", "load_sq_codec", "load_ivf_centroids"):
+        orig = getattr(_sim, loader)
+        monkeypatch.setattr(
+            _sim, loader,
+            (lambda o, n: lambda *a, **k: (probes.append(n), o(*a, **k))[1])(
+                orig, loader
+            ),
+        )
+
     batch = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
     applied: set[int] = set()
     assert add_embeddings_batch(
@@ -982,6 +1000,7 @@ def test_add_embeddings_batch_single_materialization(spark, tmp_path,
         _artifacts=artifacts,
     ) is True
     assert calls == [1]  # ONE probe, inside ivf_index_add
+    assert probes == []  # zero artifact reads with the cache supplied
 
     # empty batch: ledgered, but neither index table gains a file
     before_v = sorted(_glob.glob(f"{idx}/vectors/**/*.parquet",
@@ -1055,10 +1074,29 @@ def test_prepare_corpus_stream_url_blocklist_parity_with_batch(
     assert streamed == {1, 4, 5}  # NULL-url rows pass (stated contract)
 
     # blocklist without a url column in the schema: fails at stream
-    # DEFINITION, before any batch runs
+    # DEFINITION, before any batch runs — for BOTH schema forms the
+    # reader accepts (StructType and DDL string; review r9)
     with pytest.raises(ValueError, match="no 'url' column"):
         prepare_corpus_stream(
             spark, str(src), str(tmp_path / "out2"),
             str(tmp_path / "ckpt2"), str(tmp_path / "state2"),
             url_blocklist=["bad.net"], dedup=None,
         )
+    with pytest.raises(ValueError, match="no 'url' column"):
+        prepare_corpus_stream(
+            spark, str(src), str(tmp_path / "out3"),
+            str(tmp_path / "ckpt3"), str(tmp_path / "state3"),
+            schema="doc_id long, text string",
+            url_blocklist=["bad.net"], dedup=None,
+        )
+    # a DDL-string schema CARRYING url passes the guard
+    q2 = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out4"),
+        str(tmp_path / "ckpt4"), str(tmp_path / "state4"),
+        schema=schema, url_blocklist=["bad.net"], dedup=None,
+    )
+    assert q2.awaitTermination(120)
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out4")).collect()
+    } == {1, 4, 5}

@@ -38,9 +38,12 @@ def url_domain(url: Column) -> Column:
     contain those."""
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     # the trailing dot of an absolute FQDN ('example.com.') names the
-    # same resource per DNS — strip it, or suffix/equality matching
-    # (blocklists, domain rollups) silently misses the dotted form
-    return F.regexp_replace(host, r"^www\.|\.$", "")
+    # same resource per DNS — strip it (ALL trailing dots, \.+$,
+    # matching the blocklist-entry normalization in
+    # filter_blocked_domains: with only \.$ here a 'host..' URL form
+    # would normalize one dot short of its blocklist entry and leak),
+    # or suffix/equality matching silently misses the dotted form
+    return F.regexp_replace(host, r"^www\.|\.+$", "")
 
 
 def doc_urls(
@@ -272,9 +275,10 @@ def filter_blocked_domains(
     # and the anchored ^www\. can never fire afterwards, so an entry
     # like '.www.example.com' would normalize to 'www.example.com'
     # and silently never match (url_domain strips www.)
-    # trailing strip is \.+$ to mirror the leading \.+ rule — with
-    # a single \.$ an entry like 'bad.com..' would normalize to
-    # 'bad.com.' and silently never match any host
+    # trailing strip is \.+$ to mirror the leading \.+ rule AND
+    # url_domain's host normalization — with a single \.$ an entry
+    # like 'bad.com..' would normalize to 'bad.com.' and silently
+    # never match any host
     norm = lambda c: F.regexp_replace(  # noqa: E731 — mirrors url_domain
         F.regexp_replace(
             F.regexp_replace(F.lower(F.trim(c)), r"^\.+", ""),

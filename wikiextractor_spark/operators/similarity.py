@@ -757,6 +757,8 @@ def build_ivf_index(
     write) amortizes over every subsequent query batch, instead of
     re-training and re-assigning per call the way the in-memory
     :func:`ann_ivf_topk` does.  Returns the trained centroids."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
     spark = emb.sparkSession
     centroids = ivf_centroids(emb, k, iters, id_col, vec_col)
     books = None
@@ -855,8 +857,6 @@ def build_ivf_index(
         # index as PQ-carrying, the use_pq fail-fast guard would
         # pass, and ivf_index_add would encode appends against stale
         # books into a table whose base rows carry no codes
-        from wikiextractor_spark.fsutil import hadoop_fs
-
         jbooks, bfs = hadoop_fs(spark, f"{index_dir}/pq_books")
         if bfs.exists(jbooks):
             bfs.delete(jbooks, True)
@@ -888,18 +888,14 @@ def build_ivf_index(
         # same stale-artifact rule as pq_books: a rebuild without
         # sq= must not leave a previous build's codec claiming the
         # raw-vector table carries sq_codes
-        from wikiextractor_spark.fsutil import hadoop_fs as _hfs_sq
-
-        jcodec, cfs = _hfs_sq(spark, f"{index_dir}/sq_codec")
+        jcodec, cfs = hadoop_fs(spark, f"{index_dir}/sq_codec")
         if cfs.exists(jcodec):
             cfs.delete(jcodec, True)
     # ANY rebuild invalidates the streaming ingest ledger: micro-batch
     # numbering restarts with a fresh checkpoint, and a stale ledger
     # would make streaming/annindex silently skip the new stream's
     # first batches as "already applied"
-    from wikiextractor_spark.fsutil import hadoop_fs as _hfs
-
-    jlog, lfs = _hfs(spark, f"{index_dir}/ingest_log")
+    jlog, lfs = hadoop_fs(spark, f"{index_dir}/ingest_log")
     if lfs.exists(jlog):
         lfs.delete(jlog, True)
     # id→centroid lookup, RANGE-sorted on the id so a probe's
@@ -921,6 +917,16 @@ def build_ivf_index(
 
 
 _UNSET = object()
+
+#: "This index verifiably carries no such artifact" — for REPEAT
+#: callers (the streaming ingest loop) that loaded the index's
+#: artifacts once at start-of-run under the frozen-index contract:
+#: passing this to ``ivf_index_add``'s ``books``/``sq`` behaves like
+#: ``None`` but SKIPS the explicit-None safety probe, so steady-state
+#: appends make zero artifact filesystem round trips per batch.
+#: One-off callers should keep passing ``None`` (probed) or omitting
+#: the argument (auto-load).
+VERIFIED_ABSENT = object()
 
 
 def ivf_index_add(
@@ -953,11 +959,15 @@ def ivf_index_add(
     by callers that add REPEATEDLY against one frozen index (the
     streaming ingest loop) so each batch skips the artifact
     re-reads; ``books=None``/``sq=None`` mean "no PQ"/"no SQ"
-    explicitly — omit the arguments to auto-load."""
+    explicitly (verified against the stored artifacts — a wrong
+    assertion raises); :data:`VERIFIED_ABSENT` is the probe-free
+    variant for repeat callers; omit the arguments to auto-load."""
     if centroids is None:
         centroids = load_ivf_centroids(spark, index_dir)
     if books is _UNSET:
         books = load_pq_books(spark, index_dir)
+    elif books is VERIFIED_ABSENT:
+        books = None
     elif books is None and load_pq_books(spark, index_dir) is not None:
         # mirrors the build's stale-books fail-fast: appending
         # code-less rows to a PQ-carrying index makes a mixed-schema
@@ -970,6 +980,8 @@ def ivf_index_add(
         )
     if sq is _UNSET:
         sq = load_sq_codec(spark, index_dir)
+    elif sq is VERIFIED_ABSENT:
+        sq = None
     elif sq is None and load_sq_codec(spark, index_dir) is not None:
         # same mixed-schema hazard as books=None, for the SQ column
         raise ValueError(
@@ -1529,12 +1541,7 @@ def _probe_and_rank_sq(
         "q_id long, base double, w array<double>",
     )
     probe_params = probes.select("q_id", "q_centroid").join(qparams, "q_id")
-    guarded = (
-        f"IF(size(sq_codes) = {dim} AND NOT exists(sq_codes, "
-        "c -> c IS NULL), sq_codes, raise_error(concat('sq probe: "
-        f"sq_codes row does not match the {dim}-dim codec (wrong "
-        "length or NULL element)')))"
-    )
+    guarded = _sq_guarded_codes_sql("sq_codes", dim, "sq probe")
     codes_scan = (
         spark.read.option("basePath", f"{index_dir}/vectors")
         .parquet(*paths)
@@ -2226,6 +2233,22 @@ def _sq_codec_sql(vec_col: str, sq: list[tuple[float, float]]) -> str:
     """
 
 
+def _sq_guarded_codes_sql(col: str, dim: int, caller: str) -> str:
+    """Shape guard for externally-supplied SQ codes (``sq_search``'s
+    caller frame, the persisted ``sq_codes`` scan in
+    ``_probe_and_rank_sq``) — one implementation so the contract
+    cannot drift between the flat and persisted serving paths, like
+    :func:`_pq_guarded_codes_sql` for the PQ twin: a row whose codes
+    length differs from the codec dim, or that carries a NULL
+    element, RAISES instead of NULL-scoring out of every result."""
+    return (
+        f"IF(size({col}) = {dim} AND NOT exists({col}, "
+        f"c -> c IS NULL), {col}, raise_error(concat('{caller}: "
+        f"{col} row does not match the {dim}-dim codec (wrong "
+        "length or NULL element)')))"
+    )
+
+
 def sq_encode(
     emb: DataFrame, sq: list[tuple[float, float]],
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -2282,11 +2305,7 @@ def sq_search(
     ``exclude_self=True``), like every serving path here."""
     dim = len(sq)
     _validate_pq_queries(queries, dim)
-    guarded = (
-        f"IF(size(codes) = {dim} AND NOT exists(codes, c -> c IS NULL), "
-        "codes, raise_error(concat('sq_search: codes row does not match "
-        f"the {dim}-dim codec (wrong length or NULL element)')))"
-    )
+    guarded = _sq_guarded_codes_sql("codes", dim, "sq_search")
     if len(queries) > broadcast_threshold:
         qframe = codes.sparkSession.createDataFrame(
             [

@@ -66,10 +66,17 @@ def add_embeddings_batch(
     ingest ledger.  Empty batches are ledgered too, so a replayed
     empty epoch stays a no-op.  ``_applied``/``_artifacts`` are the
     stream writer's caches (applied-id set, kept in sync here, and
-    the frozen ``(centroids, books)`` pair so per-batch appends skip
-    the artifact re-reads); omit both for one-off calls.
-    See the module docstring for the exact delivery contract."""
-    from wikiextractor_spark.operators.similarity import ivf_index_add
+    the frozen ``(centroids, books, sq)`` triple so per-batch appends
+    make ZERO artifact reads — absent artifacts pass as the
+    probe-free ``VERIFIED_ABSENT`` marker, valid under the frozen-
+    index contract because the stream loaded them once at start; a
+    legacy 2-tuple still works but re-reads the SQ codec per batch);
+    omit both for one-off calls.  See the module docstring for the
+    exact delivery contract."""
+    from wikiextractor_spark.operators.similarity import (
+        VERIFIED_ABSENT,
+        ivf_index_add,
+    )
 
     applied = (
         _applied if _applied is not None
@@ -79,9 +86,18 @@ def add_embeddings_batch(
         return False
     kwargs = {}
     if _artifacts is not None:
-        kwargs = {"centroids": _artifacts[0], "books": _artifacts[1]}
+        kwargs = {
+            "centroids": _artifacts[0],
+            "books": (
+                _artifacts[1] if _artifacts[1] is not None
+                else VERIFIED_ABSENT
+            ),
+        }
         if len(_artifacts) > 2:
-            kwargs["sq"] = _artifacts[2]
+            kwargs["sq"] = (
+                _artifacts[2] if _artifacts[2] is not None
+                else VERIFIED_ABSENT
+            )
     # no emptiness pre-check here: ivf_index_add materializes the
     # batch once (its assignment checkpoint) and no-ops the writes
     # itself when empty — a separate take(1) would be one extra

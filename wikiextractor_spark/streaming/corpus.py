@@ -130,7 +130,14 @@ def prepare_corpus_stream(
             f"streaming dedup must be 'near' or None, got {dedup!r}; "
             "exact-hash streaming dedup is deduped_document_stream"
         )
-    if url_blocklist is not None and url_col not in schema.fieldNames():
+    # readStream.schema() accepts a DDL string as well as a
+    # StructType (the sibling annindex stream's default is a DDL
+    # string) — normalize before probing field names
+    field_names = (
+        schema.fieldNames() if hasattr(schema, "fieldNames")
+        else StructType.fromDDL(schema).fieldNames()
+    )
+    if url_blocklist is not None and url_col not in field_names:
         # fail at stream DEFINITION, not inside every micro-batch:
         # the batch composition's per-call raise would otherwise fire
         # only once the first batch lands
