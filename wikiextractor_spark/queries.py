@@ -108,36 +108,54 @@ def wx_clean_native(spark, sf_dir):
 
 @query(
     "wx_clean_fidelity",
-    # The synthetic document text is clean-stable (no markup-reactive
-    # bytes — verified at every SF), so the full fidelity output on the
-    # wrapped input is exactly text + a fixed suffix: template dropped
-    # (C1), wikilink expanded with plural trail (C3), math/code →
-    # placeholder_1 (C18), entities double-decoded &amp;nbsp;→&nbsp;→
-    # NBSP (C13), bold stripped (C7-C12), comment dropped (C14), spaces
-    # collapsed (C22).  The oracle states those semantics literally —
-    # a full value-hash check on the complete C1-C27 pandas-UDF chain
-    # (upgraded from r2's rows-only slot).
-    "SELECT doc_id, text || 's formula_1 codice_1 ' || chr(160) || ' b ' AS cleaned"
-    " FROM documents",
+    # 'fidelity' family: the synthetic document text is clean-stable
+    # (no markup-reactive bytes — verified at every SF), so the full
+    # fidelity output on the wrapped input is exactly text + a fixed
+    # suffix: template dropped (C1), wikilink expanded with plural
+    # trail (C3), math/code → placeholder_1 (C18), entities
+    # double-decoded &amp;nbsp;→&nbsp;→ NBSP (C13), bold stripped
+    # (C7-C12), comment dropped (C14), spaces collapsed (C22).  The
+    # oracle states those semantics literally — a full value-hash
+    # check on the complete C1-C27 pandas-UDF chain (upgraded from
+    # r2's rows-only slot).  'unescape' family (merged r9 from
+    # wx_unescape_entities — green since r1 — to fund the lm_drift
+    # slot): double entity decode with leave-malformed semantics
+    # (C13), expected bytes stated directly.
+    "SELECT 'fidelity' AS family, doc_id,"
+    " text || 's formula_1 codice_1 ' || chr(160) || ' b ' AS cleaned"
+    " FROM documents"
+    " UNION ALL"
+    " SELECT 'unescape' AS family, doc_id,"
+    " chr(160) || ' A B &bogus; ' || text AS cleaned FROM documents",
 )
 def wx_clean_fidelity(spark, sf_dir):
     """Fidelity-mode clean: full C1-C27 chain incl. nested-template
-    drop and stateful placeholders (pandas UDF).  NB no space between
-    the template and the wikilink: template removal would leave a
+    drop and stateful placeholders (pandas UDF), plus the C13 double
+    entity decode as a second family.  NB no space between the
+    template and the wikilink: template removal would leave a
     leading space and the bug-compatible preformatted rule C20 would
     then drop the entire (single-line) document — r2's wrapper did
     exactly that, which made the old rows-only check vacuous (500
     empty strings)."""
-    from wikiextractor_spark.udfs import clean_wikitext_udf
+    from wikiextractor_spark.udfs import clean_wikitext_udf, unescape_entities_udf
 
+    docs = _docs(spark, sf_dir)
     wrapped = F.concat(
         F.lit("{{tmpl|x}}[[link|"),
         F.col("text"),
         F.lit("]]s <math>E=mc^2</math> <code>x=1</code> &amp;nbsp; '''b''' <!--c-->"),
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id", clean_wikitext_udf(wrapped).alias("cleaned")
+    fidelity = docs.select(
+        F.lit("fidelity").alias("family"),
+        "doc_id", clean_wikitext_udf(wrapped).alias("cleaned"),
     )
+    ent = F.concat(F.lit("&amp;nbsp; &#65; &#x42; &bogus; "), F.col("text"))
+    unescape = docs.select(
+        F.lit("unescape").alias("family"),
+        "doc_id",
+        unescape_entities_udf(unescape_entities_udf(ent)).alias("cleaned"),
+    )
+    return fidelity.unionByName(unescape)
 
 
 @query(
@@ -165,20 +183,8 @@ def wx_compact_lines(spark, sf_dir):
     )
 
 
-@query(
-    "wx_unescape_entities",
-    "SELECT doc_id, chr(160) || ' A B &bogus; ' || text AS unescaped FROM documents",
-)
-def wx_unescape_entities(spark, sf_dir):
-    """Double entity decode with leave-malformed semantics (C13): the
-    oracle states the expected decoded bytes directly."""
-    from wikiextractor_spark.udfs import unescape_entities_udf
-
-    wrapped = F.concat(F.lit("&amp;nbsp; &#65; &#x42; &bogus; "), F.col("text"))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        unescape_entities_udf(unescape_entities_udf(wrapped)).alias("unescaped"),
-    )
+# (wx_unescape_entities merged into wx_clean_fidelity's 'unescape'
+# family — r9, funding the lm_drift slot.)
 
 
 # Nested {{template}} (C1) and {|table|} (C2) removal in one
@@ -2296,6 +2302,99 @@ def lm_bigram_scores(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("mean_logp", 6).alias("mean_logp"),
         (F.round("mean_logp", 6) >= -4.2).alias("keep"),
+    )
+
+
+# Corpus-drift monitoring (r8 lmquality.py:481+, driver-verified r9;
+# slot funded by the wx_unescape_entities→wx_clean_fidelity merge):
+# two unigram LMs fitted on disjoint corpus halves, full-outer-joined
+# over the union vocabulary with each model's OOV floor filling the
+# gaps, per-token Jensen-Shannon contribution, and the JS total.
+# The oracle re-derives BOTH fits exactly (caps exceed each half's
+# vocabulary — the lm_quality_gate argument, per half), mirrors the
+# engine's arithmetic composition (p = exp(ln(n/total)) — the model
+# STORES logp and the divergence exponentiates it; floors =
+# exp(ln(0.5/total)); js_term = 0.5·p·ln(p/m) two-term sum in the
+# same association), rounds per-token values at 12 (p magnitudes sit
+# at 1e-5 where round-6 would erase the signal) and the
+# order-sensitive total at 6 (the AVG precedent).
+@query(
+    "lm_drift",
+    r"""
+    WITH ta AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS token
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    tb AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS token
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    na AS (SELECT COUNT(*) AS total FROM ta),
+    nb AS (SELECT COUNT(*) AS total FROM tb),
+    va AS (
+      SELECT token, exp(ln(COUNT(*) * 1.0 / (SELECT total FROM na))) AS p_a
+      FROM ta GROUP BY token
+    ),
+    vb AS (
+      SELECT token, exp(ln(COUNT(*) * 1.0 / (SELECT total FROM nb))) AS p_b
+      FROM tb GROUP BY token
+    ),
+    j AS (
+      SELECT coalesce(va.token, vb.token) AS token,
+             coalesce(p_a, exp(ln(0.5 * 1.0 / (SELECT total FROM na)))) AS p_a,
+             coalesce(p_b, exp(ln(0.5 * 1.0 / (SELECT total FROM nb)))) AS p_b
+      FROM va FULL OUTER JOIN vb ON va.token = vb.token
+    ),
+    d AS (
+      SELECT token, p_a, p_b,
+             0.5 * p_a * ln(p_a / ((p_a + p_b) / 2))
+             + 0.5 * p_b * ln(p_b / ((p_a + p_b) / 2)) AS js_term
+      FROM j
+    )
+    SELECT token, round(p_a, 12) AS p_a, round(p_b, 12) AS p_b,
+           round(js_term, 12) AS js_term,
+           round(SUM(js_term) OVER (), 6) AS js_total
+    FROM d
+    """,
+)
+def lm_drift(spark, sf_dir):
+    """Snapshot-over-snapshot drift: fit unigram LMs on the even- and
+    odd-id document halves, emit every union-vocabulary token's
+    probability under both models (the other model's OOV floor where
+    absent) with its Jensen-Shannon contribution, plus the JS total —
+    the corpus-drift alarm a production ingest watches between
+    snapshots.  The join of two driver-sized vocab tables never
+    re-scans the corpus (the fits are the only corpus passes); the
+    total rides a whole-frame window over the vocab-sized result,
+    fine at any corpus scale because the frame is capped by the two
+    vocab_size caps."""
+    from pyspark.sql import Window
+
+    from wikiextractor_spark.functions import lmquality
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # cap 10k sits orders of magnitude above the synthetic corpus's
+    # distinct-token count at every battery SF, so both fits are
+    # EXACT (the lm_quality_gate argument) while the candidate
+    # broadcast stays small — the slot runs two fits, and the 100k
+    # cap's per-task overhead would double for nothing
+    lm_a = lmquality.fit_unigram_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), vocab_size=10_000
+    )
+    lm_b = lmquality.fit_unigram_lm(
+        docs.filter(F.col("doc_id") % 2 == 1), vocab_size=10_000
+    )
+    div = lmquality.token_divergence(lm_a, lm_b)
+    return div.select(
+        "token",
+        F.round("p_a", 12).alias("p_a"),
+        F.round("p_b", 12).alias("p_b"),
+        F.round("js_term", 12).alias("js_term"),
+        F.round(F.sum("js_term").over(Window.partitionBy()), 6).alias(
+            "js_total"
+        ),
     )
 
 
