@@ -3948,3 +3948,143 @@ def test_ivf_index_sq_member_queries(spark, emb, tmp_path):
     rows = as_rows(got)
     assert rows == as_rows(plain)
     assert all(r[0] != r[1] for r in rows)  # self excluded
+
+
+def test_index_artifact_loaders_validate_density(spark, emb, tmp_path):
+    """ADVICE r10: the codec/book loaders read EXTERNAL artifacts — a
+    duplicated or missing row (a stray append, a partial overwrite)
+    must raise the module's ValueError contract, never KeyError or a
+    silent last-duplicate-wins remap (codes index into the book by
+    POSITION, so a gap re-maps every later code)."""
+    import pytest
+
+    from wikiextractor_spark.operators.similarity import (
+        build_ivf_index,
+        load_pq_books,
+        load_sq_codec,
+    )
+
+    idx = str(tmp_path / "valid_idx")
+    corpus = emb.limit(30).localCheckpoint(eager=True)
+    build_ivf_index(
+        corpus, idx, k=2, iters=0,
+        pq={"m": 8, "k": 8, "iters": 0}, sq=True,
+    )
+    # pristine artifacts load fine
+    assert len(load_sq_codec(spark, idx)) == 64
+    assert len(load_pq_books(spark, idx)) == 8
+
+    # a stray append duplicating one dim row corrupts the codec
+    one = spark.read.parquet(f"{idx}/sq_codec").limit(1)
+    one.write.mode("append").parquet(f"{idx}/sq_codec")
+    with pytest.raises(ValueError, match="sq_codec"):
+        load_sq_codec(spark, idx)
+
+    # same for the PQ books: drop one (subspace, code) row
+    books_rows = spark.read.parquet(f"{idx}/pq_books")
+    pruned = books_rows.filter(
+        ~((F.col("subspace") == 3) & (F.col("code") == 5))
+    )
+    idx2 = str(tmp_path / "valid_idx2")
+    build_ivf_index(corpus, idx2, k=2, iters=0,
+                    pq={"m": 8, "k": 8, "iters": 0})
+    pruned.write.mode("overwrite").parquet(f"{idx2}/pq_books")
+    with pytest.raises(ValueError, match="pq_books"):
+        load_pq_books(spark, idx2)
+
+
+def test_keyword_only_serving_flags(spark, emb, tmp_path):
+    """ADVICE r10: use_pq/use_sq/refine are keyword-only on both
+    persisted-serving entry points — a caller passing refine
+    positionally would otherwise silently land it on use_pq."""
+    import pytest
+
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_search_vectors,
+        ann_ivf_topk_indexed,
+    )
+
+    with pytest.raises(TypeError, match="positional"):
+        ann_ivf_topk_indexed(
+            spark, "/nonexistent", [0], 5, 4, "vec_id", "embedding", True,
+        )
+    with pytest.raises(TypeError, match="positional"):
+        ann_ivf_search_vectors(
+            spark, "/nonexistent", [(0, [1.0])], 5, 4, "vec_id",
+            "embedding", True,
+        )
+
+
+def test_rerank_semi_join_above_query_threshold(spark, emb, tmp_path, monkeypatch):
+    """VERDICT r9 'What's wrong' #1: above _RERANK_ISIN_MAX_QUERIES
+    the exact-rerank fetch switches from a literal isin() (plan size
+    grows with queries × k × refine) to a broadcast semi-join against
+    the materialized shortlist — result-identical, and the generated
+    plan stays O(1) in the query count."""
+    from wikiextractor_spark.operators import similarity
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_search_vectors,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "semijoin_idx")
+    corpus = emb.limit(40).localCheckpoint(eager=True)
+    build_ivf_index(
+        corpus, idx, k=2, iters=0,
+        pq={"m": 8, "k": 8, "iters": 0}, sq=True,
+    )
+    qrows = emb.limit(6).collect()
+    queries = [
+        (int(r["vec_id"]) + 5000, [float(x) for x in r["embedding"]])
+        for r in qrows
+    ]
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["neighbor_id"], r["cos"], r["rank"])
+            for r in df.collect()
+        )
+
+    for kw in ({"use_pq": True}, {"use_sq": True}):
+        via_isin = rows(ann_ivf_search_vectors(
+            spark, idx, queries, k=3, nprobe=2, refine=2, **kw,
+        ))
+        monkeypatch.setattr(similarity, "_RERANK_ISIN_MAX_QUERIES", 0)
+        semi_df = ann_ivf_search_vectors(
+            spark, idx, queries, k=3, nprobe=2, refine=2, **kw,
+        )
+        # plan pin: the fetch is a semi-join, not an inlined IN-list
+        plan = semi_df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert rows(semi_df) == via_isin
+        monkeypatch.setattr(similarity, "_RERANK_ISIN_MAX_QUERIES", 256)
+
+
+def test_rerank_plan_size_constant_in_query_count(spark, emb, tmp_path):
+    """The 1000-query-scale pin: the serving plan above the threshold
+    must not grow a literal per shortlist id (~40k literals at 1000
+    queries × k=10 × refine=4 — the same generated-plan blow-up the
+    r8 broadcast-LUT switch fixed for PQ scoring).  Compared at plan
+    level only (no collect): the 300-query plan may not be
+    meaningfully longer than the 270-query plan."""
+    from wikiextractor_spark.operators.similarity import (
+        _RERANK_ISIN_MAX_QUERIES,
+        ann_ivf_search_vectors,
+        build_ivf_index,
+    )
+
+    assert _RERANK_ISIN_MAX_QUERIES == 256
+    idx = str(tmp_path / "plansize_idx")
+    corpus = emb.limit(40).localCheckpoint(eager=True)
+    build_ivf_index(corpus, idx, k=2, iters=0, sq=True)
+    base = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+
+    def plan_len(n):
+        qs = [(i, [v + i * 1e-6 for v in base]) for i in range(n)]
+        df = ann_ivf_search_vectors(
+            spark, idx, qs, k=3, nprobe=2, refine=2, use_sq=True,
+        )
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    a, b = plan_len(270), plan_len(300)
+    assert abs(b - a) < 2000, (a, b)

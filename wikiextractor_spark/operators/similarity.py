@@ -1065,6 +1065,24 @@ def load_pq_books(
         by_sub.setdefault(int(r["subspace"]), {})[int(r["code"])] = list(
             r["centroid"]
         )
+    # same external-artifact validation as load_sq_codec: codes index
+    # into the book by POSITION, so a missing/duplicated (subspace,
+    # code) row would silently re-map every code after the gap —
+    # raise on any deviation from dense 0..m-1 × 0..k-1 instead
+    subs = sorted(by_sub)
+    if subs != list(range(len(subs))) or not subs:
+        raise ValueError(
+            f"load_pq_books: corrupt pq_books at {index_dir!r} — "
+            f"subspace column must be exactly 0..n-1, got {subs[:8]}"
+        )
+    k0 = sorted(by_sub[0])
+    for j in subs:
+        if sorted(by_sub[j]) != list(range(len(k0))):
+            raise ValueError(
+                f"load_pq_books: corrupt pq_books at {index_dir!r} — "
+                f"subspace {j} codes must be exactly 0..{len(k0) - 1} "
+                "with no duplicates"
+            )
     return [
         [by_sub[j][c] for c in sorted(by_sub[j])]
         for j in sorted(by_sub)
@@ -1084,6 +1102,18 @@ def load_sq_codec(
     if not fs.exists(jpath):
         return None
     rows = spark.read.parquet(f"{index_dir}/sq_codec").collect()
+    # the artifact is external input at load time: a duplicated dim
+    # row (a stray append) would silently keep one of the two and a
+    # missing dim would KeyError mid-comprehension — both violate the
+    # module's raise-don't-guess contract, so validate the dim set is
+    # exactly 0..n-1 first (mirrors load_keyed_table's contract errors)
+    dims = sorted(int(r["dim"]) for r in rows)
+    if dims != list(range(len(rows))):
+        raise ValueError(
+            f"load_sq_codec: corrupt sq_codec at {index_dir!r} — dim "
+            f"column must be exactly 0..{len(rows) - 1} with no "
+            f"duplicates, got {dims[:8]}{'...' if len(dims) > 8 else ''}"
+        )
     by_dim = {int(r["dim"]): (float(r["lo"]), float(r["step"])) for r in rows}
     return [by_dim[p] for p in range(len(by_dim))]
 
@@ -1110,7 +1140,7 @@ def _index_partition_paths(
 def ann_ivf_topk_indexed(
     spark, index_dir: str, query_ids: list[int], k: int = 5,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    use_pq: bool = False, use_sq: bool = False, refine: int = 4,
+    *, use_pq: bool = False, use_sq: bool = False, refine: int = 4,
 ) -> DataFrame:
     """:func:`ann_ivf_topk` against a PERSISTED index — identical
     semantics and output (value-equality tested against the in-memory
@@ -1285,7 +1315,7 @@ def ann_ivf_search_vectors(
     spark, index_dir: str, queries: list[tuple[int, list[float]]],
     k: int = 5, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    use_pq: bool = False, use_sq: bool = False, refine: int = 4,
+    *, use_pq: bool = False, use_sq: bool = False, refine: int = 4,
 ) -> DataFrame:
     """Top-k neighbors from a PERSISTED index for NEW query vectors —
     the serving path (:func:`ann_ivf_topk_indexed` searches by corpus
@@ -1383,6 +1413,12 @@ def ann_ivf_search_vectors(
     )
 
 
+# the same boundary as ann_ivf_pq_topk's broadcast_threshold: below
+# it, per-query literals (LUT projections there, shortlist IN-lists
+# here) beat a join; above it they blow up the generated plan
+_RERANK_ISIN_MAX_QUERIES = 256
+
+
 def _probe_and_rank_pq(
     spark, index_dir: str, probes: DataFrame,
     books: list[list[list[float]]],
@@ -1412,12 +1448,12 @@ def _probe_and_rank_pq(
             F.lit(0.0).alias("cos"),
             F.lit(1).alias("rank"),
         ).limit(0)
+    lut_rows = [
+        (int(r["q_id"]), _pq_lut(books, list(r["q_v"])))
+        for r in probes.select("q_id", "q_v").distinct().collect()
+    ]
     luts = spark.createDataFrame(
-        [
-            (int(r["q_id"]), _pq_lut(books, list(r["q_v"])))
-            for r in probes.select("q_id", "q_v").distinct().collect()
-        ],
-        "q_id long, lut array<array<double>>",
+        lut_rows, "q_id long, lut array<array<double>>",
     )
     # probes already carries (q_id, q_centroid); attaching the LUT is
     # a tiny driver-frame join, broadcast below as one unit
@@ -1449,19 +1485,34 @@ def _probe_and_rank_pq(
         scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
     return _exact_rerank_shortlist(
         spark, index_dir, paths, scored, probes, k, refine, id_col, vec_col,
+        n_queries=len(lut_rows),
     )
 
 
 def _exact_rerank_shortlist(
     spark, index_dir: str, paths: list[str], scored: DataFrame,
     probes: DataFrame, k: int, refine: int, id_col: str, vec_col: str,
+    n_queries: int = 0,
 ) -> DataFrame:
     """Shared tail of the quantized serving paths (PQ and SQ): rank
     the approximate scores, keep each query's ``k·refine`` shortlist,
-    and re-rank it with EXACT cosine over raw vectors fetched by a
-    pushed-down ``id IN (shortlist)`` filter on the probed
-    partitions.  The shortlist is driver-sized by construction
-    (≤ queries × k × refine), so the collect is an artifact read."""
+    and re-rank it with EXACT cosine over raw vectors fetched from
+    the probed partitions.
+
+    Up to ``_RERANK_ISIN_MAX_QUERIES`` queries the fetch filter is a
+    literal ``id IN (shortlist)`` — pushed down to parquet, so row
+    groups whose id stats exclude the shortlist never decompress the
+    vector column.  Above it the inlined literal list (≤ queries × k
+    × refine ids) would blow up the generated plan the same way
+    per-query LUT projections did before the r8 broadcast-LUT switch
+    (~40k literals at 1000 queries, k=10, refine=4), so the fetch
+    switches to a broadcast semi-join against the (already
+    materialized) shortlist frame: plan size stays O(1) in the query
+    count, trading the row-group pruning for a probe-bounded scan —
+    the probed partitions are already ≤ queries × nprobe directories,
+    so the scan stays bounded by the probe either way.  The shortlist
+    is driver-sized by construction, so the collect (small-batch
+    path) is an artifact read."""
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
@@ -1471,21 +1522,26 @@ def _exact_rerank_shortlist(
         .select("q_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    cand_ids = [
-        r["neighbor_id"]
-        for r in shortlist.select("neighbor_id").distinct().collect()
-    ]
     vec_scan = (
         spark.read.option("basePath", f"{index_dir}/vectors")
         .parquet(*paths)
-        # pushed-down membership filter: row groups whose id stats
-        # exclude the shortlist never decompress the vector column
-        .filter(F.col(id_col).isin(cand_ids))
         .select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("v"),
         )
     )
+    if n_queries <= _RERANK_ISIN_MAX_QUERIES:
+        cand_ids = [
+            r["neighbor_id"]
+            for r in shortlist.select("neighbor_id").distinct().collect()
+        ]
+        vec_scan = vec_scan.filter(F.col("neighbor_id").isin(cand_ids))
+    else:
+        vec_scan = vec_scan.join(
+            F.broadcast(shortlist.select("neighbor_id").distinct()),
+            "neighbor_id",
+            "leftsemi",
+        )
     exact = (
         shortlist.join(vec_scan, "neighbor_id")
         .join(F.broadcast(probes.select("q_id", "q_v").distinct()), "q_id")
@@ -1533,12 +1589,12 @@ def _probe_and_rank_sq(
             F.lit(1).alias("rank"),
         ).limit(0)
     dim = len(codec)
+    qparam_rows = [
+        (int(r["q_id"]),) + _sq_query_params(codec, list(r["q_v"]))
+        for r in probes.select("q_id", "q_v").distinct().collect()
+    ]
     qparams = spark.createDataFrame(
-        [
-            (int(r["q_id"]),) + _sq_query_params(codec, list(r["q_v"]))
-            for r in probes.select("q_id", "q_v").distinct().collect()
-        ],
-        "q_id long, base double, w array<double>",
+        qparam_rows, "q_id long, base double, w array<double>",
     )
     probe_params = probes.select("q_id", "q_centroid").join(qparams, "q_id")
     guarded = _sq_guarded_codes_sql("sq_codes", dim, "sq probe")
@@ -1571,6 +1627,7 @@ def _probe_and_rank_sq(
         scored = scored.filter(F.col("neighbor_id") != F.col("q_id"))
     return _exact_rerank_shortlist(
         spark, index_dir, paths, scored, probes, k, refine, id_col, vec_col,
+        n_queries=len(qparam_rows),
     )
 
 

@@ -1092,6 +1092,17 @@ def sim_ann_topk(spark, sf_dir):
       SELECT p.q_id, c.vec_id AS neighbor_id,
              round(p.base + list_sum([p.w[i+1] * c.c[i+1] for i in range(64)]), 6) AS score
       FROM sqp p, sqcodes c WHERE c.vec_id != p.q_id
+    ),
+    sqshort AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM sqs) t WHERE rn <= 10
+    ),
+    sqexact AS (
+      SELECT s.q_id, s.neighbor_id,
+             {_DUCK_COS.replace('ae', 'q.qe').replace('be', 'v.e')} AS score
+      FROM sqshort s JOIN q ON q.q_id = s.q_id JOIN v ON v.vec_id = s.neighbor_id
     )
     SELECT 'pq' AS family, q_id, neighbor_id, score, rank FROM (
       SELECT q_id, neighbor_id, score,
@@ -1101,51 +1112,89 @@ def sim_ann_topk(spark, sf_dir):
     SELECT 'sq' AS family, q_id, neighbor_id, score, rank FROM (
       SELECT q_id, neighbor_id, score,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM sqexact) t WHERE rank <= 5
+    UNION ALL
+    SELECT 'sq_fold' AS family, q_id, neighbor_id, score, rank FROM (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rank
       FROM sqs) t WHERE rank <= 5
     """,
 )
 def sim_ann_pq(spark, sf_dir):
-    """Both quantization tiers end to end, discriminated by family.
-    'pq': deterministic codebook fit (iters=0 — seed sub-slices),
-    scan-speed encode, one-pass asymmetric LUT scoring, k·refine
-    shortlist, exact cosine re-rank.  'sq' (r8 scalar quantization,
-    driver-verified r9): the per-dim affine int8 codec trained as one
-    dim-grain aggregate, tinyint encode, and the asymmetric
-    base + Σ w·c fold — the oracle re-derives the codec (min/step per
-    dimension), every code (clamp + round), the per-query (base, w)
-    params, and the fold from first principles, so a wrong clamp
-    boundary, a mis-shifted −128, or a drifted fold association fails
-    the hash.  Each family's wrong-stage failure is independent."""
+    """Both quantization tiers through the PERSISTED-index serving
+    path (r10 — VERDICT r9 item 2: the flat in-memory paths proved
+    the math; this proves persist→probe→guarded-scan→rerank), plus
+    the raw SQ fold as its own family, discriminated by family.
+
+    One ``build_ivf_index(pq=..., sq=True)`` build persists the
+    coarse centroids, the hive-partitioned vectors table carrying
+    BOTH code columns, the PQ sub-codebooks, and the SQ codec; then:
+
+    'pq': ``ann_ivf_topk_indexed(use_pq=True, refine=2)`` — the
+    partition-path probe, the shape-guarded ``codes`` scan, LUT
+    scoring, the k·refine shortlist, and the exact-cosine rerank
+    sliver, all over the on-disk artifacts.  iters=0 keeps every fit
+    SQL-restatable (coarse centroids and PQ books are md5-ordered
+    seed slices); nprobe = n_centroids probes exhaustively, so the
+    oracle stays probe-independent (sub-exhaustive recall is
+    pytest-pinned).
+    'sq': same through ``use_sq=True`` — the column-pruned
+    ``sq_codes`` scan, the broadcast per-query (base, w) affine fold,
+    shortlist, and the shared rerank sliver; the oracle re-derives
+    the shortlist from the fold scores and re-ranks by exact cosine.
+    'sq_fold': the flat ``sq_search`` fold top-5 with the codec
+    ROUND-TRIPPED through ``load_sq_codec`` off the same index — the
+    direct hash check on the fold SCORES themselves (the serving
+    families emit exact-cosine after rerank, which would mask a
+    mis-derived codec whenever the shortlist survives it).
+
+    A vector lost or double-counted by the partitioned write, a
+    guarded-scan shape bug, a codec row corrupted in persistence, or
+    a drifted fold association each fails a different family."""
+    import shutil
+    import tempfile
+
     emb = _emb(spark, sf_dir)
-    centroids = similarity.ivf_centroids(emb, k=8, iters=0)
-    books = similarity.train_pq(emb, m=8, k=8, iters=0)
-    qrows = (
-        emb.filter(F.col("vec_id") < 3)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in qrows
-    ]
-    pq_out = similarity.ann_ivf_pq_topk(
-        emb, queries, topk=5, nprobe=8, refine=2,
-        centroids=centroids, books=books, exclude_self=True,
-    ).select(
-        F.lit("pq").alias("family"),
-        "q_id", "neighbor_id", "score",
-        F.col("rank").cast("long").alias("rank"),
-    )
-    codec = similarity.train_sq(emb)
-    sq_out = similarity.sq_search(
-        similarity.sq_encode(emb, codec), codec, queries,
-        topk=5, exclude_self=True,
-    ).select(
-        F.lit("sq").alias("family"),
-        "q_id", "neighbor_id", "score",
-        F.col("rank").cast("long").alias("rank"),
-    )
-    return pq_out.unionByName(sq_out)
+    index_dir = tempfile.mkdtemp(prefix="wx_ivfq_battery_")
+    try:
+        similarity.build_ivf_index(
+            emb, index_dir, k=8, iters=0,
+            pq={"m": 8, "k": 8, "iters": 0}, sq=True,
+        )
+        served = {}
+        for fam, kw in (("pq", {"use_pq": True}), ("sq", {"use_sq": True})):
+            served[fam] = similarity.ann_ivf_topk_indexed(
+                spark, index_dir, [0, 1, 2], k=5, nprobe=8, refine=2, **kw,
+            ).select(
+                F.lit(fam).alias("family"),
+                "q_id", "neighbor_id",
+                F.col("cos").alias("score"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        codec = similarity.load_sq_codec(spark, index_dir)
+        qrows = (
+            emb.filter(F.col("vec_id") < 3)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        queries = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in qrows
+        ]
+        fold = similarity.sq_search(
+            similarity.sq_encode(emb, codec), codec, queries,
+            topk=5, exclude_self=True,
+        ).select(
+            F.lit("sq_fold").alias("family"),
+            "q_id", "neighbor_id", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out = served["pq"].unionByName(served["sq"]).unionByName(fold)
+        # tiny result (3 families × queries × k); materialize so the
+        # index directory can be deleted before the caller collects
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def _duck_lsh_bucket_sql(seed: int = 42) -> str:
