@@ -8,4 +8,9 @@ from wikiextractor_spark.sources.jsonl import (  # noqa: F401
 )
 from wikiextractor_spark.sources.vital import read_vital_titles  # noqa: F401
 from wikiextractor_spark.sources.tables import load_tables, register_views  # noqa: F401
-from wikiextractor_spark.sources.wet import read_wet, wet_documents  # noqa: F401
+from wikiextractor_spark.sources.wet import (  # noqa: F401
+    read_warc_responses,
+    read_wet,
+    warc_html_documents,
+    wet_documents,
+)

@@ -42,13 +42,23 @@ content_length, text)``:
   Header names match case-insensitively on both paths (WARC field
   names are case-insensitive by spec).
 
-This kernel is a SOURCE-side Arrow batch, not part of the SURVEY
+r10 adds the layer BELOW WET: raw WARC ``response`` records
+(:func:`read_warc_responses` — HTTP status/headers split, declared-
+charset decode, chunked-body removal) and the one-plan raw-crawl →
+``documents`` composition :func:`warc_html_documents` (HTML stripped
+by the native ``functions/html.html_to_text`` cascade) — the
+C4/RefinedWeb re-extraction path for when WET's own conversion isn't
+good enough.
+
+These kernels are SOURCE-side Arrow batches, not part of the SURVEY
 §2.11 cleaning-UDF budget (which stays exactly the five in
 ``udfs.py``).
 """
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 from typing import Iterator
 
@@ -57,6 +67,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 WET_SCHEMA = (
     "path string, url string, warc_date string, record_type string, "
     "content_length long, text string"
+)
+
+WARC_RESPONSE_SCHEMA = (
+    "path string, url string, warc_date string, content_length long, "
+    "http_status int, content_type string, charset string, html string"
 )
 
 
@@ -83,16 +98,17 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def _parse_wet_member(path: str, data: bytes):
-    """Yield record dicts from one WET file's bytes, honoring
-    Content-Length exactly.  Malformed structure RAISES, never
-    resyncs: a record with a missing/negative Content-Length has no
-    reliable payload boundary, so scanning forward for the next
-    record magic could land INSIDE that record's payload and emit a
-    phantom record whose (url, text) never existed — the exact
-    attack the byte-exact contract exists to prevent.  A file cut
-    mid-HEADER raises for the same reason the mid-payload cut does:
-    silently returning the earlier records would hide the loss."""
+def _iter_warc_records(data: bytes):
+    """Yield ``(headers, content_length, payload_bytes)`` per WARC
+    record in one member's bytes, honoring Content-Length exactly.
+    Malformed structure RAISES, never resyncs: a record with a
+    missing/negative Content-Length has no reliable payload boundary,
+    so scanning forward for the next record magic could land INSIDE
+    that record's payload and emit a phantom record whose (url, text)
+    never existed — the exact attack the byte-exact contract exists
+    to prevent.  A file cut mid-HEADER raises for the same reason the
+    mid-payload cut does: silently returning the earlier records
+    would hide the loss."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     pos, n = 0, len(data)
@@ -147,6 +163,13 @@ def _parse_wet_member(path: str, data: bytes):
             )
         payload = data[body_start: body_start + clen]
         pos = body_start + clen
+        yield headers, clen, payload
+
+
+def _parse_wet_member(path: str, data: bytes):
+    """Record dicts (WET text surface) from one file's bytes — the
+    strict framing lives in :func:`_iter_warc_records`."""
+    for headers, clen, payload in _iter_warc_records(data):
         yield {
             "path": path,
             "url": headers.get(b"warc-target-uri", b"").decode(
@@ -278,4 +301,256 @@ def wet_documents(
         ).alias("doc_id"),
         "url",
         "text",
+    )
+
+
+# --------------------------------------------------------------------------
+# Raw WARC `response` records (r10): the layer BELOW WET.  A response
+# record's payload is the raw HTTP message captured off the wire —
+# status line, HTTP headers, blank line, body bytes in the server's
+# declared charset (and possibly chunked transfer coding).  This is
+# what C4/RefinedWeb-style pipelines re-extract from when WET's own
+# text conversion isn't good enough; the HTML body feeds
+# functions/html.html_to_text.
+# --------------------------------------------------------------------------
+
+_HTTP_STATUS_RE = re.compile(rb"^HTTP/\d+(?:\.\d+)?[ \t]+(\d{3})")
+_HTTP_CHARSET_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_.:-]+)", re.I)
+
+
+def _split_http_response(payload: bytes):
+    """``(status, content_type, charset, body_bytes)`` from one raw
+    HTTP response message.  A payload WITHOUT an ``HTTP/`` preamble is
+    not a guess case — there is no header block, so the whole payload
+    IS the body: ``(None, None, None, payload)``.  A header block
+    that never terminates means the record carries headers only
+    (body empty) — the WARC Content-Length already bounded the
+    record, so neither shape has a boundary ambiguity and neither
+    raises.  The FIRST Content-Type header wins (line-grain, matching
+    the WARC header parse)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, None, payload
+    he_crlf = payload.find(b"\r\n\r\n")
+    he_lf = payload.find(b"\n\n")
+    ends = [(e, s) for e, s in ((he_crlf, 4), (he_lf, 2)) if e >= 0]
+    hend, sep_len = min(ends) if ends else (len(payload), 0)
+    head, body = payload[:hend], payload[hend + sep_len:]
+    lines = head.split(b"\n")
+    m = _HTTP_STATUS_RE.match(lines[0].strip())
+    status = int(m.group(1)) if m else None
+    ctype = chunked = None
+    for line in lines[1:]:
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        k = k.strip().lower()
+        if k == b"content-type" and ctype is None:
+            ctype = v.strip()
+        elif k == b"transfer-encoding" and v.strip().lower() == b"chunked":
+            chunked = True
+    if chunked:
+        body = _dechunk(body)
+    charset = None
+    if ctype:
+        cm = _HTTP_CHARSET_RE.search(ctype)
+        if cm:
+            charset = cm.group(1).decode("ascii", "replace")
+    return (
+        status,
+        ctype.decode("utf-8", "replace") if ctype is not None else None,
+        charset,
+        body,
+    )
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked body (size-line; chunk; CRLF; ...;
+    0-size terminator).  A malformed size line RAISES — resyncing
+    would splice chunk-size hex lines into the middle of the HTML,
+    the same phantom-content failure the WARC framing refuses."""
+    out, pos, n = [], 0, len(body)
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError(
+                "read_warc_responses: malformed chunked body — "
+                "missing chunk-size line terminator"
+            )
+        size_line = body[pos:nl].strip().split(b";", 1)[0]
+        try:
+            size = int(size_line, 16)
+        except ValueError:
+            raise ValueError(
+                "read_warc_responses: malformed chunked body — "
+                f"non-hex chunk size {size_line[:16]!r}"
+            )
+        pos = nl + 1
+        if size == 0:
+            return b"".join(out)
+        if pos + size > n:
+            raise ValueError(
+                "read_warc_responses: malformed chunked body — "
+                f"{size}-byte chunk overruns the record payload"
+            )
+        out.append(body[pos: pos + size])
+        pos += size
+        # the chunk's trailing CRLF/LF
+        if body[pos: pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos: pos + 1] == b"\n":
+            pos += 1
+
+
+def _decode_body(body: bytes, charset) -> str:
+    """Body bytes → text honoring the DECLARED charset, falling back
+    to UTF-8 when the declaration is absent or names an encoding
+    Python doesn't know.  Always ``errors='replace'``: crawl bodies
+    routinely lie about their encoding and a decode error must not
+    kill the file's task."""
+    if charset:
+        try:
+            codecs.lookup(charset)
+            return body.decode(charset, "replace")
+        except LookupError:
+            pass
+    return body.decode("utf-8", "replace")
+
+
+def read_warc_responses(
+    spark: SparkSession, path: str, strict: bool = True,
+) -> DataFrame:
+    """→ one row per WARC ``response`` record: ``(path, url,
+    warc_date, content_length, http_status, content_type, charset,
+    html)``.  ``content_length`` is the WARC record's (headers +
+    body) byte count; ``html`` is the HTTP body decoded per the
+    server's declared charset (strict path) with chunked transfer
+    coding removed.
+
+    Same strict-vs-native trade as :func:`read_wet`, with two extra
+    stated limits on the native path: the body is already
+    UTF-8-replace decoded by the record split, so a declared
+    non-UTF-8 charset is REPORTED but not honored, and chunked
+    bodies are not de-chunked (no native analog of the strict
+    kernel's byte-grain chunk walk) — parity with strict is tested
+    on unchunked UTF-8 bodies, the overwhelming common case."""
+    if strict:
+        import pandas as pd
+
+        def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            cols = [
+                "path", "url", "warc_date", "content_length",
+                "http_status", "content_type", "charset", "html",
+            ]
+            for pdf in batches:
+                rows = []
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    for headers, clen, payload in _iter_warc_records(
+                        bytes(content)
+                    ):
+                        if headers.get(b"warc-type", b"") != b"response":
+                            continue
+                        status, ctype, charset, body = (
+                            _split_http_response(payload)
+                        )
+                        rows.append({
+                            "path": p,
+                            "url": headers.get(
+                                b"warc-target-uri", b""
+                            ).decode("utf-8", "replace") or None,
+                            "warc_date": headers.get(
+                                b"warc-date", b""
+                            ).decode("utf-8", "replace") or None,
+                            "content_length": clen,
+                            "http_status": status,
+                            "content_type": ctype,
+                            "charset": charset,
+                            "html": _decode_body(body, charset),
+                        })
+                yield pd.DataFrame(rows, columns=cols)
+
+        return (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path", "content")
+            .mapInPandas(parse, WARC_RESPONSE_SCHEMA)
+        )
+    recs = read_wet(spark, path, strict=False, record_types=("response",))
+    # the HTTP header block ends at the first blank line INSIDE the
+    # record payload — same CRLF-vs-LF minimum the record split uses
+    he = F.expr(
+        r"""
+        CASE
+          WHEN left(text, 5) <> 'HTTP/' THEN 0
+          WHEN instr(text, '\r\n\r\n') > 0
+               AND (instr(text, '\n\n') = 0
+                    OR instr(text, '\r\n\r\n') <= instr(text, '\n\n'))
+          THEN instr(text, '\r\n\r\n') + 3
+          WHEN instr(text, '\n\n') > 0 THEN instr(text, '\n\n') + 1
+          ELSE length(text)
+        END
+        """
+    )
+    hdr = F.expr("substring(text, 1, _he)")
+    out = (
+        recs.withColumn("_he", he)
+        .select(
+            "path", "url", "warc_date", "content_length",
+            F.regexp_extract(
+                F.col("text"), r"^HTTP/\d+(?:\.\d+)?[ \t]+(\d{3})", 1
+            ).try_cast("int").alias("http_status"),
+            F.regexp_extract(
+                hdr, r"(?im)^Content-Type:[ \t]*([^\r\n]+)", 1
+            ).alias("content_type"),
+            # body: everything past the header block; a no-preamble
+            # payload (_he = 0) is all body, header-only is all header
+            F.when(
+                F.col("_he") > 0, F.expr("substring(text, _he + 1)")
+            ).otherwise(F.col("text")).alias("html"),
+        )
+        .withColumn(
+            "content_type",
+            F.when(F.col("content_type") != "", F.col("content_type")),
+        )
+        .withColumn(
+            "charset",
+            F.regexp_extract(
+                F.coalesce(F.col("content_type"), F.lit("")),
+                r"""(?i)charset=["']?([A-Za-z0-9_.:-]+)""", 1,
+            ),
+        )
+        .withColumn(
+            "charset", F.when(F.col("charset") != "", F.col("charset"))
+        )
+        .select(
+            "path", "url", "warc_date", "content_length", "http_status",
+            "content_type", "charset", "html",
+        )
+    )
+    return out
+
+
+def warc_html_documents(
+    spark: SparkSession, path: str, strict: bool = True,
+    statuses: tuple[int, ...] = (200,),
+) -> DataFrame:
+    """Raw-crawl → ``documents`` surface in one plan: ``response``
+    records with a kept HTTP status (default 200, the C4 convention;
+    ``statuses=None`` keeps every response), HTML stripped to plain
+    text by the native :func:`~wikiextractor_spark.functions.html.
+    html_to_text` cascade, ids assigned exactly like
+    :func:`wet_documents` so the two ingest paths land on the same
+    dedup grain.  Feeds ``prepare_corpus`` / the quality gates."""
+    from wikiextractor_spark.functions.html import html_to_text
+
+    recs = read_warc_responses(spark, path, strict=strict)
+    if statuses is not None:
+        recs = recs.filter(F.col("http_status").isin(list(statuses)))
+    return recs.select(
+        F.xxhash64(
+            F.coalesce(F.col("url"), F.lit("")),
+            F.coalesce(F.col("warc_date"), F.lit("")),
+            F.coalesce(F.col("html"), F.lit("")),
+        ).alias("doc_id"),
+        "url",
+        html_to_text(F.col("html")).alias("text"),
     )
