@@ -225,6 +225,10 @@ def test_html_to_text_duckdb_twin(spark):
         "plain text, no markup at all",
         "<noscript>enable js</noscript><main>body &quot;q&quot;</main>",
         "<pre>  spaced   out  </pre>",
+        # Unicode case-folding trap: Java (?i) folds ASCII only, RE2
+        # folds ſ→s — the explicit-char-class tag patterns must keep
+        # both engines from dropping this as a script element
+        "<ſcript>x</ſcript> kept",
         "",
         None,
     ]

@@ -40,9 +40,11 @@ is part of the contract and the DuckDB twin restates it verbatim):
    space, lines are trimmed, empty lines dropped.
 
 Both engines' regexes here are RE2/Java-common constructs (non-greedy
-quantifiers, inline flags, ``\\b``, no backreferences), so the DuckDB
-oracle twin (:func:`html_to_text_duckdb_sql`) is the same cascade
-restated, not a reimplementation.
+quantifiers, ``(?s)``, ``\\b``, no backreferences; case-insensitivity
+via explicit ASCII char classes — see :func:`_ci` — because the two
+engines' ``(?i)`` fold different alphabets), so the DuckDB oracle
+twin (:func:`html_to_text_duckdb_sql`) is the same cascade restated,
+not a reimplementation.
 """
 
 from __future__ import annotations
@@ -77,13 +79,27 @@ HTML_ENTITIES = (
     ("&amp;", "&"),
 )
 
+def _ci(tag: str) -> str:
+    """ASCII-case-insensitive tag-name pattern via explicit char
+    classes (``[sS][cC]...``), NOT ``(?i)``: Java's inline ``(?i)``
+    folds ASCII only while RE2's folds full Unicode (``ſ`` matches
+    ``s``), so an ``(?i)`` here would let crafted input like
+    ``<ſcript>`` diverge between the Spark cascade and its DuckDB
+    twin.  Tag names are ASCII, so the char-class form is exact and
+    identical on both engines."""
+    return "".join(
+        f"[{c}{c.upper()}]" if c.isalpha() else c for c in tag
+    )
+
+
 _COMMENT_RE = r"(?s)<!--.*?-->"
-_BLOCK_RE = r"(?i)</?(?:%s)\b[^>]*>" % "|".join(BLOCK_TAGS)
+_BLOCK_RE = r"</?(?:%s)\b[^>]*>" % "|".join(_ci(t) for t in BLOCK_TAGS)
 _TAG_RE = r"<[A-Za-z/!][^>]*>"
 
 
 def _drop_re(tag: str) -> str:
-    return rf"(?si)<{tag}\b[^>]*>.*?</{tag}\s*>"
+    t = _ci(tag)
+    return rf"(?s)<{t}\b[^>]*>.*?</{t}\s*>"
 
 
 def html_to_text(col: Column) -> Column:

@@ -1819,7 +1819,8 @@ def mm_media_meta(spark, sf_dir):
 
 
 # WARC/WET source round trip (r8 sources/wet.py:166+, driver-verified
-# r9): WET member bytes are synthesized JVM-SIDE from the documents
+# r9; r10 adds the 'response' family — the raw-crawl layer below WET).
+# 'wet': WET member bytes are synthesized JVM-SIDE from the documents
 # table — real headers, Content-Length BYTE accounting via
 # octet_length over the UTF-8 payload, CRLF blank-line terminators —
 # written as .wet part files and parsed back through the strict
@@ -1827,14 +1828,42 @@ def mm_media_meta(spark, sf_dir):
 # embeds a line starting with the record magic 'WARC/1.0' and every
 # URI carries a '?WARC-Type:response' query string, so a parser that
 # splits on the magic or matches headers unanchored produces
-# different rows and fails the hash.  The oracle restates the
-# generator arithmetic directly from documents (the mm_media_meta
-# pattern): a hash match proves generate → write → parse agree
-# byte-for-byte end to end.  The native splittable reader's parity
-# with strict stays pytest-pinned (tests/test_wet_source.py).
-@query(
-    "src_wet",
-    """
+# different rows and fails the hash.  'response': full WARC response
+# records (HTTP status line + headers + an HTML body built from the
+# same documents text with comment/script/entity/magic adversaria)
+# round-trip through read_warc_responses, then the native
+# html_to_text cascade strips the markup — the oracle restates the
+# HTML synthesis, the HTTP framing arithmetic, the status parse, AND
+# the strip cascade (html_to_text_duckdb_sql, generated from the same
+# tag/entity tables), so a hash match proves generate → write →
+# HTTP-split → extract agree end to end.  The native readers' parity
+# with strict and the charset/chunked paths stay pytest-pinned
+# (tests/test_wet_source.py, tests/test_warc_html.py).
+_SRC_WET_HTML_DUCK = (
+    "'<html><head><title>skip</title></head><body>'"
+    " || CASE WHEN doc_id % 5 = 0"
+    " THEN '<!-- c <p>hidden</p> --><script>var x=1<2;</script>'"
+    " ELSE '' END"
+    " || '<h1>Doc &amp;lt; ' || doc_id || '</h1><p>'"
+    " || replace(text, chr(10), '</p>' || chr(10) || '<p>')"
+    " || '</p>'"
+    " || CASE WHEN doc_id % 7 = 0"
+    " THEN chr(10) || 'WARC/1.0' || chr(10) || '<p>fake header tail</p>'"
+    " ELSE '' END"
+    " || '</body></html>'"
+)
+
+
+def _src_wet_oracle() -> str:
+    from wikiextractor_spark.functions.html import html_to_text_duckdb_sql
+
+    crlf = "chr(13) || chr(10)"
+    http = (
+        f"'HTTP/1.1 ' || status || ' OK' || {crlf} || "
+        f"'Content-Type: text/html; charset=utf-8' || {crlf} || {crlf}"
+        " || html"
+    )
+    return f"""
     WITH d AS (
       SELECT doc_id,
              'http://ex.org/' || doc_id || '?WARC-Type:response' AS url,
@@ -1843,25 +1872,54 @@ def mm_media_meta(spark, sf_dir):
                        || 'fake header tail'
                   ELSE text END AS payload
       FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+             {_SRC_WET_HTML_DUCK} AS html
+      FROM documents
     )
-    SELECT url, '2021-06-01T12:00:00Z' AS warc_date,
+    SELECT 'wet' AS family, url, '2021-06-01T12:00:00Z' AS warc_date,
            'conversion' AS record_type,
            CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
+           CAST(NULL AS INTEGER) AS http_status,
            payload AS text
     FROM d
-    """,
-)
+    UNION ALL
+    SELECT 'response' AS family, 'http://ex.org/r/' || doc_id AS url,
+           '2021-06-01T12:00:00Z' AS warc_date,
+           'response' AS record_type,
+           CAST(octet_length(encode({http})) AS BIGINT) AS content_length,
+           CAST(status AS INTEGER) AS http_status,
+           {html_to_text_duckdb_sql('html')} AS text
+    FROM r
+    """
+
+
+@query("src_wet", _src_wet_oracle())
 def src_wet(spark, sf_dir):
-    """Strict WET source end to end: synthesize member bytes from the
-    documents table in one narrow JVM-side projection, write them as
-    real .wet files, and parse them back with the byte-exact reader
-    — url, date, type, declared Content-Length, and payload must all
-    round-trip, including payloads containing the record magic and
-    URIs containing header names."""
+    """Strict WARC sources end to end, discriminated by family.
+    'wet': synthesize WET member bytes from the documents table in
+    one narrow JVM-side projection, write them as real .wet files,
+    and parse them back with the byte-exact reader — url, date, type,
+    declared Content-Length, and payload must all round-trip,
+    including payloads containing the record magic and URIs
+    containing header names.  'response' (r10): synthesize full raw
+    WARC response records — HTTP status line (every 11th page a 404),
+    headers, and an HTML body wrapping the same text in block tags
+    plus comment/script/double-encoded-entity/magic adversaria —
+    parse them back through read_warc_responses, and strip the markup
+    with the native html_to_text cascade; the oracle re-derives every
+    stage including the cascade itself via its generated DuckDB
+    twin."""
     import shutil
     import tempfile
 
-    from wikiextractor_spark.sources.wet import read_wet
+    from wikiextractor_spark.functions.html import html_to_text
+    from wikiextractor_spark.sources.wet import (
+        read_warc_responses,
+        read_wet,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     payload = F.when(
@@ -1880,6 +1938,48 @@ def src_wet(spark, sf_dir):
         F.col("payload"),
         F.lit("\r\n\r\n"),
     )
+    # response family: the same text embedded in an HTML body —
+    # literal replace (F.replace, NOT regexp_replace: text may carry
+    # '$'/'\\' which are replacement metachars) mirrored by DuckDB's
+    # replace() in _SRC_WET_HTML_DUCK
+    html = F.concat(
+        F.lit("<html><head><title>skip</title></head><body>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("<!-- c <p>hidden</p> --><script>var x=1<2;</script>"),
+        ).otherwise(F.lit("")),
+        F.lit("<h1>Doc &amp;lt; "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("</p>\n<p>")),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nWARC/1.0\n<p>fake header tail</p>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    status = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"),
+        F.lit(" OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        html,
+    )
+    resp_member = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: http://ex.org/r/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2021-06-01T12:00:00Z\r\n"
+              "Content-Type: application/http; msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
     tmpdir = tempfile.mkdtemp(prefix="src_wet_")
     try:
         (
@@ -1887,9 +1987,25 @@ def src_wet(spark, sf_dir):
             .select(member.alias("value"))
             .write.mode("overwrite").text(f"{tmpdir}/crawl")
         )
-        out = read_wet(spark, f"{tmpdir}/crawl", strict=True).select(
-            "url", "warc_date", "record_type", "content_length", "text"
+        docs.select(resp_member.alias("value")).write.mode(
+            "overwrite"
+        ).text(f"{tmpdir}/raw")
+        wet_out = read_wet(spark, f"{tmpdir}/crawl", strict=True).select(
+            F.lit("wet").alias("family"),
+            "url", "warc_date", "record_type", "content_length",
+            F.lit(None).cast("int").alias("http_status"),
+            "text",
         )
+        resp_out = read_warc_responses(
+            spark, f"{tmpdir}/raw", strict=True
+        ).select(
+            F.lit("response").alias("family"),
+            "url", "warc_date",
+            F.lit("response").alias("record_type"),
+            "content_length", "http_status",
+            html_to_text(F.col("html")).alias("text"),
+        )
+        out = wet_out.unionByName(resp_out)
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
