@@ -2686,33 +2686,72 @@ def dd_embedding_neighbor(spark, sf_dir):
     # window_end + delay, so the <= below cannot silently flake if a
     # Spark upgrade shifts eviction.  The oracle computes that closed-
     # window set from the batch table — upgrading r2's rows-only slot
-    # to a full hash check on the streaming sink's output.
+    # to a full hash check on the streaming sink's output.  The
+    # 'corpus' family (r10) restates the URL-gate survivor set the
+    # streaming corpus pipeline must emit: host synthesis from doc_id
+    # (subdomain hit / clean / www-wrapped hit / unparseable /
+    # suffix trap — the ta_gopher_blocklist scheme) and the
+    # normalized suffix-match gate, with octet_length proving the
+    # survivors' text passed through the micro-batch unmutated.
     """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_s,
+    SELECT 'hourly' AS family,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_s,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
           <= (SELECT MAX(ts) FROM events) - INTERVAL 1 SECOND
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'corpus' AS family, u.url AS hour_s, 'kept' AS event_type,
+           u.doc_id AS n_events,
+           CAST(octet_length(encode(u.text)) AS BIGINT) AS value_cents
+    FROM (
+      SELECT doc_id, text,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'https://spam.bad.com/p/' || doc_id
+               WHEN 1 THEN 'https://ok.org/p/' || doc_id
+               WHEN 2 THEN 'https://www.block.net/p/' || doc_id
+               WHEN 3 THEN 'not a url ' || doc_id
+               ELSE 'https://bad.com.evil.io/p/' || doc_id END AS url,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'spam.bad.com'
+               WHEN 1 THEN 'ok.org'
+               WHEN 2 THEN 'block.net'
+               WHEN 3 THEN NULL
+               ELSE 'bad.com.evil.io'
+             END AS host
+      FROM documents
+    ) u
+    WHERE u.host IS NULL OR NOT (
+      u.host = 'bad.com' OR ends_with(u.host, '.bad.com')
+      OR u.host = 'block.net' OR ends_with(u.host, '.block.net'))
     """,
 )
 def st_stream_hourly(spark, sf_dir):
-    """Structured Streaming entry: watermarked tumbling-window counts
-    over the events stream, availableNow (batch-parity trigger),
-    written by the executors to a parquet file sink in APPEND mode and
-    read back — no aggregate state ever lands on the driver (r1 used a
-    memory/`complete` sink, a scale-killer).  Append-mode semantics:
-    windows close only once the watermark passes their end, so the
-    trailing window of event time stays open and unemitted — the
-    production contract, and exactly the closed-window set the DuckDB
-    oracle states (the same equality tests/test_oracle_extended.py
-    pins against the batch rollup).  A belt-and-braces cutoff filter
-    re-applies the closed-window predicate on the read-back rows so
-    the result can never over-claim if a future Spark version's
-    eviction boundary shifts.  Values are summed as integer cents
-    (order-independent, oracle-portable)."""
+    """Structured Streaming, discriminated by family.  'hourly':
+    watermarked tumbling-window counts over the events stream,
+    availableNow (batch-parity trigger), written by the executors to
+    a parquet file sink in APPEND mode and read back — no aggregate
+    state ever lands on the driver (r1 used a memory/`complete` sink,
+    a scale-killer).  Append-mode semantics: windows close only once
+    the watermark passes their end, so the trailing window of event
+    time stays open and unemitted — the production contract, and
+    exactly the closed-window set the DuckDB oracle states (the same
+    equality tests/test_oracle_extended.py pins against the batch
+    rollup).  A belt-and-braces cutoff filter re-applies the
+    closed-window predicate on the read-back rows so the result can
+    never over-claim if a future Spark version's eviction boundary
+    shifts.  Values are summed as integer cents (order-independent,
+    oracle-portable).  'corpus' (r10): one availableNow micro-batch
+    of prepare_corpus_stream with the URL/blocklist gate — documents
+    get hosts synthesized from doc_id (including a dirty blocklist
+    entry '.www.bad.com.' that only the chained normalization
+    matches), the stream writes survivors under batch_id partitions,
+    and the read-back (url, doc_id, text octet length) set is
+    hash-checked against the oracle's restated gate — the
+    persist→stream→gate→sink path, not just the batch operator."""
     import datetime
     import shutil
     import tempfile
@@ -2756,12 +2795,64 @@ def st_stream_hourly(spark, sf_dir):
                 F.date_format("window.end", "yyyy-MM-dd HH:mm:ss") <= F.lit(cutoff_s)
             )
             .select(
+                F.lit("hourly").alias("family"),
                 F.date_format("window.start", "yyyy-MM-dd HH:00:00").alias("hour_s"),
                 "event_type",
                 "n_events",
                 "value_cents",
             )
         )
+        # --- corpus family: one micro-batch of the streaming corpus
+        # pipeline with the URL gate (the r9 pytest-only surface) ---
+        from wikiextractor_spark.streaming.corpus import (
+            DOCUMENTS_URL_SCHEMA,
+            prepare_corpus_stream,
+        )
+
+        docs = _docs(spark, sf_dir)
+        (
+            docs.select(
+                "doc_id",
+                "text",
+                F.lit("xx").alias("lang"),
+                F.lit("battery").alias("source"),
+                F.length("text").cast("long").alias("n_chars"),
+                F.expr(
+                    "CASE CAST(doc_id % 5 AS INT) "
+                    "WHEN 0 THEN 'https://spam.bad.com/p/' || doc_id "
+                    "WHEN 1 THEN 'https://ok.org/p/' || doc_id "
+                    "WHEN 2 THEN 'https://www.block.net/p/' || doc_id "
+                    "WHEN 3 THEN 'not a url ' || doc_id "
+                    "ELSE 'https://bad.com.evil.io/p/' || doc_id END"
+                ).alias("url"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{base}/corpus_in")
+        )
+        cq = prepare_corpus_stream(
+            spark,
+            f"{base}/corpus_in",
+            out_dir=f"{base}/corpus_out",
+            checkpoint_dir=f"{base}/corpus_ckpt",
+            state_dir=f"{base}/corpus_state",
+            schema=DOCUMENTS_URL_SCHEMA,
+            url_blocklist=[".www.bad.com.", "block.net"],
+            dedup=None,
+        )
+        if not cq.awaitTermination(120):
+            cq.stop()
+            raise TimeoutError(
+                "st_stream_hourly: corpus stream did not drain in 120s — "
+                "refusing to return a partial sink read"
+            )
+        corpus = spark.read.parquet(f"{base}/corpus_out").select(
+            F.lit("corpus").alias("family"),
+            F.col("url").alias("hour_s"),
+            F.lit("kept").alias("event_type"),
+            F.col("doc_id").alias("n_events"),
+            F.octet_length("text").cast("long").alias("value_cents"),
+        )
+        out = out.unionByName(corpus)
         # materialize executor-side before deleting the sink files; the
         # checkpointed RDD is freed by the ContextCleaner on GC
         return out.localCheckpoint(eager=True)
