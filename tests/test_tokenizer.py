@@ -1,0 +1,157 @@
+"""Imported-tokenizer artifact: greedy longest-match counting, the
+modelio save→load round trip, and the wiring into pack_sequences /
+cap_group_tokens via token_col."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.functions.tokenizer import (
+    _count_word,
+    bpe_token_count,
+    load_bpe_vocab,
+    save_bpe_vocab,
+    vocab_from_tokens,
+)
+
+VOCAB = ["low", "lower", "er", "ne", "west", "w", "e", "s", "t", "o", "l"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_greedy_longest_match_kernel():
+    vs = frozenset(VOCAB)
+    ml = max(len(t) for t in VOCAB)
+    # 'lower' is one vocab hit, not low+er: longest match wins
+    assert _count_word("lower", vs, ml, 1.0) == 1.0
+    # 'lowest' -> low + e + s + t (no 'lowest', no 'est')
+    assert _count_word("lowest", vs, ml, 1.0) == 4.0
+    # 'newest' -> ne + west
+    assert _count_word("newest", vs, ml, 1.0) == 2.0
+    # OOV char 'z' costs the per-char rate
+    assert _count_word("zlow", vs, ml, 1.0) == 2.0
+    assert _count_word("zzz", vs, ml, 0.25) == 0.75
+    assert _count_word("", vs, ml, 1.0) == 0.0
+
+
+def test_bpe_token_count_over_frame(spark):
+    vocab = vocab_from_tokens(spark, VOCAB, oov_tokens_per_char=0.5)
+    df = spark.createDataFrame(
+        [(1, "lower newest"), (2, "zz low"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count(df, vocab, out_col="n").collect()
+    }
+    assert got[1] == 3.0          # lower(1) + ne+west(2)
+    assert got[2] == 2.0          # z+z at 0.5 each, low(1)
+    assert got[3] is None
+    assert got[4] == 0.0
+
+
+def test_save_load_round_trip_identical_counts(spark, tmp_path, docs):
+    vocab = vocab_from_tokens(
+        spark, ["the", "th", "an", "ing", "a", "e", "i", "o", "u", "n"],
+        oov_tokens_per_char=1.0,
+    )
+    path = str(tmp_path / "vocab.parquet")
+    save_bpe_vocab(vocab, path)
+    reloaded = load_bpe_vocab(spark, path)
+    sample = docs.limit(40).select("doc_id", "text")
+    a = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count(sample, vocab, out_col="n").collect()
+    }
+    b = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count(sample, reloaded, out_col="n").collect()
+    }
+    assert a == b and len(a) == 40
+
+
+def test_tsv_load_requires_explicit_oov(spark, tmp_path):
+    p = tmp_path / "vocab.tsv"
+    p.write_text("low\t0\ner\t1\n")
+    with pytest.raises(ValueError, match="oov_tokens_per_char"):
+        load_bpe_vocab(spark, str(p))
+    v = load_bpe_vocab(spark, str(p), oov_tokens_per_char=1.0)
+    df = spark.createDataFrame([(1, "lower")], "doc_id long, text string")
+    assert bpe_token_count(df, v, out_col="n").collect()[0]["n"] == 2.0
+
+
+def test_corrupt_artifact_raises_through_shared_contract(spark, tmp_path):
+    # two NULL-token rows: the double-scalar failure modelio guards
+    rows = [("a", 0.0), (None, 1.0), (None, 2.0)]
+    bad = spark.createDataFrame(rows, "token string, token_id double")
+    p = str(tmp_path / "bad.parquet")
+    bad.coalesce(1).write.parquet(p)
+    with pytest.raises(ValueError, match="oov_tokens_per_char"):
+        load_bpe_vocab(spark, p)
+
+
+def test_whitespace_vocab_token_raises(spark):
+    with pytest.raises(ValueError, match="whitespace"):
+        vocab_from_tokens(spark, ["ok", "not ok"])
+    # and the counter itself refuses an artifact that smuggled one in
+    smuggled = spark.createDataFrame(
+        [("a b", 0.0), (None, 1.0)], "token string, token_id double"
+    )
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="whitespace"):
+        bpe_token_count(df, smuggled)
+
+
+def test_packing_honors_imported_counts(spark):
+    from wikiextractor_spark.operators.packing import pack_sequences
+
+    vocab = vocab_from_tokens(spark, VOCAB, oov_tokens_per_char=1.0)
+    df = spark.createDataFrame(
+        [(i, "lower " * (i % 7 + 1)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    counted = bpe_token_count(df, vocab, out_col="n_bpe").withColumn(
+        "n_bpe", F.col("n_bpe").cast("long")
+    )
+    packed = pack_sequences(
+        counted.select("doc_id", "n_bpe"),
+        token_col="n_bpe", budget=10, num_groups=4,
+    )
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == set(range(60))
+    # the packer consumed the IMPORTED counts (each 'lower' is one
+    # vocab token), and every normal pack respects the budget in them
+    by_id = {r["doc_id"]: r["n_bpe"] for r in rows}
+    assert all(by_id[i] == i % 7 + 1 for i in range(60))
+    sums = {}
+    for r in rows:
+        if not r["over_budget"]:
+            sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_bpe"]
+    assert sums and all(s <= 10 for s in sums.values())
+
+
+def test_cap_group_tokens_honors_imported_counts(spark):
+    from wikiextractor_spark.operators.sampling import cap_group_tokens
+
+    vocab = vocab_from_tokens(spark, VOCAB, oov_tokens_per_char=1.0)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), "newest " * 5) for i in range(40)],
+        "doc_id long, grp string, text string",
+    )
+    counted = bpe_token_count(df, vocab, out_col="n_bpe").withColumn(
+        "n_bpe", F.col("n_bpe").cast("long")
+    )
+    capped = cap_group_tokens(
+        counted, ["grp"], max_tokens=30,
+        token_col="n_bpe",
+    )
+    per_group = (
+        capped.groupBy("grp").agg(F.sum("n_bpe").alias("s")).collect()
+    )
+    # each doc is 10 tokens (5 × ne+west); cumulative-before gate:
+    # keeps rows while the PRIOR sum < 30 → exactly 3 docs = 30
+    assert {r["s"] for r in per_group} == {30}

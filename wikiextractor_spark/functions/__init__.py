@@ -7,3 +7,9 @@ from wikiextractor_spark.functions.html import (  # noqa: F401
     html_to_text,
     html_to_text_duckdb_sql,
 )
+from wikiextractor_spark.functions.tokenizer import (  # noqa: F401
+    bpe_token_count,
+    load_bpe_vocab,
+    save_bpe_vocab,
+    vocab_from_tokens,
+)

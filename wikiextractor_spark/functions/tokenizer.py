@@ -1,0 +1,172 @@
+"""Imported-tokenizer token counting: bring-your-own BPE/wordpiece
+vocabulary, count tokens with it, and feed the counts to the packing
+and token-budget operators.
+
+The engine's default token counts are whitespace/regex-grain
+(:mod:`textstats`) — fine for quality gates, but a TRAINING pipeline
+packs sequences against a real tokenizer's token budget: a 2048-token
+pack measured in whitespace words overflows the model's context
+window the moment the corpus contains long words the tokenizer
+splits.  This module imports the vocabulary as a model artifact
+through the shared :mod:`modelio` loader contract (same validation
+and error surface as the LM and classifier adapters) and counts with
+GREEDY LONGEST-MATCH segmentation — the WordPiece serving algorithm,
+and the standard fast approximation for counting under a merges-based
+BPE (exact merge replay needs the merge ranks per pair; longest-match
+over the final vocab agrees on the overwhelming majority of words and
+never under-segments a vocab hit).
+
+Artifact shape: ``(token string, token_id double)`` rows plus ONE
+NULL-token row carrying ``oov_tokens_per_char`` — the per-character
+cost charged when no vocab token matches at a position (1.0 for
+char-fallback tokenizers; ~0.25-0.5 for byte-fallback BPEs where a
+char is a few bytes ≈ a few tokens).  A TSV artifact cannot express
+the NULL row — pass ``oov_tokens_per_char=`` instead (exactly one of
+the two, enforced by :func:`modelio.load_keyed_table`).
+
+Tokens must be whitespace-free: counting whitespace-splits the text
+first (the universal pre-tokenization grain), so a vocab entry
+containing whitespace could never match and its presence is almost
+certainly an artifact bug — the loader raises.
+
+Scale shape: the vocabulary is driver-sized by construction (50k-ish
+entries), shipped once per executor as a broadcast; the counter is an
+Arrow-batched pandas UDF over the text column — a MODEL-ADAPTER
+kernel like the WET source kernel, outside the SURVEY §2.11
+cleaning-UDF budget (which stays exactly the five in ``udfs.py``).
+The counts column then feeds :func:`~wikiextractor_spark.operators.
+packing.pack_sequences` / :func:`~wikiextractor_spark.operators.
+sampling.cap_group_tokens` via their ``token_col`` parameter — the
+pack/cap plans are unchanged, only the measure is.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+VOCAB_SCHEMA = "token string, token_id double"
+
+
+def vocab_from_tokens(
+    spark, tokens: list[str], oov_tokens_per_char: float = 1.0,
+) -> DataFrame:
+    """Build a vocabulary artifact frame from a plain token list —
+    ids are the list positions, plus the NULL-token OOV row.  The
+    test/bootstrap path; real artifacts come from a tokenizer dump
+    via :func:`save_bpe_vocab` / :func:`load_bpe_vocab`."""
+    bad = [t for t in tokens if t is None or t == "" or t.split() != [t]]
+    if bad:
+        raise ValueError(
+            f"vocab_from_tokens: {len(bad)} empty or "
+            f"whitespace-carrying tokens (first: {bad[0]!r}) — such "
+            "entries can never match under whitespace pre-tokenization"
+        )
+    if len(set(tokens)) != len(tokens):
+        raise ValueError("vocab_from_tokens: duplicate tokens")
+    rows = [(t, float(i)) for i, t in enumerate(tokens)]
+    rows.append((None, float(oov_tokens_per_char)))
+    return spark.createDataFrame(rows, VOCAB_SCHEMA)
+
+
+def save_bpe_vocab(vocab: DataFrame, path: str) -> None:
+    """Persist a vocabulary — including the NULL-token OOV row — as
+    one parquet file, the round-trip sibling of
+    :func:`load_bpe_vocab` (the :func:`save_logprob_table` pattern;
+    the vocab is driver-sized, so one coalesced file keeps the reload
+    a single-file read)."""
+    vocab.select("token", "token_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_bpe_vocab(
+    spark, path: str, fmt: str | None = None,
+    oov_tokens_per_char: float | None = None,
+) -> DataFrame:
+    """Load a PRETRAINED tokenizer vocabulary for
+    :func:`bpe_token_count` — formats and validation exactly as the
+    LM/classifier adapters (``parquet`` with columns ``token string,
+    token_id double`` or headerless two-column ``tsv``; malformed
+    values raise; the OOV scalar must arrive exactly once, as the
+    NULL-token row or the argument).  Returns the vocab materialized
+    with its NULL-token OOV row appended."""
+    from wikiextractor_spark.functions.modelio import load_keyed_table
+
+    table, oov = load_keyed_table(
+        spark, path, fmt,
+        key_col="token", key_type="string", value_col="token_id",
+        scalar_name="oov_tokens_per_char", scalar=oov_tokens_per_char,
+        caller="load_bpe_vocab",
+    )
+    oov_row = spark.createDataFrame([(None, float(oov))], VOCAB_SCHEMA)
+    return table.unionByName(oov_row).localCheckpoint(eager=True)
+
+
+def _count_word(word: str, vocab: frozenset, max_len: int,
+                oov: float) -> float:
+    total, i, n = 0.0, 0, len(word)
+    while i < n:
+        j = min(n, i + max_len)
+        while j > i:
+            if word[i:j] in vocab:
+                total += 1.0
+                break
+            j -= 1
+        else:
+            # no vocab token starts here, not even one char: charge
+            # the OOV per-char cost and advance one character
+            total += oov
+            j = i + 1
+        i = j
+    return total
+
+
+def bpe_token_count(
+    df: DataFrame, vocab: DataFrame,
+    text_col: str = "text", out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """Attach ``out_col``: the text's token count under the imported
+    vocabulary — whitespace pre-tokenization, then greedy
+    longest-match per word, OOV characters charged at the artifact's
+    ``oov_tokens_per_char``.  NULL text stays NULL.  The count is a
+    DOUBLE (fractional OOV costs are legitimate); cast to long before
+    integer-budget packing.
+
+    Feed the result to ``pack_sequences(..., token_col=out_col)`` or
+    ``cap_group_tokens(..., token_col=out_col)`` to budget in model
+    tokens instead of whitespace words."""
+    rows = vocab.select("token", "token_id").collect()
+    oov_vals = [r["token_id"] for r in rows if r["token"] is None]
+    if len(oov_vals) != 1 or oov_vals[0] is None:
+        raise ValueError(
+            f"bpe_token_count: vocab must carry exactly one NULL-token "
+            f"oov_tokens_per_char row, found {len(oov_vals)} — load it "
+            "through load_bpe_vocab"
+        )
+    tokens = [r["token"] for r in rows if r["token"] is not None]
+    if not tokens:
+        raise ValueError("bpe_token_count: empty vocabulary")
+    bad = [t for t in tokens if t == "" or t.split() != [t]]
+    if bad:
+        raise ValueError(
+            f"bpe_token_count: {len(bad)} empty or whitespace-carrying "
+            f"vocab tokens (first: {bad[0]!r}) — they can never match "
+            "under whitespace pre-tokenization; fix the artifact"
+        )
+    oov = float(oov_vals[0])
+    max_len = max(len(t) for t in tokens)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (frozenset(tokens), max_len, oov)
+    )
+
+    @F.pandas_udf("double")
+    def _count(s: pd.Series) -> pd.Series:
+        vs, ml, ov = bc.value
+        return s.map(
+            lambda t: None if t is None else sum(
+                _count_word(w, vs, ml, ov) for w in t.split()
+            )
+        )
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
