@@ -9,7 +9,15 @@ every clean() step does real work), times:
   - this engine at local[N] (the actual single-node capability).
 
 Usage: python3 tools/throughput_compare.py [n_pages] [repeat_docs]
+           [--reps N]
 Writes PERF.md and prints a JSON summary line.
+
+``--reps N`` (default 1) times every runner N times and reports the
+MEDIAN — single-run numbers on this box swing ~±0.2× with ambient
+load (r9's judge measured 0.61×-0.83× across runs of the same
+commit), so round-over-round comparisons should use a 3-rep median
+taken on an idle machine.  The JSON carries the per-rep raw lists so
+the spread is visible, not just the point estimate.
 """
 
 from __future__ import annotations
@@ -139,23 +147,47 @@ def split_dump(dump: str, out_dir: str, n_parts: int = 16) -> None:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    import statistics
+
+    argv = list(sys.argv[1:])
+    reps = 1
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i: i + 2]
+    if reps < 1:
+        raise SystemExit("--reps must be >= 1")
+    n_pages = int(argv[0]) if len(argv) > 0 else 5000
+    repeat = int(argv[1]) if len(argv) > 1 else 4
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     dump = "/tmp/throughput_dump.xml"
     parts_dir = "/tmp/throughput_dump_parts"
     size = generate_dump(dump, n_pages, repeat)
     split_dump(dump, parts_dir, n_parts=min(16, cpus))
 
-    ref_s = time_reference(dump)
-    eng1_s = time_engine(dump, 1)
-    engn_s = time_engine(dump, cpus)
-    engp_s = time_engine(parts_dir, cpus)
+    # interleave the runners per rep (ref, eng1, engN, parts, ref, …)
+    # instead of repeating each in place: a load spike then degrades
+    # one REP of every runner, not every rep of one runner — the
+    # median stays comparable across runners
+    raw = {"reference": [], "engine_local1": [],
+           f"engine_local{cpus}": [], f"engine_local{cpus}_multifile": []}
+    for _ in range(reps):
+        raw["reference"].append(time_reference(dump))
+        raw["engine_local1"].append(time_engine(dump, 1))
+        raw[f"engine_local{cpus}"].append(time_engine(dump, cpus))
+        raw[f"engine_local{cpus}_multifile"].append(
+            time_engine(parts_dir, cpus)
+        )
+    ref_s = statistics.median(raw["reference"])
+    eng1_s = statistics.median(raw["engine_local1"])
+    engn_s = statistics.median(raw[f"engine_local{cpus}"])
+    engp_s = statistics.median(raw[f"engine_local{cpus}_multifile"])
 
     mb = size / 1e6
     summary = {
         "dump_mb": round(mb, 1),
         "n_pages": n_pages,
+        "reps": reps,
         "reference_sec": round(ref_s, 2),
         "engine_local1_sec": round(eng1_s, 2),
         f"engine_local{cpus}_sec": round(engn_s, 2),
@@ -165,6 +197,10 @@ def main() -> None:
         f"engine_local{cpus}_mb_s": round(mb / engn_s, 2),
         f"engine_local{cpus}_multifile_mb_s": round(mb / engp_s, 2),
     }
+    if reps > 1:
+        summary["raw_sec"] = {
+            k: [round(v, 2) for v in vs] for k, vs in raw.items()
+        }
     print(json.dumps(summary))
 
     # PERF.md accumulates round-over-round history below the header
@@ -207,7 +243,9 @@ def main() -> None:
             "throughput scales with splits, which is the 100 TB "
             "behavior (the reference has no multi-file mode at all).\n\n"
             "Generated by `tools/throughput_compare.py` "
-            f"({n_pages} pages × repeat {repeat}).\n"
+            f"({n_pages} pages × repeat {repeat}"
+            + (f", median of {reps} interleaved reps" if reps > 1 else "")
+            + ").\n"
         )
         f.write(SENTINEL)
         f.write(tail)
