@@ -363,14 +363,72 @@ from wikiextractor_spark.functions import textstats  # noqa: E402
 _STOP_EN = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
 
 
+# Imported-tokenizer vocabulary for the ta_text_profile
+# n_tokens_vocab column (r10): a fixed subword list shared verbatim
+# with the oracle, which re-runs greedy longest-match itself via a
+# recursive CTE — each step joins the active (word, pos) frontier
+# against the vocab on substring equality and takes MAX(token length)
+# (exactly the kernel's inner longest-match scan, functions/
+# tokenizer.py:_count_word); no match charges the OOV per-char cost
+# and advances one char.  Uppercase letters are deliberately absent
+# from the vocab so the fractional-OOV path is exercised on every
+# document.  Prototyped mismatch-free against the Python kernel over
+# all 5000 sf0.1 documents before wiring in.
+_BPE_VOCAB = [
+    "the", "and", "ing", "tion", "er", "re", "in", "on", "at",
+    "en", "es", "or", "an", "th", "he", "a", "e", "i", "o", "u",
+    "s", "t", "n", "r", "l", "d", "data", "of", "to", "is",
+]
+_BPE_OOV = 0.5
+_BPE_VOCAB_DUCK = ", ".join("('%s')" % t for t in _BPE_VOCAB)
+
+_TOK_VOCAB_CTE = f"""
+    vocab(token) AS (VALUES {_BPE_VOCAB_DUCK}),
+    words AS (
+      SELECT doc_id, u.w AS w, u.i AS wid
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents) u(doc_id, w, i)
+    ),
+    state AS (
+      SELECT doc_id, wid, w, 0 AS pos, CAST(0.0 AS DOUBLE) AS cnt
+      FROM words
+      UNION ALL
+      SELECT doc_id, wid, w,
+             pos + COALESCE(ml, 1) AS pos,
+             cnt + CASE WHEN ml IS NULL
+                        THEN CAST({_BPE_OOV} AS DOUBLE)
+                        ELSE 1.0 END AS cnt
+      FROM (
+        SELECT s.doc_id, s.wid, s.w, s.pos, s.cnt,
+               MAX(length(v.token)) AS ml
+        FROM state s LEFT JOIN vocab v
+          ON substring(s.w, s.pos + 1, length(v.token)) = v.token
+        WHERE s.pos < length(s.w)
+        GROUP BY s.doc_id, s.wid, s.w, s.pos, s.cnt
+      )
+    ),
+    tok AS (
+      SELECT doc_id, round(SUM(cnt), 6) AS n_tokens_vocab
+      FROM state WHERE pos >= length(w) GROUP BY doc_id
+    )
+"""
+
+
 # Token counting (whitespace + BPE-ish regex) and quality heuristics
 # (punct ratio, stopword density, composite score) in one per-document
 # projection.  Merged from r1's ta_token_stats + ta_quality_score
 # (both green) to fit the driver's 50-entry cap — one scan instead of
-# two is also the plan a 100 TB profiling pass would run.
+# two is also the plan a 100 TB profiling pass would run.  r10 adds
+# n_tokens_vocab: the IMPORTED-tokenizer count (save→load artifact
+# round trip + greedy longest-match kernel, functions/tokenizer.py)
+# so the model-token measure that pack_sequences/cap_group_tokens
+# budget against is driver-verified, not just pytest-pinned.
 @query(
     "ta_text_profile",
     f"""
+    WITH RECURSIVE
+    {_TOK_VOCAB_CTE}
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
@@ -383,8 +441,9 @@ _STOP_EN = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
                  + 4.0 * (len(list_filter(string_split(text, ' '), w -> list_contains([{_STOP_EN}], w)))
                           * 1.0 / len(string_split(text, ' ')))
                  - 0.3 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)),
-                 6) AS quality
-    FROM documents
+                 6) AS quality,
+           tok.n_tokens_vocab AS n_tokens_vocab
+    FROM documents JOIN tok USING (doc_id)
     """,
 )
 def ta_text_profile(spark, sf_dir):
@@ -393,7 +452,35 @@ def ta_text_profile(spark, sf_dir):
     ONCE as intermediate columns: Catalyst keeps multi-referenced
     non-trivial aliases materialized instead of collapsing them into
     every consumer, so each heavy subexpression runs once per row
-    (r2 inlined the split ~5× and the stopword filter 2×)."""
+    (r2 inlined the split ~5× and the stopword filter 2×).
+
+    The n_tokens_vocab column routes the r10 imported-tokenizer
+    surface end to end: the vocabulary artifact is SAVED and RELOADED
+    through the modelio round trip (so the adapter contract is under
+    the driver's hash, the lm_quality_gate pattern), then counted by
+    the greedy longest-match broadcast kernel.  The tempdir only
+    lives through load_bpe_vocab's eager checkpoint — the returned
+    plan depends on the broadcast vocab, not the files."""
+    import shutil
+    import tempfile
+
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_token_count,
+        load_bpe_vocab,
+        save_bpe_vocab,
+        vocab_from_tokens,
+    )
+
+    vdir = tempfile.mkdtemp(prefix="ta_vocab_")
+    try:
+        save_bpe_vocab(
+            vocab_from_tokens(spark, _BPE_VOCAB, _BPE_OOV),
+            f"{vdir}/vocab",
+        )
+        vocab = load_bpe_vocab(spark, f"{vdir}/vocab")
+    finally:
+        shutil.rmtree(vdir, ignore_errors=True)
+
     t = F.col("text")
     stop_lits = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
     d = (
@@ -411,6 +498,7 @@ def ta_text_profile(spark, sf_dir):
             / F.length(t),
         )
     )
+    d = bpe_token_count(d, vocab, out_col="_ntv")
     n_tok = F.size("_ws")
     stop_raw = F.col("_stop_en") * F.lit(1.0) / n_tok
     return d.select(
@@ -429,6 +517,7 @@ def ta_text_profile(spark, sf_dir):
             - F.lit(0.3) * F.col("_praw"),
             6,
         ).alias("quality"),
+        F.round(F.col("_ntv"), 6).alias("n_tokens_vocab"),
     )
 
 
@@ -967,8 +1056,11 @@ _DUCK_COS = (
     ),
     r AS (SELECT q_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-          FROM s)
-    SELECT q_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+          FROM s),
+    top AS (SELECT q_id, neighbor_id, cos, rank FROM r WHERE rank <= 5)
+    SELECT 'batch' AS family, q_id, neighbor_id, cos, rank FROM top
+    UNION ALL
+    SELECT 'stream' AS family, q_id, neighbor_id, cos, rank FROM top
     """,
 )
 def sim_ann_topk(spark, sf_dir):
@@ -980,12 +1072,27 @@ def sim_ann_topk(spark, sf_dir):
     machinery end to end (any vector lost or double-counted by the
     build/store/probe path fails the hash).  Sub-exhaustive-nprobe
     recall is pytest-pinned; the in-memory brute-force baseline
-    remains pytest-covered."""
+    remains pytest-covered.
+
+    The 'stream' family (r10) proves STREAMING index maintenance
+    under the same hash: the index is built over the even-vec_id half
+    only, the odd half arrives through the real
+    streaming/annindex.index_embeddings_stream path (availableNow
+    micro-batch → foreachBatch → ivf_index_add with frozen artifacts
+    + ingest ledger), and the exhaustive probe over the maintained
+    index must STILL equal brute force over ALL vectors — a vector
+    lost, duplicated, or mis-assigned by the streaming append fails
+    the hash.  Query id 1 is odd, so a streamed-in vector must also
+    be servable as a query."""
     import shutil
     import tempfile
 
+    from wikiextractor_spark.streaming.annindex import (
+        index_embeddings_stream,
+    )
+
     emb = _emb(spark, sf_dir)
-    index_dir = tempfile.mkdtemp(prefix="wx_ivf_battery_")
+    work = tempfile.mkdtemp(prefix="wx_ivf_battery_")
     try:
         # iters=1 exercises the Lloyd update loop once — enough to
         # verify the train→store→probe machinery this slot exists
@@ -994,18 +1101,48 @@ def sim_ann_topk(spark, sf_dir):
         # balance, at ~1.3 s per iteration of shuffle+collect;
         # convergence quality itself is pytest-pinned by the recall
         # curve in test_operators.py)
-        similarity.build_ivf_index(emb, index_dir, k=8, iters=1)
-        out = similarity.ann_ivf_topk_indexed(
-            spark, index_dir, query_ids=[0, 1, 2], k=5, nprobe=8
+        similarity.build_ivf_index(emb, f"{work}/full", k=8, iters=1)
+        batch_out = similarity.ann_ivf_topk_indexed(
+            spark, f"{work}/full", query_ids=[0, 1, 2], k=5, nprobe=8
         ).select(
+            F.lit("batch").alias("family"),
             "q_id", "neighbor_id", "cos",
             F.col("rank").cast("long").alias("rank"),
         )
-        # the result is tiny (queries × k); materialize it so the
-        # index directory can be deleted before the caller collects
+
+        # stream family: half-built index + streamed other half
+        # (iters=0: exhaustive probe equals brute force for ANY
+        # centroids, so the Lloyd loop — already covered above —
+        # would only add shuffle time here)
+        vecs = emb.select("vec_id", "embedding")
+        similarity.build_ivf_index(
+            vecs.filter(F.col("vec_id") % 2 == 0),
+            f"{work}/half", k=8, iters=0,
+        )
+        (
+            vecs.filter(F.col("vec_id") % 2 == 1)
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(f"{work}/arrivals")
+        )
+        index_embeddings_stream(
+            spark, f"{work}/arrivals", f"{work}/half",
+            f"{work}/ckpt",
+            schema="vec_id bigint, embedding array<float>",
+        ).awaitTermination()
+        stream_out = similarity.ann_ivf_topk_indexed(
+            spark, f"{work}/half", query_ids=[0, 1, 2], k=5, nprobe=8
+        ).select(
+            F.lit("stream").alias("family"),
+            "q_id", "neighbor_id", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out = batch_out.unionByName(stream_out)
+        # the result is tiny (2 × queries × k); materialize it so the
+        # index directories can be deleted before the caller collects
         return out.localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # IVF-PQ with exact refine (r7 similarity.py:1186+, driver-verified
