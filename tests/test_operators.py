@@ -3992,6 +3992,30 @@ def test_index_artifact_loaders_validate_density(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="pq_books"):
         load_pq_books(spark, idx2)
 
+    # a DUPLICATED (subspace, code) row: the grid still looks dense
+    # after dict collapse, so density checks alone would pass and
+    # serving would score against a file-order-dependent centroid —
+    # the row-count check must catch it (r10 review finding)
+    idx3 = str(tmp_path / "valid_idx3")
+    build_ivf_index(corpus, idx3, k=2, iters=0,
+                    pq={"m": 8, "k": 8, "iters": 0})
+    one_book = spark.read.parquet(f"{idx3}/pq_books").filter(
+        (F.col("subspace") == 3) & (F.col("code") == 5)
+    )
+    one_book.write.mode("append").parquet(f"{idx3}/pq_books")
+    with pytest.raises(ValueError, match="duplicated"):
+        load_pq_books(spark, idx3)
+
+    # a present-but-EMPTY sq_codec (crashed partial rewrite) must
+    # raise, not return [] — an empty codec would slip past every
+    # `codec is None` guard and serve dim-0 all-tie scores silently
+    # (r10 review finding)
+    spark.read.parquet(f"{idx}/sq_codec").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{idx2}/sq_codec")
+    with pytest.raises(ValueError, match="zero rows"):
+        load_sq_codec(spark, idx2)
+
 
 def test_keyword_only_serving_flags(spark, emb, tmp_path):
     """ADVICE r10: use_pq/use_sq/refine are keyword-only on both
@@ -4016,11 +4040,11 @@ def test_keyword_only_serving_flags(spark, emb, tmp_path):
 
 
 def test_rerank_semi_join_above_query_threshold(spark, emb, tmp_path, monkeypatch):
-    """VERDICT r9 'What's wrong' #1: above _RERANK_ISIN_MAX_QUERIES
-    the exact-rerank fetch switches from a literal isin() (plan size
-    grows with queries × k × refine) to a broadcast semi-join against
-    the materialized shortlist — result-identical, and the generated
-    plan stays O(1) in the query count."""
+    """VERDICT r9 'What's wrong' #1: above _RERANK_ISIN_MAX_IDS
+    inlined shortlist ids (queries × k × refine) the exact-rerank
+    fetch switches from a literal isin() to a broadcast semi-join
+    against the materialized shortlist — result-identical, and the
+    generated plan stays O(1) in the query count."""
     from wikiextractor_spark.operators import similarity
     from wikiextractor_spark.operators.similarity import (
         ann_ivf_search_vectors,
@@ -4049,7 +4073,7 @@ def test_rerank_semi_join_above_query_threshold(spark, emb, tmp_path, monkeypatc
         via_isin = rows(ann_ivf_search_vectors(
             spark, idx, queries, k=3, nprobe=2, refine=2, **kw,
         ))
-        monkeypatch.setattr(similarity, "_RERANK_ISIN_MAX_QUERIES", 0)
+        monkeypatch.setattr(similarity, "_RERANK_ISIN_MAX_IDS", 0)
         semi_df = ann_ivf_search_vectors(
             spark, idx, queries, k=3, nprobe=2, refine=2, **kw,
         )
@@ -4057,7 +4081,7 @@ def test_rerank_semi_join_above_query_threshold(spark, emb, tmp_path, monkeypatc
         plan = semi_df._jdf.queryExecution().executedPlan().toString()
         assert "LeftSemi" in plan
         assert rows(semi_df) == via_isin
-        monkeypatch.setattr(similarity, "_RERANK_ISIN_MAX_QUERIES", 256)
+        monkeypatch.setattr(similarity, "_RERANK_ISIN_MAX_IDS", 10240)
 
 
 def test_rerank_plan_size_constant_in_query_count(spark, emb, tmp_path):
@@ -4068,23 +4092,154 @@ def test_rerank_plan_size_constant_in_query_count(spark, emb, tmp_path):
     level only (no collect): the 300-query plan may not be
     meaningfully longer than the 270-query plan."""
     from wikiextractor_spark.operators.similarity import (
-        _RERANK_ISIN_MAX_QUERIES,
+        _RERANK_ISIN_MAX_IDS,
         ann_ivf_search_vectors,
         build_ivf_index,
     )
 
-    assert _RERANK_ISIN_MAX_QUERIES == 256
+    assert _RERANK_ISIN_MAX_IDS == 10240
     idx = str(tmp_path / "plansize_idx")
     corpus = emb.limit(40).localCheckpoint(eager=True)
     build_ivf_index(corpus, idx, k=2, iters=0, sq=True)
     base = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
 
+    # k=10 × refine=4 is the documented serving shape: 270 queries
+    # put the inlined-id count (270 × 40 = 10800) just past the
+    # threshold, so BOTH runs must take the semi-join path — the
+    # boundary is denominated in ids, not queries (a 200-query k=100
+    # refine=10 call would inline 200k literals under a query gate)
     def plan_len(n):
         qs = [(i, [v + i * 1e-6 for v in base]) for i in range(n)]
         df = ann_ivf_search_vectors(
-            spark, idx, qs, k=3, nprobe=2, refine=2, use_sq=True,
+            spark, idx, qs, k=10, nprobe=2, refine=4, use_sq=True,
         )
         return len(df._jdf.queryExecution().optimizedPlan().toString())
 
     a, b = plan_len(270), plan_len(300)
     assert abs(b - a) < 2000, (a, b)
+
+
+def test_compact_ivf_index_restores_build_layout(spark, emb, tmp_path):
+    """r10: a long-running ingest stream appends one file per touched
+    centroid partition per micro-batch; compact_ivf_index must fold
+    the fragments back to the build's one-file-per-partition layout
+    with bit-identical search results, stats, and artifacts."""
+    import os
+
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_add,
+        ivf_index_stats,
+    )
+
+    idx = str(tmp_path / "compact_idx")
+    vecs = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    build_ivf_index(
+        vecs.filter(F.col("vec_id") < 30), idx, k=2, iters=0,
+        pq={"m": 8, "k": 8, "iters": 0}, sq=True,
+    )
+    # four incremental adds fragment both vectors and assignments
+    for lo in (30, 35, 40, 45):
+        ivf_index_add(
+            spark, idx,
+            vecs.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 5)
+            ),
+        )
+
+    def part_files(c):
+        d = f"{idx}/vectors/centroid_id={c}"
+        return [
+            f for f in os.listdir(d)
+            if not f.startswith(("_", ".")) and os.path.isfile(f"{d}/{f}")
+        ]
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["neighbor_id"], r["cos"], r["rank"])
+            for r in df.collect()
+        )
+
+    assert len(part_files(0)) > 1 or len(part_files(1)) > 1
+    before = rows(ann_ivf_topk_indexed(
+        spark, idx, query_ids=[0, 31, 47], k=5, nprobe=2,
+    ))
+    before_pq = rows(ann_ivf_topk_indexed(
+        spark, idx, query_ids=[0, 31, 47], k=5, nprobe=2, use_pq=True,
+    ))
+    stats_before = {
+        (r["centroid_id"], r["n_vectors"])
+        for r in ivf_index_stats(spark, idx).collect()
+    }
+
+    n = compact_ivf_index(spark, idx, min_files=2)
+    assert n >= 2  # at least one vectors partition + assignments
+
+    # build layout restored: one data file per fragmented partition
+    assert len(part_files(0)) == 1 and len(part_files(1)) == 1
+    # results, stats, and the quantized serving path are unchanged
+    assert rows(ann_ivf_topk_indexed(
+        spark, idx, query_ids=[0, 31, 47], k=5, nprobe=2,
+    )) == before
+    assert rows(ann_ivf_topk_indexed(
+        spark, idx, query_ids=[0, 31, 47], k=5, nprobe=2, use_pq=True,
+    )) == before_pq
+    assert {
+        (r["centroid_id"], r["n_vectors"])
+        for r in ivf_index_stats(spark, idx).collect()
+    } == stats_before
+    # idempotent: already-compact units fall under min_files
+    assert compact_ivf_index(spark, idx, min_files=2) == 0
+
+
+def test_compact_ivf_index_repair_and_contracts(spark, emb, tmp_path):
+    """The crash-state repair: a partition retired but not promoted
+    is restored; stray tmp dirs are cleared; a missing index raises
+    the module's contract error rather than creating directories."""
+    import os
+    import shutil
+
+    import pytest
+
+    from wikiextractor_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+
+    with pytest.raises(ValueError, match="no index"):
+        compact_ivf_index(spark, str(tmp_path / "nope"))
+
+    idx = str(tmp_path / "repair_idx")
+    vecs = emb.select("vec_id", "embedding").limit(40).localCheckpoint(
+        eager=True
+    )
+    build_ivf_index(vecs, idx, k=2, iters=0)
+    before = sorted(
+        (r["q_id"], r["neighbor_id"], r["cos"])
+        for r in ann_ivf_topk_indexed(
+            spark, idx, query_ids=[0, 1], k=5, nprobe=2,
+        ).collect()
+    )
+
+    # crash between retire and promote: live partition missing, data
+    # only under .compact_retired — repair must rename it back
+    os.makedirs(f"{idx}/.compact_retired/vectors", exist_ok=True)
+    shutil.move(
+        f"{idx}/vectors/centroid_id=0",
+        f"{idx}/.compact_retired/vectors/centroid_id=0",
+    )
+    # plus a stray tmp from the same crash
+    os.makedirs(f"{idx}/.compact_tmp/vectors/centroid_id=0", exist_ok=True)
+    compact_ivf_index(spark, idx)
+    assert os.path.isdir(f"{idx}/vectors/centroid_id=0")
+    assert not os.path.exists(f"{idx}/.compact_retired")
+    assert not os.path.exists(f"{idx}/.compact_tmp")
+    assert sorted(
+        (r["q_id"], r["neighbor_id"], r["cos"])
+        for r in ann_ivf_topk_indexed(
+            spark, idx, query_ids=[0, 1], k=5, nprobe=2,
+        ).collect()
+    ) == before

@@ -153,7 +153,14 @@ def main() -> None:
     reps = 1
     if "--reps" in argv:
         i = argv.index("--reps")
-        reps = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            raise SystemExit("--reps requires a value (e.g. --reps 3)")
+        try:
+            reps = int(argv[i + 1])
+        except ValueError:
+            raise SystemExit(
+                f"--reps requires an integer, got {argv[i + 1]!r}"
+            ) from None
         del argv[i: i + 2]
     if reps < 1:
         raise SystemExit("--reps must be >= 1")

@@ -42,10 +42,22 @@ pack/cap plans are unchanged, only the measure is.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 VOCAB_SCHEMA = "token string, token_id double"
+
+# Pre-tokenization grain, pinned to the EXPLICIT ASCII whitespace
+# class rather than str.split()'s Unicode-whitespace rule: the class
+# is restatable verbatim in any regex engine (the battery oracle
+# re-splits with the same pattern in DuckDB/RE2), while Python's
+# Unicode rule (NBSP, ideographic space, \x1c-\x1f...) has no
+# portable regex equivalent — a corpus NBSP would silently diverge
+# the count from any restatement.
+WS_SPLIT_PATTERN = "[ \\t\\n\\r\\f\\v]+"
+_WS_SPLIT = re.compile(WS_SPLIT_PATTERN)
 
 
 def vocab_from_tokens(
@@ -55,7 +67,10 @@ def vocab_from_tokens(
     ids are the list positions, plus the NULL-token OOV row.  The
     test/bootstrap path; real artifacts come from a tokenizer dump
     via :func:`save_bpe_vocab` / :func:`load_bpe_vocab`."""
-    bad = [t for t in tokens if t is None or t == "" or t.split() != [t]]
+    bad = [
+        t for t in tokens
+        if t is None or t == "" or _WS_SPLIT.search(t)
+    ]
     if bad:
         raise ValueError(
             f"vocab_from_tokens: {len(bad)} empty or "
@@ -147,7 +162,7 @@ def bpe_token_count(
     tokens = [r["token"] for r in rows if r["token"] is not None]
     if not tokens:
         raise ValueError("bpe_token_count: empty vocabulary")
-    bad = [t for t in tokens if t == "" or t.split() != [t]]
+    bad = [t for t in tokens if t == "" or _WS_SPLIT.search(t)]
     if bad:
         raise ValueError(
             f"bpe_token_count: {len(bad)} empty or whitespace-carrying "
@@ -165,7 +180,8 @@ def bpe_token_count(
         vs, ml, ov = bc.value
         return s.map(
             lambda t: None if t is None else sum(
-                _count_word(w, vs, ml, ov) for w in t.split()
+                _count_word(w, vs, ml, ov)
+                for w in _WS_SPLIT.split(t) if w
             )
         )
 

@@ -1037,6 +1037,205 @@ def ivf_index_stats(spark, index_dir: str) -> DataFrame:
     )
 
 
+def _compaction_repair(spark, index_dir: str) -> None:
+    """Recover from a crash mid-:func:`compact_ivf_index`: any unit
+    retired under ``.compact_retired/`` whose live directory is
+    missing is renamed back (crash between retire and promote), any
+    retired unit whose live directory exists is deleted (crash after
+    promote), and ``.compact_tmp/`` leftovers are removed.  Every
+    state the protocol can crash in resolves to a complete index."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jvm = spark._jvm
+    retired_root, fs = hadoop_fs(spark, f"{index_dir}/.compact_retired")
+    if fs.exists(retired_root):
+        for st in fs.listStatus(retired_root):
+            rel = st.getPath().getName()
+            if rel == "vectors" and st.isDirectory():
+                # vectors partitions retire one level deeper
+                for sub in fs.listStatus(st.getPath()):
+                    live = jvm.org.apache.hadoop.fs.Path(
+                        f"{index_dir}/vectors/{sub.getPath().getName()}"
+                    )
+                    if fs.exists(live):
+                        fs.delete(sub.getPath(), True)
+                    else:
+                        fs.rename(sub.getPath(), live)
+            else:
+                live = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{rel}")
+                if fs.exists(live):
+                    fs.delete(st.getPath(), True)
+                else:
+                    fs.rename(st.getPath(), live)
+        fs.delete(retired_root, True)
+    tmp_root, _ = hadoop_fs(spark, f"{index_dir}/.compact_tmp")
+    if fs.exists(tmp_root):
+        fs.delete(tmp_root, True)
+
+
+def _content_fingerprints(df: DataFrame, cols: list[str]) -> dict:
+    """``centroid_id -> (count, xor of row hashes)`` — order-free
+    row-set fingerprint used to prove a compaction rewrite preserved
+    every row before the swap (count catches cardinality changes,
+    the xor catches same-cardinality substitutions)."""
+    rows = (
+        df.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("x"),
+        )
+        .collect()
+    )
+    return {int(r["centroid_id"]): (r["n"], r["x"]) for r in rows}
+
+
+def compact_ivf_index(
+    spark, index_dir: str, min_files: int = 8,
+) -> int:
+    """Rewrite fragmented partitions of a persisted IVF index back to
+    the build's one-file-per-partition layout — the maintenance pass
+    a long-lived :func:`~wikiextractor_spark.streaming.annindex.
+    index_embeddings_stream` needs, since every micro-batch appends
+    one file per touched ``centroid_id=`` directory (and one to
+    ``assignments``), so probe open/seek cost otherwise grows with
+    stream lifetime, not corpus size.
+
+    OFFLINE maintenance, single writer: stop the ingest stream first
+    (the store's standing single-writer contract) — a concurrent add
+    could land between a partition's fingerprint and its swap and be
+    lost; concurrent probes can observe a partition mid-swap.  Every
+    rewritten unit is verified against the live data (per-partition
+    row count + order-free xor of full-row hashes) BEFORE any swap,
+    and the swap itself is rename-based with retire-then-promote
+    ordering, so a crash at any point leaves either the old or the
+    new complete data recoverable — :func:`_compaction_repair` (run
+    automatically at the start of every compaction) restores the
+    index; it never loses or duplicates rows.
+
+    One shuffle job rewrites ALL fragmented vector partitions (not a
+    job per directory — at thousands of centroids that would be
+    thousands of tiny jobs); ``assignments`` is rewritten as one unit
+    preserving its id-range-sorted file layout.  The ingest ledger is
+    NOT touched (it has its own
+    :func:`~wikiextractor_spark.streaming.annindex.compact_ingest_log`
+    and is coupled to checkpoint lineage).  Returns the number of
+    units (partitions + assignments) compacted."""
+    from wikiextractor_spark.fsutil import hadoop_fs, int_partition_dirs
+
+    jvm = spark._jvm
+    root, fs = hadoop_fs(spark, index_dir)
+    if not fs.exists(root):
+        raise ValueError(f"compact_ivf_index: no index at {index_dir!r}")
+    _compaction_repair(spark, index_dir)
+
+    def _n_files(path: str) -> int:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+        )
+
+    def _swap(live: str, tmp: str, retired: str) -> None:
+        for d in (retired,):
+            parent = jvm.org.apache.hadoop.fs.Path(d).getParent()
+            fs.mkdirs(parent)
+        lp = jvm.org.apache.hadoop.fs.Path(live)
+        if not fs.rename(lp, jvm.org.apache.hadoop.fs.Path(retired)):
+            raise IOError(f"compact_ivf_index: retire rename failed for {live}")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), lp):
+            raise IOError(f"compact_ivf_index: promote rename failed for {live}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(retired), True)
+
+    compacted = 0
+
+    # --- vectors: all fragmented partitions in ONE rewrite job ---
+    frag = [
+        (c, path)
+        for c, path in int_partition_dirs(
+            spark, f"{index_dir}/vectors/centroid_id=*", "centroid_id"
+        )
+        if _n_files(path) >= min_files
+    ]
+    if frag:
+        live_df = spark.read.option(
+            "basePath", f"{index_dir}/vectors"
+        ).parquet(*[p for _c, p in frag])
+        data_cols = [c for c in live_df.columns if c != "centroid_id"]
+        (
+            live_df.repartition(F.col("centroid_id"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{index_dir}/.compact_tmp/vectors")
+        )
+        tmp_df = spark.read.parquet(f"{index_dir}/.compact_tmp/vectors")
+        want = _content_fingerprints(live_df, data_cols)
+        got = _content_fingerprints(tmp_df, data_cols)
+        if want != got:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_tmp"),
+                True,
+            )
+            raise RuntimeError(
+                "compact_ivf_index: rewrite fingerprint mismatch on "
+                f"vectors partitions {sorted(set(want) ^ set(got)) or 'content'}"
+                " — tmp discarded, live index untouched"
+            )
+        for c, path in frag:
+            _swap(
+                path,
+                f"{index_dir}/.compact_tmp/vectors/centroid_id={c}",
+                f"{index_dir}/.compact_retired/vectors/centroid_id={c}",
+            )
+            compacted += 1
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_tmp"), True
+        )
+
+    # --- assignments: one unit, preserving range-sorted layout ---
+    apath = f"{index_dir}/assignments"
+    # canonical assignments layout is 8 id-range files (build and
+    # compaction both write repartitionByRange(8)), so "fragmented"
+    # means more than that — gating on min_files alone would
+    # re-compact the canonical layout forever
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(apath)) and (
+        _n_files(apath) > max(8, min_files)
+    ):
+        adf = spark.read.parquet(apath)
+        id_col = [c for c in adf.columns if c != "centroid_id"][0]
+        (
+            adf.repartitionByRange(8, F.col(id_col))
+            .sortWithinPartitions(id_col)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/.compact_tmp/assignments")
+        )
+        tmp = spark.read.parquet(f"{index_dir}/.compact_tmp/assignments")
+        want = _content_fingerprints(adf, [id_col])
+        got = _content_fingerprints(tmp, [id_col])
+        if want != got:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_tmp"),
+                True,
+            )
+            raise RuntimeError(
+                "compact_ivf_index: rewrite fingerprint mismatch on "
+                "assignments — tmp discarded, live index untouched"
+            )
+        _swap(
+            apath,
+            f"{index_dir}/.compact_tmp/assignments",
+            f"{index_dir}/.compact_retired/assignments",
+        )
+        compacted += 1
+    # each swap deleted its own retired entry; clear the (now empty)
+    # scratch roots so a compacted index has no leftover dot-dirs
+    for scratch in (".compact_tmp", ".compact_retired"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{scratch}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    return compacted
+
+
 def load_ivf_centroids(spark, index_dir: str) -> list[list[float]]:
     """The trained centroid matrix back from :func:`build_ivf_index`
     (driver-sized by construction: k×dim doubles)."""
@@ -1075,6 +1274,17 @@ def load_pq_books(
             f"load_pq_books: corrupt pq_books at {index_dir!r} — "
             f"subspace column must be exactly 0..n-1, got {subs[:8]}"
         )
+    # the dict above COLLAPSES duplicate (subspace, code) rows before
+    # the density checks below can see them — a stray append would
+    # keep a file-order-dependent centroid while the grid still looks
+    # dense, so compare entry count against raw row count first
+    if sum(len(v) for v in by_sub.values()) != len(rows):
+        raise ValueError(
+            f"load_pq_books: corrupt pq_books at {index_dir!r} — "
+            f"{len(rows)} rows but "
+            f"{sum(len(v) for v in by_sub.values())} distinct "
+            "(subspace, code) keys; duplicated rows"
+        )
     k0 = sorted(by_sub[0])
     for j in subs:
         if sorted(by_sub[j]) != list(range(len(k0))):
@@ -1108,6 +1318,14 @@ def load_sq_codec(
     # module's raise-don't-guess contract, so validate the dim set is
     # exactly 0..n-1 first (mirrors load_keyed_table's contract errors)
     dims = sorted(int(r["dim"]) for r in rows)
+    if not rows:
+        # present-but-empty is a crashed/partial write, not "no SQ":
+        # returning [] would slip past every `codec is None` guard
+        # and serve dim-0 all-tie scores silently
+        raise ValueError(
+            f"load_sq_codec: corrupt sq_codec at {index_dir!r} — "
+            "artifact exists but has zero rows"
+        )
     if dims != list(range(len(rows))):
         raise ValueError(
             f"load_sq_codec: corrupt sq_codec at {index_dir!r} — dim "
@@ -1413,10 +1631,13 @@ def ann_ivf_search_vectors(
     )
 
 
-# the same boundary as ann_ivf_pq_topk's broadcast_threshold: below
-# it, per-query literals (LUT projections there, shortlist IN-lists
-# here) beat a join; above it they blow up the generated plan
-_RERANK_ISIN_MAX_QUERIES = 256
+# same boundary idea as ann_ivf_pq_topk's broadcast_threshold, but
+# denominated in what actually inflates the plan: the INLINED ID
+# COUNT (queries × k × refine), not the query count — 200 queries at
+# k=100, refine=10 would inline 200k literals while passing a
+# query-count gate.  10240 = the r9 boundary's 256 queries at the
+# documented k=10, refine=4 serving shape.
+_RERANK_ISIN_MAX_IDS = 10240
 
 
 def _probe_and_rank_pq(
@@ -1499,11 +1720,12 @@ def _exact_rerank_shortlist(
     and re-rank it with EXACT cosine over raw vectors fetched from
     the probed partitions.
 
-    Up to ``_RERANK_ISIN_MAX_QUERIES`` queries the fetch filter is a
-    literal ``id IN (shortlist)`` — pushed down to parquet, so row
-    groups whose id stats exclude the shortlist never decompress the
-    vector column.  Above it the inlined literal list (≤ queries × k
-    × refine ids) would blow up the generated plan the same way
+    Up to ``_RERANK_ISIN_MAX_IDS`` shortlist ids (queries × k ×
+    refine — the quantity that actually inflates the plan) the fetch
+    filter is a literal ``id IN (shortlist)`` — pushed down to
+    parquet, so row groups whose id stats exclude the shortlist never
+    decompress the vector column.  Above it the inlined literal list
+    would blow up the generated plan the same way
     per-query LUT projections did before the r8 broadcast-LUT switch
     (~40k literals at 1000 queries, k=10, refine=4), so the fetch
     switches to a broadcast semi-join against the (already
@@ -1530,7 +1752,7 @@ def _exact_rerank_shortlist(
             _as_double(F.col(vec_col)).alias("v"),
         )
     )
-    if n_queries <= _RERANK_ISIN_MAX_QUERIES:
+    if n_queries * k * refine <= _RERANK_ISIN_MAX_IDS:
         cand_ids = [
             r["neighbor_id"]
             for r in shortlist.select("neighbor_id").distinct().collect()

@@ -385,9 +385,15 @@ _BPE_VOCAB_DUCK = ", ".join("('%s')" % t for t in _BPE_VOCAB)
 _TOK_VOCAB_CTE = f"""
     vocab(token) AS (VALUES {_BPE_VOCAB_DUCK}),
     words AS (
+      -- pre-tokenization restated with the kernel's OWN pattern
+      -- (tokenizer.WS_SPLIT_PATTERN, the explicit ASCII whitespace
+      -- class — pinned portable precisely so this restatement cannot
+      -- diverge on multi-space/newline/tab text); empty split pieces
+      -- count 0.0 below, matching the kernel's empty-word filter
       SELECT doc_id, u.w AS w, u.i AS wid
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-                   generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS w,
+                   generate_subscripts(regexp_split_to_array(text, '[ \t\n\r\f\v]+'), 1) AS i
             FROM documents) u(doc_id, w, i)
     ),
     state AS (
@@ -443,7 +449,9 @@ _TOK_VOCAB_CTE = f"""
                  - 0.3 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)),
                  6) AS quality,
            tok.n_tokens_vocab AS n_tokens_vocab
-    FROM documents JOIN tok USING (doc_id)
+    -- LEFT: a NULL-text doc has no words rows, and the kernel passes
+    -- NULL text through as a NULL count rather than dropping the doc
+    FROM documents LEFT JOIN tok USING (doc_id)
     """,
 )
 def ta_text_profile(spark, sf_dir):
@@ -1125,11 +1133,18 @@ def sim_ann_topk(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(f"{work}/arrivals")
         )
-        index_embeddings_stream(
+        iq = index_embeddings_stream(
             spark, f"{work}/arrivals", f"{work}/half",
             f"{work}/ckpt",
             schema="vec_id bigint, embedding array<float>",
-        ).awaitTermination()
+        )
+        if not iq.awaitTermination(120):
+            iq.stop()
+            raise TimeoutError(
+                "sim_ann_topk: index-maintenance stream did not drain "
+                "in 120s — refusing to probe a partially maintained "
+                "index"
+            )
         stream_out = similarity.ann_ivf_topk_indexed(
             spark, f"{work}/half", query_ids=[0, 1, 2], k=5, nprobe=8
         ).select(

@@ -35,6 +35,10 @@ The applied-id set is cached in the writer's closure (single-writer
 contract) so steady state does one ledger READ at stream start, not
 one per batch; each applied batch appends one tiny ledger file —
 compact with :func:`compact_ingest_log` on long-running streams.
+The DATA files fragment the same way (one file per touched centroid
+partition per batch, one per batch in ``assignments``) — fold them
+back to the build layout with :func:`~wikiextractor_spark.operators.
+similarity.compact_ivf_index` while the stream is stopped.
 """
 
 from __future__ import annotations
