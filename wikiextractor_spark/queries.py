@@ -1087,9 +1087,11 @@ def sim_ann_topk(spark, sf_dir):
     only, the odd half arrives through the real
     streaming/annindex.index_embeddings_stream path (availableNow
     micro-batch → foreachBatch → ivf_index_add with frozen artifacts
-    + ingest ledger), and the exhaustive probe over the maintained
-    index must STILL equal brute force over ALL vectors — a vector
-    lost, duplicated, or mis-assigned by the streaming append fails
+    + ingest ledger), the fragmented partitions are folded back to
+    the build layout by compact_ivf_index, and the exhaustive probe
+    over the maintained-then-compacted index must STILL equal brute
+    force over ALL vectors — a vector lost, duplicated, or
+    mis-assigned by the streaming append OR the compaction swap fails
     the hash.  Query id 1 is odd, so a streamed-in vector must also
     be servable as a query."""
     import shutil
@@ -1145,6 +1147,11 @@ def sim_ann_topk(spark, sf_dir):
                 "in 120s — refusing to probe a partially maintained "
                 "index"
             )
+        # fold the stream's per-batch appends back to the build
+        # layout BEFORE serving: the same brute-force oracle then
+        # hashes the compactor too — a row lost, duplicated, or
+        # mis-partitioned by the retire→promote swap fails the slot
+        similarity.compact_ivf_index(spark, f"{work}/half", min_files=2)
         stream_out = similarity.ann_ivf_topk_indexed(
             spark, f"{work}/half", query_ids=[0, 1, 2], k=5, nprobe=8
         ).select(
