@@ -11,6 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from wikiextractor_spark.functions.html import (
+    extract_main_content,
+    extract_main_content_duckdb_sql,
     html_to_text,
     html_to_text_duckdb_sql,
 )
@@ -257,6 +259,124 @@ def test_html_to_text_is_native(spark):
     no exchange: one codegen stage over the scan at 100 TB."""
     df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
         html_to_text(F.col("html")).alias("t")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+_ARTICLE = (
+    "This paragraph carries enough ordinary prose to clear the "
+    "length floor comfortably and it mentions a "
+    '<a href="/ref">reference</a> inline.'
+)
+_LINK_FARM = (
+    '<a href="/">Home page</a> <a href="/a">About the site</a> '
+    '<a href="/c">Contact and press</a> <a href="/t">Terms</a>'
+)
+
+
+def test_extract_main_content_contract(spark):
+    cases = {
+        # long low-density paragraph kept (inline anchor counted, but
+        # its share is far under the 33% ceiling)
+        f"<p>{_ARTICLE}</p>": (
+            "This paragraph carries enough ordinary prose to clear "
+            "the length floor comfortably and it mentions a "
+            "reference inline."
+        ),
+        # nav link farm: long enough to pass the floor, ~100% link
+        # density — dropped; the article block survives alone
+        f"<nav>{_LINK_FARM}</nav><p>{_ARTICLE}</p>": (
+            "This paragraph carries enough ordinary prose to clear "
+            "the length floor comfortably and it mentions a "
+            "reference inline."
+        ),
+        # short blocks dropped by the length floor even with no links
+        "<p>too short</p><h1>Title</h1>": "",
+        # invisible elements and comments never reach a block
+        f"<script>var x = 'very long boilerplate string here';"
+        f"</script><!-- {'c' * 40} --><p>{_ARTICLE}</p>": (
+            "This paragraph carries enough ordinary prose to clear "
+            "the length floor comfortably and it mentions a "
+            "reference inline."
+        ),
+        # every surviving block becomes ONE whitespace-collapsed line
+        "<div>first   long block of perfectly ordinary body "
+        "prose</div><div>second\nlong block of perfectly ordinary "
+        "body prose</div>": (
+            "first long block of perfectly ordinary body prose\n"
+            "second long block of perfectly ordinary body prose"
+        ),
+        None: None,
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "html string"
+    ).select("html", extract_main_content(F.col("html")).alias("t"))
+    got = {r["html"]: r["t"] for r in df.collect()}
+    assert got == cases
+
+
+def test_extract_main_content_thresholds(spark):
+    """The two knobs move the cut independently, and the density
+    comparison is exact integer arithmetic at the boundary."""
+    # txt = 30 chars with exactly 10 anchor chars → 1000 <= pct*30
+    block = '123456789 <a href="/x">abcdefghij</a> 123456789'
+    df = spark.createDataFrame([(f"<p>{block}</p>",)], "html string")
+
+    def run(**kw):
+        return df.select(
+            extract_main_content(F.col("html"), **kw).alias("t")
+        ).first()["t"]
+
+    assert run(max_link_pct=34) != ""
+    assert run(max_link_pct=33) == ""   # 1000 > 33*30 = 990
+    assert run(max_link_pct=34, min_chars=31) == ""
+    assert run(max_link_pct=34, min_chars=30) != ""
+
+
+def test_extract_main_content_duckdb_twin(spark):
+    samples = [
+        f"<nav>{_LINK_FARM}</nav><h1>Doc</h1><p>{_ARTICLE}</p>"
+        f"<footer>© example.org <a href='/t'>Terms of use</a> "
+        f"<a href='/p'>Privacy and cookies</a></footer>",
+        # anchor split across a block boundary contributes 0 (stated)
+        '<p>start of a perfectly long body paragraph <a href="/x">'
+        "anchor</p><p>tail</a> and more perfectly long body prose "
+        "to pass the floor</p>",
+        # entities inside blocks and anchors
+        "<p>A &amp;amp; B with plenty of padding text to pass the "
+        'length floor <a href="/y">&lt;tagged&gt; anchor</a></p>',
+        "plain text with no markup at all, long enough to keep",
+        "",
+        None,
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "html string")
+    spark_out = [
+        r["t"]
+        for r in sdf.select(
+            extract_main_content(F.col("html")).alias("t")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h (i INT, html VARCHAR)")
+    con.executemany(
+        "INSERT INTO h VALUES (?, ?)", list(enumerate(samples))
+    )
+    duck_out = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {extract_main_content_duckdb_sql('html')} "
+            "FROM h ORDER BY i"
+        ).fetchall()
+    ]
+    assert spark_out == duck_out
+
+
+def test_extract_main_content_is_native(spark):
+    df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
+        extract_main_content(F.col("html")).alias("t")
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan

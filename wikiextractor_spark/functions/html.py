@@ -95,6 +95,14 @@ def _ci(tag: str) -> str:
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _BLOCK_RE = r"</?(?:%s)\b[^>]*>" % "|".join(_ci(t) for t in BLOCK_TAGS)
 _TAG_RE = r"<[A-Za-z/!][^>]*>"
+# anchor CONTENT spans for link-density scoring (extract_main_content):
+# group 1 is everything between <a ...> and </a>, dotall + non-greedy;
+# explicit [aA] for the same cross-engine case-folding reason as _ci
+_ANCHOR_RE = r"(?s)<[aA]\b[^>]*>(.*?)</[aA]\s*>"
+# ALL whitespace, as an explicit class: Java's \s includes \x0B where
+# RE2's does not, so spelling the class out keeps the two engines'
+# collapse identical on vertical-tab input
+_WS_RE = r"[ \t\r\n\f]+"
 
 
 def _drop_re(tag: str) -> str:
@@ -145,6 +153,122 @@ def html_to_text_duckdb_sql(expr: str) -> str:
     # array_join is '' — restate Spark's semantics: NULL in → NULL
     # out, otherwise never NULL (expr is referenced twice, so pass a
     # column/CTE reference, not a bound parameter)
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"ELSE coalesce({joined}, '') END"
+    )
+
+
+# --------------------------------------------------------------------------
+# Main-content extraction: block-level link-density + length scoring
+# --------------------------------------------------------------------------
+#
+# The step ABOVE the tag-strip cascade: :func:`html_to_text` keeps
+# every text node, so nav menus, footer link farms, and cookie
+# banners survive as short link-dense lines.  jusText/boilerpipe (and
+# trafilatura's fallback heuristics) classify BLOCKS instead: split
+# the page at block-level tag boundaries, score each block by its
+# visible text length and its link density (anchor-text chars /
+# total chars), and keep only long, low-link-density blocks — the
+# main article body.  Same shape here, deliberately native: the
+# whole classifier is one higher-order-function expression over the
+# split array (no UDF, no shuffle, NULL in → NULL out), and the
+# density comparison is INTEGER arithmetic
+# (``anchor_chars * 100 <= max_link_pct * text_chars``) so the
+# DuckDB twin cannot drift on float division.
+#
+# Stated limits (deterministic, mirrored by the twin): an anchor
+# whose open and close tags land in different blocks (malformed
+# nesting across a block boundary) contributes 0 to anchor length —
+# the span regex never sees a complete anchor; stopword density (the
+# other half of full jusText) lives in the existing Gopher gate,
+# which composes downstream at the document grain.
+
+MAIN_MIN_CHARS = 25
+MAIN_MAX_LINK_PCT = 33
+
+
+def extract_main_content(
+    col: Column, *,
+    min_chars: int = MAIN_MIN_CHARS,
+    max_link_pct: int = MAIN_MAX_LINK_PCT,
+) -> Column:
+    """Main-article text of an HTML column: comments and invisible
+    elements dropped, the page split into blocks at block-tag
+    boundaries, each block reduced to whitespace-collapsed visible
+    text, and only blocks with ``len >= min_chars`` and anchor-text
+    share ``<= max_link_pct`` percent kept, one block per output
+    line.
+
+    Scale shape: a pure expression tree over one column — no UDF, no
+    shuffle, one codegen stage; per-row cost is linear in the HTML
+    size like :func:`html_to_text`."""
+
+    def _clean(x: Column) -> Column:
+        t = F.regexp_replace(x, _TAG_RE, "")
+        for pat, rep in HTML_ENTITIES:
+            t = F.regexp_replace(t, pat, rep)
+        return F.trim(F.regexp_replace(t, _WS_RE, " "))
+
+    c = F.regexp_replace(col, _COMMENT_RE, "")
+    for tag in DROP_CONTENT_TAGS:
+        c = F.regexp_replace(c, _drop_re(tag), "")
+    blocks = F.transform(
+        F.split(c, _BLOCK_RE),
+        lambda x: F.struct(
+            _clean(x).alias("txt"),
+            F.aggregate(
+                F.regexp_extract_all(x, F.lit(_ANCHOR_RE), F.lit(1)),
+                F.lit(0),
+                lambda acc, a: acc + F.length(_clean(a)),
+            ).alias("alen"),
+        ),
+    )
+    kept = F.filter(
+        blocks,
+        lambda b: (F.length(b["txt"]) >= F.lit(min_chars))
+        & (b["alen"] * 100 <= F.lit(max_link_pct) * F.length(b["txt"])),
+    )
+    return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
+
+
+def extract_main_content_duckdb_sql(
+    expr: str, *,
+    min_chars: int = MAIN_MIN_CHARS,
+    max_link_pct: int = MAIN_MAX_LINK_PCT,
+) -> str:
+    """DuckDB restatement of :func:`extract_main_content` over the SQL
+    expression ``expr`` — generated from the same tag/entity tables
+    and the same integer density arithmetic.  ``expr`` is referenced
+    more than once: pass a column/CTE reference, not a parameter."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def clean(x: str) -> str:
+        t = f"regexp_replace({x}, '{esc(_TAG_RE)}', '', 'g')"
+        for pat, rep in HTML_ENTITIES:
+            t = f"replace({t}, '{esc(pat)}', '{esc(rep)}')"
+        return f"trim(regexp_replace({t}, '{_WS_RE}', ' ', 'g'))"
+
+    c = f"regexp_replace({expr}, '{_COMMENT_RE}', '', 'g')"
+    for tag in DROP_CONTENT_TAGS:
+        c = f"regexp_replace({c}, '{esc(_drop_re(tag))}', '', 'g')"
+    # list_sum is NULL on the empty list where Spark's aggregate
+    # returns its 0 init — coalesce restores the shared semantics
+    alen = (
+        "coalesce(list_sum(list_transform(regexp_extract_all("
+        f"x, '{esc(_ANCHOR_RE)}', 1), a -> length({clean('a')}))), 0)"
+    )
+    kept = (
+        f"list_filter(regexp_split_to_array({c}, '{esc(_BLOCK_RE)}'), "
+        f"x -> length({clean('x')}) >= {min_chars} AND {alen} * 100 "
+        f"<= {max_link_pct} * length({clean('x')}))"
+    )
+    joined = (
+        f"array_to_string(list_transform({kept}, x -> {clean('x')}), "
+        "chr(10))"
+    )
     return (
         f"CASE WHEN {expr} IS NULL THEN NULL "
         f"ELSE coalesce({joined}, '') END"

@@ -1995,11 +1995,27 @@ def mm_media_meta(spark, sf_dir):
 # HTML synthesis, the HTTP framing arithmetic, the status parse, AND
 # the strip cascade (html_to_text_duckdb_sql, generated from the same
 # tag/entity tables), so a hash match proves generate → write →
-# HTTP-split → extract agree end to end.  The native readers' parity
-# with strict and the charset/chunked paths stay pytest-pinned
-# (tests/test_wet_source.py, tests/test_warc_html.py).
+# HTTP-split → extract agree end to end.  Late r10: the response rows
+# also carry `main_text` — extract_main_content's block-level
+# link-density/length classifier over the same HTML, whose synthesized
+# nav link farm and footer (density-cut) and 'ok'/heading blocks
+# (length-cut) must vanish while the article paragraphs survive, all
+# re-derived by the generated DuckDB twin with the same integer
+# density arithmetic.  The native readers' parity with strict and the
+# charset/chunked paths stay pytest-pinned (tests/test_wet_source.py,
+# tests/test_warc_html.py).
+_SRC_WET_NAV = (
+    '<nav><a href="/">Home page</a> <a href="/about">About the '
+    'site</a> <a href="/contact">Contact and press</a></nav>'
+)
+_SRC_WET_FOOTER = (
+    '<p>ok</p><footer>(c) ex.org <a href="/terms">Terms of use</a> '
+    '<a href="/privacy">Privacy and cookies</a></footer>'
+)
 _SRC_WET_HTML_DUCK = (
-    "'<html><head><title>skip</title></head><body>'"
+    "'<html><head><title>skip</title></head><body>"
+    + _SRC_WET_NAV.replace("'", "''")
+    + "'"
     " || CASE WHEN doc_id % 5 = 0"
     " THEN '<!-- c <p>hidden</p> --><script>var x=1<2;</script>'"
     " ELSE '' END"
@@ -2009,12 +2025,15 @@ _SRC_WET_HTML_DUCK = (
     " || CASE WHEN doc_id % 7 = 0"
     " THEN chr(10) || 'WARC/1.0' || chr(10) || '<p>fake header tail</p>'"
     " ELSE '' END"
-    " || '</body></html>'"
+    " || '" + _SRC_WET_FOOTER.replace("'", "''") + "</body></html>'"
 )
 
 
 def _src_wet_oracle() -> str:
-    from wikiextractor_spark.functions.html import html_to_text_duckdb_sql
+    from wikiextractor_spark.functions.html import (
+        extract_main_content_duckdb_sql,
+        html_to_text_duckdb_sql,
+    )
 
     crlf = "chr(13) || chr(10)"
     http = (
@@ -2042,7 +2061,8 @@ def _src_wet_oracle() -> str:
            'conversion' AS record_type,
            CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
            CAST(NULL AS INTEGER) AS http_status,
-           payload AS text
+           payload AS text,
+           CAST(NULL AS VARCHAR) AS main_text
     FROM d
     UNION ALL
     SELECT 'response' AS family, 'http://ex.org/r/' || doc_id AS url,
@@ -2050,7 +2070,8 @@ def _src_wet_oracle() -> str:
            'response' AS record_type,
            CAST(octet_length(encode({http})) AS BIGINT) AS content_length,
            CAST(status AS INTEGER) AS http_status,
-           {html_to_text_duckdb_sql('html')} AS text
+           {html_to_text_duckdb_sql('html')} AS text,
+           {extract_main_content_duckdb_sql('html')} AS main_text
     FROM r
     """
 
@@ -2069,12 +2090,19 @@ def src_wet(spark, sf_dir):
     plus comment/script/double-encoded-entity/magic adversaria —
     parse them back through read_warc_responses, and strip the markup
     with the native html_to_text cascade; the oracle re-derives every
-    stage including the cascade itself via its generated DuckDB
-    twin."""
+    stage including the cascade itself via its generated DuckDB twin.
+    Late r10: response rows additionally carry main_text — the
+    jusText/boilerpipe-style block-level main-content extraction over
+    the same HTML (nav/footer link farms density-cut, short blocks
+    length-cut), its twin generated from the same tables with integer
+    density arithmetic."""
     import shutil
     import tempfile
 
-    from wikiextractor_spark.functions.html import html_to_text
+    from wikiextractor_spark.functions.html import (
+        extract_main_content,
+        html_to_text,
+    )
     from wikiextractor_spark.sources.wet import (
         read_warc_responses,
         read_wet,
@@ -2102,7 +2130,8 @@ def src_wet(spark, sf_dir):
     # '$'/'\\' which are replacement metachars) mirrored by DuckDB's
     # replace() in _SRC_WET_HTML_DUCK
     html = F.concat(
-        F.lit("<html><head><title>skip</title></head><body>"),
+        F.lit("<html><head><title>skip</title></head><body>"
+              + _SRC_WET_NAV),
         F.when(
             F.col("doc_id") % 5 == 0,
             F.lit("<!-- c <p>hidden</p> --><script>var x=1<2;</script>"),
@@ -2116,7 +2145,7 @@ def src_wet(spark, sf_dir):
             F.col("doc_id") % 7 == 0,
             F.lit("\nWARC/1.0\n<p>fake header tail</p>"),
         ).otherwise(F.lit("")),
-        F.lit("</body></html>"),
+        F.lit(_SRC_WET_FOOTER + "</body></html>"),
     )
     status = (
         F.when(F.col("doc_id") % 11 == 0, F.lit(404))
@@ -2154,6 +2183,7 @@ def src_wet(spark, sf_dir):
             "url", "warc_date", "record_type", "content_length",
             F.lit(None).cast("int").alias("http_status"),
             "text",
+            F.lit(None).cast("string").alias("main_text"),
         )
         resp_out = read_warc_responses(
             spark, f"{tmpdir}/raw", strict=True
@@ -2163,6 +2193,7 @@ def src_wet(spark, sf_dir):
             F.lit("response").alias("record_type"),
             "content_length", "http_status",
             html_to_text(F.col("html")).alias("text"),
+            extract_main_content(F.col("html")).alias("main_text"),
         )
         out = wet_out.unionByName(resp_out)
         return out.localCheckpoint(eager=True)
