@@ -374,6 +374,26 @@ def test_extract_main_content_duckdb_twin(spark):
     assert spark_out == duck_out
 
 
+def test_warc_html_documents_main_content(spark, tmp_path):
+    """main_content=True routes extraction through the block
+    classifier: chrome blocks vanish, the article survives, and the
+    doc_id (hashed from RAW html) is identical on both settings."""
+    body = (
+        f"<html><body><nav>{_LINK_FARM}</nav>"
+        f"<p>{_ARTICLE}</p></body></html>"
+    ).encode()
+    p = tmp_path / "c.warc"
+    p.write_bytes(_response_record("http://ex.org/m", _http(body)))
+    plain = warc_html_documents(spark, str(p)).first()
+    main = warc_html_documents(
+        spark, str(p), main_content=True
+    ).first()
+    assert "Home page" in plain["text"]
+    assert "Home page" not in main["text"]
+    assert "ordinary prose" in main["text"]
+    assert plain["doc_id"] == main["doc_id"]
+
+
 def test_extract_main_content_is_native(spark):
     df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
         extract_main_content(F.col("html")).alias("t")

@@ -532,16 +532,27 @@ def read_warc_responses(
 def warc_html_documents(
     spark: SparkSession, path: str, strict: bool = True,
     statuses: tuple[int, ...] = (200,),
+    main_content: bool = False,
 ) -> DataFrame:
     """Raw-crawl → ``documents`` surface in one plan: ``response``
     records with a kept HTTP status (default 200, the C4 convention;
     ``statuses=None`` keeps every response), HTML stripped to plain
     text by the native :func:`~wikiextractor_spark.functions.html.
-    html_to_text` cascade, ids assigned exactly like
+    html_to_text` cascade — or, with ``main_content=True``, reduced
+    to the article body by the block-level link-density classifier
+    :func:`~wikiextractor_spark.functions.html.extract_main_content`
+    (nav/footer link farms and short chrome blocks dropped before
+    any downstream gate sees them) — ids assigned exactly like
     :func:`wet_documents` so the two ingest paths land on the same
-    dedup grain.  Feeds ``prepare_corpus`` / the quality gates."""
-    from wikiextractor_spark.functions.html import html_to_text
+    dedup grain.  Feeds ``prepare_corpus`` / the quality gates.  The
+    id hashes the RAW html either way, so flipping the extractor
+    never re-keys a document."""
+    from wikiextractor_spark.functions.html import (
+        extract_main_content,
+        html_to_text,
+    )
 
+    extract = extract_main_content if main_content else html_to_text
     recs = read_warc_responses(spark, path, strict=strict)
     if statuses is not None:
         recs = recs.filter(F.col("http_status").isin(list(statuses)))
@@ -552,5 +563,5 @@ def warc_html_documents(
             F.coalesce(F.col("html"), F.lit("")),
         ).alias("doc_id"),
         "url",
-        html_to_text(F.col("html")).alias("text"),
+        extract(F.col("html")).alias("text"),
     )
