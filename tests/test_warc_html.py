@@ -309,6 +309,12 @@ def test_extract_main_content_contract(spark):
             "first long block of perfectly ordinary body prose\n"
             "second long block of perfectly ordinary body prose"
         ),
+        # <br>/<hr> are NOT block boundaries for main-content: a
+        # br-separated paragraph (addresses, poetry) scores as ONE
+        # block — per-line scoring would length-cut every line
+        "<p>221B Baker St<br>London NW1<br>United Kingdom<hr></p>": (
+            "221B Baker St London NW1 United Kingdom"
+        ),
         None: None,
     }
     df = spark.createDataFrame(
@@ -349,6 +355,12 @@ def test_extract_main_content_duckdb_twin(spark):
         "<p>A &amp;amp; B with plenty of padding text to pass the "
         'length floor <a href="/y">&lt;tagged&gt; anchor</a></p>',
         "plain text with no markup at all, long enough to keep",
+        # \x0B in a close tag: Java's \s would match it where RE2's
+        # does not — the explicit-class patterns must keep the two
+        # engines identical (anchor NOT closed, script NOT closed)
+        '<p>padding text long enough to pass the length floor '
+        '<a href="/x">anchor</a\x0b> tail</p>'
+        "<script>hidden</script\x0b>visible tail of the page",
         "",
         None,
     ]

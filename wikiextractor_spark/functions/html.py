@@ -95,19 +95,35 @@ def _ci(tag: str) -> str:
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _BLOCK_RE = r"</?(?:%s)\b[^>]*>" % "|".join(_ci(t) for t in BLOCK_TAGS)
 _TAG_RE = r"<[A-Za-z/!][^>]*>"
+# ALL whitespace, as an explicit class: Java's \s includes \x0B where
+# RE2's does not, so spelling the class out keeps the two engines'
+# collapse identical on vertical-tab input — the same reason every
+# \s-shaped slot below (_drop_re, _ANCHOR_RE close tags) uses _WSC
+# instead of \s
+_WSC = r"[ \t\r\n\f]"
+_WS_RE = _WSC + "+"
 # anchor CONTENT spans for link-density scoring (extract_main_content):
 # group 1 is everything between <a ...> and </a>, dotall + non-greedy;
 # explicit [aA] for the same cross-engine case-folding reason as _ci
-_ANCHOR_RE = r"(?s)<[aA]\b[^>]*>(.*?)</[aA]\s*>"
-# ALL whitespace, as an explicit class: Java's \s includes \x0B where
-# RE2's does not, so spelling the class out keeps the two engines'
-# collapse identical on vertical-tab input
-_WS_RE = r"[ \t\r\n\f]+"
+_ANCHOR_RE = rf"(?s)<[aA]\b[^>]*>(.*?)</[aA]{_WSC}*>"
+# main-content block boundaries: BLOCK_TAGS minus the line-break tags
+# — jusText/boilerpipe segment on true block elements, and treating
+# every <br>/<hr> as a boundary would make each line of a
+# <br>-separated paragraph (addresses, poetry, forum posts) clear the
+# length floor on its own; inside a block they are stripped by
+# _TAG_RE, so the block scores as one whitespace-collapsed unit
+_MAIN_SPLIT_RE = r"</?(?:%s)\b[^>]*>" % "|".join(
+    _ci(t) for t in BLOCK_TAGS if t not in ("br", "hr")
+)
+# ... and inside a block those line-break tags become a SPACE before
+# the split (plain _TAG_RE stripping would glue 'St<br>London' into
+# 'StLondon'); the whitespace collapse then folds any run
+_MAIN_BR_RE = r"</?(?:%s)\b[^>]*>" % "|".join(_ci(t) for t in ("br", "hr"))
 
 
 def _drop_re(tag: str) -> str:
     t = _ci(tag)
-    return rf"(?s)<{t}\b[^>]*>.*?</{t}\s*>"
+    return rf"(?s)<{t}\b[^>]*>.*?</{t}{_WSC}*>"
 
 
 def html_to_text(col: Column) -> Column:
@@ -127,15 +143,27 @@ def html_to_text(col: Column) -> Column:
     return F.array_join(F.filter(lines, lambda l: l != F.lit("")), "\n")
 
 
+def _sql_esc(s: str) -> str:
+    """Escape a pattern/literal for embedding in a DuckDB '...'."""
+    return s.replace("'", "''")
+
+
+def _sql_strip(x: str) -> str:
+    """DuckDB fragment: tag-strip + entity pass + whitespace-collapse
+    + trim of expression ``x`` — the per-block `clean` shared by both
+    generated twins."""
+    t = f"regexp_replace({x}, '{_sql_esc(_TAG_RE)}', '', 'g')"
+    for pat, rep in HTML_ENTITIES:
+        t = f"replace({t}, '{_sql_esc(pat)}', '{_sql_esc(rep)}')"
+    return f"trim(regexp_replace({t}, '{_WS_RE}', ' ', 'g'))"
+
+
 def html_to_text_duckdb_sql(expr: str) -> str:
     """The DuckDB restatement of :func:`html_to_text` over the SQL
     expression ``expr`` — generated from the SAME tag/entity tables
     so the two engines cannot drift (the oracle-twin pattern of
     ``cleaning.clean_markup_duckdb_sql``)."""
-
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
+    esc = _sql_esc
     c = f"regexp_replace({expr}, '{_COMMENT_RE}', '', 'g')"
     for tag in DROP_CONTENT_TAGS:
         c = f"regexp_replace({c}, '{esc(_drop_re(tag))}', '', 'g')"
@@ -213,21 +241,32 @@ def extract_main_content(
     c = F.regexp_replace(col, _COMMENT_RE, "")
     for tag in DROP_CONTENT_TAGS:
         c = F.regexp_replace(c, _drop_re(tag), "")
+    c = F.regexp_replace(c, _MAIN_BR_RE, " ")
+    # all length/density arithmetic in BIGINT: F.length is 32-bit int
+    # and a machine-generated link page can put >21 M anchor chars in
+    # one block, where `alen * 100` would throw under ANSI mode (or
+    # wrap and silently KEEP the farm with ANSI off); DuckDB's
+    # length() is already BIGINT, so this also keeps the twin's
+    # arithmetic bit-identical
     blocks = F.transform(
-        F.split(c, _BLOCK_RE),
+        F.split(c, _MAIN_SPLIT_RE),
         lambda x: F.struct(
             _clean(x).alias("txt"),
             F.aggregate(
                 F.regexp_extract_all(x, F.lit(_ANCHOR_RE), F.lit(1)),
-                F.lit(0),
-                lambda acc, a: acc + F.length(_clean(a)),
+                F.lit(0).cast("bigint"),
+                lambda acc, a: acc + F.length(_clean(a)).cast("bigint"),
             ).alias("alen"),
         ),
     )
     kept = F.filter(
         blocks,
         lambda b: (F.length(b["txt"]) >= F.lit(min_chars))
-        & (b["alen"] * 100 <= F.lit(max_link_pct) * F.length(b["txt"])),
+        & (
+            b["alen"] * F.lit(100).cast("bigint")
+            <= F.lit(max_link_pct).cast("bigint")
+            * F.length(b["txt"]).cast("bigint")
+        ),
     )
     return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
 
@@ -239,35 +278,34 @@ def extract_main_content_duckdb_sql(
 ) -> str:
     """DuckDB restatement of :func:`extract_main_content` over the SQL
     expression ``expr`` — generated from the same tag/entity tables
-    and the same integer density arithmetic.  ``expr`` is referenced
-    more than once: pass a column/CTE reference, not a parameter."""
-
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
-    def clean(x: str) -> str:
-        t = f"regexp_replace({x}, '{esc(_TAG_RE)}', '', 'g')"
-        for pat, rep in HTML_ENTITIES:
-            t = f"replace({t}, '{esc(pat)}', '{esc(rep)}')"
-        return f"trim(regexp_replace({t}, '{_WS_RE}', ' ', 'g'))"
-
+    and the same integer density arithmetic (DuckDB's ``length`` and
+    ``list_sum`` are already BIGINT, matching the Spark side's
+    explicit casts).  ``expr`` is referenced more than once: pass a
+    column/CTE reference, not a parameter."""
+    esc = _sql_esc
     c = f"regexp_replace({expr}, '{_COMMENT_RE}', '', 'g')"
     for tag in DROP_CONTENT_TAGS:
         c = f"regexp_replace({c}, '{esc(_drop_re(tag))}', '', 'g')"
+    c = f"regexp_replace({c}, '{esc(_MAIN_BR_RE)}', ' ', 'g')"
     # list_sum is NULL on the empty list where Spark's aggregate
-    # returns its 0 init — coalesce restores the shared semantics
+    # returns its 0 init — coalesce restores the shared semantics;
+    # clean runs ONCE per block (and once per anchor) via the struct,
+    # mirroring the Spark side's F.struct shape
     alen = (
         "coalesce(list_sum(list_transform(regexp_extract_all("
-        f"x, '{esc(_ANCHOR_RE)}', 1), a -> length({clean('a')}))), 0)"
+        f"x, '{esc(_ANCHOR_RE)}', 1), a -> length({_sql_strip('a')}))), 0)"
+    )
+    blocks = (
+        f"list_transform(regexp_split_to_array({c}, "
+        f"'{esc(_MAIN_SPLIT_RE)}'), "
+        f"x -> struct_pack(txt := {_sql_strip('x')}, alen := {alen}))"
     )
     kept = (
-        f"list_filter(regexp_split_to_array({c}, '{esc(_BLOCK_RE)}'), "
-        f"x -> length({clean('x')}) >= {min_chars} AND {alen} * 100 "
-        f"<= {max_link_pct} * length({clean('x')}))"
+        f"list_filter({blocks}, s -> length(s.txt) >= {min_chars} "
+        f"AND s.alen * 100 <= {max_link_pct} * length(s.txt))"
     )
     joined = (
-        f"array_to_string(list_transform({kept}, x -> {clean('x')}), "
-        "chr(10))"
+        f"array_to_string(list_transform({kept}, s -> s.txt), chr(10))"
     )
     return (
         f"CASE WHEN {expr} IS NULL THEN NULL "
