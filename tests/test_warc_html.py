@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 from wikiextractor_spark.functions.html import (
     extract_main_content,
     extract_main_content_duckdb_sql,
+    html_lang,
+    html_lang_duckdb_sql,
+    html_title,
+    html_title_duckdb_sql,
     html_to_text,
     html_to_text_duckdb_sql,
 )
@@ -384,6 +388,58 @@ def test_extract_main_content_duckdb_twin(spark):
         ).fetchall()
     ]
     assert spark_out == duck_out
+
+
+def test_html_page_meta_contract(spark):
+    cases = {
+        # first title wins; entities unescaped; whitespace collapsed
+        '<html lang="en-US"><head><title> A &amp;amp; B \n Co </title>'
+        "</head><title>second</title>": ("A &amp; B Co", "en-us"),
+        # unquoted lang, uppercase tag
+        "<HTML LANG=fr><title>Titre</title>": ("Titre", "fr"),
+        # data-lang must NOT match; missing title → ''
+        '<html data-lang="xx"><body>no title</body></html>': ("", ""),
+        # no metadata at all
+        "plain text": ("", ""),
+        None: (None, None),
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "html string"
+    ).select(
+        "html",
+        html_title(F.col("html")).alias("t"),
+        html_lang(F.col("html")).alias("l"),
+    )
+    got = {r["html"]: (r["t"], r["l"]) for r in df.collect()}
+    assert got == cases
+
+
+def test_html_page_meta_duckdb_twin(spark):
+    samples = [
+        '<html lang="en-GB"><title>Page &lt;1&gt;</title>',
+        "<html><head><title>only\ntitle</title></head>",
+        "<html lang='de'>kein Titel",
+        "",
+        None,
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "html string")
+    spark_out = [
+        (r["t"], r["l"])
+        for r in sdf.select(
+            html_title(F.col("html")).alias("t"),
+            html_lang(F.col("html")).alias("l"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h (i INT, html VARCHAR)")
+    con.executemany(
+        "INSERT INTO h VALUES (?, ?)", list(enumerate(samples))
+    )
+    duck_out = con.execute(
+        f"SELECT {html_title_duckdb_sql('html')}, "
+        f"{html_lang_duckdb_sql('html')} FROM h ORDER BY i"
+    ).fetchall()
+    assert spark_out == [tuple(r) for r in duck_out]
 
 
 def test_warc_html_documents_main_content(spark, tmp_path):

@@ -121,6 +121,18 @@ _MAIN_SPLIT_RE = r"</?(?:%s)\b[^>]*>" % "|".join(
 _MAIN_BR_RE = r"</?(?:%s)\b[^>]*>" % "|".join(_ci(t) for t in ("br", "hr"))
 
 
+# page-metadata patterns (html_title / html_lang): first <title>
+# element's content; the lang attribute of an <html ...> tag (a
+# required whitespace char before `lang` keeps data-lang/xml:lang
+# from matching).  Leftmost-first match in both engines = the
+# document's FIRST occurrence wins, stated
+_TITLE_RE = rf"(?s)<{_ci('title')}\b[^>]*>(.*?)</{_ci('title')}{_WSC}*>"
+_LANG_RE = (
+    rf"<{_ci('html')}\b[^>]*?{_WSC}{_ci('lang')}{_WSC}*={_WSC}*"
+    r"[\"']?([A-Za-z][A-Za-z0-9-]*)"
+)
+
+
 def _drop_re(tag: str) -> str:
     t = _ci(tag)
     return rf"(?s)<{t}\b[^>]*>.*?</{t}{_WSC}*>"
@@ -185,6 +197,56 @@ def html_to_text_duckdb_sql(expr: str) -> str:
         f"CASE WHEN {expr} IS NULL THEN NULL "
         f"ELSE coalesce({joined}, '') END"
     )
+
+
+# --------------------------------------------------------------------------
+# Page metadata: declared title and language
+# --------------------------------------------------------------------------
+#
+# Every crawl pipeline keeps the page's declared metadata alongside
+# the extracted text: the <title> (a dedup/quality signal and the
+# usual display field) and the <html lang=...> attribute (the prior
+# the lang-ID gate checks its prediction against — FineWeb/CCNet both
+# carry it).  Native regexp_extract, empty string when absent (the
+# shared no-match semantics of Spark and DuckDB, verified), NULL in →
+# NULL out.
+
+
+def html_title(col: Column) -> Column:
+    """Content of the document's first ``<title>`` element —
+    entity-unescaped (single pass, ``&amp;`` last, like the module
+    cascade) and whitespace-collapsed; ``''`` when the page has no
+    title.  A ``<title>`` inside an HTML comment is still matched
+    (stated: metadata extraction does not run the comment drop —
+    title lives in ``<head>``, where real comments around it are
+    rare and a full cascade per metadata column would double the
+    scan cost)."""
+    t = F.regexp_extract(col, _TITLE_RE, 1)
+    for pat, rep in HTML_ENTITIES:
+        t = F.regexp_replace(t, pat, rep)
+    return F.trim(F.regexp_replace(t, _WS_RE, " "))
+
+
+def html_lang(col: Column) -> Column:
+    """Lowercased value of the ``lang`` attribute on an ``<html>``
+    tag (``en``, ``en-us``, …), ``''`` when undeclared — the
+    declared-language PRIOR, to be checked against (not substituted
+    for) the engine's n-gram lang-ID."""
+    return F.lower(F.regexp_extract(col, _LANG_RE, 1))
+
+
+def html_title_duckdb_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_title` (same pattern/entity
+    tables)."""
+    t = f"regexp_extract({expr}, '{_sql_esc(_TITLE_RE)}', 1)"
+    for pat, rep in HTML_ENTITIES:
+        t = f"replace({t}, '{_sql_esc(pat)}', '{_sql_esc(rep)}')"
+    return f"trim(regexp_replace({t}, '{_WS_RE}', ' ', 'g'))"
+
+
+def html_lang_duckdb_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_lang` (same pattern)."""
+    return f"lower(regexp_extract({expr}, '{_sql_esc(_LANG_RE)}', 1))"
 
 
 # --------------------------------------------------------------------------
