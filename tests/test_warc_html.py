@@ -462,6 +462,21 @@ def test_warc_html_documents_main_content(spark, tmp_path):
     assert plain["doc_id"] == main["doc_id"]
 
 
+def test_warc_html_documents_with_meta(spark, tmp_path):
+    body = (
+        '<html lang="en-GB"><head><title>The &amp;amp; Page</title>'
+        f"</head><body><p>{_ARTICLE}</p></body></html>"
+    ).encode()
+    p = tmp_path / "m.warc"
+    p.write_bytes(_response_record("http://ex.org/t", _http(body)))
+    r = warc_html_documents(spark, str(p), with_meta=True).first()
+    assert r["title"] == "The &amp; Page"
+    assert r["declared_lang"] == "en-gb"
+    # default surface unchanged
+    base = warc_html_documents(spark, str(p)).columns
+    assert base == ["doc_id", "url", "text"]
+
+
 def test_extract_main_content_is_native(spark):
     df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
         extract_main_content(F.col("html")).alias("t")

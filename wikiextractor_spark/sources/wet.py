@@ -533,6 +533,7 @@ def warc_html_documents(
     spark: SparkSession, path: str, strict: bool = True,
     statuses: tuple[int, ...] = (200,),
     main_content: bool = False,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Raw-crawl → ``documents`` surface in one plan: ``response``
     records with a kept HTTP status (default 200, the C4 convention;
@@ -546,7 +547,10 @@ def warc_html_documents(
     :func:`wet_documents` so the two ingest paths land on the same
     dedup grain.  Feeds ``prepare_corpus`` / the quality gates.  The
     id hashes the RAW html either way, so flipping the extractor
-    never re-keys a document."""
+    never re-keys a document.  ``with_meta=True`` appends the
+    declared ``title`` and ``declared_lang`` columns (native
+    regexp_extract; extra columns prune away for consumers that
+    select the base surface)."""
     from wikiextractor_spark.functions.html import (
         extract_main_content,
         html_to_text,
@@ -556,12 +560,23 @@ def warc_html_documents(
     recs = read_warc_responses(spark, path, strict=strict)
     if statuses is not None:
         recs = recs.filter(F.col("http_status").isin(list(statuses)))
-    return recs.select(
+    cols = [
         F.xxhash64(
             F.coalesce(F.col("url"), F.lit("")),
             F.coalesce(F.col("warc_date"), F.lit("")),
             F.coalesce(F.col("html"), F.lit("")),
         ).alias("doc_id"),
-        "url",
+        F.col("url"),
         extract(F.col("html")).alias("text"),
-    )
+    ]
+    if with_meta:
+        from wikiextractor_spark.functions.html import (
+            html_lang,
+            html_title,
+        )
+
+        cols += [
+            html_title(F.col("html")).alias("title"),
+            html_lang(F.col("html")).alias("declared_lang"),
+        ]
+    return recs.select(*cols)
