@@ -1059,14 +1059,22 @@ def _compaction_repair(spark, index_dir: str) -> None:
                     )
                     if fs.exists(live):
                         fs.delete(sub.getPath(), True)
-                    else:
-                        fs.rename(sub.getPath(), live)
+                    elif not fs.rename(sub.getPath(), live):
+                        # an unchecked failure here would silently
+                        # leave the partition MISSING from the index
+                        raise IOError(
+                            "compact_ivf_index repair: restore rename "
+                            f"failed for {live}"
+                        )
             else:
                 live = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{rel}")
                 if fs.exists(live):
                     fs.delete(st.getPath(), True)
-                else:
-                    fs.rename(st.getPath(), live)
+                elif not fs.rename(st.getPath(), live):
+                    raise IOError(
+                        "compact_ivf_index repair: restore rename "
+                        f"failed for {live}"
+                    )
         fs.delete(retired_root, True)
     tmp_root, _ = hadoop_fs(spark, f"{index_dir}/.compact_tmp")
     if fs.exists(tmp_root):
