@@ -2013,7 +2013,13 @@ _SRC_WET_FOOTER = (
     '<a href="/privacy">Privacy and cookies</a></footer>'
 )
 _SRC_WET_HTML_DUCK = (
-    "'<html><head><title>skip</title></head><body>"
+    "'<html'"
+    # lang adversaria for html_lang: mixed-case quoted (lowercased),
+    # data-lang (must NOT match), unquoted
+    " || CASE doc_id % 3 WHEN 0 THEN ' lang=\"EN-gb\"'"
+    " WHEN 1 THEN ' data-lang=\"xx\"' ELSE ' lang=fr' END"
+    " || '><head><title> Doc &amp;amp;  ' || doc_id ||"
+    " ' </title></head><body>"
     + _SRC_WET_NAV.replace("'", "''")
     + "'"
     " || CASE WHEN doc_id % 5 = 0"
@@ -2032,6 +2038,8 @@ _SRC_WET_HTML_DUCK = (
 def _src_wet_oracle() -> str:
     from wikiextractor_spark.functions.html import (
         extract_main_content_duckdb_sql,
+        html_lang_duckdb_sql,
+        html_title_duckdb_sql,
         html_to_text_duckdb_sql,
     )
 
@@ -2062,7 +2070,9 @@ def _src_wet_oracle() -> str:
            CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
            CAST(NULL AS INTEGER) AS http_status,
            payload AS text,
-           CAST(NULL AS VARCHAR) AS main_text
+           CAST(NULL AS VARCHAR) AS main_text,
+           CAST(NULL AS VARCHAR) AS title,
+           CAST(NULL AS VARCHAR) AS declared_lang
     FROM d
     UNION ALL
     SELECT 'response' AS family, 'http://ex.org/r/' || doc_id AS url,
@@ -2071,7 +2081,9 @@ def _src_wet_oracle() -> str:
            CAST(octet_length(encode({http})) AS BIGINT) AS content_length,
            CAST(status AS INTEGER) AS http_status,
            {html_to_text_duckdb_sql('html')} AS text,
-           {extract_main_content_duckdb_sql('html')} AS main_text
+           {extract_main_content_duckdb_sql('html')} AS main_text,
+           {html_title_duckdb_sql('html')} AS title,
+           {html_lang_duckdb_sql('html')} AS declared_lang
     FROM r
     """
 
@@ -2095,12 +2107,18 @@ def src_wet(spark, sf_dir):
     jusText/boilerpipe-style block-level main-content extraction over
     the same HTML (nav/footer link farms density-cut, short blocks
     length-cut), its twin generated from the same tables with integer
-    density arithmetic."""
+    density arithmetic — plus the declared page metadata: title (the
+    <title> element with entity and whitespace adversaria) and
+    declared_lang (the <html lang=…> attribute rotating through
+    mixed-case quoted / data-lang-must-not-match / unquoted forms),
+    each via its generated twin."""
     import shutil
     import tempfile
 
     from wikiextractor_spark.functions.html import (
         extract_main_content,
+        html_lang,
+        html_title,
         html_to_text,
     )
     from wikiextractor_spark.sources.wet import (
@@ -2129,9 +2147,17 @@ def src_wet(spark, sf_dir):
     # literal replace (F.replace, NOT regexp_replace: text may carry
     # '$'/'\\' which are replacement metachars) mirrored by DuckDB's
     # replace() in _SRC_WET_HTML_DUCK
+    lang_attr = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(' lang="EN-gb"'))
+        .when(F.col("doc_id") % 3 == 1, F.lit(' data-lang="xx"'))
+        .otherwise(F.lit(" lang=fr"))
+    )
     html = F.concat(
-        F.lit("<html><head><title>skip</title></head><body>"
-              + _SRC_WET_NAV),
+        F.lit("<html"),
+        lang_attr,
+        F.lit("><head><title> Doc &amp;amp;  "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </title></head><body>" + _SRC_WET_NAV),
         F.when(
             F.col("doc_id") % 5 == 0,
             F.lit("<!-- c <p>hidden</p> --><script>var x=1<2;</script>"),
@@ -2184,6 +2210,8 @@ def src_wet(spark, sf_dir):
             F.lit(None).cast("int").alias("http_status"),
             "text",
             F.lit(None).cast("string").alias("main_text"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("declared_lang"),
         )
         resp_out = read_warc_responses(
             spark, f"{tmpdir}/raw", strict=True
@@ -2194,6 +2222,8 @@ def src_wet(spark, sf_dir):
             "content_length", "http_status",
             html_to_text(F.col("html")).alias("text"),
             extract_main_content(F.col("html")).alias("main_text"),
+            html_title(F.col("html")).alias("title"),
+            html_lang(F.col("html")).alias("declared_lang"),
         )
         out = wet_out.unionByName(resp_out)
         return out.localCheckpoint(eager=True)
