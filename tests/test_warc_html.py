@@ -477,6 +477,30 @@ def test_warc_html_documents_with_meta(spark, tmp_path):
     assert base == ["doc_id", "url", "text"]
 
 
+def test_cli_warc_source(spark, tmp_path, monkeypatch):
+    """`python -m wikiextractor_spark --source warc` ingests raw WARC
+    responses and writes the documents surface as parquet."""
+    from wikiextractor_spark.__main__ import main
+
+    body = (
+        f"<html lang='en'><head><title>T</title></head><body>"
+        f"<nav>{_LINK_FARM}</nav><p>{_ARTICLE}</p></body></html>"
+    ).encode()
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(_response_record("http://ex.org/cli", _http(body)))
+    out = tmp_path / "docs"
+    # main() getOrCreate()s the fixture session — keep it alive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    main([
+        "--infn", str(p), "--source", "warc", "--out", str(out),
+        "--main-content", "--with-meta",
+    ])
+    r = spark.read.parquet(str(out)).first()
+    assert r["title"] == "T" and r["declared_lang"] == "en"
+    assert "Home page" not in r["text"]
+    assert "ordinary prose" in r["text"]
+
+
 def test_extract_main_content_is_native(spark):
     df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
         extract_main_content(F.col("html")).alias("t")

@@ -9,6 +9,14 @@ directory of part files (``--out``, default ``./wiki_out``) instead of
 an append-only ``wiki.txt`` in CWD; ``--vitalfn`` (wired but disabled
 upstream) actually works; ``--parser line`` selects the bug-compatible
 fallback parser.
+
+Engine extension: ``--source wet|warc`` ingests Common-Crawl-style
+archives instead of a MediaWiki dump — WET ``conversion`` records or
+raw WARC ``response`` records (HTML stripped natively;
+``--main-content`` routes through the block-level link-density
+classifier, ``--with-meta`` keeps the declared title/lang) — and
+writes the engine's ``documents`` surface as parquet, ready for
+``prepare_corpus``.
 """
 
 from __future__ import annotations
@@ -46,6 +54,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="size-split the output (the reference's intended "
         "OutputSplitter behavior)",
     )
+    p.add_argument(
+        "--source",
+        choices=("dump", "wet", "warc"),
+        default="dump",
+        help="input kind: dump = MediaWiki XML (reference surface); "
+        "wet = Common Crawl WET conversion records; warc = raw WARC "
+        "response records (HTML stripped natively). wet/warc write "
+        "the documents surface as parquet to --out",
+    )
+    p.add_argument(
+        "--main-content",
+        action="store_true",
+        help="(--source warc) extract the article body via the "
+        "block-level link-density classifier instead of all text",
+    )
+    p.add_argument(
+        "--with-meta",
+        action="store_true",
+        help="(--source warc) keep declared <title> and <html lang> "
+        "columns",
+    )
     return p
 
 
@@ -54,6 +83,24 @@ def main(argv: list[str] | None = None) -> None:
     cfg = ExtractorConfig(incubator=args.incubator, compress=args.compress)
     spark = get_spark("wikiextractor-spark-cli")
     try:
+        if args.source != "dump":
+            from wikiextractor_spark.sources.wet import (
+                warc_html_documents,
+                wet_documents,
+            )
+
+            if args.source == "wet":
+                docs = wet_documents(spark, args.infn)
+            else:
+                docs = warc_html_documents(
+                    spark,
+                    args.infn,
+                    main_content=args.main_content,
+                    with_meta=args.with_meta,
+                )
+            docs.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+            return
         if args.parser == "line":
             from pyspark.sql import functions as F
 
