@@ -187,13 +187,15 @@ def _parse_wet_member(path: str, data: bytes):
 
 
 def read_wet(
-    spark: SparkSession, path: str, strict: bool = True,
+    spark: SparkSession, path: str | list[str], strict: bool = True,
     record_types: tuple[str, ...] = ("conversion",),
 ) -> DataFrame:
     """→ one row per WET record of a kept type (default: the
     ``conversion`` text records; pass ``record_types=None`` to keep
-    every record including ``warcinfo``).  See the module docstring
-    for the strict-vs-native trade."""
+    every record including ``warcinfo``).  ``path`` may be a single
+    path/glob or an explicit list of paths (the streaming crawl
+    ingest passes each micro-batch's manifest lines).  See the
+    module docstring for the strict-vs-native trade."""
     if strict:
         import pandas as pd
 
@@ -283,7 +285,7 @@ def read_wet(
 
 
 def wet_documents(
-    spark: SparkSession, path: str, strict: bool = True,
+    spark: SparkSession, path: str | list[str], strict: bool = True,
 ) -> DataFrame:
     """WET conversion records shaped as the engine's ``documents``
     surface — ``(doc_id, url, text)`` with a deterministic 64-bit id
@@ -417,7 +419,7 @@ def _decode_body(body: bytes, charset) -> str:
 
 
 def read_warc_responses(
-    spark: SparkSession, path: str, strict: bool = True,
+    spark: SparkSession, path: str | list[str], strict: bool = True,
 ) -> DataFrame:
     """→ one row per WARC ``response`` record: ``(path, url,
     warc_date, content_length, http_status, content_type, charset,
@@ -530,7 +532,7 @@ def read_warc_responses(
 
 
 def warc_html_documents(
-    spark: SparkSession, path: str, strict: bool = True,
+    spark: SparkSession, path: str | list[str], strict: bool = True,
     statuses: tuple[int, ...] = (200,),
     main_content: bool = False,
     with_meta: bool = False,
