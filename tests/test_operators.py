@@ -1890,9 +1890,18 @@ def test_bloom_auto_sizing_and_fill_warning(spark):
             docs, bench, n=3, threshold=0.2
         ).collect()
     )
-    # auto-sized: no warning expected at this scale
+    # auto-sized: no warning expected at this scale.  py4j collect()
+    # sockets are GC-finalized and can surface as a ResourceWarning at
+    # an arbitrary later point — drain any pending one before arming
+    # the error filter, and again before leaving the test (r11).
+    import gc
+
+    with w.catch_warnings():
+        w.simplefilter("ignore", ResourceWarning)
+        gc.collect()
     with w.catch_warnings():
         w.simplefilter("error")
+        w.simplefilter("ignore", ResourceWarning)
         auto = sorted(
             tuple(r) for r in contamination_report_bloom(
                 docs, bench, n=3, threshold=0.2
@@ -1907,6 +1916,9 @@ def test_bloom_auto_sizing_and_fill_warning(spark):
             ).collect()
         )
     assert tiny == exact
+    with w.catch_warnings():
+        w.simplefilter("ignore", ResourceWarning)
+        gc.collect()
 
 
 def test_synthesized_wavs_are_valid_files(docs):

@@ -84,10 +84,53 @@ def test_crawl_stream_warc_end_to_end(spark, tmp_path):
     )
 
 
-def test_crawl_stream_replay_is_exact_once(spark, tmp_path):
-    """A renumbered re-run (fresh checkpoint, same manifests)
-    rewrites its own batch partitions — row set unchanged, no
-    duplicates."""
+def test_crawl_stream_replay_same_checkpoint_is_exact_once(spark, tmp_path):
+    """The ACTUAL replay contract (r11 ADVICE rescope): resuming from
+    the SAME checkpoint neither reprocesses a committed batch nor
+    duplicates rows — and new manifests arriving between runs land in
+    their own batch_id partition alongside the first run's."""
+    _arch, man = _warc_fixture(tmp_path)
+    out = tmp_path / "docs"
+    ckpt = str(tmp_path / "ckpt")
+    q = crawl_documents_stream(
+        spark, str(man), str(out), ckpt, source="warc",
+    )
+    assert q.awaitTermination(120)
+    # resume 1: nothing new → committed batches are not re-run
+    q = crawl_documents_stream(
+        spark, str(man), str(out), ckpt, source="warc",
+    )
+    assert q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 2
+    assert len({r["doc_id"] for r in rows}) == 2
+    # resume 2: a manifest published between runs is ingested
+    # incrementally into a NEW batch partition
+    arch = tmp_path / "archives"
+    body = b"<html><body><p>Late archive page.</p></body></html>"
+    p = arch / "crawl-late.warc"
+    p.write_bytes(_response_record("http://ex.org/late", _http(body)))
+    (tmp_path / "manifest" / "done-late.txt").write_text(str(p) + "\n")
+    q = crawl_documents_stream(
+        spark, str(man), str(out), ckpt, source="warc",
+    )
+    assert q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 3
+    assert len({r["doc_id"] for r in rows}) == 3
+
+
+def test_crawl_stream_same_batching_rerun_rewrites_partitions(
+    spark, tmp_path
+):
+    """A fresh-checkpoint re-run with IDENTICAL batch composition
+    rewrites the same batch_id partitions in place — row set
+    unchanged.  Scoped deliberately (r11 ADVICE): with a different
+    maxFilesPerTrigger, or manifests that arrived between the runs,
+    archives would land in different batch_ids and the first run's
+    stale partitions would survive; the delivery contract covers
+    same-checkpoint replays (the test above), this pins only the
+    same-batching case."""
     _arch, man = _warc_fixture(tmp_path)
     out = tmp_path / "docs"
     for ckpt in ("c1", "c2"):

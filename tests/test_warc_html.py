@@ -390,6 +390,116 @@ def test_extract_main_content_duckdb_twin(spark):
     assert spark_out == duck_out
 
 
+_LEGAL_BLOCK = (
+    "Copyright notice: trademark policy disclaimer governs worldwide "
+    "usage conditions"
+)
+
+
+def test_extract_main_content_stopword_floor(spark):
+    """min_stop_pct (r11): the block-grain stopword density predicate
+    — a long, link-free legal/nav block with no function words is cut
+    while ordinary prose survives; off by default; integer arithmetic
+    exact at the boundary."""
+    html = f"<p>{_ARTICLE}</p><p>{_LEGAL_BLOCK}</p>"
+    df = spark.createDataFrame([(html,)], "html string")
+
+    def run(**kw):
+        return df.select(
+            extract_main_content(F.col("html"), **kw).alias("t")
+        ).first()["t"]
+
+    # default: both blocks pass length + density
+    assert _LEGAL_BLOCK in run()
+    # floor on: the stopword-free legal block is cut, prose survives
+    out = run(min_stop_pct=5)
+    assert _LEGAL_BLOCK not in out
+    assert "ordinary prose" in out
+    # boundary exactness: 2 stopwords of 8 words = 25%
+    b = "the quick brownfox jumping over a lazy sleeping"
+    bdf = spark.createDataFrame([(f"<p>{b}</p>",)], "html string")
+
+    def runb(pct):
+        return bdf.select(
+            extract_main_content(
+                F.col("html"), min_stop_pct=pct
+            ).alias("t")
+        ).first()["t"]
+
+    assert runb(25) == b          # 2*100 >= 25*8 exactly
+    assert runb(26) == ""         # 200 < 208
+    # punctuation-stripped, case-folded membership: "The," counts
+    p = "The, quick brownfox jumping over sleepy lazy architecture"
+    pdf = spark.createDataFrame([(f"<p>{p}</p>",)], "html string")
+    assert pdf.select(
+        extract_main_content(
+            F.col("html"), min_stop_pct=12
+        ).alias("t")
+    ).first()["t"] == p           # 1 of 8 = 12.5% >= 12%
+
+
+def test_extract_main_content_stopword_duckdb_twin(spark):
+    """The stopword-floor twin is generated from the same word list
+    and trim pattern — outputs identical on adversarial spacing,
+    punctuation-wrapped stopwords, and custom lists."""
+    samples = [
+        f"<p>{_ARTICLE}</p><p>{_LEGAL_BLOCK}</p>",
+        "<p>The, quick brownfox jumping over sleepy lazy "
+        "architecture</p>",
+        "<div>IN THE COURT OF APPEALS a ruling concerning the "
+        "matter of trademark usage</div>",
+        "<p>--- ... !!! punctuation only words here padding to pass "
+        "floor</p>",
+        "",
+        None,
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "html string")
+    spark_out = [
+        r["t"]
+        for r in sdf.select(
+            extract_main_content(
+                F.col("html"), min_stop_pct=7
+            ).alias("t")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h (i INT, html VARCHAR)")
+    con.executemany(
+        "INSERT INTO h VALUES (?, ?)", list(enumerate(samples))
+    )
+    duck_out = [
+        r[0]
+        for r in con.execute(
+            "SELECT "
+            + extract_main_content_duckdb_sql('html', min_stop_pct=7)
+            + " FROM h ORDER BY i"
+        ).fetchall()
+    ]
+    assert spark_out == duck_out
+    # custom word list flows through both generators
+    spark_c = [
+        r["t"]
+        for r in sdf.select(
+            extract_main_content(
+                F.col("html"), min_stop_pct=10,
+                stopwords=("trademark", "usage"),
+            ).alias("t")
+        ).collect()
+    ]
+    duck_c = [
+        r[0]
+        for r in con.execute(
+            "SELECT "
+            + extract_main_content_duckdb_sql(
+                'html', min_stop_pct=10,
+                stopwords=("trademark", "usage"),
+            )
+            + " FROM h ORDER BY i"
+        ).fetchall()
+    ]
+    assert spark_c == duck_c
+
+
 def test_html_page_meta_contract(spark):
     cases = {
         # first title wins; entities unescaped; whitespace collapsed
@@ -399,6 +509,8 @@ def test_html_page_meta_contract(spark):
         "<HTML LANG=fr><title>Titre</title>": ("Titre", "fr"),
         # data-lang must NOT match; missing title → ''
         '<html data-lang="xx"><body>no title</body></html>': ("", ""),
+        # POSIX-style underscore subtag (r11): admitted, not truncated
+        '<html lang="en_US"><title>U</title>': ("U", "en_us"),
         # no metadata at all
         "plain text": ("", ""),
         None: (None, None),
@@ -419,6 +531,7 @@ def test_html_page_meta_duckdb_twin(spark):
         '<html lang="en-GB"><title>Page &lt;1&gt;</title>',
         "<html><head><title>only\ntitle</title></head>",
         "<html lang='de'>kein Titel",
+        "<html lang=pt_BR><title>u</title>",
         "",
         None,
     ]
@@ -499,6 +612,29 @@ def test_cli_warc_source(spark, tmp_path, monkeypatch):
     assert r["title"] == "T" and r["declared_lang"] == "en"
     assert "Home page" not in r["text"]
     assert "ordinary prose" in r["text"]
+
+
+def test_cli_incompatible_flags_error(tmp_path):
+    """Flags belonging to the other --source are rejected, not
+    silently ignored (r11 ADVICE): warc-only flags with wet/dump,
+    dump-only flags with wet/warc."""
+    import pytest
+
+    from wikiextractor_spark.__main__ import main
+
+    cases = [
+        ["--infn", "x", "--source", "wet", "--main-content"],
+        ["--infn", "x", "--source", "dump", "--with-meta"],
+        ["--infn", "x", "--source", "wet", "--parser", "line"],
+        ["--infn", "x", "--source", "warc", "--vitalfn", "v"],
+        ["--infn", "x", "--source", "wet", "--compress"],
+        ["--infn", "x", "--source", "warc", "--incubator", "enm"],
+        ["--infn", "x", "--source", "wet", "--max-records-per-file", "5"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv
 
 
 def test_extract_main_content_is_native(spark):

@@ -78,8 +78,42 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _check_flag_compat(parser: argparse.ArgumentParser, args) -> None:
+    """Reject flag/source combinations that would be silently ignored
+    — a typo like ``--source wet --main-content`` must not produce a
+    plausible-looking but differently-shaped output."""
+    if args.source != "warc" and (args.main_content or args.with_meta):
+        parser.error(
+            "--main-content/--with-meta apply only to --source warc "
+            f"(got --source {args.source})"
+        )
+    if args.source != "dump":
+        dump_only = [
+            name
+            for name, on in (
+                ("--parser", args.parser != "xml"),
+                ("--vitalfn", args.vitalfn is not None),
+                ("--compress", args.compress),
+                ("--incubator", bool(args.incubator)),
+                (
+                    "--max-records-per-file",
+                    args.max_records_per_file is not None,
+                ),
+            )
+            if on
+        ]
+        if dump_only:
+            parser.error(
+                f"{', '.join(dump_only)} appl"
+                f"{'y' if len(dump_only) > 1 else 'ies'} only to "
+                f"--source dump (got --source {args.source})"
+            )
+
+
 def main(argv: list[str] | None = None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _check_flag_compat(parser, args)
     cfg = ExtractorConfig(incubator=args.incubator, compress=args.compress)
     spark = get_spark("wikiextractor-spark-cli")
     try:

@@ -129,7 +129,7 @@ _MAIN_BR_RE = r"</?(?:%s)\b[^>]*>" % "|".join(_ci(t) for t in ("br", "hr"))
 _TITLE_RE = rf"(?s)<{_ci('title')}\b[^>]*>(.*?)</{_ci('title')}{_WSC}*>"
 _LANG_RE = (
     rf"<{_ci('html')}\b[^>]*?{_WSC}{_ci('lang')}{_WSC}*={_WSC}*"
-    r"[\"']?([A-Za-z][A-Za-z0-9-]*)"
+    r"[\"']?([A-Za-z][A-Za-z0-9_-]*)"
 )
 
 
@@ -229,9 +229,16 @@ def html_title(col: Column) -> Column:
 
 def html_lang(col: Column) -> Column:
     """Lowercased value of the ``lang`` attribute on an ``<html>``
-    tag (``en``, ``en-us``, …), ``''`` when undeclared — the
-    declared-language PRIOR, to be checked against (not substituted
-    for) the engine's n-gram lang-ID."""
+    tag (``en``, ``en-us``, and the POSIX-style ``en_us`` sloppiness
+    real crawls carry — ``_`` is admitted in the subtag), ``''`` when
+    undeclared — the declared-language PRIOR, to be checked against
+    (not substituted for) the engine's n-gram lang-ID.
+
+    Stated heuristic limit (like the title-in-comment note): the
+    attribute scan is regex-grain, so a ``lang=`` TOKEN inside a
+    quoted attribute VALUE on the html tag (``<html data-x="a
+    lang=en">``) matches — a rare false-positive a non-parsing
+    scan cannot distinguish without tracking quote state."""
     return F.lower(F.regexp_extract(col, _LANG_RE, 1))
 
 
@@ -270,18 +277,44 @@ def html_lang_duckdb_sql(expr: str) -> str:
 # Stated limits (deterministic, mirrored by the twin): an anchor
 # whose open and close tags land in different blocks (malformed
 # nesting across a block boundary) contributes 0 to anchor length —
-# the span regex never sees a complete anchor; stopword density (the
-# other half of full jusText) lives in the existing Gopher gate,
-# which composes downstream at the document grain.
+# the span regex never sees a complete anchor.
+#
+# Stopword density — the OTHER half of full jusText — is available at
+# the BLOCK grain via ``min_stop_pct`` (r11): a long, link-free
+# nav/legal block ("Copyright notice … trademark policy …") passes the
+# length and density cuts but carries almost no function words, which
+# is exactly the signal jusText keys on.  Off by default (None): the
+# document-grain Gopher gate already applies the same signal
+# downstream, and a block floor is a LANGUAGE-DEPENDENT judgment the
+# caller must opt into with the right word list
+# (:data:`wikiextractor_spark.functions.textstats.STOPWORDS` reused as
+# the default — one list repo-wide, never a second copy to drift).
+# Word grain for the floor: the block text is already
+# whitespace-collapsed, so words split on single spaces; each word is
+# lowercased and stripped of surrounding non-alphanumerics before the
+# membership test (``"The," → the``), and the comparison is the same
+# INTEGER arithmetic as the density cut.
 
 MAIN_MIN_CHARS = 25
 MAIN_MAX_LINK_PCT = 33
+
+# surrounding-punctuation strip for the stopword membership test —
+# explicit ASCII classes for the usual cross-engine reasons
+_WORD_TRIM_RE = r"^[^A-Za-z0-9]+|[^A-Za-z0-9]+$"
+
+
+def _default_stopwords() -> tuple[str, ...]:
+    from wikiextractor_spark.functions.textstats import STOPWORDS
+
+    return STOPWORDS["en"]
 
 
 def extract_main_content(
     col: Column, *,
     min_chars: int = MAIN_MIN_CHARS,
     max_link_pct: int = MAIN_MAX_LINK_PCT,
+    min_stop_pct: int | None = None,
+    stopwords: tuple[str, ...] | None = None,
 ) -> Column:
     """Main-article text of an HTML column: comments and invisible
     elements dropped, the page split into blocks at block-tag
@@ -289,6 +322,12 @@ def extract_main_content(
     text, and only blocks with ``len >= min_chars`` and anchor-text
     share ``<= max_link_pct`` percent kept, one block per output
     line.
+
+    ``min_stop_pct`` (r11, opt-in) adds the block-grain stopword
+    floor that completes the published jusText shape: a kept block
+    must also have at least that percentage of its words in
+    ``stopwords`` (default the engine's English list — see the module
+    comment on language dependence).
 
     Scale shape: a pure expression tree over one column — no UDF, no
     shuffle, one codegen stage; per-row cost is linear in the HTML
@@ -321,15 +360,36 @@ def extract_main_content(
             ).alias("alen"),
         ),
     )
-    kept = F.filter(
-        blocks,
-        lambda b: (F.length(b["txt"]) >= F.lit(min_chars))
-        & (
+
+    def _keep(b: Column) -> Column:
+        pred = (F.length(b["txt"]) >= F.lit(min_chars)) & (
             b["alen"] * F.lit(100).cast("bigint")
             <= F.lit(max_link_pct).cast("bigint")
             * F.length(b["txt"]).cast("bigint")
-        ),
-    )
+        )
+        if min_stop_pct is not None:
+            stops = tuple(
+                stopwords if stopwords is not None else _default_stopwords()
+            )
+            words = F.filter(
+                F.split(b["txt"], " "), lambda w: w != F.lit("")
+            )
+            stopn = F.size(
+                F.filter(
+                    words,
+                    lambda w: F.lower(
+                        F.regexp_replace(w, _WORD_TRIM_RE, "")
+                    ).isin(*stops),
+                )
+            )
+            pred = pred & (
+                stopn.cast("bigint") * F.lit(100).cast("bigint")
+                >= F.lit(min_stop_pct).cast("bigint")
+                * F.size(words).cast("bigint")
+            )
+        return pred
+
+    kept = F.filter(blocks, _keep)
     return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
 
 
@@ -337,13 +397,16 @@ def extract_main_content_duckdb_sql(
     expr: str, *,
     min_chars: int = MAIN_MIN_CHARS,
     max_link_pct: int = MAIN_MAX_LINK_PCT,
+    min_stop_pct: int | None = None,
+    stopwords: tuple[str, ...] | None = None,
 ) -> str:
     """DuckDB restatement of :func:`extract_main_content` over the SQL
     expression ``expr`` — generated from the same tag/entity tables
     and the same integer density arithmetic (DuckDB's ``length`` and
     ``list_sum`` are already BIGINT, matching the Spark side's
-    explicit casts).  ``expr`` is referenced more than once: pass a
-    column/CTE reference, not a parameter."""
+    explicit casts), including the same opt-in block-grain stopword
+    floor.  ``expr`` is referenced more than once: pass a column/CTE
+    reference, not a parameter."""
     esc = _sql_esc
     c = f"regexp_replace({expr}, '{_COMMENT_RE}', '', 'g')"
     for tag in DROP_CONTENT_TAGS:
@@ -362,9 +425,25 @@ def extract_main_content_duckdb_sql(
         f"'{esc(_MAIN_SPLIT_RE)}'), "
         f"x -> struct_pack(txt := {_sql_strip('x')}, alen := {alen}))"
     )
+    stop_pred = ""
+    if min_stop_pct is not None:
+        stops = tuple(
+            stopwords if stopwords is not None else _default_stopwords()
+        )
+        stop_list = "[%s]" % ", ".join(f"'{esc(w)}'" for w in stops)
+        words = "list_filter(string_split(s.txt, ' '), w -> w <> '')"
+        stopn = (
+            f"len(list_filter({words}, w -> list_contains({stop_list}, "
+            f"lower(regexp_replace(w, '{esc(_WORD_TRIM_RE)}', '', 'g')))))"
+        )
+        nwords = f"len({words})"
+        stop_pred = (
+            f" AND {stopn} * 100 >= {min_stop_pct} * {nwords}"
+        )
     kept = (
         f"list_filter({blocks}, s -> length(s.txt) >= {min_chars} "
-        f"AND s.alen * 100 <= {max_link_pct} * length(s.txt))"
+        f"AND s.alen * 100 <= {max_link_pct} * length(s.txt)"
+        f"{stop_pred})"
     )
     joined = (
         f"array_to_string(list_transform({kept}, s -> s.txt), chr(10))"

@@ -28,3 +28,6 @@ from wikiextractor_spark.streaming.annindex import (  # noqa: F401
 from wikiextractor_spark.streaming.annindex import (  # noqa: F401
     compact_ingest_log,
 )
+from wikiextractor_spark.streaming.crawl import (  # noqa: F401
+    crawl_documents_stream,
+)
