@@ -2012,6 +2012,14 @@ _SRC_WET_FOOTER = (
     '<p>ok</p><footer>(c) ex.org <a href="/terms">Terms of use</a> '
     '<a href="/privacy">Privacy and cookies</a></footer>'
 )
+# long, link-FREE, stopword-free legal block (r11): passes the length
+# and link-density cuts, so default main_text keeps it — only the
+# block-grain stopword floor (main_stop column) can cut it
+_SRC_WET_LEGAL = (
+    "<p>Copyright notice: trademark policy disclaimer governs "
+    "worldwide usage conditions</p>"
+)
+_SRC_WET_STOP_PCT = 4
 _SRC_WET_HTML_DUCK = (
     "'<html'"
     # lang adversaria for html_lang: mixed-case quoted (lowercased),
@@ -2031,7 +2039,8 @@ _SRC_WET_HTML_DUCK = (
     " || CASE WHEN doc_id % 7 = 0"
     " THEN chr(10) || 'WARC/1.0' || chr(10) || '<p>fake header tail</p>'"
     " ELSE '' END"
-    " || '" + _SRC_WET_FOOTER.replace("'", "''") + "</body></html>'"
+    " || '" + _SRC_WET_LEGAL.replace("'", "''")
+    + _SRC_WET_FOOTER.replace("'", "''") + "</body></html>'"
 )
 
 
@@ -2071,6 +2080,7 @@ def _src_wet_oracle() -> str:
            CAST(NULL AS INTEGER) AS http_status,
            payload AS text,
            CAST(NULL AS VARCHAR) AS main_text,
+           CAST(NULL AS VARCHAR) AS main_stop,
            CAST(NULL AS VARCHAR) AS title,
            CAST(NULL AS VARCHAR) AS declared_lang
     FROM d
@@ -2082,9 +2092,28 @@ def _src_wet_oracle() -> str:
            CAST(status AS INTEGER) AS http_status,
            {html_to_text_duckdb_sql('html')} AS text,
            {extract_main_content_duckdb_sql('html')} AS main_text,
+           {extract_main_content_duckdb_sql(
+               'html', min_stop_pct=_SRC_WET_STOP_PCT)} AS main_stop,
            {html_title_duckdb_sql('html')} AS title,
            {html_lang_duckdb_sql('html')} AS declared_lang
     FROM r
+    UNION ALL
+    -- crawl family (r11): the streaming manifest-driven ingestion of
+    -- the SAME synthesized WET archives — the stream routes through
+    -- wet_documents, so url/text restate the d CTE; content_length
+    -- carries the stream's n_chars column (CHARACTERS — length(), not
+    -- the wet family's declared byte count) and record_type carries
+    -- its source tag
+    SELECT 'crawl' AS family, url, CAST(NULL AS VARCHAR) AS warc_date,
+           'wet' AS record_type,
+           CAST(length(payload) AS BIGINT) AS content_length,
+           CAST(NULL AS INTEGER) AS http_status,
+           payload AS text,
+           CAST(NULL AS VARCHAR) AS main_text,
+           CAST(NULL AS VARCHAR) AS main_stop,
+           CAST(NULL AS VARCHAR) AS title,
+           CAST(NULL AS VARCHAR) AS declared_lang
+    FROM d
     """
 
 
@@ -2111,7 +2140,25 @@ def src_wet(spark, sf_dir):
     <title> element with entity and whitespace adversaria) and
     declared_lang (the <html lang=…> attribute rotating through
     mixed-case quoted / data-lang-must-not-match / unquoted forms),
-    each via its generated twin."""
+    each via its generated twin.
+
+    r11: (a) response rows add main_stop — the same extraction with
+    the block-grain STOPWORD floor on (jusText's second axis): the
+    synthesized long link-free stopword-free legal block passes the
+    default cuts but is stopword-cut here, and low-stopword text
+    blocks cut/keep deterministically on both engines via the
+    generated twin; (b) the 'crawl' family drives the manifest-driven
+    STREAMING ingestion (streaming/crawl.py) end to end inside the
+    slot — the already-written WET part files are published as one
+    atomic manifest, one availableNow crawl_documents_stream
+    micro-batch ingests them through the batch kernels into
+    batch_id=-partitioned parquet, and the rows are read BACK with the
+    composition contract's explicit schema (batch_id globbed out);
+    url/text must round-trip the archive synthesis and
+    content_length/record_type carry the stream's n_chars/source
+    columns, so a row lost, duplicated, or reshaped by the stream
+    fails the driver hash."""
+    import os
     import shutil
     import tempfile
 
@@ -2147,6 +2194,8 @@ def src_wet(spark, sf_dir):
     # literal replace (F.replace, NOT regexp_replace: text may carry
     # '$'/'\\' which are replacement metachars) mirrored by DuckDB's
     # replace() in _SRC_WET_HTML_DUCK
+    from wikiextractor_spark.streaming.crawl import crawl_documents_stream
+
     lang_attr = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(' lang="EN-gb"'))
         .when(F.col("doc_id") % 3 == 1, F.lit(' data-lang="xx"'))
@@ -2171,7 +2220,7 @@ def src_wet(spark, sf_dir):
             F.col("doc_id") % 7 == 0,
             F.lit("\nWARC/1.0\n<p>fake header tail</p>"),
         ).otherwise(F.lit("")),
-        F.lit(_SRC_WET_FOOTER + "</body></html>"),
+        F.lit(_SRC_WET_LEGAL + _SRC_WET_FOOTER + "</body></html>"),
     )
     status = (
         F.when(F.col("doc_id") % 11 == 0, F.lit(404))
@@ -2210,6 +2259,7 @@ def src_wet(spark, sf_dir):
             F.lit(None).cast("int").alias("http_status"),
             "text",
             F.lit(None).cast("string").alias("main_text"),
+            F.lit(None).cast("string").alias("main_stop"),
             F.lit(None).cast("string").alias("title"),
             F.lit(None).cast("string").alias("declared_lang"),
         )
@@ -2222,10 +2272,63 @@ def src_wet(spark, sf_dir):
             "content_length", "http_status",
             html_to_text(F.col("html")).alias("text"),
             extract_main_content(F.col("html")).alias("main_text"),
+            extract_main_content(
+                F.col("html"), min_stop_pct=_SRC_WET_STOP_PCT
+            ).alias("main_stop"),
             html_title(F.col("html")).alias("title"),
             html_lang(F.col("html")).alias("declared_lang"),
         )
-        out = wet_out.unionByName(resp_out)
+        # crawl family (r11): publish the WET part files as ONE
+        # atomically-renamed manifest (the crawler's completion
+        # contract), drain one availableNow micro-batch of the
+        # streaming ingestion, and read the batch_id= store back with
+        # the composition schema
+        parts = sorted(
+            f"{tmpdir}/crawl/{f}"
+            for f in os.listdir(f"{tmpdir}/crawl")
+            if f.startswith("part-")
+        )
+        os.makedirs(f"{tmpdir}/manifest", exist_ok=True)
+        tmp_manifest = f"{tmpdir}/manifest/.crawl-batch-0.tmp"
+        with open(tmp_manifest, "w") as fh:
+            fh.write("\n".join(parts) + "\n")
+        os.rename(tmp_manifest, f"{tmpdir}/manifest/crawl-batch-0.txt")
+        q = crawl_documents_stream(
+            spark, f"{tmpdir}/manifest", f"{tmpdir}/docs",
+            f"{tmpdir}/ckpt", source="wet", strict=True,
+        )
+        q.awaitTermination()
+        # the concrete batch_id= paths rather than the contract's
+        # glob ONLY to spare the driver log a benign (but
+        # scary-looking) FileStreamSink metadata-probe stacktrace the
+        # glob form triggers; same read, partition key stays out of
+        # the schema either way
+        batch_dirs = [
+            f"{tmpdir}/docs/{d}"
+            for d in os.listdir(f"{tmpdir}/docs")
+            if d.startswith("batch_id=")
+        ]
+        crawl_out = (
+            spark.read.schema(
+                "doc_id long, url string, text string, "
+                "source string, n_chars long"
+            )
+            .parquet(*batch_dirs)
+            .select(
+                F.lit("crawl").alias("family"),
+                "url",
+                F.lit(None).cast("string").alias("warc_date"),
+                F.col("source").alias("record_type"),
+                F.col("n_chars").alias("content_length"),
+                F.lit(None).cast("int").alias("http_status"),
+                "text",
+                F.lit(None).cast("string").alias("main_text"),
+                F.lit(None).cast("string").alias("main_stop"),
+                F.lit(None).cast("string").alias("title"),
+                F.lit(None).cast("string").alias("declared_lang"),
+            )
+        )
+        out = wet_out.unionByName(resp_out).unionByName(crawl_out)
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
