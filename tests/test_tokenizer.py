@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from wikiextractor_spark.functions.tokenizer import (
+    _WS_SPLIT,
+    _build_matcher,
     _count_word,
     bpe_token_count,
     load_bpe_vocab,
@@ -24,18 +26,83 @@ def docs(spark, sf_dir):
 
 
 def test_greedy_longest_match_kernel():
-    vs = frozenset(VOCAB)
-    ml = max(len(t) for t in VOCAB)
+    vs, lbf = _build_matcher(VOCAB)
     # 'lower' is one vocab hit, not low+er: longest match wins
-    assert _count_word("lower", vs, ml, 1.0) == 1.0
+    assert _count_word("lower", vs, lbf, 1.0) == 1.0
     # 'lowest' -> low + e + s + t (no 'lowest', no 'est')
-    assert _count_word("lowest", vs, ml, 1.0) == 4.0
+    assert _count_word("lowest", vs, lbf, 1.0) == 4.0
     # 'newest' -> ne + west
-    assert _count_word("newest", vs, ml, 1.0) == 2.0
+    assert _count_word("newest", vs, lbf, 1.0) == 2.0
     # OOV char 'z' costs the per-char rate
-    assert _count_word("zlow", vs, ml, 1.0) == 2.0
-    assert _count_word("zzz", vs, ml, 0.25) == 0.75
-    assert _count_word("", vs, ml, 1.0) == 0.0
+    assert _count_word("zlow", vs, lbf, 1.0) == 2.0
+    assert _count_word("zzz", vs, lbf, 0.25) == 0.75
+    assert _count_word("", vs, lbf, 1.0) == 0.0
+
+
+def _count_word_naive(word, vocab, max_len, oov):
+    """The pre-r11 reference loop: probe every length max_len..1 at
+    each position — the spec the per-first-char matcher must equal."""
+    total, i, n = 0.0, 0, len(word)
+    while i < n:
+        j = min(n, i + max_len)
+        while j > i:
+            if word[i:j] in vocab:
+                total += 1.0
+                break
+            j -= 1
+        else:
+            total += oov
+            j = i + 1
+        i = j
+    return total
+
+
+def test_matcher_differential_vs_naive(docs):
+    """The r11 per-first-char length-pruned matcher is bit-identical
+    to the naive loop over every word of the sf documents sample plus
+    adversarial shapes (shared prefixes across lengths, OOV runs,
+    single chars, unicode)."""
+    tokens = [
+        "t", "th", "the", "thermo", "thermos", "a", "ab", "abcdefgh",
+        "é", "éclair", "x",
+    ]
+    vs, lbf = _build_matcher(tokens)
+    ml = max(len(t) for t in tokens)
+    words = {
+        "thermost", "thermoss", "ththeth", "abab", "abcdefg",
+        "éclairé", "zzz", "", "x" * 50, "athermosb",
+    }
+    sample = docs.limit(200).select("text").collect()
+    for r in sample:
+        words.update(w for w in _WS_SPLIT.split(r["text"]) if w)
+    assert words
+    for w in words:
+        assert _count_word(w, vs, lbf, 0.5) == _count_word_naive(
+            w, vs, ml, 0.5
+        ), w
+
+
+def test_word_memo_overflow_is_bit_identical(spark, monkeypatch):
+    """The per-batch word memo (r11) changes nothing observable: with
+    the cache bound forced to 2 (constant clears mid-document) the
+    counts equal the unbounded run."""
+    import wikiextractor_spark.functions.tokenizer as tok
+
+    vocab = vocab_from_tokens(spark, VOCAB, oov_tokens_per_char=0.5)
+    df = spark.createDataFrame(
+        [(i, "lower newest zz low " * (i % 5 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    base = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count(df, vocab, out_col="n").collect()
+    }
+    monkeypatch.setattr(tok, "_WORD_CACHE_MAX", 2)
+    tiny = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count(df, vocab, out_col="n").collect()
+    }
+    assert base == tiny
 
 
 def test_bpe_token_count_over_frame(spark):

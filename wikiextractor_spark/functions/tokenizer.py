@@ -34,6 +34,12 @@ entries), shipped once per executor as a broadcast; the counter is an
 Arrow-batched pandas UDF over the text column — a MODEL-ADAPTER
 kernel like the WET source kernel, outside the SURVEY §2.11
 cleaning-UDF budget (which stays exactly the five in ``udfs.py``).
+The kernel constant (r11): matching probes only the per-first-char
+DISTINCT token lengths (:func:`_build_matcher`) instead of every
+length down from the global max, and each batch memoizes per-WORD
+counts — Zipfian word frequency makes the memo hit rate the dominant
+win (10-50× on natural text), with bit-identical counts pinned by
+the differential test against the naive loop.
 The counts column then feeds :func:`~wikiextractor_spark.operators.
 packing.pack_sequences` / :func:`~wikiextractor_spark.operators.
 sampling.cap_group_tokens` via their ``token_col`` parameter — the
@@ -48,6 +54,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 VOCAB_SCHEMA = "token string, token_id double"
+
+# per-batch word-memo bound (see bpe_token_count): at ~100 bytes per
+# entry this caps the cache at ~26 MB per concurrently-running batch
+_WORD_CACHE_MAX = 1 << 18
 
 # Pre-tokenization grain, pinned to the EXPLICIT ASCII whitespace
 # class rather than str.split()'s Unicode-whitespace rule: the class
@@ -118,17 +128,39 @@ def load_bpe_vocab(
     return table.unionByName(oov_row).localCheckpoint(eager=True)
 
 
-def _count_word(word: str, vocab: frozenset, max_len: int,
+def _build_matcher(tokens: list[str]):
+    """Greedy-longest-match probe structure: the vocab as a frozenset
+    plus, per FIRST CHARACTER, the descending list of DISTINCT token
+    lengths that occur with that first char (r11 — the kernel-constant
+    fix).  At each position the old loop probed every length from
+    ``max_len`` down to 1; any actual match must start with the
+    position's character and have one of that character's lengths, so
+    probing only those lengths (usually a handful instead of the
+    global max) finds the SAME longest match with ~10× fewer
+    substring-hash probes — bit-identical counts, pinned by the
+    differential test against the naive loop."""
+    vocab = frozenset(tokens)
+    lens_by_first: dict[str, set[int]] = {}
+    for t in tokens:
+        lens_by_first.setdefault(t[0], set()).add(len(t))
+    return vocab, {
+        c: sorted(lens, reverse=True)
+        for c, lens in lens_by_first.items()
+    }
+
+
+def _count_word(word: str, vocab: frozenset,
+                lens_by_first: dict[str, list[int]],
                 oov: float) -> float:
     total, i, n = 0.0, 0, len(word)
     while i < n:
-        j = min(n, i + max_len)
-        while j > i:
-            if word[i:j] in vocab:
+        j = 0
+        for ln in lens_by_first.get(word[i], ()):
+            if ln <= n - i and word[i:i + ln] in vocab:
                 total += 1.0
+                j = i + ln
                 break
-            j -= 1
-        else:
+        if not j:
             # no vocab token starts here, not even one char: charge
             # the OOV per-char cost and advance one character
             total += oov
@@ -170,19 +202,41 @@ def bpe_token_count(
             "under whitespace pre-tokenization; fix the artifact"
         )
     oov = float(oov_vals[0])
-    max_len = max(len(t) for t in tokens)
+    vocab, lens_by_first = _build_matcher(tokens)
+    # the cache bound rides the broadcast (read here, driver-side) so
+    # tests can shrink it to force the overflow path
     bc = df.sparkSession.sparkContext.broadcast(
-        (frozenset(tokens), max_len, oov)
+        (vocab, lens_by_first, oov, _WORD_CACHE_MAX)
     )
 
     @F.pandas_udf("double")
     def _count(s: pd.Series) -> pd.Series:
-        vs, ml, ov = bc.value
-        return s.map(
-            lambda t: None if t is None else sum(
-                _count_word(w, vs, ml, ov)
-                for w in _WS_SPLIT.split(t) if w
-            )
-        )
+        vs, lbf, ov, cache_max = bc.value
+        # per-Arrow-batch word memo (r11): corpus word frequency is
+        # Zipfian, so within one 10k-row batch the same surface forms
+        # recur thousands of times — counting each DISTINCT word once
+        # and summing cache hits cuts the Python kernel cost by the
+        # batch's dedup ratio (10-50× on natural text) with trivially
+        # bit-identical results.  Bounded and batch-scoped: cleared
+        # if it ever reaches _WORD_CACHE_MAX entries (~26 MB worst
+        # case), dropped when the batch ends.
+        cache: dict[str, float] = {}
+
+        def _doc(t):
+            if t is None:
+                return None
+            total = 0.0
+            for w in _WS_SPLIT.split(t):
+                if not w:
+                    continue
+                c = cache.get(w)
+                if c is None:
+                    if len(cache) >= cache_max:
+                        cache.clear()
+                    c = cache[w] = _count_word(w, vs, lbf, ov)
+                total += c
+            return total
+
+        return s.map(_doc)
 
     return df.withColumn(out_col, _count(F.col(text_col)))
