@@ -9,10 +9,15 @@ from pyspark.sql import functions as F
 
 from wikiextractor_spark.functions.tokenizer import (
     _WS_SPLIT,
+    _bpe_replay_word,
     _build_matcher,
     _count_word,
     bpe_token_count,
+    bpe_token_count_exact,
+    load_bpe_merges,
     load_bpe_vocab,
+    merges_from_pairs,
+    save_bpe_merges,
     save_bpe_vocab,
     vocab_from_tokens,
 )
@@ -171,6 +176,123 @@ def test_whitespace_vocab_token_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="whitespace"):
         bpe_token_count(df, smuggled)
+
+
+# ---------------------------------------------------------------------------
+# Exact merges-based BPE replay (r11)
+# ---------------------------------------------------------------------------
+
+# a tiny but real BPE state: merges in learned order, vocab = base
+# chars + every merge output + one ADDED token no merge chain reaches
+_MERGES = [("e", "r"), ("l", "o"), ("lo", "w"), ("low", "er"),
+           ("n", "e"), ("w", "e"), ("we", "s"), ("wes", "t")]
+_BASE = list("abcdefghijklmnopqrstuvwxyz")
+_EXACT_VOCAB = _BASE + ["er", "lo", "low", "lower", "ne", "we",
+                        "wes", "west", "added"]
+
+
+def test_bpe_replay_word_kernel():
+    ranks = {p: float(i) for i, p in enumerate(_MERGES)}
+    vs = frozenset(_EXACT_VOCAB)
+    # 'lower': e+r(0) -> er; l+o(1) -> lo; lo+w(2) -> low;
+    # low+er(3) -> lower = ONE token
+    assert _bpe_replay_word("lower", ranks, vs, 1.0) == 1.0
+    # 'newest': n+e(4) applies FIRST (rank beats w+e at 5) -> ne;
+    # then we->we? 'w','e','s','t': we(5), wes(6), west(7) -> ne+west
+    assert _bpe_replay_word("newest", ranks, vs, 1.0) == 2.0
+    # rank order matters: 'ner' -> e+r (rank 0) merges before n+e
+    # (rank 4) can, leaving n+er = 2 — the overlapping lower-priority
+    # pair is blocked
+    assert _bpe_replay_word("ner", ranks, vs, 1.0) == 2.0
+    # and the converse word: 'new' -> n+e (4) fires, w+e never can
+    assert _bpe_replay_word("new", ranks, vs, 1.0) == 2.0
+    # unknown char charges the vocab OOV per char
+    assert _bpe_replay_word("zz√", ranks, vs, 0.5) == 2.5
+    assert _bpe_replay_word("", ranks, vs, 1.0) == 0.0
+    # all-occurrences merge: 'erer' -> er+er in ONE rule application
+    assert _bpe_replay_word("erer", ranks, vs, 1.0) == 2.0
+
+
+def test_merges_round_trip_and_validation(spark, tmp_path):
+    m = merges_from_pairs(spark, _MERGES)
+    p = str(tmp_path / "merges.parquet")
+    save_bpe_merges(m, p)
+    ranks = load_bpe_merges(spark, p)
+    assert ranks == {pair: float(i) for i, pair in enumerate(_MERGES)}
+    # TSV path through the same loader
+    t = tmp_path / "merges.tsv"
+    t.write_text("".join(f"{a} {b}\t{i}\n" for i, (a, b) in enumerate(_MERGES)))
+    assert load_bpe_merges(spark, str(t)) == ranks
+    # malformed pair string in the artifact raises
+    bad = spark.createDataFrame(
+        [("a b c", 0.0), ("x y", 1.0)], "pair string, rank double"
+    )
+    pb = str(tmp_path / "bad.parquet")
+    bad.coalesce(1).write.parquet(pb)
+    with pytest.raises(ValueError, match="left right"):
+        load_bpe_merges(spark, pb)
+    # duplicate ranks make replay ambiguous: raise
+    dup = spark.createDataFrame(
+        [("a b", 0.0), ("c d", 0.0)], "pair string, rank double"
+    )
+    pd_ = str(tmp_path / "dup.parquet")
+    dup.coalesce(1).write.parquet(pd_)
+    with pytest.raises(ValueError, match="duplicate ranks"):
+        load_bpe_merges(spark, pd_)
+    with pytest.raises(ValueError, match="malformed"):
+        merges_from_pairs(spark, [("a", "b c")])
+
+
+def test_bpe_exact_over_frame(spark, tmp_path):
+    vocab = vocab_from_tokens(spark, _EXACT_VOCAB, oov_tokens_per_char=0.5)
+    m = merges_from_pairs(spark, _MERGES)
+    p = str(tmp_path / "m.parquet")
+    save_bpe_merges(m, p)
+    ranks = load_bpe_merges(spark, p)
+    df = spark.createDataFrame(
+        [(1, "lower newest"), (2, "√√ low"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count_exact(
+            df, vocab, ranks, out_col="n"
+        ).collect()
+    }
+    assert got[1] == 3.0          # lower(1) + ne+west(2)
+    assert got[2] == 2.0          # √+√ at 0.5 each, l+o->lo, lo+w->low
+    assert got[3] is None
+    assert got[4] == 0.0
+
+
+def test_greedy_vs_exact_divergence_quantified(spark, docs):
+    """The stated greedy-vs-exact gap, measured: (a) an ADDED vocab
+    token no merge chain reaches diverges by construction (greedy 1
+    hit, exact per-char replay); (b) over the sf documents sample the
+    two modes agree on the overwhelming majority of words (the
+    docstring's claim, now a number: <=2% of distinct corpus words
+    under this artifact), and greedy never counts MORE than exact
+    needs... is not guaranteed — only measured agreement is."""
+    ranks = {p: float(i) for i, p in enumerate(_MERGES)}
+    vs = frozenset(_EXACT_VOCAB)
+    vs_greedy, lbf = _build_matcher(_EXACT_VOCAB)
+    # (a) guaranteed divergence on the added token
+    g = _count_word("added", vs_greedy, lbf, 1.0)
+    e = _bpe_replay_word("added", ranks, vs, 1.0)
+    assert g == 1.0 and e == 5.0
+    # (b) corpus measurement
+    words = set()
+    for r in docs.limit(500).select("text").collect():
+        words.update(w for w in _WS_SPLIT.split(r["text"]) if w)
+    assert words
+    diverged = [
+        w for w in words
+        if _count_word(w, vs_greedy, lbf, 0.5)
+        != _bpe_replay_word(w, ranks, vs, 0.5)
+    ]
+    assert len(diverged) <= max(1, len(words) * 0.02), (
+        f"{len(diverged)}/{len(words)} diverged: {diverged[:10]}"
+    )
 
 
 def test_packing_honors_imported_counts(spark):

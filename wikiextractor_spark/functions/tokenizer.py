@@ -128,6 +128,196 @@ def load_bpe_vocab(
     return table.unionByName(oov_row).localCheckpoint(eager=True)
 
 
+# --------------------------------------------------------------------------
+# Exact merges-based BPE replay (r11): the opt-in EXACT mode beside
+# greedy longest-match.  A merges artifact carries the learned merge
+# rules as ranked pairs — the actual BPE tokenizer state — and replay
+# applies them in rank order exactly as the serving tokenizer does
+# (lowest-rank pair present in the word merges first, all its
+# occurrences left to right), so pack budgets measured this way are
+# faithful to GPT-class tokenizers at CHARACTER grain (byte-level
+# tokenizers differ only where a char is multi-byte; stated).  After
+# replay each surviving symbol that is in the VOCAB counts 1.0; a
+# symbol outside it (necessarily a single unknown character when the
+# artifact is well-formed, since every merge output is a vocab entry)
+# charges the vocab's oov_tokens_per_char.  Greedy-vs-exact
+# divergence is quantified in tests/test_tokenizer.py — the common
+# case where they disagree is an ADDED vocab token (special tokens,
+# added words) that no merge chain produces: greedy counts it as one
+# hit, exact replay cannot reach it.
+# --------------------------------------------------------------------------
+
+MERGES_SCHEMA = "pair string, rank double"
+
+
+def merges_from_pairs(
+    spark, pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Build a merges artifact frame from an ordered rule list —
+    ranks are the list positions (the merges.txt convention: earlier
+    line = applied first).  Each side must be non-empty and
+    whitespace-free (same pre-tokenization argument as the vocab);
+    the pair is keyed as ``left + ' ' + right``, unambiguous because
+    of exactly that rule."""
+    bad = [
+        p for p in pairs
+        if len(p) != 2 or not all(
+            s and not _WS_SPLIT.search(s) for s in p
+        )
+    ]
+    if bad:
+        raise ValueError(
+            f"merges_from_pairs: {len(bad)} malformed pairs (first: "
+            f"{bad[0]!r}) — each side must be a non-empty "
+            "whitespace-free string"
+        )
+    keys = [f"{a} {b}" for a, b in pairs]
+    if len(set(keys)) != len(keys):
+        raise ValueError("merges_from_pairs: duplicate merge pairs")
+    return spark.createDataFrame(
+        [(k, float(i)) for i, k in enumerate(keys)], MERGES_SCHEMA
+    )
+
+
+def save_bpe_merges(merges: DataFrame, path: str) -> None:
+    """Persist a merges artifact as one parquet file (driver-sized
+    like the vocab; sibling of :func:`load_bpe_merges`)."""
+    merges.select("pair", "rank").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_bpe_merges(
+    spark, path: str, fmt: str | None = None,
+) -> dict[tuple[str, str], float]:
+    """Load a PRETRAINED merges table for
+    :func:`bpe_token_count_exact` — the modelio keyed-table contract
+    (``parquet`` with ``pair string, rank double`` or headerless
+    two-column ``tsv``; malformed ranks raise).  The merges artifact
+    has NO scalar row — the OOV cost lives on the VOCAB artifact —
+    so a NULL-pair row is rejected by the shared loader.  Returns the
+    driver-side rank map ``{(left, right): rank}`` (driver-sized by
+    construction, like the vocab; broadcast by the counter)."""
+    from wikiextractor_spark.functions.modelio import load_keyed_table
+
+    table, _ = load_keyed_table(
+        spark, path, fmt,
+        key_col="pair", key_type="string", value_col="rank",
+        scalar_name="(merges carry no scalar)", scalar=0.0,
+        caller="load_bpe_merges",
+    )
+    rows = table.collect()
+    ranks: dict[tuple[str, str], float] = {}
+    bad: list[str] = []
+    for r in rows:
+        parts = r["pair"].split(" ")
+        if len(parts) != 2 or not all(parts):
+            bad.append(r["pair"])
+            continue
+        ranks[(parts[0], parts[1])] = float(r["rank"])
+    if bad:
+        raise ValueError(
+            f"load_bpe_merges: {len(bad)} pairs not of the form "
+            f"'left right' (first: {bad[0]!r})"
+        )
+    if len(ranks) != len(rows):
+        raise ValueError("load_bpe_merges: duplicate merge pairs")
+    if len(set(ranks.values())) != len(ranks):
+        raise ValueError(
+            "load_bpe_merges: duplicate ranks — replay order would "
+            "be ambiguous; fix the artifact"
+        )
+    return ranks
+
+
+def _bpe_replay_word(
+    word: str, ranks: dict[tuple[str, str], float],
+    vocab: frozenset, oov: float,
+) -> float:
+    """Token count of one word under exact merge replay (the
+    reference BPE serving algorithm: repeatedly merge the
+    lowest-ranked adjacent pair, all occurrences left to right)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    total = 0.0
+    for s in syms:
+        total += 1.0 if s in vocab else oov * len(s)
+    return total
+
+
+def bpe_token_count_exact(
+    df: DataFrame, vocab: DataFrame,
+    merges: dict[tuple[str, str], float],
+    text_col: str = "text", out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """Attach ``out_col``: the text's token count under EXACT BPE
+    merge replay — whitespace pre-tokenization, then per word the
+    ranked merges applied in order (:func:`_bpe_replay_word`),
+    surviving symbols counted against the vocab with its OOV scalar.
+    Same frame contract as :func:`bpe_token_count` (NULL text stays
+    NULL, DOUBLE count), same scale shape (broadcast rank map +
+    vocab, one Arrow-batched kernel, per-batch word memo)."""
+    rows = vocab.select("token", "token_id").collect()
+    oov_vals = [r["token_id"] for r in rows if r["token"] is None]
+    if len(oov_vals) != 1 or oov_vals[0] is None:
+        raise ValueError(
+            "bpe_token_count_exact: vocab must carry exactly one "
+            "NULL-token oov_tokens_per_char row — load it through "
+            "load_bpe_vocab"
+        )
+    tokens = [r["token"] for r in rows if r["token"] is not None]
+    if not tokens:
+        raise ValueError("bpe_token_count_exact: empty vocabulary")
+    bc = df.sparkSession.sparkContext.broadcast(
+        (frozenset(tokens), dict(merges), float(oov_vals[0]),
+         _WORD_CACHE_MAX)
+    )
+
+    @F.pandas_udf("double")
+    def _count(s: pd.Series) -> pd.Series:
+        vs, rk, ov, cache_max = bc.value
+        cache: dict[str, float] = {}
+
+        def _doc(t):
+            if t is None:
+                return None
+            total = 0.0
+            for w in _WS_SPLIT.split(t):
+                if not w:
+                    continue
+                c = cache.get(w)
+                if c is None:
+                    if len(cache) >= cache_max:
+                        cache.clear()
+                    c = cache[w] = _bpe_replay_word(w, rk, vs, ov)
+                total += c
+            return total
+
+        return s.map(_doc)
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
+
+
 def _build_matcher(tokens: list[str]):
     """Greedy-longest-match probe structure: the vocab as a frozenset
     plus, per FIRST CHARACTER, the descending list of DISTINCT token
