@@ -1056,6 +1056,20 @@ _DUCK_COS = (
     "sim_ann_topk",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    -- batch family (r11 rescope): the index under probe holds the
+    -- EVEN-vec_id half only (the stream family streams in the odd
+    -- half afterwards), so its brute-force corpus is the even half
+    -- and its query ids are even
+    ev AS (SELECT vec_id, e FROM v WHERE vec_id % 2 = 0),
+    qb AS (SELECT vec_id AS q_id, e AS qe FROM ev WHERE vec_id IN (0, 2)),
+    sb AS (
+      SELECT q_id, ev.vec_id AS neighbor_id,
+             {_DUCK_COS.replace('ae', 'qe').replace('be', 'ev.e')} AS cos
+      FROM qb, ev WHERE ev.vec_id != q_id
+    ),
+    rb AS (SELECT q_id, neighbor_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM sb),
     q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2)),
     s AS (
       SELECT q_id, v.vec_id AS neighbor_id,
@@ -1064,11 +1078,12 @@ _DUCK_COS = (
     ),
     r AS (SELECT q_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-          FROM s),
-    top AS (SELECT q_id, neighbor_id, cos, rank FROM r WHERE rank <= 5)
-    SELECT 'batch' AS family, q_id, neighbor_id, cos, rank FROM top
+          FROM s)
+    SELECT 'batch' AS family, q_id, neighbor_id, cos, rank
+    FROM rb WHERE rank <= 5
     UNION ALL
-    SELECT 'stream' AS family, q_id, neighbor_id, cos, rank FROM top
+    SELECT 'stream' AS family, q_id, neighbor_id, cos, rank
+    FROM r WHERE rank <= 5
     """,
 )
 def sim_ann_topk(spark, sf_dir):
@@ -1082,9 +1097,14 @@ def sim_ann_topk(spark, sf_dir):
     recall is pytest-pinned; the in-memory brute-force baseline
     remains pytest-covered.
 
-    The 'stream' family (r10) proves STREAMING index maintenance
-    under the same hash: the index is built over the even-vec_id half
-    only, the odd half arrives through the real
+    ONE index serves both families (r11 wall-time audit — the former
+    second, full-corpus build duplicated every kernel the half build
+    already runs, at ~10 s of fixed jobs): built over the even-vec_id
+    half with one Lloyd iteration.  'batch' probes it AS BUILT (even
+    query ids, materialized eagerly before the stream mutates the
+    store) — build→store→probe against the even-corpus brute force.
+    'stream' (r10) then proves STREAMING maintenance under the same
+    hash: the odd half arrives through the real
     streaming/annindex.index_embeddings_stream path (availableNow
     micro-batch → foreachBatch → ivf_index_add with frozen artifacts
     + ingest ledger), the fragmented partitions are folded back to
@@ -1104,31 +1124,31 @@ def sim_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="wx_ivf_battery_")
     try:
-        # iters=1 exercises the Lloyd update loop once — enough to
-        # verify the train→store→probe machinery this slot exists
-        # for (the exhaustive probe equals brute force for ANY
-        # centroids, so extra iterations only moved partition
-        # balance, at ~1.3 s per iteration of shuffle+collect;
-        # convergence quality itself is pytest-pinned by the recall
-        # curve in test_operators.py)
-        similarity.build_ivf_index(emb, f"{work}/full", k=8, iters=1)
+        # ONE index serves both families (r11 wall-time audit: the
+        # former second, full-corpus build bought no kernel coverage
+        # the half build lacks — ~10 s of the slot's fixed jobs).
+        # Built over the even-vec_id half with iters=1 so the Lloyd
+        # update loop stays under the hash (exhaustive probe equals
+        # brute force for ANY centroids; convergence quality itself
+        # is pytest-pinned by the recall curve in test_operators.py).
+        vecs = emb.select("vec_id", "embedding")
+        similarity.build_ivf_index(
+            vecs.filter(F.col("vec_id") % 2 == 0),
+            f"{work}/half", k=8, iters=1,
+        )
+        # batch family: build→store→probe over the half index as
+        # built — even query ids, brute-force oracle over the even
+        # corpus
+        # materialized EAGERLY: the stream below appends the odd half
+        # to this same index, so a lazy batch_out evaluated at the
+        # final collect would see the mutated store
         batch_out = similarity.ann_ivf_topk_indexed(
-            spark, f"{work}/full", query_ids=[0, 1, 2], k=5, nprobe=8
+            spark, f"{work}/half", query_ids=[0, 2], k=5, nprobe=8
         ).select(
             F.lit("batch").alias("family"),
             "q_id", "neighbor_id", "cos",
             F.col("rank").cast("long").alias("rank"),
-        )
-
-        # stream family: half-built index + streamed other half
-        # (iters=0: exhaustive probe equals brute force for ANY
-        # centroids, so the Lloyd loop — already covered above —
-        # would only add shuffle time here)
-        vecs = emb.select("vec_id", "embedding")
-        similarity.build_ivf_index(
-            vecs.filter(F.col("vec_id") % 2 == 0),
-            f"{work}/half", k=8, iters=0,
-        )
+        ).localCheckpoint(eager=True)
         (
             vecs.filter(F.col("vec_id") % 2 == 1)
             .repartition(2)
