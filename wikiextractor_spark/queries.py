@@ -382,6 +382,56 @@ _BPE_VOCAB = [
 _BPE_OOV = 0.5
 _BPE_VOCAB_DUCK = ", ".join("('%s')" % t for t in _BPE_VOCAB)
 
+# Ranked merges for the n_tokens_exact column (r11): a VALID table —
+# every composite side is produced by a strictly earlier rule — which
+# is what makes the oracle's restatement below sound.  For a valid
+# table, merging a pair can never create an adjacency that matches an
+# earlier (or the same) rule, so the kernel's min-rank replay loop
+# (functions/tokenizer.py:_bpe_replay_word) equals ONE sequential
+# all-occurrences pass per rule in rank order; each pass is a
+# left-to-right non-overlapping string replace over the
+# separator-delimited symbol state  ␁␁s1␁␁s2␁␁…  (pattern
+# ␁a␁␁b␁ → ␁ab␁ matches exactly adjacent symbol pairs, because
+# separators always come in pairs and symbols contain none, and the
+# replacement preserves that invariant).  The separator chr(1) is
+# absent from both SF document sets (checked; a text containing it
+# would break the restatement, not the kernel).  Prototyped
+# mismatch-free against the Python kernel over all 5000 sf0.1
+# documents before wiring in.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
+    ("a", "n"), ("an", "d"), ("e", "r"), ("o", "n"),
+]
+
+_SEP = "chr(1)"
+_exact_state = (
+    f"{_SEP}||{_SEP}||regexp_replace(w, '(.)', '\\1'||{_SEP}||{_SEP}, 'g')"
+)
+for _a, _b in _BPE_MERGES:
+    _exact_state = (
+        f"replace({_exact_state}, "
+        f"{_SEP}||'{_a}'||{_SEP}||{_SEP}||'{_b}'||{_SEP}, "
+        f"{_SEP}||'{_a}{_b}'||{_SEP})"
+    )
+_BPE_VOCAB_IN = ", ".join("'%s'" % t for t in _BPE_VOCAB)
+
+# Per-doc exact-replay count: every non-NULL text yields at least one
+# split piece, an empty piece yields only empty symbols (0.0 each), so
+# SUM is non-NULL exactly when the kernel returns non-NULL.
+_TOK_EXACT_CTE = f"""
+    wsyms AS (
+      SELECT doc_id, unnest(string_split({_exact_state}, {_SEP}||{_SEP})) AS sym
+      FROM words
+    ),
+    exact AS (
+      SELECT doc_id, round(SUM(CASE WHEN sym = '' THEN 0.0
+                                    WHEN sym IN ({_BPE_VOCAB_IN}) THEN 1.0
+                                    ELSE {_BPE_OOV} * length(sym) END),
+                           6) AS n_tokens_exact
+      FROM wsyms GROUP BY doc_id
+    )
+"""
+
 _TOK_VOCAB_CTE = f"""
     vocab(token) AS (VALUES {_BPE_VOCAB_DUCK}),
     words AS (
@@ -434,7 +484,8 @@ _TOK_VOCAB_CTE = f"""
     "ta_text_profile",
     f"""
     WITH RECURSIVE
-    {_TOK_VOCAB_CTE}
+    {_TOK_VOCAB_CTE},
+    {_TOK_EXACT_CTE}
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
@@ -448,10 +499,12 @@ _TOK_VOCAB_CTE = f"""
                           * 1.0 / len(string_split(text, ' ')))
                  - 0.3 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)),
                  6) AS quality,
-           tok.n_tokens_vocab AS n_tokens_vocab
+           tok.n_tokens_vocab AS n_tokens_vocab,
+           exact.n_tokens_exact AS n_tokens_exact
     -- LEFT: a NULL-text doc has no words rows, and the kernel passes
     -- NULL text through as a NULL count rather than dropping the doc
     FROM documents LEFT JOIN tok USING (doc_id)
+                   LEFT JOIN exact USING (doc_id)
     """,
 )
 def ta_text_profile(spark, sf_dir):
@@ -468,13 +521,25 @@ def ta_text_profile(spark, sf_dir):
     the driver's hash, the lm_quality_gate pattern), then counted by
     the greedy longest-match broadcast kernel.  The tempdir only
     lives through load_bpe_vocab's eager checkpoint — the returned
-    plan depends on the broadcast vocab, not the files."""
+    plan depends on the broadcast vocab, not the files.
+
+    The n_tokens_exact column (r11) routes the EXACT merges-based
+    replay the same way: the ranked merges artifact rides its own
+    save→load round trip, then bpe_token_count_exact replays merges
+    in rank order per word against the same vocab; the oracle
+    re-derives the count with a sequential replace chain generated
+    from the same merge table (sound because the table is valid —
+    see _BPE_MERGES)."""
     import shutil
     import tempfile
 
     from wikiextractor_spark.functions.tokenizer import (
         bpe_token_count,
+        bpe_token_count_exact,
+        load_bpe_merges,
         load_bpe_vocab,
+        merges_from_pairs,
+        save_bpe_merges,
         save_bpe_vocab,
         vocab_from_tokens,
     )
@@ -486,6 +551,10 @@ def ta_text_profile(spark, sf_dir):
             f"{vdir}/vocab",
         )
         vocab = load_bpe_vocab(spark, f"{vdir}/vocab")
+        save_bpe_merges(
+            merges_from_pairs(spark, _BPE_MERGES), f"{vdir}/merges"
+        )
+        ranks = load_bpe_merges(spark, f"{vdir}/merges")
     finally:
         shutil.rmtree(vdir, ignore_errors=True)
 
@@ -507,6 +576,7 @@ def ta_text_profile(spark, sf_dir):
         )
     )
     d = bpe_token_count(d, vocab, out_col="_ntv")
+    d = bpe_token_count_exact(d, vocab, ranks, out_col="_nte")
     n_tok = F.size("_ws")
     stop_raw = F.col("_stop_en") * F.lit(1.0) / n_tok
     return d.select(
@@ -526,6 +596,7 @@ def ta_text_profile(spark, sf_dir):
             6,
         ).alias("quality"),
         F.round(F.col("_ntv"), 6).alias("n_tokens_vocab"),
+        F.round(F.col("_nte"), 6).alias("n_tokens_exact"),
     )
 
 
