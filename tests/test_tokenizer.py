@@ -14,6 +14,7 @@ from wikiextractor_spark.functions.tokenizer import (
     _count_word,
     bpe_token_count,
     bpe_token_count_exact,
+    learn_bpe_merges,
     load_bpe_merges,
     load_bpe_vocab,
     merges_from_pairs,
@@ -344,3 +345,127 @@ def test_cap_group_tokens_honors_imported_counts(spark):
     # each doc is 10 tokens (5 × ne+west); cumulative-before gate:
     # keeps rows while the PRIOR sum < 30 → exactly 3 docs = 30
     assert {r["s"] for r in per_group} == {30}
+
+
+# ---------------------------------------------------------------------------
+# Corpus BPE training (r11): learn_bpe_merges
+# ---------------------------------------------------------------------------
+
+
+def _py_train(texts, k, min_count=1):
+    """Inline reference trainer — the Sennrich loop at character
+    grain, (count DESC, pair-key ASC) tie-break, overlap-blocked
+    left-to-right merges — kept deliberately naive so the kernel
+    differential has an independent restatement."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in _WS_SPLIT.split(t):
+            if w:
+                wf[w] += 1
+    words = {w: (list(w), f) for w, f in wf.items() if len(w) > 1}
+    out = []
+    for _ in range(k):
+        pc = Counter()
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        out.append((a, b, cnt))
+        nw = {}
+        for w, (syms, f) in words.items():
+            ns, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            if len(ns) > 1:
+                nw[w] = (ns, f)
+        words = nw
+    return out
+
+
+def test_learn_bpe_hand_computed(spark):
+    # corpus: 'abab' x3, 'ab' x2, 'cd' x2.  Pair counts round 1:
+    # (a,b) 3*2+2 = 8 ... wait: 'abab' has (a,b) at pos 0 and 2 -> 2
+    # per occurrence, (b,a) once -> (a,b)=3*2+2=8, (b,a)=3, (c,d)=2.
+    # merge (a,b): 'abab'->[ab,ab], 'ab' drops (fully merged), 'cd'
+    # stays.  Round 2: (ab,ab)=3, (c,d)=2 -> merge (ab,ab).
+    # Round 3: only 'cd' remains -> (c,d)=2.
+    df = spark.createDataFrame(
+        [(1, "abab abab abab ab ab cd cd")], "doc_id long, text string"
+    )
+    got = learn_bpe_merges(df, 5, min_count=1)
+    assert got == [("a", "b", 8), ("ab", "ab", 3), ("c", "d", 2)]
+    # min_count prunes the tail; the loop stops, not truncates
+    assert learn_bpe_merges(df, 5, min_count=3) == [
+        ("a", "b", 8), ("ab", "ab", 3)
+    ]
+    assert learn_bpe_merges(df, 0) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe_merges(df, -1)
+    with pytest.raises(ValueError, match="min_count"):
+        learn_bpe_merges(df, 2, min_count=0)
+
+
+def test_learn_bpe_tie_break_deterministic(spark):
+    # (x,y) and (p,q) both count 2: the pair-key ascending tie-break
+    # picks 'p q' < 'x y' regardless of input order
+    df = spark.createDataFrame(
+        [(1, "xy xy pq pq")], "doc_id long, text string"
+    )
+    got = learn_bpe_merges(df, 1, min_count=1)
+    assert got == [("p", "q", 2)]
+
+
+def test_learn_bpe_differential_vs_reference(spark, docs):
+    """8 rounds over real sf documents: the distributed trainer must
+    equal the inline reference trainer rule for rule, count for
+    count."""
+    sample = docs.limit(120).select("doc_id", "text")
+    texts = [r["text"] for r in sample.collect()]
+    want = _py_train(texts, 8)
+    got = learn_bpe_merges(sample, 8, min_count=1)
+    assert got == want
+    assert len(got) == 8
+
+
+def test_learn_bpe_chains_into_exact_replay(spark, tmp_path, docs):
+    """The advertised composition: train on the corpus, persist the
+    merges artifact, reload, and serve exact-replay counts with it."""
+    sample = docs.limit(60)
+    learned = learn_bpe_merges(sample, 4, min_count=1)
+    assert len(learned) == 4
+    pairs = [(a, b) for a, b, _ in learned]
+    p = str(tmp_path / "learned_merges")
+    save_bpe_merges(merges_from_pairs(spark, pairs), p)
+    ranks = load_bpe_merges(spark, p)
+    assert ranks == {(a, b): float(i) for i, (a, b) in enumerate(pairs)}
+    base = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    vocab = vocab_from_tokens(
+        spark, base + [a + b for a, b in pairs if a + b not in base],
+        oov_tokens_per_char=0.5,
+    )
+    out = bpe_token_count_exact(
+        sample.limit(5), vocab, ranks, out_col="n"
+    ).collect()
+    assert all(r["n"] is not None and r["n"] > 0 for r in out)
+
+
+def test_learn_bpe_sample_fraction_bounds_scan(spark, docs):
+    # sampling is a determinism-preserving gate: same seed, same rules
+    a = learn_bpe_merges(docs, 3, min_count=1, sample_fraction=0.3, seed=7)
+    b = learn_bpe_merges(docs, 3, min_count=1, sample_fraction=0.3, seed=7)
+    assert a == b and len(a) == 3

@@ -318,6 +318,143 @@ def bpe_token_count_exact(
     return df.withColumn(out_col, _count(F.col(text_col)))
 
 
+def _merge_fold(a: str, b: str):
+    """One training merge pass over a symbol array as a native
+    Catalyst fold (``F.aggregate``): replace every adjacent (a, b)
+    left to right with overlap blocking — the accumulator carries a
+    ``pend``ing symbol so a lookahead match can either fuse
+    (``pend=a, x=b`` → emit ``ab``) or flush.  Exactly the serving
+    replay's per-rule pass (:func:`_bpe_replay_word`), expressed
+    JVM-side; symbols are data, so the pair arrives as ``F.lit``
+    (never spliced into an expr string)."""
+    a_lit, b_lit = F.lit(a), F.lit(b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["acc"].alias("acc"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == a_lit) & (x == b_lit),
+                F.struct(
+                    F.array_append(
+                        acc["acc"], F.concat(acc["pend"], x)
+                    ).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["acc"], acc["pend"]).alias("acc"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["acc"]).otherwise(
+            F.array_append(acc["acc"], acc["pend"])
+        )
+
+    return lambda col: F.aggregate(col, init, step, finish)
+
+
+# adjacent symbol pairs with every position counted (Sennrich
+# learn_bpe's get_stats grain: "aaa" contributes (a,a) twice even
+# though one merge pass can only fuse once — selection counts
+# positions, merging blocks overlaps)
+_ADJ_PAIRS = (
+    "transform(slice(syms, 1, size(syms) - 1), "
+    "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"
+)
+
+
+def learn_bpe_merges(
+    df: DataFrame, n_merges: int, text_col: str = "text",
+    min_count: int = 2, sample_fraction: float | None = None,
+    seed: int = 0,
+) -> list[tuple[str, str, int]]:
+    """TRAIN a BPE merges table on the corpus — the Sennrich
+    learn-BPE loop at character grain with no end-of-word marker,
+    matching what :func:`bpe_token_count_exact` serves: start from
+    the per-word character sequence, and ``n_merges`` times pick the
+    adjacent symbol pair with the highest corpus count (ties broken
+    by the pair key ascending, so training is deterministic) and fuse
+    all its occurrences left to right.  Returns ranked
+    ``(left, right, corpus_pair_count)`` triples — feed
+    ``[(a, b) for a, b, _ in ...]`` to :func:`merges_from_pairs` /
+    :func:`save_bpe_merges` to persist the learned tokenizer, and the
+    surviving symbols to :func:`vocab_from_tokens` for serving.
+
+    Stops early when the best remaining pair's count falls below
+    ``min_count`` (Sennrich's min-frequency guard; pass 1 to run all
+    ``n_merges`` while any pair exists).
+
+    Scale shape: ONE wide shuffle builds the distinct-word frequency
+    table (map-side combinable; ``sample_fraction`` bounds the scan
+    when an approximate vocabulary is acceptable — the standard trade
+    for web-scale training); every iteration then runs over that
+    monotonically-SHRINKING table (fully-merged words drop out): one
+    pair-count aggregation plus a single-row argmax collect, with the
+    merge pass itself a narrow native fold (:func:`_merge_fold`, zero
+    Python).  ``localCheckpoint`` truncates the growing fold lineage
+    each round, so iteration k replans O(1) work, not O(k).  Large
+    vocabularies mean many sequential small jobs — inherent to BPE's
+    sequential-dependence, same as any distributed trainer."""
+    if n_merges < 0:
+        raise ValueError("learn_bpe_merges: n_merges must be >= 0")
+    if min_count < 1:
+        raise ValueError("learn_bpe_merges: min_count must be >= 1")
+    src = df
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    words = (
+        src.select(
+            F.explode(
+                F.split(F.col(text_col), WS_SPLIT_PATTERN)
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
+            "freq",
+        )
+        .where(F.size("syms") > 1)
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            words.select(F.explode(F.expr(_ADJ_PAIRS)).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(
+                F.desc("cnt"), F.asc(F.concat_ws(" ", "a", "b"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b, int(best[0]["cnt"])))
+        words = (
+            words.select(
+                _merge_fold(a, b)(F.col("syms")).alias("syms"), "freq"
+            )
+            .where(F.size("syms") > 1)
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
 def _build_matcher(tokens: list[str]):
     """Greedy-longest-match probe structure: the vocab as a frozenset
     plus, per FIRST CHARACTER, the descending list of DISTINCT token

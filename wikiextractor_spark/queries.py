@@ -3275,16 +3275,84 @@ def st_stream_hourly(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# BPE TRAINING oracle chain (r11): the ta_term_stats 'bpe_merge'
+# family runs learn_bpe_merges — the Sennrich learn-BPE loop at
+# character grain, no end-of-word marker (matching the exact-replay
+# serving kernel) — and the oracle RE-RUNS THE TRAINING ITSELF as a
+# generated chain of k CTE levels over the distinct-word frequency
+# table: level i counts adjacent symbol pairs (every position,
+# weighted by word freq), picks the argmax with the (count DESC,
+# pair-key ASC) tie-break, and advances the separator-delimited
+# symbol state with one left-to-right non-overlapping replace (the
+# same ␁␁-state trick as _TOK_EXACT_CTE, same stated chr(1)
+# data assumption; here soundness needs no table-validity argument —
+# training applies exactly one freshly-chosen rule per level, which
+# IS one all-occurrences pass).  min_count=1 on the Spark side so
+# both sides stop exactly when no pairs remain (an exhausted level's
+# empty argmax empties every later level, so the row sets still
+# agree).  Prototyped mismatch-free against a pure-Python reference
+# trainer AND the Spark kernel at sf0.01 and sf0.1 before wiring in.
+_BPE_TRAIN_K = 6
+
+
+def _bpe_train_ctes(k: int) -> tuple[str, str]:
+    """Generate (cte_block, union_select) for the k-level training
+    chain — from the same constants the Spark family uses."""
+    parts = [f"""
+    bt_t0 AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS w
+        FROM documents) u
+      WHERE w <> '' GROUP BY w
+    ),
+    bt_s0 AS (
+      SELECT {_SEP}||{_SEP}||regexp_replace(w, '(.)', '\\1'||{_SEP}||{_SEP}, 'g') AS state,
+             freq
+      FROM bt_t0 WHERE length(w) > 1
+    )"""]
+    for i in range(k):
+        parts.append(f"""
+    bt_p{i} AS (
+      SELECT z.pr[1] AS a, z.pr[2] AS b, SUM(z.freq) AS cnt FROM (
+        SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                               list_slice(syms, 2, len(syms)))) AS pr, freq
+        FROM (SELECT list_filter(string_split(state, {_SEP}||{_SEP}),
+                                 x -> x <> '') AS syms, freq
+              FROM bt_s{i}) q
+      ) z GROUP BY 1, 2
+    ),
+    bt_b{i} AS (
+      SELECT a, b, cnt, {i + 1} AS rn FROM bt_p{i}
+      ORDER BY cnt DESC, a || ' ' || b LIMIT 1
+    ),
+    bt_s{i + 1} AS (
+      SELECT replace(s.state,
+                     {_SEP}||bb.a||{_SEP}||{_SEP}||bb.b||{_SEP},
+                     {_SEP}||bb.a||bb.b||{_SEP}) AS state,
+             s.freq
+      FROM bt_s{i} s CROSS JOIN bt_b{i} bb
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT a, b, cnt, rn FROM bt_b{i}" for i in range(k)
+    )
+    return ",".join(parts), union
+
+
+_BT_CTES, _BT_UNION = _bpe_train_ctes(_BPE_TRAIN_K)
+
+
 # Per-doc TF-IDF keywords + global top-20 bigrams in one
 # discriminated union.  Merged from r2's ta_tfidf_keywords + r1's
 # ta_top_bigrams (both green) to free a battery slot under the
 # driver's 50-entry cap for the r6 operators; renamed to
 # ta_term_stats in r8 so the slot name states that its timing covers
 # BOTH families.  Bigram rows carry their count as the score and -1
-# as the doc id.
-sql_query(
-    "ta_term_stats",
-    """
+# as the doc id.  r11 adds the 'bpe_merge' family: learn_bpe_merges
+# trains a 6-rule BPE on the documents corpus and the oracle
+# re-derives the whole training run (see _bpe_train_ctes above);
+# merge rows carry the pair key as the term, the corpus pair count
+# as the score, and the 1-based merge rank as rn.
+_TERM_STATS_SPARK_SQL = """
     WITH exploded AS (
       SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
     ),
@@ -3317,11 +3385,13 @@ sql_query(
         FROM documents
       ) b GROUP BY bigram
     ) t WHERE rn <= 20
-    """,
     """
+
+_TERM_STATS_DUCK_SQL = f"""
     WITH exploded AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
+    {_BT_CTES},
     tf AS (SELECT doc_id, w, COUNT(*) AS c FROM exploded GROUP BY doc_id, w),
     df AS (SELECT w, COUNT(DISTINCT doc_id) AS d FROM exploded GROUP BY w),
     n AS (SELECT COUNT(*) AS total FROM documents),
@@ -3347,8 +3417,40 @@ sql_query(
         FROM (SELECT string_split(text, ' ') AS ws FROM documents) w
       ) b GROUP BY bigram
     ) t WHERE rn <= 20
-    """,
-)
+    UNION ALL
+    SELECT 'bpe_merge' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           a || ' ' || b AS term, CAST(cnt AS DOUBLE) AS score, rn
+    FROM ({_BT_UNION})
+    """
+
+
+@query("ta_term_stats", _TERM_STATS_DUCK_SQL)
+def ta_term_stats(spark, sf_dir):
+    """TF-IDF keywords + top bigrams (the r7 merged families, SQL
+    unchanged) + the r11 'bpe_merge' family: learn_bpe_merges trains
+    a 6-rule BPE on the corpus — one distinct-word shuffle, then per
+    rule one pair-count aggregation over the shrinking word table
+    plus a native fold merge pass (zero Python in the loop) — and the
+    oracle re-derives the full training run as a generated CTE chain.
+    min_count=1 so Spark stops exactly when the pair space is
+    exhausted, mirroring the oracle's empty-argmax cascade."""
+    from wikiextractor_spark.functions.tokenizer import learn_bpe_merges
+
+    tune(spark)
+    register_views(spark, sf_dir)
+    base = spark.sql(_TERM_STATS_SPARK_SQL)
+    learned = learn_bpe_merges(
+        load_table(spark, sf_dir, "documents"),
+        _BPE_TRAIN_K, min_count=1,
+    )
+    merges_df = spark.createDataFrame(
+        [
+            ("bpe_merge", -1, f"{a} {b}", float(cnt), i + 1)
+            for i, (a, b, cnt) in enumerate(learned)
+        ],
+        "family string, doc_id bigint, term string, score double, rn int",
+    )
+    return base.unionByName(merges_df)
 
 
 @query(
