@@ -33,6 +33,7 @@ genuinely non-SQL-expressible ops.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1501,6 +1502,62 @@ def ta_quality_classifier(spark, sf_dir):
     )
 
 
+# URL-canonicalization adversaria for the r11 'url_canon'/'url_dedup'
+# families: doc_id % 6 picks a cosmetic fetch variant of page
+# doc_id % 50 ({P} below; {D} splices the doc_id so unparseable rows
+# stay distinct), each exercising a different canonical_url branch —
+# v0 mixed-case scheme+host and a tracking param, v1 the scheme
+# default port and a trailing slash, v2 a fragment and tracking-
+# before-real param order, v3 unparseable (must PASS THROUGH dedup,
+# not collapse), v4/v5 the same real param set in both orders (same
+# canonical, DIFFERENT page identity than v0-v2 — an extra param is
+# a different fetch).  The Spark variants and the oracle's expected
+# canonicals are spliced from these same templates, so neither side
+# can drift; survivor = min doc_id per canonical key.
+_URLV_PAGE = 50
+_URL_VARIANTS = [
+    "HTTP://Site{P}.Example.COM/a/b?x=1&utm_source=foo",
+    "http://site{P}.example.com:80/a/b/?x=1",
+    "http://site{P}.example.com/a/b?utm_campaign=z&x=1#frag",
+    "not a url {D}",
+    "http://site{P}.example.com/a/b?y=2&x=1",
+    "http://site{P}.example.com/a/b?x=1&y=2",
+]
+_URL_CANONS = [
+    "http://site{P}.example.com/a/b?x=1",
+    "http://site{P}.example.com/a/b?x=1",
+    "http://site{P}.example.com/a/b?x=1",
+    None,
+    "http://site{P}.example.com/a/b?x=1&y=2",
+    "http://site{P}.example.com/a/b?x=1&y=2",
+]
+
+
+def _url_tmpl_sql(tmpl: str | None) -> str:
+    """Template → SQL concat, splicing {P} (page id) and {D}
+    (doc id) — same rendering in both dialects (`||` coerces the
+    BIGINT to its decimal string in Spark and DuckDB alike)."""
+    if tmpl is None:
+        return "NULL"
+    out = []
+    for piece in re.split(r"(\{[PD]\})", tmpl):
+        if piece == "{P}":
+            out.append(f"(doc_id % {_URLV_PAGE})")
+        elif piece == "{D}":
+            out.append("doc_id")
+        elif piece:
+            out.append("'%s'" % piece)
+    return " || ".join(out)
+
+
+_URLV_CASE = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
+    f"WHEN {i} THEN {_url_tmpl_sql(t)}" for i, t in enumerate(_URL_VARIANTS)
+) + " END"
+_URLC_CASE = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
+    f"WHEN {i} THEN {_url_tmpl_sql(t)}" for i, t in enumerate(_URL_CANONS)
+) + " END"
+
+
 # Gopher A1.1 shape rules + the domain-blocklist gate (both late-r7
 # native expressions, driver-verified r8) in one long-form
 # discriminated slot: one row per (doc, signal) for the Gopher family
@@ -1512,7 +1569,8 @@ def ta_quality_classifier(spark, sf_dir):
 # bad.com.evil.io that a naive endswith would wrongly block).  One
 # blocklist entry is '.www.bad.com.' — the oracle normalizes it to
 # bad.com like the engine must (the r8 chained-normalization fix is
-# driver-pinned here).
+# driver-pinned here).  r11 adds the 'url_canon'/'url_dedup'
+# families (see _URL_VARIANTS above).
 _GOPHER_DUCK = r"""
     WITH base AS (
       SELECT doc_id, text,
@@ -1596,6 +1654,19 @@ _GOPHER_DUCK = r"""
       OR host = 'block.net' OR ends_with(host, '.block.net'))
 """
 
+_GOPHER_DUCK += f"""
+    UNION ALL
+    SELECT 'url_canon' AS family, doc_id,
+           COALESCE({_URLC_CASE}, 'unparseable') AS metric, 1.0 AS value
+    FROM documents
+    UNION ALL
+    SELECT 'url_dedup' AS family, doc_id, 'kept' AS metric, 1.0 AS value
+    FROM (
+      SELECT doc_id, canon, MIN(doc_id) OVER (PARTITION BY canon) AS m
+      FROM (SELECT doc_id, {_URLC_CASE} AS canon FROM documents) c
+    ) w WHERE canon IS NULL OR doc_id = m
+"""
+
 
 @query("ta_gopher_blocklist", _GOPHER_DUCK)
 def ta_gopher_blocklist(spark, sf_dir):
@@ -1603,12 +1674,23 @@ def ta_gopher_blocklist(spark, sf_dir):
     long-form.  The blocklist family synthesizes hosts from doc_id
     (subdomain hit, clean, www.-wrapped exact hit, unparseable,
     suffix trap) and uses a dirty blocklist entry ('.www.bad.com.')
-    that only the chained normalization matches."""
+    that only the chained normalization matches.
+
+    The r11 'url_canon'/'url_dedup' families run canonical_url and
+    dedup_by_url over synthesized cosmetic fetch variants (mixed
+    case, default port, trailing slash, fragment, tracking params,
+    reordered params, unparseable passthrough — _URL_VARIANTS); the
+    oracle splices the expected canonicals from the same templates
+    and re-derives the min-doc_id-per-key survivor set."""
     from wikiextractor_spark.functions.gopher import (
         gopher_signals,
         passes_gopher_rules,
     )
-    from wikiextractor_spark.functions.urls import filter_blocked_domains
+    from wikiextractor_spark.functions.urls import (
+        canonical_url,
+        dedup_by_url,
+        filter_blocked_domains,
+    )
 
     docs = _docs(spark, sf_dir)
     sig = docs.select(
@@ -1648,7 +1730,22 @@ def ta_gopher_blocklist(spark, sf_dir):
         F.lit("kept").alias("metric"),
         F.lit(1.0).alias("value"),
     )
-    return gop.unionByName(kept)
+    variants = docs.select("doc_id", F.expr(_URLV_CASE).alias("url"))
+    canon = variants.select(
+        F.lit("url_canon").alias("family"),
+        "doc_id",
+        F.coalesce(
+            canonical_url(F.col("url")), F.lit("unparseable")
+        ).alias("metric"),
+        F.lit(1.0).alias("value"),
+    )
+    survivors = dedup_by_url(variants).select(
+        F.lit("url_dedup").alias("family"),
+        "doc_id",
+        F.lit("kept").alias("metric"),
+        F.lit(1.0).alias("value"),
+    )
+    return gop.unionByName(kept).unionByName(canon).unionByName(survivors)
 
 
 # ==========================================================================
