@@ -469,3 +469,34 @@ def test_learn_bpe_sample_fraction_bounds_scan(spark, docs):
     a = learn_bpe_merges(docs, 3, min_count=1, sample_fraction=0.3, seed=7)
     b = learn_bpe_merges(docs, 3, min_count=1, sample_fraction=0.3, seed=7)
     assert a == b and len(a) == 3
+
+
+def test_learn_bpe_split_grain_matches_serving_kernel(spark):
+    """r11 review regression: Java's \\v escape inside a character
+    class is the VERTICAL-WHITESPACE CLASS (includes U+2028/U+2029/
+    U+0085), not the VT char Python/RE2 mean — the trainer must
+    pre-tokenize on the same six literal characters as the serving
+    kernels, so a U+2028 stays IN-WORD and trains a merge."""
+    df = spark.createDataFrame(
+        [(1, "q w q w")], "doc_id long, text string"
+    )
+    # one distinct word 'q<U+2028>w' (the serving grain); a widened
+    # Java-class split would see single-char words and learn nothing
+    got = learn_bpe_merges(df, 1, min_count=1)
+    assert got == [("q", " ", 2)]
+    # and the serving kernel agrees the corpus is one word per slot
+    assert _WS_SPLIT.split("q w q w") == ["q w", "q w"]
+
+
+def test_load_bpe_merges_rejects_whitespace_sides(spark, tmp_path):
+    """r11 review regression: a side carrying a tab survives the
+    single-space split ('a\\tb c' -> ('a\\tb', 'c')) but such a rule
+    can never fire under whitespace pre-tokenization — corrupt
+    artifacts raise, they do not silently shift counts."""
+    bad = spark.createDataFrame(
+        [("a\tb c", 0.0)], "pair string, rank double"
+    )
+    p = str(tmp_path / "tabside.parquet")
+    bad.coalesce(1).write.parquet(p)
+    with pytest.raises(ValueError, match="left right"):
+        load_bpe_merges(spark, p)

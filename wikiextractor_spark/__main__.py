@@ -78,36 +78,40 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# which flags belong to which --source is POLICY (stated here once);
+# whether a flag was actually supplied is derived from the parser's
+# own defaults, so adding a flag or changing a default cannot desync
+# a second hand-maintained table
+_WARC_ONLY = ("main_content", "with_meta")
+_DUMP_ONLY = (
+    "parser", "vitalfn", "compress", "incubator", "max_records_per_file",
+)
+
+
 def _check_flag_compat(parser: argparse.ArgumentParser, args) -> None:
     """Reject flag/source combinations that would be silently ignored
     — a typo like ``--source wet --main-content`` must not produce a
     plausible-looking but differently-shaped output."""
-    if args.source != "warc" and (args.main_content or args.with_meta):
-        parser.error(
-            "--main-content/--with-meta apply only to --source warc "
-            f"(got --source {args.source})"
-        )
-    if args.source != "dump":
-        dump_only = [
-            name
-            for name, on in (
-                ("--parser", args.parser != "xml"),
-                ("--vitalfn", args.vitalfn is not None),
-                ("--compress", args.compress),
-                ("--incubator", bool(args.incubator)),
-                (
-                    "--max-records-per-file",
-                    args.max_records_per_file is not None,
-                ),
-            )
-            if on
+
+    def supplied(dests) -> list[str]:
+        return [
+            "--" + d.replace("_", "-")
+            for d in dests
+            if getattr(args, d) != parser.get_default(d)
         ]
-        if dump_only:
+
+    def reject(flags: list[str], source: str) -> None:
+        if flags:
             parser.error(
-                f"{', '.join(dump_only)} appl"
-                f"{'y' if len(dump_only) > 1 else 'ies'} only to "
-                f"--source dump (got --source {args.source})"
+                f"{', '.join(flags)} appl"
+                f"{'y' if len(flags) > 1 else 'ies'} only to "
+                f"--source {source} (got --source {args.source})"
             )
+
+    if args.source != "warc":
+        reject(supplied(_WARC_ONLY), "warc")
+    if args.source != "dump":
+        reject(supplied(_DUMP_ONLY), "dump")
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -361,6 +361,22 @@ def extract_main_content(
         ),
     )
 
+    if min_stop_pct is not None:
+        # bind the word array ONCE per block (the repo's let-bind
+        # idiom): a second struct layer over the already-materialized
+        # txt field, so neither the clean cascade nor the split+filter
+        # chain is re-evaluated across the two stop-floor consumers
+        blocks = F.transform(
+            blocks,
+            lambda b: F.struct(
+                b["txt"].alias("txt"),
+                b["alen"].alias("alen"),
+                F.filter(
+                    F.split(b["txt"], " "), lambda w: w != F.lit("")
+                ).alias("words"),
+            ),
+        )
+
     def _keep(b: Column) -> Column:
         pred = (F.length(b["txt"]) >= F.lit(min_chars)) & (
             b["alen"] * F.lit(100).cast("bigint")
@@ -371,12 +387,9 @@ def extract_main_content(
             stops = tuple(
                 stopwords if stopwords is not None else _default_stopwords()
             )
-            words = F.filter(
-                F.split(b["txt"], " "), lambda w: w != F.lit("")
-            )
             stopn = F.size(
                 F.filter(
-                    words,
+                    b["words"],
                     lambda w: F.lower(
                         F.regexp_replace(w, _WORD_TRIM_RE, "")
                     ).isin(*stops),
@@ -385,7 +398,7 @@ def extract_main_content(
             pred = pred & (
                 stopn.cast("bigint") * F.lit(100).cast("bigint")
                 >= F.lit(min_stop_pct).cast("bigint")
-                * F.size(words).cast("bigint")
+                * F.size(b["words"]).cast("bigint")
             )
         return pred
 
@@ -431,14 +444,20 @@ def extract_main_content_duckdb_sql(
             stopwords if stopwords is not None else _default_stopwords()
         )
         stop_list = "[%s]" % ", ".join(f"'{esc(w)}'" for w in stops)
-        words = "list_filter(string_split(s.txt, ' '), w -> w <> '')"
+        # same let-bind as the Spark side: a second struct layer
+        # carries the word array so split+filter runs once per block
+        blocks = (
+            f"list_transform({blocks}, b -> struct_pack("
+            "txt := b.txt, alen := b.alen, "
+            "words := list_filter(string_split(b.txt, ' '), "
+            "w -> w <> '')))"
+        )
         stopn = (
-            f"len(list_filter({words}, w -> list_contains({stop_list}, "
+            f"len(list_filter(s.words, w -> list_contains({stop_list}, "
             f"lower(regexp_replace(w, '{esc(_WORD_TRIM_RE)}', '', 'g')))))"
         )
-        nwords = f"len({words})"
         stop_pred = (
-            f" AND {stopn} * 100 >= {min_stop_pct} * {nwords}"
+            f" AND {stopn} * 100 >= {min_stop_pct} * len(s.words)"
         )
     kept = (
         f"list_filter({blocks}, s -> length(s.txt) >= {min_chars} "

@@ -49,6 +49,7 @@ pack/cap plans are unchanged, only the measure is.
 from __future__ import annotations
 
 import re
+from functools import partial
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -68,6 +69,15 @@ _WORD_CACHE_MAX = 1 << 18
 # the count from any restatement.
 WS_SPLIT_PATTERN = "[ \\t\\n\\r\\f\\v]+"
 _WS_SPLIT = re.compile(WS_SPLIT_PATTERN)
+
+# The SAME class with the control characters spliced as LITERALS, for
+# Java-regex consumers (F.split): Java's \v escape inside a class is
+# the vertical-whitespace CLASS [\n\x0B\f\r\x85  ], not the
+# VT character Python/RE2 mean — passing the escape form to the JVM
+# would silently widen the split grain (U+2028 in web text would
+# split in the trainer but not in the serving kernels or the oracle).
+# Literal controls mean every engine sees the same six characters.
+WS_SPLIT_PATTERN_JVM = "[ \t\n\r\f\x0b]+"
 
 
 def vocab_from_tokens(
@@ -211,7 +221,16 @@ def load_bpe_merges(
     bad: list[str] = []
     for r in rows:
         parts = r["pair"].split(" ")
-        if len(parts) != 2 or not all(parts):
+        # sides must also be free of NON-space whitespace: a tab or
+        # newline inside a side survives the single-space split but
+        # such a rule can never fire under whitespace pre-tokenization
+        # — that is a corrupt artifact, and the modelio contract says
+        # malformed values RAISE rather than silently shift counts
+        if (
+            len(parts) != 2
+            or not all(parts)
+            or any(_WS_SPLIT.search(p) for p in parts)
+        ):
             bad.append(r["pair"])
             continue
         ranks[(parts[0], parts[1])] = float(r["rank"])
@@ -265,37 +284,50 @@ def _bpe_replay_word(
     return total
 
 
-def bpe_token_count_exact(
-    df: DataFrame, vocab: DataFrame,
-    merges: dict[tuple[str, str], float],
-    text_col: str = "text", out_col: str = "n_tokens_bpe",
-) -> DataFrame:
-    """Attach ``out_col``: the text's token count under EXACT BPE
-    merge replay — whitespace pre-tokenization, then per word the
-    ranked merges applied in order (:func:`_bpe_replay_word`),
-    surviving symbols counted against the vocab with its OOV scalar.
-    Same frame contract as :func:`bpe_token_count` (NULL text stays
-    NULL, DOUBLE count), same scale shape (broadcast rank map +
-    vocab, one Arrow-batched kernel, per-batch word memo)."""
+def _vocab_tokens_and_oov(
+    vocab: DataFrame, caller: str,
+) -> tuple[list[str], float]:
+    """Shared artifact validation for the counting kernels: exactly
+    one NULL-token OOV row, a non-empty vocabulary, and no empty or
+    whitespace-carrying tokens (such entries can never match under
+    whitespace pre-tokenization — a corrupt artifact raises, it does
+    not silently shift counts)."""
     rows = vocab.select("token", "token_id").collect()
     oov_vals = [r["token_id"] for r in rows if r["token"] is None]
     if len(oov_vals) != 1 or oov_vals[0] is None:
         raise ValueError(
-            "bpe_token_count_exact: vocab must carry exactly one "
-            "NULL-token oov_tokens_per_char row — load it through "
-            "load_bpe_vocab"
+            f"{caller}: vocab must carry exactly one NULL-token "
+            f"oov_tokens_per_char row, found {len(oov_vals)} — load "
+            "it through load_bpe_vocab"
         )
     tokens = [r["token"] for r in rows if r["token"] is not None]
     if not tokens:
-        raise ValueError("bpe_token_count_exact: empty vocabulary")
+        raise ValueError(f"{caller}: empty vocabulary")
+    bad = [t for t in tokens if t == "" or _WS_SPLIT.search(t)]
+    if bad:
+        raise ValueError(
+            f"{caller}: {len(bad)} empty or whitespace-carrying "
+            f"vocab tokens (first: {bad[0]!r}) — they can never match "
+            "under whitespace pre-tokenization; fix the artifact"
+        )
+    return tokens, float(oov_vals[0])
+
+
+def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
+                           text_col: str) -> DataFrame:
+    """Shared kernel body for the counting modes: one Arrow-batched
+    pandas UDF, whitespace pre-tokenization, NULL text stays NULL,
+    and the per-batch bounded word memo (Zipfian repetition makes the
+    memo the dominant win; see bpe_token_count's docstring).
+    ``count_word`` (word → DOUBLE count) must be picklable with its
+    closed-over state — it rides the UDF's broadcast."""
     bc = df.sparkSession.sparkContext.broadcast(
-        (frozenset(tokens), dict(merges), float(oov_vals[0]),
-         _WORD_CACHE_MAX)
+        (count_word, _WORD_CACHE_MAX)
     )
 
     @F.pandas_udf("double")
     def _count(s: pd.Series) -> pd.Series:
-        vs, rk, ov, cache_max = bc.value
+        fn, cache_max = bc.value
         cache: dict[str, float] = {}
 
         def _doc(t):
@@ -309,13 +341,35 @@ def bpe_token_count_exact(
                 if c is None:
                     if len(cache) >= cache_max:
                         cache.clear()
-                    c = cache[w] = _bpe_replay_word(w, rk, vs, ov)
+                    c = cache[w] = fn(w)
                 total += c
             return total
 
         return s.map(_doc)
 
     return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+def bpe_token_count_exact(
+    df: DataFrame, vocab: DataFrame,
+    merges: dict[tuple[str, str], float],
+    text_col: str = "text", out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """Attach ``out_col``: the text's token count under EXACT BPE
+    merge replay — whitespace pre-tokenization, then per word the
+    ranked merges applied in order (:func:`_bpe_replay_word`),
+    surviving symbols counted against the vocab with its OOV scalar.
+    Same frame contract as :func:`bpe_token_count` (NULL text stays
+    NULL, DOUBLE count), same scale shape (broadcast rank map +
+    vocab, one Arrow-batched kernel, per-batch word memo)."""
+    tokens, oov = _vocab_tokens_and_oov(vocab, "bpe_token_count_exact")
+    vs = frozenset(tokens)
+    ranks = dict(merges)
+    return _memoized_word_counter(
+        df,
+        partial(_bpe_replay_word, ranks=ranks, vocab=vs, oov=oov),
+        out_col, text_col,
+    )
 
 
 def _merge_fold(a: str, b: str):
@@ -416,7 +470,7 @@ def learn_bpe_merges(
     words = (
         src.select(
             F.explode(
-                F.split(F.col(text_col), WS_SPLIT_PATTERN)
+                F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
             ).alias("w")
         )
         .where(F.col("w") != "")
@@ -509,61 +563,23 @@ def bpe_token_count(
 
     Feed the result to ``pack_sequences(..., token_col=out_col)`` or
     ``cap_group_tokens(..., token_col=out_col)`` to budget in model
-    tokens instead of whitespace words."""
-    rows = vocab.select("token", "token_id").collect()
-    oov_vals = [r["token_id"] for r in rows if r["token"] is None]
-    if len(oov_vals) != 1 or oov_vals[0] is None:
-        raise ValueError(
-            f"bpe_token_count: vocab must carry exactly one NULL-token "
-            f"oov_tokens_per_char row, found {len(oov_vals)} — load it "
-            "through load_bpe_vocab"
-        )
-    tokens = [r["token"] for r in rows if r["token"] is not None]
-    if not tokens:
-        raise ValueError("bpe_token_count: empty vocabulary")
-    bad = [t for t in tokens if t == "" or _WS_SPLIT.search(t)]
-    if bad:
-        raise ValueError(
-            f"bpe_token_count: {len(bad)} empty or whitespace-carrying "
-            f"vocab tokens (first: {bad[0]!r}) — they can never match "
-            "under whitespace pre-tokenization; fix the artifact"
-        )
-    oov = float(oov_vals[0])
-    vocab, lens_by_first = _build_matcher(tokens)
-    # the cache bound rides the broadcast (read here, driver-side) so
-    # tests can shrink it to force the overflow path
-    bc = df.sparkSession.sparkContext.broadcast(
-        (vocab, lens_by_first, oov, _WORD_CACHE_MAX)
+    tokens instead of whitespace words.
+
+    Per-Arrow-batch word memo (r11): corpus word frequency is
+    Zipfian, so within one 10k-row batch the same surface forms recur
+    thousands of times — counting each DISTINCT word once and summing
+    cache hits cuts the Python kernel cost by the batch's dedup ratio
+    (10-50× on natural text) with trivially bit-identical results.
+    Bounded and batch-scoped: cleared if it ever reaches
+    ``_WORD_CACHE_MAX`` entries (~26 MB worst case), dropped when the
+    batch ends (:func:`_memoized_word_counter`, shared with the exact
+    mode)."""
+    tokens, oov = _vocab_tokens_and_oov(vocab, "bpe_token_count")
+    vs, lens_by_first = _build_matcher(tokens)
+    return _memoized_word_counter(
+        df,
+        partial(
+            _count_word, vocab=vs, lens_by_first=lens_by_first, oov=oov
+        ),
+        out_col, text_col,
     )
-
-    @F.pandas_udf("double")
-    def _count(s: pd.Series) -> pd.Series:
-        vs, lbf, ov, cache_max = bc.value
-        # per-Arrow-batch word memo (r11): corpus word frequency is
-        # Zipfian, so within one 10k-row batch the same surface forms
-        # recur thousands of times — counting each DISTINCT word once
-        # and summing cache hits cuts the Python kernel cost by the
-        # batch's dedup ratio (10-50× on natural text) with trivially
-        # bit-identical results.  Bounded and batch-scoped: cleared
-        # if it ever reaches _WORD_CACHE_MAX entries (~26 MB worst
-        # case), dropped when the batch ends.
-        cache: dict[str, float] = {}
-
-        def _doc(t):
-            if t is None:
-                return None
-            total = 0.0
-            for w in _WS_SPLIT.split(t):
-                if not w:
-                    continue
-                c = cache.get(w)
-                if c is None:
-                    if len(cache) >= cache_max:
-                        cache.clear()
-                    c = cache[w] = _count_word(w, vs, lbf, ov)
-                total += c
-            return total
-
-        return s.map(_doc)
-
-    return df.withColumn(out_col, _count(F.col(text_col)))

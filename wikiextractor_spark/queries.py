@@ -2485,7 +2485,14 @@ def src_wet(spark, sf_dir):
             spark, f"{tmpdir}/manifest", f"{tmpdir}/docs",
             f"{tmpdir}/ckpt", source="wet", strict=True,
         )
-        q.awaitTermination()
+        # bounded like every other battery stream: a wedged query
+        # must fail THIS slot with a named error, not hang the run
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "src_wet crawl family: availableNow micro-batch did "
+                "not finish within 120s"
+            )
         # the concrete batch_id= paths rather than the contract's
         # glob ONLY to spare the driver log a benign (but
         # scary-looking) FileStreamSink metadata-probe stacktrace the
