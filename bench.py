@@ -67,15 +67,30 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to q1
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # warm the parquet WRITE path too: the session's first parquet
+    # write pays one-time committer/codec/codegen init (~10s measured
+    # at local[32] for a 40-row artifact) that would otherwise be
+    # billed to whichever slot happens to write first (since r11
+    # that is ta_text_profile's tokenizer-artifact round trip) rather
+    # than to the engine — the same treatment the read path and the
+    # streaming machinery get above.
+    import shutil
+    import tempfile
+
+    warm_wdir = tempfile.mkdtemp(prefix="bench_write_warm_")
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").limit(5).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{warm_wdir}/warm")
+    finally:
+        shutil.rmtree(warm_wdir, ignore_errors=True)
+
     # warm the Structured Streaming machinery the same way: a minimal
     # stateful availableNow query over the 5-row region table pays the
     # one-time class-loading + state-store-provider init (~3s) that
     # would otherwise be billed to st_stream_hourly rather than to the
     # engine.  Steady-state streaming cost is what the timing should
     # measure; tests/test_streaming pin the semantics.
-    import shutil
-    import tempfile
-
     warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
     try:
         region_schema = spark.read.parquet(f"{sf_dir}/region.parquet").schema

@@ -523,7 +523,11 @@ def save_hashed_weights(
     (
         weights.select(F.col("bucket").cast("long"), "weight")
         .unionByName(prior_row)
-        .coalesce(1)
+        # repartition, not coalesce: the union carries the prior
+        # row's defaultParallelism Python-pickled slices, and
+        # coalesce(1) would chain them all through one task's
+        # sequential Python-worker round trips (see save_bpe_vocab)
+        .repartition(1)
         .write.mode("overwrite")
         .parquet(path)
     )
