@@ -113,7 +113,12 @@ def add_embeddings_batch(
     )
     (
         spark.createDataFrame([(int(batch_id),)], "batch_id long")
-        .coalesce(1)
+        # repartition, not coalesce: a createDataFrame frame has
+        # defaultParallelism Python-pickled slices, and coalesce(1)
+        # chains them all through ONE task's sequential Python-worker
+        # round trips (~5 s warm at local[32]) — on the per-batch hot
+        # path that dominated the whole micro-batch
+        .repartition(1)
         .write.mode("append")
         .parquet(f"{index_dir}/ingest_log")
     )
@@ -129,7 +134,7 @@ def compact_ingest_log(spark: SparkSession, index_dir: str) -> int:
     applied = sorted(_applied_batches(spark, index_dir))
     (
         spark.createDataFrame([(b,) for b in applied], "batch_id long")
-        .coalesce(1)
+        .repartition(1)  # not coalesce — see add_embeddings_batch
         .write.mode("overwrite")
         .parquet(f"{index_dir}/ingest_log")
     )
