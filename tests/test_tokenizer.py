@@ -500,3 +500,58 @@ def test_load_bpe_merges_rejects_whitespace_sides(spark, tmp_path):
     bad.coalesce(1).write.parquet(p)
     with pytest.raises(ValueError, match="left right"):
         load_bpe_merges(spark, p)
+
+
+def test_train_bpe_tokenizer_end_to_end(spark, tmp_path, docs):
+    """The one-call composition: artifacts on disk ARE what is
+    served, vocab = sorted base alphabet + merge outputs in rank
+    order, and the reloaded pair drives exact-replay counting."""
+    from wikiextractor_spark.functions.tokenizer import (
+        train_bpe_tokenizer,
+    )
+
+    sample = docs.limit(60).select("doc_id", "text")
+    vp, mp = str(tmp_path / "v"), str(tmp_path / "m")
+    vocab, ranks = train_bpe_tokenizer(
+        sample, 4, vp, mp, min_count=1, oov_tokens_per_char=0.5
+    )
+    # the returned pair is the RELOADED artifacts
+    assert load_bpe_merges(spark, mp) == ranks and len(ranks) == 4
+    rows = {
+        r["token"]: r["token_id"]
+        for r in load_bpe_vocab(spark, vp).collect()
+        if r["token"] is not None
+    }
+    learned = learn_bpe_merges(sample, 4, min_count=1)
+    for a, b, _ in learned:
+        assert a + b in rows
+    # base alphabet ids come first, sorted by codepoint
+    singles = sorted(t for t in rows if len(t) == 1)
+    assert [rows[t] for t in singles] == sorted(rows[t] for t in singles)
+    # and serving works off the returned pair
+    out = bpe_token_count_exact(
+        sample.limit(5), vocab, ranks, out_col="n"
+    ).collect()
+    assert all(r["n"] is not None and r["n"] > 0 for r in out)
+
+
+def test_train_bpe_tokenizer_guards(spark, tmp_path):
+    from wikiextractor_spark.functions.tokenizer import (
+        train_bpe_tokenizer,
+    )
+
+    empty = spark.createDataFrame(
+        [(1, "   "), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no words"):
+        train_bpe_tokenizer(
+            empty, 2, str(tmp_path / "v"), str(tmp_path / "m")
+        )
+    tiny = spark.createDataFrame(
+        [(1, "abc abd")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_chars"):
+        train_bpe_tokenizer(
+            tiny, 1, str(tmp_path / "v2"), str(tmp_path / "m2"),
+            max_chars=2,
+        )

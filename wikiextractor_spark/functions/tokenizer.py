@@ -517,6 +517,86 @@ def learn_bpe_merges(
     return merges
 
 
+def train_bpe_tokenizer(
+    df: DataFrame, n_merges: int, vocab_path: str, merges_path: str,
+    *, text_col: str = "text", min_count: int = 2,
+    oov_tokens_per_char: float = 1.0,
+    sample_fraction: float | None = None, seed: int = 0,
+    max_chars: int = 100_000,
+) -> tuple[DataFrame, dict[tuple[str, str], float]]:
+    """Train → persist → serve in one call: run
+    :func:`learn_bpe_merges` on the corpus, derive the serving
+    vocabulary (the corpus's distinct in-word characters sorted by
+    codepoint, then every merge output in rank order — the
+    conventional base-alphabet-then-merges id layout, first
+    occurrence kept when two merge chains produce the same string),
+    persist BOTH artifacts through their save contracts, and return
+    the reloaded ``(vocab frame, rank map)`` pair ready for
+    :func:`bpe_token_count_exact` — so the artifacts on disk are
+    exactly what was served, not a parallel in-memory state.
+
+    The base alphabet is collected to the driver: it is the corpus's
+    DISTINCT character set, bounded by Unicode itself, but a binary
+    or adversarial corpus can still blow it up — ``max_chars``
+    (default 100k) raises rather than silently truncating the vocab.
+    When ``sample_fraction`` is set, the alphabet comes from the SAME
+    deterministic sample the merges were learned on (same seed), so
+    artifact and training state cannot disagree on the alphabet."""
+    learned = learn_bpe_merges(
+        df, n_merges, text_col=text_col, min_count=min_count,
+        sample_fraction=sample_fraction, seed=seed,
+    )
+    pairs = [(a, b) for a, b, _ in learned]
+    src = df
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    chars = sorted(
+        r["c"]
+        for r in src.select(
+            F.explode(
+                F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .select(
+            F.explode(
+                F.expr("filter(split(w, ''), x -> x <> '')")
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    if not chars:
+        raise ValueError(
+            "train_bpe_tokenizer: the corpus has no words — nothing "
+            "to train on"
+        )
+    if len(chars) > max_chars:
+        raise ValueError(
+            f"train_bpe_tokenizer: {len(chars)} distinct characters "
+            f"exceeds max_chars={max_chars} — a vocabulary this wide "
+            "is almost certainly a binary/garbage corpus; filter "
+            "first or raise max_chars explicitly"
+        )
+    seen = set(chars)
+    outputs = []
+    for a, b in pairs:
+        t = a + b
+        if t not in seen:
+            seen.add(t)
+            outputs.append(t)
+    spark = df.sparkSession
+    save_bpe_vocab(
+        vocab_from_tokens(spark, chars + outputs, oov_tokens_per_char),
+        vocab_path,
+    )
+    save_bpe_merges(merges_from_pairs(spark, pairs), merges_path)
+    return (
+        load_bpe_vocab(spark, vocab_path),
+        load_bpe_merges(spark, merges_path),
+    )
+
+
 def _build_matcher(tokens: list[str]):
     """Greedy-longest-match probe structure: the vocab as a frozenset
     plus, per FIRST CHARACTER, the descending list of DISTINCT token
