@@ -555,3 +555,25 @@ def test_train_bpe_tokenizer_guards(spark, tmp_path):
             tiny, 1, str(tmp_path / "v2"), str(tmp_path / "m2"),
             max_chars=2,
         )
+
+
+def test_train_bpe_tokenizer_dedups_relearned_pairs(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review regression: when two merge chains can produce the
+    same symbol, a later round can re-select a pair an earlier rank
+    already covers — redundant at serving and illegal in the
+    artifact.  The composition drops it, first rank wins."""
+    import wikiextractor_spark.functions.tokenizer as tok
+
+    monkeypatch.setattr(
+        tok, "learn_bpe_merges",
+        lambda *a, **k: [("a", "b", 9), ("c", "d", 5), ("a", "b", 2)],
+    )
+    df = spark.createDataFrame(
+        [(1, "abcd abcd")], "doc_id long, text string"
+    )
+    vocab, ranks = tok.train_bpe_tokenizer(
+        df, 3, str(tmp_path / "v"), str(tmp_path / "m"), min_count=1
+    )
+    assert ranks == {("a", "b"): 0.0, ("c", "d"): 1.0}

@@ -520,16 +520,12 @@ def save_hashed_weights(
     prior_row = weights.sparkSession.createDataFrame(
         [(None, float(prior))], "bucket bigint, weight double"
     )
-    (
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    write_one_file(
         weights.select(F.col("bucket").cast("long"), "weight")
-        .unionByName(prior_row)
-        # repartition, not coalesce: the union carries the prior
-        # row's defaultParallelism Python-pickled slices, and
-        # coalesce(1) would chain them all through one task's
-        # sequential Python-worker round trips (see save_bpe_vocab)
-        .repartition(1)
-        .write.mode("overwrite")
-        .parquet(path)
+        .unionByName(prior_row),
+        path,
     )
 
 

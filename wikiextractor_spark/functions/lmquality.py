@@ -418,9 +418,9 @@ def save_logprob_table(lm: DataFrame, path: str) -> None:
     sibling of :func:`load_logprob_table`.  The model is driver-sized
     by construction (vocab-capped), so one coalesced file keeps the
     reload a single-file read."""
-    lm.select("token", "logp").coalesce(1).write.mode("overwrite").parquet(
-        path
-    )
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    write_one_file(lm.select("token", "logp"), path)
 
 
 def load_logprob_table(

@@ -30,6 +30,25 @@ def infer_fmt(path: str, fmt: str | None) -> str:
     return fmt
 
 
+def write_one_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a driver-sized artifact frame as ONE parquet file — the
+    shared single-file writer every artifact saver goes through.
+
+    ``repartition(1)``, NEVER ``coalesce(1)``: artifact frames are
+    typically ``createDataFrame``-built, which means
+    defaultParallelism Python-pickled slices, and coalescing folds
+    all of them into ONE task that deserializes them through
+    sequential Python-worker round trips — measured ~6 s warm at
+    local[32] to write a 31-row table, and ~5 s of every streaming
+    micro-batch when it sat on the ingest-ledger hot path (r11).
+    repartition computes the slices in parallel and shuffles the
+    driver-sized rows to one file in well under a second.  Content is
+    identical; row order may differ, so artifact READERS must stay
+    key-based (they all are — the load contracts key on
+    token/pair/bucket/dim/batch_id)."""
+    df.repartition(1).write.mode(mode).parquet(path)
+
+
 def load_keyed_table(
     spark,
     path: str,

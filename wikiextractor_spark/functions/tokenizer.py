@@ -109,16 +109,10 @@ def save_bpe_vocab(vocab: DataFrame, path: str) -> None:
     one parquet file, the round-trip sibling of
     :func:`load_bpe_vocab` (the :func:`save_logprob_table` pattern;
     the vocab is driver-sized, so one single-file write keeps the
-    reload a single-file read).  ``repartition(1)``, NOT
-    ``coalesce(1)``: a createDataFrame frame has defaultParallelism
-    Python-pickled slices, and coalescing folds all of them into ONE
-    task that deserializes them through sequential Python-worker
-    round trips (measured ~6 s warm at local[32] for 31 rows);
-    repartition computes the slices in parallel and shuffles the
-    driver-sized rows to one file in well under a second."""
-    vocab.select("token", "token_id").repartition(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    reload a single-file read)."""
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    write_one_file(vocab.select("token", "token_id"), path)
 
 
 def load_bpe_vocab(
@@ -197,12 +191,10 @@ def merges_from_pairs(
 
 def save_bpe_merges(merges: DataFrame, path: str) -> None:
     """Persist a merges artifact as one parquet file (driver-sized
-    like the vocab; sibling of :func:`load_bpe_merges`;
-    ``repartition(1)`` for the reason stated in
-    :func:`save_bpe_vocab`)."""
-    merges.select("pair", "rank").repartition(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    like the vocab; sibling of :func:`load_bpe_merges`)."""
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    write_one_file(merges.select("pair", "rank"), path)
 
 
 def load_bpe_merges(
@@ -436,10 +428,38 @@ _ADJ_PAIRS = (
 )
 
 
+def _word_freq_table(
+    df: DataFrame, text_col: str,
+    sample_fraction: float | None, seed: int,
+) -> DataFrame:
+    """The distinct-word frequency table both training entry points
+    share — ONE wide map-side-combinable shuffle over the (optionally
+    sampled) corpus, yielding ``(syms array<string>, freq)`` rows.
+    Single definition so the trainer and the alphabet derivation can
+    never disagree on the pre-tokenization or sampling grain."""
+    src = df
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    return (
+        src.select(
+            F.explode(
+                F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
+            "freq",
+        )
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame, n_merges: int, text_col: str = "text",
     min_count: int = 2, sample_fraction: float | None = None,
-    seed: int = 0,
+    seed: int = 0, _words: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """TRAIN a BPE merges table on the corpus — the Sennrich
     learn-BPE loop at character grain with no end-of-word marker,
@@ -467,30 +487,22 @@ def learn_bpe_merges(
     Python).  ``localCheckpoint`` truncates the growing fold lineage
     each round, so iteration k replans O(1) work, not O(k).  Large
     vocabularies mean many sequential small jobs — inherent to BPE's
-    sequential-dependence, same as any distributed trainer."""
+    sequential-dependence, same as any distributed trainer.
+
+    ``_words`` (private): a pre-built :func:`_word_freq_table` frame;
+    when supplied, ``text_col``/``sample_fraction``/``seed`` are
+    ignored — :func:`train_bpe_tokenizer` passes its checkpointed
+    table so corpus scanning happens once."""
     if n_merges < 0:
         raise ValueError("learn_bpe_merges: n_merges must be >= 0")
     if min_count < 1:
         raise ValueError("learn_bpe_merges: min_count must be >= 1")
-    src = df
-    if sample_fraction is not None:
-        src = src.sample(fraction=sample_fraction, seed=seed)
-    words = (
-        src.select(
-            F.explode(
-                F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
-            ).alias("w")
-        )
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select(
-            F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
-            "freq",
-        )
-        .where(F.size("syms") > 1)
-        .localCheckpoint(eager=True)
+    base = (
+        _word_freq_table(df, text_col, sample_fraction, seed)
+        if _words is None
+        else _words
     )
+    words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (
@@ -539,30 +551,28 @@ def train_bpe_tokenizer(
     DISTINCT character set, bounded by Unicode itself, but a binary
     or adversarial corpus can still blow it up — ``max_chars``
     (default 100k) raises rather than silently truncating the vocab.
-    When ``sample_fraction`` is set, the alphabet comes from the SAME
-    deterministic sample the merges were learned on (same seed), so
-    artifact and training state cannot disagree on the alphabet."""
+    The corpus is scanned ONCE: the checkpointed word-frequency table
+    feeds both the trainer and the alphabet derivation (so with
+    ``sample_fraction`` set they see the SAME sampled rows by
+    construction, not two draws that merely share a seed).
+
+    A re-learned pair is dropped, first rank wins: when two merge
+    chains can produce the same symbol, a later training round can
+    re-select a pair an earlier rank already covers — redundant at
+    serving (the earlier-ranked rule fires on any re-created
+    adjacency in the replay loop) and ILLEGAL in the artifact
+    (duplicate pairs make the rank map ambiguous; the loaders
+    raise)."""
+    words = _word_freq_table(
+        df, text_col, sample_fraction, seed
+    ).localCheckpoint(eager=True)
     learned = learn_bpe_merges(
         df, n_merges, text_col=text_col, min_count=min_count,
-        sample_fraction=sample_fraction, seed=seed,
+        _words=words,
     )
-    pairs = [(a, b) for a, b, _ in learned]
-    src = df
-    if sample_fraction is not None:
-        src = src.sample(fraction=sample_fraction, seed=seed)
     chars = sorted(
         r["c"]
-        for r in src.select(
-            F.explode(
-                F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
-            ).alias("w")
-        )
-        .where(F.col("w") != "")
-        .select(
-            F.explode(
-                F.expr("filter(split(w, ''), x -> x <> '')")
-            ).alias("c")
-        )
+        for r in words.select(F.explode("syms").alias("c"))
         .distinct()
         .collect()
     )
@@ -578,6 +588,12 @@ def train_bpe_tokenizer(
             "is almost certainly a binary/garbage corpus; filter "
             "first or raise max_chars explicitly"
         )
+    pairs: list[tuple[str, str]] = []
+    seen_pairs: set[tuple[str, str]] = set()
+    for a, b, _cnt in learned:
+        if (a, b) not in seen_pairs:
+            seen_pairs.add((a, b))
+            pairs.append((a, b))
     seen = set(chars)
     outputs = []
     for a, b in pairs:

@@ -720,11 +720,9 @@ def _write_driver_parquet(spark, path: str, arrow_table, spark_df) -> None:
         os.makedirs(cdir)
         pq.write_table(arrow_table(), f"{cdir}/part-00000.parquet")
     else:
-        # repartition, not coalesce: the thunk's createDataFrame frame
-        # carries defaultParallelism Python-pickled slices, and
-        # coalesce(1) would chain them all through one task's
-        # sequential Python-worker round trips (see save_bpe_vocab)
-        spark_df().repartition(1).write.mode("overwrite").parquet(path)
+        from wikiextractor_spark.functions.modelio import write_one_file
+
+        write_one_file(spark_df(), path)
 
 
 def build_ivf_index(

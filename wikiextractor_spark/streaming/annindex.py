@@ -45,6 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from wikiextractor_spark.functions.modelio import write_one_file
+
 EMBEDDINGS_SCHEMA = "vec_id long, embedding array<double>"
 
 
@@ -111,16 +113,10 @@ def add_embeddings_batch(
         batch_df.select(F.col(id_col), F.col(vec_col)),
         id_col, vec_col, **kwargs,
     )
-    (
-        spark.createDataFrame([(int(batch_id),)], "batch_id long")
-        # repartition, not coalesce: a createDataFrame frame has
-        # defaultParallelism Python-pickled slices, and coalesce(1)
-        # chains them all through ONE task's sequential Python-worker
-        # round trips (~5 s warm at local[32]) — on the per-batch hot
-        # path that dominated the whole micro-batch
-        .repartition(1)
-        .write.mode("append")
-        .parquet(f"{index_dir}/ingest_log")
+    write_one_file(
+        spark.createDataFrame([(int(batch_id),)], "batch_id long"),
+        f"{index_dir}/ingest_log",
+        mode="append",
     )
     applied.add(int(batch_id))
     return True
@@ -132,11 +128,9 @@ def compact_ingest_log(spark: SparkSession, index_dir: str) -> int:
     return the number of applied batches.  Same maintenance role as
     the signature store's compaction."""
     applied = sorted(_applied_batches(spark, index_dir))
-    (
-        spark.createDataFrame([(b,) for b in applied], "batch_id long")
-        .repartition(1)  # not coalesce — see add_embeddings_batch
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/ingest_log")
+    write_one_file(
+        spark.createDataFrame([(b,) for b in applied], "batch_id long"),
+        f"{index_dir}/ingest_log",
     )
     return len(applied)
 
