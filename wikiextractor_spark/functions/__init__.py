@@ -9,7 +9,13 @@ from wikiextractor_spark.functions.html import (  # noqa: F401
 )
 from wikiextractor_spark.functions.tokenizer import (  # noqa: F401
     bpe_token_count,
+    bpe_token_count_exact,
+    learn_bpe_merges,
+    load_bpe_merges,
     load_bpe_vocab,
+    merges_from_pairs,
+    save_bpe_merges,
     save_bpe_vocab,
+    train_bpe_tokenizer,
     vocab_from_tokens,
 )
