@@ -1557,6 +1557,41 @@ _URLC_CASE = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
     f"WHEN {i} THEN {_url_tmpl_sql(t)}" for i, t in enumerate(_URL_CANONS)
 ) + " END"
 
+# Group-sampling adversaria for the r11 'upsample'/'cap_group'
+# families: doc_id % 3 buckets documents into synthetic domains and
+# the two GROUP-grain samplers run against caller-literal factors —
+# fractional-epoch up-sampling (wiki ×2.5: two full copies plus a
+# hash-gated half; books ×0.25: zero full copies, a quarter survive
+# the gate — the drop path; web absent from the table — the
+# default-1.0 path) and the per-group row cap (k=5, md5-shuffled
+# rank, id tie-break).  Every gate literal below derives from the
+# SAME Python dict the Spark call uses, and the md5 bucket is the
+# module's own construction restated with the established
+# '0x'||substring idiom, so neither side can drift; no float ever
+# crosses the oracle boundary (whole/frac-gate are ints computed
+# once, in Python, like the engine's own literal inlining).
+_SAMP_DOM = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'wiki' "
+    "WHEN 1 THEN 'web' ELSE 'books' END"
+)
+_SAMP_FACTORS = {"wiki": 2.5, "books": 0.25}
+_SAMP_CAP_K = 5
+_SAMP_WHOLE = "CASE dom " + " ".join(
+    f"WHEN '{g}' THEN {int(f)}" for g, f in sorted(_SAMP_FACTORS.items())
+) + " ELSE 1 END"
+_SAMP_FRAC = "CASE dom " + " ".join(
+    f"WHEN '{g}' THEN {int(round((f - int(f)) * 1000000))}"
+    for g, f in sorted(_SAMP_FACTORS.items())
+) + " ELSE 0 END"
+
+
+def _duck_bucket(key_expr: str, salt: str) -> str:
+    """operators/sampling._hash_bucket restated for DuckDB."""
+    return (
+        f"(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || "
+        f"'{salt}'), 1, 8))::UBIGINT % 1000000)"
+    )
+
 
 # Gopher A1.1 shape rules + the domain-blocklist gate (both late-r7
 # native expressions, driver-verified r8) in one long-form
@@ -1665,6 +1700,24 @@ _GOPHER_DUCK += f"""
       SELECT doc_id, canon, MIN(doc_id) OVER (PARTITION BY canon) AS m
       FROM (SELECT doc_id, {_URLC_CASE} AS canon FROM documents) c
     ) w WHERE canon IS NULL OR doc_id = m
+    UNION ALL
+    SELECT 'upsample' AS family, doc_id, 'epoch' AS metric,
+           CAST(unnest(range(nc)) AS DOUBLE) AS value
+    FROM (
+      SELECT doc_id,
+             {_SAMP_WHOLE}
+             + CASE WHEN {_duck_bucket('doc_id', 'epoch')} < {_SAMP_FRAC}
+                    THEN 1 ELSE 0 END AS nc
+      FROM (SELECT doc_id, {_SAMP_DOM} AS dom FROM documents) sd
+    ) su
+    UNION ALL
+    SELECT 'cap_group' AS family, doc_id, 'kept' AS metric, 1.0 AS value
+    FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (
+               PARTITION BY dom
+               ORDER BY {_duck_bucket('doc_id', '')}, doc_id) AS rn
+      FROM (SELECT doc_id, {_SAMP_DOM} AS dom FROM documents) sc
+    ) sr WHERE rn <= {_SAMP_CAP_K}
 """
 
 
@@ -1681,7 +1734,15 @@ def ta_gopher_blocklist(spark, sf_dir):
     case, default port, trailing slash, fragment, tracking params,
     reordered params, unparseable passthrough — _URL_VARIANTS); the
     oracle splices the expected canonicals from the same templates
-    and re-derives the min-doc_id-per-key survivor set."""
+    and re-derives the min-doc_id-per-key survivor set.
+
+    The r11 'upsample'/'cap_group' families drive the GROUP-grain
+    samplers (operators/sampling.py, pytest-only since r7) over
+    synthetic domains: fractional-epoch up-sampling with full-copy,
+    gated-remainder, drop, and absent-group-default paths all
+    exercised, and the md5-shuffled per-group row cap — the oracle
+    re-derives both from the same factor literals and the restated
+    hash bucket (_duck_bucket)."""
     from wikiextractor_spark.functions.gopher import (
         gopher_signals,
         passes_gopher_rules,
@@ -1690,6 +1751,10 @@ def ta_gopher_blocklist(spark, sf_dir):
         canonical_url,
         dedup_by_url,
         filter_blocked_domains,
+    )
+    from wikiextractor_spark.operators.sampling import (
+        cap_per_group,
+        upsample_groups,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1745,7 +1810,26 @@ def ta_gopher_blocklist(spark, sf_dir):
         F.lit("kept").alias("metric"),
         F.lit(1.0).alias("value"),
     )
-    return gop.unionByName(kept).unionByName(canon).unionByName(survivors)
+    domains = docs.select("doc_id", F.expr(_SAMP_DOM).alias("dom"))
+    ups = upsample_groups(domains, "dom", _SAMP_FACTORS).select(
+        F.lit("upsample").alias("family"),
+        "doc_id",
+        F.lit("epoch").alias("metric"),
+        F.col("epoch").cast("double").alias("value"),
+    )
+    capped = cap_per_group(domains, ["dom"], _SAMP_CAP_K, "doc_id").select(
+        F.lit("cap_group").alias("family"),
+        "doc_id",
+        F.lit("kept").alias("metric"),
+        F.lit(1.0).alias("value"),
+    )
+    return (
+        gop.unionByName(kept)
+        .unionByName(canon)
+        .unionByName(survivors)
+        .unionByName(ups)
+        .unionByName(capped)
+    )
 
 
 # ==========================================================================
