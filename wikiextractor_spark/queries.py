@@ -1586,10 +1586,14 @@ _SAMP_FRAC = "CASE dom " + " ".join(
 
 
 def _duck_bucket(key_expr: str, salt: str) -> str:
-    """operators/sampling._hash_bucket restated for DuckDB."""
+    """operators/sampling._hash_bucket restated for DuckDB — the ONE
+    home of the construction (corpus_prepare's sample gate routes
+    through it too), including the NULL-key '<null>' sentinel the
+    engine uses so a NULL key gets a deterministic fate on both
+    sides rather than a NULL gate only here."""
     return (
-        f"(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || "
-        f"'{salt}'), 1, 8))::UBIGINT % 1000000)"
+        f"(('0x' || substring(md5(coalesce(CAST({key_expr} AS VARCHAR), "
+        f"'<null>') || '{salt}'), 1, 8))::UBIGINT % 1000000)"
     )
 
 
@@ -2823,8 +2827,7 @@ def ta_chunk_documents(spark, sf_dir):
     ),
     samp AS (
       SELECT doc_id, text FROM ded
-      WHERE ('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR), 'corpus')), 1, 8))::UBIGINT
-            % 1000000 < 600000
+      WHERE {_duck_bucket('doc_id', 'corpus')} < 600000
     ),
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM samp),
     n AS (SELECT doc_id, ws,
