@@ -1,0 +1,293 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Given a small TARGET corpus (the distribution you want more of — e.g.
+curated encyclopedic text) and the RAW crawl corpus, score every raw
+document by how much more likely its hashed n-gram profile is under
+the target distribution than under the raw distribution, then keep
+the high-importance slice.  This is the published DSIR recipe (Xie et
+al. 2023, "Data Selection for Language Models via Importance
+Resampling"): features are word n-grams hashed into a fixed number of
+buckets, both corpora reduce to bucket histograms, and a document's
+log-importance weight is the sum over its n-grams of
+``log p_target(bucket) - log p_raw(bucket)`` with add-alpha
+smoothing.
+
+100 TB shape
+------------
+* Each corpus reduces to ONE ``groupBy(bucket).count()`` over the
+  exploded n-grams — map-side partial aggregation, shuffle payload at
+  most ``buckets`` rows per task.  The target corpus is tiny by
+  construction (a curated seed set against a 100 TB crawl).
+* The weight table is ``buckets`` rows — a DRIVER-SIZED artifact by
+  contract (``buckets`` is capped, raise-don't-spill) — collected
+  once and inlined as a literal map, exactly like the broadcast
+  vocab in ``functions/tokenizer``.
+* Scoring is then a ZERO-SHUFFLE narrow projection: normalize →
+  n-grams → md5 bucket → map lookup → integer fold, all inside
+  whole-stage codegen.  No join, no explode survives into the scoring
+  pass, nothing Python.  At 100 TB this is the only pass that touches
+  every byte, and it runs at scan speed.
+* Weights are QUANTIZED to integer micro-units (``round(w * 1e6)``)
+  before the per-document sum: integer addition is order-independent,
+  so the score is exactly reproducible across partitionings, engines,
+  and re-runs — the same integerize-first discipline the money
+  aggregates use.  The one float crossing (the log) happens once per
+  BUCKET, not per document.
+
+Normalization and n-gram construction mirror ``operators/decontam``
+(lowercase, strip non-alphanumerics, whole-doc gram for short docs)
+so the two hygiene passes agree on what a "word" is.  The md5 bucket
+construction mirrors ``operators/sampling._hash_bucket`` (first 8 hex
+chars as an integer), restatable by any engine with md5.
+
+Selection modes:
+
+* ``select_by_weight`` — deterministic integer-threshold gate
+  (driver-verifiable end to end).
+* ``gumbel_topk`` — the paper's importance RESAMPLING via
+  deterministic Gumbel-top-k (noise derived from the md5 bucket of
+  the doc id, so the draw is reproducible given the salt).  The
+  ordering key passes through driver-side float ``log``/division an
+  independent engine cannot be guaranteed to reproduce at rank
+  boundaries, so this mode is pytest-pinned (same stated boundary as
+  ``sampling.temperature_mix``).
+
+No reference counterpart (`/root/reference/WikiExtractor.py` has no
+data-selection surface) — engine extension (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+#: hard cap on the bucket count: the weight table is collected to the
+#: driver and inlined as a literal map, so it must stay driver-sized.
+MAX_BUCKETS = 65536
+
+_MICRO = 1_000_000
+
+
+def _norm_words_sql(text_col: str) -> str:
+    """Lowercase, strip non-alphanumerics, collapse runs → word array
+    (same normalization as ``decontam._norm_words_sql``)."""
+    return (
+        f"split(trim(regexp_replace(lower({text_col}), "
+        f"'[^a-z0-9]+', ' ')), ' ')"
+    )
+
+
+def _grams_expr(text_col: str, n: int) -> F.Column:
+    """Array of normalized word ``n``-gram STRINGS; whole doc when
+    shorter than ``n`` words (the decontam short-doc rule — a short
+    target item still contributes its full sequence instead of
+    silently vanishing).  Strings, not xxhash64: the bucket hash must
+    be md5 so an independent engine can restate it."""
+    return F.expr(
+        f"""
+        transform(array({_norm_words_sql(text_col)}), ws ->
+          CASE WHEN size(ws) < {n}
+               THEN array(concat_ws(' ', ws))
+               ELSE transform(sequence(0, size(ws) - {n}),
+                              i -> concat_ws(' ', slice(ws, i + 1, {n})))
+          END)[0]
+        """
+    )
+
+
+def _bucket_col(gram_col: F.Column, buckets: int, salt: str) -> F.Column:
+    """md5-derived uniform bucket in ``[0, buckets)`` — the
+    ``sampling._hash_bucket`` construction with a parametric modulus.
+    A pure function of (gram, salt): identical on any engine with
+    md5."""
+    h = F.md5(F.concat(gram_col, F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def _check_buckets(buckets: int) -> None:
+    if not 1 <= buckets <= MAX_BUCKETS:
+        raise ValueError(
+            f"buckets must be in [1, {MAX_BUCKETS}] (the weight table "
+            f"is a driver-sized literal map), got {buckets}"
+        )
+
+
+def bucket_histogram(
+    df: DataFrame, text_col: str = "text", n: int = 2,
+    buckets: int = 512, salt: str = "dsir",
+) -> DataFrame:
+    """→ ``(bucket, cnt)``: hashed n-gram bucket histogram of the
+    corpus.  One map-side-combined aggregation; the shuffle payload is
+    at most ``buckets`` rows per task regardless of corpus size."""
+    _check_buckets(buckets)
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
+    grams = df.select(_grams_expr(text_col, n).alias("_grams"))
+    return (
+        grams.select(F.explode_outer("_grams").alias("_g"))
+        .select(_bucket_col(F.col("_g"), buckets, salt).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def importance_weights(
+    target_hist: DataFrame, raw_hist: DataFrame, buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """→ ``(bucket, weight_micro)``: per-bucket log importance ratio
+    ``ln((t+α)/(T+αB)) − ln((r+α)/(R+αB))`` quantized to BIGINT
+    micro-units.  Both inputs are ≤ ``buckets`` rows, so the full
+    outer join and the total-count cross joins are trivially small;
+    the result is the driver-sized artifact ``dsir_scores`` inlines.
+    """
+    _check_buckets(buckets)
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    t_tot = target_hist.agg(F.sum("cnt").alias("t_total"))
+    r_tot = raw_hist.agg(F.sum("cnt").alias("r_total"))
+    joined = (
+        target_hist.withColumnRenamed("cnt", "t_cnt")
+        .join(
+            raw_hist.withColumnRenamed("cnt", "r_cnt"), "bucket", "full_outer"
+        )
+        .crossJoin(t_tot)
+        .crossJoin(r_tot)
+    )
+    t = F.coalesce(F.col("t_cnt"), F.lit(0)).cast("double")
+    r = F.coalesce(F.col("r_cnt"), F.lit(0)).cast("double")
+    # empty-corpus totals coalesce to 0: weights degrade to the pure
+    # smoothing ratio instead of NULLing the whole table
+    tt = F.coalesce(F.col("t_total"), F.lit(0)).cast("double")
+    rt = F.coalesce(F.col("r_total"), F.lit(0)).cast("double")
+    ab = float(alpha) * buckets
+    w = (
+        F.log((t + F.lit(float(alpha))) / (tt + F.lit(ab)))
+        - F.log((r + F.lit(float(alpha))) / (rt + F.lit(ab)))
+    )
+    return joined.select(
+        "bucket",
+        F.round(w * _MICRO).cast("long").alias("weight_micro"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 512,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Attach ``dsir_logw_micro`` (BIGINT sum of bucket weights over
+    the document's n-grams) and ``dsir_n_grams`` to every row of
+    ``df``.
+
+    The weight table is collected once (≤ ``buckets`` rows by the
+    ``MAX_BUCKETS`` contract) and inlined as a literal map, so the
+    scoring pass is a zero-shuffle, zero-join narrow projection — the
+    shape that survives a 100 TB scan.  Buckets absent from the table
+    score 0 (they can only arise when ``df`` is not a subset of the
+    raw corpus the weights were fit on)."""
+    _check_buckets(buckets)
+    rows = weights.select("bucket", "weight_micro").collect()
+    if not rows:
+        raise ValueError("weights table is empty — fit it first")
+    pairs: list = []
+    for row in rows:
+        pairs.append(F.lit(int(row["bucket"])))
+        pairs.append(F.lit(int(row["weight_micro"])))
+    wmap = F.create_map(*pairs)
+    grams = _grams_expr(text_col, n)
+    scored = df.withColumn("_grams", grams).withColumn(
+        "dsir_logw_micro",
+        F.aggregate(
+            F.transform(
+                F.col("_grams"),
+                lambda g: F.coalesce(
+                    wmap[_bucket_col(g, buckets, salt)],
+                    F.lit(0).cast("long"),
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return scored.withColumn("dsir_n_grams", F.size("_grams")).drop("_grams")
+
+
+def fit_and_score(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 512,
+    salt: str = "dsir",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """One-call fit→score: histogram both corpora, build the weight
+    table, score every raw document.  Two aggregations + one
+    driver-sized collect + one narrow pass."""
+    t_hist = bucket_histogram(target_df, text_col, n, buckets, salt)
+    r_hist = bucket_histogram(raw_df, text_col, n, buckets, salt)
+    w = importance_weights(t_hist, r_hist, buckets, alpha)
+    return dsir_scores(raw_df, w, text_col, id_col, n, buckets, salt)
+
+
+def select_by_weight(
+    scored: DataFrame, min_weight_micro: int = 0,
+) -> DataFrame:
+    """Deterministic selection: keep documents whose integer
+    micro-unit log-weight clears the threshold (default 0 = "more
+    target-like than raw-average").  An integer compare — exactly
+    reproducible on any engine, hence driver-verifiable."""
+    return scored.filter(F.col("dsir_logw_micro") >= int(min_weight_micro))
+
+
+def gumbel_topk(
+    scored: DataFrame, k: int, id_col: str = "doc_id",
+    temperature: float = 1.0, salt: str = "gumbel",
+) -> DataFrame:
+    """The paper's importance RESAMPLING: top-``k`` by
+    ``logw/T + Gumbel noise``, the standard exponential-race trick
+    that draws k documents without replacement with probability
+    proportional to ``exp(logw/T)``.
+
+    Deterministic: the Gumbel variate is derived from the md5 bucket
+    of the doc id (``u = (bucket + 0.5) / 1e6``, ``g = −ln(−ln u)``),
+    so the same (corpus, salt) always draws the same sample.  The
+    ordering key passes through float ``log``/division, so rank
+    boundaries are not engine-reproducible — pytest-pinned, stated
+    (the ``temperature_mix`` precedent).
+
+    The top-k itself is one ``orderBy().limit(k)`` — Spark plans it
+    as TakeOrderedAndProject (per-partition heaps + driver merge of
+    k·partitions rows), no full sort, no full shuffle."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    h = F.md5(
+        F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("<null>")),
+            F.lit(salt),
+        )
+    )
+    u = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _MICRO + 0.5
+    ) / _MICRO
+    key = (
+        F.col("dsir_logw_micro").cast("double")
+        / _MICRO
+        / float(temperature)
+        - F.log(-F.log(u))
+    )
+    return (
+        scored.withColumn("_gumbel_key", key)
+        .orderBy(F.col("_gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_gumbel_key")
+    )

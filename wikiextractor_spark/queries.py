@@ -609,10 +609,76 @@ _LANG_HITS_DUCK = {
     for lang, ws in textstats.STOPWORDS.items()
 }
 
+# PII adversaria for the r11 'pii' columns: doc_id % 8 picks a
+# synthesized sentence exercising one redaction branch each —
+# every PII_PATTERNS kind, the lookaround traps the precision-leaning
+# patterns must REJECT (an IPv4 embedded in a 5-part version string;
+# an SSN shape embedded in a longer digit run), a country-code phone,
+# and a multi-kind mix where application ORDER matters.  {D} splices
+# the doc_id (so matched inputs vary per document and the unchanged
+# traps stay distinct); {P} an in-range IPv4 octet.  The oracle
+# splices the EXPECTED redacted text and counts from these same
+# tables — it never re-runs the regexes (DuckDB's RE2 has no
+# lookarounds), which is the point: the expectations are stated
+# independently of any regex engine.
+_PII_IN = [
+    "contact alice{D}@example.com now",
+    "server at 10.0.{P}.1 up",
+    "ver 1.2.3.4.5 rev {D} unchanged",
+    "ssn 123-45-6789 leaked",
+    "id 1123-45-67890 fine",
+    "call (555) 123-4567 today",
+    "call +1 555-123-4567 ok",
+    "mix bob{D}@x.org and 10.1.2.3",
+]
+_PII_RED = [
+    "contact <EMAIL> now",
+    "server at <IP> up",
+    "ver 1.2.3.4.5 rev {D} unchanged",
+    "ssn <ID> leaked",
+    "id 1123-45-67890 fine",
+    "call <PHONE> today",
+    "call <PHONE> ok",
+    "mix <EMAIL> and <IP>",
+]
+# (email, ipv4, ssn, phone) match counts per variant
+_PII_CNT = [
+    (1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 0, 0), (0, 0, 1, 0),
+    (0, 0, 0, 0), (0, 0, 0, 1), (0, 0, 0, 1), (1, 1, 0, 0),
+]
+
+
+def _pii_tmpl_sql(tmpl: str) -> str:
+    """Template → SQL concat splicing {D} (doc id) and {P} (an
+    in-range IPv4 octet) — `||` coerces the BIGINT identically in
+    Spark and DuckDB (the _url_tmpl_sql convention)."""
+    body = tmpl.replace("{D}", "' || doc_id || '").replace(
+        "{P}", "' || (doc_id % 200) || '"
+    )
+    return f"'{body}'"
+
+
+def _pii_case_sql(values: list[str]) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN {_pii_tmpl_sql(v)}" for i, v in enumerate(values)
+    )
+    return f"CASE CAST(doc_id % {len(values)} AS INT) {arms} END"
+
+
+def _pii_cnt_case_sql(kind_idx: int) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN {c[kind_idx]}" for i, c in enumerate(_PII_CNT)
+    )
+    return f"CASE CAST(doc_id % {len(_PII_CNT)} AS INT) {arms} END"
+
 # Language-ID (stopword profiles, deterministic tie-break) and
 # document fingerprinting (normalized md5 + 1-hash MinHash) in one
 # projection.  Merged from r1's ta_lang_id + ta_fingerprint (both
-# green) to fit the driver's 50-entry cap.
+# green) to fit the driver's 50-entry cap.  r11 adds the 'pii'
+# columns: the engine runs the real redact_pii/pii_counts regex
+# kernels over the _PII_IN adversaria; the oracle splices the
+# expected redacted text and per-kind counts from the shared
+# _PII_RED/_PII_CNT tables.
 @query(
     "ta_lang_fingerprint",
     rf"""
@@ -622,7 +688,12 @@ _LANG_HITS_DUCK = {
                 WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred,
            en AS en_hits,
            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-           list_min([md5(w) for w in string_split(text, ' ')]) AS min_word_hash
+           list_min([md5(w) for w in string_split(text, ' ')]) AS min_word_hash,
+           {_pii_case_sql(_PII_RED)} AS pii_redacted,
+           {_pii_cnt_case_sql(0)} AS pii_email,
+           {_pii_cnt_case_sql(1)} AS pii_ipv4,
+           {_pii_cnt_case_sql(2)} AS pii_ssn,
+           {_pii_cnt_case_sql(3)} AS pii_phone
     FROM (SELECT doc_id, lang, text,
                  {_LANG_HITS_DUCK['en']} AS en, {_LANG_HITS_DUCK['de']} AS de,
                  {_LANG_HITS_DUCK['es']} AS es, {_LANG_HITS_DUCK['fr']} AS fr
@@ -635,7 +706,11 @@ def ta_lang_fingerprint(spark, sf_dir):
     en_hits are cheap array references over it (r2 inlined one
     filter-chain per CASE-branch reference — the Janino-compile cost
     PERF.md flagged)."""
+    from wikiextractor_spark.functions.pii import pii_counts, redact_pii
+
     d = _docs(spark, sf_dir).withColumn("_hits", textstats.lang_hits("text"))
+    pii_src = F.expr(_pii_case_sql(_PII_IN))
+    pc = pii_counts(pii_src)
     return d.select(
         "doc_id",
         "lang",
@@ -643,6 +718,11 @@ def ta_lang_fingerprint(spark, sf_dir):
         F.element_at("_hits", 1).cast("long").alias("en_hits"),
         textstats.fingerprint(F.col("text")).alias("fp"),
         textstats.min_word_hash(F.col("text")).alias("min_word_hash"),
+        redact_pii(pii_src).alias("pii_redacted"),
+        pc["email"].cast("long").alias("pii_email"),
+        pc["ipv4"].cast("long").alias("pii_ipv4"),
+        pc["ssn"].cast("long").alias("pii_ssn"),
+        pc["phone"].cast("long").alias("pii_phone"),
     )
 
 
@@ -1460,17 +1540,77 @@ def _duck_lsh_bucket_sql(seed: int = 42) -> str:
     return " + ".join(terms)
 
 
+# DSIR battery constants (operators/dsir.py): bigram features hashed
+# into _DSIR_B md5 buckets, target = the doc_id < 25 slice (the same
+# in-corpus seed set decontam_bloom uses, so contamination of the
+# target by itself is part of what the hash pins), add-1 smoothing.
+_DSIR_N, _DSIR_B, _DSIR_SALT = 2, 512, "dsir"
+
+
+def _dsir_oracle_ctes() -> str:
+    """The DSIR fit restated for DuckDB: same decontam-style
+    normalization, same whole-doc short-gram rule, the
+    sampling._hash_bucket md5 construction with modulus _DSIR_B, and
+    the per-bucket log ratio QUANTIZED to BIGINT micro-units before
+    the per-document sum — integer addition is order-independent, so
+    the only float crossing is one ln() per bucket (the integerize-
+    first discipline of the money aggregates)."""
+    return f"""
+    nw AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+                          '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    gg AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < {_DSIR_N}
+                  THEN [array_to_string(ws, ' ')]
+                  ELSE [array_to_string(list_slice(ws, i + 1, i + {_DSIR_N}), ' ')
+                        for i in range(len(ws) - {_DSIR_N} + 1)]
+             END AS grams
+      FROM nw
+    ),
+    bk AS (
+      SELECT doc_id,
+             (('0x' || substring(md5(gram || '{_DSIR_SALT}'), 1, 8))::UBIGINT
+              % {_DSIR_B}) AS bkt
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM gg)
+    ),
+    tc AS (SELECT bkt, COUNT(*) AS c FROM bk WHERE doc_id < 25 GROUP BY bkt),
+    rc AS (SELECT bkt, COUNT(*) AS c FROM bk GROUP BY bkt),
+    tot AS (SELECT (SELECT COUNT(*) FROM bk WHERE doc_id < 25) AS tt,
+                   (SELECT COUNT(*) FROM bk) AS rt),
+    wt AS (
+      SELECT COALESCE(tc.bkt, rc.bkt) AS bkt,
+             CAST(ROUND((ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + {_DSIR_B}.0))
+                       - ln((COALESCE(rc.c, 0) + 1.0) / (tot.rt + {_DSIR_B}.0)))
+                  * 1000000) AS BIGINT) AS wm
+      FROM tc FULL OUTER JOIN rc ON tc.bkt = rc.bkt, tot
+    ),
+    ds AS (
+      SELECT bk.doc_id, CAST(SUM(wt.wm) AS BIGINT) AS lw,
+             CAST(COUNT(*) AS BIGINT) AS ng
+      FROM bk JOIN wt ON bk.bkt = wt.bkt
+      GROUP BY bk.doc_id
+    )"""
+
+
 def _classifier_oracle_sql() -> str:
     from wikiextractor_spark.functions import classifier as _clf
 
     m = _clf.DEFAULT_MODEL
     return f"""
-    SELECT doc_id,
+    WITH {_dsir_oracle_ctes()}
+    SELECT d.doc_id,
            round({_clf.feature_sql('digit_ratio')}, 6) AS digit_ratio,
            round({_clf.feature_sql('caps_ratio')}, 6) AS caps_ratio,
            round({_clf.logit_sql(m)}, 6) AS quality_logit,
-           ({_clf.logit_sql(m)}) >= 0.0 AS keep
-    FROM documents
+           ({_clf.logit_sql(m)}) >= 0.0 AS keep,
+           ds.lw AS dsir_logw_micro,
+           ds.ng AS dsir_n_grams,
+           ds.lw >= 0 AS dsir_keep
+    FROM documents d JOIN ds ON d.doc_id = ds.doc_id
     """
 
 
@@ -1488,17 +1628,37 @@ def _classifier_oracle_sql() -> str:
 def ta_quality_classifier(spark, sf_dir):
     """Score every document with the pretrained linear quality model
     and attach the keep/drop decision — a scan-speed single
-    projection (no UDF, no shuffle; see functions/classifier.py)."""
+    projection (no UDF, no shuffle; see functions/classifier.py).
+
+    r11 adds the DSIR family as three columns at the same doc grain
+    (operators/dsir.py — Xie et al. 2023 hashed n-gram importance
+    resampling): fit bigram bucket histograms on the doc_id < 25
+    target slice vs the whole corpus, quantize the per-bucket log
+    importance ratios to BIGINT micro-units, and score every document
+    through the collected literal-map weight table in one
+    zero-shuffle fold.  The oracle re-runs the ENTIRE fit (histograms,
+    smoothing, ln, quantization) and the integer per-doc sum, so the
+    hash pins normalize → n-gram → md5 bucket → histogram → weight →
+    fold → threshold end to end."""
     from wikiextractor_spark.functions import classifier as clf
+    from wikiextractor_spark.operators import dsir
 
     m = clf.DEFAULT_MODEL
     z = clf.logit_expr(m)
-    return _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    scored = dsir.fit_and_score(
+        docs, docs.filter(F.col("doc_id") < 25),
+        n=_DSIR_N, buckets=_DSIR_B, salt=_DSIR_SALT, alpha=1.0,
+    )
+    return scored.select(
         "doc_id",
         F.round(clf.feature_expr("digit_ratio"), 6).alias("digit_ratio"),
         F.round(clf.feature_expr("caps_ratio"), 6).alias("caps_ratio"),
         F.round(z, 6).alias("quality_logit"),
         (z >= F.lit(0.0)).alias("keep"),
+        F.col("dsir_logw_micro"),
+        F.col("dsir_n_grams").cast("long").alias("dsir_n_grams"),
+        (F.col("dsir_logw_micro") >= F.lit(0)).alias("dsir_keep"),
     )
 
 
