@@ -200,6 +200,67 @@ def test_contract_errors(spark, corpus_df):
         dsir.gumbel_topk(scored, 1, temperature=0.0)
 
 
+def test_prepare_corpus_dsir_gate(spark, corpus_df):
+    """The composition: the gate keeps exactly the docs
+    select_by_weight keeps over the same fit, in both the fit-here
+    (dsir_target) and pre-fitted (dsir_weights) modes."""
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    target = spark.createDataFrame([CORPUS[0]] * 20, "doc_id long, text string")
+    opts = {"n": N, "buckets": B, "salt": SALT}
+    scored = dsir.fit_and_score(corpus_df, target, **opts)
+    thresh = 0
+    expect = {
+        r["doc_id"] for r in dsir.select_by_weight(scored, thresh).collect()
+    }
+    assert 0 < len(expect) < len(CORPUS)  # the gate is selective here
+
+    kept_fit = prepare_corpus(
+        corpus_df, dedup=None,
+        dsir_target=target, min_dsir_weight_micro=thresh, dsir_opts=opts,
+    )
+    assert {r["doc_id"] for r in kept_fit.collect()} == expect
+
+    h_t = dsir.bucket_histogram(target, "text", **opts)
+    h_r = dsir.bucket_histogram(corpus_df.select("text"), "text", **opts)
+    w = dsir.importance_weights(h_t, h_r, B)
+    kept_pre = prepare_corpus(
+        corpus_df, dedup=None,
+        dsir_weights=w, min_dsir_weight_micro=thresh, dsir_opts=opts,
+    )
+    assert {r["doc_id"] for r in kept_pre.collect()} == expect
+
+    # the gate composes with a downstream stage (chunking) in one plan
+    chunks = prepare_corpus(
+        corpus_df, dedup=None,
+        dsir_target=target, min_dsir_weight_micro=thresh, dsir_opts=opts,
+        chunk_tokens=4, overlap=1,
+    )
+    assert {r["doc_id"] for r in chunks.collect()} == expect
+
+
+def test_prepare_corpus_dsir_contract(spark, corpus_df):
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    target = corpus_df.filter("doc_id = 0")
+    h = dsir.bucket_histogram(corpus_df, buckets=B, salt=SALT)
+    w = dsir.importance_weights(h, h, B)
+    with pytest.raises(ValueError, match="not both"):
+        prepare_corpus(
+            corpus_df, dedup=None, dsir_target=target, dsir_weights=w,
+            min_dsir_weight_micro=0,
+        )
+    with pytest.raises(ValueError, match="go"):
+        prepare_corpus(corpus_df, dedup=None, dsir_target=target)
+    with pytest.raises(ValueError, match="go"):
+        prepare_corpus(corpus_df, dedup=None, min_dsir_weight_micro=0)
+    with pytest.raises(ValueError, match="unknown dsir_opts"):
+        prepare_corpus(
+            corpus_df, dedup=None, dsir_target=target,
+            min_dsir_weight_micro=0, dsir_opts={"bukets": 8},
+        )
+
+
 def test_scoring_pass_is_shuffle_free(spark, corpus_df):
     """The scale-critical property: once the weight table exists, the
     scoring pass over the 100 TB side is one narrow projection — no

@@ -747,6 +747,54 @@ def test_prepare_corpus_stream_classifier_gate(spark, tmp_path):
     assert got == {1}, got
 
 
+def test_prepare_corpus_stream_dsir_gate(spark, tmp_path):
+    """The PRE-FITTED DSIR importance gate works inside the streaming
+    flow: the target-unlike doc is dropped per micro-batch, the
+    target-like doc survives, with the kept set equal to the batch
+    operator's over the same weights."""
+    import glob
+
+    from wikiextractor_spark.operators import dsir
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    good = (1, "the cat sat on the mat near the cat mat", "en", "t", 1)
+    bad = (2, "quantum flux capacitors invert neutron polarity", "en", "t", 1)
+    docs = spark.createDataFrame([good, bad], schema)
+    target = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en", "t", 1) for i in range(20)],
+        schema,
+    )
+    opts = {"n": 2, "buckets": 64, "salt": "t"}
+    w = dsir.importance_weights(
+        dsir.bucket_histogram(target, **opts),
+        dsir.bucket_histogram(docs, **opts),
+        opts["buckets"],
+    ).localCheckpoint(eager=True)
+    batch_kept = {
+        r["doc_id"]
+        for r in dsir.select_by_weight(
+            dsir.dsir_scores(docs, w, **opts), 0
+        ).collect()
+    }
+    assert batch_kept == {1}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    scratch = tmp_path / "_scratch"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    shutil.copy(glob.glob(f"{scratch}/part-*.parquet")[0], src / "f1.parquet")
+
+    q = prepare_corpus_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "state"), dsir_weights=w, min_dsir_weight_micro=0,
+        dsir_opts=opts, dedup="near",
+    )
+    assert q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == batch_kept, got
+
+
 def test_prepare_corpus_stream_content_gate(spark, tmp_path):
     """The pre-fitted hashed content model gates per micro-batch."""
     import glob

@@ -74,6 +74,10 @@ def prepare_corpus(
     content_hash_opts: dict | None = None,
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_weights: DataFrame | None = None,
+    min_dsir_weight_micro: int | None = None,
+    dsir_opts: dict | None = None,
     redact: bool = False,
     boilerplate_min_docs: int | None = None,
     dedup: str | None = "exact",
@@ -196,6 +200,56 @@ def prepare_corpus(
             .select(id_col)
         )
         out = out.join(lm_keep, id_col, "left_semi")
+    if dsir_target is not None and dsir_weights is not None:
+        raise ValueError(
+            "pass dsir_target (fit here against the raw corpus) OR "
+            "dsir_weights (pre-fitted), not both"
+        )
+    if (dsir_target is None and dsir_weights is None) != (
+        min_dsir_weight_micro is None
+    ):
+        raise ValueError(
+            "min_dsir_weight_micro goes together with dsir_target "
+            "or dsir_weights"
+        )
+    if min_dsir_weight_micro is not None:
+        # DSIR data-selection gate (operators/dsir.py): unlike the two
+        # join-backed gates above, scoring is a LITERAL-MAP fold, so
+        # the gate is one more narrow pushdown-able predicate — no
+        # keep-id semi-join needed.  With ``dsir_target`` the raw
+        # histogram is fit on the RAW pruned scan (`df`, not `out`):
+        # importance is defined against the raw crawl distribution,
+        # which also keeps the fit independent of gate order; the fit
+        # is two driver-sized aggregations + one bounded collect,
+        # eager at plan-build time (stated).  ``dsir_weights`` skips
+        # the fit and gates through a PRE-FITTED table — the
+        # streaming flow's mode, where a per-batch fit would drift
+        # with batch composition.
+        from wikiextractor_spark.operators import dsir as _dsir
+
+        _opts = dict(dsir_opts or {})
+        _alpha = _opts.pop("alpha", 1.0)
+        _fit = {
+            "n": _opts.pop("n", 2),
+            "buckets": _opts.pop("buckets", 512),
+            "salt": _opts.pop("salt", "dsir"),
+        }
+        if _opts:
+            raise ValueError(f"unknown dsir_opts keys: {sorted(_opts)}")
+        if dsir_weights is None:
+            dsir_weights = _dsir.importance_weights(
+                _dsir.bucket_histogram(dsir_target, text_col, **_fit),
+                _dsir.bucket_histogram(
+                    df.select(text_col), text_col, **_fit
+                ),
+                _fit["buckets"],
+                _alpha,
+            )
+        wmap = _dsir.weight_map_column(dsir_weights)
+        out = out.filter(
+            _dsir.score_column(wmap, text_col, **_fit)
+            >= int(min_dsir_weight_micro)
+        )
     if redact:
         # redact BEFORE dedup so two docs differing only in their PII
         # (same boilerplate, different email) collapse together

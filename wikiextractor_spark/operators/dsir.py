@@ -172,6 +172,45 @@ def importance_weights(
     )
 
 
+def weight_map_column(weights: DataFrame) -> F.Column:
+    """Collect the (≤ ``MAX_BUCKETS``-row, by contract) weight table
+    and inline it as a literal ``map<bigint,bigint>`` column — the
+    driver-sized broadcast step that makes scoring join-free."""
+    rows = weights.select("bucket", "weight_micro").collect()
+    if not rows:
+        raise ValueError("weights table is empty — fit it first")
+    pairs: list = []
+    for row in rows:
+        pairs.append(F.lit(int(row["bucket"])))
+        pairs.append(F.lit(int(row["weight_micro"])))
+    return F.create_map(*pairs)
+
+
+def score_column(
+    wmap: F.Column, text_col: str = "text", n: int = 2,
+    buckets: int = 512, salt: str = "dsir",
+) -> F.Column:
+    """The per-document log-weight as one narrow expression — an
+    integer fold over the n-gram buckets through the literal weight
+    map.  Usable directly as a pushdown-able filter predicate
+    (``score_column(...) >= threshold``): no join, no shuffle, no
+    Python.  Buckets absent from the map score 0 (they can only
+    arise when the scored frame is not a subset of the raw corpus
+    the weights were fit on)."""
+    _check_buckets(buckets)
+    return F.aggregate(
+        F.transform(
+            _grams_expr(text_col, n),
+            lambda g: F.coalesce(
+                wmap[_bucket_col(g, buckets, salt)],
+                F.lit(0).cast("long"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def dsir_scores(
     df: DataFrame,
     weights: DataFrame,
@@ -188,34 +227,12 @@ def dsir_scores(
     The weight table is collected once (≤ ``buckets`` rows by the
     ``MAX_BUCKETS`` contract) and inlined as a literal map, so the
     scoring pass is a zero-shuffle, zero-join narrow projection — the
-    shape that survives a 100 TB scan.  Buckets absent from the table
-    score 0 (they can only arise when ``df`` is not a subset of the
-    raw corpus the weights were fit on)."""
+    shape that survives a 100 TB scan."""
     _check_buckets(buckets)
-    rows = weights.select("bucket", "weight_micro").collect()
-    if not rows:
-        raise ValueError("weights table is empty — fit it first")
-    pairs: list = []
-    for row in rows:
-        pairs.append(F.lit(int(row["bucket"])))
-        pairs.append(F.lit(int(row["weight_micro"])))
-    wmap = F.create_map(*pairs)
-    grams = _grams_expr(text_col, n)
-    scored = df.withColumn("_grams", grams).withColumn(
-        "dsir_logw_micro",
-        F.aggregate(
-            F.transform(
-                F.col("_grams"),
-                lambda g: F.coalesce(
-                    wmap[_bucket_col(g, buckets, salt)],
-                    F.lit(0).cast("long"),
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return scored.withColumn("dsir_n_grams", F.size("_grams")).drop("_grams")
+    wmap = weight_map_column(weights)
+    return df.withColumn(
+        "dsir_logw_micro", score_column(wmap, text_col, n, buckets, salt)
+    ).withColumn("dsir_n_grams", F.size(_grams_expr(text_col, n)))
 
 
 def fit_and_score(

@@ -85,6 +85,9 @@ def prepare_corpus_stream(
     content_hash_opts: dict | None = None,
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
+    dsir_weights: DataFrame | None = None,
+    min_dsir_weight_micro: int | None = None,
+    dsir_opts: dict | None = None,
     redact: bool = False,
     dedup: str | None = "near",
     max_distance: int = 3,
@@ -173,6 +176,13 @@ def prepare_corpus_stream(
             content_hash_opts=content_hash_opts,
             logprob_lm=logprob_lm,
             min_mean_logp=min_mean_logp,
+            # PRE-FITTED weights only, like the other model gates: a
+            # per-batch DSIR fit would make the importance gate drift
+            # with batch composition (prepare_corpus's dsir_target
+            # mode is deliberately not exposed here)
+            dsir_weights=dsir_weights,
+            min_dsir_weight_micro=min_dsir_weight_micro,
+            dsir_opts=dsir_opts,
             redact=redact,
             dedup=None,
         ).localCheckpoint(eager=True)
