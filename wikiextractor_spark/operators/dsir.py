@@ -186,21 +186,16 @@ def weight_map_column(weights: DataFrame) -> F.Column:
     return F.create_map(*pairs)
 
 
-def score_column(
-    wmap: F.Column, text_col: str = "text", n: int = 2,
-    buckets: int = 512, salt: str = "dsir",
+def _fold_expr(
+    wmap: F.Column, grams: F.Column, buckets: int, salt: str,
 ) -> F.Column:
-    """The per-document log-weight as one narrow expression — an
-    integer fold over the n-gram buckets through the literal weight
-    map.  Usable directly as a pushdown-able filter predicate
-    (``score_column(...) >= threshold``): no join, no shuffle, no
-    Python.  Buckets absent from the map score 0 (they can only
+    """Integer fold of per-gram bucket weights over an already-built
+    gram array.  Buckets absent from the map score 0 (they can only
     arise when the scored frame is not a subset of the raw corpus
     the weights were fit on)."""
-    _check_buckets(buckets)
     return F.aggregate(
         F.transform(
-            _grams_expr(text_col, n),
+            grams,
             lambda g: F.coalesce(
                 wmap[_bucket_col(g, buckets, salt)],
                 F.lit(0).cast("long"),
@@ -209,6 +204,19 @@ def score_column(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def score_column(
+    wmap: F.Column, text_col: str = "text", n: int = 2,
+    buckets: int = 512, salt: str = "dsir",
+) -> F.Column:
+    """The per-document log-weight as one narrow expression — an
+    integer fold over the n-gram buckets through the literal weight
+    map.  Usable directly as a pushdown-able filter predicate
+    (``score_column(...) >= threshold``): no join, no shuffle, no
+    Python."""
+    _check_buckets(buckets)
+    return _fold_expr(wmap, _grams_expr(text_col, n), buckets, salt)
 
 
 def dsir_scores(
@@ -227,12 +235,23 @@ def dsir_scores(
     The weight table is collected once (≤ ``buckets`` rows by the
     ``MAX_BUCKETS`` contract) and inlined as a literal map, so the
     scoring pass is a zero-shuffle, zero-join narrow projection — the
-    shape that survives a 100 TB scan."""
+    shape that survives a 100 TB scan.  The gram array is bound in
+    its own projection first (the decontam idiom) so the
+    normalize+split pass evaluates ONCE per row even though both
+    output columns consume it."""
     _check_buckets(buckets)
     wmap = weight_map_column(weights)
-    return df.withColumn(
-        "dsir_logw_micro", score_column(wmap, text_col, n, buckets, salt)
-    ).withColumn("dsir_n_grams", F.size(_grams_expr(text_col, n)))
+    return (
+        df.withColumn("_grams", _grams_expr(text_col, n))
+        .select(
+            "*",
+            _fold_expr(wmap, F.col("_grams"), buckets, salt).alias(
+                "dsir_logw_micro"
+            ),
+            F.size("_grams").alias("dsir_n_grams"),
+        )
+        .drop("_grams")
+    )
 
 
 def fit_and_score(
