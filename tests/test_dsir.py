@@ -180,6 +180,97 @@ def test_gumbel_topk_deterministic_and_biased(spark, corpus_df):
         scored.unpersist()
 
 
+def test_null_text_contributes_nothing_and_scores_null(spark, corpus_df):
+    """r11 review fix: a NULL-text row (an input the content
+    classifier explicitly supports) must not crash the fit with a
+    NULL bucket; it scores NULL so threshold gates drop it."""
+    withnull = corpus_df.union(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    clean_hist = {
+        r["bucket"]: r["cnt"]
+        for r in dsir.bucket_histogram(corpus_df, buckets=B, salt=SALT).collect()
+    }
+    null_hist = {
+        r["bucket"]: r["cnt"]
+        for r in dsir.bucket_histogram(withnull, buckets=B, salt=SALT).collect()
+    }
+    assert null_hist == clean_hist  # the NULL row contributed nothing
+
+    scored = dsir.fit_and_score(
+        withnull, withnull.filter("doc_id = 0"), n=N, buckets=B, salt=SALT
+    )
+    rows = {r["doc_id"]: r["dsir_logw_micro"] for r in scored.collect()}
+    assert rows[99] is None
+    assert all(v is not None for i, v in rows.items() if i != 99)
+    kept = {r["doc_id"] for r in dsir.select_by_weight(scored, -10**15).collect()}
+    assert 99 not in kept and kept == set(rows) - {99}
+
+
+def test_weight_table_is_total_and_prices_novel_vocabulary(spark, corpus_df):
+    """r11 review fix: importance_weights emits ALL buckets, so in
+    the pre-fitted mode a later corpus with novel vocabulary scores
+    the add-alpha smoothing weight — not a silent 0."""
+    import math as m
+
+    target = corpus_df.filter("doc_id = 0")
+    h_t = dsir.bucket_histogram(target, buckets=B, salt=SALT)
+    h_r = dsir.bucket_histogram(corpus_df, buckets=B, salt=SALT)
+    w = dsir.importance_weights(h_t, h_r, B)
+    rows = {r["bucket"]: r["weight_micro"] for r in w.collect()}
+    assert set(rows) == set(range(B))  # total over [0, B)
+
+    t_tot = sum(r["cnt"] for r in h_t.collect())
+    r_tot = sum(r["cnt"] for r in h_r.collect())
+    unseen = round(
+        (m.log(1.0 / (t_tot + B)) - m.log(1.0 / (r_tot + B))) * 1e6
+    )
+    seen = {r["bucket"] for r in h_t.collect()} | {
+        r["bucket"] for r in h_r.collect()
+    }
+    for b in set(range(B)) - seen:
+        assert rows[b] == unseen
+    assert unseen > 0  # raw >> target here: novel vocab prices HIGH
+
+    # a document with novel vocabulary scores the sum of its gram
+    # buckets' weights from the TOTAL table (at B=64 some of its
+    # buckets may collide with seen ones — the reference sum prices
+    # each through the same table, so the check is collision-proof)
+    text = "zzyyxx wwvvuu ttssrr"
+    novel = spark.createDataFrame([(50, text)], "doc_id long, text string")
+    got = dsir.dsir_scores(novel, w, n=N, buckets=B, salt=SALT).collect()[0]
+    assert got["dsir_logw_micro"] == sum(
+        rows[_bucket(g)] for g in _grams(text)
+    )
+    # and at least one of those buckets must exist in the table even
+    # if unseen during the fit — the pre-r11 table would KeyError
+    assert all(_bucket(g) in rows for g in _grams(text))
+
+
+def test_stream_dsir_contract_fails_at_definition(spark, tmp_path):
+    """r11 review fix: DSIR contract errors surface at stream
+    DEFINITION (like the url_blocklist schema check), not inside the
+    first micro-batch."""
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    h = dsir.bucket_histogram(docs, buckets=B, salt=SALT)
+    w = dsir.importance_weights(h, h, B)
+    args = (
+        spark, str(tmp_path / "in"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), str(tmp_path / "state"),
+    )
+    with pytest.raises(ValueError, match="go together"):
+        prepare_corpus_stream(*args, dsir_weights=w)
+    with pytest.raises(ValueError, match="go together"):
+        prepare_corpus_stream(*args, min_dsir_weight_micro=0)
+    with pytest.raises(ValueError, match="unknown dsir_opts"):
+        prepare_corpus_stream(
+            *args, dsir_weights=w, min_dsir_weight_micro=0,
+            dsir_opts={"bukets": 8},
+        )
+
+
 def test_contract_errors(spark, corpus_df):
     with pytest.raises(ValueError, match="buckets"):
         dsir.bucket_histogram(corpus_df, buckets=0)

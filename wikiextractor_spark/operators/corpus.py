@@ -43,7 +43,7 @@ computed from the raw scan).  Feed duplicate ids through
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from wikiextractor_spark.functions.pii import redact_pii
 from wikiextractor_spark.functions.repetition import is_repetitive
@@ -75,7 +75,7 @@ def prepare_corpus(
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
     dsir_target: DataFrame | None = None,
-    dsir_weights: DataFrame | None = None,
+    dsir_weights: DataFrame | Column | None = None,
     min_dsir_weight_micro: int | None = None,
     dsir_opts: dict | None = None,
     redact: bool = False,
@@ -222,20 +222,14 @@ def prepare_corpus(
         # which also keeps the fit independent of gate order; the fit
         # is two driver-sized aggregations + one bounded collect,
         # eager at plan-build time (stated).  ``dsir_weights`` skips
-        # the fit and gates through a PRE-FITTED table — the
-        # streaming flow's mode, where a per-batch fit would drift
-        # with batch composition.
+        # the fit and gates through a PRE-FITTED table — or an
+        # already-built literal map Column, the streaming flow's
+        # mode, where a per-batch fit would drift with batch
+        # composition and a per-batch collect would re-run the
+        # weights lineage every micro-batch.
         from wikiextractor_spark.operators import dsir as _dsir
 
-        _opts = dict(dsir_opts or {})
-        _alpha = _opts.pop("alpha", 1.0)
-        _fit = {
-            "n": _opts.pop("n", 2),
-            "buckets": _opts.pop("buckets", 512),
-            "salt": _opts.pop("salt", "dsir"),
-        }
-        if _opts:
-            raise ValueError(f"unknown dsir_opts keys: {sorted(_opts)}")
+        _alpha, _fit = _dsir.parse_gate_opts(dsir_opts)
         if dsir_weights is None:
             dsir_weights = _dsir.importance_weights(
                 _dsir.bucket_histogram(dsir_target, text_col, **_fit),
@@ -245,7 +239,11 @@ def prepare_corpus(
                 _fit["buckets"],
                 _alpha,
             )
-        wmap = _dsir.weight_map_column(dsir_weights)
+        wmap = (
+            dsir_weights
+            if isinstance(dsir_weights, Column)
+            else _dsir.weight_map_column(dsir_weights)
+        )
         out = out.filter(
             _dsir.score_column(wmap, text_col, **_fit)
             >= int(min_dsir_weight_micro)

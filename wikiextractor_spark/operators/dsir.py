@@ -58,24 +58,18 @@ data-selection surface) — engine extension (SURVEY.md §2.12).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
+
+# the SHARED normalization: importing (not copying) decontam's helper
+# is what enforces "the two hygiene passes agree on what a word is" —
+# an edit there cannot silently diverge here
+from wikiextractor_spark.operators.decontam import _norm_words_sql
 
 #: hard cap on the bucket count: the weight table is collected to the
 #: driver and inlined as a literal map, so it must stay driver-sized.
 MAX_BUCKETS = 65536
 
 _MICRO = 1_000_000
-
-
-def _norm_words_sql(text_col: str) -> str:
-    """Lowercase, strip non-alphanumerics, collapse runs → word array
-    (same normalization as ``decontam._norm_words_sql``)."""
-    return (
-        f"split(trim(regexp_replace(lower({text_col}), "
-        f"'[^a-z0-9]+', ' ')), ' ')"
-    )
 
 
 def _grams_expr(text_col: str, n: int) -> F.Column:
@@ -126,6 +120,12 @@ def bucket_histogram(
     grams = df.select(_grams_expr(text_col, n).alias("_grams"))
     return (
         grams.select(F.explode_outer("_grams").alias("_g"))
+        # NULL text → NULL gram array → one NULL gram row from the
+        # outer explode: drop it, so a NULL-text document contributes
+        # nothing to the histogram instead of crashing the collected
+        # weight table with a NULL bucket (non-NULL text never yields
+        # NULL grams — concat_ws never returns NULL)
+        .filter(F.col("_g").isNotNull())
         .select(_bucket_col(F.col("_g"), buckets, salt).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -138,20 +138,28 @@ def importance_weights(
 ) -> DataFrame:
     """→ ``(bucket, weight_micro)``: per-bucket log importance ratio
     ``ln((t+α)/(T+αB)) − ln((r+α)/(R+αB))`` quantized to BIGINT
-    micro-units.  Both inputs are ≤ ``buckets`` rows, so the full
-    outer join and the total-count cross joins are trivially small;
-    the result is the driver-sized artifact ``dsir_scores`` inlines.
-    """
+    micro-units, for EVERY bucket in ``[0, buckets)`` — a TOTAL
+    table.  Totality matters in the pre-fitted gating mode: a later
+    corpus (a streaming batch with novel vocabulary) can hash grams
+    into buckets neither fit corpus saw, and those must score the
+    add-alpha smoothing weight the model assigns them — typically
+    LARGE when raw ≫ target — not a silent 0.  All frames involved
+    are ≤ ``buckets`` rows, so the spine join and the total-count
+    cross joins are trivially small; the result is the driver-sized
+    artifact ``dsir_scores`` inlines."""
     _check_buckets(buckets)
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     t_tot = target_hist.agg(F.sum("cnt").alias("t_total"))
     r_tot = raw_hist.agg(F.sum("cnt").alias("r_total"))
+    spine = target_hist.sparkSession.range(buckets).select(
+        F.col("id").alias("bucket")
+    )
     joined = (
-        target_hist.withColumnRenamed("cnt", "t_cnt")
-        .join(
-            raw_hist.withColumnRenamed("cnt", "r_cnt"), "bucket", "full_outer"
+        spine.join(
+            target_hist.withColumnRenamed("cnt", "t_cnt"), "bucket", "left"
         )
+        .join(raw_hist.withColumnRenamed("cnt", "r_cnt"), "bucket", "left")
         .crossJoin(t_tot)
         .crossJoin(r_tot)
     )
@@ -172,6 +180,24 @@ def importance_weights(
     )
 
 
+def parse_gate_opts(dsir_opts: dict | None) -> tuple[float, dict]:
+    """Validate and split the ``dsir_opts`` dict the corpus-prep gate
+    takes → ``(alpha, {n, buckets, salt})``.  Exposed so the
+    STREAMING flow can fail on a typo'd key at stream definition,
+    not inside the first micro-batch."""
+    opts = dict(dsir_opts or {})
+    alpha = opts.pop("alpha", 1.0)
+    fit = {
+        "n": opts.pop("n", 2),
+        "buckets": opts.pop("buckets", 512),
+        "salt": opts.pop("salt", "dsir"),
+    }
+    if opts:
+        raise ValueError(f"unknown dsir_opts keys: {sorted(opts)}")
+    _check_buckets(fit["buckets"])
+    return alpha, fit
+
+
 def weight_map_column(weights: DataFrame) -> F.Column:
     """Collect the (≤ ``MAX_BUCKETS``-row, by contract) weight table
     and inline it as a literal ``map<bigint,bigint>`` column — the
@@ -190,9 +216,11 @@ def _fold_expr(
     wmap: F.Column, grams: F.Column, buckets: int, salt: str,
 ) -> F.Column:
     """Integer fold of per-gram bucket weights over an already-built
-    gram array.  Buckets absent from the map score 0 (they can only
-    arise when the scored frame is not a subset of the raw corpus
-    the weights were fit on)."""
+    gram array.  NULL text → NULL array → NULL score, so threshold
+    gates drop it (the content-classifier NULL contract).  The
+    per-gram coalesce is a guard for hand-built NON-total weight
+    tables only — ``importance_weights`` is total over
+    ``[0, buckets)``, so for its output the branch never fires."""
     return F.aggregate(
         F.transform(
             grams,
@@ -223,14 +251,13 @@ def dsir_scores(
     df: DataFrame,
     weights: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n: int = 2,
     buckets: int = 512,
     salt: str = "dsir",
 ) -> DataFrame:
     """Attach ``dsir_logw_micro`` (BIGINT sum of bucket weights over
-    the document's n-grams) and ``dsir_n_grams`` to every row of
-    ``df``.
+    the document's n-grams; NULL for NULL text, so threshold gates
+    drop those rows) and ``dsir_n_grams`` to every row of ``df``.
 
     The weight table is collected once (≤ ``buckets`` rows by the
     ``MAX_BUCKETS`` contract) and inlined as a literal map, so the
@@ -258,7 +285,6 @@ def fit_and_score(
     raw_df: DataFrame,
     target_df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n: int = 2,
     buckets: int = 512,
     salt: str = "dsir",
@@ -270,7 +296,7 @@ def fit_and_score(
     t_hist = bucket_histogram(target_df, text_col, n, buckets, salt)
     r_hist = bucket_histogram(raw_df, text_col, n, buckets, salt)
     w = importance_weights(t_hist, r_hist, buckets, alpha)
-    return dsir_scores(raw_df, w, text_col, id_col, n, buckets, salt)
+    return dsir_scores(raw_df, w, text_col, n, buckets, salt)
 
 
 def select_by_weight(

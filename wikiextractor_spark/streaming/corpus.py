@@ -149,6 +149,21 @@ def prepare_corpus_stream(
             f"{url_col!r} column — pass schema=DOCUMENTS_URL_SCHEMA "
             "(or a schema carrying the url column)"
         )
+    if (dsir_weights is None) != (min_dsir_weight_micro is None):
+        # same fail-at-definition principle for the DSIR contract
+        raise ValueError(
+            "dsir_weights and min_dsir_weight_micro go together"
+        )
+    dsir_wmap = None
+    if dsir_weights is not None:
+        from wikiextractor_spark.operators import dsir as _dsir
+
+        _dsir.parse_gate_opts(dsir_opts)  # typo'd keys fail HERE
+        # collect the weight table and build the literal map ONCE at
+        # stream definition: weight_map_column inside the batch fn
+        # would re-run the weights lineage + a driver collect on
+        # EVERY micro-batch
+        dsir_wmap = _dsir.weight_map_column(dsir_weights)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -179,8 +194,9 @@ def prepare_corpus_stream(
             # PRE-FITTED weights only, like the other model gates: a
             # per-batch DSIR fit would make the importance gate drift
             # with batch composition (prepare_corpus's dsir_target
-            # mode is deliberately not exposed here)
-            dsir_weights=dsir_weights,
+            # mode is deliberately not exposed here).  The map was
+            # collected once at stream definition.
+            dsir_weights=dsir_wmap,
             min_dsir_weight_micro=min_dsir_weight_micro,
             dsir_opts=dsir_opts,
             redact=redact,
