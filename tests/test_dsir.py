@@ -284,6 +284,10 @@ def test_contract_errors(spark, corpus_df):
     w = dsir.importance_weights(h, h, B)
     with pytest.raises(ValueError, match="empty"):
         dsir.dsir_scores(corpus_df, w.filter("bucket < -1"), buckets=B)
+    with pytest.raises(ValueError, match="not total"):
+        dsir.dsir_scores(corpus_df, w.filter("bucket <> 3"), buckets=B)
+    with pytest.raises(ValueError, match="outside"):
+        dsir.dsir_scores(corpus_df, w, buckets=B // 2)
     scored = dsir.fit_and_score(corpus_df, corpus_df, buckets=B)
     with pytest.raises(ValueError, match="k must"):
         dsir.gumbel_topk(scored, 0)

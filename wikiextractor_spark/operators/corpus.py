@@ -242,7 +242,7 @@ def prepare_corpus(
         wmap = (
             dsir_weights
             if isinstance(dsir_weights, Column)
-            else _dsir.weight_map_column(dsir_weights)
+            else _dsir.weight_map_column(dsir_weights, _fit["buckets"])
         )
         out = out.filter(
             _dsir.score_column(wmap, text_col, **_fit)

@@ -198,35 +198,57 @@ def parse_gate_opts(dsir_opts: dict | None) -> tuple[float, dict]:
     return alpha, fit
 
 
-def weight_map_column(weights: DataFrame) -> F.Column:
-    """Collect the (≤ ``MAX_BUCKETS``-row, by contract) weight table
-    and inline it as a literal ``map<bigint,bigint>`` column — the
-    driver-sized broadcast step that makes scoring join-free."""
+def weight_map_column(weights: DataFrame, buckets: int) -> F.Column:
+    """Collect the TOTAL ``[0, buckets)`` weight table and inline it
+    as ONE bucket-indexed ``array<bigint>`` literal — the
+    driver-sized broadcast step that makes scoring join-free.
+
+    A single array Literal, not ``create_map(2·B literal exprs)``:
+    the expression tree stays O(1) in the bucket count (at
+    MAX_BUCKETS a map build would put 131072 expression nodes into
+    the plan and codegen — the same plan-size class as the r9 rerank
+    ``isin`` list this engine already replaced).  Validates totality
+    the way ``load_sq_codec`` validates dims: buckets exactly
+    ``0..buckets-1``, no gaps, no duplicates, raise-don't-guess."""
+    _check_buckets(buckets)
     rows = weights.select("bucket", "weight_micro").collect()
     if not rows:
         raise ValueError("weights table is empty — fit it first")
-    pairs: list = []
+    vals: list = [None] * buckets
     for row in rows:
-        pairs.append(F.lit(int(row["bucket"])))
-        pairs.append(F.lit(int(row["weight_micro"])))
-    return F.create_map(*pairs)
+        b = int(row["bucket"])
+        if not 0 <= b < buckets:
+            raise ValueError(
+                f"weight table bucket {b} outside [0, {buckets}) — "
+                "buckets mismatch between fit and serve?"
+            )
+        if vals[b] is not None:
+            raise ValueError(f"duplicate bucket {b} in weight table")
+        vals[b] = int(row["weight_micro"])
+    missing = [i for i, v in enumerate(vals) if v is None]
+    if missing:
+        raise ValueError(
+            f"weight table is not total: {len(missing)} of {buckets} "
+            f"buckets missing (first: {missing[:5]}) — fit it with "
+            "importance_weights, which emits every bucket"
+        )
+    return F.lit(vals)
 
 
 def _fold_expr(
     wmap: F.Column, grams: F.Column, buckets: int, salt: str,
 ) -> F.Column:
     """Integer fold of per-gram bucket weights over an already-built
-    gram array.  NULL text → NULL array → NULL score, so threshold
-    gates drop it (the content-classifier NULL contract).  The
-    per-gram coalesce is a guard for hand-built NON-total weight
-    tables only — ``importance_weights`` is total over
-    ``[0, buckets)``, so for its output the branch never fires."""
+    gram array, indexing the total bucket-ordered weight array
+    (1-based element_at).  NULL text → NULL array → NULL score, so
+    threshold gates drop it (the content-classifier NULL contract);
+    non-NULL grams always land in ``[0, buckets)``, so the lookup is
+    total by the ``weight_map_column`` validation."""
     return F.aggregate(
         F.transform(
             grams,
-            lambda g: F.coalesce(
-                wmap[_bucket_col(g, buckets, salt)],
-                F.lit(0).cast("long"),
+            lambda g: F.element_at(
+                wmap, (_bucket_col(g, buckets, salt) + 1).cast("int")
             ),
         ),
         F.lit(0).cast("long"),
@@ -267,7 +289,7 @@ def dsir_scores(
     normalize+split pass evaluates ONCE per row even though both
     output columns consume it."""
     _check_buckets(buckets)
-    wmap = weight_map_column(weights)
+    wmap = weight_map_column(weights, buckets)
     return (
         df.withColumn("_grams", _grams_expr(text_col, n))
         .select(

@@ -158,12 +158,12 @@ def prepare_corpus_stream(
     if dsir_weights is not None:
         from wikiextractor_spark.operators import dsir as _dsir
 
-        _dsir.parse_gate_opts(dsir_opts)  # typo'd keys fail HERE
-        # collect the weight table and build the literal map ONCE at
-        # stream definition: weight_map_column inside the batch fn
+        _, _fit = _dsir.parse_gate_opts(dsir_opts)  # typo'd keys fail HERE
+        # collect the weight table and build the literal array ONCE
+        # at stream definition: weight_map_column inside the batch fn
         # would re-run the weights lineage + a driver collect on
         # EVERY micro-batch
-        dsir_wmap = _dsir.weight_map_column(dsir_weights)
+        dsir_wmap = _dsir.weight_map_column(dsir_weights, _fit["buckets"])
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
