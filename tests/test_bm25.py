@@ -1,0 +1,163 @@
+"""BM25 lexical retrieval (functions/bm25.py): pure-Python
+differential on toy + real documents, ranking semantics, contract
+errors, and the scale-critical plan shapes (shuffle-free scoring,
+TakeOrderedAndProject top-k)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+import re
+
+import pytest
+
+from wikiextractor_spark.functions.bm25 import (
+    bm25_score_column,
+    bm25_scores,
+    bm25_topk,
+    fit_bm25,
+)
+
+K1, B = 1.2, 0.75
+
+
+def _norm_words(text):
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+
+
+def _py_bm25(rows, terms, k1=K1, b=B):
+    """Reference: same formula, same integerize-first quantization."""
+    words = {i: _norm_words(t) for i, t in rows}
+    n = len(rows)
+    tot = sum(len(w) for w in words.values())
+    out = {}
+    for i, ws in words.items():
+        dl = len(ws)
+        s = 0
+        for t in dict.fromkeys(terms):
+            df_t = sum(1 for w in words.values() if t in w)
+            idf = round(math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)) * 1e6)
+            tf = float(ws.count(t))
+            norm = (1.0 - b) + b * (float(dl) * n) / tot
+            s += round(idf * (tf * (k1 + 1.0)) / (tf + k1 * norm))
+        out[i] = s
+    return out
+
+
+CORPUS = [
+    (0, "hash join beats sort merge join for small tables"),
+    (1, "the window function scans the stream in one batch"),
+    (2, "hash hash hash everywhere"),
+    (3, "a plain document with no query words at all"),
+    (4, "join"),
+]
+TERMS = ["hash", "join", "merge"]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_scores_match_python_reference(spark, corpus_df):
+    model = fit_bm25(corpus_df, TERMS, k1=K1, b=B)
+    expect = _py_bm25(CORPUS, TERMS)
+    got = {
+        r["doc_id"]: r["bm25_micro"]
+        for r in bm25_scores(corpus_df, model, TERMS).collect()
+    }
+    assert got == expect
+    # df/idf artifacts match the reference construction too
+    assert model.df == {
+        t: sum(1 for _i, x in CORPUS if t in _norm_words(x)) for t in TERMS
+    }
+
+
+def test_scores_match_python_reference_on_real_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    terms = ["hash", "join", "window", "stream"]
+    model = fit_bm25(docs, terms)
+    expect = _py_bm25(rows, terms)
+    got = {
+        r["doc_id"]: r["bm25_micro"]
+        for r in bm25_scores(docs, model, terms).collect()
+    }
+    assert got == expect
+
+
+def test_ranking_semantics(spark, corpus_df):
+    model = fit_bm25(corpus_df, TERMS)
+    got = {
+        r["doc_id"]: r["bm25_micro"]
+        for r in bm25_scores(corpus_df, model, TERMS).collect()
+    }
+    # doc 0 matches all three terms: the top hit
+    assert got[0] == max(got.values())
+    # no query words → exactly zero
+    assert got[3] == 0 and got[1] == 0
+    # term saturation: doc 2's three 'hash' repeats can't beat doc
+    # 0's three distinct terms
+    assert got[2] < got[0]
+    top = bm25_topk(corpus_df, model, TERMS, 2).collect()
+    assert [r["doc_id"] for r in top] == [0, 2]
+
+
+def test_subset_query_and_null_text(spark, corpus_df):
+    withnull = corpus_df.union(
+        corpus_df.sparkSession.createDataFrame(
+            [(99, None)], "doc_id long, text string"
+        )
+    )
+    model = fit_bm25(corpus_df, TERMS)  # fit on union of query terms
+    got = {
+        r["doc_id"]: r["bm25_micro"]
+        for r in bm25_scores(withnull, model, ["join"]).collect()
+    }
+    assert got[99] is None  # NULL text scores NULL
+    # scoring a SUBSET of the fitted terms is allowed and matches the
+    # reference for that query
+    expect = _py_bm25(CORPUS, ["join"])
+    # note: reference df/idf must come from the FIT corpus, which
+    # here equals CORPUS, so values agree
+    assert {i: got[i] for i in expect} == expect
+
+
+def test_contract_errors(spark, corpus_df):
+    with pytest.raises(ValueError, match="at least one term"):
+        fit_bm25(corpus_df, [])
+    with pytest.raises(ValueError, match="MAX_FIT_TERMS"):
+        fit_bm25(corpus_df, [f"t{i}" for i in range(2000)])
+    with pytest.raises(ValueError, match="k1"):
+        fit_bm25(corpus_df, TERMS, k1=0.0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        fit_bm25(corpus_df.filter("doc_id < 0"), TERMS)
+    model = fit_bm25(corpus_df, TERMS)
+    with pytest.raises(ValueError, match="not in the fitted model"):
+        bm25_score_column(model, ["unfitted"])
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_score_column(model, [])
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(corpus_df, model, TERMS, 0)
+
+
+def test_plan_shapes(spark, corpus_df):
+    """Scoring is shuffle-free and Python-free; top-k plans as
+    TakeOrderedAndProject, never a global Sort."""
+    model = fit_bm25(corpus_df, TERMS)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = plan_of(bm25_scores(corpus_df, model, TERMS))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    pk = plan_of(bm25_topk(corpus_df, model, TERMS, 5))
+    assert "TakeOrderedAndProject" in pk
+    assert "Sort " not in pk

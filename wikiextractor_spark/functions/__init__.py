@@ -1,3 +1,10 @@
+from wikiextractor_spark.functions.bm25 import (  # noqa: F401
+    BM25Model,
+    bm25_score_column,
+    bm25_scores,
+    bm25_topk,
+    fit_bm25,
+)
 from wikiextractor_spark.functions.cleaning import (  # noqa: F401
     clean_markup_native,
     clean_markup_duckdb_sql,

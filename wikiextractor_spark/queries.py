@@ -3738,6 +3738,74 @@ _TERM_STATS_SPARK_SQL = """
     ) t WHERE rn <= 20
     """
 
+# BM25 battery constants (functions/bm25.py): two fixed queries over
+# the corpus vocabulary, Lucene idf, k=10 cutoff.  The oracle
+# re-derives EVERYTHING — corpus stats, per-term document frequency,
+# the micro-quantized idf (its own ln), the tf-normalized per-term
+# contribution with the IDENTICAL association order, the integer
+# per-document sum, and the (score DESC, doc_id) top-k — from the
+# same constants the engine fits with, so a hash match pins the
+# whole fit→score→rank path.
+_BM25_QUERIES = [
+    ("hash join merge", ["hash", "join", "merge"]),
+    ("window stream batch", ["window", "stream", "batch"]),
+]
+_BM25_TOPK = 10
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_WS = (
+    "string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+def _bm25_union_sql() -> str:
+    """Generate the 'bm25' family UNION members (one per query) for
+    the ta_term_stats oracle."""
+    k1, b = _BM25_K1, _BM25_B
+    # the exact literals the engine's Column expression uses
+    one_minus_b, k1p1 = repr(1.0 - b), repr(k1 + 1.0)
+
+    def df_sub(t: str) -> str:
+        return (
+            f"(SELECT COUNT(*) FROM (SELECT {_BM25_WS} AS ws FROM documents)"
+            f" dd WHERE list_contains(dd.ws, '{t}'))"
+        )
+
+    def contrib(t: str) -> str:
+        tf = f"CAST(len(list_filter(ws, w -> w = '{t}')) AS DOUBLE)"
+        idf = (
+            f"CAST(ROUND(1000000 * ln(1 + (bs.n - {df_sub(t)} + 0.5) "
+            f"/ ({df_sub(t)} + 0.5))) AS BIGINT)"
+        )
+        norm = (
+            f"({one_minus_b} + {b!r} * "
+            f"(CAST(len(ws) AS DOUBLE) * bs.n) / bs.tot)"
+        )
+        return (
+            f"CAST(ROUND({idf} * ({tf} * {k1p1}) "
+            f"/ ({tf} + {k1!r} * {norm})) AS BIGINT)"
+        )
+
+    members = []
+    for qname, terms in _BM25_QUERIES:
+        s = " + ".join(contrib(t) for t in terms)
+        members.append(f"""
+    UNION ALL
+    SELECT 'bm25' AS family, doc_id, '{qname}' AS term,
+           CAST(s AS DOUBLE) AS score, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT doc_id, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn
+      FROM (
+        SELECT bw.doc_id, {s} AS s
+        FROM (SELECT doc_id, {_BM25_WS} AS ws FROM documents) bw,
+             (SELECT COUNT(*) AS n, SUM(len({_BM25_WS})) AS tot
+              FROM documents) bs
+      ) q
+    ) r WHERE rn <= {_BM25_TOPK}""")
+    return "".join(members)
+
+
 _TERM_STATS_DUCK_SQL = f"""
     WITH exploded AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -3772,6 +3840,7 @@ _TERM_STATS_DUCK_SQL = f"""
     SELECT 'bpe_merge' AS family, CAST(-1 AS BIGINT) AS doc_id,
            a || ' ' || b AS term, CAST(cnt AS DOUBLE) AS score, rn
     FROM ({_BT_UNION})
+    {_bm25_union_sql()}
     """
 
 
@@ -3801,7 +3870,38 @@ def ta_term_stats(spark, sf_dir):
         ],
         "family string, doc_id bigint, term string, score double, rn int",
     )
-    return base.unionByName(merges_df)
+    out = base.unionByName(merges_df)
+    # 'bm25' family (r11, functions/bm25.py): fit once over the union
+    # of both query term sets, then per query one TakeOrderedAndProject
+    # top-k; rank assigned by a window over the k-row result (the
+    # global-sort-free shape bm25_topk pins)
+    from pyspark.sql import Window
+
+    from wikiextractor_spark.functions.bm25 import bm25_topk, fit_bm25
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = fit_bm25(
+        docs, [t for _q, ts in _BM25_QUERIES for t in ts],
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    for qname, terms in _BM25_QUERIES:
+        top = bm25_topk(docs, model, terms, _BM25_TOPK)
+        ranked = top.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id"))
+            ),
+        )
+        out = out.unionByName(
+            ranked.select(
+                F.lit("bm25").alias("family"),
+                "doc_id",
+                F.lit(qname).alias("term"),
+                F.col("bm25_micro").cast("double").alias("score"),
+                F.col("rn").cast("int").alias("rn"),
+            )
+        )
+    return out
 
 
 @query(
