@@ -26,6 +26,13 @@ def _norm_words(text):
     return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
 
 
+def _half_away(x):
+    # the engines' ROUND (half away from zero; values here are >= 0)
+    # — Python's built-in round is half-to-even and would diverge at
+    # an exact .5
+    return math.floor(x + 0.5)
+
+
 def _py_bm25(rows, terms, k1=K1, b=B):
     """Reference: same formula, same integerize-first quantization."""
     words = {i: _norm_words(t) for i, t in rows}
@@ -37,10 +44,12 @@ def _py_bm25(rows, terms, k1=K1, b=B):
         s = 0
         for t in dict.fromkeys(terms):
             df_t = sum(1 for w in words.values() if t in w)
-            idf = round(math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)) * 1e6)
+            idf = _half_away(
+                math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)) * 1e6
+            )
             tf = float(ws.count(t))
             norm = (1.0 - b) + b * (float(dl) * n) / tot
-            s += round(idf * (tf * (k1 + 1.0)) / (tf + k1 * norm))
+            s += _half_away(idf * (tf * (k1 + 1.0)) / (tf + k1 * norm))
         out[i] = s
     return out
 
@@ -133,6 +142,12 @@ def test_contract_errors(spark, corpus_df):
         fit_bm25(corpus_df, [f"t{i}" for i in range(2000)])
     with pytest.raises(ValueError, match="k1"):
         fit_bm25(corpus_df, TERMS, k1=0.0)
+    with pytest.raises(ValueError, match="never match"):
+        fit_bm25(corpus_df, ["Hash"])
+    with pytest.raises(ValueError, match="never match"):
+        fit_bm25(corpus_df, ["hash join"])
+    with pytest.raises(ValueError, match="never match"):
+        fit_bm25(corpus_df, [""])
     with pytest.raises(ValueError, match="empty corpus"):
         fit_bm25(corpus_df.filter("doc_id < 0"), TERMS)
     model = fit_bm25(corpus_df, TERMS)
@@ -158,6 +173,9 @@ def test_plan_shapes(spark, corpus_df):
     p = plan_of(bm25_scores(corpus_df, model, TERMS))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the r11 review fix: the regex normalization binds ONCE per row
+    # (one-element-array idiom), not once per query term
+    assert p.count("regexp_replace") == 1
     pk = plan_of(bm25_topk(corpus_df, model, TERMS, 5))
     assert "TakeOrderedAndProject" in pk
     assert "Sort " not in pk

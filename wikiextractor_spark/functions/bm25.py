@@ -14,17 +14,21 @@ DOCUMENTS per query, the Okapi BM25 / Lucene formula:
 
 100 TB shape
 ------------
-* FIT is two map-side-combined aggregations: one corpus-stats pass
-  (doc count + total doc length) and one document-frequency pass for
-  the QUERY TERMS ONLY — the distinct-term explode is filtered to the
-  fitted term set BEFORE the shuffle, so the shuffle payload is at
-  most |terms| rows per task.  No corpus-wide inverted index is
-  materialized (for a standing index, persist the df pass unfiltered;
-  the scoring path is unchanged).
+* FIT is ONE map-side-combined aggregation: doc count, total doc
+  length, and every query-term document frequency come out of the
+  same pass over the once-bound word array (one ``count_if`` per
+  fitted term), so the fit is one corpus scan and the shuffle payload
+  is one partial-agg row per task.  No corpus-wide inverted index is
+  materialized — query term sets are small by the ``MAX_FIT_TERMS``
+  contract (for a standing index, aggregate ``(term, count distinct
+  doc)`` unfiltered and feed the collected rows into ``BM25Model``
+  yourself; the scoring path is unchanged).
 * The model is DRIVER-SIZED by construction (one idf per fitted
-  term); scoring is one narrow projection — per-term counts over the
-  normalized word array, zero joins, zero shuffles, inside
-  whole-stage codegen.
+  term); scoring is one narrow projection — the word array binds
+  ONCE per row (the decontam one-element-array idiom) and every
+  per-term count, the length norm, and the integer sum evaluate
+  inside that single lambda: zero joins, zero shuffles, one
+  normalization pass per row no matter how many terms.
 * Top-k is ``orderBy(...).limit(k)`` — Spark plans it as
   TakeOrderedAndProject: per-partition k-heaps merged on the driver,
   never a full sort or shuffle of the corpus.
@@ -48,6 +52,7 @@ retrieval surface) — engine extension (SURVEY.md §2.12).
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -60,6 +65,11 @@ _MICRO = 1_000_000
 #: inline as literals into the scoring expression — one expression
 #: node per term, so the term set must stay small (queries are).
 MAX_FIT_TERMS = 1024
+
+# a term that the normalized word grammar can never produce (upper
+# case, multi-word, punctuation, empty) would silently fit df=0 and
+# score 0 everywhere — raise instead
+_TERM_RE = re.compile(r"[a-z0-9]+\Z")
 
 
 @dataclass(frozen=True)
@@ -82,10 +92,12 @@ def _words_col(text_col: str) -> Column:
 
 def idf_micro_of(n_docs: int, df_t: int) -> int:
     """Lucene-style non-negative idf, quantized: ``round(1e6 ·
-    ln(1 + (N − df + 0.5)/(df + 0.5)))``."""
-    return round(
-        math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * _MICRO
-    )
+    ln(1 + (N − df + 0.5)/(df + 0.5)))`` with HALF-AWAY rounding —
+    Python's built-in ``round`` is half-to-even, but the DuckDB
+    oracle's ``ROUND`` (and Spark's ``F.round``) are half-away, and
+    the quantization must agree across engines at an exact .5."""
+    x = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * _MICRO
+    return math.floor(x + 0.5)  # x >= 0 always (df <= N)
 
 
 def fit_bm25(
@@ -109,6 +121,12 @@ def fit_bm25(
         )
     if k1 <= 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got {k1}, {b}")
+    bad = [t for t in terms if not _TERM_RE.fullmatch(t)]
+    if bad:
+        raise ValueError(
+            f"terms must be single normalized words ([a-z0-9]+) — "
+            f"these can never match the word grammar: {bad}"
+        )
     stats = (
         df.select(_words_col(text_col).alias("_ws"))
         .agg(
@@ -139,9 +157,12 @@ def bm25_score_column(
     model: BM25Model, terms: list[str], text_col: str = "text",
 ) -> Column:
     """Per-document BM25 score for one query, in integer micro-units
-    — a single narrow expression (per-term array counts over the
-    bound word array; no join, no shuffle, no Python).  NULL text →
-    NULL score, so threshold/rank consumers drop it."""
+    — a single narrow expression.  The word array binds ONCE per row
+    via the one-element-array idiom (decontam/dsir precedent): the
+    per-term filters are higher-order functions, which codegen cannot
+    subexpression-eliminate, so referencing the split from each term
+    would re-run the regex normalization per term per row.  NULL
+    text → NULL score, so threshold/rank consumers drop it."""
     missing = [t for t in terms if t not in model.idf_micro]
     if missing:
         raise ValueError(
@@ -150,28 +171,32 @@ def bm25_score_column(
         )
     if not terms:
         raise ValueError("empty query")
-    ws = _words_col(text_col)
-    dl = F.size(ws).cast("double")
-    # identical association on both engines: 1 − b + b·(dl·N)/total
-    norm = (
-        F.lit(1.0 - model.b)
-        + F.lit(model.b) * (dl * F.lit(model.n_docs)) / F.lit(model.total_dl)
-    )
-    def _eq(term: str):
-        # a closure, NOT a default-arg lambda: a two-parameter lambda
-        # would be read by PySpark as the (element, index) form
-        return lambda w: w == F.lit(term)
 
-    total = None
-    for t in dict.fromkeys(terms):
-        tf = F.size(F.filter(ws, _eq(t))).cast("double")
-        contrib = F.round(
-            F.lit(model.idf_micro[t])
-            * (tf * F.lit(model.k1 + 1.0))
-            / (tf + F.lit(model.k1) * norm)
-        ).cast("long")
-        total = contrib if total is None else total + contrib
-    return total
+    def _score_of(ws):
+        dl = F.size(ws).cast("double")
+        # identical association on both engines:
+        # 1 − b + b·(dl·N)/total
+        norm = (
+            F.lit(1.0 - model.b)
+            + F.lit(model.b)
+            * (dl * F.lit(model.n_docs))
+            / F.lit(model.total_dl)
+        )
+        total = None
+        for t in dict.fromkeys(terms):
+            tf = F.size(F.filter(ws, lambda w: w == F.lit(t))).cast(
+                "double"
+            )
+            contrib = F.round(
+                F.lit(model.idf_micro[t])
+                * (tf * F.lit(model.k1 + 1.0))
+                / (tf + F.lit(model.k1) * norm)
+            ).cast("long")
+            total = contrib if total is None else total + contrib
+        return total
+
+    return F.transform(F.array(_words_col(text_col)), _score_of)[0]
+
 
 
 def bm25_scores(
