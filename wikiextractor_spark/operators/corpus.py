@@ -223,7 +223,7 @@ def prepare_corpus(
         # is two driver-sized aggregations + one bounded collect,
         # eager at plan-build time (stated).  ``dsir_weights`` skips
         # the fit and gates through a PRE-FITTED table — or an
-        # already-built literal map Column, the streaming flow's
+        # already-built literal array Column, the streaming flow's
         # mode, where a per-batch fit would drift with batch
         # composition and a per-batch collect would re-run the
         # weights lineage every micro-batch.

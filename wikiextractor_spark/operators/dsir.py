@@ -20,7 +20,7 @@ smoothing.
   construction (a curated seed set against a 100 TB crawl).
 * The weight table is ``buckets`` rows — a DRIVER-SIZED artifact by
   contract (``buckets`` is capped, raise-don't-spill) — collected
-  once and inlined as a literal map, exactly like the broadcast
+  once and inlined as one bucket-indexed array literal, like the broadcast
   vocab in ``functions/tokenizer``.
 * Scoring is then a ZERO-SHUFFLE narrow projection: normalize →
   n-grams → md5 bucket → map lookup → integer fold, all inside
@@ -66,7 +66,7 @@ from pyspark.sql import DataFrame, functions as F
 from wikiextractor_spark.operators.decontam import _norm_words_sql
 
 #: hard cap on the bucket count: the weight table is collected to the
-#: driver and inlined as a literal map, so it must stay driver-sized.
+#: driver and inlined as one array literal, so it must stay driver-sized.
 MAX_BUCKETS = 65536
 
 _MICRO = 1_000_000
@@ -103,7 +103,7 @@ def _check_buckets(buckets: int) -> None:
     if not 1 <= buckets <= MAX_BUCKETS:
         raise ValueError(
             f"buckets must be in [1, {MAX_BUCKETS}] (the weight table "
-            f"is a driver-sized literal map), got {buckets}"
+            f"is a driver-sized array literal), got {buckets}"
         )
 
 
@@ -282,7 +282,7 @@ def dsir_scores(
     drop those rows) and ``dsir_n_grams`` to every row of ``df``.
 
     The weight table is collected once (≤ ``buckets`` rows by the
-    ``MAX_BUCKETS`` contract) and inlined as a literal map, so the
+    ``MAX_BUCKETS`` contract) and inlined as one array literal, so the
     scoring pass is a zero-shuffle, zero-join narrow projection — the
     shape that survives a 100 TB scan.  The gram array is bound in
     its own projection first (the decontam idiom) so the
