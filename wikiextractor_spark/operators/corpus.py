@@ -214,7 +214,7 @@ def prepare_corpus(
         )
     if min_dsir_weight_micro is not None:
         # DSIR data-selection gate (operators/dsir.py): unlike the two
-        # join-backed gates above, scoring is a LITERAL-MAP fold, so
+        # join-backed gates above, scoring is an ARRAY-LITERAL fold, so
         # the gate is one more narrow pushdown-able predicate — no
         # keep-id semi-join needed.  With ``dsir_target`` the raw
         # histogram is fit on the RAW pruned scan (`df`, not `out`):

@@ -1635,7 +1635,7 @@ def ta_quality_classifier(spark, sf_dir):
     resampling): fit bigram bucket histograms on the doc_id < 25
     target slice vs the whole corpus, quantize the per-bucket log
     importance ratios to BIGINT micro-units, and score every document
-    through the collected literal-map weight table in one
+    through the collected array-literal weight table in one
     zero-shuffle fold.  The oracle re-runs the ENTIRE fit (histograms,
     smoothing, ln, quantization) and the integer per-doc sum, so the
     hash pins normalize → n-gram → md5 bucket → histogram → weight →
