@@ -247,6 +247,47 @@ def test_weight_table_is_total_and_prices_novel_vocabulary(spark, corpus_df):
     assert all(_bucket(g) in rows for g in _grams(text))
 
 
+def test_prefitted_gate_validates_n_alpha_and_bucket_length(
+    spark, corpus_df,
+):
+    """r11 review fixes: the pre-fitted paths validate n (they skip
+    bucket_histogram's check), reject the fit-only alpha knob, reject
+    unused dsir_opts, and re-check the Column escape hatch's array
+    length against the declared bucket count."""
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    h = dsir.bucket_histogram(corpus_df, buckets=B, salt=SALT)
+    w = dsir.importance_weights(h, h, B)
+    with pytest.raises(ValueError, match="n >= 1"):
+        dsir.parse_gate_opts({"n": 0})
+    with pytest.raises(ValueError, match="n >= 1"):
+        prepare_corpus(
+            corpus_df, dedup=None, dsir_weights=w,
+            min_dsir_weight_micro=0, dsir_opts={"n": 0, "buckets": B},
+        )
+    with pytest.raises(ValueError, match="alpha.*only affects the fit"):
+        prepare_corpus(
+            corpus_df, dedup=None, dsir_weights=w,
+            min_dsir_weight_micro=0,
+            dsir_opts={"alpha": 0.1, "buckets": B},
+        )
+    with pytest.raises(ValueError, match="unused"):
+        prepare_corpus(corpus_df, dedup=None, dsir_opts={"buckets": B})
+    wmap = dsir.weight_map_column(w, B)
+    with pytest.raises(ValueError, match="mismatch"):
+        prepare_corpus(
+            corpus_df, dedup=None, dsir_weights=wmap,
+            min_dsir_weight_micro=0,
+            dsir_opts={"buckets": B * 2, "salt": SALT},
+        )
+    # and the happy path through the validated Column still gates
+    kept = prepare_corpus(
+        corpus_df, dedup=None, dsir_weights=wmap,
+        min_dsir_weight_micro=0, dsir_opts={"buckets": B, "salt": SALT},
+    )
+    assert kept.count() == len(CORPUS)  # identical corpora: all score 0
+
+
 def test_stream_dsir_contract_fails_at_definition(spark, tmp_path):
     """r11 review fix: DSIR contract errors surface at stream
     DEFINITION (like the url_blocklist schema check), not inside the
@@ -268,6 +309,13 @@ def test_stream_dsir_contract_fails_at_definition(spark, tmp_path):
         prepare_corpus_stream(
             *args, dsir_weights=w, min_dsir_weight_micro=0,
             dsir_opts={"bukets": 8},
+        )
+    with pytest.raises(ValueError, match="unused"):
+        prepare_corpus_stream(*args, dsir_opts={"buckets": B})
+    with pytest.raises(ValueError, match="alpha.*only affects the fit"):
+        prepare_corpus_stream(
+            *args, dsir_weights=w, min_dsir_weight_micro=0,
+            dsir_opts={"alpha": 0.5, "buckets": B},
         )
 
 

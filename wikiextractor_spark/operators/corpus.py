@@ -212,6 +212,11 @@ def prepare_corpus(
             "min_dsir_weight_micro goes together with dsir_target "
             "or dsir_weights"
         )
+    if min_dsir_weight_micro is None and dsir_opts is not None:
+        raise ValueError(
+            "dsir_opts given but unused — pass dsir_target or "
+            "dsir_weights plus min_dsir_weight_micro to enable the gate"
+        )
     if min_dsir_weight_micro is not None:
         # DSIR data-selection gate (operators/dsir.py): unlike the two
         # join-backed gates above, scoring is an ARRAY-LITERAL fold, so
@@ -229,7 +234,12 @@ def prepare_corpus(
         # weights lineage every micro-batch.
         from wikiextractor_spark.operators import dsir as _dsir
 
-        _alpha, _fit = _dsir.parse_gate_opts(dsir_opts)
+        # alpha only affects the FIT — in the pre-fitted modes
+        # parse_gate_opts raises on it instead of silently changing
+        # nothing
+        _alpha, _fit = _dsir.parse_gate_opts(
+            dsir_opts, allow_alpha=dsir_target is not None
+        )
         if dsir_weights is None:
             dsir_weights = _dsir.importance_weights(
                 _dsir.bucket_histogram(dsir_target, text_col, **_fit),
@@ -239,11 +249,26 @@ def prepare_corpus(
                 _fit["buckets"],
                 _alpha,
             )
-        wmap = (
-            dsir_weights
-            if isinstance(dsir_weights, Column)
-            else _dsir.weight_map_column(dsir_weights, _fit["buckets"])
-        )
+        if isinstance(dsir_weights, Column):
+            # the Column escape hatch skips weight_map_column's
+            # totality validation, so re-check the one property that
+            # can still go wrong: a fit/serve buckets mismatch (too
+            # short silently mis-buckets; too long reads past the
+            # array mid-scan under ANSI).  One tiny local job.
+            got = (
+                df.sparkSession.range(1)
+                .select(F.size(dsir_weights).alias("n"))
+                .collect()[0]["n"]
+            )
+            if got != _fit["buckets"]:
+                raise ValueError(
+                    f"dsir_weights array has {got} buckets but "
+                    f"dsir_opts says {_fit['buckets']} — buckets "
+                    "mismatch between fit and serve?"
+                )
+            wmap = dsir_weights
+        else:
+            wmap = _dsir.weight_map_column(dsir_weights, _fit["buckets"])
         out = out.filter(
             _dsir.score_column(wmap, text_col, **_fit)
             >= int(min_dsir_weight_micro)

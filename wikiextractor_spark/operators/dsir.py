@@ -69,7 +69,17 @@ from wikiextractor_spark.operators.decontam import _norm_words_sql
 #: driver and inlined as one array literal, so it must stay driver-sized.
 MAX_BUCKETS = 65536
 
+#: the ONE home of the fit/serve parameter defaults — function
+#: signatures and parse_gate_opts all read these, so they cannot
+#: drift apart
+_DEFAULT_N, _DEFAULT_BUCKETS, _DEFAULT_SALT = 2, 512, "dsir"
+
 _MICRO = 1_000_000
+
+
+def _check_n(n: int) -> None:
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
 
 
 def _grams_expr(text_col: str, n: int) -> F.Column:
@@ -108,15 +118,14 @@ def _check_buckets(buckets: int) -> None:
 
 
 def bucket_histogram(
-    df: DataFrame, text_col: str = "text", n: int = 2,
-    buckets: int = 512, salt: str = "dsir",
+    df: DataFrame, text_col: str = "text", n: int = _DEFAULT_N,
+    buckets: int = _DEFAULT_BUCKETS, salt: str = _DEFAULT_SALT,
 ) -> DataFrame:
     """→ ``(bucket, cnt)``: hashed n-gram bucket histogram of the
     corpus.  One map-side-combined aggregation; the shuffle payload is
     at most ``buckets`` rows per task regardless of corpus size."""
     _check_buckets(buckets)
-    if n < 1:
-        raise ValueError(f"need n >= 1, got {n}")
+    _check_n(n)
     grams = df.select(_grams_expr(text_col, n).alias("_grams"))
     return (
         grams.select(F.explode_outer("_grams").alias("_g"))
@@ -180,21 +189,31 @@ def importance_weights(
     )
 
 
-def parse_gate_opts(dsir_opts: dict | None) -> tuple[float, dict]:
+def parse_gate_opts(
+    dsir_opts: dict | None, *, allow_alpha: bool = True,
+) -> tuple[float, dict]:
     """Validate and split the ``dsir_opts`` dict the corpus-prep gate
     takes → ``(alpha, {n, buckets, salt})``.  Exposed so the
     STREAMING flow can fail on a typo'd key at stream definition,
-    not inside the first micro-batch."""
+    not inside the first micro-batch.  ``allow_alpha=False`` is the
+    pre-fitted mode: alpha only affects the FIT, so accepting it
+    there would silently change nothing — raise instead."""
     opts = dict(dsir_opts or {})
+    if not allow_alpha and "alpha" in opts:
+        raise ValueError(
+            "dsir_opts['alpha'] only affects the fit — it has no "
+            "effect when gating through pre-fitted dsir_weights"
+        )
     alpha = opts.pop("alpha", 1.0)
     fit = {
-        "n": opts.pop("n", 2),
-        "buckets": opts.pop("buckets", 512),
-        "salt": opts.pop("salt", "dsir"),
+        "n": opts.pop("n", _DEFAULT_N),
+        "buckets": opts.pop("buckets", _DEFAULT_BUCKETS),
+        "salt": opts.pop("salt", _DEFAULT_SALT),
     }
     if opts:
         raise ValueError(f"unknown dsir_opts keys: {sorted(opts)}")
     _check_buckets(fit["buckets"])
+    _check_n(fit["n"])
     return alpha, fit
 
 
@@ -257,8 +276,8 @@ def _fold_expr(
 
 
 def score_column(
-    wmap: F.Column, text_col: str = "text", n: int = 2,
-    buckets: int = 512, salt: str = "dsir",
+    wmap: F.Column, text_col: str = "text", n: int = _DEFAULT_N,
+    buckets: int = _DEFAULT_BUCKETS, salt: str = _DEFAULT_SALT,
 ) -> F.Column:
     """The per-document log-weight as one narrow expression — an
     integer fold over the n-gram buckets through the literal weight
@@ -273,9 +292,9 @@ def dsir_scores(
     df: DataFrame,
     weights: DataFrame,
     text_col: str = "text",
-    n: int = 2,
-    buckets: int = 512,
-    salt: str = "dsir",
+    n: int = _DEFAULT_N,
+    buckets: int = _DEFAULT_BUCKETS,
+    salt: str = _DEFAULT_SALT,
 ) -> DataFrame:
     """Attach ``dsir_logw_micro`` (BIGINT sum of bucket weights over
     the document's n-grams; NULL for NULL text, so threshold gates
@@ -307,9 +326,9 @@ def fit_and_score(
     raw_df: DataFrame,
     target_df: DataFrame,
     text_col: str = "text",
-    n: int = 2,
-    buckets: int = 512,
-    salt: str = "dsir",
+    n: int = _DEFAULT_N,
+    buckets: int = _DEFAULT_BUCKETS,
+    salt: str = _DEFAULT_SALT,
     alpha: float = 1.0,
 ) -> DataFrame:
     """One-call fit→score: histogram both corpora, build the weight

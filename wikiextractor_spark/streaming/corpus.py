@@ -154,11 +154,18 @@ def prepare_corpus_stream(
         raise ValueError(
             "dsir_weights and min_dsir_weight_micro go together"
         )
+    if dsir_weights is None and dsir_opts is not None:
+        raise ValueError(
+            "dsir_opts given but unused — pass dsir_weights plus "
+            "min_dsir_weight_micro to enable the gate"
+        )
     dsir_wmap = None
     if dsir_weights is not None:
         from wikiextractor_spark.operators import dsir as _dsir
 
-        _, _fit = _dsir.parse_gate_opts(dsir_opts)  # typo'd keys fail HERE
+        # typo'd keys — and alpha, which only affects the fit this
+        # flow never runs — fail HERE, at stream definition
+        _, _fit = _dsir.parse_gate_opts(dsir_opts, allow_alpha=False)
         # collect the weight table and build the literal array ONCE
         # at stream definition: weight_map_column inside the batch fn
         # would re-run the weights lineage + a driver collect on
