@@ -274,13 +274,20 @@ def test_prefitted_gate_validates_n_alpha_and_bucket_length(
     with pytest.raises(ValueError, match="unused"):
         prepare_corpus(corpus_df, dedup=None, dsir_opts={"buckets": B})
     wmap = dsir.weight_map_column(w, B)
+    assert isinstance(wmap, dsir.PrebuiltWeights) and wmap.buckets == B
     with pytest.raises(ValueError, match="mismatch"):
         prepare_corpus(
             corpus_df, dedup=None, dsir_weights=wmap,
             min_dsir_weight_micro=0,
             dsir_opts={"buckets": B * 2, "salt": SALT},
         )
-    # and the happy path through the validated Column still gates
+    # a raw Column cannot be validated at all — rejected outright
+    with pytest.raises(TypeError, match="PrebuiltWeights"):
+        prepare_corpus(
+            corpus_df, dedup=None, dsir_weights=wmap.col,
+            min_dsir_weight_micro=0, dsir_opts={"buckets": B},
+        )
+    # and the happy path through the validated artifact still gates
     kept = prepare_corpus(
         corpus_df, dedup=None, dsir_weights=wmap,
         min_dsir_weight_micro=0, dsir_opts={"buckets": B, "salt": SALT},

@@ -29,10 +29,12 @@ optimizes end-to-end (the lang/quality filters reach the parquet scan
 ahead of any shuffle).  Stated eager exceptions: ``token_budget``
 (needs a measuring aggregate), near dedup (the LSH candidate sketch
 materializes against projection collapse), semantic decontamination
-(same sketch materialization), and ``dedup='semantic'`` (centroid
+(same sketch materialization), ``dedup='semantic'`` (centroid
 fit + kept-embeddings checkpoint, which semantic_dedup would
-otherwise re-derive per reference) — each runs its bounded job at
-composition time.
+otherwise re-derive per reference), and the DSIR gate's fit/collect
+(``dsir_target`` runs two driver-sized histogram aggregations +
+one bounded collect; pre-fitted ``dsir_weights`` DataFrames collect
+once) — each runs its bounded job at composition time.
 
 Contract: ``id_col`` values are assumed UNIQUE per document — the
 whole module keys on them (hash-gate sampling, dedup survivors,
@@ -49,6 +51,7 @@ from wikiextractor_spark.functions.pii import redact_pii
 from wikiextractor_spark.functions.repetition import is_repetitive
 from wikiextractor_spark.functions.textstats import lang_id, quality_score
 from wikiextractor_spark.operators.chunking import chunk_documents
+from wikiextractor_spark.operators import dsir
 from wikiextractor_spark.operators.decontam import decontaminate
 from wikiextractor_spark.operators.dedup import dedup_exact, dedup_near
 from wikiextractor_spark.operators.packing import pack_sequences
@@ -75,7 +78,7 @@ def prepare_corpus(
     logprob_lm: DataFrame | None = None,
     min_mean_logp: float | None = None,
     dsir_target: DataFrame | None = None,
-    dsir_weights: DataFrame | Column | None = None,
+    dsir_weights: DataFrame | dsir.PrebuiltWeights | None = None,
     min_dsir_weight_micro: int | None = None,
     dsir_opts: dict | None = None,
     redact: bool = False,
@@ -232,7 +235,7 @@ def prepare_corpus(
         # mode, where a per-batch fit would drift with batch
         # composition and a per-batch collect would re-run the
         # weights lineage every micro-batch.
-        from wikiextractor_spark.operators import dsir as _dsir
+        _dsir = dsir
 
         # alpha only affects the FIT — in the pre-fitted modes
         # parse_gate_opts raises on it instead of silently changing
@@ -249,26 +252,32 @@ def prepare_corpus(
                 _fit["buckets"],
                 _alpha,
             )
-        if isinstance(dsir_weights, Column):
-            # the Column escape hatch skips weight_map_column's
-            # totality validation, so re-check the one property that
-            # can still go wrong: a fit/serve buckets mismatch (too
-            # short silently mis-buckets; too long reads past the
-            # array mid-scan under ANSI).  One tiny local job.
-            got = (
-                df.sparkSession.range(1)
-                .select(F.size(dsir_weights).alias("n"))
-                .collect()[0]["n"]
-            )
-            if got != _fit["buckets"]:
+        if isinstance(dsir_weights, _dsir.PrebuiltWeights):
+            # the pre-collected artifact carries the bucket count it
+            # was validated against, so the fit/serve buckets
+            # mismatch check is pure Python — no probe job, nothing
+            # per micro-batch.  (Only the bucket count is checkable
+            # here; a salt or n that differs from the fit remains on
+            # the caller, exactly as for every other pre-fitted
+            # model gate.)
+            if dsir_weights.buckets != _fit["buckets"]:
                 raise ValueError(
-                    f"dsir_weights array has {got} buckets but "
-                    f"dsir_opts says {_fit['buckets']} — buckets "
-                    "mismatch between fit and serve?"
+                    f"dsir_weights was built for "
+                    f"{dsir_weights.buckets} buckets but dsir_opts "
+                    f"says {_fit['buckets']} — buckets mismatch "
+                    "between fit and serve?"
                 )
-            wmap = dsir_weights
+            wmap = dsir_weights.col
+        elif isinstance(dsir_weights, Column):
+            raise TypeError(
+                "raw Columns cannot be validated — pass the "
+                "PrebuiltWeights from dsir.weight_map_column(...) "
+                "or the weights DataFrame itself"
+            )
         else:
-            wmap = _dsir.weight_map_column(dsir_weights, _fit["buckets"])
+            wmap = _dsir.weight_map_column(
+                dsir_weights, _fit["buckets"]
+            ).col
         out = out.filter(
             _dsir.score_column(wmap, text_col, **_fit)
             >= int(min_dsir_weight_micro)

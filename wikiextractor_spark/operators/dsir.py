@@ -58,6 +58,8 @@ data-selection surface) — engine extension (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 # the SHARED normalization: importing (not copying) decontam's helper
@@ -217,7 +219,21 @@ def parse_gate_opts(
     return alpha, fit
 
 
-def weight_map_column(weights: DataFrame, buckets: int) -> F.Column:
+@dataclass(frozen=True)
+class PrebuiltWeights:
+    """The validated, collected weight artifact: the bucket-indexed
+    ``array<bigint>`` literal Column plus the bucket count it was
+    validated against.  Carrying the count WITH the Column is what
+    lets the corpus-prep gates re-check a fit/serve buckets mismatch
+    in pure Python — no per-call (or per-micro-batch) probe job, and
+    no ambiguity about what the Column is (it is always the literal
+    ``weight_map_column`` built, never an arbitrary expression)."""
+
+    col: F.Column
+    buckets: int
+
+
+def weight_map_column(weights: DataFrame, buckets: int) -> PrebuiltWeights:
     """Collect the TOTAL ``[0, buckets)`` weight table and inline it
     as ONE bucket-indexed ``array<bigint>`` literal — the
     driver-sized broadcast step that makes scoring join-free.
@@ -251,7 +267,7 @@ def weight_map_column(weights: DataFrame, buckets: int) -> F.Column:
             f"buckets missing (first: {missing[:5]}) — fit it with "
             "importance_weights, which emits every bucket"
         )
-    return F.lit(vals)
+    return PrebuiltWeights(col=F.lit(vals), buckets=buckets)
 
 
 def _fold_expr(
@@ -308,7 +324,7 @@ def dsir_scores(
     normalize+split pass evaluates ONCE per row even though both
     output columns consume it."""
     _check_buckets(buckets)
-    wmap = weight_map_column(weights, buckets)
+    wmap = weight_map_column(weights, buckets).col
     return (
         df.withColumn("_grams", _grams_expr(text_col, n))
         .select(
