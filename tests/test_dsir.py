@@ -252,8 +252,9 @@ def test_prefitted_gate_validates_n_alpha_and_bucket_length(
 ):
     """r11 review fixes: the pre-fitted paths validate n (they skip
     bucket_histogram's check), reject the fit-only alpha knob, reject
-    unused dsir_opts, and re-check the Column escape hatch's array
-    length against the declared bucket count."""
+    unused dsir_opts, re-check the PrebuiltWeights artifact's bucket
+    count against dsir_opts in pure Python, and reject raw Columns
+    outright (they cannot be validated at all)."""
     from wikiextractor_spark.operators.corpus import prepare_corpus
 
     h = dsir.bucket_histogram(corpus_df, buckets=B, salt=SALT)

@@ -230,29 +230,27 @@ def prepare_corpus(
         # which also keeps the fit independent of gate order; the fit
         # is two driver-sized aggregations + one bounded collect,
         # eager at plan-build time (stated).  ``dsir_weights`` skips
-        # the fit and gates through a PRE-FITTED table — or an
-        # already-built literal array Column, the streaming flow's
-        # mode, where a per-batch fit would drift with batch
-        # composition and a per-batch collect would re-run the
-        # weights lineage every micro-batch.
-        _dsir = dsir
-
+        # the fit and gates through a PRE-FITTED table — or the
+        # PrebuiltWeights artifact weight_map_column returns, the
+        # streaming flow's mode, where a per-batch fit would drift
+        # with batch composition and a per-batch collect would re-run
+        # the weights lineage every micro-batch.
         # alpha only affects the FIT — in the pre-fitted modes
         # parse_gate_opts raises on it instead of silently changing
         # nothing
-        _alpha, _fit = _dsir.parse_gate_opts(
+        _alpha, _fit = dsir.parse_gate_opts(
             dsir_opts, allow_alpha=dsir_target is not None
         )
         if dsir_weights is None:
-            dsir_weights = _dsir.importance_weights(
-                _dsir.bucket_histogram(dsir_target, text_col, **_fit),
-                _dsir.bucket_histogram(
+            dsir_weights = dsir.importance_weights(
+                dsir.bucket_histogram(dsir_target, text_col, **_fit),
+                dsir.bucket_histogram(
                     df.select(text_col), text_col, **_fit
                 ),
                 _fit["buckets"],
                 _alpha,
             )
-        if isinstance(dsir_weights, _dsir.PrebuiltWeights):
+        if isinstance(dsir_weights, dsir.PrebuiltWeights):
             # the pre-collected artifact carries the bucket count it
             # was validated against, so the fit/serve buckets
             # mismatch check is pure Python — no probe job, nothing
@@ -275,11 +273,11 @@ def prepare_corpus(
                 "or the weights DataFrame itself"
             )
         else:
-            wmap = _dsir.weight_map_column(
+            wmap = dsir.weight_map_column(
                 dsir_weights, _fit["buckets"]
             ).col
         out = out.filter(
-            _dsir.score_column(wmap, text_col, **_fit)
+            dsir.score_column(wmap, text_col, **_fit)
             >= int(min_dsir_weight_micro)
         )
     if redact:

@@ -219,7 +219,12 @@ def parse_gate_opts(
     return alpha, fit
 
 
-@dataclass(frozen=True)
+# eq=False: the Column field breaks dataclass value semantics —
+# pyspark Column.__eq__ returns a Column (so generated __eq__ raises
+# "Cannot convert column into bool") and Column.__hash__ is None (so
+# the generated __hash__ raises).  Identity semantics are right for
+# a collected artifact anyway.
+@dataclass(frozen=True, eq=False)
 class PrebuiltWeights:
     """The validated, collected weight artifact: the bucket-indexed
     ``array<bigint>`` literal Column plus the bucket count it was
