@@ -17,6 +17,7 @@ from wikiextractor_spark.functions.bm25 import (
     bm25_scores,
     bm25_topk,
     fit_bm25,
+    fit_bm25_index,
 )
 
 K1, B = 1.2, 0.75
@@ -148,7 +149,7 @@ def test_contract_errors(spark, corpus_df):
         fit_bm25(corpus_df, ["hash join"])
     with pytest.raises(ValueError, match="never match"):
         fit_bm25(corpus_df, [""])
-    with pytest.raises(ValueError, match="empty corpus"):
+    with pytest.raises(ValueError, match="non-NULL text"):
         fit_bm25(corpus_df.filter("doc_id < 0"), TERMS)
     model = fit_bm25(corpus_df, TERMS)
     with pytest.raises(ValueError, match="not in the fitted model"):
@@ -157,6 +158,98 @@ def test_contract_errors(spark, corpus_df):
         bm25_score_column(model, [])
     with pytest.raises(ValueError, match="k must"):
         bm25_topk(corpus_df, model, TERMS, 0)
+
+
+def test_null_text_population(spark, corpus_df):
+    """r11 ADVICE: NULL-text rows must be excluded from n_docs AND
+    total_dl — the fitted population is the scorable corpus, so a fit
+    over a corpus with NULL texts equals the fit over the non-NULL
+    subset exactly."""
+    withnull = corpus_df.union(
+        spark.createDataFrame(
+            [(98, None), (99, None)], "doc_id long, text string"
+        )
+    )
+    clean = fit_bm25(corpus_df, TERMS)
+    dirty = fit_bm25(withnull, TERMS)
+    assert dirty == clean
+    assert dirty.n_docs == len(CORPUS)
+
+
+def test_topk_never_pads_nulls(spark, corpus_df):
+    """r11 ADVICE: k exceeding the scorable document count must not
+    surface NULL-scored rows."""
+    withnull = corpus_df.union(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    model = fit_bm25(corpus_df, TERMS)
+    rows = bm25_topk(withnull, model, TERMS, 100).collect()
+    assert len(rows) == len(CORPUS)
+    assert all(r["bm25_micro"] is not None for r in rows)
+
+
+def test_fit_index_matches_query_fit(spark, corpus_df):
+    """The standing index and the query fit are the same model on the
+    shared terms: identical corpus stats, df, idf — and therefore
+    identical scores through the shared scoring path."""
+    qfit = fit_bm25(corpus_df, TERMS, k1=K1, b=B)
+    index = fit_bm25_index(corpus_df, k1=K1, b=B)
+    assert (index.n_docs, index.total_dl) == (qfit.n_docs, qfit.total_dl)
+    for t in TERMS:
+        assert index.df[t] == qfit.df[t]
+        assert index.idf_micro[t] == qfit.idf_micro[t]
+    expect = _py_bm25(CORPUS, TERMS)
+    got = {
+        r["doc_id"]: r["bm25_micro"]
+        for r in bm25_scores(corpus_df, index, TERMS).collect()
+    }
+    assert got == expect
+
+
+def test_fit_index_vocab_and_min_df(spark, corpus_df):
+    """The index vocabulary is exactly the corpus's distinct
+    normalized words; min_df prunes the long tail; NULL texts are
+    outside the population."""
+    withnull = corpus_df.union(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    index = fit_bm25_index(withnull)
+    all_words = set()
+    df_py: dict[str, int] = {}
+    for _i, text in CORPUS:
+        ws = set(_norm_words(text))
+        all_words |= ws
+        for w in ws:
+            df_py[w] = df_py.get(w, 0) + 1
+    assert set(index.df) == all_words
+    assert index.df == df_py
+    assert index.n_docs == len(CORPUS)
+    assert index.total_dl == sum(len(_norm_words(t)) for _i, t in CORPUS)
+    pruned = fit_bm25_index(withnull, min_df=2)
+    assert set(pruned.df) == {w for w, d in df_py.items() if d >= 2}
+    # corpus stats are population facts, not vocabulary facts
+    assert (pruned.n_docs, pruned.total_dl) == (index.n_docs, index.total_dl)
+
+
+def test_fit_index_contracts(spark, corpus_df):
+    with pytest.raises(ValueError, match="max_terms"):
+        fit_bm25_index(corpus_df, max_terms=3)
+    with pytest.raises(ValueError, match="min_df"):
+        fit_bm25_index(corpus_df, min_df=0)
+    with pytest.raises(ValueError, match="k1"):
+        fit_bm25_index(corpus_df, k1=-1.0)
+    with pytest.raises(ValueError, match="non-NULL text"):
+        fit_bm25_index(corpus_df.filter("doc_id < 0"))
+    with pytest.raises(ValueError, match="non-NULL text"):
+        fit_bm25_index(
+            spark.createDataFrame([(1, None)], "doc_id long, text string")
+        )
+    # a min_df that empties the vocabulary is a valid (empty) index,
+    # not an error — scoring against it raises per the shared contract
+    empty = fit_bm25_index(corpus_df, min_df=100)
+    assert empty.df == {} and empty.n_docs == len(CORPUS)
+    with pytest.raises(ValueError, match="not in the fitted model"):
+        bm25_score_column(empty, ["hash"])
 
 
 def test_plan_shapes(spark, corpus_df):

@@ -20,9 +20,11 @@ DOCUMENTS per query, the Okapi BM25 / Lucene formula:
   fitted term), so the fit is one corpus scan and the shuffle payload
   is one partial-agg row per task.  No corpus-wide inverted index is
   materialized — query term sets are small by the ``MAX_FIT_TERMS``
-  contract (for a standing index, aggregate ``(term, count distinct
-  doc)`` unfiltered and feed the collected rows into ``BM25Model``
-  yourself; the scoring path is unchanged).
+  contract.  For a STANDING index that serves ad-hoc queries,
+  :func:`fit_bm25_index` aggregates every term's document frequency
+  in one map-side-combined shuffle under the capped-vocab
+  ``MAX_INDEX_TERMS`` raise-don't-spill contract; the scoring path is
+  shared.
 * The model is DRIVER-SIZED by construction (one idf per fitted
   term); scoring is one narrow projection — the word array binds
   ONCE per row (the decontam one-element-array idiom) and every
@@ -65,6 +67,14 @@ _MICRO = 1_000_000
 #: inline as literals into the scoring expression — one expression
 #: node per term, so the term set must stay small (queries are).
 MAX_FIT_TERMS = 1024
+
+#: standing-index cap (:func:`fit_bm25_index`): the whole surviving
+#: vocabulary is collected to the driver, so the fit RAISES past this
+#: bound instead of silently spilling (the DSIR ``MAX_BUCKETS``
+#: contract) — raise ``max_terms`` explicitly for a wider corpus
+#: after checking the driver can hold it.  Scoring cost is unchanged:
+#: only the QUERY's terms inline into the expression.
+MAX_INDEX_TERMS = 65536
 
 # a term that the normalized word grammar can never produce (upper
 # case, multi-word, punctuation, empty) would silently fit df=0 and
@@ -110,7 +120,12 @@ def fit_bm25(
     collect: doc count, total length, and every per-term document
     frequency come out of the same pass (the word array binds once
     per row), so the fit cost is one corpus scan regardless of how
-    many queries share it."""
+    many queries share it.
+
+    NULL-text rows are excluded from the fitted population: they can
+    never be scored (NULL score), so counting them in ``n_docs``
+    while their length is absent from ``total_dl`` would inflate N
+    and deflate avgdl relative to the scorable corpus (r11 ADVICE)."""
     terms = list(dict.fromkeys(terms))  # de-dup, keep order
     if not terms:
         raise ValueError("need at least one term to fit")
@@ -130,7 +145,10 @@ def fit_bm25(
     stats = (
         df.select(_words_col(text_col).alias("_ws"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            # count("_ws"), not count(*): n_docs and total_dl must
+            # describe the same population — NULL-text rows have a
+            # NULL word array, which the sum already skips
+            F.count("_ws").alias("n"),
             F.coalesce(F.sum(F.size("_ws")), F.lit(0)).alias("tot"),
             *(
                 F.count_if(F.array_contains("_ws", t)).alias(f"_df{i}")
@@ -141,7 +159,9 @@ def fit_bm25(
     )
     n_docs, total_dl = int(stats["n"]), int(stats["tot"])
     if n_docs == 0:
-        raise ValueError("cannot fit BM25 on an empty corpus")
+        raise ValueError(
+            "cannot fit BM25: no documents with non-NULL text"
+        )
     df_map = {t: int(stats[f"_df{i}"]) for i, t in enumerate(terms)}
     return BM25Model(
         n_docs=n_docs,
@@ -149,6 +169,90 @@ def fit_bm25(
         k1=float(k1),
         b=float(b),
         idf_micro={t: idf_micro_of(n_docs, df_map[t]) for t in terms},
+        df=df_map,
+    )
+
+
+def fit_bm25_index(
+    df: DataFrame, text_col: str = "text",
+    k1: float = 1.2, b: float = 0.75,
+    min_df: int = 1, max_terms: int = MAX_INDEX_TERMS,
+) -> BM25Model:
+    """Standing-index fit: corpus stats plus the document frequency of
+    EVERY normalized term, so any ad-hoc query over the corpus scores
+    without a refit (``fit_bm25`` needs the query terms up front).
+
+    One corpus scan, one shuffle: each document emits its DISTINCT
+    words plus one NULL sentinel row carrying the document length, and
+    a single map-side-combined ``groupBy(term)`` yields both the
+    per-term df (non-NULL groups) and the corpus stats (the sentinel
+    group: its count is ``n_docs``, its length sum is ``total_dl``) —
+    no second job, no join.  NULL-text rows are excluded from the
+    population, same convention as :func:`fit_bm25`.
+
+    Driver-size contract: the surviving vocabulary (``df >= min_df``,
+    empty-string artifacts dropped) is collected, so the fit RAISES
+    when it exceeds ``max_terms`` (default :data:`MAX_INDEX_TERMS`)
+    rather than silently spilling — the collect itself is bounded by
+    ``limit(max_terms + 2)``, so even the failing probe never ships
+    an unbounded vocabulary to the driver.  ``min_df`` is the standard
+    index-size lever (hapax terms dominate a Zipfian vocabulary but
+    carry near-zero retrieval value).
+
+    Scoring a term absent from the index still raises (same contract
+    as the query fit): under ``min_df > 1`` that includes real but
+    rare corpus terms — refit with a lower ``min_df`` if ad-hoc
+    queries must cover the long tail."""
+    if k1 <= 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got {k1}, {b}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if max_terms < 1:
+        raise ValueError(f"max_terms must be >= 1, got {max_terms}")
+    grouped = (
+        df.select(_words_col(text_col).alias("_ws"))
+        .where(F.col("_ws").isNotNull())
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.array_distinct("_ws"),
+                )
+            ).alias("term"),
+            F.size("_ws").alias("dl"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_t"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .where(
+            F.col("term").isNull()
+            | ((F.col("term") != "") & (F.col("df_t") >= min_df))
+        )
+    )
+    rows = grouped.limit(max_terms + 2).collect()
+    sentinel = [r for r in rows if r["term"] is None]
+    term_rows = [r for r in rows if r["term"] is not None]
+    if len(term_rows) > max_terms:
+        raise ValueError(
+            f"surviving vocabulary exceeds max_terms={max_terms} — "
+            "raise min_df or max_terms explicitly (the index is "
+            "collected to the driver)"
+        )
+    if not sentinel:
+        raise ValueError(
+            "cannot fit BM25: no documents with non-NULL text"
+        )
+    n_docs = int(sentinel[0]["df_t"])
+    total_dl = int(sentinel[0]["sum_dl"])
+    df_map = {r["term"]: int(r["df_t"]) for r in term_rows}
+    return BM25Model(
+        n_docs=n_docs,
+        total_dl=total_dl,
+        k1=float(k1),
+        b=float(b),
+        idf_micro={t: idf_micro_of(n_docs, d) for t, d in df_map.items()},
         df=df_map,
     )
 
@@ -215,11 +319,15 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents for the query, ties broken by ``id_col``
     so the result is deterministic.  Planned as
-    TakeOrderedAndProject — per-partition heaps, no full sort."""
+    TakeOrderedAndProject — per-partition heaps, no full sort.
+    NULL-scored rows (NULL text — unscorable, not low-scoring) are
+    filtered out, so the result never pads with NULLs when ``k``
+    exceeds the scorable document count (r11 ADVICE)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return (
         bm25_scores(df, model, terms, text_col, out_col)
+        .where(F.col(out_col).isNotNull())
         .orderBy(F.col(out_col).desc(), F.col(id_col))
         .limit(k)
     )

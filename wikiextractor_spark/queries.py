@@ -3803,6 +3803,28 @@ def _bm25_union_sql() -> str:
               FROM documents) bs
       ) q
     ) r WHERE rn <= {_BM25_TOPK}""")
+    # 'bm25_index' rows (r12, fit_bm25_index): the standing-index fit
+    # collects the WHOLE surviving vocabulary, so its size under each
+    # min_df is a fit artifact the oracle can re-derive independently
+    # — per-doc DISTINCT words, per-term document frequency, then the
+    # min_df cut.  The second 'bm25' query above is scored through the
+    # index model (identical idf by construction), so these rows pin
+    # the vocabulary while the score rows pin the shared per-term
+    # stats end to end.
+    members.append(f"""
+    UNION ALL
+    SELECT 'bm25_index' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           'vocab_mindf' || CAST(md AS VARCHAR) AS term,
+           CAST(nv AS DOUBLE) AS score, CAST(md AS INT) AS rn
+    FROM (
+      SELECT md, COUNT(*) AS nv FROM (
+        SELECT w, COUNT(*) AS d FROM (
+          SELECT doc_id, unnest(list_distinct({_BM25_WS})) AS w
+          FROM documents
+        ) dw WHERE w <> '' GROUP BY w
+      ) tdf CROSS JOIN (VALUES (1), (2)) mds(md)
+      WHERE d >= md GROUP BY md
+    ) vc""")
     return "".join(members)
 
 
@@ -3874,18 +3896,38 @@ def ta_term_stats(spark, sf_dir):
     # 'bm25' family (r11, functions/bm25.py): fit once over the union
     # of both query term sets, then per query one TakeOrderedAndProject
     # top-k; rank assigned by a window over the k-row result (the
-    # global-sort-free shape bm25_topk pins)
+    # global-sort-free shape bm25_topk pins).  r12: the SECOND query
+    # is scored through a fit_bm25_index standing index instead — its
+    # idf equals the query fit's by construction, so the rows only
+    # hash-match if the index fit derives the same per-term stats —
+    # and the 'bm25_index' rows pin the collected vocabulary size
+    # under min_df 1 and 2 against the oracle's own df re-derivation.
     from pyspark.sql import Window
 
-    from wikiextractor_spark.functions.bm25 import bm25_topk, fit_bm25
+    from wikiextractor_spark.functions.bm25 import (
+        bm25_topk,
+        fit_bm25,
+        fit_bm25_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     model = fit_bm25(
         docs, [t for _q, ts in _BM25_QUERIES for t in ts],
         k1=_BM25_K1, b=_BM25_B,
     )
-    for qname, terms in _BM25_QUERIES:
-        top = bm25_topk(docs, model, terms, _BM25_TOPK)
+    index = fit_bm25_index(docs, k1=_BM25_K1, b=_BM25_B)
+    index2 = fit_bm25_index(docs, min_df=2)
+    out = out.unionByName(
+        spark.createDataFrame(
+            [
+                ("bm25_index", -1, "vocab_mindf1", float(len(index.df)), 1),
+                ("bm25_index", -1, "vocab_mindf2", float(len(index2.df)), 2),
+            ],
+            "family string, doc_id bigint, term string, score double, rn int",
+        )
+    )
+    for (qname, terms), m in zip(_BM25_QUERIES, (model, index)):
+        top = bm25_topk(docs, m, terms, _BM25_TOPK)
         ranked = top.withColumn(
             "rn",
             F.row_number().over(

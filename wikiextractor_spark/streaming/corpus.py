@@ -241,6 +241,7 @@ def prepare_corpus_stream(
         )
         out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         if stats_dir is not None:
+            from wikiextractor_spark.functions.modelio import write_one_file
             from wikiextractor_spark.operators.corpus import corpus_stats
 
             stats = corpus_stats(batch_df).withColumn(
@@ -248,9 +249,11 @@ def prepare_corpus_stream(
             ).unionByName(
                 corpus_stats(kept).withColumn("stage", F.lit("out"))
             )
-            stats.coalesce(1).write.mode("overwrite").parquet(
-                f"{stats_dir}/batch_id={batch_id}"
-            )
+            # aggregated two-row frame — not the pickled-slice trap,
+            # but every artifact-style single-file write routes
+            # through the documented repartition(1) helper so the
+            # coalesce(1) rule stays greppable
+            write_one_file(stats, f"{stats_dir}/batch_id={batch_id}")
 
     reader = spark.readStream.schema(schema)
     if path_glob:
