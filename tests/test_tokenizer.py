@@ -420,6 +420,53 @@ def test_learn_bpe_hand_computed(spark):
         learn_bpe_merges(df, 2, min_count=0)
 
 
+def test_learn_bpe_releases_superseded_checkpoints(spark):
+    """r11 ADVICE: each training round localCheckpoints the shrinking
+    word table; the superseded round's blocks must be released, not
+    left to LRU eviction — a 32k-merge run would otherwise accumulate
+    thousands of copies.  After training, the block manager holds no
+    more cached RDDs than before (the trainer releases its last
+    checkpoint too)."""
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abab ab ab cd cd ef ef gh gh")],
+        "doc_id long, text string",
+    )
+    before = cached_ids()
+    got = learn_bpe_merges(df, 5, min_count=1)
+    assert len(got) >= 3  # the run genuinely iterated
+    leaked = cached_ids() - before
+    assert leaked == set(), f"leaked checkpoint RDD blocks: {leaked}"
+
+
+def test_train_bpe_tokenizer_releases_word_table(spark, tmp_path):
+    """train_bpe_tokenizer's shared word-frequency checkpoint is
+    released after its last consumer (the alphabet collect); only the
+    returned serving vocab's own checkpoint may remain."""
+    from wikiextractor_spark.functions.tokenizer import train_bpe_tokenizer
+
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    df = spark.createDataFrame(
+        [(1, "abab abab ab cd cd")], "doc_id long, text string"
+    )
+    before = cached_ids()
+    vocab, _ranks = train_bpe_tokenizer(
+        df, 2, str(tmp_path / "v"), str(tmp_path / "m"), min_count=1
+    )
+    leaked = cached_ids() - before
+    # the ONE allowed survivor: load_bpe_vocab's eager checkpoint of
+    # the returned serving frame
+    assert len(leaked) <= 1, f"leaked checkpoint RDD blocks: {leaked}"
+
+
 def test_learn_bpe_tie_break_deterministic(spark):
     # (x,y) and (p,q) both count 2: the pair-key ascending tie-break
     # picks 'p q' < 'x y' regardless of input order

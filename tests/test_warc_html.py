@@ -637,6 +637,50 @@ def test_cli_incompatible_flags_error(tmp_path):
         assert exc.value.code == 2, argv
 
 
+def test_cli_incompatible_flag_at_default_value_still_errors():
+    """r11 ADVICE: a source-incompatible flag EXPLICITLY supplied at
+    its default value must error too — 'supplied' is a sentinel test,
+    not a value-vs-default compare."""
+    import pytest
+
+    from wikiextractor_spark.__main__ import main
+
+    cases = [
+        ["--infn", "x", "--source", "wet", "--parser", "xml"],
+        ["--infn", "x", "--source", "warc", "--incubator", ""],
+        ["--infn", "x", "--source", "wet", "--vitalfn", ""],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv
+
+
+def test_cli_scoped_defaults_resolve():
+    """Unsupplied source-scoped flags resolve to their documented
+    defaults after the sentinel dance, and the policy tuples can
+    never desync from the defaults table."""
+    from wikiextractor_spark.__main__ import (
+        _DUMP_ONLY,
+        _SCOPED_DEFAULTS,
+        _WARC_ONLY,
+        _resolve_scoped,
+        build_parser,
+    )
+
+    args = build_parser().parse_args(["--infn", "x"])
+    supplied = _resolve_scoped(args)
+    assert supplied == set()
+    assert args.parser == "xml"
+    assert args.incubator == ""
+    assert args.compress is False
+    assert args.vitalfn is None
+    assert args.max_records_per_file is None
+    assert args.main_content is False
+    assert args.with_meta is False
+    assert set(_WARC_ONLY + _DUMP_ONLY) == set(_SCOPED_DEFAULTS)
+
+
 def test_extract_main_content_is_native(spark):
     df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
         extract_main_content(F.col("html")).alias("t")

@@ -27,6 +27,28 @@ from wikiextractor_spark.config import ExtractorConfig
 from wikiextractor_spark.session import get_spark
 
 
+# sentinel default for every source-scoped flag: "was this flag
+# actually supplied" must be distinguishable from "was it left at its
+# default", or an explicitly-passed default value (--source wet
+# --parser xml) silently skips the compat check instead of erroring
+# (r11 ADVICE).  The real defaults live in _SCOPED_DEFAULTS and are
+# resolved post-parse.
+_UNSET = object()
+
+# dest → real default, for every flag scoped to one --source.  The
+# resolution loop raises KeyError if a _WARC_ONLY/_DUMP_ONLY entry is
+# missing here, so the two tables cannot silently desync.
+_SCOPED_DEFAULTS = {
+    "incubator": "",
+    "compress": False,
+    "parser": "xml",
+    "vitalfn": None,
+    "max_records_per_file": None,
+    "main_content": False,
+    "with_meta": False,
+}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="wikiextractor_spark", description="PySpark WikiExtractor"
@@ -34,23 +56,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infn", required=True, help="dump file (xml/.bz2/.gz)")
     p.add_argument(
         "--incubator",
-        default="",
+        default=_UNSET,
         help="incubator language code (e.g. enm); keeps Wp/LANG/Title pages",
     )
-    p.add_argument("--compress", action="store_true", help="bzip2 output")
+    p.add_argument(
+        "--compress", action="store_true", default=_UNSET,
+        help="bzip2 output",
+    )
     p.add_argument("--out", default="wiki_out", help="output directory")
     p.add_argument(
         "--parser",
         choices=("xml", "line"),
-        default="xml",
+        default=_UNSET,
         help="xml = splittable Catalyst-native source (default); "
         "line = bug-compatible reference parser (one task per file)",
     )
-    p.add_argument("--vitalfn", default=None, help="vital titles side file")
+    p.add_argument("--vitalfn", default=_UNSET, help="vital titles side file")
     p.add_argument(
         "--max-records-per-file",
         type=int,
-        default=None,
+        default=_UNSET,
         help="size-split the output (the reference's intended "
         "OutputSplitter behavior)",
     )
@@ -66,12 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--main-content",
         action="store_true",
+        default=_UNSET,
         help="(--source warc) extract the article body via the "
         "block-level link-density classifier instead of all text",
     )
     p.add_argument(
         "--with-meta",
         action="store_true",
+        default=_UNSET,
         help="(--source warc) keep declared <title> and <html lang> "
         "columns",
     )
@@ -79,25 +106,39 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 # which flags belong to which --source is POLICY (stated here once);
-# whether a flag was actually supplied is derived from the parser's
-# own defaults, so adding a flag or changing a default cannot desync
-# a second hand-maintained table
+# whether a flag was actually supplied is the sentinel test in
+# _resolve_scoped — an explicitly-typed default value counts as
+# supplied, unlike a value-vs-default compare
 _WARC_ONLY = ("main_content", "with_meta")
 _DUMP_ONLY = (
     "parser", "vitalfn", "compress", "incubator", "max_records_per_file",
 )
 
 
-def _check_flag_compat(parser: argparse.ArgumentParser, args) -> None:
+def _resolve_scoped(args) -> set[str]:
+    """Replace every source-scoped sentinel with its real default and
+    return the dests the user EXPLICITLY supplied (including at the
+    default value).  KeyError here means a flag was added to a policy
+    tuple without a _SCOPED_DEFAULTS entry."""
+    supplied: set[str] = set()
+    for dest in _WARC_ONLY + _DUMP_ONLY:
+        if getattr(args, dest) is _UNSET:
+            setattr(args, dest, _SCOPED_DEFAULTS[dest])
+        else:
+            supplied.add(dest)
+    return supplied
+
+
+def _check_flag_compat(
+    parser: argparse.ArgumentParser, args, supplied: set[str],
+) -> None:
     """Reject flag/source combinations that would be silently ignored
     — a typo like ``--source wet --main-content`` must not produce a
     plausible-looking but differently-shaped output."""
 
-    def supplied(dests) -> list[str]:
+    def names(dests) -> list[str]:
         return [
-            "--" + d.replace("_", "-")
-            for d in dests
-            if getattr(args, d) != parser.get_default(d)
+            "--" + d.replace("_", "-") for d in dests if d in supplied
         ]
 
     def reject(flags: list[str], source: str) -> None:
@@ -109,15 +150,15 @@ def _check_flag_compat(parser: argparse.ArgumentParser, args) -> None:
             )
 
     if args.source != "warc":
-        reject(supplied(_WARC_ONLY), "warc")
+        reject(names(_WARC_ONLY), "warc")
     if args.source != "dump":
-        reject(supplied(_DUMP_ONLY), "dump")
+        reject(names(_DUMP_ONLY), "dump")
 
 
 def main(argv: list[str] | None = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
-    _check_flag_compat(parser, args)
+    _check_flag_compat(parser, args, _resolve_scoped(args))
     cfg = ExtractorConfig(incubator=args.incubator, compress=args.compress)
     spark = get_spark("wikiextractor-spark-cli")
     try:

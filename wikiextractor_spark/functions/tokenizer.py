@@ -456,6 +456,25 @@ def _word_freq_table(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind an eager
+    ``localCheckpoint`` frame once a newer checkpoint supersedes it.
+
+    ``DataFrame.unpersist()`` is a no-op here — checkpoint blocks
+    belong to the plan's internal RDD, not the cache manager (verified
+    against ``getRDDStorageInfo``: unpersist() leaves the blocks, this
+    route removes them) — so without an explicit release a real
+    32k-merge training run accumulates thousands of superseded copies
+    of the shrinking word table and leans on LRU eviction (r11
+    VERDICT/ADVICE).  The checkpointed RDD rides the frame's
+    ``LogicalRDD`` leaf; the py4j hop is best-effort cleanup, never a
+    correctness dependency, so any failure is swallowed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup only; training result
+        pass  # does not depend on the release
+
+
 def learn_bpe_merges(
     df: DataFrame, n_merges: int, text_col: str = "text",
     min_count: int = 2, sample_fraction: float | None = None,
@@ -504,28 +523,39 @@ def learn_bpe_merges(
     )
     words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        best = (
-            words.select(F.explode(F.expr(_ADJ_PAIRS)).alias("p"), "freq")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(
-                F.desc("cnt"), F.asc(F.concat_ws(" ", "a", "b"))
+    try:
+        for _ in range(n_merges):
+            best = (
+                words.select(F.explode(F.expr(_ADJ_PAIRS)).alias("p"), "freq")
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(
+                    F.desc("cnt"), F.asc(F.concat_ws(" ", "a", "b"))
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["cnt"] < min_count:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b, int(best[0]["cnt"])))
-        words = (
-            words.select(
-                _merge_fold(a, b)(F.col("syms")).alias("syms"), "freq"
+            if not best or best[0]["cnt"] < min_count:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b, int(best[0]["cnt"])))
+            prev = words
+            words = (
+                words.select(
+                    _merge_fold(a, b)(F.col("syms")).alias("syms"), "freq"
+                )
+                .where(F.size("syms") > 1)
+                .localCheckpoint(eager=True)
             )
-            .where(F.size("syms") > 1)
-            .localCheckpoint(eager=True)
-        )
+            # the new round's checkpoint is eager-materialized above,
+            # so the superseded round's blocks can go now — without
+            # this, a production-vocab run accumulates O(n_merges)
+            # copies of the word table in the block manager
+            _release_local_checkpoint(prev)
+    finally:
+        # every round's checkpoint is trainer-internal (the caller
+        # only sees the merges list) — release the last one too
+        _release_local_checkpoint(words)
     return merges
 
 
@@ -566,16 +596,22 @@ def train_bpe_tokenizer(
     words = _word_freq_table(
         df, text_col, sample_fraction, seed
     ).localCheckpoint(eager=True)
-    learned = learn_bpe_merges(
-        df, n_merges, text_col=text_col, min_count=min_count,
-        _words=words,
-    )
-    chars = sorted(
-        r["c"]
-        for r in words.select(F.explode("syms").alias("c"))
-        .distinct()
-        .collect()
-    )
+    try:
+        learned = learn_bpe_merges(
+            df, n_merges, text_col=text_col, min_count=min_count,
+            _words=words,
+        )
+        chars = sorted(
+            r["c"]
+            for r in words.select(F.explode("syms").alias("c"))
+            .distinct()
+            .collect()
+        )
+    finally:
+        # the shared word table's last consumer is the alphabet
+        # collect above — release its checkpoint blocks like the
+        # trainer releases its per-round ones
+        _release_local_checkpoint(words)
     if not chars:
         raise ValueError(
             "train_bpe_tokenizer: the corpus has no words — nothing "
