@@ -8,12 +8,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from wikiextractor_spark.functions.tokenizer import (
+    GPT2_PRETOKENIZER_PATTERN,
     _WS_SPLIT,
     _bpe_replay_word,
     _build_matcher,
     _count_word,
     bpe_token_count,
     bpe_token_count_exact,
+    gpt2_bytes_to_unicode,
     learn_bpe_merges,
     load_bpe_merges,
     load_bpe_vocab,
@@ -294,6 +296,196 @@ def test_greedy_vs_exact_divergence_quantified(spark, docs):
     assert len(diverged) <= max(1, len(words) * 0.02), (
         f"{len(diverged)}/{len(words)} diverged: {diverged[:10]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level + GPT-2-style regex pre-tokenization (r12)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_G2RE = _re.compile(GPT2_PRETOKENIZER_PATTERN)
+
+
+def test_gpt2_byte_table_properties():
+    enc = gpt2_bytes_to_unicode()
+    # a bijection over all 256 bytes onto whitespace-free chars
+    assert len(enc) == 256 and len(set(enc.values())) == 256
+    assert not any(c.isspace() for c in enc.values())
+    # the published anchor values: printable ASCII is identity,
+    # space/newline/tab map to the well-known visible forms
+    assert enc[ord("a")] == "a" and enc[ord("!")] == "!"
+    assert enc[ord(" ")] == "Ġ"   # U+0120 = 0x20 + 0x100
+    assert enc[ord("\n")] == "Ċ"  # U+010A
+    assert enc[ord("\t")] == "ĉ"  # U+0109
+    # multi-byte chars encode per UTF-8 byte: é = C3 A9 → 'Ã©'
+    assert "".join(enc[b] for b in "é".encode()) == "Ã©"
+
+
+def test_gpt2_pretokenizer_published_semantics():
+    """Hand-stated behaviors of the published GPT-2 pattern — the
+    cases the whitespace grain gets wrong: contractions split,
+    words absorb their leading space, punctuation/digits separate
+    from letters, whitespace runs keep all-but-last before a word
+    and stay whole at end of text."""
+    cases = {
+        "don't stop": ["don", "'t", " stop"],
+        "Hello world": ["Hello", " world"],
+        "we'll we've I'm you're he's i'd":
+            ["we", "'ll", " we", "'ve", " I", "'m", " you", "'re",
+             " he", "'s", " i", "'d"],
+        "web-scale data!!": ["web", "-", "scale", " data", "!!"],
+        "x_1 mixed2tokens": ["x", "_", "1", " mixed", "2", "tokens"],
+        "a  b": ["a", " ", " b"],
+        "a   b": ["a", "  ", " b"],
+        "para.\n\nNext": ["para", ".", "\n", "\n", "Next"],
+        "end.  ": ["end", ".", "  "],
+        "a\n\n": ["a", "\n\n"],
+        "prix café 2024": ["prix", " café", " 2024"],
+        "": [],
+    }
+    for text, expect in cases.items():
+        assert _G2RE.findall(text) == expect, text
+
+
+def _py_bytelevel_count(text, merges, vocab, oov):
+    """Independent slow restatement: findall pre-tokenization →
+    byte-encode → min-rank merge replay → vocab/OOV count."""
+    enc = gpt2_bytes_to_unicode()
+    ranks = {p: float(i) for i, p in enumerate(merges)}
+    total = 0.0
+    for ptok in _G2RE.findall(text):
+        syms = ["".join(enc[b] for b in c.encode()) for c in ptok]
+        # byte-grain base symbols: a multi-byte char is SEVERAL syms
+        syms = [s for cs in syms for s in cs]
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            r, _ = min(cands)
+            a, b = next(
+                p for p, rr in ranks.items() if rr == r
+            )
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += sum(1.0 if s in vocab else oov * len(s) for s in syms)
+    return total
+
+
+_G2_TEST_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
+    ("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"), ("Ċ", "Ċ"),
+    ("'", "t"),
+]
+_G2_TEST_VOCAB = [
+    "th", "the", "in", "ing", "Ġt", "Ġth", "Ġthe", "ĊĊ", "'t",
+    "Ġ", "Ċ", "t", "h", "e", "a", "d", "o", "n", "s", "p",
+]
+
+
+def test_byte_level_exact_differential(spark):
+    """Engine kernel vs the independent restatement over adversarial
+    texts: contractions, multi-space, newline runs, trailing
+    whitespace, multi-byte chars, punctuation."""
+    texts = [
+        "the thing", " the thing", "don't stop", "a  b   c",
+        "para.\n\nNext", "end.  ", "tab\there", "café été",
+        "the\n\n\nthe", "'t alone", "", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = vocab_from_tokens(spark, _G2_TEST_VOCAB, 0.5)
+    ranks = {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    got = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count_exact(
+            df, vocab, ranks, out_col="n",
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+        else:
+            expect = _py_bytelevel_count(
+                t, _G2_TEST_MERGES, set(_G2_TEST_VOCAB), 0.5
+            )
+            assert got[i] == expect, (t, got[i], expect)
+
+
+def test_byte_level_exact_differential_on_real_docs(spark, docs):
+    sample = docs.limit(100).select("doc_id", "text")
+    vocab = vocab_from_tokens(spark, _G2_TEST_VOCAB, 0.5)
+    ranks = {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    got = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count_exact(
+            sample, vocab, ranks, out_col="n",
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        ).collect()
+    }
+    for r in sample.collect():
+        expect = _py_bytelevel_count(
+            r["text"], _G2_TEST_MERGES, set(_G2_TEST_VOCAB), 0.5
+        )
+        assert got[r["doc_id"]] == expect
+
+
+def test_byte_level_fixes_whitespace_grain_divergence(spark):
+    """The r11 VERDICT divergence, demonstrated closed: under the
+    whitespace grain an imported GPT-class artifact drifts on every
+    contraction ('don't' stays one word) and loses whitespace tokens;
+    the byte-level GPT-2 grain counts them faithfully."""
+    df = spark.createDataFrame(
+        [(0, "don't"), (1, "the the"), (2, "a\n\n")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_from_tokens(spark, _G2_TEST_VOCAB, 1.0)
+    ranks = {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    ws = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count_exact(
+            df, vocab, ranks, out_col="n"
+        ).collect()
+    }
+    bl = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count_exact(
+            df, vocab, ranks, out_col="n",
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        ).collect()
+    }
+    # "the the" byte-level: pre-tokens ["the", " the"]; the bare word
+    # merges to one "the", the space-prefixed one replays to
+    # [Ġ, the] (these merges rank (t,h) below (Ġ,t), so Ġ never
+    # fuses) = 2 → total 3.  Whitespace grain: two bare "the" = 2.
+    assert bl[1] == 3.0
+    assert ws[1] == 2.0
+    # "a\n\n" byte-level: ["a", "\n\n"] → "a" + the merged "ĊĊ"
+    # trailing-newline token = 2; whitespace grain: newlines vanish.
+    assert bl[2] == 2.0
+    assert ws[2] == 1.0
+    # "don't": GPT-2 grain splits don/'t → d,o,n singles (3) + the
+    # merged 't (1) = 4; the whitespace grain happens to agree HERE
+    # because ' only ever merges rightward — the suite's published-
+    # semantics cases cover where the grains genuinely differ.
+    assert bl[0] == ws[0] == 4.0
 
 
 def test_packing_honors_imported_counts(spark):

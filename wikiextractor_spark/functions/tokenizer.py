@@ -79,6 +79,51 @@ _WS_SPLIT = re.compile(WS_SPLIT_PATTERN)
 # Literal controls mean every engine sees the same six characters.
 WS_SPLIT_PATTERN_JVM = "[ \t\n\r\f\x0b]+"
 
+# GPT-2-style pre-tokenization (r12): the published GPT-2 pattern
+#   's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+
+#   |\s+(?!\S)|\s+
+# restated for Python's re module, which has no \p{...} classes:
+# \p{L} → [^\W\d_] (word chars minus decimal digits minus the
+# underscore), \p{N} → \d, and [^\s\p{L}\p{N}] → (?:[^\s\w]|_).  On
+# ASCII the restatement is EXACT; the stated divergence is at Unicode
+# category edges (letter-numbers like Ⅻ and other non-decimal \p{N}
+# characters classify as "letter" here where GPT-2's regex classes
+# them "number" — same split positions against adjacent whitespace/
+# punctuation, different grouping against adjacent letters).  The
+# lookahead branch \s+(?!\S) is what gives GPT-2 its signature
+# whitespace grouping: a run of whitespace BEFORE a word yields the
+# run minus its last char (which prefixes the word's pre-token), a
+# trailing run is kept whole.
+GPT2_PRETOKENIZER_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→unicode table (the published algorithm from the
+    GPT-2 encoder; public knowledge): the 188 printable-and-not-space
+    latin-1 bytes map to themselves, every other byte b maps to
+    ``chr(256 + n)`` with n assigned in ascending byte order — a
+    bijection onto 256 visible characters, so any byte string becomes
+    a whitespace-free symbol string (space → 'Ġ', newline → 'Ċ').
+    Byte-level BPE artifacts (merges.txt / vocab files of GPT-class
+    tokenizers) are expressed in this encoded space."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
 
 def vocab_from_tokens(
     spark, tokens: list[str], oov_tokens_per_char: float = 1.0,
@@ -314,27 +359,33 @@ def _vocab_tokens_and_oov(
 
 
 def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
-                           text_col: str) -> DataFrame:
+                           text_col: str,
+                           pre_tokenizer: str | None = None) -> DataFrame:
     """Shared kernel body for the counting modes: one Arrow-batched
-    pandas UDF, whitespace pre-tokenization, NULL text stays NULL,
-    and the per-batch bounded word memo (Zipfian repetition makes the
-    memo the dominant win; see bpe_token_count's docstring).
-    ``count_word`` (word → DOUBLE count) must be picklable with its
-    closed-over state — it rides the UDF's broadcast."""
+    pandas UDF, NULL text stays NULL, and the per-batch bounded word
+    memo (Zipfian repetition makes the memo the dominant win; see
+    bpe_token_count's docstring).  Pre-tokenization is the whitespace
+    split by default; ``pre_tokenizer`` switches to ``re.findall``
+    with the given pattern (GPT-2-style grain — pre-tokens may then
+    CARRY whitespace, e.g. ``" word"`` / ``"\\n\\n"``, and whitespace
+    runs count as tokens instead of vanishing).  ``count_word``
+    (pre-token → DOUBLE count) must be picklable with its closed-over
+    state — it rides the UDF's broadcast."""
     bc = df.sparkSession.sparkContext.broadcast(
-        (count_word, _WORD_CACHE_MAX)
+        (count_word, _WORD_CACHE_MAX, pre_tokenizer)
     )
 
     @F.pandas_udf("double")
     def _count(s: pd.Series) -> pd.Series:
-        fn, cache_max = bc.value
+        fn, cache_max, pat = bc.value
+        split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
         cache: dict[str, float] = {}
 
         def _doc(t):
             if t is None:
                 return None
             total = 0.0
-            for w in _WS_SPLIT.split(t):
+            for w in split(t):
                 if not w:
                     continue
                 c = cache.get(w)
@@ -350,25 +401,69 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
     return df.withColumn(out_col, _count(F.col(text_col)))
 
 
+def _bpe_replay_bytes(
+    ptok: str, ranks: dict[tuple[str, str], float],
+    vocab: frozenset, oov: float, byte_enc: dict[int, str],
+) -> float:
+    """Byte-level variant of :func:`_bpe_replay_word`: the pre-token
+    is UTF-8 encoded and mapped through the GPT-2 byte→unicode table
+    first, so the replay runs over byte-grain symbols in the encoded
+    space the artifact's merges/vocab are expressed in.  OOV symbols
+    charge ``oov`` per ENCODED character (= per byte); a real
+    byte-level artifact carries all 256 base bytes in its vocab, so
+    OOV there is the base-byte cost 1.0 per byte."""
+    enc = "".join(byte_enc[b] for b in ptok.encode("utf-8"))
+    return _bpe_replay_word(enc, ranks, vocab, oov)
+
+
 def bpe_token_count_exact(
     df: DataFrame, vocab: DataFrame,
     merges: dict[tuple[str, str], float],
     text_col: str = "text", out_col: str = "n_tokens_bpe",
+    *, byte_level: bool = False, pre_tokenizer: str | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the text's token count under EXACT BPE
-    merge replay — whitespace pre-tokenization, then per word the
-    ranked merges applied in order (:func:`_bpe_replay_word`),
-    surviving symbols counted against the vocab with its OOV scalar.
-    Same frame contract as :func:`bpe_token_count` (NULL text stays
-    NULL, DOUBLE count), same scale shape (broadcast rank map +
-    vocab, one Arrow-batched kernel, per-batch word memo)."""
+    merge replay — pre-tokenization, then per pre-token the ranked
+    merges applied in order (:func:`_bpe_replay_word`), surviving
+    symbols counted against the vocab with its OOV scalar.  Same
+    frame contract as :func:`bpe_token_count` (NULL text stays NULL,
+    DOUBLE count), same scale shape (broadcast rank map + vocab, one
+    Arrow-batched kernel, per-batch pre-token memo).
+
+    Default mode is CHARACTER grain with whitespace pre-tokenization
+    (the battery/differential baseline).  For faithfulness to
+    GPT-class tokenizers (r12):
+
+    * ``pre_tokenizer`` — a regex pattern replacing the whitespace
+      split with ``re.findall`` (pass
+      :data:`GPT2_PRETOKENIZER_PATTERN` for the GPT-2 grain, where
+      ``don't`` splits ``don``/``'t``, words carry their leading
+      space, and whitespace runs are themselves pre-tokens instead of
+      vanishing — the divergences a whitespace grain shows on every
+      contraction and punctuation boundary).
+    * ``byte_level=True`` — each pre-token is UTF-8 encoded through
+      :func:`gpt2_bytes_to_unicode` before replay, so the merges and
+      vocab are interpreted in the encoded byte space real
+      merges.txt/vocab artifacts use (``Ġthe``, ``ĊĊ``...) and
+      multi-byte characters are charged per byte, not per char.
+
+    Both together replay an imported GPT-2-style artifact faithfully
+    on contractions, punctuation, whitespace runs, and non-ASCII text
+    (category-edge caveats stated on the pattern constant).  The
+    greedy :func:`bpe_token_count` deliberately keeps the whitespace
+    grain — its vocab-only artifact has no byte-space convention."""
     tokens, oov = _vocab_tokens_and_oov(vocab, "bpe_token_count_exact")
     vs = frozenset(tokens)
     ranks = dict(merges)
+    if byte_level:
+        count = partial(
+            _bpe_replay_bytes, ranks=ranks, vocab=vs, oov=oov,
+            byte_enc=gpt2_bytes_to_unicode(),
+        )
+    else:
+        count = partial(_bpe_replay_word, ranks=ranks, vocab=vs, oov=oov)
     return _memoized_word_counter(
-        df,
-        partial(_bpe_replay_word, ranks=ranks, vocab=vs, oov=oov),
-        out_col, text_col,
+        df, count, out_col, text_col, pre_tokenizer=pre_tokenizer,
     )
 
 

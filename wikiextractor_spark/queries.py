@@ -416,6 +416,136 @@ for _a, _b in _BPE_MERGES:
     )
 _BPE_VOCAB_IN = ", ".join("'%s'" % t for t in _BPE_VOCAB)
 
+# --------------------------------------------------------------------------
+# Byte-level GPT-2-grain exact replay (r12): the n_tokens_gpt2 column
+# exercises bpe_token_count_exact(byte_level=True,
+# pre_tokenizer=GPT2_PRETOKENIZER_PATTERN) over the corpus text with a
+# per-doc adversarial suffix spliced on (contractions, punctuation,
+# digits, multi-space, newline runs, trailing whitespace, a multi-byte
+# char) — the corpus alone is single-spaced lowercase ASCII (checked
+# at every SF) and would leave the new grain unexercised.
+#
+# Oracle strategy (the PII shared-template discipline): RE2 has no
+# lookarounds, so the GPT-2 pattern's \s+(?!\S) branch cannot be
+# restated in DuckDB — instead each suffix's PRE-TOKEN sequence is
+# hand-stated in the shared table below (pinned against the published
+# pattern semantics by tests/test_tokenizer.py::
+# test_gpt2_pretokenizer_published_semantics), and the corpus words'
+# pre-tokens follow from the checked corpus shape: under the GPT-2
+# pattern a single-spaced pure-[a-z] text pre-tokenizes to word 1
+# bare, every later word with its leading space.  The oracle then
+# re-derives EVERYTHING downstream itself: the byte encoding (a
+# replace chain over the restated printable-identity mapping — space
+# → Ġ, newline → Ċ, é → UTF-8 bytes Ã©), the rank-ordered merge
+# replay (the _exact_state sequential-replace restatement, sound
+# because the table below is VALID: no rule application can create an
+# adjacency matching an earlier-or-same rule — Ġ-composites and the
+# other merge outputs never appear inside earlier rules' sides), and
+# the vocab/OOV count at byte grain.  A drift in the engine's regex,
+# byte table, replay order, or OOV arithmetic breaks the hash.
+# --------------------------------------------------------------------------
+
+# suffix templates: (raw suffix, hand-derived pre-tokens).  Every
+# suffix STARTS with \n (which always forms its own pre-token when
+# followed by non-whitespace, so the base-text/suffix boundary cannot
+# fuse) and contains no chr(1).
+_G2_SUFFIXES = [
+    ("\ndon't stop", ["\n", "don", "'t", " stop"]),
+    ("\nweb-scale   data", ["\n", "web", "-", "scale", "  ", " data"]),
+    ("\nprix café 2024!!", ["\n", "prix", " café", " 2024", "!!"]),
+    (
+        "\n\nx_1 mixed2tokens",
+        ["\n", "\n", "x", "_", "1", " mixed", "2", "tokens"],
+    ),
+    ("\nend.  ", ["\n", "end", ".", "  "]),
+    (
+        "\nwe'll they've I'm",
+        ["\n", "we", "'ll", " they", "'ve", " I", "'m"],
+    ),
+]
+
+# byte-level merges, VALID by construction (each output is new to the
+# rule set at its rank; verified rule by rule before wiring in): the
+# Ġ-chain ranks BELOW (t,h) so space-prefixed "Ġthe" genuinely fuses
+# — the live path real GPT-2 merges take — plus the newline-pair and
+# contraction rules the suffixes exercise.
+_G2B_MERGES = [
+    ("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"),
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
+    ("a", "n"), ("an", "d"), ("e", "r"), ("o", "n"),
+    ("Ċ", "Ċ"), ("'", "t"), ("Ġ", "a"),
+]
+# counting vocab: every merge output plus a subset of single encoded
+# chars — the rest (g, w, digits, punctuation, the é bytes Ã/©)
+# charge the fractional OOV per BYTE, exercising both count paths
+_G2B_VOCAB = [
+    "Ġt", "Ġth", "Ġthe", "th", "the", "in", "ing", "an", "and",
+    "er", "on", "ĊĊ", "'t", "Ġa",
+    "Ġ", "Ċ", "a", "e", "i", "o", "u", "t", "n", "s", "r", "d",
+    "h", "l", "c",
+]
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB string literal for s, newlines spliced as chr(10) so
+    the generated SQL stays single-line."""
+    return "||chr(10)||".join(
+        "'%s'" % p.replace("'", "''") for p in s.split("\n")
+    )
+
+
+def _q(s: str) -> str:
+    return "'%s'" % s.replace("'", "''")
+
+
+_G2_SFX_ROWS = ", ".join(
+    f"({v}, {_sql_str(p)})"
+    for v, (_raw, ptoks) in enumerate(_G2_SUFFIXES)
+    for p in ptoks
+)
+
+_g2_state = (
+    f"{_SEP}||{_SEP}||regexp_replace(ptok, '(.)', '\\1'||{_SEP}||{_SEP}, 'g')"
+)
+for _a, _b in _G2B_MERGES:
+    _g2_state = (
+        f"replace({_g2_state}, "
+        f"{_SEP}||{_q(_a)}||{_SEP}||{_SEP}||{_q(_b)}||{_SEP}, "
+        f"{_SEP}||{_q(_a + _b)}||{_SEP})"
+    )
+_G2B_VOCAB_IN = ", ".join(_q(t) for t in _G2B_VOCAB)
+
+_TOK_GPT2_CTE = f"""
+    g2sfx(variant, ptok) AS (VALUES {_G2_SFX_ROWS}),
+    g2pre AS (
+      -- corpus words under the GPT-2 grain (checked corpus shape:
+      -- single-spaced pure [a-z]): word 1 bare, later words carry
+      -- their leading space, byte-encoded Ġ
+      SELECT doc_id, CASE WHEN wid = 1 THEN w ELSE 'Ġ' || w END AS ptok
+      FROM words
+      UNION ALL
+      -- suffix pre-tokens from the shared template, byte-encoded by
+      -- the restated mapping (ASCII printable = identity)
+      SELECT d.doc_id,
+             replace(replace(replace(s.ptok, ' ', 'Ġ'),
+                             chr(10), 'Ċ'), 'é', 'Ã©') AS ptok
+      FROM documents d JOIN g2sfx s ON s.variant = CAST(d.doc_id % 6 AS INT)
+      WHERE d.text IS NOT NULL
+    ),
+    g2syms AS (
+      SELECT doc_id, unnest(string_split({_g2_state}, {_SEP}||{_SEP})) AS sym
+      FROM g2pre
+    ),
+    g2 AS (
+      SELECT doc_id, round(SUM(CASE WHEN sym = '' THEN 0.0
+                                    WHEN sym IN ({_G2B_VOCAB_IN}) THEN 1.0
+                                    ELSE {_BPE_OOV} * length(sym) END),
+                           6) AS n_tokens_gpt2
+      FROM g2syms GROUP BY doc_id
+    )
+"""
+
+
 # Per-doc exact-replay count: every non-NULL text yields at least one
 # split piece, an empty piece yields only empty symbols (0.0 each), so
 # SUM is non-NULL exactly when the kernel returns non-NULL.
@@ -486,7 +616,8 @@ _TOK_VOCAB_CTE = f"""
     f"""
     WITH RECURSIVE
     {_TOK_VOCAB_CTE},
-    {_TOK_EXACT_CTE}
+    {_TOK_EXACT_CTE},
+    {_TOK_GPT2_CTE}
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
@@ -501,11 +632,13 @@ _TOK_VOCAB_CTE = f"""
                  - 0.3 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)),
                  6) AS quality,
            tok.n_tokens_vocab AS n_tokens_vocab,
-           exact.n_tokens_exact AS n_tokens_exact
+           exact.n_tokens_exact AS n_tokens_exact,
+           g2.n_tokens_gpt2 AS n_tokens_gpt2
     -- LEFT: a NULL-text doc has no words rows, and the kernel passes
     -- NULL text through as a NULL count rather than dropping the doc
     FROM documents LEFT JOIN tok USING (doc_id)
                    LEFT JOIN exact USING (doc_id)
+                   LEFT JOIN g2 USING (doc_id)
     """,
 )
 def ta_text_profile(spark, sf_dir):
@@ -530,11 +663,19 @@ def ta_text_profile(spark, sf_dir):
     in rank order per word against the same vocab; the oracle
     re-derives the count with a sequential replace chain generated
     from the same merge table (sound because the table is valid —
-    see _BPE_MERGES)."""
+    see _BPE_MERGES).
+
+    The n_tokens_gpt2 column (r12) routes the byte-level mode: the
+    REAL GPT-2 pre-tokenizer regex and byte encoder run over the text
+    with a per-doc adversarial suffix spliced on (see _G2_SUFFIXES),
+    against a byte-space merges/vocab pair; the oracle replays the
+    same rules over hand-stated pre-token templates (RE2 has no
+    lookarounds, the PII shared-template discipline)."""
     import shutil
     import tempfile
 
     from wikiextractor_spark.functions.tokenizer import (
+        GPT2_PRETOKENIZER_PATTERN,
         bpe_token_count,
         bpe_token_count_exact,
         load_bpe_merges,
@@ -578,6 +719,19 @@ def ta_text_profile(spark, sf_dir):
     )
     d = bpe_token_count(d, vocab, out_col="_ntv")
     d = bpe_token_count_exact(d, vocab, ranks, out_col="_nte")
+    # byte-level GPT-2 grain over text + per-doc adversarial suffix
+    sfx = F.element_at(
+        F.array(*[F.lit(raw) for raw, _p in _G2_SUFFIXES]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    d = d.withColumn("_g2t", F.concat(F.col("text"), sfx))
+    d = bpe_token_count_exact(
+        d,
+        vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV),
+        {p: float(i) for i, p in enumerate(_G2B_MERGES)},
+        text_col="_g2t", out_col="_ntg",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
     n_tok = F.size("_ws")
     stop_raw = F.col("_stop_en") * F.lit(1.0) / n_tok
     return d.select(
@@ -598,6 +752,7 @@ def ta_text_profile(spark, sf_dir):
         ).alias("quality"),
         F.round(F.col("_ntv"), 6).alias("n_tokens_vocab"),
         F.round(F.col("_nte"), 6).alias("n_tokens_exact"),
+        F.round(F.col("_ntg"), 6).alias("n_tokens_gpt2"),
     )
 
 
@@ -3000,7 +3155,8 @@ def ta_chunk_documents(spark, sf_dir):
                          for i in range(nc)]) AS s
           FROM n)
     SELECT doc_id, s.no AS chunk_no, s.chunk AS chunk,
-           len(string_split(s.chunk, ' ')) AS n_tokens
+           len(string_split(s.chunk, ' ')) AS n_tokens,
+           TRUE AS shard_ok, TRUE AS sink_ok
     FROM c
     """,
 )
@@ -3010,18 +3166,69 @@ def corpus_prepare(spark, sf_dir):
     chunk, composed as ONE lazy plan (narrow filters reach the scan
     below the dedup Exchange — plan-audited in tests).  The one
     battery entry that exercises operator COMPOSITION rather than a
-    single operator."""
+    single operator.
+
+    r12 routes the result through BOTH write-side sinks before it
+    reaches the driver's hash (VERDICT r11 What's-missing #3 — the
+    last runtime surface without a driver row): write_training_shards
+    → read_training_shards (explicit shard-id subset listing) →
+    write_sized_parquet (range-clustered, measured sizing) → read
+    back.  The content hash against the oracle's full pipeline
+    re-derivation proves BOTH round trips preserved every row and
+    value; shard_ok recomputes each row's shard assignment from the
+    documented (id, seed) contract and compares it to the hive
+    partition the row came back from; sink_ok pins the layout bounds
+    (all shards written, sized file count sane, both sinks row-equal).
+    The oracle states both booleans as TRUE."""
+    import shutil
+    import tempfile
+
     from wikiextractor_spark.operators import corpus
+    from wikiextractor_spark.sink import (
+        read_training_shards,
+        write_sized_parquet,
+        write_training_shards,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = docs.union(
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
     )
-    return corpus.prepare_corpus(
+    out = corpus.prepare_corpus(
         doubled, target_lang="en", min_quality=0.5, dedup="exact",
         sample_fraction=0.6, sample_salt="corpus",
         chunk_tokens=16, overlap=4,
     )
+    tmp = tempfile.mkdtemp(prefix="corpus_sink_")
+    try:
+        n_sh = write_training_shards(
+            out, f"{tmp}/shards", n_shards=8, seed="r12", id_col="doc_id"
+        )
+        back = read_training_shards(
+            spark, f"{tmp}/shards", shard_ids=list(range(n_sh))
+        )
+        expected_shard = F.pmod(
+            F.xxhash64(F.col("doc_id").cast("string"), F.lit("r12")),
+            F.lit(n_sh),
+        ).cast("int")
+        back = back.withColumn(
+            "shard_ok", F.col("shard_id") == expected_shard
+        ).drop("shard_id")
+        n_back = back.count()
+        n_files = write_sized_parquet(
+            back, f"{tmp}/sized",
+            target_file_mb=1, row_group_mb=1, sort_by="doc_id",
+        )
+        sized = spark.read.parquet(f"{tmp}/sized")
+        sink_ok = 1 <= n_files <= max(1, n_back) and sized.count() == n_back
+        # the tempdir dies with this function — pin the read-back
+        # before the rmtree (the load_bpe_vocab pattern)
+        result = sized.withColumn(
+            "sink_ok", F.lit(bool(sink_ok))
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 # r6's Bloom-prefiltered decontamination, driver-verified: the oracle
@@ -3916,12 +4123,17 @@ def ta_term_stats(spark, sf_dir):
         k1=_BM25_K1, b=_BM25_B,
     )
     index = fit_bm25_index(docs, k1=_BM25_K1, b=_BM25_B)
-    index2 = fit_bm25_index(docs, min_df=2)
+    # both vocab rows come from the ONE collected index: the mindf2
+    # count filters the Spark-derived df values driver-side (one fit,
+    # one shuffle — the Spark-side min_df pushdown itself is
+    # pytest-pinned), so the oracle's independent df re-derivation
+    # still checks every collected frequency
+    n_mindf2 = sum(1 for d in index.df.values() if d >= 2)
     out = out.unionByName(
         spark.createDataFrame(
             [
                 ("bm25_index", -1, "vocab_mindf1", float(len(index.df)), 1),
-                ("bm25_index", -1, "vocab_mindf2", float(len(index2.df)), 2),
+                ("bm25_index", -1, "vocab_mindf2", float(n_mindf2), 2),
             ],
             "family string, doc_id bigint, term string, score double, rn int",
         )
