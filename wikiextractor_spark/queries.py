@@ -3665,7 +3665,16 @@ def dd_embedding_neighbor(spark, sf_dir):
     # suffix trap — the ta_gopher_blocklist scheme) and the
     # normalized suffix-match gate, with octet_length proving the
     # survivors' text passed through the micro-batch unmutated.
-    """
+    # r12 adds the PRE-FITTED DSIR gate to the same family (VERDICT
+    # r11 #7): the engine fits the weights in batch (target =
+    # doc_id < 25, raw = all — the ta_quality_classifier fit) and the
+    # STREAM gates each micro-batch through the collected artifact;
+    # the oracle re-runs the whole fit (_dsir_oracle_ctes, shared
+    # with ta_quality_classifier) and applies the same integer
+    # threshold, so the hash pins batch-fit → collect → per-batch
+    # array-literal scoring parity end to end.
+    f"""
+    WITH {_dsir_oracle_ctes()}
     SELECT 'hourly' AS family,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_s,
            event_type,
@@ -3695,10 +3704,11 @@ def dd_embedding_neighbor(spark, sf_dir):
                ELSE 'bad.com.evil.io'
              END AS host
       FROM documents
-    ) u
-    WHERE u.host IS NULL OR NOT (
+    ) u JOIN ds ON u.doc_id = ds.doc_id
+    WHERE (u.host IS NULL OR NOT (
       u.host = 'bad.com' OR ends_with(u.host, '.bad.com')
-      OR u.host = 'block.net' OR ends_with(u.host, '.block.net'))
+      OR u.host = 'block.net' OR ends_with(u.host, '.block.net')))
+      AND ds.lw >= 0
     """,
 )
 def st_stream_hourly(spark, sf_dir):
@@ -3723,7 +3733,12 @@ def st_stream_hourly(spark, sf_dir):
     matches), the stream writes survivors under batch_id partitions,
     and the read-back (url, doc_id, text octet length) set is
     hash-checked against the oracle's restated gate — the
-    persist→stream→gate→sink path, not just the batch operator."""
+    persist→stream→gate→sink path, not just the batch operator.
+    r12 composes the PRE-FITTED DSIR gate into the same stream
+    (graduating the r11 pytest-only streaming-DSIR parity): weights
+    fit in batch on the ta_quality_classifier split, collected once
+    at stream definition, gating every micro-batch as a narrow
+    integer predicate; the oracle re-runs the fit and threshold."""
     import datetime
     import shutil
     import tempfile
@@ -3801,6 +3816,21 @@ def st_stream_hourly(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(f"{base}/corpus_in")
         )
+        # pre-fitted DSIR weights (the ta_quality_classifier split:
+        # target = doc_id < 25, raw = all) — the stream collects the
+        # artifact once at definition and gates every micro-batch
+        from wikiextractor_spark.operators import dsir as _dsir_op
+
+        weights = _dsir_op.importance_weights(
+            _dsir_op.bucket_histogram(
+                docs.filter(F.col("doc_id") < 25), "text",
+                _DSIR_N, _DSIR_B, _DSIR_SALT,
+            ),
+            _dsir_op.bucket_histogram(
+                docs, "text", _DSIR_N, _DSIR_B, _DSIR_SALT
+            ),
+            _DSIR_B, 1.0,
+        )
         cq = prepare_corpus_stream(
             spark,
             f"{base}/corpus_in",
@@ -3809,6 +3839,11 @@ def st_stream_hourly(spark, sf_dir):
             state_dir=f"{base}/corpus_state",
             schema=DOCUMENTS_URL_SCHEMA,
             url_blocklist=[".www.bad.com.", "block.net"],
+            dsir_weights=weights,
+            min_dsir_weight_micro=0,
+            dsir_opts={
+                "n": _DSIR_N, "buckets": _DSIR_B, "salt": _DSIR_SALT,
+            },
             dedup=None,
         )
         if not cq.awaitTermination(120):
