@@ -668,6 +668,8 @@ def test_cli_scoped_defaults_resolve():
         build_parser,
     )
 
+    import wikiextractor_spark.__main__ as cli_mod
+
     args = build_parser().parse_args(["--infn", "x"])
     supplied = _resolve_scoped(args)
     assert supplied == set()
@@ -679,6 +681,19 @@ def test_cli_scoped_defaults_resolve():
     assert args.main_content is False
     assert args.with_meta is False
     assert set(_WARC_ONLY + _DUMP_ONLY) == set(_SCOPED_DEFAULTS)
+
+
+def test_cli_sentinel_policy_guard(monkeypatch):
+    """A sentinel-defaulted flag missing from the policy tuples would
+    leak the raw _UNSET object into args — build_parser fails fast
+    instead (r12 review finding)."""
+    import pytest
+
+    import wikiextractor_spark.__main__ as cli
+
+    monkeypatch.setattr(cli, "_DUMP_ONLY", cli._DUMP_ONLY[:-1])
+    with pytest.raises(AssertionError, match="policy tuples"):
+        cli.build_parser()
 
 
 def test_extract_main_content_is_native(spark):

@@ -20,6 +20,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+#: the driver's pre-registered battery tables — shared with
+#: tools/slot_check.py so the two can never desync on a new table
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def register_battery_views(con, sf_dir: str) -> None:
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
 
 def canon(pdf):
     pdf = pdf[sorted(pdf.columns)]
@@ -54,11 +68,7 @@ def main() -> None:
     assert n_oracles == 50, f"{n_oracles} oracles, expected 50"
 
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    register_battery_views(con, SF_DIR)
 
     n_pass = n_rows_only = n_fail = 0
     t_total = time.perf_counter()

@@ -15,16 +15,27 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.driver_sim import canon  # noqa: E402
+from tools.driver_sim import canon, register_battery_views  # noqa: E402
+
+
+def parse_args(argv: list[str]) -> tuple[list[str], str]:
+    """→ (slot names, sf_dir); exits with usage on a malformed call
+    (missing --sf value, no names) BEFORE paying Spark startup."""
+    names = list(argv)
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in names:
+        i = names.index("--sf")
+        if i + 1 >= len(names):
+            sys.exit("usage: --sf needs a directory argument")
+        sf_dir = names[i + 1]
+        names = names[:i] + names[i + 2:]
+    if not names:
+        sys.exit("usage: slot_check.py NAME [NAME ...] [--sf DIR]")
+    return names, sf_dir
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in args:
-        i = args.index("--sf")
-        sf_dir = args[i + 1]
-        args = args[:i] + args[i + 2:]
+    args, sf_dir = parse_args(sys.argv[1:])
 
     from pyspark.sql import SparkSession
 
@@ -38,12 +49,13 @@ def main() -> None:
 
     from wikiextractor_spark.queries import REGISTRY
 
+    unknown = [n for n in args if n not in REGISTRY]
+    if unknown:
+        spark.stop()
+        sys.exit(f"unknown slot names: {unknown}")
+
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    register_battery_views(con, sf_dir)
 
     fail = 0
     for name in args:

@@ -17,12 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in args:
-        i = args.index("--sf")
-        sf_dir = args[i + 1]
-        args = args[:i] + args[i + 2:]
+    from tools.slot_check import parse_args
+
+    args, sf_dir = parse_args(sys.argv[1:])
 
     from wikiextractor_spark.session import get_spark
 
@@ -30,6 +27,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from wikiextractor_spark.queries import REGISTRY
+
+    unknown = [n for n in args if n not in REGISTRY]
+    if unknown:
+        spark.stop()
+        sys.exit(f"unknown slot names: {unknown}")
 
     # pay the one-time parquet-committer init before any timing
     spark.range(5).write.mode("overwrite").parquet("/tmp/slot_pin_warm")

@@ -102,6 +102,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="(--source warc) keep declared <title> and <html lang> "
         "columns",
     )
+    # a flag declared with the sentinel default but absent from the
+    # policy tuples would leak the raw _UNSET object into args (the
+    # resolution loop only walks the tuples) — fail at parser
+    # construction, not at first use of the bogus value
+    scoped = set(_WARC_ONLY + _DUMP_ONLY)
+    unresolved = [
+        a.dest for a in p._actions
+        if a.default is _UNSET and a.dest not in scoped
+    ]
+    if unresolved:
+        raise AssertionError(
+            f"sentinel-defaulted flags missing from the policy "
+            f"tuples: {unresolved} — add them to _WARC_ONLY or "
+            "_DUMP_ONLY (and _SCOPED_DEFAULTS)"
+        )
     return p
 
 

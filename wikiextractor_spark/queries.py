@@ -4041,7 +4041,11 @@ def _bm25_union_sql() -> str:
       FROM (
         SELECT bw.doc_id, {s} AS s
         FROM (SELECT doc_id, {_BM25_WS} AS ws FROM documents) bw,
-             (SELECT COUNT(*) AS n, SUM(len({_BM25_WS})) AS tot
+             -- COUNT(text), not COUNT(*): the fit population is the
+             -- non-NULL-text corpus (r12 fit_bm25 convention), and
+             -- tot's SUM already skips NULLs — n and tot must
+             -- describe the same population
+             (SELECT COUNT(text) AS n, SUM(len({_BM25_WS})) AS tot
               FROM documents) bs
       ) q
     ) r WHERE rn <= {_BM25_TOPK}""")
@@ -4059,13 +4063,17 @@ def _bm25_union_sql() -> str:
            'vocab_mindf' || CAST(md AS VARCHAR) AS term,
            CAST(nv AS DOUBLE) AS score, CAST(md AS INT) AS rn
     FROM (
-      SELECT md, COUNT(*) AS nv FROM (
+      -- FILTER, not WHERE: a min_df no term survives must still
+      -- emit its row as 0 (the engine states both rows
+      -- unconditionally); GROUP BY md keeps both groups as long as
+      -- the corpus has any term at all
+      SELECT md, COUNT(*) FILTER (WHERE d >= md) AS nv FROM (
         SELECT w, COUNT(*) AS d FROM (
           SELECT doc_id, unnest(list_distinct({_BM25_WS})) AS w
           FROM documents
         ) dw WHERE w <> '' GROUP BY w
       ) tdf CROSS JOIN (VALUES (1), (2)) mds(md)
-      WHERE d >= md GROUP BY md
+      GROUP BY md
     ) vc""")
     return "".join(members)
 
