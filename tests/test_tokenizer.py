@@ -488,6 +488,89 @@ def test_byte_level_fixes_whitespace_grain_divergence(spark):
     assert bl[0] == ws[0] == 4.0
 
 
+def test_published_format_loaders_end_to_end(spark, tmp_path):
+    """merges.txt (header + 'left right' lines) and vocab.json, the
+    formats real GPT-class tokenizer dumps ship in, load into the
+    byte-level counting path directly."""
+    from wikiextractor_spark.functions.tokenizer import (
+        load_bpe_merges_txt,
+        load_bpe_vocab_json,
+    )
+
+    mt = tmp_path / "merges.txt"
+    mt.write_text(
+        "#version: 0.2\n" +
+        "\n".join(f"{a} {b}" for a, b in _G2_TEST_MERGES) + "\n"
+    )
+    vj = tmp_path / "vocab.json"
+    import json
+
+    vj.write_text(
+        json.dumps({t: i for i, t in enumerate(_G2_TEST_VOCAB)})
+    )
+    ranks = load_bpe_merges_txt(spark, str(mt))
+    assert ranks == {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    vocab = load_bpe_vocab_json(spark, str(vj), oov_tokens_per_char=0.5)
+    df = spark.createDataFrame(
+        [(0, "the thing"), (1, "don't stop")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count_exact(
+            df, vocab, ranks, out_col="n",
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        ).collect()
+    }
+    for i, t in [(0, "the thing"), (1, "don't stop")]:
+        assert got[i] == _py_bytelevel_count(
+            t, _G2_TEST_MERGES, set(_G2_TEST_VOCAB), 0.5
+        )
+
+
+def test_published_format_loaders_reject_corrupt_artifacts(
+    spark, tmp_path,
+):
+    import json
+
+    import pytest as _pytest
+
+    from wikiextractor_spark.functions.tokenizer import (
+        load_bpe_merges_txt,
+        load_bpe_vocab_json,
+    )
+
+    p = tmp_path / "m.txt"
+    p.write_text("a b\na b\n")
+    with _pytest.raises(ValueError, match="duplicate merge pair"):
+        load_bpe_merges_txt(spark, str(p))
+    p.write_text("a b c\n")
+    with _pytest.raises(ValueError, match="left right"):
+        load_bpe_merges_txt(spark, str(p))
+    p.write_text("#only a header\n")
+    with _pytest.raises(ValueError, match="no merge rules"):
+        load_bpe_merges_txt(spark, str(p))
+    # a '#' line AFTER the first rule is data, not a header → malformed
+    p.write_text("a b\n# not a header\n")
+    with _pytest.raises(ValueError, match="left right"):
+        load_bpe_merges_txt(spark, str(p))
+    v = tmp_path / "v.json"
+    v.write_text("not json")
+    with _pytest.raises(ValueError, match="not valid JSON"):
+        load_bpe_vocab_json(spark, str(v))
+    v.write_text(json.dumps({"a": 0, "b": 0}))
+    with _pytest.raises(ValueError, match="duplicate token ids"):
+        load_bpe_vocab_json(spark, str(v))
+    v.write_text(json.dumps({"a b": 0}))
+    with _pytest.raises(ValueError, match="malformed"):
+        load_bpe_vocab_json(spark, str(v))
+    v.write_text(json.dumps({"a": True}))
+    with _pytest.raises(ValueError, match="malformed"):
+        load_bpe_vocab_json(spark, str(v))
+    v.write_text(json.dumps([1, 2]))
+    with _pytest.raises(ValueError, match="JSON object"):
+        load_bpe_vocab_json(spark, str(v))
+
+
 def test_packing_honors_imported_counts(spark):
     from wikiextractor_spark.operators.packing import pack_sequences
 

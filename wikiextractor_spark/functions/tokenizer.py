@@ -294,6 +294,114 @@ def load_bpe_merges(
     return ranks
 
 
+def _whole_text_artifact(spark, path: str, caller: str) -> str:
+    """Read ONE driver-sized text artifact FS-agnostically (local,
+    HDFS, S3 — whatever the session's Hadoop conf reaches) with line
+    order preserved: ``wholeTextFiles`` returns the file as one
+    string, unlike ``spark.read.text`` whose row order is a partition
+    accident.  Exactly one file must match."""
+    files = spark.sparkContext.wholeTextFiles(path).collect()
+    if len(files) != 1:
+        raise ValueError(
+            f"{caller}: expected exactly one file at {path!r}, "
+            f"found {len(files)}"
+        )
+    return files[0][1]
+
+
+def load_bpe_merges_txt(
+    spark, path: str,
+) -> dict[tuple[str, str], float]:
+    """Load a merges table in the PUBLISHED merges.txt format of
+    GPT-class tokenizers: optional leading ``#...`` header lines
+    (``#version: 0.2`` in the original), then one ``left right`` pair
+    per line, rank = line order.  The sides arrive already in the
+    byte-encoded symbol space (``Ġthe``...), so feed the result to
+    :func:`bpe_token_count_exact` with ``byte_level=True`` and the
+    matching pre-tokenizer.  Same validation surface as
+    :func:`load_bpe_merges`: malformed lines, duplicate pairs raise;
+    blank lines are tolerated (the published files end with one)."""
+    text = _whole_text_artifact(spark, path, "load_bpe_merges_txt")
+    ranks: dict[tuple[str, str], float] = {}
+    bad: list[str] = []
+    rank = 0
+    for lineno, line in enumerate(text.splitlines()):
+        if not line.strip():
+            continue
+        if line.startswith("#") and rank == 0:
+            continue  # header — only before the first rule
+        parts = line.split(" ")
+        if len(parts) != 2 or not all(parts) or any(
+            _WS_SPLIT.search(p) for p in parts
+        ):
+            bad.append(f"line {lineno + 1}: {line!r}")
+            continue
+        key = (parts[0], parts[1])
+        if key in ranks:
+            raise ValueError(
+                f"load_bpe_merges_txt: duplicate merge pair at line "
+                f"{lineno + 1}: {line!r}"
+            )
+        ranks[key] = float(rank)
+        rank += 1
+    if bad:
+        raise ValueError(
+            f"load_bpe_merges_txt: {len(bad)} lines not of the form "
+            f"'left right' (first: {bad[0]})"
+        )
+    if not ranks:
+        raise ValueError(f"load_bpe_merges_txt: no merge rules in {path!r}")
+    return ranks
+
+
+def load_bpe_vocab_json(
+    spark, path: str, oov_tokens_per_char: float = 1.0,
+) -> DataFrame:
+    """Load a vocabulary in the PUBLISHED vocab.json format of
+    GPT-class tokenizers (one JSON object ``{token: id}``, tokens in
+    the byte-encoded symbol space) as the engine's vocab artifact
+    frame for :func:`bpe_token_count_exact`.  Byte-level tokenizers
+    carry all 256 base bytes in the vocab, so OOV should never fire
+    — ``oov_tokens_per_char`` defaults to the 1-token-per-byte cost
+    a base-byte fallback would charge anyway.  Empty or
+    whitespace-carrying tokens and non-numeric ids raise (the modelio
+    malformed-values-raise discipline); duplicate ids are legal in
+    principle but almost certainly a corrupt artifact, so they raise
+    too."""
+    import json
+
+    text = _whole_text_artifact(spark, path, "load_bpe_vocab_json")
+    try:
+        obj = json.loads(text)
+    except ValueError as exc:
+        raise ValueError(
+            f"load_bpe_vocab_json: {path!r} is not valid JSON: {exc}"
+        ) from exc
+    if not isinstance(obj, dict) or not obj:
+        raise ValueError(
+            "load_bpe_vocab_json: expected one non-empty JSON object "
+            "{token: id}"
+        )
+    bad = [
+        t for t, i in obj.items()
+        if t == "" or _WS_SPLIT.search(t)
+        or isinstance(i, bool) or not isinstance(i, (int, float))
+    ]
+    if bad:
+        raise ValueError(
+            f"load_bpe_vocab_json: {len(bad)} malformed entries "
+            f"(first: {bad[0]!r}) — tokens must be non-empty and "
+            "whitespace-free, ids numeric"
+        )
+    if len(set(obj.values())) != len(obj):
+        raise ValueError("load_bpe_vocab_json: duplicate token ids")
+    rows = [(t, float(i)) for t, i in obj.items()]
+    rows.append((None, float(oov_tokens_per_char)))
+    return spark.createDataFrame(rows, VOCAB_SCHEMA).localCheckpoint(
+        eager=True
+    )
+
+
 def _bpe_replay_word(
     word: str, ranks: dict[tuple[str, str], float],
     vocab: frozenset, oov: float,
