@@ -488,6 +488,66 @@ def test_byte_level_fixes_whitespace_grain_divergence(spark):
     assert bl[0] == ws[0] == 4.0
 
 
+def test_bpe_token_ids_differential(spark):
+    """bpe_token_ids vs an independent restatement: the id stream is
+    the replay's surviving symbols mapped through the vocab, OOV
+    exploded to -1 per char; counts derive from ids exactly."""
+    from wikiextractor_spark.functions.tokenizer import bpe_token_ids
+
+    texts = [
+        "the thing", "don't stop", "a  b", "para.\n\nNext",
+        "café", "", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = vocab_from_tokens(spark, _G2_TEST_VOCAB, 0.5)
+    ranks = {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    out = bpe_token_ids(
+        df, vocab, ranks, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    out = bpe_token_count_exact(
+        out, vocab, ranks, out_col="n",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    enc = gpt2_bytes_to_unicode()
+    from wikiextractor_spark.functions.tokenizer import (
+        _bpe_replay_symbols,
+    )
+
+    idmap = {t: i for i, t in enumerate(_G2_TEST_VOCAB)}
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, t in enumerate(texts):
+        got = rows[i]["ids"]
+        if t is None:
+            assert got is None
+            continue
+        expect = []
+        for ptok in _G2RE.findall(t):
+            e = "".join(enc[b] for b in ptok.encode())
+            for s in _bpe_replay_symbols(e, ranks):
+                if s in idmap:
+                    expect.append(idmap[s])
+                else:
+                    expect.extend([-1] * len(s))
+        assert list(got) == expect, (t, got, expect)
+        # count derives from ids: 1.0 per real id, oov per -1
+        derived = sum(1.0 if x >= 0 else 0.5 for x in got)
+        assert rows[i]["n"] == derived
+
+
+def test_bpe_token_ids_rejects_fractional_ids(spark):
+    from wikiextractor_spark.functions.tokenizer import bpe_token_ids
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    bad = spark.createDataFrame(
+        [("x", 0.5), (None, 1.0)], "token string, token_id double"
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        bpe_token_ids(df, bad, {})
+
+
 def test_published_format_loaders_end_to_end(spark, tmp_path):
     """merges.txt (header + 'left right' lines) and vocab.json, the
     formats real GPT-class tokenizer dumps ship in, load into the

@@ -402,11 +402,10 @@ def load_bpe_vocab_json(
     )
 
 
-def _bpe_replay_word(
+def _bpe_replay_symbols(
     word: str, ranks: dict[tuple[str, str], float],
-    vocab: frozenset, oov: float,
-) -> float:
-    """Token count of one word under exact merge replay (the
+) -> list[str]:
+    """Surviving symbols of one word under exact merge replay (the
     reference BPE serving algorithm: repeatedly merge the
     lowest-ranked adjacent pair, all occurrences left to right)."""
     syms = list(word)
@@ -431,8 +430,16 @@ def _bpe_replay_word(
                 out.append(syms[i])
                 i += 1
         syms = out
+    return syms
+
+
+def _bpe_replay_word(
+    word: str, ranks: dict[tuple[str, str], float],
+    vocab: frozenset, oov: float,
+) -> float:
+    """Token count of one word under exact merge replay."""
     total = 0.0
-    for s in syms:
+    for s in _bpe_replay_symbols(word, ranks):
         total += 1.0 if s in vocab else oov * len(s)
     return total
 
@@ -573,6 +580,94 @@ def bpe_token_count_exact(
     return _memoized_word_counter(
         df, count, out_col, text_col, pre_tokenizer=pre_tokenizer,
     )
+
+
+def _replay_ids_word(
+    ptok: str, ranks: dict[tuple[str, str], float],
+    ids: dict[str, int], byte_enc: dict[int, str] | None,
+) -> list[int]:
+    """Token-id sequence of one pre-token under exact replay.  An
+    OOV surviving symbol emits -1 PER CHARACTER (mirroring the
+    per-char OOV cost of the counting kernels, and under a
+    well-formed artifact — every merge output a vocab entry — an OOV
+    symbol IS a single unknown character; real byte-level vocabs
+    cover all 256 base bytes, so -1 never fires there)."""
+    if byte_enc is not None:
+        ptok = "".join(byte_enc[b] for b in ptok.encode("utf-8"))
+    out: list[int] = []
+    for s in _bpe_replay_symbols(ptok, ranks):
+        i = ids.get(s)
+        if i is None:
+            out.extend([-1] * len(s))
+        else:
+            out.append(i)
+    return out
+
+
+def bpe_token_ids(
+    df: DataFrame, vocab: DataFrame,
+    merges: dict[tuple[str, str], float],
+    text_col: str = "text", out_col: str = "token_ids",
+    *, byte_level: bool = False, pre_tokenizer: str | None = None,
+) -> DataFrame:
+    """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
+    of vocabulary ids under exact BPE merge replay — the id stream a
+    training pipeline ultimately feeds the model, produced in-engine
+    with the same pre-tokenization/byte-level options as
+    :func:`bpe_token_count_exact` (same broadcast artifacts, one
+    Arrow-batched kernel, per-batch pre-token memo; NULL text stays
+    NULL, empty text is an empty array).  Vocabulary ids must be
+    integral (``token_id`` rides as double in the artifact schema; a
+    fractional id raises — it cannot index an embedding table); OOV
+    emits -1 per character, stated in :func:`_replay_ids_word`.
+
+    The token COUNT under any ``oov_tokens_per_char`` is derivable
+    from the ids without re-running the kernel: each id >= 0 counts
+    1.0, each -1 counts the OOV scalar — exactly
+    :func:`bpe_token_count_exact`'s arithmetic."""
+    tokens, _oov = _vocab_tokens_and_oov(vocab, "bpe_token_ids")
+    rows = vocab.select("token", "token_id").collect()
+    ids: dict[str, int] = {}
+    for r in rows:
+        if r["token"] is None:
+            continue
+        tid = r["token_id"]
+        if tid is None or float(tid) != int(tid):
+            raise ValueError(
+                f"bpe_token_ids: token {r['token']!r} has non-integral "
+                f"id {tid!r} — ids must index an embedding table"
+            )
+        ids[r["token"]] = int(tid)
+    ranks = dict(merges)
+    byte_enc = gpt2_bytes_to_unicode() if byte_level else None
+    bc = df.sparkSession.sparkContext.broadcast(
+        (ranks, ids, byte_enc, _WORD_CACHE_MAX, pre_tokenizer)
+    )
+
+    @F.pandas_udf("array<long>")
+    def _ids(s: pd.Series) -> pd.Series:
+        rk, idm, enc, cache_max, pat = bc.value
+        split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
+        cache: dict[str, list[int]] = {}
+
+        def _doc(t):
+            if t is None:
+                return None
+            out: list[int] = []
+            for w in split(t):
+                if not w:
+                    continue
+                c = cache.get(w)
+                if c is None:
+                    if len(cache) >= cache_max:
+                        cache.clear()
+                    c = cache[w] = _replay_ids_word(w, rk, idm, enc)
+                out.extend(c)
+            return out
+
+        return s.map(_doc)
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))
 
 
 def _merge_fold(a: str, b: str):

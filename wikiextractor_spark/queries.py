@@ -499,9 +499,16 @@ def _q(s: str) -> str:
 
 
 _G2_SFX_ROWS = ", ".join(
-    f"({v}, {_sql_str(p)})"
+    f"({v}, {i}, {_sql_str(p)})"
     for v, (_raw, ptoks) in enumerate(_G2_SUFFIXES)
-    for p in ptoks
+    for i, p in enumerate(ptoks)
+)
+
+# vocab ids = list positions (exactly vocab_from_tokens' assignment),
+# restated as a VALUES table so the oracle maps symbols to the SAME
+# ids the engine's bpe_token_ids kernel emits
+_G2_VID_ROWS = ", ".join(
+    f"({_q(t)}, {i})" for i, t in enumerate(_G2B_VOCAB)
 )
 
 _g2_state = (
@@ -513,35 +520,58 @@ for _a, _b in _G2B_MERGES:
         f"{_SEP}||{_q(_a)}||{_SEP}||{_SEP}||{_q(_b)}||{_SEP}, "
         f"{_SEP}||{_q(_a + _b)}||{_SEP})"
     )
-_G2B_VOCAB_IN = ", ".join(_q(t) for t in _G2B_VOCAB)
 
+# r12b: the column pair is produced by ONE engine kernel
+# (bpe_token_ids) — the count derives from the id stream (1.0 per
+# vocab id, the OOV scalar per -1) and gpt2_ids_fp is an
+# ORDER-SENSITIVE fingerprint SUM(pos * (id + 2)) over the whole
+# per-doc id sequence, so the oracle pins the exact segmentation and
+# id assignment, not just the count.  Position grain note: the
+# kernel explodes an OOV symbol to -1 PER CHARACTER while the oracle
+# numbers SYMBOLS — identical here because every merge output is in
+# _G2B_VOCAB, so OOV survivors are single characters by construction.
 _TOK_GPT2_CTE = f"""
-    g2sfx(variant, ptok) AS (VALUES {_G2_SFX_ROWS}),
+    g2sfx(variant, ordn, ptok) AS (VALUES {_G2_SFX_ROWS}),
+    g2vid(sym, vid) AS (VALUES {_G2_VID_ROWS}),
     g2pre AS (
       -- corpus words under the GPT-2 grain (checked corpus shape:
       -- single-spaced pure [a-z]): word 1 bare, later words carry
       -- their leading space, byte-encoded Ġ
-      SELECT doc_id, CASE WHEN wid = 1 THEN w ELSE 'Ġ' || w END AS ptok
+      SELECT doc_id, 0 AS part, wid AS ordn,
+             CASE WHEN wid = 1 THEN w ELSE 'Ġ' || w END AS ptok
       FROM words
       UNION ALL
       -- suffix pre-tokens from the shared template, byte-encoded by
       -- the restated mapping (ASCII printable = identity)
-      SELECT d.doc_id,
+      SELECT d.doc_id, 1 AS part, s.ordn,
              replace(replace(replace(s.ptok, ' ', 'Ġ'),
                              chr(10), 'Ċ'), 'é', 'Ã©') AS ptok
       FROM documents d JOIN g2sfx s ON s.variant = CAST(d.doc_id % 6 AS INT)
       WHERE d.text IS NOT NULL
     ),
     g2syms AS (
-      SELECT doc_id, unnest(string_split({_g2_state}, {_SEP}||{_SEP})) AS sym
-      FROM g2pre
+      SELECT doc_id, part, ordn, u.sym, u.i
+      FROM (SELECT doc_id, part, ordn,
+                   unnest(string_split({_g2_state}, {_SEP}||{_SEP})) AS sym,
+                   generate_subscripts(
+                     string_split({_g2_state}, {_SEP}||{_SEP}), 1) AS i
+            FROM g2pre) u(doc_id, part, ordn, sym, i)
+    ),
+    g2ord AS (
+      SELECT doc_id, sym,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY part, ordn, i) AS pos
+      FROM g2syms WHERE sym <> ''
     ),
     g2 AS (
-      SELECT doc_id, round(SUM(CASE WHEN sym = '' THEN 0.0
-                                    WHEN sym IN ({_G2B_VOCAB_IN}) THEN 1.0
-                                    ELSE {_BPE_OOV} * length(sym) END),
-                           6) AS n_tokens_gpt2
-      FROM g2syms GROUP BY doc_id
+      SELECT g2ord.doc_id,
+             round(SUM(CASE WHEN vid IS NOT NULL THEN 1.0
+                            ELSE {_BPE_OOV} * length(sym) END),
+                   6) AS n_tokens_gpt2,
+             CAST(SUM(pos * (COALESCE(vid, -1) + 2)) AS BIGINT)
+               AS gpt2_ids_fp
+      FROM g2ord LEFT JOIN g2vid USING (sym)
+      GROUP BY g2ord.doc_id
     )
 """
 
@@ -633,7 +663,8 @@ _TOK_VOCAB_CTE = f"""
                  6) AS quality,
            tok.n_tokens_vocab AS n_tokens_vocab,
            exact.n_tokens_exact AS n_tokens_exact,
-           g2.n_tokens_gpt2 AS n_tokens_gpt2
+           g2.n_tokens_gpt2 AS n_tokens_gpt2,
+           g2.gpt2_ids_fp AS gpt2_ids_fp
     -- LEFT: a NULL-text doc has no words rows, and the kernel passes
     -- NULL text through as a NULL count rather than dropping the doc
     FROM documents LEFT JOIN tok USING (doc_id)
@@ -678,6 +709,7 @@ def ta_text_profile(spark, sf_dir):
         GPT2_PRETOKENIZER_PATTERN,
         bpe_token_count,
         bpe_token_count_exact,
+        bpe_token_ids,
         load_bpe_merges,
         load_bpe_vocab,
         merges_from_pairs,
@@ -719,18 +751,35 @@ def ta_text_profile(spark, sf_dir):
     )
     d = bpe_token_count(d, vocab, out_col="_ntv")
     d = bpe_token_count_exact(d, vocab, ranks, out_col="_nte")
-    # byte-level GPT-2 grain over text + per-doc adversarial suffix
+    # byte-level GPT-2 grain over text + per-doc adversarial suffix:
+    # ONE ids kernel (bpe_token_ids) produces the id stream, from
+    # which the count and the order-sensitive segmentation
+    # fingerprint both derive natively — no second Python pass
     sfx = F.element_at(
         F.array(*[F.lit(raw) for raw, _p in _G2_SUFFIXES]),
         (F.col("doc_id") % 6 + 1).cast("int"),
     )
     d = d.withColumn("_g2t", F.concat(F.col("text"), sfx))
-    d = bpe_token_count_exact(
+    d = bpe_token_ids(
         d,
         vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV),
         {p: float(i) for i, p in enumerate(_G2B_MERGES)},
-        text_col="_g2t", out_col="_ntg",
+        text_col="_g2t", out_col="_g2ids",
         byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    d = d.withColumn(
+        "_ntg",
+        F.expr(
+            "aggregate(_g2ids, CAST(0.0 AS DOUBLE), (a, x) -> "
+            f"a + IF(x >= 0, CAST(1.0 AS DOUBLE), "
+            f"CAST({_BPE_OOV} AS DOUBLE)))"
+        ),
+    ).withColumn(
+        "_g2fp",
+        F.expr(
+            "aggregate(transform(_g2ids, (x, i) -> (i + 1) * (x + 2)), "
+            "CAST(0 AS BIGINT), (a, y) -> a + y)"
+        ),
     )
     n_tok = F.size("_ws")
     stop_raw = F.col("_stop_en") * F.lit(1.0) / n_tok
@@ -753,6 +802,7 @@ def ta_text_profile(spark, sf_dir):
         F.round(F.col("_ntv"), 6).alias("n_tokens_vocab"),
         F.round(F.col("_nte"), 6).alias("n_tokens_exact"),
         F.round(F.col("_ntg"), 6).alias("n_tokens_gpt2"),
+        F.col("_g2fp").alias("gpt2_ids_fp"),
     )
 
 
