@@ -7,7 +7,11 @@ import pyspark.sql.functions as F
 import pytest
 
 from wikiextractor_spark.operators.corpus import prepare_corpus
-from wikiextractor_spark.operators.packing import pack_sequences, pack_stats
+from wikiextractor_spark.operators.packing import (
+    assemble_packs,
+    pack_sequences,
+    pack_stats,
+)
 
 BUDGET = 100
 
@@ -78,6 +82,108 @@ def test_pack_stats(spark, token_df):
     assert stats["n_packs"] >= 1
     assert 0.0 < stats["mean_fill"] <= 1.0
     assert stats["wasted_tokens"] >= 0
+
+
+def _ids_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, token_ids array<long>"
+    )
+
+
+def test_assemble_packs_content_and_budget(spark):
+    """Every document's id stream appears exactly once, concatenated
+    in ascending doc_id order within its pack; non-over-budget packs
+    respect the budget including separators; over-budget rows ride
+    alone flagged."""
+    rows = [
+        (1, [10, 11, 12]),
+        (2, [20]),
+        (3, [30, 31]),
+        (4, list(range(100, 100 + 9))),  # 9 ids + sep = 10 > budget 8
+    ]
+    df = _ids_df(spark, rows)
+    out = assemble_packs(
+        df, budget=8, num_groups=1, sep_id=0
+    ).collect()
+    by_doc = dict(rows)
+    seen_docs = []
+    for r in out:
+        ids = list(r["token_ids"])
+        assert r["n_tokens"] == len(ids)
+        if not r["over_budget"]:
+            assert len(ids) <= 8
+        # decompose by separator: every chunk must be a whole doc's
+        # stream, in ascending doc order within the pack
+        assert ids[-1] == 0  # sep after EVERY doc incl. the last
+        chunks, cur = [], []
+        for x in ids:
+            if x == 0:
+                chunks.append(cur)
+                cur = []
+            else:
+                cur.append(x)
+        assert cur == []
+        assert r["n_docs"] == len(chunks)
+        doc_ids = []
+        for c in chunks:
+            matches = [d for d, s in by_doc.items() if s == c]
+            assert len(matches) == 1, (c, ids)
+            doc_ids.append(matches[0])
+        assert doc_ids == sorted(doc_ids)
+        seen_docs.extend(doc_ids)
+    assert sorted(seen_docs) == [1, 2, 3, 4]
+    over = [r for r in out if r["over_budget"]]
+    assert len(over) == 1 and over[0]["n_docs"] == 1
+    assert list(over[0]["token_ids"])[:-1] == by_doc[4]
+
+
+def test_assemble_packs_no_separator_and_empty_docs(spark):
+    rows = [(1, [5, 6]), (2, []), (3, [7])]
+    out = assemble_packs(
+        _ids_df(spark, rows), budget=3, num_groups=1
+    ).collect()
+    all_ids = sorted(x for r in out for x in r["token_ids"])
+    assert all_ids == [5, 6, 7]  # empty doc contributes nothing
+    assert sum(r["n_docs"] for r in out) == 3
+    assert all(not r["over_budget"] for r in out)
+    assert all(r["n_tokens"] <= 3 for r in out)
+
+
+def test_assemble_packs_rejects_null_streams(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, None)], "doc_id long, token_ids array<long>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        assemble_packs(df, budget=8)
+
+
+def test_assemble_packs_chains_from_tokenizer(spark):
+    """The full emit path: tokenize to ids → assemble — counts in the
+    pack equal the kernel's id counts plus one separator per doc."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_token_ids,
+        vocab_from_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "west"), (3, "newest lowest")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_from_tokens(
+        spark, ["low", "er", "west", "ne", "st"], 1.0
+    )
+    ids = bpe_token_ids(docs, vocab, {}, out_col="token_ids")
+    out = assemble_packs(
+        ids.select("doc_id", "token_ids"), budget=64, num_groups=1,
+        sep_id=-100,
+    ).collect()
+    n_ids = {
+        r["doc_id"]: len(r["token_ids"])
+        for r in ids.select(
+            "doc_id", "token_ids"
+        ).collect()
+    }
+    assert sum(r["n_tokens"] for r in out) == sum(n_ids.values()) + 3
 
 
 def test_segment_tree_first_fit_equals_linear_scan(spark):

@@ -134,6 +134,96 @@ def pack_sequences(
     return proj.groupBy("_grp").applyInPandas(pack_group, schema=out_schema)
 
 
+def assemble_packs(
+    df: DataFrame, ids_col: str = "token_ids", id_col: str = "doc_id",
+    budget: int = 2048, num_groups: int = 64,
+    sep_id: int | None = None,
+) -> DataFrame:
+    """→ ``(pack_id, token_ids, n_tokens, n_docs, over_budget)``: the
+    ACTUAL training sequences — each pack's documents' id streams
+    (from :func:`~wikiextractor_spark.functions.tokenizer.
+    bpe_token_ids`) concatenated in ascending ``id_col`` order into
+    one ``array<long>`` per pack, ready for
+    :func:`~wikiextractor_spark.sink.write_training_shards`.  This is
+    the step after :func:`pack_sequences`'s ASSIGNMENT: prepare the
+    corpus, tokenize to ids, assemble, shard.
+
+    ``sep_id`` is the document separator (GPT-style ``<|endoftext|>``)
+    appended AFTER EVERY document including a pack's last — the
+    convention pretraining corpora use, so a model never sees two
+    documents fused.  With it set, each document costs
+    ``size(ids) + 1`` budget tokens and every emitted non-over-budget
+    pack satisfies ``size(token_ids) <= budget`` INCLUDING the
+    separators; without it the cost is the raw id count.
+
+    Scale shape: the FFD assignment sees only ``(id, cost)`` pairs
+    (two longs per row through Python — :func:`pack_sequences`
+    unchanged); the id STREAMS travel JVM-only — one co-partitioned
+    join of the assignment back to the rows, then one groupBy whose
+    per-pack concatenation is a native sort+flatten
+    (``array_sort(collect_list(struct(id, ids)))`` — struct sort
+    orders by the leading id field, so pack content is deterministic
+    under any partitioning).  Per-pack payload is bounded by
+    ``budget`` longs (over-budget rows ride alone, flagged), so the
+    collect_list state per key is bounded by construction.
+
+    NULL id streams (NULL text upstream) are the one row class with
+    no defined cost — they are REJECTED with a raise rather than
+    silently dropped or packed as empty; filter them upstream with
+    the same gate that drops unscorable documents."""
+    if sep_id is not None and not -(1 << 63) <= int(sep_id) < (1 << 63):
+        raise ValueError(f"sep_id out of long range: {sep_id}")
+    n_null = df.filter(F.col(ids_col).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"assemble_packs: NULL {ids_col!r} rows have no token "
+            "cost — drop NULL-text documents upstream first"
+        )
+    overhead = 0 if sep_id is None else 1
+    costed = df.withColumn(
+        "_cost", (F.size(ids_col) + F.lit(overhead)).cast("long")
+    )
+    assignment = pack_sequences(
+        costed, token_col="_cost", id_col=id_col,
+        budget=budget, num_groups=num_groups,
+    )
+    joined = costed.select(id_col, ids_col).join(
+        assignment.select(id_col, "pack_id", "over_budget"), id_col
+    )
+    body = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col(ids_col)))
+            ),
+            lambda s: (
+                F.concat(
+                    s[ids_col],
+                    F.array(F.lit(int(sep_id)).cast("long")),
+                )
+                if sep_id is not None
+                else s[ids_col]
+            ),
+        )
+    )
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            body.alias("token_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+            # any() not needed: over_budget is constant within a pack
+            # (over-budget rows get dedicated packs)
+            F.max("over_budget").alias("over_budget"),
+        )
+        .select(
+            "pack_id",
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "n_docs",
+            "over_budget",
+        )
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens") -> DataFrame:
     """→ one row: pack count, mean fill ratio, and wasted-token total
     over the non-over-budget packs — the packing-efficiency metrics a
