@@ -149,6 +149,33 @@ def test_assemble_packs_no_separator_and_empty_docs(spark):
     assert all(r["n_tokens"] <= 3 for r in out)
 
 
+def test_zero_cost_rows_never_join_over_budget_packs(spark):
+    """r12 review: a zero-cost row (empty document, no separator)
+    must not first-fit into an over-budget dedicated pack — dedicated
+    packs open at capacity -1 so 'over-budget rows ride alone' holds
+    and over_budget stays constant within every pack."""
+    rows = [(1, list(range(100, 110))), (2, [])]  # costs 10 and 0
+    out = assemble_packs(
+        _ids_df(spark, rows), budget=8, num_groups=1
+    ).collect()
+    assert len(out) == 2
+    over = [r for r in out if r["over_budget"]]
+    norm = [r for r in out if not r["over_budget"]]
+    assert len(over) == 1 and over[0]["n_docs"] == 1
+    assert len(norm) == 1 and norm[0]["n_docs"] == 1
+    assert list(norm[0]["token_ids"]) == []
+    # the raw assignment agrees: distinct packs, flags constant
+    asg = pack_sequences(
+        _ids_df(spark, rows).withColumn(
+            "n", F.size("token_ids").cast("long")
+        ),
+        token_col="n", budget=8, num_groups=1,
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in asg}
+    assert by_doc[1]["pack_id"] != by_doc[2]["pack_id"]
+    assert by_doc[1]["over_budget"] and not by_doc[2]["over_budget"]
+
+
 def test_assemble_packs_rejects_null_streams(spark):
     df = spark.createDataFrame(
         [(1, [1, 2]), (2, None)], "doc_id long, token_ids array<long>"
@@ -202,13 +229,16 @@ def test_segment_tree_first_fit_equals_linear_scan(spark):
         ).collect()
     }
 
-    # reference: the pre-r4 linear-scan FFD, group 0 only
+    # reference: the pre-r4 linear-scan FFD, group 0 only.  Dedicated
+    # over-budget packs hold capacity -1 (r12): a zero-cost row must
+    # skip them ('over-budget rows ride alone'), which the old cap-0
+    # modeling violated.
     srt = sorted(rows, key=lambda t: (-t[1], t[0]))
     caps: list[int] = []
     want = {}
     for i, toks in srt:
         if toks > BUDGET:
-            caps.append(0)
+            caps.append(-1)
             want[i] = (len(caps) - 1, True)
             continue
         for j, c in enumerate(caps):

@@ -537,7 +537,7 @@ def test_bpe_token_ids_differential(spark):
         assert rows[i]["n"] == derived
 
 
-def test_bpe_token_ids_rejects_fractional_ids(spark):
+def test_bpe_token_ids_rejects_fractional_and_negative_ids(spark):
     from wikiextractor_spark.functions.tokenizer import bpe_token_ids
 
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
@@ -546,6 +546,12 @@ def test_bpe_token_ids_rejects_fractional_ids(spark):
     )
     with pytest.raises(ValueError, match="non-integral"):
         bpe_token_ids(df, bad, {})
+    neg = spark.createDataFrame(
+        [("x", -1.0), (None, 1.0)], "token string, token_id double"
+    )
+    # a -1 vocab id would collide with the OOV sentinel (r12 review)
+    with pytest.raises(ValueError, match="negative id"):
+        bpe_token_ids(df, neg, {})
 
 
 def test_published_format_loaders_end_to_end(spark, tmp_path):
@@ -606,13 +612,23 @@ def test_published_format_loaders_reject_corrupt_artifacts(
     p.write_text("a b c\n")
     with _pytest.raises(ValueError, match="left right"):
         load_bpe_merges_txt(spark, str(p))
+    # only the published '#version...' FIRST line is a header; any
+    # other comment-looking line raises as malformed instead of being
+    # silently swallowed (r12 review)
     p.write_text("#only a header\n")
+    with _pytest.raises(ValueError, match="left right"):
+        load_bpe_merges_txt(spark, str(p))
+    p.write_text("#version: 0.2\n")
     with _pytest.raises(ValueError, match="no merge rules"):
         load_bpe_merges_txt(spark, str(p))
     # a '#' line AFTER the first rule is data, not a header → malformed
     p.write_text("a b\n# not a header\n")
     with _pytest.raises(ValueError, match="left right"):
         load_bpe_merges_txt(spark, str(p))
+    # a real first rule merging hash symbols is a RULE, not a header
+    p.write_text("# #\na b\n")
+    got = load_bpe_merges_txt(spark, str(p))
+    assert got == {("#", "#"): 0.0, ("a", "b"): 1.0}
     v = tmp_path / "v.json"
     v.write_text("not json")
     with _pytest.raises(ValueError, match="not valid JSON"):

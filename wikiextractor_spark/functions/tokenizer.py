@@ -125,6 +125,16 @@ def gpt2_bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
+def _bad_tokens(tokens) -> list:
+    """Tokens that can never match under whitespace pre-tokenization
+    (None, empty, whitespace-carrying) — the single shared rule every
+    vocabulary builder/loader validates with."""
+    return [
+        t for t in tokens
+        if t is None or t == "" or _WS_SPLIT.search(t)
+    ]
+
+
 def vocab_from_tokens(
     spark, tokens: list[str], oov_tokens_per_char: float = 1.0,
 ) -> DataFrame:
@@ -132,10 +142,7 @@ def vocab_from_tokens(
     ids are the list positions, plus the NULL-token OOV row.  The
     test/bootstrap path; real artifacts come from a tokenizer dump
     via :func:`save_bpe_vocab` / :func:`load_bpe_vocab`."""
-    bad = [
-        t for t in tokens
-        if t is None or t == "" or _WS_SPLIT.search(t)
-    ]
+    bad = _bad_tokens(tokens)
     if bad:
         raise ValueError(
             f"vocab_from_tokens: {len(bad)} empty or "
@@ -265,20 +272,11 @@ def load_bpe_merges(
     ranks: dict[tuple[str, str], float] = {}
     bad: list[str] = []
     for r in rows:
-        parts = r["pair"].split(" ")
-        # sides must also be free of NON-space whitespace: a tab or
-        # newline inside a side survives the single-space split but
-        # such a rule can never fire under whitespace pre-tokenization
-        # — that is a corrupt artifact, and the modelio contract says
-        # malformed values RAISE rather than silently shift counts
-        if (
-            len(parts) != 2
-            or not all(parts)
-            or any(_WS_SPLIT.search(p) for p in parts)
-        ):
+        key = _merge_sides(r["pair"])  # the shared malformed-key rule
+        if key is None:
             bad.append(r["pair"])
             continue
-        ranks[(parts[0], parts[1])] = float(r["rank"])
+        ranks[key] = float(r["rank"])
     if bad:
         raise ValueError(
             f"load_bpe_merges: {len(bad)} pairs not of the form "
@@ -309,41 +307,60 @@ def _whole_text_artifact(spark, path: str, caller: str) -> str:
     return files[0][1]
 
 
+def _merge_sides(key: str) -> tuple[str, str] | None:
+    """Split a ``'left right'`` merge key; None when malformed —
+    wrong part count, an empty side, or NON-space whitespace inside a
+    side (such a rule can never fire under whitespace
+    pre-tokenization; a corrupt artifact raises at the caller, it
+    does not silently shift counts).  The single shared rule for
+    every merges loader."""
+    parts = key.split(" ")
+    if (
+        len(parts) != 2
+        or not all(parts)
+        or any(_WS_SPLIT.search(p) for p in parts)
+    ):
+        return None
+    return parts[0], parts[1]
+
+
 def load_bpe_merges_txt(
     spark, path: str,
 ) -> dict[tuple[str, str], float]:
     """Load a merges table in the PUBLISHED merges.txt format of
-    GPT-class tokenizers: optional leading ``#...`` header lines
-    (``#version: 0.2`` in the original), then one ``left right`` pair
-    per line, rank = line order.  The sides arrive already in the
-    byte-encoded symbol space (``Ġthe``...), so feed the result to
+    GPT-class tokenizers: an optional ``#version...`` FIRST line (the
+    published header convention — exactly that prefix, so a real
+    first rule whose left side is ``#`` is parsed as a rule, and any
+    other comment-looking line raises as malformed rather than being
+    silently swallowed), then one ``left right`` pair per line, rank
+    = line order.  The sides arrive already in the byte-encoded
+    symbol space (``Ġthe``...), so feed the result to
     :func:`bpe_token_count_exact` with ``byte_level=True`` and the
     matching pre-tokenizer.  Same validation surface as
-    :func:`load_bpe_merges`: malformed lines, duplicate pairs raise;
-    blank lines are tolerated (the published files end with one)."""
+    :func:`load_bpe_merges` (shared :func:`_merge_sides` rule):
+    malformed lines, duplicate pairs raise; blank lines are tolerated
+    (the published files end with one)."""
     text = _whole_text_artifact(spark, path, "load_bpe_merges_txt")
     ranks: dict[tuple[str, str], float] = {}
     bad: list[str] = []
-    rank = 0
+    first_content = True
     for lineno, line in enumerate(text.splitlines()):
         if not line.strip():
             continue
-        if line.startswith("#") and rank == 0:
-            continue  # header — only before the first rule
-        parts = line.split(" ")
-        if len(parts) != 2 or not all(parts) or any(
-            _WS_SPLIT.search(p) for p in parts
-        ):
+        if first_content and line.startswith("#version"):
+            first_content = False
+            continue
+        first_content = False
+        key = _merge_sides(line)
+        if key is None:
             bad.append(f"line {lineno + 1}: {line!r}")
             continue
-        key = (parts[0], parts[1])
         if key in ranks:
             raise ValueError(
                 f"load_bpe_merges_txt: duplicate merge pair at line "
                 f"{lineno + 1}: {line!r}"
             )
-        ranks[key] = float(rank)
-        rank += 1
+        ranks[key] = float(len(ranks))
     if bad:
         raise ValueError(
             f"load_bpe_merges_txt: {len(bad)} lines not of the form "
@@ -382,10 +399,9 @@ def load_bpe_vocab_json(
             "load_bpe_vocab_json: expected one non-empty JSON object "
             "{token: id}"
         )
-    bad = [
+    bad = _bad_tokens(obj) + [
         t for t, i in obj.items()
-        if t == "" or _WS_SPLIT.search(t)
-        or isinstance(i, bool) or not isinstance(i, (int, float))
+        if isinstance(i, bool) or not isinstance(i, (int, float))
     ]
     if bad:
         raise ValueError(
@@ -446,12 +462,14 @@ def _bpe_replay_word(
 
 def _vocab_tokens_and_oov(
     vocab: DataFrame, caller: str,
-) -> tuple[list[str], float]:
-    """Shared artifact validation for the counting kernels: exactly
-    one NULL-token OOV row, a non-empty vocabulary, and no empty or
-    whitespace-carrying tokens (such entries can never match under
-    whitespace pre-tokenization — a corrupt artifact raises, it does
-    not silently shift counts)."""
+) -> tuple[list[str], float, list]:
+    """Shared artifact validation for the counting/ids kernels:
+    exactly one NULL-token OOV row, a non-empty vocabulary, and no
+    empty or whitespace-carrying tokens (such entries can never match
+    under whitespace pre-tokenization — a corrupt artifact raises, it
+    does not silently shift counts).  Returns the collected rows too,
+    so a caller that also needs the ids never collects the artifact
+    twice."""
     rows = vocab.select("token", "token_id").collect()
     oov_vals = [r["token_id"] for r in rows if r["token"] is None]
     if len(oov_vals) != 1 or oov_vals[0] is None:
@@ -470,36 +488,42 @@ def _vocab_tokens_and_oov(
             f"vocab tokens (first: {bad[0]!r}) — they can never match "
             "under whitespace pre-tokenization; fix the artifact"
         )
-    return tokens, float(oov_vals[0])
+    return tokens, float(oov_vals[0]), rows
 
 
 def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
                            text_col: str,
-                           pre_tokenizer: str | None = None) -> DataFrame:
-    """Shared kernel body for the counting modes: one Arrow-batched
-    pandas UDF, NULL text stays NULL, and the per-batch bounded word
-    memo (Zipfian repetition makes the memo the dominant win; see
-    bpe_token_count's docstring).  Pre-tokenization is the whitespace
-    split by default; ``pre_tokenizer`` switches to ``re.findall``
-    with the given pattern (GPT-2-style grain — pre-tokens may then
-    CARRY whitespace, e.g. ``" word"`` / ``"\\n\\n"``, and whitespace
-    runs count as tokens instead of vanishing).  ``count_word``
-    (pre-token → DOUBLE count) must be picklable with its closed-over
-    state — it rides the UDF's broadcast."""
+                           pre_tokenizer: str | None = None, *,
+                           result_type: str = "double",
+                           list_mode: bool = False) -> DataFrame:
+    """Shared kernel body for the counting AND ids modes: one
+    Arrow-batched pandas UDF, NULL text stays NULL, and the per-batch
+    bounded word memo (Zipfian repetition makes the memo the dominant
+    win; see bpe_token_count's docstring).  Pre-tokenization is the
+    whitespace split by default; ``pre_tokenizer`` switches to
+    ``re.findall`` with the given pattern (GPT-2-style grain —
+    pre-tokens may then CARRY whitespace, e.g. ``" word"`` /
+    ``"\\n\\n"``, and whitespace runs count as tokens instead of
+    vanishing).  ``count_word`` (pre-token → per-word value) must be
+    picklable with its closed-over state — it rides the UDF's
+    broadcast.  ``list_mode`` switches the per-document fold from
+    summing doubles to extending a list (the ids kernel) — ONE body
+    so the cache policy, split selection, and NULL semantics cannot
+    drift between the modes."""
     bc = df.sparkSession.sparkContext.broadcast(
-        (count_word, _WORD_CACHE_MAX, pre_tokenizer)
+        (count_word, _WORD_CACHE_MAX, pre_tokenizer, list_mode)
     )
 
-    @F.pandas_udf("double")
+    @F.pandas_udf(result_type)
     def _count(s: pd.Series) -> pd.Series:
-        fn, cache_max, pat = bc.value
+        fn, cache_max, pat, lmode = bc.value
         split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
-        cache: dict[str, float] = {}
+        cache: dict = {}
 
         def _doc(t):
             if t is None:
                 return None
-            total = 0.0
+            total = [] if lmode else 0.0
             for w in split(t):
                 if not w:
                     continue
@@ -508,7 +532,10 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
                     if len(cache) >= cache_max:
                         cache.clear()
                     c = cache[w] = fn(w)
-                total += c
+                if lmode:
+                    total.extend(c)
+                else:
+                    total += c
             return total
 
         return s.map(_doc)
@@ -567,7 +594,7 @@ def bpe_token_count_exact(
     (category-edge caveats stated on the pattern constant).  The
     greedy :func:`bpe_token_count` deliberately keeps the whitespace
     grain — its vocab-only artifact has no byte-space convention."""
-    tokens, oov = _vocab_tokens_and_oov(vocab, "bpe_token_count_exact")
+    tokens, oov, _rows = _vocab_tokens_and_oov(vocab, "bpe_token_count_exact")
     vs = frozenset(tokens)
     ranks = dict(merges)
     if byte_level:
@@ -625,8 +652,7 @@ def bpe_token_ids(
     from the ids without re-running the kernel: each id >= 0 counts
     1.0, each -1 counts the OOV scalar — exactly
     :func:`bpe_token_count_exact`'s arithmetic."""
-    tokens, _oov = _vocab_tokens_and_oov(vocab, "bpe_token_ids")
-    rows = vocab.select("token", "token_id").collect()
+    _tokens, _oov, rows = _vocab_tokens_and_oov(vocab, "bpe_token_ids")
     ids: dict[str, int] = {}
     for r in rows:
         if r["token"] is None:
@@ -637,37 +663,22 @@ def bpe_token_ids(
                 f"bpe_token_ids: token {r['token']!r} has non-integral "
                 f"id {tid!r} — ids must index an embedding table"
             )
+        if int(tid) < 0:
+            raise ValueError(
+                f"bpe_token_ids: token {r['token']!r} has negative id "
+                f"{tid!r} — it would collide with the -1 OOV sentinel"
+            )
         ids[r["token"]] = int(tid)
-    ranks = dict(merges)
     byte_enc = gpt2_bytes_to_unicode() if byte_level else None
-    bc = df.sparkSession.sparkContext.broadcast(
-        (ranks, ids, byte_enc, _WORD_CACHE_MAX, pre_tokenizer)
+    return _memoized_word_counter(
+        df,
+        partial(
+            _replay_ids_word, ranks=dict(merges), ids=ids,
+            byte_enc=byte_enc,
+        ),
+        out_col, text_col, pre_tokenizer=pre_tokenizer,
+        result_type="array<long>", list_mode=True,
     )
-
-    @F.pandas_udf("array<long>")
-    def _ids(s: pd.Series) -> pd.Series:
-        rk, idm, enc, cache_max, pat = bc.value
-        split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
-        cache: dict[str, list[int]] = {}
-
-        def _doc(t):
-            if t is None:
-                return None
-            out: list[int] = []
-            for w in split(t):
-                if not w:
-                    continue
-                c = cache.get(w)
-                if c is None:
-                    if len(cache) >= cache_max:
-                        cache.clear()
-                    c = cache[w] = _replay_ids_word(w, rk, idm, enc)
-                out.extend(c)
-            return out
-
-        return s.map(_doc)
-
-    return df.withColumn(out_col, _ids(F.col(text_col)))
 
 
 def _merge_fold(a: str, b: str):
@@ -1012,7 +1023,7 @@ def bpe_token_count(
     ``_WORD_CACHE_MAX`` entries (~26 MB worst case), dropped when the
     batch ends (:func:`_memoized_word_counter`, shared with the exact
     mode)."""
-    tokens, oov = _vocab_tokens_and_oov(vocab, "bpe_token_count")
+    tokens, oov, _rows = _vocab_tokens_and_oov(vocab, "bpe_token_count")
     vs, lens_by_first = _build_matcher(tokens)
     return _memoized_word_counter(
         df,

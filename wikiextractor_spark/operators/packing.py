@@ -95,21 +95,28 @@ def pack_sequences(
             return len(remaining) - 1
 
         def _first_fit(need: int) -> int | None:
-            # unopened leaf slots hold 0, which only a need-0 row could
-            # phantom-match — the empty check closes that hole
             if not remaining or tree[1] < need:
                 return None
             v = 1
             while v < size:
                 v = 2 * v if tree[2 * v] >= need else 2 * v + 1
-            return v - size
+            i = v - size
+            # a need-0 row (empty document) can phantom-match an
+            # UNOPENED leaf slot (they hold capacity 0) — out of range
+            # means no OPENED pack fits (r12 review)
+            return i if i < len(remaining) else None
 
         pack_ids = []
         over = []
         for toks in pdf[token_col].astype("int64"):
             toks = int(toks)
             if toks > budget:
-                pack_ids.append(base + _open(0))  # dedicated, already full
+                # dedicated pack at capacity -1, NOT 0: a later
+                # zero-cost row must never first-fit into an
+                # over-budget pack ('over-budget rows ride alone',
+                # and over_budget must stay constant within a pack —
+                # r12 review)
+                pack_ids.append(base + _open(-1))
                 over.append(True)
                 continue
             i = _first_fit(toks)
@@ -137,7 +144,7 @@ def pack_sequences(
 def assemble_packs(
     df: DataFrame, ids_col: str = "token_ids", id_col: str = "doc_id",
     budget: int = 2048, num_groups: int = 64,
-    sep_id: int | None = None,
+    sep_id: int | None = None, persist_input: bool = True,
 ) -> DataFrame:
     """→ ``(pack_id, token_ids, n_tokens, n_docs, over_budget)``: the
     ACTUAL training sequences — each pack's documents' id streams
@@ -170,9 +177,22 @@ def assemble_packs(
     NULL id streams (NULL text upstream) are the one row class with
     no defined cost — they are REJECTED with a raise rather than
     silently dropped or packed as empty; filter them upstream with
-    the same gate that drops unscorable documents."""
+    the same gate that drops unscorable documents.
+
+    ``persist_input`` (default on): the input is consumed THREE times
+    (the NULL guard, the assignment's cost projection, the content
+    join), and in the documented pipeline the upstream lineage is the
+    Arrow-batched tokenization kernel — re-running it three times
+    would triple the dominant cost, so the (id, ids) projection is
+    eager-localCheckpointed first and every consumer reads the
+    materialized rows (the streaming-corpus composition precedent).
+    Pass ``False`` to trade recompute for memory when the ids frame
+    is already cached/checkpointed upstream or cheap to rebuild."""
     if sep_id is not None and not -(1 << 63) <= int(sep_id) < (1 << 63):
         raise ValueError(f"sep_id out of long range: {sep_id}")
+    df = df.select(id_col, ids_col)
+    if persist_input:
+        df = df.localCheckpoint(eager=True)
     n_null = df.filter(F.col(ids_col).isNull()).limit(1).count()
     if n_null:
         raise ValueError(
