@@ -176,6 +176,21 @@ def test_zero_cost_rows_never_join_over_budget_packs(spark):
     assert by_doc[1]["over_budget"] and not by_doc[2]["over_budget"]
 
 
+def test_negative_costs_raise(spark):
+    """r12 review: a negative token cost would 'fit' the -1 dedicated
+    packs and inflate their capacity — corrupt input raises inside
+    the packing kernel instead of silently mis-packing."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame(
+        [(1, 250), (2, -5)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        pack_sequences(df, budget=100, num_groups=1).collect()
+    assert "negative n_tokens" in str(exc.value)
+
+
 def test_assemble_packs_rejects_null_streams(spark):
     df = spark.createDataFrame(
         [(1, [1, 2]), (2, None)], "doc_id long, token_ids array<long>"

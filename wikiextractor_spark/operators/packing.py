@@ -110,6 +110,15 @@ def pack_sequences(
         over = []
         for toks in pdf[token_col].astype("int64"):
             toks = int(toks)
+            if toks < 0:
+                # a negative cost would "fit" the -1 dedicated packs
+                # and inflate their capacity, breaking both pack
+                # invariants — corrupt input raises, it does not
+                # silently mis-pack (r12 review)
+                raise ValueError(
+                    f"pack_sequences: negative {token_col} ({toks}) — "
+                    "token costs must be >= 0"
+                )
             if toks > budget:
                 # dedicated pack at capacity -1, NOT 0: a later
                 # zero-cost row must never first-fit into an
@@ -182,23 +191,36 @@ def assemble_packs(
     ``persist_input`` (default on): the input is consumed THREE times
     (the NULL guard, the assignment's cost projection, the content
     join), and in the documented pipeline the upstream lineage is the
-    Arrow-batched tokenization kernel — re-running it three times
-    would triple the dominant cost, so the (id, ids) projection is
-    eager-localCheckpointed first and every consumer reads the
-    materialized rows (the streaming-corpus composition precedent).
-    Pass ``False`` to trade recompute for memory when the ids frame
-    is already cached/checkpointed upstream or cheap to rebuild."""
+    Arrow-batched tokenization kernel — re-running it would triple
+    the dominant cost, so the (id, ids) projection is
+    eager-localCheckpointed and every consumer reads the materialized
+    rows (the streaming-corpus composition precedent).  Checkpoint
+    hygiene (r12 review): the NULL guard runs BEFORE the checkpoint
+    (``limit(1)`` short-circuits, and the raising path never
+    materializes the corpus), the RESULT is eager-materialized and
+    the internal input checkpoint released before returning
+    (:func:`~wikiextractor_spark.functions.modelio.
+    release_local_checkpoint` — ``unpersist()`` cannot free
+    checkpoint blocks), so exactly ONE materialization — the packs
+    the caller consumes — outlives the call; release it the same way
+    when done.  Pass ``False`` to keep everything lazy (three
+    tokenization passes) when the ids frame is already
+    cached/checkpointed upstream or cheap to rebuild."""
+    from wikiextractor_spark.functions.modelio import (
+        release_local_checkpoint,
+    )
+
     if sep_id is not None and not -(1 << 63) <= int(sep_id) < (1 << 63):
         raise ValueError(f"sep_id out of long range: {sep_id}")
     df = df.select(id_col, ids_col)
-    if persist_input:
-        df = df.localCheckpoint(eager=True)
     n_null = df.filter(F.col(ids_col).isNull()).limit(1).count()
     if n_null:
         raise ValueError(
             f"assemble_packs: NULL {ids_col!r} rows have no token "
             "cost — drop NULL-text documents upstream first"
         )
+    if persist_input:
+        df = df.localCheckpoint(eager=True)
     overhead = 0 if sep_id is None else 1
     costed = df.withColumn(
         "_cost", (F.size(ids_col) + F.lit(overhead)).cast("long")
@@ -225,7 +247,7 @@ def assemble_packs(
             ),
         )
     )
-    return (
+    result = (
         joined.groupBy("pack_id")
         .agg(
             body.alias("token_ids"),
@@ -242,6 +264,13 @@ def assemble_packs(
             "over_budget",
         )
     )
+    if persist_input:
+        # materialize the packs, then free the internal input
+        # checkpoint — exactly one checkpoint (the result the caller
+        # holds) survives the call
+        result = result.localCheckpoint(eager=True)
+        release_local_checkpoint(df)
+    return result
 
 
 def pack_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens") -> DataFrame:
