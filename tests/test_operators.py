@@ -961,6 +961,76 @@ def test_chunk_documents_edges(spark):
     assert covered == {f"w{i}" for i in range(20)}
 
 
+def test_chunk_token_ids_edges(spark):
+    """chunk_documents' edge grid at MODEL-token grain: fits-in-one,
+    exact boundary, one over, multi-chunk overlap coverage, empty
+    stream, NULL stream."""
+    from wikiextractor_spark.operators.chunking import chunk_token_ids
+
+    def ids(n, base=0):
+        return [base + i for i in range(n)]
+
+    df = spark.createDataFrame(
+        [
+            (1, ids(3)),
+            (2, ids(8)),
+            (3, ids(9)),
+            (4, ids(20, 100)),
+            (5, []),
+            (6, None),
+        ],
+        "doc_id long, token_ids array<long>",
+    )
+    out = chunk_token_ids(df, chunk_tokens=8, overlap=2)
+    rows = {
+        (r["doc_id"], r["chunk_no"]): (list(r["token_ids"]), r["n_tokens"])
+        for r in out.collect()
+    }
+    assert rows[(1, 0)] == (ids(3), 3)
+    assert max(no for d, no in rows if d == 2) == 0
+    assert max(no for d, no in rows if d == 3) == 1
+    c0, c1 = rows[(4, 0)][0], rows[(4, 1)][0]
+    assert c0[-2:] == c1[:2]  # step 6 → exactly 2 ids of overlap
+    assert rows[(4, 0)][1] == 8
+    covered = set()
+    for (d, _no), (chunk, _n) in rows.items():
+        if d == 4:
+            covered.update(chunk)
+    assert covered == set(ids(20, 100))
+    # empty stream survives as one empty chunk; NULL emits nothing
+    assert rows[(5, 0)] == ([], 0)
+    assert not any(d == 6 for d, _no in rows)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_token_ids(df, chunk_tokens=4, overlap=4)
+    # zero shuffle, zero Python — the scan-speed contract
+    plan = chunk_token_ids(df, chunk_tokens=8, overlap=2)
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_assemble_packs_plan_shape(spark):
+    """The id streams never enter Python: the only Python stage in
+    the whole assemble plan is the FFD assignment over the narrow
+    (id, cost) projection, and nothing plans a cartesian product."""
+    from wikiextractor_spark.operators.packing import assemble_packs
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 7))) for i in range(50)],
+        "doc_id long, token_ids array<long>",
+    )
+    out = assemble_packs(
+        df, budget=16, num_groups=2, persist_input=False
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # exactly one Python stage (FlatMapGroupsInPandas = the FFD
+    # kernel); the content join/concat is JVM-only
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
 def test_dedup_near_end_to_end(spark, docs):
     """Planted exact copies (jaccard 1.0) must be LSH-proposed,
     Jaccard-verified, and dropped; the survivors are the original
