@@ -3131,22 +3131,67 @@ sql_query(
                  unnest([{'no': i,
                           'chunk': array_to_string(ws[(i*12+1):(i*12+16)], ' ')}
                          for i in range(nc)]) AS s
-          FROM n)
-    SELECT doc_id, s.no AS chunk_no, s.chunk AS chunk,
+          FROM n),
+    iw AS (SELECT doc_id,
+                  [CAST(length(x) AS BIGINT) for x in string_split(text, ' ')]
+                    AS ids
+           FROM documents),
+    ni AS (SELECT doc_id, ids,
+                  CASE WHEN len(ids) <= 16 THEN 1
+                       ELSE (len(ids) - 4 + 11) // 12 END AS nc
+           FROM iw),
+    ci AS (SELECT doc_id,
+                  unnest([{'no': i,
+                           'chunk': array_to_string(ids[(i*12+1):(i*12+16)], ','),
+                           'nt': len(ids[(i*12+1):(i*12+16)])}
+                          for i in range(nc)]) AS s
+           FROM ni)
+    SELECT 'text' AS family, doc_id, s.no AS chunk_no, s.chunk AS chunk,
            len(string_split(s.chunk, ' ')) AS n_tokens
     FROM c
+    UNION ALL
+    SELECT 'ids' AS family, doc_id, s.no AS chunk_no, s.chunk AS chunk,
+           s.nt AS n_tokens
+    FROM ci
     """,
 )
 def ta_chunk_documents(spark, sf_dir):
-    """LLM-prep document chunking: 16-token windows, 4-token overlap
-    (operators/chunking.py — narrow higher-order expressions, scan
-    speed).  The oracle rebuilds the same windows with DuckDB list
-    comprehensions."""
-    from wikiextractor_spark.operators.chunking import chunk_documents
-
-    return chunk_documents(
-        _docs(spark, sf_dir), chunk_tokens=16, overlap=4
+    """LLM-prep document chunking, two families: 'text' — 16-token
+    whitespace windows, 4-token overlap (chunk_documents, narrow
+    higher-order expressions, scan speed); 'ids' (r12) — the SAME
+    windows over a tokenized id stream through chunk_token_ids (the
+    model-token-grain chunker), ids derived natively as per-word
+    lengths so the oracle restates the stream, the slices, and the
+    per-chunk counts with DuckDB list comprehensions and the chunks
+    hash as comma-joined id strings."""
+    from wikiextractor_spark.operators.chunking import (
+        chunk_documents,
+        chunk_token_ids,
     )
+
+    text_fam = chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=16, overlap=4
+    ).select(
+        F.lit("text").alias("family"),
+        "doc_id", "chunk_no", "chunk", "n_tokens",
+    )
+    ids_df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), x -> CAST(length(x) AS BIGINT))"
+        ).alias("token_ids"),
+    )
+    ids_fam = chunk_token_ids(
+        ids_df, chunk_tokens=16, overlap=4
+    ).select(
+        F.lit("ids").alias("family"),
+        "doc_id", "chunk_no",
+        F.expr(
+            "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
+        ).alias("chunk"),
+        "n_tokens",
+    )
+    return text_fam.unionByName(ids_fam)
 
 
 # The flagship composition under the driver's oracle (r3 next-round
