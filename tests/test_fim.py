@@ -1,0 +1,153 @@
+"""FIM transformation (operators/fim.py): differential against a
+pure-Python restatement of the md5 gate/cuts, structural invariants
+(original stream reassembles from the parts), pass-through fidelity,
+contract errors, and the scan-speed plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.operators.fim import fim_transform
+
+PRE, MID, SUF = 1000, 1001, 1002
+
+
+def _bucket(key, salt):
+    h = hashlib.md5((str(key) + salt).encode()).hexdigest()
+    return int(h[:8], 16) % 1_000_000
+
+
+def _py_fim(doc_id, ids, rate, salt="fim", spm=False):
+    if ids is None:
+        return None
+    if _bucket(doc_id, salt) >= round(rate * 1_000_000):
+        return list(ids)
+    n = len(ids)
+    h1 = _bucket(doc_id, salt + ":c1") % (n + 1)
+    h2 = _bucket(doc_id, salt + ":c2") % (n + 1)
+    c1, c2 = min(h1, h2), max(h1, h2)
+    pre, mid, suf = ids[:c1], ids[c1:c2], ids[c2:]
+    if spm:
+        return [PRE, SUF] + suf + [MID] + pre + mid
+    return [PRE] + pre + [SUF] + suf + [MID] + mid
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    rows = [(i, [100 + i * 10 + j for j in range(i % 9)]) for i in range(60)]
+    rows.append((999, None))
+    return spark.createDataFrame(rows, "doc_id long, token_ids array<long>")
+
+
+@pytest.mark.parametrize("spm", [False, True])
+def test_fim_differential(spark, ids_df, spm):
+    got = {
+        r["doc_id"]: (None if r["token_ids"] is None else list(r["token_ids"]))
+        for r in fim_transform(
+            ids_df, prefix_id=PRE, middle_id=MID, suffix_id=SUF,
+            fim_rate=0.5, spm=spm,
+        ).collect()
+    }
+    src = {r["doc_id"]: r["token_ids"] for r in ids_df.collect()}
+    transformed = 0
+    for d, ids in src.items():
+        expect = _py_fim(d, ids, 0.5, spm=spm)
+        assert got[d] == expect, (d, got[d], expect)
+        if ids is not None and expect != list(ids):
+            transformed += 1
+    assert 0 < transformed < len(src) - 1  # the gate genuinely splits
+
+
+def test_fim_structure_and_reassembly(spark, ids_df):
+    """Transformed streams carry exactly the three sentinels and the
+    original ids: stripping sentinels and re-ordering PSM parts
+    reproduces the source stream."""
+    out = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in fim_transform(
+            ids_df.filter("token_ids IS NOT NULL"),
+            prefix_id=PRE, middle_id=MID, suffix_id=SUF, fim_rate=1.0,
+        ).collect()
+    }
+    src = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in ids_df.filter("token_ids IS NOT NULL").collect()
+    }
+    for d, ids in out.items():
+        assert ids[0] == PRE
+        i_suf = ids.index(SUF)
+        i_mid = ids.index(MID)
+        pre = ids[1:i_suf]
+        suf = ids[i_suf + 1:i_mid]
+        mid = ids[i_mid + 1:]
+        assert pre + mid + suf == src[d]
+        # exactly three sentinels, streams grow by exactly 3
+        assert len(ids) == len(src[d]) + 3
+
+
+def test_fim_rate_zero_is_identity_and_null_passthrough(spark, ids_df):
+    out = {
+        r["doc_id"]: (None if r["token_ids"] is None else list(r["token_ids"]))
+        for r in fim_transform(
+            ids_df, prefix_id=PRE, middle_id=MID, suffix_id=SUF,
+            fim_rate=0.0,
+        ).collect()
+    }
+    for r in ids_df.collect():
+        want = None if r["token_ids"] is None else list(r["token_ids"])
+        assert out[r["doc_id"]] == want
+    # NULL stays NULL at rate 1.0 too
+    full = fim_transform(
+        ids_df, prefix_id=PRE, middle_id=MID, suffix_id=SUF, fim_rate=1.0,
+    )
+    assert full.filter("doc_id = 999").first()["token_ids"] is None
+
+
+def test_fim_contract_errors(spark, ids_df):
+    with pytest.raises(ValueError, match="negative"):
+        fim_transform(
+            ids_df, prefix_id=-1, middle_id=MID, suffix_id=SUF
+        )
+    with pytest.raises(ValueError, match="distinct"):
+        fim_transform(
+            ids_df, prefix_id=PRE, middle_id=PRE, suffix_id=SUF
+        )
+    with pytest.raises(ValueError, match="fim_rate"):
+        fim_transform(
+            ids_df, prefix_id=PRE, middle_id=MID, suffix_id=SUF,
+            fim_rate=1.5,
+        )
+
+
+def test_fim_plan_shape(spark, ids_df):
+    out = fim_transform(
+        ids_df, prefix_id=PRE, middle_id=MID, suffix_id=SUF
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_fim_chains_into_packs(spark, ids_df):
+    """Composes into the emit path: FIM → assemble_packs, budgets
+    honoring the +3 sentinel growth."""
+    from wikiextractor_spark.operators.packing import assemble_packs
+
+    fimmed = fim_transform(
+        ids_df.filter("token_ids IS NOT NULL"),
+        prefix_id=PRE, middle_id=MID, suffix_id=SUF, fim_rate=1.0,
+    )
+    packs = assemble_packs(fimmed, budget=64, num_groups=1, sep_id=0)
+    rows = packs.collect()
+    assert all(r["n_tokens"] <= 64 for r in rows if not r["over_budget"])
+    total = sum(r["n_tokens"] for r in rows)
+    n_docs = ids_df.filter("token_ids IS NOT NULL").count()
+    src_tokens = sum(
+        len(r["token_ids"])
+        for r in ids_df.filter("token_ids IS NOT NULL").collect()
+    )
+    # every stream grew by 3 sentinels, plus one separator per doc
+    assert total == src_tokens + 4 * n_docs

@@ -1,0 +1,114 @@
+"""Fill-in-the-middle (FIM) transformation over tokenized id streams
+— the document-level data augmentation code-model pretraining uses
+(Bavarian et al. 2022, "Efficient Training of Language Models to Fill
+in the Middle"): for a fraction of documents, split the id stream
+into (prefix, middle, suffix) at two positions and rearrange with
+sentinel tokens so the model learns to infill,
+
+    PSM:  [PRE] prefix [SUF] suffix [MID] middle
+    SPM:  [PRE] [SUF] suffix [MID] prefix middle
+
+(the published PSM and joined-SPM orderings; the paper trains on a
+mix).  The rest of the corpus passes through untouched.
+
+Everything is DETERMINISTIC and engine-reproducible — the gate and
+both cut positions are md5-derived pure functions of (doc id, salt),
+the same construction as the engine's deterministic samplers, so a
+re-run on any cluster layout produces byte-identical streams and a
+DuckDB oracle can restate the whole transform:
+
+* gate: ``md5(id || salt)`` bucket < rate · 1e6 (exactly
+  :func:`~wikiextractor_spark.operators.sampling.deterministic_sample`'s
+  gate);
+* cuts: two more salted buckets mod (n + 1), sorted — every
+  (c1 <= c2) split of an n-token stream is reachable, including
+  empty prefix/middle/suffix (the paper keeps them; an empty middle
+  teaches "nothing to fill").
+
+Scale shape: one narrow native projection — ``slice`` + ``concat``
+under the one-element-array idiom, zero Python, zero shuffle, zero
+joins — so it composes into the emit pipeline between
+:func:`~wikiextractor_spark.functions.tokenizer.bpe_token_ids` and
+:func:`~wikiextractor_spark.operators.packing.assemble_packs` /
+:func:`~wikiextractor_spark.operators.chunking.chunk_token_ids` at
+scan speed.
+
+Sentinel ids are the caller's contract (real tokenizers reserve
+them, e.g. the published suffix/prefix/middle specials); they must
+be non-negative and SHOULD be outside the vocabulary's id range —
+the engine cannot check the latter against a merges-only artifact,
+so it validates non-negativity (the -1 OOV sentinel stays
+unambiguous) and distinctness.
+
+No reference counterpart — engine extension (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wikiextractor_spark.operators.sampling import _BUCKETS, _hash_bucket
+
+
+def fim_transform(
+    df: DataFrame, ids_col: str = "token_ids", id_col: str = "doc_id",
+    *, prefix_id: int, middle_id: int, suffix_id: int,
+    fim_rate: float = 0.5, spm: bool = False, salt: str = "fim",
+) -> DataFrame:
+    """Rewrite ``ids_col`` in place: a deterministic ``fim_rate``
+    fraction of documents (md5 gate on ``id_col``) becomes the FIM
+    arrangement with the given sentinel ids; the rest pass through
+    byte-identical.  ``spm=False`` emits PSM, ``True`` the joined SPM
+    ordering.  NULL streams stay NULL (the transform neither drops
+    nor invents rows — gate NULL-text upstream as everywhere else).
+
+    Sentinels: three DISTINCT non-negative longs.  Transformed
+    streams grow by exactly 3 tokens — budget ``assemble_packs`` /
+    ``chunk_token_ids`` accordingly."""
+    sent = {"prefix_id": prefix_id, "middle_id": middle_id,
+            "suffix_id": suffix_id}
+    for name, v in sent.items():
+        if int(v) < 0:
+            raise ValueError(
+                f"fim_transform: {name}={v} is negative — it would "
+                "collide with the -1 OOV sentinel"
+            )
+    if len({int(v) for v in sent.values()}) != 3:
+        raise ValueError(
+            f"fim_transform: sentinel ids must be distinct, got {sent}"
+        )
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
+
+    gate = _hash_bucket(F.col(id_col), salt) < int(
+        round(fim_rate * _BUCKETS)
+    )
+    # two independent salted draws → cut positions in [0, n]; sorting
+    # makes (c1, c2) uniform over ordered pairs with replacement
+    n = F.size(F.col(ids_col))
+    h1 = _hash_bucket(F.col(id_col), salt + ":c1") % (n + 1)
+    h2 = _hash_bucket(F.col(id_col), salt + ":c2") % (n + 1)
+    c1, c2 = F.least(h1, h2), F.greatest(h1, h2)
+
+    def lit1(v: int):
+        return F.array(F.lit(int(v)).cast("long"))
+
+    # slice(ids, start, length) is 1-based; empty slices are legal
+    prefix = F.slice(F.col(ids_col), F.lit(1), c1)
+    middle = F.slice(F.col(ids_col), c1 + 1, c2 - c1)
+    suffix = F.slice(F.col(ids_col), c2 + 1, n - c2)
+    psm = F.concat(
+        lit1(prefix_id), prefix, lit1(suffix_id), suffix,
+        lit1(middle_id), middle,
+    )
+    spm_arr = F.concat(
+        lit1(prefix_id), lit1(suffix_id), suffix,
+        lit1(middle_id), prefix, middle,
+    )
+    arranged = spm_arr if spm else psm
+    return df.withColumn(
+        ids_col,
+        F.when(F.col(ids_col).isNull(), F.col(ids_col))
+        .when(gate, arranged)
+        .otherwise(F.col(ids_col)),
+    )

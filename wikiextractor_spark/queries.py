@@ -3119,17 +3119,22 @@ sql_query(
 # (ta_top_bigrams merged into ta_term_stats below — r7.)
 
 
+# FIM battery sentinels (operators/fim.py): prefix/middle/suffix ids
+# and the 50% gate, shared verbatim with the oracle's restatement
+_FIM_PRE, _FIM_MID, _FIM_SUF, _FIM_RATE = 1000, 1001, 1002, 0.5
+
+
 @query(
     "ta_chunk_documents",
-    """
+    f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     n AS (SELECT doc_id, ws,
                  CASE WHEN len(ws) <= 16 THEN 1
                       ELSE (len(ws) - 4 + 11) // 12 END AS nc
           FROM w),
     c AS (SELECT doc_id,
-                 unnest([{'no': i,
-                          'chunk': array_to_string(ws[(i*12+1):(i*12+16)], ' ')}
+                 unnest([{{'no': i,
+                          'chunk': array_to_string(ws[(i*12+1):(i*12+16)], ' ')}}
                          for i in range(nc)]) AS s
           FROM n),
     iw AS (SELECT doc_id,
@@ -3141,11 +3146,30 @@ sql_query(
                        ELSE (len(ids) - 4 + 11) // 12 END AS nc
            FROM iw),
     ci AS (SELECT doc_id,
-                  unnest([{'no': i,
+                  unnest([{{'no': i,
                            'chunk': array_to_string(ids[(i*12+1):(i*12+16)], ','),
-                           'nt': len(ids[(i*12+1):(i*12+16)])}
+                           'nt': len(ids[(i*12+1):(i*12+16)])}}
                           for i in range(nc)]) AS s
-           FROM ni)
+           FROM ni),
+    fimcut AS (
+      SELECT doc_id, ids, len(ids) AS n,
+             {_duck_bucket('doc_id', 'fim')} < {int(round(_FIM_RATE * 1000000))} AS gated,
+             ({_duck_bucket('doc_id', 'fim:c1')} % (len(ids) + 1)) AS h1,
+             ({_duck_bucket('doc_id', 'fim:c2')} % (len(ids) + 1)) AS h2
+      FROM iw
+    ),
+    fimout AS (
+      SELECT doc_id,
+             CASE WHEN NOT gated THEN ids
+                  ELSE [CAST({_FIM_PRE} AS BIGINT)]
+                       || ids[1:least(h1, h2)]
+                       || [CAST({_FIM_SUF} AS BIGINT)]
+                       || ids[greatest(h1, h2) + 1:n]
+                       || [CAST({_FIM_MID} AS BIGINT)]
+                       || ids[least(h1, h2) + 1:greatest(h1, h2)]
+             END AS ids
+      FROM fimcut
+    )
     SELECT 'text' AS family, doc_id, s.no AS chunk_no, s.chunk AS chunk,
            len(string_split(s.chunk, ' ')) AS n_tokens
     FROM c
@@ -3153,6 +3177,11 @@ sql_query(
     SELECT 'ids' AS family, doc_id, s.no AS chunk_no, s.chunk AS chunk,
            s.nt AS n_tokens
     FROM ci
+    UNION ALL
+    SELECT 'fim' AS family, doc_id, 0 AS chunk_no,
+           array_to_string(ids, ',') AS chunk,
+           len(ids) AS n_tokens
+    FROM fimout
     """,
 )
 def ta_chunk_documents(spark, sf_dir):
@@ -3191,7 +3220,25 @@ def ta_chunk_documents(spark, sf_dir):
         ).alias("chunk"),
         "n_tokens",
     )
-    return text_fam.unionByName(ids_fam)
+    # 'fim' family (r12, operators/fim.py): the PSM fill-in-middle
+    # rearrangement over the same derived id stream — md5 gate + both
+    # cut positions + the sentinel layout all re-derived by the
+    # oracle from the shared constants
+    from wikiextractor_spark.operators.fim import fim_transform
+
+    fim_fam = fim_transform(
+        ids_df, prefix_id=_FIM_PRE, middle_id=_FIM_MID,
+        suffix_id=_FIM_SUF, fim_rate=_FIM_RATE, salt="fim",
+    ).select(
+        F.lit("fim").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.expr(
+            "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
+        ).alias("chunk"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+    )
+    return text_fam.unionByName(ids_fam).unionByName(fim_fam)
 
 
 # The flagship composition under the driver's oracle (r3 next-round
