@@ -975,3 +975,36 @@ def test_train_bpe_tokenizer_dedups_relearned_pairs(
         df, 3, str(tmp_path / "v"), str(tmp_path / "m"), min_count=1
     )
     assert ranks == {("a", "b"): 0.0, ("c", "d"): 1.0}
+
+
+def test_release_local_checkpoint_failure_warns_once(spark):
+    """r12 VERDICT #3: the release is best-effort, but a failure must
+    be OBSERVABLE — first failure per process warns, later ones stay
+    silent, and a successful release never warns."""
+    import warnings as _warnings
+
+    import wikiextractor_spark.functions.modelio as mio
+
+    class _Boom:
+        @property
+        def _jdf(self):
+            raise RuntimeError("py4j path renamed")
+
+    prior = mio._RELEASE_WARNED
+    try:
+        mio._RELEASE_WARNED = False
+        with pytest.warns(RuntimeWarning, match="block release failed"):
+            mio.release_local_checkpoint(_Boom())
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            mio.release_local_checkpoint(_Boom())  # one-time: silent
+        # the success path is silent even with the flag reset
+        mio._RELEASE_WARNED = False
+        ckpt = spark.createDataFrame(
+            [(1,)], "x long"
+        ).localCheckpoint(eager=True)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            mio.release_local_checkpoint(ckpt)
+    finally:
+        mio._RELEASE_WARNED = prior

@@ -729,3 +729,23 @@ def test_raw_crawl_to_prepare_corpus(spark, tmp_path):
     assert len(out) == 1
     assert "<p>" not in out[0]["text"]
     assert "paragraph number 3" in out[0]["text"]
+
+
+def test_cli_reverse_policy_guard(monkeypatch):
+    """The REVERSE desync (r12 ADVICE): a dest added to the policy
+    tuples whose argparse default is NOT the sentinel would make
+    _resolve_scoped treat it as always-supplied — every run with the
+    other --source would spuriously error.  build_parser fails fast on
+    both a non-sentinel default and a dest missing from the parser."""
+    import pytest
+
+    import wikiextractor_spark.__main__ as cli
+
+    # --out exists but its default is "wiki_out", not _UNSET
+    monkeypatch.setattr(cli, "_DUMP_ONLY", cli._DUMP_ONLY + ("out",))
+    with pytest.raises(AssertionError, match="not _UNSET"):
+        cli.build_parser()
+    # a policy entry with no parser action at all
+    monkeypatch.setattr(cli, "_DUMP_ONLY", cli._DUMP_ONLY + ("ghost",))
+    with pytest.raises(AssertionError, match="not _UNSET"):
+        cli.build_parser()

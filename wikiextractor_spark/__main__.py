@@ -117,6 +117,21 @@ def build_parser() -> argparse.ArgumentParser:
             f"tuples: {unresolved} — add them to _WARC_ONLY or "
             "_DUMP_ONLY (and _SCOPED_DEFAULTS)"
         )
+    # and the REVERSE desync (r12 ADVICE): a dest listed in the policy
+    # tuples whose argparse default is NOT the sentinel would make
+    # _resolve_scoped treat the flag as always-supplied, so every run
+    # with the other --source spuriously errors
+    defaults = {a.dest: a.default for a in p._actions}
+    not_sentinel = [
+        d for d in sorted(scoped)
+        if d not in defaults or defaults[d] is not _UNSET
+    ]
+    if not_sentinel:
+        raise AssertionError(
+            f"policy-tuple flags whose parser default is not _UNSET "
+            f"(or that are missing from the parser): {not_sentinel} — "
+            "declare them with default=_UNSET"
+        )
     return p
 
 

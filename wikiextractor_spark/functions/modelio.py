@@ -19,7 +19,15 @@ the scalar row.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+# one-time flag for release_local_checkpoint's failure warning: the
+# release is best-effort, but a Spark upgrade renaming the py4j path
+# would otherwise silently turn EVERY release into a no-op and
+# resurrect the block-manager leak the function exists to fix
+_RELEASE_WARNED = False
 
 
 def infer_fmt(path: str, fmt: str | None) -> str:
@@ -44,11 +52,25 @@ def release_local_checkpoint(df: DataFrame) -> None:
     (r11 VERDICT/ADVICE; generalized from the BPE trainer in r12).
     The checkpointed RDD rides the frame's ``LogicalRDD`` leaf; the
     py4j hop is best-effort cleanup, never a correctness dependency,
-    so any failure is swallowed."""
+    so any failure is swallowed — but OBSERVABLY (r12 VERDICT #3): the
+    first failure per process emits a RuntimeWarning, so a Spark
+    upgrade that renames the private path shows up in test logs
+    instead of silently leaking checkpoint blocks forever."""
+    global _RELEASE_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — cleanup only; results never
-        pass  # depend on the release
+    except Exception as exc:  # noqa: BLE001 — cleanup only; results
+        # never depend on the release
+        if not _RELEASE_WARNED:
+            _RELEASE_WARNED = True
+            warnings.warn(
+                "release_local_checkpoint: best-effort block release "
+                f"failed ({type(exc).__name__}: {exc}) — checkpoint "
+                "blocks will accumulate until LRU eviction; the py4j "
+                "route may need updating for this Spark version",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def write_one_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -400,9 +400,11 @@ def load_bpe_vocab_json(
             "{token: id}"
         )
     shape_bad = _bad_tokens(obj)
+    shape_bad_set = set(shape_bad)  # membership probe per entry: a
+    # heavily corrupt ~50k-entry artifact would make a list scan O(n²)
     bad = shape_bad + [
         t for t, i in obj.items()
-        if t not in shape_bad  # report each entry once
+        if t not in shape_bad_set  # report each entry once
         and (isinstance(i, bool) or not isinstance(i, (int, float)))
     ]
     if bad:
