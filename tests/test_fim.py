@@ -20,14 +20,21 @@ def _bucket(key, salt):
     return int(h[:8], 16) % 1_000_000
 
 
+def _u60(key, salt):
+    """sampling._hash_u60 restated: full-width 60-bit md5 draw (r13,
+    the cut derivation)."""
+    h = hashlib.md5((str(key) + salt).encode()).hexdigest()
+    return int(h[:15], 16)
+
+
 def _py_fim(doc_id, ids, rate, salt="fim", spm=False):
     if ids is None:
         return None
     if _bucket(doc_id, salt) >= round(rate * 1_000_000):
         return list(ids)
     n = len(ids)
-    h1 = _bucket(doc_id, salt + ":c1") % (n + 1)
-    h2 = _bucket(doc_id, salt + ":c2") % (n + 1)
+    h1 = _u60(doc_id, salt + ":c1") % (n + 1)
+    h2 = _u60(doc_id, salt + ":c2") % (n + 1)
     c1, c2 = min(h1, h2), max(h1, h2)
     pre, mid, suf = ids[:c1], ids[c1:c2], ids[c2:]
     if spm:
@@ -151,3 +158,47 @@ def test_fim_chains_into_packs(spark, ids_df):
     )
     # every stream grew by 3 sentinels, plus one separator per doc
     assert total == src_tokens + 4 * n_docs
+
+
+def test_fim_cuts_reach_beyond_bucket_width(spark):
+    """r12 VERDICT #1: the old 1e6-bucket cut derivation confined both
+    cuts to the first million positions of any longer stream.  With
+    the r13 full-width draw, a >1M-token stream gets cuts anywhere in
+    [0, n] — verified against the Python restatement on a doc id whose
+    cuts BOTH land beyond the old bucket width."""
+    n = 1_500_000
+    did = next(
+        i for i in range(2000)
+        if _bucket(i, "fim") < 500_000
+        and min(
+            _u60(i, "fim:c1") % (n + 1), _u60(i, "fim:c2") % (n + 1)
+        ) > 1_000_000
+    )
+    h1 = _u60(did, "fim:c1") % (n + 1)
+    h2 = _u60(did, "fim:c2") % (n + 1)
+    c1, c2 = min(h1, h2), max(h1, h2)
+    assert c1 > 1_000_000  # unreachable under the r12 derivation
+
+    df = spark.range(1).select(
+        F.lit(did).cast("long").alias("doc_id"),
+        F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>").alias(
+            "token_ids"
+        ),
+    )
+    out = list(
+        fim_transform(
+            df, prefix_id=PRE, middle_id=MID, suffix_id=SUF, fim_rate=0.5
+        ).first()["token_ids"]
+    )
+    # PSM: [PRE] ids[:c1] [SUF] ids[c2:] [MID] ids[c1:c2] — ids are
+    # 0..n-1, so each part's boundary values pin the cut positions
+    assert len(out) == n + 3
+    assert out[0] == PRE
+    assert out[c1 + 1] == SUF
+    assert out[c1 + 2 + (n - c2)] == MID
+    if c1 > 0:
+        assert out[c1] == c1 - 1          # last of prefix
+    if c2 < n:
+        assert out[c1 + 2] == c2          # first of suffix
+    if c2 > c1:
+        assert out[c1 + 3 + (n - c2)] == c1  # first of middle

@@ -20,10 +20,13 @@ DuckDB oracle can restate the whole transform:
 * gate: ``md5(id || salt)`` bucket < rate · 1e6 (exactly
   :func:`~wikiextractor_spark.operators.sampling.deterministic_sample`'s
   gate);
-* cuts: two more salted buckets mod (n + 1), sorted — every
-  (c1 <= c2) split of an n-token stream is reachable, including
-  empty prefix/middle/suffix (the paper keeps them; an empty middle
-  teaches "nothing to fill").
+* cuts: two FULL-WIDTH salted 60-bit draws mod (n + 1), sorted
+  (r13 — the 1e6-bucket draw confined both cuts to the first million
+  positions on longer streams and carried ~n/1e6 modulo bias; the
+  60-bit draw's bias is ~n/2^60, negligible at any real document
+  length) — every (c1 <= c2) split of an n-token stream is
+  reachable, including empty prefix/middle/suffix (the paper keeps
+  them; an empty middle teaches "nothing to fill").
 
 Scale shape: one narrow native projection — ``slice`` + ``concat``
 under the one-element-array idiom, zero Python, zero shuffle, zero
@@ -47,7 +50,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from wikiextractor_spark.operators.sampling import _BUCKETS, _hash_bucket
+from wikiextractor_spark.operators.sampling import (
+    _BUCKETS,
+    _hash_bucket,
+    _hash_u60,
+)
 
 
 def fim_transform(
@@ -83,11 +90,15 @@ def fim_transform(
     gate = _hash_bucket(F.col(id_col), salt) < int(
         round(fim_rate * _BUCKETS)
     )
-    # two independent salted draws → cut positions in [0, n]; sorting
-    # makes (c1, c2) uniform over ordered pairs with replacement
+    # two independent full-width draws mod (n+1), then sorted: each
+    # cut is (near-)uniform over [0, n] (60-bit draw → modulo bias
+    # ~n/2^60); the SORTED pair is NOT uniform over {c1 <= c2} —
+    # diagonal pairs (c1 == c2) carry half the mass of off-diagonal
+    # ones, the standard order-statistics shape of two independent
+    # draws (r12 ADVICE: the earlier comment overclaimed uniformity)
     n = F.size(F.col(ids_col))
-    h1 = _hash_bucket(F.col(id_col), salt + ":c1") % (n + 1)
-    h2 = _hash_bucket(F.col(id_col), salt + ":c2") % (n + 1)
+    h1 = _hash_u60(F.col(id_col), salt + ":c1") % (n + 1)
+    h2 = _hash_u60(F.col(id_col), salt + ":c2") % (n + 1)
     c1, c2 = F.least(h1, h2), F.greatest(h1, h2)
 
     def lit1(v: int):

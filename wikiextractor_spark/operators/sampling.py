@@ -28,6 +28,21 @@ def _hash_bucket(col, salt: str):
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
 
 
+def _hash_u60(col, salt: str):
+    """md5-derived uniform 60-bit value in [0, 2^60) — the FULL-WIDTH
+    sibling of :func:`_hash_bucket` (same NULL sentinel, same
+    engine-reproducibility argument) for consumers that take a modulus
+    of their own: ``% (n + 1)`` over a 60-bit draw carries bias of
+    order n/2^60 where the 1e6-bucket gate's would be n/1e6 — the
+    difference between negligible and visible exactly when n is large
+    (r12 VERDICT: FIM cuts on >1M-token streams).  15 hex chars keep
+    the value positive in a signed BIGINT on every engine."""
+    h = F.md5(
+        F.concat(F.coalesce(col.cast("string"), F.lit("<null>")), F.lit(salt))
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = "",
 ) -> DataFrame:

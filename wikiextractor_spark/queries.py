@@ -1962,6 +1962,17 @@ def _duck_bucket(key_expr: str, salt: str) -> str:
     )
 
 
+def _duck_u60(key_expr: str, salt: str) -> str:
+    """operators/sampling._hash_u60 restated for DuckDB — the
+    full-width 60-bit sibling of :func:`_duck_bucket` (15 hex chars of
+    the md5, positive in a signed BIGINT on both engines); consumers
+    apply their own modulus (the r13 FIM cut derivation)."""
+    return (
+        f"CAST(('0x' || substring(md5(coalesce(CAST({key_expr} AS "
+        f"VARCHAR), '<null>') || '{salt}'), 1, 15))::UBIGINT AS BIGINT)"
+    )
+
+
 # Gopher A1.1 shape rules + the domain-blocklist gate (both late-r7
 # native expressions, driver-verified r8) in one long-form
 # discriminated slot: one row per (doc, signal) for the Gopher family
@@ -3152,10 +3163,12 @@ _FIM_PRE, _FIM_MID, _FIM_SUF, _FIM_RATE = 1000, 1001, 1002, 0.5
                           for i in range(nc)]) AS s
            FROM ni),
     fimcut AS (
+      -- gate: the 1e6-bucket sampler construction; cuts: FULL-WIDTH
+      -- 60-bit draws mod (n+1) (r13 — operators/fim.py's rewrite)
       SELECT doc_id, ids, len(ids) AS n,
              {_duck_bucket('doc_id', 'fim')} < {int(round(_FIM_RATE * 1000000))} AS gated,
-             ({_duck_bucket('doc_id', 'fim:c1')} % (len(ids) + 1)) AS h1,
-             ({_duck_bucket('doc_id', 'fim:c2')} % (len(ids) + 1)) AS h2
+             ({_duck_u60('doc_id', 'fim:c1')} % (len(ids) + 1)) AS h1,
+             ({_duck_u60('doc_id', 'fim:c2')} % (len(ids) + 1)) AS h2
       FROM iw
     ),
     fimout AS (
