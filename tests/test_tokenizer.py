@@ -1008,3 +1008,131 @@ def test_release_local_checkpoint_failure_warns_once(spark):
             mio.release_local_checkpoint(ckpt)
     finally:
         mio._RELEASE_WARNED = prior
+
+
+# ---------------------------------------------------------------------------
+# Special tokens in the exact/ids replay path (r13)
+# ---------------------------------------------------------------------------
+
+_EOT = "<|endoftext|>"
+
+
+def test_special_tokens_published_semantics(spark):
+    """Literal special-token text emits exactly the reserved id, split
+    out BEFORE pre-tokenization (the published added-token behavior),
+    and the surrounding segments tokenize independently.  Overlapping
+    specials resolve longest-first."""
+    from wikiextractor_spark.functions.tokenizer import bpe_token_ids
+
+    specials = {_EOT: 50256, "<|end|>": 50257}
+    texts = [
+        _EOT,                                  # alone → one id
+        f"the{_EOT}the",                       # segments don't fuse
+        f"doc one{_EOT}doc two{_EOT}",         # repeated + trailing
+        "no special here",
+        f"a <|end|> then {_EOT} both",         # overlap: longest wins
+        "", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = vocab_from_tokens(spark, _G2_TEST_VOCAB, 0.5)
+    ranks = {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    out = bpe_token_ids(
+        df, vocab, ranks, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        special_tokens=specials,
+    )
+    out = bpe_token_count_exact(
+        out, vocab, ranks, out_col="n",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        special_tokens=specials,
+    )
+    # independent restatement: split on the escaped alternation
+    # (longest first), specials → their id, segments → the replay
+    from wikiextractor_spark.functions.tokenizer import (
+        _bpe_replay_symbols,
+    )
+
+    enc = gpt2_bytes_to_unicode()
+    idmap = {t: i for i, t in enumerate(_G2_TEST_VOCAB)}
+    alt = _re.compile(
+        "(%s)" % "|".join(
+            _re.escape(t)
+            for t in sorted(specials, key=len, reverse=True)
+        )
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert rows[i]["ids"] is None and rows[i]["n"] is None
+            continue
+        expect = []
+        for k, seg in enumerate(alt.split(t)):
+            if k % 2 == 1:
+                expect.append(specials[seg])
+                continue
+            for ptok in _G2RE.findall(seg):
+                e = "".join(enc[b] for b in ptok.encode())
+                for s in _bpe_replay_symbols(e, ranks):
+                    if s in idmap:
+                        expect.append(idmap[s])
+                    else:
+                        expect.extend([-1] * len(s))
+        assert list(rows[i]["ids"]) == expect, (t, rows[i]["ids"], expect)
+        derived = sum(1.0 if x >= 0 else 0.5 for x in rows[i]["ids"])
+        assert rows[i]["n"] == derived
+    # the headline fix: the marker alone is ONE id, not byte-grain
+    assert list(rows[0]["ids"]) == [50256]
+    assert rows[0]["n"] == 1.0
+    # without specials the same text charges many byte-grain symbols
+    plain = bpe_token_ids(
+        df.filter("doc_id = 0"), vocab, ranks, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    ).first()["ids"]
+    assert len(plain) > 5 and 50256 not in plain
+
+
+def test_special_tokens_roundtrip_fim_pack_markers(spark):
+    """The engine's own assemble_packs/fim output re-ingested as text
+    now counts faithfully: a document carrying the literal separator
+    marker costs exactly what the id stream says."""
+    from wikiextractor_spark.functions.tokenizer import bpe_token_ids
+
+    df = spark.createDataFrame(
+        [(0, f"the thing{_EOT}the thing")], "doc_id long, text string"
+    )
+    vocab = vocab_from_tokens(spark, _G2_TEST_VOCAB, 0.5)
+    ranks = {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    ids = list(
+        bpe_token_ids(
+            df, vocab, ranks, out_col="ids",
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+            special_tokens={_EOT: 50256},
+        ).first()["ids"]
+    )
+    # exactly one marker id, at the boundary between the two halves
+    assert ids.count(50256) == 1
+    half = ids[: ids.index(50256)]
+    assert ids == half + [50256] + half
+
+
+def test_special_tokens_contract_errors(spark):
+    from wikiextractor_spark.functions.tokenizer import bpe_token_ids
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    vocab = vocab_from_tokens(spark, _G2_TEST_VOCAB, 0.5)
+    with pytest.raises(ValueError, match="empty or not strings"):
+        bpe_token_ids(df, vocab, {}, special_tokens={"": 1})
+    with pytest.raises(ValueError, match="non-integral"):
+        bpe_token_ids(df, vocab, {}, special_tokens={_EOT: 1.5})
+    with pytest.raises(ValueError, match="negative"):
+        bpe_token_ids(df, vocab, {}, special_tokens={_EOT: -2})
+    with pytest.raises(ValueError, match="distinct"):
+        bpe_token_ids(
+            df, vocab, {}, special_tokens={_EOT: 7, "<|end|>": 7}
+        )
+    with pytest.raises(ValueError, match="non-integral"):
+        bpe_token_count_exact(
+            df, vocab, {}, special_tokens={_EOT: True}
+        )

@@ -206,7 +206,10 @@ def load_bpe_vocab(
 # divergence is quantified in tests/test_tokenizer.py — the common
 # case where they disagree is an ADDED vocab token (special tokens,
 # added words) that no merge chain produces: greedy counts it as one
-# hit, exact replay cannot reach it.
+# hit, exact replay cannot reach it.  r13: the exact/ids path now
+# takes ``special_tokens={text: id}`` — such tokens split out BEFORE
+# pre-tokenization and emit their reserved id, the published
+# added-token behavior.
 # --------------------------------------------------------------------------
 
 MERGES_SCHEMA = "pair string, rank double"
@@ -495,11 +498,58 @@ def _vocab_tokens_and_oov(
     return tokens, float(oov_vals[0]), rows
 
 
+def _compile_specials(
+    special_tokens, caller: str,
+) -> tuple[str | None, dict[str, int] | None]:
+    """Validate a ``special_tokens`` mapping ``{text: id}`` and build
+    the splitting pattern: one capturing alternation of the escaped
+    special texts, LONGEST FIRST so overlapping specials resolve to
+    the longest match at a position (the published added-token
+    behavior).  Texts must be non-empty strings; ids non-negative
+    integers (they index an embedding table and must not collide with
+    the -1 OOV sentinel), distinct (two specials sharing an id is a
+    corrupt call, not a choice)."""
+    if not special_tokens:
+        return None, None
+    items = dict(special_tokens)
+    bad = [t for t in items if not isinstance(t, str) or t == ""]
+    if bad:
+        raise ValueError(
+            f"{caller}: {len(bad)} special-token texts are empty or "
+            f"not strings (first: {bad[0]!r})"
+        )
+    out: dict[str, int] = {}
+    for t, v in items.items():
+        if isinstance(v, bool) or float(v) != int(v):
+            raise ValueError(
+                f"{caller}: special token {t!r} has non-integral id "
+                f"{v!r} — ids must index an embedding table"
+            )
+        if int(v) < 0:
+            raise ValueError(
+                f"{caller}: special token {t!r} has negative id {v!r} "
+                "— it would collide with the -1 OOV sentinel"
+            )
+        out[t] = int(v)
+    if len(set(out.values())) != len(out):
+        raise ValueError(
+            f"{caller}: special-token ids must be distinct, got "
+            f"{sorted(out.values())}"
+        )
+    pat = "(%s)" % "|".join(
+        re.escape(t) for t in sorted(out, key=len, reverse=True)
+    )
+    return pat, out
+
+
 def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
                            text_col: str,
                            pre_tokenizer: str | None = None, *,
                            result_type: str = "double",
-                           list_mode: bool = False) -> DataFrame:
+                           list_mode: bool = False,
+                           special_pat: str | None = None,
+                           special_ids: dict[str, int] | None = None,
+                           ) -> DataFrame:
     """Shared kernel body for the counting AND ids modes: one
     Arrow-batched pandas UDF, NULL text stays NULL, and the per-batch
     bounded word memo (Zipfian repetition makes the memo the dominant
@@ -513,33 +563,55 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
     broadcast.  ``list_mode`` switches the per-document fold from
     summing doubles to extending a list (the ids kernel) — ONE body
     so the cache policy, split selection, and NULL semantics cannot
-    drift between the modes."""
+    drift between the modes.
+
+    ``special_pat``/``special_ids`` (r13, from
+    :func:`_compile_specials`): the text is split on literal special
+    tokens BEFORE pre-tokenization — each occurrence emits exactly its
+    reserved id (list mode) or 1.0 (count mode), and the surrounding
+    segments pre-tokenize independently (a segment boundary never
+    fuses across a special, exactly the published added-token
+    split)."""
     bc = df.sparkSession.sparkContext.broadcast(
-        (count_word, _WORD_CACHE_MAX, pre_tokenizer, list_mode)
+        (count_word, _WORD_CACHE_MAX, pre_tokenizer, list_mode,
+         special_pat, special_ids)
     )
 
     @F.pandas_udf(result_type)
     def _count(s: pd.Series) -> pd.Series:
-        fn, cache_max, pat, lmode = bc.value
+        fn, cache_max, pat, lmode, spat, sids = bc.value
         split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
+        sre = re.compile(spat) if spat is not None else None
         cache: dict = {}
 
         def _doc(t):
             if t is None:
                 return None
             total = [] if lmode else 0.0
-            for w in split(t):
-                if not w:
+            # with a capturing alternation, segments sit at even
+            # indices and matched specials at odd ones
+            pieces = [t] if sre is None else sre.split(t)
+            for k, seg in enumerate(pieces):
+                if sre is not None and k % 2 == 1:
+                    if lmode:
+                        total.append(sids[seg])
+                    else:
+                        total += 1.0
                     continue
-                c = cache.get(w)
-                if c is None:
-                    if len(cache) >= cache_max:
-                        cache.clear()
-                    c = cache[w] = fn(w)
-                if lmode:
-                    total.extend(c)
-                else:
-                    total += c
+                if not seg:
+                    continue
+                for w in split(seg):
+                    if not w:
+                        continue
+                    c = cache.get(w)
+                    if c is None:
+                        if len(cache) >= cache_max:
+                            cache.clear()
+                        c = cache[w] = fn(w)
+                    if lmode:
+                        total.extend(c)
+                    else:
+                        total += c
             return total
 
         return s.map(_doc)
@@ -567,6 +639,7 @@ def bpe_token_count_exact(
     merges: dict[tuple[str, str], float],
     text_col: str = "text", out_col: str = "n_tokens_bpe",
     *, byte_level: bool = False, pre_tokenizer: str | None = None,
+    special_tokens: dict[str, int] | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the text's token count under EXACT BPE
     merge replay — pre-tokenization, then per pre-token the ranked
@@ -597,8 +670,21 @@ def bpe_token_count_exact(
     on contractions, punctuation, whitespace runs, and non-ASCII text
     (category-edge caveats stated on the pattern constant).  The
     greedy :func:`bpe_token_count` deliberately keeps the whitespace
-    grain — its vocab-only artifact has no byte-space convention."""
+    grain — its vocab-only artifact has no byte-space convention.
+
+    ``special_tokens`` (r13): ``{text: id}`` ADDED tokens (the
+    published ``<|endoftext|>`` convention) split out of the text
+    BEFORE pre-tokenization; each literal occurrence counts exactly
+    1.0 instead of replaying its characters through the merges —
+    without this, a corpus that contains special-token text (notably
+    the engine's own :func:`~wikiextractor_spark.operators.packing.
+    assemble_packs` / :func:`~wikiextractor_spark.operators.fim.
+    fim_transform` output re-ingested as text) charges ~10 byte-grain
+    symbols per marker and every pack budget drifts.  Overlapping
+    specials resolve longest-first at a position
+    (:func:`_compile_specials`)."""
     tokens, oov, _rows = _vocab_tokens_and_oov(vocab, "bpe_token_count_exact")
+    spat, sids = _compile_specials(special_tokens, "bpe_token_count_exact")
     vs = frozenset(tokens)
     ranks = dict(merges)
     if byte_level:
@@ -610,6 +696,7 @@ def bpe_token_count_exact(
         count = partial(_bpe_replay_word, ranks=ranks, vocab=vs, oov=oov)
     return _memoized_word_counter(
         df, count, out_col, text_col, pre_tokenizer=pre_tokenizer,
+        special_pat=spat, special_ids=sids,
     )
 
 
@@ -640,6 +727,7 @@ def bpe_token_ids(
     merges: dict[tuple[str, str], float],
     text_col: str = "text", out_col: str = "token_ids",
     *, byte_level: bool = False, pre_tokenizer: str | None = None,
+    special_tokens: dict[str, int] | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
     of vocabulary ids under exact BPE merge replay — the id stream a
@@ -652,11 +740,21 @@ def bpe_token_ids(
     fractional id raises — it cannot index an embedding table); OOV
     emits -1 per character, stated in :func:`_replay_ids_word`.
 
+    ``special_tokens`` (r13): ``{text: id}`` ADDED tokens split out
+    BEFORE pre-tokenization, each literal occurrence emitting exactly
+    its RESERVED id (the published behavior: real ``vocab.json``
+    artifacts carry added tokens no merge chain produces, and
+    GPT-class corpora contain literal ``<|endoftext|>`` text).  The
+    surrounding segments tokenize independently — a special never
+    fuses with its neighbors.
+
     The token COUNT under any ``oov_tokens_per_char`` is derivable
     from the ids without re-running the kernel: each id >= 0 counts
     1.0, each -1 counts the OOV scalar — exactly
-    :func:`bpe_token_count_exact`'s arithmetic."""
+    :func:`bpe_token_count_exact`'s arithmetic (special ids are >= 0,
+    so they count 1.0 like any vocab hit)."""
     _tokens, _oov, rows = _vocab_tokens_and_oov(vocab, "bpe_token_ids")
+    spat, sids = _compile_specials(special_tokens, "bpe_token_ids")
     ids: dict[str, int] = {}
     for r in rows:
         if r["token"] is None:
@@ -682,6 +780,7 @@ def bpe_token_ids(
         ),
         out_col, text_col, pre_tokenizer=pre_tokenizer,
         result_type="array<long>", list_mode=True,
+        special_pat=spat, special_ids=sids,
     )
 
 

@@ -445,10 +445,20 @@ _BPE_VOCAB_IN = ", ".join("'%s'" % t for t in _BPE_VOCAB)
 # byte table, replay order, or OOV arithmetic breaks the hash.
 # --------------------------------------------------------------------------
 
+# the ADDED special token exercised under the hash (r13): split out
+# of the text BEFORE pre-tokenization, emitting the reserved id
+# directly — the oracle maps it straight to _G2_SPECIAL_ID instead of
+# running it through the byte-encode + replay chain
+_G2_SPECIAL = "<|endoftext|>"
+_G2_SPECIAL_ID = 50256
+
 # suffix templates: (raw suffix, hand-derived pre-tokens).  Every
 # suffix STARTS with \n (which always forms its own pre-token when
 # followed by non-whitespace, so the base-text/suffix boundary cannot
-# fuse) and contains no chr(1).
+# fuse) and contains no chr(1).  A pre-token equal to _G2_SPECIAL is
+# the special itself (it can never arise as one pre-token under the
+# GPT-2 pattern — the <|...|> punctuation/letter mix always splits),
+# stated at the exact position the engine's pre-split leaves it.
 _G2_SUFFIXES = [
     ("\ndon't stop", ["\n", "don", "'t", " stop"]),
     ("\nweb-scale   data", ["\n", "web", "-", "scale", "  ", " data"]),
@@ -461,6 +471,13 @@ _G2_SUFFIXES = [
     (
         "\nwe'll they've I'm",
         ["\n", "we", "'ll", " they", "'ve", " I", "'m"],
+    ),
+    # r13: literal special-token text mid-suffix — the segments on
+    # either side pre-tokenize independently ("of" stays bare: it
+    # opens a fresh segment after the split)
+    (
+        f"\nend{_G2_SPECIAL}of the",
+        ["\n", "end", _G2_SPECIAL, "of", " the"],
     ),
 ]
 
@@ -499,7 +516,7 @@ def _q(s: str) -> str:
 
 
 _G2_SFX_ROWS = ", ".join(
-    f"({v}, {i}, {_sql_str(p)})"
+    f"({v}, {i}, {_sql_str(p)}, {1 if p == _G2_SPECIAL else 0})"
     for v, (_raw, ptoks) in enumerate(_G2_SUFFIXES)
     for i, p in enumerate(ptoks)
 )
@@ -531,44 +548,57 @@ for _a, _b in _G2B_MERGES:
 # numbers SYMBOLS — identical here because every merge output is in
 # _G2B_VOCAB, so OOV survivors are single characters by construction.
 _TOK_GPT2_CTE = f"""
-    g2sfx(variant, ordn, ptok) AS (VALUES {_G2_SFX_ROWS}),
+    g2sfx(variant, ordn, ptok, is_sp) AS (VALUES {_G2_SFX_ROWS}),
     g2vid(sym, vid) AS (VALUES {_G2_VID_ROWS}),
     g2pre AS (
       -- corpus words under the GPT-2 grain (checked corpus shape:
-      -- single-spaced pure [a-z]): word 1 bare, later words carry
-      -- their leading space, byte-encoded Ġ
+      -- single-spaced pure [a-z], no special-token text): word 1
+      -- bare, later words carry their leading space, byte-encoded Ġ
       SELECT doc_id, 0 AS part, wid AS ordn,
-             CASE WHEN wid = 1 THEN w ELSE 'Ġ' || w END AS ptok
+             CASE WHEN wid = 1 THEN w ELSE 'Ġ' || w END AS ptok,
+             0 AS is_sp
       FROM words
       UNION ALL
       -- suffix pre-tokens from the shared template, byte-encoded by
-      -- the restated mapping (ASCII printable = identity)
+      -- the restated mapping (ASCII printable = identity; the
+      -- special's text is pure printable ASCII, so the chain leaves
+      -- it intact — it is matched verbatim below)
       SELECT d.doc_id, 1 AS part, s.ordn,
              replace(replace(replace(s.ptok, ' ', 'Ġ'),
-                             chr(10), 'Ċ'), 'é', 'Ã©') AS ptok
-      FROM documents d JOIN g2sfx s ON s.variant = CAST(d.doc_id % 6 AS INT)
+                             chr(10), 'Ċ'), 'é', 'Ã©') AS ptok,
+             s.is_sp
+      FROM documents d JOIN g2sfx s ON s.variant = CAST(d.doc_id % 7 AS INT)
       WHERE d.text IS NOT NULL
     ),
     g2syms AS (
-      SELECT doc_id, part, ordn, u.sym, u.i
+      -- non-special pre-tokens run the byte-encode + merge replay;
+      -- a special emits ONE symbol carrying its reserved id (r13 —
+      -- exactly the engine's pre-split added-token path)
+      SELECT u.doc_id, u.part, u.ordn, u.sym, u.i,
+             CAST(NULL AS BIGINT) AS sid
       FROM (SELECT doc_id, part, ordn,
                    unnest(string_split({_g2_state}, {_SEP}||{_SEP})) AS sym,
                    generate_subscripts(
                      string_split({_g2_state}, {_SEP}||{_SEP}), 1) AS i
-            FROM g2pre) u(doc_id, part, ordn, sym, i)
+            FROM g2pre WHERE is_sp = 0) u(doc_id, part, ordn, sym, i)
+      UNION ALL
+      SELECT doc_id, part, ordn, ptok AS sym, 1 AS i,
+             CAST({_G2_SPECIAL_ID} AS BIGINT) AS sid
+      FROM g2pre WHERE is_sp = 1
     ),
     g2ord AS (
-      SELECT doc_id, sym,
+      SELECT doc_id, sym, sid,
              ROW_NUMBER() OVER (
                PARTITION BY doc_id ORDER BY part, ordn, i) AS pos
       FROM g2syms WHERE sym <> ''
     ),
     g2 AS (
       SELECT g2ord.doc_id,
-             round(SUM(CASE WHEN vid IS NOT NULL THEN 1.0
+             round(SUM(CASE WHEN sid IS NOT NULL OR vid IS NOT NULL
+                            THEN 1.0
                             ELSE {_BPE_OOV} * length(sym) END),
                    6) AS n_tokens_gpt2,
-             CAST(SUM(pos * (COALESCE(vid, -1) + 2)) AS BIGINT)
+             CAST(SUM(pos * (COALESCE(sid, vid, -1) + 2)) AS BIGINT)
                AS gpt2_ids_fp
       FROM g2ord LEFT JOIN g2vid USING (sym)
       GROUP BY g2ord.doc_id
@@ -757,7 +787,7 @@ def ta_text_profile(spark, sf_dir):
     # fingerprint both derive natively — no second Python pass
     sfx = F.element_at(
         F.array(*[F.lit(raw) for raw, _p in _G2_SUFFIXES]),
-        (F.col("doc_id") % 6 + 1).cast("int"),
+        (F.col("doc_id") % 7 + 1).cast("int"),
     )
     d = d.withColumn("_g2t", F.concat(F.col("text"), sfx))
     d = bpe_token_ids(
@@ -766,6 +796,10 @@ def ta_text_profile(spark, sf_dir):
         {p: float(i) for i, p in enumerate(_G2B_MERGES)},
         text_col="_g2t", out_col="_g2ids",
         byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        # r13: the ADDED token — variant 6 carries its literal text;
+        # the kernel splits it out pre-tokenization and emits the
+        # reserved id, which the oracle states directly (sid path)
+        special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
     )
     d = d.withColumn(
         "_ntg",
