@@ -1136,3 +1136,30 @@ def test_special_tokens_contract_errors(spark):
         bpe_token_count_exact(
             df, vocab, {}, special_tokens={_EOT: True}
         )
+    # None and numeric STRINGS raise the contract error, not a bare
+    # TypeError / silent acceptance (r13 review)
+    with pytest.raises(ValueError, match="non-integral"):
+        bpe_token_ids(df, vocab, {}, special_tokens={_EOT: None})
+    with pytest.raises(ValueError, match="non-integral"):
+        bpe_token_ids(df, vocab, {}, special_tokens={_EOT: "50256"})
+
+
+def test_special_tokens_vocab_id_collision(spark):
+    """A special sharing an id with a DIFFERENT vocab token raises
+    (ambiguous id stream); the special's own text in the vocab at the
+    same id — the published vocab.json layout — passes."""
+    from wikiextractor_spark.functions.tokenizer import bpe_token_ids
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    vocab = vocab_from_tokens(spark, ["x", "y"], 0.5)  # ids 0, 1
+    with pytest.raises(ValueError, match="collides with vocab token"):
+        bpe_token_ids(df, vocab, {}, special_tokens={_EOT: 1})
+    # published layout: the special itself IS a vocab entry
+    vocab2 = vocab_from_tokens(spark, ["x", _EOT], 0.5)
+    ids = list(
+        bpe_token_ids(
+            df.select("doc_id", F.lit(_EOT).alias("text")),
+            vocab2, {}, special_tokens={_EOT: 1},
+        ).first()["token_ids"]
+    )
+    assert ids == [1]

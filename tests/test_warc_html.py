@@ -741,11 +741,13 @@ def test_cli_reverse_policy_guard(monkeypatch):
 
     import wikiextractor_spark.__main__ as cli
 
+    orig = cli._DUMP_ONLY
     # --out exists but its default is "wiki_out", not _UNSET
-    monkeypatch.setattr(cli, "_DUMP_ONLY", cli._DUMP_ONLY + ("out",))
-    with pytest.raises(AssertionError, match="not _UNSET"):
+    monkeypatch.setattr(cli, "_DUMP_ONLY", orig + ("out",))
+    with pytest.raises(AssertionError, match=r"\['out'\]"):
         cli.build_parser()
-    # a policy entry with no parser action at all
-    monkeypatch.setattr(cli, "_DUMP_ONLY", cli._DUMP_ONLY + ("ghost",))
-    with pytest.raises(AssertionError, match="not _UNSET"):
+    # a policy entry with no parser action at all — patched from the
+    # ORIGINAL tuple so this case is pinned independently of 'out'
+    monkeypatch.setattr(cli, "_DUMP_ONLY", orig + ("ghost",))
+    with pytest.raises(AssertionError, match=r"\['ghost'\]"):
         cli.build_parser()

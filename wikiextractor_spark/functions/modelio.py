@@ -63,14 +63,18 @@ def release_local_checkpoint(df: DataFrame) -> None:
         # never depend on the release
         if not _RELEASE_WARNED:
             _RELEASE_WARNED = True
-            warnings.warn(
-                "release_local_checkpoint: best-effort block release "
-                f"failed ({type(exc).__name__}: {exc}) — checkpoint "
-                "blocks will accumulate until LRU eviction; the py4j "
-                "route may need updating for this Spark version",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+            try:
+                warnings.warn(
+                    "release_local_checkpoint: best-effort block "
+                    f"release failed ({type(exc).__name__}: {exc}) — "
+                    "checkpoint blocks will accumulate until LRU "
+                    "eviction; the py4j route may need updating for "
+                    "this Spark version",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            except Exception:  # noqa: BLE001 — warnings-as-errors
+                pass  # must not break the never-raises contract
 
 
 def write_one_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -498,6 +498,32 @@ def _vocab_tokens_and_oov(
     return tokens, float(oov_vals[0]), rows
 
 
+def _check_embedding_id(caller: str, what: str, v) -> int:
+    """Shared validation for any id that must index an embedding
+    table (vocab token ids, special-token ids): an integral
+    non-negative NUMBER — None, bools, strings (even numeric ones),
+    and fractional values raise the caller's contract error instead
+    of a bare TypeError, and negatives would collide with the -1 OOV
+    sentinel.  One definition so the vocab and special-token paths
+    cannot drift (r13 review)."""
+    if (
+        v is None
+        or isinstance(v, bool)
+        or not isinstance(v, (int, float))
+        or float(v) != int(v)
+    ):
+        raise ValueError(
+            f"{caller}: {what} has non-integral id {v!r} — ids must "
+            "index an embedding table"
+        )
+    if int(v) < 0:
+        raise ValueError(
+            f"{caller}: {what} has negative id {v!r} — it would "
+            "collide with the -1 OOV sentinel"
+        )
+    return int(v)
+
+
 def _compile_specials(
     special_tokens, caller: str,
 ) -> tuple[str | None, dict[str, int] | None]:
@@ -520,17 +546,7 @@ def _compile_specials(
         )
     out: dict[str, int] = {}
     for t, v in items.items():
-        if isinstance(v, bool) or float(v) != int(v):
-            raise ValueError(
-                f"{caller}: special token {t!r} has non-integral id "
-                f"{v!r} — ids must index an embedding table"
-            )
-        if int(v) < 0:
-            raise ValueError(
-                f"{caller}: special token {t!r} has negative id {v!r} "
-                "— it would collide with the -1 OOV sentinel"
-            )
-        out[t] = int(v)
+        out[t] = _check_embedding_id(caller, f"special token {t!r}", v)
     if len(set(out.values())) != len(out):
         raise ValueError(
             f"{caller}: special-token ids must be distinct, got "
@@ -759,18 +775,24 @@ def bpe_token_ids(
     for r in rows:
         if r["token"] is None:
             continue
-        tid = r["token_id"]
-        if tid is None or float(tid) != int(tid):
-            raise ValueError(
-                f"bpe_token_ids: token {r['token']!r} has non-integral "
-                f"id {tid!r} — ids must index an embedding table"
-            )
-        if int(tid) < 0:
-            raise ValueError(
-                f"bpe_token_ids: token {r['token']!r} has negative id "
-                f"{tid!r} — it would collide with the -1 OOV sentinel"
-            )
-        ids[r["token"]] = int(tid)
+        ids[r["token"]] = _check_embedding_id(
+            "bpe_token_ids", f"token {r['token']!r}", r["token_id"]
+        )
+    if sids:
+        # a special sharing an id with a DIFFERENT vocab token would
+        # make the id stream ambiguous (downstream separator logic,
+        # decode); the legitimate case — the special's own text in the
+        # vocab at the same id, as published vocab.json files have —
+        # passes (r13 review)
+        by_id = {v: k for k, v in ids.items()}
+        for t, i in sids.items():
+            other = by_id.get(i)
+            if other is not None and other != t:
+                raise ValueError(
+                    f"bpe_token_ids: special token {t!r} id {i} "
+                    f"collides with vocab token {other!r} — the id "
+                    "stream would be ambiguous"
+                )
     byte_enc = gpt2_bytes_to_unicode() if byte_level else None
     return _memoized_word_counter(
         df,
