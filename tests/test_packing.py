@@ -810,3 +810,106 @@ def test_prepare_corpus_every_stage_at_once(spark):
     # boilerplate stripped before chunking
     assert all(boiler.lower() not in r["chunk"].lower() for r in rows_out)
     assert all(r["pack_id"] is not None for r in rows_out)
+
+
+def test_assemble_packs_doc_starts(spark):
+    """r13: doc_starts carries each document's first-token offset
+    within the pack — exclusive prefix sum of (len + sep) blocks,
+    starts[0] = 0, size = n_docs — with and without a separator, and
+    the offsets index the stream correctly (token_ids[start] is the
+    first id of that document's block)."""
+    rows = [
+        (1, [10, 11, 12]),
+        (2, [20]),
+        (3, [30, 31]),
+        (4, [40, 41, 42, 43]),
+        (5, []),
+    ]
+    by_doc = dict(rows)
+    for sep in (0, None):
+        out = assemble_packs(
+            _ids_df(spark, rows), budget=8, num_groups=1, sep_id=sep
+        ).collect()
+        ov = 0 if sep is None else 1
+        for r in out:
+            ids = list(r["token_ids"])
+            starts = list(r["doc_starts"])
+            assert len(starts) == r["n_docs"]
+            assert starts[0] == 0
+            # reconstruct: block lengths from consecutive starts must
+            # partition the stream
+            bounds = starts + [len(ids)]
+            blocks = [
+                ids[bounds[i]: bounds[i + 1] - ov]
+                for i in range(len(starts))
+            ]
+            # every block is a whole document's stream, ascending ids
+            matched = []
+            for b in blocks:
+                cands = [d for d, s in by_doc.items() if s == b]
+                assert b == [] or len(cands) >= 1, (b, ids, starts)
+                matched.append(b)
+            flat = []
+            for b in blocks:
+                flat.extend(b + ([sep] if sep is not None else []))
+            assert flat == ids
+
+
+def test_assemble_packs_doc_starts_over_budget(spark):
+    """An over-budget document rides alone: starts == [0]."""
+    out = assemble_packs(
+        _ids_df(spark, [(1, list(range(20)))]), budget=8, num_groups=1,
+        sep_id=99,
+    ).collect()
+    assert len(out) == 1 and out[0]["over_budget"]
+    assert list(out[0]["doc_starts"]) == [0]
+    assert out[0]["n_docs"] == 1
+
+
+def test_pack_sequences_auto_scales_num_groups(spark, monkeypatch):
+    """r12 VERDICT #2: a defaulted num_groups derives from the row
+    count so a group's pandas payload stays bounded; an explicit
+    num_groups pins the assignment bit-identically."""
+    import wikiextractor_spark.operators.packing as pk
+
+    rows = [(i, 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # force the threshold low: 200 rows / 2 per group → 100 groups
+    monkeypatch.setattr(pk, "_FFD_ROWS_PER_GROUP", 2)
+    out = pk.pack_sequences(df, budget=100).collect()
+    groups = {r["pack_id"] >> 32 for r in out}
+    assert max(groups) >= pk._MIN_GROUPS  # genuinely above the floor
+    assert all(0 <= g < 100 for g in groups)
+    # below the threshold the floor holds
+    monkeypatch.setattr(pk, "_FFD_ROWS_PER_GROUP", 32_000_000)
+    out_floor = pk.pack_sequences(df, budget=100).collect()
+    assert {r["pack_id"] >> 32 for r in out_floor} <= set(range(64))
+    # explicit num_groups: two runs are bit-identical
+    a = sorted(
+        (r["doc_id"], r["pack_id"])
+        for r in pk.pack_sequences(df, budget=100, num_groups=7).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["pack_id"])
+        for r in pk.pack_sequences(df, budget=100, num_groups=7).collect()
+    )
+    assert a == b
+
+
+def test_assemble_packs_null_raise_releases_checkpoint(spark):
+    """r12 ADVICE: the NULL guard now runs on the materialized frame
+    (no extra tokenization pass in the common case); the raising path
+    must release the input checkpoint it just created."""
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    with pytest.raises(ValueError, match="NULL"):
+        assemble_packs(
+            _ids_df(spark, [(1, [1, 2]), (2, None)]),
+            budget=8, num_groups=1,
+        )
+    leaked = cached_ids() - before
+    assert leaked == set(), f"leaked checkpoint RDD blocks: {leaked}"

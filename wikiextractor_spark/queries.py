@@ -3168,6 +3168,14 @@ sql_query(
 # and the 50% gate, shared verbatim with the oracle's restatement
 _FIM_PRE, _FIM_MID, _FIM_SUF, _FIM_RATE = 1000, 1001, 1002, 0.5
 
+# 'packs' family separator id (r13): assemble_packs at num_groups=1
+# with an everything-fits budget — the ONE configuration where the
+# whole assembly (ascending-doc_id concatenation, separators,
+# doc_starts offsets, n_docs/n_tokens) is restatable in SQL with no
+# engine-hash dependence; the FFD assignment itself stays pinned by
+# the pytest differential suite
+_PACK_SEP = 2000
+
 
 @query(
     "ta_chunk_documents",
@@ -3216,6 +3224,24 @@ _FIM_PRE, _FIM_MID, _FIM_SUF, _FIM_RATE = 1000, 1001, 1002, 0.5
                        || ids[least(h1, h2) + 1:greatest(h1, h2)]
              END AS ids
       FROM fimcut
+    ),
+    packstart AS (
+      -- 'packs' family (r13): every doc in ONE pack, blocks =
+      -- ids + separator; each doc's start = sum of earlier blocks
+      SELECT doc_id, ids,
+             CAST(COALESCE(SUM(len(ids) + 1) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS st
+      FROM iw WHERE ids IS NOT NULL
+    ),
+    packone AS (
+      SELECT CAST(0 AS BIGINT) AS pack_id,
+             flatten(list(ids || [CAST({_PACK_SEP} AS BIGINT)]
+                          ORDER BY doc_id)) AS tids,
+             list(st ORDER BY doc_id) AS starts,
+             COUNT(*) AS nd
+      FROM packstart
     )
     SELECT 'text' AS family, doc_id, s.no AS chunk_no, s.chunk AS chunk,
            len(string_split(s.chunk, ' ')) AS n_tokens
@@ -3229,17 +3255,27 @@ _FIM_PRE, _FIM_MID, _FIM_SUF, _FIM_RATE = 1000, 1001, 1002, 0.5
            array_to_string(ids, ',') AS chunk,
            len(ids) AS n_tokens
     FROM fimout
+    UNION ALL
+    SELECT 'packs' AS family, pack_id AS doc_id, nd AS chunk_no,
+           array_to_string(tids, ',') || ';' ||
+           array_to_string(starts, ',') AS chunk,
+           len(tids) AS n_tokens
+    FROM packone
     """,
 )
 def ta_chunk_documents(spark, sf_dir):
-    """LLM-prep document chunking, two families: 'text' — 16-token
-    whitespace windows, 4-token overlap (chunk_documents, narrow
-    higher-order expressions, scan speed); 'ids' (r12) — the SAME
-    windows over a tokenized id stream through chunk_token_ids (the
-    model-token-grain chunker), ids derived natively as per-word
-    lengths so the oracle restates the stream, the slices, and the
-    per-chunk counts with DuckDB list comprehensions and the chunks
-    hash as comma-joined id strings."""
+    """LLM-prep document chunking: 'text' — 16-token whitespace
+    windows, 4-token overlap (chunk_documents, narrow higher-order
+    expressions, scan speed); 'ids' (r12) — the SAME windows over a
+    tokenized id stream through chunk_token_ids (the model-token-grain
+    chunker), ids derived natively as per-word lengths so the oracle
+    restates the stream, the slices, and the per-chunk counts with
+    DuckDB list comprehensions and the chunks hash as comma-joined id
+    strings; 'fim' (r12) — the PSM rearrangement; 'packs' (r13) —
+    assemble_packs at num_groups=1 with an everything-fits budget, so
+    the oracle restates the whole assembly INCLUDING the new
+    doc_starts boundary offsets (exclusive prefix sum of ids+sep
+    blocks in ascending doc_id order) under the hash."""
     from wikiextractor_spark.operators.chunking import (
         chunk_documents,
         chunk_token_ids,
@@ -3285,7 +3321,39 @@ def ta_chunk_documents(spark, sf_dir):
         ).alias("chunk"),
         F.size("token_ids").cast("long").alias("n_tokens"),
     )
-    return text_fam.unionByName(ids_fam).unionByName(fim_fam)
+    # 'packs' family (r13, packing.assemble_packs): num_groups=1 +
+    # an everything-fits budget → ONE pack whose body, doc_starts
+    # offsets, and counts the oracle restates exactly (ascending
+    # doc_id, sep after every doc, exclusive prefix-sum starts).
+    # persist_input=False: the stream here is a cheap native
+    # projection, so the lazy path avoids a definition-time
+    # checkpoint riding beyond the query
+    from wikiextractor_spark.operators.packing import assemble_packs
+
+    packs_fam = assemble_packs(
+        ids_df.filter(F.col("token_ids").isNotNull()),
+        budget=1 << 40, num_groups=1, sep_id=_PACK_SEP,
+        persist_input=False,
+    ).select(
+        F.lit("packs").alias("family"),
+        F.col("pack_id").alias("doc_id"),
+        F.col("n_docs").alias("chunk_no"),
+        F.concat(
+            F.expr(
+                "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
+            ),
+            F.lit(";"),
+            F.expr(
+                "array_join(transform(doc_starts, x -> CAST(x AS STRING)), ',')"
+            ),
+        ).alias("chunk"),
+        "n_tokens",
+    )
+    return (
+        text_fam.unionByName(ids_fam)
+        .unionByName(fim_fam)
+        .unionByName(packs_fam)
+    )
 
 
 # The flagship composition under the driver's oracle (r3 next-round
