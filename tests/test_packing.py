@@ -192,11 +192,19 @@ def test_negative_costs_raise(spark):
 
 
 def test_assemble_packs_rejects_null_streams(spark):
+    # the guard rides JVM-side in the cost projection (r13), so it
+    # surfaces as a Spark runtime error during the result
+    # materialization, carrying the stated message
     df = spark.createDataFrame(
         [(1, [1, 2]), (2, None)], "doc_id long, token_ids array<long>"
     )
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL token_ids"):
         assemble_packs(df, budget=8)
+    # persist_input=False: the raise surfaces at the caller's first
+    # action over the lazy result
+    lazy = assemble_packs(df, budget=8, persist_input=False)
+    with pytest.raises(Exception, match="NULL token_ids"):
+        lazy.collect()
 
 
 def test_assemble_packs_chains_from_tokenizer(spark):
@@ -826,6 +834,7 @@ def test_assemble_packs_doc_starts(spark):
         (5, []),
     ]
     by_doc = dict(rows)
+    all_blocks: dict = {}
     for sep in (0, None):
         out = assemble_packs(
             _ids_df(spark, rows), budget=8, num_groups=1, sep_id=sep
@@ -843,16 +852,17 @@ def test_assemble_packs_doc_starts(spark):
                 ids[bounds[i]: bounds[i + 1] - ov]
                 for i in range(len(starts))
             ]
-            # every block is a whole document's stream, ascending ids
-            matched = []
-            for b in blocks:
-                cands = [d for d, s in by_doc.items() if s == b]
-                assert b == [] or len(cands) >= 1, (b, ids, starts)
-                matched.append(b)
+            # the blocks partition the stream exactly
             flat = []
             for b in blocks:
                 flat.extend(b + ([sep] if sep is not None else []))
             assert flat == ids
+            all_blocks.setdefault(sep, []).extend(blocks)
+        # bijection across the whole output: the multiset of blocks
+        # equals the multiset of document streams
+        got = sorted(map(tuple, all_blocks[sep]))
+        want = sorted(map(tuple, by_doc.values()))
+        assert got == want, (got, want)
 
 
 def test_assemble_packs_doc_starts_over_budget(spark):
@@ -897,16 +907,17 @@ def test_pack_sequences_auto_scales_num_groups(spark, monkeypatch):
 
 
 def test_assemble_packs_null_raise_releases_checkpoint(spark):
-    """r12 ADVICE: the NULL guard now runs on the materialized frame
-    (no extra tokenization pass in the common case); the raising path
-    must release the input checkpoint it just created."""
+    """r12 ADVICE → r13: the NULL guard rides the cost projection
+    (zero extra pass in the common case); when it fires during the
+    result materialization, the input checkpoint just created must be
+    released, not leaked."""
     sc = spark.sparkContext
 
     def cached_ids():
         return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
 
     before = cached_ids()
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL token_ids"):
         assemble_packs(
             _ids_df(spark, [(1, [1, 2]), (2, None)]),
             budget=8, num_groups=1,

@@ -103,6 +103,7 @@ def prepare_corpus(
     chunk_tokens: int | None = None,
     overlap: int = 0,
     pack_budget: int | None = None,
+    pack_num_groups: int = 64,
 ) -> DataFrame:
     """Raw documents → training-ready rows; every stage optional.
 
@@ -110,6 +111,14 @@ def prepare_corpus(
     chunks ``(id, chunk_no, chunk, n_tokens)`` when set, and packed
     chunks ``(…, pack_id, over_budget)`` when ``pack_budget`` is also
     set (chunk ids are made unique per chunk before packing).
+    ``pack_num_groups`` is PINNED (64) rather than letting
+    :func:`~wikiextractor_spark.operators.packing.pack_sequences`
+    auto-scale from a ``count()``: the count would eagerly execute
+    this module's entire lazy pipeline once at composition time
+    (and once per micro-batch in the streaming lift), and pack ids
+    would stop being reproducible across corpus-size changes.  Raise
+    it explicitly past ~2B chunks (the packer's sizing rule: ~32M
+    (id, cost) rows ≈ 0.5 GB pandas per group).
 
     Stage order is the scale-correct one: narrow filters first (they
     push to the scan and shrink every later shuffle), dedup before
@@ -424,7 +433,8 @@ def prepare_corpus(
     )
     chunks = chunks.withColumn("chunk_id", F.expr(guard))
     assignment = pack_sequences(
-        chunks, token_col="n_tokens", id_col="chunk_id", budget=pack_budget
+        chunks, token_col="n_tokens", id_col="chunk_id",
+        budget=pack_budget, num_groups=pack_num_groups,
     ).select("chunk_id", "pack_id", "over_budget")
     # one co-partitioned equi-join to carry the text alongside the
     # assignment (the packer ships only (id, tokens) through Python)

@@ -218,28 +218,32 @@ def assemble_packs(
     NULL id streams (NULL text upstream) are the one row class with
     no defined cost — they are REJECTED with a raise rather than
     silently dropped or packed as empty; filter them upstream with
-    the same gate that drops unscorable documents.
+    the same gate that drops unscorable documents.  The guard rides
+    JVM-side inside the cost projection (``raise_error``, the
+    prepare_corpus chunk-id precedent — zero extra pass over the
+    corpus; r13 review replaced the dedicated guard job), so it fires
+    on the first job that evaluates costs: inside this call when
+    ``persist_input`` is on (the result materialization), at the
+    caller's first action otherwise.
 
-    ``persist_input`` (default on): the input is consumed THREE times
-    (the NULL guard, the assignment's cost projection + count, the
-    content join), and in the documented pipeline the upstream
-    lineage is the Arrow-batched tokenization kernel — re-running it
-    would multiply the dominant cost, so the (id, ids) projection is
-    eager-localCheckpointed FIRST and every consumer (including the
-    NULL guard) reads the materialized rows (r12 ADVICE: guarding on
-    the raw lineage before the checkpoint meant the common no-NULL
-    case paid one full extra tokenization pass, since ``limit(1)``
-    cannot short-circuit when nothing matches).  On the raising path
-    the input checkpoint is released before the raise; on success the
-    RESULT is eager-materialized and the internal input checkpoint
-    released before returning (:func:`~wikiextractor_spark.functions.
-    modelio.release_local_checkpoint` — ``unpersist()`` cannot free
+    ``persist_input`` (default on): the input is consumed TWICE (the
+    assignment's cost projection + auto-scale count, the content
+    join), and in the documented pipeline the upstream lineage is the
+    Arrow-batched tokenization kernel — re-running it would multiply
+    the dominant cost, so the (id, ids) projection is
+    eager-localCheckpointed and both consumers read the materialized
+    rows (the streaming-corpus composition precedent).  On the
+    raising path (a NULL stream surfacing during the result
+    materialization) the input checkpoint is released before the
+    re-raise; on success the RESULT is eager-materialized and the
+    internal input checkpoint released before returning
+    (:func:`~wikiextractor_spark.functions.modelio.
+    release_local_checkpoint` — ``unpersist()`` cannot free
     checkpoint blocks), so exactly ONE materialization — the packs
     the caller consumes — outlives the call; release it the same way
     when done.  Pass ``False`` to keep everything lazy when the ids
     frame is already cached/checkpointed upstream or cheap to
-    rebuild — the guard, count, and join then each re-run the
-    upstream lineage."""
+    rebuild — the consumers then each re-run the upstream lineage."""
     from wikiextractor_spark.functions.modelio import (
         release_local_checkpoint,
     )
@@ -249,20 +253,16 @@ def assemble_packs(
     df = df.select(id_col, ids_col)
     if persist_input:
         df = df.localCheckpoint(eager=True)
-    try:
-        n_null = df.filter(F.col(ids_col).isNull()).limit(1).count()
-        if n_null:
-            raise ValueError(
-                f"assemble_packs: NULL {ids_col!r} rows have no token "
-                "cost — drop NULL-text documents upstream first"
-            )
-    except Exception:
-        if persist_input:
-            release_local_checkpoint(df)
-        raise
     overhead = 0 if sep_id is None else 1
     costed = df.withColumn(
-        "_cost", (F.size(ids_col) + F.lit(overhead)).cast("long")
+        "_cost",
+        F.when(
+            F.col(ids_col).isNull(),
+            F.raise_error(F.lit(
+                f"assemble_packs: NULL {ids_col} rows have no token "
+                "cost — drop NULL-text documents upstream first"
+            )),
+        ).otherwise((F.size(ids_col) + F.lit(overhead)).cast("long")),
     )
     assignment = pack_sequences(
         costed, token_col="_cost", id_col=id_col,
@@ -332,8 +332,13 @@ def assemble_packs(
     if persist_input:
         # materialize the packs, then free the internal input
         # checkpoint — exactly one checkpoint (the result the caller
-        # holds) survives the call
-        result = result.localCheckpoint(eager=True)
+        # holds) survives the call; on the raising path (the NULL
+        # guard firing inside the materialization) release it too
+        try:
+            result = result.localCheckpoint(eager=True)
+        except Exception:
+            release_local_checkpoint(df)
+            raise
         release_local_checkpoint(df)
     return result
 

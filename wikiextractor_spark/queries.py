@@ -3242,6 +3242,9 @@ _PACK_SEP = 2000
              list(st ORDER BY doc_id) AS starts,
              COUNT(*) AS nd
       FROM packstart
+      -- ungrouped aggregate: without this an EMPTY corpus would
+      -- yield one phantom NULL row where the engine yields zero
+      HAVING COUNT(*) > 0
     )
     SELECT 'text' AS family, doc_id, s.no AS chunk_no, s.chunk AS chunk,
            len(string_split(s.chunk, ' ')) AS n_tokens
