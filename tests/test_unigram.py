@@ -1,0 +1,241 @@
+"""Unigram-LM Viterbi serving (functions/unigram.py): differential
+against an independent memoized-recursion restatement AND exhaustive
+segmentation enumeration, divergence vs the greedy BPE grain,
+artifact round trips, and contract errors."""
+
+from __future__ import annotations
+
+import random
+from functools import lru_cache
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.functions.unigram import (
+    _TIE_BASE,
+    _quantize_micro,
+    _viterbi_count_word,
+    load_unigram_lm,
+    save_unigram_lm,
+    unigram_from_tokens,
+    unigram_token_count,
+)
+
+LM = {
+    "the": -2.0, "and": -2.5, "ing": -2.8, "tion": -3.0,
+    "er": -3.2, "in": -3.1, "on": -3.4, "an": -3.45, "th": -3.9,
+    "he": -3.95, "lo": -3.0, "low": -3.6, "lower": -4.2,
+    "a": -4.0, "e": -3.98, "i": -4.1, "o": -4.15, "u": -4.3,
+    "s": -4.2, "t": -4.05, "n": -4.12, "r": -4.25, "l": -4.35,
+    "d": -4.4, "h": -4.45, "w": -4.7, "g": -4.65,
+}
+UNK = -10.0
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _brute_best(word: str, micro: dict[str, int], unk: int) -> int:
+    """Independent restatement: memoized recursion over suffixes,
+    probing every substring (no length-list structure)."""
+
+    @lru_cache(maxsize=None)
+    def best(i: int) -> int:
+        if i == len(word):
+            return 0
+        cands = [best(i + 1) + unk * _TIE_BASE - 1]
+        for j in range(i + 1, len(word) + 1):
+            m = micro.get(word[i:j])
+            if m is not None:
+                cands.append(best(j) + m * _TIE_BASE - 1)
+        return max(cands)
+
+    return best(0)
+
+
+def _enum_best(word: str, micro: dict[str, int], unk: int) -> int:
+    """Exhaustive enumeration over all 2^(n-1) segmentations; a piece
+    is legal iff it is a vocab token or a single (unk) character."""
+    n = len(word)
+    best = None
+    for mask in range(1 << max(0, n - 1)):
+        cuts = [0] + [
+            i + 1 for i in range(n - 1) if mask >> i & 1
+        ] + [n]
+        packed = 0
+        ok = True
+        for a, b in zip(cuts, cuts[1:]):
+            piece = word[a:b]
+            m = micro.get(piece)
+            if m is None:
+                if len(piece) != 1:
+                    ok = False
+                    break
+                m = unk
+            packed += m * _TIE_BASE - 1
+        if ok and (best is None or packed > best):
+            best = packed
+    assert best is not None  # single-char unk makes every word legal
+    return best
+
+
+def test_viterbi_vs_enumeration_and_recursion():
+    micro = {t: _quantize_micro(v) for t, v in LM.items()}
+    unk = _quantize_micro(UNK)
+    lens = tuple(sorted({len(t) for t in micro}))
+    rng = random.Random(13)
+    words = [
+        "the", "there", "lower", "lowering", "qqq", "xyzzy", "a",
+        "thething", "onion", "intention",
+    ] + [
+        "".join(rng.choice("theloqj") for _ in range(rng.randint(1, 9)))
+        for _ in range(150)
+    ]
+    for w in words:
+        got = _viterbi_count_word(
+            w, tok_micro=micro, lens=lens, unk_micro=unk
+        )
+        b1 = _brute_best(w, micro, unk)
+        assert got == float(_TIE_BASE - (b1 % _TIE_BASE)), w
+        if len(w) <= 10:
+            b2 = _enum_best(w, micro, unk)
+            assert b1 == b2, w
+
+
+def test_unigram_kernel_differential_on_real_docs(spark, docs):
+    """The Spark kernel vs the independent per-word recursion over
+    real corpus documents (includes j/q words — the UNK path)."""
+    lm = unigram_from_tokens(spark, LM, UNK)
+    sample = docs.limit(60).select("doc_id", "text")
+    out = {
+        r["doc_id"]: r["n"]
+        for r in unigram_token_count(sample, lm, out_col="n").collect()
+    }
+    micro = {t: _quantize_micro(v) for t, v in LM.items()}
+    unk = _quantize_micro(UNK)
+    for r in sample.collect():
+        if r["text"] is None:
+            assert out[r["doc_id"]] is None
+            continue
+        want = 0.0
+        for w in r["text"].split(" "):
+            if w:
+                b = _brute_best(w, micro, unk)
+                want += _TIE_BASE - (b % _TIE_BASE)
+        assert out[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_unigram_diverges_from_greedy_bpe_grain(spark):
+    """The published divergence: greedy longest-match always commits
+    to the longest vocab hit; Viterbi picks the max-logprob
+    segmentation.  With 'the' scored far below 'th'+'e', the unigram
+    count is 2 where greedy counts 1 — pack budgets for unigram-LM
+    models NEED this kernel."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_token_count,
+        vocab_from_tokens,
+    )
+
+    df = spark.createDataFrame([(0, "the")], "doc_id long, text string")
+    lm = unigram_from_tokens(
+        spark, {"the": -9.0, "th": -1.0, "e": -1.0, "t": -2.0, "h": -2.0},
+        UNK,
+    )
+    uni = unigram_token_count(df, lm, out_col="n").first()["n"]
+    assert uni == 2.0  # th + e beats the
+    vocab = vocab_from_tokens(spark, ["the", "th", "e", "t", "h"], 1.0)
+    greedy = bpe_token_count(df, vocab, out_col="n").first()["n"]
+    assert greedy == 1.0
+    assert uni != greedy
+
+
+def test_unigram_artifact_round_trip(spark, tmp_path):
+    lm = unigram_from_tokens(spark, LM, UNK)
+    save_unigram_lm(lm, str(tmp_path / "lm"))
+    loaded = load_unigram_lm(spark, str(tmp_path / "lm"))
+    df = spark.createDataFrame(
+        [(0, "the lower onion"), (1, None)], "doc_id long, text string"
+    )
+    a = unigram_token_count(df, lm, out_col="n").collect()
+    b = unigram_token_count(df, loaded, out_col="n").collect()
+    assert sorted((r["doc_id"], r["n"]) for r in a) == sorted(
+        (r["doc_id"], r["n"]) for r in b
+    )
+    assert dict((r["doc_id"], r["n"]) for r in a)[1] is None
+    # TSV: the unk scalar must arrive as the argument
+    tsv = tmp_path / "lm.tsv"
+    tsv.write_text("".join(f"{t}\t{v}\n" for t, v in LM.items()))
+    loaded_tsv = load_unigram_lm(spark, str(tsv), unk_logprob=UNK)
+    c = unigram_token_count(df, loaded_tsv, out_col="n").collect()
+    assert sorted((r["doc_id"], r["n"]) for r in c) == sorted(
+        (r["doc_id"], r["n"]) for r in a
+    )
+
+
+def test_unigram_contract_errors(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    # missing unk row
+    no_unk = spark.createDataFrame([("a", -1.0)], "token string, logprob double")
+    with pytest.raises(ValueError, match="unk_logprob row"):
+        unigram_token_count(df, no_unk)
+    # whitespace-carrying token
+    with pytest.raises(ValueError, match="whitespace"):
+        unigram_from_tokens(spark, {"a b": -1.0}, UNK)
+    # non-numeric logprob
+    with pytest.raises(ValueError, match="non-numeric"):
+        unigram_from_tokens(spark, {"a": "x"}, UNK)
+    # duplicate tokens (hand-built frame)
+    dup = spark.createDataFrame(
+        [("a", -1.0), ("a", -2.0), (None, UNK)],
+        "token string, logprob double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        unigram_token_count(df, dup)
+    # NULL logprob on a real token
+    bad = spark.createDataFrame(
+        [("a", None), (None, UNK)], "token string, logprob double"
+    )
+    with pytest.raises(ValueError, match="NULL logprob"):
+        unigram_token_count(df, bad)
+
+
+def test_unigram_long_word_guard(spark):
+    """A single word at the tie-break bound raises (raise-don't-
+    miscount); the longest legal word still counts."""
+    lm = unigram_from_tokens(spark, {"a": -1.0}, UNK)
+    ok = spark.createDataFrame(
+        [(0, "a" * (_TIE_BASE - 1))], "doc_id long, text string"
+    )
+    got = unigram_token_count(ok, lm, out_col="n").first()["n"]
+    assert got == float(_TIE_BASE - 1)
+    too_long = spark.createDataFrame(
+        [(0, "a" * _TIE_BASE)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        unigram_token_count(too_long, lm, out_col="n").collect()
+
+
+def test_unigram_feeds_pack_budgets(spark):
+    """The counting column composes into pack_sequences via token_col
+    — the stated purpose (faithful budgets for unigram-LM models)."""
+    from wikiextractor_spark.operators.packing import pack_sequences
+
+    lm = unigram_from_tokens(spark, LM, UNK)
+    df = spark.createDataFrame(
+        [(i, "the lower onion and the thing") for i in range(8)],
+        "doc_id long, text string",
+    )
+    counted = unigram_token_count(df, lm, out_col="nt").withColumn(
+        "nt", F.col("nt").cast("long")
+    )
+    packed = pack_sequences(
+        counted, token_col="nt", budget=32, num_groups=1
+    ).collect()
+    assert all(not r["over_budget"] for r in packed)
+    per_pack: dict = {}
+    for r in packed:
+        per_pack.setdefault(r["pack_id"], 0)
+        per_pack[r["pack_id"]] += r["nt"]
+    assert all(v <= 32 for v in per_pack.values())

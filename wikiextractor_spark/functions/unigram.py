@@ -1,0 +1,236 @@
+"""Unigram-LM (SentencePiece-style) tokenizer serving: Viterbi
+segmentation over an imported token→logprob table, counting tokens
+for pack budgeting the way Llama/T5-class tokenizers actually
+segment.
+
+The engine's BPE surface (greedy longest-match, exact merges replay,
+byte-level GPT-2 grain — :mod:`tokenizer`) covers GPT-class models;
+unigram-LM tokenizers are a different algorithm entirely: each vocab
+token carries a log probability and serving picks the segmentation
+MAXIMIZING the total logprob (Viterbi over word positions), not a
+replay of learned merges.  Without this, ``pack_sequences`` budgets
+are only faithful for merges-based tokenizers (r12 VERDICT, What's
+missing #3).
+
+Artifact contract: the shared :mod:`modelio` keyed-table shape —
+``(token string, logprob double)`` rows plus exactly one NULL-token
+row carrying ``unk_logprob``, the score charged per UNKNOWN character
+(each unknown character becomes ONE unk token; SentencePiece fuses
+consecutive unknowns into a single unk piece — a stated divergence,
+chosen so the count composes per character and the battery oracle can
+restate it exactly).  Tokens must be non-empty and whitespace-free
+(whitespace pre-tokenization, the same portable ASCII class as the
+BPE kernels).
+
+Determinism: scores are quantized to integer MICRO-units (1e-6 grain,
+sign-aware half-away-from-zero) at kernel build, and the DP maximizes
+the single integer ``score_micro * _TIE_BASE - n_tokens`` — so ties
+on score resolve to the FEWEST tokens, bit-identically on any
+platform and restatable in integer SQL (the engine discipline for
+transcendentals crossing the oracle boundary).  Two segmentations
+tied on both score and token count yield the same count, so the
+count column is well-defined without further tie-breaking.
+
+Scale shape: the table is driver-sized (sub-100k rows), shipped once
+per executor via the counting kernel's broadcast; counting is ONE
+Arrow-batched pandas UDF with the per-batch Zipfian word memo —
+exactly :func:`tokenizer._memoized_word_counter`, shared so the cache
+policy, whitespace grain, and NULL semantics cannot drift from the
+BPE kernels.
+
+No reference counterpart — engine extension (SURVEY.md §2.12); the
+algorithm is the published unigram-LM serving rule (Kudo 2018,
+"Subword Regularization", Viterbi decoding).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+from pyspark.sql import DataFrame, functions as F
+
+from wikiextractor_spark.functions.tokenizer import (
+    _WS_SPLIT,
+    _bad_tokens,
+    _memoized_word_counter,
+)
+
+UNIGRAM_SCHEMA = "token string, logprob double"
+
+# tie-break base: the DP maximizes score_micro * _TIE_BASE - n_tokens,
+# one integer packing (max score, then min tokens) — decodable because
+# n_tokens <= word length < _TIE_BASE (enforced; a >=1024-char single
+# WORD under whitespace pre-tokenization is pathological input, and
+# raising beats silently mis-decoding the count)
+_TIE_BASE = 1024
+
+
+def _quantize_micro(x: float) -> int:
+    """logprob double → integer micro-units, sign-aware
+    half-away-from-zero (Python's round() is half-to-even and DuckDB's
+    ROUND is half-away — this is the one rounding both sides of the
+    oracle can restate; see the engine's quantization discipline)."""
+    m = math.floor(abs(x) * 1e6 + 0.5)
+    return -m if x < 0 else m
+
+
+def unigram_from_tokens(
+    spark, logprobs: dict[str, float], unk_logprob: float,
+) -> DataFrame:
+    """Build a unigram-LM artifact frame from a ``{token: logprob}``
+    mapping plus the NULL-token unk row — the test/bootstrap path;
+    real artifacts come from :func:`save_unigram_lm` /
+    :func:`load_unigram_lm`."""
+    bad = _bad_tokens(logprobs)
+    if bad:
+        raise ValueError(
+            f"unigram_from_tokens: {len(bad)} empty or "
+            f"whitespace-carrying tokens (first: {bad[0]!r}) — such "
+            "entries can never match under whitespace pre-tokenization"
+        )
+    bad_lp = [
+        t for t, v in logprobs.items()
+        if isinstance(v, bool) or not isinstance(v, (int, float))
+    ]
+    if bad_lp:
+        raise ValueError(
+            f"unigram_from_tokens: {len(bad_lp)} non-numeric logprobs "
+            f"(first token: {bad_lp[0]!r})"
+        )
+    rows = [(t, float(v)) for t, v in logprobs.items()]
+    rows.append((None, float(unk_logprob)))
+    return spark.createDataFrame(rows, UNIGRAM_SCHEMA)
+
+
+def save_unigram_lm(lm: DataFrame, path: str) -> None:
+    """Persist a unigram-LM artifact — including the NULL-token unk
+    row — as one parquet file (driver-sized; sibling of
+    :func:`load_unigram_lm`)."""
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    write_one_file(lm.select("token", "logprob"), path)
+
+
+def load_unigram_lm(
+    spark, path: str, fmt: str | None = None,
+    unk_logprob: float | None = None,
+) -> DataFrame:
+    """Load a PRETRAINED unigram-LM table for
+    :func:`unigram_token_count` — the modelio keyed-table contract
+    (``parquet`` with ``token string, logprob double`` or headerless
+    two-column ``tsv``; malformed values raise; the unk scalar must
+    arrive exactly once, as the NULL-token row or the argument)."""
+    from wikiextractor_spark.functions.modelio import load_keyed_table
+
+    table, unk = load_keyed_table(
+        spark, path, fmt,
+        key_col="token", key_type="string", value_col="logprob",
+        scalar_name="unk_logprob", scalar=unk_logprob,
+        caller="load_unigram_lm",
+    )
+    unk_row = spark.createDataFrame([(None, float(unk))], UNIGRAM_SCHEMA)
+    return table.unionByName(unk_row).localCheckpoint(eager=True)
+
+
+def _lm_tokens_and_unk(
+    lm: DataFrame, caller: str,
+) -> tuple[dict[str, float], float]:
+    """Shared artifact validation (the :func:`tokenizer.
+    _vocab_tokens_and_oov` discipline): exactly one NULL-token unk
+    row, a non-empty table, no empty/whitespace-carrying tokens, no
+    duplicates."""
+    rows = lm.select("token", "logprob").collect()
+    unk_vals = [r["logprob"] for r in rows if r["token"] is None]
+    if len(unk_vals) != 1 or unk_vals[0] is None:
+        raise ValueError(
+            f"{caller}: the table must carry exactly one NULL-token "
+            f"unk_logprob row, found {len(unk_vals)} — load it through "
+            "load_unigram_lm"
+        )
+    toks: dict[str, float] = {}
+    bad: list[str] = []
+    for r in rows:
+        t = r["token"]
+        if t is None:
+            continue
+        if t == "" or _WS_SPLIT.search(t):
+            bad.append(t)
+            continue
+        if r["logprob"] is None:
+            raise ValueError(f"{caller}: token {t!r} has a NULL logprob")
+        toks[t] = float(r["logprob"])
+    if bad:
+        raise ValueError(
+            f"{caller}: {len(bad)} empty or whitespace-carrying tokens "
+            f"(first: {bad[0]!r}) — they can never match under "
+            "whitespace pre-tokenization; fix the artifact"
+        )
+    if not toks:
+        raise ValueError(f"{caller}: empty table")
+    if len(toks) != len(rows) - 1:
+        raise ValueError(f"{caller}: duplicate tokens in the artifact")
+    return toks, float(unk_vals[0])
+
+
+def _viterbi_count_word(
+    word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
+    unk_micro: int,
+) -> float:
+    """Token count of one word under max-logprob Viterbi segmentation.
+    DP over the packed integer ``score_micro * _TIE_BASE - n_tokens``;
+    an UNK single-character candidate is always available at
+    ``unk_micro``, so every position is reachable and the DP is total.
+    The count decodes from the packed optimum: ``n = _TIE_BASE -
+    (best mod _TIE_BASE)`` (mathematical mod; n <= len(word) <
+    _TIE_BASE by the length guard)."""
+    n = len(word)
+    if n >= _TIE_BASE:
+        raise ValueError(
+            f"unigram_token_count: a single {n}-char word exceeds the "
+            f"{_TIE_BASE - 1}-char bound of the tie-break packing — "
+            "such input is almost certainly not natural text; split "
+            "it upstream"
+        )
+    best = [0] * (n + 1)
+    for p in range(1, n + 1):
+        b = best[p - 1] + unk_micro * _TIE_BASE - 1
+        for ln in lens:
+            if ln > p:
+                continue
+            m = tok_micro.get(word[p - ln:p])
+            if m is not None:
+                c = best[p - ln] + m * _TIE_BASE - 1
+                if c > b:
+                    b = c
+        best[p] = b
+    return float(_TIE_BASE - (best[n] % _TIE_BASE))
+
+
+def unigram_token_count(
+    df: DataFrame, lm: DataFrame,
+    text_col: str = "text", out_col: str = "n_tokens_unigram",
+) -> DataFrame:
+    """Attach ``out_col``: the text's token count under max-logprob
+    Viterbi segmentation of the imported unigram LM — whitespace
+    pre-tokenization, per word the DP of :func:`_viterbi_count_word`,
+    unknown characters charged one unk token each.  NULL text stays
+    NULL; the count is a DOUBLE for frame-contract consistency with
+    the BPE counters (values are exact integers; cast to long before
+    integer-budget packing).
+
+    Same scale shape as :func:`tokenizer.bpe_token_count`: broadcast
+    driver-sized table, one Arrow-batched kernel, per-batch Zipfian
+    word memo (the shared :func:`tokenizer._memoized_word_counter`
+    body)."""
+    toks, unk = _lm_tokens_and_unk(lm, "unigram_token_count")
+    tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
+    lens = tuple(sorted({len(t) for t in tok_micro}))
+    return _memoized_word_counter(
+        df,
+        partial(
+            _viterbi_count_word, tok_micro=tok_micro, lens=lens,
+            unk_micro=_quantize_micro(unk),
+        ),
+        out_col, text_col,
+    )

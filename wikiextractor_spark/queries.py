@@ -606,6 +606,103 @@ _TOK_GPT2_CTE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram-LM Viterbi serving (r13): the n_tokens_unigram column routes
+# functions/unigram.py — max-logprob segmentation over an imported
+# token→logprob table, the Llama/T5-class serving rule the BPE surface
+# cannot express.  The oracle RE-DERIVES the whole DP itself: scores
+# are integer micro-units (the transcendental-quantization discipline)
+# packed as score*1024 - n_tokens, and the Viterbi recurrence unrolls
+# as a generated fixed-depth CTE chain — level p computes, per corpus
+# word, the best packed value over prefixes of length p from the
+# earlier levels (the _bpe_train_ctes generated-chain pattern; depth
+# 16 covers the corpus, whose max word length is 8 at every SF,
+# checked).  The count then decodes from the packed optimum by modular
+# arithmetic on both sides.  Single chars j and q are deliberately
+# ABSENT from the table (both occur in corpus words at every SF), so
+# the per-char UNK fallback is exercised under the hash.
+# --------------------------------------------------------------------------
+
+_UNI_LM = {
+    "the": -2.0, "and": -2.5, "ing": -2.8, "tion": -3.0,
+    "er": -3.2, "re": -3.3, "in": -3.1, "on": -3.4, "at": -3.5,
+    "en": -3.6, "es": -3.7, "or": -3.8, "an": -3.45, "th": -3.9,
+    "he": -3.95, "data": -3.05, "of": -3.15, "to": -3.25, "is": -3.35,
+    "a": -4.0, "b": -4.75, "c": -4.5, "d": -4.4, "e": -3.98,
+    "f": -4.8, "g": -4.65, "h": -4.45, "i": -4.1, "k": -4.95,
+    "l": -4.35, "m": -4.55, "n": -4.12, "o": -4.15, "p": -4.6,
+    "r": -4.25, "s": -4.2, "t": -4.05, "u": -4.3, "v": -4.9,
+    "w": -4.7, "y": -4.85,
+}
+_UNI_UNK = -10.0
+_UNI_DEPTH = 16
+
+
+def _uni_dp_ctes(depth: int) -> str:
+    """The generated Viterbi chain: uvoc VALUES table (micro-units
+    shared with the engine's quantizer), u0..u{depth} DP levels, ufin
+    per-doc counts.  Appended to ta_text_profile's WITH list; reads
+    the shared `words` CTE."""
+    from wikiextractor_spark.functions.unigram import (
+        _TIE_BASE as K,
+        _quantize_micro,
+    )
+
+    micro = {t: _quantize_micro(v) for t, v in _UNI_LM.items()}
+    unk_cand = _quantize_micro(_UNI_UNK) * K - 1
+    lens = sorted({len(t) for t in micro})
+    # micro as BIGINT up front: a bare literal rides as INT32 and
+    # micro * 1024 overflows it
+    rows = ", ".join(
+        f"({_q(t)}, {len(t)}, CAST({m} AS BIGINT))"
+        for t, m in micro.items()
+    )
+    # every DP level is referenced by up to max(lens) later levels —
+    # AS MATERIALIZED stops DuckDB's CTE inlining from expanding the
+    # chain into an exponential tree of base-table scans (first
+    # attempt exhausted the process's file descriptors re-opening the
+    # parquet per inlined reference)
+    ctes = [
+        f"uvoc(tok, l, micro) AS MATERIALIZED (VALUES {rows})",
+        "u0 AS MATERIALIZED (SELECT doc_id, wid, w,"
+        " CAST(0 AS BIGINT) AS best FROM words WHERE w <> '')",
+    ]
+    for p in range(1, depth + 1):
+        branches = [
+            f"SELECT doc_id, wid, w, best + CAST({unk_cand} AS BIGINT)"
+            f" AS cand FROM u{p - 1} WHERE length(w) >= {p}"
+        ]
+        for ln in lens:
+            if ln > p:
+                continue
+            branches.append(
+                f"SELECT u.doc_id, u.wid, u.w,"
+                f" u.best + v.micro * {K} - 1 AS cand"
+                f" FROM u{p - ln} u JOIN uvoc v ON v.l = {ln}"
+                f" AND substring(u.w, {p - ln + 1}, {ln}) = v.tok"
+                f" WHERE length(u.w) >= {p}"
+            )
+        ctes.append(
+            f"u{p} AS MATERIALIZED (SELECT doc_id, wid, w,"
+            f" MAX(cand) AS best"
+            f" FROM ({' UNION ALL '.join(branches)})"
+            " GROUP BY doc_id, wid, w)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT doc_id, best FROM u{p} WHERE length(w) = {p}"
+        for p in range(1, depth + 1)
+    )
+    # decode n from the packed optimum: positive mod, n = K - mod
+    ctes.append(
+        f"ufin AS (SELECT doc_id, CAST(SUM({K} - ((best % {K}) + {K})"
+        f" % {K}) AS BIGINT) AS nt FROM ({finals}) GROUP BY doc_id)"
+    )
+    return ",\n    ".join(ctes)
+
+
+_TOK_UNI_CTE = _uni_dp_ctes(_UNI_DEPTH)
+
+
 # Per-doc exact-replay count: every non-NULL text yields at least one
 # split piece, an empty piece yields only empty symbols (0.0 each), so
 # SUM is non-NULL exactly when the kernel returns non-NULL.
@@ -677,7 +774,8 @@ _TOK_VOCAB_CTE = f"""
     WITH RECURSIVE
     {_TOK_VOCAB_CTE},
     {_TOK_EXACT_CTE},
-    {_TOK_GPT2_CTE}
+    {_TOK_GPT2_CTE},
+    {_TOK_UNI_CTE}
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
@@ -694,12 +792,14 @@ _TOK_VOCAB_CTE = f"""
            tok.n_tokens_vocab AS n_tokens_vocab,
            exact.n_tokens_exact AS n_tokens_exact,
            g2.n_tokens_gpt2 AS n_tokens_gpt2,
-           g2.gpt2_ids_fp AS gpt2_ids_fp
+           g2.gpt2_ids_fp AS gpt2_ids_fp,
+           ufin.nt AS n_tokens_unigram
     -- LEFT: a NULL-text doc has no words rows, and the kernel passes
     -- NULL text through as a NULL count rather than dropping the doc
     FROM documents LEFT JOIN tok USING (doc_id)
                    LEFT JOIN exact USING (doc_id)
                    LEFT JOIN g2 USING (doc_id)
+                   LEFT JOIN ufin USING (doc_id)
     """,
 )
 def ta_text_profile(spark, sf_dir):
@@ -731,7 +831,18 @@ def ta_text_profile(spark, sf_dir):
     with a per-doc adversarial suffix spliced on (see _G2_SUFFIXES),
     against a byte-space merges/vocab pair; the oracle replays the
     same rules over hand-stated pre-token templates (RE2 has no
-    lookarounds, the PII shared-template discipline)."""
+    lookarounds, the PII shared-template discipline).  Variant 6
+    (r13) carries a literal ``<|endoftext|>`` — the kernel's
+    special_tokens pre-split emits the reserved id, stated directly
+    by the oracle's sid path.
+
+    The n_tokens_unigram column (r13) routes the SentencePiece-style
+    serving surface (functions/unigram.py): max-logprob Viterbi
+    segmentation over an imported token→logprob artifact (its own
+    save→load round trip), integer micro-unit scores with the packed
+    (score, token-count) tie-break; the oracle re-runs the whole DP
+    as a generated 16-level CTE chain (_uni_dp_ctes) and decodes the
+    count by the same modular arithmetic."""
     import shutil
     import tempfile
 
@@ -748,6 +859,13 @@ def ta_text_profile(spark, sf_dir):
         vocab_from_tokens,
     )
 
+    from wikiextractor_spark.functions.unigram import (
+        load_unigram_lm,
+        save_unigram_lm,
+        unigram_from_tokens,
+        unigram_token_count,
+    )
+
     vdir = tempfile.mkdtemp(prefix="ta_vocab_")
     try:
         save_bpe_vocab(
@@ -759,6 +877,14 @@ def ta_text_profile(spark, sf_dir):
             merges_from_pairs(spark, _BPE_MERGES), f"{vdir}/merges"
         )
         ranks = load_bpe_merges(spark, f"{vdir}/merges")
+        # r13: the unigram-LM artifact rides its own save→load round
+        # trip (the lm_quality_gate pattern) so the modelio contract
+        # sits under the driver's hash for this surface too
+        save_unigram_lm(
+            unigram_from_tokens(spark, _UNI_LM, _UNI_UNK),
+            f"{vdir}/unigram",
+        )
+        uni_lm = load_unigram_lm(spark, f"{vdir}/unigram")
     finally:
         shutil.rmtree(vdir, ignore_errors=True)
 
@@ -781,6 +907,7 @@ def ta_text_profile(spark, sf_dir):
     )
     d = bpe_token_count(d, vocab, out_col="_ntv")
     d = bpe_token_count_exact(d, vocab, ranks, out_col="_nte")
+    d = unigram_token_count(d, uni_lm, out_col="_ntu")
     # byte-level GPT-2 grain over text + per-doc adversarial suffix:
     # ONE ids kernel (bpe_token_ids) produces the id stream, from
     # which the count and the order-sensitive segmentation
@@ -837,6 +964,8 @@ def ta_text_profile(spark, sf_dir):
         F.round(F.col("_nte"), 6).alias("n_tokens_exact"),
         F.round(F.col("_ntg"), 6).alias("n_tokens_gpt2"),
         F.col("_g2fp").alias("gpt2_ids_fp"),
+        # exact integer in a double kernel output; BIGINT both sides
+        F.col("_ntu").cast("long").alias("n_tokens_unigram"),
     )
 
 
