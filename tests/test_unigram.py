@@ -45,7 +45,11 @@ def _brute_best(word: str, micro: dict[str, int], unk: int) -> int:
     def best(i: int) -> int:
         if i == len(word):
             return 0
-        cands = [best(i + 1) + unk * _TIE_BASE - 1]
+        # unk only where no single-char vocab token covers the char
+        cands = (
+            [] if word[i] in micro
+            else [best(i + 1) + unk * _TIE_BASE - 1]
+        )
         for j in range(i + 1, len(word) + 1):
             m = micro.get(word[i:j])
             if m is not None:
@@ -197,7 +201,7 @@ def test_unigram_contract_errors(spark):
     bad = spark.createDataFrame(
         [("a", None), (None, UNK)], "token string, logprob double"
     )
-    with pytest.raises(ValueError, match="NULL logprob"):
+    with pytest.raises(ValueError, match="NULL or non-finite"):
         unigram_token_count(df, bad)
 
 
@@ -239,3 +243,36 @@ def test_unigram_feeds_pack_budgets(spark):
         per_pack.setdefault(r["pack_id"], 0)
         per_pack[r["pack_id"]] += r["nt"]
     assert all(v <= 32 for v in per_pack.values())
+
+
+def test_unk_never_beats_a_covered_character(spark):
+    """r13 review: a covered character always scores through its own
+    token — a HIGH unk_logprob must not let known singletons take the
+    unk rate (real SentencePiece serving would count 1 here)."""
+    lm = unigram_from_tokens(
+        spark, {"ab": -3.0, "a": -5.0, "b": -5.0}, unk_logprob=-1.0
+    )
+    df = spark.createDataFrame([(0, "ab qq")], "doc_id long, text string")
+    got = unigram_token_count(df, lm, out_col="n").first()["n"]
+    # 'ab' → the 1-token piece (-3.0 beats a+b = -10.0; unk is NOT a
+    # candidate for covered a/b); 'qq' → 2 unk tokens
+    assert got == 3.0
+
+
+def test_unigram_rejects_non_finite_logprobs(spark):
+    import math as _m
+
+    with pytest.raises(ValueError, match="non-finite"):
+        unigram_from_tokens(spark, {"a": _m.nan}, UNK)
+    with pytest.raises(ValueError, match="not a finite"):
+        unigram_from_tokens(spark, {"a": -1.0}, _m.inf)
+    with pytest.raises(ValueError, match="not a finite"):
+        unigram_from_tokens(spark, {"a": -1.0}, True)
+    # a NaN riding a hand-built frame is caught at kernel build with
+    # the offending token named, not a quantizer crash
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    bad = spark.createDataFrame(
+        [("a", float("nan")), (None, UNK)], "token string, logprob double"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        unigram_token_count(df, bad)

@@ -15,10 +15,14 @@ missing #3).
 Artifact contract: the shared :mod:`modelio` keyed-table shape —
 ``(token string, logprob double)`` rows plus exactly one NULL-token
 row carrying ``unk_logprob``, the score charged per UNKNOWN character
-(each unknown character becomes ONE unk token; SentencePiece fuses
-consecutive unknowns into a single unk piece — a stated divergence,
-chosen so the count composes per character and the battery oracle can
-restate it exactly).  Tokens must be non-empty and whitespace-free
+— one whose single-character form is ABSENT from the vocabulary; a
+character the vocab covers always scores through its own token, never
+the unk rate (the real serving rule — r13 review caught the draft
+allowing a high unk_logprob to beat known singletons).  Each unknown
+character becomes ONE unk token; SentencePiece fuses consecutive
+unknowns into a single unk piece — a stated divergence, chosen so the
+count composes per character and the battery oracle can restate it
+exactly.  Tokens must be non-empty and whitespace-free
 (whitespace pre-tokenization, the same portable ASCII class as the
 BPE kernels).
 
@@ -91,12 +95,23 @@ def unigram_from_tokens(
         )
     bad_lp = [
         t for t, v in logprobs.items()
-        if isinstance(v, bool) or not isinstance(v, (int, float))
+        if isinstance(v, bool)
+        or not isinstance(v, (int, float))
+        or not math.isfinite(v)
     ]
     if bad_lp:
         raise ValueError(
-            f"unigram_from_tokens: {len(bad_lp)} non-numeric logprobs "
-            f"(first token: {bad_lp[0]!r})"
+            f"unigram_from_tokens: {len(bad_lp)} non-numeric or "
+            f"non-finite logprobs (first token: {bad_lp[0]!r})"
+        )
+    if (
+        isinstance(unk_logprob, bool)
+        or not isinstance(unk_logprob, (int, float))
+        or not math.isfinite(unk_logprob)
+    ):
+        raise ValueError(
+            f"unigram_from_tokens: unk_logprob {unk_logprob!r} is not "
+            "a finite number"
         )
     rows = [(t, float(v)) for t, v in logprobs.items()]
     rows.append((None, float(unk_logprob)))
@@ -148,6 +163,11 @@ def _lm_tokens_and_unk(
             f"unk_logprob row, found {len(unk_vals)} — load it through "
             "load_unigram_lm"
         )
+    if not math.isfinite(unk_vals[0]):
+        raise ValueError(
+            f"{caller}: unk_logprob {unk_vals[0]!r} is not finite — "
+            "fix the artifact"
+        )
     toks: dict[str, float] = {}
     bad: list[str] = []
     for r in rows:
@@ -157,8 +177,14 @@ def _lm_tokens_and_unk(
         if t == "" or _WS_SPLIT.search(t):
             bad.append(t)
             continue
-        if r["logprob"] is None:
-            raise ValueError(f"{caller}: token {t!r} has a NULL logprob")
+        if r["logprob"] is None or not math.isfinite(r["logprob"]):
+            # a TSV 'NaN'/'inf' field survives the loader's numeric
+            # cast; crashing later inside the quantizer would hide
+            # which artifact row is corrupt (r13 review)
+            raise ValueError(
+                f"{caller}: token {t!r} has a NULL or non-finite "
+                "logprob — fix the artifact"
+            )
         toks[t] = float(r["logprob"])
     if bad:
         raise ValueError(
@@ -179,11 +205,13 @@ def _viterbi_count_word(
 ) -> float:
     """Token count of one word under max-logprob Viterbi segmentation.
     DP over the packed integer ``score_micro * _TIE_BASE - n_tokens``;
-    an UNK single-character candidate is always available at
-    ``unk_micro``, so every position is reachable and the DP is total.
-    The count decodes from the packed optimum: ``n = _TIE_BASE -
-    (best mod _TIE_BASE)`` (mathematical mod; n <= len(word) <
-    _TIE_BASE by the length guard)."""
+    the UNK single-character candidate exists ONLY where the character
+    has no single-char vocab token (the serving rule — a covered
+    character always scores through its own token), and every position
+    stays reachable because one of the two length-1 candidates always
+    applies.  The count decodes from the packed optimum:
+    ``n = _TIE_BASE - (best mod _TIE_BASE)`` (mathematical mod;
+    n <= len(word) < _TIE_BASE by the length guard)."""
     n = len(word)
     if n >= _TIE_BASE:
         raise ValueError(
@@ -194,9 +222,11 @@ def _viterbi_count_word(
         )
     best = [0] * (n + 1)
     for p in range(1, n + 1):
-        b = best[p - 1] + unk_micro * _TIE_BASE - 1
+        ch = word[p - 1]
+        m1 = tok_micro.get(ch)
+        b = best[p - 1] + (unk_micro if m1 is None else m1) * _TIE_BASE - 1
         for ln in lens:
-            if ln > p:
+            if ln > p or ln == 1:
                 continue
             m = tok_micro.get(word[p - ln:p])
             if m is not None:

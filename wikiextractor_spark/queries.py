@@ -667,10 +667,15 @@ def _uni_dp_ctes(depth: int) -> str:
         "u0 AS MATERIALIZED (SELECT doc_id, wid, w,"
         " CAST(0 AS BIGINT) AS best FROM words WHERE w <> '')",
     ]
+    singles = ", ".join(_q(t) for t in micro if len(t) == 1)
     for p in range(1, depth + 1):
         branches = [
+            # the UNK candidate exists only where the character has
+            # no single-char vocab token (the serving rule; the
+            # engine kernel applies the same gate)
             f"SELECT doc_id, wid, w, best + CAST({unk_cand} AS BIGINT)"
             f" AS cand FROM u{p - 1} WHERE length(w) >= {p}"
+            f" AND substring(w, {p}, 1) NOT IN ({singles})"
         ]
         for ln in lens:
             if ln > p:
@@ -793,7 +798,11 @@ _TOK_VOCAB_CTE = f"""
            exact.n_tokens_exact AS n_tokens_exact,
            g2.n_tokens_gpt2 AS n_tokens_gpt2,
            g2.gpt2_ids_fp AS gpt2_ids_fp,
-           ufin.nt AS n_tokens_unigram
+           -- non-NULL text always yields a number (0 for a
+           -- whitespace-only text, where ufin has no row); NULL text
+           -- stays NULL — exactly the kernel's contract
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(ufin.nt, 0) END AS n_tokens_unigram
     -- LEFT: a NULL-text doc has no words rows, and the kernel passes
     -- NULL text through as a NULL count rather than dropping the doc
     FROM documents LEFT JOIN tok USING (doc_id)
