@@ -202,3 +202,122 @@ def test_fim_cuts_reach_beyond_bucket_width(spark):
         assert out[c1 + 2] == c2          # first of suffix
     if c2 > c1:
         assert out[c1 + 3 + (n - c2)] == c1  # first of middle
+
+
+# ---------------------------------------------------------------------------
+# Character-grain FIM (r13): fim_transform_text
+# ---------------------------------------------------------------------------
+
+from wikiextractor_spark.operators.fim import fim_transform_text
+
+PT, MT, ST = "<|fim_prefix|>", "<|fim_middle|>", "<|fim_suffix|>"
+
+
+def _py_fim_text(doc_id, text, rate, salt="fimc", spm=False):
+    if text is None:
+        return None
+    if _bucket(doc_id, salt) >= round(rate * 1_000_000):
+        return text
+    n = len(text)
+    h1 = _u60(doc_id, salt + ":c1") % (n + 1)
+    h2 = _u60(doc_id, salt + ":c2") % (n + 1)
+    c1, c2 = min(h1, h2), max(h1, h2)
+    pre, mid, suf = text[:c1], text[c1:c2], text[c2:]
+    if spm:
+        return PT + ST + suf + MT + pre + mid
+    return PT + pre + ST + suf + MT + mid
+
+
+@pytest.mark.parametrize("spm", [False, True])
+def test_fim_text_differential(spark, spm):
+    texts = [(i, f"the quick brown fox {i} jumps over") for i in range(40)]
+    texts.append((999, None))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in fim_transform_text(df, fim_rate=0.5, spm=spm).collect()
+    }
+    transformed = 0
+    for d, t in texts:
+        expect = _py_fim_text(d, t, 0.5, spm=spm)
+        assert got[d] == expect, (d, got[d], expect)
+        if t is not None and expect != t:
+            transformed += 1
+    assert 0 < transformed < len(texts) - 1
+
+
+def test_fim_text_composes_with_special_tokens(spark):
+    """The stated pipeline: char-grain FIM in text space, then
+    bpe_token_ids with the markers as special tokens — the stream is
+    [PRE] ids(prefix) [SUF] ids(suffix) [MID] ids(middle), each piece
+    tokenized SEPARATELY."""
+    from wikiextractor_spark.functions.tokenizer import (
+        GPT2_PRETOKENIZER_PATTERN,
+        bpe_token_ids,
+        vocab_from_tokens,
+    )
+
+    # vocab in the byte space: merges fuse 'th'+'e' so a cut inside
+    # "the" forces a different segmentation than the unsplit text
+    vocab = vocab_from_tokens(
+        spark,
+        ["th", "the", "t", "h", "e", "a", "b", "Ġ", "Ġt", "Ġth", "Ġthe"],
+        1.0,
+    )
+    merges = {("t", "h"): 0.0, ("th", "e"): 1.0, ("Ġ", "t"): 2.0,
+              ("Ġt", "h"): 3.0, ("Ġth", "e"): 4.0}
+    specials = {PT: 9001, MT: 9002, ST: 9003}
+
+    # find a gated doc and compute its cuts over this text
+    text = "the the the"
+    did = next(i for i in range(500) if _bucket(i, "fimc") < 500_000)
+    n = len(text)
+    h1 = _u60(did, "fimc:c1") % (n + 1)
+    h2 = _u60(did, "fimc:c2") % (n + 1)
+    c1, c2 = min(h1, h2), max(h1, h2)
+
+    df = spark.createDataFrame([(did, text)], "doc_id long, text string")
+    fimmed = fim_transform_text(df, fim_rate=0.5)
+    ids = list(
+        bpe_token_ids(
+            fimmed, vocab, merges,
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+            special_tokens=specials, out_col="token_ids",
+        ).first()["token_ids"]
+    )
+
+    def piece_ids(piece):
+        if not piece:
+            return []
+        sub = spark.createDataFrame([(0, piece)], "doc_id long, text string")
+        return list(
+            bpe_token_ids(
+                sub, vocab, merges,
+                byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+                out_col="token_ids",
+            ).first()["token_ids"]
+        )
+
+    expect = (
+        [9001] + piece_ids(text[:c1]) + [9003] + piece_ids(text[c2:])
+        + [9002] + piece_ids(text[c1:c2])
+    )
+    assert ids == expect, (c1, c2, ids, expect)
+
+
+def test_fim_text_contract_errors(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        fim_transform_text(df, prefix_tok="")
+    with pytest.raises(ValueError, match="distinct"):
+        fim_transform_text(df, prefix_tok=MT)
+    with pytest.raises(ValueError, match="fim_rate"):
+        fim_transform_text(df, fim_rate=-0.1)
+
+
+def test_fim_text_plan_shape(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    out = fim_transform_text(df)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "EvalPython" not in p

@@ -43,6 +43,13 @@ the engine cannot check the latter against a merges-only artifact,
 so it validates non-negativity (the -1 OOV sentinel stays
 unambiguous) and distinctness.
 
+Two grains (r13): :func:`fim_transform` rearranges TOKENIZED id
+streams (cuts at token boundaries); :func:`fim_transform_text`
+rearranges the raw TEXT at character positions with literal marker
+strings — the paper's recommended application — and composes with
+``bpe_token_ids(special_tokens=...)`` so the markers emit reserved
+ids.
+
 No reference counterpart — engine extension (SURVEY.md §2.12).
 """
 
@@ -122,4 +129,82 @@ def fim_transform(
         F.when(F.col(ids_col).isNull(), F.col(ids_col))
         .when(gate, arranged)
         .otherwise(F.col(ids_col)),
+    )
+
+
+def fim_transform_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *, prefix_tok: str = "<|fim_prefix|>",
+    middle_tok: str = "<|fim_middle|>",
+    suffix_tok: str = "<|fim_suffix|>",
+    fim_rate: float = 0.5, spm: bool = False, salt: str = "fimc",
+) -> DataFrame:
+    """CHARACTER-grain FIM (r13): rewrite ``text_col`` in place — a
+    deterministic ``fim_rate`` fraction of documents is split at two
+    character positions and rearranged with literal sentinel MARKER
+    strings,
+
+        PSM:  <|fim_prefix|> prefix <|fim_suffix|> suffix
+              <|fim_middle|> middle      (no spaces inserted)
+
+    the paper's recommended character-level application (Bavarian et
+    al. 2022 §4: splitting in raw text avoids constraining the cuts
+    to token boundaries).  The output composes with
+    :func:`~wikiextractor_spark.functions.tokenizer.bpe_token_ids`
+    via ``special_tokens={marker: reserved_id}`` — the markers split
+    out before pre-tokenization and emit their reserved ids, so the
+    final stream is ``[PRE] ids(prefix) [SUF] ids(suffix) [MID]
+    ids(middle)`` where each piece is tokenized SEPARATELY (the
+    stated char-grain/token-grain divergence: a cut can land inside
+    what would have been one token, and concat-then-tokenize ≠
+    tokenize-then-concat at the cut edges).
+
+    Gate and cuts are the token-grain transform's derivations (md5
+    bucket gate; full-width 60-bit draws mod (n + 1) over CHARACTER
+    positions), so the whole rearrangement is engine-reproducible and
+    oracle-restatable.  NULL text stays NULL.  Markers must be
+    non-empty, distinct, and absent from the corpus (the caller's
+    contract, same as reserved ids — the engine cannot police corpus
+    content here without a full scan)."""
+    toks = {"prefix_tok": prefix_tok, "middle_tok": middle_tok,
+            "suffix_tok": suffix_tok}
+    for name, v in toks.items():
+        if not isinstance(v, str) or v == "":
+            raise ValueError(
+                f"fim_transform_text: {name} must be a non-empty "
+                f"string, got {v!r}"
+            )
+    if len(set(toks.values())) != 3:
+        raise ValueError(
+            f"fim_transform_text: marker strings must be distinct, "
+            f"got {toks}"
+        )
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
+
+    gate = _hash_bucket(F.col(id_col), salt) < int(
+        round(fim_rate * _BUCKETS)
+    )
+    n = F.length(F.col(text_col))
+    h1 = _hash_u60(F.col(id_col), salt + ":c1") % (n + 1)
+    h2 = _hash_u60(F.col(id_col), salt + ":c2") % (n + 1)
+    c1, c2 = F.least(h1, h2), F.greatest(h1, h2)
+    # substring(text, start, length) is 1-based like slice
+    prefix = F.col(text_col).substr(F.lit(1), c1)
+    middle = F.col(text_col).substr(c1 + 1, c2 - c1)
+    suffix = F.col(text_col).substr(c2 + 1, n - c2)
+    psm = F.concat(
+        F.lit(prefix_tok), prefix, F.lit(suffix_tok), suffix,
+        F.lit(middle_tok), middle,
+    )
+    spm_txt = F.concat(
+        F.lit(prefix_tok), F.lit(suffix_tok), suffix,
+        F.lit(middle_tok), prefix, middle,
+    )
+    arranged = spm_txt if spm else psm
+    return df.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNull(), F.col(text_col))
+        .when(gate, arranged)
+        .otherwise(F.col(text_col)),
     )

@@ -3363,6 +3363,30 @@ _PACK_SEP = 2000
              END AS ids
       FROM fimcut
     ),
+    fimtcut AS (
+      -- 'fimc' family (r13): CHARACTER-grain FIM over the raw text
+      -- (operators/fim.py fim_transform_text) — same gate family,
+      -- cuts drawn over character positions
+      SELECT doc_id, text, length(text) AS n,
+             {_duck_bucket('doc_id', 'fimc')} < {int(round(_FIM_RATE * 1000000))} AS gated,
+             ({_duck_u60('doc_id', 'fimc:c1')} % (length(text) + 1)) AS h1,
+             ({_duck_u60('doc_id', 'fimc:c2')} % (length(text) + 1)) AS h2
+      FROM documents
+    ),
+    fimtout AS (
+      SELECT doc_id,
+             CASE WHEN NOT gated THEN text
+                  ELSE '<|fim_prefix|>'
+                       || substring(text, 1, least(h1, h2))
+                       || '<|fim_suffix|>'
+                       || substring(text, greatest(h1, h2) + 1,
+                                    n - greatest(h1, h2))
+                       || '<|fim_middle|>'
+                       || substring(text, least(h1, h2) + 1,
+                                    greatest(h1, h2) - least(h1, h2))
+             END AS t
+      FROM fimtcut
+    ),
     packstart AS (
       -- 'packs' family (r13): every doc in ONE pack, blocks =
       -- ids + separator; each doc's start = sum of earlier blocks
@@ -3396,6 +3420,10 @@ _PACK_SEP = 2000
            array_to_string(ids, ',') AS chunk,
            len(ids) AS n_tokens
     FROM fimout
+    UNION ALL
+    SELECT 'fimc' AS family, doc_id, 0 AS chunk_no, t AS chunk,
+           length(t) AS n_tokens
+    FROM fimtout
     UNION ALL
     SELECT 'packs' AS family, pack_id AS doc_id, nd AS chunk_no,
            array_to_string(tids, ',') || ';' ||
@@ -3462,6 +3490,20 @@ def ta_chunk_documents(spark, sf_dir):
         ).alias("chunk"),
         F.size("token_ids").cast("long").alias("n_tokens"),
     )
+    # 'fimc' family (r13, fim_transform_text): character-grain FIM
+    # over the raw text with literal sentinel markers — gate + cuts +
+    # layout re-derived by the oracle over character positions
+    from wikiextractor_spark.operators.fim import fim_transform_text
+
+    fimc_fam = fim_transform_text(
+        _docs(spark, sf_dir), fim_rate=_FIM_RATE, salt="fimc",
+    ).select(
+        F.lit("fimc").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.col("text").alias("chunk"),
+        F.length("text").cast("long").alias("n_tokens"),
+    )
     # 'packs' family (r13, packing.assemble_packs): num_groups=1 +
     # an everything-fits budget → ONE pack whose body, doc_starts
     # offsets, and counts the oracle restates exactly (ascending
@@ -3493,6 +3535,7 @@ def ta_chunk_documents(spark, sf_dir):
     return (
         text_fam.unionByName(ids_fam)
         .unionByName(fim_fam)
+        .unionByName(fimc_fam)
         .unionByName(packs_fam)
     )
 
