@@ -321,3 +321,22 @@ def test_fim_text_plan_shape(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_fim_text_empty_and_edge_cuts(spark):
+    """The n=0 boundary of the mod-(n+1) derivation: an EMPTY gated
+    text becomes markers-only; an ungated empty text passes through —
+    pinned differentially like the token-grain empty-array rows."""
+    gated = next(i for i in range(500) if _bucket(i, "fimc") < 500_000)
+    ungated = next(i for i in range(500) if _bucket(i, "fimc") >= 500_000)
+    df = spark.createDataFrame(
+        [(gated, ""), (ungated, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in fim_transform_text(df, fim_rate=0.5).collect()
+    }
+    assert got[gated] == PT + ST + MT  # both cuts are 0: empty parts
+    assert got[ungated] == ""
+    for d in (gated, ungated):
+        assert got[d] == _py_fim_text(d, "", 0.5)

@@ -64,6 +64,26 @@ from wikiextractor_spark.operators.sampling import (
 )
 
 
+def _gate_and_cuts(id_col: str, salt: str, fim_rate: float, n):
+    """The ONE home of the FIM determinism derivation, shared by both
+    grains (r13 review — the r12 bucket→u60 cut fix had to land in
+    one place; a future change must too): the md5-bucket gate and two
+    independent full-width draws mod (n + 1), sorted.  Each cut is
+    (near-)uniform over [0, n] (60-bit draw → modulo bias ~n/2^60);
+    the SORTED pair is NOT uniform over {c1 <= c2} — diagonal pairs
+    (c1 == c2) carry half the mass of off-diagonal ones, the standard
+    order-statistics shape of two independent draws.  ``n`` is the
+    grain's length expression (token count or character count)."""
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
+    gate = _hash_bucket(F.col(id_col), salt) < int(
+        round(fim_rate * _BUCKETS)
+    )
+    h1 = _hash_u60(F.col(id_col), salt + ":c1") % (n + 1)
+    h2 = _hash_u60(F.col(id_col), salt + ":c2") % (n + 1)
+    return gate, F.least(h1, h2), F.greatest(h1, h2)
+
+
 def fim_transform(
     df: DataFrame, ids_col: str = "token_ids", id_col: str = "doc_id",
     *, prefix_id: int, middle_id: int, suffix_id: int,
@@ -91,22 +111,8 @@ def fim_transform(
         raise ValueError(
             f"fim_transform: sentinel ids must be distinct, got {sent}"
         )
-    if not 0.0 <= fim_rate <= 1.0:
-        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
-
-    gate = _hash_bucket(F.col(id_col), salt) < int(
-        round(fim_rate * _BUCKETS)
-    )
-    # two independent full-width draws mod (n+1), then sorted: each
-    # cut is (near-)uniform over [0, n] (60-bit draw → modulo bias
-    # ~n/2^60); the SORTED pair is NOT uniform over {c1 <= c2} —
-    # diagonal pairs (c1 == c2) carry half the mass of off-diagonal
-    # ones, the standard order-statistics shape of two independent
-    # draws (r12 ADVICE: the earlier comment overclaimed uniformity)
     n = F.size(F.col(ids_col))
-    h1 = _hash_u60(F.col(id_col), salt + ":c1") % (n + 1)
-    h2 = _hash_u60(F.col(id_col), salt + ":c2") % (n + 1)
-    c1, c2 = F.least(h1, h2), F.greatest(h1, h2)
+    gate, c1, c2 = _gate_and_cuts(id_col, salt, fim_rate, n)
 
     def lit1(v: int):
         return F.array(F.lit(int(v)).cast("long"))
@@ -179,16 +185,8 @@ def fim_transform_text(
             f"fim_transform_text: marker strings must be distinct, "
             f"got {toks}"
         )
-    if not 0.0 <= fim_rate <= 1.0:
-        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
-
-    gate = _hash_bucket(F.col(id_col), salt) < int(
-        round(fim_rate * _BUCKETS)
-    )
     n = F.length(F.col(text_col))
-    h1 = _hash_u60(F.col(id_col), salt + ":c1") % (n + 1)
-    h2 = _hash_u60(F.col(id_col), salt + ":c2") % (n + 1)
-    c1, c2 = F.least(h1, h2), F.greatest(h1, h2)
+    gate, c1, c2 = _gate_and_cuts(id_col, salt, fim_rate, n)
     # substring(text, start, length) is 1-based like slice
     prefix = F.col(text_col).substr(F.lit(1), c1)
     middle = F.col(text_col).substr(c1 + 1, c2 - c1)
