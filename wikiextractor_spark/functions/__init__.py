@@ -17,12 +17,21 @@ from wikiextractor_spark.functions.html import (  # noqa: F401
 from wikiextractor_spark.functions.tokenizer import (  # noqa: F401
     bpe_token_count,
     bpe_token_count_exact,
+    bpe_token_ids,
     learn_bpe_merges,
     load_bpe_merges,
+    load_bpe_merges_txt,
     load_bpe_vocab,
+    load_bpe_vocab_json,
     merges_from_pairs,
     save_bpe_merges,
     save_bpe_vocab,
     train_bpe_tokenizer,
     vocab_from_tokens,
+)
+from wikiextractor_spark.functions.unigram import (  # noqa: F401
+    load_unigram_lm,
+    save_unigram_lm,
+    unigram_from_tokens,
+    unigram_token_count,
 )
