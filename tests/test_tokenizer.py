@@ -1163,3 +1163,172 @@ def test_special_tokens_vocab_id_collision(spark):
         ).first()["token_ids"]
     )
     assert ids == [1]
+
+
+# ---------------------------------------------------------------------------
+# Decode adapter (r13): bpe_decode_ids
+# ---------------------------------------------------------------------------
+
+
+def test_decode_round_trips_full_coverage_vocab(spark):
+    """On a full-coverage byte-level artifact (all 256 base bytes +
+    merge outputs, the published layout) decode(encode(text)) == text
+    exactly — including contractions, multi-space, newlines,
+    multi-byte chars, and literal special-token text."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_decode_ids,
+        bpe_token_ids,
+    )
+
+    enc = gpt2_bytes_to_unicode()
+    base = [enc[b] for b in range(256)]
+    merges = {p: float(i) for i, p in enumerate(_G2_TEST_MERGES)}
+    outputs = []
+    for a, b in _G2_TEST_MERGES:
+        t = a + b
+        if t not in set(base) | set(outputs):
+            outputs.append(t)
+    vocab = vocab_from_tokens(spark, base + outputs, 1.0)
+    specials = {_EOT: 50256}
+    texts = [
+        "the thing", "don't stop", "a  b   c", "para.\n\nNext",
+        "café été", f"doc one{_EOT}doc two", "end.  ", "", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ids = bpe_token_ids(
+        df, vocab, merges, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        special_tokens=specials,
+    )
+    back = bpe_decode_ids(
+        ids, vocab, ids_col="ids", out_col="decoded",
+        byte_level=True, special_tokens=specials,
+    )
+    for r in back.collect():
+        want = texts[r["doc_id"]]
+        assert r["decoded"] == want, (want, r["decoded"])
+
+
+def test_decode_round_trips_real_docs(spark, docs):
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_decode_ids,
+        bpe_token_ids,
+    )
+
+    enc = gpt2_bytes_to_unicode()
+    vocab = vocab_from_tokens(
+        spark, [enc[b] for b in range(256)] + ["th", "the", "in", "ing"],
+        1.0,
+    )
+    merges = {("t", "h"): 0.0, ("th", "e"): 1.0, ("i", "n"): 2.0,
+              ("in", "g"): 3.0}
+    sample = docs.limit(40).select("doc_id", "text")
+    ids = bpe_token_ids(
+        sample, vocab, merges, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    back = bpe_decode_ids(
+        ids, vocab, ids_col="ids", out_col="decoded", byte_level=True,
+    )
+    src = {r["doc_id"]: r["text"] for r in sample.collect()}
+    for r in back.collect():
+        assert r["decoded"] == src[r["doc_id"]]
+
+
+def test_decode_oov_sentinels_and_contract(spark):
+    """-1 decodes to one oov_char per unknown unit; pack/FIM sentinel
+    ids must be registered as specials or decode raises; malformed
+    multi-byte splits decode with U+FFFD replacement."""
+    from wikiextractor_spark.functions.tokenizer import bpe_decode_ids
+
+    vocab = vocab_from_tokens(spark, ["a", "b", "Ã"], 1.0)  # ids 0,1,2
+    df = spark.createDataFrame(
+        [(0, [0, -1, 1]), (1, [0, 9000, 1]), (2, None), (3, [2])],
+        "doc_id long, token_ids array<long>",
+    )
+    ok = bpe_decode_ids(
+        df.filter("doc_id IN (0, 2)"), vocab, out_col="t",
+        byte_level=True,
+        special_tokens={"<|sep|>": 9000},
+    )
+    got = {r["doc_id"]: r["t"] for r in ok.collect()}
+    assert got[0] == "a?b"
+    assert got[2] is None
+    # registered sentinel id → marker text verbatim
+    withsep = bpe_decode_ids(
+        df.filter("doc_id = 1"), vocab, out_col="t", byte_level=True,
+        special_tokens={"<|sep|>": 9000},
+    ).first()["t"]
+    assert withsep == "a<|sep|>b"
+    # UNREGISTERED sentinel raises
+    with pytest.raises(Exception, match="neither a vocab id"):
+        bpe_decode_ids(
+            df.filter("doc_id = 1"), vocab, out_col="t", byte_level=True,
+        ).collect()
+    # a lone UTF-8 lead byte (Ã = 0xC3) → replacement char
+    lone = bpe_decode_ids(
+        df.filter("doc_id = 3"), vocab, out_col="t", byte_level=True,
+    ).first()["t"]
+    assert lone == "�"
+    # contract errors
+    with pytest.raises(ValueError, match="one character"):
+        bpe_decode_ids(df, vocab, oov_char="??")
+    dup = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), (None, 1.0)],
+        "token string, token_id double",
+    )
+    with pytest.raises(ValueError, match="duplicate vocab id"):
+        bpe_decode_ids(df, dup)
+    with pytest.raises(ValueError, match="collides"):
+        bpe_decode_ids(
+            df, vocab, special_tokens={"<|x|>": 0}, byte_level=True
+        )
+    # non-byte-level artifact rejected in byte mode
+    nb = vocab_from_tokens(spark, ["日"], 1.0)
+    with pytest.raises(ValueError, match="outside the byte-level"):
+        bpe_decode_ids(df, nb, byte_level=True)
+
+
+def test_decode_round_trips_fim_and_pack_output(spark):
+    """The full emit loop: ids → fim_transform → assemble_packs →
+    decode with every sentinel registered — the packed stream decodes
+    to the documents' text with markers/separators readable."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_decode_ids,
+        bpe_token_ids,
+    )
+    from wikiextractor_spark.operators.fim import fim_transform
+    from wikiextractor_spark.operators.packing import assemble_packs
+
+    enc = gpt2_bytes_to_unicode()
+    vocab = vocab_from_tokens(spark, [enc[b] for b in range(256)], 1.0)
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ids = bpe_token_ids(
+        df, vocab, {}, out_col="token_ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    fimmed = fim_transform(
+        ids, prefix_id=9001, middle_id=9002, suffix_id=9003,
+        fim_rate=0.5,
+    )
+    packs = assemble_packs(
+        fimmed, budget=256, num_groups=1, sep_id=9000,
+    )
+    decoded = bpe_decode_ids(
+        packs, vocab, ids_col="token_ids", out_col="t",
+        byte_level=True,
+        special_tokens={"<|sep|>": 9000, "<|pre|>": 9001,
+                        "<|mid|>": 9002, "<|suf|>": 9003},
+    ).collect()
+    joined = "".join(r["t"] for r in decoded)
+    assert joined.count("<|sep|>") == 6  # one per document
+    # every document's text survives somewhere (possibly FIM-split)
+    for i in range(6):
+        assert f"doc {i}" in joined or (
+            "<|pre|>" in joined  # split docs: pieces still present
+        )

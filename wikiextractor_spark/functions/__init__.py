@@ -15,6 +15,7 @@ from wikiextractor_spark.functions.html import (  # noqa: F401
     html_to_text_duckdb_sql,
 )
 from wikiextractor_spark.functions.tokenizer import (  # noqa: F401
+    bpe_decode_ids,
     bpe_token_count,
     bpe_token_count_exact,
     bpe_token_ids,

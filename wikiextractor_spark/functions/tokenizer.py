@@ -806,6 +806,151 @@ def bpe_token_ids(
     )
 
 
+def _decode_ids_one(
+    ids, id2tok: dict[int, str], byte_dec: dict[str, int] | None,
+    rev_special: dict[int, str], oov_char: str,
+):
+    """Decode one id stream.  Vocab ids accumulate their token
+    strings into a buffer (the encoded byte space when
+    ``byte_dec`` is set); -1 contributes one ``oov_char`` per
+    unknown unit; a SPECIAL id flushes the buffer (byte-decoding it
+    when byte-level) and emits its marker text RAW — specials never
+    pass through the byte table, mirroring the encode-side pre-split.
+    Any other id raises (an unregistered sentinel — sep/fim ids —
+    must be declared in ``special_tokens``; guessing would silently
+    corrupt the text)."""
+    if ids is None:
+        return None
+    parts: list[str] = []
+    buf: list[str] = []
+
+    def flush():
+        if not buf:
+            return
+        s = "".join(buf)
+        buf.clear()
+        if byte_dec is None:
+            parts.append(s)
+        else:
+            parts.append(
+                bytes(byte_dec[c] for c in s).decode(
+                    "utf-8", errors="replace"
+                )
+            )
+
+    for i in ids:
+        sp = rev_special.get(i)
+        if sp is not None:
+            flush()
+            parts.append(sp)
+            continue
+        if i == -1:
+            buf.append(oov_char)
+            continue
+        tok = id2tok.get(i)
+        if tok is None:
+            raise ValueError(
+                f"bpe_decode_ids: id {i} is neither a vocab id, -1, "
+                "nor a registered special token — sentinel ids "
+                "(separators, FIM markers) must be declared in "
+                "special_tokens"
+            )
+        buf.append(tok)
+    flush()
+    return "".join(parts)
+
+
+def bpe_decode_ids(
+    df: DataFrame, vocab: DataFrame,
+    ids_col: str = "token_ids", out_col: str = "text",
+    *, byte_level: bool = False,
+    special_tokens: dict[str, int] | None = None,
+    oov_char: str = "?",
+) -> DataFrame:
+    """Attach ``out_col``: the id stream DECODED back to text — the
+    inverse adapter of :func:`bpe_token_ids` (r13), for inspecting
+    packed/augmented training sequences and round-trip validation.
+    ``byte_level=True`` runs the inverse GPT-2 byte table (tokens
+    are encoded-space strings whose characters map back to bytes,
+    then UTF-8; a malformed sequence — e.g. a FIM cut splitting a
+    multi-byte character across parts — decodes with U+FFFD
+    replacement, stated).  ``special_tokens`` is the SAME mapping
+    given to the encoder (plus any downstream sentinel ids:
+    ``assemble_packs``' separator, :func:`~wikiextractor_spark.
+    operators.fim.fim_transform`'s markers) — those ids emit their
+    text verbatim.  Each -1 (encode-side OOV) becomes one
+    ``oov_char``; an id outside all three classes raises.  NULL
+    streams stay NULL.
+
+    On a full-coverage byte-level artifact (all 256 base bytes in
+    vocab, the published layout) with matching specials,
+    ``decode(encode(text)) == text`` exactly — pinned by pytest on
+    real documents.  Scale shape: broadcast id→token map, one
+    Arrow-batched kernel, no shuffle."""
+    _tokens, _oov, rows = _vocab_tokens_and_oov(vocab, "bpe_decode_ids")
+    _spat, sids = _compile_specials(special_tokens, "bpe_decode_ids")
+    if not isinstance(oov_char, str) or len(oov_char) != 1:
+        raise ValueError(
+            f"bpe_decode_ids: oov_char must be one character, got "
+            f"{oov_char!r}"
+        )
+    id2tok: dict[int, str] = {}
+    for r in rows:
+        if r["token"] is None:
+            continue
+        tid = _check_embedding_id(
+            "bpe_decode_ids", f"token {r['token']!r}", r["token_id"]
+        )
+        if tid in id2tok:
+            raise ValueError(
+                f"bpe_decode_ids: duplicate vocab id {tid} — decode "
+                "would be ambiguous; fix the artifact"
+            )
+        id2tok[tid] = r["token"]
+    rev_special: dict[int, str] = {}
+    for t, i in (sids or {}).items():
+        other = id2tok.get(i)
+        if other is not None and other != t:
+            raise ValueError(
+                f"bpe_decode_ids: special token {t!r} id {i} collides "
+                f"with vocab token {other!r}"
+            )
+        rev_special[i] = t
+    byte_dec = (
+        {c: b for b, c in gpt2_bytes_to_unicode().items()}
+        if byte_level else None
+    )
+    if byte_dec is not None:
+        bad_toks = [
+            t for t in id2tok.values()
+            if any(c not in byte_dec for c in t)
+        ]
+        if bad_toks:
+            raise ValueError(
+                f"bpe_decode_ids: {len(bad_toks)} vocab tokens carry "
+                f"characters outside the byte-level encoded space "
+                f"(first: {bad_toks[0]!r}) — the artifact is not a "
+                "byte-level vocabulary"
+            )
+        if oov_char not in byte_dec:
+            raise ValueError(
+                f"bpe_decode_ids: oov_char {oov_char!r} is outside "
+                "the encoded byte space"
+            )
+    bc = df.sparkSession.sparkContext.broadcast(
+        (id2tok, byte_dec, rev_special, oov_char)
+    )
+
+    @F.pandas_udf("string")
+    def _decode(s: pd.Series) -> pd.Series:
+        i2t, bdec, rsp, oc = bc.value
+        return s.map(
+            lambda ids: _decode_ids_one(ids, i2t, bdec, rsp, oc)
+        )
+
+    return df.withColumn(out_col, _decode(F.col(ids_col)))
+
+
 def _merge_fold(a: str, b: str):
     """One training merge pass over a symbol array as a native
     Catalyst fold (``F.aggregate``): replace every adjacent (a, b)

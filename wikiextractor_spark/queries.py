@@ -599,7 +599,17 @@ _TOK_GPT2_CTE = f"""
                             ELSE {_BPE_OOV} * length(sym) END),
                    6) AS n_tokens_gpt2,
              CAST(SUM(pos * (COALESCE(sid, vid, -1) + 2)) AS BIGINT)
-               AS gpt2_ids_fp
+               AS gpt2_ids_fp,
+             -- r13 decode restatement: vocab hits and specials emit
+             -- their symbol text, each OOV unit one '?', then the
+             -- inverse byte table (this vocab's only non-ASCII
+             -- encoded chars are Ġ→space and Ċ→newline, all
+             -- single-byte, so global replaces ARE the byte decode)
+             replace(replace(string_agg(
+               CASE WHEN sid IS NOT NULL OR vid IS NOT NULL THEN sym
+                    ELSE repeat('?', length(sym)) END,
+               '' ORDER BY pos), 'Ġ', ' '), 'Ċ', chr(10))
+               AS gpt2_decoded
       FROM g2ord LEFT JOIN g2vid USING (sym)
       GROUP BY g2ord.doc_id
     )
@@ -798,6 +808,7 @@ _TOK_VOCAB_CTE = f"""
            exact.n_tokens_exact AS n_tokens_exact,
            g2.n_tokens_gpt2 AS n_tokens_gpt2,
            g2.gpt2_ids_fp AS gpt2_ids_fp,
+           g2.gpt2_decoded AS gpt2_decoded,
            -- non-NULL text always yields a number (0 for a
            -- whitespace-only text, where ufin has no row); NULL text
            -- stays NULL — exactly the kernel's contract
@@ -843,7 +854,11 @@ def ta_text_profile(spark, sf_dir):
     lookarounds, the PII shared-template discipline).  Variant 6
     (r13) carries a literal ``<|endoftext|>`` — the kernel's
     special_tokens pre-split emits the reserved id, stated directly
-    by the oracle's sid path.
+    by the oracle's sid path.  The gpt2_decoded column (r13) routes
+    the DECODE adapter over the same stream: bpe_decode_ids through
+    the inverse byte table, OOV units as '?', the special's marker
+    text verbatim — the oracle restates the decode from its symbol
+    templates.
 
     The n_tokens_unigram column (r13) routes the SentencePiece-style
     serving surface (functions/unigram.py): max-logprob Viterbi
@@ -926,15 +941,27 @@ def ta_text_profile(spark, sf_dir):
         (F.col("doc_id") % 7 + 1).cast("int"),
     )
     d = d.withColumn("_g2t", F.concat(F.col("text"), sfx))
+    g2vocab = vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV)
     d = bpe_token_ids(
         d,
-        vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV),
+        g2vocab,
         {p: float(i) for i, p in enumerate(_G2B_MERGES)},
         text_col="_g2t", out_col="_g2ids",
         byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
         # r13: the ADDED token — variant 6 carries its literal text;
         # the kernel splits it out pre-tokenization and emits the
         # reserved id, which the oracle states directly (sid path)
+        special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
+    )
+    # r13 decode adapter under the hash: the SAME id stream decoded
+    # back through the inverse byte table (OOV → '?', the special →
+    # its marker text) — the oracle restates the decode from its
+    # symbol templates
+    from wikiextractor_spark.functions.tokenizer import bpe_decode_ids
+
+    d = bpe_decode_ids(
+        d, g2vocab, ids_col="_g2ids", out_col="_g2dec",
+        byte_level=True,
         special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
     )
     d = d.withColumn(
@@ -973,6 +1000,7 @@ def ta_text_profile(spark, sf_dir):
         F.round(F.col("_nte"), 6).alias("n_tokens_exact"),
         F.round(F.col("_ntg"), 6).alias("n_tokens_gpt2"),
         F.col("_g2fp").alias("gpt2_ids_fp"),
+        F.col("_g2dec").alias("gpt2_decoded"),
         # exact integer in a double kernel output; BIGINT both sides
         F.col("_ntu").cast("long").alias("n_tokens_unigram"),
     )
