@@ -1327,8 +1327,47 @@ def test_decode_round_trips_fim_and_pack_output(spark):
     ).collect()
     joined = "".join(r["t"] for r in decoded)
     assert joined.count("<|sep|>") == 6  # one per document
-    # every document's text survives somewhere (possibly FIM-split)
-    for i in range(6):
-        assert f"doc {i}" in joined or (
-            "<|pre|>" in joined  # split docs: pieces still present
+    # lossless content invariant: with markers stripped, the decoded
+    # character MULTISET equals the source corpus exactly — FIM only
+    # rearranges, packing only concatenates, the vocab covers every
+    # byte, so a lost buffer / dropped piece anywhere breaks this
+    stripped = joined
+    for m in ("<|sep|>", "<|pre|>", "<|mid|>", "<|suf|>"):
+        stripped = stripped.replace(m, "")
+    src_chars = sorted("".join(f"doc {i} text" for i in range(6)))
+    assert sorted(stripped) == src_chars
+    # and at least one document genuinely went through the FIM path
+    assert "<|pre|>" in joined
+
+
+def test_decode_rejects_encoded_space_special_shadowing(spark):
+    """r13 review: the same-text special/vocab id-share waiver is only
+    sound when the text byte-decodes to itself — an encoded-space
+    special like 'Ġt' would silently shadow the token's byte decode."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_decode_ids,
+        bpe_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0])], "doc_id long, token_ids array<long>"
+    )
+    vocab = vocab_from_tokens(spark, ["Ġt"], 1.0)  # id 0, encoded space
+    with pytest.raises(Exception, match="byte-decode to itself"):
+        bpe_decode_ids(
+            df, vocab, byte_level=True, special_tokens={"Ġt": 0}
         )
+    # non-byte-level decode: raw text space, the waiver stays sound
+    out = bpe_decode_ids(
+        df, vocab, byte_level=False, special_tokens={"Ġt": 0},
+        out_col="t",
+    ).first()["t"]
+    assert out == "Ġt"
+    # encode now also rejects duplicate vocab ids (shared policy)
+    dupv = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), (None, 1.0)],
+        "token string, token_id double",
+    )
+    tdf = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate vocab id"):
+        bpe_token_ids(tdf, dupv, {})

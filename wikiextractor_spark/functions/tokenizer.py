@@ -771,28 +771,12 @@ def bpe_token_ids(
     so they count 1.0 like any vocab hit)."""
     _tokens, _oov, rows = _vocab_tokens_and_oov(vocab, "bpe_token_ids")
     spat, sids = _compile_specials(special_tokens, "bpe_token_ids")
-    ids: dict[str, int] = {}
-    for r in rows:
-        if r["token"] is None:
-            continue
-        ids[r["token"]] = _check_embedding_id(
-            "bpe_token_ids", f"token {r['token']!r}", r["token_id"]
-        )
-    if sids:
-        # a special sharing an id with a DIFFERENT vocab token would
-        # make the id stream ambiguous (downstream separator logic,
-        # decode); the legitimate case — the special's own text in the
-        # vocab at the same id, as published vocab.json files have —
-        # passes (r13 review)
-        by_id = {v: k for k, v in ids.items()}
-        for t, i in sids.items():
-            other = by_id.get(i)
-            if other is not None and other != t:
-                raise ValueError(
-                    f"bpe_token_ids: special token {t!r} id {i} "
-                    f"collides with vocab token {other!r} — the id "
-                    "stream would be ambiguous"
-                )
+    # the shared map construction also enforces the special/vocab
+    # collision policy: a special sharing an id with a DIFFERENT
+    # vocab token would make the id stream ambiguous (downstream
+    # separator logic, decode); the published special-in-vocab
+    # layout passes (r13 review)
+    ids, _id2tok, _rev = _vocab_id_maps(rows, sids, "bpe_token_ids")
     byte_enc = gpt2_bytes_to_unicode() if byte_level else None
     return _memoized_word_counter(
         df,
@@ -804,6 +788,70 @@ def bpe_token_ids(
         result_type="array<long>", list_mode=True,
         special_pat=spat, special_ids=sids,
     )
+
+
+def _vocab_id_maps(
+    rows, sids: dict[str, int] | None, caller: str,
+    byte_dec: dict[str, int] | None = None,
+) -> tuple[dict[str, int], dict[int, str], dict[int, str]]:
+    """Shared id-map construction + special/vocab collision policy
+    for the encode (:func:`bpe_token_ids`) and decode
+    (:func:`bpe_decode_ids`) paths — ONE home so the policies cannot
+    drift (r13 review).  Returns ``(tok2id, id2tok, rev_special)``.
+
+    Duplicate vocab ids raise on BOTH paths (decode would be
+    ambiguous; an encode artifact with duplicate ids is corrupt —
+    the vocab.json loader already rejects them).  A special sharing
+    an id with a DIFFERENT vocab token raises; sharing with the
+    identically-spelled vocab token passes (the published
+    special-in-vocab layout) — except under a byte-level DECODE
+    (``byte_dec`` given), where the shared text must additionally
+    byte-decode to itself: an encoded-space special text like
+    ``'Ġt'`` would otherwise silently shadow the vocab token's byte
+    decode with its literal characters."""
+    tok2id: dict[str, int] = {}
+    id2tok: dict[int, str] = {}
+    for r in rows:
+        if r["token"] is None:
+            continue
+        tid = _check_embedding_id(
+            caller, f"token {r['token']!r}", r["token_id"]
+        )
+        if tid in id2tok:
+            raise ValueError(
+                f"{caller}: duplicate vocab id {tid} (tokens "
+                f"{id2tok[tid]!r} and {r['token']!r}) — the id "
+                "mapping would be ambiguous; fix the artifact"
+            )
+        id2tok[tid] = r["token"]
+        tok2id[r["token"]] = tid
+    rev_special: dict[int, str] = {}
+    for t, i in (sids or {}).items():
+        other = id2tok.get(i)
+        if other is not None and other != t:
+            raise ValueError(
+                f"{caller}: special token {t!r} id {i} collides with "
+                f"vocab token {other!r} — the id stream would be "
+                "ambiguous"
+            )
+        if other == t and byte_dec is not None:
+            decoded = (
+                bytes(byte_dec[c] for c in t).decode(
+                    "utf-8", errors="replace"
+                )
+                if all(c in byte_dec for c in t)
+                else None
+            )
+            if decoded != t:
+                raise ValueError(
+                    f"{caller}: special token {t!r} shares id {i} "
+                    "with the identically-spelled vocab token, but "
+                    "its text does not byte-decode to itself — "
+                    "emitting the marker text verbatim would "
+                    "silently shadow the token's byte decode"
+                )
+        rev_special[i] = t
+    return tok2id, id2tok, rev_special
 
 
 def _decode_ids_one(
@@ -894,31 +942,12 @@ def bpe_decode_ids(
             f"bpe_decode_ids: oov_char must be one character, got "
             f"{oov_char!r}"
         )
-    id2tok: dict[int, str] = {}
-    for r in rows:
-        if r["token"] is None:
-            continue
-        tid = _check_embedding_id(
-            "bpe_decode_ids", f"token {r['token']!r}", r["token_id"]
-        )
-        if tid in id2tok:
-            raise ValueError(
-                f"bpe_decode_ids: duplicate vocab id {tid} — decode "
-                "would be ambiguous; fix the artifact"
-            )
-        id2tok[tid] = r["token"]
-    rev_special: dict[int, str] = {}
-    for t, i in (sids or {}).items():
-        other = id2tok.get(i)
-        if other is not None and other != t:
-            raise ValueError(
-                f"bpe_decode_ids: special token {t!r} id {i} collides "
-                f"with vocab token {other!r}"
-            )
-        rev_special[i] = t
     byte_dec = (
         {c: b for b, c in gpt2_bytes_to_unicode().items()}
         if byte_level else None
+    )
+    _tok2id, id2tok, rev_special = _vocab_id_maps(
+        rows, sids, "bpe_decode_ids", byte_dec=byte_dec
     )
     if byte_dec is not None:
         bad_toks = [
