@@ -276,3 +276,39 @@ def test_unigram_rejects_non_finite_logprobs(spark):
     )
     with pytest.raises(ValueError, match="non-finite"):
         unigram_token_count(df, bad)
+
+
+def test_unigram_special_tokens_pre_split(spark):
+    """Literal special-token text counts 1.0, split out before the
+    whitespace grain — same added-token behavior as the BPE path."""
+    lm = unigram_from_tokens(spark, LM, UNK)
+    eot = "<|endoftext|>"
+    df = spark.createDataFrame(
+        [(0, f"the lower{eot}onion and"), (1, eot)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in unigram_token_count(
+            df, lm, out_col="n", special_tokens={eot: 50256}
+        ).collect()
+    }
+    micro = {t: _quantize_micro(v) for t, v in LM.items()}
+    unk = _quantize_micro(UNK)
+
+    def count(w):
+        b = _brute_best(w, micro, unk)
+        return _TIE_BASE - (b % _TIE_BASE)
+
+    # segments tokenize independently around the marker
+    want0 = (
+        count("the") + count("lower") + 1.0 + count("onion")
+        + count("and")
+    )
+    assert out[0] == want0
+    assert out[1] == 1.0
+    # without the mapping, the marker charges per-char unk/vocab costs
+    plain = unigram_token_count(
+        df.filter("doc_id = 1"), lm, out_col="n"
+    ).first()["n"]
+    assert plain > 1.0

@@ -240,6 +240,7 @@ def _viterbi_count_word(
 def unigram_token_count(
     df: DataFrame, lm: DataFrame,
     text_col: str = "text", out_col: str = "n_tokens_unigram",
+    *, special_tokens: dict[str, int] | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the text's token count under max-logprob
     Viterbi segmentation of the imported unigram LM — whitespace
@@ -249,11 +250,22 @@ def unigram_token_count(
     the BPE counters (values are exact integers; cast to long before
     integer-budget packing).
 
+    ``special_tokens`` (``{text: id}``): literal ADDED-token text
+    splits out BEFORE pre-tokenization and counts exactly 1.0 — the
+    same published behavior the exact BPE path has; SentencePiece
+    artifacts carry user-defined/control symbols the unigram table
+    never scores, and a corpus containing their literal text
+    (re-ingested engine output) would otherwise charge per-char unk
+    for every marker.
+
     Same scale shape as :func:`tokenizer.bpe_token_count`: broadcast
     driver-sized table, one Arrow-batched kernel, per-batch Zipfian
     word memo (the shared :func:`tokenizer._memoized_word_counter`
     body)."""
+    from wikiextractor_spark.functions.tokenizer import _compile_specials
+
     toks, unk = _lm_tokens_and_unk(lm, "unigram_token_count")
+    spat, sids = _compile_specials(special_tokens, "unigram_token_count")
     tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
     lens = tuple(sorted({len(t) for t in tok_micro}))
     return _memoized_word_counter(
@@ -263,4 +275,5 @@ def unigram_token_count(
             unk_micro=_quantize_micro(unk),
         ),
         out_col, text_col,
+        special_pat=spat, special_ids=sids,
     )
