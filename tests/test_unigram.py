@@ -312,3 +312,124 @@ def test_unigram_special_tokens_pre_split(spark):
         df.filter("doc_id = 1"), lm, out_col="n"
     ).first()["n"]
     assert plain > 1.0
+
+
+# ---------------------------------------------------------------------------
+# unigram_token_ids (r13 late): Viterbi ids with deterministic backtrack
+# ---------------------------------------------------------------------------
+
+from wikiextractor_spark.functions.unigram import unigram_token_ids
+
+
+def _enum_ids(word, micro, unk, tid):
+    """Exhaustive restatement of the ids contract: among segmentations
+    achieving the max packed value, the backtrack's longest-token-
+    first-from-the-end choice = max by (packed, lengths-from-end)."""
+    n = len(word)
+    best_key, best_ids = None, None
+    for mask in range(1 << max(0, n - 1)):
+        cuts = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+        packed, ids, ok = 0, [], True
+        for a, b in zip(cuts, cuts[1:]):
+            piece = word[a:b]
+            m = micro.get(piece)
+            if m is None:
+                # unk: single UNCOVERED char only
+                if len(piece) != 1 or piece in micro:
+                    ok = False
+                    break
+                m, i = unk, -1
+            else:
+                i = tid[piece]
+            packed += m * _TIE_BASE - 1
+            ids.append((b - a, i))
+        if not ok:
+            continue
+        key = (packed, tuple(ln for ln, _ in reversed(ids)))
+        if best_key is None or key > best_key:
+            best_key, best_ids = key, [i for _, i in ids]
+    return best_ids
+
+
+def test_unigram_ids_vs_enumeration():
+    from wikiextractor_spark.functions.unigram import _viterbi_ids_word
+
+    micro = {t: _quantize_micro(v) for t, v in LM.items()}
+    unk = _quantize_micro(UNK)
+    lens = tuple(sorted({len(t) for t in micro}))
+    tid = {t: i for i, t in enumerate(sorted(LM))}
+    rng = random.Random(7)
+    words = ["the", "there", "lower", "onion", "qlotheq", "a", "jj"] + [
+        "".join(rng.choice("theloqj") for _ in range(rng.randint(1, 9)))
+        for _ in range(120)
+    ]
+    for w in words:
+        got = _viterbi_ids_word(
+            w, tok_micro=micro, lens=lens, unk_micro=unk, tok_ids=tid
+        )
+        want = _enum_ids(w, micro, unk, tid)
+        assert got == want, (w, got, want)
+
+
+def test_unigram_ids_kernel_and_count_consistency(spark, docs):
+    """size(ids) == unigram_token_count for every doc (both -1 and
+    real ids count 1 under this grain), and the kernel matches the
+    enumeration on real corpus words."""
+    lm = unigram_from_tokens(spark, LM, UNK)
+    sample = docs.limit(40).select("doc_id", "text")
+    out = unigram_token_ids(sample, lm, out_col="ids")
+    out = unigram_token_count(out, lm, out_col="n")
+    for r in out.collect():
+        assert float(len(r["ids"])) == r["n"], r["doc_id"]
+
+
+def test_unigram_ids_explicit_mapping_and_specials(spark):
+    lm = unigram_from_tokens(
+        spark, {"ab": -1.0, "a": -2.0, "b": -2.0}, UNK
+    )
+    df = spark.createDataFrame(
+        [(0, "ab a<|s|>b q")], "doc_id long, text string"
+    )
+    ids = list(
+        unigram_token_ids(
+            df, lm, out_col="ids",
+            token_ids={"ab": 7, "a": 8, "b": 9},
+            special_tokens={"<|s|>": 100},
+        ).first()["ids"]
+    )
+    # 'ab'→[7]; 'a'→[8]; special→100; 'b'→[9]; 'q' uncovered→-1
+    assert ids == [7, 8, 100, 9, -1]
+    # mapping must cover the LM exactly
+    with pytest.raises(ValueError, match="cover the LM"):
+        unigram_token_ids(df, lm, token_ids={"ab": 7})
+    with pytest.raises(ValueError, match="duplicate ids"):
+        unigram_token_ids(
+            df, lm, token_ids={"ab": 7, "a": 7, "b": 9}
+        )
+    with pytest.raises(ValueError, match="collides"):
+        unigram_token_ids(
+            df, lm, token_ids={"ab": 7, "a": 8, "b": 9},
+            special_tokens={"<|s|>": 7},
+        )
+
+
+def test_unigram_ids_feed_packs(spark):
+    """The Llama-class emit path: unigram ids → assemble_packs with
+    the separator registered — budgets faithful at this grain."""
+    from wikiextractor_spark.operators.packing import assemble_packs
+
+    lm = unigram_from_tokens(spark, LM, UNK)
+    df = spark.createDataFrame(
+        [(i, "the lower onion and the thing") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ids = unigram_token_ids(df, lm, out_col="token_ids")
+    packs = assemble_packs(
+        ids.select("doc_id", "token_ids"), budget=64, num_groups=1,
+        sep_id=50256,
+    ).collect()
+    assert all(r["n_tokens"] <= 64 for r in packs if not r["over_budget"])
+    n = unigram_token_count(df, lm, out_col="n").agg(
+        F.sum("n")
+    ).first()[0]
+    assert sum(r["n_tokens"] for r in packs) == n + 6  # + separators

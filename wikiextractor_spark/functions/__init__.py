@@ -35,4 +35,5 @@ from wikiextractor_spark.functions.unigram import (  # noqa: F401
     save_unigram_lm,
     unigram_from_tokens,
     unigram_token_count,
+    unigram_token_ids,
 )

@@ -237,6 +237,149 @@ def _viterbi_count_word(
     return float(_TIE_BASE - (best[n] % _TIE_BASE))
 
 
+def _viterbi_ids_word(
+    word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
+    unk_micro: int, tok_ids: dict[str, int],
+) -> list[int]:
+    """Token-id sequence of one word under max-logprob Viterbi
+    segmentation — the same DP as :func:`_viterbi_count_word` (packed
+    score*base - n integers, the per-char UNK rule), plus a
+    deterministic BACKTRACK: from the end, at each position take the
+    LONGEST token achieving the packed optimum (ties beyond the
+    packed value are broken toward longer tokens — documented engine
+    convention, pinned by the enumeration differential).  An UNK
+    character emits -1 (the BPE kernels' OOV sentinel)."""
+    n = len(word)
+    if n >= _TIE_BASE:
+        raise ValueError(
+            f"unigram_token_ids: a single {n}-char word exceeds the "
+            f"{_TIE_BASE - 1}-char bound of the tie-break packing — "
+            "split it upstream"
+        )
+    best = [0] * (n + 1)
+    for p in range(1, n + 1):
+        ch = word[p - 1]
+        m1 = tok_micro.get(ch)
+        b = best[p - 1] + (unk_micro if m1 is None else m1) * _TIE_BASE - 1
+        for ln in lens:
+            if ln > p or ln == 1:
+                continue
+            m = tok_micro.get(word[p - ln:p])
+            if m is not None:
+                c = best[p - ln] + m * _TIE_BASE - 1
+                if c > b:
+                    b = c
+        best[p] = b
+    out: list[int] = []
+    p = n
+    while p > 0:
+        # longest-first probe for the step that achieved best[p]
+        chosen = None
+        for ln in sorted(lens, reverse=True):
+            if ln > p:
+                continue
+            piece = word[p - ln:p]
+            m = tok_micro.get(piece)
+            if m is not None and (
+                best[p - ln] + m * _TIE_BASE - 1 == best[p]
+            ):
+                chosen = (ln, tok_ids[piece])
+                break
+        if chosen is None:
+            # the UNK step (only reachable where no single-char token
+            # covers the char, by the DP's candidate rule)
+            chosen = (1, -1)
+        out.append(chosen[1])
+        p -= chosen[0]
+    out.reverse()
+    return out
+
+
+def unigram_token_ids(
+    df: DataFrame, lm: DataFrame,
+    text_col: str = "text", out_col: str = "token_ids",
+    *, token_ids: dict[str, int] | None = None,
+    special_tokens: dict[str, int] | None = None,
+) -> DataFrame:
+    """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
+    of ids under max-logprob Viterbi segmentation — the unigram-LM
+    sibling of :func:`~wikiextractor_spark.functions.tokenizer.
+    bpe_token_ids`, so Llama/T5-class pipelines can feed
+    :func:`~wikiextractor_spark.operators.packing.assemble_packs` /
+    :func:`~wikiextractor_spark.operators.fim.fim_transform` with
+    streams segmented the way their tokenizer actually serves.
+
+    Ids: the unigram artifact carries (token, logprob) only — real
+    SentencePiece ids are the model-file row order, so pass them as
+    ``token_ids={token: id}`` (must cover every LM token exactly;
+    non-negative integral, distinct).  When omitted, ids default to
+    the token list sorted lexicographically (a stated engine
+    convention — deterministic, but NOT the published model's
+    numbering; supply the real mapping for model-faithful streams).
+    UNK characters emit -1 (the engine-wide OOV sentinel);
+    ``special_tokens`` text splits out before pre-tokenization and
+    emits its reserved id, exactly as everywhere else.
+
+    Tie-break beyond the packed (score, token-count) optimum:
+    LONGEST token first during backtrack — so the id stream is a
+    deterministic pure function of (artifact, text).  Counts derive
+    from ids (ids >= 0 and -1 both count 1 under this grain —
+    ``size(token_ids)`` IS :func:`unigram_token_count`'s value),
+    pinned by pytest.  Same scale shape as the other kernels:
+    broadcast table, one Arrow-batched kernel, per-batch word memo."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _check_embedding_id,
+        _compile_specials,
+    )
+
+    toks, unk = _lm_tokens_and_unk(lm, "unigram_token_ids")
+    spat, sids = _compile_specials(special_tokens, "unigram_token_ids")
+    if token_ids is None:
+        tid_map = {t: i for i, t in enumerate(sorted(toks))}
+    else:
+        missing = set(toks) - set(token_ids)
+        extra = set(token_ids) - set(toks)
+        if missing or extra:
+            raise ValueError(
+                "unigram_token_ids: token_ids must cover the LM's "
+                f"tokens exactly ({len(missing)} missing, "
+                f"{len(extra)} extra; first missing: "
+                f"{sorted(missing)[:1]})"
+            )
+        tid_map = {
+            t: _check_embedding_id(
+                "unigram_token_ids", f"token {t!r}", v
+            )
+            for t, v in token_ids.items()
+        }
+        if len(set(tid_map.values())) != len(tid_map):
+            raise ValueError(
+                "unigram_token_ids: duplicate ids in token_ids — the "
+                "id stream would be ambiguous"
+            )
+    if sids:
+        by_id = {v: k for k, v in tid_map.items()}
+        for t, i in sids.items():
+            other = by_id.get(i)
+            if other is not None and other != t:
+                raise ValueError(
+                    f"unigram_token_ids: special token {t!r} id {i} "
+                    f"collides with LM token {other!r}"
+                )
+    tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
+    lens = tuple(sorted({len(t) for t in tok_micro}))
+    return _memoized_word_counter(
+        df,
+        partial(
+            _viterbi_ids_word, tok_micro=tok_micro, lens=lens,
+            unk_micro=_quantize_micro(unk), tok_ids=tid_map,
+        ),
+        out_col, text_col,
+        result_type="array<long>", list_mode=True,
+        special_pat=spat, special_ids=sids,
+    )
+
+
 def unigram_token_count(
     df: DataFrame, lm: DataFrame,
     text_col: str = "text", out_col: str = "n_tokens_unigram",

@@ -3334,6 +3334,16 @@ sql_query(
 # and the 50% gate, shared verbatim with the oracle's restatement
 _FIM_PRE, _FIM_MID, _FIM_SUF, _FIM_RATE = 1000, 1001, 1002, 0.5
 
+# 'uids' family (r13): unigram_token_ids over a SINGLE-CHARACTER LM
+# — the one artifact shape whose Viterbi segmentation is provably
+# unique (length-1 candidates only), so the full ORDERED id stream is
+# restatable with a per-char VALUES map: corpus chars minus j/q (both
+# present at every SF → the -1 UNK path sits under the hash), ids =
+# the kernel's lexicographic default = position in this sorted string.
+# The DP's multi-char path selection is pinned separately by the
+# n_tokens_unigram DP-chain oracle + the enumeration differentials.
+_UIDS_CHARS = "abcdefghiklmnoprstuvwy"
+
 # 'packs' family separator id (r13): assemble_packs at num_groups=1
 # with an everything-fits budget — the ONE configuration where the
 # whole assembly (ascending-doc_id concatenation, separators,
@@ -3390,6 +3400,28 @@ _PACK_SEP = 2000
                        || ids[least(h1, h2) + 1:greatest(h1, h2)]
              END AS ids
       FROM fimcut
+    ),
+    uidmap(ch, uid) AS (VALUES {", ".join(
+        f"({_q(c)}, CAST({i} AS BIGINT))"
+        for i, c in enumerate(_UIDS_CHARS)
+    )}),
+    uidsout AS (
+      -- 'uids' family (r13): the per-char id stream in order; the
+      -- whitespace grain drops the (single-space) separators, so the
+      -- stream is the space-stripped text mapped char by char
+      SELECT doc_id,
+             string_agg(CAST(COALESCE(uid, -1) AS VARCHAR), ','
+                        ORDER BY i) AS s,
+             COUNT(*) AS n
+      FROM (SELECT doc_id,
+                   unnest(string_split(replace(text, ' ', ''), ''))
+                     AS ch,
+                   generate_subscripts(
+                     string_split(replace(text, ' ', ''), ''), 1) AS i
+            FROM documents) u(doc_id, ch, i)
+      LEFT JOIN uidmap USING (ch)
+      WHERE ch <> ''
+      GROUP BY doc_id
     ),
     fimtcut AS (
       -- 'fimc' family (r13): CHARACTER-grain FIM over the raw text
@@ -3449,6 +3481,10 @@ _PACK_SEP = 2000
            len(ids) AS n_tokens
     FROM fimout
     UNION ALL
+    SELECT 'uids' AS family, doc_id, 0 AS chunk_no, s AS chunk,
+           n AS n_tokens
+    FROM uidsout
+    UNION ALL
     SELECT 'fimc' AS family, doc_id, 0 AS chunk_no, t AS chunk,
            length(t) AS n_tokens
     FROM fimtout
@@ -3468,7 +3504,10 @@ def ta_chunk_documents(spark, sf_dir):
     chunker), ids derived natively as per-word lengths so the oracle
     restates the stream, the slices, and the per-chunk counts with
     DuckDB list comprehensions and the chunks hash as comma-joined id
-    strings; 'fim' (r12) — the PSM rearrangement; 'packs' (r13) —
+    strings; 'fim' (r12) — the PSM rearrangement; 'uids' (r13) —
+    unigram_token_ids over a single-char LM (unique segmentation →
+    the full ordered Viterbi id stream under the hash, j/q as -1
+    UNK); 'fimc' (r13) — character-grain FIM; 'packs' (r13) —
     assemble_packs at num_groups=1 with an everything-fits budget, so
     the oracle restates the whole assembly INCLUDING the new
     doc_starts boundary offsets (exclusive prefix sum of ids+sep
@@ -3511,6 +3550,30 @@ def ta_chunk_documents(spark, sf_dir):
         suffix_id=_FIM_SUF, fim_rate=_FIM_RATE, salt="fim",
     ).select(
         F.lit("fim").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.expr(
+            "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
+        ).alias("chunk"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+    )
+    # 'uids' family (r13, unigram_token_ids): the Viterbi ids kernel
+    # over a single-char LM — unique segmentation, so the oracle
+    # restates the full ordered stream per char (j/q → -1 UNK)
+    from wikiextractor_spark.functions.unigram import (
+        unigram_from_tokens,
+        unigram_token_ids,
+    )
+
+    uids_lm = unigram_from_tokens(
+        spark,
+        {c: -4.0 - i * 0.01 for i, c in enumerate(_UIDS_CHARS)},
+        -10.0,
+    )
+    uids_fam = unigram_token_ids(
+        _docs(spark, sf_dir), uids_lm, out_col="token_ids"
+    ).select(
+        F.lit("uids").alias("family"),
         "doc_id",
         F.lit(0).alias("chunk_no"),
         F.expr(
@@ -3563,6 +3626,7 @@ def ta_chunk_documents(spark, sf_dir):
     return (
         text_fam.unionByName(ids_fam)
         .unionByName(fim_fam)
+        .unionByName(uids_fam)
         .unionByName(fimc_fam)
         .unionByName(packs_fam)
     )
