@@ -372,9 +372,9 @@ def test_unigram_ids_vs_enumeration():
 
 
 def test_unigram_ids_kernel_and_count_consistency(spark, docs):
-    """size(ids) == unigram_token_count for every doc (both -1 and
-    real ids count 1 under this grain), and the kernel matches the
-    enumeration on real corpus words."""
+    """size(ids) == unigram_token_count for every doc — both -1 and
+    real ids count 1 under this grain (the enumeration differential
+    for id CONTENT lives in test_unigram_ids_vs_enumeration)."""
     lm = unigram_from_tokens(spark, LM, UNK)
     sample = docs.limit(40).select("doc_id", "text")
     out = unigram_token_ids(sample, lm, out_col="ids")
@@ -402,7 +402,7 @@ def test_unigram_ids_explicit_mapping_and_specials(spark):
     # mapping must cover the LM exactly
     with pytest.raises(ValueError, match="cover the LM"):
         unigram_token_ids(df, lm, token_ids={"ab": 7})
-    with pytest.raises(ValueError, match="duplicate ids"):
+    with pytest.raises(ValueError, match="duplicate vocab id"):
         unigram_token_ids(
             df, lm, token_ids={"ab": 7, "a": 7, "b": 9}
         )

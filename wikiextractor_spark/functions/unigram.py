@@ -212,10 +212,27 @@ def _viterbi_count_word(
     applies.  The count decodes from the packed optimum:
     ``n = _TIE_BASE - (best mod _TIE_BASE)`` (mathematical mod;
     n <= len(word) < _TIE_BASE by the length guard)."""
+    best = _viterbi_best(
+        word, tok_micro, lens, unk_micro, "unigram_token_count"
+    )
+    return float(_TIE_BASE - (best[len(word)] % _TIE_BASE))
+
+
+def _viterbi_best(
+    word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
+    unk_micro: int, caller: str,
+) -> list[int]:
+    """The ONE forward Viterbi DP both kernels share (r13 review —
+    the serving rule must not drift between count and ids):
+    ``best[p]`` = the max packed ``score_micro * _TIE_BASE -
+    n_tokens`` over segmentations of ``word[:p]``; the UNK
+    single-character candidate exists only where the character has no
+    single-char vocab token.  Raises past the tie-break length
+    bound."""
     n = len(word)
     if n >= _TIE_BASE:
         raise ValueError(
-            f"unigram_token_count: a single {n}-char word exceeds the "
+            f"{caller}: a single {n}-char word exceeds the "
             f"{_TIE_BASE - 1}-char bound of the tie-break packing — "
             "such input is almost certainly not natural text; split "
             "it upstream"
@@ -234,7 +251,7 @@ def _viterbi_count_word(
                 if c > b:
                     b = c
         best[p] = b
-    return float(_TIE_BASE - (best[n] % _TIE_BASE))
+    return best
 
 
 def _viterbi_ids_word(
@@ -242,40 +259,22 @@ def _viterbi_ids_word(
     unk_micro: int, tok_ids: dict[str, int],
 ) -> list[int]:
     """Token-id sequence of one word under max-logprob Viterbi
-    segmentation — the same DP as :func:`_viterbi_count_word` (packed
-    score*base - n integers, the per-char UNK rule), plus a
-    deterministic BACKTRACK: from the end, at each position take the
-    LONGEST token achieving the packed optimum (ties beyond the
+    segmentation — the shared forward DP (:func:`_viterbi_best`) plus
+    a deterministic BACKTRACK: from the end, at each position take
+    the LONGEST token achieving the packed optimum (ties beyond the
     packed value are broken toward longer tokens — documented engine
     convention, pinned by the enumeration differential).  An UNK
     character emits -1 (the BPE kernels' OOV sentinel)."""
-    n = len(word)
-    if n >= _TIE_BASE:
-        raise ValueError(
-            f"unigram_token_ids: a single {n}-char word exceeds the "
-            f"{_TIE_BASE - 1}-char bound of the tie-break packing — "
-            "split it upstream"
-        )
-    best = [0] * (n + 1)
-    for p in range(1, n + 1):
-        ch = word[p - 1]
-        m1 = tok_micro.get(ch)
-        b = best[p - 1] + (unk_micro if m1 is None else m1) * _TIE_BASE - 1
-        for ln in lens:
-            if ln > p or ln == 1:
-                continue
-            m = tok_micro.get(word[p - ln:p])
-            if m is not None:
-                c = best[p - ln] + m * _TIE_BASE - 1
-                if c > b:
-                    b = c
-        best[p] = b
+    best = _viterbi_best(
+        word, tok_micro, lens, unk_micro, "unigram_token_ids"
+    )
+    rlens = tuple(sorted(lens, reverse=True))  # loop-invariant
     out: list[int] = []
-    p = n
+    p = len(word)
     while p > 0:
         # longest-first probe for the step that achieved best[p]
         chosen = None
-        for ln in sorted(lens, reverse=True):
+        for ln in rlens:
             if ln > p:
                 continue
             piece = word[p - ln:p]
@@ -328,14 +327,14 @@ def unigram_token_ids(
     pinned by pytest.  Same scale shape as the other kernels:
     broadcast table, one Arrow-batched kernel, per-batch word memo."""
     from wikiextractor_spark.functions.tokenizer import (
-        _check_embedding_id,
         _compile_specials,
+        _vocab_id_maps,
     )
 
     toks, unk = _lm_tokens_and_unk(lm, "unigram_token_ids")
     spat, sids = _compile_specials(special_tokens, "unigram_token_ids")
     if token_ids is None:
-        tid_map = {t: i for i, t in enumerate(sorted(toks))}
+        raw_ids = {t: i for i, t in enumerate(sorted(toks))}
     else:
         missing = set(toks) - set(token_ids)
         extra = set(token_ids) - set(toks)
@@ -343,29 +342,17 @@ def unigram_token_ids(
             raise ValueError(
                 "unigram_token_ids: token_ids must cover the LM's "
                 f"tokens exactly ({len(missing)} missing, "
-                f"{len(extra)} extra; first missing: "
-                f"{sorted(missing)[:1]})"
+                f"{len(extra)} extra; first offending: "
+                f"{(sorted(missing) + sorted(extra))[:1]})"
             )
-        tid_map = {
-            t: _check_embedding_id(
-                "unigram_token_ids", f"token {t!r}", v
-            )
-            for t, v in token_ids.items()
-        }
-        if len(set(tid_map.values())) != len(tid_map):
-            raise ValueError(
-                "unigram_token_ids: duplicate ids in token_ids — the "
-                "id stream would be ambiguous"
-            )
-    if sids:
-        by_id = {v: k for k, v in tid_map.items()}
-        for t, i in sids.items():
-            other = by_id.get(i)
-            if other is not None and other != t:
-                raise ValueError(
-                    f"unigram_token_ids: special token {t!r} id {i} "
-                    f"collides with LM token {other!r}"
-                )
+        raw_ids = dict(token_ids)
+    # id validation + duplicate-id + special/vocab collision policy
+    # through the ONE shared home (tokenizer._vocab_id_maps, r13
+    # review): synthesize the (token, token_id) row shape it keys on
+    tid_map, _id2tok, _rev = _vocab_id_maps(
+        [{"token": t, "token_id": v} for t, v in raw_ids.items()],
+        sids, "unigram_token_ids",
+    )
     tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
     lens = tuple(sorted({len(t) for t in tok_micro}))
     return _memoized_word_counter(
