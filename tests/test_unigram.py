@@ -433,3 +433,44 @@ def test_unigram_ids_feed_packs(spark):
         F.sum("n")
     ).first()[0]
     assert sum(r["n_tokens"] for r in packs) == n + 6  # + separators
+
+
+def test_oversize_word_chars_fallback(spark):
+    """r13 final review: one unbroken >=1024-char blob must not abort
+    a corpus-scale job — oversize_word='chars' quarantines such words
+    at the per-character grain (count = len; ids = single-char id or
+    -1), while the default still raises."""
+    lm = unigram_from_tokens(spark, {"a": -1.0, "ab": -0.5}, UNK)
+    blob = "ab" * 600 + "q"  # 1201 chars, q uncovered
+    df = spark.createDataFrame(
+        [(0, f"the {blob} end"), (1, "ab")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        unigram_token_count(df, lm, out_col="n").collect()
+    got = {
+        r["doc_id"]: r["n"]
+        for r in unigram_token_count(
+            df, lm, out_col="n", oversize_word="chars"
+        ).collect()
+    }
+    # blob: per-char 1201; 'the'/'end': normal DP (all uncovered
+    # chars except... t/h/e/n/d uncovered → unk 1 each = 3 + 3)
+    assert got[0] == 1201 + 3 + 3
+    assert got[1] == 1.0  # normal words still run the real DP
+    ids = {
+        r["doc_id"]: list(r["ids"])
+        for r in unigram_token_ids(
+            df, lm, out_col="ids", oversize_word="chars"
+        ).collect()
+    }
+    # blob ids: 'a' has a single-char token (lexicographic id 0),
+    # 'b' and 'q' do not → -1; normal word 'ab' takes the real
+    # Viterbi (token 'ab', id 1)
+    assert ids[1] == [1]
+    blob_ids = ids[0][3:-3]  # strip 'the' and 'end' per-char unks
+    assert len(blob_ids) == 1201
+    assert blob_ids[0] == 0 and blob_ids[1] == -1 and blob_ids[-1] == -1
+    # size(ids) == count holds through the fallback
+    assert len(ids[0]) == got[0]
+    with pytest.raises(ValueError, match="oversize_word"):
+        unigram_token_count(df, lm, oversize_word="truncate")

@@ -506,11 +506,14 @@ def _check_embedding_id(caller: str, what: str, v) -> int:
     of a bare TypeError, and negatives would collide with the -1 OOV
     sentinel.  One definition so the vocab and special-token paths
     cannot drift (r13 review)."""
+    import math
+
     if (
         v is None
         or isinstance(v, bool)
         or not isinstance(v, (int, float))
-        or float(v) != int(v)
+        or not math.isfinite(v)  # inf/NaN: int() would raise a bare
+        or float(v) != int(v)    # OverflowError with no context
     ):
         raise ValueError(
             f"{caller}: {what} has non-integral id {v!r} — ids must "

@@ -199,9 +199,17 @@ def _lm_tokens_and_unk(
     return toks, float(unk_vals[0])
 
 
+def _check_oversize(oversize_word: str, caller: str) -> None:
+    if oversize_word not in ("raise", "chars"):
+        raise ValueError(
+            f"{caller}: oversize_word must be 'raise' or 'chars', "
+            f"got {oversize_word!r}"
+        )
+
+
 def _viterbi_count_word(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
-    unk_micro: int,
+    unk_micro: int, oversize_word: str = "raise",
 ) -> float:
     """Token count of one word under max-logprob Viterbi segmentation.
     DP over the packed integer ``score_micro * _TIE_BASE - n_tokens``;
@@ -211,7 +219,13 @@ def _viterbi_count_word(
     stays reachable because one of the two length-1 candidates always
     applies.  The count decodes from the packed optimum:
     ``n = _TIE_BASE - (best mod _TIE_BASE)`` (mathematical mod;
-    n <= len(word) < _TIE_BASE by the length guard)."""
+    n <= len(word) < _TIE_BASE by the length guard; ``oversize_word
+    = 'chars'`` falls back to the per-character grain past it)."""
+    if len(word) >= _TIE_BASE and oversize_word == "chars":
+        # the DP restricted to length-1 candidates: every char is one
+        # token (vocab or unk) — a deterministic upper bound for the
+        # unbroken-blob rows a crawl corpus contains
+        return float(len(word))
     best = _viterbi_best(
         word, tok_micro, lens, unk_micro, "unigram_token_count"
     )
@@ -257,6 +271,7 @@ def _viterbi_best(
 def _viterbi_ids_word(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
     unk_micro: int, tok_ids: dict[str, int],
+    oversize_word: str = "raise",
 ) -> list[int]:
     """Token-id sequence of one word under max-logprob Viterbi
     segmentation — the shared forward DP (:func:`_viterbi_best`) plus
@@ -264,7 +279,11 @@ def _viterbi_ids_word(
     the LONGEST token achieving the packed optimum (ties beyond the
     packed value are broken toward longer tokens — documented engine
     convention, pinned by the enumeration differential).  An UNK
-    character emits -1 (the BPE kernels' OOV sentinel)."""
+    character emits -1 (the BPE kernels' OOV sentinel).
+    ``oversize_word = 'chars'``: past the tie-break bound, the
+    per-character grain (single-char vocab id or -1 per char)."""
+    if len(word) >= _TIE_BASE and oversize_word == "chars":
+        return [tok_ids.get(c, -1) for c in word]
     best = _viterbi_best(
         word, tok_micro, lens, unk_micro, "unigram_token_ids"
     )
@@ -299,6 +318,7 @@ def unigram_token_ids(
     text_col: str = "text", out_col: str = "token_ids",
     *, token_ids: dict[str, int] | None = None,
     special_tokens: dict[str, int] | None = None,
+    oversize_word: str = "raise",
 ) -> DataFrame:
     """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
     of ids under max-logprob Viterbi segmentation — the unigram-LM
@@ -333,6 +353,7 @@ def unigram_token_ids(
 
     toks, unk = _lm_tokens_and_unk(lm, "unigram_token_ids")
     spat, sids = _compile_specials(special_tokens, "unigram_token_ids")
+    _check_oversize(oversize_word, "unigram_token_ids")
     if token_ids is None:
         raw_ids = {t: i for i, t in enumerate(sorted(toks))}
     else:
@@ -360,6 +381,7 @@ def unigram_token_ids(
         partial(
             _viterbi_ids_word, tok_micro=tok_micro, lens=lens,
             unk_micro=_quantize_micro(unk), tok_ids=tid_map,
+            oversize_word=oversize_word,
         ),
         out_col, text_col,
         result_type="array<long>", list_mode=True,
@@ -371,6 +393,7 @@ def unigram_token_count(
     df: DataFrame, lm: DataFrame,
     text_col: str = "text", out_col: str = "n_tokens_unigram",
     *, special_tokens: dict[str, int] | None = None,
+    oversize_word: str = "raise",
 ) -> DataFrame:
     """Attach ``out_col``: the text's token count under max-logprob
     Viterbi segmentation of the imported unigram LM — whitespace
@@ -388,6 +411,14 @@ def unigram_token_count(
     (re-ingested engine output) would otherwise charge per-char unk
     for every marker.
 
+    ``oversize_word``: a single word at/past the 1024-char tie-break
+    bound RAISES by default (raise-don't-miscount) — but real crawl
+    corpora contain unbroken base64/minified-JS blobs, and one such
+    row must not abort a corpus-scale job; pass ``'chars'`` to fall
+    back to the per-character grain for those words only (the DP
+    restricted to length-1 candidates — a deterministic upper
+    bound).
+
     Same scale shape as :func:`tokenizer.bpe_token_count`: broadcast
     driver-sized table, one Arrow-batched kernel, per-batch Zipfian
     word memo (the shared :func:`tokenizer._memoized_word_counter`
@@ -396,6 +427,7 @@ def unigram_token_count(
 
     toks, unk = _lm_tokens_and_unk(lm, "unigram_token_count")
     spat, sids = _compile_specials(special_tokens, "unigram_token_count")
+    _check_oversize(oversize_word, "unigram_token_count")
     tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
     lens = tuple(sorted({len(t) for t in tok_micro}))
     return _memoized_word_counter(
@@ -403,6 +435,7 @@ def unigram_token_count(
         partial(
             _viterbi_count_word, tok_micro=tok_micro, lens=lens,
             unk_micro=_quantize_micro(unk),
+            oversize_word=oversize_word,
         ),
         out_col, text_col,
         special_pat=spat, special_ids=sids,

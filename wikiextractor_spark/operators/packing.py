@@ -224,7 +224,13 @@ def assemble_packs(
     corpus; r13 review replaced the dedicated guard job), so it fires
     on the first job that evaluates costs: inside this call when
     ``persist_input`` is on (the result materialization), at the
-    caller's first action otherwise.
+    caller's first action otherwise.  STATED TRADE (r13): the raise
+    surfaces as a Spark runtime error, not the r12 ValueError, and
+    with ``persist_input`` the input is materialized before it fires
+    — the r12 fail-fast pre-scan cost one full tokenization pass on
+    every HEALTHY run, which is the wrong side of the trade for a
+    guard against corrupt input; catch broadly and match the message
+    if you gate on it.
 
     ``persist_input`` (default on): the input is consumed TWICE (the
     assignment's cost projection + auto-scale count, the content

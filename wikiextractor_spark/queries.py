@@ -3481,9 +3481,16 @@ _PACK_SEP = 2000
            len(ids) AS n_tokens
     FROM fimout
     UNION ALL
-    SELECT 'uids' AS family, doc_id, 0 AS chunk_no, s AS chunk,
-           n AS n_tokens
-    FROM uidsout
+    -- LEFT from documents (r13 final review): the engine emits one
+    -- row per doc — NULL text → NULL chunk/count (size(NULL) is NULL
+    -- under ANSI), empty/whitespace-only text → ''/0 — where the
+    -- grouped unnest alone would DROP such docs
+    SELECT 'uids' AS family, d.doc_id, 0 AS chunk_no,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(u.s, '') END AS chunk,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(u.n, 0) END AS n_tokens
+    FROM documents d LEFT JOIN uidsout u USING (doc_id)
     UNION ALL
     SELECT 'fimc' AS family, doc_id, 0 AS chunk_no, t AS chunk,
            length(t) AS n_tokens
