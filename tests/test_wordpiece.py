@@ -1,0 +1,260 @@
+"""WordPiece serving (functions/wordpiece.py): differential against
+an independent restatement of the published google-research/bert
+``WordpieceTokenizer.tokenize`` loop, the published quirks (whole-word
+UNK collapse, oversize→UNK, raw match at position 0), artifact round
+trips (parquet + published vocab.txt), and contract errors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.functions.wordpiece import (
+    _wp_ids_word,
+    load_wordpiece_vocab,
+    load_wordpiece_vocab_txt,
+    save_wordpiece_vocab,
+    wordpiece_from_tokens,
+    wordpiece_token_count,
+    wordpiece_token_ids,
+)
+
+VOCAB = [
+    "[UNK]", "un", "##aff", "##able", "runn", "##ing", "the",
+    "dat", "##a", "ab", "abc", "##c", "a", "##b", "##bc", "##x",
+    "r", "u", "n", "##n", "##i", "##g",
+]
+VID = {t: i for i, t in enumerate(VOCAB)}
+
+
+def _published_wp(word, vid, max_chars=200, unk="[UNK]"):
+    """Independent restatement of the published tokenize() loop
+    (token strings, converted to ids at the end)."""
+    if len(word) > max_chars:
+        return [vid[unk]]
+    chars = list(word)
+    is_bad = False
+    start = 0
+    sub_tokens = []
+    while start < len(chars):
+        end = len(chars)
+        cur_substr = None
+        while start < end:
+            substr = "".join(chars[start:end])
+            if start > 0:
+                substr = "##" + substr
+            if substr in vid:
+                cur_substr = substr
+                break
+            end -= 1
+        if cur_substr is None:
+            is_bad = True
+            break
+        sub_tokens.append(cur_substr)
+        start = end
+    if is_bad:
+        return [vid[unk]]
+    return [vid[t] for t in sub_tokens]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_published_examples():
+    # the canonical example from the published docstring
+    assert _wp_ids_word("unaffable", VID, 200, VID["[UNK]"]) == [
+        VID["un"], VID["##aff"], VID["##able"],
+    ]
+    assert _wp_ids_word("running", VID, 200, VID["[UNK]"]) == [
+        VID["runn"], VID["##ing"],
+    ]
+    # greedy longest-first at position 0: "abc" wins over "ab"
+    assert _wp_ids_word("abc", VID, 200, VID["[UNK]"]) == [VID["abc"]]
+    # and at a continuation position: "##bc" wins over "##b"
+    assert _wp_ids_word("aabc", VID, 200, VID["[UNK]"]) == [
+        VID["a"], VID["##a"], VID["##bc"],
+    ]
+    assert _wp_ids_word("aabc", VID, 200, VID["[UNK]"]) == _published_wp(
+        "aabc", VID
+    )
+
+
+def test_whole_word_unk_collapse():
+    # 'z' has no piece anywhere: the word fails MIDWAY (after
+    # emitting pieces) and collapses to ONE [UNK]
+    assert _wp_ids_word("unz", VID, 200, VID["[UNK]"]) == [VID["[UNK]"]]
+    # failure at position 0
+    assert _wp_ids_word("zun", VID, 200, VID["[UNK]"]) == [VID["[UNK]"]]
+
+
+def test_oversize_word_is_one_unk():
+    w = "a" * 201
+    assert _wp_ids_word(w, VID, 200, VID["[UNK]"]) == [VID["[UNK]"]]
+    # at exactly the bound the word still tokenizes (> not >=)
+    w200 = "a" * 200
+    assert _wp_ids_word(w200, VID, 200, VID["[UNK]"]) == _published_wp(
+        w200, VID
+    )
+
+
+def test_position_zero_raw_match_quirk():
+    # published quirk: at start the substring is tried RAW, so the
+    # continuation entry '##x' matches a word literally starting
+    # with '##'
+    assert _wp_ids_word("##x", VID, 200, VID["[UNK]"]) == [VID["##x"]]
+    assert _published_wp("##x", VID) == [VID["##x"]]
+
+
+def test_fuzz_differential_vs_published():
+    rng = random.Random(13)
+    alpha = "abcdunrigx#z"
+    for _ in range(3000):
+        w = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(1, 12))
+        )
+        assert _wp_ids_word(w, VID, 200, VID["[UNK]"]) == _published_wp(
+            w, VID
+        ), w
+
+
+def test_kernel_on_real_docs_and_count_consistency(spark, docs):
+    vocab = wordpiece_from_tokens(spark, VOCAB)
+    out = wordpiece_token_ids(docs, vocab, out_col="ids")
+    out = wordpiece_token_count(out, vocab, out_col="n")
+    rows = out.select("doc_id", "text", "ids", "n").collect()
+    assert rows
+    import re
+
+    for r in rows:
+        if r["text"] is None:
+            assert r["ids"] is None and r["n"] is None
+            continue
+        exp = []
+        for w in re.split(r"[ \t\n\r\f\v]+", r["text"]):
+            if w:
+                exp.extend(_published_wp(w, VID))
+        assert list(r["ids"]) == exp, r["doc_id"]
+        assert int(r["n"]) == len(exp)
+
+
+def test_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    vocab = wordpiece_from_tokens(spark, VOCAB)
+    rows = {
+        r["doc_id"]: (r["ids"], r["n"])
+        for r in wordpiece_token_count(
+            wordpiece_token_ids(df, vocab, out_col="ids"),
+            vocab, out_col="n",
+        ).collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2] == ([], 0.0)
+    assert rows[3] == ([], 0.0)
+
+
+def test_special_tokens_pre_split(spark):
+    df = spark.createDataFrame(
+        [(1, "the<|sep|>data end")], "doc_id long, text string"
+    )
+    vocab = wordpiece_from_tokens(spark, VOCAB)
+    r = wordpiece_token_ids(
+        df, vocab, out_col="ids", special_tokens={"<|sep|>": 9000}
+    ).collect()[0]
+    # 'the' | special | 'data' ('dat'+'##a') | 'end' (no 'e' piece →
+    # UNK)
+    assert list(r["ids"]) == [
+        VID["the"], 9000, VID["dat"], VID["##a"], VID["[UNK]"],
+    ]
+    rc = wordpiece_token_count(
+        df, vocab, out_col="n", special_tokens={"<|sep|>": 9000}
+    ).collect()[0]
+    assert rc["n"] == 5.0
+
+
+def test_artifact_round_trips(spark, tmp_path):
+    vocab = wordpiece_from_tokens(spark, VOCAB)
+    save_wordpiece_vocab(vocab, str(tmp_path / "wp"))
+    loaded = load_wordpiece_vocab(spark, str(tmp_path / "wp"))
+    assert sorted(
+        (r["token"], r["token_id"]) for r in loaded.collect()
+    ) == sorted((t, float(i)) for i, t in enumerate(VOCAB))
+
+    # published vocab.txt: one token per line, id = line order, a
+    # trailing newline tolerated
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n", encoding="utf-8")
+    txt = load_wordpiece_vocab_txt(spark, str(p))
+    assert sorted(
+        (r["token"], r["token_id"]) for r in txt.collect()
+    ) == sorted((t, float(i)) for i, t in enumerate(VOCAB))
+
+
+def test_vocab_txt_contract_errors(spark, tmp_path):
+    p = tmp_path / "blank.txt"
+    p.write_text("a\n\nb\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="empty lines"):
+        load_wordpiece_vocab_txt(spark, str(p))
+    p2 = tmp_path / "dup.txt"
+    p2.write_text("a\nb\na\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="duplicate"):
+        load_wordpiece_vocab_txt(spark, str(p2))
+
+
+def test_kernel_contract_errors(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    # unk token absent from the vocabulary
+    v = wordpiece_from_tokens(spark, ["a", "##a"])
+    with pytest.raises(ValueError, match="unk_token"):
+        wordpiece_token_ids(df, v, out_col="ids")
+    # NULL token row (a scalar-row artifact fed to the wrong loader)
+    bad = spark.createDataFrame(
+        [("a", 0.0), (None, 1.0)], "token string, token_id double"
+    )
+    with pytest.raises(ValueError, match="NULL token"):
+        wordpiece_token_ids(df, bad, out_col="ids")
+    # duplicate ids raise through the shared id-map home
+    dup = spark.createDataFrame(
+        [("[UNK]", 0.0), ("a", 1.0), ("b", 1.0)],
+        "token string, token_id double",
+    )
+    with pytest.raises(ValueError, match="duplicate vocab id"):
+        wordpiece_token_ids(df, dup, out_col="ids")
+    # oversize bound must be a positive int
+    v2 = wordpiece_from_tokens(spark, ["[UNK]", "a"])
+    with pytest.raises(ValueError, match="max_input_chars_per_word"):
+        wordpiece_token_ids(df, v2, out_col="ids",
+                            max_input_chars_per_word=0)
+    # whitespace-carrying vocab entries can never match
+    with pytest.raises(ValueError, match="whitespace"):
+        wordpiece_from_tokens(spark, ["[UNK]", "a b"])
+    with pytest.raises(ValueError, match="duplicate tokens"):
+        wordpiece_from_tokens(spark, ["[UNK]", "a", "a"])
+
+
+def test_wordpiece_feeds_pack_budgets(spark):
+    """The ids stream composes with assemble_packs — the reason the
+    kernel exists (BERT-class pack budgets)."""
+    from wikiextractor_spark.operators.packing import assemble_packs
+
+    df = spark.createDataFrame(
+        [(1, "the data"), (2, "running unaffable")],
+        "doc_id long, text string",
+    )
+    vocab = wordpiece_from_tokens(spark, VOCAB)
+    ids = wordpiece_token_ids(df, vocab, out_col="token_ids")
+    packs = assemble_packs(
+        ids.select("doc_id", "token_ids"), budget=16
+    ).collect()
+    got = sorted(x for p in packs for x in p["token_ids"])
+    exp = sorted(
+        [VID["the"], VID["dat"], VID["##a"],
+         VID["runn"], VID["##ing"], VID["un"], VID["##aff"],
+         VID["##able"]]
+    )
+    assert got == exp

@@ -30,6 +30,14 @@ from wikiextractor_spark.functions.tokenizer import (  # noqa: F401
     train_bpe_tokenizer,
     vocab_from_tokens,
 )
+from wikiextractor_spark.functions.wordpiece import (  # noqa: F401
+    load_wordpiece_vocab,
+    load_wordpiece_vocab_txt,
+    save_wordpiece_vocab,
+    wordpiece_from_tokens,
+    wordpiece_token_count,
+    wordpiece_token_ids,
+)
 from wikiextractor_spark.functions.unigram import (  # noqa: F401
     load_unigram_lm,
     save_unigram_lm,

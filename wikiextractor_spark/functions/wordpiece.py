@@ -1,0 +1,304 @@
+"""WordPiece (BERT-family) tokenizer serving: greedy
+longest-match-first segmentation with ``##`` continuation pieces —
+the third major published tokenizer family beside the engine's
+merges-based BPE (:mod:`tokenizer`, GPT-class) and unigram-LM Viterbi
+(:mod:`unigram`, Llama/T5-class), so pack budgets and id streams are
+faithful for BERT-class encoders too.
+
+Algorithm — the published ``WordpieceTokenizer.tokenize`` of BERT
+(Devlin et al. 2018; google-research/bert ``tokenization.py``),
+implemented verbatim per whitespace-split word:
+
+* a word longer than ``max_input_chars_per_word`` becomes ONE
+  ``unk_token`` (the published oversize rule — crawl blobs degrade to
+  one UNK, they never abort the job, unlike the unigram kernel's
+  raise-by-default bound which exists only for its tie-break packing);
+* otherwise greedy: at each position take the LONGEST vocabulary
+  match, where every piece after the first carries the ``##``
+  continuation prefix; if NO piece matches at some position the WHOLE
+  word collapses to one ``unk_token`` (sub-pieces already emitted are
+  discarded — published behavior, not a drift);
+* published quirk kept verbatim: at position 0 the candidate substring
+  is tried RAW, so a ``##``-prefixed vocabulary entry can match a word
+  that literally starts with ``##`` (pinned in
+  ``tests/test_wordpiece.py``).
+
+The upstream BasicTokenizer stage (lowercasing, accent stripping,
+punctuation splitting) is intentionally OUT of this kernel — it is a
+normalization choice that composes upstream (``lower(text)`` /
+:mod:`normalize`), while this kernel is the vocabulary-dependent part;
+serving runs at the engine-wide whitespace pre-tokenization grain
+(the published WordpieceTokenizer itself whitespace-tokenizes its
+input).
+
+Artifact contract: rows ``(token string, token_id double)`` — NO
+NULL-token scalar row, because WordPiece has no OOV *rate*: unknown
+handling is the ``unk_token`` VOCABULARY entry's id (``[UNK]``, id 0
+in the published layouts; the kernels raise if the vocab lacks it).
+Import the published ``vocab.txt`` (one token per line, id = line
+order) via :func:`load_wordpiece_vocab_txt`; engine-side persistence
+is the parquet pair :func:`save_wordpiece_vocab` /
+:func:`load_wordpiece_vocab` (the modelio single-file discipline).
+
+Scale shape: the vocabulary is driver-sized (published BERT vocabs
+are ~30k rows), shipped once per executor via the kernel broadcast;
+counting/ids are ONE Arrow-batched pandas UDF with the per-batch
+Zipfian word memo — exactly :func:`tokenizer._memoized_word_counter`,
+shared so the cache policy, whitespace grain, special-token pre-split,
+and NULL semantics cannot drift across the three tokenizer families.
+
+No reference counterpart — engine extension (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+from pyspark.sql import DataFrame
+
+from wikiextractor_spark.functions.tokenizer import (
+    _WS_SPLIT,
+    _bad_tokens,
+    _compile_specials,
+    _memoized_word_counter,
+    _vocab_id_maps,
+)
+
+WORDPIECE_SCHEMA = "token string, token_id double"
+
+#: the published default of google-research/bert's
+#: WordpieceTokenizer (HuggingFace's BertTokenizer ships 100 — pass
+#: it explicitly for HF-faithful budgets)
+MAX_INPUT_CHARS_PER_WORD = 200
+
+
+def wordpiece_from_tokens(spark, tokens: list[str]) -> DataFrame:
+    """Build a WordPiece vocabulary frame from a plain token list —
+    ids are the list positions, exactly the published vocab.txt rule.
+    The test/bootstrap path; real artifacts come from
+    :func:`load_wordpiece_vocab_txt` or the parquet round trip."""
+    _check_tokens_shape(tokens, "wordpiece_from_tokens")
+    rows = [(t, float(i)) for i, t in enumerate(tokens)]
+    return spark.createDataFrame(rows, WORDPIECE_SCHEMA)
+
+
+def save_wordpiece_vocab(vocab: DataFrame, path: str) -> None:
+    """Persist a WordPiece vocabulary as one parquet file
+    (driver-sized; sibling of :func:`load_wordpiece_vocab`)."""
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    write_one_file(vocab.select("token", "token_id"), path)
+
+
+def load_wordpiece_vocab(spark, path: str) -> DataFrame:
+    """Load a parquet WordPiece vocabulary saved by
+    :func:`save_wordpiece_vocab`: rows ``(token, token_id)``, no
+    NULL-token row (WordPiece has no OOV scalar — a NULL token here
+    is a corrupt artifact and raises).  Shape problems raise at load
+    (the modelio malformed-values-raise discipline); id semantics
+    (integral, non-negative, distinct) are enforced by the kernels'
+    shared id-map construction."""
+    rows = spark.read.parquet(path).select("token", "token_id")
+    toks = [r["token"] for r in rows.collect()]
+    if any(t is None for t in toks):
+        raise ValueError(
+            "load_wordpiece_vocab: NULL token row — WordPiece "
+            "vocabularies carry no scalar row; fix the artifact"
+        )
+    _check_tokens_shape(toks, "load_wordpiece_vocab")
+    return rows.localCheckpoint(eager=True)
+
+
+def load_wordpiece_vocab_txt(spark, path: str) -> DataFrame:
+    """Import a vocabulary in the PUBLISHED vocab.txt format of
+    BERT-class tokenizers: one token per line, id = line order
+    (``convert_to_unicode(line).strip()`` in the published loader —
+    so surrounding whitespace is stripped here too, and a line that
+    is empty AFTER stripping raises rather than minting an
+    unmatchable empty token; published files contain none, and a
+    blank line would silently shift every later id).  Duplicate
+    tokens raise (ids would be ambiguous).  Returns the engine's
+    vocabulary frame, materialized (the artifact outlives its
+    source file exactly like the other published-format imports)."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _whole_text_artifact,
+    )
+
+    text = _whole_text_artifact(spark, path, "load_wordpiece_vocab_txt")
+    toks: list[str] = []
+    bad: list[str] = []
+    for lineno, line in enumerate(text.splitlines()):
+        t = line.strip()
+        if not t:
+            bad.append(f"line {lineno + 1}: empty")
+            continue
+        toks.append(t)
+    if bad:
+        raise ValueError(
+            f"load_wordpiece_vocab_txt: {len(bad)} empty lines "
+            f"(first: {bad[0]}) — every vocab.txt line must carry a "
+            "token; a blank line would shift all later ids"
+        )
+    if not toks:
+        raise ValueError(
+            f"load_wordpiece_vocab_txt: no tokens in {path!r}"
+        )
+    _check_tokens_shape(toks, "load_wordpiece_vocab_txt")
+    rows = [(t, float(i)) for i, t in enumerate(toks)]
+    return spark.createDataFrame(rows, WORDPIECE_SCHEMA).localCheckpoint(
+        eager=True
+    )
+
+
+def _check_tokens_shape(tokens: list[str], caller: str) -> None:
+    """Shared vocabulary shape validation: non-empty, whitespace-free
+    (the engine's pre-tokenization argument — such entries can never
+    match), distinct."""
+    bad = _bad_tokens(tokens)
+    if bad:
+        raise ValueError(
+            f"{caller}: {len(bad)} empty or whitespace-carrying "
+            f"tokens (first: {bad[0]!r}) — such entries can never "
+            "match under whitespace pre-tokenization"
+        )
+    if len(set(tokens)) != len(tokens):
+        raise ValueError(f"{caller}: duplicate tokens in the artifact")
+
+
+def _wp_ids_word(
+    word: str, tok2id: dict[str, int], max_chars: int, unk_id: int,
+) -> list[int]:
+    """One word → its WordPiece id sequence, the published greedy
+    longest-match-first loop verbatim (see module docstring)."""
+    n = len(word)
+    if n > max_chars:
+        return [unk_id]
+    out: list[int] = []
+    start = 0
+    while start < n:
+        end = n
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            tid = tok2id.get(sub)
+            if tid is not None:
+                cur = tid
+                break
+            end -= 1
+        if cur is None:
+            return [unk_id]
+        out.append(cur)
+        start = end
+    return out
+
+
+def _wp_count_word(
+    word: str, tok2id: dict[str, int], max_chars: int, unk_id: int,
+) -> float:
+    """Token count of one word — len() of the ids walk, one shared
+    body so count and ids cannot drift."""
+    return float(len(_wp_ids_word(word, tok2id, max_chars, unk_id)))
+
+
+def _wp_kernel_args(
+    vocab: DataFrame, unk_token: str, max_input_chars_per_word,
+    special_tokens, caller: str,
+):
+    """Shared argument validation for the two kernels: vocabulary
+    shape + id map (through the engine-wide
+    :func:`tokenizer._vocab_id_maps` policy home), the unk token's
+    id, the oversize bound, and the special-token pre-split."""
+    rows = vocab.select("token", "token_id").collect()
+    toks = [r["token"] for r in rows]
+    if any(t is None for t in toks):
+        raise ValueError(
+            f"{caller}: NULL token row — WordPiece vocabularies "
+            "carry no scalar row; load through load_wordpiece_vocab"
+        )
+    _check_tokens_shape(toks, caller)
+    spat, sids = _compile_specials(special_tokens, caller)
+    tok2id, _id2tok, _rev = _vocab_id_maps(rows, sids, caller)
+    unk_id = tok2id.get(unk_token)
+    if unk_id is None:
+        raise ValueError(
+            f"{caller}: unk_token {unk_token!r} is not in the "
+            "vocabulary — WordPiece cannot represent unknown words "
+            "without it; fix the artifact or pass the right unk_token"
+        )
+    if (
+        isinstance(max_input_chars_per_word, bool)
+        or not isinstance(max_input_chars_per_word, int)
+        or max_input_chars_per_word < 1
+    ):
+        raise ValueError(
+            f"{caller}: max_input_chars_per_word must be a positive "
+            f"int, got {max_input_chars_per_word!r}"
+        )
+    return tok2id, unk_id, spat, sids
+
+
+def wordpiece_token_ids(
+    df: DataFrame, vocab: DataFrame,
+    text_col: str = "text", out_col: str = "token_ids",
+    *, unk_token: str = "[UNK]",
+    max_input_chars_per_word: int = MAX_INPUT_CHARS_PER_WORD,
+    special_tokens: dict[str, int] | None = None,
+) -> DataFrame:
+    """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
+    of WordPiece ids — the BERT-family sibling of
+    :func:`tokenizer.bpe_token_ids` /
+    :func:`unigram.unigram_token_ids`, feeding
+    :func:`~wikiextractor_spark.operators.packing.assemble_packs`
+    with streams segmented the way BERT-class tokenizers actually
+    serve.  Unknown or oversize words emit the ``unk_token``
+    vocabulary id (NOT the -1 sentinel — ``[UNK]`` is a real
+    embedding row in the published layouts), so every emitted id
+    indexes the embedding table.  NULL text stays NULL;
+    ``special_tokens`` text splits out before pre-tokenization and
+    emits its reserved id, exactly as everywhere else (``[CLS]`` /
+    ``[SEP]`` sentence framing is a downstream assembly concern, not
+    a text-tokenization one)."""
+    tok2id, unk_id, spat, sids = _wp_kernel_args(
+        vocab, unk_token, max_input_chars_per_word, special_tokens,
+        "wordpiece_token_ids",
+    )
+    return _memoized_word_counter(
+        df,
+        partial(
+            _wp_ids_word, tok2id=tok2id,
+            max_chars=max_input_chars_per_word, unk_id=unk_id,
+        ),
+        out_col, text_col,
+        result_type="array<long>", list_mode=True,
+        special_pat=spat, special_ids=sids,
+    )
+
+
+def wordpiece_token_count(
+    df: DataFrame, vocab: DataFrame,
+    text_col: str = "text", out_col: str = "n_tokens_wordpiece",
+    *, unk_token: str = "[UNK]",
+    max_input_chars_per_word: int = MAX_INPUT_CHARS_PER_WORD,
+    special_tokens: dict[str, int] | None = None,
+) -> DataFrame:
+    """Attach ``out_col``: the text's WordPiece token count (unknown
+    and oversize words count exactly 1 — they serve as one
+    ``unk_token``).  A DOUBLE for frame-contract consistency with the
+    other counting kernels (values are exact integers; cast to long
+    before integer-budget packing).  ``size(token_ids)`` of
+    :func:`wordpiece_token_ids` equals this count by construction —
+    one shared per-word body — pinned in pytest."""
+    tok2id, unk_id, spat, sids = _wp_kernel_args(
+        vocab, unk_token, max_input_chars_per_word, special_tokens,
+        "wordpiece_token_count",
+    )
+    return _memoized_word_counter(
+        df,
+        partial(
+            _wp_count_word, tok2id=tok2id,
+            max_chars=max_input_chars_per_word, unk_id=unk_id,
+        ),
+        out_col, text_col,
+        special_pat=spat, special_ids=sids,
+    )
