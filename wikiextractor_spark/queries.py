@@ -718,6 +718,105 @@ def _uni_dp_ctes(depth: int) -> str:
 _TOK_UNI_CTE = _uni_dp_ctes(_UNI_DEPTH)
 
 
+# --------------------------------------------------------------------------
+# WordPiece greedy serving (r13): the n_tokens_wordpiece / wp_ids_fp
+# column pair routes functions/wordpiece.py — the published BERT-family
+# greedy longest-match-first loop with ## continuation pieces — over
+# the corpus text.  The oracle RE-DERIVES the whole greedy walk as a
+# recursive CTE (the n_tokens_vocab `state` shape, extended with the
+# continuation grain and the published whole-word-UNK collapse): at
+# each position the LONGEST matching token wins — position 0 matches
+# raw vocabulary entries, later positions match ##-prefixed entries by
+# their body — and a position with NO match marks the word FAILED (one
+# [UNK], sub-pieces discarded, exactly the published loop).  arg_max
+# is unambiguous because tokens are distinct, so at most one token of
+# each length matches at a given position.  The fingerprint is the
+# gpt2_ids_fp construction: SUM(global_pos * (id + 2)) over the
+# per-doc id stream in (wid, within-word) order, pinning the ORDERED
+# segmentation and id assignment, not just the count.  The vocabulary
+# deliberately omits j and q in BOTH base and continuation form (both
+# occur in corpus words at every SF, checked), so the whole-word-UNK
+# path is exercised under the hash; multi-piece words (dat+##a,
+# ...+##ing) exercise the continuation grain.  The oversize rule
+# (>200 chars → [UNK]) cannot fire on this corpus (max word length 8)
+# and is pinned in tests/test_wordpiece.py instead.
+# --------------------------------------------------------------------------
+
+_WP_VOCAB = [
+    "[UNK]", "the", "dat", "and", "in", "is", "to", "of",
+    *[c for c in "abcdefghiklmnoprstuvwxyz"],
+    *["##" + c for c in "abcdefghiklmnoprstuvwxyz"],
+    "##ing", "##ta", "##ion", "##nd", "##er", "##he",
+]
+_WP_UNK_ID = _WP_VOCAB.index("[UNK]")
+_WP_MAXCHARS = 200
+
+_WP_VID_ROWS = ", ".join(
+    f"({_q(t)}, {i})" for i, t in enumerate(_WP_VOCAB)
+)
+# continuation-matchable entries: ## plus a non-empty body (a bare
+# '##' entry could only match raw at position 0, never here)
+_WP_CONT_ROWS = ", ".join(
+    f"({_q(t[2:])}, {i})" for i, t in enumerate(_WP_VOCAB)
+    if t.startswith("##") and len(t) > 2
+)
+
+_TOK_WP_CTE = f"""
+    wpv(tok, vid) AS (VALUES {_WP_VID_ROWS}),
+    wpc(body, vid) AS (VALUES {_WP_CONT_ROWS}),
+    wpstate(doc_id, wid, w, pos, k, vid) AS (
+      SELECT doc_id, wid, w, 0, 0, CAST(NULL AS INT)
+      FROM words WHERE w <> '' AND length(w) <= {_WP_MAXCHARS}
+      UNION ALL
+      SELECT doc_id, wid, w,
+             CASE WHEN ml IS NULL THEN length(w) ELSE pos + ml END,
+             CASE WHEN ml IS NULL THEN -1 ELSE k + 1 END,
+             CASE WHEN ml IS NULL THEN NULL ELSE mvid END
+      FROM (
+        SELECT s.doc_id, s.wid, s.w, s.pos, s.k,
+               COALESCE(MAX(length(v.tok)) FILTER (WHERE s.pos = 0),
+                        MAX(length(c.body)) FILTER (WHERE s.pos > 0))
+                 AS ml,
+               COALESCE(
+                 arg_max(v.vid, length(v.tok)) FILTER (WHERE s.pos = 0),
+                 arg_max(c.vid, length(c.body)) FILTER (WHERE s.pos > 0)
+               ) AS mvid
+        FROM wpstate s
+        LEFT JOIN wpv v
+          ON s.pos = 0 AND substring(s.w, 1, length(v.tok)) = v.tok
+        LEFT JOIN wpc c
+          ON s.pos > 0
+         AND substring(s.w, s.pos + 1, length(c.body)) = c.body
+        WHERE s.pos < length(s.w) AND s.k >= 0
+        GROUP BY s.doc_id, s.wid, s.w, s.pos, s.k
+      )
+    ),
+    wfail AS (
+      SELECT DISTINCT doc_id, wid FROM wpstate WHERE k = -1
+      UNION ALL
+      SELECT doc_id, wid FROM words WHERE length(w) > {_WP_MAXCHARS}
+    ),
+    wtoks AS (
+      SELECT s.doc_id, s.wid, s.k, s.vid
+      FROM wpstate s LEFT JOIN wfail f
+        ON s.doc_id = f.doc_id AND s.wid = f.wid
+      WHERE s.k >= 1 AND f.wid IS NULL
+      UNION ALL
+      SELECT doc_id, wid, 1 AS k, {_WP_UNK_ID} AS vid FROM wfail
+    ),
+    wpo AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_wp,
+             CAST(SUM(gpos * (vid + 2)) AS BIGINT) AS wp_fp
+      FROM (SELECT doc_id, vid,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY wid, k) AS gpos
+            FROM wtoks)
+      GROUP BY doc_id
+    )
+"""
+
+
 # Per-doc exact-replay count: every non-NULL text yields at least one
 # split piece, an empty piece yields only empty symbols (0.0 each), so
 # SUM is non-NULL exactly when the kernel returns non-NULL.
@@ -790,7 +889,8 @@ _TOK_VOCAB_CTE = f"""
     {_TOK_VOCAB_CTE},
     {_TOK_EXACT_CTE},
     {_TOK_GPT2_CTE},
-    {_TOK_UNI_CTE}
+    {_TOK_UNI_CTE},
+    {_TOK_WP_CTE}
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
@@ -813,13 +913,18 @@ _TOK_VOCAB_CTE = f"""
            -- whitespace-only text, where ufin has no row); NULL text
            -- stays NULL — exactly the kernel's contract
            CASE WHEN text IS NULL THEN NULL
-                ELSE COALESCE(ufin.nt, 0) END AS n_tokens_unigram
+                ELSE COALESCE(ufin.nt, 0) END AS n_tokens_unigram,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(wpo.n_wp, 0) END AS n_tokens_wordpiece,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(wpo.wp_fp, 0) END AS wp_ids_fp
     -- LEFT: a NULL-text doc has no words rows, and the kernel passes
     -- NULL text through as a NULL count rather than dropping the doc
     FROM documents LEFT JOIN tok USING (doc_id)
                    LEFT JOIN exact USING (doc_id)
                    LEFT JOIN g2 USING (doc_id)
                    LEFT JOIN ufin USING (doc_id)
+                   LEFT JOIN wpo USING (doc_id)
     """,
 )
 def ta_text_profile(spark, sf_dir):
@@ -866,7 +971,15 @@ def ta_text_profile(spark, sf_dir):
     save→load round trip), integer micro-unit scores with the packed
     (score, token-count) tie-break; the oracle re-runs the whole DP
     as a generated 16-level CTE chain (_uni_dp_ctes) and decodes the
-    count by the same modular arithmetic."""
+    count by the same modular arithmetic.
+
+    The n_tokens_wordpiece / wp_ids_fp pair (r13) routes the
+    BERT-family greedy serving surface (functions/wordpiece.py): ONE
+    ids kernel over an imported vocabulary (its own save→load round
+    trip), count and order-sensitive fingerprint both deriving
+    natively from the id stream; the oracle re-runs the published
+    greedy longest-match walk as a recursive CTE (_TOK_WP_CTE) —
+    continuation grain, whole-word-UNK collapse and all."""
     import shutil
     import tempfile
 
@@ -889,6 +1002,12 @@ def ta_text_profile(spark, sf_dir):
         unigram_from_tokens,
         unigram_token_count,
     )
+    from wikiextractor_spark.functions.wordpiece import (
+        load_wordpiece_vocab,
+        save_wordpiece_vocab,
+        wordpiece_from_tokens,
+        wordpiece_token_ids,
+    )
 
     vdir = tempfile.mkdtemp(prefix="ta_vocab_")
     try:
@@ -909,6 +1028,12 @@ def ta_text_profile(spark, sf_dir):
             f"{vdir}/unigram",
         )
         uni_lm = load_unigram_lm(spark, f"{vdir}/unigram")
+        # r13: the WordPiece vocabulary rides the same save→load
+        # round trip so the modelio contract sits under the hash
+        save_wordpiece_vocab(
+            wordpiece_from_tokens(spark, _WP_VOCAB), f"{vdir}/wp"
+        )
+        wp_vocab = load_wordpiece_vocab(spark, f"{vdir}/wp")
     finally:
         shutil.rmtree(vdir, ignore_errors=True)
 
@@ -932,6 +1057,9 @@ def ta_text_profile(spark, sf_dir):
     d = bpe_token_count(d, vocab, out_col="_ntv")
     d = bpe_token_count_exact(d, vocab, ranks, out_col="_nte")
     d = unigram_token_count(d, uni_lm, out_col="_ntu")
+    # r13: ONE WordPiece ids kernel serves both the count (size) and
+    # the order-sensitive segmentation fingerprint — no second pass
+    d = wordpiece_token_ids(d, wp_vocab, out_col="_wpids")
     # byte-level GPT-2 grain over text + per-doc adversarial suffix:
     # ONE ids kernel (bpe_token_ids) produces the id stream, from
     # which the count and the order-sensitive segmentation
@@ -1003,6 +1131,11 @@ def ta_text_profile(spark, sf_dir):
         F.col("_g2dec").alias("gpt2_decoded"),
         # exact integer in a double kernel output; BIGINT both sides
         F.col("_ntu").cast("long").alias("n_tokens_unigram"),
+        F.size("_wpids").cast("long").alias("n_tokens_wordpiece"),
+        F.expr(
+            "aggregate(transform(_wpids, (x, i) -> (i + 1) * (x + 2)), "
+            "CAST(0 AS BIGINT), (a, y) -> a + y)"
+        ).alias("wp_ids_fp"),
     )
 
 
