@@ -30,6 +30,11 @@ from wikiextractor_spark.functions.tokenizer import (  # noqa: F401
     train_bpe_tokenizer,
     vocab_from_tokens,
 )
+from wikiextractor_spark.functions.normalize import (  # noqa: F401
+    maybe_denormalized,
+    strip_accents,
+    unicode_normalize,
+)
 from wikiextractor_spark.functions.wordpiece import (  # noqa: F401
     load_wordpiece_vocab,
     load_wordpiece_vocab_txt,

@@ -1209,6 +1209,36 @@ def _pii_cnt_case_sql(kind_idx: int) -> str:
     )
     return f"CASE CAST(doc_id % {len(_PII_CNT)} AS INT) {arms} END"
 
+
+# Unicode-normalization adversaria for the r13 'unorm' columns
+# (functions/normalize.py): doc_id % 8 picks a synthesized string —
+# composed vs DECOMPOSED twins (e + U+0301 vs U+00E9), multi-mark
+# canonical REORDERING (cedilla U+0327 ccc=202 vs acute U+0301
+# ccc=230, both source orders), singleton recomposition (ANGSTROM
+# SIGN U+212B → U+00C5), no-decomposition chars (ß, ø) that must
+# pass through, a compatibility ligature (U+FB01, which NFC must
+# KEEP — only the K forms fold it), and pure ASCII (the
+# maybe_denormalized gate's negative branch).  {D} splices the
+# doc_id.  Unlike the PII table, the oracle does NOT restate
+# expectations from a shared table: DuckDB runs its OWN utf8proc
+# nfc_normalize/strip_accents over the same spliced expression — a
+# genuinely independent second Unicode implementation under the
+# hash.  The engine side routes u_nfc through the documented GATED
+# composition (kernel only where maybe_denormalized), so the gate's
+# ASCII-invariance claim is pinned here too.
+_NRM_IN = [
+    "café menu {D}",           # decomposed acute
+    "café fixe {D}",            # composed twin
+    "Ångström {D}",      # decomposed ring + diaeresis
+    "mañana vs mañana {D}",
+    "straße øre {D}",      # no-decomposition chars
+    "ȩ́ order {D}",       # canonical reordering
+    "Å unit ȩ́ ﬁt {D}",  # singleton recomposition,
+    # the OTHER mark source order, and the NFC-kept ligature
+    "plain ascii {D}",               # the gate's negative branch
+]
+_NRM_SRC_SQL = _pii_case_sql(_NRM_IN)  # the shared {D} CASE splicer
+
 # Language-ID (stopword profiles, deterministic tie-break) and
 # document fingerprinting (normalized md5 + 1-hash MinHash) in one
 # projection.  Merged from r1's ta_lang_id + ta_fingerprint (both
@@ -1231,7 +1261,11 @@ def _pii_cnt_case_sql(kind_idx: int) -> str:
            {_pii_cnt_case_sql(0)} AS pii_email,
            {_pii_cnt_case_sql(1)} AS pii_ipv4,
            {_pii_cnt_case_sql(2)} AS pii_ssn,
-           {_pii_cnt_case_sql(3)} AS pii_phone
+           {_pii_cnt_case_sql(3)} AS pii_phone,
+           nfc_normalize({_NRM_SRC_SQL}) AS u_nfc,
+           strip_accents({_NRM_SRC_SQL}) AS u_folded,
+           CASE WHEN regexp_matches({_NRM_SRC_SQL}, '[^\x00-\x7F]')
+                THEN 1 ELSE 0 END AS u_gate
     FROM (SELECT doc_id, lang, text,
                  {_LANG_HITS_DUCK['en']} AS en, {_LANG_HITS_DUCK['de']} AS de,
                  {_LANG_HITS_DUCK['es']} AS es, {_LANG_HITS_DUCK['fr']} AS fr
@@ -1244,11 +1278,23 @@ def ta_lang_fingerprint(spark, sf_dir):
     en_hits are cheap array references over it (r2 inlined one
     filter-chain per CASE-branch reference — the Janino-compile cost
     PERF.md flagged)."""
+    from wikiextractor_spark.functions.normalize import (
+        maybe_denormalized,
+        strip_accents,
+        unicode_normalize,
+    )
     from wikiextractor_spark.functions.pii import pii_counts, redact_pii
 
     d = _docs(spark, sf_dir).withColumn("_hits", textstats.lang_hits("text"))
     pii_src = F.expr(_pii_case_sql(_PII_IN))
     pc = pii_counts(pii_src)
+    # r13 'unorm' columns: the spliced adversaria (the PII CASE
+    # splicer) through the REAL normalization kernels — u_nfc runs
+    # the documented gated composition (kernel only where
+    # maybe_denormalized fires), so the gate's ASCII-invariance claim
+    # sits under the hash; the oracle replays DuckDB's OWN
+    # nfc_normalize/strip_accents, an independent implementation
+    nrm_src = F.expr(_pii_case_sql(_NRM_IN))
     return d.select(
         "doc_id",
         "lang",
@@ -1261,6 +1307,11 @@ def ta_lang_fingerprint(spark, sf_dir):
         pc["ipv4"].cast("long").alias("pii_ipv4"),
         pc["ssn"].cast("long").alias("pii_ssn"),
         pc["phone"].cast("long").alias("pii_phone"),
+        F.when(maybe_denormalized(nrm_src), unicode_normalize(nrm_src))
+        .otherwise(nrm_src).alias("u_nfc"),
+        strip_accents(nrm_src).alias("u_folded"),
+        F.when(maybe_denormalized(nrm_src), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("u_gate"),
     )
 
 
