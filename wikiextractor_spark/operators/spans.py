@@ -341,3 +341,166 @@ def remove_boilerplate_lines(
             n_removed.cast("long").alias("n_removed_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Three-sentence-span dedup (the C4 rule)
+# --------------------------------------------------------------------------
+
+#: engine-wide native sentence rule: a piece is a (possibly empty)
+#: run of non-terminal chars plus its terminator run, or the
+#: unterminated tail — so the pieces CONCATENATE back to the original
+#: text exactly (whitespace rides inside pieces), and no piece is
+#: empty.  A regex rule, not a learned segmenter (C4 uses NLTK punkt;
+#: a model is out of scope here and the rule is stated) — portable
+#: between the JVM and RE2 (no lookarounds, no escapes that differ).
+SENTENCE_PATTERN = "[^.!?]*[.!?]+|[^.!?]+$"
+
+
+def sentence_array(col) -> F.Column:
+    """``col`` split into sentence pieces (``array<string>``) under
+    :data:`SENTENCE_PATTERN` — native ``regexp_extract_all`` (group
+    0 = whole match), NULL text → NULL, empty text → empty array.
+    ``array_join(sentence_array(c), '')`` is ``c`` verbatim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(SENTENCE_PATTERN), F.lit(0))
+
+
+def dedup_sentence_spans(
+    docs: DataFrame, n: int = 3, min_count: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove all but ONE occurrence of any ``n``-sentence span
+    repeated ``min_count``+ times across the corpus — the C4 rule
+    (Raffel et al. 2020: "we discard all but one of any
+    three-sentence span occurring more than once"), the keep-first
+    complement of :func:`trim_repeated_spans`' remove-every-copy
+    ExactSubstr policy.
+
+    Semantics (stated; single pass over the ORIGINAL text):
+
+    * sentences are :data:`SENTENCE_PATTERN` pieces; spans are keyed
+      on the md5 of the span text lowercased and
+      whitespace-normalized (portable ASCII class), so trailing
+      spaces / case cannot split a key;
+    * the KEPT occurrence is the globally first — min
+      ``struct(id_col, start_idx)`` — deterministic under any
+      partitioning;
+    * every other occurrence's ``n`` sentences are removed; within a
+      document, overlapping losing spans remove the UNION of their
+      sentences (and may remove a sentence that also belongs to some
+      winning span — the stated deterministic resolution; a
+      streaming implementation is order-dependent here, this one is
+      not);
+    * documents keep their byte layout for surviving sentences (the
+      pieces concatenate verbatim); NULL text stays NULL.
+
+    100 TB shape: one narrow sentence explode; span keys via
+    ``lead()`` over the doc partition (ONE shuffle on the doc id —
+    sentences of a doc co-locate); the repeated-key rollup is one
+    map-side-combined groupBy on the span key, and it is SPARSE in
+    healthy corpora, so AQE broadcasts the join back; coverage and
+    reassembly are doc-grain (``collect_list`` state bounded by the
+    document's own sentence count, the boilerplate-lines bound).
+    Reference: no counterpart — engine extension (SURVEY.md §2.12)."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"dedup_sentence_spans: n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(
+            "dedup_sentence_spans: min_count must be >= 2 — at 1 "
+            f"every span matches itself, got {min_count}"
+        )
+    sents = docs.select(
+        id_col,
+        F.posexplode(sentence_array(text_col)).alias("_idx", "_piece"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_idx")
+    span_txt = F.concat(
+        *[
+            F.coalesce(F.lead("_piece", i).over(w), F.lit(""))
+            if i else F.col("_piece")
+            for i in range(n)
+        ]
+    )
+    occ = (
+        sents
+        .withColumn("_last", F.lead("_piece", n - 1).over(w))
+        .withColumn(
+            "_key",
+            F.md5(
+                F.lower(
+                    F.btrim(
+                        F.regexp_replace(
+                            span_txt, "[ \t\n\r\f\v]+", " "
+                        )
+                    )
+                )
+            ),
+        )
+        # only full n-sentence windows form spans
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "_idx", "_key")
+    )
+    dup = (
+        occ.groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_win"),
+        )
+        .filter(F.col("_cnt") >= min_count)
+        .select("_key", "_win")
+    )
+    cov = (
+        occ.join(dup, "_key")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_win")[id_col])
+                & (F.col("_idx") == F.col("_win._idx"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_idx"), F.col("_idx") + F.lit(n - 1))
+            ).alias("_cut"),
+        )
+        .distinct()
+    )
+    kept = sents.join(
+        cov,
+        on=[
+            sents[id_col] == cov[id_col],
+            sents["_idx"] == cov["_cut"],
+        ],
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(_idx, _piece))), x -> x._piece)"
+            ),
+            "",
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    out_cols = docs.columns
+    new_text = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.coalesce(F.col("_new_text"), F.lit(""))
+    )
+    n_removed = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.col("_n_sents") - F.coalesce(F.col("_n_kept"), F.lit(0))
+    )
+    return (
+        docs.withColumn("_n_sents", F.size(sentence_array(text_col)))
+        .join(rebuilt, id_col, "left")
+        .select(
+            *[
+                new_text.alias(text_col) if c == text_col else F.col(c)
+                for c in out_cols
+            ],
+            n_removed.cast("long").alias("n_removed_sentences"),
+        )
+    )

@@ -1702,9 +1702,25 @@ def dd_cross_corpus(spark, sf_dir):
 # oracle recomputes gram counts, coverage, and the surviving word
 # sequence with DuckDB list comprehensions over the gram STRINGS
 # (independent of the engine's xxhash64).
+#
+# r13 'c4' family input: the corpus has NO sentence punctuation (no
+# [.!?] at any SF, checked), so sentence structure is synthesized
+# with engine-portable splices — every ' the ' becomes ' the. '
+# (plain replace, no regex backreference dialect issues) and every
+# doc_id % 4 == 0 doc gains a SHARED tail whose three sentences
+# duplicate across all such docs (the keep-first rule fires on
+# otherwise-distinct documents); planted full copies (doc_id <
+# 60, +2000000) duplicate every span of those docs wholesale.
+_C4_TAIL = " common tail one. common tail two! common tail three? coda."
+_C4_TEXT_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN replace(text, ' the ', ' the. ') "
+    f"|| '{_C4_TAIL}' ELSE replace(text, ' the ', ' the. ') END"
+)
+
+
 @query(
     "dd_trim_spans",
-    """
+    f"""
     WITH src AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -1713,8 +1729,8 @@ def dd_cross_corpus(spark, sf_dir):
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
     g AS (
       SELECT doc_id,
-             unnest([{'p': i,
-                      'gr': array_to_string(list_slice(ws, i + 1, i + 6), ' ')}
+             unnest([{{'p': i,
+                      'gr': array_to_string(list_slice(ws, i + 1, i + 6), ' ')}}
                      for i in range(greatest(len(ws) - 5, 0))]) AS s
       FROM w
     ),
@@ -1730,18 +1746,74 @@ def dd_cross_corpus(spark, sf_dir):
              [ws[i + 1] for i in range(len(ws))
               if cov IS NULL OR NOT list_contains(cov, i)] AS kept
       FROM w LEFT JOIN hit USING (doc_id)
+    ),
+    c4src AS (
+      SELECT doc_id, {_C4_TEXT_SQL} AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, {_C4_TEXT_SQL} AS text
+      FROM documents WHERE doc_id < 60
+    ),
+    c4p AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$') AS ps
+      FROM c4src
+    ),
+    c4o AS (
+      SELECT doc_id, u.s.i AS idx, u.s.k AS key
+      FROM (SELECT doc_id,
+                   unnest([{{'i': i,
+                            'k': md5(lower(trim(regexp_replace(
+                                   ps[i + 1] || ps[i + 2] || ps[i + 3],
+                                   '[ \t\n\r\f\v]+', ' ', 'g'))))}}
+                           for i in range(greatest(len(ps) - 2, 0))]) AS s
+            FROM c4p) u(doc_id, s)
+    ),
+    c4d AS (
+      SELECT doc_id, idx,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY doc_id, idx) AS rn,
+             COUNT(*) OVER (PARTITION BY key) AS c
+      FROM c4o
+    ),
+    c4cov AS (
+      SELECT doc_id, list(DISTINCT idx + j) AS cov
+      FROM c4d, unnest([0, 1, 2]) AS t(j)
+      WHERE c >= 2 AND rn >= 2
+      GROUP BY doc_id
+    ),
+    c4k AS (
+      SELECT p.doc_id, ps,
+             [ps[i + 1] for i in range(len(ps))
+              if cov IS NULL OR NOT list_contains(cov, i)] AS kept
+      FROM c4p p LEFT JOIN c4cov USING (doc_id)
     )
-    SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS text,
-           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed_words
+    SELECT 'trim' AS family, doc_id,
+           COALESCE(array_to_string(kept, ' '), '') AS text,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed
     FROM k
+    UNION ALL
+    SELECT 'c4' AS family, doc_id,
+           -- array_to_string([], '') is NULL in DuckDB, hence the
+           -- inner COALESCE for fully-emptied docs
+           CASE WHEN ps IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(kept, ''), '') END AS text,
+           CASE WHEN ps IS NULL THEN NULL
+                ELSE CAST(len(ps) - len(kept) AS BIGINT) END AS n_removed
+    FROM c4k
     """,
 )
 def dd_trim_spans(spark, sf_dir):
-    """Repeated-span trimming (r7, operators/spans.py): remove every
-    occurrence of any 6-word window appearing ≥2 times across a
-    corpus with planted full copies — one narrow gram pass, one
-    gram-hash shuffle, native interval merge + higher-order word cut,
-    zero Python row-wise."""
+    """Two span-grain dedup policies as one discriminated union:
+    'trim' = remove EVERY occurrence of any repeated 6-word window
+    (ExactSubstr, r7 — one narrow gram pass, one gram-hash shuffle,
+    native interval merge, zero Python row-wise); 'c4' (r13) = the
+    C4 keep-first rule over THREE-SENTENCE spans
+    (spans.dedup_sentence_spans) on a corpus with synthesized
+    sentence structure, planted full copies (keep-first across
+    copies), and a shared tail (cross-doc span dups on otherwise
+    distinct docs) — the oracle re-derives sentence pieces, span
+    keys, the global (doc_id, idx) winner, and the union coverage
+    cut."""
     from wikiextractor_spark.operators import spans
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1749,9 +1821,27 @@ def dd_trim_spans(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(planted)
-    return spans.trim_repeated_spans(corpus, n=6, min_count=2).select(
-        "doc_id", "text", "n_removed_words"
+    trim = spans.trim_repeated_spans(corpus, n=6, min_count=2).select(
+        F.lit("trim").alias("family"),
+        "doc_id",
+        "text",
+        F.col("n_removed_words").alias("n_removed"),
     )
+    c4_base = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_C4_TEXT_SQL).alias("text")
+    )
+    c4_src = c4_base.unionByName(
+        c4_base.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    c4 = spans.dedup_sentence_spans(c4_src, n=3, min_count=2).select(
+        F.lit("c4").alias("family"),
+        "doc_id",
+        "text",
+        F.col("n_removed_sentences").alias("n_removed"),
+    )
+    return trim.unionByName(c4)
 
 
 @query(
