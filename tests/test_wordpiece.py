@@ -258,3 +258,167 @@ def test_wordpiece_feeds_pack_budgets(spark):
          VID["##able"]]
     )
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# decode + BasicTokenizer stage
+# --------------------------------------------------------------------------
+
+from wikiextractor_spark.functions.wordpiece import (  # noqa: E402
+    basic_tokenize_text,
+    wordpiece_decode_ids,
+)
+
+
+def _published_basic(text, lower=True, strip=True):
+    """Verbatim restatement of the published BasicTokenizer loop at
+    the engine's stated scope (no _clean_text / CJK spacing), with
+    the engine's combining-class accent rule."""
+    import unicodedata
+
+    def is_punct(ch):
+        cp = ord(ch)
+        if (33 <= cp <= 47) or (58 <= cp <= 64) \
+                or (91 <= cp <= 96) or (123 <= cp <= 126):
+            return True
+        return unicodedata.category(ch).startswith("P")
+
+    out = []
+    for tok in text.split():
+        if lower:
+            tok = tok.lower()
+        if strip:
+            tok = "".join(
+                c for c in unicodedata.normalize("NFD", tok)
+                if not unicodedata.combining(c)
+            )
+        cur = ""
+        for ch in tok:
+            if is_punct(ch):
+                if cur:
+                    out.append(cur)
+                    cur = ""
+                out.append(ch)
+            else:
+                cur += ch
+        if cur:
+            out.append(cur)
+    return " ".join(out)
+
+
+def test_decode_published_rule(spark):
+    vocab = wordpiece_from_tokens(spark, VOCAB)
+    df = spark.createDataFrame(
+        [
+            (1, "unaffable running"),
+            (2, "zzz"),          # whole-word UNK
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ids = wordpiece_token_ids(df, vocab, out_col="ids")
+    rows = {
+        r["doc_id"]: r["dec"]
+        for r in wordpiece_decode_ids(
+            ids, vocab, ids_col="ids", out_col="dec"
+        ).collect()
+    }
+    # round trip exact on single-spaced fully-in-vocab text
+    assert rows[1] == "unaffable running"
+    assert rows[2] == "[UNK]"
+    assert rows[3] is None
+    assert rows[4] == ""
+
+
+def test_decode_specials_and_unregistered_id(spark):
+    vocab = wordpiece_from_tokens(spark, VOCAB)
+    df = spark.createDataFrame(
+        [(1, [VID["the"], 9000, VID["dat"], VID["##a"]])],
+        "doc_id long, ids array<long>",
+    )
+    r = wordpiece_decode_ids(
+        df, vocab, ids_col="ids", out_col="dec",
+        special_tokens={"<|sep|>": 9000},
+    ).collect()[0]
+    assert r["dec"] == "the <|sep|> data"
+    import re as _re
+
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [(1, [VID["the"], 9000])], "doc_id long, ids array<long>"
+    )
+    with pytest.raises(Exception) as exc:
+        wordpiece_decode_ids(
+            bad, vocab, ids_col="ids", out_col="dec"
+        ).collect()
+    assert _re.search(
+        "neither a vocab id nor a registered special", str(exc.value)
+    )
+
+
+def test_basic_tokenize_differential(spark):
+    cases = [
+        "Hello, World!",
+        "don't stop-me now...",
+        "Ångström's law (v2).",
+        "a$b<c>d^e`f|g~h",      # ASCII-range 'punct for consistency'
+        "  spread\tout\nlines ",
+        "MiXeD CaSe",
+        "café, Café; CAFÉ!",
+    ]
+    rng = random.Random(31)
+    alpha = "aB.,!?'-()$~ éÅñ"
+    for _ in range(200):
+        cases.append(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 25)))
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", basic_tokenize_text("text").alias("b")
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == _published_basic(t), repr(t)
+
+
+def test_basic_tokenize_cased_config(spark):
+    df = spark.createDataFrame(
+        [(1, "Café, Stop!")], "doc_id long, text string"
+    )
+    r = df.select(
+        basic_tokenize_text(
+            "text", lower=False, do_strip_accents=False
+        ).alias("b")
+    ).collect()[0]
+    assert r["b"] == _published_basic(
+        "Café, Stop!", lower=False, strip=False
+    )
+    assert r["b"] == "Café , Stop !"
+
+
+def test_bert_end_to_end_composition(spark):
+    """basic_tokenize_text → wordpiece_token_ids is the published
+    FullTokenizer pipeline (the tokens are space-joined and the
+    wordpiece kernel re-splits on whitespace — equivalent)."""
+    vocab = wordpiece_from_tokens(spark, VOCAB + [",", "!"])
+    vid = {t: i for i, t in enumerate(VOCAB + [",", "!"])}
+    df = spark.createDataFrame(
+        [(1, "Unaffable, RUNNING!")], "doc_id long, text string"
+    )
+    out = wordpiece_token_ids(
+        df.select(
+            "doc_id", basic_tokenize_text("text").alias("text")
+        ),
+        vocab, out_col="ids",
+    ).collect()[0]
+    assert list(out["ids"]) == [
+        vid["un"], vid["##aff"], vid["##able"], vid[","],
+        vid["runn"], vid["##ing"], vid["!"],
+    ]

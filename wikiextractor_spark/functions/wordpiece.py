@@ -53,7 +53,8 @@ from __future__ import annotations
 
 from functools import partial
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
 
 from wikiextractor_spark.functions.tokenizer import (
     _WS_SPLIT,
@@ -302,3 +303,118 @@ def wordpiece_token_count(
         out_col, text_col,
         special_pat=spat, special_ids=sids,
     )
+
+
+def _wp_decode_one(ids, id2tok: dict[int, str],
+                   rev_special: dict[int, str]):
+    """Decode one WordPiece id stream — the published
+    ``convert_tokens_to_string`` rule verbatim:
+    ``" ".join(tokens).replace(" ##", "")``.  Specials emit their
+    marker text as one token; an id outside vocab/specials raises
+    (WordPiece streams carry no -1 sentinel — unknowns are the
+    ``unk_token``'s real vocab id)."""
+    if ids is None:
+        return None
+    toks: list[str] = []
+    for i in ids:
+        sp = rev_special.get(i)
+        if sp is not None:
+            toks.append(sp)
+            continue
+        t = id2tok.get(i)
+        if t is None:
+            raise ValueError(
+                f"wordpiece_decode_ids: id {i} is neither a vocab id "
+                "nor a registered special token — sentinel ids "
+                "(separators, FIM markers) must be declared in "
+                "special_tokens"
+            )
+        toks.append(t)
+    return " ".join(toks).replace(" ##", "")
+
+
+def wordpiece_decode_ids(
+    df: DataFrame, vocab: DataFrame,
+    ids_col: str = "token_ids", out_col: str = "text",
+    *, special_tokens: dict[str, int] | None = None,
+) -> DataFrame:
+    """Attach ``out_col``: the id stream DECODED back to text — the
+    inverse adapter of :func:`wordpiece_token_ids` (the published
+    ``" ".join(tokens).replace(" ##", "")`` detokenization), for
+    inspecting packed/augmented BERT-class sequences.  Lossy by
+    design where the published rule is: unknown words decode to the
+    ``unk_token`` text, and inter-word whitespace runs decode to one
+    space (stated; ``decode(encode(x)) == x`` holds exactly for
+    single-spaced fully-in-vocab text, pinned by pytest).  NULL
+    streams stay NULL.  Scale shape: broadcast id→token map, one
+    Arrow-batched kernel, no shuffle."""
+    rows = vocab.select("token", "token_id").collect()
+    toks = [r["token"] for r in rows]
+    if any(t is None for t in toks):
+        raise ValueError(
+            "wordpiece_decode_ids: NULL token row — WordPiece "
+            "vocabularies carry no scalar row; load through "
+            "load_wordpiece_vocab"
+        )
+    _check_tokens_shape(toks, "wordpiece_decode_ids")
+    _spat, sids = _compile_specials(special_tokens, "wordpiece_decode_ids")
+    _tok2id, id2tok, rev_special = _vocab_id_maps(
+        rows, sids, "wordpiece_decode_ids"
+    )
+    bc = df.sparkSession.sparkContext.broadcast((id2tok, rev_special))
+
+    @F.pandas_udf("string")
+    def _decode(s: pd.Series) -> pd.Series:
+        i2t, rsp = bc.value
+        return s.map(lambda ids: _wp_decode_one(ids, i2t, rsp))
+
+    return df.withColumn(out_col, _decode(F.col(ids_col)))
+
+
+# --------------------------------------------------------------------------
+# BasicTokenizer: the published BERT normalization stage
+# --------------------------------------------------------------------------
+
+#: the published ``_is_punctuation`` class: the four ASCII ranges
+#: (which include $ + < = > ^ ` | ~ — NOT Unicode P, treated as
+#: punctuation "for consistency" per the published comment) plus the
+#: Unicode P categories.  \\p{P} category data may differ between the
+#: JVM and other engines by Unicode version — exotic-punctuation
+#: edges are a stated caveat (the GPT-2 \\p{L}/\\p{N} discipline);
+#: ASCII behavior is version-stable.
+BASIC_PUNCT_CLASS = r"[!-/:-@\[-`{-~]|\p{P}"
+
+
+def basic_tokenize_text(
+    col, *, lower: bool = True, do_strip_accents: bool = True,
+) -> "F.Column":
+    """``col`` through the published BERT ``BasicTokenizer`` chain,
+    returning the single-space-joined token string (feed it to
+    :func:`wordpiece_token_ids` for end-to-end published BERT
+    tokenization): whitespace fold → lowercase → accent strip (NFD +
+    drop combining marks, exactly the published
+    ``_run_strip_accents``) → split every punctuation character into
+    its own token (``_run_split_on_punc``) → re-join single-spaced.
+    The accent strip is the one Python (Arrow-kernel) step —
+    everything else is native regexp work inside codegen.
+
+    Stated divergences from the published class: control/format
+    character removal (``_clean_text``) and CJK character spacing
+    are NOT applied — the former is a no-op on healthy text and both
+    belong to an upstream cleaning pass if needed.  ``lower=False``
+    with ``do_strip_accents=False`` reproduces the published
+    cased-model configuration (accent stripping rides the lower-case
+    flag in the original; the two are independent here, matching the
+    later published interface)."""
+    from wikiextractor_spark.functions.normalize import strip_accents
+
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "[ \t\n\r\f\v]+", " ")
+    if lower:
+        c = F.lower(c)
+    if do_strip_accents:
+        c = strip_accents(c)
+    # the JVM replacement dialect is $1 (the oracle restates with its
+    # own \1 dialect — the two never share this literal)
+    c = F.regexp_replace(c, f"({BASIC_PUNCT_CLASS})", " $1 ")
+    return F.btrim(F.regexp_replace(c, "[ \t\n\r\f\v]+", " "))

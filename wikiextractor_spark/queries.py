@@ -807,11 +807,15 @@ _TOK_WP_CTE = f"""
     wpo AS (
       SELECT doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_wp,
-             CAST(SUM(gpos * (vid + 2)) AS BIGINT) AS wp_fp
-      FROM (SELECT doc_id, vid,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY wid, k) AS gpos
-            FROM wtoks)
+             CAST(SUM(gpos * (vid + 2)) AS BIGINT) AS wp_fp,
+             -- the published detokenization rule verbatim:
+             -- " ".join(tokens).replace(" ##", "")
+             replace(string_agg(tok, ' ' ORDER BY gpos), ' ##', '')
+               AS wp_dec
+      FROM (SELECT t.doc_id, t.vid, v.tok,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY t.wid, t.k) AS gpos
+            FROM wtoks t JOIN wpv v ON v.vid = t.vid)
       GROUP BY doc_id
     )
 """
@@ -917,7 +921,9 @@ _TOK_VOCAB_CTE = f"""
            CASE WHEN text IS NULL THEN NULL
                 ELSE COALESCE(wpo.n_wp, 0) END AS n_tokens_wordpiece,
            CASE WHEN text IS NULL THEN NULL
-                ELSE COALESCE(wpo.wp_fp, 0) END AS wp_ids_fp
+                ELSE COALESCE(wpo.wp_fp, 0) END AS wp_ids_fp,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(wpo.wp_dec, '') END AS wp_decoded
     -- LEFT: a NULL-text doc has no words rows, and the kernel passes
     -- NULL text through as a NULL count rather than dropping the doc
     FROM documents LEFT JOIN tok USING (doc_id)
@@ -1060,6 +1066,15 @@ def ta_text_profile(spark, sf_dir):
     # r13: ONE WordPiece ids kernel serves both the count (size) and
     # the order-sensitive segmentation fingerprint — no second pass
     d = wordpiece_token_ids(d, wp_vocab, out_col="_wpids")
+    # r13: the decode adapter over the SAME id stream — the published
+    # " ".join(tokens).replace(" ##", "") rule under the hash
+    from wikiextractor_spark.functions.wordpiece import (
+        wordpiece_decode_ids,
+    )
+
+    d = wordpiece_decode_ids(
+        d, wp_vocab, ids_col="_wpids", out_col="_wpdec"
+    )
     # byte-level GPT-2 grain over text + per-doc adversarial suffix:
     # ONE ids kernel (bpe_token_ids) produces the id stream, from
     # which the count and the order-sensitive segmentation
@@ -1136,6 +1151,7 @@ def ta_text_profile(spark, sf_dir):
             "aggregate(transform(_wpids, (x, i) -> (i + 1) * (x + 2)), "
             "CAST(0 AS BIGINT), (a, y) -> a + y)"
         ).alias("wp_ids_fp"),
+        F.col("_wpdec").alias("wp_decoded"),
     )
 
 
@@ -1227,15 +1243,15 @@ def _pii_cnt_case_sql(kind_idx: int) -> str:
 # composition (kernel only where maybe_denormalized), so the gate's
 # ASCII-invariance claim is pinned here too.
 _NRM_IN = [
-    "café menu {D}",           # decomposed acute
+    "café, menu {D}!",           # decomposed acute
     "café fixe {D}",            # composed twin
     "Ångström {D}",      # decomposed ring + diaeresis
     "mañana vs mañana {D}",
-    "straße øre {D}",      # no-decomposition chars
+    "straße $øre~ {D}",      # no-decomposition chars
     "ȩ́ order {D}",       # canonical reordering
     "Å unit ȩ́ ﬁt {D}",  # singleton recomposition,
     # the OTHER mark source order, and the NFC-kept ligature
-    "plain ascii {D}",               # the gate's negative branch
+    "plain (ascii) {D}",               # the gate's negative branch
 ]
 _NRM_SRC_SQL = _pii_case_sql(_NRM_IN)  # the shared {D} CASE splicer
 
@@ -1265,7 +1281,12 @@ _NRM_SRC_SQL = _pii_case_sql(_NRM_IN)  # the shared {D} CASE splicer
            nfc_normalize({_NRM_SRC_SQL}) AS u_nfc,
            strip_accents({_NRM_SRC_SQL}) AS u_folded,
            CASE WHEN regexp_matches({_NRM_SRC_SQL}, '[^\x00-\x7F]')
-                THEN 1 ELSE 0 END AS u_gate
+                THEN 1 ELSE 0 END AS u_gate,
+           trim(regexp_replace(regexp_replace(
+             strip_accents(lower(regexp_replace(
+               {_NRM_SRC_SQL}, '[ \t\n\r\f\v]+', ' ', 'g'))),
+             '([!-/:-@\[-`{{-~]|\p{{P}})', ' \1 ', 'g'),
+             '[ \t\n\r\f\v]+', ' ', 'g')) AS u_basic
     FROM (SELECT doc_id, lang, text,
                  {_LANG_HITS_DUCK['en']} AS en, {_LANG_HITS_DUCK['de']} AS de,
                  {_LANG_HITS_DUCK['es']} AS es, {_LANG_HITS_DUCK['fr']} AS fr
@@ -1284,6 +1305,7 @@ def ta_lang_fingerprint(spark, sf_dir):
         unicode_normalize,
     )
     from wikiextractor_spark.functions.pii import pii_counts, redact_pii
+    from wikiextractor_spark.functions.wordpiece import basic_tokenize_text
 
     d = _docs(spark, sf_dir).withColumn("_hits", textstats.lang_hits("text"))
     pii_src = F.expr(_pii_case_sql(_PII_IN))
@@ -1312,6 +1334,10 @@ def ta_lang_fingerprint(spark, sf_dir):
         strip_accents(nrm_src).alias("u_folded"),
         F.when(maybe_denormalized(nrm_src), F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("u_gate"),
+        # r13: the BERT BasicTokenizer chain (functions/wordpiece.py)
+        # over the same adversaria — the oracle restates it in its
+        # own dialect (\1 backrefs, DuckDB's strip_accents)
+        basic_tokenize_text(nrm_src).alias("u_basic"),
     )
 
 
