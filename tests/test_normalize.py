@@ -128,8 +128,9 @@ def test_invalid_form_raises():
 
 
 def test_gated_composition_preserves_content(spark):
-    """The documented clean-majority skip: gating the kernel behind
-    maybe_denormalized yields exactly the ungated result."""
+    """The when(gate, kernel) form is VALUE-equal to the ungated
+    kernel (the battery's u_nfc pin) — the cost-skip itself lives in
+    normalize_if_needed's split-path, tested separately."""
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(CASES)] + [(99, None)],
         "doc_id long, text string",
@@ -167,3 +168,35 @@ def test_normalization_unifies_dedup_keys(spark):
         )
     ).collect()
     assert len(nfc) == 1 and nfc[0]["n_copies"] == 2
+
+
+def test_normalize_if_needed_split_path(spark):
+    """The split-path composition is value-equal to the ungated
+    kernel, including NULL text, and the clean leg's plan carries no
+    Python evaluation (the actual skip — a when() projection would
+    still evaluate the UDF per row)."""
+    from wikiextractor_spark.functions.normalize import (
+        normalize_if_needed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    gated = normalize_if_needed(df, "text", out_col="n")
+    ungated = df.select(
+        "doc_id", "text", unicode_normalize("text").alias("n")
+    )
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, ungated.collect())
+    )
+    # the clean leg (ASCII + NULL rows) must not contain a Python
+    # evaluation node
+    clean_leg = df.filter(
+        maybe_denormalized("text").isNull() | ~maybe_denormalized("text")
+    ).withColumn("n", F.col("text"))
+    assert "ArrowEvalPython" not in clean_leg._jdf.queryExecution() \
+        .executedPlan().toString()
+    # in-place rewrite keeps the schema
+    inplace = normalize_if_needed(df, "text")
+    assert inplace.columns == df.columns

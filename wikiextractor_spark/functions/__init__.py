@@ -32,13 +32,16 @@ from wikiextractor_spark.functions.tokenizer import (  # noqa: F401
 )
 from wikiextractor_spark.functions.normalize import (  # noqa: F401
     maybe_denormalized,
+    normalize_if_needed,
     strip_accents,
     unicode_normalize,
 )
 from wikiextractor_spark.functions.wordpiece import (  # noqa: F401
+    basic_tokenize_text,
     load_wordpiece_vocab,
     load_wordpiece_vocab_txt,
     save_wordpiece_vocab,
+    wordpiece_decode_ids,
     wordpiece_from_tokens,
     wordpiece_token_count,
     wordpiece_token_ids,

@@ -22,9 +22,13 @@ points keep it cheap at corpus scale:
   normalization-invariant under all four forms (ASCII codepoints are
   their own canonical/compatibility decomposition and recomposition),
   so only rows containing a non-ASCII byte need the Python crossing
-  at all — gate the kernel behind it and the clean-ASCII majority of
-  a crawl never leaves the JVM (the :func:`~wikiextractor_spark.
-  functions.pii.has_pii` skip pattern);
+  at all.  The skip must be a SPLIT-PATH composition
+  (:func:`normalize_if_needed`: filter → kernel → union) — a
+  ``F.when(gate, kernel).otherwise(col)`` projection is value-correct
+  but does NOT skip the kernel, because Catalyst extracts Python UDFs
+  out of conditionals and evaluates them for every row (unlike the
+  all-native :func:`~wikiextractor_spark.functions.pii.has_pii` skip
+  pattern, where the conditional genuinely short-circuits);
 * normalization is idempotent and per-row, so the kernel composes
   anywhere in a plan without ordering constraints.
 
@@ -77,9 +81,11 @@ def unicode_normalize(col, form: str = "NFC") -> Column:
     """``col`` normalized to the given Unicode form, as a Column —
     NFC by default (the canonicalize-before-hashing choice; pass
     ``NFKC`` to also fold compatibility characters like ligatures and
-    width variants).  NULL stays NULL.  One Arrow-batched kernel;
-    gate it behind :func:`maybe_denormalized` on mostly-ASCII corpora
-    so the clean majority skips the Python crossing."""
+    width variants).  NULL stays NULL.  One Arrow-batched kernel; on
+    mostly-ASCII corpora prefer :func:`normalize_if_needed`, whose
+    split-path composition actually skips the Python crossing for
+    clean rows (wrapping this Column in ``F.when`` does not — see
+    the module docstring)."""
     _check_form(form, "unicode_normalize")
 
     @F.pandas_udf("string")
@@ -104,10 +110,37 @@ def strip_accents(col) -> Column:
 
 def maybe_denormalized(col) -> Column:
     """True when the text contains any non-ASCII character — the
-    NATIVE pre-gate for the kernels above: pure-ASCII text is
-    invariant under every normalization form and under accent
-    stripping, so ``F.when(maybe_denormalized(c), unicode_normalize
-    (c)).otherwise(c)`` keeps the ASCII majority of a crawl entirely
-    JVM-side.  NULL stays NULL (``rlike`` on NULL)."""
+    NATIVE pre-gate behind :func:`normalize_if_needed`: pure-ASCII
+    text is invariant under every normalization form and under
+    accent stripping, so rows where this is false can skip the
+    kernels entirely.  The skip requires the split-path composition
+    (``F.when(gate, kernel)`` still evaluates the kernel per row —
+    module docstring).  NULL stays NULL (``rlike`` on NULL)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.rlike("[^\\x00-\\x7F]")
+
+
+def normalize_if_needed(
+    df, text_col: str = "text", out_col: str | None = None,
+    form: str = "NFC",
+) -> "DataFrame":
+    """``df`` with ``out_col`` (default: ``text_col`` rewritten in
+    place) = the text normalized to ``form`` — via the split-path
+    composition that ACTUALLY skips the Python crossing for the
+    clean-ASCII majority: rows failing :func:`maybe_denormalized`
+    (including NULL text, which is invariant) keep their text with
+    zero kernel cost; only rows carrying a non-ASCII character run
+    :func:`unicode_normalize`; the two legs re-union.  Values are
+    identical to the ungated kernel (pinned by pytest); row order is
+    not preserved (a union of two filtered legs — normalization is
+    per-row, so no consumer here depends on order)."""
+    _check_form(form, "normalize_if_needed")
+    out = text_col if out_col is None else out_col
+    gate = maybe_denormalized(text_col)
+    dirty = df.filter(gate).withColumn(
+        out, unicode_normalize(text_col, form)
+    )
+    clean = df.filter(gate.isNull() | ~gate).withColumn(
+        out, F.col(text_col)
+    )
+    return dirty.unionByName(clean)

@@ -125,9 +125,17 @@ def load_wordpiece_vocab_txt(spark, path: str) -> DataFrame:
     )
 
     text = _whole_text_artifact(spark, path, "load_wordpiece_vocab_txt")
+    # split on '\n' ONLY (the published reader's line grain —
+    # readline + strip, which also eats a '\r' of CRLF files):
+    # splitlines() would additionally break on U+0085/U+2028/U+2029,
+    # silently splitting a token that legally contains one and
+    # shifting every later id (r13 review)
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # the published files end with one newline
     toks: list[str] = []
     bad: list[str] = []
-    for lineno, line in enumerate(text.splitlines()):
+    for lineno, line in enumerate(lines):
         t = line.strip()
         if not t:
             bad.append(f"line {lineno + 1}: empty")

@@ -484,18 +484,23 @@ def dedup_sentence_spans(
             ),
             "",
         ).alias("_new_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    # removed count from the (sparse) coverage rows — NOT a second
+    # sentence-regex pass over every document (r13 review: the regex
+    # scan is the expensive step and already ran once in `sents`)
+    removed = cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_rm")
     )
     out_cols = docs.columns
     new_text = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
         F.coalesce(F.col("_new_text"), F.lit(""))
     )
     n_removed = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
-        F.col("_n_sents") - F.coalesce(F.col("_n_kept"), F.lit(0))
+        F.coalesce(F.col("_n_rm"), F.lit(0))
     )
     return (
-        docs.withColumn("_n_sents", F.size(sentence_array(text_col)))
-        .join(rebuilt, id_col, "left")
+        docs.join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
         .select(
             *[
                 new_text.alias(text_col) if c == text_col else F.col(c)

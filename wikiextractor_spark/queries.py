@@ -1239,9 +1239,11 @@ def _pii_cnt_case_sql(kind_idx: int) -> str:
 # expectations from a shared table: DuckDB runs its OWN utf8proc
 # nfc_normalize/strip_accents over the same spliced expression — a
 # genuinely independent second Unicode implementation under the
-# hash.  The engine side routes u_nfc through the documented GATED
-# composition (kernel only where maybe_denormalized), so the gate's
-# ASCII-invariance claim is pinned here too.
+# hash.  The engine side routes u_nfc through the F.when(gate, ...)
+# form — value-equal to the ungated kernel, pinning the gate's
+# ASCII-invariance CLAIM under the hash (the when() form does not
+# skip the kernel cost; the real skip is normalize_if_needed's
+# split-path, whose value-equality pytest rides this same claim).
 _NRM_IN = [
     "café, menu {D}!",           # decomposed acute
     "café fixe {D}",            # composed twin
@@ -1312,10 +1314,11 @@ def ta_lang_fingerprint(spark, sf_dir):
     pc = pii_counts(pii_src)
     # r13 'unorm' columns: the spliced adversaria (the PII CASE
     # splicer) through the REAL normalization kernels — u_nfc runs
-    # the documented gated composition (kernel only where
-    # maybe_denormalized fires), so the gate's ASCII-invariance claim
-    # sits under the hash; the oracle replays DuckDB's OWN
-    # nfc_normalize/strip_accents, an independent implementation
+    # the F.when(gate, kernel).otherwise(src) form, which pins the
+    # gate's ASCII-invariance claim under the hash (value-equal;
+    # the cost-skip lives in normalize_if_needed's split-path); the
+    # oracle replays DuckDB's OWN nfc_normalize/strip_accents, an
+    # independent implementation
     nrm_src = F.expr(_pii_case_sql(_NRM_IN))
     return d.select(
         "doc_id",
