@@ -272,3 +272,88 @@ def test_plan_shapes(spark, corpus_df):
     pk = plan_of(bm25_topk(corpus_df, model, TERMS, 5))
     assert "TakeOrderedAndProject" in pk
     assert "Sort " not in pk
+
+
+# --------------------------------------------------------------------------
+# incremental index maintenance
+# --------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wikiextractor_spark.functions.bm25 import (  # noqa: E402
+    update_bm25_index,
+)
+
+
+def _model_tuple(m):
+    return (m.n_docs, m.total_dl, m.k1, m.b,
+            dict(m.idf_micro), dict(m.df), m.complete)
+
+
+def test_update_equals_refit(spark, corpus_df):
+    """The maintenance law: update(fit(A), B) == fit(A ∪ B), every
+    field, and sequential updates compose."""
+    a = corpus_df.filter(F.col("doc_id") % 2 == 0)
+    b = corpus_df.filter(F.col("doc_id") % 2 == 1)
+    merged = update_bm25_index(
+        fit_bm25_index(a, k1=K1, b=B), b
+    )
+    full = fit_bm25_index(corpus_df, k1=K1, b=B)
+    assert _model_tuple(merged) == _model_tuple(full)
+    # three-way sequential composition
+    c1 = corpus_df.filter(F.col("doc_id") % 3 == 0)
+    c2 = corpus_df.filter(F.col("doc_id") % 3 == 1)
+    c3 = corpus_df.filter(F.col("doc_id") % 3 == 2)
+    seq = update_bm25_index(
+        update_bm25_index(fit_bm25_index(c1, k1=K1, b=B), c2), c3
+    )
+    assert _model_tuple(seq) == _model_tuple(full)
+
+
+def test_update_equals_refit_on_real_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merged = update_bm25_index(
+        fit_bm25_index(docs.filter(F.col("doc_id") < 200)),
+        docs.filter(F.col("doc_id") >= 200),
+    )
+    full = fit_bm25_index(docs)
+    assert _model_tuple(merged) == _model_tuple(full)
+    # and serving through the maintained index matches the refit
+    top_m = bm25_topk(docs, merged, ["data", "the"], 5).collect()
+    top_f = bm25_topk(docs, full, ["data", "the"], 5).collect()
+    assert [tuple(r) for r in top_m] == [tuple(r) for r in top_f]
+
+
+def test_update_requires_complete_model(spark, corpus_df):
+    # a min_df>1 fit discarded the tail — update must refuse
+    pruned = fit_bm25_index(corpus_df, min_df=2)
+    assert not pruned.complete
+    with pytest.raises(ValueError, match="full corpus vocabulary"):
+        update_bm25_index(pruned, corpus_df)
+    # a query fit covers only its terms — update must refuse
+    qfit = fit_bm25(corpus_df, TERMS, k1=K1, b=B)
+    with pytest.raises(ValueError, match="full corpus vocabulary"):
+        update_bm25_index(qfit, corpus_df)
+
+
+def test_update_empty_batch_is_noop(spark, corpus_df):
+    model = fit_bm25_index(corpus_df, k1=K1, b=B)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    nulls = spark.createDataFrame(
+        [(99, None)], "doc_id long, text string"
+    )
+    assert _model_tuple(update_bm25_index(model, empty)) == \
+        _model_tuple(model)
+    assert _model_tuple(update_bm25_index(model, nulls)) == \
+        _model_tuple(model)
+
+
+def test_update_cap_raises(spark, corpus_df):
+    model = fit_bm25_index(corpus_df)
+    extra = spark.createDataFrame(
+        [(100, "brandnewterm anotherone")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_terms"):
+        update_bm25_index(model, extra, max_terms=len(model.df) + 1)

@@ -4,6 +4,8 @@ from wikiextractor_spark.functions.bm25 import (  # noqa: F401
     bm25_scores,
     bm25_topk,
     fit_bm25,
+    fit_bm25_index,
+    update_bm25_index,
 )
 from wikiextractor_spark.functions.cleaning import (  # noqa: F401
     clean_markup_native,

@@ -94,6 +94,10 @@ class BM25Model:
     b: float = 0.75
     idf_micro: dict[str, int] = field(default_factory=dict)
     df: dict[str, int] = field(default_factory=dict)
+    #: True iff ``df`` covers EVERY corpus term (an index fit with
+    #: min_df=1) — the precondition for :func:`update_bm25_index`,
+    #: whose merge is only refit-equal when no tail was discarded
+    complete: bool = False
 
 
 def _words_col(text_col: str) -> Column:
@@ -254,6 +258,7 @@ def fit_bm25_index(
         b=float(b),
         idf_micro={t: idf_micro_of(n_docs, d) for t, d in df_map.items()},
         df=df_map,
+        complete=(min_df == 1),
     )
 
 
@@ -330,4 +335,100 @@ def bm25_topk(
         .where(F.col(out_col).isNotNull())
         .orderBy(F.col(out_col).desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def update_bm25_index(
+    model: BM25Model, new_docs: DataFrame, text_col: str = "text",
+    max_terms: int = MAX_INDEX_TERMS,
+) -> BM25Model:
+    """Merge a batch of NEW documents into a standing index — the
+    lexical sibling of the ANN index's streaming maintenance, under
+    the same law: ``update_bm25_index(fit_bm25_index(A), B)`` equals
+    ``fit_bm25_index(A ∪ B)`` EXACTLY (df and the corpus stats are
+    additive; idf re-derives from the merged stats), pinned by
+    pytest and by the battery (the 'bm25_index' rows flow through an
+    updated index whose oracle re-derives df over the full corpus).
+
+    Requires a COMPLETE model (an index fit with ``min_df=1``):
+    a ``min_df > 1`` fit discarded the tail's frequencies at fit
+    time, so no update can reproduce the refit — it raises instead
+    of silently drifting.  A query fit (:func:`fit_bm25`) likewise
+    raises: its df covers only the query terms.  Downstream
+    ``min_df`` cuts belong at SERVE time (filter the vocabulary),
+    not in the standing state.
+
+    A batch with zero non-NULL-text documents is a legal no-op and
+    returns an equal model (micro-batches may be empty; the fit's
+    raise-on-empty is a corpus-level contract, not a batch-level
+    one).  Cost: ONE scan of the new batch (the fit's
+    distinct-words + NULL-sentinel shuffle), a bounded
+    ``limit(max_terms + 2)`` probe collect, and a driver-side merge
+    — the standing corpus is never rescanned."""
+    if not model.complete:
+        raise ValueError(
+            "update_bm25_index: the model does not carry the full "
+            "corpus vocabulary (a min_df>1 index fit or a query "
+            "fit) — the discarded tail makes an incremental merge "
+            "unequal to a refit; fit the standing index with "
+            "min_df=1"
+        )
+    if max_terms < 1:
+        raise ValueError(f"max_terms must be >= 1, got {max_terms}")
+    grouped = (
+        new_docs.select(_words_col(text_col).alias("_ws"))
+        .where(F.col("_ws").isNotNull())
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.array_distinct("_ws"),
+                )
+            ).alias("term"),
+            F.size("_ws").alias("dl"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_t"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .where(F.col("term").isNull() | (F.col("term") != ""))
+    )
+    rows = grouped.limit(max_terms + 2).collect()
+    sentinel = [r for r in rows if r["term"] is None]
+    term_rows = [r for r in rows if r["term"] is not None]
+    if len(term_rows) > max_terms:
+        raise ValueError(
+            f"new batch vocabulary exceeds max_terms={max_terms} — "
+            "the merged index could not fit either; raise max_terms "
+            "explicitly (the index is collected to the driver)"
+        )
+    if not sentinel:
+        # no scorable documents in the batch: a legal empty
+        # micro-batch — return an equal standing model
+        return BM25Model(
+            n_docs=model.n_docs, total_dl=model.total_dl,
+            k1=model.k1, b=model.b,
+            idf_micro=dict(model.idf_micro), df=dict(model.df),
+            complete=True,
+        )
+    n_docs = model.n_docs + int(sentinel[0]["df_t"])
+    total_dl = model.total_dl + int(sentinel[0]["sum_dl"])
+    merged = dict(model.df)
+    for r in term_rows:
+        merged[r["term"]] = merged.get(r["term"], 0) + int(r["df_t"])
+    if len(merged) > max_terms:
+        raise ValueError(
+            f"merged vocabulary {len(merged)} exceeds "
+            f"max_terms={max_terms} — raise max_terms explicitly "
+            "(the index is collected to the driver)"
+        )
+    return BM25Model(
+        n_docs=n_docs,
+        total_dl=total_dl,
+        k1=model.k1,
+        b=model.b,
+        idf_micro={t: idf_micro_of(n_docs, d) for t, d in merged.items()},
+        df=merged,
+        complete=True,
     )

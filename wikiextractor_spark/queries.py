@@ -5001,6 +5001,7 @@ def ta_term_stats(spark, sf_dir):
         bm25_topk,
         fit_bm25,
         fit_bm25_index,
+        update_bm25_index,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5008,7 +5009,20 @@ def ta_term_stats(spark, sf_dir):
         docs, [t for _q, ts in _BM25_QUERIES for t in ts],
         k1=_BM25_K1, b=_BM25_B,
     )
-    index = fit_bm25_index(docs, k1=_BM25_K1, b=_BM25_B)
+    # r13: the standing index is built through the MAINTENANCE path —
+    # fit on the even half, update with the odd half.  By the
+    # update≡refit law the result equals a full-corpus fit, so the
+    # unchanged oracle (which re-derives df over the WHOLE corpus)
+    # now pins the incremental merge under the hash, at the same
+    # total scan cost (two half scans ≈ the one full scan it
+    # replaces).
+    index = update_bm25_index(
+        fit_bm25_index(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            k1=_BM25_K1, b=_BM25_B,
+        ),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
     # both vocab rows come from the ONE collected index: the mindf2
     # count filters the Spark-derived df values driver-side (one fit,
     # one shuffle — the Spark-side min_df pushdown itself is
