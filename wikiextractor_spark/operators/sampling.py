@@ -386,3 +386,76 @@ def weighted_sample(
     p = F.least(F.lit(1.0), F.lit(scale) * w / F.lit(mx))
     gate = (p * F.lit(_BUCKETS)).cast("long")
     return valid.filter(_hash_bucket(F.col(key_col), salt) < gate)
+
+
+def assign_splits(
+    df: DataFrame, fractions: dict[str, float],
+    key_col: str = "doc_id", salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append ``out_col``: a deterministic train/val/test (any number
+    of named splits) assignment that is a pure function of
+    ``(key_col, salt)`` — the LEAKAGE-SAFE construction: pass a GROUP
+    key (near-dup cluster id from ``dedup_near``, canonical URL
+    domain, source id) and every row sharing it lands in the SAME
+    split, so near-duplicates can never straddle train and eval (the
+    classic contamination failure a row-wise random split guarantees
+    at corpus scale).  Use ``key_col='doc_id'`` only when no
+    cross-row leakage relation exists.
+
+    ``fractions`` maps split name → fraction; fractions must be
+    positive and sum to 1 (±1e-9 — a remainder would silently drop
+    rows, the deterministic_sample NULL-gate lesson).  Assignment is
+    by cumulative ranges over the shared md5 bucket
+    (:func:`_hash_bucket` — same NULL-sentinel fate, same
+    cross-engine reproducibility; boundaries quantize to the 1e6
+    bucket grain, so realized fractions are exact to 1e-6).
+    Insertion order of ``fractions`` fixes the ranges — reordering
+    the dict is a different (still valid) assignment, stated.
+
+    Zero shuffle: one narrow projection (the gate is a pure
+    per-row expression), so it composes anywhere in a plan."""
+    if not fractions:
+        raise ValueError("assign_splits: need at least one split")
+    bad = [
+        n for n in fractions
+        if not isinstance(n, str) or n == ""
+    ]
+    if bad:
+        raise ValueError(
+            f"assign_splits: {len(bad)} split names are empty or not "
+            "strings"
+        )
+    vals = list(fractions.values())
+    if any(
+        isinstance(v, bool) or not isinstance(v, (int, float))
+        or not v > 0
+        for v in vals
+    ):
+        raise ValueError(
+            f"assign_splits: fractions must be positive numbers, got "
+            f"{fractions!r}"
+        )
+    total = float(sum(vals))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"assign_splits: fractions sum to {total!r}, not 1 — a "
+            "remainder would silently drop rows; make the split "
+            "exhaustive"
+        )
+    bucket = _hash_bucket(F.col(key_col), salt)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        bound = int(round(cum * _BUCKETS))
+        this = F.when(bucket < F.lit(bound), F.lit(name))
+        expr = this if expr is None else expr.when(
+            bucket < F.lit(bound), F.lit(name)
+        )
+    # the last split takes the remainder range — immune to float
+    # accumulation at the top boundary
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

@@ -2476,6 +2476,34 @@ def _duck_u60(key_expr: str, salt: str) -> str:
     )
 
 
+# r13 'split' family (operators/sampling.assign_splits): leakage-safe
+# train/val/test assignment keyed on a synthesized CLUSTER id
+# (doc_id % 97 — many docs share each key, so the hash can only match
+# if every member of a cluster gets the same split).  The oracle
+# re-derives the cumulative-bucket CASE from the same fraction tuple
+# — the boundaries are generated from ONE shared constant so the two
+# sides cannot desync.
+_SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_SPLIT_KEY = "doc_id % 97"
+
+
+def _split_case_sql() -> str:
+    b = _duck_bucket(_SPLIT_KEY, "split")
+    arms = []
+    cum = 0.0
+    for name, frac in _SPLIT_FRACTIONS[:-1]:
+        cum += frac
+        arms.append(f"WHEN {b} < {int(round(cum * 1000000))} "
+                    f"THEN '{name}'")
+    return (
+        "CASE " + " ".join(arms)
+        + f" ELSE '{_SPLIT_FRACTIONS[-1][0]}' END"
+    )
+
+
+_SPLIT_CASE = _split_case_sql()
+
+
 # Gopher A1.1 shape rules + the domain-blocklist gate (both late-r7
 # native expressions, driver-verified r8) in one long-form
 # discriminated slot: one row per (doc, signal) for the Gopher family
@@ -2601,6 +2629,10 @@ _GOPHER_DUCK += f"""
                ORDER BY {_duck_bucket('doc_id', '')}, doc_id) AS rn
       FROM (SELECT doc_id, {_SAMP_DOM} AS dom FROM documents) sc
     ) sr WHERE rn <= {_SAMP_CAP_K}
+    UNION ALL
+    SELECT 'split' AS family, doc_id, {_SPLIT_CASE} AS metric,
+           1.0 AS value
+    FROM documents
 """
 
 
@@ -2706,12 +2738,28 @@ def ta_gopher_blocklist(spark, sf_dir):
         F.lit("kept").alias("metric"),
         F.lit(1.0).alias("value"),
     )
+    # r13 'split' family: the REAL assign_splits over a synthesized
+    # cluster key (doc_id % 97) — leakage cohesion is under the hash
+    # because every cluster member must land where the oracle's
+    # restated cumulative-bucket CASE puts the shared key
+    from wikiextractor_spark.operators.sampling import assign_splits
+
+    split = assign_splits(
+        docs.select("doc_id", F.expr(_SPLIT_KEY).alias("_ck")),
+        dict(_SPLIT_FRACTIONS), key_col="_ck",
+    ).select(
+        F.lit("split").alias("family"),
+        "doc_id",
+        F.col("split").alias("metric"),
+        F.lit(1.0).alias("value"),
+    )
     return (
         gop.unionByName(kept)
         .unionByName(canon)
         .unionByName(survivors)
         .unionByName(ups)
         .unionByName(capped)
+        .unionByName(split)
     )
 
 
