@@ -1873,9 +1873,55 @@ def dd_trim_spans(spark, sf_dir):
     return trim.unionByName(c4)
 
 
+_WINNOW_K, _WINNOW_W, _WINNOW_MAXDF = 5, 4, 25
+
+# the winnowing restatement (operators/winnow.py): per doc the k-gram
+# hash list (the shared md5-bucket construction), per window of w the
+# min with RIGHTMOST tie-break (list_reverse + list_position), the
+# degenerate short-doc window, DISTINCT (pos, fp) selections, the
+# max_df stop-gram cut, then the within-bucket pair count — prototyped
+# mismatch-free against the published-rule Python reference over all
+# 5000 sf0.1 documents before wiring in.  DuckDB list slices are
+# 1-based inclusive: hs[s+1 : s+w] is the 0-based window [s, s+w).
+_WINNOW_CTES = f"""
+    wh AS (
+      SELECT doc_id,
+             [(('0x' || substring(md5(substring(text, i + 1, {_WINNOW_K})),
+                 1, 8))::UBIGINT % 1000000)::BIGINT
+              for i in range(greatest(len(text) - {_WINNOW_K} + 1, 0))] AS hs
+      FROM documents WHERE doc_id < 30 AND text IS NOT NULL
+    ),
+    wsel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN []
+                  WHEN len(hs) < {_WINNOW_W} THEN [
+                    {{'p': len(hs) - list_position(list_reverse(hs),
+                                                   list_min(hs)),
+                      'f': list_min(hs)}}]
+                  ELSE [
+                    {{'p': s + {_WINNOW_W} - list_position(
+                            list_reverse(hs[s + 1: s + {_WINNOW_W}]),
+                            list_min(hs[s + 1: s + {_WINNOW_W}])),
+                      'f': list_min(hs[s + 1: s + {_WINNOW_W}])}}
+                    for s in range(len(hs) - {_WINNOW_W} + 1)]
+             END AS raw
+      FROM wh
+    ),
+    wfp AS (
+      SELECT DISTINCT doc_id, u.s.f AS fp
+      FROM (SELECT doc_id, unnest(raw) AS s FROM wsel) u(doc_id, s)
+    ),
+    wkept AS (
+      SELECT doc_id, fp FROM wfp
+      WHERE fp IN (SELECT fp FROM wfp GROUP BY fp
+                   HAVING COUNT(*) <= {_WINNOW_MAXDF})
+    )
+"""
+
+
 @query(
     "dd_ngram_jaccard",
-    """
+    f"""
     WITH words AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
       FROM documents WHERE doc_id < 30
@@ -1885,17 +1931,49 @@ def dd_trim_spans(spark, sf_dir):
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
       FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    ),
+    {_WINNOW_CTES}
+    SELECT 'jaccard' AS family, id_a, id_b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS value
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
+    UNION ALL
+    SELECT 'winnow' AS family, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
     """,
 )
 def dd_ngram_jaccard(spark, sf_dir):
-    """Exact word-set Jaccard verification over a bounded pair range."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_id=30)
+    """Two similarity-verification families over the bounded doc_id <
+    30 range: 'jaccard' = exact word-set Jaccard (unchanged since
+    r1); 'winnow' (r13) = winnowing candidate pairs
+    (operators/winnow.py — the published MOSS selection rule with
+    the max_df stop-gram cut; the oracle re-derives hashes, the
+    rightmost-min window selection, the df cut, and the bucket pair
+    counts)."""
+    from wikiextractor_spark.operators.winnow import (
+        winnow_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    jac = dedup.ngram_jaccard_pairs(docs, max_id=30).select(
+        F.lit("jaccard").alias("family"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("value"),
+    )
+    win = winnow_candidate_pairs(
+        docs.filter(F.col("doc_id") < 30),
+        k=_WINNOW_K, w=_WINNOW_W, min_shared=1, max_df=_WINNOW_MAXDF,
+    ).select(
+        F.lit("winnow").alias("family"),
+        "id_a",
+        "id_b",
+        F.col("n_shared").cast("double").alias("value"),
+    )
+    return jac.unionByName(win)
 
 
 # ==========================================================================
