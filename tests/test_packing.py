@@ -924,3 +924,43 @@ def test_assemble_packs_null_raise_releases_checkpoint(spark):
         )
     leaked = cached_ids() - before
     assert leaked == set(), f"leaked checkpoint RDD blocks: {leaked}"
+
+
+def test_prepare_corpus_normalize_and_sentence_spans(spark):
+    """The r13 text-mutation stages compose in the pipeline: NFC
+    collapses composed/decomposed twins BEFORE dedup keys form, and
+    the C4 sentence-span stage removes repeated spans (keep-first)
+    with fully-emptied docs dropped."""
+    from wikiextractor_spark.operators.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "café menu"),      # decomposed twin of 2
+            (2, "café menu"),
+            (3, "unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(
+        docs, dedup="exact", normalize_form="NFC"
+    ).collect()
+    assert len(out) == 2  # the twins collapsed
+    assert {r["doc_id"] for r in out} == {1, 3}
+
+    span = "alpha one. beta two. gamma three."
+    docs2 = spark.createDataFrame(
+        [
+            (1, "intro. " + span),
+            (2, span),                  # becomes empty -> dropped
+            (3, "other words entirely."),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in prepare_corpus(
+            docs2, dedup=None, sentence_span_min_count=2
+        ).collect()
+    }
+    assert set(out2) == {1, 3}
+    assert "alpha one." in out2[1]

@@ -81,8 +81,11 @@ def prepare_corpus(
     dsir_weights: DataFrame | dsir.PrebuiltWeights | None = None,
     min_dsir_weight_micro: int | None = None,
     dsir_opts: dict | None = None,
+    normalize_form: str | None = None,
     redact: bool = False,
     boilerplate_min_docs: int | None = None,
+    sentence_span_min_count: int | None = None,
+    span_sentences: int = 3,
     dedup: str | None = "exact",
     near_threshold: float = 0.8,
     semantic_dedup_threshold: float = 0.95,
@@ -289,6 +292,24 @@ def prepare_corpus(
             dsir.score_column(wmap, text_col, **_fit)
             >= int(min_dsir_weight_micro)
         )
+    if normalize_form is not None:
+        # Unicode canonicalization opens the text-MUTATION block:
+        # composed/decomposed twins must collapse to one byte
+        # sequence BEFORE anything keys on content (redact regexes,
+        # boilerplate line keys, every dedup grain).  The PLAIN
+        # kernel, not normalize_if_needed's split-path: inside this
+        # composed lazy pipeline the split's two filter legs would
+        # DUPLICATE the whole upstream gate chain (the module-wide
+        # blowup the join-backed gates avoid) — pre-normalize
+        # standalone with normalize_if_needed when the corpus is
+        # ASCII-majority and the crossing matters.
+        from wikiextractor_spark.functions.normalize import (
+            unicode_normalize,
+        )
+
+        out = out.withColumn(
+            text_col, unicode_normalize(text_col, normalize_form)
+        )
     if redact:
         # redact BEFORE dedup so two docs differing only in their PII
         # (same boilerplate, different email) collapse together
@@ -306,6 +327,21 @@ def prepare_corpus(
         # docs that were ENTIRELY boilerplate come out empty — drop
         # them here (the C4 policy) rather than leak zero-content
         # rows into chunk/pack; the operator itself never drops rows
+        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
+    if sentence_span_min_count is not None:
+        # the C4 keep-first three-sentence-span rule sits with the
+        # other sub-document dedup (after boilerplate lines, before
+        # document dedup): removing the repeated spans lets docs
+        # that differ only in a shared passage collapse downstream;
+        # fully-emptied docs drop like the boilerplate stage's
+        from wikiextractor_spark.operators.spans import (
+            dedup_sentence_spans,
+        )
+
+        out = dedup_sentence_spans(
+            out, n=span_sentences, min_count=sentence_span_min_count,
+            text_col=text_col, id_col=id_col,
+        ).drop("n_removed_sentences")
         out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
     if dedup == "exact":
         out = dedup_exact(out, text_col, id_col)
