@@ -64,3 +64,93 @@ def test_validation(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_sized_parquet(df, "/tmp/x", target_file_mb=0)
+
+
+# --------------------------------------------------------------------------
+# JSONL shard export (sink.write_jsonl_shards)
+# --------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType, LongType, StringType, StructField, StructType,
+)
+
+from wikiextractor_spark.sink import (  # noqa: E402
+    read_jsonl_shards,
+    read_training_shards,
+    write_jsonl_shards,
+    write_training_shards,
+)
+
+_JL_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("token_ids", ArrayType(LongType())),
+])
+
+
+def _jl_src(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i}", [i, i + 1, i + 2]) for i in range(40)],
+        _JL_SCHEMA,
+    )
+
+
+def test_jsonl_shards_round_trip_and_contract(spark, tmp_path):
+    src = _jl_src(spark)
+    d = str(tmp_path / "jl")
+    assert write_jsonl_shards(src, d, n_shards=4, seed="ep0") == 4
+    back = read_jsonl_shards(spark, d, _JL_SCHEMA)
+    rows = back.collect()
+    assert len(rows) == 40
+    # content lossless incl. the array column
+    got = {r["doc_id"]: (r["text"], list(r["token_ids"])) for r in rows}
+    assert got[7] == ("doc 7", [7, 8, 9])
+    # shard membership is the (id, seed) pmod contract
+    exp = {
+        r["doc_id"]: r["sid"]
+        for r in src.select(
+            "doc_id",
+            F.pmod(
+                F.xxhash64(F.col("doc_id").cast("string"), F.lit("ep0")),
+                F.lit(4),
+            ).cast("int").alias("sid"),
+        ).collect()
+    }
+    for r in rows:
+        assert r["shard_id"] == exp[r["doc_id"]], r["doc_id"]
+
+
+def test_jsonl_parity_with_parquet_shards(spark, tmp_path):
+    """Same (id, seed) → identical membership AND within-shard order
+    across the two formats — swap formats without re-deriving."""
+    src = _jl_src(spark)
+    dj, dp = str(tmp_path / "j"), str(tmp_path / "p")
+    write_jsonl_shards(src, dj, n_shards=3, seed="s")
+    write_training_shards(src, dp, n_shards=3, seed="s")
+    jl = read_jsonl_shards(spark, dj, _JL_SCHEMA)
+    pq = read_training_shards(spark, dp)
+    for sid in range(3):
+        a = [r["doc_id"] for r in jl.where(F.col("shard_id") == sid)
+             .collect()]
+        b = [r["doc_id"] for r in pq.where(F.col("shard_id") == sid)
+             .collect()]
+        assert a == b, sid
+
+
+def test_jsonl_shards_subset_and_options(spark, tmp_path):
+    src = _jl_src(spark)
+    d = str(tmp_path / "jz")
+    write_jsonl_shards(src, d, n_shards=4, seed="x",
+                       compression="gzip")
+    import glob
+
+    assert glob.glob(f"{d}/shard_id=*/*.gz")  # compression applied
+    two = read_jsonl_shards(spark, d, _JL_SCHEMA, shard_ids=[1, 3])
+    assert set(
+        r["shard_id"] for r in two.select("shard_id").distinct().collect()
+    ) == {1, 3}
+    none = read_jsonl_shards(spark, d, _JL_SCHEMA, shard_ids=[99])
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="n_shards"):
+        write_jsonl_shards(src, str(tmp_path / "bad"), n_shards=0)

@@ -4148,13 +4148,21 @@ def corpus_prepare(spark, sf_dir):
     documented (id, seed) contract and compares it to the hive
     partition the row came back from; sink_ok pins the layout bounds
     (all shards written, sized file count sane, both sinks row-equal).
-    The oracle states both booleans as TRUE."""
+    The oracle states both booleans as TRUE.
+
+    r13 folds the JSONL interchange sink into sink_ok: the same
+    prepared rows export through write_jsonl_shards (same (id, seed)
+    contract, same seed) and read back under the declared schema —
+    row count AND per-row shard membership must equal the parquet
+    export's (the format-parity contract), all before the hash."""
     import shutil
     import tempfile
 
     from wikiextractor_spark.operators import corpus
     from wikiextractor_spark.sink import (
+        read_jsonl_shards,
         read_training_shards,
+        write_jsonl_shards,
         write_sized_parquet,
         write_training_shards,
     )
@@ -4190,6 +4198,21 @@ def corpus_prepare(spark, sf_dir):
         )
         sized = spark.read.parquet(f"{tmp}/sized")
         sink_ok = 1 <= n_files <= max(1, n_back) and sized.count() == n_back
+        # r13: the JSONL interchange export of the SAME rows under the
+        # SAME (id, seed) contract — read back under the declared
+        # schema (never inference), then one agg checks row count and
+        # per-row shard membership against the parquet contract
+        write_jsonl_shards(
+            out, f"{tmp}/jl", n_shards=n_sh, seed="r12", id_col="doc_id"
+        )
+        jl = read_jsonl_shards(spark, f"{tmp}/jl", out.schema)
+        jstat = jl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("shard_id") != expected_shard).alias("bad"),
+        ).collect()[0]
+        sink_ok = (
+            sink_ok and jstat["n"] == n_back and jstat["bad"] == 0
+        )
         # the tempdir dies with this function — pin the read-back
         # before the rmtree (the load_bpe_vocab pattern)
         result = sized.withColumn(

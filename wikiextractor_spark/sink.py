@@ -229,3 +229,78 @@ def read_training_shards(
             f"(requested {sorted(set(shard_ids)) if shard_ids is not None else 'all'})"
         )
     return spark.read.option("basePath", out_dir).parquet(*[p for _i, p in dirs])
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    seed: str = "",
+    id_col: str = "doc_id",
+    compression: str | None = None,
+) -> int:
+    """:func:`write_training_shards`' contract in the INTERCHANGE
+    format — one JSON object per line, hive-partitioned
+    ``shard_id=K/`` directories — for handing a prepared corpus to
+    non-Spark consumers (tokenizer trainers, inspection tooling,
+    loaders that read JSONL directly).  Shard membership and
+    within-shard order are the SAME pure functions of ``(id, seed)``
+    (``xxhash64`` order key, ``pmod`` shard), so a JSONL export and a
+    parquet export of one corpus shard IDENTICALLY — swap formats
+    without re-deriving the order.  Spark's json writer preserves row
+    order within a file and each shard directory is written by
+    exactly one task.
+
+    ``compression='gzip'`` trades splittability for size — right for
+    export/hand-off, wrong for re-ingesting at scale (one task per
+    file on read; the JSONL SOURCE module's splittable-scan argument
+    in reverse).  Complex columns (arrays, structs) serialize as
+    JSON values — ids/packs export losslessly."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ord_key = F.xxhash64(F.col(id_col).cast("string"), F.lit(str(seed)))
+    w = (
+        df.withColumn("_ord", ord_key)
+        .withColumn(
+            "shard_id", F.pmod(F.col("_ord"), F.lit(n_shards)).cast("int")
+        )
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "_ord", id_col)
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+    )
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(out_dir)
+    return n_shards
+
+
+def read_jsonl_shards(
+    spark, out_dir: str, schema,
+    shard_ids: list[int] | None = None,
+):
+    """Read back shards written by :func:`write_jsonl_shards` — the
+    explicit-listing discipline of :func:`read_training_shards`, with
+    the JSONL source module's explicit-schema rule (``schema`` is
+    REQUIRED: inference would be a second full pass, and a corrupt
+    line must surface as NULL fields under the declared schema, not
+    silently reshape the frame).  ``shard_id`` rides the directory
+    name, not the JSON lines, and is re-attached from it."""
+    from wikiextractor_spark.fsutil import int_partition_dirs
+
+    dirs = int_partition_dirs(spark, f"{out_dir}/shard_id=*", "shard_id")
+    if shard_ids is not None:
+        want = set(shard_ids)
+        dirs = [(sid, d) for sid, d in dirs if sid in want]
+    if not dirs:
+        return spark.createDataFrame(
+            [], schema
+        ).withColumn("shard_id", F.lit(0).cast("int")).limit(0)
+    out = None
+    for sid, d in sorted(dirs):
+        part = spark.read.schema(schema).json(d).withColumn(
+            "shard_id", F.lit(sid).cast("int")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
