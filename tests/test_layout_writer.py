@@ -150,7 +150,44 @@ def test_jsonl_shards_subset_and_options(spark, tmp_path):
     assert set(
         r["shard_id"] for r in two.select("shard_id").distinct().collect()
     ) == {1, 3}
-    none = read_jsonl_shards(spark, d, _JL_SCHEMA, shard_ids=[99])
-    assert none.count() == 0
+    # a listing matching NOTHING raises (the parquet sink's
+    # silent-data-loss guard, mirrored — r13 review)
+    with pytest.raises(ValueError, match="no matching shard"):
+        read_jsonl_shards(spark, d, _JL_SCHEMA, shard_ids=[99])
+    with pytest.raises(ValueError, match="no matching shard"):
+        read_jsonl_shards(spark, str(tmp_path / "nope_typo"),
+                          _JL_SCHEMA)
     with pytest.raises(ValueError, match="n_shards"):
         write_jsonl_shards(src, str(tmp_path / "bad"), n_shards=0)
+
+
+def test_shard_tiebreak_stabilizes_nonunique_ids(spark, tmp_path):
+    """With a repeated id_col, (id) alone ties the whole sort key;
+    tiebreak_cols completes it, making the two formats' within-shard
+    order identical and reruns byte-stable."""
+    rows = [(i // 4, i % 4, f"c{i}") for i in range(64)]
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("chunk_no", LongType()),
+        StructField("chunk", StringType()),
+    ])
+    src = spark.createDataFrame(rows, schema).repartition(7)
+    dj, dp = str(tmp_path / "tj"), str(tmp_path / "tp")
+    write_jsonl_shards(src, dj, n_shards=3, seed="s",
+                       tiebreak_cols=("chunk_no",))
+    write_training_shards(src, dp, n_shards=3, seed="s",
+                          tiebreak_cols=("chunk_no",))
+    jl = read_jsonl_shards(spark, dj, schema)
+    pq = read_training_shards(spark, dp)
+    for sid in range(3):
+        a = [(r["doc_id"], r["chunk_no"])
+             for r in jl.where(F.col("shard_id") == sid).collect()]
+        b = [(r["doc_id"], r["chunk_no"])
+             for r in pq.where(F.col("shard_id") == sid).collect()]
+        assert a == b, sid
+        # within a doc, chunks come back in chunk order
+        by_doc = {}
+        for d_, c_ in a:
+            by_doc.setdefault(d_, []).append(c_)
+        for cs in by_doc.values():
+            assert cs == sorted(cs)

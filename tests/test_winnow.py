@@ -20,7 +20,8 @@ K, W = 5, 4
 
 
 def _bucket(s):
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 1_000_000
+    # the engine's full-width 60-bit grain (sampling._hash_u60 shape)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def _py_winnow(text, k=K, w=W):

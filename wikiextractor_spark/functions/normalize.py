@@ -133,7 +133,18 @@ def normalize_if_needed(
     :func:`unicode_normalize`; the two legs re-union.  Values are
     identical to the ungated kernel (pinned by pytest); row order is
     not preserved (a union of two filtered legs — normalization is
-    per-row, so no consumer here depends on order)."""
+    per-row, so no consumer here depends on order).
+
+    The two legs each EXECUTE the upstream plan (Spark does not share
+    scans across a union's branches): right over a source read the
+    extra scan is cheap column-pruned I/O and the kernel skip
+    dominates, but over an expensive composed lineage the double
+    execution can cost more than the skip saves — cache/checkpoint
+    the input first, or use the plain kernel (what ``prepare_corpus``
+    does inside its lazy pipeline).  A NONDETERMINISTIC upstream
+    (``rand()`` sampling, unordered ``limit``) is unsafe here: the
+    legs may see different rows, duplicating or dropping — the same
+    caveat as any multi-reference over such a plan."""
     _check_form(form, "normalize_if_needed")
     out = text_col if out_col is None else out_col
     gate = maybe_denormalized(text_col)

@@ -449,10 +449,10 @@ def assign_splits(
     expr = None
     for name in names[:-1]:
         cum += float(fractions[name])
-        bound = int(round(cum * _BUCKETS))
-        this = F.when(bucket < F.lit(bound), F.lit(name))
-        expr = this if expr is None else expr.when(
-            bucket < F.lit(bound), F.lit(name)
+        cond = bucket < F.lit(int(round(cum * _BUCKETS)))
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None
+            else expr.when(cond, F.lit(name))
         )
     # the last split takes the remainder range — immune to float
     # accumulation at the top boundary

@@ -22,12 +22,16 @@ than ``w`` k-gram hashes degrades to one degenerate window over all
 of them (one fingerprint — shorter-than-window documents still
 fingerprint); a document shorter than ``k`` has none.
 
-Hash: the engine's shared md5 bucket construction (first 8 hex of
-``md5(gram)`` mod 1e6 — ``sampling._hash_bucket`` with an empty
-salt), chosen over xxhash64 because the battery oracle restates it
-exactly; winnowing is robust to hash choice (the paper assumes any
-uniform hash) and collisions in the 1e6 space only add candidate
-pairs that verification filters.
+Hash: the engine's shared FULL-WIDTH md5 construction (first 15 hex
+of ``md5(gram)`` as a 60-bit integer — ``sampling._hash_u60`` with an
+empty salt), chosen over xxhash64 because the battery oracle restates
+it exactly.  Width matters here (r13 review): a 1e6-bucket hash
+SATURATES document frequency at corpus scale — at ~600 selected
+fingerprints per document, a few thousand documents make every bucket
+ubiquitous, the ``max_df`` stop-gram cut then deletes the whole
+space, and collisions silently merge real shared substrings into
+cut buckets.  At 60 bits collisions are ~n²/2⁶¹ across a corpus —
+negligible candidate noise that downstream verification filters.
 
 100 TB shape: fingerprint selection is ONE narrow per-document
 projection — all higher-order functions over the text column, no
@@ -60,8 +64,8 @@ def _fingerprint_expr(text_col: str, k: int, w: int) -> F.Column:
     """array<struct<pos,fp>> of the winnowing selections (with
     duplicate window selections still present — the consumer
     DISTINCTs after explode, cheaper than a per-row array dedup)."""
-    # k-gram hashes, 0-based positions — the shared md5 bucket
-    # construction (sampling._hash_bucket, empty salt) in SQL form.
+    # k-gram hashes, 0-based positions — the shared full-width md5
+    # construction (sampling._hash_u60, empty salt) in SQL form.
     # The shorter-than-k case needs an explicit empty branch:
     # sequence(0, -1) in Spark is the DESCENDING [0, -1], not empty.
     hs = (
@@ -69,7 +73,7 @@ def _fingerprint_expr(text_col: str, k: int, w: int) -> F.Column:
         f"THEN CAST(array() AS ARRAY<BIGINT>) "
         f"ELSE transform(sequence(0, length({text_col}) - {k}), "
         f"i -> CAST(conv(substring(md5(substring({text_col}, i + 1, {k})), "
-        f"1, 8), 16, 10) AS BIGINT) % 1000000) END"
+        f"1, 15), 16, 10) AS BIGINT)) END"
     )
     # one window's selection: min of the slice, rightmost on ties via
     # reverse + array_position (1-based from the right)
@@ -157,9 +161,18 @@ def winnow_candidate_pairs(
             f"that no pair can share a surviving fingerprint), got "
             f"{max_df}"
         )
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
-        id_col, "fp"
-    ).distinct()
+    # (id, fp) distinct straight off the raw selections — routing
+    # through winnow_fingerprints would pay an extra (id, pos, fp)
+    # exchange the pairing path never uses (r13 review)
+    fps = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.explode(_fingerprint_expr(text_col, k, w)).alias("_s"),
+        )
+        .select(id_col, F.col("_s.fp").alias("fp"))
+        .distinct()
+    )
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -1883,11 +1883,14 @@ _WINNOW_K, _WINNOW_W, _WINNOW_MAXDF = 5, 4, 25
 # mismatch-free against the published-rule Python reference over all
 # 5000 sf0.1 documents before wiring in.  DuckDB list slices are
 # 1-based inclusive: hs[s+1 : s+w] is the 0-based window [s, s+w).
+# Hash: the FULL-WIDTH 60-bit construction (_duck_u60's 15-hex
+# grain) — the 1e6 bucket grain saturates df at corpus scale (r13
+# review).
 _WINNOW_CTES = f"""
     wh AS (
       SELECT doc_id,
-             [(('0x' || substring(md5(substring(text, i + 1, {_WINNOW_K})),
-                 1, 8))::UBIGINT % 1000000)::BIGINT
+             [CAST(('0x' || substring(md5(substring(text, i + 1,
+                 {_WINNOW_K})), 1, 15))::UBIGINT AS BIGINT)
               for i in range(greatest(len(text) - {_WINNOW_K} + 1, 0))] AS hs
       FROM documents WHERE doc_id < 30 AND text IS NOT NULL
     ),
@@ -4178,8 +4181,12 @@ def corpus_prepare(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="corpus_sink_")
     try:
+        # chunked rows repeat doc_id, so (doc_id, chunk_no) is the
+        # unique sort key — without the tiebreak, within-shard order
+        # (and the cross-format parity claim) is unstable (r13 review)
         n_sh = write_training_shards(
-            out, f"{tmp}/shards", n_shards=8, seed="r12", id_col="doc_id"
+            out, f"{tmp}/shards", n_shards=8, seed="r12",
+            id_col="doc_id", tiebreak_cols=("chunk_no",),
         )
         back = read_training_shards(
             spark, f"{tmp}/shards", shard_ids=list(range(n_sh))
@@ -4203,7 +4210,8 @@ def corpus_prepare(spark, sf_dir):
         # schema (never inference), then one agg checks row count and
         # per-row shard membership against the parquet contract
         write_jsonl_shards(
-            out, f"{tmp}/jl", n_shards=n_sh, seed="r12", id_col="doc_id"
+            out, f"{tmp}/jl", n_shards=n_sh, seed="r12",
+            id_col="doc_id", tiebreak_cols=("chunk_no",),
         )
         jl = read_jsonl_shards(spark, f"{tmp}/jl", out.schema)
         jstat = jl.agg(

@@ -167,6 +167,7 @@ def write_training_shards(
     n_shards: int = 16,
     seed: str = "",
     id_col: str = "doc_id",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> int:
     """Deterministic global shuffle + sharded export — the last step
     of a training-data pipeline: examples must reach the trainer in a
@@ -188,6 +189,13 @@ def write_training_shards(
     preserves row order within files, and each shard directory is
     written by exactly one task.
 
+    The byte-identical-rerun guarantee requires a UNIQUE sort key:
+    with a non-unique ``id_col`` (chunked corpora — one doc_id per
+    chunk) pass ``tiebreak_cols`` completing uniqueness (e.g.
+    ``("chunk_no",)``), or rows sharing an id tie on the whole sort
+    key and Spark's unstable sort interleaves them differently per
+    run (r13 review).
+
     Returns ``n_shards``.
     """
     if n_shards < 1:
@@ -197,7 +205,7 @@ def write_training_shards(
         df.withColumn("_ord", ord_key)
         .withColumn("shard_id", F.pmod(F.col("_ord"), F.lit(n_shards)).cast("int"))
         .repartition(n_shards, F.col("shard_id"))
-        .sortWithinPartitions("shard_id", "_ord", id_col)
+        .sortWithinPartitions("shard_id", "_ord", id_col, *tiebreak_cols)
         .drop("_ord")
         .write.mode("overwrite")
         .partitionBy("shard_id")
@@ -238,6 +246,7 @@ def write_jsonl_shards(
     seed: str = "",
     id_col: str = "doc_id",
     compression: str | None = None,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> int:
     """:func:`write_training_shards`' contract in the INTERCHANGE
     format — one JSON object per line, hive-partitioned
@@ -249,7 +258,9 @@ def write_jsonl_shards(
     parquet export of one corpus shard IDENTICALLY — swap formats
     without re-deriving the order.  Spark's json writer preserves row
     order within a file and each shard directory is written by
-    exactly one task.
+    exactly one task.  As with the parquet sink, order parity
+    requires a UNIQUE sort key — pass ``tiebreak_cols`` when
+    ``id_col`` repeats (chunked corpora).
 
     ``compression='gzip'`` trades splittability for size — right for
     export/hand-off, wrong for re-ingesting at scale (one task per
@@ -265,7 +276,7 @@ def write_jsonl_shards(
             "shard_id", F.pmod(F.col("_ord"), F.lit(n_shards)).cast("int")
         )
         .repartition(n_shards, F.col("shard_id"))
-        .sortWithinPartitions("shard_id", "_ord", id_col)
+        .sortWithinPartitions("shard_id", "_ord", id_col, *tiebreak_cols)
         .drop("_ord")
         .write.mode("overwrite")
         .partitionBy("shard_id")
@@ -281,12 +292,17 @@ def read_jsonl_shards(
     shard_ids: list[int] | None = None,
 ):
     """Read back shards written by :func:`write_jsonl_shards` — the
-    explicit-listing discipline of :func:`read_training_shards`, with
-    the JSONL source module's explicit-schema rule (``schema`` is
-    REQUIRED: inference would be a second full pass, and a corrupt
-    line must surface as NULL fields under the declared schema, not
-    silently reshape the frame).  ``shard_id`` rides the directory
-    name, not the JSON lines, and is re-attached from it."""
+    explicit-listing discipline of :func:`read_training_shards`
+    exactly (one multi-path scan with ``basePath`` so ``shard_id``
+    rides partition discovery, NOT one scan per directory chained
+    through unions — at n_shards=1024 that was 1024 FS listings and
+    a 1023-deep union plan; and a listing that matches NOTHING
+    raises instead of returning a valid 0-row frame a loader would
+    silently train on), with the JSONL source module's
+    explicit-schema rule (``schema`` is REQUIRED: inference would be
+    a second full pass, and a corrupt line must surface as NULL
+    fields under the declared schema, not silently reshape the
+    frame)."""
     from wikiextractor_spark.fsutil import int_partition_dirs
 
     dirs = int_partition_dirs(spark, f"{out_dir}/shard_id=*", "shard_id")
@@ -294,13 +310,15 @@ def read_jsonl_shards(
         want = set(shard_ids)
         dirs = [(sid, d) for sid, d in dirs if sid in want]
     if not dirs:
-        return spark.createDataFrame(
-            [], schema
-        ).withColumn("shard_id", F.lit(0).cast("int")).limit(0)
-    out = None
-    for sid, d in sorted(dirs):
-        part = spark.read.schema(schema).json(d).withColumn(
-            "shard_id", F.lit(sid).cast("int")
+        raise ValueError(
+            f"no matching shard directories under {out_dir!r} "
+            f"(requested "
+            f"{sorted(set(shard_ids)) if shard_ids is not None else 'all'})"
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return (
+        spark.read.schema(schema)
+        .option("basePath", out_dir)
+        # a LIST, not varargs: DataFrameReader.json's second
+        # positional parameter is the schema
+        .json([p for _i, p in dirs])
+    )
