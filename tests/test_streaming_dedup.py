@@ -1148,3 +1148,55 @@ def test_prepare_corpus_stream_url_blocklist_parity_with_batch(
         r["doc_id"]
         for r in spark.read.parquet(str(tmp_path / "out4")).collect()
     } == {1, 4, 5}
+
+
+def test_prepare_corpus_stream_normalize_gate(spark, tmp_path):
+    """normalize_form flows into each micro-batch's narrow-stage
+    composition: composed/decomposed twins collapse under the
+    cross-batch near-dedup store because they reach it byte-equal."""
+    import glob
+
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    base = (
+        "café alpha beta gamma delta epsilon zeta eta theta "
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau"
+    )
+    twin = (
+        "café alpha beta gamma delta epsilon zeta eta theta "
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def land(rows, name):
+        scratch = tmp_path / f"_scratch_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.copy(part, src / name)
+
+    def run():
+        q = prepare_corpus_stream(
+            spark, str(src), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), str(tmp_path / "state"),
+            normalize_form="NFC", dedup="near", max_distance=0,
+        )
+        assert q.awaitTermination(120), "stream did not drain"
+
+    land([(1, base, "en", "t", len(base))], "f1.parquet")
+    run()
+    # the decomposed twin arrives in a LATER batch: only NFC makes it
+    # byte-equal to the stored signature (distance 0)
+    land([(2, twin, "en", "t", len(twin))], "f2.parquet")
+    run()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # and the kept text is the NFC form
+    kept = out.collect()[0]["text"]
+    assert "café" in kept and "café" not in kept

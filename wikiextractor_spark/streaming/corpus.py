@@ -88,6 +88,7 @@ def prepare_corpus_stream(
     dsir_weights: DataFrame | None = None,
     min_dsir_weight_micro: int | None = None,
     dsir_opts: dict | None = None,
+    normalize_form: str | None = None,
     redact: bool = False,
     dedup: str | None = "near",
     max_distance: int = 3,
@@ -206,6 +207,11 @@ def prepare_corpus_stream(
             dsir_weights=dsir_wmap,
             min_dsir_weight_micro=min_dsir_weight_micro,
             dsir_opts=dsir_opts,
+            # per-row and batch-composition-independent, so safe per
+            # micro-batch (unlike sentence-span dedup, whose
+            # keep-first winner is a CORPUS-global property —
+            # deliberately not exposed here)
+            normalize_form=normalize_form,
             redact=redact,
             dedup=None,
         ).localCheckpoint(eager=True)
