@@ -1,0 +1,179 @@
+"""--source docs CLI tail (tokenize → [pack] → [shard]): end-to-end
+runs per tokenizer mode on published-format artifacts, the shard
+layout, and the flag-compat rejections."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiextractor_spark.__main__ import main
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    p = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (1, "unaffable running"),
+            (2, "the data"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+@pytest.fixture()
+def keep_session(spark, monkeypatch):
+    # main() getOrCreate()s the fixture session — keep it alive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+
+WP_VOCAB = [
+    "[UNK]", "un", "##aff", "##able", "runn", "##ing", "the",
+    "dat", "##a",
+]
+
+
+def test_cli_wordpiece_tokenize(spark, tmp_path, docs_parquet,
+                                keep_session):
+    v = tmp_path / "vocab.txt"
+    v.write_text("\n".join(WP_VOCAB) + "\n", encoding="utf-8")
+    out = tmp_path / "ids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "wordpiece", "--vocab", str(v),
+        "--out", str(out),
+    ])
+    rows = {
+        r["doc_id"]: r["token_ids"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    vid = {t: i for i, t in enumerate(WP_VOCAB)}
+    assert list(rows[1]) == [
+        vid["un"], vid["##aff"], vid["##able"],
+        vid["runn"], vid["##ing"],
+    ]
+    assert list(rows[2]) == [vid["the"], vid["dat"], vid["##a"]]
+    assert rows[3] is None
+
+
+def test_cli_bpe_tokenize_published_formats(spark, tmp_path,
+                                            docs_parquet, keep_session):
+    # byte-level artifacts in the published file formats
+    vocab = {
+        "Ġ": 0, "t": 1, "h": 2, "e": 3, "th": 4, "the": 5,
+        "Ġt": 6, "Ġth": 7, "Ġthe": 8, "d": 9, "a": 10, "u": 11,
+        "n": 12, "f": 13, "b": 14, "l": 15, "r": 16, "i": 17,
+        "g": 18,
+    }
+    vp = tmp_path / "vocab.json"
+    vp.write_text(json.dumps(vocab), encoding="utf-8")
+    mp = tmp_path / "merges.txt"
+    mp.write_text(
+        "#version: 0.2\nt h\nth e\nĠ t\nĠt h\nĠth e\n",
+        encoding="utf-8",
+    )
+    out = tmp_path / "bids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "bpe", "--vocab", str(vp),
+        "--merges", str(mp), "--out", str(out),
+    ])
+    rows = {
+        r["doc_id"]: r["token_ids"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # "the data": 'the' fuses; ' data' = Ġ? 'Ġ'+d a t a with no
+    # merges beyond the the-chain → Ġ d a t a ... derive minimal
+    # pins: first token is 'the' (id 5), and the stream is all >= -1
+    assert rows[2][0] == 5
+    assert all(x >= -1 for x in rows[2])
+    assert rows[3] is None
+
+
+def test_cli_unigram_tokenize(spark, tmp_path, docs_parquet,
+                              keep_session):
+    from wikiextractor_spark.functions.unigram import (
+        save_unigram_lm,
+        unigram_from_tokens,
+    )
+
+    lm = tmp_path / "lm"
+    save_unigram_lm(
+        unigram_from_tokens(
+            spark,
+            {"the": -2.0, "data": -2.5, "un": -3.0, "aff": -3.1,
+             "able": -3.2, "runn": -3.3, "ing": -3.4,
+             "a": -4.0, "e": -4.1, "t": -4.2, "h": -4.3, "d": -4.4},
+            -10.0,
+        ),
+        str(lm),
+    )
+    out = tmp_path / "uids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "unigram", "--lm", str(lm),
+        "--out", str(out),
+    ])
+    rows = {
+        r["doc_id"]: r["token_ids"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rows[2] is not None and len(rows[2]) == 2  # the + data
+    assert rows[3] is None
+
+
+def test_cli_pack_and_shards(spark, tmp_path, docs_parquet,
+                             keep_session):
+    v = tmp_path / "vocab.txt"
+    v.write_text("\n".join(WP_VOCAB) + "\n", encoding="utf-8")
+    out = tmp_path / "packed"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "wordpiece", "--vocab", str(v),
+        "--pack", "8", "--shards", "2", "--shard-seed", "ep0",
+        "--out", str(out),
+    ])
+    from wikiextractor_spark.sink import read_training_shards
+
+    packs = read_training_shards(spark, str(out))
+    rows = packs.collect()
+    assert rows and all(r["n_tokens"] <= 8 for r in rows)
+    # shard assignment follows the (pack_id, seed) contract
+    for r in rows:
+        exp = packs.sparkSession.createDataFrame(
+            [(r["pack_id"],)], "pack_id long"
+        ).select(
+            F.pmod(
+                F.xxhash64(F.col("pack_id").cast("string"), F.lit("ep0")),
+                F.lit(2),
+            ).cast("int").alias("s")
+        ).collect()[0]["s"]
+        assert r["shard_id"] == exp
+
+
+def test_cli_docs_flag_compat(tmp_path):
+    cases = [
+        # docs flags with other sources
+        ["--infn", "x", "--source", "dump", "--tokenize", "wordpiece"],
+        ["--infn", "x", "--source", "wet", "--vocab", "v"],
+        ["--infn", "x", "--source", "warc", "--pack", "8"],
+        # docs without/with wrong artifacts
+        ["--infn", "x", "--source", "docs"],
+        ["--infn", "x", "--source", "docs", "--tokenize", "wordpiece"],
+        ["--infn", "x", "--source", "docs", "--tokenize", "bpe",
+         "--vocab", "v"],
+        ["--infn", "x", "--source", "docs", "--tokenize", "unigram"],
+        ["--infn", "x", "--source", "docs", "--tokenize", "wordpiece",
+         "--vocab", "v", "--lm", "l"],
+        ["--infn", "x", "--source", "docs", "--tokenize", "unigram",
+         "--lm", "l", "--merges", "m"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

@@ -17,6 +17,16 @@ raw WARC ``response`` records (HTML stripped natively;
 classifier, ``--with-meta`` keeps the declared title/lang) — and
 writes the engine's ``documents`` surface as parquet, ready for
 ``prepare_corpus``.
+
+Engine extension: ``--source docs`` reads a parquet ``documents``
+surface (the wet/warc output, or any frame with doc_id + text) and
+runs the TOKENIZE→[PACK]→[SHARD] tail of the training-data path:
+``--tokenize wordpiece --vocab vocab.txt`` (published BERT format),
+``--tokenize bpe --vocab vocab.json --merges merges.txt`` (published
+GPT-class byte-level formats), or ``--tokenize unigram --lm
+table.parquet|tsv``; ``--pack BUDGET`` assembles packed training
+sequences, ``--shards N`` writes the deterministic (id, seed)
+shard layout.
 """
 
 from __future__ import annotations
@@ -46,6 +56,13 @@ _SCOPED_DEFAULTS = {
     "max_records_per_file": None,
     "main_content": False,
     "with_meta": False,
+    "tokenize": None,
+    "vocab": None,
+    "merges": None,
+    "lm": None,
+    "pack": None,
+    "shards": None,
+    "shard_seed": "",
 }
 
 
@@ -81,12 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--source",
-        choices=("dump", "wet", "warc"),
+        choices=("dump", "wet", "warc", "docs"),
         default="dump",
         help="input kind: dump = MediaWiki XML (reference surface); "
         "wet = Common Crawl WET conversion records; warc = raw WARC "
-        "response records (HTML stripped natively). wet/warc write "
-        "the documents surface as parquet to --out",
+        "response records (HTML stripped natively); docs = a parquet "
+        "documents surface for the tokenize/pack/shard tail. "
+        "wet/warc/docs write parquet to --out",
     )
     p.add_argument(
         "--main-content",
@@ -102,11 +120,46 @@ def build_parser() -> argparse.ArgumentParser:
         help="(--source warc) keep declared <title> and <html lang> "
         "columns",
     )
+    p.add_argument(
+        "--tokenize",
+        choices=("wordpiece", "bpe", "unigram"),
+        default=_UNSET,
+        help="(--source docs) tokenize text to id arrays: wordpiece "
+        "(--vocab vocab.txt, published BERT format), bpe (--vocab "
+        "vocab.json --merges merges.txt, published GPT-class "
+        "byte-level formats), unigram (--lm table.parquet|tsv)",
+    )
+    p.add_argument(
+        "--vocab", default=_UNSET,
+        help="(--tokenize wordpiece|bpe) vocabulary artifact path",
+    )
+    p.add_argument(
+        "--merges", default=_UNSET,
+        help="(--tokenize bpe) merges.txt path",
+    )
+    p.add_argument(
+        "--lm", default=_UNSET,
+        help="(--tokenize unigram) token→logprob table path",
+    )
+    p.add_argument(
+        "--pack", type=int, default=_UNSET,
+        help="(--source docs) assemble packed training sequences "
+        "with this token budget",
+    )
+    p.add_argument(
+        "--shards", type=int, default=_UNSET,
+        help="(--source docs) write the deterministic shard layout "
+        "with this many shards",
+    )
+    p.add_argument(
+        "--shard-seed", default=_UNSET,
+        help="(--source docs) shard order seed (one per epoch)",
+    )
     # a flag declared with the sentinel default but absent from the
     # policy tuples would leak the raw _UNSET object into args (the
     # resolution loop only walks the tuples) — fail at parser
     # construction, not at first use of the bogus value
-    scoped = set(_WARC_ONLY + _DUMP_ONLY)
+    scoped = set(_WARC_ONLY + _DUMP_ONLY + _DOCS_ONLY)
     unresolved = [
         a.dest for a in p._actions
         if a.default is _UNSET and a.dest not in scoped
@@ -143,6 +196,9 @@ _WARC_ONLY = ("main_content", "with_meta")
 _DUMP_ONLY = (
     "parser", "vitalfn", "compress", "incubator", "max_records_per_file",
 )
+_DOCS_ONLY = (
+    "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
+)
 
 
 def _resolve_scoped(args) -> set[str]:
@@ -151,7 +207,7 @@ def _resolve_scoped(args) -> set[str]:
     default value).  KeyError here means a flag was added to a policy
     tuple without a _SCOPED_DEFAULTS entry."""
     supplied: set[str] = set()
-    for dest in _WARC_ONLY + _DUMP_ONLY:
+    for dest in _WARC_ONLY + _DUMP_ONLY + _DOCS_ONLY:
         if getattr(args, dest) is _UNSET:
             setattr(args, dest, _SCOPED_DEFAULTS[dest])
         else:
@@ -183,6 +239,8 @@ def _check_flag_compat(
         reject(names(_WARC_ONLY), "warc")
     if args.source != "dump":
         reject(names(_DUMP_ONLY), "dump")
+    if args.source != "docs":
+        reject(names(_DOCS_ONLY), "docs")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -192,6 +250,9 @@ def main(argv: list[str] | None = None) -> None:
     cfg = ExtractorConfig(incubator=args.incubator, compress=args.compress)
     spark = get_spark("wikiextractor-spark-cli")
     try:
+        if args.source == "docs":
+            _run_docs_tail(parser, spark, args)
+            return
         if args.source != "dump":
             from wikiextractor_spark.sources.wet import (
                 warc_html_documents,
@@ -256,3 +317,103 @@ def main(argv: list[str] | None = None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _run_docs_tail(parser, spark, args) -> None:
+    """--source docs: TOKENIZE → [PACK] → [SHARD] over a parquet
+    documents surface.  Artifact formats are the PUBLISHED ones per
+    mode (vocab.txt / vocab.json + merges.txt / the modelio
+    keyed-table parquet|tsv) — the byte-level GPT-2 pre-tokenizer is
+    implied by --tokenize bpe, exactly the real-artifact serving
+    configuration.  Output: (doc_id, token_ids) parquet, packs when
+    --pack, the hive shard layout when --shards."""
+    if args.tokenize is None:
+        parser.error("--source docs requires --tokenize")
+    need = {"wordpiece": ("vocab",), "bpe": ("vocab", "merges"),
+            "unigram": ("lm",)}[args.tokenize]
+    for d in need:
+        if getattr(args, d) is None:
+            parser.error(
+                f"--tokenize {args.tokenize} requires --{d}"
+            )
+    stray = [
+        f"--{d}" for d in ("vocab", "merges", "lm")
+        if d not in need and getattr(args, d) is not None
+    ]
+    if stray:
+        parser.error(
+            f"{', '.join(stray)} do not apply to --tokenize "
+            f"{args.tokenize}"
+        )
+    if args.pack is not None and args.pack < 1:
+        parser.error("--pack must be a positive token budget")
+    if args.shards is not None and args.shards < 1:
+        parser.error("--shards must be >= 1")
+
+    docs = spark.read.parquet(args.infn).select("doc_id", "text")
+    if args.tokenize == "wordpiece":
+        from wikiextractor_spark.functions.wordpiece import (
+            load_wordpiece_vocab,
+            load_wordpiece_vocab_txt,
+            wordpiece_token_ids,
+        )
+
+        vocab = (
+            load_wordpiece_vocab_txt(spark, args.vocab)
+            if args.vocab.endswith(".txt")
+            else load_wordpiece_vocab(spark, args.vocab)
+        )
+        ids = wordpiece_token_ids(docs, vocab, out_col="token_ids")
+    elif args.tokenize == "bpe":
+        from wikiextractor_spark.functions.tokenizer import (
+            GPT2_PRETOKENIZER_PATTERN,
+            bpe_token_ids,
+            load_bpe_merges_txt,
+            load_bpe_vocab_json,
+        )
+
+        vocab = load_bpe_vocab_json(spark, args.vocab)
+        ranks = load_bpe_merges_txt(spark, args.merges)
+        ids = bpe_token_ids(
+            docs, vocab, ranks, out_col="token_ids",
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        )
+    else:
+        from wikiextractor_spark.functions.unigram import (
+            load_unigram_lm,
+            unigram_token_ids,
+        )
+
+        lm = load_unigram_lm(spark, args.lm)
+        ids = unigram_token_ids(
+            docs, lm, out_col="token_ids", oversize_word="chars"
+        )
+    out = ids.select("doc_id", "token_ids")
+    if args.pack is not None:
+        from pyspark.sql import functions as F
+
+        from wikiextractor_spark.operators.packing import assemble_packs
+
+        # NULL-text docs carry no tokens: drop them HERE (stated)
+        # rather than abort mid-job on assemble_packs'
+        # raise-don't-guess NULL contract; without --pack they pass
+        # through as NULL id rows, mirroring the kernels
+        out = assemble_packs(
+            out.where(F.col("token_ids").isNotNull()),
+            budget=args.pack,
+        )
+        id_col = "pack_id"
+    else:
+        id_col = "doc_id"
+    if args.shards is not None:
+        from wikiextractor_spark.sink import write_training_shards
+
+        # pack_id / doc_id are unique in their frames — the sort
+        # key needs no tiebreak here
+        write_training_shards(
+            out, args.out, n_shards=args.shards,
+            seed=args.shard_seed, id_col=id_col,
+        )
+    else:
+        out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
