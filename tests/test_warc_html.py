@@ -661,6 +661,7 @@ def test_cli_scoped_defaults_resolve():
     defaults after the sentinel dance, and the policy tuples can
     never desync from the defaults table."""
     from wikiextractor_spark.__main__ import (
+        _DOCS_ONLY,
         _DUMP_ONLY,
         _SCOPED_DEFAULTS,
         _WARC_ONLY,
@@ -680,7 +681,11 @@ def test_cli_scoped_defaults_resolve():
     assert args.max_records_per_file is None
     assert args.main_content is False
     assert args.with_meta is False
-    assert set(_WARC_ONLY + _DUMP_ONLY) == set(_SCOPED_DEFAULTS)
+    assert args.tokenize is None
+    assert args.shard_seed == ""
+    assert set(_WARC_ONLY + _DUMP_ONLY + _DOCS_ONLY) == set(
+        _SCOPED_DEFAULTS
+    )
 
 
 def test_cli_sentinel_policy_guard(monkeypatch):
