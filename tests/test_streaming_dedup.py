@@ -1200,3 +1200,17 @@ def test_prepare_corpus_stream_normalize_gate(spark, tmp_path):
     # and the kept text is the NFC form
     kept = out.collect()[0]["text"]
     assert "café" in kept and "café" not in kept
+
+
+def test_prepare_corpus_stream_invalid_normalize_fails_at_definition(
+    spark, tmp_path,
+):
+    from wikiextractor_spark.streaming import prepare_corpus_stream
+
+    (tmp_path / "in").mkdir()
+    with pytest.raises(ValueError, match="form must be one of"):
+        prepare_corpus_stream(
+            spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), str(tmp_path / "state"),
+            normalize_form="NFCC",
+        )

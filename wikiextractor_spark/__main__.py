@@ -63,6 +63,7 @@ _SCOPED_DEFAULTS = {
     "pack": None,
     "shards": None,
     "shard_seed": "",
+    "basic_tokenize": False,
 }
 
 
@@ -134,6 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="(--tokenize wordpiece|bpe) vocabulary artifact path",
     )
     p.add_argument(
+        "--basic-tokenize", action="store_true", default=_UNSET,
+        help="(--tokenize wordpiece) apply the published "
+        "BasicTokenizer stage (lowercase, accent strip, punctuation "
+        "split) before wordpiece — the published uncased pipeline; "
+        "without it, serving is raw whitespace-grain (cased text "
+        "and attached punctuation collapse to [UNK])",
+    )
+    p.add_argument(
         "--merges", default=_UNSET,
         help="(--tokenize bpe) merges.txt path",
     )
@@ -167,8 +176,8 @@ def build_parser() -> argparse.ArgumentParser:
     if unresolved:
         raise AssertionError(
             f"sentinel-defaulted flags missing from the policy "
-            f"tuples: {unresolved} — add them to _WARC_ONLY or "
-            "_DUMP_ONLY (and _SCOPED_DEFAULTS)"
+            f"tuples: {unresolved} — add them to _WARC_ONLY, "
+            "_DUMP_ONLY or _DOCS_ONLY (and _SCOPED_DEFAULTS)"
         )
     # and the REVERSE desync (r12 ADVICE): a dest listed in the policy
     # tuples whose argparse default is NOT the sentinel would make
@@ -198,6 +207,7 @@ _DUMP_ONLY = (
 )
 _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
+    "basic_tokenize",
 )
 
 
@@ -243,10 +253,139 @@ def _check_flag_compat(
         reject(names(_DOCS_ONLY), "docs")
 
 
+def _validate_docs_args(parser, args) -> None:
+    """--source docs argument validation — BEFORE get_spark (r13
+    review): a usage error must not boot a JVM, and under
+    getOrCreate it must never stop a session some other caller owns
+    (main()'s finally stops the session it obtained)."""
+    if args.tokenize is None:
+        parser.error("--source docs requires --tokenize")
+    need = {"wordpiece": ("vocab",), "bpe": ("vocab", "merges"),
+            "unigram": ("lm",)}[args.tokenize]
+    for d in need:
+        if getattr(args, d) is None:
+            parser.error(
+                f"--tokenize {args.tokenize} requires --{d}"
+            )
+    stray = [
+        f"--{d}" for d in ("vocab", "merges", "lm")
+        if d not in need and getattr(args, d) is not None
+    ]
+    if stray:
+        parser.error(
+            f"{', '.join(stray)} do not apply to --tokenize "
+            f"{args.tokenize}"
+        )
+    if args.basic_tokenize and args.tokenize != "wordpiece":
+        parser.error(
+            "--basic-tokenize applies only to --tokenize wordpiece"
+        )
+    if args.pack is not None and args.pack < 1:
+        parser.error("--pack must be a positive token budget")
+    if args.shards is not None and args.shards < 1:
+        parser.error("--shards must be >= 1")
+    if args.shards is None and args.shard_seed:
+        parser.error(
+            "--shard-seed applies only with --shards (it would "
+            "otherwise be silently ignored)"
+        )
+
+
+def _run_docs_tail(parser, spark, args) -> None:
+    """--source docs: TOKENIZE → [PACK] → [SHARD] over a parquet
+    documents surface.  Artifact formats are the PUBLISHED ones per
+    mode (vocab.txt / vocab.json + merges.txt / the modelio
+    keyed-table parquet|tsv) — the byte-level GPT-2 pre-tokenizer is
+    implied by --tokenize bpe, exactly the real-artifact serving
+    configuration.  Output: (doc_id, token_ids) parquet, packs when
+    --pack, the hive shard layout when --shards.  Argument validity
+    was already established by _validate_docs_args — BEFORE the
+    Spark session exists."""
+    docs = spark.read.parquet(args.infn).select("doc_id", "text")
+    if args.tokenize == "wordpiece":
+        from wikiextractor_spark.functions.wordpiece import (
+            load_wordpiece_vocab,
+            load_wordpiece_vocab_txt,
+            wordpiece_token_ids,
+        )
+
+        vocab = (
+            load_wordpiece_vocab_txt(spark, args.vocab)
+            if args.vocab.endswith(".txt")
+            else load_wordpiece_vocab(spark, args.vocab)
+        )
+        if args.basic_tokenize:
+            from pyspark.sql import functions as F
+
+            from wikiextractor_spark.functions.wordpiece import (
+                basic_tokenize_text,
+            )
+
+            docs = docs.select(
+                "doc_id", basic_tokenize_text("text").alias("text")
+            )
+        ids = wordpiece_token_ids(docs, vocab, out_col="token_ids")
+    elif args.tokenize == "bpe":
+        from wikiextractor_spark.functions.tokenizer import (
+            GPT2_PRETOKENIZER_PATTERN,
+            bpe_token_ids,
+            load_bpe_merges_txt,
+            load_bpe_vocab_json,
+        )
+
+        vocab = load_bpe_vocab_json(spark, args.vocab)
+        ranks = load_bpe_merges_txt(spark, args.merges)
+        ids = bpe_token_ids(
+            docs, vocab, ranks, out_col="token_ids",
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        )
+    else:
+        from wikiextractor_spark.functions.unigram import (
+            load_unigram_lm,
+            unigram_token_ids,
+        )
+
+        lm = load_unigram_lm(spark, args.lm)
+        ids = unigram_token_ids(
+            docs, lm, out_col="token_ids", oversize_word="chars"
+        )
+    out = ids.select("doc_id", "token_ids")
+    if args.pack is not None:
+        from pyspark.sql import functions as F
+
+        from wikiextractor_spark.operators.packing import assemble_packs
+
+        # NULL-text docs carry no tokens: drop them HERE (stated)
+        # rather than abort mid-job on assemble_packs'
+        # raise-don't-guess NULL contract; without --pack they pass
+        # through as NULL id rows, mirroring the kernels
+        out = assemble_packs(
+            out.where(F.col("token_ids").isNotNull()),
+            budget=args.pack,
+        )
+        id_col = "pack_id"
+    else:
+        id_col = "doc_id"
+    if args.shards is not None:
+        from wikiextractor_spark.sink import write_training_shards
+
+        # pack_id / doc_id are unique in their frames — the sort
+        # key needs no tiebreak here
+        write_training_shards(
+            out, args.out, n_shards=args.shards,
+            seed=args.shard_seed, id_col=id_col,
+        )
+    else:
+        out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
     _check_flag_compat(parser, args, _resolve_scoped(args))
+    if args.source == "docs":
+        _validate_docs_args(parser, args)
     cfg = ExtractorConfig(incubator=args.incubator, compress=args.compress)
     spark = get_spark("wikiextractor-spark-cli")
     try:
@@ -317,103 +456,3 @@ def main(argv: list[str] | None = None) -> None:
 
 if __name__ == "__main__":
     main()
-
-
-def _run_docs_tail(parser, spark, args) -> None:
-    """--source docs: TOKENIZE → [PACK] → [SHARD] over a parquet
-    documents surface.  Artifact formats are the PUBLISHED ones per
-    mode (vocab.txt / vocab.json + merges.txt / the modelio
-    keyed-table parquet|tsv) — the byte-level GPT-2 pre-tokenizer is
-    implied by --tokenize bpe, exactly the real-artifact serving
-    configuration.  Output: (doc_id, token_ids) parquet, packs when
-    --pack, the hive shard layout when --shards."""
-    if args.tokenize is None:
-        parser.error("--source docs requires --tokenize")
-    need = {"wordpiece": ("vocab",), "bpe": ("vocab", "merges"),
-            "unigram": ("lm",)}[args.tokenize]
-    for d in need:
-        if getattr(args, d) is None:
-            parser.error(
-                f"--tokenize {args.tokenize} requires --{d}"
-            )
-    stray = [
-        f"--{d}" for d in ("vocab", "merges", "lm")
-        if d not in need and getattr(args, d) is not None
-    ]
-    if stray:
-        parser.error(
-            f"{', '.join(stray)} do not apply to --tokenize "
-            f"{args.tokenize}"
-        )
-    if args.pack is not None and args.pack < 1:
-        parser.error("--pack must be a positive token budget")
-    if args.shards is not None and args.shards < 1:
-        parser.error("--shards must be >= 1")
-
-    docs = spark.read.parquet(args.infn).select("doc_id", "text")
-    if args.tokenize == "wordpiece":
-        from wikiextractor_spark.functions.wordpiece import (
-            load_wordpiece_vocab,
-            load_wordpiece_vocab_txt,
-            wordpiece_token_ids,
-        )
-
-        vocab = (
-            load_wordpiece_vocab_txt(spark, args.vocab)
-            if args.vocab.endswith(".txt")
-            else load_wordpiece_vocab(spark, args.vocab)
-        )
-        ids = wordpiece_token_ids(docs, vocab, out_col="token_ids")
-    elif args.tokenize == "bpe":
-        from wikiextractor_spark.functions.tokenizer import (
-            GPT2_PRETOKENIZER_PATTERN,
-            bpe_token_ids,
-            load_bpe_merges_txt,
-            load_bpe_vocab_json,
-        )
-
-        vocab = load_bpe_vocab_json(spark, args.vocab)
-        ranks = load_bpe_merges_txt(spark, args.merges)
-        ids = bpe_token_ids(
-            docs, vocab, ranks, out_col="token_ids",
-            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
-        )
-    else:
-        from wikiextractor_spark.functions.unigram import (
-            load_unigram_lm,
-            unigram_token_ids,
-        )
-
-        lm = load_unigram_lm(spark, args.lm)
-        ids = unigram_token_ids(
-            docs, lm, out_col="token_ids", oversize_word="chars"
-        )
-    out = ids.select("doc_id", "token_ids")
-    if args.pack is not None:
-        from pyspark.sql import functions as F
-
-        from wikiextractor_spark.operators.packing import assemble_packs
-
-        # NULL-text docs carry no tokens: drop them HERE (stated)
-        # rather than abort mid-job on assemble_packs'
-        # raise-don't-guess NULL contract; without --pack they pass
-        # through as NULL id rows, mirroring the kernels
-        out = assemble_packs(
-            out.where(F.col("token_ids").isNotNull()),
-            budget=args.pack,
-        )
-        id_col = "pack_id"
-    else:
-        id_col = "doc_id"
-    if args.shards is not None:
-        from wikiextractor_spark.sink import write_training_shards
-
-        # pack_id / doc_id are unique in their frames — the sort
-        # key needs no tiebreak here
-        write_training_shards(
-            out, args.out, n_shards=args.shards,
-            seed=args.shard_seed, id_col=id_col,
-        )
-    else:
-        out.write.mode("overwrite").parquet(args.out)
-    print(f"wrote {args.out}")

@@ -150,6 +150,13 @@ def prepare_corpus_stream(
             f"{url_col!r} column — pass schema=DOCUMENTS_URL_SCHEMA "
             "(or a schema carrying the url column)"
         )
+    if normalize_form is not None:
+        # fail at stream DEFINITION, not inside the first micro-batch
+        # (where an invalid form surfaces as an opaque
+        # StreamingQueryException) — the url_blocklist principle
+        from wikiextractor_spark.functions.normalize import _check_form
+
+        _check_form(normalize_form, "prepare_corpus_stream")
     if (dsir_weights is None) != (min_dsir_weight_micro is None):
         # same fail-at-definition principle for the DSIR contract
         raise ValueError(
