@@ -108,3 +108,75 @@ def chunk_token_ids(
             F.col("c.n_toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+def chunk_sentences(
+    df: DataFrame, budget_words: int = 200,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(id_col, chunk_no, chunk, n_words, n_sentences,
+    over_budget)``: the document split into chunks of CONSECUTIVE
+    SENTENCES, greedily filled up to ``budget_words`` whitespace
+    words per chunk — the boundary-respecting alternative to
+    :func:`chunk_documents`' fixed windows (RAG corpora and
+    eval-context prep want chunks that never cut mid-sentence).
+
+    Rules (deterministic, stated): sentences are
+    :func:`~wikiextractor_spark.operators.spans.sentence_array`
+    pieces (which concatenate back verbatim, so each chunk keeps its
+    byte layout and the chunks of a doc concatenate to the original
+    text — pinned by pytest); a sentence joins the current chunk iff
+    the chunk stays within budget, else it OPENS a new chunk; a
+    single sentence longer than the budget becomes its own chunk
+    with ``over_budget`` true (whole sentences are never split —
+    that is the point; cut oversize outliers upstream if hard caps
+    matter).  Zero-word pieces (punctuation-only runs) merge into
+    the current chunk.  NULL-text documents emit no rows (they have
+    no sentences); empty text emits none either.
+
+    100 TB shape: ONE narrow per-document projection — the greedy
+    fill is a native ``aggregate`` fold over the sentence array
+    (the interval-merge pattern), then one ``posexplode``; no
+    shuffle, no Python."""
+    from wikiextractor_spark.operators.spans import SENTENCE_PATTERN
+
+    if budget_words < 1:
+        raise ValueError(
+            f"chunk_sentences: budget_words must be >= 1, got "
+            f"{budget_words}"
+        )
+    chunks = F.expr(
+        f"""
+        aggregate(
+          transform(
+            regexp_extract_all({text_col}, '{SENTENCE_PATTERN}', 0),
+            p -> named_struct(
+              't', p,
+              'w', size(filter(split(p, '[ \t\n\r\f\v]+'),
+                               x -> x != '')))),
+          CAST(array() AS ARRAY<STRUCT<t: STRING, w: INT, n: INT>>),
+          (acc, s) -> CASE
+            WHEN size(acc) > 0
+                 AND element_at(acc, -1).w + s.w <= {budget_words}
+            THEN concat(
+              slice(acc, 1, size(acc) - 1),
+              array(named_struct(
+                't', element_at(acc, -1).t || s.t,
+                'w', element_at(acc, -1).w + s.w,
+                'n', element_at(acc, -1).n + 1)))
+            ELSE concat(acc, array(named_struct(
+              't', s.t, 'w', s.w, 'n', 1)))
+          END)
+        """
+    )
+    return (
+        df.select(id_col, F.posexplode(chunks).alias("chunk_no", "_c"))
+        .select(
+            id_col,
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.col("_c.t").alias("chunk"),
+            F.col("_c.w").cast("long").alias("n_words"),
+            F.col("_c.n").cast("long").alias("n_sentences"),
+            (F.col("_c.w") > F.lit(budget_words)).alias("over_budget"),
+        )
+    )

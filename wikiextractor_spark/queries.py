@@ -3788,7 +3788,8 @@ _PACK_SEP = 2000
 @query(
     "ta_chunk_documents",
     f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     n AS (SELECT doc_id, ws,
                  CASE WHEN len(ws) <= 16 THEN 1
                       ELSE (len(ws) - 4 + 11) // 12 END AS nc
@@ -3889,6 +3890,38 @@ _PACK_SEP = 2000
              ), 0) AS BIGINT) AS st
       FROM iw WHERE ids IS NOT NULL
     ),
+    -- 'sent' family (r13): greedy sentence-budget chunking over
+    -- synthesized-punctuation text (the shared _C4_TEXT_SQL splice);
+    -- the greedy fill re-derives as a one-sentence-per-step
+    -- recursive walk (the wpstate pattern): accw accumulates within
+    -- a chunk and resets when the next sentence would overflow
+    sentsrc AS (SELECT doc_id, {_C4_TEXT_SQL} AS t FROM documents),
+    sps AS (SELECT doc_id,
+                   regexp_extract_all(t, '[^.!?]*[.!?]+|[^.!?]+$') AS ps
+            FROM sentsrc WHERE t IS NOT NULL),
+    spw AS (SELECT doc_id, ps,
+                   [len(list_filter(regexp_split_to_array(p,
+                        '[ \t\n\r\f\v]+'), x -> x <> ''))
+                    for p in ps] AS pw
+            FROM sps),
+    cst(doc_id, i, cno, accw) AS (
+      SELECT doc_id, 1, 0, pw[1] FROM spw WHERE len(ps) >= 1
+      UNION ALL
+      SELECT s.doc_id, s.i + 1,
+             CASE WHEN s.accw + w.pw[s.i + 1] <= 12
+                  THEN s.cno ELSE s.cno + 1 END,
+             CASE WHEN s.accw + w.pw[s.i + 1] <= 12
+                  THEN s.accw + w.pw[s.i + 1] ELSE w.pw[s.i + 1] END
+      FROM cst s JOIN spw w USING (doc_id)
+      WHERE s.i < len(w.ps)
+    ),
+    sentout AS (
+      SELECT c.doc_id, c.cno AS chunk_no,
+             string_agg(w.ps[c.i], '' ORDER BY c.i) AS chunk,
+             MAX(c.accw) AS nw
+      FROM cst c JOIN spw w USING (doc_id)
+      GROUP BY c.doc_id, c.cno
+    ),
     packone AS (
       SELECT CAST(0 AS BIGINT) AS pack_id,
              flatten(list(ids || [CAST({_PACK_SEP} AS BIGINT)]
@@ -3933,6 +3966,10 @@ _PACK_SEP = 2000
            array_to_string(starts, ',') AS chunk,
            len(tids) AS n_tokens
     FROM packone
+    UNION ALL
+    SELECT 'sent' AS family, doc_id, chunk_no, chunk,
+           nw AS n_tokens
+    FROM sentout
     """,
 )
 def ta_chunk_documents(spark, sf_dir):
@@ -3950,9 +3987,13 @@ def ta_chunk_documents(spark, sf_dir):
     assemble_packs at num_groups=1 with an everything-fits budget, so
     the oracle restates the whole assembly INCLUDING the new
     doc_starts boundary offsets (exclusive prefix sum of ids+sep
-    blocks in ascending doc_id order) under the hash."""
+    blocks in ascending doc_id order) under the hash; 'sent' (r13) —
+    chunk_sentences' greedy sentence-budget fill over
+    synthesized-punctuation text, the oracle walking the fill one
+    sentence per recursive step."""
     from wikiextractor_spark.operators.chunking import (
         chunk_documents,
+        chunk_sentences,
         chunk_token_ids,
     )
 
@@ -4062,12 +4103,25 @@ def ta_chunk_documents(spark, sf_dir):
         ).alias("chunk"),
         "n_tokens",
     )
+    # 'sent' family: the REAL chunk_sentences greedy fill over the
+    # shared synthesized-punctuation splice
+    sent_fam = chunk_sentences(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_C4_TEXT_SQL).alias("text")
+        ),
+        budget_words=12,
+    ).select(
+        F.lit("sent").alias("family"),
+        "doc_id", "chunk_no", "chunk",
+        F.col("n_words").alias("n_tokens"),
+    )
     return (
         text_fam.unionByName(ids_fam)
         .unionByName(fim_fam)
         .unionByName(uids_fam)
         .unionByName(fimc_fam)
         .unionByName(packs_fam)
+        .unionByName(sent_fam)
     )
 
 
