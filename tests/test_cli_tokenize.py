@@ -247,3 +247,67 @@ def test_cli_basic_tokenize_stage(spark, tmp_path, keep_session):
     assert list(got) == [
         vid["the"], vid["dat"], vid["##a"], vid["!"],
     ]
+
+
+def test_cli_prepare_stage(spark, tmp_path, keep_session):
+    """--source docs prepare flags run prepare_corpus before the
+    tail: prepare-only writes the prepared surface; prepare +
+    tokenize composes."""
+    p = tmp_path / "pdocs"
+    spark.createDataFrame(
+        [
+            (1, "the data the data the data the data"),
+            (2, "the data the data the data the data"),  # exact dup
+            (3, "café data"),                     # decomposed é
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(p))
+    out = tmp_path / "prepared"
+    main([
+        "--infn", str(p), "--source", "docs",
+        "--dedup", "exact", "--normalize", "NFC",
+        "--out", str(out),
+    ])
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert set(rows) == {1, 3}          # dup dropped, min id kept
+    assert "café" in rows[3]            # NFC-composed
+    # prepare + tokenize in one invocation
+    v = tmp_path / "vp.txt"
+    v.write_text("\n".join(WP_VOCAB) + "\n", encoding="utf-8")
+    out2 = tmp_path / "pids"
+    main([
+        "--infn", str(p), "--source", "docs",
+        "--dedup", "exact", "--tokenize", "wordpiece",
+        "--vocab", str(v), "--out", str(out2),
+    ])
+    ids = spark.read.parquet(str(out2))
+    assert ids.count() == 2
+    assert set(ids.columns) == {"doc_id", "token_ids"}
+
+
+def test_cli_prepare_flag_compat(tmp_path):
+    cases = [
+        # prepare flags with other sources
+        ["--infn", "x", "--source", "wet", "--target-lang", "en"],
+        ["--infn", "x", "--source", "dump", "--normalize", "NFC"],
+        ["--infn", "x", "--source", "warc", "--dedup", "exact"],
+        # artifacts/pack/shard-seed without --tokenize
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--vocab", "v"],
+        ["--infn", "x", "--source", "docs", "--normalize", "NFC",
+         "--pack", "8"],
+        ["--infn", "x", "--source", "docs", "--gopher",
+         "--shard-seed", "ep1"],
+        ["--infn", "x", "--source", "docs", "--min-quality", "0.5",
+         "--basic-tokenize"],
+        # bound check
+        ["--infn", "x", "--source", "docs",
+         "--sentence-span-dedup", "1"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

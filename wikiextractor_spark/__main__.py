@@ -64,6 +64,12 @@ _SCOPED_DEFAULTS = {
     "shards": None,
     "shard_seed": "",
     "basic_tokenize": False,
+    "target_lang": None,
+    "min_quality": None,
+    "gopher": False,
+    "normalize": None,
+    "dedup": None,
+    "sentence_span_dedup": None,
 }
 
 
@@ -164,6 +170,36 @@ def build_parser() -> argparse.ArgumentParser:
         "--shard-seed", default=_UNSET,
         help="(--source docs) shard order seed (one per epoch)",
     )
+    p.add_argument(
+        "--target-lang", default=_UNSET,
+        help="(--source docs) prepare: keep only documents the "
+        "stopword-profile language ID assigns this code",
+    )
+    p.add_argument(
+        "--min-quality", type=float, default=_UNSET,
+        help="(--source docs) prepare: composite quality-score floor",
+    )
+    p.add_argument(
+        "--gopher", action="store_true", default=_UNSET,
+        help="(--source docs) prepare: apply the Gopher document-"
+        "shape rules",
+    )
+    p.add_argument(
+        "--normalize", choices=("NFC", "NFD", "NFKC", "NFKD"),
+        default=_UNSET,
+        help="(--source docs) prepare: Unicode-canonicalize the text "
+        "before content-keyed stages",
+    )
+    p.add_argument(
+        "--dedup", choices=("exact", "near"), default=_UNSET,
+        help="(--source docs) prepare: document-grain dedup policy",
+    )
+    p.add_argument(
+        "--sentence-span-dedup", type=int, default=_UNSET,
+        metavar="MIN_COUNT",
+        help="(--source docs) prepare: C4 keep-first three-sentence-"
+        "span dedup at this repeat threshold",
+    )
     # a flag declared with the sentinel default but absent from the
     # policy tuples would leak the raw _UNSET object into args (the
     # resolution loop only walks the tuples) — fail at parser
@@ -208,6 +244,15 @@ _DUMP_ONLY = (
 _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize",
+    "target_lang", "min_quality", "gopher", "normalize", "dedup",
+    "sentence_span_dedup",
+)
+
+#: the prepare-stage dests — --source docs needs --tokenize OR at
+#: least one of these (prepare-only runs write prepared documents)
+_PREPARE_FLAGS = (
+    "target_lang", "min_quality", "gopher", "normalize", "dedup",
+    "sentence_span_dedup",
 )
 
 
@@ -258,8 +303,32 @@ def _validate_docs_args(parser, args) -> None:
     review): a usage error must not boot a JVM, and under
     getOrCreate it must never stop a session some other caller owns
     (main()'s finally stops the session it obtained)."""
+    if args.tokenize is None and not any(
+        getattr(args, d) not in (None, False) for d in _PREPARE_FLAGS
+    ):
+        parser.error(
+            "--source docs requires --tokenize and/or at least one "
+            "prepare flag (--target-lang/--min-quality/--gopher/"
+            "--normalize/--dedup/--sentence-span-dedup)"
+        )
+    if args.sentence_span_dedup is not None and args.sentence_span_dedup < 2:
+        parser.error("--sentence-span-dedup must be >= 2")
     if args.tokenize is None:
-        parser.error("--source docs requires --tokenize")
+        for d in ("vocab", "merges", "lm"):
+            if getattr(args, d) is not None:
+                parser.error(f"--{d} requires --tokenize")
+        if args.pack is not None or args.shards is not None:
+            parser.error(
+                "--pack/--shards require --tokenize (they operate "
+                "on id streams)"
+            )
+        if args.shard_seed:
+            parser.error("--shard-seed applies only with --shards")
+        if args.basic_tokenize:
+            parser.error(
+                "--basic-tokenize applies only to --tokenize wordpiece"
+            )
+        return
     need = {"wordpiece": ("vocab",), "bpe": ("vocab", "merges"),
             "unigram": ("lm",)}[args.tokenize]
     for d in need:
@@ -302,6 +371,25 @@ def _run_docs_tail(parser, spark, args) -> None:
     was already established by _validate_docs_args — BEFORE the
     Spark session exists."""
     docs = spark.read.parquet(args.infn).select("doc_id", "text")
+    if any(
+        getattr(args, d) not in (None, False) for d in _PREPARE_FLAGS
+    ):
+        from wikiextractor_spark.operators.corpus import prepare_corpus
+
+        docs = prepare_corpus(
+            docs,
+            target_lang=args.target_lang,
+            min_quality=args.min_quality,
+            gopher=args.gopher,
+            normalize_form=args.normalize,
+            sentence_span_min_count=args.sentence_span_dedup,
+            dedup=args.dedup,
+        )
+    if args.tokenize is None:
+        # prepare-only: the prepared documents surface IS the output
+        docs.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+        return
     if args.tokenize == "wordpiece":
         from wikiextractor_spark.functions.wordpiece import (
             load_wordpiece_vocab,
