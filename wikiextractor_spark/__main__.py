@@ -298,14 +298,24 @@ def _check_flag_compat(
         reject(names(_DOCS_ONLY), "docs")
 
 
+def _prepare_requested(args) -> bool:
+    """True when any prepare-stage flag was given — ONE home for the
+    predicate (r13 review: validation and execution must agree, and
+    `not in (None, False)` treated --min-quality 0 as unset because
+    0.0 == False in Python)."""
+    return bool(args.gopher) or any(
+        getattr(args, d) is not None
+        for d in _PREPARE_FLAGS
+        if d != "gopher"
+    )
+
+
 def _validate_docs_args(parser, args) -> None:
     """--source docs argument validation — BEFORE get_spark (r13
     review): a usage error must not boot a JVM, and under
     getOrCreate it must never stop a session some other caller owns
     (main()'s finally stops the session it obtained)."""
-    if args.tokenize is None and not any(
-        getattr(args, d) not in (None, False) for d in _PREPARE_FLAGS
-    ):
+    if args.tokenize is None and not _prepare_requested(args):
         parser.error(
             "--source docs requires --tokenize and/or at least one "
             "prepare flag (--target-lang/--min-quality/--gopher/"
@@ -371,9 +381,7 @@ def _run_docs_tail(parser, spark, args) -> None:
     was already established by _validate_docs_args — BEFORE the
     Spark session exists."""
     docs = spark.read.parquet(args.infn).select("doc_id", "text")
-    if any(
-        getattr(args, d) not in (None, False) for d in _PREPARE_FLAGS
-    ):
+    if _prepare_requested(args):
         from wikiextractor_spark.operators.corpus import prepare_corpus
 
         docs = prepare_corpus(

@@ -130,14 +130,25 @@ def chunk_sentences(
     single sentence longer than the budget becomes its own chunk
     with ``over_budget`` true (whole sentences are never split —
     that is the point; cut oversize outliers upstream if hard caps
-    matter).  Zero-word pieces (punctuation-only runs) merge into
-    the current chunk.  NULL-text documents emit no rows (they have
+    matter).  A ZERO-word piece (a pure-whitespace run — note a
+    punctuation run like ``'..!!'`` counts as ONE word) follows the
+    same merge rule as any sentence: it joins the current chunk when
+    that chunk is within budget, but after an over-budget sentence
+    it opens its own degenerate whitespace chunk (stated — the rule
+    stays uniform; filter ``n_words = 0`` rows downstream if such
+    input occurs).  NULL-text documents emit no rows (they have
     no sentences); empty text emits none either.
 
     100 TB shape: ONE narrow per-document projection — the greedy
     fill is a native ``aggregate`` fold over the sentence array
     (the interval-merge pattern), then one ``posexplode``; no
     shuffle, no Python."""
+    # the LITERAL-controls form, NOT WS_SPLIT_PATTERN: the JVM eats
+    # unknown escapes in SQL literals and reads \v as vertical-
+    # whitespace — tokenizer.py's documented splice discipline
+    from wikiextractor_spark.functions.tokenizer import (
+        WS_SPLIT_PATTERN_JVM,
+    )
     from wikiextractor_spark.operators.spans import SENTENCE_PATTERN
 
     if budget_words < 1:
@@ -152,7 +163,7 @@ def chunk_sentences(
             regexp_extract_all({text_col}, '{SENTENCE_PATTERN}', 0),
             p -> named_struct(
               't', p,
-              'w', size(filter(split(p, '[ \t\n\r\f\v]+'),
+              'w', size(filter(split(p, '{WS_SPLIT_PATTERN_JVM}'),
                                x -> x != '')))),
           CAST(array() AS ARRAY<STRUCT<t: STRING, w: INT, n: INT>>),
           (acc, s) -> CASE
