@@ -422,3 +422,149 @@ def test_bert_end_to_end_composition(spark):
         vid["un"], vid["##aff"], vid["##able"], vid[","],
         vid["runn"], vid["##ing"], vid["!"],
     ]
+
+
+# --------------------------------------------------------------------------
+# in-engine WordPiece training
+# --------------------------------------------------------------------------
+
+from wikiextractor_spark.functions.wordpiece import (  # noqa: E402
+    _fuse_wp,
+    learn_wordpiece_merges,
+    learn_wordpiece_vocab,
+)
+
+
+def _py_wp_train(texts, n_merges, min_count=2):
+    """Independent restatement of the likelihood-scored trainer:
+    word-frequency table at the ##-marked grain, per round pick
+    max count(ab)/(count(a)count(b)) over words with 2+ symbols,
+    lexicographic pair-key tie-break, fuse with ## absorbed."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split(r"[ \t\n\r\f\v]+", t):
+            if w:
+                wf[w] += 1
+    words = {
+        tuple(
+            c if i == 0 else "##" + c for i, c in enumerate(word)
+        ): f
+        for word, f in wf.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pc, sc = Counter(), Counter()
+        for syms, f in words.items():
+            if len(syms) < 2:
+                continue
+            for s in syms:
+                sc[s] += f
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        best = max(
+            pc,
+            key=lambda p: (
+                pc[p] / (sc[p[0]] * sc[p[1]]),
+                # ascending key wins ties -> invert for max()
+                [-ord(c) for c in p[0] + " " + p[1]],
+            ),
+        )
+        if pc[best] < min_count:
+            break
+        a, b = best
+        fused = _fuse_wp(a, b)
+        merges.append((a, b, fused, pc[best]))
+        out = {}
+        for syms, f in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    res.append(fused)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            key = tuple(res)
+            out[key] = out.get(key, 0) + f
+        words = out
+    return merges
+
+
+def test_wp_training_differential_toy(spark):
+    texts = [
+        "hugging hugging hugging face face hug hugs",
+        "bug bug mug mugs hug hugging",
+        "pun pun pun bun gun gun",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for k in (1, 3, 6):
+        got = learn_wordpiece_merges(df, k, min_count=1)
+        exp = _py_wp_train(texts, k, min_count=1)
+        assert got == exp, k
+
+
+def test_wp_training_differential_real_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = learn_wordpiece_merges(docs, 5)
+    exp = _py_wp_train(texts, 5)
+    assert got == exp
+
+
+def test_wp_scoring_differs_from_bpe(spark):
+    """The normalized score must pick a DIFFERENT pair than BPE's
+    raw count somewhere: 'xy' is the most frequent pair but x and y
+    are ubiquitous; 'qz' is rarer but its parts occur nowhere else."""
+    from wikiextractor_spark.functions.tokenizer import learn_bpe_merges
+
+    texts = ["xy xy xy xa yb qz"]
+    df = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+    bpe = learn_bpe_merges(df, 1, min_count=1)
+    wp = learn_wordpiece_merges(df, 1, min_count=1)
+    # raw count: (x,y) fires 3 times vs (q,z) once
+    assert bpe[0][:2] == ("x", "y")
+    # likelihood: q and ##z occur NOWHERE apart → score 1.0 beats
+    # xy's 3/(4·3)
+    assert (wp[0][0], wp[0][1]) == ("q", "##z")
+
+
+def test_wp_vocab_assembly_and_round_trip(spark):
+    texts = ["hug hug hug hugs bug bugs"]
+    df = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+    vocab = learn_wordpiece_vocab(df, vocab_size=12, min_count=1)
+    assert vocab[0] == "[UNK]"
+    # alphabet: bare firsts {h, b} + continuations {##u, ##g, ##s}
+    assert set(vocab[1:6]) == {"b", "h", "##u", "##g", "##s"}
+    assert vocab[1:6] == sorted(vocab[1:6])
+    assert len(vocab) <= 12
+    # the learned vocabulary SERVES: train→serve round trip
+    ids = wordpiece_token_ids(
+        df, wordpiece_from_tokens(spark, vocab), out_col="ids"
+    ).collect()[0]["ids"]
+    assert all(x != 0 for x in ids)  # nothing UNKs on its own corpus
+    # alphabet overflow raises
+    with pytest.raises(ValueError, match="alphabet needs"):
+        learn_wordpiece_vocab(df, vocab_size=3)
+
+
+def test_wp_training_contracts(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_wordpiece_merges(df, -1)
+    with pytest.raises(ValueError, match="min_count"):
+        learn_wordpiece_merges(df, 1, min_count=0)
+    with pytest.raises(ValueError, match="vocab_size"):
+        learn_wordpiece_vocab(df, 0)
+    # single-char words alone yield no pairs: zero merges, alphabet
+    # still covers serving
+    assert learn_wordpiece_merges(df, 3, min_count=1) == []

@@ -40,6 +40,8 @@ from wikiextractor_spark.functions.normalize import (  # noqa: F401
 )
 from wikiextractor_spark.functions.wordpiece import (  # noqa: F401
     basic_tokenize_text,
+    learn_wordpiece_merges,
+    learn_wordpiece_vocab,
     load_wordpiece_vocab,
     load_wordpiece_vocab_txt,
     save_wordpiece_vocab,

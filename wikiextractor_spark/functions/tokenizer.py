@@ -983,16 +983,22 @@ def bpe_decode_ids(
     return df.withColumn(out_col, _decode(F.col(ids_col)))
 
 
-def _merge_fold(a: str, b: str):
+def _merge_fold(a: str, b: str, fused: str | None = None):
     """One training merge pass over a symbol array as a native
     Catalyst fold (``F.aggregate``): replace every adjacent (a, b)
     left to right with overlap blocking — the accumulator carries a
     ``pend``ing symbol so a lookahead match can either fuse
-    (``pend=a, x=b`` → emit ``ab``) or flush.  Exactly the serving
-    replay's per-rule pass (:func:`_bpe_replay_word`), expressed
-    JVM-side; symbols are data, so the pair arrives as ``F.lit``
-    (never spliced into an expr string)."""
+    (``pend=a, x=b`` → emit the fused token) or flush.  Exactly the
+    serving replay's per-rule pass (:func:`_bpe_replay_word`),
+    expressed JVM-side; symbols are data, so the pair arrives as
+    ``F.lit`` (never spliced into an expr string).  ``fused``
+    overrides the emitted token (default ``a + b`` — WordPiece
+    training fuses with the continuation marker STRIPPED from b,
+    r13)."""
     a_lit, b_lit = F.lit(a), F.lit(b)
+    fused_col = (
+        F.concat(a_lit, b_lit) if fused is None else F.lit(fused)
+    )
     init = F.struct(
         F.array().cast("array<string>").alias("acc"),
         F.lit(None).cast("string").alias("pend"),
@@ -1007,9 +1013,7 @@ def _merge_fold(a: str, b: str):
             .when(
                 (acc["pend"] == a_lit) & (x == b_lit),
                 F.struct(
-                    F.array_append(
-                        acc["acc"], F.concat(acc["pend"], x)
-                    ).alias("acc"),
+                    F.array_append(acc["acc"], fused_col).alias("acc"),
                     F.lit(None).cast("string").alias("pend"),
                 ),
             )

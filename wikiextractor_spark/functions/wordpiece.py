@@ -426,3 +426,195 @@ def basic_tokenize_text(
     # own \1 dialect — the two never share this literal)
     c = F.regexp_replace(c, f"({BASIC_PUNCT_CLASS})", " $1 ")
     return F.btrim(F.regexp_replace(c, "[ \t\n\r\f\v]+", " "))
+
+
+# --------------------------------------------------------------------------
+# In-engine WordPiece vocabulary training
+# --------------------------------------------------------------------------
+
+#: syms with the continuation marker: first char bare, later chars
+#: '##'-prefixed — the WordPiece training grain (a word's interior is
+#: only reachable through continuation pieces, exactly how serving
+#: will consume the learned vocabulary)
+_WP_SYMS = (
+    "transform(filter(split(w, ''), x -> x <> ''), "
+    "(x, i) -> CASE WHEN i = 0 THEN x ELSE '##' || x END)"
+)
+
+
+def _wp_word_table(df, text_col, sample_fraction, seed):
+    """(syms array<string>, freq) at the WordPiece grain — the shared
+    distinct-word shuffle of :func:`tokenizer._word_freq_table` with
+    the continuation-marker transform applied on top (one home for
+    the pre-tokenization/sampling grain)."""
+    from wikiextractor_spark.functions.tokenizer import _word_freq_table
+
+    return _word_freq_table(df, text_col, sample_fraction, seed).select(
+        F.expr(
+            "transform(syms, (x, i) -> "
+            "CASE WHEN i = 0 THEN x ELSE '##' || x END)"
+        ).alias("syms"),
+        "freq",
+    )
+
+
+def _fuse_wp(a: str, b: str) -> str:
+    """The WordPiece fuse rule: the right side's continuation marker
+    is absorbed — merge('a','##b') → 'ab', merge('##b','##c') →
+    '##bc' (the left side keeps whatever marker it has)."""
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def learn_wordpiece_merges(
+    df: DataFrame, n_merges: int, text_col: str = "text",
+    min_count: int = 2, sample_fraction: float | None = None,
+    seed: int = 0, _words: DataFrame | None = None,
+) -> list[tuple[str, str, str, int]]:
+    """TRAIN WordPiece merges on the corpus — the published
+    likelihood-scored rule (Schuster & Nakajima 2012, as implemented
+    by the HF WordPiece trainer): per round, over the ACTIVE word
+    table (words still carrying 2+ symbols), pick the adjacent pair
+    maximizing ``count(a,b) / (count(a) · count(b))`` — pair count
+    normalized by both sides' unigram counts, so training prefers
+    pairs whose parts rarely occur apart, unlike BPE's raw-count
+    argmax — and fuse all its occurrences left to right with the
+    right side's ``##`` marker absorbed.  Ties on the score break by
+    the pair key ascending (a stated engine convention — the
+    published trainer's tie order is container-insertion-dependent);
+    the ratio is an exact-integer IEEE division, identical on any
+    engine.  Stops early when the best pair's COUNT falls below
+    ``min_count`` (the trainer's min-frequency guard, applied to the
+    raw pair count — a ratio floor would be scale-dependent).
+
+    Returns ``(left, right, fused, corpus_pair_count)`` — feed the
+    fused tokens plus the alphabet to :func:`wordpiece_from_tokens`
+    for serving (:func:`learn_wordpiece_vocab` composes exactly
+    that).
+
+    Scale shape: the :func:`learn_bpe_merges` discipline — one
+    distinct-word shuffle up front, each round two map-side-combined
+    aggregations over the monotonically-shrinking active table (pair
+    counts + symbol counts, joined driver-broadcast small) plus one
+    single-row argmax collect; the merge pass is the shared native
+    fold; per-round localCheckpoint with the superseded round's
+    blocks released."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _ADJ_PAIRS,
+        _merge_fold,
+        _release_local_checkpoint,
+    )
+
+    if n_merges < 0:
+        raise ValueError("learn_wordpiece_merges: n_merges must be >= 0")
+    if min_count < 1:
+        raise ValueError("learn_wordpiece_merges: min_count must be >= 1")
+    base = (
+        _wp_word_table(df, text_col, sample_fraction, seed)
+        if _words is None
+        else _words
+    )
+    words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                words.select(
+                    F.explode(F.expr(_ADJ_PAIRS)).alias("p"), "freq"
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            syms = (
+                words.select(F.explode("syms").alias("s"), "freq")
+                .groupBy("s")
+                .agg(F.sum("freq").alias("c"))
+            )
+            best = (
+                pairs.join(
+                    F.broadcast(syms.withColumnRenamed("s", "a")
+                                .withColumnRenamed("c", "ca")), "a"
+                )
+                .join(
+                    F.broadcast(syms.withColumnRenamed("s", "b")
+                                .withColumnRenamed("c", "cb")), "b"
+                )
+                .withColumn(
+                    "score",
+                    F.col("cnt").cast("double")
+                    / (F.col("ca") * F.col("cb")),
+                )
+                .orderBy(
+                    F.desc("score"), F.asc(F.concat_ws(" ", "a", "b"))
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_count:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            fused = _fuse_wp(a, b)
+            merges.append((a, b, fused, int(best[0]["cnt"])))
+            prev = words
+            words = (
+                words.select(
+                    _merge_fold(a, b, fused=fused)(F.col("syms"))
+                    .alias("syms"),
+                    "freq",
+                )
+                .where(F.size("syms") > 1)
+                .localCheckpoint(eager=True)
+            )
+            _release_local_checkpoint(prev)
+    finally:
+        _release_local_checkpoint(words)
+    return merges
+
+
+def learn_wordpiece_vocab(
+    df: DataFrame, vocab_size: int, text_col: str = "text",
+    unk_token: str = "[UNK]", min_count: int = 2,
+    sample_fraction: float | None = None, seed: int = 0,
+) -> list[str]:
+    """TRAIN a complete serving vocabulary: ``unk_token`` at id 0
+    (the published layout), the corpus ALPHABET sorted (every bare
+    first-character and ``##``-marked continuation character — the
+    coverage floor that keeps serving's whole-word-UNK collapse to
+    genuinely novel characters), then learned merge outputs in
+    creation order, up to ``vocab_size`` entries total.  Raises when
+    the alphabet alone exceeds the budget (truncating it would
+    silently UNK entire character classes).  Feed the returned list
+    straight to :func:`wordpiece_from_tokens` (pytest pins the full
+    train→serve round trip)."""
+    if vocab_size < 1:
+        raise ValueError(
+            f"learn_wordpiece_vocab: vocab_size must be >= 1, got "
+            f"{vocab_size}"
+        )
+    words = _wp_word_table(df, text_col, sample_fraction, seed)
+    words = words.localCheckpoint(eager=True)
+    try:
+        alphabet = sorted(
+            r["s"]
+            for r in words.select(
+                F.explode("syms").alias("s")
+            ).distinct().collect()
+        )
+        head = [unk_token] + [t for t in alphabet if t != unk_token]
+        if vocab_size < len(head):
+            raise ValueError(
+                f"learn_wordpiece_vocab: the alphabet needs "
+                f"{len(head)} entries but vocab_size is {vocab_size} "
+                "— truncating the alphabet would silently UNK whole "
+                "character classes; raise vocab_size"
+            )
+        merges = learn_wordpiece_merges(
+            df, vocab_size - len(head), text_col=text_col,
+            min_count=min_count, _words=words,
+        )
+        return head + [f for _a, _b, f, _c in merges]
+    finally:
+        from wikiextractor_spark.functions.tokenizer import (
+            _release_local_checkpoint,
+        )
+
+        _release_local_checkpoint(words)

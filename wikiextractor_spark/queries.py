@@ -4988,6 +4988,81 @@ def _bpe_train_ctes(k: int) -> tuple[str, str]:
 _BT_CTES, _BT_UNION = _bpe_train_ctes(_BPE_TRAIN_K)
 
 
+_WP_TRAIN_K = 4
+
+
+def _wp_train_ctes(k: int) -> tuple[str, str]:
+    """Generate (cte_block, union_select) for the k-round WordPiece
+    training chain — the _bpe_train_ctes pattern with the
+    ##-marked initial state, per-round SYMBOL counts beside the pair
+    counts, the likelihood-score argmax (exact-integer IEEE division
+    on both engines, pair-key-ascending tie-break), and the fused
+    token absorbing the right side's marker.  Prototyped
+    mismatch-free against the trainer's Python reference over the
+    full sf0.01 AND sf0.1 corpora before wiring in."""
+    parts = [f"""
+    wt_t0 AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS w
+        FROM documents) u
+      WHERE w <> '' GROUP BY w
+    ),
+    wt_s0 AS (
+      SELECT {_SEP}||{_SEP}|| substring(w, 1, 1) ||{_SEP}||{_SEP}||
+             regexp_replace(substring(w, 2), '(.)',
+                            '##\\1'||{_SEP}||{_SEP}, 'g') AS state,
+             freq
+      FROM wt_t0 WHERE length(w) > 1
+    )"""]
+    for i in range(k):
+        parts.append(f"""
+    wt_a{i} AS (
+      SELECT syms, freq FROM (
+        SELECT list_filter(string_split(state, {_SEP}||{_SEP}),
+                           x -> x <> '') AS syms, freq
+        FROM wt_s{i}) q
+      WHERE len(syms) > 1
+    ),
+    wt_p{i} AS (
+      SELECT z.pr[1] AS a, z.pr[2] AS b, SUM(z.freq) AS cnt FROM (
+        SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                               list_slice(syms, 2, len(syms)))) AS pr,
+               freq
+        FROM wt_a{i}
+      ) z GROUP BY 1, 2
+    ),
+    wt_y{i} AS (
+      SELECT u.s AS s, SUM(u.freq) AS c FROM (
+        SELECT unnest(syms) AS s, freq FROM wt_a{i}) u GROUP BY 1
+    ),
+    wt_b{i} AS (
+      SELECT p.a, p.b, p.cnt,
+             p.a || CASE WHEN starts_with(p.b, '##')
+                         THEN substring(p.b, 3) ELSE p.b END AS f,
+             {i + 1} AS rn
+      FROM wt_p{i} p
+      JOIN wt_y{i} ya ON ya.s = p.a
+      JOIN wt_y{i} yb ON yb.s = p.b
+      ORDER BY CAST(p.cnt AS DOUBLE) / (ya.c * yb.c) DESC,
+               p.a || ' ' || p.b
+      LIMIT 1
+    ),
+    wt_s{i + 1} AS (
+      SELECT replace(s.state,
+                     {_SEP}||bb.a||{_SEP}||{_SEP}||bb.b||{_SEP},
+                     {_SEP}||bb.f||{_SEP}) AS state,
+             s.freq
+      FROM wt_s{i} s CROSS JOIN wt_b{i} bb
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT a, b, f, cnt, rn FROM wt_b{i}" for i in range(k)
+    )
+    return ",".join(parts), union
+
+
+_WT_CTES, _WT_UNION = _wp_train_ctes(_WP_TRAIN_K)
+
+
 # Per-doc TF-IDF keywords + global top-20 bigrams in one
 # discriminated union.  Merged from r2's ta_tfidf_keywords + r1's
 # ta_top_bigrams (both green) to free a battery slot under the
@@ -5137,6 +5212,7 @@ _TERM_STATS_DUCK_SQL = f"""
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
     {_BT_CTES},
+    {_WT_CTES},
     tf AS (SELECT doc_id, w, COUNT(*) AS c FROM exploded GROUP BY doc_id, w),
     df AS (SELECT w, COUNT(DISTINCT doc_id) AS d FROM exploded GROUP BY w),
     n AS (SELECT COUNT(*) AS total FROM documents),
@@ -5166,6 +5242,14 @@ _TERM_STATS_DUCK_SQL = f"""
     SELECT 'bpe_merge' AS family, CAST(-1 AS BIGINT) AS doc_id,
            a || ' ' || b AS term, CAST(cnt AS DOUBLE) AS score, rn
     FROM ({_BT_UNION})
+    UNION ALL
+    -- the fused token rides the term beside the pair: the hash pins
+    -- the likelihood-argmax SELECTION SEQUENCE and the ##-absorbing
+    -- fuse rule
+    SELECT 'wp_train' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           a || ' ' || b || ' -> ' || f AS term,
+           CAST(cnt AS DOUBLE) AS score, rn
+    FROM ({_WT_UNION})
     {_bm25_union_sql()}
     """
 
@@ -5197,6 +5281,30 @@ def ta_term_stats(spark, sf_dir):
         "family string, doc_id bigint, term string, score double, rn int",
     )
     out = base.unionByName(merges_df)
+    # 'wp_train' family (r13, functions/wordpiece.py): the
+    # likelihood-scored WordPiece trainer on the same corpus — the
+    # oracle re-derives every round (pair + symbol counts, the
+    # normalized-score argmax, the ##-absorbing fuse) as a generated
+    # CTE chain (_wp_train_ctes); min_count=2 exercises the
+    # min-frequency guard arithmetic too
+    from wikiextractor_spark.functions.wordpiece import (
+        learn_wordpiece_merges,
+    )
+
+    wp_learned = learn_wordpiece_merges(
+        load_table(spark, sf_dir, "documents"),
+        _WP_TRAIN_K, min_count=2,
+    )
+    out = out.unionByName(
+        spark.createDataFrame(
+            [
+                ("wp_train", -1, f"{a} {b} -> {fz}", float(cnt), i + 1)
+                for i, (a, b, fz, cnt) in enumerate(wp_learned)
+            ],
+            "family string, doc_id bigint, term string, score double, "
+            "rn int",
+        )
+    )
     # 'bm25' family (r11, functions/bm25.py): fit once over the union
     # of both query term sets, then per query one TakeOrderedAndProject
     # top-k; rank assigned by a window over the k-row result (the
