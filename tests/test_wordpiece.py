@@ -466,18 +466,19 @@ def _py_wp_train(texts, n_merges, min_count=2):
                 sc[s] += f
             for x, y in zip(syms, syms[1:]):
                 pc[(x, y)] += f
-        if not pc:
+        eligible = {p: c for p, c in pc.items() if c >= min_count}
+        if not eligible:
             break
-        best = max(
-            pc,
+        # min() with (negated score, ascending key): a [-ord(c)]
+        # inversion under max() mishandles prefix-shaped key ties
+        # (r13 review)
+        best = min(
+            eligible,
             key=lambda p: (
-                pc[p] / (sc[p[0]] * sc[p[1]]),
-                # ascending key wins ties -> invert for max()
-                [-ord(c) for c in p[0] + " " + p[1]],
+                -eligible[p] / (sc[p[0]] * sc[p[1]]),
+                p[0] + " " + p[1],
             ),
         )
-        if pc[best] < min_count:
-            break
         a, b = best
         fused = _fuse_wp(a, b)
         merges.append((a, b, fused, pc[best]))
@@ -568,3 +569,37 @@ def test_wp_training_contracts(spark):
     # single-char words alone yield no pairs: zero merges, alphabet
     # still covers serving
     assert learn_wordpiece_merges(df, 3, min_count=1) == []
+
+
+def test_wp_min_count_is_a_selection_filter(spark):
+    """A count-1 unique-character bigram scores a perfect 1.0 but
+    must NOT halt training under min_count=2 — sub-threshold pairs
+    are excluded from the argmax, frequent pairs keep merging
+    (r13 review)."""
+    texts = ["aaab aaab aaab qz"]
+    df = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+    got = learn_wordpiece_merges(df, 2, min_count=2)
+    exp = _py_wp_train(texts, 2, min_count=2)
+    assert got == exp
+    # training proceeded (two merges emitted from the frequent word)
+    # and the count-1 (q,##z) — the score-1.0 bigram — never appears
+    assert len(got) == 2
+    assert all((a, b) != ("q", "##z") for a, b, _f, _c in got)
+    # ('##a','##b') beats the score-tied ('a','##a') on the
+    # ascending pair key ('#' < 'a') — the stated tie-break
+    assert (got[0][0], got[0][1]) == ("##a", "##b")
+
+
+def test_wp_vocab_dedups_fused_collisions(spark):
+    """Words literally carrying the marker can fuse tokens that
+    collide with alphabet entries — first occurrence wins and the
+    train→serve round trip must not crash (r13 review)."""
+    df = spark.createDataFrame(
+        [(1, "##x ##x zx")], "doc_id long, text string"
+    )
+    vocab = learn_wordpiece_vocab(df, vocab_size=20, min_count=1)
+    assert len(vocab) == len(set(vocab))
+    ids = wordpiece_token_ids(
+        df, wordpiece_from_tokens(spark, vocab), out_col="ids"
+    ).collect()[0]["ids"]
+    assert ids  # serving works on the training corpus

@@ -432,16 +432,6 @@ def basic_tokenize_text(
 # In-engine WordPiece vocabulary training
 # --------------------------------------------------------------------------
 
-#: syms with the continuation marker: first char bare, later chars
-#: '##'-prefixed — the WordPiece training grain (a word's interior is
-#: only reachable through continuation pieces, exactly how serving
-#: will consume the learned vocabulary)
-_WP_SYMS = (
-    "transform(filter(split(w, ''), x -> x <> ''), "
-    "(x, i) -> CASE WHEN i = 0 THEN x ELSE '##' || x END)"
-)
-
-
 def _wp_word_table(df, text_col, sample_fraction, seed):
     """(syms array<string>, freq) at the WordPiece grain — the shared
     distinct-word shuffle of :func:`tokenizer._word_freq_table` with
@@ -482,9 +472,13 @@ def learn_wordpiece_merges(
     the pair key ascending (a stated engine convention — the
     published trainer's tie order is container-insertion-dependent);
     the ratio is an exact-integer IEEE division, identical on any
-    engine.  Stops early when the best pair's COUNT falls below
-    ``min_count`` (the trainer's min-frequency guard, applied to the
-    raw pair count — a ratio floor would be scale-dependent).
+    engine.  ``min_count`` is a SELECTION FILTER, not a stop: pairs
+    below the raw-count threshold are excluded from the argmax (the
+    published min-frequency guard — under likelihood scoring a
+    count-1 pair of unique characters scores a perfect 1.0 and would
+    otherwise dominate every round; one rare-unicode bigram must not
+    halt training, r13 review), and training stops only when NO
+    eligible pair remains.
 
     Returns ``(left, right, fused, corpus_pair_count)`` — feed the
     fused tokens plus the alphabet to :func:`wordpiece_from_tokens`
@@ -530,7 +524,8 @@ def learn_wordpiece_merges(
                 .agg(F.sum("freq").alias("c"))
             )
             best = (
-                pairs.join(
+                pairs.where(F.col("cnt") >= min_count)
+                .join(
                     F.broadcast(syms.withColumnRenamed("s", "a")
                                 .withColumnRenamed("c", "ca")), "a"
                 )
@@ -549,7 +544,7 @@ def learn_wordpiece_merges(
                 .limit(1)
                 .collect()
             )
-            if not best or best[0]["cnt"] < min_count:
+            if not best:
                 break
             a, b = best[0]["a"], best[0]["b"]
             fused = _fuse_wp(a, b)
@@ -611,7 +606,20 @@ def learn_wordpiece_vocab(
             df, vocab_size - len(head), text_col=text_col,
             min_count=min_count, _words=words,
         )
-        return head + [f for _a, _b, f, _c in merges]
+        # first occurrence wins (the train_bpe_tokenizer dedup
+        # discipline): a fused token can collide with an alphabet
+        # entry or an earlier merge when words literally carry the
+        # '##' marker or a later fuse re-creates an earlier pair —
+        # the serving artifact must stay duplicate-free
+        # (wordpiece_from_tokens raises on duplicates), so the
+        # result may come out shorter than vocab_size (stated)
+        seen = set(head)
+        out = list(head)
+        for _a, _b, f, _c in merges:
+            if f not in seen:
+                seen.add(f)
+                out.append(f)
+        return out
     finally:
         from wikiextractor_spark.functions.tokenizer import (
             _release_local_checkpoint,

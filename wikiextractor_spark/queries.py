@@ -4989,15 +4989,18 @@ _BT_CTES, _BT_UNION = _bpe_train_ctes(_BPE_TRAIN_K)
 
 
 _WP_TRAIN_K = 4
+_WP_TRAIN_MC = 2
 
 
-def _wp_train_ctes(k: int) -> tuple[str, str]:
+def _wp_train_ctes(k: int, min_count: int) -> tuple[str, str]:
     """Generate (cte_block, union_select) for the k-round WordPiece
     training chain — the _bpe_train_ctes pattern with the
     ##-marked initial state, per-round SYMBOL counts beside the pair
-    counts, the likelihood-score argmax (exact-integer IEEE division
-    on both engines, pair-key-ascending tie-break), and the fused
-    token absorbing the right side's marker.  Prototyped
+    counts, the likelihood-score argmax over pairs at or above the
+    min-count SELECTION filter (exact-integer IEEE division on both
+    engines, pair-key-ascending tie-break; an empty eligible set
+    cascades empty rounds exactly like the engine's stop), and the
+    fused token absorbing the right side's marker.  Prototyped
     mismatch-free against the trainer's Python reference over the
     full sf0.01 AND sf0.1 corpora before wiring in."""
     parts = [f"""
@@ -5043,6 +5046,7 @@ def _wp_train_ctes(k: int) -> tuple[str, str]:
       FROM wt_p{i} p
       JOIN wt_y{i} ya ON ya.s = p.a
       JOIN wt_y{i} yb ON yb.s = p.b
+      WHERE p.cnt >= {min_count}
       ORDER BY CAST(p.cnt AS DOUBLE) / (ya.c * yb.c) DESC,
                p.a || ' ' || p.b
       LIMIT 1
@@ -5060,7 +5064,7 @@ def _wp_train_ctes(k: int) -> tuple[str, str]:
     return ",".join(parts), union
 
 
-_WT_CTES, _WT_UNION = _wp_train_ctes(_WP_TRAIN_K)
+_WT_CTES, _WT_UNION = _wp_train_ctes(_WP_TRAIN_K, _WP_TRAIN_MC)
 
 
 # Per-doc TF-IDF keywords + global top-20 bigrams in one
@@ -5284,16 +5288,17 @@ def ta_term_stats(spark, sf_dir):
     # 'wp_train' family (r13, functions/wordpiece.py): the
     # likelihood-scored WordPiece trainer on the same corpus — the
     # oracle re-derives every round (pair + symbol counts, the
-    # normalized-score argmax, the ##-absorbing fuse) as a generated
-    # CTE chain (_wp_train_ctes); min_count=2 exercises the
-    # min-frequency guard arithmetic too
+    # normalized-score argmax over the min-count-FILTERED pair set,
+    # the ##-absorbing fuse) as a generated CTE chain sharing the
+    # same _WP_TRAIN_MC threshold — the guard is genuinely under the
+    # hash, not a latent mismatch (r13 review)
     from wikiextractor_spark.functions.wordpiece import (
         learn_wordpiece_merges,
     )
 
     wp_learned = learn_wordpiece_merges(
         load_table(spark, sf_dir, "documents"),
-        _WP_TRAIN_K, min_count=2,
+        _WP_TRAIN_K, min_count=_WP_TRAIN_MC,
     )
     out = out.unionByName(
         spark.createDataFrame(
