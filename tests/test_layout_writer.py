@@ -191,3 +191,75 @@ def test_shard_tiebreak_stabilizes_nonunique_ids(spark, tmp_path):
             by_doc.setdefault(d_, []).append(c_)
         for cs in by_doc.values():
             assert cs == sorted(cs)
+
+
+# --------------------------------------------------------------------------
+# shard integrity manifests
+# --------------------------------------------------------------------------
+
+from wikiextractor_spark.sink import (  # noqa: E402
+    shard_manifest,
+    verify_training_shards,
+    write_shard_manifest,
+)
+
+
+def test_manifest_round_trip_and_corruption(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    src = _jl_src(spark)
+    d = str(tmp_path / "ms")
+    write_training_shards(src, d, n_shards=4, seed="m")
+    back = read_training_shards(spark, d)
+    write_shard_manifest(back, d)
+    # clean layout verifies; the manifest file must not pollute reads
+    assert verify_training_shards(spark, d) == 4
+    assert read_training_shards(spark, d).count() == 40
+    # order-insensitivity: the checksum ignores scan order
+    m1 = {tuple(r) for r in shard_manifest(back).collect()}
+    m2 = {
+        tuple(r)
+        for r in shard_manifest(back.repartition(7)).collect()
+    }
+    assert m1 == m2
+    # corruption: drop one shard directory entirely -> loud failure
+    victim = sorted(glob.glob(f"{d}/shard_id=*"))[0]
+    shutil.rmtree(victim)
+    with pytest.raises(ValueError, match="MISSING from the layout"):
+        verify_training_shards(spark, d)
+
+
+def test_manifest_detects_content_drift(spark, tmp_path):
+    import glob
+
+    src = _jl_src(spark)
+    d = str(tmp_path / "md")
+    write_training_shards(src, d, n_shards=2, seed="m")
+    write_shard_manifest(read_training_shards(spark, d), d)
+    # rewrite one shard with one row altered (same count) —
+    # materialize BEFORE overwriting, or the lazy plan reads the
+    # very files the write replaces
+    rows = [
+        r.asDict()
+        for r in read_training_shards(spark, d, shard_ids=[0])
+        .drop("shard_id").collect()
+    ]
+    rows[0]["text"] = "tampered"
+    drift = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["token_ids"]) for r in rows],
+        _JL_SCHEMA,
+    )
+    part_dir = glob.glob(f"{d}/shard_id=0")[0]
+    drift.coalesce(1).write.mode("overwrite").parquet(part_dir)
+    with pytest.raises(ValueError, match="shard 0: manifest"):
+        verify_training_shards(spark, d)
+
+
+def test_manifest_missing_raises(spark, tmp_path):
+    src = _jl_src(spark)
+    d = str(tmp_path / "mn")
+    write_training_shards(src, d, n_shards=2, seed="m")
+    with pytest.raises(ValueError, match="no readable manifest"):
+        verify_training_shards(spark, d)

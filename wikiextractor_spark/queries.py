@@ -4211,7 +4211,11 @@ def corpus_prepare(spark, sf_dir):
     prepared rows export through write_jsonl_shards (same (id, seed)
     contract, same seed) and read back under the declared schema —
     row count AND per-row shard membership must equal the parquet
-    export's (the format-parity contract), all before the hash."""
+    export's (the format-parity contract), all before the hash.
+    r13 also routes the INTEGRITY manifest through sink_ok:
+    write_shard_manifest over the read-back, then
+    verify_training_shards recomputes every shard's count + xor +
+    modular-sum checksums against it (two more fixed jobs)."""
     import shutil
     import tempfile
 
@@ -4219,7 +4223,9 @@ def corpus_prepare(spark, sf_dir):
     from wikiextractor_spark.sink import (
         read_jsonl_shards,
         read_training_shards,
+        verify_training_shards,
         write_jsonl_shards,
+        write_shard_manifest,
         write_sized_parquet,
         write_training_shards,
     )
@@ -4245,6 +4251,13 @@ def corpus_prepare(spark, sf_dir):
         back = read_training_shards(
             spark, f"{tmp}/shards", shard_ids=list(range(n_sh))
         )
+        # r13: the integrity manifest over the on-disk layout, then
+        # the loader-side verification gate — a corrupt/lost shard
+        # would raise here, a checksum drift would flip sink_ok
+        write_shard_manifest(
+            read_training_shards(spark, f"{tmp}/shards"), f"{tmp}/shards"
+        )
+        n_verified = verify_training_shards(spark, f"{tmp}/shards")
         expected_shard = F.pmod(
             F.xxhash64(F.col("doc_id").cast("string"), F.lit("r12")),
             F.lit(n_sh),
@@ -4274,6 +4287,7 @@ def corpus_prepare(spark, sf_dir):
         ).collect()[0]
         sink_ok = (
             sink_ok and jstat["n"] == n_back and jstat["bad"] == 0
+            and n_verified == n_sh
         )
         # the tempdir dies with this function — pin the read-back
         # before the rmtree (the load_bpe_vocab pattern)

@@ -322,3 +322,85 @@ def read_jsonl_shards(
         # positional parameter is the schema
         .json([p for _i, p in dirs])
     )
+
+
+def shard_manifest(shards: DataFrame) -> DataFrame:
+    """→ ``(shard_id, n_rows, content_sum)`` from a shards frame (a
+    :func:`read_training_shards` read-back or the pre-write frame
+    with ``shard_id`` attached): per shard the row count and an
+    ORDER-INSENSITIVE content checksum — ``SUM(xxhash64(to_json(
+    struct(*))))`` over every non-shard column, deterministic for a
+    fixed column order and independent of row order (verification
+    must not depend on scan order).  One map-side-combined
+    aggregation."""
+    cols = [c for c in shards.columns if c != "shard_id"]
+    if not cols:
+        raise ValueError("shard_manifest: no content columns")
+    row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    # XOR (overflow-free, order-insensitive; even-multiplicity rows
+    # cancel) PLUS a modular sum (catches exactly the cancellation
+    # case; pmod bound 1e6+3 keeps SUM inside a long past 9e12
+    # rows/shard) — a plain SUM of full-range hashes overflows under
+    # ANSI arithmetic
+    return shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(row_hash).alias("content_xor"),
+        F.sum(F.pmod(row_hash, F.lit(1_000_003))).alias("content_sum"),
+    )
+
+
+def write_shard_manifest(shards: DataFrame, out_dir: str) -> None:
+    """Compute and persist the integrity manifest beside a parquet
+    shard layout (``<out_dir>/_manifest`` — the underscore prefix
+    keeps every Spark reader from picking it up as data).  Write it
+    immediately after :func:`write_training_shards` from a read-back
+    of the SAME directory, so the manifest describes the bytes on
+    disk, not the pre-write plan."""
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    write_one_file(shard_manifest(shards), f"{out_dir}/_manifest")
+
+
+def verify_training_shards(spark, out_dir: str) -> int:
+    """Recompute every shard's count and content checksum and compare
+    against the stored manifest — the loader-side integrity gate: a
+    truncated write, a lost shard directory, or bit rot must FAIL
+    LOUDLY before a trainer consumes the corpus.  Raises ValueError
+    naming every mismatched / missing / unexpected shard; returns
+    the number of verified shards on success.  Cost: one scan of the
+    layout + the driver-sized manifest read."""
+    try:
+        stored = {
+            r["shard_id"]: (r["n_rows"], r["content_xor"],
+                            r["content_sum"])
+            for r in spark.read.parquet(f"{out_dir}/_manifest").collect()
+        }
+    except Exception as exc:
+        raise ValueError(
+            f"verify_training_shards: no readable manifest under "
+            f"{out_dir!r} ({type(exc).__name__}) — write one with "
+            "write_shard_manifest at export time"
+        ) from exc
+    actual = {
+        r["shard_id"]: (r["n_rows"], r["content_xor"], r["content_sum"])
+        for r in shard_manifest(
+            read_training_shards(spark, out_dir)
+        ).collect()
+    }
+    problems = []
+    for sid in sorted(set(stored) | set(actual)):
+        if sid not in actual:
+            problems.append(f"shard {sid}: MISSING from the layout")
+        elif sid not in stored:
+            problems.append(f"shard {sid}: not in the manifest")
+        elif stored[sid] != actual[sid]:
+            problems.append(
+                f"shard {sid}: manifest {stored[sid]} != layout "
+                f"{actual[sid]}"
+            )
+    if problems:
+        raise ValueError(
+            "verify_training_shards: integrity check FAILED — "
+            + "; ".join(problems)
+        )
+    return len(actual)
