@@ -206,7 +206,6 @@ from wikiextractor_spark.sink import (  # noqa: E402
 
 def test_manifest_round_trip_and_corruption(spark, tmp_path):
     import glob
-    import os
     import shutil
 
     src = _jl_src(spark)

@@ -4251,12 +4251,12 @@ def corpus_prepare(spark, sf_dir):
         back = read_training_shards(
             spark, f"{tmp}/shards", shard_ids=list(range(n_sh))
         )
-        # r13: the integrity manifest over the on-disk layout, then
-        # the loader-side verification gate — a corrupt/lost shard
-        # would raise here, a checksum drift would flip sink_ok
-        write_shard_manifest(
-            read_training_shards(spark, f"{tmp}/shards"), f"{tmp}/shards"
-        )
+        # r13: the integrity manifest over the read-back, then the
+        # loader-side verification gate.  Failure modes, precisely:
+        # a corrupt/lost/drifted shard RAISES out of the slot (the
+        # verifier is loud by design); the n_verified == n_sh term
+        # pins only the layout's shard COUNT under the hash
+        write_shard_manifest(back, f"{tmp}/shards")
         n_verified = verify_training_shards(spark, f"{tmp}/shards")
         expected_shard = F.pmod(
             F.xxhash64(F.col("doc_id").cast("string"), F.lit("r12")),

@@ -325,14 +325,19 @@ def read_jsonl_shards(
 
 
 def shard_manifest(shards: DataFrame) -> DataFrame:
-    """→ ``(shard_id, n_rows, content_sum)`` from a shards frame (a
-    :func:`read_training_shards` read-back or the pre-write frame
-    with ``shard_id`` attached): per shard the row count and an
-    ORDER-INSENSITIVE content checksum — ``SUM(xxhash64(to_json(
-    struct(*))))`` over every non-shard column, deterministic for a
-    fixed column order and independent of row order (verification
-    must not depend on scan order).  One map-side-combined
-    aggregation."""
+    """→ ``(shard_id, n_rows, content_xor, content_sum)`` from a
+    shards frame (a :func:`read_training_shards` read-back or the
+    pre-write frame with ``shard_id`` attached): per shard the row
+    count and TWO order-insensitive content checksums over
+    ``xxhash64(to_json(struct(*non-shard columns)))`` — the bit-XOR
+    and a 1e6-grain modular sum (see the inline comment for why
+    neither alone suffices).  One map-side-combined aggregation.
+
+    The row hash renders through ``to_json``, which is
+    session-config-sensitive for TIMESTAMP columns (the session
+    time zone): verify from a session configured like the exporter,
+    or keep export schemas timestamp-free (the engine's shard
+    exports are ids/text/arrays — immune)."""
     cols = [c for c in shards.columns if c != "shard_id"]
     if not cols:
         raise ValueError("shard_manifest: no content columns")
@@ -369,13 +374,19 @@ def verify_training_shards(spark, out_dir: str) -> int:
     naming every mismatched / missing / unexpected shard; returns
     the number of verified shards on success.  Cost: one scan of the
     layout + the driver-sized manifest read."""
+    from pyspark.errors import AnalysisException
+
     try:
         stored = {
             r["shard_id"]: (r["n_rows"], r["content_xor"],
                             r["content_sum"])
             for r in spark.read.parquet(f"{out_dir}/_manifest").collect()
         }
-    except Exception as exc:
+    except AnalysisException as exc:
+        # ONLY the missing-path case maps to "write one": any other
+        # failure (corrupt footer, transient IO) must propagate —
+        # advising a regenerate would launder real corruption into a
+        # clean pass (r13 review)
         raise ValueError(
             f"verify_training_shards: no readable manifest under "
             f"{out_dir!r} ({type(exc).__name__}) — write one with "
