@@ -260,5 +260,78 @@ def test_manifest_missing_raises(spark, tmp_path):
     src = _jl_src(spark)
     d = str(tmp_path / "mn")
     write_training_shards(src, d, n_shards=2, seed="m")
-    with pytest.raises(ValueError, match="no readable manifest"):
+    with pytest.raises(ValueError, match="no manifest under"):
         verify_training_shards(spark, d)
+
+
+def test_manifest_present_but_unreadable_propagates(spark, tmp_path):
+    """A _manifest directory that EXISTS but cannot be read (emptied —
+    partial data loss, exactly the event the gate exists to surface)
+    must propagate its AnalysisException, NOT get the 'write one'
+    bootstrap advice (r13 ADVICE: advising a regenerate there
+    launders a loss signal into a bootstrap hint)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    src = _jl_src(spark)
+    d = str(tmp_path / "mu")
+    write_training_shards(src, d, n_shards=2, seed="m")
+    os.makedirs(f"{d}/_manifest")  # present, no parquet inside
+    with pytest.raises(AnalysisException) as ei:
+        verify_training_shards(spark, d)
+    assert "write one" not in str(ei.value)
+
+
+def test_jsonl_manifest_round_trip_and_corruption(spark, tmp_path):
+    """The interchange layout's own integrity gate (r14, r13 VERDICT
+    What's-missing #3): manifest from the schema'd JSONL read-back,
+    verification recomputes over the bytes on disk; tamper and loss
+    fail loudly."""
+    import shutil
+
+    src = _jl_src(spark)
+    d = str(tmp_path / "jm")
+    n = write_jsonl_shards(src, d, n_shards=4, seed="m")
+    back = read_jsonl_shards(spark, d, _JL_SCHEMA)
+    write_shard_manifest(back, d)
+    assert verify_training_shards(
+        spark, d, fmt="jsonl", schema=_JL_SCHEMA
+    ) == n
+    # the manifest must not pollute the shard listing
+    assert read_jsonl_shards(spark, d, _JL_SCHEMA).count() == 40
+    # content drift: tamper one value inside one shard's json bytes.
+    # Drop the local-FS .crc sidecar first — on a checksumming local
+    # FS Hadoop's own CRC trips before the manifest gate can (also a
+    # loud failure, but here we exercise the MANIFEST's detection,
+    # the only gate an object store without sidecars gives you)
+    victim = sorted(glob.glob(f"{d}/shard_id=0/*.json"))[0]
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(victim) as f:
+        body = f.read()
+    assert "doc " in body
+    with open(victim, "w") as f:
+        f.write(body.replace("doc ", "tampered ", 1))
+    with pytest.raises(ValueError, match="shard 0: manifest"):
+        verify_training_shards(spark, d, fmt="jsonl", schema=_JL_SCHEMA)
+    # loss: a whole shard directory gone
+    shutil.rmtree(f"{d}/shard_id=0")
+    with pytest.raises(ValueError, match="MISSING from the layout"):
+        verify_training_shards(spark, d, fmt="jsonl", schema=_JL_SCHEMA)
+
+
+def test_manifest_format_contract_errors(spark, tmp_path):
+    src = _jl_src(spark)
+    d = str(tmp_path / "mc")
+    write_training_shards(src, d, n_shards=2, seed="m")
+    write_shard_manifest(read_training_shards(spark, d), d)
+    with pytest.raises(ValueError, match="fmt must be"):
+        verify_training_shards(spark, d, fmt="csv")
+    with pytest.raises(ValueError, match="needs the export schema"):
+        verify_training_shards(spark, d, fmt="jsonl")
+    with pytest.raises(ValueError, match="applies only to"):
+        verify_training_shards(spark, d, schema=_JL_SCHEMA)

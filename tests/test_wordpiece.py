@@ -438,8 +438,12 @@ from wikiextractor_spark.functions.wordpiece import (  # noqa: E402
 def _py_wp_train(texts, n_merges, min_count=2):
     """Independent restatement of the likelihood-scored trainer:
     word-frequency table at the ##-marked grain, per round pick
-    max count(ab)/(count(a)count(b)) over words with 2+ symbols,
-    lexicographic pair-key tie-break, fuse with ## absorbed."""
+    max count(ab)/count(a)/count(b) with the symbol denominators
+    counted over the FULL word table (single-character and
+    fully-merged words included — the published HF convention, r14)
+    and the score evaluated as two divisions (never the integer
+    product), lexicographic pair-key tie-break, fuse with ##
+    absorbed."""
     import re
     from collections import Counter
 
@@ -460,10 +464,10 @@ def _py_wp_train(texts, n_merges, min_count=2):
     for _ in range(n_merges):
         pc, sc = Counter(), Counter()
         for syms, f in words.items():
+            for s in syms:  # FULL table: singletons feed denominators
+                sc[s] += f
             if len(syms) < 2:
                 continue
-            for s in syms:
-                sc[s] += f
             for x, y in zip(syms, syms[1:]):
                 pc[(x, y)] += f
         eligible = {p: c for p, c in pc.items() if c >= min_count}
@@ -475,7 +479,7 @@ def _py_wp_train(texts, n_merges, min_count=2):
         best = min(
             eligible,
             key=lambda p: (
-                -eligible[p] / (sc[p[0]] * sc[p[1]]),
+                -(eligible[p] / sc[p[0]] / sc[p[1]]),
                 p[0] + " " + p[1],
             ),
         )

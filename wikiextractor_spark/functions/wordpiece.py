@@ -462,17 +462,25 @@ def learn_wordpiece_merges(
 ) -> list[tuple[str, str, str, int]]:
     """TRAIN WordPiece merges on the corpus — the published
     likelihood-scored rule (Schuster & Nakajima 2012, as implemented
-    by the HF WordPiece trainer): per round, over the ACTIVE word
-    table (words still carrying 2+ symbols), pick the adjacent pair
+    by the HF WordPiece trainer): per round pick the adjacent pair
     maximizing ``count(a,b) / (count(a) · count(b))`` — pair count
     normalized by both sides' unigram counts, so training prefers
     pairs whose parts rarely occur apart, unlike BPE's raw-count
     argmax — and fuse all its occurrences left to right with the
-    right side's ``##`` marker absorbed.  Ties on the score break by
-    the pair key ascending (a stated engine convention — the
-    published trainer's tie order is container-insertion-dependent);
-    the ratio is an exact-integer IEEE division, identical on any
-    engine.  ``min_count`` is a SELECTION FILTER, not a stop: pairs
+    right side's ``##`` marker absorbed.  Symbol denominators count
+    over the FULL word table (single-character words and words fully
+    merged in earlier rounds keep contributing to their token's
+    frequency — the published HF trainer's convention; r13 ADVICE
+    caught the active-table draft diverging from it).  Ties on the
+    score break by the pair key ascending (a stated engine
+    convention — the published trainer's tie order is
+    container-insertion-dependent); the score is evaluated as two
+    IEEE double divisions ``cnt / count(a) / count(b)`` — never the
+    integer product ``count(a)·count(b)``, which overflows a long
+    once symbol frequencies pass ~3e9 at corpus scale (r13 ADVICE) —
+    so both divisions are exact-input IEEE ops, identical on any
+    engine, with the usual double-rounding caveat for counts past
+    2^53.  ``min_count`` is a SELECTION FILTER, not a stop: pairs
     below the raw-count threshold are excluded from the argmax (the
     published min-frequency guard — under likelihood scoring a
     count-1 pair of unique characters scores a perfect 1.0 and would
@@ -487,8 +495,11 @@ def learn_wordpiece_merges(
 
     Scale shape: the :func:`learn_bpe_merges` discipline — one
     distinct-word shuffle up front, each round two map-side-combined
-    aggregations over the monotonically-shrinking active table (pair
-    counts + symbol counts, joined driver-broadcast small) plus one
+    aggregations over the full distinct-word table (pair counts +
+    symbol counts, joined driver-broadcast small; retired
+    single-symbol words contribute no pairs and their merge pass is
+    a no-op fold, so keeping them costs one narrow native scan per
+    round — the price of the published denominator) plus one
     single-row argmax collect; the merge pass is the shared native
     fold; per-round localCheckpoint with the superseded round's
     blocks released."""
@@ -507,10 +518,13 @@ def learn_wordpiece_merges(
         if _words is None
         else _words
     )
-    words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
+    words = base.localCheckpoint(eager=True)
     merges: list[tuple[str, str, str, int]] = []
     try:
         for _ in range(n_merges):
+            # pairs come only from 2+-symbol words by construction
+            # (the slice in _ADJ_PAIRS is empty on singletons); the
+            # symbol counts below deliberately see EVERY word
             pairs = (
                 words.select(
                     F.explode(F.expr(_ADJ_PAIRS)).alias("p"), "freq"
@@ -534,9 +548,13 @@ def learn_wordpiece_merges(
                                 .withColumnRenamed("c", "cb")), "b"
                 )
                 .withColumn(
+                    # two divisions, never ca*cb: the BIGINT product
+                    # overflows past ~3e9-frequency symbols (r13
+                    # ADVICE); cnt/ca/cb stays in doubles throughout
                     "score",
                     F.col("cnt").cast("double")
-                    / (F.col("ca") * F.col("cb")),
+                    / F.col("ca").cast("double")
+                    / F.col("cb").cast("double"),
                 )
                 .orderBy(
                     F.desc("score"), F.asc(F.concat_ws(" ", "a", "b"))
@@ -556,7 +574,6 @@ def learn_wordpiece_merges(
                     .alias("syms"),
                     "freq",
                 )
-                .where(F.size("syms") > 1)
                 .localCheckpoint(eager=True)
             )
             _release_local_checkpoint(prev)

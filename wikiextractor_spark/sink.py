@@ -366,37 +366,79 @@ def write_shard_manifest(shards: DataFrame, out_dir: str) -> None:
     write_one_file(shard_manifest(shards), f"{out_dir}/_manifest")
 
 
-def verify_training_shards(spark, out_dir: str) -> int:
+def verify_training_shards(
+    spark, out_dir: str, *, fmt: str = "parquet", schema=None,
+) -> int:
     """Recompute every shard's count and content checksum and compare
     against the stored manifest — the loader-side integrity gate: a
     truncated write, a lost shard directory, or bit rot must FAIL
     LOUDLY before a trainer consumes the corpus.  Raises ValueError
     naming every mismatched / missing / unexpected shard; returns
     the number of verified shards on success.  Cost: one scan of the
-    layout + the driver-sized manifest read."""
-    from pyspark.errors import AnalysisException
+    layout + the driver-sized manifest read.
 
-    try:
-        stored = {
-            r["shard_id"]: (r["n_rows"], r["content_xor"],
-                            r["content_sum"])
-            for r in spark.read.parquet(f"{out_dir}/_manifest").collect()
-        }
-    except AnalysisException as exc:
-        # ONLY the missing-path case maps to "write one": any other
-        # failure (corrupt footer, transient IO) must propagate —
-        # advising a regenerate would launder real corruption into a
-        # clean pass (r13 review)
+    ``fmt='jsonl'`` verifies a :func:`write_jsonl_shards` layout —
+    the format built for EXTERNAL hand-off, where silent truncation
+    is least recoverable (r13 VERDICT).  It requires ``schema``: the
+    export schema in the EXPORTED column order (the
+    :func:`read_jsonl_shards` explicit-schema rule, and the row hash
+    renders ``to_json(struct(*))`` in frame column order — write the
+    manifest from a :func:`read_jsonl_shards` read-back under this
+    same schema and both sides render identically).  JSON round-trip
+    caveat: string/integral/boolean columns and arrays/structs of
+    them re-render exactly; fractional DOUBLE values may not — keep
+    JSONL export schemas float-free (the engine's shard exports are
+    ids/text/arrays — immune) or verify the parquet layout instead.
+
+    Advice-vs-corruption mapping: only a genuinely ABSENT
+    ``_manifest`` path gets the "write one" bootstrap message
+    (existence probed via the Hadoop FS, the fsutil discipline); a
+    manifest directory that EXISTS but fails to read — emptied,
+    corrupt footer, transient IO — propagates its AnalysisException
+    unchanged, because advising a regenerate there would launder a
+    real loss signal into a bootstrap hint (r13 ADVICE)."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    if fmt not in ("parquet", "jsonl"):
         raise ValueError(
-            f"verify_training_shards: no readable manifest under "
-            f"{out_dir!r} ({type(exc).__name__}) — write one with "
-            "write_shard_manifest at export time"
-        ) from exc
+            f"verify_training_shards: fmt must be 'parquet' or "
+            f"'jsonl', got {fmt!r}"
+        )
+    if fmt == "jsonl" and schema is None:
+        raise ValueError(
+            "verify_training_shards: fmt='jsonl' needs the export "
+            "schema (read_jsonl_shards' explicit-schema rule) — pass "
+            "schema= in the exported column order"
+        )
+    if fmt == "parquet" and schema is not None:
+        raise ValueError(
+            "verify_training_shards: schema applies only to "
+            "fmt='jsonl' — the parquet layout carries its own; a "
+            "schema here would be silently ignored"
+        )
+    mpath = f"{out_dir}/_manifest"
+    jpath, fs = hadoop_fs(spark, mpath)
+    if not fs.exists(jpath):
+        raise ValueError(
+            f"verify_training_shards: no manifest under {out_dir!r} "
+            "— write one with write_shard_manifest at export time"
+        )
+    # the path exists: any read failure past this point is a REAL
+    # signal (emptied directory, corrupt footer, transient IO) and
+    # propagates as-is
+    stored = {
+        r["shard_id"]: (r["n_rows"], r["content_xor"],
+                        r["content_sum"])
+        for r in spark.read.parquet(mpath).collect()
+    }
+    layout = (
+        read_training_shards(spark, out_dir)
+        if fmt == "parquet"
+        else read_jsonl_shards(spark, out_dir, schema)
+    )
     actual = {
         r["shard_id"]: (r["n_rows"], r["content_xor"], r["content_sum"])
-        for r in shard_manifest(
-            read_training_shards(spark, out_dir)
-        ).collect()
+        for r in shard_manifest(layout).collect()
     }
     problems = []
     for sid in sorted(set(stored) | set(actual)):
