@@ -1117,6 +1117,57 @@ def test_special_tokens_roundtrip_fim_pack_markers(spark):
     assert ids == half + [50256] + half
 
 
+def test_greedy_count_honors_special_tokens(spark):
+    """r14 (r13 VERDICT What's-wrong #2): the GREEDY counter now
+    takes special_tokens through the shared kernel, so a corpus
+    carrying literal markers budgets the marker at exactly 1.0 under
+    BOTH grains instead of the greedy path silently charging it
+    per-character."""
+    specials = {_EOT: 50256}
+    texts = [_EOT, f"low{_EOT}low", f"lower {_EOT} newest zz", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = vocab_from_tokens(spark, VOCAB, oov_tokens_per_char=0.5)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count(
+            df, vocab, out_col="n", special_tokens=specials
+        ).collect()
+    }
+    # independent restatement: split on the literal marker (capturing
+    # alternation — odd indices are markers at 1.0), whitespace-split
+    # segments count through the greedy kernel
+    vs, lbf = _build_matcher(VOCAB)
+    alt = _re.compile("(%s)" % _re.escape(_EOT))
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+            continue
+        exp = 0.0
+        for k, seg in enumerate(alt.split(t)):
+            if k % 2 == 1:
+                exp += 1.0
+                continue
+            for w in _re.split(r"[ \t\n\r\f\v]+", seg):
+                if w:
+                    exp += _count_word(w, vs, lbf, 0.5)
+        assert got[i] == exp, (t, got[i], exp)
+    # the headline: the marker alone is ONE token under the greedy
+    # grain WITH specials — and matches the exact grain's cost —
+    # where the plain greedy run charges its characters
+    assert got[0] == 1.0
+    exact = bpe_token_count_exact(
+        df.filter("doc_id = 0"), vocab, {}, out_col="n",
+        special_tokens=specials,
+    ).first()["n"]
+    assert exact == got[0] == 1.0
+    plain = bpe_token_count(
+        df.filter("doc_id = 0"), vocab, out_col="n"
+    ).first()["n"]
+    assert plain > 1.0
+
+
 def test_special_tokens_contract_errors(spark):
     from wikiextractor_spark.functions.tokenizer import bpe_token_ids
 

@@ -474,3 +474,81 @@ def test_oversize_word_chars_fallback(spark):
     assert len(ids[0]) == got[0]
     with pytest.raises(ValueError, match="oversize_word"):
         unigram_token_count(df, lm, oversize_word="truncate")
+
+
+# --------------------------------------------------------------------------
+# unigram_decode_ids (r14): the decode leg of the triangle
+# --------------------------------------------------------------------------
+
+def test_unigram_decode_round_trip_and_lossiness(spark):
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+        unigram_token_ids,
+    )
+
+    lm = unigram_from_tokens(spark, LM, UNK)
+    df = spark.createDataFrame(
+        [(0, "lowering"), (1, "the lower onion"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    enc = unigram_token_ids(df, lm, out_col="ids")
+    got = {
+        r["doc_id"]: r["dec"]
+        for r in unigram_decode_ids(
+            enc, lm, ids_col="ids", out_col="dec"
+        ).collect()
+    }
+    # a fully-covered single WORD round-trips exactly
+    assert got[0] == "lowering"
+    # multi-word text decodes space-stripped (whitespace consumed at
+    # encode time — the stated plain-grain lossiness)
+    assert got[1] == "theloweronion"
+    assert got[2] == ""
+    assert got[3] is None
+
+
+def test_unigram_decode_specials_unk_and_errors(spark):
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+        unigram_token_ids,
+    )
+
+    lm = unigram_from_tokens(spark, {"ab": -1.0, "a": -2.0, "b": -2.0}, UNK)
+    tids = {"ab": 7, "a": 8, "b": 9}
+    sp = {"<|s|>": 100}
+    df = spark.createDataFrame(
+        [(0, "ab a<|s|>b q")], "doc_id long, text string"
+    )
+    enc = unigram_token_ids(
+        df, lm, out_col="ids", token_ids=tids, special_tokens=sp
+    )
+    # ids = [7, 8, 100, 9, -1]: specials verbatim, -1 -> oov_char
+    dec = unigram_decode_ids(
+        enc, lm, ids_col="ids", out_col="dec",
+        token_ids=tids, special_tokens=sp,
+    ).first()["dec"]
+    assert dec == "aba<|s|>b?"
+    # custom oov_char
+    dec2 = unigram_decode_ids(
+        enc, lm, ids_col="ids", out_col="dec",
+        token_ids=tids, special_tokens=sp, oov_char="~",
+    ).first()["dec"]
+    assert dec2 == "aba<|s|>b~"
+    # an UNREGISTERED sentinel id raises, naming this kernel
+    with pytest.raises(Exception, match="unigram_decode_ids"):
+        unigram_decode_ids(
+            enc, lm, ids_col="ids", out_col="dec", token_ids=tids
+        ).collect()
+    # id-derivation contract is the shared encode rule
+    with pytest.raises(ValueError, match="cover the LM"):
+        unigram_decode_ids(enc, lm, ids_col="ids", token_ids={"ab": 7})
+    with pytest.raises(ValueError, match="oov_char"):
+        unigram_decode_ids(enc, lm, ids_col="ids", oov_char="??")
+    # default lexicographic numbering decodes the default encoding:
+    # without specials the marker's characters are per-char unks —
+    # 'ab' + 'a' + 5 unks + 'b' + 1 unk for the uncovered 'q'
+    enc_d = unigram_token_ids(df, lm, out_col="ids")
+    dec_d = unigram_decode_ids(
+        enc_d, lm, ids_col="ids", out_col="dec"
+    ).first()["dec"]
+    assert dec_d == "aba?????b?"

@@ -52,6 +52,7 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from wikiextractor_spark.functions.tokenizer import (
@@ -313,6 +314,93 @@ def _viterbi_ids_word(
     return out
 
 
+def _unigram_raw_ids(
+    toks: dict[str, float], token_ids: dict[str, int] | None,
+    caller: str,
+) -> dict[str, int]:
+    """The ONE id-derivation rule the encode and decode paths share
+    (so the two can never disagree on a stream's numbering): explicit
+    ``token_ids`` must cover the LM's tokens exactly; when omitted,
+    ids default to the token list sorted lexicographically (the
+    stated engine convention — deterministic, but NOT the published
+    model's numbering)."""
+    if token_ids is None:
+        return {t: i for i, t in enumerate(sorted(toks))}
+    missing = set(toks) - set(token_ids)
+    extra = set(token_ids) - set(toks)
+    if missing or extra:
+        raise ValueError(
+            f"{caller}: token_ids must cover the LM's "
+            f"tokens exactly ({len(missing)} missing, "
+            f"{len(extra)} extra; first offending: "
+            f"{(sorted(missing) + sorted(extra))[:1]})"
+        )
+    return dict(token_ids)
+
+
+def unigram_decode_ids(
+    df: DataFrame, lm: DataFrame,
+    ids_col: str = "token_ids", out_col: str = "text",
+    *, token_ids: dict[str, int] | None = None,
+    special_tokens: dict[str, int] | None = None,
+    oov_char: str = "?",
+) -> DataFrame:
+    """Attach ``out_col``: the id stream DECODED back to text — the
+    unigram-LM sibling of :func:`tokenizer.bpe_decode_ids` /
+    :func:`wordpiece.wordpiece_decode_ids` (r14, closing the decode
+    triangle the r13 VERDICT flagged), for inspecting
+    packed/augmented Llama/T5-class sequences.  ``token_ids`` /
+    ``special_tokens`` are the SAME mappings given to
+    :func:`unigram_token_ids` (plus any downstream sentinel ids:
+    pack separators, FIM markers); specials emit their marker text
+    verbatim, each -1 (UNK character) becomes one ``oov_char``, and
+    an id outside all three classes raises — the engine-wide decode
+    contract, one shared kernel body.
+
+    Lossy exactly where the grain is: unigram serving runs at
+    whitespace pre-tokenization with UNMARKED pieces (no ``##`` /
+    ``▁`` continuation convention in the artifact contract), so
+    inter-word whitespace is consumed at encode time and pieces
+    concatenate back with no separator — ``decode(encode(w)) == w``
+    holds exactly per fully-covered single WORD (pinned by pytest);
+    multi-word text decodes to its space-stripped form (stated, the
+    plain-BPE decode's convention).  NULL streams stay NULL.  Scale
+    shape: broadcast id→token map, one Arrow-batched kernel, no
+    shuffle."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _compile_specials,
+        _decode_ids_one,
+        _vocab_id_maps,
+    )
+
+    toks, _unk = _lm_tokens_and_unk(lm, "unigram_decode_ids")
+    _spat, sids = _compile_specials(special_tokens, "unigram_decode_ids")
+    if not isinstance(oov_char, str) or len(oov_char) != 1:
+        raise ValueError(
+            f"unigram_decode_ids: oov_char must be one character, "
+            f"got {oov_char!r}"
+        )
+    raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_decode_ids")
+    _tok2id, id2tok, rev_special = _vocab_id_maps(
+        [{"token": t, "token_id": v} for t, v in raw_ids.items()],
+        sids, "unigram_decode_ids",
+    )
+    bc = df.sparkSession.sparkContext.broadcast(
+        (id2tok, rev_special, oov_char)
+    )
+
+    @F.pandas_udf("string")
+    def _decode(s: pd.Series) -> pd.Series:
+        i2t, rsp, oc = bc.value
+        return s.map(
+            lambda ids: _decode_ids_one(
+                ids, i2t, None, rsp, oc, caller="unigram_decode_ids"
+            )
+        )
+
+    return df.withColumn(out_col, _decode(F.col(ids_col)))
+
+
 def unigram_token_ids(
     df: DataFrame, lm: DataFrame,
     text_col: str = "text", out_col: str = "token_ids",
@@ -354,19 +442,7 @@ def unigram_token_ids(
     toks, unk = _lm_tokens_and_unk(lm, "unigram_token_ids")
     spat, sids = _compile_specials(special_tokens, "unigram_token_ids")
     _check_oversize(oversize_word, "unigram_token_ids")
-    if token_ids is None:
-        raw_ids = {t: i for i, t in enumerate(sorted(toks))}
-    else:
-        missing = set(toks) - set(token_ids)
-        extra = set(token_ids) - set(toks)
-        if missing or extra:
-            raise ValueError(
-                "unigram_token_ids: token_ids must cover the LM's "
-                f"tokens exactly ({len(missing)} missing, "
-                f"{len(extra)} extra; first offending: "
-                f"{(sorted(missing) + sorted(extra))[:1]})"
-            )
-        raw_ids = dict(token_ids)
+    raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_token_ids")
     # id validation + duplicate-id + special/vocab collision policy
     # through the ONE shared home (tokenizer._vocab_id_maps, r13
     # review): synthesize the (token, token_id) row shape it keys on

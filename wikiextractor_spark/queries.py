@@ -3845,6 +3845,11 @@ _PACK_SEP = 2000
       SELECT doc_id,
              string_agg(CAST(COALESCE(uid, -1) AS VARCHAR), ','
                         ORDER BY i) AS s,
+             -- 'udec' (r14): the decode of the same stream — id →
+             -- its char, -1 → the '?' oov_char, concatenated (the
+             -- whitespace consumed at encode time stays consumed)
+             string_agg(CASE WHEN uid IS NULL THEN '?' ELSE ch END,
+                        '' ORDER BY i) AS dec,
              COUNT(*) AS n
       FROM (SELECT doc_id,
                    unnest(string_split(replace(text, ' ', ''), ''))
@@ -3957,6 +3962,13 @@ _PACK_SEP = 2000
                 ELSE COALESCE(u.n, 0) END AS n_tokens
     FROM documents d LEFT JOIN uidsout u USING (doc_id)
     UNION ALL
+    SELECT 'udec' AS family, d.doc_id, 0 AS chunk_no,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(u.dec, '') END AS chunk,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(u.n, 0) END AS n_tokens
+    FROM documents d LEFT JOIN uidsout u USING (doc_id)
+    UNION ALL
     SELECT 'fimc' AS family, doc_id, 0 AS chunk_no, t AS chunk,
            length(t) AS n_tokens
     FROM fimtout
@@ -3983,7 +3995,10 @@ def ta_chunk_documents(spark, sf_dir):
     strings; 'fim' (r12) — the PSM rearrangement; 'uids' (r13) —
     unigram_token_ids over a single-char LM (unique segmentation →
     the full ordered Viterbi id stream under the hash, j/q as -1
-    UNK); 'fimc' (r13) — character-grain FIM; 'packs' (r13) —
+    UNK); 'udec' (r14) — unigram_decode_ids over the SAME stream
+    (id → its char, -1 → '?'), putting the encode→decode round trip
+    under the hash in the decode kernel's birth round; 'fimc' (r13)
+    — character-grain FIM; 'packs' (r13) —
     assemble_packs at num_groups=1 with an everything-fits budget, so
     the oracle restates the whole assembly INCLUDING the new
     doc_starts boundary offsets (exclusive prefix sum of ids+sep
@@ -4050,15 +4065,31 @@ def ta_chunk_documents(spark, sf_dir):
         {c: -4.0 - i * 0.01 for i, c in enumerate(_UIDS_CHARS)},
         -10.0,
     )
-    uids_fam = unigram_token_ids(
+    uids_ids = unigram_token_ids(
         _docs(spark, sf_dir), uids_lm, out_col="token_ids"
-    ).select(
+    )
+    uids_fam = uids_ids.select(
         F.lit("uids").alias("family"),
         "doc_id",
         F.lit(0).alias("chunk_no"),
         F.expr(
             "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
         ).alias("chunk"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+    )
+    # 'udec' family (r14, unigram_decode_ids): the SAME stream decoded
+    # back — id → its single-char token, -1 UNK → the '?' oov_char,
+    # pieces concatenated (whitespace stays consumed) — so the oracle
+    # restates the full encode→decode round trip per character
+    from wikiextractor_spark.functions.unigram import unigram_decode_ids
+
+    udec_fam = unigram_decode_ids(
+        uids_ids, uids_lm, ids_col="token_ids", out_col="decoded"
+    ).select(
+        F.lit("udec").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.col("decoded").alias("chunk"),
         F.size("token_ids").cast("long").alias("n_tokens"),
     )
     # 'fimc' family (r13, fim_transform_text): character-grain FIM
@@ -4119,6 +4150,7 @@ def ta_chunk_documents(spark, sf_dir):
         text_fam.unionByName(ids_fam)
         .unionByName(fim_fam)
         .unionByName(uids_fam)
+        .unionByName(udec_fam)
         .unionByName(fimc_fam)
         .unionByName(packs_fam)
         .unionByName(sent_fam)
