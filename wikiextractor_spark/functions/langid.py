@@ -1,0 +1,425 @@
+"""Trained language-ID classifier: multi-class Naive Bayes over
+hashed CHARACTER n-grams — the fastText/CCNet shape (Joulin et al.
+2016; CCNet's first gate), so ``prepare_corpus(target_lang=...)`` can
+route through a TRAINED model instead of the stopword heuristic
+(:func:`~wikiextractor_spark.functions.textstats.lang_id`), which
+only knows four hard-coded languages and nothing about scripts.
+
+Model: per language ``L`` and hashed gram bucket ``b``, the smoothed
+log-likelihood ``w(b,L) = ln((n(b,L)+α) / (N(L)+αB))``; a document
+scores ``score(L) = prior(L) + Σ_grams w(bucket(g),L)`` and predicts
+the argmax — the standard NB decision rule, which is (a) a
+closed-form pure AGGREGATION to fit (one explode + groupBy over the
+labeled sample; no iterative optimizer — the
+:func:`~wikiextractor_spark.functions.classifier.fit_hashed_classifier`
+precedent at multi-class), and (b) linear at inference exactly like
+fastText.
+
+Character grain, not words: language identity lives in character
+statistics (scripts, diacritics, morphology) and survives domains the
+way word lists don't — the published fastText lang-ID models are
+char-n-gram models.  Normalization is lowercase + whitespace-run
+folding ONLY (never strip non-ASCII — the non-ASCII characters ARE
+the signal, the opposite of the decontam/DSIR word normalization).
+
+Determinism across the oracle boundary (the DSIR discipline,
+``operators/dsir.py``): every weight, class floor, and prior is
+QUANTIZED to BIGINT micro-units (``round(ln(·)·1e6)``) at fit time —
+all three computed by the SAME engine pass — and scoring is pure
+integer addition, order-independent and restatable in SQL.  The only
+float crossing is one ``ln()`` per (bucket, language) at fit.
+Absent (bucket, language) pairs score the class's smoothing FLOOR
+``ln(α/(N(L)+αB))``; the weight table stores the per-pair EXCESS
+``Δw = w − floor`` so absent pairs contribute exactly 0 to the
+joined sum and the floor rides the gram count:
+``score(L) = prior(L) + n_grams·floor(L) + Σ Δw`` — algebraically
+the NB sum, with a weight table bounded by present pairs only.
+
+100 TB shape: the FIT touches only the labeled sample (lang-ID
+training sets are thousands of lines per language).  SCORING is one
+gram explode → one BROADCAST join against the ≤ buckets×|L| weight
+table → ONE map-side-combined aggregation at document grain (the
+per-language sums are columns of a single groupBy, not |L| shuffles)
+→ a native array-struct argmax → one doc-grain join back.  No
+Python anywhere; two shuffles total (doc-grain agg + join-back), the
+:func:`~wikiextractor_spark.functions.classifier.score_hashed` shape.
+
+No reference counterpart (`/root/reference/WikiExtractor.py` has no
+classifier surface) — engine extension (SURVEY.md §2.12; r13 VERDICT
+What's-missing #1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+# the md5 bucket construction and bucket-count guard are DSIR's —
+# imported, not copied, so the restatable-hash contract cannot drift
+from wikiextractor_spark.operators.dsir import _bucket_col
+
+#: weight-table bound: ≤ buckets × |languages| rows ride a broadcast
+#: join (a few MB at the default grain) — same class as the hashed
+#: content classifier's 2^18 bucket space.
+MAX_BUCKETS = 1 << 18
+
+_MICRO = 1_000_000
+
+_DEFAULT_N, _DEFAULT_BUCKETS, _DEFAULT_SALT = 3, 4096, "langid"
+
+
+def _check_fit_params(n: int, buckets: int, alpha: float) -> None:
+    if n < 1:
+        raise ValueError(f"langid: need n >= 1, got {n}")
+    if not 1 <= buckets <= MAX_BUCKETS:
+        raise ValueError(
+            f"langid: buckets must be in [1, {MAX_BUCKETS}], got "
+            f"{buckets}"
+        )
+    if alpha <= 0:
+        raise ValueError(f"langid: alpha must be > 0, got {alpha}")
+
+
+def char_grams_expr(text_col: str, n: int) -> F.Column:
+    """Array of character ``n``-gram STRINGS over the lang-ID
+    normalization (lowercase, whitespace runs → one space, trimmed —
+    non-ASCII KEPT): sliding windows including the space joints (the
+    fastText boundary signal); text shorter than ``n`` chars is one
+    whole-text gram (the DSIR short-doc rule); empty/whitespace-only
+    text is an EMPTY array (such a document scores prior-only);
+    NULL text stays NULL."""
+    from wikiextractor_spark.functions.tokenizer import (
+        WS_SPLIT_PATTERN_JVM,
+    )
+
+    # the pattern constant carries REAL control characters, so the
+    # SQL literal needs no escape round trip (an escaped '\f' in an
+    # F.expr literal silently degrades to the letter 'f' — caught by
+    # the r14 prototype)
+    return F.expr(
+        f"""
+        transform(array(btrim(regexp_replace(lower({text_col}),
+                                             '{WS_SPLIT_PATTERN_JVM}',
+                                             ' '))), t ->
+          CASE WHEN length(t) = 0 THEN array()
+               WHEN length(t) < {n} THEN array(t)
+               ELSE transform(sequence(1, length(t) - {n} + 1),
+                              i -> substring(t, i, {n}))
+          END)[0]
+        """
+    )
+
+
+# eq=False: DataFrame/Column fields break dataclass value semantics
+# (the dsir.PrebuiltWeights precedent); identity semantics are right
+# for a fitted artifact.
+@dataclass(frozen=True, eq=False)
+class LangIdModel:
+    """A fitted lang-ID model.  ``weights`` is the present-pair Δw
+    table ``(bucket long, lang string, dwm long)`` — micro-unit
+    EXCESS over the class floor, materialized (re-used per action);
+    ``priors_micro`` / ``floors_micro`` are per-language micro-unit
+    scalars; ``n``/``buckets``/``salt`` define the gram/hash space
+    and must ride with the model (they cannot be recovered from the
+    table)."""
+
+    langs: tuple[str, ...]
+    weights: DataFrame
+    priors_micro: dict[str, int]
+    floors_micro: dict[str, int]
+    n: int
+    buckets: int
+    salt: str
+
+
+def fit_langid(
+    labeled: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    *,
+    n: int = _DEFAULT_N,
+    buckets: int = _DEFAULT_BUCKETS,
+    salt: str = _DEFAULT_SALT,
+    alpha: float = 1.0,
+) -> LangIdModel:
+    """Fit the NB model on a labeled sample (``label_col`` = the
+    language code, ``text_col`` = the text).  One gram explode +
+    groupBy(lang, bucket) over the sample — map-side combinable,
+    shuffle payload ≤ buckets×|L| rows per task — plus two tiny
+    rollups (per-class gram totals with their quantized floors, and
+    per-class document counts with their quantized priors), all three
+    ``ln``/``round`` quantizations computed by the SAME engine pass
+    so no second libm enters the artifact.  Rows with a NULL label or
+    NULL text raise (corrupt training data must not silently shape
+    the model)."""
+    _check_fit_params(n, buckets, alpha)
+    lab = labeled.select(
+        F.col(label_col).cast("string").alias("lang"),
+        char_grams_expr(text_col, n).alias("_g"),
+    )
+    bad = lab.filter(
+        F.col("lang").isNull() | F.col("_g").isNull()
+    ).count()
+    if bad:
+        raise ValueError(
+            f"fit_langid: {bad} rows with a NULL label or NULL text "
+            "— label every training row (corrupt rows must not "
+            "silently shape the model)"
+        )
+    ab = float(alpha) * buckets
+    # per-(lang, bucket) gram counts — THE fit aggregation;
+    # materialized because totals, floors, and weights all derive
+    # from it and the sample must be scanned exactly once
+    counts = (
+        lab.select("lang", F.explode("_g").alias("_gram"))
+        .select(
+            "lang", _bucket_col(F.col("_gram"), buckets, salt).alias("bucket")
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # per-class gram totals + quantized floors (one tiny agg over the
+    # already-shuffled counts, not a second sample pass)
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("ngr")).select(
+        "lang",
+        "ngr",
+        F.round(
+            F.log(F.lit(float(alpha)) / (F.col("ngr") + F.lit(ab))) * _MICRO
+        ).cast("long").alias("floor_micro"),
+    )
+    trows = totals.collect()
+    if len(trows) < 2:
+        raise ValueError(
+            f"fit_langid: need at least 2 languages with text, got "
+            f"{len(trows)} — a one-class classifier predicts nothing"
+        )
+    floors = {r["lang"]: int(r["floor_micro"]) for r in trows}
+    langs = tuple(sorted(floors))
+    # priors from document counts, quantized by the same engine
+    docn = lab.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    prows = (
+        docn.crossJoin(docn.agg(F.sum("nd").alias("ndt")))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("nd") * F.lit(1.0) / F.col("ndt")) * _MICRO
+            ).cast("long").alias("prior_micro"),
+        )
+        .collect()
+    )
+    priors = {r["lang"]: int(r["prior_micro"]) for r in prows}
+    # a language whose every document was empty text has a prior but
+    # no grams: it would be missing from floors — refuse (its floor
+    # is undefined and its class unlearnable)
+    if set(priors) != set(floors):
+        raise ValueError(
+            "fit_langid: languages with documents but no grams "
+            f"(empty text only): {sorted(set(priors) - set(floors))}"
+        )
+    weights = (
+        counts.join(F.broadcast(totals), "lang")
+        .select(
+            "bucket",
+            "lang",
+            (
+                F.round(
+                    F.log(
+                        (F.col("cnt") + F.lit(float(alpha)))
+                        / (F.col("ngr") + F.lit(ab))
+                    )
+                    * _MICRO
+                ).cast("long")
+                - F.col("floor_micro")
+            ).alias("dwm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return LangIdModel(
+        langs=langs, weights=weights, priors_micro=priors,
+        floors_micro=floors, n=n, buckets=buckets, salt=salt,
+    )
+
+
+def langid_scores(
+    df: DataFrame,
+    model: LangIdModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pred_col: str = "lang_nb",
+    score_col: str = "lang_nb_score_micro",
+) -> DataFrame:
+    """Attach ``pred_col`` (the argmax language; ties break to the
+    lexicographically SMALLEST code — a stated engine convention) and
+    ``score_col`` (the winner's integer micro-unit NB score).  NULL
+    text predicts NULL; empty text scores prior-only (= the majority
+    class).  Plan: gram explode → broadcast Δw join → ONE doc-grain
+    aggregation carrying every language's sum as a column → native
+    struct-array argmax → one doc-grain join back.  All integer past
+    the broadcast table; no Python."""
+    langs = model.langs
+    grams = df.select(
+        F.col(id_col),
+        char_grams_expr(text_col, model.n).alias("_g"),
+    )
+    exploded = grams.select(
+        id_col,
+        F.size("_g").alias("_ng"),
+        F.explode_outer("_g").alias("_gram"),
+    ).withColumn(
+        "_b",
+        F.when(
+            F.col("_gram").isNotNull(),
+            _bucket_col(F.col("_gram"), model.buckets, model.salt),
+        ),
+    )
+    joined = exploded.join(
+        F.broadcast(model.weights.withColumnRenamed("bucket", "_b")),
+        "_b",
+        "left",
+    )
+    sums = joined.groupBy(id_col).agg(
+        F.min("_ng").alias("_ng"),
+        *[
+            F.sum(
+                F.when(F.col("lang") == lang, F.col("dwm")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias(f"_s{i}")
+            for i, lang in enumerate(langs)
+        ],
+    )
+    cand = F.array(
+        *[
+            F.struct(
+                (
+                    -(
+                        F.lit(model.priors_micro[lang])
+                        + F.col("_ng").cast("long")
+                        * F.lit(model.floors_micro[lang])
+                        + F.coalesce(F.col(f"_s{i}"), F.lit(0))
+                    )
+                ).alias("ns"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = sums.select(
+        id_col, F.array_min(cand).alias("_best")
+    ).select(
+        id_col,
+        F.col("_best.lang").alias(pred_col),
+        (-F.col("_best.ns")).alias(score_col),
+    )
+    out = df.join(best, id_col, "left")
+    # NULL text → NULL prediction (the score_hashed NULL contract:
+    # every other gate drops NULL text; the trained gate must too)
+    return out.withColumn(
+        pred_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.col(pred_col)),
+    ).withColumn(
+        score_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col(score_col)),
+    )
+
+
+def filter_language_nb(
+    df: DataFrame,
+    model: LangIdModel,
+    lang: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents the TRAINED model classifies as ``lang`` — the
+    CCNet first gate, and the trained backend for
+    ``prepare_corpus(target_lang=..., langid_model=...)``.  Unknown
+    codes raise (a typo'd code would silently drop the corpus)."""
+    if lang not in model.langs:
+        raise ValueError(
+            f"filter_language_nb: {lang!r} is not one of the model's "
+            f"languages {list(model.langs)}"
+        )
+    scored = langid_scores(df, model, text_col, id_col)
+    return scored.filter(F.col("lang_nb") == lang).drop(
+        "lang_nb", "lang_nb_score_micro"
+    )
+
+
+def save_langid_model(model: LangIdModel, path: str) -> None:
+    """Persist the fitted model as one parquet file: the Δw rows plus
+    per-language scalar rows (``bucket = -1`` priors, ``bucket = -2``
+    floors) and one ``lang = NULL`` config row packing (n, buckets)
+    into (bucket, dwm) with the salt in its ``lang``-adjacent slot —
+    self-contained like the LM/classifier artifacts.  The salt rides
+    as a dedicated ``bucket = -3`` row's lang field."""
+    from wikiextractor_spark.functions.modelio import write_one_file
+
+    spark = model.weights.sparkSession
+    scalars = [(-1, lang, v) for lang, v in model.priors_micro.items()]
+    scalars += [(-2, lang, v) for lang, v in model.floors_micro.items()]
+    scalars += [(-3, model.salt, 0), (-4, None, model.n),
+                (-5, None, model.buckets)]
+    extra = spark.createDataFrame(
+        scalars, "bucket bigint, lang string, dwm bigint"
+    )
+    write_one_file(
+        model.weights.select(
+            F.col("bucket").cast("long"), "lang", "dwm"
+        ).unionByName(extra),
+        path,
+    )
+
+
+def load_langid_model(spark, path: str) -> LangIdModel:
+    """Load a model persisted by :func:`save_langid_model` —
+    raise-don't-guess on every malformed shape (missing config rows,
+    scalar/weight language mismatch), the modelio discipline."""
+    rows = spark.read.parquet(path)
+    cfg = {
+        int(r["bucket"]): r
+        for r in rows.filter(F.col("bucket") < -2).collect()
+    }
+    if set(cfg) != {-3, -4, -5}:
+        raise ValueError(
+            f"load_langid_model: config rows -3/-4/-5 required, got "
+            f"{sorted(cfg)} — not a save_langid_model artifact"
+        )
+    salt = cfg[-3]["lang"]
+    n, buckets = int(cfg[-4]["dwm"]), int(cfg[-5]["dwm"])
+    if salt is None:
+        raise ValueError("load_langid_model: NULL salt row")
+    priors = {
+        r["lang"]: int(r["dwm"])
+        for r in rows.filter(F.col("bucket") == -1).collect()
+    }
+    floors = {
+        r["lang"]: int(r["dwm"])
+        for r in rows.filter(F.col("bucket") == -2).collect()
+    }
+    if not priors or set(priors) != set(floors) or None in priors:
+        raise ValueError(
+            "load_langid_model: per-language prior/floor scalar rows "
+            "malformed (must cover the same non-NULL languages)"
+        )
+    weights = rows.filter(F.col("bucket") >= 0).select(
+        "bucket", "lang", "dwm"
+    )
+    wlangs = {
+        r["lang"] for r in weights.select("lang").distinct().collect()
+    }
+    if not wlangs <= set(priors):
+        raise ValueError(
+            f"load_langid_model: weight rows for unknown languages "
+            f"{sorted(wlangs - set(priors))}"
+        )
+    _check_fit_params(n, buckets, 1.0)
+    return LangIdModel(
+        langs=tuple(sorted(priors)),
+        weights=weights.localCheckpoint(eager=True),
+        priors_micro=priors, floors_micro=floors,
+        n=n, buckets=buckets, salt=salt,
+    )

@@ -65,6 +65,7 @@ def prepare_corpus(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     *,
     target_lang: str | None = None,
+    langid_model=None,
     min_quality: float | None = None,
     drop_repetitive: bool = False,
     gopher: bool = False,
@@ -110,6 +111,13 @@ def prepare_corpus(
 ) -> DataFrame:
     """Raw documents → training-ready rows; every stage optional.
 
+    ``langid_model`` (r14): a fitted
+    :class:`~wikiextractor_spark.functions.langid.LangIdModel` routes
+    the ``target_lang`` gate through the TRAINED fastText-shape NB
+    classifier instead of the 4-language stopword heuristic — the
+    CCNet-style first gate real pipelines run.  Giving a model
+    without ``target_lang`` raises (it would silently do nothing).
+
     Returns documents (id, text, …) when ``chunk_tokens`` is None,
     chunks ``(id, chunk_no, chunk, n_tokens)`` when set, and packed
     chunks ``(…, pack_id, over_budget)`` when ``pack_budget`` is also
@@ -149,7 +157,25 @@ def prepare_corpus(
 
         out = filter_blocked_domains(out, url_blocklist, url_col, id_col)
     if target_lang is not None:
-        out = out.filter(lang_id(text_col) == target_lang)
+        if langid_model is not None:
+            # the TRAINED gate (functions/langid.py, the CCNet first
+            # stage): an agg + doc-grain join-back rather than a
+            # pushdown predicate — two shuffles, stated; placed at
+            # the same stage so later gates see the same survivors
+            from wikiextractor_spark.functions.langid import (
+                filter_language_nb,
+            )
+
+            out = filter_language_nb(
+                out, langid_model, target_lang, text_col, id_col
+            )
+        else:
+            out = out.filter(lang_id(text_col) == target_lang)
+    elif langid_model is not None:
+        raise ValueError(
+            "prepare_corpus: langid_model given without target_lang "
+            "— the model only acts through the language gate"
+        )
     if min_quality is not None:
         out = out.filter(quality_score(text_col) >= min_quality)
     if drop_repetitive:

@@ -1257,6 +1257,125 @@ _NRM_IN = [
 ]
 _NRM_SRC_SQL = _pii_case_sql(_NRM_IN)  # the shared {D} CASE splicer
 
+# Trained NB lang-ID adversaria for the r14 'nb' columns
+# (functions/langid.py): doc_id % 4 picks a language-flavored
+# TRAINING sentence (labeled by the same CASE), doc_id % 5 a TEST
+# sentence in one of the four languages or a no-signal junk row (its
+# grams hit only smoothing floors).  Both sides splice from these
+# SAME CASE strings (`||` coerces the BIGINT identically — the
+# _pii_tmpl_sql convention), the oracle RE-RUNS the whole fit
+# (char-3-gram explode, md5 buckets, per-class histograms, the
+# ln→micro-unit quantization of weights/floors/priors) and the
+# integer score/argmax, so the hash pins fit AND serve end to end —
+# and rows 0-3 demonstrably predict their language (pytest).
+# Prototyped mismatch-free (Spark vs DuckDB vs pure Python) at
+# sf0.001, sf0.01 AND sf0.1 before wiring in.
+_NB_N, _NB_B, _NB_SALT, _NB_ALPHA = 3, 512, "nblang", 1.0
+_NB_TRAIN = [
+    ("en", "the quick brown fox and the lazy dog that it is for to "
+           "in was with this from they have not"),
+    ("de", "der schnelle braune fuchs und die faule katze das ist "
+           "von zu mit den nicht eine wird sind auch"),
+    ("es", "el zorro marron rapido y el perro que es en un por con "
+           "los las una mañana este desde ellos"),
+    ("fr", "le renard brun rapide et le chien est pour que dans sur "
+           "les des une avec cette déjà depuis ils"),
+]
+_NB_TEST = [
+    "this is the story of a dog and a fox that went to the market "
+    "in the morning",
+    "die geschichte von einem hund und einem fuchs der nicht zu dem "
+    "markt ist",
+    "la historia de un perro y un zorro que fue por la mañana con "
+    "los amigos",
+    "cette histoire est pour le chien et le renard qui va dans les "
+    "rues sur une place",
+    "zzzz qqqq 12345 xxxx",
+]
+
+
+def _nb_splice_sql(texts: list[str]) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{t} ' || doc_id" for i, t in enumerate(texts)
+    )
+    return f"CASE CAST(doc_id % {len(texts)} AS INT) {arms} END"
+
+
+_NB_LANG_SQL = "CASE CAST(doc_id % 4 AS INT) {} END".format(
+    " ".join(
+        f"WHEN {i} THEN '{lang}'"
+        for i, (lang, _t) in enumerate(_NB_TRAIN)
+    )
+)
+_NB_TRAIN_SQL = _nb_splice_sql([t for _l, t in _NB_TRAIN])
+_NB_TEST_SQL = _nb_splice_sql(_NB_TEST)
+
+# the oracle's fit+serve re-derivation (the DSIR integerize-first
+# discipline at multi-class: the only float crossing is one ln per
+# (bucket, language) / per class, quantized to micro-units before
+# any per-document sum)
+_NB_GRAMS = (
+    "CASE WHEN length(t) = 0 THEN [] "
+    f"WHEN length(t) < {_NB_N} THEN [t] "
+    f"ELSE [substring(t, i + 1, {_NB_N}) "
+    f"for i in range(length(t) - {_NB_N} + 1)] END"
+)
+_NB_AB = _NB_ALPHA * _NB_B
+_NB_CTES = rf"""
+    nbtr AS (SELECT doc_id, {_NB_LANG_SQL} AS lang,
+                    trim(regexp_replace(lower({_NB_TRAIN_SQL}),
+                         '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS t
+             FROM documents),
+    nbtg AS (SELECT lang, unnest({_NB_GRAMS}) AS g FROM nbtr),
+    nbtb AS (SELECT lang,
+                    CAST(('0x' || substring(md5(g || '{_NB_SALT}'), 1, 8))
+                         ::UBIGINT % {_NB_B} AS BIGINT) AS b
+             FROM nbtg),
+    nbc AS (SELECT lang, b, COUNT(*) AS c FROM nbtb GROUP BY 1, 2),
+    nbt AS (SELECT lang, SUM(c) AS ngr,
+                   CAST(ROUND(ln({_NB_ALPHA} / (SUM(c) + {_NB_AB}))
+                              * 1000000) AS BIGINT) AS fl
+            FROM nbc GROUP BY 1),
+    nbd AS (SELECT lang, COUNT(*) AS nd FROM nbtr GROUP BY 1),
+    nbp AS (SELECT lang,
+                   CAST(ROUND(ln(nd * 1.0 / (SELECT SUM(nd) FROM nbd))
+                              * 1000000) AS BIGINT) AS pr
+            FROM nbd),
+    nbw AS (SELECT c.b, c.lang,
+                   CAST(ROUND(ln((c.c + {_NB_ALPHA}) / (t.ngr + {_NB_AB}))
+                              * 1000000) AS BIGINT) - t.fl AS dwm
+            FROM nbc c JOIN nbt t USING (lang)),
+    nbte AS (SELECT doc_id,
+                    trim(regexp_replace(lower({_NB_TEST_SQL}),
+                         '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS t
+             FROM documents),
+    nbeb AS (SELECT doc_id,
+                    CAST(('0x' || substring(md5(g || '{_NB_SALT}'), 1, 8))
+                         ::UBIGINT % {_NB_B} AS BIGINT) AS b
+             FROM (SELECT doc_id, unnest({_NB_GRAMS}) AS g FROM nbte)),
+    nben AS (SELECT d.doc_id, COUNT(e.b) AS ng
+             FROM nbte d LEFT JOIN nbeb e USING (doc_id) GROUP BY 1),
+    nbes AS (SELECT e.doc_id, w.lang, SUM(w.dwm) AS s
+             FROM nbeb e JOIN nbw w ON e.b = w.b GROUP BY 1, 2),
+    nbsc AS (SELECT n.doc_id, t.lang,
+                    -- DuckDB SUM promotes BIGINT to HUGEINT: cast
+                    -- back so the score hashes as the engine's long
+                    CAST(p.pr + n.ng * t.fl + COALESCE(s.s, 0)
+                         AS BIGINT) AS sc
+             FROM nben n
+             CROSS JOIN nbt t
+             JOIN nbp p ON p.lang = t.lang
+             LEFT JOIN nbes s ON s.doc_id = n.doc_id
+                             AND s.lang = t.lang),
+    nbpred AS (SELECT doc_id, lang AS nb_pred, sc AS nb_score_micro
+               FROM (SELECT doc_id, lang, sc,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY sc DESC, lang)
+                              AS rn
+                     FROM nbsc) WHERE rn = 1)
+"""
+
+
 # Language-ID (stopword profiles, deterministic tie-break) and
 # document fingerprinting (normalized md5 + 1-hash MinHash) in one
 # projection.  Merged from r1's ta_lang_id + ta_fingerprint (both
@@ -1264,10 +1383,12 @@ _NRM_SRC_SQL = _pii_case_sql(_NRM_IN)  # the shared {D} CASE splicer
 # columns: the engine runs the real redact_pii/pii_counts regex
 # kernels over the _PII_IN adversaria; the oracle splices the
 # expected redacted text and per-kind counts from the shared
-# _PII_RED/_PII_CNT tables.
+# _PII_RED/_PII_CNT tables.  r14 adds the 'nb' columns: the TRAINED
+# multi-class NB lang-ID (see the _NB_* block above).
 @query(
     "ta_lang_fingerprint",
     rf"""
+    WITH {_NB_CTES}
     SELECT doc_id, lang,
            CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
                 WHEN de >= es AND de >= fr THEN 'de'
@@ -1288,11 +1409,13 @@ _NRM_SRC_SQL = _pii_case_sql(_NRM_IN)  # the shared {D} CASE splicer
              strip_accents(lower(regexp_replace(
                {_NRM_SRC_SQL}, '[ \t\n\r\f\v]+', ' ', 'g'))),
              '([!-/:-@\[-`{{-~]|\p{{P}})', ' \1 ', 'g'),
-             '[ \t\n\r\f\v]+', ' ', 'g')) AS u_basic
+             '[ \t\n\r\f\v]+', ' ', 'g')) AS u_basic,
+           nb.nb_pred, nb.nb_score_micro
     FROM (SELECT doc_id, lang, text,
                  {_LANG_HITS_DUCK['en']} AS en, {_LANG_HITS_DUCK['de']} AS de,
                  {_LANG_HITS_DUCK['es']} AS es, {_LANG_HITS_DUCK['fr']} AS fr
           FROM documents)
+    JOIN nbpred nb USING (doc_id)
     """,
 )
 def ta_lang_fingerprint(spark, sf_dir):
@@ -1300,7 +1423,16 @@ def ta_lang_fingerprint(spark, sf_dir):
     4-language hits array is bound once as a column; lang_pred and
     en_hits are cheap array references over it (r2 inlined one
     filter-chain per CASE-branch reference — the Janino-compile cost
-    PERF.md flagged)."""
+    PERF.md flagged).
+
+    r14 'nb' columns (functions/langid.py, r13 VERDICT What's-missing
+    #1): the TRAINED fastText-shape NB lang-ID — fit on the spliced
+    _NB_TRAIN adversaria (labeled by the same CASE both sides read),
+    served over the spliced _NB_TEST sentences; the oracle re-runs
+    the ENTIRE fit (char-gram histograms, smoothing, ln, micro-unit
+    quantization of weights/floors/priors) and the integer
+    score/argmax, so nb_pred/nb_score_micro pin fit AND serve under
+    the hash."""
     from wikiextractor_spark.functions.normalize import (
         maybe_denormalized,
         strip_accents,
@@ -1320,7 +1452,26 @@ def ta_lang_fingerprint(spark, sf_dir):
     # oracle replays DuckDB's OWN nfc_normalize/strip_accents, an
     # independent implementation
     nrm_src = F.expr(_pii_case_sql(_NRM_IN))
-    return d.select(
+    # r14 'nb' columns: fit + serve the REAL trained lang-ID over the
+    # shared spliced CASE strings (both engines read the same SQL)
+    from wikiextractor_spark.functions import langid as lid
+
+    nb_model = lid.fit_langid(
+        d.select(
+            "doc_id",
+            F.expr(_NB_LANG_SQL).alias("lang"),
+            F.expr(_NB_TRAIN_SQL).alias("text"),
+        ),
+        n=_NB_N, buckets=_NB_B, salt=_NB_SALT, alpha=_NB_ALPHA,
+    )
+    nb = lid.langid_scores(
+        d.select("doc_id", F.expr(_NB_TEST_SQL).alias("text")), nb_model
+    ).select(
+        "doc_id",
+        F.col("lang_nb").alias("nb_pred"),
+        F.col("lang_nb_score_micro").alias("nb_score_micro"),
+    )
+    base = d.select(
         "doc_id",
         "lang",
         textstats.lang_pred_from_hits(F.col("_hits")).alias("lang_pred"),
@@ -1342,6 +1493,7 @@ def ta_lang_fingerprint(spark, sf_dir):
         # own dialect (\1 backrefs, DuckDB's strip_accents)
         basic_tokenize_text(nrm_src).alias("u_basic"),
     )
+    return base.join(nb, "doc_id")
 
 
 # ==========================================================================
