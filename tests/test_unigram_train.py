@@ -1,0 +1,234 @@
+"""In-engine unigram-LM training (functions/unigram.py, r14):
+differential against an independent pure-Python restatement whose
+E-step EXHAUSTIVELY ENUMERATES segmentations (a genuinely different
+algorithm from the engine's forward-backward lattice — agreement
+pins the lattice math), plus train→persist→serve round trips and
+contract errors."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from wikiextractor_spark.functions.unigram import (
+    MAX_SEED_SIZE,
+    learn_unigram_lm,
+    load_unigram_lm,
+    save_unigram_lm,
+    unigram_seed_pieces,
+    unigram_token_count,
+    unigram_token_ids,
+)
+
+_WS = r"[ \t\n\r\f\x0b]+"
+
+
+def _py_seed(texts, max_piece_len=8):
+    wf: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split(_WS, t):
+            if w:
+                wf[w] += 1
+    occ: Counter = Counter()
+    for w, f in wf.items():
+        for ln in range(1, min(len(w), max_piece_len) + 1):
+            for i in range(len(w) - ln + 1):
+                occ[w[i:i + ln]] += f
+    return wf, {p: o * len(p) for p, o in occ.items()}
+
+
+def _enum_expected(word, logp):
+    """Expected piece counts for ONE occurrence of word by EXHAUSTIVE
+    segmentation enumeration — independent of the engine's
+    forward-backward recursion."""
+    segs = []
+
+    def rec(i, cur, lp):
+        if i == len(word):
+            segs.append((lp, tuple(cur)))
+            return
+        for j in range(i + 1, len(word) + 1):
+            p = word[i:j]
+            if p in logp:
+                rec(j, cur + [p], lp + logp[p])
+
+    rec(0, [], 0.0)
+    if not segs:
+        return []
+    m = max(lp for lp, _s in segs)
+    z = sum(math.exp(lp - m) for lp, _s in segs)
+    out: Counter = Counter()
+    for lp, seg in segs:
+        wgt = math.exp(lp - m) / z
+        for p in seg:
+            out[p] += wgt
+    return sorted(out.items())
+
+
+def _py_learn(texts, vocab_size, seed_size=None, max_piece_len=8,
+              n_em_iters=2, shrink=0.75, unk_penalty=10.0):
+    wf, scores = _py_seed(texts, max_piece_len)
+    scored = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+    singles = {p for p, _s in scored if len(p) == 1}
+    if seed_size is None:
+        seed_size = min(MAX_SEED_SIZE, 4 * vocab_size)
+    kept = set(singles)
+    for p, _s in scored:
+        if len(kept) >= seed_size:
+            break
+        kept.add(p)
+    tot = sum(s for p, s in scored if p in kept)
+    logp = {p: math.log(s / tot) for p, s in scored if p in kept}
+    memo: dict = {}
+
+    def em_round(lp):
+        counts: Counter = Counter()
+        key = tuple(sorted(lp.items()))
+        for w, f in wf.items():
+            mk = (w, key)
+            u = memo.get(mk)
+            if u is None:
+                u = memo[mk] = _enum_expected(w, lp)
+            for p, e in u:
+                counts[p] += math.floor(f * e * 1e6 + 0.5)
+        return counts
+
+    while True:
+        for _ in range(n_em_iters):
+            counts = em_round(logp)
+            for p in logp:
+                if len(p) == 1:
+                    counts[p] = max(counts.get(p, 0), 1)
+            alive = {p for p in logp if counts.get(p, 0) > 0}
+            total = sum(counts[p] for p in alive)
+            logp = {p: math.log(counts[p] / total) for p in alive}
+        if len(logp) <= vocab_size:
+            break
+        multi = sorted(
+            ((counts[p], p) for p in logp if len(p) > 1),
+            key=lambda t: (-t[0], t[1]),
+        )
+        n_singles = sum(1 for p in logp if len(p) == 1)
+        target_multi = max(
+            vocab_size - n_singles,
+            min(len(multi) - 1, int(len(multi) * shrink)),
+        )
+        if target_multi < 0:
+            target_multi = 0
+        survivors = {p for _c, p in multi[:target_multi]}
+        survivors |= {p for p in logp if len(p) == 1}
+        total = sum(counts[p] for p in survivors)
+        logp = {p: math.log(counts[p] / total) for p in survivors}
+    unk = min(logp.values()) - unk_penalty
+    return logp, unk
+
+
+def _artifact_dict(lm):
+    toks, unk = {}, None
+    for r in lm.collect():
+        if r["token"] is None:
+            unk = r["logprob"]
+        else:
+            toks[r["token"]] = r["logprob"]
+    return toks, unk
+
+
+TOY = [
+    "hug hug hug hugs bug bugs mug",
+    "the the then then than hug",
+    "pun pun bun gun gun the",
+]
+
+
+def test_unigram_train_differential_toy(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    for vs in (12, 16, 24):  # toy alphabet is 11 singles
+        got_toks, got_unk = _artifact_dict(
+            learn_unigram_lm(df, vocab_size=vs, max_piece_len=4)
+        )
+        exp_toks, exp_unk = _py_learn(TOY, vs, max_piece_len=4)
+        assert got_toks == exp_toks, vs
+        assert got_unk == exp_unk, vs
+        assert len(got_toks) <= vs
+
+
+def test_unigram_train_differential_real_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got_toks, got_unk = _artifact_dict(
+        learn_unigram_lm(docs, vocab_size=40, max_piece_len=5)
+    )
+    exp_toks, exp_unk = _py_learn(texts, 40, max_piece_len=5)
+    assert got_toks == exp_toks
+    assert got_unk == exp_unk
+
+
+def test_unigram_seed_pieces_differential(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]: r["score"]
+        for r in unigram_seed_pieces(df, max_piece_len=3).collect()
+    }
+    _wf, exp = _py_seed(TOY, max_piece_len=3)
+    assert got == exp
+
+
+def test_unigram_train_serves_and_round_trips(spark, tmp_path):
+    """Train → persist → load → the already-hash-verified serving
+    kernels: the training corpus segments with NO unk (all corpus
+    characters are seed singles), the trained LM compresses below
+    the character grain, and the id/count pair stays consistent."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    lm = learn_unigram_lm(df, vocab_size=15, max_piece_len=4)
+    p = str(tmp_path / "ulm")
+    save_unigram_lm(lm, p)
+    back = load_unigram_lm(spark, p)
+    ids = unigram_token_ids(df, back, out_col="ids")
+    rows = ids.collect()
+    assert all(
+        all(x >= 0 for x in r["ids"]) for r in rows
+    )  # no -1: full coverage on the training corpus
+    n = unigram_token_count(df, back, out_col="n")
+    got = {r["doc_id"]: r["n"] for r in n.collect()}
+    sizes = {r["doc_id"]: float(len(r["ids"])) for r in rows}
+    assert got == sizes
+    # compression: multi-char pieces survived, so the token count is
+    # strictly below the character count somewhere
+    chars = {
+        i: len(t.replace(" ", "")) for i, t in enumerate(TOY)
+    }
+    assert any(got[i] < chars[i] for i in got)
+
+
+def test_unigram_train_contract_errors(spark):
+    df = spark.createDataFrame([(0, "ab ba ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        learn_unigram_lm(df, vocab_size=0)
+    with pytest.raises(ValueError, match="alphabet"):
+        learn_unigram_lm(df, vocab_size=1)  # corpus alphabet is {a, b}
+    with pytest.raises(ValueError, match="seed_size"):
+        learn_unigram_lm(df, vocab_size=5, seed_size=2)
+    with pytest.raises(ValueError, match="shrink_factor"):
+        learn_unigram_lm(df, vocab_size=5, shrink_factor=1.0)
+    with pytest.raises(ValueError, match="n_em_iters"):
+        learn_unigram_lm(df, vocab_size=5, n_em_iters=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_seed_pieces(df, max_piece_len=0)
+    empty = spark.createDataFrame(
+        [(0, " ")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        learn_unigram_lm(empty, vocab_size=5)

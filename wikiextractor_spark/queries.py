@@ -5431,12 +5431,50 @@ def _bm25_union_sql() -> str:
     return "".join(members)
 
 
+# 'useed' family (r14, functions/unigram.py unigram_seed_pieces):
+# the unigram trainer's SEED derivation — every ≤5-char substring of
+# every distinct word scored occurrences × freq × length, top 20 by
+# (score desc, piece asc).  Pure integer SQL, so the trainer's first
+# stage carries a driver hash even though its EM lattice (float
+# forward-backward, pytest-differential-pinned vs exhaustive
+# enumeration) cannot cross the oracle boundary.  Prototyped
+# mismatch-free vs a Python reference at sf0.001/sf0.01/sf0.1.
+_USEED_L, _USEED_K = 5, 20
+_USEED_CTES = rf"""
+    usd AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS w
+        FROM documents) u
+      WHERE w <> '' GROUP BY w
+    ),
+    usp AS (
+      SELECT piece, CAST(SUM(freq) * length(piece) AS BIGINT) AS score
+      FROM (
+        SELECT unnest(flatten([[substring(w, i + 1, l)
+                                for i in range(length(w) - l + 1)]
+                               for l in range(1, least(length(w),
+                                                       {_USEED_L}) + 1)]))
+                 AS piece,
+               freq
+        FROM usd) q
+      GROUP BY piece
+    ),
+    useed AS (
+      SELECT piece, score, rn FROM (
+        SELECT piece, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, piece) AS rn
+        FROM usp) WHERE rn <= {_USEED_K}
+    )
+"""
+
+
 _TERM_STATS_DUCK_SQL = f"""
     WITH exploded AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
     {_BT_CTES},
     {_WT_CTES},
+    {_USEED_CTES},
     tf AS (SELECT doc_id, w, COUNT(*) AS c FROM exploded GROUP BY doc_id, w),
     df AS (SELECT w, COUNT(DISTINCT doc_id) AS d FROM exploded GROUP BY w),
     n AS (SELECT COUNT(*) AS total FROM documents),
@@ -5474,6 +5512,10 @@ _TERM_STATS_DUCK_SQL = f"""
            a || ' ' || b || ' -> ' || f AS term,
            CAST(cnt AS DOUBLE) AS score, rn
     FROM ({_WT_UNION})
+    UNION ALL
+    SELECT 'useed' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           piece AS term, CAST(score AS DOUBLE) AS score, rn
+    FROM useed
     {_bm25_union_sql()}
     """
 
@@ -5487,7 +5529,12 @@ def ta_term_stats(spark, sf_dir):
     plus a native fold merge pass (zero Python in the loop) — and the
     oracle re-derives the full training run as a generated CTE chain.
     min_count=1 so Spark stops exactly when the pair space is
-    exhausted, mirroring the oracle's empty-argmax cascade."""
+    exhausted, mirroring the oracle's empty-argmax cascade.
+
+    r14 adds the 'useed' family: unigram_seed_pieces — the unigram
+    trainer's substring-candidate seed stage (occurrences × freq ×
+    length over the distinct-word table, top 20), pure integer
+    arithmetic, oracle re-derived via nested list comprehension."""
     from wikiextractor_spark.functions.tokenizer import learn_bpe_merges
 
     tune(spark)
@@ -5528,6 +5575,35 @@ def ta_term_stats(spark, sf_dir):
             ],
             "family string, doc_id bigint, term string, score double, "
             "rn int",
+        )
+    )
+    # 'useed' family (r14, functions/unigram.py): the unigram
+    # trainer's SEED stage — substring candidates scored
+    # occurrences × freq × length over the distinct-word table, top
+    # 20 — pure integer arithmetic, so the first stage of
+    # learn_unigram_lm carries a driver hash (its float EM lattice is
+    # pytest-differential-pinned vs exhaustive enumeration, stated)
+    from pyspark.sql import Window as _W
+
+    from wikiextractor_spark.functions.unigram import unigram_seed_pieces
+
+    useed_top = (
+        unigram_seed_pieces(
+            load_table(spark, sf_dir, "documents"),
+            max_piece_len=_USEED_L,
+        )
+        .orderBy(F.desc("score"), F.asc("piece"))
+        .limit(_USEED_K)
+    )
+    out = out.unionByName(
+        useed_top.select(
+            F.lit("useed").alias("family"),
+            F.lit(-1).cast("bigint").alias("doc_id"),
+            F.col("piece").alias("term"),
+            F.col("score").cast("double").alias("score"),
+            F.row_number().over(
+                _W.orderBy(F.desc("score"), F.asc("piece"))
+            ).cast("int").alias("rn"),
         )
     )
     # 'bm25' family (r11, functions/bm25.py): fit once over the union
