@@ -203,6 +203,25 @@ def test_langid_model_round_trip(spark, tmp_path):
     ).write.parquet(other)
     with pytest.raises(Exception, match="config rows|artifact"):
         langid.load_langid_model(spark, other)
+    # corrupt weight rows raise, never silently skew scores (r14
+    # review): an out-of-range bucket can match no gram; NULL
+    # lang/dwm would vanish inside the scoring sum
+    corrupt = str(tmp_path / "corrupt")
+    spark.read.parquet(p).unionByName(
+        spark.createDataFrame(
+            [(B + 7, "en", 5)], "bucket bigint, lang string, dwm bigint"
+        )
+    ).write.parquet(corrupt)
+    with pytest.raises(ValueError, match="corrupt"):
+        langid.load_langid_model(spark, corrupt)
+    nulls = str(tmp_path / "nulls")
+    spark.read.parquet(p).unionByName(
+        spark.createDataFrame(
+            [(3, None, 5)], "bucket bigint, lang string, dwm bigint"
+        )
+    ).write.parquet(nulls)
+    with pytest.raises(ValueError, match="corrupt"):
+        langid.load_langid_model(spark, nulls)
 
 
 def test_langid_prepare_corpus_composition(spark):

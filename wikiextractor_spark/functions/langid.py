@@ -169,8 +169,13 @@ def fit_langid(
         )
     ab = float(alpha) * buckets
     # per-(lang, bucket) gram counts — THE fit aggregation;
-    # materialized because totals, floors, and weights all derive
-    # from it and the sample must be scanned exactly once
+    # materialized because totals and weights both derive from it
+    # and the sample must be scanned exactly once; released once the
+    # weights checkpoint supersedes it (the trainer discipline)
+    from wikiextractor_spark.functions.tokenizer import (
+        _release_local_checkpoint,
+    )
+
     counts = (
         lab.select("lang", F.explode("_g").alias("_gram"))
         .select(
@@ -180,62 +185,69 @@ def fit_langid(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    # per-class gram totals + quantized floors (one tiny agg over the
-    # already-shuffled counts, not a second sample pass)
-    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("ngr")).select(
-        "lang",
-        "ngr",
-        F.round(
-            F.log(F.lit(float(alpha)) / (F.col("ngr") + F.lit(ab))) * _MICRO
-        ).cast("long").alias("floor_micro"),
-    )
-    trows = totals.collect()
-    if len(trows) < 2:
-        raise ValueError(
-            f"fit_langid: need at least 2 languages with text, got "
-            f"{len(trows)} — a one-class classifier predicts nothing"
-        )
-    floors = {r["lang"]: int(r["floor_micro"]) for r in trows}
-    langs = tuple(sorted(floors))
-    # priors from document counts, quantized by the same engine
-    docn = lab.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
-    prows = (
-        docn.crossJoin(docn.agg(F.sum("nd").alias("ndt")))
-        .select(
+    try:
+        # per-class gram totals + quantized floors (one tiny agg over
+        # the already-shuffled counts, not a second sample pass)
+        totals = counts.groupBy("lang").agg(
+            F.sum("cnt").alias("ngr")
+        ).select(
             "lang",
+            "ngr",
             F.round(
-                F.log(F.col("nd") * F.lit(1.0) / F.col("ndt")) * _MICRO
-            ).cast("long").alias("prior_micro"),
+                F.log(F.lit(float(alpha)) / (F.col("ngr") + F.lit(ab)))
+                * _MICRO
+            ).cast("long").alias("floor_micro"),
         )
-        .collect()
-    )
-    priors = {r["lang"]: int(r["prior_micro"]) for r in prows}
-    # a language whose every document was empty text has a prior but
-    # no grams: it would be missing from floors — refuse (its floor
-    # is undefined and its class unlearnable)
-    if set(priors) != set(floors):
-        raise ValueError(
-            "fit_langid: languages with documents but no grams "
-            f"(empty text only): {sorted(set(priors) - set(floors))}"
-        )
-    weights = (
-        counts.join(F.broadcast(totals), "lang")
-        .select(
-            "bucket",
-            "lang",
-            (
+        trows = totals.collect()
+        if len(trows) < 2:
+            raise ValueError(
+                f"fit_langid: need at least 2 languages with text, got "
+                f"{len(trows)} — a one-class classifier predicts nothing"
+            )
+        floors = {r["lang"]: int(r["floor_micro"]) for r in trows}
+        langs = tuple(sorted(floors))
+        # priors from document counts, quantized by the same engine
+        docn = lab.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+        prows = (
+            docn.crossJoin(docn.agg(F.sum("nd").alias("ndt")))
+            .select(
+                "lang",
                 F.round(
-                    F.log(
-                        (F.col("cnt") + F.lit(float(alpha)))
-                        / (F.col("ngr") + F.lit(ab))
-                    )
+                    F.log(F.col("nd") * F.lit(1.0) / F.col("ndt"))
                     * _MICRO
-                ).cast("long")
-                - F.col("floor_micro")
-            ).alias("dwm"),
+                ).cast("long").alias("prior_micro"),
+            )
+            .collect()
         )
-        .localCheckpoint(eager=True)
-    )
+        priors = {r["lang"]: int(r["prior_micro"]) for r in prows}
+        # a language whose every document was empty text has a prior
+        # but no grams: it would be missing from floors — refuse (its
+        # floor is undefined and its class unlearnable)
+        if set(priors) != set(floors):
+            raise ValueError(
+                "fit_langid: languages with documents but no grams "
+                f"(empty text only): {sorted(set(priors) - set(floors))}"
+            )
+        weights = (
+            counts.join(F.broadcast(totals), "lang")
+            .select(
+                "bucket",
+                "lang",
+                (
+                    F.round(
+                        F.log(
+                            (F.col("cnt") + F.lit(float(alpha)))
+                            / (F.col("ngr") + F.lit(ab))
+                        )
+                        * _MICRO
+                    ).cast("long")
+                    - F.col("floor_micro")
+                ).alias("dwm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _release_local_checkpoint(counts)
     return LangIdModel(
         langs=langs, weights=weights, priors_micro=priors,
         floors_micro=floors, n=n, buckets=buckets, salt=salt,
@@ -327,6 +339,31 @@ def langid_scores(
     )
 
 
+def langid_keep_ids(
+    df_slice: DataFrame,
+    model: LangIdModel,
+    lang: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ the id column of documents the model classifies as ``lang``
+    — the semi-join side of the trained gate.  Pass the PRUNED
+    ``(id, text)`` slice of the RAW scan, not a gated frame: scoring
+    is per-document on unmutated text, so the keep set is identical,
+    while scoring a gate-chain output would duplicate the whole
+    upstream plan into the score branch (the corpus-gate
+    no-plan-duplication rule, measured at 9 min vs seconds there).
+    Unknown codes raise (a typo'd code would silently drop the
+    corpus)."""
+    if lang not in model.langs:
+        raise ValueError(
+            f"langid_keep_ids: {lang!r} is not one of the model's "
+            f"languages {list(model.langs)}"
+        )
+    scored = langid_scores(df_slice, model, text_col, id_col)
+    return scored.filter(F.col("lang_nb") == lang).select(id_col)
+
+
 def filter_language_nb(
     df: DataFrame,
     model: LangIdModel,
@@ -336,17 +373,15 @@ def filter_language_nb(
 ) -> DataFrame:
     """Keep documents the TRAINED model classifies as ``lang`` — the
     CCNet first gate, and the trained backend for
-    ``prepare_corpus(target_lang=..., langid_model=...)``.  Unknown
-    codes raise (a typo'd code would silently drop the corpus)."""
-    if lang not in model.langs:
-        raise ValueError(
-            f"filter_language_nb: {lang!r} is not one of the model's "
-            f"languages {list(model.langs)}"
-        )
-    scored = langid_scores(df, model, text_col, id_col)
-    return scored.filter(F.col("lang_nb") == lang).drop(
-        "lang_nb", "lang_nb_score_micro"
+    ``prepare_corpus(target_lang=..., langid_model=...)``.  Shape:
+    keep-ids from the PRUNED ``(id, text)`` slice of ``df``
+    (:func:`langid_keep_ids`), then one LEFT SEMI join — the score
+    branch re-reads only the two-column scan, never a duplicated
+    gate chain (r14 review)."""
+    keep = langid_keep_ids(
+        df.select(id_col, text_col), model, lang, text_col, id_col
     )
+    return df.join(keep, id_col, "left_semi")
 
 
 def save_langid_model(model: LangIdModel, path: str) -> None:
@@ -405,9 +440,25 @@ def load_langid_model(spark, path: str) -> LangIdModel:
             "load_langid_model: per-language prior/floor scalar rows "
             "malformed (must cover the same non-NULL languages)"
         )
+    _check_fit_params(n, buckets, 1.0)
     weights = rows.filter(F.col("bucket") >= 0).select(
         "bucket", "lang", "dwm"
     )
+    # raise-don't-guess on corrupt weight rows (r14 review): a bucket
+    # at/past the config's hash space can never match any gram (it
+    # would silently skew scores), and NULL lang/dwm rows would
+    # vanish inside the scoring sum
+    n_bad = weights.filter(
+        (F.col("bucket") >= buckets)
+        | F.col("lang").isNull()
+        | F.col("dwm").isNull()
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"load_langid_model: {n_bad} weight rows with an "
+            f"out-of-range bucket (>= {buckets}) or NULL lang/dwm — "
+            "the artifact is corrupt"
+        )
     wlangs = {
         r["lang"] for r in weights.select("lang").distinct().collect()
     }
@@ -416,7 +467,6 @@ def load_langid_model(spark, path: str) -> LangIdModel:
             f"load_langid_model: weight rows for unknown languages "
             f"{sorted(wlangs - set(priors))}"
         )
-    _check_fit_params(n, buckets, 1.0)
     return LangIdModel(
         langs=tuple(sorted(priors)),
         weights=weights.localCheckpoint(eager=True),

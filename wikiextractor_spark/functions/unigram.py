@@ -783,13 +783,31 @@ def learn_unigram_lm(
         df, text_col, sample_fraction, seed
     ).localCheckpoint(eager=True)
     try:
-        seed_rows = unigram_seed_pieces(
+        seed_df = unigram_seed_pieces(
             df, text_col, max_piece_len=max_piece_len, _words=words
-        ).collect()
-        if not seed_rows:
+        )
+        # bounded driver transfer (r14 review): the full piece table
+        # is UNBOUNDED (every distinct substring of every distinct
+        # word) — only the global top-seed_size (one
+        # TakeOrderedAndProject, the selection the driver loop below
+        # would make anyway: it never reaches past the first
+        # seed_size globally-ordered pieces) plus the single-char
+        # coverage floor (alphabet-sized, the learn_wordpiece_vocab
+        # collect bound) ever reach the driver — two aggregations
+        # over the checkpointed word table
+        top_rows = (
+            seed_df.orderBy(F.desc("score"), F.asc("piece"))
+            .limit(seed_size)
+            .collect()
+        )
+        if not top_rows:
             raise ValueError("learn_unigram_lm: empty corpus")
+        single_rows = seed_df.filter(F.length("piece") == 1).collect()
+        scores = {r["piece"]: int(r["score"]) for r in top_rows}
+        for r in single_rows:
+            scores.setdefault(r["piece"], int(r["score"]))
         scored = sorted(
-            ((int(r["score"]), r["piece"]) for r in seed_rows),
+            ((s, p) for p, s in scores.items()),
             key=lambda t: (-t[0], t[1]),
         )
         singles = {p for _s, p in scored if len(p) == 1}

@@ -159,16 +159,20 @@ def prepare_corpus(
     if target_lang is not None:
         if langid_model is not None:
             # the TRAINED gate (functions/langid.py, the CCNet first
-            # stage): an agg + doc-grain join-back rather than a
-            # pushdown predicate — two shuffles, stated; placed at
-            # the same stage so later gates see the same survivors
+            # stage): keep-ids from the RAW pruned (id, text) scan +
+            # one left-semi join — NOT a score of `out`, which would
+            # duplicate the upstream gate chain into the score
+            # branch (the content gate's no-plan-duplication rule
+            # below, measured 9 min vs seconds; r14 review)
             from wikiextractor_spark.functions.langid import (
-                filter_language_nb,
+                langid_keep_ids,
             )
 
-            out = filter_language_nb(
-                out, langid_model, target_lang, text_col, id_col
+            keep = langid_keep_ids(
+                df.select(id_col, text_col), langid_model,
+                target_lang, text_col, id_col,
             )
+            out = out.join(keep, id_col, "left_semi")
         else:
             out = out.filter(lang_id(text_col) == target_lang)
     elif langid_model is not None:
