@@ -311,3 +311,59 @@ def test_cli_prepare_flag_compat(tmp_path):
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_langid_model_gate(spark, tmp_path, keep_session):
+    """--langid-model routes the --target-lang gate through the
+    TRAINED classifier (r14): documents the stopword heuristic would
+    misroute gate correctly under the model."""
+    from wikiextractor_spark.functions import langid
+
+    fit = spark.createDataFrame(
+        [
+            (i, ["en", "de"][i % 2],
+             ["the quick brown fox and the lazy dog it is for to in",
+              "der schnelle braune fuchs und die faule katze ist von",
+              ][i % 2] + f" {i}")
+            for i in range(8)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    model = langid.fit_langid(fit, n=3, buckets=256, salt="cli")
+    mp = tmp_path / "lidmodel"
+    langid.save_langid_model(model, str(mp))
+    p = tmp_path / "ldocs"
+    spark.createDataFrame(
+        [
+            (1, "die geschichte von einem hund und einem fuchs ist"),
+            (2, "this is the story of a dog and a fox in the morning"),
+            (3, "der braune hund ist nicht zu dem markt von heute"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(p))
+    out = tmp_path / "lkept"
+    main([
+        "--infn", str(p), "--source", "docs",
+        "--target-lang", "de", "--langid-model", str(mp),
+        "--out", str(out),
+    ])
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_cli_langid_model_flag_compat(tmp_path):
+    cases = [
+        # scoped to --source docs
+        ["--infn", "x", "--source", "dump", "--langid-model", "m"],
+        # requires --target-lang (the prepare_corpus contract, at the
+        # parser boundary so no JVM boots)
+        ["--infn", "x", "--source", "docs", "--langid-model", "m"],
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--langid-model", "m"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

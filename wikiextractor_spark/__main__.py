@@ -65,6 +65,7 @@ _SCOPED_DEFAULTS = {
     "shard_seed": "",
     "basic_tokenize": False,
     "target_lang": None,
+    "langid_model": None,
     "min_quality": None,
     "gopher": False,
     "normalize": None,
@@ -176,6 +177,12 @@ def build_parser() -> argparse.ArgumentParser:
         "stopword-profile language ID assigns this code",
     )
     p.add_argument(
+        "--langid-model", default=_UNSET, metavar="PATH",
+        help="(--source docs) prepare: parquet lang-ID artifact "
+        "(save_langid_model) — routes --target-lang through the "
+        "TRAINED NB classifier instead of the stopword heuristic",
+    )
+    p.add_argument(
         "--min-quality", type=float, default=_UNSET,
         help="(--source docs) prepare: composite quality-score floor",
     )
@@ -244,8 +251,8 @@ _DUMP_ONLY = (
 _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize",
-    "target_lang", "min_quality", "gopher", "normalize", "dedup",
-    "sentence_span_dedup",
+    "target_lang", "langid_model", "min_quality", "gopher", "normalize",
+    "dedup", "sentence_span_dedup",
 )
 
 #: the prepare-stage dests — --source docs needs --tokenize OR at
@@ -323,6 +330,11 @@ def _validate_docs_args(parser, args) -> None:
         )
     if args.sentence_span_dedup is not None and args.sentence_span_dedup < 2:
         parser.error("--sentence-span-dedup must be >= 2")
+    if args.langid_model is not None and args.target_lang is None:
+        # mirror prepare_corpus's contract at the parser boundary —
+        # a model without the gate it acts through is a usage error,
+        # and it must not boot a JVM
+        parser.error("--langid-model requires --target-lang")
     if args.tokenize is None:
         for d in ("vocab", "merges", "lm"):
             if getattr(args, d) is not None:
@@ -384,9 +396,17 @@ def _run_docs_tail(parser, spark, args) -> None:
     if _prepare_requested(args):
         from wikiextractor_spark.operators.corpus import prepare_corpus
 
+        langid_model = None
+        if args.langid_model is not None:
+            from wikiextractor_spark.functions.langid import (
+                load_langid_model,
+            )
+
+            langid_model = load_langid_model(spark, args.langid_model)
         docs = prepare_corpus(
             docs,
             target_lang=args.target_lang,
+            langid_model=langid_model,
             min_quality=args.min_quality,
             gopher=args.gopher,
             normalize_form=args.normalize,
