@@ -367,3 +367,97 @@ def test_cli_langid_model_flag_compat(tmp_path):
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_train_tokenizer_round_trips(spark, tmp_path, docs_parquet,
+                                         keep_session):
+    """--train-tokenizer: the no-Python TRAIN leg for all three
+    families — each trained artifact then SERVES through the
+    --tokenize path in a second invocation (r14)."""
+    # unigram: train → serve
+    m1 = tmp_path / "m_uni"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "unigram", "--vocab-size", "30",
+        "--out-model", str(m1),
+    ])
+    out1 = tmp_path / "uids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "unigram", "--lm", f"{m1}/unigram_lm",
+        "--out", str(out1),
+    ])
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in spark.read.parquet(str(out1)).collect()}
+    assert rows[3] is None                      # NULL text
+    assert all(x >= 0 for x in rows[1])         # full coverage
+    # wordpiece: train → serve
+    m2 = tmp_path / "m_wp"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "wordpiece", "--vocab-size", "40",
+        "--out-model", str(m2),
+    ])
+    out2 = tmp_path / "wids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "wordpiece", "--vocab", f"{m2}/wp_vocab",
+        "--out", str(out2),
+    ])
+    assert spark.read.parquet(str(out2)).count() == 3
+    # bpe: train → serve through the engine parquet pair (char
+    # grain — the artifact family implies the replay)
+    m3 = tmp_path / "m_bpe"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "bpe", "--vocab-size", "40",
+        "--out-model", str(m3),
+    ])
+    out3 = tmp_path / "bids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "bpe", "--vocab", f"{m3}/vocab",
+        "--merges", f"{m3}/merges", "--out", str(out3),
+    ])
+    brows = {r["doc_id"]: r["token_ids"]
+             for r in spark.read.parquet(str(out3)).collect()}
+    assert brows[3] is None and len(brows[2]) >= 1
+
+
+def test_cli_train_tokenizer_flag_compat(tmp_path):
+    cases = [
+        # one run, one product
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "unigram", "--vocab-size", "30", "--out-model", "m",
+         "--tokenize", "unigram", "--lm", "l"],
+        # required pair
+        ["--infn", "x", "--source", "docs",
+         "--train-tokenizer", "unigram", "--vocab-size", "30"],
+        ["--infn", "x", "--source", "docs",
+         "--train-tokenizer", "unigram", "--out-model", "m"],
+        # train-only flags without the mode
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--vocab-size", "30"],
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--out-model", "m"],
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--train-sample-fraction", "0.5"],
+        # bounds
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "unigram", "--vocab-size", "0", "--out-model", "m"],
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "unigram", "--vocab-size", "30", "--out-model", "m",
+         "--train-sample-fraction", "1.5"],
+        # scoped to --source docs
+        ["--infn", "x", "--source", "dump",
+         "--train-tokenizer", "bpe"],
+        # bpe serve artifacts must be one family
+        ["--infn", "x", "--source", "docs", "--tokenize", "bpe",
+         "--vocab", "v.json", "--merges", "m_parquet"],
+        ["--infn", "x", "--source", "docs", "--tokenize", "bpe",
+         "--vocab", "v_parquet", "--merges", "m.txt"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

@@ -64,6 +64,10 @@ _SCOPED_DEFAULTS = {
     "shards": None,
     "shard_seed": "",
     "basic_tokenize": False,
+    "train_tokenizer": None,
+    "vocab_size": None,
+    "out_model": None,
+    "train_sample_fraction": None,
     "target_lang": None,
     "langid_model": None,
     "min_quality": None,
@@ -183,6 +187,28 @@ def build_parser() -> argparse.ArgumentParser:
         "TRAINED NB classifier instead of the stopword heuristic",
     )
     p.add_argument(
+        "--train-tokenizer", choices=("bpe", "wordpiece", "unigram"),
+        default=_UNSET,
+        help="(--source docs) TRAIN a tokenizer on the (prepared) "
+        "corpus and persist its serving artifacts under --out-model "
+        "— the no-Python train leg; serve them later with --tokenize",
+    )
+    p.add_argument(
+        "--vocab-size", type=int, default=_UNSET,
+        help="(--source docs) --train-tokenizer: total vocabulary "
+        "budget (bpe derives its merge count as budget minus the "
+        "corpus alphabet)",
+    )
+    p.add_argument(
+        "--out-model", default=_UNSET, metavar="DIR",
+        help="(--source docs) --train-tokenizer: artifact directory",
+    )
+    p.add_argument(
+        "--train-sample-fraction", type=float, default=_UNSET,
+        help="(--source docs) --train-tokenizer: train on this "
+        "corpus sample (the web-scale training trade)",
+    )
+    p.add_argument(
         "--min-quality", type=float, default=_UNSET,
         help="(--source docs) prepare: composite quality-score floor",
     )
@@ -251,6 +277,8 @@ _DUMP_ONLY = (
 _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize",
+    "train_tokenizer", "vocab_size", "out_model",
+    "train_sample_fraction",
     "target_lang", "langid_model", "min_quality", "gopher", "normalize",
     "dedup", "sentence_span_dedup",
 )
@@ -322,12 +350,42 @@ def _validate_docs_args(parser, args) -> None:
     review): a usage error must not boot a JVM, and under
     getOrCreate it must never stop a session some other caller owns
     (main()'s finally stops the session it obtained)."""
-    if args.tokenize is None and not _prepare_requested(args):
+    if (
+        args.tokenize is None
+        and args.train_tokenizer is None
+        and not _prepare_requested(args)
+    ):
         parser.error(
-            "--source docs requires --tokenize and/or at least one "
-            "prepare flag (--target-lang/--min-quality/--gopher/"
-            "--normalize/--dedup/--sentence-span-dedup)"
+            "--source docs requires --tokenize, --train-tokenizer, "
+            "and/or at least one prepare flag (--target-lang/"
+            "--min-quality/--gopher/--normalize/--dedup/"
+            "--sentence-span-dedup)"
         )
+    if args.train_tokenizer is not None:
+        if args.tokenize is not None:
+            parser.error(
+                "--train-tokenizer and --tokenize are one run each — "
+                "train first, then serve the written artifacts with "
+                "--tokenize in a second invocation"
+            )
+        if args.vocab_size is None or args.out_model is None:
+            parser.error(
+                "--train-tokenizer requires --vocab-size and "
+                "--out-model"
+            )
+        if args.vocab_size < 1:
+            parser.error("--vocab-size must be >= 1")
+        if args.train_sample_fraction is not None and not (
+            0.0 < args.train_sample_fraction <= 1.0
+        ):
+            parser.error("--train-sample-fraction must be in (0, 1]")
+    else:
+        for d in ("vocab_size", "out_model", "train_sample_fraction"):
+            if getattr(args, d) is not None:
+                parser.error(
+                    f"--{d.replace('_', '-')} requires "
+                    "--train-tokenizer"
+                )
     if args.sentence_span_dedup is not None and args.sentence_span_dedup < 2:
         parser.error("--sentence-span-dedup must be >= 2")
     if args.langid_model is not None and args.target_lang is None:
@@ -371,6 +429,17 @@ def _validate_docs_args(parser, args) -> None:
         parser.error(
             "--basic-tokenize applies only to --tokenize wordpiece"
         )
+    if args.tokenize == "bpe" and (
+        args.vocab.endswith(".json") != args.merges.endswith(".txt")
+    ):
+        # artifact format implies its GRAIN (r14): mixing the
+        # published byte-level pair with the engine's char-grain
+        # parquet pair would serve one side under the other's replay
+        parser.error(
+            "--vocab/--merges must be the SAME artifact family: "
+            "published vocab.json + merges.txt, or the engine's "
+            "parquet pair from --train-tokenizer bpe"
+        )
     if args.pack is not None and args.pack < 1:
         parser.error("--pack must be a positive token budget")
     if args.shards is not None and args.shards < 1:
@@ -380,6 +449,95 @@ def _validate_docs_args(parser, args) -> None:
             "--shard-seed applies only with --shards (it would "
             "otherwise be silently ignored)"
         )
+
+
+def _run_train_tokenizer(spark, args, docs) -> None:
+    """--train-tokenizer: fit the chosen family on the (prepared)
+    documents surface and persist its serving artifacts under
+    --out-model — the no-Python TRAIN leg of the triangle
+    (bpe / wordpiece / unigram all train in-engine).  Artifact
+    layouts are the engine save contracts the --tokenize loaders
+    read back:
+
+    * ``bpe``: ``<out-model>/vocab`` + ``<out-model>/merges``
+      (parquet pair; char-grain — serve with ``--tokenize bpe``
+      giving those paths).  The merge budget derives from
+      --vocab-size minus the corpus alphabet (the
+      learn_wordpiece_vocab budget rule), raising when the alphabet
+      alone exceeds it.
+    * ``wordpiece``: ``<out-model>/wp_vocab`` (parquet; serve with
+      ``--tokenize wordpiece --vocab <path>``).
+    * ``unigram``: ``<out-model>/unigram_lm`` (parquet incl. the
+      NULL-token unk row; serve with ``--tokenize unigram --lm``).
+    """
+    from pyspark.sql import functions as F
+
+    sf = args.train_sample_fraction
+    out = args.out_model
+    if args.train_tokenizer == "bpe":
+        from wikiextractor_spark.functions.tokenizer import (
+            WS_SPLIT_PATTERN_JVM,
+            train_bpe_tokenizer,
+        )
+
+        # the FULL-corpus alphabet bounds the budget split: a sampled
+        # train sees a subset alphabet, so the final vocab stays AT
+        # OR UNDER --vocab-size by construction
+        n_alpha = (
+            docs.select(
+                F.explode(
+                    F.split(F.col("text"), WS_SPLIT_PATTERN_JVM)
+                ).alias("w")
+            )
+            .where(F.col("w") != "")
+            .select(F.explode(F.expr(
+                "filter(split(w, ''), x -> x <> '')"
+            )).alias("c"))
+            .distinct()
+            .count()
+        )
+        n_merges = args.vocab_size - n_alpha
+        if n_merges < 0:
+            raise ValueError(
+                f"--train-tokenizer bpe: the corpus alphabet needs "
+                f"{n_alpha} entries but --vocab-size is "
+                f"{args.vocab_size} — truncating it would silently "
+                "drop characters; raise --vocab-size"
+            )
+        train_bpe_tokenizer(
+            docs, n_merges, f"{out}/vocab", f"{out}/merges",
+            sample_fraction=sf,
+        )
+        print(f"wrote {out}/vocab and {out}/merges "
+              f"(serve: --tokenize bpe --vocab {out}/vocab "
+              f"--merges {out}/merges)")
+    elif args.train_tokenizer == "wordpiece":
+        from wikiextractor_spark.functions.wordpiece import (
+            learn_wordpiece_vocab,
+            save_wordpiece_vocab,
+            wordpiece_from_tokens,
+        )
+
+        toks = learn_wordpiece_vocab(
+            docs, args.vocab_size, sample_fraction=sf
+        )
+        save_wordpiece_vocab(
+            wordpiece_from_tokens(spark, toks), f"{out}/wp_vocab"
+        )
+        print(f"wrote {out}/wp_vocab (serve: --tokenize wordpiece "
+              f"--vocab {out}/wp_vocab)")
+    else:
+        from wikiextractor_spark.functions.unigram import (
+            learn_unigram_lm,
+            save_unigram_lm,
+        )
+
+        lm = learn_unigram_lm(
+            docs, args.vocab_size, sample_fraction=sf
+        )
+        save_unigram_lm(lm, f"{out}/unigram_lm")
+        print(f"wrote {out}/unigram_lm (serve: --tokenize unigram "
+              f"--lm {out}/unigram_lm)")
 
 
 def _run_docs_tail(parser, spark, args) -> None:
@@ -413,6 +571,13 @@ def _run_docs_tail(parser, spark, args) -> None:
             sentence_span_min_count=args.sentence_span_dedup,
             dedup=args.dedup,
         )
+    if args.train_tokenizer is not None:
+        # the TRAIN leg (r14): persist the serving artifacts and
+        # stop — a training run's product is the model, not a
+        # tokenized corpus; serve with --tokenize + the written
+        # paths in a second invocation
+        _run_train_tokenizer(spark, args, docs)
+        return
     if args.tokenize is None:
         # prepare-only: the prepared documents surface IS the output
         docs.write.mode("overwrite").parquet(args.out)
@@ -445,16 +610,32 @@ def _run_docs_tail(parser, spark, args) -> None:
         from wikiextractor_spark.functions.tokenizer import (
             GPT2_PRETOKENIZER_PATTERN,
             bpe_token_ids,
+            load_bpe_merges,
             load_bpe_merges_txt,
+            load_bpe_vocab,
             load_bpe_vocab_json,
         )
 
-        vocab = load_bpe_vocab_json(spark, args.vocab)
-        ranks = load_bpe_merges_txt(spark, args.merges)
-        ids = bpe_token_ids(
-            docs, vocab, ranks, out_col="token_ids",
-            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
-        )
+        # artifact format implies its GRAIN (family mismatch already
+        # rejected pre-JVM): published vocab.json/merges.txt are
+        # byte-level GPT-2 artifacts and serve under the GPT-2
+        # pre-tokenizer; the engine's parquet artifacts
+        # (--train-tokenizer bpe) are character-grain and serve at
+        # the whitespace grain they were trained at
+        if args.vocab.endswith(".json"):
+            vocab = load_bpe_vocab_json(spark, args.vocab)
+            ranks = load_bpe_merges_txt(spark, args.merges)
+            ids = bpe_token_ids(
+                docs, vocab, ranks, out_col="token_ids",
+                byte_level=True,
+                pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+            )
+        else:
+            vocab = load_bpe_vocab(spark, args.vocab)
+            ranks = load_bpe_merges(spark, args.merges)
+            ids = bpe_token_ids(
+                docs, vocab, ranks, out_col="token_ids",
+            )
     else:
         from wikiextractor_spark.functions.unigram import (
             load_unigram_lm,
