@@ -461,3 +461,16 @@ def test_cli_train_tokenizer_flag_compat(tmp_path):
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_train_tokenizer_rejects_out(tmp_path):
+    """--out is discarded by the train leg, so supplying it must
+    error (r14 review: the no-silently-ignored-flags discipline) —
+    while the default stays fine."""
+    with pytest.raises(SystemExit) as exc:
+        main([
+            "--infn", "x", "--source", "docs",
+            "--train-tokenizer", "unigram", "--vocab-size", "30",
+            "--out-model", "m", "--out", "somewhere",
+        ])
+    assert exc.value.code == 2

@@ -1422,3 +1422,41 @@ def test_decode_rejects_encoded_space_special_shadowing(spark):
     tdf = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="duplicate vocab id"):
         bpe_token_ids(tdf, dupv, {})
+
+
+def test_train_bpe_tokenizer_vocab_size_budget(spark, tmp_path):
+    """vocab_size mode (r14): the merge budget derives from the
+    TRAINED alphabet, the final vocabulary never exceeds the budget,
+    and the exactly-one contract holds."""
+    from wikiextractor_spark.functions.tokenizer import (
+        train_bpe_tokenizer,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hug hug hug hugs bug bugs mug the the")],
+        "doc_id long, text string",
+    )
+    # alphabet here: {h,u,g,s,b,m,t,e} = 8 chars
+    vocab, ranks = train_bpe_tokenizer(
+        df, None, str(tmp_path / "v"), str(tmp_path / "m"),
+        vocab_size=11, min_count=1,
+    )
+    toks = [r["token"] for r in vocab.collect() if r["token"] is not None]
+    assert len(toks) <= 11
+    assert len(ranks) == 3  # 11 - 8
+    # exactly one of n_merges / vocab_size
+    with pytest.raises(ValueError, match="exactly one"):
+        train_bpe_tokenizer(
+            df, 2, str(tmp_path / "v2"), str(tmp_path / "m2"),
+            vocab_size=11,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        train_bpe_tokenizer(
+            df, None, str(tmp_path / "v3"), str(tmp_path / "m3")
+        )
+    # the alphabet floor raises rather than truncating
+    with pytest.raises(ValueError, match="alphabet needs"):
+        train_bpe_tokenizer(
+            df, None, str(tmp_path / "v4"), str(tmp_path / "m4"),
+            vocab_size=5,
+        )

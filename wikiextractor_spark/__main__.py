@@ -92,7 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--compress", action="store_true", default=_UNSET,
         help="bzip2 output",
     )
-    p.add_argument("--out", default="wiki_out", help="output directory")
+    # sentinel-defaulted so --train-tokenizer can REJECT an
+    # explicitly-supplied --out instead of silently ignoring it (r14
+    # review; the no-silently-ignored-flags discipline) — resolved to
+    # its real default in main(), and exempt from the policy-tuple
+    # assertion below because it is global, not source-scoped
+    p.add_argument(
+        "--out", default=_UNSET,
+        help="output directory (default: wiki_out; not used by "
+        "--train-tokenizer, whose artifacts go under --out-model)",
+    )
     p.add_argument(
         "--parser",
         choices=("xml", "line"),
@@ -143,7 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--vocab", default=_UNSET,
-        help="(--tokenize wordpiece|bpe) vocabulary artifact path",
+        help="(--tokenize wordpiece|bpe) vocabulary artifact path. "
+        "The SUFFIX selects the family: wordpiece .txt = published "
+        "vocab.txt, else the engine parquet; bpe .json = published "
+        "byte-level vocab.json (keep the canonical suffix — any "
+        "other name is read as the engine's char-grain parquet)",
     )
     p.add_argument(
         "--basic-tokenize", action="store_true", default=_UNSET,
@@ -151,11 +164,18 @@ def build_parser() -> argparse.ArgumentParser:
         "BasicTokenizer stage (lowercase, accent strip, punctuation "
         "split) before wordpiece — the published uncased pipeline; "
         "without it, serving is raw whitespace-grain (cased text "
-        "and attached punctuation collapse to [UNK])",
+        "and attached punctuation collapse to [UNK]).  The vocab "
+        "must be BasicTokenizer-grain (a published uncased "
+        "vocab.txt, or one trained on normalized text) — a "
+        "--train-tokenizer wordpiece artifact trained on RAW text "
+        "will UNK most words under this stage",
     )
     p.add_argument(
         "--merges", default=_UNSET,
-        help="(--tokenize bpe) merges.txt path",
+        help="(--tokenize bpe) merges artifact path: .txt = the "
+        "published merges.txt (byte-level family, pairs with "
+        "vocab.json), anything else = the engine's parquet merges "
+        "(char-grain family, pairs with the parquet vocab)",
     )
     p.add_argument(
         "--lm", default=_UNSET,
@@ -241,6 +261,7 @@ def build_parser() -> argparse.ArgumentParser:
     unresolved = [
         a.dest for a in p._actions
         if a.default is _UNSET and a.dest not in scoped
+        and a.dest != "out"  # global sentinel, resolved in main()
     ]
     if unresolved:
         raise AssertionError(
@@ -470,43 +491,22 @@ def _run_train_tokenizer(spark, args, docs) -> None:
     * ``unigram``: ``<out-model>/unigram_lm`` (parquet incl. the
       NULL-token unk row; serve with ``--tokenize unigram --lm``).
     """
-    from pyspark.sql import functions as F
-
     sf = args.train_sample_fraction
     out = args.out_model
     if args.train_tokenizer == "bpe":
         from wikiextractor_spark.functions.tokenizer import (
-            WS_SPLIT_PATTERN_JVM,
             train_bpe_tokenizer,
         )
 
-        # the FULL-corpus alphabet bounds the budget split: a sampled
-        # train sees a subset alphabet, so the final vocab stays AT
-        # OR UNDER --vocab-size by construction
-        n_alpha = (
-            docs.select(
-                F.explode(
-                    F.split(F.col("text"), WS_SPLIT_PATTERN_JVM)
-                ).alias("w")
-            )
-            .where(F.col("w") != "")
-            .select(F.explode(F.expr(
-                "filter(split(w, ''), x -> x <> '')"
-            )).alias("c"))
-            .distinct()
-            .count()
-        )
-        n_merges = args.vocab_size - n_alpha
-        if n_merges < 0:
-            raise ValueError(
-                f"--train-tokenizer bpe: the corpus alphabet needs "
-                f"{n_alpha} entries but --vocab-size is "
-                f"{args.vocab_size} — truncating it would silently "
-                "drop characters; raise --vocab-size"
-            )
+        # the budget split happens INSIDE the trainer over its own
+        # (sampled) word table — one corpus scan, one grain
+        # definition, and the alphabet that bounds the budget is the
+        # one actually trained on (r14 review: a separate full-corpus
+        # alphabet count both re-ran the whole prepare chain and
+        # mis-sized sampled runs)
         train_bpe_tokenizer(
-            docs, n_merges, f"{out}/vocab", f"{out}/merges",
-            sample_fraction=sf,
+            docs, None, f"{out}/vocab", f"{out}/merges",
+            vocab_size=args.vocab_size, sample_fraction=sf,
         )
         print(f"wrote {out}/vocab and {out}/merges "
               f"(serve: --tokenize bpe --vocab {out}/vocab "
@@ -680,9 +680,20 @@ def _run_docs_tail(parser, spark, args) -> None:
 def main(argv: list[str] | None = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
+    out_supplied = args.out is not _UNSET
+    if not out_supplied:
+        args.out = "wiki_out"
     _check_flag_compat(parser, args, _resolve_scoped(args))
     if args.source == "docs":
         _validate_docs_args(parser, args)
+        if args.train_tokenizer is not None and out_supplied:
+            # supplied-but-discarded flags must error, not produce a
+            # plausible-looking run with nothing at --out (r14
+            # review; the --shard-seed precedent)
+            parser.error(
+                "--out does not apply to --train-tokenizer "
+                "(artifacts go under --out-model)"
+            )
     cfg = ExtractorConfig(incubator=args.incubator, compress=args.compress)
     spark = get_spark("wikiextractor-spark-cli")
     try:

@@ -1169,11 +1169,13 @@ def learn_bpe_merges(
 
 
 def train_bpe_tokenizer(
-    df: DataFrame, n_merges: int, vocab_path: str, merges_path: str,
+    df: DataFrame, n_merges: int | None, vocab_path: str,
+    merges_path: str,
     *, text_col: str = "text", min_count: int = 2,
     oov_tokens_per_char: float = 1.0,
     sample_fraction: float | None = None, seed: int = 0,
     max_chars: int = 100_000,
+    vocab_size: int | None = None,
 ) -> tuple[DataFrame, dict[tuple[str, str], float]]:
     """Train → persist → serve in one call: run
     :func:`learn_bpe_merges` on the corpus, derive the serving
@@ -1201,38 +1203,62 @@ def train_bpe_tokenizer(
     serving (the earlier-ranked rule fires on any re-created
     adjacency in the replay loop) and ILLEGAL in the artifact
     (duplicate pairs make the rank map ambiguous; the loaders
-    raise)."""
+    raise).
+
+    ``vocab_size`` (r14, exactly one of it or ``n_merges``): a TOTAL
+    vocabulary budget — the merge count derives as ``vocab_size``
+    minus the trained alphabet (the :func:`~wikiextractor_spark.
+    functions.wordpiece.learn_wordpiece_vocab` budget rule; raises
+    when the alphabet alone exceeds it).  The alphabet is the one
+    collected from the SAME (sampled) word table the trainer reads,
+    so the split is sampling-consistent and the final vocabulary is
+    at most ``vocab_size`` by construction — never derived from a
+    second full-corpus pass (r14 review)."""
+    if (n_merges is None) == (vocab_size is None):
+        raise ValueError(
+            "train_bpe_tokenizer: pass exactly one of n_merges or "
+            "vocab_size"
+        )
     words = _word_freq_table(
         df, text_col, sample_fraction, seed
     ).localCheckpoint(eager=True)
     try:
-        learned = learn_bpe_merges(
-            df, n_merges, text_col=text_col, min_count=min_count,
-            _words=words,
-        )
         chars = sorted(
             r["c"]
             for r in words.select(F.explode("syms").alias("c"))
             .distinct()
             .collect()
         )
+        if not chars:
+            raise ValueError(
+                "train_bpe_tokenizer: the corpus has no words — "
+                "nothing to train on"
+            )
+        if len(chars) > max_chars:
+            raise ValueError(
+                f"train_bpe_tokenizer: {len(chars)} distinct "
+                f"characters exceeds max_chars={max_chars} — a "
+                "vocabulary this wide is almost certainly a "
+                "binary/garbage corpus; filter first or raise "
+                "max_chars explicitly"
+            )
+        if vocab_size is not None:
+            n_merges = vocab_size - len(chars)
+            if n_merges < 0:
+                raise ValueError(
+                    f"train_bpe_tokenizer: the trained alphabet "
+                    f"needs {len(chars)} entries but vocab_size is "
+                    f"{vocab_size} — truncating it would silently "
+                    "drop characters; raise vocab_size"
+                )
+        learned = learn_bpe_merges(
+            df, n_merges, text_col=text_col, min_count=min_count,
+            _words=words,
+        )
     finally:
-        # the shared word table's last consumer is the alphabet
-        # collect above — release its checkpoint blocks like the
+        # release the shared word table's checkpoint blocks like the
         # trainer releases its per-round ones
         _release_local_checkpoint(words)
-    if not chars:
-        raise ValueError(
-            "train_bpe_tokenizer: the corpus has no words — nothing "
-            "to train on"
-        )
-    if len(chars) > max_chars:
-        raise ValueError(
-            f"train_bpe_tokenizer: {len(chars)} distinct characters "
-            f"exceeds max_chars={max_chars} — a vocabulary this wide "
-            "is almost certainly a binary/garbage corpus; filter "
-            "first or raise max_chars explicitly"
-        )
     pairs: list[tuple[str, str]] = []
     seen_pairs: set[tuple[str, str]] = set()
     for a, b, _cnt in learned:
