@@ -747,9 +747,11 @@ def test_cli_reverse_policy_guard(monkeypatch):
     import wikiextractor_spark.__main__ as cli
 
     orig = cli._DUMP_ONLY
-    # --out exists but its default is "wiki_out", not _UNSET
-    monkeypatch.setattr(cli, "_DUMP_ONLY", orig + ("out",))
-    with pytest.raises(AssertionError, match=r"\['out'\]"):
+    # --source exists but its default is a real value, not _UNSET
+    # (r14: --out became the one sentinel-defaulted GLOBAL flag, so
+    # it no longer serves as this test's non-sentinel example)
+    monkeypatch.setattr(cli, "_DUMP_ONLY", orig + ("source",))
+    with pytest.raises(AssertionError, match=r"\['source'\]"):
         cli.build_parser()
     # a policy entry with no parser action at all — patched from the
     # ORIGINAL tuple so this case is pinned independently of 'out'
