@@ -222,6 +222,38 @@ def test_langid_model_round_trip(spark, tmp_path):
     ).write.parquet(nulls)
     with pytest.raises(ValueError, match="corrupt"):
         langid.load_langid_model(spark, nulls)
+    # a NULL-bucket row would vanish through every range filter —
+    # caught on the raw rows (r14 third review)
+    nb = str(tmp_path / "nullbucket")
+    spark.read.parquet(p).unionByName(
+        spark.createDataFrame(
+            [(None, "en", 5)], "bucket bigint, lang string, dwm bigint"
+        )
+    ).write.parquet(nb)
+    with pytest.raises(ValueError, match="NULL-bucket"):
+        langid.load_langid_model(spark, nb)
+    # duplicate (bucket, lang) weight rows would double-count dwm
+    one_w = spark.read.parquet(p).filter("bucket >= 0").limit(1)
+    dup = str(tmp_path / "dupw")
+    spark.read.parquet(p).unionByName(one_w).write.parquet(dup)
+    with pytest.raises(ValueError, match="duplicate"):
+        langid.load_langid_model(spark, dup)
+    # duplicate scalar rows: the loaded prior must not depend on
+    # collect order
+    one_p = spark.read.parquet(p).filter("bucket = -1").limit(1)
+    dups = str(tmp_path / "dups")
+    spark.read.parquet(p).unionByName(one_p).write.parquet(dups)
+    with pytest.raises(ValueError, match="scalar rows"):
+        langid.load_langid_model(spark, dups)
+    # a truncated ONE-LANGUAGE artifact must refuse to load — as a
+    # gate it would keep the entire corpus (fit_langid refuses the
+    # same shape)
+    onelang = str(tmp_path / "onelang")
+    spark.read.parquet(p).filter(
+        "lang IS NULL OR lang = 'en' OR bucket < -2"
+    ).write.parquet(onelang)
+    with pytest.raises(ValueError, match="one-language"):
+        langid.load_langid_model(spark, onelang)
 
 
 def test_langid_prepare_corpus_composition(spark):

@@ -414,31 +414,53 @@ def load_langid_model(spark, path: str) -> LangIdModel:
     raise-don't-guess on every malformed shape (missing config rows,
     scalar/weight language mismatch), the modelio discipline."""
     rows = spark.read.parquet(path)
-    cfg = {
-        int(r["bucket"]): r
-        for r in rows.filter(F.col("bucket") < -2).collect()
-    }
-    if set(cfg) != {-3, -4, -5}:
+    # a NULL-bucket row would VANISH through every range filter below
+    # (NULL comparisons are NULL → dropped), silently deleting a gram
+    # weight — catch it on the RAW rows first (r14 third review)
+    if rows.filter(F.col("bucket").isNull()).count():
         raise ValueError(
-            f"load_langid_model: config rows -3/-4/-5 required, got "
-            f"{sorted(cfg)} — not a save_langid_model artifact"
+            "load_langid_model: NULL-bucket rows — the artifact is "
+            "corrupt"
+        )
+    cfg_rows = rows.filter(F.col("bucket") < -2).collect()
+    cfg = {int(r["bucket"]): r for r in cfg_rows}
+    if set(cfg) != {-3, -4, -5} or len(cfg_rows) != 3:
+        raise ValueError(
+            f"load_langid_model: exactly one config row each of "
+            f"-3/-4/-5 required, got buckets {sorted(cfg)} over "
+            f"{len(cfg_rows)} rows — not a save_langid_model artifact"
         )
     salt = cfg[-3]["lang"]
     n, buckets = int(cfg[-4]["dwm"]), int(cfg[-5]["dwm"])
     if salt is None:
         raise ValueError("load_langid_model: NULL salt row")
-    priors = {
-        r["lang"]: int(r["dwm"])
-        for r in rows.filter(F.col("bucket") == -1).collect()
-    }
-    floors = {
-        r["lang"]: int(r["dwm"])
-        for r in rows.filter(F.col("bucket") == -2).collect()
-    }
-    if not priors or set(priors) != set(floors) or None in priors:
+    prior_rows = rows.filter(F.col("bucket") == -1).collect()
+    floor_rows = rows.filter(F.col("bucket") == -2).collect()
+    priors = {r["lang"]: int(r["dwm"]) for r in prior_rows}
+    floors = {r["lang"]: int(r["dwm"]) for r in floor_rows}
+    # duplicate scalar rows would collapse last-wins in the dicts —
+    # the loaded prior would depend on collect order (r14 third
+    # review); and fit_langid refuses a one-class model, so a
+    # truncated one-language artifact must not load into a gate that
+    # would then keep the ENTIRE corpus
+    if (
+        not priors
+        or set(priors) != set(floors)
+        or None in priors
+        or len(prior_rows) != len(priors)
+        or len(floor_rows) != len(floors)
+    ):
         raise ValueError(
             "load_langid_model: per-language prior/floor scalar rows "
-            "malformed (must cover the same non-NULL languages)"
+            "malformed (must cover the same non-NULL languages, one "
+            "row each)"
+        )
+    if len(priors) < 2:
+        raise ValueError(
+            "load_langid_model: a one-language artifact — fit_langid "
+            "refuses this shape (a one-class classifier predicts "
+            "nothing; as a gate it would keep the entire corpus); "
+            "the artifact is truncated"
         )
     _check_fit_params(n, buckets, 1.0)
     weights = rows.filter(F.col("bucket") >= 0).select(
@@ -446,8 +468,9 @@ def load_langid_model(spark, path: str) -> LangIdModel:
     )
     # raise-don't-guess on corrupt weight rows (r14 review): a bucket
     # at/past the config's hash space can never match any gram (it
-    # would silently skew scores), and NULL lang/dwm rows would
-    # vanish inside the scoring sum
+    # would silently skew scores), NULL lang/dwm rows would vanish
+    # inside the scoring sum, and a DUPLICATE (bucket, lang) row
+    # would double-count its dwm through the broadcast join
     n_bad = weights.filter(
         (F.col("bucket") >= buckets)
         | F.col("lang").isNull()
@@ -458,6 +481,18 @@ def load_langid_model(spark, path: str) -> LangIdModel:
             f"load_langid_model: {n_bad} weight rows with an "
             f"out-of-range bucket (>= {buckets}) or NULL lang/dwm — "
             "the artifact is corrupt"
+        )
+    n_dup = (
+        weights.groupBy("bucket", "lang")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"load_langid_model: {n_dup} duplicate (bucket, lang) "
+            "weight rows — scoring would double-count them; the "
+            "artifact is corrupt"
         )
     wlangs = {
         r["lang"] for r in weights.select("lang").distinct().collect()

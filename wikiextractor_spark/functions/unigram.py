@@ -681,17 +681,15 @@ def _em_round(words: DataFrame, logp: dict[str, float]) -> dict[str, int]:
     @F.pandas_udf("array<struct<p: string, c: long>>")
     def _ecounts(w: "pd.Series", f: "pd.Series") -> "pd.Series":
         lp, ls = bc.value
-        cache: dict = {}
 
+        # no word memo here: the input IS the distinct-word table
+        # (every word in every batch is globally unique), so a cache
+        # could never hit (r14 third review)
         def one(args):
             word, freq = args
-            u = cache.get(word)
-            if u is None:
-                if len(cache) >= 100_000:
-                    cache.clear()
-                u = cache[word] = _em_expected_counts(word, lp, ls)
             return [
-                (p, math.floor(freq * e * 1e6 + 0.5)) for p, e in u
+                (p, math.floor(freq * e * 1e6 + 0.5))
+                for p, e in _em_expected_counts(word, lp, ls)
             ]
 
         return pd.Series(map(one, zip(w, f)))

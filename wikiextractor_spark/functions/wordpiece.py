@@ -513,12 +513,19 @@ def learn_wordpiece_merges(
         raise ValueError("learn_wordpiece_merges: n_merges must be >= 0")
     if min_count < 1:
         raise ValueError("learn_wordpiece_merges: min_count must be >= 1")
-    base = (
-        _wp_word_table(df, text_col, sample_fraction, seed)
-        if _words is None
-        else _words
-    )
-    words = base.localCheckpoint(eager=True)
+    # checkpoint ONLY a table we build ourselves: a caller-supplied
+    # _words is already checkpointed (learn_wordpiece_vocab), and
+    # re-checkpointing it would materialize a byte-identical second
+    # copy of the full word table (r14 third review); ownership
+    # tracking keeps the releases to frames THIS function created
+    if _words is None:
+        words = _wp_word_table(
+            df, text_col, sample_fraction, seed
+        ).localCheckpoint(eager=True)
+        owns_current = True
+    else:
+        words = _words
+        owns_current = False
     merges: list[tuple[str, str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -567,7 +574,7 @@ def learn_wordpiece_merges(
             a, b = best[0]["a"], best[0]["b"]
             fused = _fuse_wp(a, b)
             merges.append((a, b, fused, int(best[0]["cnt"])))
-            prev = words
+            prev, prev_owned = words, owns_current
             words = (
                 words.select(
                     _merge_fold(a, b, fused=fused)(F.col("syms"))
@@ -576,9 +583,12 @@ def learn_wordpiece_merges(
                 )
                 .localCheckpoint(eager=True)
             )
-            _release_local_checkpoint(prev)
+            owns_current = True
+            if prev_owned:
+                _release_local_checkpoint(prev)
     finally:
-        _release_local_checkpoint(words)
+        if owns_current:
+            _release_local_checkpoint(words)
     return merges
 
 
