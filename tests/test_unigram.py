@@ -552,3 +552,106 @@ def test_unigram_decode_specials_unk_and_errors(spark):
         enc_d, lm, ids_col="ids", out_col="dec"
     ).first()["dec"]
     assert dec_d == "aba?????b?"
+
+
+# --------------------------------------------------------------------------
+# SentencePiece space-marker mode (r14): real-artifact fidelity
+# --------------------------------------------------------------------------
+
+SP_LM = {
+    "▁the": -2.0, "▁cat": -2.5, "▁ca": -4.0,
+    "▁": -6.0, "t": -4.5, "h": -4.6, "e": -4.4, "c": -4.7,
+    "a": -4.3, "s": -4.2,
+}
+
+
+def test_sp_marker_matches_real_artifact_pieces(spark):
+    """A real SentencePiece-shaped artifact (▁-marked pieces) is
+    unmatchable at the plain whitespace grain — every word degrades
+    to char/unk streams — and serves faithfully under
+    space_marker='▁', with the published detokenization making the
+    round trip EXACT."""
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+        unigram_token_ids,
+    )
+
+    lm = unigram_from_tokens(spark, SP_LM, UNK)
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, "cats the"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    ids_sorted = {t: i for i, t in enumerate(sorted(SP_LM))}
+    plain = unigram_token_ids(df, lm, out_col="ids").collect()
+    marked = unigram_token_ids(
+        df, lm, out_col="ids", space_marker="▁"
+    ).collect()
+    p = {r["doc_id"]: (None if r["ids"] is None else list(r["ids"]))
+         for r in plain}
+    m = {r["doc_id"]: (None if r["ids"] is None else list(r["ids"]))
+         for r in marked}
+    # plain grain: '▁the' can never match the bare word 'the' — it
+    # segments via singles; marked grain: one piece per word
+    assert m[0] == [ids_sorted["▁the"], ids_sorted["▁cat"]]
+    assert len(p[0]) > 2
+    # 'cats' = ▁cat + s (word-internal continuation piece)
+    assert m[1][:2] == [ids_sorted["▁cat"], ids_sorted["s"]]
+    assert m[2] == [] and m[3] is None
+    # the published detokenization: EXACT round trip
+    enc = unigram_token_ids(
+        df, lm, out_col="ids", space_marker="▁"
+    )
+    dec = {
+        r["doc_id"]: r["dec"]
+        for r in unigram_decode_ids(
+            enc, lm, ids_col="ids", out_col="dec",
+            space_marker="▁",
+        ).collect()
+    }
+    assert dec[0] == "the cat"
+    assert dec[1] == "cats the"
+    assert dec[2] == "" and dec[3] is None
+
+
+def test_sp_marker_count_ids_consistency_and_differential():
+    """The marker is a plain DP prefix: count/ids under
+    prefix='▁' equal the brute-force enumeration over the
+    prefixed word."""
+    from wikiextractor_spark.functions.unigram import (
+        _viterbi_count_word,
+        _viterbi_ids_word,
+    )
+
+    micro = {t: _quantize_micro(v) for t, v in SP_LM.items()}
+    lens = tuple(sorted({len(t) for t in micro}))
+    unk = _quantize_micro(UNK)
+    ids = {t: i for i, t in enumerate(sorted(SP_LM))}
+    for w in ("the", "cat", "cats", "xx", "chat", "a"):
+        got = _viterbi_count_word(
+            w, micro, lens, unk, prefix="▁"
+        )
+        best = _brute_best("▁" + w, micro, unk)
+        exp = float(_TIE_BASE - (best % _TIE_BASE))
+        assert got == exp, w
+        seq = _viterbi_ids_word(
+            w, micro, lens, unk, ids, prefix="▁"
+        )
+        assert len(seq) == got, w
+
+
+def test_sp_marker_contract_errors(spark):
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+        unigram_token_ids,
+    )
+
+    lm = unigram_from_tokens(spark, SP_LM, UNK)
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    for bad in ("", " ", "a b", 7):
+        with pytest.raises(ValueError, match="space_marker"):
+            unigram_token_count(df, lm, space_marker=bad)
+        with pytest.raises(ValueError, match="space_marker"):
+            unigram_token_ids(df, lm, space_marker=bad)
+        with pytest.raises(ValueError, match="space_marker"):
+            unigram_decode_ids(df, lm, ids_col="doc_id",
+                               space_marker=bad)

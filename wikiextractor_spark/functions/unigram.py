@@ -208,9 +208,28 @@ def _check_oversize(oversize_word: str, caller: str) -> None:
         )
 
 
+def _check_marker(space_marker, caller: str) -> str:
+    """Validate ``space_marker`` (r14): ``None`` → the plain
+    whitespace grain (empty prefix); otherwise a non-empty
+    whitespace-free string — published SentencePiece artifacts use
+    U+2581 ``'▁'``."""
+    if space_marker is None:
+        return ""
+    if (
+        not isinstance(space_marker, str)
+        or space_marker == ""
+        or _WS_SPLIT.search(space_marker)
+    ):
+        raise ValueError(
+            f"{caller}: space_marker must be None or a non-empty "
+            f"whitespace-free string, got {space_marker!r}"
+        )
+    return space_marker
+
+
 def _viterbi_count_word(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
-    unk_micro: int, oversize_word: str = "raise",
+    unk_micro: int, oversize_word: str = "raise", prefix: str = "",
 ) -> float:
     """Token count of one word under max-logprob Viterbi segmentation.
     DP over the packed integer ``score_micro * _TIE_BASE - n_tokens``;
@@ -221,7 +240,10 @@ def _viterbi_count_word(
     applies.  The count decodes from the packed optimum:
     ``n = _TIE_BASE - (best mod _TIE_BASE)`` (mathematical mod;
     n <= len(word) < _TIE_BASE by the length guard; ``oversize_word
-    = 'chars'`` falls back to the per-character grain past it)."""
+    = 'chars'`` falls back to the per-character grain past it).
+    ``prefix`` (r14): the SentencePiece space marker prepended
+    before the DP, so ``'▁'``-marked artifact pieces match."""
+    word = prefix + word
     if len(word) >= _TIE_BASE and oversize_word == "chars":
         # the DP restricted to length-1 candidates: every char is one
         # token (vocab or unk) — a deterministic upper bound for the
@@ -272,7 +294,7 @@ def _viterbi_best(
 def _viterbi_ids_word(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
     unk_micro: int, tok_ids: dict[str, int],
-    oversize_word: str = "raise",
+    oversize_word: str = "raise", prefix: str = "",
 ) -> list[int]:
     """Token-id sequence of one word under max-logprob Viterbi
     segmentation — the shared forward DP (:func:`_viterbi_best`) plus
@@ -282,7 +304,10 @@ def _viterbi_ids_word(
     convention, pinned by the enumeration differential).  An UNK
     character emits -1 (the BPE kernels' OOV sentinel).
     ``oversize_word = 'chars'``: past the tie-break bound, the
-    per-character grain (single-char vocab id or -1 per char)."""
+    per-character grain (single-char vocab id or -1 per char).
+    ``prefix`` (r14): the SentencePiece space marker prepended
+    before the DP."""
+    word = prefix + word
     if len(word) >= _TIE_BASE and oversize_word == "chars":
         return [tok_ids.get(c, -1) for c in word]
     best = _viterbi_best(
@@ -344,6 +369,7 @@ def unigram_decode_ids(
     *, token_ids: dict[str, int] | None = None,
     special_tokens: dict[str, int] | None = None,
     oov_char: str = "?",
+    space_marker: str | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the id stream DECODED back to text — the
     unigram-LM sibling of :func:`tokenizer.bpe_decode_ids` /
@@ -364,9 +390,14 @@ def unigram_decode_ids(
     concatenate back with no separator — ``decode(encode(w)) == w``
     holds exactly per fully-covered single WORD (pinned by pytest);
     multi-word text decodes to its space-stripped form (stated, the
-    plain-BPE decode's convention).  NULL streams stay NULL.  Scale
-    shape: broadcast id→token map, one Arrow-batched kernel, no
-    shuffle."""
+    plain-BPE decode's convention).  ``space_marker`` (r14): the
+    published SentencePiece detokenization instead — pieces
+    concatenate, every marker becomes a space, ONE leading space
+    strips — so with ``'▁'``-mode streams ``decode(encode(text)) ==
+    text`` holds exactly for covered single-spaced text (pinned by
+    pytest), whitespace no longer lost.  NULL streams stay NULL.
+    Scale shape: broadcast id→token map, one Arrow-batched kernel,
+    no shuffle."""
     from wikiextractor_spark.functions.tokenizer import (
         _compile_specials,
         _decode_ids_one,
@@ -380,23 +411,32 @@ def unigram_decode_ids(
             f"unigram_decode_ids: oov_char must be one character, "
             f"got {oov_char!r}"
         )
+    marker = _check_marker(space_marker, "unigram_decode_ids")
     raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_decode_ids")
     _tok2id, id2tok, rev_special = _vocab_id_maps(
         [{"token": t, "token_id": v} for t, v in raw_ids.items()],
         sids, "unigram_decode_ids",
     )
     bc = df.sparkSession.sparkContext.broadcast(
-        (id2tok, rev_special, oov_char)
+        (id2tok, rev_special, oov_char, marker)
     )
 
     @F.pandas_udf("string")
     def _decode(s: pd.Series) -> pd.Series:
-        i2t, rsp, oc = bc.value
-        return s.map(
-            lambda ids: _decode_ids_one(
+        i2t, rsp, oc, mk = bc.value
+
+        def one(ids):
+            t = _decode_ids_one(
                 ids, i2t, None, rsp, oc, caller="unigram_decode_ids"
             )
-        )
+            if t is None or not mk:
+                return t
+            # the published SentencePiece detokenization: marker →
+            # space, strip the encode-side dummy-prefix space
+            t = t.replace(mk, " ")
+            return t[1:] if t.startswith(" ") else t
+
+        return s.map(one)
 
     return df.withColumn(out_col, _decode(F.col(ids_col)))
 
@@ -407,6 +447,7 @@ def unigram_token_ids(
     *, token_ids: dict[str, int] | None = None,
     special_tokens: dict[str, int] | None = None,
     oversize_word: str = "raise",
+    space_marker: str | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
     of ids under max-logprob Viterbi segmentation — the unigram-LM
@@ -433,7 +474,19 @@ def unigram_token_ids(
     from ids (ids >= 0 and -1 both count 1 under this grain —
     ``size(token_ids)`` IS :func:`unigram_token_count`'s value),
     pinned by pytest.  Same scale shape as the other kernels:
-    broadcast table, one Arrow-batched kernel, per-batch word memo."""
+    broadcast table, one Arrow-batched kernel, per-batch word memo.
+
+    ``space_marker`` (r14): pass ``'▁'`` (U+2581) to serve REAL
+    SentencePiece artifacts faithfully — each word is prefixed with
+    the marker before the DP (SentencePiece's ``add_dummy_prefix`` +
+    space→▁ treatment), so the artifact's ``▁``-marked pieces
+    actually match; without it every ``▁the``-style piece is
+    unmatchable under whitespace pre-tokenization and real Llama/T5
+    vocabularies degrade to character/unk streams.  Stated
+    divergence: pieces can never SPAN a word boundary (pre-tokenized
+    grain — e.g. a ``'▁▁'`` double-indent piece of a code model
+    never fires); word-internal pieces, the overwhelming mass, are
+    exact."""
     from wikiextractor_spark.functions.tokenizer import (
         _compile_specials,
         _vocab_id_maps,
@@ -442,6 +495,7 @@ def unigram_token_ids(
     toks, unk = _lm_tokens_and_unk(lm, "unigram_token_ids")
     spat, sids = _compile_specials(special_tokens, "unigram_token_ids")
     _check_oversize(oversize_word, "unigram_token_ids")
+    prefix = _check_marker(space_marker, "unigram_token_ids")
     raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_token_ids")
     # id validation + duplicate-id + special/vocab collision policy
     # through the ONE shared home (tokenizer._vocab_id_maps, r13
@@ -457,7 +511,7 @@ def unigram_token_ids(
         partial(
             _viterbi_ids_word, tok_micro=tok_micro, lens=lens,
             unk_micro=_quantize_micro(unk), tok_ids=tid_map,
-            oversize_word=oversize_word,
+            oversize_word=oversize_word, prefix=prefix,
         ),
         out_col, text_col,
         result_type="array<long>", list_mode=True,
@@ -470,6 +524,7 @@ def unigram_token_count(
     text_col: str = "text", out_col: str = "n_tokens_unigram",
     *, special_tokens: dict[str, int] | None = None,
     oversize_word: str = "raise",
+    space_marker: str | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the text's token count under max-logprob
     Viterbi segmentation of the imported unigram LM — whitespace
@@ -495,6 +550,9 @@ def unigram_token_count(
     restricted to length-1 candidates — a deterministic upper
     bound).
 
+    ``space_marker`` (r14): pass ``'▁'`` to serve REAL
+    SentencePiece artifacts — see :func:`unigram_token_ids`.
+
     Same scale shape as :func:`tokenizer.bpe_token_count`: broadcast
     driver-sized table, one Arrow-batched kernel, per-batch Zipfian
     word memo (the shared :func:`tokenizer._memoized_word_counter`
@@ -504,6 +562,7 @@ def unigram_token_count(
     toks, unk = _lm_tokens_and_unk(lm, "unigram_token_count")
     spat, sids = _compile_specials(special_tokens, "unigram_token_count")
     _check_oversize(oversize_word, "unigram_token_count")
+    prefix = _check_marker(space_marker, "unigram_token_count")
     tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
     lens = tuple(sorted({len(t) for t in tok_micro}))
     return _memoized_word_counter(
@@ -511,7 +570,7 @@ def unigram_token_count(
         partial(
             _viterbi_count_word, tok_micro=tok_micro, lens=lens,
             unk_micro=_quantize_micro(unk),
-            oversize_word=oversize_word,
+            oversize_word=oversize_word, prefix=prefix,
         ),
         out_col, text_col,
         special_pat=spat, special_ids=sids,

@@ -3928,6 +3928,27 @@ _FIM_PRE, _FIM_MID, _FIM_SUF, _FIM_RATE = 1000, 1001, 1002, 0.5
 # n_tokens_unigram DP-chain oracle + the enumeration differentials.
 _UIDS_CHARS = "abcdefghiklmnoprstuvwy"
 
+# 'usp' family (r14): unigram_token_ids under the SentencePiece
+# space-marker mode over a PAIR+SINGLE LM — every word's first
+# character serves through its '▁c' marker piece (the published-
+# artifact shape the marker mode exists for), the rest through plain
+# singles, j/q exercising BOTH unk paths (an uncovered first char
+# costs TWO unks: the marker char and the letter).  Segmentation is
+# provably unique again (the pair always beats unk+single by >5
+# logprob), so the full ORDERED id stream is restatable per word:
+# head from the pair map (else -1,-1), tail per char from the single
+# map (else -1).  Ids = the kernel's lexicographic default over the
+# union ('▁' sorts after ASCII letters → singles 0-21, pairs 22-43).
+# Prototyped mismatch-free (duck vs python vs engine) at
+# sf0.001/0.01/0.1.
+_USP_MARK = "▁"
+_USP_LM = {
+    **{_USP_MARK + c: -4.0 - i * 0.01 for i, c in enumerate(_UIDS_CHARS)},
+    **{c: -5.0 - i * 0.01 for i, c in enumerate(_UIDS_CHARS)},
+}
+_USP_IDS = {t: i for i, t in enumerate(sorted(_USP_LM))}
+_USP_UNK = -10.0
+
 # 'packs' family separator id (r13): assemble_packs at num_groups=1
 # with an everything-fits budget — the ONE configuration where the
 # whole assembly (ascending-doc_id concatenation, separators,
@@ -3990,6 +4011,58 @@ _PACK_SEP = 2000
         f"({_q(c)}, CAST({i} AS BIGINT))"
         for i, c in enumerate(_UIDS_CHARS)
     )}),
+    usppm(ch, uid) AS (VALUES {", ".join(
+        f"({_q(c)}, CAST({_USP_IDS[_USP_MARK + c]} AS BIGINT))"
+        for c in _UIDS_CHARS
+    )}),
+    uspsm(ch, uid) AS (VALUES {", ".join(
+        f"({_q(c)}, CAST({_USP_IDS[c]} AS BIGINT))"
+        for c in _UIDS_CHARS
+    )}),
+    uspw AS (
+      SELECT doc_id, w, i FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents WHERE text IS NOT NULL) z
+      WHERE w <> ''
+    ),
+    uspf AS (
+      -- per word: the head ids (the '▁c' pair piece, else the
+      -- marker unk + letter unk pair) and the tail source
+      SELECT u.doc_id, u.i,
+             CASE WHEN pm.uid IS NOT NULL
+                  THEN CAST(pm.uid AS VARCHAR)
+                  ELSE '-1,-1' END AS head,
+             substring(u.w, 2) AS rest
+      FROM uspw u LEFT JOIN usppm pm ON pm.ch = substring(u.w, 1, 1)
+    ),
+    uspr AS (
+      SELECT f.doc_id, f.i, f.head,
+             -- r.j NULL = the LEFT JOIN's no-rest row (single-char
+             -- word): string_agg skips the NULL, leaving tail NULL,
+             -- instead of COALESCE minting a phantom -1
+             string_agg(CASE WHEN r.j IS NULL THEN NULL
+                             ELSE CAST(COALESCE(sm.uid, -1)
+                                       AS VARCHAR)
+                        END, ',' ORDER BY r.j) AS tail
+      FROM uspf f
+      LEFT JOIN (
+        SELECT doc_id, i,
+               unnest(string_split(rest, '')) AS ch,
+               generate_subscripts(string_split(rest, ''), 1) AS j
+        FROM uspf WHERE rest <> ''
+      ) r ON r.doc_id = f.doc_id AND r.i = f.i
+      LEFT JOIN uspsm sm ON sm.ch = r.ch
+      GROUP BY f.doc_id, f.i, f.head
+    ),
+    uspout AS (
+      SELECT doc_id,
+             string_agg(head || CASE WHEN tail IS NULL THEN ''
+                                     ELSE ',' || tail END, ','
+                        ORDER BY i) AS s
+      FROM uspr GROUP BY doc_id
+    ),
     uidsout AS (
       -- 'uids' family (r13): the per-char id stream in order; the
       -- whitespace grain drops the (single-space) separators, so the
@@ -4121,6 +4194,14 @@ _PACK_SEP = 2000
                 ELSE COALESCE(u.n, 0) END AS n_tokens
     FROM documents d LEFT JOIN uidsout u USING (doc_id)
     UNION ALL
+    SELECT 'usp' AS family, d.doc_id, 0 AS chunk_no,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(p.s, '') END AS chunk,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN COALESCE(p.s, '') = '' THEN 0
+                ELSE len(string_split(p.s, ',')) END AS n_tokens
+    FROM documents d LEFT JOIN uspout p USING (doc_id)
+    UNION ALL
     SELECT 'fimc' AS family, doc_id, 0 AS chunk_no, t AS chunk,
            length(t) AS n_tokens
     FROM fimtout
@@ -4149,7 +4230,11 @@ def ta_chunk_documents(spark, sf_dir):
     the full ordered Viterbi id stream under the hash, j/q as -1
     UNK); 'udec' (r14) — unigram_decode_ids over the SAME stream
     (id → its char, -1 → '?'), putting the encode→decode round trip
-    under the hash in the decode kernel's birth round; 'fimc' (r13)
+    under the hash in the decode kernel's birth round; 'usp' (r14)
+    — the SentencePiece space-marker mode over a '▁'-pair + single
+    LM (the published Llama/T5 artifact shape): per word the head
+    pair piece (else the marker-unk + letter-unk -1,-1) then plain
+    singles, the full ordered stream restated per word; 'fimc' (r13)
     — character-grain FIM; 'packs' (r13) —
     assemble_packs at num_groups=1 with an everything-fits budget, so
     the oracle restates the whole assembly INCLUDING the new
@@ -4244,6 +4329,22 @@ def ta_chunk_documents(spark, sf_dir):
         F.col("decoded").alias("chunk"),
         F.size("token_ids").cast("long").alias("n_tokens"),
     )
+    # 'usp' family (r14, the SentencePiece space-marker mode): the
+    # REAL kernel serving a '▁'-marked pair+single artifact — the
+    # published Llama/T5 artifact shape (see the _USP_* block)
+    usp_lm = unigram_from_tokens(spark, _USP_LM, _USP_UNK)
+    usp_fam = unigram_token_ids(
+        _docs(spark, sf_dir), usp_lm, out_col="token_ids",
+        space_marker=_USP_MARK,
+    ).select(
+        F.lit("usp").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.expr(
+            "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
+        ).alias("chunk"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+    )
     # 'fimc' family (r13, fim_transform_text): character-grain FIM
     # over the raw text with literal sentinel markers — gate + cuts +
     # layout re-derived by the oracle over character positions
@@ -4303,6 +4404,7 @@ def ta_chunk_documents(spark, sf_dir):
         .unionByName(fim_fam)
         .unionByName(uids_fam)
         .unionByName(udec_fam)
+        .unionByName(usp_fam)
         .unionByName(fimc_fam)
         .unionByName(packs_fam)
         .unionByName(sent_fam)
