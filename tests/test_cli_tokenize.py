@@ -474,3 +474,44 @@ def test_cli_train_tokenizer_rejects_out(tmp_path):
             "--out-model", "m", "--out", "somewhere",
         ])
     assert exc.value.code == 2
+
+
+def test_cli_unigram_space_marker(spark, tmp_path, keep_session):
+    """--space-marker serves a real SentencePiece-shaped artifact
+    (▁-marked pieces) through the CLI (r14)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "spdocs"
+    spark.createDataFrame(
+        [(1, "the cat"), (2, None)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(p))
+    lmform = {"▁the": -2.0, "▁cat": -2.5, "▁": -6.0,
+              "t": -4.5, "h": -4.6, "e": -4.4, "c": -4.7, "a": -4.3}
+    tbl = pa.table({
+        "token": list(lmform) + [None],
+        "logprob": list(lmform.values()) + [-10.0],
+    })
+    lmdir = tmp_path / "splm"
+    lmdir.mkdir()
+    pq.write_table(tbl, str(lmdir / "part-0.parquet"))
+    out = tmp_path / "spids"
+    main([
+        "--infn", str(p), "--source", "docs",
+        "--tokenize", "unigram", "--lm", str(lmdir),
+        "--space-marker", "--out", str(out),
+    ])
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in spark.read.parquet(str(out)).collect()}
+    ids = {t: i for i, t in enumerate(sorted(lmform))}
+    assert list(rows[1]) == [ids["▁the"], ids["▁cat"]]
+    assert rows[2] is None
+    # scoped: unigram only
+    with pytest.raises(SystemExit) as exc:
+        main(["--infn", "x", "--source", "docs", "--tokenize",
+              "wordpiece", "--vocab", "v", "--space-marker"])
+    assert exc.value.code == 2
+    with pytest.raises(SystemExit) as exc:
+        main(["--infn", "x", "--source", "docs", "--dedup", "exact",
+              "--space-marker"])
+    assert exc.value.code == 2

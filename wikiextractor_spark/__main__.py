@@ -60,6 +60,7 @@ _SCOPED_DEFAULTS = {
     "vocab": None,
     "merges": None,
     "lm": None,
+    "space_marker": None,
     "pack": None,
     "shards": None,
     "shard_seed": "",
@@ -182,6 +183,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="(--tokenize unigram) token→logprob table path",
     )
     p.add_argument(
+        "--space-marker", nargs="?", const="▁", default=_UNSET,
+        metavar="MARKER",
+        help="(--tokenize unigram) serve a REAL SentencePiece "
+        "artifact: prefix each word with MARKER (default the "
+        "published U+2581 '▁') before the Viterbi DP so ▁-marked "
+        "pieces match — without it a published Llama/T5 vocabulary "
+        "degrades to character/unk streams",
+    )
+    p.add_argument(
         "--pack", type=int, default=_UNSET,
         help="(--source docs) assemble packed training sequences "
         "with this token budget",
@@ -297,7 +307,7 @@ _DUMP_ONLY = (
 )
 _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
-    "basic_tokenize",
+    "basic_tokenize", "space_marker",
     "train_tokenizer", "vocab_size", "out_model",
     "train_sample_fraction",
     "target_lang", "langid_model", "min_quality", "gopher", "normalize",
@@ -429,6 +439,10 @@ def _validate_docs_args(parser, args) -> None:
             parser.error(
                 "--basic-tokenize applies only to --tokenize wordpiece"
             )
+        if args.space_marker is not None:
+            parser.error(
+                "--space-marker applies only to --tokenize unigram"
+            )
         return
     need = {"wordpiece": ("vocab",), "bpe": ("vocab", "merges"),
             "unigram": ("lm",)}[args.tokenize]
@@ -449,6 +463,10 @@ def _validate_docs_args(parser, args) -> None:
     if args.basic_tokenize and args.tokenize != "wordpiece":
         parser.error(
             "--basic-tokenize applies only to --tokenize wordpiece"
+        )
+    if args.space_marker is not None and args.tokenize != "unigram":
+        parser.error(
+            "--space-marker applies only to --tokenize unigram"
         )
     if args.tokenize == "bpe" and (
         args.vocab.endswith(".json") != args.merges.endswith(".txt")
@@ -644,7 +662,8 @@ def _run_docs_tail(parser, spark, args) -> None:
 
         lm = load_unigram_lm(spark, args.lm)
         ids = unigram_token_ids(
-            docs, lm, out_col="token_ids", oversize_word="chars"
+            docs, lm, out_col="token_ids", oversize_word="chars",
+            space_marker=args.space_marker,
         )
     out = ids.select("doc_id", "token_ids")
     if args.pack is not None:
