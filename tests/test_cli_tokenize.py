@@ -515,3 +515,13 @@ def test_cli_unigram_space_marker(spark, tmp_path, keep_session):
         main(["--infn", "x", "--source", "docs", "--dedup", "exact",
               "--space-marker"])
     assert exc.value.code == 2
+
+
+def test_cli_space_marker_value_checked_pre_jvm(tmp_path):
+    """An invalid marker VALUE exits 2 at the parser, never booting
+    a JVM (r14 review; the validate-before-get_spark rule)."""
+    for bad in ("--space-marker=", "--space-marker= "):
+        with pytest.raises(SystemExit) as exc:
+            main(["--infn", "x", "--source", "docs", "--tokenize",
+                  "unigram", "--lm", "l", bad])
+        assert exc.value.code == 2, bad

@@ -655,3 +655,37 @@ def test_sp_marker_contract_errors(spark):
         with pytest.raises(ValueError, match="space_marker"):
             unigram_decode_ids(df, lm, ids_col="doc_id",
                                space_marker=bad)
+
+
+def test_sp_marker_special_token_convention(spark):
+    """Specials are word-boundary-like under the marker decode (r14
+    review, stated): 'foo<s> bar' round-trips exactly; the unspaced
+    'foo<s>bar' encodes to the SAME ids (the pre-split erases the
+    spacing) and decodes to the spaced form."""
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+        unigram_token_ids,
+    )
+
+    lm = unigram_from_tokens(
+        spark, {"▁foo": -2.0, "▁bar": -2.0, "▁": -6.0}, UNK
+    )
+    sp = {"<s>": 100}
+    df = spark.createDataFrame(
+        [(0, "foo<s> bar"), (1, "foo<s>bar")],
+        "doc_id long, text string",
+    )
+    enc = unigram_token_ids(
+        df, lm, out_col="ids", special_tokens=sp, space_marker="▁"
+    )
+    rows = {r["doc_id"]: list(r["ids"]) for r in enc.collect()}
+    assert rows[0] == rows[1]  # spacing info genuinely gone
+    dec = {
+        r["doc_id"]: r["dec"]
+        for r in unigram_decode_ids(
+            enc, lm, ids_col="ids", out_col="dec",
+            special_tokens=sp, space_marker="▁",
+        ).collect()
+    }
+    assert dec[0] == "foo<s> bar"  # exact round trip
+    assert dec[1] == "foo<s> bar"  # the stated convention

@@ -468,6 +468,17 @@ def _validate_docs_args(parser, args) -> None:
         parser.error(
             "--space-marker applies only to --tokenize unigram"
         )
+    if args.space_marker is not None:
+        # VALUE check pre-JVM through the kernel's own validator (one
+        # home, no drift): '--space-marker=' or a whitespace marker
+        # must exit 2 here, not traceback after a JVM boot (r14
+        # review; the r13 validate-before-get_spark rule)
+        from wikiextractor_spark.functions.unigram import _check_marker
+
+        try:
+            _check_marker(args.space_marker, "--space-marker")
+        except ValueError as e:
+            parser.error(str(e))
     if args.tokenize == "bpe" and (
         args.vocab.endswith(".json") != args.merges.endswith(".txt")
     ):

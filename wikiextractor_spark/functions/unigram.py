@@ -394,8 +394,14 @@ def unigram_decode_ids(
     published SentencePiece detokenization instead — pieces
     concatenate, every marker becomes a space, ONE leading space
     strips — so with ``'▁'``-mode streams ``decode(encode(text)) ==
-    text`` holds exactly for covered single-spaced text (pinned by
-    pytest), whitespace no longer lost.  NULL streams stay NULL.
+    text`` holds exactly for covered single-spaced text WITHOUT
+    special-token literals (pinned by pytest).  Specials are
+    word-boundary-like under this convention: the encoder's
+    pre-split makes ``'foo<s>bar'`` and ``'foo<s> bar'`` encode to
+    IDENTICAL ids (the spacing information is genuinely gone), and
+    decode renders the following word's dummy-prefix marker as one
+    space — ``'foo<s> bar'`` round-trips exactly, the unspaced form
+    decodes to it (stated; r14 review).  NULL streams stay NULL.
     Scale shape: broadcast id→token map, one Arrow-batched kernel,
     no shuffle."""
     from wikiextractor_spark.functions.tokenizer import (

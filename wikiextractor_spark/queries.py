@@ -3940,7 +3940,12 @@ _UIDS_CHARS = "abcdefghiklmnoprstuvwy"
 # map (else -1).  Ids = the kernel's lexicographic default over the
 # union ('▁' sorts after ASCII letters → singles 0-21, pairs 22-43).
 # Prototyped mismatch-free (duck vs python vs engine) at
-# sf0.001/0.01/0.1.
+# sf0.001/0.01/0.1.  STATED ASSUMPTION (r14 review): the restatement
+# hard-codes head-pair-then-singles, which is the DP's answer only
+# while no corpus WORD carries a literal '▁' character (a mid-word
+# marker would legally match a second pair piece) — true of the
+# synthetic corpora at every SF; if the testdata ever grows such a
+# word, extend the oracle before trusting a red gate here.
 _USP_MARK = "▁"
 _USP_LM = {
     **{_USP_MARK + c: -4.0 - i * 0.01 for i, c in enumerate(_UIDS_CHARS)},
