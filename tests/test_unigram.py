@@ -657,6 +657,38 @@ def test_sp_marker_contract_errors(spark):
                                space_marker=bad)
 
 
+def test_sp_marker_decode_rejects_marker_carrying_texts(spark):
+    """r15 (r14 ADVICE): the decode-side marker→space rewrite runs
+    over the whole buffer, so a special text carrying the marker or
+    an oov_char overlapping it would be silently rewritten — both
+    reject at validation time, and the same texts stay LEGAL in
+    plain (non-marker) mode."""
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+    )
+
+    lm = unigram_from_tokens(spark, {"▁foo": -2.0, "x": -3.0}, UNK)
+    df = spark.createDataFrame(
+        [(0, [0])], "doc_id long, ids array<long>"
+    )
+    with pytest.raises(ValueError, match="special-token"):
+        unigram_decode_ids(
+            df, lm, ids_col="ids", special_tokens={"<▁sep>": 100},
+            space_marker="▁",
+        )
+    with pytest.raises(ValueError, match="oov_char"):
+        unigram_decode_ids(
+            df, lm, ids_col="ids", oov_char="▁", space_marker="▁",
+        )
+    # plain mode: the same inputs are fine (no rewrite exists);
+    # lexicographic default ids: '▁' sorts after ASCII, so id 0 = 'x'
+    out = unigram_decode_ids(
+        df, lm, ids_col="ids", out_col="dec",
+        special_tokens={"<▁sep>": 100}, oov_char="?",
+    ).collect()
+    assert out[0]["dec"] == "x"
+
+
 def test_sp_marker_special_token_convention(spark):
     """Specials are word-boundary-like under the marker decode (r14
     review, stated): 'foo<s> bar' round-trips exactly; the unspaced

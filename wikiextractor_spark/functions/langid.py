@@ -154,38 +154,45 @@ def fit_langid(
     NULL text raise (corrupt training data must not silently shape
     the model)."""
     _check_fit_params(n, buckets, alpha)
-    lab = labeled.select(
-        F.col(label_col).cast("string").alias("lang"),
-        char_grams_expr(text_col, n).alias("_g"),
-    )
-    bad = lab.filter(
-        F.col("lang").isNull() | F.col("_g").isNull()
-    ).count()
-    if bad:
-        raise ValueError(
-            f"fit_langid: {bad} rows with a NULL label or NULL text "
-            "— label every training row (corrupt rows must not "
-            "silently shape the model)"
-        )
-    ab = float(alpha) * buckets
-    # per-(lang, bucket) gram counts — THE fit aggregation;
-    # materialized because totals and weights both derive from it
-    # and the sample must be scanned exactly once; released once the
-    # weights checkpoint supersedes it (the trainer discipline)
     from wikiextractor_spark.functions.tokenizer import (
         _release_local_checkpoint,
     )
 
-    counts = (
-        lab.select("lang", F.explode("_g").alias("_gram"))
-        .select(
-            "lang", _bucket_col(F.col("_gram"), buckets, salt).alias("bucket")
-        )
-        .groupBy("lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    # checkpoint the labeled projection ONCE: the NULL-row check, the
+    # counts aggregation, and the prior aggregation are three actions,
+    # and without this each re-runs char_grams_expr over the source
+    # (r14 ADVICE) — the docstring's scanned-exactly-once rationale
+    # now holds for the SOURCE scan; the gram arrays are sample-sized
+    # by the caller's contract, so materializing them is bounded
+    lab = labeled.select(
+        F.col(label_col).cast("string").alias("lang"),
+        char_grams_expr(text_col, n).alias("_g"),
+    ).localCheckpoint(eager=True)
     try:
+        bad = lab.filter(
+            F.col("lang").isNull() | F.col("_g").isNull()
+        ).count()
+        if bad:
+            raise ValueError(
+                f"fit_langid: {bad} rows with a NULL label or NULL text "
+                "— label every training row (corrupt rows must not "
+                "silently shape the model)"
+            )
+        ab = float(alpha) * buckets
+        # per-(lang, bucket) gram counts — THE fit aggregation;
+        # materialized because totals and weights both derive from it;
+        # released once the weights checkpoint supersedes it (the
+        # trainer discipline)
+        counts = (
+            lab.select("lang", F.explode("_g").alias("_gram"))
+            .select(
+                "lang",
+                _bucket_col(F.col("_gram"), buckets, salt).alias("bucket"),
+            )
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
         # per-class gram totals + quantized floors (one tiny agg over
         # the already-shuffled counts, not a second sample pass)
         totals = counts.groupBy("lang").agg(
@@ -247,7 +254,10 @@ def fit_langid(
             .localCheckpoint(eager=True)
         )
     finally:
-        _release_local_checkpoint(counts)
+        # counts is unbound when the NULL-row check raised
+        if "counts" in locals():
+            _release_local_checkpoint(counts)
+        _release_local_checkpoint(lab)
     return LangIdModel(
         langs=langs, weights=weights, priors_micro=priors,
         floors_micro=floors, n=n, buckets=buckets, salt=salt,

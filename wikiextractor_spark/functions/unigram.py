@@ -418,6 +418,30 @@ def unigram_decode_ids(
             f"got {oov_char!r}"
         )
     marker = _check_marker(space_marker, "unigram_decode_ids")
+    if marker:
+        # the marker→space rewrite below runs over the whole decoded
+        # buffer — a special text or oov_char carrying the marker (or
+        # composing it) would be silently rewritten, corrupting the
+        # verbatim-special/oov contract; reject at validation time
+        # (r14 ADVICE)
+        bad_sp = [
+            t for t in (special_tokens or {}) if marker in str(t)
+        ]
+        if bad_sp:
+            raise ValueError(
+                f"unigram_decode_ids: {len(bad_sp)} special-token "
+                f"texts contain the space marker {marker!r} (first: "
+                f"{bad_sp[0]!r}) — the marker→space detokenization "
+                "would rewrite them; rename the specials or drop "
+                "marker mode"
+            )
+        if marker in oov_char or oov_char in marker:
+            raise ValueError(
+                f"unigram_decode_ids: oov_char {oov_char!r} overlaps "
+                f"the space marker {marker!r} — decoded unknowns "
+                "would be rewritten to spaces; pick a different "
+                "oov_char"
+            )
     raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_decode_ids")
     _tok2id, id2tok, rev_special = _vocab_id_maps(
         [{"token": t, "token_id": v} for t, v in raw_ids.items()],
@@ -765,6 +789,11 @@ def _em_round(words: DataFrame, logp: dict[str, float]) -> dict[str, int]:
         .agg(F.sum("pc.c").alias("c"))
         .collect()
     )
+    # the collect above is the broadcast's only consumer — release it
+    # now, or the prune loop (n_em_iters × shrink rounds) accumulates
+    # one stale ~seed_size-entry broadcast per pass for the session
+    # lifetime (r14 ADVICE)
+    bc.unpersist()
     return {r["p"]: int(r["c"]) for r in rows}
 
 
