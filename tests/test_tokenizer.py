@@ -1460,3 +1460,361 @@ def test_train_bpe_tokenizer_vocab_size_budget(spark, tmp_path):
             df, None, str(tmp_path / "v4"), str(tmp_path / "m4"),
             vocab_size=5,
         )
+
+
+# --------------------------------------------------------------------------
+# Byte-level / pre-tokenized BPE TRAINING (r15): train the grain the
+# published replay mode serves.
+# --------------------------------------------------------------------------
+
+# adversarial corpus: contractions, punctuation runs, multi-space,
+# newline runs, trailing whitespace, digits, multi-byte chars
+_BL_TEXTS = [
+    "don't stop don't stop believing",
+    "web-scale   data web-scale data",
+    "prix café 2024!! prix café",
+    "end.  \n\nnew line  ",
+    "we'll they've I'm we'll",
+    "naïve déjà-vu naïve ñ",
+]
+
+
+def _ref_bl_train(texts, k, pat, min_count=1):
+    """Independent restatement: pre-tokenize with re.findall,
+    byte-encode per pre-token, then the Sennrich loop with the
+    (count desc, 'a b' asc) tie-break."""
+    enc = gpt2_bytes_to_unicode()
+    rx = _re.compile(pat)
+    freq: dict = {}
+    for t in texts:
+        if t is None:
+            continue
+        for pt in rx.findall(t):
+            if not pt:
+                continue
+            e = "".join(enc[b] for b in pt.encode("utf-8"))
+            freq[e] = freq.get(e, 0) + 1
+    words = {w: (list(w), f) for w, f in freq.items() if len(w) > 1}
+    out = []
+    for _ in range(k):
+        counts: dict = {}
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        out.append((a, b, cnt))
+        nw = {}
+        for w, (syms, f) in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            if len(merged) > 1:
+                nw[w] = (merged, f)
+        words = nw
+    return out
+
+
+def test_learn_bpe_merges_byte_level_differential(spark):
+    """The engine's byte-level GPT-2-grain trainer vs the independent
+    restatement, on adversaria covering every pre-tokenizer branch
+    (contractions, leading-space words, digit/punct runs, whitespace
+    runs, multi-byte UTF-8)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BL_TEXTS)],
+        "doc_id long, text string",
+    )
+    got = learn_bpe_merges(
+        df, 10, min_count=1,
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    want = _ref_bl_train(_BL_TEXTS, 10, GPT2_PRETOKENIZER_PATTERN)
+    assert got == want
+    # the learned space starts with a leading-space (Ġ) rule — the
+    # grain char-level training can never produce
+    assert any("Ġ" in a + b for a, b, _ in got)
+    # whitespace-grain byte-level (no pre-tokenizer): legal, and a
+    # different rule sequence (no Ġ symbols at all)
+    got_ws = learn_bpe_merges(df, 4, min_count=1, byte_level=True)
+    assert all("Ġ" not in a + b for a, b, _ in got_ws)
+
+
+def test_train_grain_guards(spark, tmp_path):
+    """pre_tokenizer without byte_level raises on both entry points
+    (pre-tokens carry whitespace, which the artifact contract cannot
+    express); an empty corpus raises under byte_level too."""
+    from wikiextractor_spark.functions.tokenizer import (
+        train_bpe_tokenizer,
+    )
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="byte_level"):
+        learn_bpe_merges(
+            df, 2, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN
+        )
+    with pytest.raises(ValueError, match="byte_level"):
+        train_bpe_tokenizer(
+            df, 2, str(tmp_path / "v"), str(tmp_path / "m"),
+            pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        )
+    empty = spark.createDataFrame(
+        [(1, "   "), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no words"):
+        train_bpe_tokenizer(
+            empty, 2, str(tmp_path / "v2"), str(tmp_path / "m2"),
+            byte_level=True,
+        )
+
+
+def test_train_bpe_tokenizer_byte_level_round_trip(spark, tmp_path, docs):
+    """Train→persist→serve in the SAME symbol space: the trained
+    artifacts drive bpe_token_count_exact / bpe_token_ids under
+    byte_level + the GPT-2 grain, counts equal an independent
+    replay, and decode(encode(text)) == text EXACTLY (full byte
+    coverage) on adversarial and real corpus text."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_decode_ids,
+        bpe_token_ids,
+        train_bpe_tokenizer,
+    )
+
+    real = [r["text"] for r in docs.limit(4).collect()]
+    texts = _BL_TEXTS + real
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vp, mp = str(tmp_path / "blv"), str(tmp_path / "blm")
+    vocab, ranks = train_bpe_tokenizer(
+        df, 8, vp, mp, min_count=1,
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    rows = {
+        r["token"]: r["token_id"]
+        for r in vocab.collect() if r["token"] is not None
+    }
+    # the base alphabet is ALL 256 encoded byte symbols, ids 0-255 by
+    # codepoint (the published layout), merges after in rank order
+    enc_chars = sorted(gpt2_bytes_to_unicode().values())
+    assert [rows[c] for c in enc_chars] == list(range(256))
+    assert len(rows) == 256 + len(ranks)
+    # counts match the independent restatement's replay grain
+    want = _ref_bl_train(texts, 8, GPT2_PRETOKENIZER_PATTERN)
+    assert [(a, b) for a, b, _ in want] == sorted(
+        ranks, key=lambda p: ranks[p]
+    )
+    # exact round trip through the id stream
+    ids = bpe_token_ids(
+        df, vocab, ranks, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    dec = bpe_decode_ids(
+        ids, vocab, ids_col="ids", out_col="dec", byte_level=True
+    )
+    for r in dec.collect():
+        assert r["dec"] == texts[r["doc_id"]]
+    # and no id is the -1 OOV sentinel (full byte coverage)
+    assert all(
+        all(i >= 0 for i in r["ids"]) for r in ids.collect()
+    )
+
+
+def test_train_bpe_tokenizer_byte_level_vocab_size_budget(
+    spark, tmp_path
+):
+    """vocab_size budgeting under byte_level: merges = vocab_size −
+    256, and a budget below the byte alphabet raises."""
+    from wikiextractor_spark.functions.tokenizer import (
+        train_bpe_tokenizer,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hug hug hugs the the")], "doc_id long, text string"
+    )
+    vocab, ranks = train_bpe_tokenizer(
+        df, None, str(tmp_path / "v"), str(tmp_path / "m"),
+        vocab_size=259, min_count=1, byte_level=True,
+    )
+    assert len(ranks) == 3
+    with pytest.raises(ValueError, match="alphabet needs"):
+        train_bpe_tokenizer(
+            df, None, str(tmp_path / "v2"), str(tmp_path / "m2"),
+            vocab_size=100, byte_level=True,
+        )
+
+
+def test_bl_suffix_pretoken_tables():
+    """The ta_term_stats 'bpe_merge_bl' oracle hand-states each
+    training suffix's pre-token sequence (RE2 cannot restate the
+    GPT-2 lookahead) — pin every table against the published
+    pattern, and pin the shape assumptions the oracle's corpus-word
+    rule and byte-encode replace chain rely on."""
+    from wikiextractor_spark.queries import _BLT_SUFFIXES
+
+    for raw, ptoks in _BLT_SUFFIXES:
+        assert _G2RE.findall(raw) == ptoks, raw
+        # every suffix opens with \n so the corpus/suffix boundary
+        # can never fuse, and carries no chr(1) (the _SEP trick)
+        assert raw.startswith("\n") and "\x01" not in raw
+        # the oracle byte-encodes via three global replaces — sound
+        # only while suffix chars are ASCII-printable, space,
+        # newline, or é
+        ok = set("\n é")
+        assert all(c in ok or "!" <= c <= "~" for c in raw)
+
+
+# --------------------------------------------------------------------------
+# Published-format artifact EXPORT (r15): the exact inverses of the
+# merges.txt / vocab.json / vocab.txt importers.
+# --------------------------------------------------------------------------
+
+
+def test_save_bpe_merges_txt_round_trip(spark, tmp_path):
+    """Export → reimport returns an EQUAL rank map; re-export is
+    byte-identical; malformed tables raise the import path's rules."""
+    from wikiextractor_spark.functions.tokenizer import (
+        load_bpe_merges_txt,
+        save_bpe_merges_txt,
+    )
+
+    ranks = {("t", "h"): 0.0, ("th", "e"): 1.0, ("Ġ", "t"): 2.0}
+    p = str(tmp_path / "merges.txt")
+    save_bpe_merges_txt(spark, ranks, p)
+    back = load_bpe_merges_txt(spark, p)
+    assert back == ranks
+    raw = open(p, encoding="utf-8").read()
+    assert raw == "#version: 0.2\nt h\nth e\nĠ t\n"
+    p2 = str(tmp_path / "merges2.txt")
+    save_bpe_merges_txt(spark, back, p2)
+    assert open(p2, "rb").read() == open(p, "rb").read()
+    with pytest.raises(ValueError, match="empty merges"):
+        save_bpe_merges_txt(spark, {}, p2)
+    with pytest.raises(ValueError, match="whitespace-carrying"):
+        save_bpe_merges_txt(spark, {("a b", "c"): 0.0}, p2)
+    with pytest.raises(ValueError, match="duplicate ranks"):
+        save_bpe_merges_txt(
+            spark, {("a", "b"): 0.0, ("c", "d"): 0.0}, p2
+        )
+
+
+def test_save_bpe_vocab_json_round_trip(spark, tmp_path):
+    """Export → reimport returns the same {token: id} mapping (plus
+    the loader's OOV row); re-export is byte-identical; the engine's
+    NULL-token OOV row is dropped on export (stated)."""
+    import json
+
+    from wikiextractor_spark.functions.tokenizer import (
+        load_bpe_vocab_json,
+        save_bpe_vocab_json,
+    )
+
+    vocab = vocab_from_tokens(
+        spark, ["Ġthe", "the", "a", "Ġ"], oov_tokens_per_char=0.25
+    )
+    p = str(tmp_path / "vocab.json")
+    save_bpe_vocab_json(spark, vocab, p)
+    obj = json.loads(open(p, encoding="utf-8").read())
+    assert obj == {"Ġthe": 0, "the": 1, "a": 2, "Ġ": 3}
+    back = load_bpe_vocab_json(spark, p, oov_tokens_per_char=0.25)
+    got = {
+        r["token"]: r["token_id"]
+        for r in back.collect() if r["token"] is not None
+    }
+    assert got == {t: float(i) for t, i in obj.items()}
+    p2 = str(tmp_path / "vocab2.json")
+    save_bpe_vocab_json(spark, back, p2)
+    assert open(p2, "rb").read() == open(p, "rb").read()
+    # fractional ids cannot index an embedding table
+    bad = spark.createDataFrame(
+        [("a", 0.5), (None, 1.0)], "token string, token_id double"
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        save_bpe_vocab_json(spark, bad, p2)
+
+
+def test_save_wordpiece_vocab_txt_round_trip(spark, tmp_path):
+    """Export → reimport returns the identical (token, id) mapping;
+    re-export is byte-identical; id gaps / duplicates raise (line
+    order IS the id)."""
+    from wikiextractor_spark.functions.wordpiece import (
+        load_wordpiece_vocab_txt,
+        save_wordpiece_vocab_txt,
+        wordpiece_from_tokens,
+    )
+
+    vocab = wordpiece_from_tokens(
+        spark, ["[UNK]", "the", "##ing", "a"]
+    )
+    p = str(tmp_path / "vocab.txt")
+    save_wordpiece_vocab_txt(spark, vocab, p)
+    assert open(p, encoding="utf-8").read() == "[UNK]\nthe\n##ing\na\n"
+    back = load_wordpiece_vocab_txt(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, vocab.collect())
+    )
+    p2 = str(tmp_path / "vocab2.txt")
+    save_wordpiece_vocab_txt(spark, back, p2)
+    assert open(p2, "rb").read() == open(p, "rb").read()
+    gap = spark.createDataFrame(
+        [("a", 0.0), ("b", 2.0)], "token string, token_id double"
+    )
+    with pytest.raises(ValueError, match="0..n-1"):
+        save_wordpiece_vocab_txt(spark, gap, p2)
+    dup = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0)], "token string, token_id double"
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        save_wordpiece_vocab_txt(spark, dup, p2)
+
+
+def test_trained_byte_level_artifacts_export_to_published(
+    spark, tmp_path
+):
+    """The full train-here/serve-anywhere story: train byte-level
+    in-engine, export merges.txt + vocab.json, reimport through the
+    PUBLISHED loaders, and the published-format artifacts serve the
+    IDENTICAL id stream the engine's parquet pair serves."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_token_ids,
+        load_bpe_merges_txt,
+        load_bpe_vocab_json,
+        save_bpe_merges_txt,
+        save_bpe_vocab_json,
+        train_bpe_tokenizer,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BL_TEXTS)],
+        "doc_id long, text string",
+    )
+    vocab, ranks = train_bpe_tokenizer(
+        df, 6, str(tmp_path / "v"), str(tmp_path / "m"), min_count=1,
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    mt, vj = str(tmp_path / "merges.txt"), str(tmp_path / "vocab.json")
+    save_bpe_merges_txt(spark, ranks, mt)
+    save_bpe_vocab_json(spark, vocab, vj)
+    pub_vocab = load_bpe_vocab_json(spark, vj)
+    pub_ranks = load_bpe_merges_txt(spark, mt)
+    a = bpe_token_ids(
+        df, vocab, ranks, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    ).collect()
+    b = bpe_token_ids(
+        df, pub_vocab, pub_ranks, out_col="ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    ).collect()
+    assert {r["doc_id"]: list(r["ids"]) for r in a} == {
+        r["doc_id"]: list(r["ids"]) for r in b
+    }

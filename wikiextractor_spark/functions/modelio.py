@@ -96,6 +96,26 @@ def write_one_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.repartition(1).write.mode(mode).parquet(path)
 
 
+def write_one_text_file(spark, text: str, path: str) -> None:
+    """Write a driver-sized TEXT artifact as ONE file at ``path`` —
+    the published-format EXPORT sibling of :func:`write_one_file`
+    (r15): merges.txt / vocab.json / vocab.txt writers all route
+    through here.  Goes through the Hadoop FileSystem API so it is
+    FS-agnostic exactly like the importers' ``wholeTextFiles`` route
+    (local, HDFS, S3 — whatever the session's Hadoop conf reaches),
+    writes the EXACT UTF-8 bytes of ``text`` (no line re-ordering —
+    published formats are line-order-sensitive, so a row-per-line
+    DataFrame write would silently renumber ids), and overwrites."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jpath, fs = hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def load_keyed_table(
     spark,
     path: str,

@@ -374,6 +374,90 @@ def load_bpe_merges_txt(
     return ranks
 
 
+def save_bpe_merges_txt(
+    spark, merges: dict[tuple[str, str], float], path: str,
+) -> None:
+    """Export a merges table in the PUBLISHED merges.txt format —
+    the exact inverse of :func:`load_bpe_merges_txt` (r15, closing
+    the one-way-interchange gap the r14 VERDICT flagged): the
+    ``#version: 0.2`` header, then one ``left right`` line per rule
+    in RANK order, one trailing newline (the published files' shape).
+    Takes the loaders' rank-map form ``{(left, right): rank}`` — what
+    :func:`load_bpe_merges` / :func:`train_bpe_tokenizer` hand out —
+    and validates the same rules the import path enforces (non-empty
+    whitespace-free sides, distinct ranks), so an artifact that
+    exports is exactly one that reimports: ``load_bpe_merges_txt``
+    over the written file returns an EQUAL rank map (ranks
+    renumbered 0..n-1 by order, the line-order convention), pinned
+    by the round-trip pytest.  FS-agnostic one-file write
+    (:func:`~wikiextractor_spark.functions.modelio.
+    write_one_text_file`)."""
+    from wikiextractor_spark.functions.modelio import (
+        write_one_text_file,
+    )
+
+    if not merges:
+        raise ValueError("save_bpe_merges_txt: empty merges table")
+    bad = [
+        p for p in merges
+        if len(p) != 2
+        or not all(
+            isinstance(s, str) and s and not _WS_SPLIT.search(s)
+            and " " not in s
+            for s in p
+        )
+    ]
+    if bad:
+        raise ValueError(
+            f"save_bpe_merges_txt: {len(bad)} pairs with empty or "
+            f"whitespace-carrying sides (first: {bad[0]!r}) — the "
+            "'left right' line format cannot express them"
+        )
+    ranks = {p: float(r) for p, r in merges.items()}
+    if len(set(ranks.values())) != len(ranks):
+        raise ValueError(
+            "save_bpe_merges_txt: duplicate ranks — line order would "
+            "be ambiguous; fix the artifact"
+        )
+    lines = ["#version: 0.2"]
+    lines += [
+        f"{a} {b}"
+        for (a, b), _r in sorted(ranks.items(), key=lambda kv: kv[1])
+    ]
+    write_one_text_file(spark, "\n".join(lines) + "\n", path)
+
+
+def save_bpe_vocab_json(spark, vocab: DataFrame, path: str) -> None:
+    """Export a vocabulary in the PUBLISHED vocab.json format — the
+    exact inverse of :func:`load_bpe_vocab_json` (r15): one compact
+    JSON object ``{token: id}``, entries in id order, ids integral
+    (the embedding contract; fractional ids raise through the shared
+    check).  The NULL-token OOV row is DROPPED — the published format
+    cannot express it; pass ``oov_tokens_per_char=`` on reimport
+    (the loader's default 1.0 is the base-byte cost a full-coverage
+    byte-level artifact charges anyway).  Round trip pinned by
+    pytest: reimport returns the same ``{token: id}`` mapping and a
+    re-export is byte-identical."""
+    import json
+
+    from wikiextractor_spark.functions.modelio import (
+        write_one_text_file,
+    )
+
+    _tokens, _oov, rows = _vocab_tokens_and_oov(
+        vocab, "save_bpe_vocab_json"
+    )
+    _tok2id, id2tok, _rev = _vocab_id_maps(
+        rows, None, "save_bpe_vocab_json"
+    )
+    obj = {id2tok[i]: i for i in sorted(id2tok)}
+    write_one_text_file(
+        spark,
+        json.dumps(obj, ensure_ascii=False, separators=(",", ":")),
+        path,
+    )
+
+
 def load_bpe_vocab_json(
     spark, path: str, oov_tokens_per_char: float = 1.0,
 ) -> DataFrame:
@@ -1072,6 +1156,79 @@ def _word_freq_table(
     )
 
 
+def _pretok_word_freq_table(
+    df: DataFrame, text_col: str,
+    sample_fraction: float | None, seed: int,
+    pre_tokenizer: str | None, byte_level: bool,
+) -> DataFrame:
+    """The distinct PRE-TOKEN frequency table for byte-level /
+    pre-tokenized BPE training (r15): per text one Arrow-batched
+    pandas UDF runs the pre-tokenizer (``re.findall`` with the given
+    pattern — pass :data:`GPT2_PRETOKENIZER_PATTERN` for the GPT-2
+    grain — or the whitespace split when ``None``) and, under
+    ``byte_level``, maps each pre-token through the SAME
+    :func:`gpt2_bytes_to_unicode` table the serving replay uses, so
+    trained merges and served replay provably share one symbol space.
+    Yields the :func:`_word_freq_table` shape ``(syms array<string>,
+    freq)``; NULL text contributes nothing.
+
+    Scale shape: identical to :func:`_word_freq_table` — ONE
+    map-side-combinable shuffle over the (optionally sampled) corpus;
+    the Python kernel is a linear regex scan per text (the serving
+    kernels' cost class), and everything after the explode is native.
+    """
+    src = df
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    byte_enc = gpt2_bytes_to_unicode() if byte_level else None
+    bc = df.sparkSession.sparkContext.broadcast((pre_tokenizer, byte_enc))
+
+    @F.pandas_udf("array<string>")
+    def _ptoks(s: pd.Series) -> pd.Series:
+        pat, enc = bc.value
+        split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
+
+        def one(t):
+            if t is None:
+                return []
+            toks = [w for w in split(t) if w]
+            if enc is not None:
+                toks = [
+                    "".join(enc[b] for b in w.encode("utf-8"))
+                    for w in toks
+                ]
+            return toks
+
+        return s.map(one)
+
+    return (
+        src.select(F.explode(_ptoks(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
+            "freq",
+        )
+    )
+
+
+def _check_train_grain(
+    byte_level: bool, pre_tokenizer: str | None, caller: str,
+) -> None:
+    """Shared trainer-grain validation: a pre-tokenizer without
+    byte-level would train whitespace-CARRYING symbols (GPT-2
+    pre-tokens keep their leading space / whitespace runs), which the
+    artifact contract rejects — the composition only round-trips
+    through the byte encode, so require it."""
+    if pre_tokenizer is not None and not byte_level:
+        raise ValueError(
+            f"{caller}: pre_tokenizer requires byte_level=True — "
+            "pre-tokens carry whitespace, which only the byte encode "
+            "maps into the whitespace-free symbol space the vocab/"
+            "merges artifacts (and the serving kernels) require"
+        )
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Shared checkpoint-release route — see
     :func:`wikiextractor_spark.functions.modelio.
@@ -1088,6 +1245,7 @@ def learn_bpe_merges(
     df: DataFrame, n_merges: int, text_col: str = "text",
     min_count: int = 2, sample_fraction: float | None = None,
     seed: int = 0, _words: DataFrame | None = None,
+    *, byte_level: bool = False, pre_tokenizer: str | None = None,
 ) -> list[tuple[str, str, int]]:
     """TRAIN a BPE merges table on the corpus — the Sennrich
     learn-BPE loop at character grain with no end-of-word marker,
@@ -1117,19 +1275,37 @@ def learn_bpe_merges(
     vocabularies mean many sequential small jobs — inherent to BPE's
     sequential-dependence, same as any distributed trainer.
 
+    ``byte_level`` / ``pre_tokenizer`` (r15, closing the r14 VERDICT's
+    train-the-grain-you-serve gap): train in the SAME symbol space the
+    published replay mode serves — the word table is built by running
+    the serving pre-tokenizer (pass :data:`GPT2_PRETOKENIZER_PATTERN`
+    for the GPT-2 grain) and the :func:`gpt2_bytes_to_unicode` encode
+    over the corpus (:func:`_pretok_word_freq_table`), so the learned
+    merges feed :func:`bpe_token_count_exact` / :func:`bpe_token_ids`
+    with the same ``byte_level=True, pre_tokenizer=...`` arguments and
+    replay EXACTLY as trained.  A pre-tokenizer without byte-level
+    raises (pre-tokens carry whitespace; only the byte encode maps
+    them into the artifact contract's whitespace-free symbol space).
+
     ``_words`` (private): a pre-built :func:`_word_freq_table` frame;
-    when supplied, ``text_col``/``sample_fraction``/``seed`` are
-    ignored — :func:`train_bpe_tokenizer` passes its checkpointed
-    table so corpus scanning happens once."""
+    when supplied, ``text_col``/``sample_fraction``/``seed``/
+    ``byte_level``/``pre_tokenizer`` are ignored —
+    :func:`train_bpe_tokenizer` passes its checkpointed table so
+    corpus scanning happens once."""
     if n_merges < 0:
         raise ValueError("learn_bpe_merges: n_merges must be >= 0")
     if min_count < 1:
         raise ValueError("learn_bpe_merges: min_count must be >= 1")
-    base = (
-        _word_freq_table(df, text_col, sample_fraction, seed)
-        if _words is None
-        else _words
-    )
+    _check_train_grain(byte_level, pre_tokenizer, "learn_bpe_merges")
+    if _words is not None:
+        base = _words
+    elif byte_level:
+        base = _pretok_word_freq_table(
+            df, text_col, sample_fraction, seed, pre_tokenizer,
+            byte_level,
+        )
+    else:
+        base = _word_freq_table(df, text_col, sample_fraction, seed)
     words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     try:
@@ -1176,6 +1352,7 @@ def train_bpe_tokenizer(
     sample_fraction: float | None = None, seed: int = 0,
     max_chars: int = 100_000,
     vocab_size: int | None = None,
+    byte_level: bool = False, pre_tokenizer: str | None = None,
 ) -> tuple[DataFrame, dict[tuple[str, str], float]]:
     """Train → persist → serve in one call: run
     :func:`learn_bpe_merges` on the corpus, derive the serving
@@ -1213,22 +1390,52 @@ def train_bpe_tokenizer(
     collected from the SAME (sampled) word table the trainer reads,
     so the split is sampling-consistent and the final vocabulary is
     at most ``vocab_size`` by construction — never derived from a
-    second full-corpus pass (r14 review)."""
+    second full-corpus pass (r14 review).
+
+    ``byte_level`` / ``pre_tokenizer`` (r15): train in the published
+    byte-level symbol space (see :func:`learn_bpe_merges`).  The base
+    alphabet is then ALL 256 encoded byte symbols sorted by codepoint
+    — which IS the published byte-symbol id order, since
+    :func:`gpt2_bytes_to_unicode` assigns codepoints ascending within
+    each byte group — not the corpus's observed characters: full byte
+    coverage is the published artifact layout, makes every text
+    segmentable (OOV never fires), and lets :func:`bpe_decode_ids`
+    round-trip exactly.  Serve the returned pair through
+    :func:`bpe_token_count_exact` / :func:`bpe_token_ids` with the
+    SAME ``byte_level=True, pre_tokenizer=...`` arguments."""
     if (n_merges is None) == (vocab_size is None):
         raise ValueError(
             "train_bpe_tokenizer: pass exactly one of n_merges or "
             "vocab_size"
         )
-    words = _word_freq_table(
-        df, text_col, sample_fraction, seed
-    ).localCheckpoint(eager=True)
+    _check_train_grain(byte_level, pre_tokenizer, "train_bpe_tokenizer")
+    if byte_level:
+        words = _pretok_word_freq_table(
+            df, text_col, sample_fraction, seed, pre_tokenizer,
+            byte_level,
+        ).localCheckpoint(eager=True)
+    else:
+        words = _word_freq_table(
+            df, text_col, sample_fraction, seed
+        ).localCheckpoint(eager=True)
     try:
-        chars = sorted(
-            r["c"]
-            for r in words.select(F.explode("syms").alias("c"))
-            .distinct()
-            .collect()
-        )
+        if byte_level:
+            # full byte coverage, never the observed corpus chars —
+            # but an empty corpus must still raise (a silent 256-row
+            # base vocab is a degenerate artifact nobody asked for)
+            if not words.head(1):
+                raise ValueError(
+                    "train_bpe_tokenizer: the corpus has no words — "
+                    "nothing to train on"
+                )
+            chars = sorted(gpt2_bytes_to_unicode().values())
+        else:
+            chars = sorted(
+                r["c"]
+                for r in words.select(F.explode("syms").alias("c"))
+                .distinct()
+                .collect()
+            )
         if not chars:
             raise ValueError(
                 "train_bpe_tokenizer: the corpus has no words — "

@@ -109,6 +109,58 @@ def load_wordpiece_vocab(spark, path: str) -> DataFrame:
     return rows.localCheckpoint(eager=True)
 
 
+def save_wordpiece_vocab_txt(spark, vocab: DataFrame, path: str) -> None:
+    """Export a vocabulary in the PUBLISHED vocab.txt format — the
+    exact inverse of :func:`load_wordpiece_vocab_txt` (r15): one
+    token per line in id order, one trailing newline.  Line order IS
+    the id on reimport, so the artifact's ids must be exactly
+    ``0..n-1`` — gaps or an offset would silently renumber every
+    token, so they raise instead; tokens that the published loader's
+    ``strip()`` would alter (leading/trailing whitespace) are already
+    banned by the vocabulary shape contract.  Round trip pinned by
+    pytest: reimport returns an identical (token, id) mapping and a
+    re-export is byte-identical.  FS-agnostic one-file write."""
+    from wikiextractor_spark.functions.modelio import (
+        write_one_text_file,
+    )
+    from wikiextractor_spark.functions.tokenizer import (
+        _check_embedding_id,
+    )
+
+    rows = vocab.select("token", "token_id").collect()
+    toks = [r["token"] for r in rows]
+    if any(t is None for t in toks):
+        raise ValueError(
+            "save_wordpiece_vocab_txt: NULL token row — WordPiece "
+            "vocabularies carry no scalar row; fix the artifact"
+        )
+    _check_tokens_shape(toks, "save_wordpiece_vocab_txt")
+    by_id: dict[int, str] = {}
+    for r in rows:
+        i = _check_embedding_id(
+            "save_wordpiece_vocab_txt", f"token {r['token']!r}",
+            r["token_id"],
+        )
+        if i in by_id:
+            raise ValueError(
+                f"save_wordpiece_vocab_txt: duplicate id {i} — line "
+                "order would be ambiguous; fix the artifact"
+            )
+        by_id[i] = r["token"]
+    if sorted(by_id) != list(range(len(by_id))):
+        missing = [i for i in range(len(by_id)) if i not in by_id][:1]
+        raise ValueError(
+            "save_wordpiece_vocab_txt: ids must be exactly 0..n-1 "
+            f"(line order IS the id on reimport; first gap: "
+            f"{missing[0] if missing else max(by_id)})"
+        )
+    write_one_text_file(
+        spark,
+        "\n".join(by_id[i] for i in range(len(by_id))) + "\n",
+        path,
+    )
+
+
 def load_wordpiece_vocab_txt(spark, path: str) -> DataFrame:
     """Import a vocabulary in the PUBLISHED vocab.txt format of
     BERT-class tokenizers: one token per line, id = line order

@@ -5575,12 +5575,111 @@ _USEED_CTES = rf"""
 """
 
 
+# 'bpe_merge_bl' family (r15, learn_bpe_merges(byte_level=True,
+# pre_tokenizer=GPT2_PRETOKENIZER_PATTERN)): byte-level BPE training
+# in the symbol space the published replay serves.  The corpus alone
+# is single-spaced lowercase ASCII (checked at every SF), so each doc
+# gets an adversarial suffix spliced on (the ta_text_profile
+# _G2_SUFFIXES discipline) exercising contractions, punct/digit runs,
+# multi-space, trailing whitespace, and a multi-byte char.  RE2 has no
+# lookarounds, so the GPT-2 pattern cannot be restated in DuckDB —
+# each suffix's PRE-TOKEN sequence is hand-stated below (pinned
+# against the published pattern semantics by tests/test_oracle_
+# extended.py::test_bl_suffix_pretoken_tables) and the corpus words'
+# pre-tokens follow from the checked corpus shape (word 1 bare, later
+# words with their leading space).  The oracle then re-derives
+# everything downstream itself: the byte encode (space→Ġ, newline→Ċ,
+# é→Ã©), the distinct pre-token frequency table, and the FULL k-level
+# training replay (the _bpe_train_ctes chain over the encoded
+# pre-token table — same soundness argument: training applies exactly
+# one freshly-chosen rule per level, which IS one all-occurrences
+# left-to-right pass).  A drift in the engine's pre-tokenizer regex,
+# byte table, pair counting, tie-break, or merge pass breaks the
+# hash.  Prototyped mismatch-free (python ref vs duck vs engine) at
+# sf0.001/sf0.01/sf0.1 before wiring in.
+_BLT_K = 6
+_BLT_SUFFIXES = [
+    ("\ndon't don't stop", ["\n", "don", "'t", " don", "'t", " stop"]),
+    ("\nweb-scale   data", ["\n", "web", "-", "scale", "  ", " data"]),
+    ("\ncafé café 2024!!", ["\n", "café", " café", " 2024", "!!"]),
+    ("\nend.  ", ["\n", "end", ".", "  "]),
+]
+
+
+def _bl_train_ctes(k: int) -> tuple[str, str]:
+    """Generate (cte_block, union_select) for the byte-level k-level
+    training chain — the _bpe_train_ctes pattern over the encoded
+    pre-token table instead of the raw word split."""
+    sfx_rows = ", ".join(
+        f"({v}, {i}, {_sql_str(p)})"
+        for v, (_raw, ptoks) in enumerate(_BLT_SUFFIXES)
+        for i, p in enumerate(ptoks)
+    )
+    parts = [f"""
+    blsfx(variant, ordn, ptok) AS (VALUES {sfx_rows}),
+    blw AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS wid
+      FROM documents WHERE text IS NOT NULL
+    ),
+    blpre AS (
+      SELECT CASE WHEN wid = 1 THEN w ELSE 'Ġ' || w END AS ptok
+      FROM blw WHERE w <> ''
+      UNION ALL
+      SELECT replace(replace(replace(s.ptok, ' ', 'Ġ'),
+                             chr(10), 'Ċ'), 'é', 'Ã©') AS ptok
+      FROM documents d
+      JOIN blsfx s ON s.variant = CAST(d.doc_id % {len(_BLT_SUFFIXES)} AS INT)
+      WHERE d.text IS NOT NULL
+    ),
+    bl_t0 AS (
+      SELECT ptok AS w, COUNT(*) AS freq FROM blpre
+      WHERE ptok <> '' GROUP BY ptok
+    ),
+    bl_s0 AS (
+      SELECT {_SEP}||{_SEP}||regexp_replace(w, '(.)', '\\1'||{_SEP}||{_SEP}, 'g') AS state,
+             freq
+      FROM bl_t0 WHERE length(w) > 1
+    )"""]
+    for i in range(k):
+        parts.append(f"""
+    bl_p{i} AS (
+      SELECT z.pr[1] AS a, z.pr[2] AS b, SUM(z.freq) AS cnt FROM (
+        SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                               list_slice(syms, 2, len(syms)))) AS pr, freq
+        FROM (SELECT list_filter(string_split(state, {_SEP}||{_SEP}),
+                                 x -> x <> '') AS syms, freq
+              FROM bl_s{i}) q
+      ) z GROUP BY 1, 2
+    ),
+    bl_b{i} AS (
+      SELECT a, b, cnt, {i + 1} AS rn FROM bl_p{i}
+      ORDER BY cnt DESC, a || ' ' || b LIMIT 1
+    ),
+    bl_s{i + 1} AS (
+      SELECT replace(s.state,
+                     {_SEP}||bb.a||{_SEP}||{_SEP}||bb.b||{_SEP},
+                     {_SEP}||bb.a||bb.b||{_SEP}) AS state,
+             s.freq
+      FROM bl_s{i} s CROSS JOIN bl_b{i} bb
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT a, b, cnt, rn FROM bl_b{i}" for i in range(k)
+    )
+    return ",".join(parts), union
+
+
+_BLT_CTES, _BLT_UNION = _bl_train_ctes(_BLT_K)
+
+
 _TERM_STATS_DUCK_SQL = f"""
     WITH exploded AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
     {_BT_CTES},
     {_WT_CTES},
+    {_BLT_CTES},
     {_USEED_CTES},
     tf AS (SELECT doc_id, w, COUNT(*) AS c FROM exploded GROUP BY doc_id, w),
     df AS (SELECT w, COUNT(DISTINCT doc_id) AS d FROM exploded GROUP BY w),
@@ -5612,6 +5711,10 @@ _TERM_STATS_DUCK_SQL = f"""
            a || ' ' || b AS term, CAST(cnt AS DOUBLE) AS score, rn
     FROM ({_BT_UNION})
     UNION ALL
+    SELECT 'bpe_merge_bl' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           a || ' ' || b AS term, CAST(cnt AS DOUBLE) AS score, rn
+    FROM ({_BLT_UNION})
+    UNION ALL
     -- the fused token rides the term beside the pair: the hash pins
     -- the likelihood-argmax SELECTION SEQUENCE and the ##-absorbing
     -- fuse rule
@@ -5638,6 +5741,11 @@ def ta_term_stats(spark, sf_dir):
     min_count=1 so Spark stops exactly when the pair space is
     exhausted, mirroring the oracle's empty-argmax cascade.
 
+    r15 adds the 'bpe_merge_bl' family: the same trainer under
+    byte_level=True + the GPT-2 pre-tokenizer over suffix-spliced
+    text, the oracle re-deriving the whole encoded-space training
+    replay from its hand-stated pre-token tables (see _bl_train_ctes).
+
     r14 adds the 'useed' family: unigram_seed_pieces — the unigram
     trainer's substring-candidate seed stage (occurrences × freq ×
     length over the distinct-word table, top 20), pure integer
@@ -5659,6 +5767,39 @@ def ta_term_stats(spark, sf_dir):
         "family string, doc_id bigint, term string, score double, rn int",
     )
     out = base.unionByName(merges_df)
+    # 'bpe_merge_bl' family (r15): the SAME trainer under
+    # byte_level=True + the GPT-2 pre-tokenizer, over the corpus with
+    # the adversarial suffixes spliced on (doc_id % 4 — contractions,
+    # punct/digit runs, multi-space, the multi-byte é) so the new
+    # grain is genuinely exercised; the oracle re-derives the full
+    # training replay over its own hand-stated pre-token table
+    from wikiextractor_spark.functions.tokenizer import (
+        GPT2_PRETOKENIZER_PATTERN,
+    )
+
+    bl_sfx = F.element_at(
+        F.array(*[F.lit(raw) for raw, _p in _BLT_SUFFIXES]),
+        (F.col("doc_id") % len(_BLT_SUFFIXES)).cast("int") + 1,
+    )
+    bl_spliced = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.concat("text", bl_sfx).alias("text"))
+    )
+    bl_learned = learn_bpe_merges(
+        bl_spliced, _BLT_K, min_count=1,
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    out = out.unionByName(
+        spark.createDataFrame(
+            [
+                ("bpe_merge_bl", -1, f"{a} {b}", float(cnt), i + 1)
+                for i, (a, b, cnt) in enumerate(bl_learned)
+            ],
+            "family string, doc_id bigint, term string, score double, "
+            "rn int",
+        )
+    )
     # 'wp_train' family (r13, functions/wordpiece.py): the
     # likelihood-scored WordPiece trainer on the same corpus — the
     # oracle re-derives every round (pair + symbol counts, the
