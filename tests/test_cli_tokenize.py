@@ -525,3 +525,86 @@ def test_cli_space_marker_value_checked_pre_jvm(tmp_path):
             main(["--infn", "x", "--source", "docs", "--tokenize",
                   "unigram", "--lm", "l", bad])
         assert exc.value.code == 2, bad
+
+
+def test_cli_train_byte_level_round_trip(spark, tmp_path, docs_parquet,
+                                         keep_session):
+    """--train-tokenizer bpe --byte-level: trains at the published
+    GPT-2 byte grain and exports vocab.json + merges.txt — the
+    printed serve hint's invocation then tokenizes through the
+    byte-level suffix dispatch, full coverage (no -1)."""
+    m = tmp_path / "m_bl"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "bpe", "--vocab-size", "260",
+        "--byte-level", "--out-model", str(m),
+    ])
+    assert (m / "vocab.json").exists()
+    assert (m / "merges.txt").exists()
+    obj = json.loads((m / "vocab.json").read_text(encoding="utf-8"))
+    # 256 byte symbols + however many merges cleared min_count on
+    # the tiny corpus (budget caps at 260), consistent across files
+    n_rules = len(
+        (m / "merges.txt").read_text(encoding="utf-8").splitlines()
+    ) - 1  # minus the #version header
+    assert 256 < len(obj) <= 260
+    assert len(obj) == 256 + n_rules
+    out = tmp_path / "blids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "bpe", "--vocab", str(m / "vocab.json"),
+        "--merges", str(m / "merges.txt"), "--out", str(out),
+    ])
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in spark.read.parquet(str(out)).collect()}
+    assert rows[3] is None
+    assert all(x >= 0 for x in rows[1]) and all(x >= 0 for x in rows[2])
+
+
+def test_cli_train_unigram_marker_round_trip(spark, tmp_path,
+                                             docs_parquet, keep_session):
+    """--train-tokenizer unigram --space-marker: trains at the
+    marker grain; the artifact then serves under --space-marker
+    (and would raise without the matching train grain)."""
+    m = tmp_path / "m_usp"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "unigram", "--vocab-size", "32",
+        "--space-marker", "--out-model", str(m),
+    ])
+    out = tmp_path / "uspids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "unigram", "--lm", f"{m}/unigram_lm",
+        "--space-marker", "--out", str(out),
+    ])
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in spark.read.parquet(str(out)).collect()}
+    assert rows[3] is None and all(x >= 0 for x in rows[1])
+
+
+def test_cli_train_new_flag_compat():
+    """r15 flag rejections: --byte-level outside --train-tokenizer
+    bpe; --space-marker on the wrong train family; a bad marker
+    VALUE pre-JVM on the train leg."""
+    cases = [
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "unigram", "--vocab-size", "30", "--out-model", "m",
+         "--byte-level"],
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "wordpiece", "--vocab-size", "30", "--out-model", "m",
+         "--byte-level"],
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--byte-level"],
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "bpe", "--vocab-size", "300", "--out-model", "m",
+         "--space-marker"],
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "unigram", "--vocab-size", "30", "--out-model", "m",
+         "--space-marker", "a b"],
+        ["--infn", "x", "--source", "dump", "--byte-level"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

@@ -26,14 +26,14 @@ from wikiextractor_spark.functions.unigram import (
 _WS = r"[ \t\n\r\f\x0b]+"
 
 
-def _py_seed(texts, max_piece_len=8):
+def _py_seed(texts, max_piece_len=8, prefix=""):
     wf: Counter = Counter()
     for t in texts:
         if t is None:
             continue
         for w in re.split(_WS, t):
             if w:
-                wf[w] += 1
+                wf[prefix + w] += 1
     occ: Counter = Counter()
     for w, f in wf.items():
         for ln in range(1, min(len(w), max_piece_len) + 1):
@@ -71,8 +71,8 @@ def _enum_expected(word, logp):
 
 
 def _py_learn(texts, vocab_size, seed_size=None, max_piece_len=8,
-              n_em_iters=2, shrink=0.75, unk_penalty=10.0):
-    wf, scores = _py_seed(texts, max_piece_len)
+              n_em_iters=2, shrink=0.75, unk_penalty=10.0, prefix=""):
+    wf, scores = _py_seed(texts, max_piece_len, prefix)
     scored = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
     singles = {p for p, _s in scored if len(p) == 1}
     if seed_size is None:
@@ -232,3 +232,105 @@ def test_unigram_train_contract_errors(spark):
     )
     with pytest.raises(ValueError, match="empty corpus"):
         learn_unigram_lm(empty, vocab_size=5)
+
+
+# --------------------------------------------------------------------------
+# Marker-grain training (r15): learn_unigram_lm(space_marker='▁') +
+# the plain-artifact-under-marker-mode serve guard.
+# --------------------------------------------------------------------------
+
+
+def test_unigram_train_marker_differential(spark):
+    """Marker-grain training == the independent restatement over
+    '▁'-prefixed words — and the trained pieces include the
+    '▁x'-style forms marker-mode serving matches."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    got_toks, got_unk = _artifact_dict(
+        learn_unigram_lm(
+            df, vocab_size=18, max_piece_len=4, space_marker="▁"
+        )
+    )
+    exp_toks, exp_unk = _py_learn(TOY, 18, max_piece_len=4, prefix="▁")
+    assert got_toks == exp_toks
+    assert got_unk == exp_unk
+    assert any(t.startswith("▁") and len(t) > 1 for t in got_toks)
+
+
+def test_unigram_seed_pieces_marker_differential(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]: r["score"]
+        for r in unigram_seed_pieces(
+            df, max_piece_len=3, space_marker="▁"
+        ).collect()
+    }
+    _wf, exp = _py_seed(TOY, max_piece_len=3, prefix="▁")
+    assert got == exp
+
+
+def test_unigram_train_marker_serves_and_round_trips(spark, tmp_path):
+    """Train under the marker grain → persist → the marker-mode
+    serving kernels: full coverage on the training corpus (no -1),
+    count == len(ids), and the published detokenization round-trips
+    the single-spaced training text EXACTLY."""
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    lm = learn_unigram_lm(
+        df, vocab_size=18, max_piece_len=4, space_marker="▁"
+    )
+    p = str(tmp_path / "ulm_sp")
+    save_unigram_lm(lm, p)
+    back = load_unigram_lm(spark, p)
+    ids = unigram_token_ids(df, back, out_col="ids", space_marker="▁")
+    rows = ids.collect()
+    assert all(all(x >= 0 for x in r["ids"]) for r in rows)
+    n = unigram_token_count(df, back, out_col="n", space_marker="▁")
+    got = {r["doc_id"]: r["n"] for r in n.collect()}
+    assert got == {r["doc_id"]: float(len(r["ids"])) for r in rows}
+    dec = unigram_decode_ids(
+        ids, back, ids_col="ids", out_col="dec", space_marker="▁"
+    )
+    for r in dec.collect():
+        assert r["dec"] == TOY[r["doc_id"]]
+
+
+def test_plain_artifact_under_marker_mode_raises(spark):
+    """The r14 VERDICT's what's-wrong #1: a plain-grain artifact
+    (exactly what learn_unigram_lm without space_marker produces)
+    under marker mode would degrade every word-initial character to
+    UNK — all three serving kernels now raise instead; plain-mode
+    serving of the same artifact stays legal, and a marker-trained
+    artifact passes the guard."""
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    plain = learn_unigram_lm(df, vocab_size=15, max_piece_len=4)
+    with pytest.raises(ValueError, match="ZERO marker-prefixed"):
+        unigram_token_count(df, plain, space_marker="▁")
+    with pytest.raises(ValueError, match="ZERO marker-prefixed"):
+        unigram_token_ids(df, plain, space_marker="▁")
+    with pytest.raises(ValueError, match="ZERO marker-prefixed"):
+        unigram_decode_ids(
+            df.withColumnRenamed("doc_id", "ids"), plain,
+            ids_col="ids", space_marker="▁",
+        )
+    assert unigram_token_count(df, plain, out_col="n").count() == 3
+    marked = learn_unigram_lm(
+        df, vocab_size=18, max_piece_len=4, space_marker="▁"
+    )
+    assert unigram_token_count(
+        df, marked, out_col="n", space_marker="▁"
+    ).count() == 3

@@ -67,6 +67,7 @@ _SCOPED_DEFAULTS = {
     "basic_tokenize": False,
     "train_tokenizer": None,
     "vocab_size": None,
+    "byte_level": False,
     "out_model": None,
     "train_sample_fraction": None,
     "target_lang": None,
@@ -185,8 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--space-marker", nargs="?", const="▁", default=_UNSET,
         metavar="MARKER",
-        help="(--tokenize unigram) serve a REAL SentencePiece "
-        "artifact: prefix each word with MARKER (default the "
+        help="(--tokenize unigram, or --train-tokenizer unigram) "
+        "serve or TRAIN at the SentencePiece marker grain: prefix "
+        "each word with MARKER (default the "
         "published U+2581 '▁') before the Viterbi DP so ▁-marked "
         "pieces match — without it a published Llama/T5 vocabulary "
         "degrades to character/unk streams",
@@ -228,6 +230,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="(--source docs) --train-tokenizer: total vocabulary "
         "budget (bpe derives its merge count as budget minus the "
         "corpus alphabet)",
+    )
+    p.add_argument(
+        "--byte-level", action="store_true", default=_UNSET,
+        help="(--source docs) --train-tokenizer bpe: train at the "
+        "published byte-level GPT-2 grain (GPT-2 pre-tokenizer + "
+        "byte encode, 256-byte base alphabet) and ALSO export the "
+        "published vocab.json + merges.txt — serve those with "
+        "--tokenize bpe, which infers the byte-level replay from "
+        "the suffixes.  Serve-side byte-level needs no flag (the "
+        "artifact format implies the grain)",
     )
     p.add_argument(
         "--out-model", default=_UNSET, metavar="DIR",
@@ -308,7 +320,7 @@ _DUMP_ONLY = (
 _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize", "space_marker",
-    "train_tokenizer", "vocab_size", "out_model",
+    "train_tokenizer", "vocab_size", "byte_level", "out_model",
     "train_sample_fraction",
     "target_lang", "langid_model", "min_quality", "gopher", "normalize",
     "dedup", "sentence_span_dedup",
@@ -410,7 +422,34 @@ def _validate_docs_args(parser, args) -> None:
             0.0 < args.train_sample_fraction <= 1.0
         ):
             parser.error("--train-sample-fraction must be in (0, 1]")
+        if args.byte_level and args.train_tokenizer != "bpe":
+            parser.error(
+                "--byte-level applies only to --train-tokenizer bpe"
+            )
+        if (
+            args.space_marker is not None
+            and args.train_tokenizer != "unigram"
+        ):
+            parser.error(
+                "--space-marker applies only to --tokenize unigram "
+                "or --train-tokenizer unigram"
+            )
+        if args.space_marker is not None:
+            # VALUE check pre-JVM through the kernel's own validator
+            # (the serve leg's rule, one home)
+            from wikiextractor_spark.functions.unigram import (
+                _check_marker,
+            )
+
+            try:
+                _check_marker(args.space_marker, "--space-marker")
+            except ValueError as e:
+                parser.error(str(e))
     else:
+        if args.byte_level:
+            parser.error(
+                "--byte-level applies only to --train-tokenizer bpe"
+            )
         for d in ("vocab_size", "out_model", "train_sample_fraction"):
             if getattr(args, d) is not None:
                 parser.error(
@@ -439,9 +478,13 @@ def _validate_docs_args(parser, args) -> None:
             parser.error(
                 "--basic-tokenize applies only to --tokenize wordpiece"
             )
-        if args.space_marker is not None:
+        if (
+            args.space_marker is not None
+            and args.train_tokenizer != "unigram"
+        ):
             parser.error(
-                "--space-marker applies only to --tokenize unigram"
+                "--space-marker applies only to --tokenize unigram "
+                "or --train-tokenizer unigram"
             )
         return
     need = {"wordpiece": ("vocab",), "bpe": ("vocab", "merges"),
@@ -514,16 +557,27 @@ def _run_train_tokenizer(spark, args, docs) -> None:
       giving those paths).  The merge budget derives from
       --vocab-size minus the corpus alphabet (the
       learn_wordpiece_vocab budget rule), raising when the alphabet
-      alone exceeds it.
+      alone exceeds it.  With ``--byte-level`` (r15) training runs
+      at the published GPT-2 byte grain and ALSO exports
+      ``<out-model>/vocab.json`` + ``<out-model>/merges.txt`` —
+      serve THOSE (the suffix dispatch implies the byte-level
+      replay; the parquet pair would serve char-grain).
     * ``wordpiece``: ``<out-model>/wp_vocab`` (parquet; serve with
-      ``--tokenize wordpiece --vocab <path>``).
+      ``--tokenize wordpiece --vocab <path>``) + the published
+      ``<out-model>/vocab.txt`` (r15, same mapping, line order =
+      id — external-tooling interchange).
     * ``unigram``: ``<out-model>/unigram_lm`` (parquet incl. the
       NULL-token unk row; serve with ``--tokenize unigram --lm``).
+      With ``--space-marker`` (r15) training runs at the marker
+      grain — serve with the SAME ``--space-marker``.
     """
     sf = args.train_sample_fraction
     out = args.out_model
     if args.train_tokenizer == "bpe":
         from wikiextractor_spark.functions.tokenizer import (
+            GPT2_PRETOKENIZER_PATTERN,
+            save_bpe_merges_txt,
+            save_bpe_vocab_json,
             train_bpe_tokenizer,
         )
 
@@ -533,27 +587,48 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         # one actually trained on (r14 review: a separate full-corpus
         # alphabet count both re-ran the whole prepare chain and
         # mis-sized sampled runs)
-        train_bpe_tokenizer(
+        vocab, ranks = train_bpe_tokenizer(
             docs, None, f"{out}/vocab", f"{out}/merges",
             vocab_size=args.vocab_size, sample_fraction=sf,
+            byte_level=args.byte_level,
+            pre_tokenizer=(
+                GPT2_PRETOKENIZER_PATTERN if args.byte_level else None
+            ),
         )
-        print(f"wrote {out}/vocab and {out}/merges "
-              f"(serve: --tokenize bpe --vocab {out}/vocab "
-              f"--merges {out}/merges)")
+        if args.byte_level:
+            # byte-level artifacts serve through the PUBLISHED
+            # formats — the --tokenize bpe suffix dispatch infers the
+            # byte-level GPT-2 replay from .json/.txt, while the
+            # parquet pair (kept for the API save contract) would be
+            # served char-grain; point the hint at the right family
+            save_bpe_vocab_json(spark, vocab, f"{out}/vocab.json")
+            save_bpe_merges_txt(spark, ranks, f"{out}/merges.txt")
+            print(f"wrote {out}/vocab.json and {out}/merges.txt "
+                  f"(serve: --tokenize bpe --vocab {out}/vocab.json "
+                  f"--merges {out}/merges.txt)")
+        else:
+            print(f"wrote {out}/vocab and {out}/merges "
+                  f"(serve: --tokenize bpe --vocab {out}/vocab "
+                  f"--merges {out}/merges)")
     elif args.train_tokenizer == "wordpiece":
         from wikiextractor_spark.functions.wordpiece import (
             learn_wordpiece_vocab,
             save_wordpiece_vocab,
+            save_wordpiece_vocab_txt,
             wordpiece_from_tokens,
         )
 
         toks = learn_wordpiece_vocab(
             docs, args.vocab_size, sample_fraction=sf
         )
-        save_wordpiece_vocab(
-            wordpiece_from_tokens(spark, toks), f"{out}/wp_vocab"
-        )
-        print(f"wrote {out}/wp_vocab (serve: --tokenize wordpiece "
+        wp = wordpiece_from_tokens(spark, toks)
+        save_wordpiece_vocab(wp, f"{out}/wp_vocab")
+        # the published vocab.txt rides beside the parquet (r15):
+        # same (token, id) mapping, line order = id — interchange
+        # with external BERT-family tooling for free
+        save_wordpiece_vocab_txt(spark, wp, f"{out}/vocab.txt")
+        print(f"wrote {out}/wp_vocab and {out}/vocab.txt "
+              f"(serve: --tokenize wordpiece "
               f"--vocab {out}/wp_vocab)")
     else:
         from wikiextractor_spark.functions.unigram import (
@@ -562,11 +637,16 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         )
 
         lm = learn_unigram_lm(
-            docs, args.vocab_size, sample_fraction=sf
+            docs, args.vocab_size, sample_fraction=sf,
+            space_marker=args.space_marker,
         )
         save_unigram_lm(lm, f"{out}/unigram_lm")
+        mk_hint = (
+            f" --space-marker {args.space_marker}"
+            if args.space_marker is not None else ""
+        )
         print(f"wrote {out}/unigram_lm (serve: --tokenize unigram "
-              f"--lm {out}/unigram_lm)")
+              f"--lm {out}/unigram_lm{mk_hint})")
 
 
 def _run_docs_tail(parser, spark, args) -> None:

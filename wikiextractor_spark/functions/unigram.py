@@ -227,6 +227,24 @@ def _check_marker(space_marker, caller: str) -> str:
     return space_marker
 
 
+def _check_marker_artifact(toks, marker: str, caller: str) -> None:
+    """Marker mode over an artifact with ZERO marker-prefixed pieces
+    is ALWAYS wrong (r15, the r14 VERDICT's what's-wrong #1): the
+    per-word marker prefix can never match any piece, so every word's
+    first character silently degrades to UNK — exactly what a
+    plain-grain :func:`learn_unigram_lm` artifact does under marker
+    mode.  Raise instead of serving garbage.  The bare marker single
+    counts as coverage (it segments the prefix on its own)."""
+    if marker and not any(t.startswith(marker) for t in toks):
+        raise ValueError(
+            f"{caller}: space_marker={marker!r} but the artifact "
+            "carries ZERO marker-prefixed pieces — a plain-grain "
+            "artifact under marker mode degrades every word-initial "
+            "character to UNK; serve it without space_marker, or "
+            "train with learn_unigram_lm(space_marker=...)"
+        )
+
+
 def _viterbi_count_word(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
     unk_micro: int, oversize_word: str = "raise", prefix: str = "",
@@ -418,6 +436,7 @@ def unigram_decode_ids(
             f"got {oov_char!r}"
         )
     marker = _check_marker(space_marker, "unigram_decode_ids")
+    _check_marker_artifact(toks, marker, "unigram_decode_ids")
     if marker:
         # the marker→space rewrite below runs over the whole decoded
         # buffer — a special text or oov_char carrying the marker (or
@@ -526,6 +545,7 @@ def unigram_token_ids(
     spat, sids = _compile_specials(special_tokens, "unigram_token_ids")
     _check_oversize(oversize_word, "unigram_token_ids")
     prefix = _check_marker(space_marker, "unigram_token_ids")
+    _check_marker_artifact(toks, prefix, "unigram_token_ids")
     raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_token_ids")
     # id validation + duplicate-id + special/vocab collision policy
     # through the ONE shared home (tokenizer._vocab_id_maps, r13
@@ -593,6 +613,7 @@ def unigram_token_count(
     spat, sids = _compile_specials(special_tokens, "unigram_token_count")
     _check_oversize(oversize_word, "unigram_token_count")
     prefix = _check_marker(space_marker, "unigram_token_count")
+    _check_marker_artifact(toks, prefix, "unigram_token_count")
     tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
     lens = tuple(sorted({len(t) for t in tok_micro}))
     return _memoized_word_counter(
@@ -622,10 +643,15 @@ MAX_SEED_SIZE = 200_000
 MAX_EM_WORD_LEN = 512
 
 
-def _word_table(df, text_col, sample_fraction, seed):
+def _word_table(df, text_col, sample_fraction, seed, prefix=""):
     """``(w, freq)`` distinct-word table at the engine's whitespace
     grain — the :func:`tokenizer._word_freq_table` shuffle WITHOUT
-    the symbol projection (the EM lattice wants the word string)."""
+    the symbol projection (the EM lattice wants the word string).
+    ``prefix`` (r15): the SentencePiece space marker prepended to
+    every word AFTER the aggregation (one native concat over the
+    distinct-word rows — the ``add_dummy_prefix`` training shape,
+    matching exactly what the serving kernels' per-word ``prefix``
+    does before the DP)."""
     from wikiextractor_spark.functions.tokenizer import (
         WS_SPLIT_PATTERN_JVM,
     )
@@ -633,7 +659,7 @@ def _word_table(df, text_col, sample_fraction, seed):
     src = df
     if sample_fraction is not None:
         src = src.sample(fraction=sample_fraction, seed=seed)
-    return (
+    out = (
         src.select(
             F.explode(
                 F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
@@ -643,12 +669,18 @@ def _word_table(df, text_col, sample_fraction, seed):
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+    if prefix:
+        out = out.select(
+            F.concat(F.lit(prefix), F.col("w")).alias("w"), "freq"
+        )
+    return out
 
 
 def unigram_seed_pieces(
     df: DataFrame, text_col: str = "text", *,
     max_piece_len: int = 8,
     sample_fraction: float | None = None, seed: int = 0,
+    space_marker: str | None = None,
     _words: DataFrame | None = None,
 ) -> DataFrame:
     """→ ``(piece, score)``: every substring of every corpus word up
@@ -660,6 +692,11 @@ def unigram_seed_pieces(
     the battery oracle can restate the whole seed derivation in
     integer SQL.
 
+    ``space_marker`` (r15): the SentencePiece marker prepended to
+    every distinct word before the substring explosion — the
+    ``add_dummy_prefix`` training grain, so candidates include the
+    ``'▁the'``-style pieces marker-mode serving matches.
+
     Scale shape: one distinct-word shuffle, then ONE native
     substring-window explosion + map-side-combined groupBy — the
     explosion factor is bounded by ``max_piece_len`` per character of
@@ -669,8 +706,9 @@ def unigram_seed_pieces(
             f"unigram_seed_pieces: max_piece_len must be >= 1, got "
             f"{max_piece_len}"
         )
+    marker = _check_marker(space_marker, "unigram_seed_pieces")
     words = (
-        _word_table(df, text_col, sample_fraction, seed)
+        _word_table(df, text_col, sample_fraction, seed, prefix=marker)
         if _words is None
         else _words
     )
@@ -803,6 +841,7 @@ def learn_unigram_lm(
     n_em_iters: int = 2, shrink_factor: float = 0.75,
     unk_penalty: float = 10.0,
     sample_fraction: float | None = None, seed: int = 0,
+    space_marker: str | None = None,
 ) -> DataFrame:
     """TRAIN a unigram LM on the corpus — the SentencePiece recipe
     (Kudo 2018): seed a large candidate vocabulary from frequent
@@ -838,6 +877,20 @@ def learn_unigram_lm(
     family, and the TRAINED artifact serves through the
     hash-verified counting kernels.
 
+    ``space_marker`` (r15, closing the r14 VERDICT's
+    plain-artifact-under-marker-mode hazard): pass ``'▁'`` to TRAIN
+    at the marker grain — every distinct word is prefixed with the
+    marker before seeding and EM (one native concat, the published
+    ``add_dummy_prefix`` shape), so the trained pieces include the
+    ``'▁the'``-style forms marker-mode serving matches and the
+    artifact serves faithfully under ``unigram_token_count/ids(
+    space_marker='▁')``.  WITHOUT it the trained artifact is
+    plain-grain: serving such an artifact under marker mode would
+    degrade every word's first character to UNK, so the serving
+    kernels now REJECT a marker-mode call whose artifact carries
+    zero marker-prefixed pieces — train with the same
+    ``space_marker`` you serve with.
+
     Scale shape: one distinct-word shuffle up front; each EM pass is
     one Arrow kernel over that table + one map-side-combined
     groupBy(piece) collect (≤ seed_size rows, the driver-sized
@@ -849,6 +902,7 @@ def learn_unigram_lm(
         _release_local_checkpoint,
     )
 
+    marker = _check_marker(space_marker, "learn_unigram_lm")
     if vocab_size < 1:
         raise ValueError(
             f"learn_unigram_lm: vocab_size must be >= 1, got "
@@ -872,7 +926,7 @@ def learn_unigram_lm(
             f"{n_em_iters}"
         )
     words = _word_table(
-        df, text_col, sample_fraction, seed
+        df, text_col, sample_fraction, seed, prefix=marker
     ).localCheckpoint(eager=True)
     try:
         seed_df = unigram_seed_pieces(

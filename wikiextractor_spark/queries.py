@@ -5571,6 +5571,29 @@ _USEED_CTES = rf"""
         SELECT piece, score,
                ROW_NUMBER() OVER (ORDER BY score DESC, piece) AS rn
         FROM usp) WHERE rn <= {_USEED_K}
+    ),
+    -- 'useedm' (r15): the SAME derivation at the MARKER grain —
+    -- every distinct word prefixed with the SentencePiece '▁'
+    -- before the substring explosion (the add_dummy_prefix training
+    -- shape of unigram_seed_pieces(space_marker='▁')); prototyped
+    -- mismatch-free vs a Python reference at sf0.001/0.01/0.1
+    uspm AS (
+      SELECT piece, CAST(SUM(freq) * length(piece) AS BIGINT) AS score
+      FROM (
+        SELECT unnest(flatten([[substring(w, i + 1, l)
+                                for i in range(length(w) - l + 1)]
+                               for l in range(1, least(length(w),
+                                                       {_USEED_L}) + 1)]))
+                 AS piece,
+               freq
+        FROM (SELECT '▁' || w AS w, freq FROM usd) pw) q
+      GROUP BY piece
+    ),
+    useedm AS (
+      SELECT piece, score, rn FROM (
+        SELECT piece, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, piece) AS rn
+        FROM uspm) WHERE rn <= {_USEED_K}
     )
 """
 
@@ -5726,6 +5749,10 @@ _TERM_STATS_DUCK_SQL = f"""
     SELECT 'useed' AS family, CAST(-1 AS BIGINT) AS doc_id,
            piece AS term, CAST(score AS DOUBLE) AS score, rn
     FROM useed
+    UNION ALL
+    SELECT 'useedm' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           piece AS term, CAST(score AS DOUBLE) AS score, rn
+    FROM useedm
     {_bm25_union_sql()}
     """
 
@@ -5835,25 +5862,30 @@ def ta_term_stats(spark, sf_dir):
 
     from wikiextractor_spark.functions.unigram import unigram_seed_pieces
 
-    useed_top = (
-        unigram_seed_pieces(
-            load_table(spark, sf_dir, "documents"),
-            max_piece_len=_USEED_L,
+    # 'useedm' (r15): the marker-grain variant — the seed stage of
+    # learn_unigram_lm(space_marker='▁'), words '▁'-prefixed before
+    # the substring explosion, so the trainer's add_dummy_prefix
+    # grain carries its own driver hash
+    for fam, mk in (("useed", None), ("useedm", "▁")):
+        seed_top = (
+            unigram_seed_pieces(
+                load_table(spark, sf_dir, "documents"),
+                max_piece_len=_USEED_L, space_marker=mk,
+            )
+            .orderBy(F.desc("score"), F.asc("piece"))
+            .limit(_USEED_K)
         )
-        .orderBy(F.desc("score"), F.asc("piece"))
-        .limit(_USEED_K)
-    )
-    out = out.unionByName(
-        useed_top.select(
-            F.lit("useed").alias("family"),
-            F.lit(-1).cast("bigint").alias("doc_id"),
-            F.col("piece").alias("term"),
-            F.col("score").cast("double").alias("score"),
-            F.row_number().over(
-                _W.orderBy(F.desc("score"), F.asc("piece"))
-            ).cast("int").alias("rn"),
+        out = out.unionByName(
+            seed_top.select(
+                F.lit(fam).alias("family"),
+                F.lit(-1).cast("bigint").alias("doc_id"),
+                F.col("piece").alias("term"),
+                F.col("score").cast("double").alias("score"),
+                F.row_number().over(
+                    _W.orderBy(F.desc("score"), F.asc("piece"))
+                ).cast("int").alias("rn"),
+            )
         )
-    )
     # 'bm25' family (r11, functions/bm25.py): fit once over the union
     # of both query term sets, then per query one TakeOrderedAndProject
     # top-k; rank assigned by a window over the k-row result (the
