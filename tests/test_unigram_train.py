@@ -70,8 +70,34 @@ def _enum_expected(word, logp):
     return sorted(out.items())
 
 
+def _py_alt(piece, logp):
+    """Best non-identity segmentation logprob of piece's own string —
+    by EXHAUSTIVE enumeration (independent of the engine's Viterbi)."""
+    best = [float("-inf")]
+
+    def rec(i, lp):
+        if i == len(piece):
+            best[0] = max(best[0], lp)
+            return
+        for j in range(i + 1, len(piece) + 1):
+            sub = piece[i:j]
+            if sub == piece:
+                continue
+            if sub in logp:
+                rec(j, lp + logp[sub])
+
+    rec(0, 0.0)
+    return best[0]
+
+
+def _micro(x):
+    m = math.floor(abs(x) * 1e6 + 0.5)
+    return -m if x < 0 else m
+
+
 def _py_learn(texts, vocab_size, seed_size=None, max_piece_len=8,
-              n_em_iters=2, shrink=0.75, unk_penalty=10.0, prefix=""):
+              n_em_iters=2, shrink=0.75, unk_penalty=10.0, prefix="",
+              prune_rank="count"):
     wf, scores = _py_seed(texts, max_piece_len, prefix)
     scored = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
     singles = {p for p, _s in scored if len(p) == 1}
@@ -109,10 +135,22 @@ def _py_learn(texts, vocab_size, seed_size=None, max_piece_len=8,
             logp = {p: math.log(counts[p] / total) for p in alive}
         if len(logp) <= vocab_size:
             break
-        multi = sorted(
-            ((counts[p], p) for p in logp if len(p) > 1),
-            key=lambda t: (-t[0], t[1]),
-        )
+        if prune_rank == "loss":
+            def loss(p):
+                alt = _py_alt(p, logp)
+                if alt == float("-inf"):
+                    return float("inf")
+                return counts[p] * _micro(logp[p] - alt)
+
+            multi = sorted(
+                ((loss(p), p) for p in logp if len(p) > 1),
+                key=lambda t: (-t[0], t[1]),
+            )
+        else:
+            multi = sorted(
+                ((counts[p], p) for p in logp if len(p) > 1),
+                key=lambda t: (-t[0], t[1]),
+            )
         n_singles = sum(1 for p in logp if len(p) == 1)
         target_multi = max(
             vocab_size - n_singles,
@@ -334,3 +372,75 @@ def test_plain_artifact_under_marker_mode_raises(spark):
     assert unigram_token_count(
         df, marked, out_col="n", space_marker="▁"
     ).count() == 3
+
+
+# --------------------------------------------------------------------------
+# Loss-ranked prune (r15): Kudo's likelihood-loss-if-removed criterion.
+# --------------------------------------------------------------------------
+
+
+def test_unigram_train_loss_prune_differential(spark):
+    """prune_rank='loss' == the independent restatement whose
+    alternative-segmentation score comes from EXHAUSTIVE enumeration
+    (the engine uses Viterbi) — on the toy corpus and at several
+    budgets."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    for vs in (12, 14, 16):
+        got_toks, got_unk = _artifact_dict(
+            learn_unigram_lm(
+                df, vocab_size=vs, max_piece_len=4, prune_rank="loss"
+            )
+        )
+        exp_toks, exp_unk = _py_learn(
+            TOY, vs, max_piece_len=4, prune_rank="loss"
+        )
+        assert got_toks == exp_toks, vs
+        assert got_unk == exp_unk, vs
+
+
+def test_unigram_train_loss_prune_real_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got_toks, got_unk = _artifact_dict(
+        learn_unigram_lm(
+            docs, vocab_size=40, max_piece_len=5, prune_rank="loss"
+        )
+    )
+    exp_toks, exp_unk = _py_learn(
+        texts, 40, max_piece_len=5, prune_rank="loss"
+    )
+    assert got_toks == exp_toks
+    assert got_unk == exp_unk
+
+
+def test_unigram_train_loss_vs_count_rank_diverge():
+    """The two ranks are genuinely different criteria: build a state
+    where a high-count but REDUNDANT piece (its parts are nearly
+    free) outranks an irreplaceable one under count and underranks
+    it under loss.  Restatement-level (the rank functions), so the
+    divergence is pinned without hunting for a corpus that shows it
+    end-to-end."""
+    logp = {
+        "ab": -1.0, "a": -1.2, "b": -1.3,   # 'ab' ~ free via a+b
+        "xy": -2.0, "x": -9.0, "y": -9.0,   # 'xy' irreplaceable
+    }
+    counts = {"ab": 1000, "xy": 100, "a": 1, "b": 1, "x": 1, "y": 1}
+    by_count = sorted(
+        ((counts[p], p) for p in logp if len(p) > 1),
+        key=lambda t: (-t[0], t[1]),
+    )
+    by_loss = sorted(
+        ((counts[p] * _micro(logp[p] - _py_alt(p, logp)), p)
+         for p in logp if len(p) > 1),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert [p for _c, p in by_count] == ["ab", "xy"]
+    assert [p for _c, p in by_loss] == ["xy", "ab"]
+
+
+def test_unigram_train_loss_prune_contract(spark):
+    df = spark.createDataFrame([(0, "ab ba ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="prune_rank"):
+        learn_unigram_lm(df, vocab_size=3, prune_rank="entropy")
