@@ -603,6 +603,10 @@ def test_cli_train_new_flag_compat():
          "unigram", "--vocab-size", "30", "--out-model", "m",
          "--space-marker", "a b"],
         ["--infn", "x", "--source", "dump", "--byte-level"],
+        # the 256-byte alphabet leaves no merge budget (pre-JVM)
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "bpe", "--vocab-size", "256", "--out-model", "m",
+         "--byte-level"],
     ]
     for argv in cases:
         with pytest.raises(SystemExit) as exc:

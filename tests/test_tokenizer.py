@@ -1741,6 +1741,14 @@ def test_save_bpe_vocab_json_round_trip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-integral"):
         save_bpe_vocab_json(spark, bad, p2)
+    # duplicate token TEXTS (distinct ids) would silently collapse
+    # into one JSON entry — raise instead (r15 review)
+    dup = spark.createDataFrame(
+        [("x", 0.0), ("x", 1.0), (None, 1.0)],
+        "token string, token_id double",
+    )
+    with pytest.raises(ValueError, match="duplicate token texts"):
+        save_bpe_vocab_json(spark, dup, p2)
 
 
 def test_save_wordpiece_vocab_txt_round_trip(spark, tmp_path):

@@ -426,17 +426,24 @@ def _validate_docs_args(parser, args) -> None:
             parser.error(
                 "--byte-level applies only to --train-tokenizer bpe"
             )
+        if args.byte_level and args.vocab_size <= 256:
+            # the byte-level alphabet is a CONSTANT 256, so this is
+            # decidable pre-JVM: <=256 leaves zero merges and the
+            # published merges.txt export would raise AFTER the full
+            # training run (r15 review; validate-before-get_spark)
+            parser.error(
+                "--byte-level needs --vocab-size >= 257 (the 256-"
+                "byte base alphabet leaves no merge budget below it)"
+            )
+        # family-scope rejection for --space-marker lives in the
+        # shared tokenize-is-None block below (train runs always
+        # reach it — --tokenize is rejected above); only the VALUE
+        # check is train-branch-specific, pre-JVM through the
+        # kernel's own validator (the serve leg's rule, one home)
         if (
             args.space_marker is not None
-            and args.train_tokenizer != "unigram"
+            and args.train_tokenizer == "unigram"
         ):
-            parser.error(
-                "--space-marker applies only to --tokenize unigram "
-                "or --train-tokenizer unigram"
-            )
-        if args.space_marker is not None:
-            # VALUE check pre-JVM through the kernel's own validator
-            # (the serve leg's rule, one home)
             from wikiextractor_spark.functions.unigram import (
                 _check_marker,
             )

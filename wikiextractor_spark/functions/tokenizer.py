@@ -403,7 +403,6 @@ def save_bpe_merges_txt(
         if len(p) != 2
         or not all(
             isinstance(s, str) and s and not _WS_SPLIT.search(s)
-            and " " not in s
             for s in p
         )
     ]
@@ -450,6 +449,15 @@ def save_bpe_vocab_json(spark, vocab: DataFrame, path: str) -> None:
     _tok2id, id2tok, _rev = _vocab_id_maps(
         rows, None, "save_bpe_vocab_json"
     )
+    # _vocab_id_maps rejects duplicate IDS; duplicate token TEXTS
+    # (distinct ids) would here silently collapse into one JSON entry
+    # — a corrupt artifact must raise, like every other exporter
+    # (r15 review)
+    if len(set(id2tok.values())) != len(id2tok):
+        raise ValueError(
+            "save_bpe_vocab_json: duplicate token texts — the JSON "
+            "object would silently drop ids; fix the artifact"
+        )
     obj = {id2tok[i]: i for i in sorted(id2tok)}
     write_one_text_file(
         spark,
@@ -1156,6 +1164,23 @@ def _word_freq_table(
     )
 
 
+#: live pre-tokenizer broadcasts, released by
+#: :func:`_release_pretok_broadcasts` after the trainer's eager
+#: checkpoint (the only consumer) has materialized
+_PRETOK_BROADCASTS: list = []
+
+
+def _release_pretok_broadcasts() -> None:
+    """Release every pre-tokenizer broadcast registered by
+    :func:`_pretok_word_freq_table` — call AFTER the word table is
+    eagerly checkpointed (the UDF no longer re-runs past that point),
+    so a long-lived session training repeatedly does not accumulate
+    stale (pattern, byte-table) broadcasts (r15 review; the
+    _em_round release discipline)."""
+    while _PRETOK_BROADCASTS:
+        _PRETOK_BROADCASTS.pop().unpersist()
+
+
 def _pretok_word_freq_table(
     df: DataFrame, text_col: str,
     sample_fraction: float | None, seed: int,
@@ -1181,7 +1206,12 @@ def _pretok_word_freq_table(
     if sample_fraction is not None:
         src = src.sample(fraction=sample_fraction, seed=seed)
     byte_enc = gpt2_bytes_to_unicode() if byte_level else None
+    # released by _release_pretok_broadcast once the caller's eager
+    # checkpoint materializes the table (r15 review — the _em_round
+    # broadcast-release discipline); module-level registry because
+    # the lazy frame cannot carry the handle
     bc = df.sparkSession.sparkContext.broadcast((pre_tokenizer, byte_enc))
+    _PRETOK_BROADCASTS.append(bc)
 
     @F.pandas_udf("array<string>")
     def _ptoks(s: pd.Series) -> pd.Series:
@@ -1307,6 +1337,9 @@ def learn_bpe_merges(
     else:
         base = _word_freq_table(df, text_col, sample_fraction, seed)
     words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
+    # the checkpoint above was the pre-tokenizer broadcast's only
+    # consumer (no-op on the plain char-grain path)
+    _release_pretok_broadcasts()
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -1414,6 +1447,7 @@ def train_bpe_tokenizer(
             df, text_col, sample_fraction, seed, pre_tokenizer,
             byte_level,
         ).localCheckpoint(eager=True)
+        _release_pretok_broadcasts()  # checkpoint = the only consumer
     else:
         words = _word_freq_table(
             df, text_col, sample_fraction, seed
