@@ -612,3 +612,29 @@ def test_cli_train_new_flag_compat():
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_train_prune_rank(spark, tmp_path, docs_parquet,
+                              keep_session):
+    """--prune-rank loss trains end-to-end; the flag is rejected
+    outside --train-tokenizer unigram."""
+    m = tmp_path / "m_loss"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "unigram", "--vocab-size", "30",
+        "--prune-rank", "loss", "--out-model", str(m),
+    ])
+    from wikiextractor_spark.functions.unigram import load_unigram_lm
+
+    assert load_unigram_lm(spark, f"{m}/unigram_lm").count() > 1
+    for argv in (
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "bpe", "--vocab-size", "300", "--out-model", "m",
+         "--prune-rank", "loss"],
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--prune-rank", "count"],
+        ["--infn", "x", "--source", "dump", "--prune-rank", "loss"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

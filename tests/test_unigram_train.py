@@ -444,3 +444,54 @@ def test_unigram_train_loss_prune_contract(spark):
     df = spark.createDataFrame([(0, "ab ba ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="prune_rank"):
         learn_unigram_lm(df, vocab_size=3, prune_rank="entropy")
+
+
+def test_save_unigram_lm_tsv_round_trip(spark, tmp_path):
+    """Export in the published .vocab shape → reimport through the
+    existing TSV loader returns the identical model; re-export is
+    byte-identical; the unk row is dropped on export (stated)."""
+    from wikiextractor_spark.functions.unigram import (
+        save_unigram_lm_tsv,
+        unigram_from_tokens,
+    )
+
+    toks = {"▁the": -2.0, "the": -2.5, "a": -4.25, "x": -4.75}
+    lm = unigram_from_tokens(spark, toks, -10.0)
+    p = str(tmp_path / "m.vocab")
+    save_unigram_lm_tsv(spark, lm, p)
+    raw = open(p, encoding="utf-8").read()
+    assert raw == "▁the\t-2.0\nthe\t-2.5\na\t-4.25\nx\t-4.75\n"
+    back = load_unigram_lm(spark, p, fmt="tsv", unk_logprob=-10.0)
+    got, unk = _artifact_dict(back)
+    assert got == toks and unk == -10.0
+    p2 = str(tmp_path / "m2.vocab")
+    save_unigram_lm_tsv(spark, back, p2)
+    assert open(p2, "rb").read() == open(p, "rb").read()
+
+
+def test_unigram_train_marker_plus_loss_differential(spark):
+    """The two r15 trainer modes COMPOSE: marker-grain training with
+    the loss-ranked prune matches the independent restatement running
+    both, and the artifact serves marker-mode round trips."""
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOY)], "doc_id long, text string"
+    )
+    lm = learn_unigram_lm(
+        df, vocab_size=18, max_piece_len=4,
+        space_marker="▁", prune_rank="loss",
+    )
+    got_toks, got_unk = _artifact_dict(lm)
+    exp_toks, exp_unk = _py_learn(
+        TOY, 18, max_piece_len=4, prefix="▁", prune_rank="loss"
+    )
+    assert got_toks == exp_toks and got_unk == exp_unk
+    ids = unigram_token_ids(df, lm, out_col="ids", space_marker="▁")
+    dec = unigram_decode_ids(
+        ids, lm, ids_col="ids", out_col="dec", space_marker="▁"
+    )
+    for r in dec.collect():
+        assert r["dec"] == TOY[r["doc_id"]]

@@ -68,6 +68,7 @@ _SCOPED_DEFAULTS = {
     "train_tokenizer": None,
     "vocab_size": None,
     "byte_level": False,
+    "prune_rank": None,
     "out_model": None,
     "train_sample_fraction": None,
     "target_lang": None,
@@ -232,6 +233,13 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus alphabet)",
     )
     p.add_argument(
+        "--prune-rank", choices=("count", "loss"), default=_UNSET,
+        help="(--source docs) --train-tokenizer unigram: prune-round "
+        "candidate ranking — loss = Kudo's likelihood-loss-if-"
+        "removed (the published SentencePiece criterion), count = "
+        "expected count (the cheap default)",
+    )
+    p.add_argument(
         "--byte-level", action="store_true", default=_UNSET,
         help="(--source docs) --train-tokenizer bpe: train at the "
         "published byte-level GPT-2 grain (GPT-2 pre-tokenizer + "
@@ -320,7 +328,8 @@ _DUMP_ONLY = (
 _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize", "space_marker",
-    "train_tokenizer", "vocab_size", "byte_level", "out_model",
+    "train_tokenizer", "vocab_size", "byte_level", "prune_rank",
+    "out_model",
     "train_sample_fraction",
     "target_lang", "langid_model", "min_quality", "gopher", "normalize",
     "dedup", "sentence_span_dedup",
@@ -426,6 +435,14 @@ def _validate_docs_args(parser, args) -> None:
             parser.error(
                 "--byte-level applies only to --train-tokenizer bpe"
             )
+        if (
+            args.prune_rank is not None
+            and args.train_tokenizer != "unigram"
+        ):
+            parser.error(
+                "--prune-rank applies only to --train-tokenizer "
+                "unigram"
+            )
         if args.byte_level and args.vocab_size <= 256:
             # the byte-level alphabet is a CONSTANT 256, so this is
             # decidable pre-JVM: <=256 leaves zero merges and the
@@ -456,6 +473,11 @@ def _validate_docs_args(parser, args) -> None:
         if args.byte_level:
             parser.error(
                 "--byte-level applies only to --train-tokenizer bpe"
+            )
+        if args.prune_rank is not None:
+            parser.error(
+                "--prune-rank applies only to --train-tokenizer "
+                "unigram"
             )
         for d in ("vocab_size", "out_model", "train_sample_fraction"):
             if getattr(args, d) is not None:
@@ -646,6 +668,7 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         lm = learn_unigram_lm(
             docs, args.vocab_size, sample_fraction=sf,
             space_marker=args.space_marker,
+            prune_rank=args.prune_rank or "count",
         )
         save_unigram_lm(lm, f"{out}/unigram_lm")
         mk_hint = (

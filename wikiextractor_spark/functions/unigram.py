@@ -128,6 +128,34 @@ def save_unigram_lm(lm: DataFrame, path: str) -> None:
     write_one_file(lm.select("token", "logprob"), path)
 
 
+def save_unigram_lm_tsv(spark, lm: DataFrame, path: str) -> None:
+    """Export a unigram LM in the published SentencePiece ``.vocab``
+    shape (r15): one ``token<TAB>logprob`` line per piece, one
+    trailing newline — exactly what ``load_unigram_lm(fmt='tsv')``
+    reads back (the modelio keyed-table TSV contract), so trained
+    artifacts interchange with text-based tooling.  The NULL-token
+    unk row is DROPPED (a TSV cannot express it — pass
+    ``unk_logprob=`` on reimport; stated, the vocab.json OOV
+    convention).  Lines ride in (logprob desc, token asc) order —
+    most-probable-first, deterministic; the loader is key-based so
+    order never affects serving.  Logprobs render via ``repr`` (the
+    shortest round-tripping form), so reimport is value-exact and a
+    re-export is byte-identical."""
+    from wikiextractor_spark.functions.modelio import (
+        write_one_text_file,
+    )
+
+    toks, _unk = _lm_tokens_and_unk(lm, "save_unigram_lm_tsv")
+    lines = [
+        f"{t}\t{v!r}"
+        for v, t in sorted(
+            ((v, t) for t, v in toks.items()),
+            key=lambda p: (-p[0], p[1]),
+        )
+    ]
+    write_one_text_file(spark, "\n".join(lines) + "\n", path)
+
+
 def load_unigram_lm(
     spark, path: str, fmt: str | None = None,
     unk_logprob: float | None = None,
