@@ -638,3 +638,26 @@ def test_cli_train_prune_rank(spark, tmp_path, docs_parquet,
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_train_byte_level_zero_merges_clean_error(
+    spark, tmp_path, keep_session
+):
+    """A corpus where no byte pair reaches min_count trains zero
+    merges — the published merges.txt cannot be empty, so the CLI
+    exits with the CAUSE instead of a traceback, and no partial
+    published artifacts are written (r15 second review)."""
+    p = tmp_path / "tinydocs"
+    spark.createDataFrame(
+        [(1, "ab")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(p))
+    m = tmp_path / "m_zero"
+    with pytest.raises(SystemExit) as exc:
+        main([
+            "--infn", str(p), "--source", "docs",
+            "--train-tokenizer", "bpe", "--vocab-size", "257",
+            "--byte-level", "--out-model", str(m),
+        ])
+    assert "ZERO merges" in str(exc.value)
+    assert not (m / "vocab.json").exists()
+    assert not (m / "merges.txt").exists()

@@ -495,3 +495,15 @@ def test_unigram_train_marker_plus_loss_differential(spark):
     )
     for r in dec.collect():
         assert r["dec"] == TOY[r["doc_id"]]
+
+
+def test_unigram_seed_pieces_marker_words_exclusive(spark):
+    """space_marker with a pre-built _words table is a contradiction
+    (the grain is already fixed) — raise, never silently return
+    plain-grain candidates (r15 second review)."""
+    df = spark.createDataFrame([(0, "ab ba")], "doc_id long, text string")
+    from wikiextractor_spark.functions.unigram import _word_table
+
+    words = _word_table(df, "text", None, 0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        unigram_seed_pieces(df, space_marker="▁", _words=words)

@@ -625,6 +625,21 @@ def _run_train_tokenizer(spark, args, docs) -> None:
             ),
         )
         if args.byte_level:
+            if not ranks:
+                # the pre-JVM vocab-size check covers the constant
+                # case; a corpus where NO pair reaches min_count can
+                # still train zero merges, and the published
+                # merges.txt cannot be empty (r15 second review) —
+                # fail with the cause, not a traceback
+                raise SystemExit(
+                    "--train-tokenizer bpe --byte-level: training "
+                    "learned ZERO merges (no adjacent byte pair "
+                    "reached the min count on this corpus) — the "
+                    "published merges.txt cannot be empty, so no "
+                    f"byte-level artifacts were exported; the "
+                    f"parquet pair under {out} is the raw trainer "
+                    "state only.  Train on more text."
+                )
             # byte-level artifacts serve through the PUBLISHED
             # formats — the --tokenize bpe suffix dispatch infers the
             # byte-level GPT-2 replay from .json/.txt, while the

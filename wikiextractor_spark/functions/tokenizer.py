@@ -1164,28 +1164,11 @@ def _word_freq_table(
     )
 
 
-#: live pre-tokenizer broadcasts, released by
-#: :func:`_release_pretok_broadcasts` after the trainer's eager
-#: checkpoint (the only consumer) has materialized
-_PRETOK_BROADCASTS: list = []
-
-
-def _release_pretok_broadcasts() -> None:
-    """Release every pre-tokenizer broadcast registered by
-    :func:`_pretok_word_freq_table` — call AFTER the word table is
-    eagerly checkpointed (the UDF no longer re-runs past that point),
-    so a long-lived session training repeatedly does not accumulate
-    stale (pattern, byte-table) broadcasts (r15 review; the
-    _em_round release discipline)."""
-    while _PRETOK_BROADCASTS:
-        _PRETOK_BROADCASTS.pop().unpersist()
-
-
 def _pretok_word_freq_table(
     df: DataFrame, text_col: str,
     sample_fraction: float | None, seed: int,
     pre_tokenizer: str | None, byte_level: bool,
-) -> DataFrame:
+):
     """The distinct PRE-TOKEN frequency table for byte-level /
     pre-tokenized BPE training (r15): per text one Arrow-batched
     pandas UDF runs the pre-tokenizer (``re.findall`` with the given
@@ -1194,8 +1177,12 @@ def _pretok_word_freq_table(
     ``byte_level``, maps each pre-token through the SAME
     :func:`gpt2_bytes_to_unicode` table the serving replay uses, so
     trained merges and served replay provably share one symbol space.
-    Yields the :func:`_word_freq_table` shape ``(syms array<string>,
-    freq)``; NULL text contributes nothing.
+    Returns ``(frame, broadcast)`` — the :func:`_word_freq_table`
+    shape ``(syms array<string>, freq)`` plus the kernel's broadcast
+    handle, which the CALLER must ``unpersist()`` once its eager
+    checkpoint has materialized the table (the frame is lazy, so the
+    function cannot know when consumption ends).  NULL text
+    contributes nothing.
 
     Scale shape: identical to :func:`_word_freq_table` — ONE
     map-side-combinable shuffle over the (optionally sampled) corpus;
@@ -1206,12 +1193,12 @@ def _pretok_word_freq_table(
     if sample_fraction is not None:
         src = src.sample(fraction=sample_fraction, seed=seed)
     byte_enc = gpt2_bytes_to_unicode() if byte_level else None
-    # released by _release_pretok_broadcast once the caller's eager
-    # checkpoint materializes the table (r15 review — the _em_round
-    # broadcast-release discipline); module-level registry because
-    # the lazy frame cannot carry the handle
+    # the handle rides back to the caller, who releases it once its
+    # eager checkpoint has materialized the table (r15 second review:
+    # a module-global registry let one caller unpersist another
+    # in-flight training's broadcast) — the _em_round discipline,
+    # per-caller
     bc = df.sparkSession.sparkContext.broadcast((pre_tokenizer, byte_enc))
-    _PRETOK_BROADCASTS.append(bc)
 
     @F.pandas_udf("array<string>")
     def _ptoks(s: pd.Series) -> pd.Series:
@@ -1231,7 +1218,7 @@ def _pretok_word_freq_table(
 
         return s.map(one)
 
-    return (
+    frame = (
         src.select(F.explode(_ptoks(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
@@ -1240,6 +1227,7 @@ def _pretok_word_freq_table(
             "freq",
         )
     )
+    return frame, bc
 
 
 def _check_train_grain(
@@ -1327,19 +1315,20 @@ def learn_bpe_merges(
     if min_count < 1:
         raise ValueError("learn_bpe_merges: min_count must be >= 1")
     _check_train_grain(byte_level, pre_tokenizer, "learn_bpe_merges")
+    pretok_bc = None
     if _words is not None:
         base = _words
     elif byte_level:
-        base = _pretok_word_freq_table(
+        base, pretok_bc = _pretok_word_freq_table(
             df, text_col, sample_fraction, seed, pre_tokenizer,
             byte_level,
         )
     else:
         base = _word_freq_table(df, text_col, sample_fraction, seed)
     words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
-    # the checkpoint above was the pre-tokenizer broadcast's only
-    # consumer (no-op on the plain char-grain path)
-    _release_pretok_broadcasts()
+    if pretok_bc is not None:
+        # the checkpoint above was this broadcast's only consumer
+        pretok_bc.unpersist()
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -1443,11 +1432,12 @@ def train_bpe_tokenizer(
         )
     _check_train_grain(byte_level, pre_tokenizer, "train_bpe_tokenizer")
     if byte_level:
-        words = _pretok_word_freq_table(
+        frame, pretok_bc = _pretok_word_freq_table(
             df, text_col, sample_fraction, seed, pre_tokenizer,
             byte_level,
-        ).localCheckpoint(eager=True)
-        _release_pretok_broadcasts()  # checkpoint = the only consumer
+        )
+        words = frame.localCheckpoint(eager=True)
+        pretok_bc.unpersist()  # checkpoint = the only consumer
     else:
         words = _word_freq_table(
             df, text_col, sample_fraction, seed

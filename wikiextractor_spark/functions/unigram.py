@@ -735,6 +735,15 @@ def unigram_seed_pieces(
             f"{max_piece_len}"
         )
     marker = _check_marker(space_marker, "unigram_seed_pieces")
+    if _words is not None and marker:
+        # a pre-built word table already fixed the grain — silently
+        # ignoring the marker would hand back plain-grain candidates
+        # under a marker-grain ask (r15 second review)
+        raise ValueError(
+            "unigram_seed_pieces: space_marker and _words are "
+            "mutually exclusive — prefix the pre-built word table "
+            "yourself (learn_unigram_lm does)"
+        )
     words = (
         _word_table(df, text_col, sample_fraction, seed, prefix=marker)
         if _words is None
