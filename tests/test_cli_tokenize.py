@@ -627,6 +627,21 @@ def test_cli_train_prune_rank(spark, tmp_path, docs_parquet,
     from wikiextractor_spark.functions.unigram import load_unigram_lm
 
     assert load_unigram_lm(spark, f"{m}/unigram_lm").count() > 1
+    # the published .vocab TSV rides beside the parquet (r15) and
+    # reloads to the SAME model through the TSV path
+    pq = {
+        (r["token"], r["logprob"])
+        for r in load_unigram_lm(spark, f"{m}/unigram_lm").collect()
+        if r["token"] is not None
+    }
+    tsv = {
+        (r["token"], r["logprob"])
+        for r in load_unigram_lm(
+            spark, f"{m}/unigram.vocab", fmt="tsv", unk_logprob=0.0
+        ).collect()
+        if r["token"] is not None
+    }
+    assert tsv == pq
     for argv in (
         ["--infn", "x", "--source", "docs", "--train-tokenizer",
          "bpe", "--vocab-size", "300", "--out-model", "m",

@@ -678,6 +678,7 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         from wikiextractor_spark.functions.unigram import (
             learn_unigram_lm,
             save_unigram_lm,
+            save_unigram_lm_tsv,
         )
 
         lm = learn_unigram_lm(
@@ -686,11 +687,16 @@ def _run_train_tokenizer(spark, args, docs) -> None:
             prune_rank=args.prune_rank or "count",
         )
         save_unigram_lm(lm, f"{out}/unigram_lm")
+        # the published .vocab TSV rides beside the parquet (r15
+        # third review — the wordpiece vocab.txt precedent): same
+        # model minus the unk row, which the TSV cannot express
+        save_unigram_lm_tsv(spark, lm, f"{out}/unigram.vocab")
         mk_hint = (
             f" --space-marker {args.space_marker}"
             if args.space_marker is not None else ""
         )
-        print(f"wrote {out}/unigram_lm (serve: --tokenize unigram "
+        print(f"wrote {out}/unigram_lm and {out}/unigram.vocab "
+              f"(serve: --tokenize unigram "
               f"--lm {out}/unigram_lm{mk_hint})")
 
 

@@ -1325,10 +1325,16 @@ def learn_bpe_merges(
         )
     else:
         base = _word_freq_table(df, text_col, sample_fraction, seed)
-    words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
-    if pretok_bc is not None:
-        # the checkpoint above was this broadcast's only consumer
-        pretok_bc.unpersist()
+    try:
+        words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
+    finally:
+        if pretok_bc is not None:
+            # the checkpoint above was this broadcast's only
+            # consumer — release in finally so a failed checkpoint
+            # job cannot strand the broadcast (r15 third review; the
+            # dropped global registry's next-call sweep no longer
+            # backstops error paths)
+            pretok_bc.unpersist()
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -1436,8 +1442,12 @@ def train_bpe_tokenizer(
             df, text_col, sample_fraction, seed, pre_tokenizer,
             byte_level,
         )
-        words = frame.localCheckpoint(eager=True)
-        pretok_bc.unpersist()  # checkpoint = the only consumer
+        try:
+            words = frame.localCheckpoint(eager=True)
+        finally:
+            # checkpoint = the only consumer; release even when the
+            # checkpoint job fails (r15 third review)
+            pretok_bc.unpersist()
     else:
         words = _word_freq_table(
             df, text_col, sample_fraction, seed
