@@ -676,3 +676,54 @@ def test_cli_train_byte_level_zero_merges_clean_error(
     assert "ZERO merges" in str(exc.value)
     assert not (m / "vocab.json").exists()
     assert not (m / "merges.txt").exists()
+
+
+def test_cli_train_wordpiece_basic_tokenize_round_trip(
+    spark, tmp_path, keep_session
+):
+    """--train-tokenizer wordpiece --basic-tokenize trains the
+    normalized grain; serving the artifact with --basic-tokenize
+    UNKs nothing on the training corpus.  The flag stays rejected on
+    the other train families."""
+    p = tmp_path / "cased_docs"
+    spark.createDataFrame(
+        [(1, "Café DON'T stop"), (2, "The DATA, the data."), (3, None)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(p))
+    m = tmp_path / "m_wpb"
+    main([
+        "--infn", str(p), "--source", "docs",
+        "--train-tokenizer", "wordpiece", "--vocab-size", "60",
+        "--basic-tokenize", "--out-model", str(m),
+    ])
+    out = tmp_path / "wpb_ids"
+    main([
+        "--infn", str(p), "--source", "docs",
+        "--tokenize", "wordpiece", "--vocab", f"{m}/wp_vocab",
+        "--basic-tokenize", "--out", str(out),
+    ])
+    from wikiextractor_spark.functions.wordpiece import (
+        load_wordpiece_vocab,
+    )
+
+    toks = [
+        r["token"]
+        for r in load_wordpiece_vocab(spark, f"{m}/wp_vocab")
+        .orderBy("token_id").collect()
+    ]
+    unk_id = toks.index("[UNK]")
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in spark.read.parquet(str(out)).collect()}
+    assert rows[3] is None
+    assert unk_id not in list(rows[1]) and unk_id not in list(rows[2])
+    for argv in (
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "unigram", "--vocab-size", "30", "--out-model", "m",
+         "--basic-tokenize"],
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "bpe", "--vocab-size", "300", "--out-model", "m",
+         "--basic-tokenize"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

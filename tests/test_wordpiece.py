@@ -607,3 +607,140 @@ def test_wp_vocab_dedups_fused_collisions(spark):
         df, wordpiece_from_tokens(spark, vocab), out_col="ids"
     ).collect()[0]["ids"]
     assert ids  # serving works on the training corpus
+
+
+# --------------------------------------------------------------------------
+# BasicTokenizer-grain TRAINING (r15): train the grain --basic-tokenize
+# serving normalizes to.
+# --------------------------------------------------------------------------
+
+_BT_TEXTS = [
+    "Café DON'T re-use!!",
+    "Élan's naïve mix 42.",
+    "web-scale,DATA;end",
+    "heLLo   worldé  café DON'T",
+]
+
+
+def _py_basic_one(t):
+    import re as _re
+    import unicodedata as _ud
+
+    ws = _re.compile(r"[ \t\n\r\f\x0b]+")
+    t = ws.sub(" ", t).lower()
+    t = "".join(
+        c for c in _ud.normalize("NFD", t) if not _ud.combining(c)
+    )
+    out = []
+    for c in t:
+        if ("!" <= c <= "/" or ":" <= c <= "@" or "[" <= c <= "`"
+                or "{" <= c <= "~"
+                or _ud.category(c).startswith("P")):
+            out.append(f" {c} ")
+        else:
+            out.append(c)
+    return ws.sub(" ", "".join(out)).strip()
+
+
+def _ref_wp_train(texts, k, mc, basic=False):
+    """Independent restatement of the likelihood-scored trainer,
+    optionally over BasicTokenizer-normalized text."""
+    freq: dict = {}
+    for t in texts:
+        if t is None:
+            continue
+        if basic:
+            t = _py_basic_one(t)
+        for w in t.split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    words = {
+        w: ([w[0]] + ["##" + c for c in w[1:]], f)
+        for w, f in freq.items()
+    }
+    out = []
+    for _ in range(k):
+        pc: dict = {}
+        sc: dict = {}
+        for syms, f in words.values():
+            for s in syms:
+                sc[s] = sc.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                pc[pr] = pc.get(pr, 0) + f
+        elig = [(a, b, c) for (a, b), c in pc.items() if c >= mc]
+        if not elig:
+            break
+        a, b, cnt = min(
+            elig,
+            key=lambda t: (-(t[2] / sc[t[0]] / sc[t[1]]),
+                           t[0] + " " + t[1]),
+        )
+        fused = a + (b[2:] if b.startswith("##") else b)
+        out.append((a, b, fused, cnt))
+        nw = {}
+        for w, (syms, f) in words.items():
+            m, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    m.append(fused)
+                    i += 2
+                else:
+                    m.append(syms[i])
+                    i += 1
+            nw[w] = (m, f)
+        words = nw
+    return out
+
+
+def test_learn_wordpiece_basic_grain_differential(spark):
+    """basic_tokenize=True trains over the normalized grain — engine
+    vs the independent restatement on case/accent/punct adversaria,
+    and the grains genuinely differ (raw-grain training on the same
+    corpus yields a different run)."""
+    from wikiextractor_spark.functions.wordpiece import (
+        learn_wordpiece_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BT_TEXTS)],
+        "doc_id long, text string",
+    )
+    got = learn_wordpiece_merges(df, 6, min_count=2, basic_tokenize=True)
+    want = _ref_wp_train(_BT_TEXTS, 6, 2, basic=True)
+    assert got == want
+    raw = learn_wordpiece_merges(df, 6, min_count=2)
+    assert raw == _ref_wp_train(_BT_TEXTS, 6, 2, basic=False)
+    assert got != raw  # the grain is load-bearing on this corpus
+
+
+def test_learn_wordpiece_vocab_basic_grain_round_trip(spark):
+    """Train a full vocab at the basic grain → serve through
+    basic_tokenize_text + wordpiece_token_ids: the training corpus
+    itself never UNKs (alphabet coverage at the matching grain) —
+    exactly the mismatch the raw-grain artifact shows under
+    --basic-tokenize serving."""
+    from wikiextractor_spark.functions.wordpiece import (
+        basic_tokenize_text,
+        learn_wordpiece_vocab,
+        wordpiece_from_tokens,
+        wordpiece_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BT_TEXTS)],
+        "doc_id long, text string",
+    )
+    toks = learn_wordpiece_vocab(
+        df, 60, min_count=2, basic_tokenize=True
+    )
+    vocab = wordpiece_from_tokens(spark, toks)
+    unk_id = toks.index("[UNK]")
+    served = df.select(
+        "doc_id", basic_tokenize_text("text").alias("text")
+    )
+    rows = wordpiece_token_ids(served, vocab, out_col="ids").collect()
+    assert rows and all(
+        unk_id not in list(r["ids"]) for r in rows
+    )

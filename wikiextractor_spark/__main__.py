@@ -163,15 +163,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--basic-tokenize", action="store_true", default=_UNSET,
-        help="(--tokenize wordpiece) apply the published "
+        help="(--tokenize wordpiece, or --train-tokenizer "
+        "wordpiece) apply the published "
         "BasicTokenizer stage (lowercase, accent strip, punctuation "
         "split) before wordpiece — the published uncased pipeline; "
         "without it, serving is raw whitespace-grain (cased text "
-        "and attached punctuation collapse to [UNK]).  The vocab "
-        "must be BasicTokenizer-grain (a published uncased "
-        "vocab.txt, or one trained on normalized text) — a "
-        "--train-tokenizer wordpiece artifact trained on RAW text "
-        "will UNK most words under this stage",
+        "and attached punctuation collapse to [UNK]).  Train and "
+        "serve at the SAME grain: give the flag on BOTH legs (a "
+        "RAW-trained artifact UNKs most words under this stage, and "
+        "vice versa)",
     )
     p.add_argument(
         "--merges", default=_UNSET,
@@ -469,6 +469,11 @@ def _validate_docs_args(parser, args) -> None:
                 _check_marker(args.space_marker, "--space-marker")
             except ValueError as e:
                 parser.error(str(e))
+        if args.basic_tokenize and args.train_tokenizer != "wordpiece":
+            parser.error(
+                "--basic-tokenize applies only to --tokenize "
+                "wordpiece or --train-tokenizer wordpiece"
+            )
     else:
         if args.byte_level:
             parser.error(
@@ -503,9 +508,10 @@ def _validate_docs_args(parser, args) -> None:
             )
         if args.shard_seed:
             parser.error("--shard-seed applies only with --shards")
-        if args.basic_tokenize:
+        if args.basic_tokenize and args.train_tokenizer != "wordpiece":
             parser.error(
-                "--basic-tokenize applies only to --tokenize wordpiece"
+                "--basic-tokenize applies only to --tokenize "
+                "wordpiece or --train-tokenizer wordpiece"
             )
         if (
             args.space_marker is not None
@@ -663,7 +669,8 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         )
 
         toks = learn_wordpiece_vocab(
-            docs, args.vocab_size, sample_fraction=sf
+            docs, args.vocab_size, sample_fraction=sf,
+            basic_tokenize=args.basic_tokenize,
         )
         wp = wordpiece_from_tokens(spark, toks)
         save_wordpiece_vocab(wp, f"{out}/wp_vocab")
@@ -671,9 +678,12 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         # same (token, id) mapping, line order = id — interchange
         # with external BERT-family tooling for free
         save_wordpiece_vocab_txt(spark, wp, f"{out}/vocab.txt")
+        # train/serve grain must match (the help text's warning the
+        # r15 basic_tokenize trainer closes): name the serve flag
+        bt_hint = " --basic-tokenize" if args.basic_tokenize else ""
         print(f"wrote {out}/wp_vocab and {out}/vocab.txt "
               f"(serve: --tokenize wordpiece "
-              f"--vocab {out}/wp_vocab)")
+              f"--vocab {out}/wp_vocab{bt_hint})")
     else:
         from wikiextractor_spark.functions.unigram import (
             learn_unigram_lm,

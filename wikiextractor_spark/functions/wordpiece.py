@@ -484,13 +484,20 @@ def basic_tokenize_text(
 # In-engine WordPiece vocabulary training
 # --------------------------------------------------------------------------
 
-def _wp_word_table(df, text_col, sample_fraction, seed):
+def _wp_word_table(df, text_col, sample_fraction, seed,
+                   basic_tokenize=False):
     """(syms array<string>, freq) at the WordPiece grain — the shared
     distinct-word shuffle of :func:`tokenizer._word_freq_table` with
     the continuation-marker transform applied on top (one home for
-    the pre-tokenization/sampling grain)."""
+    the pre-tokenization/sampling grain).  ``basic_tokenize`` (r15):
+    the text runs through :func:`basic_tokenize_text` FIRST — one
+    extra native projection (plus the accent-strip Arrow kernel), so
+    training sees exactly the grain ``--basic-tokenize`` serving
+    normalizes to."""
     from wikiextractor_spark.functions.tokenizer import _word_freq_table
 
+    if basic_tokenize:
+        df = df.select(basic_tokenize_text(text_col).alias(text_col))
     return _word_freq_table(df, text_col, sample_fraction, seed).select(
         F.expr(
             "transform(syms, (x, i) -> "
@@ -511,6 +518,7 @@ def learn_wordpiece_merges(
     df: DataFrame, n_merges: int, text_col: str = "text",
     min_count: int = 2, sample_fraction: float | None = None,
     seed: int = 0, _words: DataFrame | None = None,
+    *, basic_tokenize: bool = False,
 ) -> list[tuple[str, str, str, int]]:
     """TRAIN WordPiece merges on the corpus — the published
     likelihood-scored rule (Schuster & Nakajima 2012, as implemented
@@ -545,6 +553,15 @@ def learn_wordpiece_merges(
     for serving (:func:`learn_wordpiece_vocab` composes exactly
     that).
 
+    ``basic_tokenize`` (r15, closing the train/serve grain mismatch
+    the CLI help warned about): train over
+    :func:`basic_tokenize_text`-normalized text — the grain
+    ``wordpiece_token_ids`` sees under the published uncased
+    pipeline — so a trained artifact serves faithfully with
+    ``--basic-tokenize`` instead of UNKing every cased/punctuated
+    word.  Ignored when ``_words`` is supplied (the grain is already
+    fixed; :func:`learn_wordpiece_vocab` passes the right table).
+
     Scale shape: the :func:`learn_bpe_merges` discipline — one
     distinct-word shuffle up front, each round two map-side-combined
     aggregations over the full distinct-word table (pair counts +
@@ -572,7 +589,8 @@ def learn_wordpiece_merges(
     # tracking keeps the releases to frames THIS function created
     if _words is None:
         words = _wp_word_table(
-            df, text_col, sample_fraction, seed
+            df, text_col, sample_fraction, seed,
+            basic_tokenize=basic_tokenize,
         ).localCheckpoint(eager=True)
         owns_current = True
     else:
@@ -648,8 +666,13 @@ def learn_wordpiece_vocab(
     df: DataFrame, vocab_size: int, text_col: str = "text",
     unk_token: str = "[UNK]", min_count: int = 2,
     sample_fraction: float | None = None, seed: int = 0,
+    *, basic_tokenize: bool = False,
 ) -> list[str]:
-    """TRAIN a complete serving vocabulary: ``unk_token`` at id 0
+    """TRAIN a complete serving vocabulary (``basic_tokenize``
+    trains the published uncased grain — see
+    :func:`learn_wordpiece_merges`; the ONE checkpointed word table
+    feeds both the alphabet and the merges, so the grain cannot
+    drift between them): ``unk_token`` at id 0
     (the published layout), the corpus ALPHABET sorted (every bare
     first-character and ``##``-marked continuation character — the
     coverage floor that keeps serving's whole-word-UNK collapse to
@@ -664,7 +687,10 @@ def learn_wordpiece_vocab(
             f"learn_wordpiece_vocab: vocab_size must be >= 1, got "
             f"{vocab_size}"
         )
-    words = _wp_word_table(df, text_col, sample_fraction, seed)
+    words = _wp_word_table(
+        df, text_col, sample_fraction, seed,
+        basic_tokenize=basic_tokenize,
+    )
     words = words.localCheckpoint(eager=True)
     try:
         alphabet = sorted(

@@ -5312,7 +5312,8 @@ _WP_TRAIN_K = 4
 _WP_TRAIN_MC = 2
 
 
-def _wp_train_ctes(k: int, min_count: int) -> tuple[str, str]:
+def _wp_train_ctes(k: int, min_count: int, prefix: str = "wt",
+                   t0_sql: str | None = None) -> tuple[str, str]:
     """Generate (cte_block, union_select) for the k-round WordPiece
     training chain — the _bpe_train_ctes pattern with the
     ##-marked initial state, per-round SYMBOL counts beside the pair
@@ -5329,69 +5330,118 @@ def _wp_train_ctes(k: int, min_count: int) -> tuple[str, str]:
     side's marker.  Prototyped mismatch-free against the trainer's
     Python reference over the full sf0.001, sf0.01 AND sf0.1
     corpora before wiring in (r14 re-prototyped after the
-    full-table-denominator change)."""
-    parts = [f"""
-    wt_t0 AS (
+    full-table-denominator change).
+
+    ``prefix``/``t0_sql`` (r15): the chain is reusable at another
+    word grain — ``t0_sql`` overrides the ``<prefix>_t0`` body (must
+    yield ``(w, freq)``), the default being the raw whitespace split
+    over ``documents``; generated SQL for the default call is
+    byte-identical to the r13 original, so the existing 'wp_train'
+    hash is untouched."""
+    px = prefix
+    if t0_sql is None:
+        t0_sql = """
       SELECT w, COUNT(*) AS freq FROM (
         SELECT unnest(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS w
         FROM documents) u
       WHERE w <> '' GROUP BY w
-    ),
-    wt_s0 AS (
+    """
+    parts = [f"""
+    {px}_t0 AS ({t0_sql}),
+    {px}_s0 AS (
       SELECT {_SEP}||{_SEP}|| substring(w, 1, 1) ||{_SEP}||{_SEP}||
              regexp_replace(substring(w, 2), '(.)',
                             '##\\1'||{_SEP}||{_SEP}, 'g') AS state,
              freq
-      FROM wt_t0
+      FROM {px}_t0
     )"""]
     for i in range(k):
         parts.append(f"""
-    wt_a{i} AS (
+    {px}_a{i} AS (
       SELECT syms, freq FROM (
         SELECT list_filter(string_split(state, {_SEP}||{_SEP}),
                            x -> x <> '') AS syms, freq
-        FROM wt_s{i}) q
+        FROM {px}_s{i}) q
     ),
-    wt_p{i} AS (
+    {px}_p{i} AS (
       SELECT z.pr[1] AS a, z.pr[2] AS b, SUM(z.freq) AS cnt FROM (
         SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
                                list_slice(syms, 2, len(syms)))) AS pr,
                freq
-        FROM wt_a{i}
+        FROM {px}_a{i}
       ) z GROUP BY 1, 2
     ),
-    wt_y{i} AS (
+    {px}_y{i} AS (
       SELECT u.s AS s, SUM(u.freq) AS c FROM (
-        SELECT unnest(syms) AS s, freq FROM wt_a{i}) u GROUP BY 1
+        SELECT unnest(syms) AS s, freq FROM {px}_a{i}) u GROUP BY 1
     ),
-    wt_b{i} AS (
+    {px}_b{i} AS (
       SELECT p.a, p.b, p.cnt,
              p.a || CASE WHEN starts_with(p.b, '##')
                          THEN substring(p.b, 3) ELSE p.b END AS f,
              {i + 1} AS rn
-      FROM wt_p{i} p
-      JOIN wt_y{i} ya ON ya.s = p.a
-      JOIN wt_y{i} yb ON yb.s = p.b
+      FROM {px}_p{i} p
+      JOIN {px}_y{i} ya ON ya.s = p.a
+      JOIN {px}_y{i} yb ON yb.s = p.b
       WHERE p.cnt >= {min_count}
       ORDER BY CAST(p.cnt AS DOUBLE) / CAST(ya.c AS DOUBLE)
                  / CAST(yb.c AS DOUBLE) DESC,
                p.a || ' ' || p.b
       LIMIT 1
     ),
-    wt_s{i + 1} AS (
+    {px}_s{i + 1} AS (
       SELECT replace(s.state,
                      {_SEP}||bb.a||{_SEP}||{_SEP}||bb.b||{_SEP},
                      {_SEP}||bb.f||{_SEP}) AS state,
              s.freq
-      FROM wt_s{i} s CROSS JOIN wt_b{i} bb
+      FROM {px}_s{i} s CROSS JOIN {px}_b{i} bb
     )""")
     union = " UNION ALL ".join(
-        f"SELECT a, b, f, cnt, rn FROM wt_b{i}" for i in range(k)
+        f"SELECT a, b, f, cnt, rn FROM {px}_b{i}" for i in range(k)
     )
     return ",".join(parts), union
 
 
 _WT_CTES, _WT_UNION = _wp_train_ctes(_WP_TRAIN_K, _WP_TRAIN_MC)
+
+# 'wp_train_b' (r15, learn_wordpiece_merges(basic_tokenize=True)):
+# the SAME likelihood-scored chain at the BasicTokenizer grain — the
+# corpus is pure lowercase [a-z ] (checked), so each doc gets an
+# adversarial suffix exercising CASE folding, ACCENT stripping (é/É/ï
+# through strip_accents on both engines — equivalence established by
+# the hash-green u_basic column), punctuation splitting, and
+# whitespace folds; the oracle re-derives the whole normalize + train
+# run (BasicTokenizer is fully restatable in SQL — no lookahead).
+# Prototyped mismatch-free (python/duck/engine) at sf0.001/0.01/0.1.
+_WPB_K = 4
+_WPB_SUFFIXES = [
+    "\nCafé DON'T re-use!!",
+    "\nÉlan's naïve mix 42.",
+    "\nweb-scale,DATA;end",
+    "\nheLLo   worldé  ",
+]
+_WPB_T0 = rf"""
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(
+          trim(regexp_replace(regexp_replace(
+            strip_accents(lower(regexp_replace(
+              ftxt, '[ \t\n\r\f\v]+', ' ', 'g'))),
+            '([!-/:-@\[-`{{-~]|\p{{P}})', ' \1 ', 'g'),
+            '[ \t\n\r\f\v]+', ' ', 'g')),
+          '[ \t\n\r\f\v]+')) AS w
+        FROM (SELECT d.text || s.raw AS ftxt
+              FROM documents d
+              JOIN wpbsfx s
+                ON s.variant = CAST(d.doc_id % {len(_WPB_SUFFIXES)} AS INT)
+              WHERE d.text IS NOT NULL) z) u
+      WHERE w <> '' GROUP BY w
+    """
+_WPB_SFX_CTE = "wpbsfx(variant, raw) AS (VALUES %s)" % ", ".join(
+    f"({v}, {_sql_str(raw)})" for v, raw in enumerate(_WPB_SUFFIXES)
+)
+_WPB_CTES, _WPB_UNION = _wp_train_ctes(
+    _WPB_K, _WP_TRAIN_MC, prefix="wb", t0_sql=_WPB_T0
+)
 
 
 # Per-doc TF-IDF keywords + global top-20 bigrams in one
@@ -5702,6 +5752,8 @@ _TERM_STATS_DUCK_SQL = f"""
     ),
     {_BT_CTES},
     {_WT_CTES},
+    {_WPB_SFX_CTE},
+    {_WPB_CTES},
     {_BLT_CTES},
     {_USEED_CTES},
     tf AS (SELECT doc_id, w, COUNT(*) AS c FROM exploded GROUP BY doc_id, w),
@@ -5745,6 +5797,11 @@ _TERM_STATS_DUCK_SQL = f"""
            a || ' ' || b || ' -> ' || f AS term,
            CAST(cnt AS DOUBLE) AS score, rn
     FROM ({_WT_UNION})
+    UNION ALL
+    SELECT 'wp_train_b' AS family, CAST(-1 AS BIGINT) AS doc_id,
+           a || ' ' || b || ' -> ' || f AS term,
+           CAST(cnt AS DOUBLE) AS score, rn
+    FROM ({_WPB_UNION})
     UNION ALL
     SELECT 'useed' AS family, CAST(-1 AS BIGINT) AS doc_id,
            piece AS term, CAST(score AS DOUBLE) AS score, rn
@@ -5847,6 +5904,32 @@ def ta_term_stats(spark, sf_dir):
             [
                 ("wp_train", -1, f"{a} {b} -> {fz}", float(cnt), i + 1)
                 for i, (a, b, fz, cnt) in enumerate(wp_learned)
+            ],
+            "family string, doc_id bigint, term string, score double, "
+            "rn int",
+        )
+    )
+    # 'wp_train_b' (r15): the SAME trainer at the BasicTokenizer
+    # grain over case/accent/punct-adversarial suffixes — the oracle
+    # re-derives the whole normalize + train run in SQL
+    wpb_sfx = F.element_at(
+        F.array(*[F.lit(raw) for raw in _WPB_SUFFIXES]),
+        (F.col("doc_id") % len(_WPB_SUFFIXES)).cast("int") + 1,
+    )
+    wpb_spliced = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.concat("text", wpb_sfx).alias("text"))
+    )
+    wpb_learned = learn_wordpiece_merges(
+        wpb_spliced, _WPB_K, min_count=_WP_TRAIN_MC,
+        basic_tokenize=True,
+    )
+    out = out.unionByName(
+        spark.createDataFrame(
+            [
+                ("wp_train_b", -1, f"{a} {b} -> {fz}", float(cnt), i + 1)
+                for i, (a, b, fz, cnt) in enumerate(wpb_learned)
             ],
             "family string, doc_id bigint, term string, score double, "
             "rn int",
