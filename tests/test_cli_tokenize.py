@@ -727,3 +727,33 @@ def test_cli_train_wordpiece_basic_tokenize_round_trip(
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_train_special_token(spark, tmp_path, docs_parquet,
+                                 keep_session):
+    """--special-token reserves the text at the END of the trained
+    id space (and in the exported vocab.json under --byte-level);
+    scope/shape rejections are pre-JVM."""
+    m = tmp_path / "m_sp"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "bpe", "--vocab-size", "258",
+        "--byte-level", "--special-token", "<|endoftext|>",
+        "--out-model", str(m),
+    ])
+    obj = json.loads((m / "vocab.json").read_text(encoding="utf-8"))
+    assert obj["<|endoftext|>"] == max(obj.values())
+    for argv in (
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "wordpiece", "--vocab-size", "30", "--out-model", "m",
+         "--special-token", "<s>"],
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--special-token", "<s>"],
+        ["--infn", "x", "--source", "docs", "--train-tokenizer",
+         "bpe", "--vocab-size", "300", "--out-model", "m",
+         "--special-token", "a b"],
+        ["--infn", "x", "--source", "dump", "--special-token", "<s>"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

@@ -1455,7 +1455,7 @@ def test_train_bpe_tokenizer_vocab_size_budget(spark, tmp_path):
             df, None, str(tmp_path / "v3"), str(tmp_path / "m3")
         )
     # the alphabet floor raises rather than truncating
-    with pytest.raises(ValueError, match="alphabet needs"):
+    with pytest.raises(ValueError, match="exceed vocab_size"):
         train_bpe_tokenizer(
             df, None, str(tmp_path / "v4"), str(tmp_path / "m4"),
             vocab_size=5,
@@ -1647,7 +1647,7 @@ def test_train_bpe_tokenizer_byte_level_vocab_size_budget(
         vocab_size=259, min_count=1, byte_level=True,
     )
     assert len(ranks) == 3
-    with pytest.raises(ValueError, match="alphabet needs"):
+    with pytest.raises(ValueError, match="exceed vocab_size"):
         train_bpe_tokenizer(
             df, None, str(tmp_path / "v2"), str(tmp_path / "m2"),
             vocab_size=100, byte_level=True,
@@ -1826,3 +1826,141 @@ def test_trained_byte_level_artifacts_export_to_published(
     assert {r["doc_id"]: list(r["ids"]) for r in a} == {
         r["doc_id"]: list(r["ids"]) for r in b
     }
+
+
+# --------------------------------------------------------------------------
+# Train-time reserved special tokens (r15): protected from training,
+# reserved at the end of the id space, and threading through the full
+# train → tokenize → pack → decode pipeline.
+# --------------------------------------------------------------------------
+
+_EOT = "<|endoftext|>"
+
+
+def test_train_bpe_specials_protected_and_reserved(spark, tmp_path):
+    """Specials never shape the pair statistics (a corpus carrying
+    literal marker text trains the SAME merges as one without), ride
+    at the END of the id space inside the vocab_size budget, and
+    collision/shape errors raise."""
+    from wikiextractor_spark.functions.tokenizer import (
+        train_bpe_tokenizer,
+    )
+
+    dirty = [t + _EOT + " the end" + _EOT for t in _BL_TEXTS] + [
+        "the end the end"
+    ]
+    # the protected equivalent: each marker replaced by '\n', which
+    # always forms its own pre-token against adjacent non-whitespace
+    # and, as a SINGLE encoded char (Ċ), never enters the pair
+    # statistics — so protected training over the dirty corpus must
+    # learn exactly these merges
+    df_base = spark.createDataFrame(
+        [(i, t.replace(_EOT, "\n")) for i, t in enumerate(dirty)],
+        "doc_id long, text string",
+    )
+    df_dirty = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(dirty)], "doc_id long, text string"
+    )
+    _v1, r1 = train_bpe_tokenizer(
+        df_base, 5, str(tmp_path / "v1"), str(tmp_path / "m1"),
+        min_count=2, byte_level=True,
+        pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+    )
+    v2, r2 = train_bpe_tokenizer(
+        df_dirty, 5, str(tmp_path / "v2"), str(tmp_path / "m2"),
+        min_count=2, byte_level=True,
+        pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        special_tokens=[_EOT],
+    )
+    assert sorted(r1, key=r1.get) == sorted(r2, key=r2.get)
+    rows = {
+        r["token"]: int(r["token_id"])
+        for r in v2.collect() if r["token"] is not None
+    }
+    assert rows[_EOT] == max(rows.values())  # reserved LAST
+    # budget includes the special
+    v3, r3 = train_bpe_tokenizer(
+        df_dirty, None, str(tmp_path / "v3"), str(tmp_path / "m3"),
+        vocab_size=260, min_count=2, byte_level=True,
+        pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        special_tokens=[_EOT],
+    )
+    n3 = sum(1 for r in v3.collect() if r["token"] is not None)
+    assert n3 <= 260 and len(r3) == n3 - 257
+    with pytest.raises(ValueError, match="whitespace-carrying"):
+        train_bpe_tokenizer(
+            df_dirty, 2, str(tmp_path / "v4"), str(tmp_path / "m4"),
+            byte_level=True, special_tokens=["a b"],
+        )
+    with pytest.raises(ValueError, match="duplicate special"):
+        train_bpe_tokenizer(
+            df_dirty, 2, str(tmp_path / "v5"), str(tmp_path / "m5"),
+            byte_level=True, special_tokens=[_EOT, _EOT],
+        )
+    # plain-grain training with specials routes through the Python
+    # kernel path and still protects
+    got = learn_bpe_merges(
+        df_dirty, 3, min_count=2, special_tokens=[_EOT]
+    )
+    clean_texts = [
+        t + " the end" + " the end" for t in _BL_TEXTS
+    ] + ["the end the end"]
+    # hand-check vs the char-grain reference over marker-free text:
+    # reuse the whitespace grain restatement via learn_bpe_merges on
+    # an explicitly cleaned frame
+    df_clean = spark.createDataFrame(
+        [(i, t.replace(_EOT, " ")) for i, t in enumerate(dirty)],
+        "doc_id long, text string",
+    )
+    want = learn_bpe_merges(df_clean, 3, min_count=2)
+    assert got == want
+
+
+def test_train_tokenize_pack_decode_composition(spark, tmp_path, docs):
+    """The END-TO-END pipeline story: train byte-level with a
+    reserved <|endoftext|>, tokenize real documents with the trained
+    artifact + special, assemble packs separated by the special's
+    RESERVED id, and decode the packed stream back — every document
+    boundary decodes to the literal marker and each document's text
+    round-trips exactly."""
+    from wikiextractor_spark.functions.tokenizer import (
+        bpe_decode_ids,
+        bpe_token_ids,
+        train_bpe_tokenizer,
+    )
+    from wikiextractor_spark.operators.packing import assemble_packs
+
+    sample = docs.limit(6).select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    vocab, ranks = train_bpe_tokenizer(
+        sample, 12, str(tmp_path / "v"), str(tmp_path / "m"),
+        min_count=2, byte_level=True,
+        pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        special_tokens=[_EOT],
+    )
+    eot = int(
+        max(
+            r["token_id"] for r in vocab.collect()
+            if r["token"] is not None
+        )
+    )
+    sp = {_EOT: eot}
+    ids = bpe_token_ids(
+        sample, vocab, ranks, out_col="token_ids",
+        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        special_tokens=sp,
+    )
+    packs = assemble_packs(ids, budget=100_000, sep_id=eot)
+    dec = bpe_decode_ids(
+        packs, vocab, ids_col="token_ids", out_col="dec",
+        byte_level=True, special_tokens=sp,
+    )
+    # each pack decodes to its documents' texts, each followed by
+    # the literal marker; pack membership is the assigner's choice,
+    # so compare the document MULTISET across all packs
+    got_docs = []
+    for r in dec.collect():
+        parts = r["dec"].split(_EOT)
+        assert parts[-1] == ""  # every doc ends with the marker
+        got_docs.extend(parts[:-1])
+    assert sorted(got_docs) == sorted(texts.values())

@@ -69,6 +69,7 @@ _SCOPED_DEFAULTS = {
     "vocab_size": None,
     "byte_level": False,
     "prune_rank": None,
+    "special_token": None,
     "out_model": None,
     "train_sample_fraction": None,
     "target_lang": None,
@@ -79,6 +80,21 @@ _SCOPED_DEFAULTS = {
     "dedup": None,
     "sentence_span_dedup": None,
 }
+
+
+class _AppendFromUnset(argparse.Action):
+    """``action="append"`` compatible with the _UNSET sentinel
+    default: argparse's builtin append copies the DEFAULT and calls
+    ``.append`` on it, which explodes on the sentinel object — this
+    one starts a fresh list on first use, so "was the flag supplied"
+    stays the sentinel test like every other scoped flag."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        cur = getattr(namespace, self.dest, _UNSET)
+        if cur is _UNSET or cur is None:
+            cur = []
+            setattr(namespace, self.dest, cur)
+        cur.append(values)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -240,6 +256,15 @@ def build_parser() -> argparse.ArgumentParser:
         "expected count (the cheap default)",
     )
     p.add_argument(
+        "--special-token", action=_AppendFromUnset, default=_UNSET,
+        metavar="TEXT", dest="special_token",
+        help="(--source docs) --train-tokenizer bpe: reserve an "
+        "ADDED token (repeatable; e.g. --special-token "
+        "'<|endoftext|>') — its literal text is protected from "
+        "training and it rides at the END of the id space inside "
+        "--vocab-size (the published GPT-2 layout)",
+    )
+    p.add_argument(
         "--byte-level", action="store_true", default=_UNSET,
         help="(--source docs) --train-tokenizer bpe: train at the "
         "published byte-level GPT-2 grain (GPT-2 pre-tokenizer + "
@@ -329,7 +354,7 @@ _DOCS_ONLY = (
     "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize", "space_marker",
     "train_tokenizer", "vocab_size", "byte_level", "prune_rank",
-    "out_model",
+    "special_token", "out_model",
     "train_sample_fraction",
     "target_lang", "langid_model", "min_quality", "gopher", "normalize",
     "dedup", "sentence_span_dedup",
@@ -443,6 +468,26 @@ def _validate_docs_args(parser, args) -> None:
                 "--prune-rank applies only to --train-tokenizer "
                 "unigram"
             )
+        if (
+            args.special_token is not None
+            and args.train_tokenizer != "bpe"
+        ):
+            parser.error(
+                "--special-token applies only to --train-tokenizer "
+                "bpe"
+            )
+        if args.special_token is not None:
+            # shape check pre-JVM through the trainer's own validator
+            from wikiextractor_spark.functions.tokenizer import (
+                _check_train_specials,
+            )
+
+            try:
+                _check_train_specials(
+                    args.special_token, "--special-token"
+                )
+            except ValueError as e:
+                parser.error(str(e))
         if args.byte_level and args.vocab_size <= 256:
             # the byte-level alphabet is a CONSTANT 256, so this is
             # decidable pre-JVM: <=256 leaves zero merges and the
@@ -483,6 +528,11 @@ def _validate_docs_args(parser, args) -> None:
             parser.error(
                 "--prune-rank applies only to --train-tokenizer "
                 "unigram"
+            )
+        if args.special_token is not None:
+            parser.error(
+                "--special-token applies only to --train-tokenizer "
+                "bpe"
             )
         for d in ("vocab_size", "out_model", "train_sample_fraction"):
             if getattr(args, d) is not None:
@@ -629,6 +679,7 @@ def _run_train_tokenizer(spark, args, docs) -> None:
             pre_tokenizer=(
                 GPT2_PRETOKENIZER_PATTERN if args.byte_level else None
             ),
+            special_tokens=args.special_token,
         )
         if args.byte_level:
             if not ranks:

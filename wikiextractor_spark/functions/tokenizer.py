@@ -1168,6 +1168,7 @@ def _pretok_word_freq_table(
     df: DataFrame, text_col: str,
     sample_fraction: float | None, seed: int,
     pre_tokenizer: str | None, byte_level: bool,
+    special_pat: str | None = None,
 ):
     """The distinct PRE-TOKEN frequency table for byte-level /
     pre-tokenized BPE training (r15): per text one Arrow-batched
@@ -1198,17 +1199,25 @@ def _pretok_word_freq_table(
     # a module-global registry let one caller unpersist another
     # in-flight training's broadcast) — the _em_round discipline,
     # per-caller
-    bc = df.sparkSession.sparkContext.broadcast((pre_tokenizer, byte_enc))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (pre_tokenizer, byte_enc, special_pat)
+    )
 
     @F.pandas_udf("array<string>")
     def _ptoks(s: pd.Series) -> pd.Series:
-        pat, enc = bc.value
+        pat, enc, spat = bc.value
         split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
+        sre = re.compile(spat) if spat is not None else None
 
         def one(t):
             if t is None:
                 return []
-            toks = [w for w in split(t) if w]
+            # protected specials (r15): their literal text splits out
+            # BEFORE pre-tokenization and contributes NOTHING to the
+            # pair statistics — the published trainer convention, and
+            # the exact mirror of the serving kernels' pre-split
+            segs = [t] if sre is None else sre.split(t)
+            toks = [w for seg in segs for w in split(seg) if w]
             if enc is not None:
                 toks = [
                     "".join(enc[b] for b in w.encode("utf-8"))
@@ -1228,6 +1237,34 @@ def _pretok_word_freq_table(
         )
     )
     return frame, bc
+
+
+def _check_train_specials(
+    special_tokens, caller: str,
+) -> tuple[list[str], str | None]:
+    """Validate a TRAIN-side special-token list (texts only — ids are
+    assigned by the vocabulary layout) and build the non-capturing
+    protection pattern, longest first (the serve-side
+    :func:`_compile_specials` rule minus the ids)."""
+    if not special_tokens:
+        return [], None
+    texts = list(special_tokens)
+    bad = [
+        t for t in texts
+        if not isinstance(t, str) or t == "" or _WS_SPLIT.search(t)
+    ]
+    if bad:
+        raise ValueError(
+            f"{caller}: {len(bad)} special-token texts are empty, "
+            f"non-string, or whitespace-carrying (first: {bad[0]!r}) "
+            "— the vocabulary contract cannot express them"
+        )
+    if len(set(texts)) != len(texts):
+        raise ValueError(f"{caller}: duplicate special-token texts")
+    pat = "(?:%s)" % "|".join(
+        re.escape(t) for t in sorted(texts, key=len, reverse=True)
+    )
+    return texts, pat
 
 
 def _check_train_grain(
@@ -1264,6 +1301,7 @@ def learn_bpe_merges(
     min_count: int = 2, sample_fraction: float | None = None,
     seed: int = 0, _words: DataFrame | None = None,
     *, byte_level: bool = False, pre_tokenizer: str | None = None,
+    special_tokens: list[str] | None = None,
 ) -> list[tuple[str, str, int]]:
     """TRAIN a BPE merges table on the corpus — the Sennrich
     learn-BPE loop at character grain with no end-of-word marker,
@@ -1315,13 +1353,19 @@ def learn_bpe_merges(
     if min_count < 1:
         raise ValueError("learn_bpe_merges: min_count must be >= 1")
     _check_train_grain(byte_level, pre_tokenizer, "learn_bpe_merges")
+    _sp_texts, sp_pat = _check_train_specials(
+        special_tokens, "learn_bpe_merges"
+    )
     pretok_bc = None
     if _words is not None:
         base = _words
-    elif byte_level:
+    elif byte_level or sp_pat is not None:
+        # the Python kernel path also carries plain-grain training
+        # when specials need protecting (the JVM split cannot drop
+        # literal special text)
         base, pretok_bc = _pretok_word_freq_table(
             df, text_col, sample_fraction, seed, pre_tokenizer,
-            byte_level,
+            byte_level, special_pat=sp_pat,
         )
     else:
         base = _word_freq_table(df, text_col, sample_fraction, seed)
@@ -1381,6 +1425,7 @@ def train_bpe_tokenizer(
     max_chars: int = 100_000,
     vocab_size: int | None = None,
     byte_level: bool = False, pre_tokenizer: str | None = None,
+    special_tokens: list[str] | None = None,
 ) -> tuple[DataFrame, dict[tuple[str, str], float]]:
     """Train → persist → serve in one call: run
     :func:`learn_bpe_merges` on the corpus, derive the serving
@@ -1430,17 +1475,34 @@ def train_bpe_tokenizer(
     segmentable (OOV never fires), and lets :func:`bpe_decode_ids`
     round-trip exactly.  Serve the returned pair through
     :func:`bpe_token_count_exact` / :func:`bpe_token_ids` with the
-    SAME ``byte_level=True, pre_tokenizer=...`` arguments."""
+    SAME ``byte_level=True, pre_tokenizer=...`` arguments.
+
+    ``special_tokens`` (r15): reserved ADDED tokens (the published
+    ``<|endoftext|>`` convention) — their literal text is PROTECTED
+    from training (split out before pre-tokenization, contributing
+    nothing to the pair statistics: a corpus containing engine
+    output re-ingested as text must not train marker fragments), and
+    they ride at the END of the id space (the published GPT-2
+    layout), counted inside the ``vocab_size`` budget.  Serve with
+    ``bpe_token_ids(special_tokens={text: id})`` using the ids the
+    returned vocab assigns — and :func:`~wikiextractor_spark.
+    operators.packing.assemble_packs`' ``sep_id`` takes the same id.
+    Plain-grain training with specials routes through the Python
+    kernel path (the JVM split cannot drop literal special text;
+    stated cost)."""
     if (n_merges is None) == (vocab_size is None):
         raise ValueError(
             "train_bpe_tokenizer: pass exactly one of n_merges or "
             "vocab_size"
         )
     _check_train_grain(byte_level, pre_tokenizer, "train_bpe_tokenizer")
-    if byte_level:
+    sp_texts, sp_pat = _check_train_specials(
+        special_tokens, "train_bpe_tokenizer"
+    )
+    if byte_level or sp_pat is not None:
         frame, pretok_bc = _pretok_word_freq_table(
             df, text_col, sample_fraction, seed, pre_tokenizer,
-            byte_level,
+            byte_level, special_pat=sp_pat,
         )
         try:
             words = frame.localCheckpoint(eager=True)
@@ -1484,13 +1546,14 @@ def train_bpe_tokenizer(
                 "max_chars explicitly"
             )
         if vocab_size is not None:
-            n_merges = vocab_size - len(chars)
+            n_merges = vocab_size - len(chars) - len(sp_texts)
             if n_merges < 0:
                 raise ValueError(
                     f"train_bpe_tokenizer: the trained alphabet "
-                    f"needs {len(chars)} entries but vocab_size is "
-                    f"{vocab_size} — truncating it would silently "
-                    "drop characters; raise vocab_size"
+                    f"({len(chars)}) plus special tokens "
+                    f"({len(sp_texts)}) exceed vocab_size "
+                    f"{vocab_size} — truncating would silently drop "
+                    "entries; raise vocab_size"
                 )
         learned = learn_bpe_merges(
             df, n_merges, text_col=text_col, min_count=min_count,
@@ -1513,9 +1576,24 @@ def train_bpe_tokenizer(
         if t not in seen:
             seen.add(t)
             outputs.append(t)
+    # reserved specials ride at the END of the id space (the
+    # published GPT-2 layout: <|endoftext|> is the LAST id) — their
+    # text was protected from training, so a collision with a
+    # trained entry means the corpus trained the special's literal
+    # text as ordinary symbols through some other grain; refuse
+    # rather than silently double-book the text (the exporter's
+    # duplicate-text rule)
+    collide = [t for t in sp_texts if t in seen]
+    if collide:
+        raise ValueError(
+            f"train_bpe_tokenizer: special token {collide[0]!r} "
+            "collides with a trained vocabulary entry"
+        )
     spark = df.sparkSession
     save_bpe_vocab(
-        vocab_from_tokens(spark, chars + outputs, oov_tokens_per_char),
+        vocab_from_tokens(
+            spark, chars + outputs + sp_texts, oov_tokens_per_char
+        ),
         vocab_path,
     )
     save_bpe_merges(merges_from_pairs(spark, pairs), merges_path)
