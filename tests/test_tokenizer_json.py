@@ -1,0 +1,615 @@
+"""HF single-file tokenizer.json import/export
+(functions/tokenizer_json.py): per-family round trips (export →
+reimport equality + re-export byte identity), serving identity
+against the direct kernel calls, the published component-block
+mappings (ByteLevel, BertNormalizer/BertPreTokenizer, Metaspace and
+the Llama-shape Prepend+Replace pair), the Unigram min-minus-penalty
+unk rule, and the raise-don't-guess contracts on unsupported
+blocks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from wikiextractor_spark.functions.tokenizer import (
+    gpt2_bytes_to_unicode,
+    merges_from_pairs,
+    vocab_from_tokens,
+)
+from wikiextractor_spark.functions.tokenizer_json import (
+    UNK_PENALTY,
+    load_tokenizer_json,
+    save_tokenizer_json_bpe,
+    save_tokenizer_json_unigram,
+    save_tokenizer_json_wordpiece,
+    tokenizer_json_decode_ids,
+    tokenizer_json_token_ids,
+)
+
+BYTE = gpt2_bytes_to_unicode()
+SP = BYTE[ord(" ")]  # 'Ġ'
+
+# a small byte-level vocabulary: the full base alphabet is not needed
+# for round-trip/serving-identity pins — a partial one exercises the
+# OOV path too
+G2_TOKENS = [
+    "t", "h", "e", "d", "a", SP, f"{SP}t", f"{SP}th", f"{SP}the",
+    "da", "dat", "data",
+]
+G2_MERGES = [
+    (SP, "t"), (f"{SP}t", "h"), (f"{SP}th", "e"), ("d", "a"),
+    ("da", "t"), ("dat", "a"),
+]
+SPECIAL = "<|endoftext|>"
+SPECIAL_ID = 50256
+
+WP_TOKENS = [
+    "[UNK]", "the", "dat", "##a", "a", "d", "t", "##he", "##t",
+    "un", "##aff", "##able",
+]
+
+UNI_LM = {
+    "the": -2.0, "dat": -2.5, "a": -4.0, "d": -4.4, "t": -4.05,
+    "h": -4.45, "e": -3.98,
+}
+UNI_MARKED = {"▁the": -2.0, "▁dat": -2.5, **{
+    "▁" + k: v - 0.01 for k, v in UNI_LM.items() if len(k) == 1
+}, **UNI_LM}
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the data"),
+            (2, f"the end{SPECIAL}of the data"),
+            (3, "that dated theme"),
+            (4, "zz unaffable zz"),
+            (None, None),
+        ],
+        "doc_id long, text string",
+    ).fillna({"doc_id": 5})
+
+
+def _read(spark, path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _col(df, out, order="doc_id"):
+    return [
+        r[out] for r in df.orderBy(order).select(order, out).collect()
+    ]
+
+
+# -------------------------------------------------------------------------
+# BPE
+# -------------------------------------------------------------------------
+
+class TestBpe:
+    def test_byte_level_round_trip(self, spark, tmp_path):
+        p = str(tmp_path / "tokenizer.json")
+        vocab = vocab_from_tokens(spark, G2_TOKENS, 0.5)
+        merges = {pr: float(i) for i, pr in enumerate(G2_MERGES)}
+        save_tokenizer_json_bpe(
+            spark, vocab, merges, p, byte_level=True,
+            special_tokens={SPECIAL: SPECIAL_ID},
+        )
+        m = load_tokenizer_json(spark, p, oov_tokens_per_char=0.5)
+        assert m.family == "bpe"
+        assert m.byte_level is True
+        assert m.special_tokens == {SPECIAL: SPECIAL_ID}
+        assert m.merges == merges
+        got = {
+            r["token"]: r["token_id"]
+            for r in m.vocab.collect() if r["token"] is not None
+        }
+        assert got == {t: float(i) for i, t in enumerate(G2_TOKENS)}
+        oov = [
+            r["token_id"] for r in m.vocab.collect()
+            if r["token"] is None
+        ]
+        assert oov == [0.5]
+        assert m.divergences == ()
+        # re-export is byte-identical
+        p2 = str(tmp_path / "again.json")
+        save_tokenizer_json_bpe(
+            spark, m.vocab, m.merges, p2, byte_level=True,
+            special_tokens=m.special_tokens,
+        )
+        assert _read(spark, p) == _read(spark, p2)
+
+    def test_byte_level_serving_identity(self, spark, tmp_path):
+        from wikiextractor_spark.functions.tokenizer import (
+            GPT2_PRETOKENIZER_PATTERN,
+            bpe_decode_ids,
+            bpe_token_ids,
+        )
+
+        p = str(tmp_path / "tokenizer.json")
+        vocab = vocab_from_tokens(spark, G2_TOKENS, 0.5)
+        merges = {pr: float(i) for i, pr in enumerate(G2_MERGES)}
+        save_tokenizer_json_bpe(
+            spark, vocab, merges, p, byte_level=True,
+            special_tokens={SPECIAL: SPECIAL_ID},
+        )
+        m = load_tokenizer_json(spark, p, oov_tokens_per_char=0.5)
+        docs = _docs(spark)
+        direct = bpe_token_ids(
+            docs, vocab, merges, out_col="ids", byte_level=True,
+            pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+            special_tokens={SPECIAL: SPECIAL_ID},
+        )
+        direct = bpe_decode_ids(
+            direct, vocab, ids_col="ids", out_col="dec",
+            byte_level=True, special_tokens={SPECIAL: SPECIAL_ID},
+        )
+        via = tokenizer_json_token_ids(docs, m, out_col="ids")
+        via = tokenizer_json_decode_ids(via, m, ids_col="ids",
+                                        out_col="dec")
+        assert _col(direct, "ids") == _col(via, "ids")
+        assert _col(direct, "dec") == _col(via, "dec")
+
+    def test_char_grain_round_trip(self, spark, tmp_path):
+        p = str(tmp_path / "tokenizer.json")
+        vocab = vocab_from_tokens(
+            spark, ["t", "h", "e", "th", "the"], 1.0
+        )
+        merges = {("t", "h"): 0.0, ("th", "e"): 1.0}
+        save_tokenizer_json_bpe(spark, vocab, merges, p)
+        raw = json.loads(_read(spark, p))
+        assert raw["pre_tokenizer"] == {"type": "WhitespaceSplit"}
+        assert raw["decoder"] is None
+        m = load_tokenizer_json(spark, p)
+        assert m.byte_level is False
+        assert m.merges == merges
+        assert m.special_tokens is None
+
+    def test_import_published_shapes(self, spark, tmp_path):
+        """A hand-written GPT-2-shape file: merges as [l, r] pairs
+        (the current serialization), a post_processor block
+        (recorded, not fatal), the special in BOTH added_tokens and
+        model.vocab."""
+        p = str(tmp_path / "gpt2.json")
+        obj = {
+            "version": "1.0",
+            "added_tokens": [
+                {"id": 5, "content": "<|eot|>", "special": True}
+            ],
+            "normalizer": None,
+            "pre_tokenizer": {
+                "type": "ByteLevel", "add_prefix_space": False,
+                "trim_offsets": True, "use_regex": True,
+            },
+            "post_processor": {
+                "type": "ByteLevel", "trim_offsets": False,
+            },
+            "decoder": {"type": "ByteLevel"},
+            "model": {
+                "type": "BPE",
+                "dropout": None,
+                "unk_token": None,
+                "vocab": {
+                    "t": 0, "h": 1, "e": 2, "th": 3, "the": 4,
+                    "<|eot|>": 5,
+                },
+                "merges": [["t", "h"], ["th", "e"]],
+            },
+        }
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        assert m.byte_level is True
+        assert m.special_tokens == {"<|eot|>": 5}
+        assert m.merges == {("t", "h"): 0.0, ("th", "e"): 1.0}
+        assert "post_processor" in m.divergences
+        ids = tokenizer_json_token_ids(
+            spark.createDataFrame(
+                [(1, "the<|eot|>the")], "doc_id long, text string"
+            ),
+            m, out_col="ids",
+        )
+        assert _col(ids, "ids") == [[4, 5, 4]]
+
+    @pytest.mark.parametrize(
+        "mutate, msg",
+        [
+            (lambda o: o["model"].update(type="WordLevel"),
+             "model.type"),
+            (lambda o: o["model"].update(dropout=0.1), "dropout"),
+            (lambda o: o["model"].update(ignore_merges=True),
+             "ignore_merges"),
+            (lambda o: o.update(
+                pre_tokenizer={"type": "Whitespace"}
+            ), "pre_tokenizer"),
+            (lambda o: o["pre_tokenizer"].update(use_regex=False),
+             "use_regex"),
+            (lambda o: o["pre_tokenizer"].update(
+                add_prefix_space=True
+            ), "add_prefix_space"),
+            (lambda o: o["model"].update(
+                merges=["t h", "t h"]
+            ), "duplicate merge"),
+            (lambda o: o["added_tokens"].append(
+                {"id": 9, "content": "the", "special": True}
+            ), "contradicts"),
+            (lambda o: o["added_tokens"].append(
+                {"id": 2, "content": "<x>", "special": True}
+            ), "collides"),
+            (lambda o: o.update(
+                normalizer={"type": "Lowercase"}
+            ), "normalizer"),
+        ],
+    )
+    def test_import_contracts(self, spark, tmp_path, mutate, msg):
+        obj = {
+            "added_tokens": [],
+            "pre_tokenizer": {
+                "type": "ByteLevel", "add_prefix_space": False,
+                "trim_offsets": True, "use_regex": True,
+            },
+            "model": {
+                "type": "BPE", "dropout": None, "unk_token": None,
+                "vocab": {"t": 0, "h": 1, "e": 2, "th": 3, "the": 4},
+                "merges": ["t h", "th e"],
+            },
+        }
+        mutate(obj)
+        p = str(tmp_path / "bad.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        with pytest.raises(ValueError, match=msg):
+            load_tokenizer_json(spark, p)
+
+    def test_not_json_and_not_tokenizer(self, spark, tmp_path):
+        p = str(tmp_path / "nope.json")
+        with open(p, "w") as f:
+            f.write("{not json")
+        with pytest.raises(ValueError, match="not valid JSON"):
+            load_tokenizer_json(spark, p)
+        with open(p, "w") as f:
+            json.dump({"vocab": {}}, f)
+        with pytest.raises(ValueError, match="no model block"):
+            load_tokenizer_json(spark, p)
+
+
+# -------------------------------------------------------------------------
+# WordPiece
+# -------------------------------------------------------------------------
+
+class TestWordPiece:
+    def _vocab(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            wordpiece_from_tokens,
+        )
+
+        return wordpiece_from_tokens(spark, WP_TOKENS)
+
+    def test_round_trip_uncased(self, spark, tmp_path):
+        p = str(tmp_path / "tokenizer.json")
+        save_tokenizer_json_wordpiece(
+            spark, self._vocab(spark), p, basic_tokenize=True,
+            max_input_chars_per_word=100,
+            special_tokens={"[CLS]": 101, "[SEP]": 102},
+        )
+        m = load_tokenizer_json(spark, p)
+        assert m.family == "wordpiece"
+        assert (m.basic_tokenize, m.lower, m.strip_accents) == (
+            True, True, True,
+        )
+        assert m.unk_token == "[UNK]"
+        assert m.max_input_chars_per_word == 100
+        assert m.special_tokens == {"[CLS]": 101, "[SEP]": 102}
+        got = {
+            r["token"]: r["token_id"] for r in m.vocab.collect()
+        }
+        assert got == {t: float(i) for i, t in enumerate(WP_TOKENS)}
+        p2 = str(tmp_path / "again.json")
+        save_tokenizer_json_wordpiece(
+            spark, m.vocab, p2, basic_tokenize=True,
+            max_input_chars_per_word=100,
+            special_tokens=m.special_tokens,
+        )
+        assert _read(spark, p) == _read(spark, p2)
+
+    def test_cased_config_maps_to_bert_pretokenizer_only(
+        self, spark, tmp_path,
+    ):
+        p = str(tmp_path / "tokenizer.json")
+        save_tokenizer_json_wordpiece(
+            spark, self._vocab(spark), p, basic_tokenize=True,
+            lower=False, strip_accents=False,
+        )
+        raw = json.loads(_read(spark, p))
+        assert raw["normalizer"]["lowercase"] is False
+        m = load_tokenizer_json(spark, p)
+        assert (m.basic_tokenize, m.lower, m.strip_accents) == (
+            True, False, False,
+        )
+        # the normalizer-less published cased shape imports too
+        raw["normalizer"] = None
+        raw["pre_tokenizer"] = {"type": "BertPreTokenizer"}
+        p2 = str(tmp_path / "cased.json")
+        with open(p2, "w") as f:
+            json.dump(raw, f)
+        m2 = load_tokenizer_json(spark, p2)
+        assert (m2.basic_tokenize, m2.lower, m2.strip_accents) == (
+            True, False, False,
+        )
+
+    def test_serving_identity_basic_grain(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from wikiextractor_spark.functions.wordpiece import (
+            basic_tokenize_text,
+            wordpiece_token_ids,
+        )
+
+        p = str(tmp_path / "tokenizer.json")
+        vocab = self._vocab(spark)
+        save_tokenizer_json_wordpiece(
+            spark, vocab, p, basic_tokenize=True,
+        )
+        m = load_tokenizer_json(spark, p)
+        docs = spark.createDataFrame(
+            [(1, "The DATA, unaffable!"), (2, "Thé dät")],
+            "doc_id long, text string",
+        )
+        direct = wordpiece_token_ids(
+            docs.withColumn("text", basic_tokenize_text("text")),
+            vocab, out_col="ids", max_input_chars_per_word=100,
+        )
+        via = tokenizer_json_token_ids(docs, m, out_col="ids")
+        assert _col(direct, "ids") == _col(via, "ids")
+        # the caller's text column survives the internal basic pass
+        assert _col(via, "text") == [
+            r["text"] for r in docs.orderBy("doc_id").collect()
+        ]
+        dec = tokenizer_json_decode_ids(via, m, ids_col="ids",
+                                        out_col="dec")
+        # ',' and '!' are out of vocabulary → the unk text
+        assert _col(dec, "dec") == [
+            "the data [UNK] unaffable [UNK]", "the dat",
+        ]
+
+    def test_export_contracts(self, spark, tmp_path):
+        p = str(tmp_path / "x.json")
+        with pytest.raises(ValueError, match="unk_token"):
+            save_tokenizer_json_wordpiece(
+                spark, self._vocab(spark), p, unk_token="<none>",
+            )
+        with pytest.raises(ValueError, match="max_input_chars"):
+            save_tokenizer_json_wordpiece(
+                spark, self._vocab(spark), p,
+                max_input_chars_per_word=0,
+            )
+
+    def test_import_contracts(self, spark, tmp_path):
+        base = {
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": {t: i for i, t in enumerate(WP_TOKENS)},
+            },
+        }
+        for mutate, msg in [
+            (lambda o: o["model"].update(
+                continuing_subword_prefix="++"
+            ), "continuing_subword_prefix"),
+            (lambda o: o["model"].update(unk_token=None),
+             "unk_token"),
+            (lambda o: o["model"].update(unk_token="<gone>"),
+             "not in model.vocab"),
+            (lambda o: o.update(normalizer={
+                "type": "BertNormalizer", "lowercase": True,
+            }, pre_tokenizer={"type": "WhitespaceSplit"}),
+             "BertNormalizer with pre_tokenizer"),
+            (lambda o: o["model"].update(
+                max_input_chars_per_word="100"
+            ), "max_input_chars"),
+        ]:
+            obj = json.loads(json.dumps(base))
+            mutate(obj)
+            p = str(tmp_path / "bad.json")
+            with open(p, "w") as f:
+                json.dump(obj, f)
+            with pytest.raises(ValueError, match=msg):
+                load_tokenizer_json(spark, p)
+
+
+# -------------------------------------------------------------------------
+# Unigram
+# -------------------------------------------------------------------------
+
+class TestUnigram:
+    def _lm(self, spark, toks=None, unk=-10.0):
+        from wikiextractor_spark.functions.unigram import (
+            unigram_from_tokens,
+        )
+
+        return unigram_from_tokens(spark, toks or UNI_LM, unk)
+
+    def test_round_trip_published_unk_rule(self, spark, tmp_path):
+        p = str(tmp_path / "tokenizer.json")
+        save_tokenizer_json_unigram(spark, self._lm(spark), p)
+        m = load_tokenizer_json(spark, p)
+        assert m.family == "unigram"
+        toks = {
+            r["token"]: r["logprob"] for r in m.lm.collect()
+            if r["token"] is not None
+        }
+        assert toks == UNI_LM
+        # the published numbering: unk at 0, pieces
+        # most-probable-first at 1..n
+        ordered = sorted(UNI_LM.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert m.token_ids == {
+            t: i + 1 for i, (t, _s) in enumerate(ordered)
+        }
+        # unk = min score - kUnkPenalty, NEVER the stored 0.0
+        unk = [
+            r["logprob"] for r in m.lm.collect()
+            if r["token"] is None
+        ]
+        assert unk == [min(UNI_LM.values()) - UNK_PENALTY]
+        # explicit override (the load_unigram_lm convention)
+        m2 = load_tokenizer_json(spark, p, unk_logprob=-10.0)
+        unk2 = [
+            r["logprob"] for r in m2.lm.collect()
+            if r["token"] is None
+        ]
+        assert unk2 == [-10.0]
+        # re-export byte identity
+        p2 = str(tmp_path / "again.json")
+        save_tokenizer_json_unigram(spark, m2.lm, p2)
+        assert _read(spark, p) == _read(spark, p2)
+
+    def test_marker_round_trip_and_serving(self, spark, tmp_path):
+        from wikiextractor_spark.functions.unigram import (
+            unigram_token_ids,
+        )
+
+        p = str(tmp_path / "tokenizer.json")
+        save_tokenizer_json_unigram(
+            spark, self._lm(spark, UNI_MARKED), p, space_marker="▁",
+        )
+        raw = json.loads(_read(spark, p))
+        assert raw["pre_tokenizer"]["type"] == "Metaspace"
+        m = load_tokenizer_json(spark, p)
+        assert m.space_marker == "▁"
+        docs = spark.createDataFrame(
+            [(1, "the dat"), (2, "data the")],
+            "doc_id long, text string",
+        )
+        direct = unigram_token_ids(
+            docs, m.lm, out_col="ids", token_ids=m.token_ids,
+            oversize_word="chars", space_marker="▁",
+        )
+        via = tokenizer_json_token_ids(docs, m, out_col="ids")
+        assert _col(direct, "ids") == _col(via, "ids")
+        dec = tokenizer_json_decode_ids(via, m, ids_col="ids",
+                                        out_col="dec")
+        assert _col(dec, "dec") == ["the dat", "data the"]
+
+    def test_llama_shape_normalizer(self, spark, tmp_path):
+        """The Llama serialization: no pre_tokenizer, the marker via
+        Sequence[Prepend, Replace] with the tagged-pattern form, a
+        Precompiled charsmap recorded as a stated divergence."""
+        obj = {
+            "normalizer": {
+                "type": "Sequence",
+                "normalizers": [
+                    {"type": "Precompiled",
+                     "precompiled_charsmap": "abc"},
+                    {"type": "Prepend", "prepend": "▁"},
+                    {"type": "Replace",
+                     "pattern": {"String": " "}, "content": "▁"},
+                ],
+            },
+            "pre_tokenizer": None,
+            "model": {
+                "type": "Unigram",
+                "unk_id": 0,
+                "vocab": [
+                    ["<unk>", 0.0], ["▁the", -2.0], ["▁dat", -2.5],
+                    ["▁a", -4.0], ["a", -4.2], ["t", -4.3],
+                ],
+                "byte_fallback": False,
+            },
+        }
+        p = str(tmp_path / "llama.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        assert m.space_marker == "▁"
+        assert "normalizer:Precompiled" in m.divergences
+        assert m.token_ids == {
+            "▁the": 1, "▁dat": 2, "▁a": 3, "a": 4, "t": 5,
+        }
+
+    def test_control_pieces_become_overlay(self, spark, tmp_path):
+        """<s>/</s> in added_tokens AND model.vocab: dropped from
+        the matchable table (a score-0 piece must never win a
+        segmentation), served through the special pre-split."""
+        obj = {
+            "added_tokens": [
+                {"id": 1, "content": "<s>", "special": True},
+                {"id": 2, "content": "</s>", "special": True},
+            ],
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "model": {
+                "type": "Unigram",
+                "unk_id": 0,
+                "vocab": [
+                    ["<unk>", 0.0], ["<s>", 0.0], ["</s>", 0.0],
+                    ["the", -2.0], ["t", -4.0], ["h", -4.1],
+                    ["e", -4.2],
+                ],
+            },
+        }
+        p = str(tmp_path / "sp.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        toks = {
+            r["token"] for r in m.lm.collect()
+            if r["token"] is not None
+        }
+        assert toks == {"the", "t", "h", "e"}
+        assert m.token_ids == {"the": 3, "t": 4, "h": 5, "e": 6}
+        ids = tokenizer_json_token_ids(
+            spark.createDataFrame(
+                [(1, "<s>the the</s>")], "doc_id long, text string"
+            ),
+            m, out_col="ids",
+        )
+        assert _col(ids, "ids") == [[1, 3, 3, 2]]
+
+    def test_import_contracts(self, spark, tmp_path):
+        base = {
+            "model": {
+                "type": "Unigram", "unk_id": 0,
+                "vocab": [["<unk>", 0.0], ["the", -2.0],
+                          ["t", -4.0]],
+            },
+        }
+        for mutate, msg in [
+            (lambda o: o["model"].update(byte_fallback=True),
+             "byte_fallback"),
+            (lambda o: o["model"].update(unk_id=99),
+             "out of range"),
+            (lambda o: o["model"].update(unk_id=None),
+             "unk_logprob"),
+            (lambda o: o["model"]["vocab"].append(["a b", -3.0]),
+             "whitespace"),
+            (lambda o: o["model"]["vocab"].append(["the", -3.0]),
+             "duplicate"),
+            (lambda o: o.update(pre_tokenizer={
+                "type": "Metaspace", "replacement": "▁",
+            }), "ZERO"),  # plain-grain artifact under marker mode
+        ]:
+            obj = json.loads(json.dumps(base))
+            mutate(obj)
+            p = str(tmp_path / "bad.json")
+            with open(p, "w") as f:
+                json.dump(obj, f)
+            with pytest.raises(ValueError, match=msg):
+                load_tokenizer_json(spark, p)
+
+    def test_export_contracts(self, spark, tmp_path):
+        p = str(tmp_path / "x.json")
+        with pytest.raises(ValueError, match="also a piece"):
+            save_tokenizer_json_unigram(
+                spark, self._lm(spark), p, unk_token="the",
+            )
+        with pytest.raises(ValueError, match="collides"):
+            save_tokenizer_json_unigram(
+                spark, self._lm(spark), p,
+                special_tokens={"<s>": 1},
+            )
+        with pytest.raises(ValueError, match="marker"):
+            save_tokenizer_json_unigram(
+                spark, self._lm(spark), p, space_marker="▁",
+            )

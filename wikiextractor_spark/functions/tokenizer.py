@@ -374,6 +374,40 @@ def load_bpe_merges_txt(
     return ranks
 
 
+def _ordered_merge_pairs(
+    merges: dict[tuple[str, str], float], caller: str,
+) -> list[tuple[str, str]]:
+    """Validate a rank map for LINE-ORDER export (merges.txt,
+    tokenizer.json model.merges) and return its pairs in rank order
+    — the shared rules an export-then-reimport round trip needs:
+    non-empty whitespace-free sides (the ``'left right'`` line
+    format cannot express others), distinct ranks (line order would
+    otherwise be ambiguous), non-empty table."""
+    if not merges:
+        raise ValueError(f"{caller}: empty merges table")
+    bad = [
+        p for p in merges
+        if len(p) != 2
+        or not all(
+            isinstance(s, str) and s and not _WS_SPLIT.search(s)
+            for s in p
+        )
+    ]
+    if bad:
+        raise ValueError(
+            f"{caller}: {len(bad)} pairs with empty or "
+            f"whitespace-carrying sides (first: {bad[0]!r}) — the "
+            "'left right' line format cannot express them"
+        )
+    ranks = {p: float(r) for p, r in merges.items()}
+    if len(set(ranks.values())) != len(ranks):
+        raise ValueError(
+            f"{caller}: duplicate ranks — line order would be "
+            "ambiguous; fix the artifact"
+        )
+    return [p for p, _r in sorted(ranks.items(), key=lambda kv: kv[1])]
+
+
 def save_bpe_merges_txt(
     spark, merges: dict[tuple[str, str], float], path: str,
 ) -> None:
@@ -396,32 +430,10 @@ def save_bpe_merges_txt(
         write_one_text_file,
     )
 
-    if not merges:
-        raise ValueError("save_bpe_merges_txt: empty merges table")
-    bad = [
-        p for p in merges
-        if len(p) != 2
-        or not all(
-            isinstance(s, str) and s and not _WS_SPLIT.search(s)
-            for s in p
-        )
-    ]
-    if bad:
-        raise ValueError(
-            f"save_bpe_merges_txt: {len(bad)} pairs with empty or "
-            f"whitespace-carrying sides (first: {bad[0]!r}) — the "
-            "'left right' line format cannot express them"
-        )
-    ranks = {p: float(r) for p, r in merges.items()}
-    if len(set(ranks.values())) != len(ranks):
-        raise ValueError(
-            "save_bpe_merges_txt: duplicate ranks — line order would "
-            "be ambiguous; fix the artifact"
-        )
     lines = ["#version: 0.2"]
     lines += [
         f"{a} {b}"
-        for (a, b), _r in sorted(ranks.items(), key=lambda kv: kv[1])
+        for a, b in _ordered_merge_pairs(merges, "save_bpe_merges_txt")
     ]
     write_one_text_file(spark, "\n".join(lines) + "\n", path)
 

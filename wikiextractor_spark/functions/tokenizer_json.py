@@ -1,0 +1,1091 @@
+"""HuggingFace ``tokenizer.json`` single-file IMPORT/EXPORT — the
+published one-file serialization of the ``tokenizers`` library
+(huggingface/tokenizers; the layout every ``AutoTokenizer`` ships):
+one JSON object with a ``model`` block (``type`` BPE | WordPiece |
+Unigram), the ``added_tokens`` overlay, and normalizer /
+pre_tokenizer / post_processor / decoder component blocks.  This
+module maps that file to and from the engine's per-family artifact
+frames + kernel flags, completing the train-here/serve-anywhere
+interchange story the r15 per-format exporters (merges.txt /
+vocab.json / vocab.txt / .vocab TSV) started: ONE file now carries
+the whole serving configuration — family, grain, vocabulary, merges,
+added tokens — instead of two artifacts plus out-of-band flags.
+
+Import policy (the engine-wide raise-don't-guess discipline):
+
+* component blocks the engine can serve FAITHFULLY map to kernel
+  flags — ``ByteLevel`` pre-tokenization → the GPT-2 byte-level
+  replay, ``BertNormalizer``/``BertPreTokenizer`` → the
+  :func:`~wikiextractor_spark.functions.wordpiece.
+  basic_tokenize_text` grain, ``Metaspace`` (and the Llama-shape
+  ``Prepend`` + ``Replace`` normalizer pair) → the unigram
+  ``space_marker`` mode;
+* blocks that would change the TOKEN STREAM in ways the engine
+  cannot reproduce RAISE (a ``Whitespace`` pre-tokenizer's
+  ``\\w+|[^\\w\\s]+`` grain, ``ignore_merges``, ``byte_fallback``,
+  BPE dropout, a non-``##`` WordPiece continuation prefix);
+* blocks that are stated engine divergences elsewhere are ACCEPTED
+  and recorded on the returned model's ``divergences`` tuple:
+  ``post_processor`` (the engine emits body ids; sequence boundaries
+  come from :func:`~wikiextractor_spark.operators.packing.
+  assemble_packs`' ``sep_id``), the SentencePiece ``Precompiled``
+  charsmap normalizer (the engine serves un-normalized text — run
+  :mod:`~wikiextractor_spark.functions.normalize` upstream),
+  ``BertNormalizer``'s ``clean_text``/``handle_chinese_chars`` (the
+  stated :func:`basic_tokenize_text` divergence).
+
+Unigram unk rule: the published implementation does NOT serve the
+unk entry's stored score — it assigns unknown characters
+``min(piece scores) - 10.0`` (the library's ``kUnkPenalty``
+constant; SentencePiece's own default penalty).  Import applies that
+rule (or an explicit ``unk_logprob=`` override, the
+:func:`~wikiextractor_spark.functions.unigram.load_unigram_lm`
+convention); export writes the unk entry with score ``0.0`` at
+``unk_id`` 0 (the SentencePiece layout) — the engine scalar is not
+expressible in the format, stated.  Unknown handling stays at the
+engine grain: one UNK per unknown CHARACTER, never fused runs.
+
+Scale shape: the file is a driver-sized artifact — FS-agnostic
+one-file read/write through the same Hadoop FileSystem routes as
+every other published-format importer/exporter; the returned frames
+are eagerly checkpointed so they outlive the source file, and
+serving goes through the existing broadcast Arrow kernels unchanged.
+
+No reference counterpart — engine extension (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from wikiextractor_spark.functions.tokenizer import (
+    VOCAB_SCHEMA,
+    _bad_tokens,
+    _check_embedding_id,
+    _merge_sides,
+    _vocab_id_maps,
+    _whole_text_artifact,
+)
+
+#: the published kUnkPenalty of huggingface/tokenizers' Unigram model
+#: (and SentencePiece's default --unk_penalty): unknown characters
+#: score ``min(piece scores) - UNK_PENALTY``, never the unk entry's
+#: stored score (typically 0.0, which would otherwise DOMINATE every
+#: real logprob and segment whole corpora as unk)
+UNK_PENALTY = 10.0
+
+
+@dataclass(frozen=True)
+class TokenizerJsonModel:
+    """A loaded ``tokenizer.json`` mapped to engine serving state:
+    the per-family artifact frame(s) plus the kernel flags the file's
+    component blocks imply.  Feed it to
+    :func:`tokenizer_json_token_ids` / :func:`tokenizer_json_decode_
+    ids`, or pick the fields apart for direct kernel calls."""
+
+    family: str  # 'bpe' | 'wordpiece' | 'unigram'
+    #: bpe/wordpiece vocabulary frame (bpe: incl. the NULL-token OOV
+    #: row); None for unigram
+    vocab: DataFrame | None = None
+    #: bpe rank map {(left, right): rank}; None otherwise
+    merges: dict | None = None
+    #: unigram LM frame incl. the NULL-token unk row; None otherwise
+    lm: DataFrame | None = None
+    #: unigram published numbering {piece: file position}; None
+    #: otherwise
+    token_ids: dict | None = None
+    #: {text: id} of every added_tokens entry (the serving kernels'
+    #: special_tokens overlay); None when the file has none
+    special_tokens: dict | None = None
+    byte_level: bool = False          # bpe ByteLevel grain
+    basic_tokenize: bool = False      # wordpiece BertNormalizer grain
+    lower: bool = True                # wordpiece basic grain flags
+    strip_accents: bool = True
+    space_marker: str | None = None   # unigram Metaspace grain
+    unk_token: str | None = None      # wordpiece unk entry text
+    max_input_chars_per_word: int = 100
+    #: component blocks accepted with a STATED divergence (see module
+    #: docstring), e.g. ('post_processor', 'normalizer:Precompiled')
+    divergences: tuple = ()
+
+
+# --------------------------------------------------------------------------
+# import
+# --------------------------------------------------------------------------
+
+def _block(obj, name: str, caller: str):
+    """A component block: None, or a dict with a string ``type``."""
+    b = obj.get(name)
+    if b is None:
+        return None
+    if not isinstance(b, dict) or not isinstance(b.get("type"), str):
+        raise ValueError(
+            f"{caller}: {name} block must be null or an object with "
+            f"a string 'type', got {b!r}"
+        )
+    return b
+
+
+def _flatten(block, name: str, caller: str) -> list[dict]:
+    """A component block flattened: ``Sequence`` blocks contribute
+    their members (one level — the serialized files never nest
+    deeper), everything else is itself."""
+    if block is None:
+        return []
+    if block["type"] == "Sequence":
+        key = (
+            "pretokenizers" if name == "pre_tokenizer"
+            else "normalizers"
+        )
+        members = block.get(key)
+        if not isinstance(members, list):
+            raise ValueError(
+                f"{caller}: {name} Sequence block carries no "
+                f"{key} list"
+            )
+        out = []
+        for m in members:
+            if not isinstance(m, dict) or not isinstance(
+                m.get("type"), str
+            ):
+                raise ValueError(
+                    f"{caller}: malformed {name} Sequence member "
+                    f"{m!r}"
+                )
+            out.append(m)
+        return out
+    return [block]
+
+
+def _added_tokens(obj, caller: str) -> dict[str, int] | None:
+    """The ``added_tokens`` overlay as the kernels' ``{text: id}``
+    special-token mapping (the engine's literal pre-split + reserved
+    id IS the library's added-token matching; a ``normalized: true``
+    user token is served literally — the engine normalizes upstream,
+    stated)."""
+    toks = obj.get("added_tokens")
+    if toks is None:
+        return None
+    if not isinstance(toks, list):
+        raise ValueError(
+            f"{caller}: added_tokens must be a list, got {toks!r}"
+        )
+    out: dict[str, int] = {}
+    for t in toks:
+        if not isinstance(t, dict) or not isinstance(
+            t.get("content"), str
+        ) or t["content"] == "":
+            raise ValueError(
+                f"{caller}: malformed added_tokens entry {t!r} — "
+                "need a non-empty string 'content' and an 'id'"
+            )
+        c = t["content"]
+        if c in out:
+            raise ValueError(
+                f"{caller}: duplicate added token {c!r}"
+            )
+        out[c] = _check_embedding_id(
+            caller, f"added token {c!r}", t.get("id")
+        )
+    if len(set(out.values())) != len(out):
+        raise ValueError(f"{caller}: duplicate added-token ids")
+    return out or None
+
+
+def _vocab_dict(model: dict, caller: str) -> dict[str, int]:
+    """The BPE/WordPiece ``model.vocab`` object validated to the
+    engine vocabulary shape (the :func:`~wikiextractor_spark.
+    functions.tokenizer.load_bpe_vocab_json` rules)."""
+    vocab = model.get("vocab")
+    if not isinstance(vocab, dict) or not vocab:
+        raise ValueError(
+            f"{caller}: model.vocab must be one non-empty object "
+            "{token: id}"
+        )
+    shape_bad = _bad_tokens(vocab)
+    if shape_bad:
+        raise ValueError(
+            f"{caller}: {len(shape_bad)} empty or "
+            f"whitespace-carrying vocab tokens (first: "
+            f"{shape_bad[0]!r})"
+        )
+    out = {
+        t: _check_embedding_id(caller, f"token {t!r}", i)
+        for t, i in vocab.items()
+    }
+    if len(set(out.values())) != len(out):
+        raise ValueError(f"{caller}: duplicate vocab ids")
+    return out
+
+
+def _merge_pairs(model: dict, caller: str) -> dict:
+    """The BPE ``model.merges`` list — ``"left right"`` strings (the
+    classic serialization) or ``[left, right]`` pairs (the current
+    one) — as the engine's rank map, rank = list order (the
+    :func:`~wikiextractor_spark.functions.tokenizer.
+    load_bpe_merges_txt` rules)."""
+    merges = model.get("merges")
+    if not isinstance(merges, list) or not merges:
+        raise ValueError(
+            f"{caller}: model.merges must be a non-empty list"
+        )
+    ranks: dict[tuple[str, str], float] = {}
+    for i, m in enumerate(merges):
+        if isinstance(m, str):
+            key = _merge_sides(m)
+        elif (
+            isinstance(m, (list, tuple)) and len(m) == 2
+            and all(isinstance(s, str) for s in m)
+        ):
+            key = _merge_sides(f"{m[0]} {m[1]}")
+        else:
+            key = None
+        if key is None:
+            raise ValueError(
+                f"{caller}: malformed merges entry {i}: {m!r} — "
+                "need 'left right' or [left, right] with non-empty "
+                "whitespace-free sides"
+            )
+        if key in ranks:
+            raise ValueError(
+                f"{caller}: duplicate merge pair at entry {i}: {m!r}"
+            )
+        ranks[key] = float(len(ranks))
+    return ranks
+
+
+def _check_added_vs_vocab(
+    vd: dict[str, int], specials: dict[str, int] | None, caller: str,
+) -> None:
+    """Fail-fast collision policy at LOAD time, the serve-side
+    :func:`~wikiextractor_spark.functions.tokenizer._vocab_id_maps`
+    rules restated on the file's objects: an added token whose text
+    is also a vocab entry must AGREE on the id (the published
+    special-in-vocab layout), and an added id must not collide with
+    a DIFFERENT vocab token's id — a corrupt file raises here with
+    the file-shape message, not later inside a kernel."""
+    if not specials:
+        return
+    by_id = {i: t for t, i in vd.items()}
+    for t, i in specials.items():
+        if t in vd and vd[t] != i:
+            raise ValueError(
+                f"{caller}: added token {t!r} id {i} contradicts its "
+                f"model.vocab id {vd[t]} — the file is corrupt"
+            )
+        other = by_id.get(i)
+        if other is not None and other != t:
+            raise ValueError(
+                f"{caller}: added token {t!r} id {i} collides with "
+                f"vocab token {other!r} — the id stream would be "
+                "ambiguous"
+            )
+
+
+def _model_flag(model: dict, name: str, ok, caller: str) -> None:
+    """Raise when a model flag carries a value the engine's replay
+    cannot honor (``ok`` = the accepted values)."""
+    v = model.get(name)
+    if v not in ok:
+        raise ValueError(
+            f"{caller}: model.{name} = {v!r} is not supported — the "
+            f"engine replay serves {ok!r} only"
+        )
+
+
+def _import_bpe(
+    spark, obj: dict, model: dict, specials, oov_tokens_per_char,
+    divergences: list, caller: str,
+) -> TokenizerJsonModel:
+    _model_flag(model, "dropout", (None,), caller)
+    _model_flag(model, "unk_token", (None,), caller)
+    _model_flag(model, "continuing_subword_prefix", (None, ""), caller)
+    _model_flag(model, "end_of_word_suffix", (None, ""), caller)
+    _model_flag(model, "byte_fallback", (None, False), caller)
+    _model_flag(model, "ignore_merges", (None, False), caller)
+    blocks = _flatten(
+        _block(obj, "pre_tokenizer", caller), "pre_tokenizer", caller
+    )
+    types = [b["type"] for b in blocks]
+    if types == ["ByteLevel"]:
+        bl = blocks[0]
+        if bl.get("use_regex") is False:
+            raise ValueError(
+                f"{caller}: ByteLevel use_regex=false — the engine "
+                "replays the GPT-2 pre-tokenizer regex; an "
+                "unsplit byte stream is a different grain"
+            )
+        if bl.get("add_prefix_space") is True:
+            raise ValueError(
+                f"{caller}: ByteLevel add_prefix_space=true is not "
+                "supported — the engine pre-tokenizes the text "
+                "verbatim"
+            )
+        byte_level = True
+    elif types in ([], ["WhitespaceSplit"]):
+        byte_level = False
+    else:
+        raise ValueError(
+            f"{caller}: unsupported BPE pre_tokenizer {types!r} — "
+            "the engine serves ByteLevel (GPT-2 grain) or "
+            "WhitespaceSplit/null (the engine whitespace grain); "
+            "note 'Whitespace' (\\w+|[^\\w\\s]+) is a DIFFERENT "
+            "grain and cannot be replayed faithfully"
+        )
+    if _block(obj, "normalizer", caller) is not None:
+        raise ValueError(
+            f"{caller}: a BPE normalizer block is not supported — "
+            "GPT-class artifacts carry none; normalize upstream"
+        )
+    vd = _vocab_dict(model, caller)
+    _check_added_vs_vocab(vd, specials, caller)
+    rows = [(t, float(i)) for t, i in vd.items()]
+    rows.append((None, float(oov_tokens_per_char)))
+    vocab = spark.createDataFrame(rows, VOCAB_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    return TokenizerJsonModel(
+        family="bpe", vocab=vocab,
+        merges=_merge_pairs(model, caller),
+        special_tokens=specials, byte_level=byte_level,
+        divergences=tuple(divergences),
+    )
+
+
+def _import_wordpiece(
+    spark, obj: dict, model: dict, specials, divergences: list,
+    caller: str,
+) -> TokenizerJsonModel:
+    from wikiextractor_spark.functions.wordpiece import (
+        WORDPIECE_SCHEMA,
+    )
+
+    prefix = model.get("continuing_subword_prefix", "##")
+    if prefix != "##":
+        raise ValueError(
+            f"{caller}: continuing_subword_prefix {prefix!r} — the "
+            "engine WordPiece kernels serve the published '##' "
+            "continuation grain only"
+        )
+    unk = model.get("unk_token")
+    if not isinstance(unk, str) or unk == "":
+        raise ValueError(
+            f"{caller}: model.unk_token must be a non-empty string, "
+            f"got {unk!r} — WordPiece cannot represent unknown "
+            "words without it"
+        )
+    max_chars = model.get("max_input_chars_per_word", 100)
+    if (
+        isinstance(max_chars, bool)
+        or not isinstance(max_chars, int)
+        or max_chars < 1
+    ):
+        raise ValueError(
+            f"{caller}: model.max_input_chars_per_word must be a "
+            f"positive integer, got {max_chars!r}"
+        )
+    vd = _vocab_dict(model, caller)
+    if unk not in vd:
+        raise ValueError(
+            f"{caller}: unk_token {unk!r} is not in model.vocab — "
+            "fix the artifact"
+        )
+    _check_added_vs_vocab(vd, specials, caller)
+    # grain: BertNormalizer and/or BertPreTokenizer → the
+    # basic_tokenize_text chain; WhitespaceSplit/null → raw grain
+    norm_blocks = _flatten(
+        _block(obj, "normalizer", caller), "normalizer", caller
+    )
+    norm_types = [b["type"] for b in norm_blocks]
+    pre_blocks = _flatten(
+        _block(obj, "pre_tokenizer", caller), "pre_tokenizer", caller
+    )
+    pre_types = [b["type"] for b in pre_blocks]
+    basic, lower, strip = False, True, True
+    if norm_types == ["BertNormalizer"]:
+        if pre_types not in (["BertPreTokenizer"], []):
+            raise ValueError(
+                f"{caller}: BertNormalizer with pre_tokenizer "
+                f"{pre_types!r} — the engine's basic_tokenize grain "
+                "pairs it with BertPreTokenizer (or null)"
+            )
+        b = norm_blocks[0]
+        basic = True
+        lower = b.get("lowercase", True) is not False
+        sa = b.get("strip_accents")
+        strip = lower if sa is None else sa is not False
+        # clean_text / handle_chinese_chars are the stated
+        # basic_tokenize_text divergences (control-char removal and
+        # CJK spacing belong to an upstream cleaning pass)
+        if b.get("clean_text") or b.get("handle_chinese_chars"):
+            divergences.append("normalizer:BertNormalizer.clean/cjk")
+    elif norm_types == []:
+        if pre_types == ["BertPreTokenizer"]:
+            # the published cased-model config: punctuation split,
+            # no case folding, no accent stripping
+            basic, lower, strip = True, False, False
+        elif pre_types not in ([], ["WhitespaceSplit"]):
+            raise ValueError(
+                f"{caller}: unsupported WordPiece pre_tokenizer "
+                f"{pre_types!r} — the engine serves "
+                "BertPreTokenizer, WhitespaceSplit, or null"
+            )
+    else:
+        raise ValueError(
+            f"{caller}: unsupported WordPiece normalizer "
+            f"{norm_types!r} — the engine serves BertNormalizer or "
+            "null"
+        )
+    rows = [(t, float(i)) for t, i in vd.items()]
+    vocab = spark.createDataFrame(
+        rows, WORDPIECE_SCHEMA
+    ).localCheckpoint(eager=True)
+    return TokenizerJsonModel(
+        family="wordpiece", vocab=vocab, special_tokens=specials,
+        basic_tokenize=basic, lower=lower, strip_accents=strip,
+        unk_token=unk, max_input_chars_per_word=max_chars,
+        divergences=tuple(divergences),
+    )
+
+
+def _replace_content(b: dict):
+    """A ``Replace`` normalizer's pattern/content — the pattern
+    serializes as a string or a ``{"String": ...}`` tagged object."""
+    p = b.get("pattern")
+    if isinstance(p, dict):
+        p = p.get("String")
+    return p, b.get("content")
+
+
+def _import_unigram(
+    spark, obj: dict, model: dict, specials, unk_logprob,
+    divergences: list, caller: str,
+) -> TokenizerJsonModel:
+    from wikiextractor_spark.functions.unigram import (
+        UNIGRAM_SCHEMA,
+        _check_marker,
+        _check_marker_artifact,
+    )
+
+    _model_flag(model, "byte_fallback", (None, False), caller)
+    entries = model.get("vocab")
+    if not isinstance(entries, list) or not entries:
+        raise ValueError(
+            f"{caller}: model.vocab must be a non-empty list of "
+            "[piece, score] pairs"
+        )
+    pieces: list[tuple[str, float]] = []
+    for i, e in enumerate(entries):
+        if (
+            not isinstance(e, (list, tuple)) or len(e) != 2
+            or not isinstance(e[0], str) or e[0] == ""
+            or isinstance(e[1], bool)
+            or not isinstance(e[1], (int, float))
+        ):
+            raise ValueError(
+                f"{caller}: malformed model.vocab entry {i}: {e!r} "
+                "— need [non-empty string, numeric score]"
+            )
+        pieces.append((e[0], float(e[1])))
+    if len({t for t, _s in pieces}) != len(pieces):
+        raise ValueError(f"{caller}: duplicate model.vocab pieces")
+    unk_id = model.get("unk_id")
+    if unk_id is None:
+        if unk_logprob is None:
+            raise ValueError(
+                f"{caller}: model.unk_id is null — pass "
+                "unk_logprob= explicitly (the artifact carries no "
+                "unk entry to derive it from)"
+            )
+        unk_text = None
+    else:
+        unk_id = _check_embedding_id(caller, "model.unk_id", unk_id)
+        if unk_id >= len(pieces):
+            raise ValueError(
+                f"{caller}: model.unk_id {unk_id} is out of range "
+                f"for a {len(pieces)}-entry vocab"
+            )
+        unk_text = pieces[unk_id][0]
+    # fail-fast collision policy at load (the _check_added_vs_vocab
+    # discipline on the positional numbering): an added token that
+    # is also a vocab piece must sit at ITS position, and an added
+    # id must not collide with a different matchable piece's
+    # position — the id stream would be ambiguous
+    pos = {t: i for i, (t, _s) in enumerate(pieces)}
+    for t, i in (specials or {}).items():
+        if t in pos and pos[t] != i:
+            raise ValueError(
+                f"{caller}: added token {t!r} id {i} contradicts "
+                f"its model.vocab position {pos[t]} — the file is "
+                "corrupt"
+            )
+        if (
+            t not in pos and i < len(pieces)
+            and pieces[i][0] not in set(specials or ())
+            and (unk_id is None or i != unk_id)
+        ):
+            raise ValueError(
+                f"{caller}: added token {t!r} id {i} collides with "
+                f"vocab piece {pieces[i][0]!r} — the id stream "
+                "would be ambiguous"
+            )
+    # matchable pieces: everything except the unk entry and the
+    # added-token texts (the overlay owns them — they serve through
+    # the special-token pre-split, exactly the library's added
+    # vocabulary precedence; a score-0 control piece like '<s>'
+    # must never win a Viterbi segmentation as ordinary text)
+    drop = set(specials or ())
+    if unk_text is not None:
+        drop.add(unk_text)
+    toks = {t: s for t, s in pieces if t not in drop}
+    token_ids = {
+        t: i for i, (t, _s) in enumerate(pieces) if t in toks
+    }
+    if not toks:
+        raise ValueError(
+            f"{caller}: no matchable pieces — every model.vocab "
+            "entry is the unk entry or an added token"
+        )
+    bad_ws = _bad_tokens(toks)
+    if bad_ws:
+        raise ValueError(
+            f"{caller}: {len(bad_ws)} whitespace-carrying pieces "
+            f"(first: {bad_ws[0]!r}) — they can never match under "
+            "the engine's pre-tokenization"
+        )
+    if unk_logprob is None:
+        # the published rule: min piece score minus kUnkPenalty —
+        # NEVER the unk entry's stored score (typically 0.0, which
+        # would dominate every real logprob)
+        unk_logprob = min(s for s in toks.values()) - UNK_PENALTY
+    # grain: Metaspace pre-tokenizer (T5-class) or the Prepend +
+    # Replace normalizer pair (Llama-class) → space_marker mode
+    marker = None
+    pre_blocks = _flatten(
+        _block(obj, "pre_tokenizer", caller), "pre_tokenizer", caller
+    )
+    pre_types = [b["type"] for b in pre_blocks]
+    if pre_types == ["Metaspace"]:
+        marker = pre_blocks[0].get("replacement", "▁")
+    elif pre_types not in ([], ["WhitespaceSplit"]):
+        raise ValueError(
+            f"{caller}: unsupported Unigram pre_tokenizer "
+            f"{pre_types!r} — the engine serves Metaspace, "
+            "WhitespaceSplit, or null"
+        )
+    norm_blocks = _flatten(
+        _block(obj, "normalizer", caller), "normalizer", caller
+    )
+    prepend, replace_to = None, None
+    for b in norm_blocks:
+        t = b["type"]
+        if t == "Precompiled":
+            # the SentencePiece charsmap — accepted with the stated
+            # divergence: the engine serves un-normalized text (run
+            # functions/normalize upstream for NFKC-shape behavior)
+            divergences.append("normalizer:Precompiled")
+        elif t == "Prepend":
+            prepend = b.get("prepend")
+        elif t == "Replace":
+            pat, content = _replace_content(b)
+            if pat == " ":
+                replace_to = content
+            else:
+                divergences.append(f"normalizer:Replace({pat!r})")
+        else:
+            raise ValueError(
+                f"{caller}: unsupported Unigram normalizer block "
+                f"{t!r}"
+            )
+    if prepend is not None or replace_to is not None:
+        if prepend != replace_to:
+            raise ValueError(
+                f"{caller}: Prepend {prepend!r} / Replace-space "
+                f"{replace_to!r} disagree — the engine's marker "
+                "grain needs one marker"
+            )
+        if marker is not None and marker != prepend:
+            raise ValueError(
+                f"{caller}: Metaspace replacement {marker!r} and "
+                f"normalizer marker {prepend!r} disagree"
+            )
+        marker = prepend
+    if marker is not None:
+        _check_marker(marker, caller)
+        # a marker-grain file whose pieces are plain-grain is corrupt
+        # — fail at load with the file in hand, not later in a kernel
+        _check_marker_artifact(toks, marker, caller)
+    rows = [(t, s) for t, s in toks.items()]
+    rows.append((None, float(unk_logprob)))
+    lm = spark.createDataFrame(rows, UNIGRAM_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    return TokenizerJsonModel(
+        family="unigram", lm=lm, token_ids=token_ids,
+        special_tokens=specials, space_marker=marker,
+        divergences=tuple(divergences),
+    )
+
+
+def load_tokenizer_json(
+    spark, path: str, *,
+    oov_tokens_per_char: float = 1.0,
+    unk_logprob: float | None = None,
+) -> TokenizerJsonModel:
+    """Load a published single-file ``tokenizer.json`` as engine
+    serving state — family detected from ``model.type``, component
+    blocks mapped to kernel flags under the module-docstring policy
+    (faithful → flag, unreproducible → raise, stated divergence →
+    recorded).  ``oov_tokens_per_char`` is the BPE NULL-row scalar
+    the format cannot express (the :func:`~wikiextractor_spark.
+    functions.tokenizer.load_bpe_vocab_json` convention);
+    ``unk_logprob`` overrides the Unigram published
+    ``min - UNK_PENALTY`` unk rule (the :func:`~wikiextractor_spark.
+    functions.unigram.load_unigram_lm` convention)."""
+    caller = "load_tokenizer_json"
+    text = _whole_text_artifact(spark, path, caller)
+    try:
+        obj = json.loads(text)
+    except ValueError as exc:
+        raise ValueError(
+            f"{caller}: {path!r} is not valid JSON: {exc}"
+        ) from exc
+    if not isinstance(obj, dict):
+        raise ValueError(
+            f"{caller}: expected one JSON object, got "
+            f"{type(obj).__name__}"
+        )
+    model = obj.get("model")
+    if not isinstance(model, dict):
+        raise ValueError(
+            f"{caller}: no model block — not a tokenizer.json file"
+        )
+    fam = model.get("type")
+    specials = _added_tokens(obj, caller)
+    divergences: list[str] = []
+    if obj.get("post_processor") is not None:
+        # TemplateProcessing and friends add boundary tokens around
+        # the body — the engine emits body ids and the packing
+        # operator owns boundaries (sep_id); stated divergence
+        divergences.append("post_processor")
+    if fam == "BPE":
+        return _import_bpe(
+            spark, obj, model, specials, oov_tokens_per_char,
+            divergences, caller,
+        )
+    if fam == "WordPiece":
+        return _import_wordpiece(
+            spark, obj, model, specials, divergences, caller
+        )
+    if fam == "Unigram":
+        return _import_unigram(
+            spark, obj, model, specials, unk_logprob, divergences,
+            caller,
+        )
+    raise ValueError(
+        f"{caller}: unsupported model.type {fam!r} — the engine "
+        "serves BPE, WordPiece, and Unigram"
+    )
+
+
+# --------------------------------------------------------------------------
+# serving dispatch
+# --------------------------------------------------------------------------
+
+def _basic_grain(df: DataFrame, model: TokenizerJsonModel,
+                 text_col: str):
+    """The WordPiece basic grain applied on an INTERNAL column so
+    the caller's text column survives; returns (df, kernel text
+    col, cleanup col)."""
+    from wikiextractor_spark.functions.wordpiece import (
+        basic_tokenize_text,
+    )
+
+    if not model.basic_tokenize:
+        return df, text_col, None
+    tmp = "_tjn_basic"
+    return (
+        df.withColumn(
+            tmp,
+            basic_tokenize_text(
+                text_col, lower=model.lower,
+                do_strip_accents=model.strip_accents,
+            ),
+        ),
+        tmp,
+        tmp,
+    )
+
+
+def tokenizer_json_token_ids(
+    df: DataFrame, model: TokenizerJsonModel,
+    text_col: str = "text", out_col: str = "token_ids",
+) -> DataFrame:
+    """Attach ``out_col``: the text tokenized to an ``array<long>``
+    of ids under the loaded file's FULL configuration — family
+    kernel, grain flags, added-token overlay — so one call serves
+    whatever the file says (the ``AutoTokenizer`` shape).  Routes to
+    :func:`~wikiextractor_spark.functions.tokenizer.bpe_token_ids` /
+    :func:`~wikiextractor_spark.functions.wordpiece.
+    wordpiece_token_ids` / :func:`~wikiextractor_spark.functions.
+    unigram.unigram_token_ids` with the model's flags; unigram
+    serves the PUBLISHED numbering (``token_ids`` = file positions)
+    with ``oversize_word='chars'`` (crawl blobs degrade, never
+    abort — the CLI serving default)."""
+    if model.family == "bpe":
+        from wikiextractor_spark.functions.tokenizer import (
+            GPT2_PRETOKENIZER_PATTERN,
+            bpe_token_ids,
+        )
+
+        return bpe_token_ids(
+            df, model.vocab, model.merges, text_col=text_col,
+            out_col=out_col, byte_level=model.byte_level,
+            pre_tokenizer=(
+                GPT2_PRETOKENIZER_PATTERN if model.byte_level
+                else None
+            ),
+            special_tokens=model.special_tokens,
+        )
+    if model.family == "wordpiece":
+        from wikiextractor_spark.functions.wordpiece import (
+            wordpiece_token_ids,
+        )
+
+        d, col, tmp = _basic_grain(df, model, text_col)
+        out = wordpiece_token_ids(
+            d, model.vocab, text_col=col, out_col=out_col,
+            unk_token=model.unk_token,
+            max_input_chars_per_word=model.max_input_chars_per_word,
+            special_tokens=model.special_tokens,
+        )
+        return out.drop(tmp) if tmp else out
+    from wikiextractor_spark.functions.unigram import (
+        unigram_token_ids,
+    )
+
+    return unigram_token_ids(
+        df, model.lm, text_col=text_col, out_col=out_col,
+        token_ids=model.token_ids,
+        special_tokens=model.special_tokens,
+        oversize_word="chars", space_marker=model.space_marker,
+    )
+
+
+def tokenizer_json_decode_ids(
+    df: DataFrame, model: TokenizerJsonModel,
+    ids_col: str = "token_ids", out_col: str = "decoded",
+) -> DataFrame:
+    """Attach ``out_col``: the id stream DECODED back to text under
+    the loaded file's configuration — the inverse dispatch of
+    :func:`tokenizer_json_token_ids` (byte decode for ByteLevel BPE,
+    the ``" ".join().replace(" ##", "")`` rule for WordPiece, the
+    marker→space rewrite for marker-grain Unigram)."""
+    if model.family == "bpe":
+        from wikiextractor_spark.functions.tokenizer import (
+            bpe_decode_ids,
+        )
+
+        return bpe_decode_ids(
+            df, model.vocab, ids_col=ids_col, out_col=out_col,
+            byte_level=model.byte_level,
+            special_tokens=model.special_tokens,
+        )
+    if model.family == "wordpiece":
+        from wikiextractor_spark.functions.wordpiece import (
+            wordpiece_decode_ids,
+        )
+
+        return wordpiece_decode_ids(
+            df, model.vocab, ids_col=ids_col, out_col=out_col,
+            special_tokens=model.special_tokens,
+        )
+    from wikiextractor_spark.functions.unigram import (
+        unigram_decode_ids,
+    )
+
+    return unigram_decode_ids(
+        df, model.lm, ids_col=ids_col, out_col=out_col,
+        token_ids=model.token_ids,
+        special_tokens=model.special_tokens,
+        space_marker=model.space_marker,
+    )
+
+
+# --------------------------------------------------------------------------
+# export
+# --------------------------------------------------------------------------
+
+def _added_entries(sids: dict[str, int] | None) -> list[dict]:
+    """``added_tokens`` entries from the kernels' ``{text: id}``
+    mapping — the library's field set, ``special: true`` (the
+    engine's specials are reserved markers, never normalized)."""
+    return [
+        {
+            "id": i, "content": t, "single_word": False,
+            "lstrip": False, "rstrip": False, "normalized": False,
+            "special": True,
+        }
+        for t, i in sorted(
+            (sids or {}).items(), key=lambda kv: kv[1]
+        )
+    ]
+
+
+def _emit(spark, path: str, *, model: dict, normalizer, pre_tokenizer,
+          decoder, added: list[dict]) -> None:
+    obj = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": added,
+        "normalizer": normalizer,
+        "pre_tokenizer": pre_tokenizer,
+        "post_processor": None,
+        "decoder": decoder,
+        "model": model,
+    }
+    from wikiextractor_spark.functions.modelio import (
+        write_one_text_file,
+    )
+
+    write_one_text_file(
+        spark,
+        json.dumps(obj, ensure_ascii=False, separators=(",", ":")),
+        path,
+    )
+
+
+_BYTELEVEL_BLOCK = {
+    "type": "ByteLevel", "add_prefix_space": False,
+    "trim_offsets": True, "use_regex": True,
+}
+
+
+def save_tokenizer_json_bpe(
+    spark, vocab: DataFrame, merges: dict, path: str, *,
+    byte_level: bool = False,
+    special_tokens: dict[str, int] | None = None,
+) -> None:
+    """Export a BPE artifact pair as a single ``tokenizer.json`` —
+    model.vocab in id order, model.merges as ``"left right"``
+    strings in rank order (both accepted serializations reimport),
+    specials as ``added_tokens`` (a special whose text is also a
+    vocab entry must agree on the id — the published
+    special-in-vocab layout; one that is not stays an overlay).
+    ``byte_level`` writes the ByteLevel pre-tokenizer/decoder
+    blocks (the GPT-2 layout); otherwise WhitespaceSplit (the
+    engine's whitespace grain, stated).  The NULL-row OOV scalar is
+    not expressible — pass ``oov_tokens_per_char=`` on reimport.
+    Validation is the per-format exporters' (duplicate texts,
+    non-integral ids, whitespace-carrying merge sides raise);
+    round trip pinned by pytest."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _compile_specials,
+        _ordered_merge_pairs,
+        _vocab_tokens_and_oov,
+    )
+
+    caller = "save_tokenizer_json_bpe"
+    _tokens, _oov, rows = _vocab_tokens_and_oov(vocab, caller)
+    _sp, sids = _compile_specials(special_tokens, caller)
+    _tok2id, id2tok, _rev = _vocab_id_maps(rows, sids, caller)
+    if len(set(id2tok.values())) != len(id2tok):
+        raise ValueError(
+            f"{caller}: duplicate token texts — the JSON object "
+            "would silently drop ids; fix the artifact"
+        )
+    pairs = _ordered_merge_pairs(merges, caller)
+    _emit(
+        spark, path,
+        model={
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": None,
+            "continuing_subword_prefix": "",
+            "end_of_word_suffix": "",
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "ignore_merges": False,
+            "vocab": {id2tok[i]: i for i in sorted(id2tok)},
+            "merges": [f"{a} {b}" for a, b in pairs],
+        },
+        normalizer=None,
+        pre_tokenizer=(
+            dict(_BYTELEVEL_BLOCK) if byte_level
+            else {"type": "WhitespaceSplit"}
+        ),
+        decoder=dict(_BYTELEVEL_BLOCK) if byte_level else None,
+        added=_added_entries(sids),
+    )
+
+
+def save_tokenizer_json_wordpiece(
+    spark, vocab: DataFrame, path: str, *,
+    unk_token: str = "[UNK]",
+    max_input_chars_per_word: int = 100,
+    basic_tokenize: bool = False, lower: bool = True,
+    strip_accents: bool | None = None,
+    special_tokens: dict[str, int] | None = None,
+) -> None:
+    """Export a WordPiece vocabulary as a single ``tokenizer.json``
+    — ``unk_token`` must be a vocabulary entry (the serving rule);
+    ``basic_tokenize`` writes the BertNormalizer/BertPreTokenizer
+    pair with EXACTLY the engine grain's flags (``clean_text`` and
+    ``handle_chinese_chars`` false — the stated
+    :func:`~wikiextractor_spark.functions.wordpiece.
+    basic_tokenize_text` divergences; claiming them would make
+    external serving diverge from what the artifact was trained/
+    served on here), otherwise WhitespaceSplit.  ``strip_accents``
+    None follows ``lower`` (the published tie)."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _compile_specials,
+    )
+    from wikiextractor_spark.functions.wordpiece import (
+        _check_tokens_shape,
+    )
+
+    caller = "save_tokenizer_json_wordpiece"
+    rows = vocab.select("token", "token_id").collect()
+    toks = [r["token"] for r in rows]
+    if any(t is None for t in toks):
+        raise ValueError(
+            f"{caller}: NULL token row — WordPiece vocabularies "
+            "carry no scalar row; fix the artifact"
+        )
+    _check_tokens_shape(toks, caller)
+    _sp, sids = _compile_specials(special_tokens, caller)
+    _tok2id, id2tok, _rev = _vocab_id_maps(rows, sids, caller)
+    if unk_token not in _tok2id:
+        raise ValueError(
+            f"{caller}: unk_token {unk_token!r} is not in the "
+            "vocabulary — WordPiece cannot represent unknown words "
+            "without it"
+        )
+    if (
+        isinstance(max_input_chars_per_word, bool)
+        or not isinstance(max_input_chars_per_word, int)
+        or max_input_chars_per_word < 1
+    ):
+        raise ValueError(
+            f"{caller}: max_input_chars_per_word must be a positive "
+            f"integer, got {max_input_chars_per_word!r}"
+        )
+    strip = lower if strip_accents is None else strip_accents
+    _emit(
+        spark, path,
+        model={
+            "type": "WordPiece",
+            "unk_token": unk_token,
+            "continuing_subword_prefix": "##",
+            "max_input_chars_per_word": max_input_chars_per_word,
+            "vocab": {id2tok[i]: i for i in sorted(id2tok)},
+        },
+        normalizer=(
+            {
+                "type": "BertNormalizer",
+                "clean_text": False,
+                "handle_chinese_chars": False,
+                "strip_accents": strip,
+                "lowercase": lower,
+            }
+            if basic_tokenize else None
+        ),
+        pre_tokenizer=(
+            {"type": "BertPreTokenizer"} if basic_tokenize
+            else {"type": "WhitespaceSplit"}
+        ),
+        decoder={"type": "WordPiece", "prefix": "##",
+                 "cleanup": False},
+        added=_added_entries(sids),
+    )
+
+
+def save_tokenizer_json_unigram(
+    spark, lm: DataFrame, path: str, *,
+    unk_token: str = "<unk>",
+    space_marker: str | None = None,
+    special_tokens: dict[str, int] | None = None,
+) -> None:
+    """Export a unigram LM as a single ``tokenizer.json`` — the
+    SentencePiece layout: the unk entry at position 0 with score
+    ``0.0`` (the engine's per-character unk scalar is not
+    expressible; reimport applies the published ``min -
+    UNK_PENALTY`` rule or an explicit override, stated), then the
+    pieces most-probable-first (the ``.vocab`` TSV order) at
+    positions ``1..n`` — which reimport returns as the published
+    ``token_ids`` numbering.  ``space_marker`` writes the Metaspace
+    pre-tokenizer block (serve with the same marker; the artifact
+    must carry marker-grain pieces).  Special ids must sit OUTSIDE
+    ``0..n`` (the piece numbering — a collision would make the id
+    stream ambiguous, the serve-side rule)."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _compile_specials,
+    )
+    from wikiextractor_spark.functions.unigram import (
+        _check_marker,
+        _check_marker_artifact,
+        _lm_tokens_and_unk,
+    )
+
+    caller = "save_tokenizer_json_unigram"
+    toks, _unk = _lm_tokens_and_unk(lm, caller)
+    if not isinstance(unk_token, str) or unk_token == "":
+        raise ValueError(
+            f"{caller}: unk_token must be a non-empty string, got "
+            f"{unk_token!r}"
+        )
+    if unk_token in toks:
+        raise ValueError(
+            f"{caller}: unk_token {unk_token!r} is also a piece — "
+            "the unk entry would be ambiguous; pick another text"
+        )
+    if space_marker is not None:
+        marker = _check_marker(space_marker, caller)
+        _check_marker_artifact(toks, marker, caller)
+    _sp, sids = _compile_specials(special_tokens, caller)
+    n_entries = len(toks) + 1
+    collide = [
+        (t, i) for t, i in (sids or {}).items() if i < n_entries
+    ]
+    if collide:
+        raise ValueError(
+            f"{caller}: special token {collide[0][0]!r} id "
+            f"{collide[0][1]} collides with the piece numbering "
+            f"0..{n_entries - 1} — reserve specials beyond the "
+            "table"
+        )
+    ordered = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))
+    _emit(
+        spark, path,
+        model={
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [[unk_token, 0.0]]
+            + [[t, s] for t, s in ordered],
+            "byte_fallback": False,
+        },
+        normalizer=None,
+        pre_tokenizer=(
+            {
+                "type": "Metaspace",
+                "replacement": space_marker,
+                "prepend_scheme": "always",
+                "split": True,
+            }
+            if space_marker is not None
+            else {"type": "WhitespaceSplit"}
+        ),
+        decoder=(
+            {
+                "type": "Metaspace",
+                "replacement": space_marker,
+                "prepend_scheme": "always",
+                "split": True,
+            }
+            if space_marker is not None else None
+        ),
+        added=_added_entries(sids),
+    )
