@@ -757,3 +757,153 @@ def test_cli_train_special_token(spark, tmp_path, docs_parquet,
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_tokenizer_json_serve(spark, tmp_path, docs_parquet,
+                                  keep_session):
+    """--tokenizer-json: train byte-level BPE with a reserved
+    special, then serve the written single file — the id stream
+    equals the two-artifact vocab.json/merges.txt serve, and the
+    added token rides the file (no flags).  Composes with --pack."""
+    m = tmp_path / "m_tj"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "bpe", "--vocab-size", "259",
+        "--byte-level", "--special-token", "<|endoftext|>",
+        "--out-model", str(m),
+    ])
+    assert (m / "tokenizer.json").exists()
+    obj = json.loads((m / "tokenizer.json").read_text("utf-8"))
+    assert obj["model"]["type"] == "BPE"
+    assert obj["pre_tokenizer"]["type"] == "ByteLevel"
+    assert [t["content"] for t in obj["added_tokens"]] == [
+        "<|endoftext|>"
+    ]
+    out_tj = tmp_path / "tjids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenizer-json", str(m / "tokenizer.json"),
+        "--out", str(out_tj),
+    ])
+    out_2f = tmp_path / "f2ids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "bpe", "--vocab", str(m / "vocab.json"),
+        "--merges", str(m / "merges.txt"), "--out", str(out_2f),
+    ])
+    tj = {r["doc_id"]: r["token_ids"]
+          for r in spark.read.parquet(str(out_tj)).collect()}
+    f2 = {r["doc_id"]: r["token_ids"]
+          for r in spark.read.parquet(str(out_2f)).collect()}
+    assert tj == f2
+    assert tj[3] is None
+    # --pack composes exactly like the per-family modes
+    packed = tmp_path / "tjpack"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenizer-json", str(m / "tokenizer.json"),
+        "--pack", "8", "--out", str(packed),
+    ])
+    prows = spark.read.parquet(str(packed))
+    assert prows.count() > 0
+    assert "pack_id" in prows.columns
+
+
+def test_cli_train_unigram_writes_tokenizer_json(spark, tmp_path,
+                                                 docs_parquet,
+                                                 keep_session):
+    """The unigram train leg writes tokenizer.json beside the
+    parquet/.vocab pair — marker grain carried in the Metaspace
+    block — and --tokenizer-json serves it end to end."""
+    m = tmp_path / "m_uni"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "unigram", "--vocab-size", "24",
+        "--space-marker", "▁", "--out-model", str(m),
+    ])
+    assert (m / "tokenizer.json").exists()
+    obj = json.loads((m / "tokenizer.json").read_text("utf-8"))
+    assert obj["model"]["type"] == "Unigram"
+    assert obj["pre_tokenizer"] == {
+        "type": "Metaspace", "replacement": "▁",
+        "prepend_scheme": "always", "split": True,
+    }
+    out = tmp_path / "uids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenizer-json", str(m / "tokenizer.json"),
+        "--out", str(out),
+    ])
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in spark.read.parquet(str(out)).collect()}
+    assert rows[3] is None
+    assert len(rows[1]) > 0 and len(rows[2]) > 0
+
+
+def test_cli_train_wordpiece_tokenizer_json_round_trip(
+    spark, tmp_path, docs_parquet, keep_session,
+):
+    """The WordPiece train leg writes tokenizer.json (the trained
+    vocabulary always carries [UNK] at id 0) — at the basic grain
+    the file declares the BertNormalizer pair, and --tokenizer-json
+    serves the identical stream to the per-family serve hint."""
+    m = tmp_path / "m_wp"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "wordpiece", "--vocab-size", "30",
+        "--basic-tokenize", "--out-model", str(m),
+    ])
+    obj = json.loads((m / "tokenizer.json").read_text("utf-8"))
+    assert obj["model"]["type"] == "WordPiece"
+    assert obj["model"]["unk_token"] == "[UNK]"
+    assert obj["normalizer"]["type"] == "BertNormalizer"
+    assert obj["pre_tokenizer"] == {"type": "BertPreTokenizer"}
+    out_tj = tmp_path / "wptj"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenizer-json", str(m / "tokenizer.json"),
+        "--out", str(out_tj),
+    ])
+    out_pf = tmp_path / "wppf"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenize", "wordpiece", "--vocab", str(m / "wp_vocab"),
+        "--basic-tokenize", "--out", str(out_pf),
+    ])
+    tj = {r["doc_id"]: r["token_ids"]
+          for r in spark.read.parquet(str(out_tj)).collect()}
+    pf = {r["doc_id"]: r["token_ids"]
+          for r in spark.read.parquet(str(out_pf)).collect()}
+    assert tj == pf
+    assert tj[3] is None
+
+
+def test_cli_tokenizer_json_flag_compat(tmp_path):
+    cases = [
+        # one serve mode each
+        ["--infn", "x", "--source", "docs", "--tokenizer-json", "t",
+         "--tokenize", "wordpiece", "--vocab", "v"],
+        # one run each with the train leg
+        ["--infn", "x", "--source", "docs", "--tokenizer-json", "t",
+         "--train-tokenizer", "bpe", "--vocab-size", "300",
+         "--out-model", "m"],
+        # per-family artifact flags require --tokenize
+        ["--infn", "x", "--source", "docs", "--tokenizer-json", "t",
+         "--vocab", "v"],
+        ["--infn", "x", "--source", "docs", "--tokenizer-json", "t",
+         "--lm", "l"],
+        # grain flags stay per-family (the file is authoritative)
+        ["--infn", "x", "--source", "docs", "--tokenizer-json", "t",
+         "--basic-tokenize"],
+        ["--infn", "x", "--source", "docs", "--tokenizer-json", "t",
+         "--space-marker", "▁"],
+        # docs-only scope
+        ["--infn", "x", "--source", "dump", "--tokenizer-json", "t"],
+        # pack/shards still need an id stream source
+        ["--infn", "x", "--source", "docs", "--dedup", "exact",
+         "--pack", "8"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

@@ -57,6 +57,7 @@ _SCOPED_DEFAULTS = {
     "main_content": False,
     "with_meta": False,
     "tokenize": None,
+    "tokenizer_json": None,
     "vocab": None,
     "merges": None,
     "lm": None,
@@ -168,6 +169,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(--vocab vocab.txt, published BERT format), bpe (--vocab "
         "vocab.json --merges merges.txt, published GPT-class "
         "byte-level formats), unigram (--lm table.parquet|tsv)",
+    )
+    p.add_argument(
+        "--tokenizer-json", default=_UNSET,
+        help="(--source docs) tokenize via a single-file published "
+        "tokenizer.json — family, grain, vocabulary/merges, and "
+        "added tokens all come from the file, so no --tokenize/"
+        "--vocab/--merges/--lm flags apply; composes with --pack/"
+        "--shards like the per-family serve modes",
     )
     p.add_argument(
         "--vocab", default=_UNSET,
@@ -351,7 +360,8 @@ _DUMP_ONLY = (
     "parser", "vitalfn", "compress", "incubator", "max_records_per_file",
 )
 _DOCS_ONLY = (
-    "tokenize", "vocab", "merges", "lm", "pack", "shards", "shard_seed",
+    "tokenize", "tokenizer_json",
+    "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize", "space_marker",
     "train_tokenizer", "vocab_size", "byte_level", "prune_rank",
     "special_token", "out_model",
@@ -429,15 +439,29 @@ def _validate_docs_args(parser, args) -> None:
     (main()'s finally stops the session it obtained)."""
     if (
         args.tokenize is None
+        and args.tokenizer_json is None
         and args.train_tokenizer is None
         and not _prepare_requested(args)
     ):
         parser.error(
-            "--source docs requires --tokenize, --train-tokenizer, "
-            "and/or at least one prepare flag (--target-lang/"
-            "--min-quality/--gopher/--normalize/--dedup/"
-            "--sentence-span-dedup)"
+            "--source docs requires --tokenize, --tokenizer-json, "
+            "--train-tokenizer, and/or at least one prepare flag "
+            "(--target-lang/--min-quality/--gopher/--normalize/"
+            "--dedup/--sentence-span-dedup)"
         )
+    if args.tokenizer_json is not None:
+        if args.tokenize is not None:
+            parser.error(
+                "--tokenizer-json and --tokenize are one serve "
+                "mode each — the file carries the family; drop "
+                "--tokenize"
+            )
+        if args.train_tokenizer is not None:
+            parser.error(
+                "--train-tokenizer and --tokenizer-json are one "
+                "run each — train first, then serve the written "
+                "file in a second invocation"
+            )
     if args.train_tokenizer is not None:
         if args.tokenize is not None:
             parser.error(
@@ -551,12 +575,15 @@ def _validate_docs_args(parser, args) -> None:
         for d in ("vocab", "merges", "lm"):
             if getattr(args, d) is not None:
                 parser.error(f"--{d} requires --tokenize")
-        if args.pack is not None or args.shards is not None:
+        if (
+            (args.pack is not None or args.shards is not None)
+            and args.tokenizer_json is None
+        ):
             parser.error(
-                "--pack/--shards require --tokenize (they operate "
-                "on id streams)"
+                "--pack/--shards require --tokenize or "
+                "--tokenizer-json (they operate on id streams)"
             )
-        if args.shard_seed:
+        if args.shard_seed and args.shards is None:
             parser.error("--shard-seed applies only with --shards")
         if args.basic_tokenize and args.train_tokenizer != "wordpiece":
             parser.error(
@@ -655,6 +682,12 @@ def _run_train_tokenizer(spark, args, docs) -> None:
       NULL-token unk row; serve with ``--tokenize unigram --lm``).
       With ``--space-marker`` (r15) training runs at the marker
       grain — serve with the SAME ``--space-marker``.
+
+    Every leg ALSO writes ``<out-model>/tokenizer.json`` (r15, the
+    published single-file serialization) when the trained artifact
+    can express it (BPE needs ≥1 merge; unigram needs the '<unk>'
+    text free; WordPiece always can — [UNK] rides at id 0) — serve
+    with ``--tokenizer-json``, or load it in external HF tooling.
     """
     sf = args.train_sample_fraction
     out = args.out_model
@@ -681,6 +714,21 @@ def _run_train_tokenizer(spark, args, docs) -> None:
             ),
             special_tokens=args.special_token,
         )
+        from wikiextractor_spark.functions.tokenizer_json import (
+            save_tokenizer_json_bpe,
+        )
+
+        sp_ids = None
+        if args.special_token:
+            # the trained vocab reserves specials at the END of the
+            # id space — read their assigned ids back off the
+            # driver-sized artifact for the added_tokens overlay
+            assigned = {
+                r["token"]: int(r["token_id"])
+                for r in vocab.collect()
+                if r["token"] in set(args.special_token)
+            }
+            sp_ids = {t: assigned[t] for t in args.special_token}
         if args.byte_level:
             if not ranks:
                 # the pre-JVM vocab-size check covers the constant
@@ -704,11 +752,28 @@ def _run_train_tokenizer(spark, args, docs) -> None:
             # served char-grain; point the hint at the right family
             save_bpe_vocab_json(spark, vocab, f"{out}/vocab.json")
             save_bpe_merges_txt(spark, ranks, f"{out}/merges.txt")
-            print(f"wrote {out}/vocab.json and {out}/merges.txt "
-                  f"(serve: --tokenize bpe --vocab {out}/vocab.json "
+            save_tokenizer_json_bpe(
+                spark, vocab, ranks, f"{out}/tokenizer.json",
+                byte_level=True, special_tokens=sp_ids,
+            )
+            print(f"wrote {out}/vocab.json, {out}/merges.txt and "
+                  f"{out}/tokenizer.json "
+                  f"(serve: --tokenizer-json {out}/tokenizer.json, "
+                  f"or --tokenize bpe --vocab {out}/vocab.json "
                   f"--merges {out}/merges.txt)")
         else:
-            print(f"wrote {out}/vocab and {out}/merges "
+            # the single-file export needs at least one merge rule
+            # (the published model.merges cannot be empty) — the
+            # parquet pair is the complete artifact either way
+            if ranks:
+                save_tokenizer_json_bpe(
+                    spark, vocab, ranks, f"{out}/tokenizer.json",
+                    byte_level=False, special_tokens=sp_ids,
+                )
+                extra = f" and {out}/tokenizer.json"
+            else:
+                extra = " (tokenizer.json not written: zero merges)"
+            print(f"wrote {out}/vocab and {out}/merges{extra} "
                   f"(serve: --tokenize bpe --vocab {out}/vocab "
                   f"--merges {out}/merges)")
     elif args.train_tokenizer == "wordpiece":
@@ -729,12 +794,28 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         # same (token, id) mapping, line order = id — interchange
         # with external BERT-family tooling for free
         save_wordpiece_vocab_txt(spark, wp, f"{out}/vocab.txt")
+        # the single-file export carries the grain too — the trained
+        # vocabulary always has the [UNK] entry at id 0 (the
+        # learn_wordpiece_vocab layout), so this cannot raise
+        from wikiextractor_spark.functions.tokenizer_json import (
+            save_tokenizer_json_wordpiece,
+        )
+        from wikiextractor_spark.functions.wordpiece import (
+            MAX_INPUT_CHARS_PER_WORD,
+        )
+
+        save_tokenizer_json_wordpiece(
+            spark, wp, f"{out}/tokenizer.json",
+            basic_tokenize=args.basic_tokenize,
+            max_input_chars_per_word=MAX_INPUT_CHARS_PER_WORD,
+        )
         # train/serve grain must match (the help text's warning the
         # r15 basic_tokenize trainer closes): name the serve flag
         bt_hint = " --basic-tokenize" if args.basic_tokenize else ""
-        print(f"wrote {out}/wp_vocab and {out}/vocab.txt "
-              f"(serve: --tokenize wordpiece "
-              f"--vocab {out}/wp_vocab{bt_hint})")
+        print(f"wrote {out}/wp_vocab, {out}/vocab.txt and "
+              f"{out}/tokenizer.json (serve: --tokenize wordpiece "
+              f"--vocab {out}/wp_vocab{bt_hint}, or "
+              f"--tokenizer-json {out}/tokenizer.json)")
     else:
         from wikiextractor_spark.functions.unigram import (
             learn_unigram_lm,
@@ -752,12 +833,28 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         # third review — the wordpiece vocab.txt precedent): same
         # model minus the unk row, which the TSV cannot express
         save_unigram_lm_tsv(spark, lm, f"{out}/unigram.vocab")
+        # the single-file export carries the marker grain in its
+        # Metaspace block; a corpus that trained the literal
+        # '<unk>' text as a piece cannot use the default unk entry
+        # — skip with the cause, the artifact is complete without it
+        try:
+            from wikiextractor_spark.functions.tokenizer_json import (
+                save_tokenizer_json_unigram,
+            )
+
+            save_tokenizer_json_unigram(
+                spark, lm, f"{out}/tokenizer.json",
+                space_marker=args.space_marker,
+            )
+            extra = f" and {out}/tokenizer.json"
+        except ValueError as e:
+            extra = f" (tokenizer.json not written: {e})"
         mk_hint = (
             f" --space-marker {args.space_marker}"
             if args.space_marker is not None else ""
         )
-        print(f"wrote {out}/unigram_lm and {out}/unigram.vocab "
-              f"(serve: --tokenize unigram "
+        print(f"wrote {out}/unigram_lm and {out}/unigram.vocab"
+              f"{extra} (serve: --tokenize unigram "
               f"--lm {out}/unigram_lm{mk_hint})")
 
 
@@ -799,12 +896,25 @@ def _run_docs_tail(parser, spark, args) -> None:
         # paths in a second invocation
         _run_train_tokenizer(spark, args, docs)
         return
-    if args.tokenize is None:
+    if args.tokenizer_json is not None:
+        # the single-file serve mode: family, grain, vocabulary,
+        # merges, and added tokens all come from the published
+        # tokenizer.json — no per-family flags
+        from wikiextractor_spark.functions.tokenizer_json import (
+            load_tokenizer_json,
+            tokenizer_json_token_ids,
+        )
+
+        model = load_tokenizer_json(spark, args.tokenizer_json)
+        ids = tokenizer_json_token_ids(
+            docs, model, out_col="token_ids"
+        )
+    elif args.tokenize is None:
         # prepare-only: the prepared documents surface IS the output
         docs.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")
         return
-    if args.tokenize == "wordpiece":
+    elif args.tokenize == "wordpiece":
         from wikiextractor_spark.functions.wordpiece import (
             load_wordpiece_vocab,
             load_wordpiece_vocab_txt,

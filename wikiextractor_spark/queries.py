@@ -985,15 +985,23 @@ def ta_text_profile(spark, sf_dir):
     trip), count and order-sensitive fingerprint both deriving
     natively from the id stream; the oracle re-runs the published
     greedy longest-match walk as a recursive CTE (_TOK_WP_CTE) —
-    continuation grain, whole-word-UNK collapse and all."""
+    continuation grain, whole-word-UNK collapse and all.
+
+    r15: three of the artifacts additionally ride the single-file
+    ``tokenizer.json`` round trip (functions/tokenizer_json.py) —
+    the WordPiece vocabulary and unigram LM chain export→reimport
+    onto their existing parquet round trips, and the byte-level
+    GPT-2 configuration (vocab + merges + the added special + the
+    ByteLevel grain flag) is exported, reimported, and served
+    through the tokenizer_json DISPATCH — so the published one-file
+    format's import, export, and dispatch all sit under this slot's
+    existing hashes from the format's birth round."""
     import shutil
     import tempfile
 
     from wikiextractor_spark.functions.tokenizer import (
-        GPT2_PRETOKENIZER_PATTERN,
         bpe_token_count,
         bpe_token_count_exact,
-        bpe_token_ids,
         load_bpe_merges,
         load_bpe_vocab,
         merges_from_pairs,
@@ -1015,6 +1023,13 @@ def ta_text_profile(spark, sf_dir):
         wordpiece_token_ids,
     )
 
+    from wikiextractor_spark.functions.tokenizer_json import (
+        load_tokenizer_json,
+        save_tokenizer_json_bpe,
+        save_tokenizer_json_unigram,
+        save_tokenizer_json_wordpiece,
+    )
+
     vdir = tempfile.mkdtemp(prefix="ta_vocab_")
     try:
         save_bpe_vocab(
@@ -1028,18 +1043,60 @@ def ta_text_profile(spark, sf_dir):
         ranks = load_bpe_merges(spark, f"{vdir}/merges")
         # r13: the unigram-LM artifact rides its own save→load round
         # trip (the lm_quality_gate pattern) so the modelio contract
-        # sits under the driver's hash for this surface too
+        # sits under the driver's hash for this surface too.  r15:
+        # CHAINED through the single-file tokenizer.json round trip —
+        # the reloaded parquet artifact exports to the published
+        # one-file format and reimports (unk restated by the explicit
+        # override, the load_unigram_lm convention; the file's 0.0
+        # unk entry is not the engine scalar), so the n_tokens_unigram
+        # hash now pins the tokenizer_json contract too
         save_unigram_lm(
             unigram_from_tokens(spark, _UNI_LM, _UNI_UNK),
             f"{vdir}/unigram",
         )
-        uni_lm = load_unigram_lm(spark, f"{vdir}/unigram")
+        save_tokenizer_json_unigram(
+            spark, load_unigram_lm(spark, f"{vdir}/unigram"),
+            f"{vdir}/unigram.json",
+        )
+        uni_lm = load_tokenizer_json(
+            spark, f"{vdir}/unigram.json", unk_logprob=_UNI_UNK,
+        ).lm
         # r13: the WordPiece vocabulary rides the same save→load
-        # round trip so the modelio contract sits under the hash
+        # round trip so the modelio contract sits under the hash.
+        # r15: chained through tokenizer.json exactly like the
+        # unigram artifact (max_input_chars_per_word pinned to the
+        # kernel default the slot has always served — the export
+        # default is the HF 100)
         save_wordpiece_vocab(
             wordpiece_from_tokens(spark, _WP_VOCAB), f"{vdir}/wp"
         )
-        wp_vocab = load_wordpiece_vocab(spark, f"{vdir}/wp")
+        from wikiextractor_spark.functions.wordpiece import (
+            MAX_INPUT_CHARS_PER_WORD,
+        )
+
+        save_tokenizer_json_wordpiece(
+            spark, load_wordpiece_vocab(spark, f"{vdir}/wp"),
+            f"{vdir}/wp.json",
+            max_input_chars_per_word=MAX_INPUT_CHARS_PER_WORD,
+        )
+        wp_model = load_tokenizer_json(spark, f"{vdir}/wp.json")
+        wp_vocab = wp_model.vocab
+        # r15: the byte-level GPT-2 artifact (vocab + merges + the
+        # added special) rides the tokenizer.json round trip too —
+        # vocab object, merges lines, added_tokens overlay, and the
+        # ByteLevel grain flag all under the existing gpt2-column
+        # hashes, in the format's birth round
+        save_tokenizer_json_bpe(
+            spark,
+            vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV),
+            {p: float(i) for i, p in enumerate(_G2B_MERGES)},
+            f"{vdir}/g2.json",
+            byte_level=True,
+            special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
+        )
+        g2_model = load_tokenizer_json(
+            spark, f"{vdir}/g2.json", oov_tokens_per_char=_BPE_OOV,
+        )
     finally:
         shutil.rmtree(vdir, ignore_errors=True)
 
@@ -1084,28 +1141,26 @@ def ta_text_profile(spark, sf_dir):
         (F.col("doc_id") % 7 + 1).cast("int"),
     )
     d = d.withColumn("_g2t", F.concat(F.col("text"), sfx))
-    g2vocab = vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV)
-    d = bpe_token_ids(
-        d,
-        g2vocab,
-        {p: float(i) for i, p in enumerate(_G2B_MERGES)},
-        text_col="_g2t", out_col="_g2ids",
-        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
-        # r13: the ADDED token — variant 6 carries its literal text;
-        # the kernel splits it out pre-tokenization and emits the
-        # reserved id, which the oracle states directly (sid path)
-        special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
+    # r15: the byte-level serving runs through the tokenizer.json
+    # DISPATCH over the round-tripped model — family, grain flag,
+    # vocab, merges, and the added-token overlay all come from the
+    # reimported file (r13 served the same configuration from
+    # in-memory objects; the hashes are unchanged by construction,
+    # so a round-trip or dispatch drift breaks the slot)
+    from wikiextractor_spark.functions.tokenizer_json import (
+        tokenizer_json_decode_ids,
+        tokenizer_json_token_ids,
+    )
+
+    d = tokenizer_json_token_ids(
+        d, g2_model, text_col="_g2t", out_col="_g2ids"
     )
     # r13 decode adapter under the hash: the SAME id stream decoded
     # back through the inverse byte table (OOV → '?', the special →
     # its marker text) — the oracle restates the decode from its
     # symbol templates
-    from wikiextractor_spark.functions.tokenizer import bpe_decode_ids
-
-    d = bpe_decode_ids(
-        d, g2vocab, ids_col="_g2ids", out_col="_g2dec",
-        byte_level=True,
-        special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
+    d = tokenizer_json_decode_ids(
+        d, g2_model, ids_col="_g2ids", out_col="_g2dec"
     )
     d = d.withColumn(
         "_ntg",
