@@ -744,9 +744,11 @@ def test_cli_train_special_token(spark, tmp_path, docs_parquet,
     obj = json.loads((m / "vocab.json").read_text(encoding="utf-8"))
     assert obj["<|endoftext|>"] == max(obj.values())
     for argv in (
+        # r15: --special-token now applies to every train family,
+        # but the BasicTokenizer grain would mangle the literals
         ["--infn", "x", "--source", "docs", "--train-tokenizer",
          "wordpiece", "--vocab-size", "30", "--out-model", "m",
-         "--special-token", "<s>"],
+         "--basic-tokenize", "--special-token", "<s>"],
         ["--infn", "x", "--source", "docs", "--dedup", "exact",
          "--special-token", "<s>"],
         ["--infn", "x", "--source", "docs", "--train-tokenizer",
@@ -907,3 +909,72 @@ def test_cli_tokenizer_json_flag_compat(tmp_path):
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_train_wordpiece_special_token(spark, tmp_path,
+                                           docs_parquet, keep_session):
+    """--special-token on the wordpiece train leg: specials FIRST
+    (the published BERT-trainer layout), carried as added_tokens in
+    the written tokenizer.json, and --tokenizer-json serving emits
+    the reserved ids around real text."""
+    m = tmp_path / "m_wps"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "wordpiece", "--vocab-size", "40",
+        "--special-token", "[CLS]", "--special-token", "[SEP]",
+        "--out-model", str(m),
+    ])
+    lines = (m / "vocab.txt").read_text("utf-8").splitlines()
+    assert lines[:3] == ["[CLS]", "[SEP]", "[UNK]"]
+    obj = json.loads((m / "tokenizer.json").read_text("utf-8"))
+    assert [(t["content"], t["id"]) for t in obj["added_tokens"]] == [
+        ("[CLS]", 0), ("[SEP]", 1),
+    ]
+    # serve a text carrying the literal specials through the file
+    docs2 = tmp_path / "docs2"
+    spark.createDataFrame(
+        [(1, "[CLS]the data[SEP]")], "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(docs2))
+    out = tmp_path / "wpsids"
+    main([
+        "--infn", str(docs2), "--source", "docs",
+        "--tokenizer-json", str(m / "tokenizer.json"),
+        "--out", str(out),
+    ])
+    got = list(
+        spark.read.parquet(str(out)).collect()[0]["token_ids"]
+    )
+    assert got[0] == 0 and got[-1] == 1
+
+
+def test_cli_train_unigram_special_token(spark, tmp_path,
+                                         docs_parquet, keep_session):
+    """--special-token on the unigram train leg: protected from
+    training, reserved beyond the piece table in the written
+    tokenizer.json, served through --tokenizer-json."""
+    m = tmp_path / "m_unis"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "unigram", "--vocab-size", "20",
+        "--special-token", "<doc>", "--out-model", str(m),
+    ])
+    obj = json.loads((m / "tokenizer.json").read_text("utf-8"))
+    n_entries = len(obj["model"]["vocab"])
+    assert [(t["content"], t["id"]) for t in obj["added_tokens"]] == [
+        ("<doc>", n_entries),
+    ]
+    assert all(t != "<doc>" for t, _s in obj["model"]["vocab"])
+    docs2 = tmp_path / "docs3"
+    spark.createDataFrame(
+        [(1, "the<doc>data")], "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(docs2))
+    out = tmp_path / "unisids"
+    main([
+        "--infn", str(docs2), "--source", "docs",
+        "--tokenizer-json", str(m / "tokenizer.json"),
+        "--out", str(out),
+    ])
+    got = list(
+        spark.read.parquet(str(out)).collect()[0]["token_ids"]
+    )
+    assert n_entries in got

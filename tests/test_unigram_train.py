@@ -507,3 +507,82 @@ def test_unigram_seed_pieces_marker_words_exclusive(spark):
     words = _word_table(df, "text", None, 0)
     with pytest.raises(ValueError, match="mutually exclusive"):
         unigram_seed_pieces(df, space_marker="▁", _words=words)
+
+
+class TestTrainSpecialTokens:
+    """r15: learn_unigram_lm(special_tokens=) — protection at the
+    word grain (the BPE/WordPiece trainers' rule), composition with
+    the marker grain, shape errors."""
+
+    def _corpus(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def _lm_dict(self, lm):
+        return {
+            r["token"]: round(r["logprob"], 12)
+            for r in lm.collect() if r["token"] is not None
+        }
+
+    def test_protection_dirty_equals_clean(self, spark):
+        from wikiextractor_spark.functions.unigram import (
+            learn_unigram_lm,
+        )
+
+        clean = self._corpus(spark, [
+            "the data the data", "data the data",
+        ])
+        dirty = self._corpus(spark, [
+            "the<s>data the<s>data", "data<s>the data<s>",
+        ])
+        base = learn_unigram_lm(clean, 12, seed_size=24)
+        prot = learn_unigram_lm(
+            dirty, 12, seed_size=24, special_tokens=["<s>"],
+        )
+        assert self._lm_dict(base) == self._lm_dict(prot)
+        # unprotected dirty training genuinely diverges
+        raw = learn_unigram_lm(dirty, 12, seed_size=24)
+        assert self._lm_dict(raw) != self._lm_dict(base)
+        # no trained piece can ever equal a protected text
+        assert "<s>" not in self._lm_dict(prot)
+
+    def test_composes_with_marker_grain(self, spark):
+        from wikiextractor_spark.functions.unigram import (
+            learn_unigram_lm,
+            unigram_token_ids,
+        )
+
+        dirty = self._corpus(spark, [
+            "the<s>data the<s>data", "data<s>the data<s>",
+        ])
+        lm = learn_unigram_lm(
+            dirty, 14, seed_size=28, space_marker="▁",
+            special_tokens=["<s>"],
+        )
+        toks = self._lm_dict(lm)
+        assert any(t.startswith("▁") for t in toks)
+        # serve with the special as an overlay beyond the table
+        ids = unigram_token_ids(
+            self._corpus(spark, ["the<s>data"]), lm, out_col="ids",
+            special_tokens={"<s>": 10_000}, space_marker="▁",
+            oversize_word="chars",
+        )
+        got = list(ids.select("ids").collect()[0]["ids"])
+        assert 10_000 in got
+
+    def test_shape_errors(self, spark):
+        from wikiextractor_spark.functions.unigram import (
+            learn_unigram_lm,
+        )
+
+        corpus = self._corpus(spark, ["the data"])
+        with pytest.raises(ValueError, match="whitespace"):
+            learn_unigram_lm(
+                corpus, 8, special_tokens=["a b"],
+            )
+        with pytest.raises(ValueError, match="duplicate"):
+            learn_unigram_lm(
+                corpus, 8, special_tokens=["<s>", "<s>"],
+            )

@@ -744,3 +744,135 @@ def test_learn_wordpiece_vocab_basic_grain_round_trip(spark):
     assert rows and all(
         unk_id not in list(r["ids"]) for r in rows
     )
+
+
+class TestTrainSpecialTokens:
+    """r15 trainer special-token parity: protection (the BPE
+    trainer's rule on this family), the published specials-FIRST
+    id layout, collision refusal, scope errors."""
+
+    def _corpus(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def test_protection_dirty_equals_clean(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            learn_wordpiece_merges,
+        )
+
+        clean = self._corpus(spark, [
+            "unaffable running unaffable", "the data the data",
+            "running unaffable data",
+        ])
+        dirty = self._corpus(spark, [
+            "unaffable<|sep|>running unaffable",
+            "the<|sep|>data the<|sep|>data",
+            "running<|sep|>unaffable data<|sep|>",
+        ])
+        base = learn_wordpiece_merges(clean, 4, min_count=2)
+        prot = learn_wordpiece_merges(
+            dirty, 4, min_count=2, special_tokens=["<|sep|>"],
+        )
+        assert base == prot
+        # UNPROTECTED dirty training genuinely diverges (the
+        # protection is load-bearing, not vacuous)
+        raw = learn_wordpiece_merges(dirty, 4, min_count=2)
+        assert raw != base
+
+    def test_vocab_layout_specials_first(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            learn_wordpiece_vocab,
+        )
+
+        corpus = self._corpus(spark, ["the data the data"])
+        toks = learn_wordpiece_vocab(
+            corpus, 40, min_count=2,
+            special_tokens=["[PAD]", "[UNK]", "[CLS]", "[SEP]"],
+        )
+        assert toks[:4] == ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+        assert toks.count("[UNK]") == 1  # unk_token not duplicated
+        # unk NOT among the specials: it rides directly after them
+        toks2 = learn_wordpiece_vocab(
+            corpus, 40, min_count=2, special_tokens=["<s>", "</s>"],
+        )
+        assert toks2[:3] == ["<s>", "</s>", "[UNK]"]
+        # the alphabet follows, deduplicated against the head
+        assert "t" in toks2 and len(set(toks2)) == len(toks2)
+
+    def test_budget_counts_specials(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            learn_wordpiece_vocab,
+        )
+
+        corpus = self._corpus(spark, ["ab ab"])
+        # alphabet = a, ##b → head = 2 specials + [UNK] + 2 = 5
+        with pytest.raises(ValueError, match="alphabet needs"):
+            learn_wordpiece_vocab(
+                corpus, 4, min_count=1,
+                special_tokens=["<s>", "</s>"],
+            )
+
+    def test_trained_collision_refuses(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            learn_wordpiece_vocab,
+        )
+
+        # '##ab' is never a literal substring (protection can't
+        # strip it) but the (##a, ##b) merge fuses to exactly it
+        corpus = self._corpus(spark, ["xaby xaby xabz xabz"])
+        with pytest.raises(ValueError, match="collides"):
+            learn_wordpiece_vocab(
+                corpus, 40, min_count=2, special_tokens=["##ab"],
+            )
+
+    def test_scope_errors(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            learn_wordpiece_merges,
+            learn_wordpiece_vocab,
+        )
+
+        corpus = self._corpus(spark, ["the data"])
+        with pytest.raises(ValueError, match="basic_tokenize"):
+            learn_wordpiece_merges(
+                corpus, 2, special_tokens=["<s>"],
+                basic_tokenize=True,
+            )
+        with pytest.raises(ValueError, match="basic_tokenize"):
+            learn_wordpiece_vocab(
+                corpus, 40, special_tokens=["<s>"],
+                basic_tokenize=True,
+            )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            learn_wordpiece_merges(
+                corpus, 2, special_tokens=["<s>"],
+                _words=spark.createDataFrame(
+                    [(["a"], 1)], "syms array<string>, freq long"
+                ),
+            )
+
+    def test_train_serve_round_trip_with_specials(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            learn_wordpiece_vocab,
+            wordpiece_from_tokens,
+            wordpiece_token_ids,
+        )
+
+        corpus = self._corpus(spark, [
+            "the data the data", "thedata thedata",
+        ])
+        toks = learn_wordpiece_vocab(
+            corpus, 60, min_count=2,
+            special_tokens=["[UNK]", "[CLS]", "[SEP]"],
+        )
+        vocab = wordpiece_from_tokens(spark, toks)
+        sids = {t: toks.index(t) for t in ("[CLS]", "[SEP]")}
+        ids = wordpiece_token_ids(
+            self._corpus(spark, ["[CLS]the data[SEP]"]),
+            vocab, out_col="ids", special_tokens=sids,
+        )
+        got = ids.select("ids").collect()[0]["ids"]
+        assert got[0] == toks.index("[CLS]")
+        assert got[-1] == toks.index("[SEP]")
+        assert all(x >= 0 for x in got)

@@ -267,11 +267,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--special-token", action=_AppendFromUnset, default=_UNSET,
         metavar="TEXT", dest="special_token",
-        help="(--source docs) --train-tokenizer bpe: reserve an "
-        "ADDED token (repeatable; e.g. --special-token "
-        "'<|endoftext|>') — its literal text is protected from "
-        "training and it rides at the END of the id space inside "
-        "--vocab-size (the published GPT-2 layout)",
+        help="(--source docs) --train-tokenizer: reserve an ADDED "
+        "token (repeatable; e.g. --special-token '<|endoftext|>') — "
+        "its literal text is protected from training on every "
+        "family; ids follow the published layouts (bpe: END of the "
+        "id space inside --vocab-size, the GPT-2 convention; "
+        "wordpiece: FIRST, inside --vocab-size, the BERT-trainer "
+        "convention; unigram: beyond the piece table in the written "
+        "tokenizer.json).  Not combinable with --basic-tokenize",
     )
     p.add_argument(
         "--byte-level", action="store_true", default=_UNSET,
@@ -494,11 +497,16 @@ def _validate_docs_args(parser, args) -> None:
             )
         if (
             args.special_token is not None
-            and args.train_tokenizer != "bpe"
+            and args.basic_tokenize
         ):
+            # the trainer raises the same contradiction — but a
+            # usage error must not boot a JVM (the
+            # validate-before-get_spark rule)
             parser.error(
-                "--special-token applies only to --train-tokenizer "
-                "bpe"
+                "--special-token with --basic-tokenize is not "
+                "supported: the BasicTokenizer punctuation split "
+                "would mangle the literal special texts before the "
+                "training protection runs"
             )
         if args.special_token is not None:
             # shape check pre-JVM through the trainer's own validator
@@ -688,6 +696,14 @@ def _run_train_tokenizer(spark, args, docs) -> None:
     can express it (BPE needs ≥1 merge; unigram needs the '<unk>'
     text free; WordPiece always can — [UNK] rides at id 0) — serve
     with ``--tokenizer-json``, or load it in external HF tooling.
+
+    ``--special-token`` (r15) protects the literal texts from
+    training on EVERY family and reserves ids per the published
+    layouts — bpe: end of the id space; wordpiece: first; unigram:
+    beyond the piece table in the written tokenizer.json (the
+    parquet artifact carries no ids) — and the written
+    tokenizer.json carries them as added_tokens, so
+    ``--tokenizer-json`` serving emits the reserved ids.
     """
     sf = args.train_sample_fraction
     out = args.out_model
@@ -787,6 +803,7 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         toks = learn_wordpiece_vocab(
             docs, args.vocab_size, sample_fraction=sf,
             basic_tokenize=args.basic_tokenize,
+            special_tokens=args.special_token,
         )
         wp = wordpiece_from_tokens(spark, toks)
         save_wordpiece_vocab(wp, f"{out}/wp_vocab")
@@ -808,6 +825,13 @@ def _run_train_tokenizer(spark, args, docs) -> None:
             spark, wp, f"{out}/tokenizer.json",
             basic_tokenize=args.basic_tokenize,
             max_input_chars_per_word=MAX_INPUT_CHARS_PER_WORD,
+            # trained specials sit FIRST (list order = id) — the
+            # added_tokens overlay restates them at those ids (the
+            # published special-in-vocab layout)
+            special_tokens=(
+                {t: i for i, t in enumerate(args.special_token)}
+                if args.special_token else None
+            ),
         )
         # train/serve grain must match (the help text's warning the
         # r15 basic_tokenize trainer closes): name the serve flag
@@ -827,6 +851,7 @@ def _run_train_tokenizer(spark, args, docs) -> None:
             docs, args.vocab_size, sample_fraction=sf,
             space_marker=args.space_marker,
             prune_rank=args.prune_rank or "count",
+            special_tokens=args.special_token,
         )
         save_unigram_lm(lm, f"{out}/unigram_lm")
         # the published .vocab TSV rides beside the parquet (r15
@@ -838,13 +863,28 @@ def _run_train_tokenizer(spark, args, docs) -> None:
         # '<unk>' text as a piece cannot use the default unk entry
         # — skip with the cause, the artifact is complete without it
         try:
+            from pyspark.sql import functions as F
+
             from wikiextractor_spark.functions.tokenizer_json import (
                 save_tokenizer_json_unigram,
             )
 
+            sp_ids = None
+            if args.special_token:
+                # the unigram artifact carries no ids — reserve the
+                # specials directly after the piece table (unk 0,
+                # pieces 1..n, specials n+1..) in the written file
+                n_pieces = lm.where(
+                    F.col("token").isNotNull()
+                ).count()
+                sp_ids = {
+                    t: n_pieces + 1 + i
+                    for i, t in enumerate(args.special_token)
+                }
             save_tokenizer_json_unigram(
                 spark, lm, f"{out}/tokenizer.json",
                 space_marker=args.space_marker,
+                special_tokens=sp_ids,
             )
             extra = f" and {out}/tokenizer.json"
         except ValueError as e:

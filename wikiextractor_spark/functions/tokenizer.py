@@ -1181,6 +1181,7 @@ def _pretok_word_freq_table(
     sample_fraction: float | None, seed: int,
     pre_tokenizer: str | None, byte_level: bool,
     special_pat: str | None = None,
+    symbols: bool = True,
 ):
     """The distinct PRE-TOKEN frequency table for byte-level /
     pre-tokenized BPE training (r15): per text one Arrow-batched
@@ -1195,7 +1196,9 @@ def _pretok_word_freq_table(
     handle, which the CALLER must ``unpersist()`` once its eager
     checkpoint has materialized the table (the frame is lazy, so the
     function cannot know when consumption ends).  NULL text
-    contributes nothing.
+    contributes nothing.  ``symbols=False`` (r15) returns the
+    word-grain ``(w, freq)`` shape instead — the unigram trainer's
+    word table, which wants the word string, not its symbol split.
 
     Scale shape: identical to :func:`_word_freq_table` — ONE
     map-side-combinable shuffle over the (optionally sampled) corpus;
@@ -1243,11 +1246,12 @@ def _pretok_word_freq_table(
         src.select(F.explode(_ptoks(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
-        .select(
+    )
+    if symbols:
+        frame = frame.select(
             F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
             "freq",
         )
-    )
     return frame, bc
 
 

@@ -671,37 +671,51 @@ MAX_SEED_SIZE = 200_000
 MAX_EM_WORD_LEN = 512
 
 
-def _word_table(df, text_col, sample_fraction, seed, prefix=""):
-    """``(w, freq)`` distinct-word table at the engine's whitespace
-    grain — the :func:`tokenizer._word_freq_table` shuffle WITHOUT
-    the symbol projection (the EM lattice wants the word string).
-    ``prefix`` (r15): the SentencePiece space marker prepended to
-    every word AFTER the aggregation (one native concat over the
-    distinct-word rows — the ``add_dummy_prefix`` training shape,
-    matching exactly what the serving kernels' per-word ``prefix``
-    does before the DP)."""
+def _word_table(df, text_col, sample_fraction, seed, prefix="",
+                special_pat=None):
+    """``((w, freq), broadcast|None)`` distinct-word table at the
+    engine's whitespace grain — the :func:`tokenizer.
+    _word_freq_table` shuffle WITHOUT the symbol projection (the EM
+    lattice wants the word string).  ``prefix`` (r15): the
+    SentencePiece space marker prepended to every word AFTER the
+    aggregation (one native concat over the distinct-word rows — the
+    ``add_dummy_prefix`` training shape, matching exactly what the
+    serving kernels' per-word ``prefix`` does before the DP).
+    ``special_pat`` (r15): the protected-specials kernel path
+    (:func:`tokenizer._pretok_word_freq_table` at the word grain) —
+    literal special texts split out before the word split; the
+    CALLER must ``unpersist()`` the returned broadcast once its
+    eager checkpoint has materialized the table."""
     from wikiextractor_spark.functions.tokenizer import (
         WS_SPLIT_PATTERN_JVM,
+        _pretok_word_freq_table,
     )
 
-    src = df
-    if sample_fraction is not None:
-        src = src.sample(fraction=sample_fraction, seed=seed)
-    out = (
-        src.select(
-            F.explode(
-                F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
-            ).alias("w")
+    if special_pat is not None:
+        out, bc = _pretok_word_freq_table(
+            df, text_col, sample_fraction, seed, None, False,
+            special_pat=special_pat, symbols=False,
         )
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-    )
+    else:
+        src = df
+        if sample_fraction is not None:
+            src = src.sample(fraction=sample_fraction, seed=seed)
+        out = (
+            src.select(
+                F.explode(
+                    F.split(F.col(text_col), WS_SPLIT_PATTERN_JVM)
+                ).alias("w")
+            )
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+        )
+        bc = None
     if prefix:
         out = out.select(
             F.concat(F.lit(prefix), F.col("w")).alias("w"), "freq"
         )
-    return out
+    return out, bc
 
 
 def unigram_seed_pieces(
@@ -744,11 +758,12 @@ def unigram_seed_pieces(
             "mutually exclusive — prefix the pre-built word table "
             "yourself (learn_unigram_lm does)"
         )
-    words = (
-        _word_table(df, text_col, sample_fraction, seed, prefix=marker)
-        if _words is None
-        else _words
-    )
+    if _words is None:
+        words, _bc = _word_table(
+            df, text_col, sample_fraction, seed, prefix=marker
+        )
+    else:
+        words = _words
     subs = F.expr(
         f"""
         flatten(transform(sequence(1, least(length(w), {max_piece_len})),
@@ -911,6 +926,7 @@ def learn_unigram_lm(
     sample_fraction: float | None = None, seed: int = 0,
     space_marker: str | None = None,
     prune_rank: str = "count",
+    special_tokens: list[str] | None = None,
 ) -> DataFrame:
     """TRAIN a unigram LM on the corpus — the SentencePiece recipe
     (Kudo 2018): seed a large candidate vocabulary from frequent
@@ -972,6 +988,18 @@ def learn_unigram_lm(
     zero marker-prefixed pieces — train with the same
     ``space_marker`` you serve with.
 
+    ``special_tokens`` (r15, the BPE/WordPiece trainers' protection
+    on this family): the literal texts split out of the corpus
+    BEFORE the word grain — they contribute nothing to the seed
+    candidates or the EM lattice (a corpus containing engine output
+    re-ingested as text must not train marker fragments), and since
+    the protection removes the whole literal from every word, no
+    trained piece can ever equal a special's text.  The unigram
+    artifact carries no ids, so RESERVATION happens at serve/export:
+    pass ``special_tokens={text: id}`` to the serving kernels, or
+    let the tokenizer.json exporter place them beyond the piece
+    table (the CLI train leg does).
+
     Scale shape: one distinct-word shuffle up front; each EM pass is
     one Arrow kernel over that table + one map-side-combined
     groupBy(piece) collect (≤ seed_size rows, the driver-sized
@@ -980,10 +1008,14 @@ def learn_unigram_lm(
     ``sample_fraction`` bounds the corpus scan at web scale (the
     learn_bpe_merges trade)."""
     from wikiextractor_spark.functions.tokenizer import (
+        _check_train_specials,
         _release_local_checkpoint,
     )
 
     marker = _check_marker(space_marker, "learn_unigram_lm")
+    _sp_texts, sp_pat = _check_train_specials(
+        special_tokens, "learn_unigram_lm"
+    )
     if prune_rank not in ("count", "loss"):
         raise ValueError(
             f"learn_unigram_lm: prune_rank must be 'count' or "
@@ -1011,9 +1043,18 @@ def learn_unigram_lm(
             f"learn_unigram_lm: n_em_iters must be >= 1, got "
             f"{n_em_iters}"
         )
-    words = _word_table(
-        df, text_col, sample_fraction, seed, prefix=marker
-    ).localCheckpoint(eager=True)
+    frame, bc = _word_table(
+        df, text_col, sample_fraction, seed, prefix=marker,
+        special_pat=sp_pat,
+    )
+    try:
+        words = frame.localCheckpoint(eager=True)
+    finally:
+        # the protected-kernel broadcast's only consumer is the
+        # checkpoint job — release even when it fails (the
+        # train_bpe_tokenizer discipline)
+        if bc is not None:
+            bc.unpersist()
     try:
         seed_df = unigram_seed_pieces(
             df, text_col, max_piece_len=max_piece_len, _words=words

@@ -485,26 +485,45 @@ def basic_tokenize_text(
 # --------------------------------------------------------------------------
 
 def _wp_word_table(df, text_col, sample_fraction, seed,
-                   basic_tokenize=False):
-    """(syms array<string>, freq) at the WordPiece grain — the shared
-    distinct-word shuffle of :func:`tokenizer._word_freq_table` with
-    the continuation-marker transform applied on top (one home for
-    the pre-tokenization/sampling grain).  ``basic_tokenize`` (r15):
+                   basic_tokenize=False, special_pat=None):
+    """``((syms array<string>, freq), broadcast|None)`` at the
+    WordPiece grain — the shared distinct-word shuffle of
+    :func:`tokenizer._word_freq_table` with the continuation-marker
+    transform applied on top (one home for the
+    pre-tokenization/sampling grain).  ``basic_tokenize`` (r15):
     the text runs through :func:`basic_tokenize_text` FIRST — one
     extra native projection (plus the accent-strip Arrow kernel), so
     training sees exactly the grain ``--basic-tokenize`` serving
-    normalizes to."""
-    from wikiextractor_spark.functions.tokenizer import _word_freq_table
+    normalizes to.  ``special_pat`` (r15): the protected-specials
+    kernel path (:func:`tokenizer._pretok_word_freq_table` at the
+    whitespace grain) — the literal special texts split out before
+    the word split and contribute NOTHING to the statistics; the
+    CALLER must ``unpersist()`` the returned broadcast once its
+    eager checkpoint has materialized the table."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _pretok_word_freq_table,
+        _word_freq_table,
+    )
 
     if basic_tokenize:
         df = df.select(basic_tokenize_text(text_col).alias(text_col))
-    return _word_freq_table(df, text_col, sample_fraction, seed).select(
+    if special_pat is not None:
+        base, bc = _pretok_word_freq_table(
+            df, text_col, sample_fraction, seed, None, False,
+            special_pat=special_pat,
+        )
+    else:
+        base, bc = (
+            _word_freq_table(df, text_col, sample_fraction, seed),
+            None,
+        )
+    return base.select(
         F.expr(
             "transform(syms, (x, i) -> "
             "CASE WHEN i = 0 THEN x ELSE '##' || x END)"
         ).alias("syms"),
         "freq",
-    )
+    ), bc
 
 
 def _fuse_wp(a: str, b: str) -> str:
@@ -514,11 +533,39 @@ def _fuse_wp(a: str, b: str) -> str:
     return a + (b[2:] if b.startswith("##") else b)
 
 
+def _check_wp_specials_scope(
+    sp_pat, basic_tokenize: bool, _words, caller: str,
+) -> None:
+    """Shared WordPiece-trainer specials scope rules: a pre-built
+    word table already fixed the grain (silently unprotected
+    training would follow — the seed-grain-contradiction rule), and
+    ``basic_tokenize`` normalization would MANGLE the literal
+    special texts (its punctuation split runs before the protection
+    could see them) — both raise rather than train a subtly wrong
+    artifact."""
+    if sp_pat is None:
+        return
+    if _words is not None:
+        raise ValueError(
+            f"{caller}: special_tokens and _words are mutually "
+            "exclusive — the pre-built word table already fixed the "
+            "grain, so the protection could not apply"
+        )
+    if basic_tokenize:
+        raise ValueError(
+            f"{caller}: special_tokens with basic_tokenize is not "
+            "supported — the BasicTokenizer punctuation split would "
+            "mangle the literal special texts before the protection "
+            "runs; strip the specials upstream or train raw-grain"
+        )
+
+
 def learn_wordpiece_merges(
     df: DataFrame, n_merges: int, text_col: str = "text",
     min_count: int = 2, sample_fraction: float | None = None,
     seed: int = 0, _words: DataFrame | None = None,
     *, basic_tokenize: bool = False,
+    special_tokens: list[str] | None = None,
 ) -> list[tuple[str, str, str, int]]:
     """TRAIN WordPiece merges on the corpus — the published
     likelihood-scored rule (Schuster & Nakajima 2012, as implemented
@@ -562,6 +609,19 @@ def learn_wordpiece_merges(
     word.  Ignored when ``_words`` is supplied (the grain is already
     fixed; :func:`learn_wordpiece_vocab` passes the right table).
 
+    ``special_tokens`` (r15, the BPE trainer's protection on this
+    family): the literal texts are PROTECTED from training — split
+    out before the word split, contributing nothing to the pair or
+    symbol statistics (a corpus containing engine output re-ingested
+    as text must not train marker fragments).  Mutually exclusive
+    with ``_words`` (the grain is already fixed — the
+    seed-grain-contradiction rule) and with ``basic_tokenize`` (the
+    punctuation split would mangle the literal texts before the
+    protection could see them — pre-normalize specials out upstream
+    if both are needed).  Id RESERVATION is the vocabulary builder's
+    job (:func:`learn_wordpiece_vocab` places them FIRST, the
+    published BERT-trainer layout).
+
     Scale shape: the :func:`learn_bpe_merges` discipline — one
     distinct-word shuffle up front, each round two map-side-combined
     aggregations over the full distinct-word table (pair counts +
@@ -574,6 +634,7 @@ def learn_wordpiece_merges(
     blocks released."""
     from wikiextractor_spark.functions.tokenizer import (
         _ADJ_PAIRS,
+        _check_train_specials,
         _merge_fold,
         _release_local_checkpoint,
     )
@@ -582,16 +643,30 @@ def learn_wordpiece_merges(
         raise ValueError("learn_wordpiece_merges: n_merges must be >= 0")
     if min_count < 1:
         raise ValueError("learn_wordpiece_merges: min_count must be >= 1")
+    _texts, sp_pat = _check_train_specials(
+        special_tokens, "learn_wordpiece_merges"
+    )
+    _check_wp_specials_scope(
+        sp_pat, basic_tokenize, _words, "learn_wordpiece_merges"
+    )
     # checkpoint ONLY a table we build ourselves: a caller-supplied
     # _words is already checkpointed (learn_wordpiece_vocab), and
     # re-checkpointing it would materialize a byte-identical second
     # copy of the full word table (r14 third review); ownership
     # tracking keeps the releases to frames THIS function created
     if _words is None:
-        words = _wp_word_table(
+        frame, bc = _wp_word_table(
             df, text_col, sample_fraction, seed,
-            basic_tokenize=basic_tokenize,
-        ).localCheckpoint(eager=True)
+            basic_tokenize=basic_tokenize, special_pat=sp_pat,
+        )
+        try:
+            words = frame.localCheckpoint(eager=True)
+        finally:
+            # the protected-kernel broadcast's only consumer is the
+            # checkpoint job — release even when it fails (the
+            # train_bpe_tokenizer discipline)
+            if bc is not None:
+                bc.unpersist()
         owns_current = True
     else:
         words = _words
@@ -667,6 +742,7 @@ def learn_wordpiece_vocab(
     unk_token: str = "[UNK]", min_count: int = 2,
     sample_fraction: float | None = None, seed: int = 0,
     *, basic_tokenize: bool = False,
+    special_tokens: list[str] | None = None,
 ) -> list[str]:
     """TRAIN a complete serving vocabulary (``basic_tokenize``
     trains the published uncased grain — see
@@ -681,17 +757,49 @@ def learn_wordpiece_vocab(
     the alphabet alone exceeds the budget (truncating it would
     silently UNK entire character classes).  Feed the returned list
     straight to :func:`wordpiece_from_tokens` (pytest pins the full
-    train→serve round trip)."""
+    train→serve round trip).
+
+    ``special_tokens`` (r15): reserved tokens at the FRONT of the id
+    space in caller order — the published HF WordPiece-trainer
+    layout (``[PAD], [UNK], [CLS], [SEP], [MASK]`` at ids 0..4) —
+    their literal texts PROTECTED from training (see
+    :func:`learn_wordpiece_merges`) and counted inside the
+    ``vocab_size`` budget.  ``unk_token`` keeps its role as the
+    serving OOV entry: when it appears in ``special_tokens`` its id
+    is its list position; otherwise it rides directly after the
+    specials (the r14 layout with an offset).  A special whose text
+    equals an alphabet character is the character's reservation (it
+    moves to the front, not duplicated); a trained MERGE output
+    colliding with a special's text refuses (the
+    :func:`~wikiextractor_spark.functions.tokenizer.
+    train_bpe_tokenizer` rule — the corpus trained the literal text
+    through some other grain, and double-booking would be silent).
+    Mutually exclusive with ``basic_tokenize`` (same reason as the
+    merges trainer)."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _check_train_specials,
+    )
+
     if vocab_size < 1:
         raise ValueError(
             f"learn_wordpiece_vocab: vocab_size must be >= 1, got "
             f"{vocab_size}"
         )
-    words = _wp_word_table(
-        df, text_col, sample_fraction, seed,
-        basic_tokenize=basic_tokenize,
+    sp_texts, sp_pat = _check_train_specials(
+        special_tokens, "learn_wordpiece_vocab"
     )
-    words = words.localCheckpoint(eager=True)
+    _check_wp_specials_scope(
+        sp_pat, basic_tokenize, None, "learn_wordpiece_vocab"
+    )
+    frame, bc = _wp_word_table(
+        df, text_col, sample_fraction, seed,
+        basic_tokenize=basic_tokenize, special_pat=sp_pat,
+    )
+    try:
+        words = frame.localCheckpoint(eager=True)
+    finally:
+        if bc is not None:
+            bc.unpersist()
     try:
         alphabet = sorted(
             r["s"]
@@ -699,18 +807,36 @@ def learn_wordpiece_vocab(
                 F.explode("syms").alias("s")
             ).distinct().collect()
         )
-        head = [unk_token] + [t for t in alphabet if t != unk_token]
+        # specials FIRST in caller order (the published trainer
+        # layout), then the unk entry unless it IS one of them, then
+        # the alphabet minus anything already placed
+        head = list(sp_texts)
+        if unk_token not in head:
+            head.append(unk_token)
+        placed = set(head)
+        head += [t for t in alphabet if t not in placed]
         if vocab_size < len(head):
             raise ValueError(
                 f"learn_wordpiece_vocab: the alphabet needs "
-                f"{len(head)} entries but vocab_size is {vocab_size} "
-                "— truncating the alphabet would silently UNK whole "
-                "character classes; raise vocab_size"
+                f"{len(head)} entries (incl. reserved specials and "
+                f"the unk entry) but vocab_size is {vocab_size} — "
+                "truncating would silently UNK whole character "
+                "classes; raise vocab_size"
             )
         merges = learn_wordpiece_merges(
             df, vocab_size - len(head), text_col=text_col,
             min_count=min_count, _words=words,
         )
+        collide = sorted(
+            {f for _a, _b, f, _c in merges} & set(sp_texts)
+        )
+        if collide:
+            raise ValueError(
+                f"learn_wordpiece_vocab: special token "
+                f"{collide[0]!r} collides with a trained vocabulary "
+                "entry — the corpus trained the literal text through "
+                "some other grain; pick different special texts"
+            )
         # first occurrence wins (the train_bpe_tokenizer dedup
         # discipline): a fused token can collide with an alphabet
         # entry or an earlier merge when words literally carry the
