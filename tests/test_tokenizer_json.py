@@ -169,9 +169,10 @@ class TestBpe:
 
     def test_import_published_shapes(self, spark, tmp_path):
         """A hand-written GPT-2-shape file: merges as [l, r] pairs
-        (the current serialization), a post_processor block
-        (recorded, not fatal), the special in BOTH added_tokens and
-        model.vocab."""
+        (the current serialization), the offsets-only ByteLevel
+        post_processor (no template, no divergence — it never
+        touches the id stream), the special in BOTH added_tokens
+        and model.vocab."""
         p = str(tmp_path / "gpt2.json")
         obj = {
             "version": "1.0",
@@ -204,7 +205,8 @@ class TestBpe:
         assert m.byte_level is True
         assert m.special_tokens == {"<|eot|>": 5}
         assert m.merges == {("t", "h"): 0.0, ("th", "e"): 1.0}
-        assert "post_processor" in m.divergences
+        assert m.divergences == ()
+        assert (m.template_prefix, m.template_suffix) == ((), ())
         ids = tokenizer_json_token_ids(
             spark.createDataFrame(
                 [(1, "the<|eot|>the")], "doc_id long, text string"
@@ -612,4 +614,145 @@ class TestUnigram:
         with pytest.raises(ValueError, match="marker"):
             save_tokenizer_json_unigram(
                 spark, self._lm(spark), p, space_marker="▁",
+            )
+
+
+# -------------------------------------------------------------------------
+# post_processor templates (r15)
+# -------------------------------------------------------------------------
+
+class TestTemplates:
+    def _bert_file(self, tmp_path, pp):
+        obj = {
+            "added_tokens": [
+                {"id": 0, "content": "[CLS]", "special": True},
+                {"id": 1, "content": "[SEP]", "special": True},
+            ],
+            "post_processor": pp,
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": {
+                    "[CLS]": 0, "[SEP]": 1, "[UNK]": 2, "the": 3,
+                    "dat": 4, "##a": 5,
+                },
+            },
+        }
+        p = str(tmp_path / "bert.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        return p
+
+    TEMPLATE_PP = {
+        "type": "TemplateProcessing",
+        "single": [
+            {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+            {"Sequence": {"id": "A", "type_id": 0}},
+            {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        ],
+        "pair": [
+            {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+            {"Sequence": {"id": "A", "type_id": 0}},
+            {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+            {"Sequence": {"id": "B", "type_id": 1}},
+            {"SpecialToken": {"id": "[SEP]", "type_id": 1}},
+        ],
+        "special_tokens": {
+            "[CLS]": {"id": "[CLS]", "ids": [0], "tokens": ["[CLS]"]},
+            "[SEP]": {"id": "[SEP]", "ids": [1], "tokens": ["[SEP]"]},
+        },
+    }
+
+    def test_template_processing_single(self, spark, tmp_path):
+        p = self._bert_file(tmp_path, self.TEMPLATE_PP)
+        m = load_tokenizer_json(spark, p)
+        assert m.template_prefix == (0,)
+        assert m.template_suffix == (1,)
+        # the pair template stays a stated divergence
+        assert "post_processor:pair" in m.divergences
+        docs = spark.createDataFrame(
+            [(1, "the data"), (2, None)], "doc_id long, text string",
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        assert _col(ids, "ids") == [[0, 3, 4, 5, 1], None]
+        # the published add_special_tokens=False escape hatch
+        body = tokenizer_json_token_ids(
+            docs, m, out_col="ids", add_special_tokens=False,
+        )
+        assert _col(body, "ids") == [[3, 4, 5], None]
+        # decode renders the template specials verbatim
+        dec = tokenizer_json_decode_ids(ids, m, ids_col="ids",
+                                        out_col="dec")
+        assert _col(dec, "dec") == ["[CLS] the data [SEP]", None]
+
+    def test_bert_and_roberta_processing(self, spark, tmp_path):
+        for t in ("BertProcessing", "RobertaProcessing"):
+            p = self._bert_file(tmp_path, {
+                "type": t, "sep": ["[SEP]", 1], "cls": ["[CLS]", 0],
+            })
+            m = load_tokenizer_json(spark, p)
+            assert m.template_prefix == (0,)
+            assert m.template_suffix == (1,)
+            assert m.divergences == ()
+
+    def test_unknown_post_processor_still_divergence(
+        self, spark, tmp_path,
+    ):
+        p = self._bert_file(tmp_path, {"type": "Exotic"})
+        m = load_tokenizer_json(spark, p)
+        assert "post_processor" in m.divergences
+        assert (m.template_prefix, m.template_suffix) == ((), ())
+
+    def test_template_contracts(self, spark, tmp_path):
+        for mutate, msg in [
+            (lambda pp: pp["single"].__setitem__(
+                1, {"Sequence": {"id": "B", "type_id": 0}}
+            ), "sequence A"),
+            (lambda pp: pp["special_tokens"]["[CLS]"].update(
+                ids=[0, 1]
+            ), "exactly one id"),
+            (lambda pp: pp.update(single=[
+                {"SpecialToken": {"id": "[CLS]", "type_id": 0}}
+            ]), "never references"),
+            (lambda pp: pp["single"].__setitem__(
+                0, {"SpecialToken": {"id": "<missing>",
+                                     "type_id": 0}}
+            ), "exactly one id"),
+        ]:
+            pp = json.loads(json.dumps(self.TEMPLATE_PP))
+            mutate(pp)
+            p = self._bert_file(tmp_path, pp)
+            with pytest.raises(ValueError, match=msg):
+                load_tokenizer_json(spark, p)
+
+    def test_export_template_round_trip(self, spark, tmp_path):
+        from wikiextractor_spark.functions.wordpiece import (
+            wordpiece_from_tokens,
+        )
+
+        vocab = wordpiece_from_tokens(
+            spark, ["[CLS]", "[SEP]", "[UNK]", "the", "dat", "##a"]
+        )
+        p = str(tmp_path / "tokenizer.json")
+        save_tokenizer_json_wordpiece(
+            spark, vocab, p,
+            special_tokens={"[CLS]": 0, "[SEP]": 1},
+            template=(["[CLS]"], ["[SEP]"]),
+        )
+        m = load_tokenizer_json(spark, p)
+        assert m.template_prefix == (0,)
+        assert m.template_suffix == (1,)
+        # re-export byte identity through the parsed model
+        p2 = str(tmp_path / "again.json")
+        save_tokenizer_json_wordpiece(
+            spark, m.vocab, p2,
+            special_tokens=m.special_tokens,
+            template=(["[CLS]"], ["[SEP]"]),
+        )
+        assert _read(spark, p) == _read(spark, p2)
+        # a template text that is not a declared special refuses
+        with pytest.raises(ValueError, match="declared special"):
+            save_tokenizer_json_wordpiece(
+                spark, vocab, p, template=(["[CLS]"], []),
             )

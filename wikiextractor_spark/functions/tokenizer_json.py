@@ -24,12 +24,18 @@ Import policy (the engine-wide raise-don't-guess discipline):
   cannot reproduce RAISE (a ``Whitespace`` pre-tokenizer's
   ``\\w+|[^\\w\\s]+`` grain, ``ignore_merges``, ``byte_fallback``,
   BPE dropout, a non-``##`` WordPiece continuation prefix);
+* the post_processor's SINGLE-SEQUENCE shapes serve FAITHFULLY
+  (r15): ``TemplateProcessing.single``, ``BertProcessing``, and
+  ``RobertaProcessing`` become prefix/suffix template ids applied as
+  one native array concat around the body (``add_special_tokens``
+  on the dispatch mirrors the published encode flag);
 * blocks that are stated engine divergences elsewhere are ACCEPTED
-  and recorded on the returned model's ``divergences`` tuple:
-  ``post_processor`` (the engine emits body ids; sequence boundaries
-  come from :func:`~wikiextractor_spark.operators.packing.
-  assemble_packs`' ``sep_id``), the SentencePiece ``Precompiled``
-  charsmap normalizer (the engine serves un-normalized text — run
+  and recorded on the returned model's ``divergences`` tuple: a
+  PAIR template (the engine tokenizes single sequences — pair
+  boundaries come from :func:`~wikiextractor_spark.operators.
+  packing.assemble_packs`' ``sep_id``), the SentencePiece
+  ``Precompiled`` charsmap normalizer (the engine serves
+  un-normalized text — run
   :mod:`~wikiextractor_spark.functions.normalize` upstream),
   ``BertNormalizer``'s ``clean_text``/``handle_chinese_chars`` (the
   stated :func:`basic_tokenize_text` divergence).
@@ -58,7 +64,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from wikiextractor_spark.functions.tokenizer import (
     VOCAB_SCHEMA,
@@ -106,8 +112,15 @@ class TokenizerJsonModel:
     space_marker: str | None = None   # unigram Metaspace grain
     unk_token: str | None = None      # wordpiece unk entry text
     max_input_chars_per_word: int = 100
+    #: post_processor template ids around the body (r15): the
+    #: single-sequence TemplateProcessing / BertProcessing /
+    #: RobertaProcessing shapes serve FAITHFULLY — prefix ids, then
+    #: the tokenized body, then suffix ids (a native array concat)
+    template_prefix: tuple = ()
+    template_suffix: tuple = ()
     #: component blocks accepted with a STATED divergence (see module
-    #: docstring), e.g. ('post_processor', 'normalizer:Precompiled')
+    #: docstring), e.g. ('post_processor:pair',
+    #: 'normalizer:Precompiled')
     divergences: tuple = ()
 
 
@@ -254,6 +267,110 @@ def _merge_pairs(model: dict, caller: str) -> dict:
             )
         ranks[key] = float(len(ranks))
     return ranks
+
+
+def _template_ids(
+    obj: dict, caller: str,
+) -> tuple[tuple, tuple, list[str]]:
+    """The post_processor block as ``(prefix ids, suffix ids,
+    divergences)`` — the single-sequence serving upgrade (r15):
+
+    * ``null`` and ``ByteLevel`` (offsets-only, no id-stream effect)
+      → no template, no divergence;
+    * ``BertProcessing`` / ``RobertaProcessing`` → their cls/sep
+      entries as one prefix and one suffix id;
+    * ``TemplateProcessing`` → the ``single`` template parsed
+      element-wise (specials resolved through the block's own
+      ``special_tokens`` id table; each must resolve to exactly ONE
+      id); a ``pair`` template is recorded as a stated divergence —
+      the engine tokenizes single sequences;
+    * anything else → recorded as the stated ``post_processor``
+      divergence (the pre-upgrade behavior)."""
+    pp = obj.get("post_processor")
+    if pp is None:
+        return (), (), []
+    if not isinstance(pp, dict) or not isinstance(pp.get("type"), str):
+        raise ValueError(
+            f"{caller}: post_processor must be null or an object "
+            f"with a string 'type', got {pp!r}"
+        )
+    t = pp["type"]
+    if t == "ByteLevel":
+        return (), (), []
+    if t in ("BertProcessing", "RobertaProcessing"):
+        out = []
+        for k in ("cls", "sep"):
+            e = pp.get(k)
+            if (
+                not isinstance(e, (list, tuple)) or len(e) != 2
+                or not isinstance(e[0], str)
+            ):
+                raise ValueError(
+                    f"{caller}: {t}.{k} must be [token, id], got "
+                    f"{e!r}"
+                )
+            out.append(
+                _check_embedding_id(caller, f"{t}.{k}", e[1])
+            )
+        return (out[0],), (out[1],), []
+    if t == "TemplateProcessing":
+        single = pp.get("single")
+        if not isinstance(single, list) or not single:
+            raise ValueError(
+                f"{caller}: TemplateProcessing.single must be a "
+                "non-empty element list"
+            )
+        sp_map = pp.get("special_tokens") or {}
+        prefix: list[int] = []
+        suffix: list[int] = []
+        seen_seq = False
+        for el in single:
+            if not isinstance(el, dict) or len(el) != 1:
+                raise ValueError(
+                    f"{caller}: malformed template element {el!r}"
+                )
+            if "Sequence" in el:
+                seq = el["Sequence"]
+                if not isinstance(seq, dict) or seq.get("id") != "A":
+                    raise ValueError(
+                        f"{caller}: the single template must "
+                        f"reference sequence A, got {seq!r}"
+                    )
+                if seen_seq:
+                    raise ValueError(
+                        f"{caller}: the single template references "
+                        "sequence A twice"
+                    )
+                seen_seq = True
+            elif "SpecialToken" in el:
+                name = el["SpecialToken"].get("id")
+                ent = sp_map.get(name)
+                ids = ent.get("ids") if isinstance(ent, dict) else None
+                if not isinstance(ids, list) or len(ids) != 1:
+                    raise ValueError(
+                        f"{caller}: template special {name!r} must "
+                        "resolve to exactly one id through the "
+                        "block's special_tokens table, got "
+                        f"{ids!r}"
+                    )
+                (suffix if seen_seq else prefix).append(
+                    _check_embedding_id(
+                        caller, f"template special {name!r}", ids[0]
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"{caller}: unsupported template element "
+                    f"{el!r} — Sequence and SpecialToken only"
+                )
+        if not seen_seq:
+            raise ValueError(
+                f"{caller}: the single template never references "
+                "sequence A — the body would be dropped"
+            )
+        divs = ["post_processor:pair"] if pp.get("pair") else []
+        return tuple(prefix), tuple(suffix), divs
+    return (), (), ["post_processor"]
 
 
 def _check_added_vs_vocab(
@@ -664,30 +781,37 @@ def load_tokenizer_json(
         )
     fam = model.get("type")
     specials = _added_tokens(obj, caller)
-    divergences: list[str] = []
-    if obj.get("post_processor") is not None:
-        # TemplateProcessing and friends add boundary tokens around
-        # the body — the engine emits body ids and the packing
-        # operator owns boundaries (sep_id); stated divergence
-        divergences.append("post_processor")
+    # the single-sequence template upgrade (r15): BertProcessing /
+    # RobertaProcessing / TemplateProcessing.single serve FAITHFULLY
+    # as prefix/suffix ids; only pair templates and unknown types
+    # remain stated divergences
+    tpre, tsuf, divergences = _template_ids(obj, caller)
     if fam == "BPE":
-        return _import_bpe(
+        out = _import_bpe(
             spark, obj, model, specials, oov_tokens_per_char,
             divergences, caller,
         )
-    if fam == "WordPiece":
-        return _import_wordpiece(
+    elif fam == "WordPiece":
+        out = _import_wordpiece(
             spark, obj, model, specials, divergences, caller
         )
-    if fam == "Unigram":
-        return _import_unigram(
+    elif fam == "Unigram":
+        out = _import_unigram(
             spark, obj, model, specials, unk_logprob, divergences,
             caller,
         )
-    raise ValueError(
-        f"{caller}: unsupported model.type {fam!r} — the engine "
-        "serves BPE, WordPiece, and Unigram"
-    )
+    else:
+        raise ValueError(
+            f"{caller}: unsupported model.type {fam!r} — the engine "
+            "serves BPE, WordPiece, and Unigram"
+        )
+    if tpre or tsuf:
+        from dataclasses import replace
+
+        out = replace(
+            out, template_prefix=tpre, template_suffix=tsuf
+        )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -719,13 +843,39 @@ def _basic_grain(df: DataFrame, model: TokenizerJsonModel,
     )
 
 
+def _with_template(
+    df: DataFrame, model: TokenizerJsonModel, out_col: str,
+) -> DataFrame:
+    """The post_processor single-sequence template applied natively:
+    prefix ids ++ body ++ suffix ids, one JVM array concat inside
+    codegen (no kernel, no shuffle); NULL streams stay NULL."""
+    if not (model.template_prefix or model.template_suffix):
+        return df
+    parts = []
+    if model.template_prefix:
+        parts.append(F.array(*[
+            F.lit(i).cast("long") for i in model.template_prefix
+        ]))
+    parts.append(F.col(out_col))
+    if model.template_suffix:
+        parts.append(F.array(*[
+            F.lit(i).cast("long") for i in model.template_suffix
+        ]))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(out_col).isNotNull(), F.concat(*parts)),
+    )
+
+
 def tokenizer_json_token_ids(
     df: DataFrame, model: TokenizerJsonModel,
     text_col: str = "text", out_col: str = "token_ids",
+    add_special_tokens: bool = True,
 ) -> DataFrame:
     """Attach ``out_col``: the text tokenized to an ``array<long>``
     of ids under the loaded file's FULL configuration — family
-    kernel, grain flags, added-token overlay — so one call serves
+    kernel, grain flags, added-token overlay, and (r15) the
+    post_processor single-sequence template — so one call serves
     whatever the file says (the ``AutoTokenizer`` shape).  Routes to
     :func:`~wikiextractor_spark.functions.tokenizer.bpe_token_ids` /
     :func:`~wikiextractor_spark.functions.wordpiece.
@@ -733,7 +883,21 @@ def tokenizer_json_token_ids(
     unigram.unigram_token_ids` with the model's flags; unigram
     serves the PUBLISHED numbering (``token_ids`` = file positions)
     with ``oversize_word='chars'`` (crawl blobs degrade, never
-    abort — the CLI serving default)."""
+    abort — the CLI serving default).  ``add_special_tokens``
+    mirrors the published encode flag: True (default) wraps the
+    body in the file's template ids (a native array concat);
+    False emits the body only."""
+    out = _tjn_body_ids(df, model, text_col, out_col)
+    return (
+        _with_template(out, model, out_col)
+        if add_special_tokens else out
+    )
+
+
+def _tjn_body_ids(
+    df: DataFrame, model: TokenizerJsonModel,
+    text_col: str, out_col: str,
+) -> DataFrame:
     if model.family == "bpe":
         from wikiextractor_spark.functions.tokenizer import (
             GPT2_PRETOKENIZER_PATTERN,
@@ -834,8 +998,56 @@ def _added_entries(sids: dict[str, int] | None) -> list[dict]:
     ]
 
 
+def _template_block(
+    template, sids: dict[str, int] | None, caller: str,
+):
+    """The export-side inverse of :func:`_template_ids`'s
+    TemplateProcessing parse: ``template = (prefix texts, suffix
+    texts)``, every text a declared special (the ids the template
+    resolves to are the added_tokens ids, so import and serving
+    agree by construction)."""
+    if template is None:
+        return None
+    if (
+        not isinstance(template, (list, tuple)) or len(template) != 2
+        or not all(isinstance(p, (list, tuple)) for p in template)
+    ):
+        raise ValueError(
+            f"{caller}: template must be (prefix texts, suffix "
+            f"texts), got {template!r}"
+        )
+    pre, suf = [list(p) for p in template]
+    texts = pre + suf
+    if not texts:
+        raise ValueError(
+            f"{caller}: an empty template expresses nothing — pass "
+            "template=None"
+        )
+    missing = [t for t in texts if t not in (sids or {})]
+    if missing:
+        raise ValueError(
+            f"{caller}: template text {missing[0]!r} is not a "
+            "declared special token — the template could not "
+            "resolve its id"
+        )
+    def el(t):
+        return {"SpecialToken": {"id": t, "type_id": 0}}
+
+    return {
+        "type": "TemplateProcessing",
+        "single": [el(t) for t in pre]
+        + [{"Sequence": {"id": "A", "type_id": 0}}]
+        + [el(t) for t in suf],
+        "pair": None,
+        "special_tokens": {
+            t: {"id": t, "ids": [sids[t]], "tokens": [t]}
+            for t in dict.fromkeys(texts)
+        },
+    }
+
+
 def _emit(spark, path: str, *, model: dict, normalizer, pre_tokenizer,
-          decoder, added: list[dict]) -> None:
+          decoder, added: list[dict], post_processor=None) -> None:
     obj = {
         "version": "1.0",
         "truncation": None,
@@ -843,7 +1055,7 @@ def _emit(spark, path: str, *, model: dict, normalizer, pre_tokenizer,
         "added_tokens": added,
         "normalizer": normalizer,
         "pre_tokenizer": pre_tokenizer,
-        "post_processor": None,
+        "post_processor": post_processor,
         "decoder": decoder,
         "model": model,
     }
@@ -868,6 +1080,7 @@ def save_tokenizer_json_bpe(
     spark, vocab: DataFrame, merges: dict, path: str, *,
     byte_level: bool = False,
     special_tokens: dict[str, int] | None = None,
+    template: tuple | None = None,
 ) -> None:
     """Export a BPE artifact pair as a single ``tokenizer.json`` —
     model.vocab in id order, model.merges as ``"left right"``
@@ -919,6 +1132,7 @@ def save_tokenizer_json_bpe(
         ),
         decoder=dict(_BYTELEVEL_BLOCK) if byte_level else None,
         added=_added_entries(sids),
+        post_processor=_template_block(template, sids, caller),
     )
 
 
@@ -929,6 +1143,7 @@ def save_tokenizer_json_wordpiece(
     basic_tokenize: bool = False, lower: bool = True,
     strip_accents: bool | None = None,
     special_tokens: dict[str, int] | None = None,
+    template: tuple | None = None,
 ) -> None:
     """Export a WordPiece vocabulary as a single ``tokenizer.json``
     — ``unk_token`` must be a vocabulary entry (the serving rule);
@@ -1000,6 +1215,7 @@ def save_tokenizer_json_wordpiece(
         decoder={"type": "WordPiece", "prefix": "##",
                  "cleanup": False},
         added=_added_entries(sids),
+        post_processor=_template_block(template, sids, caller),
     )
 
 
@@ -1008,6 +1224,7 @@ def save_tokenizer_json_unigram(
     unk_token: str = "<unk>",
     space_marker: str | None = None,
     special_tokens: dict[str, int] | None = None,
+    template: tuple | None = None,
 ) -> None:
     """Export a unigram LM as a single ``tokenizer.json`` — the
     SentencePiece layout: the unk entry at position 0 with score
@@ -1088,4 +1305,5 @@ def save_tokenizer_json_unigram(
             if space_marker is not None else None
         ),
         added=_added_entries(sids),
+        post_processor=_template_block(template, sids, caller),
     )
