@@ -978,3 +978,49 @@ def test_cli_train_unigram_special_token(spark, tmp_path,
         spark.read.parquet(str(out)).collect()[0]["token_ids"]
     )
     assert n_entries in got
+
+
+def test_cli_train_unigram_unk_special_skips_json(
+    spark, tmp_path, docs_parquet, keep_session, capsys,
+):
+    """--special-token '<unk>' on the unigram leg: the single-file
+    export would contradict itself on the text's id, so it is
+    skipped WITH the cause — never a broken file, never a crash
+    after the training run."""
+    m = tmp_path / "m_unk"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--train-tokenizer", "unigram", "--vocab-size", "20",
+        "--special-token", "<unk>", "--out-model", str(m),
+    ])
+    assert (m / "unigram_lm").exists()
+    assert not (m / "tokenizer.json").exists()
+    assert "tokenizer.json not written" in capsys.readouterr().out
+
+
+def test_cli_tokenizer_json_prints_divergences(
+    spark, tmp_path, docs_parquet, keep_session, capsys,
+):
+    """Stated divergences of the served file are VISIBLE on the
+    serve leg, not buried on the model object."""
+    obj = {
+        "normalizer": {"type": "Precompiled",
+                       "precompiled_charsmap": "x"},
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "model": {
+            "type": "Unigram", "unk_id": 0,
+            "vocab": [["<unk>", 0.0], ["the", -2.0], ["dat", -2.5],
+                      ["a", -4.0], ["t", -4.1], ["e", -4.2],
+                      ["h", -4.3], ["d", -4.4]],
+        },
+    }
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(obj), encoding="utf-8")
+    out = tmp_path / "divids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenizer-json", str(p), "--out", str(out),
+    ])
+    printed = capsys.readouterr().out
+    assert "stated divergences" in printed
+    assert "normalizer:Precompiled" in printed

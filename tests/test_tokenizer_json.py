@@ -628,6 +628,7 @@ class TestTemplates:
                 {"id": 0, "content": "[CLS]", "special": True},
                 {"id": 1, "content": "[SEP]", "special": True},
             ],
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
             "post_processor": pp,
             "model": {
                 "type": "WordPiece", "unk_token": "[UNK]",
@@ -755,4 +756,216 @@ class TestTemplates:
         with pytest.raises(ValueError, match="declared special"):
             save_tokenizer_json_wordpiece(
                 spark, vocab, p, template=(["[CLS]"], []),
+            )
+
+
+# -------------------------------------------------------------------------
+# r15 review fixes: added-token order under the basic grain, Metaspace
+# fields, Sequence post_processor, null-pre_tokenizer divergences,
+# exporter text collisions
+# -------------------------------------------------------------------------
+
+class TestReviewFixes:
+    def test_basic_twin_equals_native(self, spark):
+        from wikiextractor_spark.functions.wordpiece import (
+            basic_tokenize_one,
+            basic_tokenize_text,
+        )
+
+        adversaria = [
+            "The DATA, unaffable!", "Thé dät", "a-b_c…d",
+            "«quoted» [brackets] {braces}", "ÀÉÎÕÜ çñ",
+            "tabs\tand\nnewlines\r\nhere", "no_punct words only",
+            "İstanbul STRASSE ß", "double  spaces   run",
+        ]
+        for lower, strip in ((True, True), (False, False),
+                             (True, False), (False, True)):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(adversaria)],
+                "doc_id long, text string",
+            )
+            native = [
+                r["n"] for r in df.select(
+                    "doc_id",
+                    basic_tokenize_text(
+                        "text", lower=lower, do_strip_accents=strip,
+                    ).alias("n"),
+                ).orderBy("doc_id").collect()
+            ]
+            twin = [
+                basic_tokenize_one(t, lower=lower,
+                                   do_strip_accents=strip)
+                for t in adversaria
+            ]
+            assert native == twin, (lower, strip)
+
+    def test_bert_uncased_specials_survive_basic_grain(
+        self, spark, tmp_path,
+    ):
+        """The canonical bert-base-uncased shape: BertNormalizer +
+        added [MASK] — the literal must emit its reserved id while
+        the surrounding text normalizes (added tokens split from the
+        RAW text, the published order)."""
+        obj = {
+            "added_tokens": [
+                {"id": 3, "content": "[MASK]", "special": True},
+            ],
+            "normalizer": {
+                "type": "BertNormalizer", "lowercase": True,
+                "strip_accents": None, "clean_text": False,
+                "handle_chinese_chars": False,
+            },
+            "pre_tokenizer": {"type": "BertPreTokenizer"},
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": {
+                    "[UNK]": 0, "the": 1, "dat": 2, "[MASK]": 3,
+                    "##a": 4, "!": 5,
+                },
+            },
+        }
+        p = str(tmp_path / "uncased.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        docs = spark.createDataFrame(
+            [(1, "Thé [MASK] dätä!"), (2, None)],
+            "doc_id long, text string",
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        # thé→the, [MASK] verbatim at its reserved id, dätä→dat ##a,
+        # '!' split to its own token by the basic grain
+        assert _col(ids, "ids") == [[1, 3, 2, 4, 5], None]
+        # and without specials in the file the native-chain path
+        # still serves (grain equality pinned by the twin test)
+
+    def test_metaspace_field_contracts(self, spark, tmp_path):
+        base = {
+            "pre_tokenizer": {
+                "type": "Metaspace", "replacement": "▁",
+                "prepend_scheme": "always", "split": True,
+            },
+            "model": {
+                "type": "Unigram", "unk_id": 0,
+                "vocab": [["<unk>", 0.0], ["▁the", -2.0],
+                          ["t", -4.0]],
+            },
+        }
+        for scheme in ("never", "first"):
+            obj = json.loads(json.dumps(base))
+            obj["pre_tokenizer"]["prepend_scheme"] = scheme
+            p = str(tmp_path / "ms.json")
+            with open(p, "w") as f:
+                json.dump(obj, f)
+            with pytest.raises(ValueError, match="prepend_scheme"):
+                load_tokenizer_json(spark, p)
+        # the legacy add_prefix_space=false serialization means the
+        # same thing as 'never'
+        obj = json.loads(json.dumps(base))
+        del obj["pre_tokenizer"]["prepend_scheme"]
+        obj["pre_tokenizer"]["add_prefix_space"] = False
+        p = str(tmp_path / "ms2.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        with pytest.raises(ValueError, match="prepend_scheme"):
+            load_tokenizer_json(spark, p)
+        # split=false is the kernels' stated marker-mode divergence
+        obj = json.loads(json.dumps(base))
+        obj["pre_tokenizer"]["split"] = False
+        p = str(tmp_path / "ms3.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        assert "pre_tokenizer:Metaspace.split=false" in m.divergences
+        assert m.space_marker == "▁"
+
+    def test_sequence_post_processor_parses_template(
+        self, spark, tmp_path,
+    ):
+        """The modern serialization wraps ByteLevel +
+        TemplateProcessing in a Sequence — the template must not be
+        lost (the older RobertaProcessing form of the same model
+        serves it)."""
+        obj = {
+            "added_tokens": [
+                {"id": 0, "content": "<s>", "special": True},
+                {"id": 2, "content": "</s>", "special": True},
+            ],
+            "pre_tokenizer": {
+                "type": "ByteLevel", "add_prefix_space": False,
+                "trim_offsets": True, "use_regex": True,
+            },
+            "post_processor": {
+                "type": "Sequence",
+                "processors": [
+                    {"type": "ByteLevel", "trim_offsets": True},
+                    {
+                        "type": "TemplateProcessing",
+                        "single": [
+                            {"SpecialToken": {"id": "<s>",
+                                              "type_id": 0}},
+                            {"Sequence": {"id": "A", "type_id": 0}},
+                            {"SpecialToken": {"id": "</s>",
+                                              "type_id": 0}},
+                        ],
+                        "special_tokens": {
+                            "<s>": {"id": "<s>", "ids": [0],
+                                    "tokens": ["<s>"]},
+                            "</s>": {"id": "</s>", "ids": [2],
+                                     "tokens": ["</s>"]},
+                        },
+                    },
+                ],
+            },
+            "model": {
+                "type": "BPE", "dropout": None, "unk_token": None,
+                "vocab": {"<s>": 0, "t": 1, "</s>": 2, "h": 3,
+                          "e": 4, "th": 5, "the": 6},
+                "merges": ["t h", "th e"],
+            },
+        }
+        p = str(tmp_path / "roberta.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        assert m.template_prefix == (0,)
+        assert m.template_suffix == (2,)
+        assert m.divergences == ()
+
+    def test_null_pretokenizer_recorded(self, spark, tmp_path):
+        obj = {
+            "model": {
+                "type": "BPE", "dropout": None, "unk_token": None,
+                "vocab": {"t": 0, "h": 1, "th": 2},
+                "merges": ["t h"],
+            },
+        }
+        p = str(tmp_path / "nopre.json")
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        assert any(
+            d.startswith("pre_tokenizer:null") for d in m.divergences
+        )
+
+    def test_unigram_export_text_collisions(self, spark, tmp_path):
+        from wikiextractor_spark.functions.unigram import (
+            unigram_from_tokens,
+        )
+
+        lm = unigram_from_tokens(
+            spark, {"the": -2.0, "t": -4.0}, -10.0
+        )
+        p = str(tmp_path / "x.json")
+        # a special text equal to the unk entry would write a file
+        # the importer rejects as self-contradictory
+        with pytest.raises(ValueError, match="unk entry"):
+            save_tokenizer_json_unigram(
+                spark, lm, p, special_tokens={"<unk>": 99},
+            )
+        with pytest.raises(ValueError, match="also a piece"):
+            save_tokenizer_json_unigram(
+                spark, lm, p, special_tokens={"the": 99},
             )

@@ -563,8 +563,7 @@ def _validate_docs_args(parser, args) -> None:
             )
         if args.special_token is not None:
             parser.error(
-                "--special-token applies only to --train-tokenizer "
-                "bpe"
+                "--special-token requires --train-tokenizer"
             )
         for d in ("vocab_size", "out_model", "train_sample_fraction"):
             if getattr(args, d) is not None:
@@ -946,6 +945,14 @@ def _run_docs_tail(parser, spark, args) -> None:
         )
 
         model = load_tokenizer_json(spark, args.tokenizer_json)
+        if model.divergences:
+            # blocks accepted with a stated divergence must be
+            # VISIBLE, not buried on the model object (the CLI's
+            # serve-caveat convention)
+            print(
+                "tokenizer.json served with stated divergences: "
+                + ", ".join(model.divergences)
+            )
         ids = tokenizer_json_token_ids(
             docs, model, out_col="token_ids"
         )

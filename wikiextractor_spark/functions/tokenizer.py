@@ -672,6 +672,7 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
                            list_mode: bool = False,
                            special_pat: str | None = None,
                            special_ids: dict[str, int] | None = None,
+                           segment_transform=None,
                            ) -> DataFrame:
     """Shared kernel body for the counting AND ids modes: one
     Arrow-batched pandas UDF, NULL text stays NULL, and the per-batch
@@ -694,15 +695,23 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
     reserved id (list mode) or 1.0 (count mode), and the surrounding
     segments pre-tokenize independently (a segment boundary never
     fuses across a special, exactly the published added-token
-    split)."""
+    split).
+
+    ``segment_transform`` (r15): a picklable ``str → str`` applied
+    to each NON-special segment AFTER the special split and BEFORE
+    the word split — the published added-token order (added tokens
+    are extracted from the RAW text, then each remaining segment is
+    normalized), which composing a normalizer upstream of the kernel
+    cannot reproduce (it would mangle the literal special texts
+    before the split could see them)."""
     bc = df.sparkSession.sparkContext.broadcast(
         (count_word, _WORD_CACHE_MAX, pre_tokenizer, list_mode,
-         special_pat, special_ids)
+         special_pat, special_ids, segment_transform)
     )
 
     @F.pandas_udf(result_type)
     def _count(s: pd.Series) -> pd.Series:
-        fn, cache_max, pat, lmode, spat, sids = bc.value
+        fn, cache_max, pat, lmode, spat, sids, seg_fn = bc.value
         split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
         sre = re.compile(spat) if spat is not None else None
         cache: dict = {}
@@ -723,6 +732,8 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
                     continue
                 if not seg:
                     continue
+                if seg_fn is not None:
+                    seg = seg_fn(seg)
                 for w in split(seg):
                     if not w:
                         continue

@@ -297,6 +297,46 @@ def _template_ids(
     t = pp["type"]
     if t == "ByteLevel":
         return (), (), []
+    if t == "Sequence":
+        # the current serialization wraps ByteLevel +
+        # TemplateProcessing in a Sequence — same semantics as the
+        # bare blocks, parsed member-wise (r15 review: the older
+        # RobertaProcessing form of the SAME model must not serve a
+        # different stream than its modern serialization)
+        members = pp.get("processors")
+        if not isinstance(members, list):
+            raise ValueError(
+                f"{caller}: post_processor Sequence block carries "
+                "no processors list"
+            )
+        tmpl = None
+        divs: list[str] = []
+        for m in members:
+            if not isinstance(m, dict) or not isinstance(
+                m.get("type"), str
+            ):
+                raise ValueError(
+                    f"{caller}: malformed post_processor Sequence "
+                    f"member {m!r}"
+                )
+            if m["type"] == "ByteLevel":
+                continue
+            if (
+                m["type"] in (
+                    "TemplateProcessing", "BertProcessing",
+                    "RobertaProcessing",
+                )
+                and tmpl is None
+            ):
+                tmpl = m
+                continue
+            divs.append(f"post_processor:{m['type']}")
+        if tmpl is None:
+            return (), (), divs
+        pre, suf, d2 = _template_ids(
+            {"post_processor": tmpl}, caller
+        )
+        return pre, suf, divs + d2
     if t in ("BertProcessing", "RobertaProcessing"):
         out = []
         for k in ("cls", "sep"):
@@ -443,6 +483,13 @@ def _import_bpe(
         byte_level = True
     elif types in ([], ["WhitespaceSplit"]):
         byte_level = False
+        if types == []:
+            # published null means NO pre-split (the model sees the
+            # whole text); the engine serves its whitespace grain —
+            # a stated divergence, never a silent one (r15 review)
+            divergences.append(
+                "pre_tokenizer:null(whitespace-grain served)"
+            )
     else:
         raise ValueError(
             f"{caller}: unsupported BPE pre_tokenizer {types!r} — "
@@ -521,6 +568,12 @@ def _import_wordpiece(
     )
     pre_types = [b["type"] for b in pre_blocks]
     basic, lower, strip = False, True, True
+    if pre_types == []:
+        # published null = no pre-split; the engine serves its
+        # whitespace (or BertNormalizer basic) grain — stated
+        divergences.append(
+            "pre_tokenizer:null(whitespace-grain served)"
+        )
     if norm_types == ["BertNormalizer"]:
         if pre_types not in (["BertPreTokenizer"], []):
             raise ValueError(
@@ -685,8 +738,35 @@ def _import_unigram(
     )
     pre_types = [b["type"] for b in pre_blocks]
     if pre_types == ["Metaspace"]:
-        marker = pre_blocks[0].get("replacement", "▁")
-    elif pre_types not in ([], ["WhitespaceSplit"]):
+        ms = pre_blocks[0]
+        marker = ms.get("replacement", "▁")
+        # the engine's marker kernel prefixes EVERY word — only the
+        # 'always' scheme (and the legacy add_prefix_space=true
+        # serialization of the same behavior) reproduces; 'first'/
+        # 'never' change the very first word of every document
+        scheme = ms.get("prepend_scheme")
+        if scheme is None and ms.get("add_prefix_space") is False:
+            scheme = "never"
+        if scheme not in (None, "always"):
+            raise ValueError(
+                f"{caller}: Metaspace prepend_scheme={scheme!r} — "
+                "the engine prefixes the marker on every word "
+                "('always'); a 'first'/'never' file would tokenize "
+                "every document's first word differently"
+            )
+        if ms.get("split") is False:
+            # without the marker split, published pieces may span
+            # word boundaries — the serving kernel's already-stated
+            # marker-mode divergence; record it
+            divergences.append("pre_tokenizer:Metaspace.split=false")
+    elif pre_types == []:
+        # published null = no pre-split (the Llama-class layout);
+        # the engine serves its word grain — exactly the serving
+        # kernels' stated marker-mode divergence, recorded here
+        divergences.append(
+            "pre_tokenizer:null(word-grain served)"
+        )
+    elif pre_types != ["WhitespaceSplit"]:
         raise ValueError(
             f"{caller}: unsupported Unigram pre_tokenizer "
             f"{pre_types!r} — the engine serves Metaspace, "
@@ -918,6 +998,31 @@ def _tjn_body_ids(
             wordpiece_token_ids,
         )
 
+        if model.basic_tokenize and model.special_tokens:
+            # the published order: added tokens split from the RAW
+            # text, THEN each remaining segment normalizes — a
+            # Column normalizer upstream would mangle the literal
+            # special texts before the kernel's pre-split could see
+            # them (r15 review), so the basic chain runs INSIDE the
+            # kernel per segment via its Python twin
+            from functools import partial
+
+            from wikiextractor_spark.functions.wordpiece import (
+                basic_tokenize_one,
+            )
+
+            return wordpiece_token_ids(
+                df, model.vocab, text_col=text_col,
+                out_col=out_col, unk_token=model.unk_token,
+                max_input_chars_per_word=(
+                    model.max_input_chars_per_word
+                ),
+                special_tokens=model.special_tokens,
+                _segment_transform=partial(
+                    basic_tokenize_one, lower=model.lower,
+                    do_strip_accents=model.strip_accents,
+                ),
+            )
         d, col, tmp = _basic_grain(df, model, text_col)
         out = wordpiece_token_ids(
             d, model.vocab, text_col=col, out_col=out_col,
@@ -1273,6 +1378,20 @@ def save_tokenizer_json_unigram(
             f"{collide[0][1]} collides with the piece numbering "
             f"0..{n_entries - 1} — reserve specials beyond the "
             "table"
+        )
+    # TEXT collisions write a file the importer rejects as corrupt
+    # (an added token that is also a vocab entry must sit at ITS
+    # position — but these specials ride beyond the table): refuse
+    # here, with the export in hand (r15 review)
+    bad_text = [
+        t for t in (sids or {}) if t == unk_token or t in toks
+    ]
+    if bad_text:
+        raise ValueError(
+            f"{caller}: special token text {bad_text[0]!r} is also "
+            f"{'the unk entry' if bad_text[0] == unk_token else 'a piece'}"
+            " — the written file would contradict itself on the "
+            "text's id; rename the special or the unk_token"
         )
     ordered = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))
     _emit(

@@ -51,6 +51,8 @@ No reference counterpart — engine extension (SURVEY.md §2.12)."""
 
 from __future__ import annotations
 
+import re
+import unicodedata
 from functools import partial
 
 import pandas as pd
@@ -305,6 +307,7 @@ def wordpiece_token_ids(
     *, unk_token: str = "[UNK]",
     max_input_chars_per_word: int = MAX_INPUT_CHARS_PER_WORD,
     special_tokens: dict[str, int] | None = None,
+    _segment_transform=None,
 ) -> DataFrame:
     """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
     of WordPiece ids — the BERT-family sibling of
@@ -333,6 +336,7 @@ def wordpiece_token_ids(
         out_col, text_col,
         result_type="array<long>", list_mode=True,
         special_pat=spat, special_ids=sids,
+        segment_transform=_segment_transform,
     )
 
 
@@ -478,6 +482,48 @@ def basic_tokenize_text(
     # own \1 dialect — the two never share this literal)
     c = F.regexp_replace(c, f"({BASIC_PUNCT_CLASS})", " $1 ")
     return F.btrim(F.regexp_replace(c, "[ \t\n\r\f\v]+", " "))
+
+
+_BASIC_WS_RE = re.compile("[ \t\n\r\f\v]+")
+
+
+def _is_basic_punct(ch: str) -> bool:
+    """The published BasicTokenizer ``_is_punctuation``: the four
+    ASCII punctuation ranges plus every Unicode P* category — the
+    Python statement of :data:`BASIC_PUNCT_CLASS`."""
+    cp = ord(ch)
+    if (
+        33 <= cp <= 47 or 58 <= cp <= 64
+        or 91 <= cp <= 96 or 123 <= cp <= 126
+    ):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def basic_tokenize_one(
+    t: str, lower: bool = True, do_strip_accents: bool = True,
+) -> str:
+    """The Python twin of :func:`basic_tokenize_text` — same chain
+    (whitespace fold → lowercase → accent strip → punctuation split
+    → single-space rejoin), per string, equality with the native
+    Column pinned by pytest over case/accent/punct adversaria.
+    Exists for the kernel ``segment_transform`` path (r15): when
+    added tokens must split from the RAW text before normalization
+    (the published order), the normalization has to run INSIDE the
+    kernel per segment, where a Column cannot reach."""
+    from wikiextractor_spark.functions.normalize import (
+        _strip_accents_one,
+    )
+
+    t = _BASIC_WS_RE.sub(" ", t)
+    if lower:
+        t = t.lower()
+    if do_strip_accents:
+        t = _strip_accents_one(t)
+    t = "".join(
+        f" {c} " if _is_basic_punct(c) else c for c in t
+    )
+    return _BASIC_WS_RE.sub(" ", t).strip()
 
 
 # --------------------------------------------------------------------------
