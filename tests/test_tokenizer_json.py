@@ -26,6 +26,7 @@ from wikiextractor_spark.functions.tokenizer_json import (
     save_tokenizer_json_unigram,
     save_tokenizer_json_wordpiece,
     tokenizer_json_decode_ids,
+    tokenizer_json_encode_pairs,
     tokenizer_json_token_ids,
 )
 
@@ -670,8 +671,10 @@ class TestTemplates:
         m = load_tokenizer_json(spark, p)
         assert m.template_prefix == (0,)
         assert m.template_suffix == (1,)
-        # the pair template stays a stated divergence
-        assert "post_processor:pair" in m.divergences
+        # the BERT-shape pair template now PARSES (r15 pair encode)
+        # instead of recording the divergence
+        assert m.pair_elements != ()
+        assert m.divergences == ()
         docs = spark.createDataFrame(
             [(1, "the data"), (2, None)], "doc_id long, text string",
         )
@@ -969,3 +972,168 @@ class TestReviewFixes:
             save_tokenizer_json_unigram(
                 spark, lm, p, special_tokens={"the": 99},
             )
+
+
+# -------------------------------------------------------------------------
+# pair encoding + fixed-length padding (r15)
+# -------------------------------------------------------------------------
+
+class TestPairEncoding:
+    def _file(self, tmp_path, pair=None, pp_type="TemplateProcessing"):
+        pp = {
+            "type": "TemplateProcessing",
+            "single": [
+                {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+                {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+            ],
+            "pair": pair,
+            "special_tokens": {
+                "[CLS]": {"id": "[CLS]", "ids": [0],
+                          "tokens": ["[CLS]"]},
+                "[SEP]": {"id": "[SEP]", "ids": [1],
+                          "tokens": ["[SEP]"]},
+            },
+        }
+        if pp_type != "TemplateProcessing":
+            pp = {"type": pp_type, "cls": ["[CLS]", 0],
+                  "sep": ["[SEP]", 1]}
+        obj = {
+            "added_tokens": [
+                {"id": 0, "content": "[CLS]", "special": True},
+                {"id": 1, "content": "[SEP]", "special": True},
+            ],
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "post_processor": pp,
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": {
+                    "[CLS]": 0, "[SEP]": 1, "[UNK]": 2, "the": 3,
+                    "dat": 4, "##a": 5, "zz": 6,
+                },
+            },
+        }
+        import json as _json
+        p = str(tmp_path / "pair.json")
+        with open(p, "w") as f:
+            _json.dump(obj, f)
+        return p
+
+    BERT_PAIR = [
+        {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        {"Sequence": {"id": "A", "type_id": 0}},
+        {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        {"Sequence": {"id": "B", "type_id": 1}},
+        {"SpecialToken": {"id": "[SEP]", "type_id": 1}},
+    ]
+
+    def test_template_pair_encode(self, spark, tmp_path):
+        m = load_tokenizer_json(
+            spark, self._file(tmp_path, pair=self.BERT_PAIR)
+        )
+        assert m.pair_elements == (
+            ("special", 0, 0), ("A", None, 0), ("special", 1, 0),
+            ("B", None, 1), ("special", 1, 1),
+        )
+        assert m.divergences == ()
+        docs = spark.createDataFrame(
+            [(1, "the data", "zz"), (2, "the", None)],
+            "doc_id long, text_a string, text_b string",
+        )
+        enc = tokenizer_json_encode_pairs(docs, m)
+        rows = {
+            r["doc_id"]: (r["input_ids"], r["token_type_ids"])
+            for r in enc.collect()
+        }
+        assert list(rows[1][0]) == [0, 3, 4, 5, 1, 6, 1]
+        assert list(rows[1][1]) == [0, 0, 0, 0, 0, 1, 1]
+        # either-NULL → both outputs NULL
+        assert rows[2] == (None, None)
+        # the original text columns survive
+        assert set(enc.columns) >= {"text_a", "text_b"}
+
+    def test_bert_processing_pair_layout(self, spark, tmp_path):
+        m = load_tokenizer_json(
+            spark, self._file(tmp_path, pp_type="BertProcessing")
+        )
+        assert m.pair_elements == (
+            ("special", 0, 0), ("A", None, 0), ("special", 1, 0),
+            ("B", None, 1), ("special", 1, 1),
+        )
+        m2 = load_tokenizer_json(
+            spark, self._file(tmp_path, pp_type="RobertaProcessing")
+        )
+        # RoBERTa: <s> A </s> </s> B </s>, all type 0
+        assert m2.pair_elements == (
+            ("special", 0, 0), ("A", None, 0), ("special", 1, 0),
+            ("special", 1, 0), ("B", None, 0), ("special", 1, 0),
+        )
+
+    def test_unparseable_pair_stays_divergence(self, spark, tmp_path):
+        # a pair template referencing A twice is not servable
+        bad = [
+            {"Sequence": {"id": "A", "type_id": 0}},
+            {"Sequence": {"id": "A", "type_id": 1}},
+        ]
+        m = load_tokenizer_json(
+            spark, self._file(tmp_path, pair=bad)
+        )
+        assert m.pair_elements == ()
+        assert "post_processor:pair" in m.divergences
+        with pytest.raises(ValueError, match="no servable pair"):
+            tokenizer_json_encode_pairs(
+                spark.createDataFrame(
+                    [(1, "a", "b")],
+                    "doc_id long, text_a string, text_b string",
+                ),
+                m,
+            )
+
+    def test_truncation_padding_blocks_recorded(self, spark, tmp_path):
+        import json as _json
+
+        obj = _json.loads(
+            open(self._file(tmp_path, pair=self.BERT_PAIR)).read()
+        )
+        obj["truncation"] = {"max_length": 8,
+                             "strategy": "LongestFirst"}
+        obj["padding"] = {"strategy": {"Fixed": 8}, "pad_id": 0}
+        p = str(tmp_path / "tp.json")
+        with open(p, "w") as f:
+            _json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        assert "truncation" in m.divergences
+        assert "padding" in m.divergences
+
+    def test_pad_token_ids(self, spark):
+        from wikiextractor_spark.functions.tokenizer_json import (
+            pad_token_ids,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [5, 6, 7]), (2, [1, 2, 3, 4, 5, 6]), (3, None)],
+            "doc_id long, token_ids array<long>",
+        )
+        out = pad_token_ids(df, max_len=4, pad_id=9)
+        rows = {
+            r["doc_id"]: (r["token_ids"], r["attention_mask"])
+            for r in out.collect()
+        }
+        assert list(rows[1][0]) == [5, 6, 7, 9]
+        assert list(rows[1][1]) == [1, 1, 1, 0]
+        assert list(rows[2][0]) == [1, 2, 3, 4]  # right-truncated
+        assert list(rows[2][1]) == [1, 1, 1, 1]
+        assert rows[3] == (None, None)
+        # out_col keeps the source intact when named
+        out2 = pad_token_ids(
+            df, max_len=4, pad_id=9, out_col="padded"
+        )
+        r1 = out2.where("doc_id = 1").collect()[0]
+        assert list(r1["token_ids"]) == [5, 6, 7]
+        assert list(r1["padded"]) == [5, 6, 7, 9]
+        with pytest.raises(ValueError, match="max_len"):
+            pad_token_ids(df, max_len=0, pad_id=9)
+        with pytest.raises(ValueError, match="pad_id"):
+            pad_token_ids(df, max_len=4, pad_id=-1)

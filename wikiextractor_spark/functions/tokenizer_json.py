@@ -118,6 +118,12 @@ class TokenizerJsonModel:
     #: the tokenized body, then suffix ids (a native array concat)
     template_prefix: tuple = ()
     template_suffix: tuple = ()
+    #: the PAIR template parsed element-wise (r15):
+    #: ``('special', id, type_id)`` / ``('A', None, type_id)`` /
+    #: ``('B', None, type_id)`` in template order — the
+    #: :func:`tokenizer_json_encode_pairs` serving plan; empty when
+    #: the file has no (parseable) pair template
+    pair_elements: tuple = ()
     #: component blocks accepted with a STATED divergence (see module
     #: docstring), e.g. ('post_processor:pair',
     #: 'normalizer:Precompiled')
@@ -269,26 +275,87 @@ def _merge_pairs(model: dict, caller: str) -> dict:
     return ranks
 
 
+def _resolve_template_special(
+    name, sp_map: dict, caller: str,
+) -> int:
+    """A template SpecialToken resolved through the block's own
+    ``special_tokens`` id table — must map to exactly ONE id."""
+    ent = sp_map.get(name)
+    ids = ent.get("ids") if isinstance(ent, dict) else None
+    if not isinstance(ids, list) or len(ids) != 1:
+        raise ValueError(
+            f"{caller}: template special {name!r} must resolve to "
+            "exactly one id through the block's special_tokens "
+            f"table, got {ids!r}"
+        )
+    return _check_embedding_id(
+        caller, f"template special {name!r}", ids[0]
+    )
+
+
+def _parse_pair_template(pp: dict, caller: str) -> tuple | None:
+    """The ``pair`` template parsed element-wise to the
+    :func:`tokenizer_json_encode_pairs` plan — ``('special', id,
+    type_id)`` / ``('A'|'B', None, type_id)``, sequences A and B
+    each exactly once.  None (→ the stated pair divergence) when the
+    shape is not the element list this parser serves; malformed
+    SPECIALS inside a well-shaped list still raise (a corrupt id
+    table must not demote to a divergence)."""
+    pair = pp.get("pair")
+    if not isinstance(pair, list) or not pair:
+        return None
+    sp_map = pp.get("special_tokens") or {}
+    out: list[tuple] = []
+    seen: set[str] = set()
+    for el in pair:
+        if not isinstance(el, dict) or len(el) != 1:
+            return None
+        if "Sequence" in el:
+            seq = el["Sequence"]
+            sid = seq.get("id") if isinstance(seq, dict) else None
+            if sid not in ("A", "B") or sid in seen:
+                return None
+            seen.add(sid)
+            out.append((sid, None, int(seq.get("type_id") or 0)))
+        elif "SpecialToken" in el:
+            st = el["SpecialToken"]
+            out.append((
+                "special",
+                _resolve_template_special(
+                    st.get("id"), sp_map, caller
+                ),
+                int(st.get("type_id") or 0),
+            ))
+        else:
+            return None
+    if seen != {"A", "B"}:
+        return None
+    return tuple(out)
+
+
 def _template_ids(
     obj: dict, caller: str,
-) -> tuple[tuple, tuple, list[str]]:
-    """The post_processor block as ``(prefix ids, suffix ids,
-    divergences)`` — the single-sequence serving upgrade (r15):
+) -> tuple[tuple, tuple, tuple, list[str]]:
+    """The post_processor block as ``(prefix ids, suffix ids, pair
+    elements, divergences)`` — the template serving upgrade (r15):
 
     * ``null`` and ``ByteLevel`` (offsets-only, no id-stream effect)
       → no template, no divergence;
     * ``BertProcessing`` / ``RobertaProcessing`` → their cls/sep
-      entries as one prefix and one suffix id;
+      entries as one prefix and one suffix id, plus the published
+      pair layouts ([CLS] A [SEP] B [SEP] types 0/1; <s> A </s>
+      </s> B </s> types all 0);
     * ``TemplateProcessing`` → the ``single`` template parsed
       element-wise (specials resolved through the block's own
       ``special_tokens`` id table; each must resolve to exactly ONE
-      id); a ``pair`` template is recorded as a stated divergence —
-      the engine tokenizes single sequences;
+      id) and the ``pair`` template parsed to encode-pairs elements
+      when its shape allows — an unparseable pair stays the stated
+      divergence;
     * anything else → recorded as the stated ``post_processor``
       divergence (the pre-upgrade behavior)."""
     pp = obj.get("post_processor")
     if pp is None:
-        return (), (), []
+        return (), (), (), []
     if not isinstance(pp, dict) or not isinstance(pp.get("type"), str):
         raise ValueError(
             f"{caller}: post_processor must be null or an object "
@@ -296,7 +363,7 @@ def _template_ids(
         )
     t = pp["type"]
     if t == "ByteLevel":
-        return (), (), []
+        return (), (), (), []
     if t == "Sequence":
         # the current serialization wraps ByteLevel +
         # TemplateProcessing in a Sequence — same semantics as the
@@ -332,11 +399,11 @@ def _template_ids(
                 continue
             divs.append(f"post_processor:{m['type']}")
         if tmpl is None:
-            return (), (), divs
-        pre, suf, d2 = _template_ids(
+            return (), (), (), divs
+        pre, suf, pair_els, d2 = _template_ids(
             {"post_processor": tmpl}, caller
         )
-        return pre, suf, divs + d2
+        return pre, suf, pair_els, divs + d2
     if t in ("BertProcessing", "RobertaProcessing"):
         out = []
         for k in ("cls", "sep"):
@@ -352,7 +419,24 @@ def _template_ids(
             out.append(
                 _check_embedding_id(caller, f"{t}.{k}", e[1])
             )
-        return (out[0],), (out[1],), []
+        cls_id, sep_id = out
+        if t == "BertProcessing":
+            # the published pair layout: [CLS] A [SEP] B [SEP],
+            # token_type_ids 0 over the first segment, 1 over the
+            # second (incl. its trailing [SEP])
+            pair_els = (
+                ("special", cls_id, 0), ("A", None, 0),
+                ("special", sep_id, 0), ("B", None, 1),
+                ("special", sep_id, 1),
+            )
+        else:
+            # RoBERTa: <s> A </s> </s> B </s>, all type 0
+            pair_els = (
+                ("special", cls_id, 0), ("A", None, 0),
+                ("special", sep_id, 0), ("special", sep_id, 0),
+                ("B", None, 0), ("special", sep_id, 0),
+            )
+        return (cls_id,), (sep_id,), pair_els, []
     if t == "TemplateProcessing":
         single = pp.get("single")
         if not isinstance(single, list) or not single:
@@ -383,19 +467,9 @@ def _template_ids(
                     )
                 seen_seq = True
             elif "SpecialToken" in el:
-                name = el["SpecialToken"].get("id")
-                ent = sp_map.get(name)
-                ids = ent.get("ids") if isinstance(ent, dict) else None
-                if not isinstance(ids, list) or len(ids) != 1:
-                    raise ValueError(
-                        f"{caller}: template special {name!r} must "
-                        "resolve to exactly one id through the "
-                        "block's special_tokens table, got "
-                        f"{ids!r}"
-                    )
                 (suffix if seen_seq else prefix).append(
-                    _check_embedding_id(
-                        caller, f"template special {name!r}", ids[0]
+                    _resolve_template_special(
+                        el["SpecialToken"].get("id"), sp_map, caller
                     )
                 )
             else:
@@ -408,9 +482,13 @@ def _template_ids(
                 f"{caller}: the single template never references "
                 "sequence A — the body would be dropped"
             )
-        divs = ["post_processor:pair"] if pp.get("pair") else []
-        return tuple(prefix), tuple(suffix), divs
-    return (), (), ["post_processor"]
+        pair_els = _parse_pair_template(pp, caller)
+        divs = (
+            ["post_processor:pair"]
+            if pp.get("pair") and pair_els is None else []
+        )
+        return tuple(prefix), tuple(suffix), pair_els or (), divs
+    return (), (), (), ["post_processor"]
 
 
 def _check_added_vs_vocab(
@@ -861,11 +939,18 @@ def load_tokenizer_json(
         )
     fam = model.get("type")
     specials = _added_tokens(obj, caller)
-    # the single-sequence template upgrade (r15): BertProcessing /
-    # RobertaProcessing / TemplateProcessing.single serve FAITHFULLY
-    # as prefix/suffix ids; only pair templates and unknown types
-    # remain stated divergences
-    tpre, tsuf, divergences = _template_ids(obj, caller)
+    # the template upgrade (r15): BertProcessing / RobertaProcessing
+    # / TemplateProcessing serve FAITHFULLY — single as prefix/suffix
+    # ids, pair as encode-pairs elements; only unparseable pair
+    # shapes and unknown types remain stated divergences
+    tpre, tsuf, pair_els, divergences = _template_ids(obj, caller)
+    # the top-level truncation/padding blocks change what the
+    # published tokenizer emits per call — the engine serves the
+    # full streams (apply pad_token_ids downstream); stated, never
+    # silent (r15 review follow-through)
+    for blk in ("truncation", "padding"):
+        if obj.get(blk) is not None:
+            divergences.append(blk)
     if fam == "BPE":
         out = _import_bpe(
             spark, obj, model, specials, oov_tokens_per_char,
@@ -885,11 +970,12 @@ def load_tokenizer_json(
             f"{caller}: unsupported model.type {fam!r} — the engine "
             "serves BPE, WordPiece, and Unigram"
         )
-    if tpre or tsuf:
+    if tpre or tsuf or pair_els:
         from dataclasses import replace
 
         out = replace(
-            out, template_prefix=tpre, template_suffix=tsuf
+            out, template_prefix=tpre, template_suffix=tsuf,
+            pair_elements=pair_els,
         )
     return out
 
@@ -1081,6 +1167,93 @@ def tokenizer_json_decode_ids(
         special_tokens=model.special_tokens,
         space_marker=model.space_marker,
     )
+
+
+def tokenizer_json_encode_pairs(
+    df: DataFrame, model: TokenizerJsonModel,
+    text_a_col: str = "text_a", text_b_col: str = "text_b",
+    out_col: str = "input_ids", type_col: str = "token_type_ids",
+) -> DataFrame:
+    """Attach ``out_col`` + ``type_col``: TWO text columns encoded
+    as one sequence under the loaded file's PAIR template (r15) —
+    the published two-segment encode (BERT NSP-style ``[CLS] A
+    [SEP] B [SEP]`` with ``token_type_ids`` 0/1, RoBERTa's
+    double-``</s>`` layout, or whatever element order the file's
+    ``TemplateProcessing.pair`` states).  Each segment tokenizes
+    through the family kernel exactly like
+    :func:`tokenizer_json_token_ids`; the template assembly and the
+    type-id stream are pure native array concat /
+    ``array_repeat`` — no extra kernel, no shuffle.  A row where
+    EITHER text is NULL yields NULL in both outputs.  Raises when
+    the file carries no servable pair template (check
+    ``model.pair_elements``)."""
+    if not model.pair_elements:
+        raise ValueError(
+            "tokenizer_json_encode_pairs: the loaded file carries "
+            "no servable pair template — nothing states how two "
+            "segments compose; use tokenizer_json_token_ids, or "
+            "load a file with a TemplateProcessing pair block"
+        )
+    d = _tjn_body_ids(df, model, text_a_col, "_tjn_a")
+    d = _tjn_body_ids(d, model, text_b_col, "_tjn_b")
+    id_parts = []
+    ty_parts = []
+    for kind, sid, ty in model.pair_elements:
+        if kind == "special":
+            id_parts.append(F.array(F.lit(sid).cast("long")))
+            ty_parts.append(F.array(F.lit(ty).cast("long")))
+        else:
+            col = F.col("_tjn_a" if kind == "A" else "_tjn_b")
+            id_parts.append(col)
+            ty_parts.append(
+                F.array_repeat(F.lit(ty).cast("long"), F.size(col))
+            )
+    both = F.col("_tjn_a").isNotNull() & F.col("_tjn_b").isNotNull()
+    return (
+        d.withColumn(out_col, F.when(both, F.concat(*id_parts)))
+        .withColumn(type_col, F.when(both, F.concat(*ty_parts)))
+        .drop("_tjn_a", "_tjn_b")
+    )
+
+
+def pad_token_ids(
+    df: DataFrame, ids_col: str = "token_ids",
+    max_len: int = 512, pad_id: int = 0,
+    *, out_col: str | None = None,
+    mask_col: str = "attention_mask",
+) -> DataFrame:
+    """Attach a FIXED-LENGTH view of an id stream — right-truncate
+    to ``max_len``, right-pad with ``pad_id``, and emit the matching
+    ``attention_mask`` (1 over real tokens, 0 over padding) — the
+    published truncation/padding step as pure native ``slice`` /
+    ``array_repeat`` / ``concat`` (no kernel, no shuffle), for
+    fixed-shape training batches where
+    :func:`~wikiextractor_spark.operators.packing.assemble_packs`'
+    variable packing is not the target layout.  ``out_col`` defaults
+    to rewriting ``ids_col`` in place; NULL streams stay NULL in
+    both outputs."""
+    if not isinstance(max_len, int) or isinstance(max_len, bool) \
+            or max_len < 1:
+        raise ValueError(
+            f"pad_token_ids: max_len must be a positive integer, "
+            f"got {max_len!r}"
+        )
+    pad = _check_embedding_id("pad_token_ids", "pad_id", pad_id)
+    out_col = out_col or ids_col
+    ids = F.col(ids_col)
+    n = F.least(F.size(ids), F.lit(max_len))
+    fill = F.lit(max_len) - n
+    padded = F.concat(
+        F.slice(ids, 1, max_len),
+        F.array_repeat(F.lit(pad).cast("long"), fill),
+    )
+    mask = F.concat(
+        F.array_repeat(F.lit(1).cast("long"), n),
+        F.array_repeat(F.lit(0).cast("long"), fill),
+    )
+    return df.withColumn(
+        mask_col, F.when(ids.isNotNull(), mask)
+    ).withColumn(out_col, F.when(ids.isNotNull(), padded))
 
 
 # --------------------------------------------------------------------------

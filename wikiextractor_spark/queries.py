@@ -4135,6 +4135,14 @@ _PACK_SEP = 2000
              -- whitespace consumed at encode time stays consumed)
              string_agg(CASE WHEN uid IS NULL THEN '?' ELSE ch END,
                         '' ORDER BY i) AS dec,
+             -- 'pair' (r15): the SAME stream under the
+             -- tokenizer.json FILE numbering (unk 0, chars 1..22 →
+             -- uid + 1), forward for segment A and reversed for
+             -- segment B (= reverse(text) at the whitespace grain)
+             string_agg(CAST(COALESCE(uid + 1, -1) AS VARCHAR), ','
+                        ORDER BY i) AS s1,
+             string_agg(CAST(COALESCE(uid + 1, -1) AS VARCHAR), ','
+                        ORDER BY i DESC) AS s1rev,
              COUNT(*) AS n
       FROM (SELECT doc_id,
                    unnest(string_split(replace(text, ' ', ''), ''))
@@ -4275,6 +4283,25 @@ _PACK_SEP = 2000
     SELECT 'sent' AS family, doc_id, chunk_no, chunk,
            nw AS n_tokens
     FROM sentout
+    UNION ALL
+    -- 'pair' family (r15, tokenizer_json_encode_pairs): [CLS] A
+    -- [SEP] B [SEP] with token_type_ids 0/1, ids from the loaded
+    -- file's positional numbering (uid + 1), B = reverse(text);
+    -- chunk = input_ids '|' token_type_ids.  Empty/whitespace-only
+    -- text → the template around two empty segments.
+    SELECT 'pair' AS family, d.doc_id, 0 AS chunk_no,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN u.s1 IS NULL THEN '1000,1001,1001|0,0,1'
+                ELSE '1000,' || u.s1 || ',1001,' || u.s1rev
+                     || ',1001|'
+                     || left(repeat('0,', u.n + 2),
+                             (u.n + 2) * 2 - 1)
+                     || ',' || repeat('1,', u.n) || '1'
+           END AS chunk,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN u.s1 IS NULL THEN 3
+                ELSE 2 * u.n + 3 END AS n_tokens
+    FROM documents d LEFT JOIN uidsout u USING (doc_id)
     """,
 )
 def ta_chunk_documents(spark, sf_dir):
@@ -4302,7 +4329,12 @@ def ta_chunk_documents(spark, sf_dir):
     blocks in ascending doc_id order) under the hash; 'sent' (r13) —
     chunk_sentences' greedy sentence-budget fill over
     synthesized-punctuation text, the oracle walking the fill one
-    sentence per recursive step."""
+    sentence per recursive step; 'pair' (r15) — the BERT
+    two-segment encode (tokenizer_json_encode_pairs) through a
+    LOADED tokenizer.json (single-char unigram model, [CLS]/[SEP]
+    added tokens, the published pair template), B = reverse(text),
+    input_ids AND token_type_ids both restated by the oracle from
+    the file's positional numbering."""
     from wikiextractor_spark.operators.chunking import (
         chunk_documents,
         chunk_sentences,
@@ -4459,6 +4491,92 @@ def ta_chunk_documents(spark, sf_dir):
         "doc_id", "chunk_no", "chunk",
         F.col("n_words").alias("n_tokens"),
     )
+    # 'pair' family (r15, tokenizer_json_encode_pairs): the BERT
+    # two-segment encode served through a LOADED tokenizer.json —
+    # the 'uids' single-char unigram LM as the file's model (ids =
+    # file positions: unk 0, chars 1..22, so the oracle restates
+    # every body id as uid + 1), [CLS]/[SEP] as added_tokens at
+    # 1000/1001, and the published pair template ([CLS] A [SEP] B
+    # [SEP], token_type_ids 0/1); segment B is reverse(text), so
+    # its stream is the A stream reversed.  chunk carries
+    # input_ids '|' token_type_ids, both restated by the oracle.
+    import json as _json
+    import shutil
+    import tempfile
+
+    from wikiextractor_spark.functions.tokenizer_json import (
+        load_tokenizer_json,
+        tokenizer_json_encode_pairs,
+    )
+
+    _sp_entry = {
+        "[CLS]": {"id": "[CLS]", "ids": [1000], "tokens": ["[CLS]"]},
+        "[SEP]": {"id": "[SEP]", "ids": [1001], "tokens": ["[SEP]"]},
+    }
+    pair_obj = {
+        "added_tokens": [
+            {"id": 1000, "content": "[CLS]", "special": True},
+            {"id": 1001, "content": "[SEP]", "special": True},
+        ],
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "post_processor": {
+            "type": "TemplateProcessing",
+            "single": [
+                {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+                {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+            ],
+            "pair": [
+                {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+                {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+                {"Sequence": {"id": "B", "type_id": 1}},
+                {"SpecialToken": {"id": "[SEP]", "type_id": 1}},
+            ],
+            "special_tokens": _sp_entry,
+        },
+        "model": {
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [["<unk>", 0.0]] + [
+                [c, -4.0 - i * 0.01]
+                for i, c in enumerate(_UIDS_CHARS)
+            ],
+        },
+    }
+    pdir = tempfile.mkdtemp(prefix="ta_pair_")
+    try:
+        with open(f"{pdir}/tokenizer.json", "w") as f:
+            _json.dump(pair_obj, f)
+        pair_model = load_tokenizer_json(
+            spark, f"{pdir}/tokenizer.json"
+        )
+    finally:
+        shutil.rmtree(pdir, ignore_errors=True)
+    pair_fam = tokenizer_json_encode_pairs(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.col("text").alias("text_a"),
+            F.reverse("text").alias("text_b"),
+        ),
+        pair_model,
+    ).select(
+        F.lit("pair").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.concat(
+            F.expr(
+                "array_join(transform(input_ids, "
+                "x -> CAST(x AS STRING)), ',')"
+            ),
+            F.lit("|"),
+            F.expr(
+                "array_join(transform(token_type_ids, "
+                "x -> CAST(x AS STRING)), ',')"
+            ),
+        ).alias("chunk"),
+        F.size("input_ids").cast("long").alias("n_tokens"),
+    )
     return (
         text_fam.unionByName(ids_fam)
         .unionByName(fim_fam)
@@ -4468,6 +4586,7 @@ def ta_chunk_documents(spark, sf_dir):
         .unionByName(fimc_fam)
         .unionByName(packs_fam)
         .unionByName(sent_fam)
+        .unionByName(pair_fam)
     )
 
 
