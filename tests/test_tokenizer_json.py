@@ -1137,3 +1137,112 @@ class TestPairEncoding:
             pad_token_ids(df, max_len=0, pad_id=9)
         with pytest.raises(ValueError, match="pad_id"):
             pad_token_ids(df, max_len=4, pad_id=-1)
+
+
+class TestSecondReviewFixes:
+    def test_type_id_validation(self, spark, tmp_path):
+        import json as _json
+
+        base = TestPairEncoding.BERT_PAIR
+        for bad, msg in ((1.7, "type_id"), ("x", "type_id")):
+            pair = _json.loads(_json.dumps(base))
+            pair[3]["Sequence"]["type_id"] = bad
+            p = TestPairEncoding()._file(tmp_path, pair=pair)
+            with pytest.raises(ValueError, match=msg):
+                load_tokenizer_json(spark, p)
+
+    def test_null_pretok_divergence_names_served_grain(
+        self, spark, tmp_path,
+    ):
+        import json as _json
+
+        obj = {
+            "normalizer": {"type": "BertNormalizer",
+                           "lowercase": True},
+            "pre_tokenizer": None,
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": {"[UNK]": 0, "the": 1},
+            },
+        }
+        p = str(tmp_path / "n.json")
+        with open(p, "w") as f:
+            _json.dump(obj, f)
+        m = load_tokenizer_json(spark, p)
+        assert m.basic_tokenize is True
+        assert "pre_tokenizer:null(basic-grain served)" in \
+            m.divergences
+
+    def test_pair_template_reexport_round_trip(self, spark, tmp_path):
+        from wikiextractor_spark.functions.wordpiece import (
+            wordpiece_from_tokens,
+        )
+
+        vocab = wordpiece_from_tokens(
+            spark, ["[CLS]", "[SEP]", "[UNK]", "the", "dat", "##a"]
+        )
+        p = str(tmp_path / "t.json")
+        save_tokenizer_json_wordpiece(
+            spark, vocab, p,
+            special_tokens={"[CLS]": 0, "[SEP]": 1},
+            template=(["[CLS]"], ["[SEP]"]),
+            pair_template=(
+                ("special", 0, 0), ("A", None, 0),
+                ("special", 1, 0), ("B", None, 1),
+                ("special", 1, 1),
+            ),
+        )
+        m = load_tokenizer_json(spark, p)
+        assert m.pair_elements == (
+            ("special", 0, 0), ("A", None, 0), ("special", 1, 0),
+            ("B", None, 1), ("special", 1, 1),
+        )
+        # a loaded pair template re-exports (no silent loss) and the
+        # re-export is byte-identical
+        p2 = str(tmp_path / "t2.json")
+        save_tokenizer_json_wordpiece(
+            spark, m.vocab, p2,
+            special_tokens=m.special_tokens,
+            template=(["[CLS]"], ["[SEP]"]),
+            pair_template=m.pair_elements,
+        )
+        assert _read(spark, p) == _read(spark, p2)
+        # pair-only export uses the bare single template
+        p3 = str(tmp_path / "t3.json")
+        save_tokenizer_json_wordpiece(
+            spark, vocab, p3,
+            special_tokens={"[CLS]": 0, "[SEP]": 1},
+            pair_template=m.pair_elements,
+        )
+        m3 = load_tokenizer_json(spark, p3)
+        assert m3.pair_elements == m.pair_elements
+        assert (m3.template_prefix, m3.template_suffix) == ((), ())
+        # an undeclared special id refuses
+        with pytest.raises(ValueError, match="not a declared"):
+            save_tokenizer_json_wordpiece(
+                spark, vocab, p3,
+                special_tokens={"[CLS]": 0},
+                pair_template=(("special", 7, 0), ("A", None, 0),
+                               ("B", None, 1)),
+            )
+
+    def test_encode_pairs_preserves_colliding_columns(
+        self, spark, tmp_path,
+    ):
+        m = load_tokenizer_json(
+            spark,
+            TestPairEncoding()._file(
+                tmp_path, pair=TestPairEncoding.BERT_PAIR
+            ),
+        )
+        docs = spark.createDataFrame(
+            [(1, "the", "dat", "keep me")],
+            "doc_id long, text_a string, text_b string, "
+            "_tjn_a string",
+        )
+        enc = tokenizer_json_encode_pairs(docs, m)
+        row = enc.collect()[0]
+        assert row["_tjn_a"] == "keep me"
+        assert list(row["input_ids"]) == [0, 3, 1, 4, 1]

@@ -293,6 +293,27 @@ def _resolve_template_special(
     )
 
 
+def _check_type_id(v, what: str, caller: str) -> int:
+    """A template ``type_id``: absent/None → 0 (the serde default),
+    otherwise a non-negative integral number — fractional or
+    non-numeric values raise with context (the raise-don't-guess
+    contract; ``int()`` coercion would silently truncate 1.7 and
+    crash bare on strings)."""
+    if v is None:
+        return 0
+    if (
+        isinstance(v, bool)
+        or not isinstance(v, (int, float))
+        or float(v) != int(v)
+        or int(v) < 0
+    ):
+        raise ValueError(
+            f"{caller}: {what} has invalid type_id {v!r} — "
+            "type ids are non-negative integers"
+        )
+    return int(v)
+
+
 def _parse_pair_template(pp: dict, caller: str) -> tuple | None:
     """The ``pair`` template parsed element-wise to the
     :func:`tokenizer_json_encode_pairs` plan — ``('special', id,
@@ -316,7 +337,13 @@ def _parse_pair_template(pp: dict, caller: str) -> tuple | None:
             if sid not in ("A", "B") or sid in seen:
                 return None
             seen.add(sid)
-            out.append((sid, None, int(seq.get("type_id") or 0)))
+            out.append((
+                sid, None,
+                _check_type_id(
+                    seq.get("type_id"), f"pair sequence {sid}",
+                    caller,
+                ),
+            ))
         elif "SpecialToken" in el:
             st = el["SpecialToken"]
             out.append((
@@ -324,7 +351,10 @@ def _parse_pair_template(pp: dict, caller: str) -> tuple | None:
                 _resolve_template_special(
                     st.get("id"), sp_map, caller
                 ),
-                int(st.get("type_id") or 0),
+                _check_type_id(
+                    st.get("type_id"),
+                    f"pair special {st.get('id')!r}", caller,
+                ),
             ))
         else:
             return None
@@ -646,12 +676,6 @@ def _import_wordpiece(
     )
     pre_types = [b["type"] for b in pre_blocks]
     basic, lower, strip = False, True, True
-    if pre_types == []:
-        # published null = no pre-split; the engine serves its
-        # whitespace (or BertNormalizer basic) grain — stated
-        divergences.append(
-            "pre_tokenizer:null(whitespace-grain served)"
-        )
     if norm_types == ["BertNormalizer"]:
         if pre_types not in (["BertPreTokenizer"], []):
             raise ValueError(
@@ -685,6 +709,14 @@ def _import_wordpiece(
             f"{caller}: unsupported WordPiece normalizer "
             f"{norm_types!r} — the engine serves BertNormalizer or "
             "null"
+        )
+    if pre_types == []:
+        # published null = no pre-split; state the grain that IS
+        # served (r15 second review: the divergence print must not
+        # claim a whitespace grain when the basic chain runs)
+        divergences.append(
+            "pre_tokenizer:null(%s-grain served)"
+            % ("basic" if basic else "whitespace")
         )
     rows = [(t, float(i)) for t, i in vd.items()]
     vocab = spark.createDataFrame(
@@ -996,6 +1028,8 @@ def _basic_grain(df: DataFrame, model: TokenizerJsonModel,
     if not model.basic_tokenize:
         return df, text_col, None
     tmp = "_tjn_basic"
+    while tmp in df.columns:  # never overwrite caller data
+        tmp += "_"
     return (
         df.withColumn(
             tmp,
@@ -1194,8 +1228,18 @@ def tokenizer_json_encode_pairs(
             "segments compose; use tokenizer_json_token_ids, or "
             "load a file with a TemplateProcessing pair block"
         )
-    d = _tjn_body_ids(df, model, text_a_col, "_tjn_a")
-    d = _tjn_body_ids(d, model, text_b_col, "_tjn_b")
+    # internal columns uniquified against the caller's frame — a
+    # fixed name would silently overwrite-then-drop user data (r15
+    # second review)
+    def _tmp(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name += "_"
+        return name
+
+    col_a, col_b = _tmp("_tjn_a"), _tmp("_tjn_b")
+    d = _tjn_body_ids(df, model, text_a_col, col_a)
+    d = _tjn_body_ids(d, model, text_b_col, col_b)
     id_parts = []
     ty_parts = []
     for kind, sid, ty in model.pair_elements:
@@ -1203,16 +1247,16 @@ def tokenizer_json_encode_pairs(
             id_parts.append(F.array(F.lit(sid).cast("long")))
             ty_parts.append(F.array(F.lit(ty).cast("long")))
         else:
-            col = F.col("_tjn_a" if kind == "A" else "_tjn_b")
+            col = F.col(col_a if kind == "A" else col_b)
             id_parts.append(col)
             ty_parts.append(
                 F.array_repeat(F.lit(ty).cast("long"), F.size(col))
             )
-    both = F.col("_tjn_a").isNotNull() & F.col("_tjn_b").isNotNull()
+    both = F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
     return (
         d.withColumn(out_col, F.when(both, F.concat(*id_parts)))
         .withColumn(type_col, F.when(both, F.concat(*ty_parts)))
-        .drop("_tjn_a", "_tjn_b")
+        .drop(col_a, col_b)
     )
 
 
@@ -1277,49 +1321,113 @@ def _added_entries(sids: dict[str, int] | None) -> list[dict]:
 
 
 def _template_block(
-    template, sids: dict[str, int] | None, caller: str,
+    template, pair_template, sids: dict[str, int] | None,
+    caller: str,
 ):
     """The export-side inverse of :func:`_template_ids`'s
     TemplateProcessing parse: ``template = (prefix texts, suffix
-    texts)``, every text a declared special (the ids the template
-    resolves to are the added_tokens ids, so import and serving
-    agree by construction)."""
-    if template is None:
+    texts)`` for the single-sequence layout, ``pair_template`` in
+    the :class:`TokenizerJsonModel` ``pair_elements`` shape
+    (``('special', id, type_id)`` / ``('A'|'B', None, type_id)``) —
+    so a loaded model's pair template re-exports instead of being
+    silently dropped (r15 second review).  Every special must be
+    DECLARED (text for the single form, id for the pair form — the
+    added_tokens ids are what the template resolves to, so import
+    and serving agree by construction)."""
+    if template is None and pair_template is None:
         return None
-    if (
-        not isinstance(template, (list, tuple)) or len(template) != 2
-        or not all(isinstance(p, (list, tuple)) for p in template)
-    ):
-        raise ValueError(
-            f"{caller}: template must be (prefix texts, suffix "
-            f"texts), got {template!r}"
-        )
-    pre, suf = [list(p) for p in template]
-    texts = pre + suf
-    if not texts:
-        raise ValueError(
-            f"{caller}: an empty template expresses nothing — pass "
-            "template=None"
-        )
-    missing = [t for t in texts if t not in (sids or {})]
-    if missing:
-        raise ValueError(
-            f"{caller}: template text {missing[0]!r} is not a "
-            "declared special token — the template could not "
-            "resolve its id"
-        )
-    def el(t):
-        return {"SpecialToken": {"id": t, "type_id": 0}}
+    used: dict[str, int] = {}
 
+    def sp_el(text: str, ty: int):
+        used[text] = sids[text]
+        return {"SpecialToken": {"id": text, "type_id": ty}}
+
+    if template is not None:
+        if (
+            not isinstance(template, (list, tuple))
+            or len(template) != 2
+            or not all(isinstance(p, (list, tuple)) for p in template)
+        ):
+            raise ValueError(
+                f"{caller}: template must be (prefix texts, suffix "
+                f"texts), got {template!r}"
+            )
+        pre, suf = [list(p) for p in template]
+        texts = pre + suf
+        if not texts:
+            raise ValueError(
+                f"{caller}: an empty template expresses nothing — "
+                "pass template=None"
+            )
+        missing = [t for t in texts if t not in (sids or {})]
+        if missing:
+            raise ValueError(
+                f"{caller}: template text {missing[0]!r} is not a "
+                "declared special token — the template could not "
+                "resolve its id"
+            )
+        single = (
+            [sp_el(t, 0) for t in pre]
+            + [{"Sequence": {"id": "A", "type_id": 0}}]
+            + [sp_el(t, 0) for t in suf]
+        )
+    else:
+        # pair-only export: the bare single template (no specials
+        # around the body) is the valid minimal form
+        single = [{"Sequence": {"id": "A", "type_id": 0}}]
+    pair = None
+    if pair_template is not None:
+        rev = {i: t for t, i in (sids or {}).items()}
+        pair = []
+        seen: set[str] = set()
+        for el in pair_template:
+            if not isinstance(el, (list, tuple)) or len(el) != 3:
+                raise ValueError(
+                    f"{caller}: malformed pair_template element "
+                    f"{el!r} — need ('special', id, type_id) or "
+                    "('A'|'B', None, type_id)"
+                )
+            kind, sid, ty = el
+            ty = _check_type_id(ty, f"pair element {kind!r}", caller)
+            if kind in ("A", "B"):
+                if kind in seen:
+                    raise ValueError(
+                        f"{caller}: pair_template references "
+                        f"sequence {kind} twice"
+                    )
+                seen.add(kind)
+                pair.append(
+                    {"Sequence": {"id": kind, "type_id": ty}}
+                )
+            elif kind == "special":
+                i = _check_embedding_id(
+                    caller, "pair special", sid
+                )
+                text = rev.get(i)
+                if text is None:
+                    raise ValueError(
+                        f"{caller}: pair special id {i} is not a "
+                        "declared special token — the template "
+                        "could not name it"
+                    )
+                pair.append(sp_el(text, ty))
+            else:
+                raise ValueError(
+                    f"{caller}: unknown pair_template element kind "
+                    f"{kind!r}"
+                )
+        if seen != {"A", "B"}:
+            raise ValueError(
+                f"{caller}: pair_template must reference sequences "
+                "A and B exactly once each"
+            )
     return {
         "type": "TemplateProcessing",
-        "single": [el(t) for t in pre]
-        + [{"Sequence": {"id": "A", "type_id": 0}}]
-        + [el(t) for t in suf],
-        "pair": None,
+        "single": single,
+        "pair": pair,
         "special_tokens": {
-            t: {"id": t, "ids": [sids[t]], "tokens": [t]}
-            for t in dict.fromkeys(texts)
+            t: {"id": t, "ids": [i], "tokens": [t]}
+            for t, i in used.items()
         },
     }
 
@@ -1359,6 +1467,7 @@ def save_tokenizer_json_bpe(
     byte_level: bool = False,
     special_tokens: dict[str, int] | None = None,
     template: tuple | None = None,
+    pair_template: tuple | None = None,
 ) -> None:
     """Export a BPE artifact pair as a single ``tokenizer.json`` —
     model.vocab in id order, model.merges as ``"left right"``
@@ -1410,7 +1519,9 @@ def save_tokenizer_json_bpe(
         ),
         decoder=dict(_BYTELEVEL_BLOCK) if byte_level else None,
         added=_added_entries(sids),
-        post_processor=_template_block(template, sids, caller),
+        post_processor=_template_block(
+            template, pair_template, sids, caller
+        ),
     )
 
 
@@ -1422,6 +1533,7 @@ def save_tokenizer_json_wordpiece(
     strip_accents: bool | None = None,
     special_tokens: dict[str, int] | None = None,
     template: tuple | None = None,
+    pair_template: tuple | None = None,
 ) -> None:
     """Export a WordPiece vocabulary as a single ``tokenizer.json``
     — ``unk_token`` must be a vocabulary entry (the serving rule);
@@ -1493,7 +1605,9 @@ def save_tokenizer_json_wordpiece(
         decoder={"type": "WordPiece", "prefix": "##",
                  "cleanup": False},
         added=_added_entries(sids),
-        post_processor=_template_block(template, sids, caller),
+        post_processor=_template_block(
+            template, pair_template, sids, caller
+        ),
     )
 
 
@@ -1503,6 +1617,7 @@ def save_tokenizer_json_unigram(
     space_marker: str | None = None,
     special_tokens: dict[str, int] | None = None,
     template: tuple | None = None,
+    pair_template: tuple | None = None,
 ) -> None:
     """Export a unigram LM as a single ``tokenizer.json`` — the
     SentencePiece layout: the unk entry at position 0 with score
@@ -1597,5 +1712,7 @@ def save_tokenizer_json_unigram(
             if space_marker is not None else None
         ),
         added=_added_entries(sids),
-        post_processor=_template_block(template, sids, caller),
+        post_processor=_template_block(
+            template, pair_template, sids, caller
+        ),
     )
