@@ -1246,3 +1246,116 @@ class TestSecondReviewFixes:
         row = enc.collect()[0]
         assert row["_tjn_a"] == "keep me"
         assert list(row["input_ids"]) == [0, 3, 1, 4, 1]
+
+
+class TestThirdReviewFixes:
+    def test_type_id_nonfinite_and_huge(self, spark, tmp_path):
+        import json as _json
+
+        raws = ['{"x": Infinity}', '{"x": NaN}', '{"x": 1e999}',
+                '{"x": %d}' % 10**400]
+        for raw in raws:
+            bad = _json.loads(raw)["x"]
+            pair = _json.loads(_json.dumps(TestPairEncoding.BERT_PAIR))
+            if bad != bad or bad == float("inf"):
+                pair[1]["Sequence"]["type_id"] = bad
+            else:
+                pair[1]["Sequence"]["type_id"] = bad
+            p = TestPairEncoding()._file(tmp_path, pair=pair)
+            if isinstance(bad, int):
+                # a huge INT literal is integral — accepted, not an
+                # OverflowError crash
+                m = load_tokenizer_json(spark, p)
+                assert m.pair_elements[1][2] == bad
+            else:
+                with pytest.raises(ValueError, match="type_id"):
+                    load_tokenizer_json(spark, p)
+
+    def test_out_col_collisions_with_internals(self, spark, tmp_path):
+        m = load_tokenizer_json(
+            spark,
+            TestPairEncoding()._file(
+                tmp_path, pair=TestPairEncoding.BERT_PAIR
+            ),
+        )
+        docs = spark.createDataFrame(
+            [(1, "the", "dat")],
+            "doc_id long, text_a string, text_b string",
+        )
+        enc = tokenizer_json_encode_pairs(
+            docs, m, out_col="_tjn_a", type_col="_tjn_b",
+        )
+        row = enc.collect()[0]
+        assert list(row["_tjn_a"]) == [0, 3, 1, 4, 1]
+        assert list(row["_tjn_b"]) == [0, 0, 0, 1, 1]
+        # the basic-grain internal column dodges out_col too
+        obj = {
+            "normalizer": {"type": "BertNormalizer",
+                           "lowercase": True},
+            "pre_tokenizer": {"type": "BertPreTokenizer"},
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": {"[UNK]": 0, "the": 1},
+            },
+        }
+        import json as _json
+        p = str(tmp_path / "b.json")
+        with open(p, "w") as f:
+            _json.dump(obj, f)
+        mb = load_tokenizer_json(spark, p)
+        out = tokenizer_json_token_ids(
+            spark.createDataFrame(
+                [(1, "The the")], "doc_id long, text string"
+            ),
+            mb, out_col="_tjn_basic",
+        )
+        assert list(out.collect()[0]["_tjn_basic"]) == [1, 1]
+
+    def test_pair_template_sequence_id_refuses(self, spark, tmp_path):
+        from wikiextractor_spark.functions.wordpiece import (
+            wordpiece_from_tokens,
+        )
+
+        vocab = wordpiece_from_tokens(
+            spark, ["[CLS]", "[SEP]", "[UNK]", "the"]
+        )
+        with pytest.raises(ValueError, match="take no id"):
+            save_tokenizer_json_wordpiece(
+                spark, vocab, str(tmp_path / "x.json"),
+                special_tokens={"[CLS]": 0, "[SEP]": 1},
+                pair_template=(("A", 5, 0), ("special", 1, 0),
+                               ("B", None, 1)),
+            )
+
+    def test_template_accepts_loaded_id_tuples(self, spark, tmp_path):
+        from wikiextractor_spark.functions.wordpiece import (
+            wordpiece_from_tokens,
+        )
+
+        vocab = wordpiece_from_tokens(
+            spark, ["[CLS]", "[SEP]", "[UNK]", "the", "dat", "##a"]
+        )
+        p = str(tmp_path / "t.json")
+        save_tokenizer_json_wordpiece(
+            spark, vocab, p,
+            special_tokens={"[CLS]": 0, "[SEP]": 1},
+            template=(["[CLS]"], ["[SEP]"]),
+        )
+        m = load_tokenizer_json(spark, p)
+        # the loaded id tuples round-trip directly — no hand
+        # inversion of the specials mapping
+        p2 = str(tmp_path / "t2.json")
+        save_tokenizer_json_wordpiece(
+            spark, m.vocab, p2,
+            special_tokens=m.special_tokens,
+            template=(m.template_prefix, m.template_suffix),
+        )
+        assert _read(spark, p) == _read(spark, p2)
+        with pytest.raises(ValueError, match="not a declared"):
+            save_tokenizer_json_wordpiece(
+                spark, vocab, p2,
+                special_tokens={"[CLS]": 0},
+                template=((0,), (9,)),
+            )

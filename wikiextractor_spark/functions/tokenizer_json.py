@@ -62,6 +62,7 @@ No reference counterpart — engine extension (SURVEY.md §2.12)."""
 from __future__ import annotations
 
 import json
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
@@ -301,12 +302,15 @@ def _check_type_id(v, what: str, caller: str) -> int:
     crash bare on strings)."""
     if v is None:
         return 0
-    if (
-        isinstance(v, bool)
-        or not isinstance(v, (int, float))
-        or float(v) != int(v)
-        or int(v) < 0
-    ):
+    bad = isinstance(v, bool) or not isinstance(v, (int, float))
+    if not bad and isinstance(v, float):
+        # floats checked separately: json accepts Infinity/NaN/1e999
+        # literals, and int(inf) raises a bare OverflowError with no
+        # context — while a huge INT literal is integral and must
+        # not be pushed through float() (same overflow, other
+        # direction; r15 third review)
+        bad = not math.isfinite(v) or v != int(v)
+    if bad or int(v) < 0:
         raise ValueError(
             f"{caller}: {what} has invalid type_id {v!r} — "
             "type ids are non-negative integers"
@@ -1017,10 +1021,12 @@ def load_tokenizer_json(
 # --------------------------------------------------------------------------
 
 def _basic_grain(df: DataFrame, model: TokenizerJsonModel,
-                 text_col: str):
+                 text_col: str, avoid: tuple = ()):
     """The WordPiece basic grain applied on an INTERNAL column so
     the caller's text column survives; returns (df, kernel text
-    col, cleanup col)."""
+    col, cleanup col).  ``avoid`` carries output column names the
+    internal column must also dodge (an ``out_col='_tjn_basic'``
+    would otherwise be dropped by the cleanup; r15 third review)."""
     from wikiextractor_spark.functions.wordpiece import (
         basic_tokenize_text,
     )
@@ -1028,8 +1034,8 @@ def _basic_grain(df: DataFrame, model: TokenizerJsonModel,
     if not model.basic_tokenize:
         return df, text_col, None
     tmp = "_tjn_basic"
-    while tmp in df.columns:  # never overwrite caller data
-        tmp += "_"
+    while tmp in df.columns or tmp in avoid:
+        tmp += "_"  # never overwrite caller data or the output
     return (
         df.withColumn(
             tmp,
@@ -1143,7 +1149,9 @@ def _tjn_body_ids(
                     do_strip_accents=model.strip_accents,
                 ),
             )
-        d, col, tmp = _basic_grain(df, model, text_col)
+        d, col, tmp = _basic_grain(
+            df, model, text_col, avoid=(out_col,)
+        )
         out = wordpiece_token_ids(
             d, model.vocab, text_col=col, out_col=out_col,
             unk_token=model.unk_token,
@@ -1233,7 +1241,7 @@ def tokenizer_json_encode_pairs(
     # second review)
     def _tmp(base: str) -> str:
         name = base
-        while name in df.columns:
+        while name in df.columns or name in (out_col, type_col):
             name += "_"
         return name
 
@@ -1352,7 +1360,25 @@ def _template_block(
                 f"{caller}: template must be (prefix texts, suffix "
                 f"texts), got {template!r}"
             )
-        pre, suf = [list(p) for p in template]
+        # elements may be special TEXTS or declared special IDS —
+        # the latter so a LOADED model's template_prefix/suffix id
+        # tuples re-export without the caller hand-inverting the
+        # specials mapping (r15 third review)
+        rev_ids = {i: t for t, i in (sids or {}).items()}
+
+        def as_text(e):
+            if isinstance(e, str):
+                return e
+            i = _check_embedding_id(caller, "template element", e)
+            t = rev_ids.get(i)
+            if t is None:
+                raise ValueError(
+                    f"{caller}: template id {i} is not a declared "
+                    "special token — the template could not name it"
+                )
+            return t
+
+        pre, suf = ([as_text(e) for e in p] for p in template)
         texts = pre + suf
         if not texts:
             raise ValueError(
@@ -1390,6 +1416,16 @@ def _template_block(
             kind, sid, ty = el
             ty = _check_type_id(ty, f"pair element {kind!r}", caller)
             if kind in ("A", "B"):
+                if sid is not None:
+                    # a non-None middle value looks like it binds
+                    # the sequence to an id — it binds nothing, so
+                    # silently discarding it would mislead (r15
+                    # third review)
+                    raise ValueError(
+                        f"{caller}: pair_template sequence {kind} "
+                        f"carries id {sid!r} — sequences take no "
+                        "id; pass ('A'|'B', None, type_id)"
+                    )
                 if kind in seen:
                     raise ValueError(
                         f"{caller}: pair_template references "
