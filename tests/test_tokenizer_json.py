@@ -1359,3 +1359,193 @@ class TestThirdReviewFixes:
                 special_tokens={"[CLS]": 0},
                 template=((0,), (9,)),
             )
+
+
+# -------------------------------------------------------------------------
+# r16: ADVICE fixes — added-token matching flags, load-time finite
+# checks, decoder-block inspection, the library-scope unk minimum
+# -------------------------------------------------------------------------
+
+def _write(tmp_path, name, obj):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        json.dump(obj, f)
+    return p
+
+
+def _uni_obj(**over):
+    obj = {
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "model": {
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [["<unk>", 0.0]]
+            + [[t, s] for t, s in sorted(UNI_LM.items())],
+        },
+    }
+    obj.update(over)
+    return obj
+
+
+class TestR16Advice:
+    def test_added_token_matching_flags_recorded(self, spark, tmp_path):
+        """The RoBERTa '<mask>' shape: lstrip=true (and friends) are
+        NOT reproduced by the literal pre-split — each flag kind is a
+        recorded divergence naming its first offender (r15 ADVICE,
+        medium)."""
+        obj = _uni_obj(added_tokens=[
+            {"id": 1000, "content": "<mask>", "lstrip": True,
+             "special": True},
+            {"id": 1001, "content": "<only>", "single_word": True,
+             "rstrip": True, "normalized": True},
+        ])
+        m = load_tokenizer_json(spark, _write(tmp_path, "a.json", obj))
+        assert "added_tokens:lstrip('<mask>')" in m.divergences
+        assert "added_tokens:rstrip('<only>')" in m.divergences
+        assert "added_tokens:single_word('<only>')" in m.divergences
+        assert "added_tokens:normalized('<only>')" in m.divergences
+        # flags absent or false: no divergence
+        obj2 = _uni_obj(added_tokens=[
+            {"id": 1000, "content": "<s>", "lstrip": False,
+             "special": True},
+        ])
+        m2 = load_tokenizer_json(spark, _write(tmp_path, "b.json", obj2))
+        assert not any(
+            d.startswith("added_tokens:") for d in m2.divergences
+        )
+
+    def test_nonfinite_unigram_score_raises(self, spark, tmp_path):
+        """json.loads parses Infinity/NaN literals — a corrupt file
+        must fail at LOAD with the entry in hand (r15 ADVICE)."""
+        obj = _uni_obj()
+        obj["model"]["vocab"].append(["inf", float("inf")])
+        with pytest.raises(ValueError, match="finite numeric score"):
+            load_tokenizer_json(spark, _write(tmp_path, "i.json", obj))
+        obj["model"]["vocab"][-1] = ["nan", float("nan")]
+        with pytest.raises(ValueError, match="finite numeric score"):
+            load_tokenizer_json(spark, _write(tmp_path, "n.json", obj))
+
+    def test_nonfinite_unk_override_raises(self, spark, tmp_path):
+        p = _write(tmp_path, "u.json", _uni_obj())
+        with pytest.raises(ValueError, match="unk_logprob override"):
+            load_tokenizer_json(spark, p, unk_logprob=float("nan"))
+        with pytest.raises(ValueError, match="unk_logprob override"):
+            load_tokenizer_json(spark, p, unk_logprob=True)
+
+    def test_unk_min_ranges_over_all_vocab_scores(self, spark, tmp_path):
+        """The library computes kUnkPenalty against the minimum over
+        ALL model.vocab scores — including the unk entry and
+        added-token pieces the engine excludes from matching (r15
+        ADVICE: it used to range over matchable pieces only)."""
+        obj = _uni_obj(added_tokens=[
+            {"id": 7, "content": "<low>", "special": True},
+        ])
+        # the added token's own vocab entry holds the global minimum
+        obj["model"]["vocab"].append(["<low>", -50.0])
+        assert len(obj["model"]["vocab"]) == 9  # <low> at position 8
+        obj["added_tokens"][0]["id"] = 8
+        m = load_tokenizer_json(spark, _write(tmp_path, "m.json", obj))
+        unk = [
+            r["logprob"] for r in m.lm.collect() if r["token"] is None
+        ]
+        assert unk == [-50.0 - UNK_PENALTY]
+
+    def test_decoder_divergence_recorded(self, spark, tmp_path):
+        # a WordPiece file carrying a Metaspace decoder: the engine
+        # serves the ' ##' join — recorded, never silent
+        obj = {
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "decoder": {"type": "Metaspace", "replacement": "▁"},
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "vocab": {t: i for i, t in enumerate(WP_TOKENS)},
+            },
+        }
+        m = load_tokenizer_json(spark, _write(tmp_path, "d.json", obj))
+        assert "decoder:Metaspace" in m.divergences
+        # ByteLevel decoder under NON-byte-level BPE: recorded too
+        obj2 = {
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "decoder": {"type": "ByteLevel"},
+            "model": {
+                "type": "BPE",
+                "vocab": {"a": 0, "b": 1, "ab": 2},
+                "merges": ["a b"],
+            },
+        }
+        m2 = load_tokenizer_json(spark, _write(tmp_path, "d2.json", obj2))
+        assert "decoder:ByteLevel" in m2.divergences
+
+    def test_decoder_contradiction_raises(self, spark, tmp_path):
+        obj = {
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "decoder": {"type": "WordPiece", "prefix": "@@"},
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "vocab": {t: i for i, t in enumerate(WP_TOKENS)},
+            },
+        }
+        with pytest.raises(ValueError, match="decoder prefix"):
+            load_tokenizer_json(spark, _write(tmp_path, "c.json", obj))
+        obj2 = _uni_obj(
+            pre_tokenizer={"type": "Metaspace", "replacement": "▁"},
+            decoder={"type": "Metaspace", "replacement": "_"},
+        )
+        obj2["model"]["vocab"] = [
+            ["<unk>", 0.0], ["▁the", -2.0], ["▁a", -3.0],
+            ["a", -4.0], ["t", -4.1],
+        ]
+        with pytest.raises(ValueError, match="does not match"):
+            load_tokenizer_json(spark, _write(tmp_path, "c2.json", obj2))
+
+    def test_wordpiece_cleanup_served(self, spark, tmp_path):
+        """A stock-BERT-shape decoder (cleanup: true) now SERVES the
+        published replace chain instead of recording nothing: ' .'
+        folds onto the preceding token."""
+        vocab = {t: i for i, t in enumerate(
+            ["[UNK]", "it", "don", "##'", "##t", "."]
+        )}
+        base = {
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "model": {
+                "type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "vocab": vocab,
+            },
+        }
+        docs = spark.createDataFrame(
+            [(1, "it .")], "doc_id long, text string"
+        )
+        for cleanup, want in ((True, "it."), (False, "it .")):
+            obj = dict(base)
+            obj["decoder"] = {
+                "type": "WordPiece", "prefix": "##",
+                "cleanup": cleanup,
+            }
+            m = load_tokenizer_json(
+                spark, _write(tmp_path, f"w{cleanup}.json", obj)
+            )
+            assert m.wp_decode_cleanup is cleanup
+            assert not any(
+                d.startswith("decoder:") for d in m.divergences
+            )
+            ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+            dec = tokenizer_json_decode_ids(
+                ids, m, ids_col="ids", out_col="dec"
+            )
+            assert _col(dec, "dec") == [want]
+
+    def test_wordpiece_cleanup_direct_kernel(self, spark):
+        """The kernel-level flag applies the full published chain in
+        order (including the \" ' \" middle rule)."""
+        from wikiextractor_spark.functions.wordpiece import (
+            _wp_decode_one,
+        )
+
+        i2t = {0: "do", 1: "##n", 2: "n't", 3: ".", 4: "'", 5: "s",
+               6: "it"}
+        assert _wp_decode_one([6, 2, 3], i2t, {}, True) == "itn't."
+        assert _wp_decode_one([6, 2, 3], i2t, {}, False) == "it n't ."
+        assert _wp_decode_one([6, 4, 5], i2t, {}, True) == "it' s"

@@ -125,6 +125,12 @@ class TokenizerJsonModel:
     #: :func:`tokenizer_json_encode_pairs` serving plan; empty when
     #: the file has no (parseable) pair template
     pair_elements: tuple = ()
+    #: the file's WordPiece decoder ``cleanup`` flag (r16): True
+    #: serves the published fixed replace chain on decode
+    #: (:func:`~wikiextractor_spark.functions.wordpiece.
+    #: wordpiece_decode_ids` ``cleanup=True`` — stock BERT files
+    #: carry it)
+    wp_decode_cleanup: bool = False
     #: component blocks accepted with a STATED divergence (see module
     #: docstring), e.g. ('post_processor:pair',
     #: 'normalizer:Precompiled')
@@ -179,12 +185,27 @@ def _flatten(block, name: str, caller: str) -> list[dict]:
     return [block]
 
 
-def _added_tokens(obj, caller: str) -> dict[str, int] | None:
+def _added_tokens(
+    obj, caller: str, divergences: list,
+) -> dict[str, int] | None:
     """The ``added_tokens`` overlay as the kernels' ``{text: id}``
-    special-token mapping (the engine's literal pre-split + reserved
-    id IS the library's added-token matching; a ``normalized: true``
-    user token is served literally — the engine normalizes upstream,
-    stated)."""
+    special-token mapping.  The engine's literal pre-split + reserved
+    id IS the library's default added-token matching; the MATCHING
+    flags the library layers on top are NOT reproduced and are
+    RECORDED per flag kind (r16, the r15 ADVICE finding — they used
+    to pass silently / docstring-only):
+
+    * ``lstrip``/``rstrip`` true (RoBERTa's ``<mask>`` ships
+      ``lstrip: true``): the library's match consumes adjacent
+      whitespace into the token; the engine splits the literal text
+      only, so a ``" <mask>"`` id stream keeps the space in the
+      neighboring segment — ``added_tokens:lstrip``/``:rstrip``;
+    * ``single_word`` true: the library matches only at word
+      boundaries; the engine matches the literal anywhere —
+      ``added_tokens:single_word``;
+    * ``normalized`` true: the library normalizes the token text
+      before matching; the engine serves it literally (normalize
+      upstream) — ``added_tokens:normalized``."""
     toks = obj.get("added_tokens")
     if toks is None:
         return None
@@ -193,6 +214,7 @@ def _added_tokens(obj, caller: str) -> dict[str, int] | None:
             f"{caller}: added_tokens must be a list, got {toks!r}"
         )
     out: dict[str, int] = {}
+    flagged: dict[str, str] = {}  # flag kind -> first offending text
     for t in toks:
         if not isinstance(t, dict) or not isinstance(
             t.get("content"), str
@@ -209,6 +231,14 @@ def _added_tokens(obj, caller: str) -> dict[str, int] | None:
         out[c] = _check_embedding_id(
             caller, f"added token {c!r}", t.get("id")
         )
+        for flag in ("single_word", "lstrip", "rstrip", "normalized"):
+            if t.get(flag) is True:
+                flagged.setdefault(flag, c)
+    for flag in ("single_word", "lstrip", "rstrip", "normalized"):
+        if flag in flagged:
+            divergences.append(
+                f"added_tokens:{flag}({flagged[flag]!r})"
+            )
     if len(set(out.values())) != len(out):
         raise ValueError(f"{caller}: duplicate added-token ids")
     return out or None
@@ -767,10 +797,14 @@ def _import_unigram(
             or not isinstance(e[0], str) or e[0] == ""
             or isinstance(e[1], bool)
             or not isinstance(e[1], (int, float))
+            # json.loads parses Infinity/NaN literals — a corrupt
+            # file must fail HERE with the entry in hand, not later
+            # inside a serving kernel (r15 ADVICE)
+            or not math.isfinite(e[1])
         ):
             raise ValueError(
                 f"{caller}: malformed model.vocab entry {i}: {e!r} "
-                "— need [non-empty string, numeric score]"
+                "— need [non-empty string, finite numeric score]"
             )
         pieces.append((e[0], float(e[1])))
     if len({t for t, _s in pieces}) != len(pieces):
@@ -839,11 +873,24 @@ def _import_unigram(
             f"(first: {bad_ws[0]!r}) — they can never match under "
             "the engine's pre-tokenization"
         )
+    if unk_logprob is not None and (
+        isinstance(unk_logprob, bool)
+        or not isinstance(unk_logprob, (int, float))
+        or not math.isfinite(unk_logprob)
+    ):
+        raise ValueError(
+            f"{caller}: unk_logprob override {unk_logprob!r} is not "
+            "a finite number"
+        )
     if unk_logprob is None:
-        # the published rule: min piece score minus kUnkPenalty —
+        # the published rule: min vocab score minus kUnkPenalty —
         # NEVER the unk entry's stored score (typically 0.0, which
-        # would dominate every real logprob)
-        unk_logprob = min(s for s in toks.values()) - UNK_PENALTY
+        # would dominate every real logprob).  The minimum ranges
+        # over EVERY model.vocab score — including the unk entry and
+        # added-token pieces — exactly the library's computation
+        # (r16, the r15 ADVICE scope fix: it used to range over
+        # matchable pieces only)
+        unk_logprob = min(s for _t, s in pieces) - UNK_PENALTY
     # grain: Metaspace pre-tokenizer (T5-class) or the Prepend +
     # Replace normalizer pair (Llama-class) → space_marker mode
     marker = None
@@ -940,6 +987,70 @@ def _import_unigram(
     )
 
 
+def _decoder_divergences(
+    obj, family: str, byte_level: bool, space_marker, caller: str,
+) -> tuple[list[str], bool]:
+    """The top-level ``decoder`` block inspected against what the
+    engine's decode dispatch actually serves (r16, the r15 ADVICE
+    finding — the block used to pass uninspected, so a file whose
+    decode semantics the engine does not reproduce was served
+    silently).  Blocks the dispatch reproduces pass clean: the
+    ByteLevel decoder under byte-level BPE, the ``##``-prefix
+    WordPiece decoder (``cleanup: true`` — the stock BERT layout —
+    now SERVES faithfully via :func:`~wikiextractor_spark.functions.
+    wordpiece.wordpiece_decode_ids` ``cleanup=True``), and the
+    Metaspace decoder whose replacement matches the serving marker.
+    A decoder the engine cannot reproduce is RECORDED as
+    ``decoder:<type>``; a WordPiece prefix or Metaspace replacement
+    CONTRADICTING the import's serving flags raises (the file is
+    internally inconsistent with how its ids will decode).  Returns
+    ``(divergences, wordpiece cleanup flag)``."""
+    dec = obj.get("decoder")
+    if dec is None:
+        return [], False
+    if not isinstance(dec, dict) or not isinstance(
+        dec.get("type"), str
+    ):
+        raise ValueError(
+            f"{caller}: decoder must be null or an object with a "
+            f"string 'type', got {dec!r}"
+        )
+    t = dec["type"]
+    if family == "bpe":
+        if t == "ByteLevel" and byte_level:
+            return [], False
+        return [f"decoder:{t}"], False
+    if family == "wordpiece":
+        if t == "WordPiece":
+            prefix = dec.get("prefix", "##")
+            if prefix != "##":
+                raise ValueError(
+                    f"{caller}: WordPiece decoder prefix {prefix!r} "
+                    "— the engine decode serves the published '##' "
+                    "continuation grain only"
+                )
+            return [], dec.get("cleanup", True) is not False
+        return [f"decoder:{t}"], False
+    # unigram
+    if t == "Metaspace" and space_marker is not None:
+        if dec.get("replacement", "▁") != space_marker:
+            raise ValueError(
+                f"{caller}: Metaspace decoder replacement "
+                f"{dec.get('replacement')!r} does not match the "
+                f"serving marker {space_marker!r} — the file "
+                "contradicts itself on how its ids decode"
+            )
+        scheme = dec.get("prepend_scheme")
+        if scheme is None and dec.get("add_prefix_space") is False:
+            scheme = "never"
+        if scheme in (None, "always"):
+            # marker→space + strip one leading space IS the engine's
+            # marker-mode decode
+            return [], False
+        return [f"decoder:Metaspace.prepend_scheme={scheme}"], False
+    return [f"decoder:{t}"], False
+
+
 def load_tokenizer_json(
     spark, path: str, *,
     oov_tokens_per_char: float = 1.0,
@@ -974,12 +1085,12 @@ def load_tokenizer_json(
             f"{caller}: no model block — not a tokenizer.json file"
         )
     fam = model.get("type")
-    specials = _added_tokens(obj, caller)
     # the template upgrade (r15): BertProcessing / RobertaProcessing
     # / TemplateProcessing serve FAITHFULLY — single as prefix/suffix
     # ids, pair as encode-pairs elements; only unparseable pair
     # shapes and unknown types remain stated divergences
     tpre, tsuf, pair_els, divergences = _template_ids(obj, caller)
+    specials = _added_tokens(obj, caller, divergences)
     # the top-level truncation/padding blocks change what the
     # published tokenizer emits per call — the engine serves the
     # full streams (apply pad_token_ids downstream); stated, never
@@ -1006,9 +1117,20 @@ def load_tokenizer_json(
             f"{caller}: unsupported model.type {fam!r} — the engine "
             "serves BPE, WordPiece, and Unigram"
         )
-    if tpre or tsuf or pair_els:
-        from dataclasses import replace
+    from dataclasses import replace
 
+    # decoder inspected AFTER the family import fixed the serving
+    # flags it must be checked against (r16)
+    dec_divs, wp_cleanup = _decoder_divergences(
+        obj, out.family, out.byte_level, out.space_marker, caller
+    )
+    if dec_divs or wp_cleanup:
+        out = replace(
+            out,
+            divergences=out.divergences + tuple(dec_divs),
+            wp_decode_cleanup=wp_cleanup,
+        )
+    if tpre or tsuf or pair_els:
         out = replace(
             out, template_prefix=tpre, template_suffix=tsuf,
             pair_elements=pair_els,
@@ -1198,6 +1320,7 @@ def tokenizer_json_decode_ids(
         return wordpiece_decode_ids(
             df, model.vocab, ids_col=ids_col, out_col=out_col,
             special_tokens=model.special_tokens,
+            cleanup=model.wp_decode_cleanup,
         )
     from wikiextractor_spark.functions.unigram import (
         unigram_decode_ids,

@@ -369,14 +369,28 @@ def wordpiece_token_count(
     )
 
 
+#: the published WordPiece decoder ``cleanup`` replace chain
+#: (huggingface/tokenizers ``decoders::wordpiece::cleanup``, applied
+#: in exactly this order): tokenization artifacts like ``" ."`` and
+#: ``" n't"`` fold back onto the preceding token.
+_WP_CLEANUP = (
+    (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+    (" ' ", "' "), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+    (" 've", "'ve"), (" 're", "'re"),
+)
+
+
 def _wp_decode_one(ids, id2tok: dict[int, str],
-                   rev_special: dict[int, str]):
+                   rev_special: dict[int, str],
+                   cleanup: bool = False):
     """Decode one WordPiece id stream — the published
     ``convert_tokens_to_string`` rule verbatim:
-    ``" ".join(tokens).replace(" ##", "")``.  Specials emit their
-    marker text as one token; an id outside vocab/specials raises
-    (WordPiece streams carry no -1 sentinel — unknowns are the
-    ``unk_token``'s real vocab id)."""
+    ``" ".join(tokens).replace(" ##", "")``, then (``cleanup=True``,
+    r16) the published decoder cleanup chain (:data:`_WP_CLEANUP` in
+    order — the ``cleanup: true`` every stock BERT ``tokenizer.json``
+    decoder carries).  Specials emit their marker text as one token;
+    an id outside vocab/specials raises (WordPiece streams carry no
+    -1 sentinel — unknowns are the ``unk_token``'s real vocab id)."""
     if ids is None:
         return None
     toks: list[str] = []
@@ -394,13 +408,18 @@ def _wp_decode_one(ids, id2tok: dict[int, str],
                 "special_tokens"
             )
         toks.append(t)
-    return " ".join(toks).replace(" ##", "")
+    out = " ".join(toks).replace(" ##", "")
+    if cleanup:
+        for frm, to in _WP_CLEANUP:
+            out = out.replace(frm, to)
+    return out
 
 
 def wordpiece_decode_ids(
     df: DataFrame, vocab: DataFrame,
     ids_col: str = "token_ids", out_col: str = "text",
     *, special_tokens: dict[str, int] | None = None,
+    cleanup: bool = False,
 ) -> DataFrame:
     """Attach ``out_col``: the id stream DECODED back to text — the
     inverse adapter of :func:`wordpiece_token_ids` (the published
@@ -409,7 +428,12 @@ def wordpiece_decode_ids(
     design where the published rule is: unknown words decode to the
     ``unk_token`` text, and inter-word whitespace runs decode to one
     space (stated; ``decode(encode(x)) == x`` holds exactly for
-    single-spaced fully-in-vocab text, pinned by pytest).  NULL
+    single-spaced fully-in-vocab text, pinned by pytest).
+    ``cleanup`` (r16): apply the published decoder cleanup chain
+    after the join — the ``cleanup: true`` every stock BERT
+    ``tokenizer.json`` decoder carries (lossy on text that
+    legitimately contains the artifacts, exactly as published;
+    default off, the engine's artifact-faithful join).  NULL
     streams stay NULL.  Scale shape: broadcast id→token map, one
     Arrow-batched kernel, no shuffle."""
     rows = vocab.select("token", "token_id").collect()
@@ -425,12 +449,14 @@ def wordpiece_decode_ids(
     _tok2id, id2tok, rev_special = _vocab_id_maps(
         rows, sids, "wordpiece_decode_ids"
     )
-    bc = df.sparkSession.sparkContext.broadcast((id2tok, rev_special))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (id2tok, rev_special, bool(cleanup))
+    )
 
     @F.pandas_udf("string")
     def _decode(s: pd.Series) -> pd.Series:
-        i2t, rsp = bc.value
-        return s.map(lambda ids: _wp_decode_one(ids, i2t, rsp))
+        i2t, rsp, cu = bc.value
+        return s.map(lambda ids: _wp_decode_one(ids, i2t, rsp, cu))
 
     return df.withColumn(out_col, _decode(F.col(ids_col)))
 
