@@ -1549,3 +1549,170 @@ class TestR16Advice:
         assert _wp_decode_one([6, 2, 3], i2t, {}, True) == "itn't."
         assert _wp_decode_one([6, 2, 3], i2t, {}, False) == "it n't ."
         assert _wp_decode_one([6, 4, 5], i2t, {}, True) == "it' s"
+
+
+# -------------------------------------------------------------------------
+# r16: unigram byte_fallback — the Llama/Mistral-class layout
+# -------------------------------------------------------------------------
+
+def _bf_vocab(marked=True):
+    """A byte_fallback model.vocab: unk, all 256 <0xNN> pieces, then
+    a small real vocabulary (marker-grain by default)."""
+    vocab = [["<unk>", 0.0]]
+    vocab += [[f"<0x{b:02X}>", -20.0] for b in range(256)]
+    if marked:
+        vocab += [
+            ["▁the", -2.0], ["▁", -4.5], ["t", -4.0], ["h", -4.1],
+            ["e", -3.9],
+        ]
+    else:
+        vocab += [
+            ["the", -2.0], ["t", -4.0], ["h", -4.1], ["e", -3.9],
+        ]
+    return vocab
+
+
+class TestByteFallback:
+    def _llama_obj(self):
+        return {
+            "normalizer": {
+                "type": "Sequence",
+                "normalizers": [
+                    {"type": "Prepend", "prepend": "▁"},
+                    {"type": "Replace",
+                     "pattern": {"String": " "}, "content": "▁"},
+                ],
+            },
+            "pre_tokenizer": None,
+            "decoder": {
+                "type": "Sequence",
+                "decoders": [
+                    {"type": "Replace",
+                     "pattern": {"String": "▁"}, "content": " "},
+                    {"type": "ByteFallback"},
+                    {"type": "Fuse"},
+                    {"type": "Strip", "content": " ",
+                     "start": 1, "stop": 0},
+                ],
+            },
+            "model": {
+                "type": "Unigram",
+                "unk_id": 0,
+                "vocab": _bf_vocab(),
+                "byte_fallback": True,
+            },
+        }
+
+    def test_llama_shape_imports_and_serves(self, spark, tmp_path):
+        p = _write(tmp_path, "llama_bf.json", self._llama_obj())
+        m = load_tokenizer_json(spark, p)
+        assert m.family == "unigram"
+        assert m.space_marker == "▁"
+        # byte→position: <0xNN> sits at position 1 + NN
+        assert m.byte_fallback_ids == {b: 1 + b for b in range(256)}
+        # the published decoder chain is exactly what the engine
+        # decode does — accepted clean
+        assert not any(
+            d.startswith("decoder:") for d in m.divergences
+        )
+        docs = spark.createDataFrame(
+            [(1, "the héllo"), (2, "😀 the")],
+            "doc_id long, text string",
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        rows = {r["doc_id"]: r["ids"] for r in ids.collect()}
+        # positions: bytes at 1+NN, then ▁the=257+... (marked vocab
+        # appended after the byte block in _bf_vocab order)
+        pos = {t: i for i, (t, _s) in enumerate(
+            self._llama_obj()["model"]["vocab"]
+        )}
+        he = "héllo".encode("utf-8")
+        assert rows[1] == [
+            pos["▁the"], pos["▁"], pos["h"],
+        ] + [1 + b for b in he[1:3]] + [
+            1 + he[3], 1 + he[4], 1 + he[5],
+        ]
+        # every id in doc 2's emoji falls back to 4 bytes
+        em = "😀".encode("utf-8")
+        assert rows[2] == [pos["▁"]] + [1 + b for b in em] + [
+            pos["▁the"]
+        ]
+        # decode round-trips the single-spaced text exactly
+        dec = tokenizer_json_decode_ids(
+            ids, m, ids_col="ids", out_col="t"
+        )
+        got = {r["doc_id"]: r["t"] for r in dec.collect()}
+        assert got == {1: "the héllo", 2: "😀 the"}
+
+    def test_missing_byte_pieces_refuse(self, spark, tmp_path):
+        obj = self._llama_obj()
+        # drop one byte piece
+        obj["model"]["vocab"] = [
+            e for e in obj["model"]["vocab"] if e[0] != "<0x7F>"
+        ]
+        with pytest.raises(ValueError, match="byte pieces are missing"):
+            load_tokenizer_json(
+                spark, _write(tmp_path, "bad.json", obj)
+            )
+
+    def test_byte_piece_as_added_token_refuses(self, spark, tmp_path):
+        obj = self._llama_obj()
+        obj["added_tokens"] = [
+            {"id": 65 + 1, "content": "<0x41>", "special": True},
+        ]
+        with pytest.raises(ValueError, match="also an added token"):
+            load_tokenizer_json(
+                spark, _write(tmp_path, "bad2.json", obj)
+            )
+
+    def test_export_round_trip(self, spark, tmp_path):
+        from wikiextractor_spark.functions.unigram import (
+            unigram_from_tokens,
+        )
+
+        lm_map = {f"<0x{b:02X}>": -20.0 for b in range(256)}
+        lm_map.update({
+            "▁the": -2.0, "▁": -4.5, "t": -4.0, "h": -4.1,
+            "e": -3.9,
+        })
+        lm = unigram_from_tokens(spark, lm_map, -30.0)
+        p = str(tmp_path / "bf.json")
+        save_tokenizer_json_unigram(
+            spark, lm, p, space_marker="▁", byte_fallback=True,
+        )
+        raw = json.loads(_read(spark, p))
+        assert raw["model"]["byte_fallback"] is True
+        assert raw["decoder"]["type"] == "Sequence"
+        m = load_tokenizer_json(spark, p)
+        assert m.byte_fallback_ids is not None
+        assert not any(
+            d.startswith("decoder:") for d in m.divergences
+        )
+        docs = spark.createDataFrame(
+            [(1, "the ✓")], "doc_id long, text string"
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        dec = tokenizer_json_decode_ids(
+            ids, m, ids_col="ids", out_col="t"
+        )
+        assert dec.collect()[0]["t"] == "the ✓"
+        # re-export byte identity
+        p2 = str(tmp_path / "bf2.json")
+        save_tokenizer_json_unigram(
+            spark, m.lm, p2, space_marker="▁", byte_fallback=True,
+        )
+        assert _read(spark, p) == _read(spark, p2)
+
+    def test_export_flag_without_pieces_refuses(self, spark, tmp_path):
+        from wikiextractor_spark.functions.unigram import (
+            unigram_from_tokens,
+        )
+
+        lm = unigram_from_tokens(
+            spark, {"▁the": -2.0, "▁": -4.0, "t": -4.1}, -10.0
+        )
+        with pytest.raises(ValueError, match="byte pieces are missing"):
+            save_tokenizer_json_unigram(
+                spark, lm, str(tmp_path / "x.json"),
+                space_marker="▁", byte_fallback=True,
+            )

@@ -21,9 +21,11 @@ Import policy (the engine-wide raise-don't-guess discipline):
   ``Prepend`` + ``Replace`` normalizer pair) → the unigram
   ``space_marker`` mode;
 * blocks that would change the TOKEN STREAM in ways the engine
-  cannot reproduce RAISE (a ``Whitespace`` pre-tokenizer's
-  ``\\w+|[^\\w\\s]+`` grain, ``ignore_merges``, ``byte_fallback``,
-  BPE dropout, a non-``##`` WordPiece continuation prefix);
+  cannot reproduce RAISE (``ignore_merges``, BPE dropout or
+  ``byte_fallback``, a non-``##`` WordPiece continuation prefix);
+  Unigram ``byte_fallback: true`` SERVES (r16, the Llama/Mistral-
+  class layout): uncovered characters re-encode as their UTF-8
+  bytes' ``<0xNN>`` piece ids, required present for all 256 bytes;
 * the post_processor's SINGLE-SEQUENCE shapes serve FAITHFULLY
   (r15): ``TemplateProcessing.single``, ``BertProcessing``, and
   ``RobertaProcessing`` become prefix/suffix template ids applied as
@@ -111,6 +113,10 @@ class TokenizerJsonModel:
     lower: bool = True                # wordpiece basic grain flags
     strip_accents: bool = True
     space_marker: str | None = None   # unigram Metaspace grain
+    #: unigram byte fallback (r16): ``{byte: <0xNN> piece position}``
+    #: over all 256 bytes — the Llama/Mistral-class published
+    #: fallback; None when the file's ``model.byte_fallback`` is off
+    byte_fallback_ids: dict | None = None
     unk_token: str | None = None      # wordpiece unk entry text
     max_input_chars_per_word: int = 100
     #: post_processor template ids around the body (r15): the
@@ -783,7 +789,7 @@ def _import_unigram(
         _check_marker_artifact,
     )
 
-    _model_flag(model, "byte_fallback", (None, False), caller)
+    _model_flag(model, "byte_fallback", (None, False, True), caller)
     entries = model.get("vocab")
     if not isinstance(entries, list) or not entries:
         raise ValueError(
@@ -826,6 +832,41 @@ def _import_unigram(
                 f"for a {len(pieces)}-entry vocab"
             )
         unk_text = pieces[unk_id][0]
+    # byte_fallback (r16, the Llama/Mistral-class layout): accepted
+    # IFF the vocab carries ALL 256 <0xNN> byte pieces (uppercase
+    # hex, the published serialization) — the fallback must be able
+    # to re-encode any UTF-8 byte; partial coverage refuses (the
+    # raise-don't-guess policy).  Byte pieces stay MATCHABLE vocab
+    # entries (the library trie contains them — a literal '<0x41>'
+    # in text matches the piece), and their positions double as the
+    # fallback byte→id map the serving kernels take.
+    fb_ids = None
+    if model.get("byte_fallback") is True:
+        pos0 = {t: i for i, (t, _s) in enumerate(pieces)}
+        fb_ids = {}
+        missing = []
+        for b in range(256):
+            p = pos0.get(f"<0x{b:02X}>")
+            if p is None:
+                missing.append(b)
+            else:
+                fb_ids[b] = p
+        if missing:
+            raise ValueError(
+                f"{caller}: model.byte_fallback is true but "
+                f"{len(missing)} <0xNN> byte pieces are missing "
+                f"(first: <0x{missing[0]:02X}>) — the fallback "
+                "could not re-encode every UTF-8 byte"
+            )
+        bad_sp = [
+            f"<0x{b:02X}>" for b in range(256)
+            if f"<0x{b:02X}>" in (specials or ())
+        ]
+        if bad_sp:
+            raise ValueError(
+                f"{caller}: byte piece {bad_sp[0]!r} is also an "
+                "added token — the fallback id would decode two ways"
+            )
     # fail-fast collision policy at load (the _check_added_vs_vocab
     # discipline on the positional numbering): an added token that
     # is also a vocab piece must sit at ITS position, and an added
@@ -983,12 +1024,14 @@ def _import_unigram(
     return TokenizerJsonModel(
         family="unigram", lm=lm, token_ids=token_ids,
         special_tokens=specials, space_marker=marker,
+        byte_fallback_ids=fb_ids,
         divergences=tuple(divergences),
     )
 
 
 def _decoder_divergences(
     obj, family: str, byte_level: bool, space_marker, caller: str,
+    byte_fallback: bool = False,
 ) -> tuple[list[str], bool]:
     """The top-level ``decoder`` block inspected against what the
     engine's decode dispatch actually serves (r16, the r15 ADVICE
@@ -1032,6 +1075,57 @@ def _decoder_divergences(
             return [], dec.get("cleanup", True) is not False
         return [f"decoder:{t}"], False
     # unigram
+    if t == "Sequence":
+        # the Llama/Mistral-class published decoder chain: each
+        # member the engine decode reproduces passes clean —
+        # Replace(marker→' ') per piece, ByteFallback (served when
+        # the model imported byte_fallback), Fuse (the engine's
+        # concat), Strip one leading ' ' (the marker-mode rule);
+        # anything else records member-wise
+        members = dec.get("decoders")
+        if not isinstance(members, list):
+            raise ValueError(
+                f"{caller}: decoder Sequence block carries no "
+                "decoders list"
+            )
+        divs: list[str] = []
+        for m in members:
+            if not isinstance(m, dict) or not isinstance(
+                m.get("type"), str
+            ):
+                raise ValueError(
+                    f"{caller}: malformed decoder Sequence member "
+                    f"{m!r}"
+                )
+            mt = m["type"]
+            if mt == "Replace":
+                pat, content = _replace_content(m)
+                if (
+                    space_marker is not None
+                    and pat == space_marker and content == " "
+                ):
+                    continue
+                divs.append(f"decoder:Replace({pat!r})")
+            elif mt == "ByteFallback":
+                if byte_fallback:
+                    continue
+                divs.append("decoder:ByteFallback")
+            elif mt == "Fuse":
+                continue
+            elif mt == "Strip":
+                if (
+                    space_marker is not None
+                    and m.get("content", " ") == " "
+                    and m.get("start", 1) == 1
+                    and m.get("stop", 0) == 0
+                ):
+                    continue
+                divs.append("decoder:Strip")
+            else:
+                divs.append(f"decoder:{mt}")
+        return divs, False
+    if t == "ByteFallback" and byte_fallback:
+        return [], False
     if t == "Metaspace" and space_marker is not None:
         if dec.get("replacement", "▁") != space_marker:
             raise ValueError(
@@ -1122,7 +1216,8 @@ def load_tokenizer_json(
     # decoder inspected AFTER the family import fixed the serving
     # flags it must be checked against (r16)
     dec_divs, wp_cleanup = _decoder_divergences(
-        obj, out.family, out.byte_level, out.space_marker, caller
+        obj, out.family, out.byte_level, out.space_marker, caller,
+        byte_fallback=out.byte_fallback_ids is not None,
     )
     if dec_divs or wp_cleanup:
         out = replace(
@@ -1290,6 +1385,7 @@ def _tjn_body_ids(
         token_ids=model.token_ids,
         special_tokens=model.special_tokens,
         oversize_word="chars", space_marker=model.space_marker,
+        byte_fallback_ids=model.byte_fallback_ids,
     )
 
 
@@ -1331,6 +1427,7 @@ def tokenizer_json_decode_ids(
         token_ids=model.token_ids,
         special_tokens=model.special_tokens,
         space_marker=model.space_marker,
+        byte_fallback_ids=model.byte_fallback_ids,
     )
 
 
@@ -1770,6 +1867,41 @@ def save_tokenizer_json_wordpiece(
     )
 
 
+def _unigram_decoder_block(space_marker, byte_fallback: bool):
+    """The exported unigram decoder, matching what the engine decode
+    actually does so reimport accepts it clean: the Metaspace block
+    in plain marker mode; under ``byte_fallback`` the published
+    Llama-shape Sequence chain (Replace marker→space per piece,
+    ByteFallback, Fuse, Strip one leading space) or the markerless
+    [ByteFallback, Fuse] pair; None when neither applies."""
+    if byte_fallback:
+        members: list[dict] = []
+        if space_marker is not None:
+            members.append({
+                "type": "Replace",
+                "pattern": {"String": space_marker},
+                "content": " ",
+            })
+        members += [
+            {"type": "ByteFallback"},
+            {"type": "Fuse"},
+        ]
+        if space_marker is not None:
+            members.append({
+                "type": "Strip", "content": " ",
+                "start": 1, "stop": 0,
+            })
+        return {"type": "Sequence", "decoders": members}
+    if space_marker is not None:
+        return {
+            "type": "Metaspace",
+            "replacement": space_marker,
+            "prepend_scheme": "always",
+            "split": True,
+        }
+    return None
+
+
 def save_tokenizer_json_unigram(
     spark, lm: DataFrame, path: str, *,
     unk_token: str = "<unk>",
@@ -1777,6 +1909,7 @@ def save_tokenizer_json_unigram(
     special_tokens: dict[str, int] | None = None,
     template: tuple | None = None,
     pair_template: tuple | None = None,
+    byte_fallback: bool = False,
 ) -> None:
     """Export a unigram LM as a single ``tokenizer.json`` — the
     SentencePiece layout: the unk entry at position 0 with score
@@ -1814,6 +1947,20 @@ def save_tokenizer_json_unigram(
     if space_marker is not None:
         marker = _check_marker(space_marker, caller)
         _check_marker_artifact(toks, marker, caller)
+    if byte_fallback:
+        # the flag is only honest when the written vocab can
+        # actually re-encode every byte — the import-side rule,
+        # enforced with the export in hand (r16)
+        missing = [
+            b for b in range(256) if f"<0x{b:02X}>" not in toks
+        ]
+        if missing:
+            raise ValueError(
+                f"{caller}: byte_fallback=True but {len(missing)} "
+                f"<0xNN> byte pieces are missing from the LM "
+                f"(first: <0x{missing[0]:02X}>) — add them or drop "
+                "the flag"
+            )
     _sp, sids = _compile_specials(special_tokens, caller)
     n_entries = len(toks) + 1
     collide = [
@@ -1848,7 +1995,7 @@ def save_tokenizer_json_unigram(
             "unk_id": 0,
             "vocab": [[unk_token, 0.0]]
             + [[t, s] for t, s in ordered],
-            "byte_fallback": False,
+            "byte_fallback": bool(byte_fallback),
         },
         normalizer=None,
         pre_tokenizer=(
@@ -1861,15 +2008,7 @@ def save_tokenizer_json_unigram(
             if space_marker is not None
             else {"type": "WhitespaceSplit"}
         ),
-        decoder=(
-            {
-                "type": "Metaspace",
-                "replacement": space_marker,
-                "prepend_scheme": "always",
-                "split": True,
-            }
-            if space_marker is not None else None
-        ),
+        decoder=_unigram_decoder_block(space_marker, byte_fallback),
         added=_added_entries(sids),
         post_processor=_template_block(
             template, pair_template, sids, caller

@@ -273,9 +273,34 @@ def _check_marker_artifact(toks, marker: str, caller: str) -> None:
         )
 
 
+def _unk_width(ch: str, byte_fallback: bool) -> int:
+    """Tokens one UNKNOWN character emits: 1 (the unk sentinel), or
+    its UTF-8 byte count under byte fallback (each byte one
+    ``<0xNN>`` piece — the published SentencePiece/HF rule).  The
+    tie-break packing charges exactly what the ids kernel emits, so
+    ``size(token_ids)`` stays the count kernel's value in both
+    modes."""
+    return len(ch.encode("utf-8")) if byte_fallback else 1
+
+
+def _oversize_at(word: str, byte_fallback: bool) -> bool:
+    """The tie-break packing bound (r16, byte-fallback-aware): total
+    emitted tokens must stay below ``_TIE_BASE`` for the count to
+    decode from the packed optimum.  Without fallback tokens <=
+    len(word); with it an unknown character emits up to 4 byte
+    pieces, so the bound runs over the word's UTF-8 byte length —
+    tokens <= byte length always (a covered character emits 1 <= its
+    byte count, and multi-char pieces only reduce the total)."""
+    n = (
+        len(word.encode("utf-8")) if byte_fallback else len(word)
+    )
+    return n >= _TIE_BASE
+
+
 def _viterbi_count_word(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
     unk_micro: int, oversize_word: str = "raise", prefix: str = "",
+    byte_fallback: bool = False,
 ) -> float:
     """Token count of one word under max-logprob Viterbi segmentation.
     DP over the packed integer ``score_micro * _TIE_BASE - n_tokens``;
@@ -285,46 +310,63 @@ def _viterbi_count_word(
     stays reachable because one of the two length-1 candidates always
     applies.  The count decodes from the packed optimum:
     ``n = _TIE_BASE - (best mod _TIE_BASE)`` (mathematical mod;
-    n <= len(word) < _TIE_BASE by the length guard; ``oversize_word
+    n < _TIE_BASE by the :func:`_oversize_at` guard; ``oversize_word
     = 'chars'`` falls back to the per-character grain past it).
     ``prefix`` (r14): the SentencePiece space marker prepended
-    before the DP, so ``'▁'``-marked artifact pieces match."""
+    before the DP, so ``'▁'``-marked artifact pieces match.
+    ``byte_fallback`` (r16): an unknown character counts its UTF-8
+    byte pieces (:func:`_unk_width`) instead of one unk token."""
     word = prefix + word
-    if len(word) >= _TIE_BASE and oversize_word == "chars":
+    if _oversize_at(word, byte_fallback) and oversize_word == "chars":
         # the DP restricted to length-1 candidates: every char is one
-        # token (vocab or unk) — a deterministic upper bound for the
-        # unbroken-blob rows a crawl corpus contains
-        return float(len(word))
+        # token (vocab or unk/byte pieces) — a deterministic upper
+        # bound for the unbroken-blob rows a crawl corpus contains
+        return float(sum(
+            1 if c in tok_micro else _unk_width(c, byte_fallback)
+            for c in word
+        ))
     best = _viterbi_best(
-        word, tok_micro, lens, unk_micro, "unigram_token_count"
+        word, tok_micro, lens, unk_micro, "unigram_token_count",
+        byte_fallback=byte_fallback,
     )
     return float(_TIE_BASE - (best[len(word)] % _TIE_BASE))
 
 
 def _viterbi_best(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
-    unk_micro: int, caller: str,
+    unk_micro: int, caller: str, byte_fallback: bool = False,
 ) -> list[int]:
     """The ONE forward Viterbi DP both kernels share (r13 review —
     the serving rule must not drift between count and ids):
     ``best[p]`` = the max packed ``score_micro * _TIE_BASE -
     n_tokens`` over segmentations of ``word[:p]``; the UNK
     single-character candidate exists only where the character has no
-    single-char vocab token.  Raises past the tie-break length
-    bound."""
+    single-char vocab token, and under ``byte_fallback`` (r16) it
+    charges the character's UTF-8 byte count in the token term (what
+    the ids kernel actually emits) while keeping the lattice SCORE at
+    ``unk_micro`` — exactly the published behavior (the library's
+    lattice scores unknowns with the unk penalty and applies the byte
+    re-encode only at emission).  Raises past the tie-break bound."""
     n = len(word)
-    if n >= _TIE_BASE:
+    if _oversize_at(word, byte_fallback):
         raise ValueError(
-            f"{caller}: a single {n}-char word exceeds the "
-            f"{_TIE_BASE - 1}-char bound of the tie-break packing — "
-            "such input is almost certainly not natural text; split "
-            "it upstream"
+            f"{caller}: a single word of {n} chars "
+            f"({len(word.encode('utf-8'))} UTF-8 bytes) exceeds the "
+            f"tie-break packing bound ({_TIE_BASE - 1} emitted "
+            "tokens) — such input is almost certainly not natural "
+            "text; split it upstream"
         )
     best = [0] * (n + 1)
     for p in range(1, n + 1):
         ch = word[p - 1]
         m1 = tok_micro.get(ch)
-        b = best[p - 1] + (unk_micro if m1 is None else m1) * _TIE_BASE - 1
+        if m1 is None:
+            b = (
+                best[p - 1] + unk_micro * _TIE_BASE
+                - _unk_width(ch, byte_fallback)
+            )
+        else:
+            b = best[p - 1] + m1 * _TIE_BASE - 1
         for ln in lens:
             if ln > p or ln == 1:
                 continue
@@ -337,10 +379,25 @@ def _viterbi_best(
     return best
 
 
+def _unk_emit(ch: str, fb_ids: dict[int, int] | None) -> list[int]:
+    """Ids one UNKNOWN character emits: ``[-1]`` (the engine OOV
+    sentinel), or its UTF-8 bytes' ``<0xNN>`` piece ids under byte
+    fallback — the published re-encode (r16).  Because the fallback
+    expands each character's OWN bytes, the engine's per-character
+    unk grain and the library's fused-run unk produce the IDENTICAL
+    byte-id stream (bytes of a run = concatenation of its
+    characters' bytes) — the one stated unk divergence vanishes
+    under fallback."""
+    if fb_ids is None:
+        return [-1]
+    return [fb_ids[b] for b in ch.encode("utf-8")]
+
+
 def _viterbi_ids_word(
     word: str, tok_micro: dict[str, int], lens: tuple[int, ...],
     unk_micro: int, tok_ids: dict[str, int],
     oversize_word: str = "raise", prefix: str = "",
+    fb_ids: dict[int, int] | None = None,
 ) -> list[int]:
     """Token-id sequence of one word under max-logprob Viterbi
     segmentation — the shared forward DP (:func:`_viterbi_best`) plus
@@ -348,19 +405,30 @@ def _viterbi_ids_word(
     the LONGEST token achieving the packed optimum (ties beyond the
     packed value are broken toward longer tokens — documented engine
     convention, pinned by the enumeration differential).  An UNK
-    character emits -1 (the BPE kernels' OOV sentinel).
+    character emits -1 (the BPE kernels' OOV sentinel), or its UTF-8
+    bytes' ``<0xNN>`` piece ids when ``fb_ids`` is given (r16, the
+    published byte fallback — :func:`_unk_emit`).
     ``oversize_word = 'chars'``: past the tie-break bound, the
-    per-character grain (single-char vocab id or -1 per char).
-    ``prefix`` (r14): the SentencePiece space marker prepended
-    before the DP."""
+    per-character grain (single-char vocab id, else the unk
+    emission, per char).  ``prefix`` (r14): the SentencePiece space
+    marker prepended before the DP."""
+    fb = fb_ids is not None
     word = prefix + word
-    if len(word) >= _TIE_BASE and oversize_word == "chars":
-        return [tok_ids.get(c, -1) for c in word]
+    if _oversize_at(word, fb) and oversize_word == "chars":
+        out: list[int] = []
+        for c in word:
+            i = tok_ids.get(c)
+            if i is None:
+                out.extend(_unk_emit(c, fb_ids))
+            else:
+                out.append(i)
+        return out
     best = _viterbi_best(
-        word, tok_micro, lens, unk_micro, "unigram_token_ids"
+        word, tok_micro, lens, unk_micro, "unigram_token_ids",
+        byte_fallback=fb,
     )
     rlens = tuple(sorted(lens, reverse=True))  # loop-invariant
-    out: list[int] = []
+    out = []
     p = len(word)
     while p > 0:
         # longest-first probe for the step that achieved best[p]
@@ -373,15 +441,72 @@ def _viterbi_ids_word(
             if m is not None and (
                 best[p - ln] + m * _TIE_BASE - 1 == best[p]
             ):
-                chosen = (ln, tok_ids[piece])
+                chosen = (ln, [tok_ids[piece]])
                 break
         if chosen is None:
             # the UNK step (only reachable where no single-char token
             # covers the char, by the DP's candidate rule)
-            chosen = (1, -1)
-        out.append(chosen[1])
+            chosen = (1, _unk_emit(word[p - 1], fb_ids))
+        out.extend(reversed(chosen[1]))
         p -= chosen[0]
     out.reverse()
+    return out
+
+
+def _check_byte_fallback(
+    byte_fallback_ids, sids: dict[str, int] | None,
+    raw_ids: dict[str, int] | None, caller: str,
+) -> dict[int, int] | None:
+    """Validate a ``byte_fallback_ids`` mapping ``{byte: id}`` (r16):
+    the published fallback needs ALL 256 ``<0xNN>`` pieces (the
+    library refuses partial coverage per token; the engine refuses at
+    artifact validation — raise-don't-guess), ids must be distinct
+    embedding-table ids, must not collide with a special id (the
+    decode would be ambiguous), and where a fallback id is also a
+    piece id the piece must BE that byte's ``<0xNN>`` literal (the
+    well-formed published layout — byte pieces are ordinary vocab
+    entries; any other collision would decode two ways)."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _check_embedding_id,
+    )
+
+    if byte_fallback_ids is None:
+        return None
+    fb = dict(byte_fallback_ids)
+    if set(fb) != set(range(256)):
+        missing = sorted(set(range(256)) - set(fb))[:1]
+        extra = sorted(set(fb) - set(range(256)))[:1]
+        raise ValueError(
+            f"{caller}: byte_fallback_ids must cover bytes 0..255 "
+            f"exactly ({len(fb)} entries; first missing: {missing}, "
+            f"first extra: {extra}) — the published fallback "
+            "re-encodes ANY UTF-8 byte"
+        )
+    out = {
+        b: _check_embedding_id(caller, f"byte 0x{b:02X}", i)
+        for b, i in fb.items()
+    }
+    if len(set(out.values())) != 256:
+        raise ValueError(
+            f"{caller}: byte_fallback_ids must be distinct — the "
+            "decode byte mapping would be ambiguous"
+        )
+    ids_rev = {i: b for b, i in out.items()}
+    for t, i in (sids or {}).items():
+        if i in ids_rev:
+            raise ValueError(
+                f"{caller}: special token {t!r} id {i} collides with "
+                f"byte piece <0x{ids_rev[i]:02X}> — the id stream "
+                "would decode two ways"
+            )
+    for t, i in (raw_ids or {}).items():
+        b = ids_rev.get(i)
+        if b is not None and t != f"<0x{b:02X}>":
+            raise ValueError(
+                f"{caller}: piece {t!r} id {i} collides with byte "
+                f"0x{b:02X}'s fallback id — byte ids must point at "
+                "the <0xNN> pieces themselves"
+            )
     return out
 
 
@@ -409,6 +534,63 @@ def _unigram_raw_ids(
     return dict(token_ids)
 
 
+def _uni_decode_fb_one(
+    ids, id2tok: dict[int, str], rev_special: dict[int, str],
+    oov_char: str, marker: str, fb_rev: dict[int, int],
+):
+    """Decode one id stream under byte fallback (r16) — the published
+    ``ByteFallback`` decoder rule: maximal runs of byte-piece ids
+    accumulate into a byte buffer; a valid-UTF-8 run decodes as its
+    string, an invalid run emits one U+FFFD PER BYTE (the library's
+    ``String::from_utf8``-or-replace behavior).  Byte ids decode as
+    BYTES even though their ``<0xNN>`` literals are also vocab pieces
+    (the published decoder precedence).  The marker→space rewrite
+    applies to PIECE text only, never to byte-decoded spans — in the
+    published decoder chain ``Replace(marker, ' ')`` runs per token
+    BEFORE the fallback conversion, so fallback output is verbatim."""
+    if ids is None:
+        return None
+    parts: list[str] = []
+    buf: list[int] = []
+
+    def flush():
+        if not buf:
+            return
+        bs = bytes(buf)
+        buf.clear()
+        try:
+            parts.append(bs.decode("utf-8"))
+        except UnicodeDecodeError:
+            parts.append("�" * len(bs))
+
+    for i in ids:
+        b = fb_rev.get(i)
+        if b is not None:
+            buf.append(b)
+            continue
+        flush()
+        sp = rev_special.get(i)
+        if sp is not None:
+            parts.append(sp)
+            continue
+        if i == -1:
+            parts.append(oov_char)
+            continue
+        tok = id2tok.get(i)
+        if tok is None:
+            raise ValueError(
+                f"unigram_decode_ids: id {i} is neither a vocab id, "
+                "-1, a byte piece, nor a registered special token — "
+                "sentinel ids must be declared in special_tokens"
+            )
+        parts.append(tok.replace(marker, " ") if marker else tok)
+    flush()
+    out = "".join(parts)
+    if marker and out.startswith(" "):
+        return out[1:]
+    return out
+
+
 def unigram_decode_ids(
     df: DataFrame, lm: DataFrame,
     ids_col: str = "token_ids", out_col: str = "text",
@@ -416,6 +598,7 @@ def unigram_decode_ids(
     special_tokens: dict[str, int] | None = None,
     oov_char: str = "?",
     space_marker: str | None = None,
+    byte_fallback_ids: dict[int, int] | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the id stream DECODED back to text — the
     unigram-LM sibling of :func:`tokenizer.bpe_decode_ids` /
@@ -490,19 +673,25 @@ def unigram_decode_ids(
                 "oov_char"
             )
     raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_decode_ids")
+    fb = _check_byte_fallback(
+        byte_fallback_ids, sids, raw_ids, "unigram_decode_ids"
+    )
     _tok2id, id2tok, rev_special = _vocab_id_maps(
         [{"token": t, "token_id": v} for t, v in raw_ids.items()],
         sids, "unigram_decode_ids",
     )
+    fb_rev = None if fb is None else {i: b for b, i in fb.items()}
     bc = df.sparkSession.sparkContext.broadcast(
-        (id2tok, rev_special, oov_char, marker)
+        (id2tok, rev_special, oov_char, marker, fb_rev)
     )
 
     @F.pandas_udf("string")
     def _decode(s: pd.Series) -> pd.Series:
-        i2t, rsp, oc, mk = bc.value
+        i2t, rsp, oc, mk, fbr = bc.value
 
         def one(ids):
+            if fbr is not None:
+                return _uni_decode_fb_one(ids, i2t, rsp, oc, mk, fbr)
             t = _decode_ids_one(
                 ids, i2t, None, rsp, oc, caller="unigram_decode_ids"
             )
@@ -525,6 +714,8 @@ def unigram_token_ids(
     special_tokens: dict[str, int] | None = None,
     oversize_word: str = "raise",
     space_marker: str | None = None,
+    byte_fallback_ids: dict[int, int] | None = None,
+    _segment_transform=None,
 ) -> DataFrame:
     """Attach ``out_col``: the text TOKENIZED to an ``array<long>``
     of ids under max-logprob Viterbi segmentation — the unigram-LM
@@ -563,7 +754,21 @@ def unigram_token_ids(
     divergence: pieces can never SPAN a word boundary (pre-tokenized
     grain — e.g. a ``'▁▁'`` double-indent piece of a code model
     never fires); word-internal pieces, the overwhelming mass, are
-    exact."""
+    exact.
+
+    ``byte_fallback_ids`` (r16): ``{byte: id}`` over ALL 256 bytes —
+    the published SentencePiece/HF ``byte_fallback``: an unknown
+    character re-encodes as its UTF-8 bytes' ``<0xNN>`` piece ids
+    instead of -1 (so Llama/Mistral-class vocabularies never emit an
+    unknown), and the count charges the byte width
+    (``size(token_ids)`` stays the count kernel's value).  Because
+    each character expands its OWN bytes, the engine's per-character
+    unk grain and the library's fused-run unk produce the identical
+    byte stream — the stated unk-fusion divergence vanishes under
+    fallback.  ``_segment_transform`` (r16): a picklable ``str →
+    str`` applied per non-special segment inside the kernel (the
+    published added-token-before-normalize order — the NFKC charsmap
+    import rides this)."""
     from wikiextractor_spark.functions.tokenizer import (
         _compile_specials,
         _vocab_id_maps,
@@ -575,6 +780,9 @@ def unigram_token_ids(
     prefix = _check_marker(space_marker, "unigram_token_ids")
     _check_marker_artifact(toks, prefix, "unigram_token_ids")
     raw_ids = _unigram_raw_ids(toks, token_ids, "unigram_token_ids")
+    fb = _check_byte_fallback(
+        byte_fallback_ids, sids, raw_ids, "unigram_token_ids"
+    )
     # id validation + duplicate-id + special/vocab collision policy
     # through the ONE shared home (tokenizer._vocab_id_maps, r13
     # review): synthesize the (token, token_id) row shape it keys on
@@ -590,10 +798,12 @@ def unigram_token_ids(
             _viterbi_ids_word, tok_micro=tok_micro, lens=lens,
             unk_micro=_quantize_micro(unk), tok_ids=tid_map,
             oversize_word=oversize_word, prefix=prefix,
+            fb_ids=fb,
         ),
         out_col, text_col,
         result_type="array<long>", list_mode=True,
         special_pat=spat, special_ids=sids,
+        segment_transform=_segment_transform,
     )
 
 
@@ -603,6 +813,7 @@ def unigram_token_count(
     *, special_tokens: dict[str, int] | None = None,
     oversize_word: str = "raise",
     space_marker: str | None = None,
+    byte_fallback_ids: dict[int, int] | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: the text's token count under max-logprob
     Viterbi segmentation of the imported unigram LM — whitespace
@@ -631,6 +842,12 @@ def unigram_token_count(
     ``space_marker`` (r14): pass ``'▁'`` to serve REAL
     SentencePiece artifacts — see :func:`unigram_token_ids`.
 
+    ``byte_fallback_ids`` (r16): the published byte fallback — an
+    unknown character counts its UTF-8 byte width (the ``<0xNN>``
+    pieces the ids kernel would emit) instead of 1; the mapping is
+    validated exactly as in :func:`unigram_token_ids` so the two
+    kernels cannot diverge on when fallback applies.
+
     Same scale shape as :func:`tokenizer.bpe_token_count`: broadcast
     driver-sized table, one Arrow-batched kernel, per-batch Zipfian
     word memo (the shared :func:`tokenizer._memoized_word_counter`
@@ -642,6 +859,9 @@ def unigram_token_count(
     _check_oversize(oversize_word, "unigram_token_count")
     prefix = _check_marker(space_marker, "unigram_token_count")
     _check_marker_artifact(toks, prefix, "unigram_token_count")
+    fb = _check_byte_fallback(
+        byte_fallback_ids, sids, None, "unigram_token_count"
+    )
     tok_micro = {t: _quantize_micro(v) for t, v in toks.items()}
     lens = tuple(sorted({len(t) for t in tok_micro}))
     return _memoized_word_counter(
@@ -650,6 +870,7 @@ def unigram_token_count(
             _viterbi_count_word, tok_micro=tok_micro, lens=lens,
             unk_micro=_quantize_micro(unk),
             oversize_word=oversize_word, prefix=prefix,
+            byte_fallback=fb is not None,
         ),
         out_col, text_col,
         special_pat=spat, special_ids=sids,

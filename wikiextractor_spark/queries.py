@@ -4009,6 +4009,16 @@ _USP_LM = {
 _USP_IDS = {t: i for i, t in enumerate(sorted(_USP_LM))}
 _USP_UNK = -10.0
 
+#: the 'ubf' family's multi-byte adversaria (r16, byte_fallback):
+#: appended to every document natively on both sides; é (2 UTF-8
+#: bytes), ✓ (3), 😀 (4) all fall back to <0xNN> piece ids — the
+#: byte ids are a build-time constant both engines splice
+_UBF_SUFFIX = " é✓😀"
+_UBF_SUFFIX_IDS = ",".join(
+    str(1 + b) for b in "é✓😀".encode("utf-8")
+)
+_UBF_SUFFIX_N = len("é✓😀".encode("utf-8"))
+
 # 'packs' family separator id (r13): assemble_packs at num_groups=1
 # with an everything-fits budget — the ONE configuration where the
 # whole assembly (ascending-doc_id concatenation, separators,
@@ -4143,6 +4153,28 @@ _PACK_SEP = 2000
                         ORDER BY i) AS s1,
              string_agg(CAST(COALESCE(uid + 1, -1) AS VARCHAR), ','
                         ORDER BY i DESC) AS s1rev,
+             COUNT(*) AS n
+      FROM (SELECT doc_id,
+                   unnest(string_split(replace(text, ' ', ''), ''))
+                     AS ch,
+                   generate_subscripts(
+                     string_split(replace(text, ' ', ''), ''), 1) AS i
+            FROM documents) u(doc_id, ch, i)
+      LEFT JOIN uidmap USING (ch)
+      WHERE ch <> ''
+      GROUP BY doc_id
+    ),
+    ubfout AS (
+      -- 'ubf' family (r16, byte_fallback): the per-char stream under
+      -- the byte-fallback tokenizer.json — <0xNN> pieces at 1+NN,
+      -- the UIDS chars at 257+uid; an uncovered ASCII char (j/q)
+      -- emits its single byte piece 1+codepoint (the corpus is
+      -- ASCII; the spliced multi-byte suffix rides as a constant)
+      SELECT doc_id,
+             string_agg(CAST(CASE WHEN uid IS NOT NULL
+                                  THEN 257 + uid
+                                  ELSE 1 + unicode(ch) END
+                             AS VARCHAR), ',' ORDER BY i) AS s,
              COUNT(*) AS n
       FROM (SELECT doc_id,
                    unnest(string_split(replace(text, ' ', ''), ''))
@@ -4302,6 +4334,32 @@ _PACK_SEP = 2000
                 WHEN u.s1 IS NULL THEN 3
                 ELSE 2 * u.n + 3 END AS n_tokens
     FROM documents d LEFT JOIN uidsout u USING (doc_id)
+    UNION ALL
+    -- 'ubf' (r16): byte-fallback encode of text || the multi-byte
+    -- suffix through a LOADED byte_fallback tokenizer.json — per
+    -- corpus char one id (covered → 257+uid, j/q → its byte piece),
+    -- then the suffix's constant byte-id tail
+    SELECT 'ubf' AS family, d.doc_id, 0 AS chunk_no,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(b.s || ',', '') || '{_UBF_SUFFIX_IDS}'
+           END AS chunk,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(b.n, 0) + {_UBF_SUFFIX_N}
+           END AS n_tokens
+    FROM documents d LEFT JOIN ubfout b USING (doc_id)
+    UNION ALL
+    -- 'ubfd' (r16): the SAME stream decoded — byte runs UTF-8-decode
+    -- back to their characters (j/q through their single bytes, the
+    -- suffix through its multi-byte runs), covered ids to their
+    -- chars: the space-stripped input exactly
+    SELECT 'ubfd' AS family, d.doc_id, 0 AS chunk_no,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE replace(d.text, ' ', '') || 'é✓😀'
+           END AS chunk,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(b.n, 0) + {_UBF_SUFFIX_N}
+           END AS n_tokens
+    FROM documents d LEFT JOIN ubfout b USING (doc_id)
     """,
 )
 def ta_chunk_documents(spark, sf_dir):
@@ -4334,7 +4392,14 @@ def ta_chunk_documents(spark, sf_dir):
     LOADED tokenizer.json (single-char unigram model, [CLS]/[SEP]
     added tokens, the published pair template), B = reverse(text),
     input_ids AND token_type_ids both restated by the oracle from
-    the file's positional numbering."""
+    the file's positional numbering; 'ubf'/'ubfd' (r16) — unigram
+    BYTE FALLBACK through a LOADED ``byte_fallback: true`` file
+    (<unk> + all 256 <0xNN> pieces + the UIDS chars): text plus a
+    spliced multi-byte suffix (é/✓/😀 — 2/3/4 UTF-8 bytes) encodes
+    with uncovered characters re-encoding as byte-piece ids instead
+    of -1 (the Llama/Mistral-class published fallback), and 'ubfd'
+    decodes the SAME stream back (byte runs UTF-8-accumulate), both
+    restated by the oracle per character."""
     from wikiextractor_spark.operators.chunking import (
         chunk_documents,
         chunk_sentences,
@@ -4544,6 +4609,26 @@ def ta_chunk_documents(spark, sf_dir):
             ],
         },
     }
+    # 'ubf'/'ubfd' (r16, unigram byte_fallback): the Llama/Mistral-
+    # class flag served through a LOADED file — <unk>, ALL 256 <0xNN>
+    # byte pieces (positions 1+NN), then the UIDS chars (257+uid);
+    # uncovered characters (j/q and the spliced multi-byte suffix)
+    # re-encode as byte-piece ids instead of -1, and the decode runs
+    # the published ByteFallback accumulate-and-UTF-8 rule
+    bf_obj = {
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "model": {
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [["<unk>", 0.0]]
+            + [[f"<0x{b:02X}>", -20.0] for b in range(256)]
+            + [
+                [c, -4.0 - i * 0.01]
+                for i, c in enumerate(_UIDS_CHARS)
+            ],
+            "byte_fallback": True,
+        },
+    }
     pdir = tempfile.mkdtemp(prefix="ta_pair_")
     try:
         with open(f"{pdir}/tokenizer.json", "w") as f:
@@ -4551,6 +4636,9 @@ def ta_chunk_documents(spark, sf_dir):
         pair_model = load_tokenizer_json(
             spark, f"{pdir}/tokenizer.json"
         )
+        with open(f"{pdir}/bf.json", "w") as f:
+            _json.dump(bf_obj, f)
+        bf_model = load_tokenizer_json(spark, f"{pdir}/bf.json")
     finally:
         shutil.rmtree(pdir, ignore_errors=True)
     pair_fam = tokenizer_json_encode_pairs(
@@ -4577,6 +4665,37 @@ def ta_chunk_documents(spark, sf_dir):
         ).alias("chunk"),
         F.size("input_ids").cast("long").alias("n_tokens"),
     )
+    from wikiextractor_spark.functions.tokenizer_json import (
+        tokenizer_json_decode_ids,
+        tokenizer_json_token_ids,
+    )
+
+    bf_docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_UBF_SUFFIX)).alias("text"),
+    )
+    bf_ids = tokenizer_json_token_ids(
+        bf_docs, bf_model, out_col="token_ids"
+    )
+    ubf_fam = bf_ids.select(
+        F.lit("ubf").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.expr(
+            "array_join(transform(token_ids, "
+            "x -> CAST(x AS STRING)), ',')"
+        ).alias("chunk"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+    )
+    ubfd_fam = tokenizer_json_decode_ids(
+        bf_ids, bf_model, ids_col="token_ids", out_col="dec"
+    ).select(
+        F.lit("ubfd").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.col("dec").alias("chunk"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+    )
     return (
         text_fam.unionByName(ids_fam)
         .unionByName(fim_fam)
@@ -4587,6 +4706,8 @@ def ta_chunk_documents(spark, sf_dir):
         .unionByName(packs_fam)
         .unionByName(sent_fam)
         .unionByName(pair_fam)
+        .unionByName(ubf_fam)
+        .unionByName(ubfd_fam)
     )
 
 
