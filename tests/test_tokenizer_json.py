@@ -224,8 +224,10 @@ class TestBpe:
             (lambda o: o["model"].update(dropout=0.1), "dropout"),
             (lambda o: o["model"].update(ignore_merges=True),
              "ignore_merges"),
+            # Whitespace SERVES since r16 (TestBpePreTokenizerBlocks)
+            # — an unknown block type is what still refuses
             (lambda o: o.update(
-                pre_tokenizer={"type": "Whitespace"}
+                pre_tokenizer={"type": "Split", "pattern": "x"}
             ), "pre_tokenizer"),
             (lambda o: o["pre_tokenizer"].update(use_regex=False),
              "use_regex"),
@@ -1716,3 +1718,138 @@ class TestByteFallback:
                 spark, lm, str(tmp_path / "x.json"),
                 space_marker="▁", byte_fallback=True,
             )
+
+
+# -------------------------------------------------------------------------
+# r16: published word-grain pre_tokenizer blocks on the BPE path
+# -------------------------------------------------------------------------
+
+class TestBpePreTokenizerBlocks:
+    def test_splitters_match_published_semantics(self):
+        """Per-block exactness vs the published grains, hand-stated."""
+        import re as _re
+
+        from wikiextractor_spark.functions.tokenizer import (
+            HF_WHITESPACE_PATTERN,
+            split_digits_grouped,
+            split_digits_individual,
+            split_punctuation_isolated,
+            split_whitespace_runs,
+        )
+
+        ws = _re.compile(HF_WHITESPACE_PATTERN).findall
+        # Whitespace: \w+|[^\w\s]+ — whitespace dropped, punct runs
+        # grouped, underscore is a word char
+        assert ws("don't stop, a_b  12x!") == [
+            "don", "'", "t", "stop", ",", "a_b", "12x", "!",
+        ]
+        assert ws("...!?") == ["...!?"]
+        # Punctuation(Isolated): every punct char its own token,
+        # whitespace NOT removed
+        assert split_punctuation_isolated("don't, go") == [
+            "don", "'", "t", ",", " go",
+        ]
+        assert split_punctuation_isolated("a$b") == ["a", "$", "b"]
+        # Digits: numeric runs split from non-numeric; individual
+        # splits every digit
+        assert split_digits_grouped("ab123cd4") == [
+            "ab", "123", "cd", "4",
+        ]
+        assert split_digits_individual("ab123") == [
+            "ab", "1", "2", "3",
+        ]
+        # WhitespaceSplit callable: the engine grain
+        assert split_whitespace_runs(" a  b\tc ") == ["a", "b", "c"]
+
+    def test_sequence_composition(self):
+        from wikiextractor_spark.functions.tokenizer import (
+            HF_WHITESPACE_PATTERN,
+            _compile_pretok,
+            split_digits_individual,
+        )
+
+        seq = _compile_pretok(
+            (HF_WHITESPACE_PATTERN, split_digits_individual)
+        )
+        assert seq("ab12 cd! e3f") == [
+            "ab", "1", "2", "cd", "!", "e", "3", "f",
+        ]
+
+    def test_whitespace_grain_file_serves(self, spark, tmp_path):
+        """A Whitespace-grain tokenizer.json (the default for many
+        custom HF tokenizers) imports and serves: punctuation splits
+        from words WITHOUT surrounding whitespace, merges replay
+        inside each pre-token."""
+        vocab = {t: i for i, t in enumerate(
+            ["t", "h", "e", ",", "!", "th", "the"]
+        )}
+        obj = {
+            "pre_tokenizer": {"type": "Whitespace"},
+            "model": {
+                "type": "BPE", "vocab": vocab,
+                "merges": ["t h", "th e"],
+            },
+        }
+        m = load_tokenizer_json(
+            spark, _write(tmp_path, "ws.json", obj),
+            oov_tokens_per_char=1.0,
+        )
+        assert m.bpe_pre_tokenizer is not None
+        assert m.divergences == ()
+        docs = spark.createDataFrame(
+            [(1, "the, the!"), (2, "the,the")],
+            "doc_id long, text string",
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        rows = {r["doc_id"]: r["ids"] for r in ids.collect()}
+        V = vocab
+        # 'the,' under the WHITESPACE-grain engine default would be
+        # one word (no ',' split); under Whitespace it is two
+        # pre-tokens — the grain difference this upgrade serves
+        assert rows[1] == [V["the"], V[","], V["the"], V["!"]]
+        assert rows[2] == [V["the"], V[","], V["the"]]
+
+    def test_sequence_file_and_digits(self, spark, tmp_path):
+        vocab = {t: i for i, t in enumerate(
+            ["a", "b", "1", "2", "ab"]
+        )}
+        obj = {
+            "pre_tokenizer": {
+                "type": "Sequence",
+                "pretokenizers": [
+                    {"type": "Whitespace"},
+                    {"type": "Digits", "individual_digits": True},
+                ],
+            },
+            "model": {
+                "type": "BPE", "vocab": vocab, "merges": ["a b"],
+            },
+        }
+        m = load_tokenizer_json(
+            spark, _write(tmp_path, "seq.json", obj)
+        )
+        docs = spark.createDataFrame(
+            [(1, "ab12 ab")], "doc_id long, text string"
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        V = vocab
+        assert ids.collect()[0]["ids"] == [
+            V["ab"], V["1"], V["2"], V["ab"],
+        ]
+
+    def test_unsupported_options_still_raise(self, spark, tmp_path):
+        base = {
+            "model": {
+                "type": "BPE", "vocab": {"a": 0, "b": 1, "ab": 2},
+                "merges": ["a b"],
+            },
+        }
+        obj = dict(base)
+        obj["pre_tokenizer"] = {
+            "type": "Punctuation", "behavior": "Removed",
+        }
+        with pytest.raises(ValueError, match="behavior"):
+            load_tokenizer_json(spark, _write(tmp_path, "p.json", obj))
+        obj["pre_tokenizer"] = {"type": "Split", "pattern": "x"}
+        with pytest.raises(ValueError, match="unsupported BPE"):
+            load_tokenizer_json(spark, _write(tmp_path, "s.json", obj))

@@ -876,3 +876,181 @@ class TestTrainSpecialTokens:
         assert got[0] == toks.index("[CLS]")
         assert got[-1] == toks.index("[SEP]")
         assert all(x >= 0 for x in got)
+
+
+# --------------------------------------------------------------------------
+# r16: _clean_text + CJK spacing — the published defaults now served
+# --------------------------------------------------------------------------
+
+def test_clean_and_cjk_published_semantics(spark):
+    """Hand-stated published behavior: controls/format chars drop
+    (including \\x0b/\\f — they are Cc, NOT whitespace, in the
+    published class), whitespace classes (incl. NBSP) fold to one
+    space, every CJK ideograph becomes its own token."""
+    from wikiextractor_spark.functions.wordpiece import (
+        basic_tokenize_one,
+        basic_tokenize_text,
+    )
+
+    cases = {
+        "中文abc漢": "中 文 abc 漢",
+        "a​b c\x07d": "ab cd",            # ZWSP (Cf), BEL (Cc)
+        "x\x0by\fz": "xyz",                    # Cc, not whitespace
+        "n b": "n b",                     # NBSP is whitespace
+        "bad�\x00char": "badchar",        # U+FFFD + NUL drop
+        "the中200!": "the 中 200 !",
+        "﻿bom": "bom",                    # ZWNBSP/BOM is Cf
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    got = [
+        r["b"] for r in df.select(
+            "doc_id", basic_tokenize_text("text").alias("b")
+        ).orderBy("doc_id").collect()
+    ]
+    for (t, want), g in zip(cases.items(), got):
+        assert g == want, repr(t)
+        assert basic_tokenize_one(t) == want, repr(t)
+
+
+def test_clean_cjk_flags_off_reproduce_r15_grain(spark):
+    """clean_text=False / handle_chinese_chars=False reproduce the
+    pre-r16 chain: \\f/\\v fold to spaces, controls and CJK pass
+    through untouched."""
+    from wikiextractor_spark.functions.wordpiece import (
+        basic_tokenize_one,
+        basic_tokenize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x\x0by\fz 中文 a​b")],
+        "doc_id long, text string",
+    )
+    r = df.select(
+        basic_tokenize_text(
+            "text", clean_text=False, handle_chinese_chars=False,
+        ).alias("b")
+    ).collect()[0]
+    assert r["b"] == "x y z 中文 a​b"
+    assert basic_tokenize_one(
+        "x\x0by\fz 中文 a​b", clean_text=False,
+        handle_chinese_chars=False,
+    ) == "x y z 中文 a​b"
+
+
+def test_clean_cjk_native_twin_parity(spark):
+    """Column vs Python twin over mixed CJK/control/accents
+    adversaria for every flag combination."""
+    from wikiextractor_spark.functions.wordpiece import (
+        basic_tokenize_one,
+        basic_tokenize_text,
+    )
+
+    adversaria = [
+        "Café中文!", "a​b 中c", "\x07中\x0b文\f",
+        "漢字 Strasse ß", "﻿Thé 中;文",
+        "㐀ext ⾀0compat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(adversaria)],
+        "doc_id long, text string",
+    )
+    for clean, cjk in ((True, True), (True, False),
+                       (False, True), (False, False)):
+        native = [
+            r["n"] for r in df.select(
+                "doc_id",
+                basic_tokenize_text(
+                    "text", clean_text=clean,
+                    handle_chinese_chars=cjk,
+                ).alias("n"),
+            ).orderBy("doc_id").collect()
+        ]
+        twin = [
+            basic_tokenize_one(
+                t, clean_text=clean, handle_chinese_chars=cjk
+            )
+            for t in adversaria
+        ]
+        assert native == twin, (clean, cjk)
+
+
+def test_multilingual_bert_file_serves_cjk(spark, tmp_path):
+    """A stock multilingual-BERT-shape tokenizer.json (BertNormalizer
+    with clean_text/handle_chinese_chars true) now tokenizes CJK text
+    per character — previously a recorded divergence."""
+    import json as _json
+
+    from wikiextractor_spark.functions.tokenizer_json import (
+        load_tokenizer_json,
+        tokenizer_json_token_ids,
+    )
+
+    obj = {
+        "normalizer": {
+            "type": "BertNormalizer", "clean_text": True,
+            "handle_chinese_chars": True, "strip_accents": None,
+            "lowercase": True,
+        },
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "model": {
+            "type": "WordPiece", "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+            "vocab": {
+                "[UNK]": 0, "中": 1, "文": 2, "the": 3, "##s": 4,
+            },
+        },
+    }
+    p = str(tmp_path / "mbert.json")
+    with open(p, "w") as f:
+        _json.dump(obj, f)
+    m = load_tokenizer_json(spark, p)
+    assert m.clean_text is True and m.handle_chinese_chars is True
+    assert not any(
+        d.startswith("normalizer:") for d in m.divergences
+    )
+    docs = spark.createDataFrame(
+        [(1, "the中文s"), (2, "thes 中​文")],
+        "doc_id long, text string",
+    )
+    ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+    rows = {r["doc_id"]: r["ids"] for r in ids.collect()}
+    # CJK spacing splits the ideographs into their own words —
+    # 'the' matches whole, trailing 's' becomes an UNK word
+    assert rows[1] == [3, 1, 2, 0]
+    # ZWSP dropped by clean_text, CJK split per char:
+    # 'thes' = the + ##s, then 中, 文
+    assert rows[2] == [3, 4, 1, 2]
+
+
+def test_export_writes_served_flags(spark, tmp_path):
+    from wikiextractor_spark.functions.tokenizer_json import (
+        load_tokenizer_json,
+        save_tokenizer_json_wordpiece,
+    )
+
+    vocab = wordpiece_from_tokens(
+        spark, ["[UNK]", "the", "中", "##a"]
+    )
+    p = str(tmp_path / "wp.json")
+    save_tokenizer_json_wordpiece(
+        spark, vocab, p, basic_tokenize=True,
+    )
+    import json as _json
+    with open(p) as f:
+        raw = _json.load(f)
+    assert raw["normalizer"]["clean_text"] is True
+    assert raw["normalizer"]["handle_chinese_chars"] is True
+    m = load_tokenizer_json(spark, p)
+    assert m.clean_text is True and m.handle_chinese_chars is True
+    # the off-flags round-trip too
+    p2 = str(tmp_path / "wp2.json")
+    save_tokenizer_json_wordpiece(
+        spark, vocab, p2, basic_tokenize=True,
+        clean_text=False, handle_chinese_chars=False,
+    )
+    m2 = load_tokenizer_json(spark, p2)
+    assert m2.clean_text is False
+    assert m2.handle_chinese_chars is False

@@ -101,6 +101,121 @@ GPT2_PRETOKENIZER_PATTERN = (
 )
 
 
+#: the published ``Whitespace`` pre-tokenizer grain
+#: (huggingface/tokenizers): word-char runs or non-word-non-space
+#: runs, whitespace dropped.  Python's ``\w``/``\s`` are
+#: Unicode-aware like the library's — exotic category edges are the
+#: stated Unicode-version caveat (the GPT-2 regex discipline).
+HF_WHITESPACE_PATTERN = r"\w+|[^\w\s]+"
+
+
+def _is_hf_punct(ch: str) -> bool:
+    """The published pre-tokenizer punctuation class (identical to
+    BERT's ``_is_punctuation``): the four ASCII punctuation ranges
+    plus every Unicode P* category."""
+    cp = ord(ch)
+    if (
+        33 <= cp <= 47 or 58 <= cp <= 64
+        or 91 <= cp <= 96 or 123 <= cp <= 126
+    ):
+        return True
+    import unicodedata
+
+    return unicodedata.category(ch).startswith("P")
+
+
+def split_punctuation_isolated(t: str) -> list[str]:
+    """The published ``Punctuation`` pre-tokenizer, ``behavior:
+    Isolated`` (its default): every punctuation character becomes its
+    own pre-token, non-punctuation runs stay whole — whitespace is
+    NOT removed (that is ``Whitespace``'s job; the blocks compose in
+    a Sequence).  Module-level so it pickles into the kernel
+    broadcast."""
+    out: list[str] = []
+    buf: list[str] = []
+    for ch in t:
+        if _is_hf_punct(ch):
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(ch)
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def split_digits_grouped(t: str) -> list[str]:
+    """The published ``Digits`` pre-tokenizer,
+    ``individual_digits: false``: numeric runs split from
+    non-numeric runs (``str.isnumeric`` — Nd/Nl/No, the library's
+    ``char::is_numeric``); nothing is removed."""
+    out: list[str] = []
+    buf: list[str] = []
+    mode: bool | None = None
+    for ch in t:
+        m = ch.isnumeric()
+        if buf and m != mode:
+            out.append("".join(buf))
+            buf = []
+        buf.append(ch)
+        mode = m
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def split_digits_individual(t: str) -> list[str]:
+    """``Digits`` with ``individual_digits: true``: every numeric
+    character is its own pre-token."""
+    out: list[str] = []
+    buf: list[str] = []
+    for ch in t:
+        if ch.isnumeric():
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(ch)
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def split_whitespace_runs(t: str) -> list[str]:
+    """The engine whitespace grain as a callable (``WhitespaceSplit``
+    inside a Sequence): split on the portable ASCII whitespace
+    class, drop empties."""
+    return [w for w in _WS_SPLIT.split(t) if w]
+
+
+def _compile_pretok(pre_tokenizer):
+    """The kernel pre-tokenization hook compiled (r16): ``None`` →
+    the whitespace grain; a pattern string → ``re.findall`` (the
+    GPT-2 path); a callable → itself; a tuple/list → the members
+    applied SUCCESSIVELY, each member re-splitting every pre-token
+    of the previous stage (the published ``Sequence`` composition).
+    Runs inside the Arrow kernel — members must be picklable
+    (module-level callables / pattern strings)."""
+    if pre_tokenizer is None:
+        return _WS_SPLIT.split
+    if callable(pre_tokenizer):
+        return pre_tokenizer
+    if isinstance(pre_tokenizer, str):
+        return re.compile(pre_tokenizer).findall
+    fns = [_compile_pretok(m) for m in pre_tokenizer]
+
+    def _seq(t: str) -> list[str]:
+        parts = [t]
+        for fn in fns:
+            parts = [p for q in parts for p in fn(q) if p]
+        return parts
+
+    return _seq
+
+
 def gpt2_bytes_to_unicode() -> dict[int, str]:
     """The GPT-2 byte→unicode table (the published algorithm from the
     GPT-2 encoder; public knowledge): the 188 printable-and-not-space
@@ -682,7 +797,11 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
     ``re.findall`` with the given pattern (GPT-2-style grain —
     pre-tokens may then CARRY whitespace, e.g. ``" word"`` /
     ``"\\n\\n"``, and whitespace runs count as tokens instead of
-    vanishing).  ``count_word`` (pre-token → per-word value) must be
+    vanishing), a picklable CALLABLE ``str → list[str]`` (the
+    published Punctuation/Digits grains), or a tuple of
+    patterns/callables applied successively (the published
+    ``Sequence`` composition) — compiled inside the kernel by
+    :func:`_compile_pretok` (r16).  ``count_word`` (pre-token → per-word value) must be
     picklable with its closed-over state — it rides the UDF's
     broadcast.  ``list_mode`` switches the per-document fold from
     summing doubles to extending a list (the ids kernel) — ONE body
@@ -712,7 +831,7 @@ def _memoized_word_counter(df: DataFrame, count_word, out_col: str,
     @F.pandas_udf(result_type)
     def _count(s: pd.Series) -> pd.Series:
         fn, cache_max, pat, lmode, spat, sids, seg_fn = bc.value
-        split = _WS_SPLIT.split if pat is None else re.compile(pat).findall
+        split = _compile_pretok(pat)
         sre = re.compile(spat) if spat is not None else None
         cache: dict = {}
 

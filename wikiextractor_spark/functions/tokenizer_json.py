@@ -109,9 +109,20 @@ class TokenizerJsonModel:
     #: special_tokens overlay); None when the file has none
     special_tokens: dict | None = None
     byte_level: bool = False          # bpe ByteLevel grain
+    #: BPE word-grain pre-tokenization (r16): a pattern string, a
+    #: picklable splitter, or a tuple applied successively — the
+    #: published Whitespace / Punctuation / Digits / Sequence blocks
+    #: mapped onto the kernel hook; None for the engine whitespace
+    #: grain / ByteLevel
+    bpe_pre_tokenizer: object = None
     basic_tokenize: bool = False      # wordpiece BertNormalizer grain
     lower: bool = True                # wordpiece basic grain flags
     strip_accents: bool = True
+    #: the BertNormalizer clean_text / handle_chinese_chars flags
+    #: (r16, now SERVED: the published control/format removal and
+    #: per-CJK-char spacing); False outside the basic grain
+    clean_text: bool = False
+    handle_chinese_chars: bool = False
     space_marker: str | None = None   # unigram Metaspace grain
     #: unigram byte fallback (r16): ``{byte: <0xNN> piece position}``
     #: over all 256 bytes — the Llama/Mistral-class published
@@ -614,6 +625,7 @@ def _import_bpe(
         _block(obj, "pre_tokenizer", caller), "pre_tokenizer", caller
     )
     types = [b["type"] for b in blocks]
+    pre_chain = None
     if types == ["ByteLevel"]:
         bl = blocks[0]
         if bl.get("use_regex") is False:
@@ -639,13 +651,52 @@ def _import_bpe(
                 "pre_tokenizer:null(whitespace-grain served)"
             )
     else:
-        raise ValueError(
-            f"{caller}: unsupported BPE pre_tokenizer {types!r} — "
-            "the engine serves ByteLevel (GPT-2 grain) or "
-            "WhitespaceSplit/null (the engine whitespace grain); "
-            "note 'Whitespace' (\\w+|[^\\w\\s]+) is a DIFFERENT "
-            "grain and cannot be replayed faithfully"
+        # the published word-grain blocks map onto the kernel
+        # pre-tokenization hook (r16, closing the r15 VERDICT's
+        # What's-missing #2): each member becomes a pattern or a
+        # picklable splitter, a Sequence composes them successively
+        # — exactly the library's member-wise re-split
+        from wikiextractor_spark.functions.tokenizer import (
+            HF_WHITESPACE_PATTERN,
+            split_digits_grouped,
+            split_digits_individual,
+            split_punctuation_isolated,
+            split_whitespace_runs,
         )
+
+        byte_level = False
+        chain: list = []
+        for b in blocks:
+            t = b["type"]
+            if t == "Whitespace":
+                chain.append(HF_WHITESPACE_PATTERN)
+            elif t == "WhitespaceSplit":
+                chain.append(split_whitespace_runs)
+            elif t == "Punctuation":
+                beh = b.get("behavior", "Isolated")
+                if beh != "Isolated":
+                    raise ValueError(
+                        f"{caller}: Punctuation behavior {beh!r} is "
+                        "not supported — the engine serves the "
+                        "published 'Isolated' default only"
+                    )
+                chain.append(split_punctuation_isolated)
+            elif t == "Digits":
+                chain.append(
+                    split_digits_individual
+                    if b.get("individual_digits") is True
+                    else split_digits_grouped
+                )
+            else:
+                raise ValueError(
+                    f"{caller}: unsupported BPE pre_tokenizer "
+                    f"{types!r} — the engine serves ByteLevel "
+                    "(GPT-2 grain), WhitespaceSplit/null (the "
+                    "engine whitespace grain), and Whitespace / "
+                    "Punctuation(Isolated) / Digits members "
+                    "(alone or in a Sequence)"
+                )
+        pre_chain = tuple(chain) if len(chain) > 1 else chain[0]
     if _block(obj, "normalizer", caller) is not None:
         raise ValueError(
             f"{caller}: a BPE normalizer block is not supported — "
@@ -662,6 +713,7 @@ def _import_bpe(
         family="bpe", vocab=vocab,
         merges=_merge_pairs(model, caller),
         special_tokens=specials, byte_level=byte_level,
+        bpe_pre_tokenizer=pre_chain,
         divergences=tuple(divergences),
     )
 
@@ -716,6 +768,7 @@ def _import_wordpiece(
     )
     pre_types = [b["type"] for b in pre_blocks]
     basic, lower, strip = False, True, True
+    clean, cjk = False, False
     if norm_types == ["BertNormalizer"]:
         if pre_types not in (["BertPreTokenizer"], []):
             raise ValueError(
@@ -728,11 +781,12 @@ def _import_wordpiece(
         lower = b.get("lowercase", True) is not False
         sa = b.get("strip_accents")
         strip = lower if sa is None else sa is not False
-        # clean_text / handle_chinese_chars are the stated
-        # basic_tokenize_text divergences (control-char removal and
-        # CJK spacing belong to an upstream cleaning pass)
-        if b.get("clean_text") or b.get("handle_chinese_chars"):
-            divergences.append("normalizer:BertNormalizer.clean/cjk")
+        # clean_text / handle_chinese_chars SERVE faithfully (r16,
+        # closing the r15 VERDICT's What's-missing #3 — they were
+        # stated divergences): the published per-char control/format
+        # removal and CJK spacing are now basic_tokenize_text steps
+        clean = b.get("clean_text", True) is not False
+        cjk = b.get("handle_chinese_chars", True) is not False
     elif norm_types == []:
         if pre_types == ["BertPreTokenizer"]:
             # the published cased-model config: punctuation split,
@@ -765,6 +819,7 @@ def _import_wordpiece(
     return TokenizerJsonModel(
         family="wordpiece", vocab=vocab, special_tokens=specials,
         basic_tokenize=basic, lower=lower, strip_accents=strip,
+        clean_text=clean, handle_chinese_chars=cjk,
         unk_token=unk, max_input_chars_per_word=max_chars,
         divergences=tuple(divergences),
     )
@@ -1259,6 +1314,8 @@ def _basic_grain(df: DataFrame, model: TokenizerJsonModel,
             basic_tokenize_text(
                 text_col, lower=model.lower,
                 do_strip_accents=model.strip_accents,
+                clean_text=model.clean_text,
+                handle_chinese_chars=model.handle_chinese_chars,
             ),
         ),
         tmp,
@@ -1332,7 +1389,7 @@ def _tjn_body_ids(
             out_col=out_col, byte_level=model.byte_level,
             pre_tokenizer=(
                 GPT2_PRETOKENIZER_PATTERN if model.byte_level
-                else None
+                else model.bpe_pre_tokenizer
             ),
             special_tokens=model.special_tokens,
         )
@@ -1364,6 +1421,8 @@ def _tjn_body_ids(
                 _segment_transform=partial(
                     basic_tokenize_one, lower=model.lower,
                     do_strip_accents=model.strip_accents,
+                    clean_text=model.clean_text,
+                    handle_chinese_chars=model.handle_chinese_chars,
                 ),
             )
         d, col, tmp = _basic_grain(
@@ -1787,6 +1846,7 @@ def save_tokenizer_json_wordpiece(
     max_input_chars_per_word: int = 100,
     basic_tokenize: bool = False, lower: bool = True,
     strip_accents: bool | None = None,
+    clean_text: bool = True, handle_chinese_chars: bool = True,
     special_tokens: dict[str, int] | None = None,
     template: tuple | None = None,
     pair_template: tuple | None = None,
@@ -1794,13 +1854,14 @@ def save_tokenizer_json_wordpiece(
     """Export a WordPiece vocabulary as a single ``tokenizer.json``
     — ``unk_token`` must be a vocabulary entry (the serving rule);
     ``basic_tokenize`` writes the BertNormalizer/BertPreTokenizer
-    pair with EXACTLY the engine grain's flags (``clean_text`` and
-    ``handle_chinese_chars`` false — the stated
+    pair with the engine grain's flags — since r16 ``clean_text``
+    and ``handle_chinese_chars`` SERVE faithfully (the published
+    per-char control/format removal and CJK spacing are
     :func:`~wikiextractor_spark.functions.wordpiece.
-    basic_tokenize_text` divergences; claiming them would make
-    external serving diverge from what the artifact was trained/
-    served on here), otherwise WhitespaceSplit.  ``strip_accents``
-    None follows ``lower`` (the published tie)."""
+    basic_tokenize_text` steps, defaulting on like the published
+    class), so the stock-BERT block round-trips — otherwise
+    WhitespaceSplit.  ``strip_accents`` None follows ``lower`` (the
+    published tie)."""
     from wikiextractor_spark.functions.tokenizer import (
         _compile_specials,
     )
@@ -1847,8 +1908,8 @@ def save_tokenizer_json_wordpiece(
         normalizer=(
             {
                 "type": "BertNormalizer",
-                "clean_text": False,
-                "handle_chinese_chars": False,
+                "clean_text": bool(clean_text),
+                "handle_chinese_chars": bool(handle_chinese_chars),
                 "strip_accents": strip,
                 "lowercase": lower,
             }

@@ -474,24 +474,55 @@ def wordpiece_decode_ids(
 #: ASCII behavior is version-stable.
 BASIC_PUNCT_CLASS = r"[!-/:-@\[-`{-~]|\p{P}"
 
+#: the published ``_tokenize_chinese_chars`` CJK ranges (BERT's
+#: BasicTokenizer, verbatim): the CJK Unified Ideographs blocks +
+#: extensions A-E + the two compatibility blocks.  NOTE the
+#: compatibility ideographs (F900-FAFF, 2F800-2FA1F) are NFD
+#: singletons — under ``do_strip_accents`` they canonicalize to
+#: their unified forms, exactly as the published per-token
+#: ``_run_strip_accents`` does.
+BASIC_CJK_CLASS = (
+    "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}"
+    "\\x{20000}-\\x{2A6DF}\\x{2A700}-\\x{2B73F}"
+    "\\x{2B740}-\\x{2B81F}\\x{2B820}-\\x{2CEAF}"
+    "\\x{F900}-\\x{FAFF}\\x{2F800}-\\x{2FA1F}]"
+)
+
+#: ``_clean_text``'s whitespace class: " \t\n\r" plus Zs — NOTE
+#: \x0b/\f are NOT whitespace in the published class (they are Cc →
+#: removed as controls)
+_BASIC_CLEAN_WS = "[\\t\\n\\r\\p{Zs}]"
+#: ``_clean_text``'s removal class: NUL, U+FFFD, and every C*
+#: category char (after the \t\n\r carve-out above has already
+#: become a space).  \p{Cn} membership may differ across Unicode
+#: table versions (JVM vs Python vs RE2) — the stated \p{P}-style
+#: version caveat; ASCII and assigned-plane behavior is stable.
+_BASIC_CLEAN_DROP = (
+    "[\\x00�\\p{Cc}\\p{Cf}\\p{Co}\\p{Cs}\\p{Cn}]"
+)
+
 
 def basic_tokenize_text(
     col, *, lower: bool = True, do_strip_accents: bool = True,
+    clean_text: bool = True, handle_chinese_chars: bool = True,
 ) -> "F.Column":
     """``col`` through the published BERT ``BasicTokenizer`` chain,
     returning the single-space-joined token string (feed it to
     :func:`wordpiece_token_ids` for end-to-end published BERT
-    tokenization): whitespace fold → lowercase → accent strip (NFD +
-    drop combining marks, exactly the published
-    ``_run_strip_accents``) → split every punctuation character into
-    its own token (``_run_split_on_punc``) → re-join single-spaced.
-    The accent strip is the one Python (Arrow-kernel) step —
-    everything else is native regexp work inside codegen.
+    tokenization): ``_clean_text`` (whitespace classes fold to one
+    space; NUL/U+FFFD/control-format chars drop — r16, previously a
+    stated divergence) → ``_tokenize_chinese_chars`` (every CJK
+    ideograph spaces into its own token — r16, same) → whitespace
+    fold → lowercase → accent strip (NFD + drop combining marks,
+    exactly the published ``_run_strip_accents``) → split every
+    punctuation character into its own token
+    (``_run_split_on_punc``) → re-join single-spaced.  The accent
+    strip is the one Python (Arrow-kernel) step — everything else is
+    native regexp work inside codegen.
 
-    Stated divergences from the published class: control/format
-    character removal (``_clean_text``) and CJK character spacing
-    are NOT applied — the former is a no-op on healthy text and both
-    belong to an upstream cleaning pass if needed.  ``lower=False``
+    ``clean_text=True`` / ``handle_chinese_chars=True`` are the
+    published class defaults; pass False to reproduce a
+    ``BertNormalizer`` block that switches them off.  ``lower=False``
     with ``do_strip_accents=False`` reproduces the published
     cased-model configuration (accent stripping rides the lower-case
     flag in the original; the two are independent here, matching the
@@ -499,6 +530,14 @@ def basic_tokenize_text(
     from wikiextractor_spark.functions.normalize import strip_accents
 
     c = F.col(col) if isinstance(col, str) else col
+    if clean_text:
+        # \t\n\r (+ Zs) become spaces FIRST, so the control-class
+        # removal below only ever sees true controls (\x0b, \f, ZWSP
+        # and friends — dropped, the published per-char rule)
+        c = F.regexp_replace(c, _BASIC_CLEAN_WS, " ")
+        c = F.regexp_replace(c, _BASIC_CLEAN_DROP, "")
+    if handle_chinese_chars:
+        c = F.regexp_replace(c, f"({BASIC_CJK_CLASS})", " $1 ")
     c = F.regexp_replace(c, "[ \t\n\r\f\v]+", " ")
     if lower:
         c = F.lower(c)
@@ -526,21 +565,63 @@ def _is_basic_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+#: the published CJK ranges as (lo, hi) pairs — the Python twin of
+#: :data:`BASIC_CJK_CLASS`
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
+
+
+def _is_cjk_char(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _clean_text_one(t: str) -> str:
+    """The published ``_clean_text``, per char: NUL / U+FFFD /
+    control-or-format (category C*, with \\t \\n \\r carved out as
+    whitespace) drop; whitespace (" \\t\\n\\r" + Zs) becomes one
+    space; everything else passes."""
+    out = []
+    for c in t:
+        if c in "\t\n\r":
+            out.append(" ")
+            continue
+        if c == " ":
+            out.append(c)
+            continue
+        cat = unicodedata.category(c)
+        if c in ("\x00", "�") or cat.startswith("C"):
+            continue
+        out.append(" " if cat == "Zs" else c)
+    return "".join(out)
+
+
 def basic_tokenize_one(
     t: str, lower: bool = True, do_strip_accents: bool = True,
+    clean_text: bool = True, handle_chinese_chars: bool = True,
 ) -> str:
     """The Python twin of :func:`basic_tokenize_text` — same chain
-    (whitespace fold → lowercase → accent strip → punctuation split
-    → single-space rejoin), per string, equality with the native
-    Column pinned by pytest over case/accent/punct adversaria.
-    Exists for the kernel ``segment_transform`` path (r15): when
-    added tokens must split from the RAW text before normalization
-    (the published order), the normalization has to run INSIDE the
-    kernel per segment, where a Column cannot reach."""
+    (clean → CJK spacing → whitespace fold → lowercase → accent
+    strip → punctuation split → single-space rejoin), per string,
+    equality with the native Column pinned by pytest over
+    case/accent/punct/CJK/control adversaria.  Exists for the kernel
+    ``segment_transform`` path (r15): when added tokens must split
+    from the RAW text before normalization (the published order),
+    the normalization has to run INSIDE the kernel per segment,
+    where a Column cannot reach."""
     from wikiextractor_spark.functions.normalize import (
         _strip_accents_one,
     )
 
+    if clean_text:
+        t = _clean_text_one(t)
+    if handle_chinese_chars:
+        t = "".join(
+            f" {c} " if _is_cjk_char(c) else c for c in t
+        )
     t = _BASIC_WS_RE.sub(" ", t)
     if lower:
         t = t.lower()

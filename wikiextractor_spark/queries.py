@@ -1309,6 +1309,14 @@ _NRM_IN = [
     "Å unit ȩ́ ﬁt {D}",  # singleton recomposition,
     # the OTHER mark source order, and the NFC-kept ligature
     "plain (ascii) {D}",               # the gate's negative branch
+    # r16 (the u_basic clean_text/CJK upgrade): per-CJK-char spacing
+    # over NFC-stable ideographs, and the published _clean_text
+    # classes — ZWSP/BOM (Cf) and BEL (Cc) drop, NBSP (Zs) folds
+    # to a space.  Chosen OUTSIDE \\p{Cn}/\\p{Cs} (RE2 cannot state
+    # those) and outside the CJK compatibility blocks (NFD
+    # singletons would ride DuckDB's own strip_accents behavior).
+    "中文 the漢字x {D}",
+    "a​b   cd ﻿{D}",
 ]
 _NRM_SRC_SQL = _pii_case_sql(_NRM_IN)  # the shared {D} CASE splicer
 
@@ -1462,7 +1470,17 @@ _NB_CTES = rf"""
                 THEN 1 ELSE 0 END AS u_gate,
            trim(regexp_replace(regexp_replace(
              strip_accents(lower(regexp_replace(
-               {_NRM_SRC_SQL}, '[ \t\n\r\f\v]+', ' ', 'g'))),
+               -- r16: the published _clean_text (ws classes → ' ',
+               -- NUL/U+FFFD/Cc/Cf/Co drop; Cn/Cs are outside RE2's
+               -- tables — the adversaria avoid them) and the
+               -- per-CJK-char spacing, ahead of the r13 chain
+               regexp_replace(regexp_replace(regexp_replace(
+                 {_NRM_SRC_SQL},
+                 '[\t\n\r\p{{Zs}}]', ' ', 'g'),
+                 '[\x00�\p{{Cc}}\p{{Cf}}\p{{Co}}]', '', 'g'),
+                 '([\x{{4E00}}-\x{{9FFF}}\x{{3400}}-\x{{4DBF}}\x{{20000}}-\x{{2A6DF}}\x{{2A700}}-\x{{2B73F}}\x{{2B740}}-\x{{2B81F}}\x{{2B820}}-\x{{2CEAF}}\x{{F900}}-\x{{FAFF}}\x{{2F800}}-\x{{2FA1F}}])',
+                 ' \1 ', 'g'),
+               '[ \t\n\r\f\v]+', ' ', 'g'))),
              '([!-/:-@\[-`{{-~]|\p{{P}})', ' \1 ', 'g'),
              '[ \t\n\r\f\v]+', ' ', 'g')) AS u_basic,
            nb.nb_pred, nb.nb_score_micro
@@ -5712,7 +5730,11 @@ _WPB_K = 4
 _WPB_SUFFIXES = [
     "\nCafé DON'T re-use!!",
     "\nÉlan's naïve mix 42.",
-    "\nweb-scale,DATA;end",
+    # r16: exercise the now-served _clean_text (ZWSP drops, fusing
+    # web+scale into one word on BOTH engines) and CJK spacing (the
+    # ideographs become their own single-char words) at the TRAIN
+    # grain
+    "\nweb​scale,DATA;end 中文",
     "\nheLLo   worldé  ",
 ]
 _WPB_T0 = rf"""
@@ -5720,7 +5742,13 @@ _WPB_T0 = rf"""
         SELECT unnest(regexp_split_to_array(
           trim(regexp_replace(regexp_replace(
             strip_accents(lower(regexp_replace(
-              ftxt, '[ \t\n\r\f\v]+', ' ', 'g'))),
+              regexp_replace(regexp_replace(regexp_replace(
+                ftxt,
+                '[\t\n\r\p{{Zs}}]', ' ', 'g'),
+                '[\x00�\p{{Cc}}\p{{Cf}}\p{{Co}}]', '', 'g'),
+                '([\x{{4E00}}-\x{{9FFF}}\x{{3400}}-\x{{4DBF}}\x{{20000}}-\x{{2A6DF}}\x{{2A700}}-\x{{2B73F}}\x{{2B740}}-\x{{2B81F}}\x{{2B820}}-\x{{2CEAF}}\x{{F900}}-\x{{FAFF}}\x{{2F800}}-\x{{2FA1F}}])',
+                ' \1 ', 'g'),
+              '[ \t\n\r\f\v]+', ' ', 'g'))),
             '([!-/:-@\[-`{{-~]|\p{{P}})', ' \1 ', 'g'),
             '[ \t\n\r\f\v]+', ' ', 'g')),
           '[ \t\n\r\f\v]+')) AS w
