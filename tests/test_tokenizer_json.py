@@ -1106,7 +1106,10 @@ class TestPairEncoding:
         with open(p, "w") as f:
             _json.dump(obj, f)
         m = load_tokenizer_json(spark, p)
-        assert "truncation" in m.divergences
+        # truncation SERVES since r16 (TestTruncation) — the model
+        # carries the block; padding stays the recorded divergence
+        assert m.truncation == ("LongestFirst", 8)
+        assert "truncation" not in m.divergences
         assert "padding" in m.divergences
 
     def test_pad_token_ids(self, spark):
@@ -1853,3 +1856,216 @@ class TestBpePreTokenizerBlocks:
         obj["pre_tokenizer"] = {"type": "Split", "pattern": "x"}
         with pytest.raises(ValueError, match="unsupported BPE"):
             load_tokenizer_json(spark, _write(tmp_path, "s.json", obj))
+
+
+# -------------------------------------------------------------------------
+# r16: the truncation block served
+# -------------------------------------------------------------------------
+
+def _iter_longest_first(la, lb, budget):
+    """The published truncate_encodings loop, verbatim: trim one
+    token at a time from whichever sequence is currently longer
+    (ties trim the second)."""
+    ka, kb = la, lb
+    while ka + kb > budget:
+        if ka > kb:
+            ka -= 1
+        else:
+            kb -= 1
+    return ka, kb
+
+
+class TestTruncation:
+    PAIR_PP = {
+        "type": "TemplateProcessing",
+        "single": [
+            {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+            {"Sequence": {"id": "A", "type_id": 0}},
+            {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        ],
+        "pair": [
+            {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+            {"Sequence": {"id": "A", "type_id": 0}},
+            {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+            {"Sequence": {"id": "B", "type_id": 1}},
+            {"SpecialToken": {"id": "[SEP]", "type_id": 1}},
+        ],
+        "special_tokens": {
+            "[CLS]": {"id": "[CLS]", "ids": [100],
+                      "tokens": ["[CLS]"]},
+            "[SEP]": {"id": "[SEP]", "ids": [101],
+                      "tokens": ["[SEP]"]},
+        },
+    }
+
+    def _file(self, tmp_path, truncation, name="t.json"):
+        # single-char unigram vocab a..f at positions 1..6
+        obj = {
+            "added_tokens": [
+                {"id": 100, "content": "[CLS]", "special": True},
+                {"id": 101, "content": "[SEP]", "special": True},
+            ],
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "post_processor": self.PAIR_PP,
+            "truncation": truncation,
+            "model": {
+                "type": "Unigram", "unk_id": 0,
+                "vocab": [["<unk>", 0.0]] + [
+                    [c, -4.0 - i * 0.1]
+                    for i, c in enumerate("abcdef")
+                ],
+            },
+        }
+        return _write(tmp_path, name, obj)
+
+    def test_closed_form_matches_published_loop(self):
+        """ka = min(la, max(ceil(b/2), b - lb)) == the iterative
+        published rule, over an exhaustive grid."""
+        for b in range(0, 12):
+            half = (b + 1) // 2
+            for la in range(0, 15):
+                for lb in range(0, 15):
+                    if la + lb <= b:
+                        continue
+                    ka = min(la, max(half, b - lb))
+                    assert (ka, b - ka) == _iter_longest_first(
+                        la, lb, b
+                    ), (la, lb, b)
+
+    def test_pair_longest_first(self, spark, tmp_path):
+        p = self._file(
+            tmp_path,
+            {"max_length": 9, "strategy": "LongestFirst",
+             "stride": 0, "direction": "Right"},
+        )
+        m = load_tokenizer_json(spark, p)
+        assert m.truncation == ("LongestFirst", 9)
+        assert "truncation" not in m.divergences
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f", "a b"),        # la=6 lb=2 → 4,2
+                (2, "a b", "c d e f a b"),        # la=2 lb=6 → 2,4
+                (3, "a b c d e", "f a b c d"),    # 5,5 → 3,3
+                (4, "a b", "c d"),                # fits whole
+                (5, None, "a"),
+            ],
+            "doc_id long, text_a string, text_b string",
+        )
+        out = tokenizer_json_encode_pairs(docs, m)
+        rows = {
+            r["doc_id"]: (r["input_ids"], r["token_type_ids"])
+            for r in out.collect()
+        }
+        # budget = 9 - 3 specials = 6; positions: a..f → 1..6
+        A = {c: i + 1 for i, c in enumerate("abcdef")}
+        assert rows[1][0] == [100, A["a"], A["b"], A["c"], A["d"],
+                              101, A["a"], A["b"], 101]
+        assert rows[2][0] == [100, A["a"], A["b"], 101,
+                              A["c"], A["d"], A["e"], A["f"], 101]
+        assert rows[3][0] == [100, A["a"], A["b"], A["c"], 101,
+                              A["f"], A["a"], A["b"], 101]
+        assert rows[3][1] == [0, 0, 0, 0, 0, 1, 1, 1, 1]
+        assert rows[4][0] == [100, A["a"], A["b"], 101,
+                              A["c"], A["d"], 101]
+        assert rows[5] == (None, None)
+        # every emitted stream fits max_length
+        for d in (1, 2, 3, 4):
+            assert len(rows[d][0]) <= 9
+            assert len(rows[d][0]) == len(rows[d][1])
+
+    def test_pair_only_first_and_second(self, spark, tmp_path):
+        p = self._file(
+            tmp_path, {"max_length": 7, "strategy": "OnlyFirst"}
+        )
+        m = load_tokenizer_json(spark, p)
+        docs = spark.createDataFrame(
+            [(1, "a b c d e", "f a")],
+            "doc_id long, text_a string, text_b string",
+        )
+        out = tokenizer_json_encode_pairs(docs, m)
+        A = {c: i + 1 for i, c in enumerate("abcdef")}
+        # budget 4: B keeps 2, A trims to 2
+        assert out.collect()[0]["input_ids"] == [
+            100, A["a"], A["b"], 101, A["f"], A["a"], 101,
+        ]
+        # the published error: the untrimmed side alone overflows
+        bad = spark.createDataFrame(
+            [(1, "a", "a b c d e f")],
+            "doc_id long, text_a string, text_b string",
+        )
+        with pytest.raises(Exception, match="OnlyFirst truncation"):
+            tokenizer_json_encode_pairs(bad, m).collect()
+        p2 = self._file(
+            tmp_path, {"max_length": 7, "strategy": "OnlySecond"},
+            name="t2.json",
+        )
+        m2 = load_tokenizer_json(spark, p2)
+        out2 = tokenizer_json_encode_pairs(docs.limit(0), m2)
+        assert out2.count() == 0  # plan builds; strategy symmetric
+        ok2 = spark.createDataFrame(
+            [(1, "a b", "c d e f a")],
+            "doc_id long, text_a string, text_b string",
+        )
+        assert tokenizer_json_encode_pairs(ok2, m2).collect()[0][
+            "input_ids"
+        ] == [100, A["a"], A["b"], 101, A["c"], A["d"], 101]
+
+    def test_single_encode_truncates_with_template(self, spark,
+                                                   tmp_path):
+        p = self._file(
+            tmp_path, {"max_length": 5, "strategy": "LongestFirst"}
+        )
+        m = load_tokenizer_json(spark, p)
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a"), (3, None)],
+            "doc_id long, text string",
+        )
+        A = {c: i + 1 for i, c in enumerate("abcdef")}
+        out = tokenizer_json_token_ids(docs, m, out_col="ids")
+        rows = {r["doc_id"]: r["ids"] for r in out.collect()}
+        # budget = 5 - 2 template specials = 3
+        assert rows[1] == [100, A["a"], A["b"], A["c"], 101]
+        assert rows[2] == [100, A["a"], 101]
+        assert rows[3] is None
+        # without specials the whole budget goes to the body
+        bare = tokenizer_json_token_ids(
+            docs, m, out_col="ids", add_special_tokens=False
+        )
+        assert {r["doc_id"]: r["ids"] for r in bare.collect()}[1] == [
+            A["a"], A["b"], A["c"], A["d"], A["e"],
+        ]
+
+    def test_single_only_second_raises(self, spark, tmp_path):
+        p = self._file(
+            tmp_path, {"max_length": 5, "strategy": "OnlySecond"}
+        )
+        m = load_tokenizer_json(spark, p)
+        docs = spark.createDataFrame(
+            [(1, "a")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="no second sequence"):
+            tokenizer_json_token_ids(docs, m)
+
+    def test_unservable_options_fall_back_recorded(self, spark,
+                                                   tmp_path):
+        p = self._file(
+            tmp_path,
+            {"max_length": 5, "strategy": "LongestFirst",
+             "stride": 2},
+        )
+        m = load_tokenizer_json(spark, p)
+        assert m.truncation is None
+        assert "truncation:stride" in m.divergences
+        p2 = self._file(
+            tmp_path,
+            {"max_length": 5, "direction": "Left"}, name="l.json",
+        )
+        m2 = load_tokenizer_json(spark, p2)
+        assert m2.truncation is None
+        assert "truncation:direction" in m2.divergences
+        with pytest.raises(ValueError, match="max_length"):
+            load_tokenizer_json(
+                spark,
+                self._file(tmp_path, {"max_length": 0},
+                           name="z.json"),
+            )

@@ -4182,6 +4182,48 @@ _PACK_SEP = 2000
       WHERE ch <> ''
       GROUP BY doc_id
     ),
+    uidl AS (
+      -- 'pairt' (r16): the uidsout stream as LISTS (forward and
+      -- reversed), so the truncation slices restate natively
+      SELECT doc_id,
+             list(CAST(COALESCE(uid + 1, -1) AS BIGINT)
+                  ORDER BY i) AS l,
+             list(CAST(COALESCE(uid + 1, -1) AS BIGINT)
+                  ORDER BY i DESC) AS lr
+      FROM (SELECT doc_id,
+                   unnest(string_split(replace(text, ' ', ''), ''))
+                     AS ch,
+                   generate_subscripts(
+                     string_split(replace(text, ' ', ''), ''), 1) AS i
+            FROM documents) u(doc_id, ch, i)
+      LEFT JOIN uidmap USING (ch)
+      WHERE ch <> ''
+      GROUP BY doc_id
+    ),
+    pairtcut AS (
+      -- the published LongestFirst closed form at max_length 24,
+      -- budget 24 - 3 specials = 21: ka = min(la, max(ceil(21/2),
+      -- 21 - lb)), kb = 21 - ka when over, else keep whole
+      SELECT doc_id, l, lr,
+             CASE WHEN 2 * len(l) <= 21 THEN len(l)
+                  ELSE least(len(l), greatest(11, 21 - len(l)))
+             END AS ka,
+             CASE WHEN 2 * len(l) <= 21 THEN len(l)
+                  ELSE 21 - least(len(l),
+                                  greatest(11, 21 - len(l)))
+             END AS kb
+      FROM uidl
+    ),
+    pairtout AS (
+      SELECT doc_id, ka, kb,
+             array_to_string(
+               [CAST(1000 AS BIGINT)] || l[1:ka]
+                 || [CAST(1001 AS BIGINT)] || lr[1:kb]
+                 || [CAST(1001 AS BIGINT)], ',') AS ids_s,
+             left(repeat('0,', ka + 2), (ka + 2) * 2 - 1)
+               || ',' || repeat('1,', kb) || '1' AS types_s
+      FROM pairtcut
+    ),
     ubfout AS (
       -- 'ubf' family (r16, byte_fallback): the per-char stream under
       -- the byte-fallback tokenizer.json — <0xNN> pieces at 1+NN,
@@ -4352,6 +4394,19 @@ _PACK_SEP = 2000
                 WHEN u.s1 IS NULL THEN 3
                 ELSE 2 * u.n + 3 END AS n_tokens
     FROM documents d LEFT JOIN uidsout u USING (doc_id)
+    UNION ALL
+    -- 'pairt' (r16): the pair encode through the SAME file plus a
+    -- LongestFirst truncation block — both segments trim to the
+    -- published closed form before template assembly
+    SELECT 'pairt' AS family, d.doc_id, 0 AS chunk_no,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN p.ids_s IS NULL THEN '1000,1001,1001|0,0,1'
+                ELSE p.ids_s || '|' || p.types_s
+           END AS chunk,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN p.ids_s IS NULL THEN 3
+                ELSE p.ka + p.kb + 3 END AS n_tokens
+    FROM documents d LEFT JOIN pairtout p USING (doc_id)
     UNION ALL
     -- 'ubf' (r16): byte-fallback encode of text || the multi-byte
     -- suffix through a LOADED byte_fallback tokenizer.json — per
@@ -4647,6 +4702,14 @@ def ta_chunk_documents(spark, sf_dir):
             "byte_fallback": True,
         },
     }
+    # 'pairt' (r16, truncation serving): the SAME pair file plus a
+    # LongestFirst truncation block — the published closed-form trim
+    # applied to both segments before template assembly
+    pairt_obj = dict(pair_obj)
+    pairt_obj["truncation"] = {
+        "max_length": 24, "strategy": "LongestFirst",
+        "stride": 0, "direction": "Right",
+    }
     pdir = tempfile.mkdtemp(prefix="ta_pair_")
     try:
         with open(f"{pdir}/tokenizer.json", "w") as f:
@@ -4654,6 +4717,9 @@ def ta_chunk_documents(spark, sf_dir):
         pair_model = load_tokenizer_json(
             spark, f"{pdir}/tokenizer.json"
         )
+        with open(f"{pdir}/pairt.json", "w") as f:
+            _json.dump(pairt_obj, f)
+        pairt_model = load_tokenizer_json(spark, f"{pdir}/pairt.json")
         with open(f"{pdir}/bf.json", "w") as f:
             _json.dump(bf_obj, f)
         bf_model = load_tokenizer_json(spark, f"{pdir}/bf.json")
@@ -4688,6 +4754,30 @@ def ta_chunk_documents(spark, sf_dir):
         tokenizer_json_token_ids,
     )
 
+    pairt_fam = tokenizer_json_encode_pairs(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.col("text").alias("text_a"),
+            F.reverse("text").alias("text_b"),
+        ),
+        pairt_model,
+    ).select(
+        F.lit("pairt").alias("family"),
+        "doc_id",
+        F.lit(0).alias("chunk_no"),
+        F.concat(
+            F.expr(
+                "array_join(transform(input_ids, "
+                "x -> CAST(x AS STRING)), ',')"
+            ),
+            F.lit("|"),
+            F.expr(
+                "array_join(transform(token_type_ids, "
+                "x -> CAST(x AS STRING)), ',')"
+            ),
+        ).alias("chunk"),
+        F.size("input_ids").cast("long").alias("n_tokens"),
+    )
     bf_docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(F.col("text"), F.lit(_UBF_SUFFIX)).alias("text"),
@@ -4724,6 +4814,7 @@ def ta_chunk_documents(spark, sf_dir):
         .unionByName(packs_fam)
         .unionByName(sent_fam)
         .unionByName(pair_fam)
+        .unionByName(pairt_fam)
         .unionByName(ubf_fam)
         .unionByName(ubfd_fam)
     )
