@@ -200,3 +200,31 @@ def test_normalize_if_needed_split_path(spark):
     # in-place rewrite keeps the schema
     inplace = normalize_if_needed(df, "text")
     assert inplace.columns == df.columns
+
+
+def test_nfkc_kernel_published_folds(spark):
+    """Hand-stated NFKC folds through the Spark kernel vs
+    unicodedata.normalize('NFKC') — the compatibility foldings the
+    r16 tokenizer.json charsmap='nfkc' mode serves (ligature,
+    full-width forms, superscripts, the Angstrom sign)."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from wikiextractor_spark.functions.normalize import (
+        unicode_normalize,
+    )
+
+    cases = ["ﬁle", "１２３ＡＢ", "x²", "Å", "½ cup", "ｶﾀｶﾅ"]
+    want = [unicodedata.normalize("NFKC", t) for t in cases]
+    assert want == ["file", "123AB", "x2", "Å", "1⁄2 cup", "カタカナ"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    got = [
+        r["n"] for r in df.select(
+            "doc_id", unicode_normalize(F.col("text"), "NFKC").alias("n")
+        ).orderBy("doc_id").collect()
+    ]
+    assert got == want

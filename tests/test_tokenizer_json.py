@@ -2069,3 +2069,65 @@ class TestTruncation:
                 self._file(tmp_path, {"max_length": 0},
                            name="z.json"),
             )
+
+
+# -------------------------------------------------------------------------
+# r16: the Precompiled charsmap as the NFKC kernel
+# -------------------------------------------------------------------------
+
+class TestNfkcCharsmap:
+    def _obj(self):
+        return {
+            "normalizer": {"type": "Precompiled",
+                           "precompiled_charsmap": "b64blob"},
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "model": {
+                "type": "Unigram", "unk_id": 0,
+                "vocab": [
+                    ["<unk>", 0.0], ["fi", -2.0], ["a", -3.0],
+                    ["1", -3.1], ["2", -3.2], ["f", -4.0],
+                    ["i", -4.1],
+                ],
+            },
+        }
+
+    def test_nfkc_mode_serves_folded_text(self, spark, tmp_path):
+        p = _write(tmp_path, "t5.json", self._obj())
+        m = load_tokenizer_json(spark, p, charsmap="nfkc")
+        assert m.normalize_nfkc is True
+        assert "normalizer:Precompiled" not in m.divergences
+        docs = spark.createDataFrame(
+            # U+FB01 ligature, full-width digits — NFKC folds both
+            [(1, "ﬁa １２")], "doc_id long, text string",
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        # positions: fi=1 a=2 1=3 2=4
+        assert ids.collect()[0]["ids"] == [1, 2, 3, 4]
+        # the default mode serves the raw text: ligature and
+        # full-width digits are unknown characters
+        m0 = load_tokenizer_json(spark, p)
+        assert m0.normalize_nfkc is False
+        assert "normalizer:Precompiled" in m0.divergences
+        ids0 = tokenizer_json_token_ids(docs, m0, out_col="ids")
+        assert ids0.collect()[0]["ids"] == [-1, 2, -1, -1]
+
+    def test_nfkc_after_added_token_split(self, spark, tmp_path):
+        """The published order: added tokens split from the RAW text
+        — a special whose literal would be NFKC-mangled still
+        matches."""
+        obj = self._obj()
+        obj["added_tokens"] = [
+            {"id": 50, "content": "<ﬁ>", "special": True},
+        ]
+        p = _write(tmp_path, "sp.json", obj)
+        m = load_tokenizer_json(spark, p, charsmap="nfkc")
+        docs = spark.createDataFrame(
+            [(1, "fia<ﬁ>ﬁa")], "doc_id long, text string",
+        )
+        ids = tokenizer_json_token_ids(docs, m, out_col="ids")
+        assert ids.collect()[0]["ids"] == [1, 2, 50, 1, 2]
+
+    def test_charsmap_value_validated(self, spark, tmp_path):
+        p = _write(tmp_path, "v.json", self._obj())
+        with pytest.raises(ValueError, match="charsmap"):
+            load_tokenizer_json(spark, p, charsmap="sp")
