@@ -5663,7 +5663,11 @@ def st_stream_hourly(spark, sf_dir):
 # empty argmax empties every later level, so the row sets still
 # agree).  Prototyped mismatch-free against a pure-Python reference
 # trainer AND the Spark kernel at sf0.01 and sf0.1 before wiring in.
-_BPE_TRAIN_K = 6
+# r16 battery-budget rebalance (the r15 VERDICT's what's-wrong #1):
+# 6 -> 4 rounds on the two oldest/heaviest chains — the oracle
+# re-derives whatever k states, so no verification strength is lost,
+# and two rounds of trainer + CTE replay drop from the slot's wall.
+_BPE_TRAIN_K = 4
 
 
 def _bpe_train_ctes(k: int) -> tuple[str, str]:
@@ -5931,10 +5935,14 @@ def _bm25_union_sql() -> str:
     # the exact literals the engine's Column expression uses
     one_minus_b, k1p1 = repr(1.0 - b), repr(k1 + 1.0)
 
+    # r16 rebalance: every df/tf/len expression reads the ONE
+    # materialized bmws CTE (defined in _TERM_STATS_DUCK_SQL's WITH
+    # list) instead of re-running the regex split scan per term —
+    # value-identical expressions, ~5 s off the oracle's wall
     def df_sub(t: str) -> str:
         return (
-            f"(SELECT COUNT(*) FROM (SELECT {_BM25_WS} AS ws FROM documents)"
-            f" dd WHERE list_contains(dd.ws, '{t}'))"
+            f"(SELECT COUNT(*) FROM bmws dd "
+            f"WHERE list_contains(dd.ws, '{t}'))"
         )
 
     def contrib(t: str) -> str:
@@ -5964,13 +5972,13 @@ def _bm25_union_sql() -> str:
              ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn
       FROM (
         SELECT bw.doc_id, {s} AS s
-        FROM (SELECT doc_id, {_BM25_WS} AS ws FROM documents) bw,
+        FROM (SELECT doc_id, ws FROM bmws) bw,
              -- COUNT(text), not COUNT(*): the fit population is the
              -- non-NULL-text corpus (r12 fit_bm25 convention), and
              -- tot's SUM already skips NULLs — n and tot must
              -- describe the same population
-             (SELECT COUNT(text) AS n, SUM(len({_BM25_WS})) AS tot
-              FROM documents) bs
+             (SELECT COUNT(text) AS n, SUM(len(ws)) AS tot
+              FROM bmws) bs
       ) q
     ) r WHERE rn <= {_BM25_TOPK}""")
     # 'bm25_index' rows (r12, fit_bm25_index): the standing-index fit
@@ -5993,8 +6001,8 @@ def _bm25_union_sql() -> str:
       -- the corpus has any term at all
       SELECT md, COUNT(*) FILTER (WHERE d >= md) AS nv FROM (
         SELECT w, COUNT(*) AS d FROM (
-          SELECT doc_id, unnest(list_distinct({_BM25_WS})) AS w
-          FROM documents
+          SELECT doc_id, unnest(list_distinct(ws)) AS w
+          FROM bmws
         ) dw WHERE w <> '' GROUP BY w
       ) tdf CROSS JOIN (VALUES (1), (2)) mds(md)
       GROUP BY md
@@ -6084,7 +6092,7 @@ _USEED_CTES = rf"""
 # byte table, pair counting, tie-break, or merge pass breaks the
 # hash.  Prototyped mismatch-free (python ref vs duck vs engine) at
 # sf0.001/sf0.01/sf0.1 before wiring in.
-_BLT_K = 6
+_BLT_K = 4  # r16: 6 -> 4, the bpe_merge rebalance note above
 _BLT_SUFFIXES = [
     ("\ndon't don't stop", ["\n", "don", "'t", " don", "'t", " stop"]),
     ("\nweb-scale   data", ["\n", "web", "-", "scale", "  ", " data"]),
@@ -6164,6 +6172,11 @@ _TERM_STATS_DUCK_SQL = f"""
     WITH exploded AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
+    bmws AS MATERIALIZED (
+      -- the bm25 families' shared split scan (r16 rebalance): one
+      -- regex pass instead of one per term reference
+      SELECT doc_id, text, {_BM25_WS} AS ws FROM documents
+    ),
     {_BT_CTES},
     {_WT_CTES},
     {_WPB_SFX_CTE},
@@ -6228,6 +6241,38 @@ _TERM_STATS_DUCK_SQL = f"""
     """
 
 
+def _bm25_fit_and_index(spark, sf_dir):
+    """The 'bm25' family's eager fits, factored out so the slot's
+    concurrent-chain pool can run them beside the tokenizer trainers
+    (r16 rebalance).  r13: the standing index is built through the
+    MAINTENANCE path — fit on the even half, update with the odd
+    half.  By the update≡refit law the result equals a full-corpus
+    fit, so the unchanged oracle (which re-derives df over the WHOLE
+    corpus) pins the incremental merge under the hash, at the same
+    total scan cost (two half scans ≈ the one full scan)."""
+    from wikiextractor_spark.functions.bm25 import (
+        fit_bm25,
+        fit_bm25_index,
+        update_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    model = fit_bm25(
+        docs, [t for _q, ts in _BM25_QUERIES for t in ts],
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    index = update_bm25_index(
+        fit_bm25_index(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            k1=_BM25_K1, b=_BM25_B,
+        ),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    return model, index
+
+
 @query("ta_term_stats", _TERM_STATS_DUCK_SQL)
 def ta_term_stats(spark, sf_dir):
     """TF-IDF keywords + top bigrams (the r7 merged families, SQL
@@ -6253,10 +6298,92 @@ def ta_term_stats(spark, sf_dir):
     tune(spark)
     register_views(spark, sf_dir)
     base = spark.sql(_TERM_STATS_SPARK_SQL)
-    learned = learn_bpe_merges(
-        load_table(spark, sf_dir, "documents"),
-        _BPE_TRAIN_K, min_count=1,
+    # r16 battery-budget rebalance (the r15 VERDICT's what's-wrong
+    # #1, with the k=6→4 trim): the slot's wall was dominated by the
+    # EAGER driver-side training loops running in sequence — five
+    # independent chains, each a string of small collect-driven Spark
+    # jobs.  They share no state, so they now run on concurrent
+    # threads (the Spark scheduler interleaves the jobs across the
+    # idle cores); every oracle re-derives the identical rows, so no
+    # verification strength moves — only the wall.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from wikiextractor_spark.functions.tokenizer import (
+        GPT2_PRETOKENIZER_PATTERN,
     )
+    from wikiextractor_spark.functions.wordpiece import (
+        learn_wordpiece_merges,
+    )
+
+    def _bpe_chain():
+        return learn_bpe_merges(
+            load_table(spark, sf_dir, "documents"),
+            _BPE_TRAIN_K, min_count=1,
+        )
+
+    # 'bpe_merge_bl' family (r15): the SAME trainer under
+    # byte_level=True + the GPT-2 pre-tokenizer, over the corpus with
+    # the adversarial suffixes spliced on (doc_id % 4 — contractions,
+    # punct/digit runs, multi-space, the multi-byte é) so the new
+    # grain is genuinely exercised; the oracle re-derives the full
+    # training replay over its own hand-stated pre-token table
+    def _bl_chain():
+        bl_sfx = F.element_at(
+            F.array(*[F.lit(raw) for raw, _p in _BLT_SUFFIXES]),
+            (F.col("doc_id") % len(_BLT_SUFFIXES)).cast("int") + 1,
+        )
+        bl_spliced = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select(F.concat("text", bl_sfx).alias("text"))
+        )
+        return learn_bpe_merges(
+            bl_spliced, _BLT_K, min_count=1,
+            byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
+        )
+
+    # 'wp_train' family (r13, functions/wordpiece.py): the
+    # likelihood-scored WordPiece trainer on the same corpus — the
+    # oracle re-derives every round (pair + symbol counts, the
+    # normalized-score argmax over the min-count-FILTERED pair set,
+    # the ##-absorbing fuse) as a generated CTE chain sharing the
+    # same _WP_TRAIN_MC threshold — the guard is genuinely under the
+    # hash, not a latent mismatch (r13 review)
+    def _wp_chain():
+        return learn_wordpiece_merges(
+            load_table(spark, sf_dir, "documents"),
+            _WP_TRAIN_K, min_count=_WP_TRAIN_MC,
+        )
+
+    # 'wp_train_b' (r15): the SAME trainer at the BasicTokenizer
+    # grain over case/accent/punct-adversarial suffixes — the oracle
+    # re-derives the whole normalize + train run in SQL
+    def _wpb_chain():
+        wpb_sfx = F.element_at(
+            F.array(*[F.lit(raw) for raw in _WPB_SUFFIXES]),
+            (F.col("doc_id") % len(_WPB_SUFFIXES)).cast("int") + 1,
+        )
+        wpb_spliced = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select(F.concat("text", wpb_sfx).alias("text"))
+        )
+        return learn_wordpiece_merges(
+            wpb_spliced, _WPB_K, min_count=_WP_TRAIN_MC,
+            basic_tokenize=True,
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_bpe = pool.submit(_bpe_chain)
+        f_bl = pool.submit(_bl_chain)
+        f_wp = pool.submit(_wp_chain)
+        f_wpb = pool.submit(_wpb_chain)
+        f_bm25 = pool.submit(_bm25_fit_and_index, spark, sf_dir)
+        learned = f_bpe.result()
+        bl_learned = f_bl.result()
+        wp_learned = f_wp.result()
+        wpb_learned = f_wpb.result()
+        model, index = f_bm25.result()
     merges_df = spark.createDataFrame(
         [
             ("bpe_merge", -1, f"{a} {b}", float(cnt), i + 1)
@@ -6265,29 +6392,6 @@ def ta_term_stats(spark, sf_dir):
         "family string, doc_id bigint, term string, score double, rn int",
     )
     out = base.unionByName(merges_df)
-    # 'bpe_merge_bl' family (r15): the SAME trainer under
-    # byte_level=True + the GPT-2 pre-tokenizer, over the corpus with
-    # the adversarial suffixes spliced on (doc_id % 4 — contractions,
-    # punct/digit runs, multi-space, the multi-byte é) so the new
-    # grain is genuinely exercised; the oracle re-derives the full
-    # training replay over its own hand-stated pre-token table
-    from wikiextractor_spark.functions.tokenizer import (
-        GPT2_PRETOKENIZER_PATTERN,
-    )
-
-    bl_sfx = F.element_at(
-        F.array(*[F.lit(raw) for raw, _p in _BLT_SUFFIXES]),
-        (F.col("doc_id") % len(_BLT_SUFFIXES)).cast("int") + 1,
-    )
-    bl_spliced = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select(F.concat("text", bl_sfx).alias("text"))
-    )
-    bl_learned = learn_bpe_merges(
-        bl_spliced, _BLT_K, min_count=1,
-        byte_level=True, pre_tokenizer=GPT2_PRETOKENIZER_PATTERN,
-    )
     out = out.unionByName(
         spark.createDataFrame(
             [
@@ -6298,21 +6402,6 @@ def ta_term_stats(spark, sf_dir):
             "rn int",
         )
     )
-    # 'wp_train' family (r13, functions/wordpiece.py): the
-    # likelihood-scored WordPiece trainer on the same corpus — the
-    # oracle re-derives every round (pair + symbol counts, the
-    # normalized-score argmax over the min-count-FILTERED pair set,
-    # the ##-absorbing fuse) as a generated CTE chain sharing the
-    # same _WP_TRAIN_MC threshold — the guard is genuinely under the
-    # hash, not a latent mismatch (r13 review)
-    from wikiextractor_spark.functions.wordpiece import (
-        learn_wordpiece_merges,
-    )
-
-    wp_learned = learn_wordpiece_merges(
-        load_table(spark, sf_dir, "documents"),
-        _WP_TRAIN_K, min_count=_WP_TRAIN_MC,
-    )
     out = out.unionByName(
         spark.createDataFrame(
             [
@@ -6322,22 +6411,6 @@ def ta_term_stats(spark, sf_dir):
             "family string, doc_id bigint, term string, score double, "
             "rn int",
         )
-    )
-    # 'wp_train_b' (r15): the SAME trainer at the BasicTokenizer
-    # grain over case/accent/punct-adversarial suffixes — the oracle
-    # re-derives the whole normalize + train run in SQL
-    wpb_sfx = F.element_at(
-        F.array(*[F.lit(raw) for raw in _WPB_SUFFIXES]),
-        (F.col("doc_id") % len(_WPB_SUFFIXES)).cast("int") + 1,
-    )
-    wpb_spliced = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select(F.concat("text", wpb_sfx).alias("text"))
-    )
-    wpb_learned = learn_wordpiece_merges(
-        wpb_spliced, _WPB_K, min_count=_WP_TRAIN_MC,
-        basic_tokenize=True,
     )
     out = out.unionByName(
         spark.createDataFrame(
@@ -6396,30 +6469,10 @@ def ta_term_stats(spark, sf_dir):
 
     from wikiextractor_spark.functions.bm25 import (
         bm25_topk,
-        fit_bm25,
-        fit_bm25_index,
-        update_bm25_index,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    model = fit_bm25(
-        docs, [t for _q, ts in _BM25_QUERIES for t in ts],
-        k1=_BM25_K1, b=_BM25_B,
-    )
-    # r13: the standing index is built through the MAINTENANCE path —
-    # fit on the even half, update with the odd half.  By the
-    # update≡refit law the result equals a full-corpus fit, so the
-    # unchanged oracle (which re-derives df over the WHOLE corpus)
-    # now pins the incremental merge under the hash, at the same
-    # total scan cost (two half scans ≈ the one full scan it
-    # replaces).
-    index = update_bm25_index(
-        fit_bm25_index(
-            docs.filter(F.col("doc_id") % 2 == 0),
-            k1=_BM25_K1, b=_BM25_B,
-        ),
-        docs.filter(F.col("doc_id") % 2 == 1),
-    )
+    # model/index came from the concurrent fit (_bm25_fit_and_index)
     # both vocab rows come from the ONE collected index: the mindf2
     # count filters the Spark-derived df values driver-side (one fit,
     # one shuffle — the Spark-side min_df pushdown itself is
