@@ -1024,3 +1024,41 @@ def test_cli_tokenizer_json_prints_divergences(
     printed = capsys.readouterr().out
     assert "stated divergences" in printed
     assert "normalizer:Precompiled" in printed
+
+
+def test_cli_charsmap_flag(spark, tmp_path, docs_parquet,
+                           keep_session):
+    """--charsmap nfkc serves a Precompiled-bearing file through the
+    NFKC kernel; the flag outside --tokenizer-json errors before any
+    work."""
+    obj = {
+        "normalizer": {"type": "Precompiled",
+                       "precompiled_charsmap": "blob"},
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "model": {
+            "type": "Unigram", "unk_id": 0,
+            "vocab": [
+                ["<unk>", 0.0], ["the", -2.0], ["data", -2.5],
+                ["unaffable", -2.6], ["running", -2.7],
+            ],
+        },
+    }
+    p = tmp_path / "sp.json"
+    p.write_text(json.dumps(obj), encoding="utf-8")
+    out = tmp_path / "nfkc_ids"
+    main([
+        "--infn", docs_parquet, "--source", "docs",
+        "--tokenizer-json", str(p), "--charsmap", "nfkc",
+        "--out", str(out),
+    ])
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in spark.read.parquet(str(out)).collect()}
+    # positions: the=1 data=2 unaffable=3 running=4
+    assert rows[2] == [1, 2]
+    assert rows[1] == [3, 4]
+    with pytest.raises(SystemExit):
+        main([
+            "--infn", docs_parquet, "--source", "docs",
+            "--tokenize", "unigram", "--charsmap", "nfkc",
+            "--out", str(tmp_path / "x"),
+        ])

@@ -179,6 +179,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--shards like the per-family serve modes",
     )
     p.add_argument(
+        "--charsmap", choices=("record", "nfkc"), default="record",
+        help="(--tokenizer-json) what a SentencePiece Precompiled "
+        "normalizer's opaque charsmap IS: 'record' (default) keeps "
+        "it a printed divergence; 'nfkc' asserts the standard "
+        "NFKC/nmt_nfkc charsmap and serves the engine's NFKC kernel "
+        "per segment (the T5/Llama-class published normalization)",
+    )
+    p.add_argument(
         "--vocab", default=_UNSET,
         help="(--tokenize wordpiece|bpe) vocabulary artifact path. "
         "The SUFFIX selects the family: wordpiece .txt = published "
@@ -465,6 +473,10 @@ def _validate_docs_args(parser, args) -> None:
                 "run each — train first, then serve the written "
                 "file in a second invocation"
             )
+    elif args.charsmap != "record":
+        parser.error(
+            "--charsmap applies to --tokenizer-json serving only"
+        )
     if args.train_tokenizer is not None:
         if args.tokenize is not None:
             parser.error(
@@ -944,7 +956,9 @@ def _run_docs_tail(parser, spark, args) -> None:
             tokenizer_json_token_ids,
         )
 
-        model = load_tokenizer_json(spark, args.tokenizer_json)
+        model = load_tokenizer_json(
+            spark, args.tokenizer_json, charsmap=args.charsmap
+        )
         if model.divergences:
             # blocks accepted with a stated divergence must be
             # VISIBLE, not buried on the model object (the CLI's

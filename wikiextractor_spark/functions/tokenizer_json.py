@@ -32,15 +32,22 @@ Import policy (the engine-wide raise-don't-guess discipline):
   one native array concat around the body (``add_special_tokens``
   on the dispatch mirrors the published encode flag);
 * blocks that are stated engine divergences elsewhere are ACCEPTED
-  and recorded on the returned model's ``divergences`` tuple: a
-  PAIR template (the engine tokenizes single sequences — pair
-  boundaries come from :func:`~wikiextractor_spark.operators.
-  packing.assemble_packs`' ``sep_id``), the SentencePiece
-  ``Precompiled`` charsmap normalizer (the engine serves
-  un-normalized text — run
-  :mod:`~wikiextractor_spark.functions.normalize` upstream),
-  ``BertNormalizer``'s ``clean_text``/``handle_chinese_chars`` (the
-  stated :func:`basic_tokenize_text` divergence).
+  and recorded on the returned model's ``divergences`` tuple: an
+  UNPARSEABLE pair template shape, the SentencePiece
+  ``Precompiled`` charsmap normalizer under the default
+  ``charsmap='record'`` (pass ``charsmap='nfkc'`` to serve the
+  standard charsmap through the engine's NFKC kernel — r16), a
+  ``truncation`` block carrying ``stride``/``direction`` options
+  the engine cannot honor (the three published strategies
+  themselves SERVE as native slices — r16), the ``padding`` block,
+  added-token matching flags (``lstrip``/``rstrip``/
+  ``single_word``/``normalized`` — r16), and decoder blocks the
+  decode dispatch does not reproduce (r16; the stock WordPiece
+  ``cleanup: true``, the ByteLevel decoder, the Metaspace decoder,
+  and the Llama-shape Sequence chain all serve faithfully).
+  ``BertNormalizer``'s ``clean_text``/``handle_chinese_chars``
+  SERVE since r16 (:func:`~wikiextractor_spark.functions.wordpiece.
+  basic_tokenize_text` steps).
 
 Unigram unk rule: the published implementation does NOT serve the
 unk entry's stored score — it assigns unknown characters
