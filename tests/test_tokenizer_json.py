@@ -1730,23 +1730,31 @@ class TestByteFallback:
 class TestBpePreTokenizerBlocks:
     def test_splitters_match_published_semantics(self):
         """Per-block exactness vs the published grains, hand-stated."""
-        import re as _re
+        import unicodedata as _ud
 
         from wikiextractor_spark.functions.tokenizer import (
-            HF_WHITESPACE_PATTERN,
             split_digits_grouped,
             split_digits_individual,
+            split_hf_whitespace,
             split_punctuation_isolated,
             split_whitespace_runs,
         )
 
-        ws = _re.compile(HF_WHITESPACE_PATTERN).findall
+        ws = split_hf_whitespace
         # Whitespace: \w+|[^\w\s]+ — whitespace dropped, punct runs
         # grouped, underscore is a word char
         assert ws("don't stop, a_b  12x!") == [
             "don", "'", "t", "stop", ",", "a_b", "12x", "!",
         ]
         assert ws("...!?") == ["...!?"]
+        # the library's \w includes combining marks (an NFC matra or
+        # NFD accent stays in its word) and EXCLUDES No characters
+        # like ½ (r16 review — Python re's \w gets both wrong)
+        assert ws("का word") == ["का", "word"]
+        assert ws(_ud.normalize("NFD", "café!")) == [
+            _ud.normalize("NFD", "café"), "!",
+        ]
+        assert ws("½x") == ["½", "x"]
         # Punctuation(Isolated): every punct char its own token,
         # whitespace NOT removed
         assert split_punctuation_isolated("don't, go") == [
@@ -1761,18 +1769,24 @@ class TestBpePreTokenizerBlocks:
         assert split_digits_individual("ab123") == [
             "ab", "1", "2", "3",
         ]
+        # the library's char::is_numeric is the N* categories — a
+        # Han numeral (Lo with Numeric_Type) is NOT split (r16
+        # review: str.isnumeric wrongly admitted it), while ½ (No)
+        # and Ⅻ (Nl) are numeric
+        assert split_digits_grouped("第一章 12") == ["第一章 ", "12"]
+        assert split_digits_grouped("x½Ⅻy") == ["x", "½Ⅻ", "y"]
         # WhitespaceSplit callable: the engine grain
         assert split_whitespace_runs(" a  b\tc ") == ["a", "b", "c"]
 
     def test_sequence_composition(self):
         from wikiextractor_spark.functions.tokenizer import (
-            HF_WHITESPACE_PATTERN,
             _compile_pretok,
             split_digits_individual,
+            split_hf_whitespace,
         )
 
         seq = _compile_pretok(
-            (HF_WHITESPACE_PATTERN, split_digits_individual)
+            (split_hf_whitespace, split_digits_individual)
         )
         assert seq("ab12 cd! e3f") == [
             "ab", "1", "2", "cd", "!", "e", "3", "f",

@@ -101,12 +101,57 @@ GPT2_PRETOKENIZER_PATTERN = (
 )
 
 
-#: the published ``Whitespace`` pre-tokenizer grain
-#: (huggingface/tokenizers): word-char runs or non-word-non-space
-#: runs, whitespace dropped.  Python's ``\w``/``\s`` are
-#: Unicode-aware like the library's — exotic category edges are the
-#: stated Unicode-version caveat (the GPT-2 regex discipline).
-HF_WHITESPACE_PATTERN = r"\w+|[^\w\s]+"
+def _is_hf_word_char(ch: str) -> bool:
+    """The library's regex ``\\w`` class (Rust ``regex``:
+    Alphabetic + ``\\p{M}`` + Nd + Pc + Join_Control) — NOT Python
+    ``re``'s ``\\w``, which drops combining marks (an NFC Devanagari
+    matra or NFD accent would break out of its word) and admits No
+    characters like ``½`` (r16 review: the class difference silently
+    changed Whitespace-grain token streams on marked text)."""
+    import unicodedata
+
+    if ch.isalpha():  # L* ⊂ Alphabetic
+        return True
+    cat = unicodedata.category(ch)
+    # Nl is Alphabetic; M*/Nd/Pc are the \w extras; U+200C/U+200D
+    # are Join_Control
+    return cat in ("Mn", "Mc", "Me", "Nd", "Pc", "Nl") \
+        or ch in "‌‍"
+
+
+def _is_hf_space(ch: str) -> bool:
+    """The library's ``\\s`` = ``\\p{White_Space}`` — Python's
+    ``str.isspace`` minus the \\x1c-\\x1f file separators it alone
+    admits."""
+    return ch.isspace() and not ("\x1c" <= ch <= "\x1f")
+
+
+def split_hf_whitespace(t: str) -> list[str]:
+    """The published ``Whitespace`` pre-tokenizer
+    (``\\w+|[^\\w\\s]+`` in the library's regex dialect): maximal
+    word-char runs, maximal other-non-space runs, whitespace
+    dropped — character classes per :func:`_is_hf_word_char` /
+    :func:`_is_hf_space` (the Rust classes, not Python ``re``'s).
+    Module-level so it pickles into the kernel broadcast."""
+    out: list[str] = []
+    buf: list[str] = []
+    mode: bool | None = None  # True=word run, False=other run
+    for ch in t:
+        if _is_hf_space(ch):
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            mode = None
+            continue
+        w = _is_hf_word_char(ch)
+        if buf and w != mode:
+            out.append("".join(buf))
+            buf = []
+        buf.append(ch)
+        mode = w
+    if buf:
+        out.append("".join(buf))
+    return out
 
 
 def _is_hf_punct(ch: str) -> bool:
@@ -146,16 +191,27 @@ def split_punctuation_isolated(t: str) -> list[str]:
     return out
 
 
+def _is_hf_numeric(ch: str) -> bool:
+    """The library's ``char::is_numeric`` — the Unicode N*
+    categories (Nd/Nl/No) exactly.  NOT ``str.isnumeric``, which
+    also admits Lo characters carrying ``Numeric_Type`` (Han
+    numerals like ``一`` — r16 review: the superset silently split
+    CJK text differently than the published pre-tokenizer)."""
+    import unicodedata
+
+    return unicodedata.category(ch) in ("Nd", "Nl", "No")
+
+
 def split_digits_grouped(t: str) -> list[str]:
     """The published ``Digits`` pre-tokenizer,
-    ``individual_digits: false``: numeric runs split from
-    non-numeric runs (``str.isnumeric`` — Nd/Nl/No, the library's
-    ``char::is_numeric``); nothing is removed."""
+    ``individual_digits: false``: numeric runs (N* categories, the
+    library's ``char::is_numeric`` — :func:`_is_hf_numeric`) split
+    from non-numeric runs; nothing is removed."""
     out: list[str] = []
     buf: list[str] = []
     mode: bool | None = None
     for ch in t:
-        m = ch.isnumeric()
+        m = _is_hf_numeric(ch)
         if buf and m != mode:
             out.append("".join(buf))
             buf = []
@@ -172,7 +228,7 @@ def split_digits_individual(t: str) -> list[str]:
     out: list[str] = []
     buf: list[str] = []
     for ch in t:
-        if ch.isnumeric():
+        if _is_hf_numeric(ch):
             if buf:
                 out.append("".join(buf))
                 buf = []

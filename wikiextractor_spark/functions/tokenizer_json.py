@@ -677,9 +677,9 @@ def _import_bpe(
         # picklable splitter, a Sequence composes them successively
         # — exactly the library's member-wise re-split
         from wikiextractor_spark.functions.tokenizer import (
-            HF_WHITESPACE_PATTERN,
             split_digits_grouped,
             split_digits_individual,
+            split_hf_whitespace,
             split_punctuation_isolated,
             split_whitespace_runs,
         )
@@ -689,7 +689,7 @@ def _import_bpe(
         for b in blocks:
             t = b["type"]
             if t == "Whitespace":
-                chain.append(HF_WHITESPACE_PATTERN)
+                chain.append(split_hf_whitespace)
             elif t == "WhitespaceSplit":
                 chain.append(split_whitespace_runs)
             elif t == "Punctuation":

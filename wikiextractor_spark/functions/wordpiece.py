@@ -62,6 +62,11 @@ from wikiextractor_spark.functions.tokenizer import (
     _WS_SPLIT,
     _bad_tokens,
     _compile_specials,
+    # the published BasicTokenizer ``_is_punctuation`` is the SAME
+    # class as the HF Punctuation pre-tokenizer's — one definition,
+    # two published names (r16 review: two identical classifiers
+    # would drift under a future Unicode fix)
+    _is_hf_punct as _is_basic_punct,
     _memoized_word_counter,
     _vocab_id_maps,
 )
@@ -552,17 +557,10 @@ def basic_tokenize_text(
 _BASIC_WS_RE = re.compile("[ \t\n\r\f\v]+")
 
 
-def _is_basic_punct(ch: str) -> bool:
-    """The published BasicTokenizer ``_is_punctuation``: the four
-    ASCII punctuation ranges plus every Unicode P* category — the
-    Python statement of :data:`BASIC_PUNCT_CLASS`."""
-    cp = ord(ch)
-    if (
-        33 <= cp <= 47 or 58 <= cp <= 64
-        or 91 <= cp <= 96 or 123 <= cp <= 126
-    ):
-        return True
-    return unicodedata.category(ch).startswith("P")
+# _is_basic_punct (the published BasicTokenizer ``_is_punctuation``,
+# the Python statement of :data:`BASIC_PUNCT_CLASS`) is imported at
+# the top as an alias of tokenizer._is_hf_punct — one class, two
+# published names.
 
 
 #: the published CJK ranges as (lo, hi) pairs — the Python twin of
