@@ -1026,11 +1026,18 @@ def test_cli_tokenizer_json_prints_divergences(
     assert "normalizer:Precompiled" in printed
 
 
-def test_cli_charsmap_flag(spark, tmp_path, docs_parquet,
-                           keep_session):
+def test_cli_charsmap_flag(spark, tmp_path, keep_session):
     """--charsmap nfkc serves a Precompiled-bearing file through the
-    NFKC kernel; the flag outside --tokenizer-json errors before any
-    work."""
+    NFKC kernel over NFKC-UNSTABLE text (the ids depend on the fold
+    actually running); the flag outside --tokenizer-json — or on a
+    Precompiled-free file — errors instead of being discarded."""
+    docs = tmp_path / "nfkc_docs"
+    spark.createDataFrame(
+        # full-width 'ｔｈｅ' + the fi ligature: NFKC-unstable — under
+        # charsmap='record' every character is UNK
+        [(1, "ｔｈｅ ﬁle")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(docs))
     obj = {
         "normalizer": {"type": "Precompiled",
                        "precompiled_charsmap": "blob"},
@@ -1038,8 +1045,7 @@ def test_cli_charsmap_flag(spark, tmp_path, docs_parquet,
         "model": {
             "type": "Unigram", "unk_id": 0,
             "vocab": [
-                ["<unk>", 0.0], ["the", -2.0], ["data", -2.5],
-                ["unaffable", -2.6], ["running", -2.7],
+                ["<unk>", 0.0], ["the", -2.0], ["file", -2.5],
             ],
         },
     }
@@ -1047,18 +1053,38 @@ def test_cli_charsmap_flag(spark, tmp_path, docs_parquet,
     p.write_text(json.dumps(obj), encoding="utf-8")
     out = tmp_path / "nfkc_ids"
     main([
-        "--infn", docs_parquet, "--source", "docs",
+        "--infn", str(docs), "--source", "docs",
         "--tokenizer-json", str(p), "--charsmap", "nfkc",
         "--out", str(out),
     ])
     rows = {r["doc_id"]: r["token_ids"]
             for r in spark.read.parquet(str(out)).collect()}
-    # positions: the=1 data=2 unaffable=3 running=4
-    assert rows[2] == [1, 2]
-    assert rows[1] == [3, 4]
+    # NFKC folds ｔｈｅ → the (position 1) and ﬁle → file (2);
+    # without the fold both words would be all-UNK (-1 streams)
+    assert rows[1] == [1, 2]
+    # the flag outside --tokenizer-json errors (even at the default
+    # value — supplied-but-discarded)
     with pytest.raises(SystemExit):
         main([
-            "--infn", docs_parquet, "--source", "docs",
+            "--infn", str(docs), "--source", "docs",
             "--tokenize", "unigram", "--charsmap", "nfkc",
             "--out", str(tmp_path / "x"),
+        ])
+    # and on a non-docs source the scoped-flag policy rejects it
+    with pytest.raises(SystemExit):
+        main([
+            "--infn", str(docs), "--source", "wet",
+            "--charsmap", "nfkc", "--out", str(tmp_path / "y"),
+        ])
+    # nfkc asserted against a Precompiled-FREE file raises instead
+    # of silently serving raw text
+    obj2 = dict(obj)
+    del obj2["normalizer"]
+    p2 = tmp_path / "plain.json"
+    p2.write_text(json.dumps(obj2), encoding="utf-8")
+    with pytest.raises(ValueError, match="carries none"):
+        main([
+            "--infn", str(docs), "--source", "docs",
+            "--tokenizer-json", str(p2), "--charsmap", "nfkc",
+            "--out", str(tmp_path / "z"),
         ])

@@ -58,6 +58,7 @@ _SCOPED_DEFAULTS = {
     "with_meta": False,
     "tokenize": None,
     "tokenizer_json": None,
+    "charsmap": "record",
     "vocab": None,
     "merges": None,
     "lm": None,
@@ -179,7 +180,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--shards like the per-family serve modes",
     )
     p.add_argument(
-        "--charsmap", choices=("record", "nfkc"), default="record",
+        "--charsmap", choices=("record", "nfkc"), default=_UNSET,
         help="(--tokenizer-json) what a SentencePiece Precompiled "
         "normalizer's opaque charsmap IS: 'record' (default) keeps "
         "it a printed divergence; 'nfkc' asserts the standard "
@@ -371,7 +372,7 @@ _DUMP_ONLY = (
     "parser", "vitalfn", "compress", "incubator", "max_records_per_file",
 )
 _DOCS_ONLY = (
-    "tokenize", "tokenizer_json",
+    "tokenize", "tokenizer_json", "charsmap",
     "vocab", "merges", "lm", "pack", "shards", "shard_seed",
     "basic_tokenize", "space_marker",
     "train_tokenizer", "vocab_size", "byte_level", "prune_rank",
@@ -443,11 +444,13 @@ def _prepare_requested(args) -> bool:
     )
 
 
-def _validate_docs_args(parser, args) -> None:
+def _validate_docs_args(parser, args, supplied: set[str]) -> None:
     """--source docs argument validation — BEFORE get_spark (r13
     review): a usage error must not boot a JVM, and under
     getOrCreate it must never stop a session some other caller owns
-    (main()'s finally stops the session it obtained)."""
+    (main()'s finally stops the session it obtained).  ``supplied``
+    is :func:`_resolve_scoped`'s explicitly-given set — the sentinel
+    test, never a value-vs-default compare."""
     if (
         args.tokenize is None
         and args.tokenizer_json is None
@@ -473,7 +476,10 @@ def _validate_docs_args(parser, args) -> None:
                 "run each — train first, then serve the written "
                 "file in a second invocation"
             )
-    elif args.charsmap != "record":
+    elif "charsmap" in supplied:
+        # supplied-but-discarded flags must error (the --shard-seed
+        # precedent) — even an explicit '--charsmap record' outside
+        # --tokenizer-json is a call shape that does nothing
         parser.error(
             "--charsmap applies to --tokenizer-json serving only"
         )
@@ -1076,9 +1082,10 @@ def main(argv: list[str] | None = None) -> None:
     out_supplied = args.out is not _UNSET
     if not out_supplied:
         args.out = "wiki_out"
-    _check_flag_compat(parser, args, _resolve_scoped(args))
+    supplied = _resolve_scoped(args)
+    _check_flag_compat(parser, args, supplied)
     if args.source == "docs":
-        _validate_docs_args(parser, args)
+        _validate_docs_args(parser, args, supplied)
         if args.train_tokenizer is not None and out_supplied:
             # supplied-but-discarded flags must error, not produce a
             # plausible-looking run with nothing at --out (r14

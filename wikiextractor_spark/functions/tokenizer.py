@@ -49,7 +49,8 @@ pack/cap plans are unchanged, only the measure is.
 from __future__ import annotations
 
 import re
-from functools import partial
+import unicodedata
+from functools import lru_cache, partial
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -101,22 +102,30 @@ GPT2_PRETOKENIZER_PATTERN = (
 )
 
 
+@lru_cache(maxsize=None)
 def _is_hf_word_char(ch: str) -> bool:
     """The library's regex ``\\w`` class (Rust ``regex``:
     Alphabetic + ``\\p{M}`` + Nd + Pc + Join_Control) — NOT Python
     ``re``'s ``\\w``, which drops combining marks (an NFC Devanagari
     matra or NFD accent would break out of its word) and admits No
     characters like ``½`` (r16 review: the class difference silently
-    changed Whitespace-grain token streams on marked text)."""
-    import unicodedata
-
+    changed Whitespace-grain token streams on marked text).
+    Alphabetic = L* + Nl + Other_Alphabetic; stdlib exposes no
+    property tables, so Other_Alphabetic is covered by the M*
+    inclusion (its combining-mark mass) plus the circled-letter
+    block U+24B6-U+24E9 (its one gc=So range; second review pass) —
+    any residual exotic member is the stated Unicode-edges caveat.
+    Memoized per character (kernel hot path)."""
     if ch.isalpha():  # L* ⊂ Alphabetic
         return True
     cat = unicodedata.category(ch)
     # Nl is Alphabetic; M*/Nd/Pc are the \w extras; U+200C/U+200D
-    # are Join_Control
-    return cat in ("Mn", "Mc", "Me", "Nd", "Pc", "Nl") \
+    # are Join_Control; U+24B6-U+24E9 are Other_Alphabetic (So)
+    return (
+        cat in ("Mn", "Mc", "Me", "Nd", "Pc", "Nl")
         or ch in "‌‍"
+        or "Ⓐ" <= ch <= "ⓩ"
+    )
 
 
 def _is_hf_space(ch: str) -> bool:
@@ -126,6 +135,42 @@ def _is_hf_space(ch: str) -> bool:
     return ch.isspace() and not ("\x1c" <= ch <= "\x1f")
 
 
+def _split_runs(t: str, classify, drop=None,
+                isolate: bool = False) -> list[str]:
+    """ONE run-grouping loop for the published pre-tokenizer
+    splitters (second review pass — four copies would drift):
+    maximal runs of equal ``classify(ch)`` value; ``drop`` chars
+    terminate the current run and vanish; ``isolate`` emits each
+    classify-True char as its OWN pre-token (the published
+    'Isolated' behavior)."""
+    out: list[str] = []
+    buf: list[str] = []
+    mode = None
+    for ch in t:
+        if drop is not None and drop(ch):
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            mode = None
+            continue
+        m = classify(ch)
+        if isolate and m:
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(ch)
+            mode = None
+            continue
+        if buf and m != mode:
+            out.append("".join(buf))
+            buf = []
+        buf.append(ch)
+        mode = m
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def split_hf_whitespace(t: str) -> list[str]:
     """The published ``Whitespace`` pre-tokenizer
     (``\\w+|[^\\w\\s]+`` in the library's regex dialect): maximal
@@ -133,31 +178,15 @@ def split_hf_whitespace(t: str) -> list[str]:
     dropped — character classes per :func:`_is_hf_word_char` /
     :func:`_is_hf_space` (the Rust classes, not Python ``re``'s).
     Module-level so it pickles into the kernel broadcast."""
-    out: list[str] = []
-    buf: list[str] = []
-    mode: bool | None = None  # True=word run, False=other run
-    for ch in t:
-        if _is_hf_space(ch):
-            if buf:
-                out.append("".join(buf))
-                buf = []
-            mode = None
-            continue
-        w = _is_hf_word_char(ch)
-        if buf and w != mode:
-            out.append("".join(buf))
-            buf = []
-        buf.append(ch)
-        mode = w
-    if buf:
-        out.append("".join(buf))
-    return out
+    return _split_runs(t, _is_hf_word_char, drop=_is_hf_space)
 
 
+@lru_cache(maxsize=None)
 def _is_hf_punct(ch: str) -> bool:
     """The published pre-tokenizer punctuation class (identical to
     BERT's ``_is_punctuation``): the four ASCII punctuation ranges
-    plus every Unicode P* category."""
+    plus every Unicode P* category.  Memoized per character (kernel
+    hot path)."""
     cp = ord(ch)
     if (
         33 <= cp <= 47 or 58 <= cp <= 64
@@ -176,29 +205,17 @@ def split_punctuation_isolated(t: str) -> list[str]:
     NOT removed (that is ``Whitespace``'s job; the blocks compose in
     a Sequence).  Module-level so it pickles into the kernel
     broadcast."""
-    out: list[str] = []
-    buf: list[str] = []
-    for ch in t:
-        if _is_hf_punct(ch):
-            if buf:
-                out.append("".join(buf))
-                buf = []
-            out.append(ch)
-        else:
-            buf.append(ch)
-    if buf:
-        out.append("".join(buf))
-    return out
+    return _split_runs(t, _is_hf_punct, isolate=True)
 
 
+@lru_cache(maxsize=None)
 def _is_hf_numeric(ch: str) -> bool:
     """The library's ``char::is_numeric`` — the Unicode N*
     categories (Nd/Nl/No) exactly.  NOT ``str.isnumeric``, which
     also admits Lo characters carrying ``Numeric_Type`` (Han
     numerals like ``一`` — r16 review: the superset silently split
-    CJK text differently than the published pre-tokenizer)."""
-    import unicodedata
-
+    CJK text differently than the published pre-tokenizer).
+    Memoized per character (kernel hot path)."""
     return unicodedata.category(ch) in ("Nd", "Nl", "No")
 
 
@@ -207,37 +224,13 @@ def split_digits_grouped(t: str) -> list[str]:
     ``individual_digits: false``: numeric runs (N* categories, the
     library's ``char::is_numeric`` — :func:`_is_hf_numeric`) split
     from non-numeric runs; nothing is removed."""
-    out: list[str] = []
-    buf: list[str] = []
-    mode: bool | None = None
-    for ch in t:
-        m = _is_hf_numeric(ch)
-        if buf and m != mode:
-            out.append("".join(buf))
-            buf = []
-        buf.append(ch)
-        mode = m
-    if buf:
-        out.append("".join(buf))
-    return out
+    return _split_runs(t, _is_hf_numeric)
 
 
 def split_digits_individual(t: str) -> list[str]:
     """``Digits`` with ``individual_digits: true``: every numeric
     character is its own pre-token."""
-    out: list[str] = []
-    buf: list[str] = []
-    for ch in t:
-        if _is_hf_numeric(ch):
-            if buf:
-                out.append("".join(buf))
-                buf = []
-            out.append(ch)
-        else:
-            buf.append(ch)
-    if buf:
-        out.append("".join(buf))
-    return out
+    return _split_runs(t, _is_hf_numeric, isolate=True)
 
 
 def split_whitespace_runs(t: str) -> list[str]:

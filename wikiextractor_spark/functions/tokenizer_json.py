@@ -1370,6 +1370,15 @@ def load_tokenizer_json(
         )
     if truncation is not None:
         out = replace(out, truncation=truncation)
+    if charsmap == "nfkc" and not out.normalize_nfkc:
+        # the caller asserted a charsmap the file does not carry —
+        # discarding the assertion would serve un-normalized text
+        # under an nfkc-claiming call (second review pass)
+        raise ValueError(
+            f"{caller}: charsmap='nfkc' asserts a SentencePiece "
+            "Precompiled normalizer, but the file carries none — "
+            "drop the option or fix the file"
+        )
     return out
 
 
