@@ -469,6 +469,21 @@ def ivf_centroids(
         raise ValueError(
             "ivf_centroids: the corpus has no vectors to train on"
         )
+    return _lloyd_iters(base, centroids, iters, metric)
+
+
+def _lloyd_iters(
+    base: DataFrame, centroids: list[list[float]], iters: int,
+    metric: str,
+) -> list[list[float]]:
+    """The Lloyd update loop of :func:`ivf_centroids`, factored out
+    (r16) so :func:`train_pq` can seed all m subspaces from ONE
+    driver collect and still run the identical per-subspace loop.
+    ``base`` must carry the vector as a double-array column ``v``;
+    ``centroids`` is the (already shaped) seed set.  Behavior is
+    byte-for-byte the former in-line loop."""
+    score_metric = "dot" if metric == "cosine" else "l2"
+    shape = _normalize if metric == "cosine" else list
     # fewer vectors than k: every vector becomes its own centroid
     # (the quantizer degenerates gracefully instead of erroring)
     for _ in range(iters):
@@ -762,8 +777,6 @@ def build_ivf_index(
     from wikiextractor_spark.fsutil import hadoop_fs
 
     spark = emb.sparkSession
-    centroids = ivf_centroids(emb, k, iters, id_col, vec_col)
-    books = None
     if pq is not None:
         unknown = set(pq) - {"m", "k", "iters"}
         if unknown:
@@ -774,12 +787,32 @@ def build_ivf_index(
                 f"build_ivf_index: unknown pq keys {sorted(unknown)} "
                 "— valid: m, k, iters"
             )
-        books = train_pq(
-            emb, m=pq.get("m", 16), k=pq.get("k", 16),
-            iters=pq.get("iters", 2), id_col=id_col, vec_col=vec_col,
-            dim=len(centroids[0]),
+    # r16 optimization (guide §2.6): the coarse-quantizer, PQ, and SQ
+    # trainings are independent reads of the corpus (train_pq needs
+    # only the DIMENSION from the coarse result, and derives it from
+    # its own seed collect just as well), each a string of small
+    # driver-blocking jobs — so they overlap on threads instead of
+    # running in sequence.  Every training is unchanged; only the
+    # scheduling moved.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_cent = _pool.submit(
+            ivf_centroids, emb, k, iters, id_col, vec_col
         )
-    codec = train_sq(emb, vec_col) if sq else None
+        _f_books = (
+            _pool.submit(
+                train_pq, emb, m=pq.get("m", 16), k=pq.get("k", 16),
+                iters=pq.get("iters", 2), id_col=id_col,
+                vec_col=vec_col, dim=None,
+            )
+            if pq is not None
+            else None
+        )
+        _f_codec = _pool.submit(train_sq, emb, vec_col) if sq else None
+        centroids = _f_cent.result()
+        books = _f_books.result() if _f_books is not None else None
+        codec = _f_codec.result() if _f_codec is not None else None
     # ONE pass scores and carries the vector (keep_vec) — joining a
     # separate (id, centroid_id) projection back to the corpus would
     # re-scan it and add a corpus-grain join for nothing; the PQ/SQ
@@ -1461,18 +1494,49 @@ def ann_ivf_topk_indexed(
     )
 
 
+class _Probes:
+    """Driver-materialized probe rows (r16 optimization, guide §1.2):
+    probes are tiny by construction (queries × nprobe), and the
+    serving paths used to run THREE separate collect jobs over the
+    checkpointed probe frame (bucket distinct, (q_id, q_v) distinct,
+    and the broadcast evaluation) — one collect here feeds them all.
+    ``df`` is the probe frame as a local relation (same rows, same
+    schema, broadcast-joined exactly like the checkpointed frame
+    was); ``buckets`` the distinct probed centroids (sorted — the
+    former ``distinct().collect()`` order was nondeterministic);
+    ``qvecs`` the per-query vectors sorted by q_id; ``qdf`` the
+    ``(q_id, q_v)`` frame the rerank tail broadcasts."""
+
+    def __init__(self, spark, rows):
+        self.rows = rows
+        self.df = spark.createDataFrame(
+            [(int(r["q_id"]), list(r["q_v"]), int(r["q_centroid"]))
+             for r in rows],
+            "q_id long, q_v array<double>, q_centroid int",
+        )
+        self.buckets = sorted({int(r["q_centroid"]) for r in rows})
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(int(r["q_id"]), list(r["q_v"]))
+        self.qvecs = sorted(by_id.items())
+        self.qdf = spark.createDataFrame(
+            self.qvecs, "q_id long, q_v array<double>",
+        )
+
+
 def _probe_rows(
     queries: DataFrame, centroids: list[list[float]], nprobe: int,
-) -> DataFrame:
+) -> _Probes:
     """``(q_id, q_v)`` → exploded ``(q_id, q_v, q_centroid)`` probe
     rows: each query's top-``nprobe`` centroids by dot product, ties
     to the smaller index.  ONE implementation (the SQL expression)
     behind both persisted-index search paths — member-id queries and
     external vectors — so probe selection can never drift between
-    them.  Eagerly materialized: probes are tiny and feed two plan
-    branches."""
+    them.  Materialized with ONE driver collect into :class:`_Probes`
+    (probes are tiny and feed several plan branches + driver-side
+    bucket/LUT derivations that each used to pay their own job)."""
     scores = _centroid_scores_sql("q_v", centroids)
-    return (
+    exploded = (
         queries.withColumn("_s", F.expr(scores))
         .select(
             "q_id",
@@ -1486,28 +1550,25 @@ def _probe_rows(
                 )
             ).alias("q_centroid"),
         )
-        .localCheckpoint(eager=True)
     )
+    return _Probes(queries.sparkSession, exploded.collect())
 
 
 def _probe_and_rank(
-    spark, index_dir: str, probes: DataFrame, k: int,
+    spark, index_dir: str, probes: _Probes, k: int,
     id_col: str, vec_col: str, exclude_self: bool,
 ) -> DataFrame:
     """Shared probe-partition scan + exact-cosine ranking behind the
-    two persisted-index search paths: ``probes`` is a TINY broadcast
-    frame ``(q_id, q_v array<double>, q_centroid)``, and only the
-    union of its centroid partitions is read (explicit directory
-    selection).  ``exclude_self`` drops the corpus row whose id
-    equals ``q_id`` — right for corpus-member queries, wrong for
-    external vectors whose ids live in a different id space."""
-    buckets = [
-        r["q_centroid"]
-        for r in probes.select("q_centroid").distinct().collect()
-    ]
-    paths = _index_partition_paths(spark, index_dir, buckets)
+    two persisted-index search paths: ``probes`` is the TINY
+    driver-materialized probe set (``(q_id, q_v array<double>,
+    q_centroid)`` rows), and only the union of its centroid
+    partitions is read (explicit directory selection).
+    ``exclude_self`` drops the corpus row whose id equals ``q_id`` —
+    right for corpus-member queries, wrong for external vectors
+    whose ids live in a different id space."""
+    paths = _index_partition_paths(spark, index_dir, probes.buckets)
     if not paths:
-        return probes.select(
+        return probes.df.select(
             F.col("q_id"),
             F.col("q_id").alias("neighbor_id"),
             F.lit(0.0).alias("cos"),
@@ -1525,7 +1586,7 @@ def _probe_and_rank(
     if exclude_self:
         cond = cond & (F.col(id_col) != F.col("q_id"))
     scored = (
-        pruned.join(F.broadcast(probes), cond)
+        pruned.join(F.broadcast(probes.df), cond)
         .select(
             "q_id",
             F.col(id_col).alias("neighbor_id"),
@@ -1651,7 +1712,7 @@ _RERANK_ISIN_MAX_IDS = 10240
 
 
 def _probe_and_rank_pq(
-    spark, index_dir: str, probes: DataFrame,
+    spark, index_dir: str, probes: _Probes,
     books: list[list[list[float]]],
     k: int, refine: int, id_col: str, vec_col: str,
     exclude_self: bool,
@@ -1667,28 +1728,23 @@ def _probe_and_rank_pq(
     the LUTs come off the (tiny, materialized) probe frame itself, so
     both serving paths — external vectors and corpus-member ids —
     feed this unchanged."""
-    buckets = [
-        r["q_centroid"]
-        for r in probes.select("q_centroid").distinct().collect()
-    ]
-    paths = _index_partition_paths(spark, index_dir, buckets)
+    paths = _index_partition_paths(spark, index_dir, probes.buckets)
     if not paths:
-        return probes.select(
+        return probes.df.select(
             F.col("q_id"),
             F.col("q_id").alias("neighbor_id"),
             F.lit(0.0).alias("cos"),
             F.lit(1).alias("rank"),
         ).limit(0)
     lut_rows = [
-        (int(r["q_id"]), _pq_lut(books, list(r["q_v"])))
-        for r in probes.select("q_id", "q_v").distinct().collect()
+        (q_id, _pq_lut(books, q_v)) for q_id, q_v in probes.qvecs
     ]
     luts = spark.createDataFrame(
         lut_rows, "q_id long, lut array<array<double>>",
     )
     # probes already carries (q_id, q_centroid); attaching the LUT is
     # a tiny driver-frame join, broadcast below as one unit
-    probe_luts = probes.select("q_id", "q_centroid").join(luts, "q_id")
+    probe_luts = probes.df.select("q_id", "q_centroid").join(luts, "q_id")
     codes_scan = (
         spark.read.option("basePath", f"{index_dir}/vectors")
         .parquet(*paths)
@@ -1722,7 +1778,7 @@ def _probe_and_rank_pq(
 
 def _exact_rerank_shortlist(
     spark, index_dir: str, paths: list[str], scored: DataFrame,
-    probes: DataFrame, k: int, refine: int, id_col: str, vec_col: str,
+    probes: _Probes, k: int, refine: int, id_col: str, vec_col: str,
     n_queries: int = 0,
 ) -> DataFrame:
     """Shared tail of the quantized serving paths (PQ and SQ): rank
@@ -1776,7 +1832,7 @@ def _exact_rerank_shortlist(
         )
     exact = (
         shortlist.join(vec_scan, "neighbor_id")
-        .join(F.broadcast(probes.select("q_id", "q_v").distinct()), "q_id")
+        .join(F.broadcast(probes.qdf), "q_id")
         .select(
             "q_id", "neighbor_id",
             F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("cos"),
@@ -1792,7 +1848,7 @@ def _exact_rerank_shortlist(
 
 
 def _probe_and_rank_sq(
-    spark, index_dir: str, probes: DataFrame,
+    spark, index_dir: str, probes: _Probes,
     codec: list[tuple[float, float]],
     k: int, refine: int, id_col: str, vec_col: str,
     exclude_self: bool,
@@ -1808,13 +1864,9 @@ def _probe_and_rank_sq(
     read: the probed partitions' ``sq_codes`` column plus the
     raw-vector row groups the shortlist id filter cannot prune —
     never the vector column of the whole index."""
-    buckets = [
-        r["q_centroid"]
-        for r in probes.select("q_centroid").distinct().collect()
-    ]
-    paths = _index_partition_paths(spark, index_dir, buckets)
+    paths = _index_partition_paths(spark, index_dir, probes.buckets)
     if not paths:
-        return probes.select(
+        return probes.df.select(
             F.col("q_id"),
             F.col("q_id").alias("neighbor_id"),
             F.lit(0.0).alias("cos"),
@@ -1822,13 +1874,13 @@ def _probe_and_rank_sq(
         ).limit(0)
     dim = len(codec)
     qparam_rows = [
-        (int(r["q_id"]),) + _sq_query_params(codec, list(r["q_v"]))
-        for r in probes.select("q_id", "q_v").distinct().collect()
+        (q_id,) + _sq_query_params(codec, q_v)
+        for q_id, q_v in probes.qvecs
     ]
     qparams = spark.createDataFrame(
         qparam_rows, "q_id long, base double, w array<double>",
     )
-    probe_params = probes.select("q_id", "q_centroid").join(qparams, "q_id")
+    probe_params = probes.df.select("q_id", "q_centroid").join(qparams, "q_id")
     guarded = _sq_guarded_codes_sql("sq_codes", dim, "sq probe")
     codes_scan = (
         spark.read.option("basePath", f"{index_dir}/vectors")
@@ -2037,7 +2089,7 @@ def hashed_embeddings(
 def train_pq(
     emb: DataFrame, m: int = 16, k: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = 64,
 ) -> list[list[list[float]]]:
     """→ ``m`` codebooks of ``k`` sub-centroids each, trained by the
     same deterministic Lloyd machinery as :func:`ivf_centroids` on
@@ -2075,35 +2127,77 @@ def train_pq(
     documented recall path.  Residual encoding (FAISS IVFPQ)
     measured no better on this data — all recorded here so future
     rounds don't re-litigate."""
-    if dim % m != 0:
+    if dim is not None and dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     # one-row probe: a corpus whose vectors are not dim-long would
     # otherwise train truncated (longer) or degenerate empty-slice
-    # (shorter) codebooks with no error
+    # (shorter) codebooks with no error.  dim=None (r16): derive the
+    # dimension from this same probe — the decoupling that lets
+    # build_ivf_index run this training concurrently with the coarse
+    # quantizer instead of waiting on it for len(centroids[0]).
     got = (
         emb.select(F.size(F.col(vec_col)).alias("_n"))
         .filter(F.col("_n").isNotNull())
         .first()
     )
+    if dim is None:
+        if got is None:
+            raise ValueError(
+                "ivf_centroids: the corpus has no vectors to train on"
+            )
+        dim = got["_n"]
+        if dim % m != 0:
+            raise ValueError(f"m={m} must divide dim={dim}")
     if got is not None and got["_n"] != dim:
         raise ValueError(
             f"train_pq: expected {dim}-dim vectors, corpus has "
             f"{got['_n']} — pass dim= matching your embeddings"
         )
     sub = dim // m
-    books = []
-    for j in range(m):
+    # r16 optimization (guide §1.2 — fewer passes): the m per-subspace
+    # seed selections are the SAME md5-ordered k rows every time (the
+    # ordering key is the id, not the slice), so ONE driver collect of
+    # the full-dim seed vectors replaces m identical limit-k scan
+    # jobs; each subspace's seeds are then the driver-side slice —
+    # value-identical to seeding on the sliced frame (pinned by the
+    # PQ book equality tests).  The per-subspace Lloyd loops (iters>0)
+    # still run distributed, one per subspace, via the factored
+    # _lloyd_iters, and overlap on threads (§2.6) since they share no
+    # state.
+    seed_rows = (
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    full_seeds = [list(r["v"]) for r in seed_rows]
+    if not full_seeds:
+        raise ValueError(
+            "ivf_centroids: the corpus has no vectors to train on"
+        )
+
+    def _book(j: int) -> list[list[float]]:
+        sub_seeds = [
+            list(v[j * sub: (j + 1) * sub]) for v in full_seeds
+        ]
+        if iters == 0:
+            return sub_seeds
         sliced = emb.select(
             F.col(id_col),
             F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias(
-                "_sub"
+                "v"
             ),
         )
-        books.append(
-            ivf_centroids(sliced, k=k, iters=iters, id_col=id_col,
-                          vec_col="_sub", metric="l2")
-        )
-    return books
+        return _lloyd_iters(sliced, sub_seeds, iters, "l2")
+
+    if iters == 0:
+        return [_book(j) for j in range(m)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(_book, range(m)))
 
 
 def _pq_codes_sql(vec_col: str, books: list[list[list[float]]]) -> str:

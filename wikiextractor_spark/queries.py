@@ -1032,15 +1032,34 @@ def ta_text_profile(spark, sf_dir):
 
     vdir = tempfile.mkdtemp(prefix="ta_vocab_")
     try:
-        save_bpe_vocab(
-            vocab_from_tokens(spark, _BPE_VOCAB, _BPE_OOV),
-            f"{vdir}/vocab",
+        # r16 optimization (guide §2.6, the ta_term_stats precedent):
+        # the four artifact round-trip chains below share no state
+        # and write disjoint paths, but each step is a string of
+        # small driver-blocking Spark jobs (single-file artifact
+        # write, validation agg, eager checkpoint / collect) —
+        # profiled 6.3s warm run in SEQUENCE at local[32], dominated
+        # by per-job latency, not data.  Running the chains on
+        # concurrent threads lets the scheduler interleave those
+        # jobs across idle cores; every artifact, path, and reload
+        # is unchanged, so the round-trip contracts (and the driver
+        # hashes that ride them) are untouched.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from wikiextractor_spark.functions.wordpiece import (
+            MAX_INPUT_CHARS_PER_WORD,
         )
-        vocab = load_bpe_vocab(spark, f"{vdir}/vocab")
-        save_bpe_merges(
-            merges_from_pairs(spark, _BPE_MERGES), f"{vdir}/merges"
-        )
-        ranks = load_bpe_merges(spark, f"{vdir}/merges")
+
+        def _bpe_artifacts():
+            save_bpe_vocab(
+                vocab_from_tokens(spark, _BPE_VOCAB, _BPE_OOV),
+                f"{vdir}/vocab",
+            )
+            vocab = load_bpe_vocab(spark, f"{vdir}/vocab")
+            save_bpe_merges(
+                merges_from_pairs(spark, _BPE_MERGES), f"{vdir}/merges"
+            )
+            return vocab, load_bpe_merges(spark, f"{vdir}/merges")
+
         # r13: the unigram-LM artifact rides its own save→load round
         # trip (the lm_quality_gate pattern) so the modelio contract
         # sits under the driver's hash for this surface too.  r15:
@@ -1050,53 +1069,64 @@ def ta_text_profile(spark, sf_dir):
         # override, the load_unigram_lm convention; the file's 0.0
         # unk entry is not the engine scalar), so the n_tokens_unigram
         # hash now pins the tokenizer_json contract too
-        save_unigram_lm(
-            unigram_from_tokens(spark, _UNI_LM, _UNI_UNK),
-            f"{vdir}/unigram",
-        )
-        save_tokenizer_json_unigram(
-            spark, load_unigram_lm(spark, f"{vdir}/unigram"),
-            f"{vdir}/unigram.json",
-        )
-        uni_lm = load_tokenizer_json(
-            spark, f"{vdir}/unigram.json", unk_logprob=_UNI_UNK,
-        ).lm
+        def _uni_artifacts():
+            save_unigram_lm(
+                unigram_from_tokens(spark, _UNI_LM, _UNI_UNK),
+                f"{vdir}/unigram",
+            )
+            save_tokenizer_json_unigram(
+                spark, load_unigram_lm(spark, f"{vdir}/unigram"),
+                f"{vdir}/unigram.json",
+            )
+            return load_tokenizer_json(
+                spark, f"{vdir}/unigram.json", unk_logprob=_UNI_UNK,
+            ).lm
+
         # r13: the WordPiece vocabulary rides the same save→load
         # round trip so the modelio contract sits under the hash.
         # r15: chained through tokenizer.json exactly like the
         # unigram artifact (max_input_chars_per_word pinned to the
         # kernel default the slot has always served — the export
         # default is the HF 100)
-        save_wordpiece_vocab(
-            wordpiece_from_tokens(spark, _WP_VOCAB), f"{vdir}/wp"
-        )
-        from wikiextractor_spark.functions.wordpiece import (
-            MAX_INPUT_CHARS_PER_WORD,
-        )
+        def _wp_artifacts():
+            save_wordpiece_vocab(
+                wordpiece_from_tokens(spark, _WP_VOCAB), f"{vdir}/wp"
+            )
+            save_tokenizer_json_wordpiece(
+                spark, load_wordpiece_vocab(spark, f"{vdir}/wp"),
+                f"{vdir}/wp.json",
+                max_input_chars_per_word=MAX_INPUT_CHARS_PER_WORD,
+            )
+            return load_tokenizer_json(spark, f"{vdir}/wp.json")
 
-        save_tokenizer_json_wordpiece(
-            spark, load_wordpiece_vocab(spark, f"{vdir}/wp"),
-            f"{vdir}/wp.json",
-            max_input_chars_per_word=MAX_INPUT_CHARS_PER_WORD,
-        )
-        wp_model = load_tokenizer_json(spark, f"{vdir}/wp.json")
-        wp_vocab = wp_model.vocab
         # r15: the byte-level GPT-2 artifact (vocab + merges + the
         # added special) rides the tokenizer.json round trip too —
         # vocab object, merges lines, added_tokens overlay, and the
         # ByteLevel grain flag all under the existing gpt2-column
         # hashes, in the format's birth round
-        save_tokenizer_json_bpe(
-            spark,
-            vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV),
-            {p: float(i) for i, p in enumerate(_G2B_MERGES)},
-            f"{vdir}/g2.json",
-            byte_level=True,
-            special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
-        )
-        g2_model = load_tokenizer_json(
-            spark, f"{vdir}/g2.json", oov_tokens_per_char=_BPE_OOV,
-        )
+        def _g2_artifacts():
+            save_tokenizer_json_bpe(
+                spark,
+                vocab_from_tokens(spark, _G2B_VOCAB, _BPE_OOV),
+                {p: float(i) for i, p in enumerate(_G2B_MERGES)},
+                f"{vdir}/g2.json",
+                byte_level=True,
+                special_tokens={_G2_SPECIAL: _G2_SPECIAL_ID},
+            )
+            return load_tokenizer_json(
+                spark, f"{vdir}/g2.json", oov_tokens_per_char=_BPE_OOV,
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_bpe = pool.submit(_bpe_artifacts)
+            f_uni = pool.submit(_uni_artifacts)
+            f_wp = pool.submit(_wp_artifacts)
+            f_g2 = pool.submit(_g2_artifacts)
+            vocab, ranks = f_bpe.result()
+            uni_lm = f_uni.result()
+            wp_model = f_wp.result()
+            g2_model = f_g2.result()
+        wp_vocab = wp_model.vocab
     finally:
         shutil.rmtree(vdir, ignore_errors=True)
 
@@ -2298,29 +2328,47 @@ def sim_ann_topk(spark, sf_dir):
         # brute force for ANY centroids; convergence quality itself
         # is pytest-pinned by the recall curve in test_operators.py).
         vecs = emb.select("vec_id", "embedding")
-        similarity.build_ivf_index(
-            vecs.filter(F.col("vec_id") % 2 == 0),
-            f"{work}/half", k=8, iters=1,
-        )
-        # batch family: build→store→probe over the half index as
-        # built — even query ids, brute-force oracle over the even
-        # corpus
-        # materialized EAGERLY: the stream below appends the odd half
-        # to this same index, so a lazy batch_out evaluated at the
-        # final collect would see the mutated store
-        batch_out = similarity.ann_ivf_topk_indexed(
-            spark, f"{work}/half", query_ids=[0, 2], k=5, nprobe=8
-        ).select(
-            F.lit("batch").alias("family"),
-            "q_id", "neighbor_id", "cos",
-            F.col("rank").cast("long").alias("rank"),
-        ).localCheckpoint(eager=True)
-        (
-            vecs.filter(F.col("vec_id") % 2 == 1)
-            .repartition(2)
-            .write.mode("overwrite")
-            .parquet(f"{work}/arrivals")
-        )
+
+        # r16 optimization (guide §2.6): the arrivals write feeds the
+        # STREAM only — it reads the raw corpus, not the index — so
+        # it runs on a thread concurrent with the build→batch-serve
+        # chain instead of after it.  Both must (and do) complete
+        # before the stream starts; nothing about the build, the
+        # eager batch materialization, or the arrivals bytes changes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _build_and_batch_serve():
+            similarity.build_ivf_index(
+                vecs.filter(F.col("vec_id") % 2 == 0),
+                f"{work}/half", k=8, iters=1,
+            )
+            # batch family: build→store→probe over the half index as
+            # built — even query ids, brute-force oracle over the
+            # even corpus
+            # materialized EAGERLY: the stream below appends the odd
+            # half to this same index, so a lazy batch_out evaluated
+            # at the final collect would see the mutated store
+            return similarity.ann_ivf_topk_indexed(
+                spark, f"{work}/half", query_ids=[0, 2], k=5, nprobe=8
+            ).select(
+                F.lit("batch").alias("family"),
+                "q_id", "neighbor_id", "cos",
+                F.col("rank").cast("long").alias("rank"),
+            ).localCheckpoint(eager=True)
+
+        def _write_arrivals():
+            (
+                vecs.filter(F.col("vec_id") % 2 == 1)
+                .repartition(2)
+                .write.mode("overwrite")
+                .parquet(f"{work}/arrivals")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_batch = pool.submit(_build_and_batch_serve)
+            f_arr = pool.submit(_write_arrivals)
+            f_arr.result()
+            batch_out = f_batch.result()
         iq = index_embeddings_stream(
             spark, f"{work}/arrivals", f"{work}/half",
             f"{work}/ckpt",
@@ -2506,9 +2554,16 @@ def sim_ann_pq(spark, sf_dir):
             emb, index_dir, k=8, iters=0,
             pq={"m": 8, "k": 8, "iters": 0}, sq=True,
         )
-        served = {}
-        for fam, kw in (("pq", {"use_pq": True}), ("sq", {"use_sq": True})):
-            served[fam] = similarity.ann_ivf_topk_indexed(
+
+        # r16 optimization (guide §2.6): the pq serve, the sq serve,
+        # and the fold chain are three independent read paths over
+        # the just-built frozen index, each a string of small
+        # driver-blocking jobs (artifact loads, assignments collect,
+        # probe checkpoint) — profiled ~1.8s warm EACH in sequence
+        # at local[32].  They overlap on threads; every path is
+        # unchanged, so the three family hashes are untouched.
+        def _serve(fam: str, kw: dict):
+            return similarity.ann_ivf_topk_indexed(
                 spark, index_dir, [0, 1, 2], k=5, nprobe=8, refine=2, **kw,
             ).select(
                 F.lit(fam).alias("family"),
@@ -2516,24 +2571,35 @@ def sim_ann_pq(spark, sf_dir):
                 F.col("cos").alias("score"),
                 F.col("rank").cast("long").alias("rank"),
             )
-        codec = similarity.load_sq_codec(spark, index_dir)
-        qrows = (
-            emb.filter(F.col("vec_id") < 3)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        queries = [
-            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-            for r in qrows
-        ]
-        fold = similarity.sq_search(
-            similarity.sq_encode(emb, codec), codec, queries,
-            topk=5, exclude_self=True,
-        ).select(
-            F.lit("sq_fold").alias("family"),
-            "q_id", "neighbor_id", "score",
-            F.col("rank").cast("long").alias("rank"),
-        )
+
+        def _fold_chain():
+            codec = similarity.load_sq_codec(spark, index_dir)
+            qrows = (
+                emb.filter(F.col("vec_id") < 3)
+                .select("vec_id", "embedding")
+                .collect()
+            )
+            queries = [
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                for r in qrows
+            ]
+            return similarity.sq_search(
+                similarity.sq_encode(emb, codec), codec, queries,
+                topk=5, exclude_self=True,
+            ).select(
+                F.lit("sq_fold").alias("family"),
+                "q_id", "neighbor_id", "score",
+                F.col("rank").cast("long").alias("rank"),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_pq = pool.submit(_serve, "pq", {"use_pq": True})
+            f_sq = pool.submit(_serve, "sq", {"use_sq": True})
+            f_fold = pool.submit(_fold_chain)
+            served = {"pq": f_pq.result(), "sq": f_sq.result()}
+            fold = f_fold.result()
         out = served["pq"].unionByName(served["sq"]).unionByName(fold)
         # tiny result (3 families × queries × k); materialize so the
         # index directory can be deleted before the caller collects
@@ -3754,88 +3820,24 @@ def src_wet(spark, sf_dir):
     )
     tmpdir = tempfile.mkdtemp(prefix="src_wet_")
     try:
-        (
-            docs.withColumn("payload", payload)
-            .select(member.alias("value"))
-            .write.mode("overwrite").text(f"{tmpdir}/crawl")
-        )
-        docs.select(resp_member.alias("value")).write.mode(
-            "overwrite"
-        ).text(f"{tmpdir}/raw")
-        wet_out = read_wet(spark, f"{tmpdir}/crawl", strict=True).select(
-            F.lit("wet").alias("family"),
-            "url", "warc_date", "record_type", "content_length",
-            F.lit(None).cast("int").alias("http_status"),
-            "text",
-            F.lit(None).cast("string").alias("main_text"),
-            F.lit(None).cast("string").alias("main_stop"),
-            F.lit(None).cast("string").alias("title"),
-            F.lit(None).cast("string").alias("declared_lang"),
-        )
-        resp_out = read_warc_responses(
-            spark, f"{tmpdir}/raw", strict=True
-        ).select(
-            F.lit("response").alias("family"),
-            "url", "warc_date",
-            F.lit("response").alias("record_type"),
-            "content_length", "http_status",
-            html_to_text(F.col("html")).alias("text"),
-            extract_main_content(F.col("html")).alias("main_text"),
-            extract_main_content(
-                F.col("html"), min_stop_pct=_SRC_WET_STOP_PCT
-            ).alias("main_stop"),
-            html_title(F.col("html")).alias("title"),
-            html_lang(F.col("html")).alias("declared_lang"),
-        )
-        # crawl family (r11): publish the WET part files as ONE
-        # atomically-renamed manifest (the crawler's completion
-        # contract), drain one availableNow micro-batch of the
-        # streaming ingestion, and read the batch_id= store back with
-        # the composition schema
-        parts = sorted(
-            f"{tmpdir}/crawl/{f}"
-            for f in os.listdir(f"{tmpdir}/crawl")
-            if f.startswith("part-")
-        )
-        os.makedirs(f"{tmpdir}/manifest", exist_ok=True)
-        tmp_manifest = f"{tmpdir}/manifest/.crawl-batch-0.tmp"
-        with open(tmp_manifest, "w") as fh:
-            fh.write("\n".join(parts) + "\n")
-        os.rename(tmp_manifest, f"{tmpdir}/manifest/crawl-batch-0.txt")
-        q = crawl_documents_stream(
-            spark, f"{tmpdir}/manifest", f"{tmpdir}/docs",
-            f"{tmpdir}/ckpt", source="wet", strict=True,
-        )
-        # bounded like every other battery stream: a wedged query
-        # must fail THIS slot with a named error, not hang the run
-        if not q.awaitTermination(120):
-            q.stop()
-            raise TimeoutError(
-                "src_wet crawl family: availableNow micro-batch did "
-                "not finish within 120s"
+        # r16 optimization (guide §2.6): the wet+crawl chain (crawl
+        # archive write → WET reader → manifest → availableNow
+        # ingest stream → batch store read-back) and the response
+        # chain (raw archive write → response reader) touch disjoint
+        # directories and share no state — they overlap on threads.
+        # Every write, reader, manifest, and stream call is
+        # unchanged, so all three family hashes are untouched.
+        def _wet_and_crawl():
+            (
+                docs.withColumn("payload", payload)
+                .select(member.alias("value"))
+                .write.mode("overwrite").text(f"{tmpdir}/crawl")
             )
-        # the concrete batch_id= paths rather than the contract's
-        # glob ONLY to spare the driver log a benign (but
-        # scary-looking) FileStreamSink metadata-probe stacktrace the
-        # glob form triggers; same read, partition key stays out of
-        # the schema either way
-        batch_dirs = [
-            f"{tmpdir}/docs/{d}"
-            for d in os.listdir(f"{tmpdir}/docs")
-            if d.startswith("batch_id=")
-        ]
-        crawl_out = (
-            spark.read.schema(
-                "doc_id long, url string, text string, "
-                "source string, n_chars long"
-            )
-            .parquet(*batch_dirs)
-            .select(
-                F.lit("crawl").alias("family"),
-                "url",
-                F.lit(None).cast("string").alias("warc_date"),
-                F.col("source").alias("record_type"),
-                F.col("n_chars").alias("content_length"),
+            wet_out = read_wet(
+                spark, f"{tmpdir}/crawl", strict=True
+            ).select(
+                F.lit("wet").alias("family"),
+                "url", "warc_date", "record_type", "content_length",
                 F.lit(None).cast("int").alias("http_status"),
                 "text",
                 F.lit(None).cast("string").alias("main_text"),
@@ -3843,7 +3845,92 @@ def src_wet(spark, sf_dir):
                 F.lit(None).cast("string").alias("title"),
                 F.lit(None).cast("string").alias("declared_lang"),
             )
-        )
+            # crawl family (r11): publish the WET part files as ONE
+            # atomically-renamed manifest (the crawler's completion
+            # contract), drain one availableNow micro-batch of the
+            # streaming ingestion, and read the batch_id= store back
+            # with the composition schema
+            parts = sorted(
+                f"{tmpdir}/crawl/{f}"
+                for f in os.listdir(f"{tmpdir}/crawl")
+                if f.startswith("part-")
+            )
+            os.makedirs(f"{tmpdir}/manifest", exist_ok=True)
+            tmp_manifest = f"{tmpdir}/manifest/.crawl-batch-0.tmp"
+            with open(tmp_manifest, "w") as fh:
+                fh.write("\n".join(parts) + "\n")
+            os.rename(tmp_manifest, f"{tmpdir}/manifest/crawl-batch-0.txt")
+            q = crawl_documents_stream(
+                spark, f"{tmpdir}/manifest", f"{tmpdir}/docs",
+                f"{tmpdir}/ckpt", source="wet", strict=True,
+            )
+            # bounded like every other battery stream: a wedged query
+            # must fail THIS slot with a named error, not hang the run
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError(
+                    "src_wet crawl family: availableNow micro-batch did "
+                    "not finish within 120s"
+                )
+            # the concrete batch_id= paths rather than the contract's
+            # glob ONLY to spare the driver log a benign (but
+            # scary-looking) FileStreamSink metadata-probe stacktrace
+            # the glob form triggers; same read, partition key stays
+            # out of the schema either way
+            batch_dirs = [
+                f"{tmpdir}/docs/{d}"
+                for d in os.listdir(f"{tmpdir}/docs")
+                if d.startswith("batch_id=")
+            ]
+            crawl_out = (
+                spark.read.schema(
+                    "doc_id long, url string, text string, "
+                    "source string, n_chars long"
+                )
+                .parquet(*batch_dirs)
+                .select(
+                    F.lit("crawl").alias("family"),
+                    "url",
+                    F.lit(None).cast("string").alias("warc_date"),
+                    F.col("source").alias("record_type"),
+                    F.col("n_chars").alias("content_length"),
+                    F.lit(None).cast("int").alias("http_status"),
+                    "text",
+                    F.lit(None).cast("string").alias("main_text"),
+                    F.lit(None).cast("string").alias("main_stop"),
+                    F.lit(None).cast("string").alias("title"),
+                    F.lit(None).cast("string").alias("declared_lang"),
+                )
+            )
+            return wet_out, crawl_out
+
+        def _resp_chain():
+            docs.select(resp_member.alias("value")).write.mode(
+                "overwrite"
+            ).text(f"{tmpdir}/raw")
+            return read_warc_responses(
+                spark, f"{tmpdir}/raw", strict=True
+            ).select(
+                F.lit("response").alias("family"),
+                "url", "warc_date",
+                F.lit("response").alias("record_type"),
+                "content_length", "http_status",
+                html_to_text(F.col("html")).alias("text"),
+                extract_main_content(F.col("html")).alias("main_text"),
+                extract_main_content(
+                    F.col("html"), min_stop_pct=_SRC_WET_STOP_PCT
+                ).alias("main_stop"),
+                html_title(F.col("html")).alias("title"),
+                html_lang(F.col("html")).alias("declared_lang"),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_wc = pool.submit(_wet_and_crawl)
+            f_resp = pool.submit(_resp_chain)
+            wet_out, crawl_out = f_wc.result()
+            resp_out = f_resp.result()
         out = wet_out.unionByName(resp_out).unionByName(crawl_out)
         return out.localCheckpoint(eager=True)
     finally:
@@ -4527,54 +4614,65 @@ def ta_chunk_documents(spark, sf_dir):
         unigram_token_ids,
     )
 
-    uids_lm = unigram_from_tokens(
-        spark,
-        {c: -4.0 - i * 0.01 for i, c in enumerate(_UIDS_CHARS)},
-        -10.0,
-    )
-    uids_ids = unigram_token_ids(
-        _docs(spark, sf_dir), uids_lm, out_col="token_ids"
-    )
-    uids_fam = uids_ids.select(
-        F.lit("uids").alias("family"),
-        "doc_id",
-        F.lit(0).alias("chunk_no"),
-        F.expr(
-            "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
-        ).alias("chunk"),
-        F.size("token_ids").cast("long").alias("n_tokens"),
-    )
-    # 'udec' family (r14, unigram_decode_ids): the SAME stream decoded
-    # back — id → its single-char token, -1 UNK → the '?' oov_char,
-    # pieces concatenated (whitespace stays consumed) — so the oracle
-    # restates the full encode→decode round trip per character
+    # r16 optimization (guide §2.6): each kernel binding below pays
+    # an eager driver-blocking artifact job (LM collect + broadcast,
+    # ~0.5s warm at local[32]), and the chains share no state — so
+    # they are packaged as closures and run on the concurrent pool
+    # just before the union (with the pair/pairt/bf chains), instead
+    # of in sequence.  Kernels, artifacts, and family rows unchanged.
     from wikiextractor_spark.functions.unigram import unigram_decode_ids
 
-    udec_fam = unigram_decode_ids(
-        uids_ids, uids_lm, ids_col="token_ids", out_col="decoded"
-    ).select(
-        F.lit("udec").alias("family"),
-        "doc_id",
-        F.lit(0).alias("chunk_no"),
-        F.col("decoded").alias("chunk"),
-        F.size("token_ids").cast("long").alias("n_tokens"),
-    )
+    def _uids_udec_fams():
+        uids_lm = unigram_from_tokens(
+            spark,
+            {c: -4.0 - i * 0.01 for i, c in enumerate(_UIDS_CHARS)},
+            -10.0,
+        )
+        uids_ids = unigram_token_ids(
+            _docs(spark, sf_dir), uids_lm, out_col="token_ids"
+        )
+        uids_fam = uids_ids.select(
+            F.lit("uids").alias("family"),
+            "doc_id",
+            F.lit(0).alias("chunk_no"),
+            F.expr(
+                "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
+            ).alias("chunk"),
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+        # 'udec' family (r14, unigram_decode_ids): the SAME stream
+        # decoded back — id → its single-char token, -1 UNK → the
+        # '?' oov_char, pieces concatenated (whitespace stays
+        # consumed) — so the oracle restates the full encode→decode
+        # round trip per character
+        udec_fam = unigram_decode_ids(
+            uids_ids, uids_lm, ids_col="token_ids", out_col="decoded"
+        ).select(
+            F.lit("udec").alias("family"),
+            "doc_id",
+            F.lit(0).alias("chunk_no"),
+            F.col("decoded").alias("chunk"),
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+        return uids_fam, udec_fam
+
     # 'usp' family (r14, the SentencePiece space-marker mode): the
     # REAL kernel serving a '▁'-marked pair+single artifact — the
     # published Llama/T5 artifact shape (see the _USP_* block)
-    usp_lm = unigram_from_tokens(spark, _USP_LM, _USP_UNK)
-    usp_fam = unigram_token_ids(
-        _docs(spark, sf_dir), usp_lm, out_col="token_ids",
-        space_marker=_USP_MARK,
-    ).select(
-        F.lit("usp").alias("family"),
-        "doc_id",
-        F.lit(0).alias("chunk_no"),
-        F.expr(
-            "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
-        ).alias("chunk"),
-        F.size("token_ids").cast("long").alias("n_tokens"),
-    )
+    def _usp_fam_build():
+        usp_lm = unigram_from_tokens(spark, _USP_LM, _USP_UNK)
+        return unigram_token_ids(
+            _docs(spark, sf_dir), usp_lm, out_col="token_ids",
+            space_marker=_USP_MARK,
+        ).select(
+            F.lit("usp").alias("family"),
+            "doc_id",
+            F.lit(0).alias("chunk_no"),
+            F.expr(
+                "array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"
+            ).alias("chunk"),
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
     # 'fimc' family (r13, fim_transform_text): character-grain FIM
     # over the raw text with literal sentinel markers — gate + cuts +
     # layout re-derived by the oracle over character positions
@@ -4710,100 +4808,121 @@ def ta_chunk_documents(spark, sf_dir):
         "max_length": 24, "strategy": "LongestFirst",
         "stride": 0, "direction": "Right",
     }
-    pdir = tempfile.mkdtemp(prefix="ta_pair_")
-    try:
-        with open(f"{pdir}/tokenizer.json", "w") as f:
-            _json.dump(pair_obj, f)
-        pair_model = load_tokenizer_json(
-            spark, f"{pdir}/tokenizer.json"
-        )
-        with open(f"{pdir}/pairt.json", "w") as f:
-            _json.dump(pairt_obj, f)
-        pairt_model = load_tokenizer_json(spark, f"{pdir}/pairt.json")
-        with open(f"{pdir}/bf.json", "w") as f:
-            _json.dump(bf_obj, f)
-        bf_model = load_tokenizer_json(spark, f"{pdir}/bf.json")
-    finally:
-        shutil.rmtree(pdir, ignore_errors=True)
-    pair_fam = tokenizer_json_encode_pairs(
-        _docs(spark, sf_dir).select(
-            "doc_id",
-            F.col("text").alias("text_a"),
-            F.reverse("text").alias("text_b"),
-        ),
-        pair_model,
-    ).select(
-        F.lit("pair").alias("family"),
-        "doc_id",
-        F.lit(0).alias("chunk_no"),
-        F.concat(
-            F.expr(
-                "array_join(transform(input_ids, "
-                "x -> CAST(x AS STRING)), ',')"
-            ),
-            F.lit("|"),
-            F.expr(
-                "array_join(transform(token_type_ids, "
-                "x -> CAST(x AS STRING)), ',')"
-            ),
-        ).alias("chunk"),
-        F.size("input_ids").cast("long").alias("n_tokens"),
-    )
     from wikiextractor_spark.functions.tokenizer_json import (
         tokenizer_json_decode_ids,
         tokenizer_json_token_ids,
     )
 
-    pairt_fam = tokenizer_json_encode_pairs(
-        _docs(spark, sf_dir).select(
+    def _pair_select(df, fam):
+        return df.select(
+            F.lit(fam).alias("family"),
             "doc_id",
-            F.col("text").alias("text_a"),
-            F.reverse("text").alias("text_b"),
-        ),
-        pairt_model,
-    ).select(
-        F.lit("pairt").alias("family"),
-        "doc_id",
-        F.lit(0).alias("chunk_no"),
-        F.concat(
-            F.expr(
-                "array_join(transform(input_ids, "
-                "x -> CAST(x AS STRING)), ',')"
-            ),
-            F.lit("|"),
-            F.expr(
-                "array_join(transform(token_type_ids, "
-                "x -> CAST(x AS STRING)), ',')"
-            ),
-        ).alias("chunk"),
-        F.size("input_ids").cast("long").alias("n_tokens"),
-    )
-    bf_docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.concat(F.col("text"), F.lit(_UBF_SUFFIX)).alias("text"),
-    )
-    bf_ids = tokenizer_json_token_ids(
-        bf_docs, bf_model, out_col="token_ids"
-    )
-    ubf_fam = bf_ids.select(
-        F.lit("ubf").alias("family"),
-        "doc_id",
-        F.lit(0).alias("chunk_no"),
-        F.expr(
-            "array_join(transform(token_ids, "
-            "x -> CAST(x AS STRING)), ',')"
-        ).alias("chunk"),
-        F.size("token_ids").cast("long").alias("n_tokens"),
-    )
-    ubfd_fam = tokenizer_json_decode_ids(
-        bf_ids, bf_model, ids_col="token_ids", out_col="dec"
-    ).select(
-        F.lit("ubfd").alias("family"),
-        "doc_id",
-        F.lit(0).alias("chunk_no"),
-        F.col("dec").alias("chunk"),
-        F.size("token_ids").cast("long").alias("n_tokens"),
-    )
+            F.lit(0).alias("chunk_no"),
+            F.concat(
+                F.expr(
+                    "array_join(transform(input_ids, "
+                    "x -> CAST(x AS STRING)), ',')"
+                ),
+                F.lit("|"),
+                F.expr(
+                    "array_join(transform(token_type_ids, "
+                    "x -> CAST(x AS STRING)), ',')"
+                ),
+            ).alias("chunk"),
+            F.size("input_ids").cast("long").alias("n_tokens"),
+        )
+
+    pdir = tempfile.mkdtemp(prefix="ta_pair_")
+    try:
+        # driver-side file writes are cheap; the LOADS each pay an
+        # eager artifact job, so they run on the concurrent pool
+        # below together with the uids/usp kernel chains
+        with open(f"{pdir}/tokenizer.json", "w") as f:
+            _json.dump(pair_obj, f)
+        with open(f"{pdir}/pairt.json", "w") as f:
+            _json.dump(pairt_obj, f)
+        with open(f"{pdir}/bf.json", "w") as f:
+            _json.dump(bf_obj, f)
+
+        def _pair_chain():
+            pair_model = load_tokenizer_json(
+                spark, f"{pdir}/tokenizer.json"
+            )
+            return _pair_select(
+                tokenizer_json_encode_pairs(
+                    _docs(spark, sf_dir).select(
+                        "doc_id",
+                        F.col("text").alias("text_a"),
+                        F.reverse("text").alias("text_b"),
+                    ),
+                    pair_model,
+                ),
+                "pair",
+            )
+
+        def _pairt_chain():
+            pairt_model = load_tokenizer_json(spark, f"{pdir}/pairt.json")
+            return _pair_select(
+                tokenizer_json_encode_pairs(
+                    _docs(spark, sf_dir).select(
+                        "doc_id",
+                        F.col("text").alias("text_a"),
+                        F.reverse("text").alias("text_b"),
+                    ),
+                    pairt_model,
+                ),
+                "pairt",
+            )
+
+        def _bf_chain():
+            bf_model = load_tokenizer_json(spark, f"{pdir}/bf.json")
+            bf_docs = _docs(spark, sf_dir).select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(_UBF_SUFFIX)).alias("text"),
+            )
+            bf_ids = tokenizer_json_token_ids(
+                bf_docs, bf_model, out_col="token_ids"
+            )
+            ubf_fam = bf_ids.select(
+                F.lit("ubf").alias("family"),
+                "doc_id",
+                F.lit(0).alias("chunk_no"),
+                F.expr(
+                    "array_join(transform(token_ids, "
+                    "x -> CAST(x AS STRING)), ',')"
+                ).alias("chunk"),
+                F.size("token_ids").cast("long").alias("n_tokens"),
+            )
+            ubfd_fam = tokenizer_json_decode_ids(
+                bf_ids, bf_model, ids_col="token_ids", out_col="dec"
+            ).select(
+                F.lit("ubfd").alias("family"),
+                "doc_id",
+                F.lit(0).alias("chunk_no"),
+                F.col("dec").alias("chunk"),
+                F.size("token_ids").cast("long").alias("n_tokens"),
+            )
+            return ubf_fam, ubfd_fam
+
+        # r16 optimization (guide §2.6): five independent eager
+        # artifact/kernel chains, one thread each — the loads finish
+        # before the finally deletes the files (results are awaited
+        # inside the try)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_uids = pool.submit(_uids_udec_fams)
+            f_usp = pool.submit(_usp_fam_build)
+            f_pair = pool.submit(_pair_chain)
+            f_pairt = pool.submit(_pairt_chain)
+            f_bf = pool.submit(_bf_chain)
+            uids_fam, udec_fam = f_uids.result()
+            usp_fam = f_usp.result()
+            pair_fam = f_pair.result()
+            pairt_fam = f_pairt.result()
+            ubf_fam, ubfd_fam = f_bf.result()
+    finally:
+        shutil.rmtree(pdir, ignore_errors=True)
     return (
         text_fam.unionByName(ids_fam)
         .unionByName(fim_fam)
@@ -4943,60 +5062,90 @@ def corpus_prepare(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="corpus_sink_")
     try:
-        # chunked rows repeat doc_id, so (doc_id, chunk_no) is the
-        # unique sort key — without the tiebreak, within-shard order
-        # (and the cross-format parity claim) is unstable (r13 review)
-        n_sh = write_training_shards(
-            out, f"{tmp}/shards", n_shards=8, seed="r12",
-            id_col="doc_id", tiebreak_cols=("chunk_no",),
-        )
-        back = read_training_shards(
-            spark, f"{tmp}/shards", shard_ids=list(range(n_sh))
-        )
-        # r13: the integrity manifest over the read-back, then the
-        # loader-side verification gate.  Failure modes, precisely:
-        # a corrupt/lost/drifted shard RAISES out of the slot (the
-        # verifier is loud by design); the n_verified == n_sh term
-        # pins only the layout's shard COUNT under the hash
-        write_shard_manifest(back, f"{tmp}/shards")
-        n_verified = verify_training_shards(spark, f"{tmp}/shards")
+        # write_training_shards returns its n_shards argument (the
+        # documented contract) — stated once here so BOTH sink
+        # chains share the constant and can run concurrently
+        n_sh = 8
         expected_shard = F.pmod(
             F.xxhash64(F.col("doc_id").cast("string"), F.lit("r12")),
             F.lit(n_sh),
         ).cast("int")
-        back = back.withColumn(
-            "shard_ok", F.col("shard_id") == expected_shard
-        ).drop("shard_id")
-        n_back = back.count()
-        n_files = write_sized_parquet(
-            back, f"{tmp}/sized",
-            target_file_mb=1, row_group_mb=1, sort_by="doc_id",
-        )
-        sized = spark.read.parquet(f"{tmp}/sized")
-        sink_ok = 1 <= n_files <= max(1, n_back) and sized.count() == n_back
+
+        # r16 optimization (guide §2.6): the parquet-shard chain and
+        # the JSONL interchange chain are independent export→read→
+        # manifest→verify pipelines over the same prepared rows,
+        # writing disjoint directories — each a string of
+        # driver-blocking fixed jobs.  They overlap on threads; every
+        # write, read-back, manifest, and verification is unchanged,
+        # and sink_ok combines the same terms afterwards.
+        # chunked rows repeat doc_id, so (doc_id, chunk_no) is the
+        # unique sort key — without the tiebreak, within-shard order
+        # (and the cross-format parity claim) is unstable (r13 review)
+        def _parquet_chain():
+            got_sh = write_training_shards(
+                out, f"{tmp}/shards", n_shards=n_sh, seed="r12",
+                id_col="doc_id", tiebreak_cols=("chunk_no",),
+            )
+            back = read_training_shards(
+                spark, f"{tmp}/shards", shard_ids=list(range(got_sh))
+            )
+            # r13: the integrity manifest over the read-back, then
+            # the loader-side verification gate.  Failure modes,
+            # precisely: a corrupt/lost/drifted shard RAISES out of
+            # the slot (the verifier is loud by design); the
+            # n_verified == n_sh term pins only the layout's shard
+            # COUNT under the hash
+            write_shard_manifest(back, f"{tmp}/shards")
+            n_verified = verify_training_shards(spark, f"{tmp}/shards")
+            back = back.withColumn(
+                "shard_ok", F.col("shard_id") == expected_shard
+            ).drop("shard_id")
+            n_back = back.count()
+            n_files = write_sized_parquet(
+                back, f"{tmp}/sized",
+                target_file_mb=1, row_group_mb=1, sort_by="doc_id",
+            )
+            sized = spark.read.parquet(f"{tmp}/sized")
+            ok = (
+                1 <= n_files <= max(1, n_back)
+                and sized.count() == n_back
+            )
+            return sized, n_back, n_verified, ok
+
         # r13: the JSONL interchange export of the SAME rows under the
         # SAME (id, seed) contract — read back under the declared
         # schema (never inference), then one agg checks row count and
         # per-row shard membership against the parquet contract
-        write_jsonl_shards(
-            out, f"{tmp}/jl", n_shards=n_sh, seed="r12",
-            id_col="doc_id", tiebreak_cols=("chunk_no",),
-        )
-        jl = read_jsonl_shards(spark, f"{tmp}/jl", out.schema)
-        jstat = jl.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_if(F.col("shard_id") != expected_shard).alias("bad"),
-        ).collect()[0]
-        # r14: the JSONL layout's own integrity manifest — written
-        # from the schema'd read-back (the bytes-on-disk discipline)
-        # and re-verified through the jsonl-format gate; corruption
-        # RAISES out of the slot exactly like the parquet gate
-        write_shard_manifest(jl, f"{tmp}/jl")
-        n_jl_verified = verify_training_shards(
-            spark, f"{tmp}/jl", fmt="jsonl", schema=out.schema
-        )
+        def _jsonl_chain():
+            write_jsonl_shards(
+                out, f"{tmp}/jl", n_shards=n_sh, seed="r12",
+                id_col="doc_id", tiebreak_cols=("chunk_no",),
+            )
+            jl = read_jsonl_shards(spark, f"{tmp}/jl", out.schema)
+            jstat = jl.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("shard_id") != expected_shard).alias("bad"),
+            ).collect()[0]
+            # r14: the JSONL layout's own integrity manifest —
+            # written from the schema'd read-back (the bytes-on-disk
+            # discipline) and re-verified through the jsonl-format
+            # gate; corruption RAISES out of the slot exactly like
+            # the parquet gate
+            write_shard_manifest(jl, f"{tmp}/jl")
+            n_jl_verified = verify_training_shards(
+                spark, f"{tmp}/jl", fmt="jsonl", schema=out.schema
+            )
+            return jstat, n_jl_verified
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_pq = pool.submit(_parquet_chain)
+            f_jl = pool.submit(_jsonl_chain)
+            sized, n_back, n_verified, pq_ok = f_pq.result()
+            jstat, n_jl_verified = f_jl.result()
         sink_ok = (
-            sink_ok and jstat["n"] == n_back and jstat["bad"] == 0
+            pq_ok and jstat["n"] == n_back and jstat["bad"] == 0
             and n_verified == n_sh and n_jl_verified == n_sh
         )
         # the tempdir dies with this function — pin the read-back
@@ -5536,36 +5685,19 @@ def st_stream_hourly(spark, sf_dir):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        # r16 optimization (guide §2.6): the hourly stream and the
+        # corpus stream are independent pipelines over different
+        # sources with separate checkpoints and sinks — the hourly
+        # query starts FIRST and drains while the corpus family's
+        # inputs are prepared (corpus_in write, the DSIR fit) and
+        # its own stream runs; both are awaited before any sink is
+        # read.  Both still run under the streaming-scoped
+        # shuffle-partition setting, exactly as before (the corpus
+        # stream is stateless, the setting only matters to the
+        # hourly aggregation's state stores).
         q = windowed_event_counts(
             spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt",
             watermark="1 second", path_glob="events.parquet",
-        )
-        if not q.awaitTermination(120):
-            q.stop()
-            raise TimeoutError(
-                "st_stream_hourly: streaming query did not drain in 120s — "
-                "refusing to return a partial sink read"
-            )
-        max_ts = (
-            load_table(spark, sf_dir, "events")
-            .agg(F.max("ts").alias("m"))
-            .collect()[0]["m"]
-        )
-        cutoff_s = (max_ts - datetime.timedelta(seconds=1)).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
-        out = (
-            spark.read.parquet(f"{base}/out")
-            .filter(
-                F.date_format("window.end", "yyyy-MM-dd HH:mm:ss") <= F.lit(cutoff_s)
-            )
-            .select(
-                F.lit("hourly").alias("family"),
-                F.date_format("window.start", "yyyy-MM-dd HH:00:00").alias("hour_s"),
-                "event_type",
-                "n_events",
-                "value_cents",
-            )
         )
         # --- corpus family: one micro-batch of the streaming corpus
         # pipeline with the URL gate (the r9 pytest-only surface) ---
@@ -5623,6 +5755,34 @@ def st_stream_hourly(spark, sf_dir):
                 "n": _DSIR_N, "buckets": _DSIR_B, "salt": _DSIR_SALT,
             },
             dedup=None,
+        )
+        max_ts = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts").alias("m"))
+            .collect()[0]["m"]
+        )
+        cutoff_s = (max_ts - datetime.timedelta(seconds=1)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            cq.stop()
+            raise TimeoutError(
+                "st_stream_hourly: streaming query did not drain in 120s — "
+                "refusing to return a partial sink read"
+            )
+        out = (
+            spark.read.parquet(f"{base}/out")
+            .filter(
+                F.date_format("window.end", "yyyy-MM-dd HH:mm:ss") <= F.lit(cutoff_s)
+            )
+            .select(
+                F.lit("hourly").alias("family"),
+                F.date_format("window.start", "yyyy-MM-dd HH:00:00").alias("hour_s"),
+                "event_type",
+                "n_events",
+                "value_cents",
+            )
         )
         if not cq.awaitTermination(120):
             cq.stop()
