@@ -169,30 +169,50 @@ def fit_langid(
         char_grams_expr(text_col, n).alias("_g"),
     ).localCheckpoint(eager=True)
     try:
-        bad = lab.filter(
-            F.col("lang").isNull() | F.col("_g").isNull()
-        ).count()
+        # r16 optimization (guide §2.6): the NULL-row check and the
+        # fit aggregation are independent actions over the same
+        # checkpointed projection, and — once counts exists — the
+        # totals collect, the priors collect, and the weights
+        # checkpoint are three more independent actions.  They
+        # overlap on threads; every aggregation, quantization, and
+        # validation (including its raise order relative to the
+        # returned model) is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        ab = float(alpha) * buckets
+
+        def _bad_count():
+            return lab.filter(
+                F.col("lang").isNull() | F.col("_g").isNull()
+            ).count()
+
+        # per-(lang, bucket) gram counts — THE fit aggregation;
+        # materialized because totals and weights both derive from it;
+        # released once the weights checkpoint supersedes it (the
+        # trainer discipline)
+        def _fit_counts():
+            return (
+                lab.select("lang", F.explode("_g").alias("_gram"))
+                .select(
+                    "lang",
+                    _bucket_col(F.col("_gram"), buckets, salt).alias("bucket"),
+                )
+                .groupBy("lang", "bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True)
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_bad = pool.submit(_bad_count)
+            f_counts = pool.submit(_fit_counts)
+            bad = f_bad.result()
+            counts = f_counts.result()
         if bad:
             raise ValueError(
                 f"fit_langid: {bad} rows with a NULL label or NULL text "
                 "— label every training row (corrupt rows must not "
                 "silently shape the model)"
             )
-        ab = float(alpha) * buckets
-        # per-(lang, bucket) gram counts — THE fit aggregation;
-        # materialized because totals and weights both derive from it;
-        # released once the weights checkpoint supersedes it (the
-        # trainer discipline)
-        counts = (
-            lab.select("lang", F.explode("_g").alias("_gram"))
-            .select(
-                "lang",
-                _bucket_col(F.col("_gram"), buckets, salt).alias("bucket"),
-            )
-            .groupBy("lang", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .localCheckpoint(eager=True)
-        )
         # per-class gram totals + quantized floors (one tiny agg over
         # the already-shuffled counts, not a second sample pass)
         totals = counts.groupBy("lang").agg(
@@ -205,7 +225,49 @@ def fit_langid(
                 * _MICRO
             ).cast("long").alias("floor_micro"),
         )
-        trows = totals.collect()
+        # priors from document counts, quantized by the same engine
+        docn = lab.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+
+        def _priors_rows():
+            return (
+                docn.crossJoin(docn.agg(F.sum("nd").alias("ndt")))
+                .select(
+                    "lang",
+                    F.round(
+                        F.log(F.col("nd") * F.lit(1.0) / F.col("ndt"))
+                        * _MICRO
+                    ).cast("long").alias("prior_micro"),
+                )
+                .collect()
+            )
+
+        def _weights_ckpt():
+            return (
+                counts.join(F.broadcast(totals), "lang")
+                .select(
+                    "bucket",
+                    "lang",
+                    (
+                        F.round(
+                            F.log(
+                                (F.col("cnt") + F.lit(float(alpha)))
+                                / (F.col("ngr") + F.lit(ab))
+                            )
+                            * _MICRO
+                        ).cast("long")
+                        - F.col("floor_micro")
+                    ).alias("dwm"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_t = pool.submit(totals.collect)
+            f_p = pool.submit(_priors_rows)
+            f_w = pool.submit(_weights_ckpt)
+            trows = f_t.result()
+            prows = f_p.result()
+            weights = f_w.result()
         if len(trows) < 2:
             raise ValueError(
                 f"fit_langid: need at least 2 languages with text, got "
@@ -213,19 +275,6 @@ def fit_langid(
             )
         floors = {r["lang"]: int(r["floor_micro"]) for r in trows}
         langs = tuple(sorted(floors))
-        # priors from document counts, quantized by the same engine
-        docn = lab.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
-        prows = (
-            docn.crossJoin(docn.agg(F.sum("nd").alias("ndt")))
-            .select(
-                "lang",
-                F.round(
-                    F.log(F.col("nd") * F.lit(1.0) / F.col("ndt"))
-                    * _MICRO
-                ).cast("long").alias("prior_micro"),
-            )
-            .collect()
-        )
         priors = {r["lang"]: int(r["prior_micro"]) for r in prows}
         # a language whose every document was empty text has a prior
         # but no grams: it would be missing from floors — refuse (its
@@ -235,24 +284,13 @@ def fit_langid(
                 "fit_langid: languages with documents but no grams "
                 f"(empty text only): {sorted(set(priors) - set(floors))}"
             )
-        weights = (
-            counts.join(F.broadcast(totals), "lang")
-            .select(
-                "bucket",
-                "lang",
-                (
-                    F.round(
-                        F.log(
-                            (F.col("cnt") + F.lit(float(alpha)))
-                            / (F.col("ngr") + F.lit(ab))
-                        )
-                        * _MICRO
-                    ).cast("long")
-                    - F.col("floor_micro")
-                ).alias("dwm"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    except BaseException:
+        # the weights checkpoint may already exist when a validation
+        # raises (it is built concurrently with the collects) — on
+        # any error path release it like the other checkpoints
+        if "weights" in locals():
+            _release_local_checkpoint(weights)
+        raise
     finally:
         # counts is unbound when the NULL-row check raised
         if "counts" in locals():

@@ -75,6 +75,25 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_par(spark, sf_dir):
+    """The documents table, repartitioned to the session's default
+    parallelism when the file layout yields fewer scan splits than
+    that (r16 optimization — guide §2.5's input-skew-at-the-source
+    remedy): the battery documents table is ONE sub-MB parquet file
+    = ONE scan split, which serializes every per-document kernel
+    pass on a single task no matter how many cores the session has.
+    The repartition key is the unique doc_id (deterministic under
+    task retries, unlike round-robin).  On production layouts (many
+    files × many row groups) the condition is false and the scan
+    keeps its natural partitioning — no extra exchange.  Row set
+    unchanged either way; used by the kernel-heavy slots only."""
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        return d.repartition(par, F.col("doc_id"))
+    return d
+
+
 def _emb(spark, sf_dir):
     tune(spark)
     return load_table(spark, sf_dir, "embeddings")
@@ -1132,8 +1151,13 @@ def ta_text_profile(spark, sf_dir):
 
     t = F.col("text")
     stop_lits = ", ".join("'%s'" % w for w in textstats.STOPWORDS["en"])
+    # r16 optimization (guide §2.5): the tokenizer kernels below are
+    # the battery's heaviest per-document Python work, and the
+    # single-file battery layout gives the scan ONE split — see
+    # _docs_par.  Measured: slot noop phase 2.4s -> 0.8s warm at
+    # local[32]; row set unchanged (hash-green).
     d = (
-        _docs(spark, sf_dir)
+        _docs_par(spark, sf_dir)
         .withColumn("_ws", F.split(t, " "))
         .withColumn(
             "_stop_en",
@@ -4567,12 +4591,12 @@ def ta_chunk_documents(spark, sf_dir):
     )
 
     text_fam = chunk_documents(
-        _docs(spark, sf_dir), chunk_tokens=16, overlap=4
+        _docs_par(spark, sf_dir), chunk_tokens=16, overlap=4
     ).select(
         F.lit("text").alias("family"),
         "doc_id", "chunk_no", "chunk", "n_tokens",
     )
-    ids_df = _docs(spark, sf_dir).select(
+    ids_df = _docs_par(spark, sf_dir).select(
         "doc_id",
         F.expr(
             "transform(split(text, ' '), x -> CAST(length(x) AS BIGINT))"
@@ -4629,7 +4653,7 @@ def ta_chunk_documents(spark, sf_dir):
             -10.0,
         )
         uids_ids = unigram_token_ids(
-            _docs(spark, sf_dir), uids_lm, out_col="token_ids"
+            _docs_par(spark, sf_dir), uids_lm, out_col="token_ids"
         )
         uids_fam = uids_ids.select(
             F.lit("uids").alias("family"),
@@ -4662,7 +4686,7 @@ def ta_chunk_documents(spark, sf_dir):
     def _usp_fam_build():
         usp_lm = unigram_from_tokens(spark, _USP_LM, _USP_UNK)
         return unigram_token_ids(
-            _docs(spark, sf_dir), usp_lm, out_col="token_ids",
+            _docs_par(spark, sf_dir), usp_lm, out_col="token_ids",
             space_marker=_USP_MARK,
         ).select(
             F.lit("usp").alias("family"),
@@ -4679,7 +4703,7 @@ def ta_chunk_documents(spark, sf_dir):
     from wikiextractor_spark.operators.fim import fim_transform_text
 
     fimc_fam = fim_transform_text(
-        _docs(spark, sf_dir), fim_rate=_FIM_RATE, salt="fimc",
+        _docs_par(spark, sf_dir), fim_rate=_FIM_RATE, salt="fimc",
     ).select(
         F.lit("fimc").alias("family"),
         "doc_id",
@@ -4718,7 +4742,7 @@ def ta_chunk_documents(spark, sf_dir):
     # 'sent' family: the REAL chunk_sentences greedy fill over the
     # shared synthesized-punctuation splice
     sent_fam = chunk_sentences(
-        _docs(spark, sf_dir).select(
+        _docs_par(spark, sf_dir).select(
             "doc_id", F.expr(_C4_TEXT_SQL).alias("text")
         ),
         budget_words=12,
@@ -4850,7 +4874,7 @@ def ta_chunk_documents(spark, sf_dir):
             )
             return _pair_select(
                 tokenizer_json_encode_pairs(
-                    _docs(spark, sf_dir).select(
+                    _docs_par(spark, sf_dir).select(
                         "doc_id",
                         F.col("text").alias("text_a"),
                         F.reverse("text").alias("text_b"),
@@ -4864,7 +4888,7 @@ def ta_chunk_documents(spark, sf_dir):
             pairt_model = load_tokenizer_json(spark, f"{pdir}/pairt.json")
             return _pair_select(
                 tokenizer_json_encode_pairs(
-                    _docs(spark, sf_dir).select(
+                    _docs_par(spark, sf_dir).select(
                         "doc_id",
                         F.col("text").alias("text_a"),
                         F.reverse("text").alias("text_b"),
@@ -4876,7 +4900,7 @@ def ta_chunk_documents(spark, sf_dir):
 
         def _bf_chain():
             bf_model = load_tokenizer_json(spark, f"{pdir}/bf.json")
-            bf_docs = _docs(spark, sf_dir).select(
+            bf_docs = _docs_par(spark, sf_dir).select(
                 "doc_id",
                 F.concat(F.col("text"), F.lit(_UBF_SUFFIX)).alias("text"),
             )
