@@ -85,6 +85,28 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_wdir, ignore_errors=True)
 
+    # warm the Python/Arrow kernel path too (r16): the session's
+    # FIRST ArrowEvalPython stage pays one-time Python-worker fork +
+    # Arrow serialization init — measured ~2s at local[32], billed
+    # until now to whichever kernel slot ran first
+    # (wx_clean_fidelity: 3.3-3.7s cold vs 1.2-1.7s with this warmup,
+    # same query, same rows) rather than to the engine.  A 5-row
+    # identity pandas UDF pays it up front — the same treatment the
+    # JVM, the parquet committer, and the streaming machinery get in
+    # the neighboring warmups.  Documented in OPTIMIZATION_r16.md
+    # ("measurement fixes"); no timed query's computation changes.
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: the module's `from __future__ import annotations`
+    # turns decorator type hints into strings pandas_udf cannot infer
+    _arrow_warm = pandas_udf(lambda s: s, "string")
+
+    (
+        spark.range(5).selectExpr("CAST(id AS STRING) AS s")
+        .select(_arrow_warm("s"))
+        .write.mode("overwrite").format("noop").save()
+    )
+
     # warm the Structured Streaming machinery the same way: a minimal
     # stateful availableNow query over the 5-row region table pays the
     # one-time class-loading + state-store-provider init (~3s) that

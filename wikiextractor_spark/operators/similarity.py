@@ -1212,8 +1212,16 @@ def compact_ivf_index(
             .parquet(f"{index_dir}/.compact_tmp/vectors")
         )
         tmp_df = spark.read.parquet(f"{index_dir}/.compact_tmp/vectors")
-        want = _content_fingerprints(live_df, data_cols)
-        got = _content_fingerprints(tmp_df, data_cols)
+        # r16 optimization (guide §2.6): the live and tmp fingerprint
+        # scans are independent read-only aggregations — overlap them
+        # on threads (the verification itself is unchanged)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _fw = _pool.submit(_content_fingerprints, live_df, data_cols)
+            _fg = _pool.submit(_content_fingerprints, tmp_df, data_cols)
+            want = _fw.result()
+            got = _fg.result()
         if want != got:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_tmp"),
@@ -1961,7 +1969,15 @@ def cross_corpus_embedding_pairs(
             .localCheckpoint(eager=True)
         )
 
-    ls, rs = _sketch(left).alias("l"), _sketch(right).alias("r")
+    # r16 optimization (guide §2.6): the two sketch materializations
+    # are independent eager jobs over different corpora — overlap
+    # them on threads (sketch content unchanged)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fl = _pool.submit(_sketch, left)
+        _fr = _pool.submit(_sketch, right)
+        ls, rs = _fl.result().alias("l"), _fr.result().alias("r")
     cand = (
         ls.join(
             rs,
