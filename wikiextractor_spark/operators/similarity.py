@@ -1043,19 +1043,36 @@ def ivf_index_add(
         appended = appended.withColumn(
             "sq_codes", F.expr(_sq_codec_sql(vec_col, sq))
         )
-    (
-        appended.repartition(F.col("centroid_id"))
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(f"{index_dir}/vectors")
-    )
-    (
-        assigned.select(F.col(id_col), F.col("centroid_id"))
-        .repartitionByRange(8, F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .write.mode("append")
-        .parquet(f"{index_dir}/assignments")
-    )
+    # r16 optimization (guide §2.6): the vectors append and the
+    # assignments append are independent writes to disjoint
+    # directories off the same materialized batch — overlap them on
+    # threads.  Both still complete before the caller's ledger
+    # commit (add_embeddings_batch), so the delivery contract's
+    # ordering (data first, ledger last) is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _append_vectors():
+        (
+            appended.repartition(F.col("centroid_id"))
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{index_dir}/vectors")
+        )
+
+    def _append_assignments():
+        (
+            assigned.select(F.col(id_col), F.col("centroid_id"))
+            .repartitionByRange(8, F.col(id_col))
+            .sortWithinPartitions(id_col)
+            .write.mode("append")
+            .parquet(f"{index_dir}/assignments")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fv = _pool.submit(_append_vectors)
+        _fa = _pool.submit(_append_assignments)
+        _fv.result()
+        _fa.result()
 
 
 def ivf_index_stats(spark, index_dir: str) -> DataFrame:

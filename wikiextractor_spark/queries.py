@@ -1068,16 +1068,18 @@ def ta_text_profile(spark, sf_dir):
             MAX_INPUT_CHARS_PER_WORD,
         )
 
-        def _bpe_artifacts():
+        def _bpe_vocab_artifact():
             save_bpe_vocab(
                 vocab_from_tokens(spark, _BPE_VOCAB, _BPE_OOV),
                 f"{vdir}/vocab",
             )
-            vocab = load_bpe_vocab(spark, f"{vdir}/vocab")
+            return load_bpe_vocab(spark, f"{vdir}/vocab")
+
+        def _bpe_merges_artifact():
             save_bpe_merges(
                 merges_from_pairs(spark, _BPE_MERGES), f"{vdir}/merges"
             )
-            return vocab, load_bpe_merges(spark, f"{vdir}/merges")
+            return load_bpe_merges(spark, f"{vdir}/merges")
 
         # r13: the unigram-LM artifact rides its own save→load round
         # trip (the lm_quality_gate pattern) so the modelio contract
@@ -1136,12 +1138,14 @@ def ta_text_profile(spark, sf_dir):
                 spark, f"{vdir}/g2.json", oov_tokens_per_char=_BPE_OOV,
             )
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_bpe = pool.submit(_bpe_artifacts)
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_vocab = pool.submit(_bpe_vocab_artifact)
+            f_ranks = pool.submit(_bpe_merges_artifact)
             f_uni = pool.submit(_uni_artifacts)
             f_wp = pool.submit(_wp_artifacts)
             f_g2 = pool.submit(_g2_artifacts)
-            vocab, ranks = f_bpe.result()
+            vocab = f_vocab.result()
+            ranks = f_ranks.result()
             uni_lm = f_uni.result()
             wp_model = f_wp.result()
             g2_model = f_g2.result()
