@@ -1591,6 +1591,11 @@ def learn_bpe_merges(
                 break
             a, b = best[0]["a"], best[0]["b"]
             merges.append((a, b, int(best[0]["cnt"])))
+            if len(merges) == n_merges:
+                # r16 (guide §1.2, don't compute what you throw
+                # away): the final round's fold feeds no further
+                # aggregation — its checkpoint job was pure waste
+                break
             prev = words
             words = (
                 words.select(

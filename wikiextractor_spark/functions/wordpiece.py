@@ -870,6 +870,11 @@ def learn_wordpiece_merges(
             a, b = best[0]["a"], best[0]["b"]
             fused = _fuse_wp(a, b)
             merges.append((a, b, fused, int(best[0]["cnt"])))
+            if len(merges) == n_merges:
+                # r16 (guide §1.2, don't compute what you throw
+                # away): the final round's fold feeds no further
+                # aggregation — its checkpoint job was pure waste
+                break
             prev, prev_owned = words, owns_current
             words = (
                 words.select(

@@ -1197,51 +1197,64 @@ def compact_ivf_index(
         )
 
     def _swap(live: str, tmp: str, retired: str) -> None:
-        for d in (retired,):
-            parent = jvm.org.apache.hadoop.fs.Path(d).getParent()
-            fs.mkdirs(parent)
+        # the retired entry is NOT deleted here: a retired unit whose
+        # live directory exists is exactly what _compaction_repair
+        # removes, so deferring the deletes to the single root sweep
+        # below is crash-equivalent and saves one driver FS round
+        # trip per partition (r16)
         lp = jvm.org.apache.hadoop.fs.Path(live)
         if not fs.rename(lp, jvm.org.apache.hadoop.fs.Path(retired)):
             raise IOError(f"compact_ivf_index: retire rename failed for {live}")
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), lp):
             raise IOError(f"compact_ivf_index: promote rename failed for {live}")
-        fs.delete(jvm.org.apache.hadoop.fs.Path(retired), True)
 
-    compacted = 0
+    # r16 optimization (guide §2.6): the vectors pass and the
+    # assignments pass read and swap DISJOINT directories — they run
+    # as two concurrent units; within each unit the live-side
+    # fingerprint scan (read-only) overlaps the rewrite job, with the
+    # tmp-side fingerprint after it.  Verification semantics, swap
+    # ordering, and crash recovery are unchanged — each unit still
+    # proves its rewrite row-identical BEFORE any rename, each tmp
+    # failure deletes only that unit's scratch subtree, and the
+    # single-writer offline contract already excludes concurrent
+    # mutators.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # --- vectors: all fragmented partitions in ONE rewrite job ---
-    frag = [
-        (c, path)
-        for c, path in int_partition_dirs(
-            spark, f"{index_dir}/vectors/centroid_id=*", "centroid_id"
-        )
-        if _n_files(path) >= min_files
-    ]
-    if frag:
+    def _vectors_unit() -> int:
+        frag = [
+            (c, path)
+            for c, path in int_partition_dirs(
+                spark, f"{index_dir}/vectors/centroid_id=*", "centroid_id"
+            )
+            if _n_files(path) >= min_files
+        ]
+        if not frag:
+            return 0
         live_df = spark.read.option(
             "basePath", f"{index_dir}/vectors"
         ).parquet(*[p for _c, p in frag])
         data_cols = [c for c in live_df.columns if c != "centroid_id"]
-        (
-            live_df.repartition(F.col("centroid_id"))
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(f"{index_dir}/.compact_tmp/vectors")
-        )
-        tmp_df = spark.read.parquet(f"{index_dir}/.compact_tmp/vectors")
-        # r16 optimization (guide §2.6): the live and tmp fingerprint
-        # scans are independent read-only aggregations — overlap them
-        # on threads (the verification itself is unchanged)
-        from concurrent.futures import ThreadPoolExecutor
+
+        def _rewrite():
+            (
+                live_df.repartition(F.col("centroid_id"))
+                .write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(f"{index_dir}/.compact_tmp/vectors")
+            )
 
         with ThreadPoolExecutor(max_workers=2) as _pool:
             _fw = _pool.submit(_content_fingerprints, live_df, data_cols)
-            _fg = _pool.submit(_content_fingerprints, tmp_df, data_cols)
+            _rw = _pool.submit(_rewrite)
+            _rw.result()
             want = _fw.result()
-            got = _fg.result()
+        tmp_df = spark.read.parquet(f"{index_dir}/.compact_tmp/vectors")
+        got = _content_fingerprints(tmp_df, data_cols)
         if want != got:
             fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_tmp"),
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{index_dir}/.compact_tmp/vectors"
+                ),
                 True,
             )
             raise RuntimeError(
@@ -1249,53 +1262,74 @@ def compact_ivf_index(
                 f"vectors partitions {sorted(set(want) ^ set(got)) or 'content'}"
                 " — tmp discarded, live index untouched"
             )
+        fs.mkdirs(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{index_dir}/.compact_retired/vectors"
+            )
+        )
         for c, path in frag:
             _swap(
                 path,
                 f"{index_dir}/.compact_tmp/vectors/centroid_id={c}",
                 f"{index_dir}/.compact_retired/vectors/centroid_id={c}",
             )
-            compacted += 1
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_tmp"), True
-        )
+        return len(frag)
 
-    # --- assignments: one unit, preserving range-sorted layout ---
-    apath = f"{index_dir}/assignments"
-    # canonical assignments layout is 8 id-range files (build and
-    # compaction both write repartitionByRange(8)), so "fragmented"
-    # means more than that — gating on min_files alone would
-    # re-compact the canonical layout forever
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(apath)) and (
-        _n_files(apath) > max(8, min_files)
-    ):
+    def _assignments_unit() -> int:
+        apath = f"{index_dir}/assignments"
+        # canonical assignments layout is 8 id-range files (build and
+        # compaction both write repartitionByRange(8)), so
+        # "fragmented" means more than that — gating on min_files
+        # alone would re-compact the canonical layout forever
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(apath)) or (
+            _n_files(apath) <= max(8, min_files)
+        ):
+            return 0
         adf = spark.read.parquet(apath)
         id_col = [c for c in adf.columns if c != "centroid_id"][0]
-        (
-            adf.repartitionByRange(8, F.col(id_col))
-            .sortWithinPartitions(id_col)
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/.compact_tmp/assignments")
-        )
+
+        def _rewrite():
+            (
+                adf.repartitionByRange(8, F.col(id_col))
+                .sortWithinPartitions(id_col)
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/.compact_tmp/assignments")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _fw = _pool.submit(_content_fingerprints, adf, [id_col])
+            _rw = _pool.submit(_rewrite)
+            _rw.result()
+            want = _fw.result()
         tmp = spark.read.parquet(f"{index_dir}/.compact_tmp/assignments")
-        want = _content_fingerprints(adf, [id_col])
         got = _content_fingerprints(tmp, [id_col])
         if want != got:
             fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_tmp"),
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{index_dir}/.compact_tmp/assignments"
+                ),
                 True,
             )
             raise RuntimeError(
                 "compact_ivf_index: rewrite fingerprint mismatch on "
                 "assignments — tmp discarded, live index untouched"
             )
+        fs.mkdirs(
+            jvm.org.apache.hadoop.fs.Path(f"{index_dir}/.compact_retired")
+        )
         _swap(
             apath,
             f"{index_dir}/.compact_tmp/assignments",
             f"{index_dir}/.compact_retired/assignments",
         )
-        compacted += 1
-    # each swap deleted its own retired entry; clear the (now empty)
+        return 1
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_vec = pool.submit(_vectors_unit)
+        f_asn = pool.submit(_assignments_unit)
+        compacted = f_vec.result() + f_asn.result()
+    # every swap left its retired entry for this sweep (live exists,
+    # so a crash before it resolves identically in repair); clear the
     # scratch roots so a compacted index has no leftover dot-dirs
     for scratch in (".compact_tmp", ".compact_retired"):
         p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{scratch}")
