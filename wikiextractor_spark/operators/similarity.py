@@ -1485,36 +1485,60 @@ def ann_ivf_topk_indexed(
             "ann_ivf_topk_indexed: use_pq and use_sq are mutually "
             "exclusive — pick one candidate representation per call"
         )
-    centroids = load_ivf_centroids(spark, index_dir)
-    # validate the PQ/SQ artifact BEFORE any Spark job runs: a pure
-    # misconfiguration (use_pq against a raw-vector index) should
-    # fail at artifact-read cost, not after the assignments read,
-    # partition listing, and probe materialization
-    books = load_pq_books(spark, index_dir) if use_pq else None
-    if use_pq and books is None:
-        raise ValueError(
-            "ann_ivf_topk_indexed: use_pq=True but the index at "
-            f"{index_dir!r} has no pq_books — rebuild with "
-            "build_ivf_index(..., pq={...})"
-        )
-    codec = load_sq_codec(spark, index_dir) if use_sq else None
-    if use_sq and codec is None:
-        raise ValueError(
-            "ann_ivf_topk_indexed: use_sq=True but the index at "
-            f"{index_dir!r} has no sq_codec — rebuild with "
-            "build_ivf_index(..., sq=True)"
-        )
-    # (1) the queries' home centroids: a filter on the 2-column
-    # range-sorted lookup — tiny result, driver-collected
-    q_homes = [
-        r["centroid_id"]
-        for r in spark.read.parquet(f"{index_dir}/assignments")
-        .filter(F.col(id_col).isin(query_ids))
-        .select("centroid_id")
-        .distinct()
-        .collect()
-    ]
-    home_paths = _index_partition_paths(spark, index_dir, q_homes)
+    # r16 optimization (guide §2.6): the centroids load, the PQ/SQ
+    # artifact load, and the home-centroid lookup + partition listing
+    # are three independent read-only steps over the frozen index
+    # (each a small driver-blocking Spark job) that ran in sequence —
+    # they overlap on threads.  Results are consumed in the ORIGINAL
+    # order (centroids, artifact validation, homes), so exception
+    # precedence is exactly what the sequential code raised; a
+    # misconfiguration (use_pq against a raw-vector index) still
+    # fails before any probe/rank work starts — the only change on
+    # that error path is that the concurrent assignments lookup ran
+    # wasted.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_artifact():
+        if use_pq:
+            return load_pq_books(spark, index_dir)
+        if use_sq:
+            return load_sq_codec(spark, index_dir)
+        return None
+
+    def _home_paths():
+        # (1) the queries' home centroids: a filter on the 2-column
+        # range-sorted lookup — tiny result, driver-collected
+        q_homes = [
+            r["centroid_id"]
+            for r in spark.read.parquet(f"{index_dir}/assignments")
+            .filter(F.col(id_col).isin(query_ids))
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        ]
+        return _index_partition_paths(spark, index_dir, q_homes)
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        f_cent = _pool.submit(load_ivf_centroids, spark, index_dir)
+        f_art = _pool.submit(_load_artifact)
+        f_homes = _pool.submit(_home_paths)
+        centroids = f_cent.result()
+        _art = f_art.result()
+        books = _art if use_pq else None
+        if use_pq and books is None:
+            raise ValueError(
+                "ann_ivf_topk_indexed: use_pq=True but the index at "
+                f"{index_dir!r} has no pq_books — rebuild with "
+                "build_ivf_index(..., pq={...})"
+            )
+        codec = _art if use_sq else None
+        if use_sq and codec is None:
+            raise ValueError(
+                "ann_ivf_topk_indexed: use_sq=True but the index at "
+                f"{index_dir!r} has no sq_codec — rebuild with "
+                "build_ivf_index(..., sq=True)"
+            )
+        home_paths = f_homes.result()
     if not home_paths:
         empty = spark.range(0)
         return empty.select(
@@ -1712,17 +1736,33 @@ def ann_ivf_search_vectors(
             "ann_ivf_search_vectors: duplicate q_ids — each query needs "
             "its own id, or the rank window merges their neighbor sets"
         )
-    centroids = load_ivf_centroids(spark, index_dir)
-    # validate the PQ/SQ artifact BEFORE the probe job (same
-    # fail-fast contract as ann_ivf_topk_indexed)
-    books = load_pq_books(spark, index_dir) if use_pq else None
+    # r16 optimization (guide §2.6): the centroids load and the PQ/SQ
+    # artifact load are independent read-only collects over the
+    # frozen index — overlapped on threads, consumed in the original
+    # order so exception precedence and the fail-fast-before-probe
+    # contract are unchanged (same shape as ann_ivf_topk_indexed)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_artifact():
+        if use_pq:
+            return load_pq_books(spark, index_dir)
+        if use_sq:
+            return load_sq_codec(spark, index_dir)
+        return None
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f_cent = _pool.submit(load_ivf_centroids, spark, index_dir)
+        f_art = _pool.submit(_load_artifact)
+        centroids = f_cent.result()
+        _art = f_art.result()
+    books = _art if use_pq else None
     if use_pq and books is None:
         raise ValueError(
             "ann_ivf_search_vectors: use_pq=True but the index at "
             f"{index_dir!r} has no pq_books — rebuild with "
             "build_ivf_index(..., pq={...})"
         )
-    codec = load_sq_codec(spark, index_dir) if use_sq else None
+    codec = _art if use_sq else None
     if use_sq and codec is None:
         raise ValueError(
             "ann_ivf_search_vectors: use_sq=True but the index at "
