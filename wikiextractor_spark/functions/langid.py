@@ -159,62 +159,49 @@ def fit_langid(
     )
 
     # checkpoint the labeled projection ONCE: the NULL-row check, the
-    # counts aggregation, and the prior aggregation are three actions,
-    # and without this each re-runs char_grams_expr over the source
-    # (r14 ADVICE) — the docstring's scanned-exactly-once rationale
-    # now holds for the SOURCE scan; the gram arrays are sample-sized
-    # by the caller's contract, so materializing them is bounded
+    # fit aggregations, and the prior aggregation are separate
+    # actions, and without this each re-runs char_grams_expr over the
+    # source (r14 ADVICE) — the docstring's scanned-exactly-once
+    # rationale holds for the SOURCE scan; the gram arrays are
+    # sample-sized by the caller's contract, so materializing them is
+    # bounded
     lab = labeled.select(
         F.col(label_col).cast("string").alias("lang"),
         char_grams_expr(text_col, n).alias("_g"),
     ).localCheckpoint(eager=True)
+    weights = None
     try:
-        # r16 optimization (guide §2.6): the NULL-row check and the
-        # fit aggregation are independent actions over the same
-        # checkpointed projection, and — once counts exists — the
-        # totals collect, the priors collect, and the weights
-        # checkpoint are three more independent actions.  They
-        # overlap on threads; every aggregation, quantization, and
-        # validation (including its raise order relative to the
-        # returned model) is unchanged.
-        from concurrent.futures import ThreadPoolExecutor
+        # r17 optimization (guide §1.2/§2.6): ONE concurrent wave of
+        # three driver-blocking actions over the checkpointed
+        # projection instead of r16's two sequential waves of five —
+        # (a) the NULL-row check and the document-count/prior rollup
+        # fuse into one aggregation job (the prior expression is
+        # verbatim; the NULL-label group, when present, rides the
+        # same rows and is split back out on the driver), and (b) the
+        # per-(lang, bucket) counts subplan is no longer materialized
+        # between totals and weights — both jobs recompute it from
+        # the checkpoint concurrently (the sample is
+        # contract-bounded, so the duplicated aggregation is cheaper
+        # than a serializing checkpoint wave).  Every aggregation and
+        # ln/round quantization expression is unchanged, so model
+        # values are identical; validation raise ORDER is preserved
+        # below (NULL-row raise first, then the job errors in the
+        # r16 consumption order, then the class-count checks).
+        from concurrent.futures import ThreadPoolExecutor, wait
 
         ab = float(alpha) * buckets
 
-        def _bad_count():
-            return lab.filter(
-                F.col("lang").isNull() | F.col("_g").isNull()
-            ).count()
-
-        # per-(lang, bucket) gram counts — THE fit aggregation;
-        # materialized because totals and weights both derive from it;
-        # released once the weights checkpoint supersedes it (the
-        # trainer discipline)
-        def _fit_counts():
-            return (
-                lab.select("lang", F.explode("_g").alias("_gram"))
-                .select(
-                    "lang",
-                    _bucket_col(F.col("_gram"), buckets, salt).alias("bucket"),
-                )
-                .groupBy("lang", "bucket")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .localCheckpoint(eager=True)
+        counts = (
+            lab.select("lang", F.explode("_g").alias("_gram"))
+            .select(
+                "lang",
+                _bucket_col(F.col("_gram"), buckets, salt).alias("bucket"),
             )
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_bad = pool.submit(_bad_count)
-            f_counts = pool.submit(_fit_counts)
-            bad = f_bad.result()
-            counts = f_counts.result()
-        if bad:
-            raise ValueError(
-                f"fit_langid: {bad} rows with a NULL label or NULL text "
-                "— label every training row (corrupt rows must not "
-                "silently shape the model)"
-            )
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         # per-class gram totals + quantized floors (one tiny agg over
-        # the already-shuffled counts, not a second sample pass)
+        # the shuffled counts, not a second sample pass)
         totals = counts.groupBy("lang").agg(
             F.sum("cnt").alias("ngr")
         ).select(
@@ -225,18 +212,32 @@ def fit_langid(
                 * _MICRO
             ).cast("long").alias("floor_micro"),
         )
-        # priors from document counts, quantized by the same engine
-        docn = lab.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+        # document counts per class: the prior rollup AND the NULL-row
+        # check in one job — nd counts the group's rows (the NULL-lang
+        # group collects corrupt labels), nbg its NULL-gram rows among
+        # labeled ones; the prior quantization expression is verbatim
+        # r16 (same engine ln/round — junk priors of a NULL group are
+        # discarded on the driver because the bad raise fires first)
+        docn = lab.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(
+                F.when(F.col("_g").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("nbg"),
+        )
 
-        def _priors_rows():
+        def _priors_bad_rows():
             return (
-                docn.crossJoin(docn.agg(F.sum("nd").alias("ndt")))
+                docn.crossJoin(
+                    docn.agg(F.sum("nd").alias("ndt")).select("ndt")
+                )
                 .select(
                     "lang",
                     F.round(
                         F.log(F.col("nd") * F.lit(1.0) / F.col("ndt"))
                         * _MICRO
                     ).cast("long").alias("prior_micro"),
+                    "nd",
+                    "nbg",
                 )
                 .collect()
             )
@@ -262,12 +263,38 @@ def fit_langid(
             )
 
         with ThreadPoolExecutor(max_workers=3) as pool:
+            f_p = pool.submit(_priors_bad_rows)
             f_t = pool.submit(totals.collect)
-            f_p = pool.submit(_priors_rows)
             f_w = pool.submit(_weights_ckpt)
-            trows = f_t.result()
-            prows = f_p.result()
+            # every future is retrieved before any result is consumed
+            # (r16 ADVICE: a raise mid-wave must not leak the weights
+            # checkpoint through an unbound local) — wait, then bind
+            # the checkpoint FIRST so the except-path release sees it
+            wait([f_p, f_t, f_w])
+        werr = f_w.exception()
+        if werr is None:
             weights = f_w.result()
+        # the NULL-row validation outranks everything (in r16 its job
+        # ran — and its raise fired — before the fit wave was even
+        # submitted), so its job error and the bad-rows raise both
+        # precede the totals/weights job errors
+        perr = f_p.exception()
+        if perr is not None:
+            raise perr
+        prows = f_p.result()
+        bad = sum(
+            int(r["nd"]) if r["lang"] is None else int(r["nbg"] or 0)
+            for r in prows
+        )
+        if bad:
+            raise ValueError(
+                f"fit_langid: {bad} rows with a NULL label or NULL "
+                "text — label every training row (corrupt rows must "
+                "not silently shape the model)"
+            )
+        trows = f_t.result()  # totals job error: next in r16 order
+        if werr is not None:
+            raise werr
         if len(trows) < 2:
             raise ValueError(
                 f"fit_langid: need at least 2 languages with text, got "
@@ -288,13 +315,10 @@ def fit_langid(
         # the weights checkpoint may already exist when a validation
         # raises (it is built concurrently with the collects) — on
         # any error path release it like the other checkpoints
-        if "weights" in locals():
+        if weights is not None:
             _release_local_checkpoint(weights)
         raise
     finally:
-        # counts is unbound when the NULL-row check raised
-        if "counts" in locals():
-            _release_local_checkpoint(counts)
         _release_local_checkpoint(lab)
     return LangIdModel(
         langs=langs, weights=weights, priors_micro=priors,
