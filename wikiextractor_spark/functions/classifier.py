@@ -517,7 +517,10 @@ def save_hashed_weights(
     The prior rides as a ``bucket = NULL`` row (the same
     carry-the-scalar-with-the-model shape as the LM's NULL-token
     floor), so the artifact is self-contained."""
-    prior_row = weights.sparkSession.createDataFrame(
+    from wikiextractor_spark.localframe import local_rows_df
+
+    prior_row = local_rows_df(
+        weights.sparkSession,
         [(None, float(prior))], "bucket bigint, weight double"
     )
     from wikiextractor_spark.functions.modelio import write_one_file

@@ -470,8 +470,10 @@ def save_langid_model(model: LangIdModel, path: str) -> None:
     scalars += [(-2, lang, v) for lang, v in model.floors_micro.items()]
     scalars += [(-3, model.salt, 0), (-4, None, model.n),
                 (-5, None, model.buckets)]
-    extra = spark.createDataFrame(
-        scalars, "bucket bigint, lang string, dwm bigint"
+    from wikiextractor_spark.localframe import local_rows_df
+
+    extra = local_rows_df(
+        spark, scalars, "bucket bigint, lang string, dwm bigint"
     )
     write_one_file(
         model.weights.select(

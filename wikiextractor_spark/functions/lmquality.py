@@ -106,7 +106,10 @@ def fit_unigram_lm(
     )
     if floor_logp is None:
         floor_logp = math.log(0.5 / total)
-    floor_row = docs.sparkSession.createDataFrame(
+    from wikiextractor_spark.localframe import local_rows_df
+
+    floor_row = local_rows_df(
+        docs.sparkSession,
         [(None, float(floor_logp))], "token string, logp double"
     )
     # materialize the (small) model NOW: every scoring call both
@@ -458,8 +461,10 @@ def load_logprob_table(
         scalar_name="floor_logp", scalar=floor_logp,
         caller="load_logprob_table",
     )
-    floor_row = spark.createDataFrame(
-        [(None, float(floor))], "token string, logp double"
+    from wikiextractor_spark.localframe import local_rows_df
+
+    floor_row = local_rows_df(
+        spark, [(None, float(floor))], "token string, logp double"
     )
     return table.unionByName(floor_row).localCheckpoint(eager=True)
 

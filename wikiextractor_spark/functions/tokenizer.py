@@ -317,7 +317,9 @@ def vocab_from_tokens(
         raise ValueError("vocab_from_tokens: duplicate tokens")
     rows = [(t, float(i)) for i, t in enumerate(tokens)]
     rows.append((None, float(oov_tokens_per_char)))
-    return spark.createDataFrame(rows, VOCAB_SCHEMA)
+    from wikiextractor_spark.localframe import local_rows_df
+
+    return local_rows_df(spark, rows, VOCAB_SCHEMA)
 
 
 def save_bpe_vocab(vocab: DataFrame, path: str) -> None:
@@ -350,7 +352,9 @@ def load_bpe_vocab(
         scalar_name="oov_tokens_per_char", scalar=oov_tokens_per_char,
         caller="load_bpe_vocab",
     )
-    oov_row = spark.createDataFrame([(None, float(oov))], VOCAB_SCHEMA)
+    from wikiextractor_spark.localframe import local_rows_df
+
+    oov_row = local_rows_df(spark, [(None, float(oov))], VOCAB_SCHEMA)
     return table.unionByName(oov_row).localCheckpoint(eager=True)
 
 
@@ -403,8 +407,10 @@ def merges_from_pairs(
     keys = [f"{a} {b}" for a, b in pairs]
     if len(set(keys)) != len(keys):
         raise ValueError("merges_from_pairs: duplicate merge pairs")
-    return spark.createDataFrame(
-        [(k, float(i)) for i, k in enumerate(keys)], MERGES_SCHEMA
+    from wikiextractor_spark.localframe import local_rows_df
+
+    return local_rows_df(
+        spark, [(k, float(i)) for i, k in enumerate(keys)], MERGES_SCHEMA
     )
 
 
@@ -462,16 +468,41 @@ def load_bpe_merges(
 def _whole_text_artifact(spark, path: str, caller: str) -> str:
     """Read ONE driver-sized text artifact FS-agnostically (local,
     HDFS, S3 — whatever the session's Hadoop conf reaches) with line
-    order preserved: ``wholeTextFiles`` returns the file as one
-    string, unlike ``spark.read.text`` whose row order is a partition
-    accident.  Exactly one file must match."""
-    files = spark.sparkContext.wholeTextFiles(path).collect()
-    if len(files) != 1:
+    order preserved, directly through the Hadoop FileSystem API on
+    the driver — the read-side sibling of ``modelio.
+    write_one_text_file``'s driver-side write.  r17 optimization
+    (guide §1.2): this used to be ``wholeTextFiles().collect()``,
+    which launches one full Spark job per artifact load (pure
+    scheduling latency for a driver-sized file — every tokenizer.json
+    / merges.txt / vocab.txt bind paid it); the FS route reads the
+    same bytes with no job.  Exactly one file must match (globs and
+    directories resolve like the RDD route: directory = its non-hidden
+    files)."""
+    from wikiextractor_spark.fsutil import hadoop_fs
+
+    jpath, fs = hadoop_fs(spark, path)
+    matched = []
+    for st in fs.globStatus(jpath) or []:
+        if st.isDirectory():
+            for sub in fs.listStatus(st.getPath()):
+                name = sub.getPath().getName()
+                if sub.isFile() and not name.startswith((".", "_")):
+                    matched.append(sub.getPath())
+        elif st.isFile():
+            matched.append(st.getPath())
+    if len(matched) != 1:
         raise ValueError(
             f"{caller}: expected exactly one file at {path!r}, "
-            f"found {len(files)}"
+            f"found {len(matched)}"
         )
-    return files[0][1]
+    stream = fs.open(matched[0])
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream
+        )
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
 
 
 def _merge_sides(key: str) -> tuple[str, str] | None:
@@ -688,9 +719,9 @@ def load_bpe_vocab_json(
         raise ValueError("load_bpe_vocab_json: duplicate token ids")
     rows = [(t, float(i)) for t, i in obj.items()]
     rows.append((None, float(oov_tokens_per_char)))
-    return spark.createDataFrame(rows, VOCAB_SCHEMA).localCheckpoint(
-        eager=True
-    )
+    from wikiextractor_spark.localframe import local_rows_df
+
+    return local_rows_df(spark, rows, VOCAB_SCHEMA)
 
 
 def _bpe_replay_symbols(
@@ -1327,6 +1358,71 @@ _ADJ_PAIRS = (
 )
 
 
+#: r17 (guide §1.2): when the distinct-word table — the output of the
+#: ONE distributed counting shuffle — fits on the driver, the merge
+#: round loop runs locally with zero per-round Spark jobs, which is
+#: exactly how the published BPE/WordPiece trainers are built
+#: (distributed/streamed word counting, an in-memory merge loop).
+#: Above this row bound the distributed round loop runs unchanged.
+#: The local replay is value-identical by construction: same pair
+#: grain, same argmax order (count/score desc, pair key ascending —
+#: Python string comparison and UTF8String byte order agree on valid
+#: UTF-8), same IEEE divisions, same left-to-right overlap-blocked
+#: fold (pytest pins the equivalence on randomized corpora).
+TRAIN_DRIVER_MAX_WORDS = 1 << 17
+
+
+def _merge_fold_local(
+    syms: list, a: str, b: str, fused: str,
+) -> list:
+    """:func:`_merge_fold`'s exact semantics over a Python list:
+    replace adjacent (a, b) left to right, overlap blocked."""
+    out: list = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(fused)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _learn_bpe_merges_local(
+    rows: list, n_merges: int, min_count: int,
+) -> list:
+    """The :func:`learn_bpe_merges` round loop over a COLLECTED word
+    table (``(syms, freq)`` pairs, already filtered to 2+-symbol
+    words) — value-identical replay of the distributed loop."""
+    merges: list = []
+    for _ in range(n_merges):
+        cnt: dict = {}
+        for syms, freq in rows:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                cnt[k] = cnt.get(k, 0) + freq
+        if not cnt:
+            break
+        (a, b), c = min(
+            cnt.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]),
+        )
+        if c < min_count:
+            break
+        merges.append((a, b, int(c)))
+        if len(merges) == n_merges:
+            break
+        fused = a + b
+        rows = [
+            (folded, freq)
+            for syms, freq in rows
+            for folded in (_merge_fold_local(syms, a, b, fused),)
+            if len(folded) > 1
+        ]
+    return merges
+
+
 def _word_freq_table(
     df: DataFrame, text_col: str,
     sample_fraction: float | None, seed: int,
@@ -1564,16 +1660,35 @@ def learn_bpe_merges(
         )
     else:
         base = _word_freq_table(df, text_col, sample_fraction, seed)
+    # r17 (guide §1.2): ONE limit-bounded collect of the counted word
+    # table decides the loop venue — at or under
+    # TRAIN_DRIVER_MAX_WORDS rows the whole table is in hand and the
+    # round loop runs locally (zero per-round jobs, no per-round
+    # checkpoints, no per-round Janino); above it the distributed
+    # loop below runs unchanged (its first checkpoint re-runs the
+    # counting shuffle — one extra corpus pass against the thousands
+    # of per-round jobs a production vocabulary runs).
     try:
-        words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
+        head = (
+            base.where(F.size("syms") > 1)
+            .limit(TRAIN_DRIVER_MAX_WORDS + 1)
+            .collect()
+        )
     finally:
         if pretok_bc is not None:
-            # the checkpoint above was this broadcast's only
-            # consumer — release in finally so a failed checkpoint
-            # job cannot strand the broadcast (r15 third review; the
-            # dropped global registry's next-call sweep no longer
-            # backstops error paths)
+            # the collect above was this broadcast's first consumer —
+            # release in finally so a failed job cannot strand the
+            # broadcast (r15 third review).  The big-table checkpoint
+            # below may re-run the kernel: unpersist() (non-blocking,
+            # executor copies only) leaves the broadcast refetchable
+            # from the driver, so that re-run stays correct.
             pretok_bc.unpersist()
+    if len(head) <= TRAIN_DRIVER_MAX_WORDS:
+        return _learn_bpe_merges_local(
+            [(list(r["syms"]), int(r["freq"])) for r in head],
+            n_merges, min_count,
+        )
+    words = base.where(F.size("syms") > 1).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):

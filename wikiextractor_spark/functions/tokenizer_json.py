@@ -76,6 +76,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from wikiextractor_spark.localframe import local_rows_df
+
 from wikiextractor_spark.functions.tokenizer import (
     VOCAB_SCHEMA,
     _bad_tokens,
@@ -726,9 +728,7 @@ def _import_bpe(
     _check_added_vs_vocab(vd, specials, caller)
     rows = [(t, float(i)) for t, i in vd.items()]
     rows.append((None, float(oov_tokens_per_char)))
-    vocab = spark.createDataFrame(rows, VOCAB_SCHEMA).localCheckpoint(
-        eager=True
-    )
+    vocab = local_rows_df(spark, rows, VOCAB_SCHEMA)
     return TokenizerJsonModel(
         family="bpe", vocab=vocab,
         merges=_merge_pairs(model, caller),
@@ -833,9 +833,7 @@ def _import_wordpiece(
             % ("basic" if basic else "whitespace")
         )
     rows = [(t, float(i)) for t, i in vd.items()]
-    vocab = spark.createDataFrame(
-        rows, WORDPIECE_SCHEMA
-    ).localCheckpoint(eager=True)
+    vocab = local_rows_df(spark, rows, WORDPIECE_SCHEMA)
     return TokenizerJsonModel(
         family="wordpiece", vocab=vocab, special_tokens=specials,
         basic_tokenize=basic, lower=lower, strip_accents=strip,
@@ -1103,9 +1101,7 @@ def _import_unigram(
         _check_marker_artifact(toks, marker, caller)
     rows = [(t, s) for t, s in toks.items()]
     rows.append((None, float(unk_logprob)))
-    lm = spark.createDataFrame(rows, UNIGRAM_SCHEMA).localCheckpoint(
-        eager=True
-    )
+    lm = local_rows_df(spark, rows, UNIGRAM_SCHEMA)
     return TokenizerJsonModel(
         family="unigram", lm=lm, token_ids=token_ids,
         special_tokens=specials, space_marker=marker,

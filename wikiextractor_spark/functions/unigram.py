@@ -116,7 +116,9 @@ def unigram_from_tokens(
         )
     rows = [(t, float(v)) for t, v in logprobs.items()]
     rows.append((None, float(unk_logprob)))
-    return spark.createDataFrame(rows, UNIGRAM_SCHEMA)
+    from wikiextractor_spark.localframe import local_rows_df
+
+    return local_rows_df(spark, rows, UNIGRAM_SCHEMA)
 
 
 def save_unigram_lm(lm: DataFrame, path: str) -> None:
@@ -173,7 +175,9 @@ def load_unigram_lm(
         scalar_name="unk_logprob", scalar=unk_logprob,
         caller="load_unigram_lm",
     )
-    unk_row = spark.createDataFrame([(None, float(unk))], UNIGRAM_SCHEMA)
+    from wikiextractor_spark.localframe import local_rows_df
+
+    unk_row = local_rows_df(spark, [(None, float(unk))], UNIGRAM_SCHEMA)
     return table.unionByName(unk_row).localCheckpoint(eager=True)
 
 

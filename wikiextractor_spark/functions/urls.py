@@ -287,8 +287,10 @@ def filter_blocked_domains(
         r"\.+$", "",
     )
     if isinstance(blocklist, list):
-        bl = df.sparkSession.createDataFrame(
-            [(d,) for d in blocklist], "domain string"
+        from wikiextractor_spark.localframe import local_rows_df
+
+        bl = local_rows_df(
+            df.sparkSession, [(d,) for d in blocklist], "domain string"
         )
     else:
         if blocklist.columns != ["domain"]:

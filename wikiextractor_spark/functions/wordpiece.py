@@ -86,7 +86,9 @@ def wordpiece_from_tokens(spark, tokens: list[str]) -> DataFrame:
     :func:`load_wordpiece_vocab_txt` or the parquet round trip."""
     _check_tokens_shape(tokens, "wordpiece_from_tokens")
     rows = [(t, float(i)) for i, t in enumerate(tokens)]
-    return spark.createDataFrame(rows, WORDPIECE_SCHEMA)
+    from wikiextractor_spark.localframe import local_rows_df
+
+    return local_rows_df(spark, rows, WORDPIECE_SCHEMA)
 
 
 def save_wordpiece_vocab(vocab: DataFrame, path: str) -> None:
@@ -212,9 +214,9 @@ def load_wordpiece_vocab_txt(spark, path: str) -> DataFrame:
         )
     _check_tokens_shape(toks, "load_wordpiece_vocab_txt")
     rows = [(t, float(i)) for i, t in enumerate(toks)]
-    return spark.createDataFrame(rows, WORDPIECE_SCHEMA).localCheckpoint(
-        eager=True
-    )
+    from wikiextractor_spark.localframe import local_rows_df
+
+    return local_rows_df(spark, rows, WORDPIECE_SCHEMA)
 
 
 def _check_tokens_shape(tokens: list[str], caller: str) -> None:
@@ -684,6 +686,53 @@ def _fuse_wp(a: str, b: str) -> str:
     return a + (b[2:] if b.startswith("##") else b)
 
 
+def _learn_wp_merges_local(
+    rows: list, n_merges: int, min_count: int,
+) -> list:
+    """The :func:`learn_wordpiece_merges` round loop over a COLLECTED
+    word table (``(syms, freq)`` pairs, singletons INCLUDED — the
+    published symbol-denominator convention) — value-identical replay
+    of the distributed loop: same pair/symbol grain, the same two
+    IEEE double divisions ``cnt / count(a) / count(b)``, score-desc /
+    pair-key-asc argmax, the ``##``-absorbing fuse, no size filter on
+    the folded table.  Zero Spark jobs (r17, guide §1.2 — see
+    :data:`tokenizer.TRAIN_DRIVER_MAX_WORDS`)."""
+    from wikiextractor_spark.functions.tokenizer import (
+        _merge_fold_local,
+    )
+
+    merges: list = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        sc: dict = {}
+        for syms, freq in rows:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + freq
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + freq
+        best = None
+        for (a, b), c in pc.items():
+            if c < min_count:
+                continue
+            score = float(c) / float(sc[a]) / float(sc[b])
+            key = (-score, a + " " + b)
+            if best is None or key < best[0]:
+                best = (key, (a, b, c))
+        if best is None:
+            break
+        a, b, c = best[1]
+        fused = _fuse_wp(a, b)
+        merges.append((a, b, fused, int(c)))
+        if len(merges) == n_merges:
+            break
+        rows = [
+            (_merge_fold_local(syms, a, b, fused), freq)
+            for syms, freq in rows
+        ]
+    return merges
+
+
 def _check_wp_specials_scope(
     sp_pat, basic_tokenize: bool, _words, caller: str,
 ) -> None:
@@ -805,22 +854,43 @@ def learn_wordpiece_merges(
     # re-checkpointing it would materialize a byte-identical second
     # copy of the full word table (r14 third review); ownership
     # tracking keeps the releases to frames THIS function created
+    from wikiextractor_spark.functions.tokenizer import (
+        TRAIN_DRIVER_MAX_WORDS,
+    )
+
     if _words is None:
         frame, bc = _wp_word_table(
             df, text_col, sample_fraction, seed,
             basic_tokenize=basic_tokenize, special_pat=sp_pat,
         )
+        # r17 (guide §1.2): one limit-bounded collect decides the
+        # loop venue — the learn_bpe_merges gate, at the WordPiece
+        # grain (NO 2+-symbol filter: singleton words feed the
+        # published symbol denominators)
         try:
-            words = frame.localCheckpoint(eager=True)
+            head = frame.limit(TRAIN_DRIVER_MAX_WORDS + 1).collect()
         finally:
-            # the protected-kernel broadcast's only consumer is the
-            # checkpoint job — release even when it fails (the
-            # train_bpe_tokenizer discipline)
+            # first consumer of the protected-kernel broadcast —
+            # release even on failure (the train_bpe_tokenizer
+            # discipline); a big-table re-run refetches it from the
+            # driver (unpersist is non-blocking, executor-side only)
             if bc is not None:
                 bc.unpersist()
+        if len(head) <= TRAIN_DRIVER_MAX_WORDS:
+            return _learn_wp_merges_local(
+                [(list(r["syms"]), int(r["freq"])) for r in head],
+                n_merges, min_count,
+            )
+        words = frame.localCheckpoint(eager=True)
         owns_current = True
     else:
         words = _words
+        head = words.limit(TRAIN_DRIVER_MAX_WORDS + 1).collect()
+        if len(head) <= TRAIN_DRIVER_MAX_WORDS:
+            return _learn_wp_merges_local(
+                [(list(r["syms"]), int(r["freq"])) for r in head],
+                n_merges, min_count,
+            )
         owns_current = False
     merges: list[tuple[str, str, str, int]] = []
     try:

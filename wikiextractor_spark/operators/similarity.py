@@ -1590,20 +1590,30 @@ class _Probes:
     ``qvecs`` the per-query vectors sorted by q_id; ``qdf`` the
     ``(q_id, q_v)`` frame the rerank tail broadcasts."""
 
-    def __init__(self, spark, rows):
+    def __init__(self, spark, rows, schema):
+        from pyspark.sql.types import StructType
+
+        from wikiextractor_spark.localframe import local_rows_df
+
         self.rows = rows
-        self.df = spark.createDataFrame(
-            [(int(r["q_id"]), list(r["q_v"]), int(r["q_centroid"]))
+        # the probe frame is rebuilt under the SOURCE frame's schema
+        # (r16 ADVICE): q_id keeps its original type instead of a
+        # hardcoded long + int() coercion, so non-long id columns
+        # neither raise nor silently change the join type downstream
+        self.df = local_rows_df(
+            spark,
+            [(r["q_id"], list(r["q_v"]), int(r["q_centroid"]))
              for r in rows],
-            "q_id long, q_v array<double>, q_centroid int",
+            schema,
         )
         self.buckets = sorted({int(r["q_centroid"]) for r in rows})
         by_id = {}
         for r in rows:
-            by_id.setdefault(int(r["q_id"]), list(r["q_v"]))
+            by_id.setdefault(r["q_id"], list(r["q_v"]))
         self.qvecs = sorted(by_id.items())
-        self.qdf = spark.createDataFrame(
-            self.qvecs, "q_id long, q_v array<double>",
+        self.qdf = local_rows_df(
+            spark, self.qvecs,
+            StructType([schema["q_id"], schema["q_v"]]),
         )
 
 
@@ -1634,7 +1644,9 @@ def _probe_rows(
             ).alias("q_centroid"),
         )
     )
-    return _Probes(queries.sparkSession, exploded.collect())
+    return _Probes(
+        queries.sparkSession, exploded.collect(), exploded.schema
+    )
 
 
 def _probe_and_rank(
@@ -1776,7 +1788,10 @@ def ann_ivf_search_vectors(
                 f"ann_ivf_search_vectors: query {qid} has {len(vec)} dims, "
                 f"index centroids have {dim}"
             )
-    q_frame = spark.createDataFrame(
+    from wikiextractor_spark.localframe import local_rows_df
+
+    q_frame = local_rows_df(
+        spark,
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "q_id long, q_v array<double>",
     )
@@ -1838,8 +1853,10 @@ def _probe_and_rank_pq(
     lut_rows = [
         (q_id, _pq_lut(books, q_v)) for q_id, q_v in probes.qvecs
     ]
-    luts = spark.createDataFrame(
-        lut_rows, "q_id long, lut array<array<double>>",
+    from wikiextractor_spark.localframe import local_rows_df
+
+    luts = local_rows_df(
+        spark, lut_rows, "q_id long, lut array<array<double>>",
     )
     # probes already carries (q_id, q_centroid); attaching the LUT is
     # a tiny driver-frame join, broadcast below as one unit
@@ -1976,8 +1993,10 @@ def _probe_and_rank_sq(
         (q_id,) + _sq_query_params(codec, q_v)
         for q_id, q_v in probes.qvecs
     ]
-    qparams = spark.createDataFrame(
-        qparam_rows, "q_id long, base double, w array<double>",
+    from wikiextractor_spark.localframe import local_rows_df
+
+    qparams = local_rows_df(
+        spark, qparam_rows, "q_id long, base double, w array<double>",
     )
     probe_params = probes.df.select("q_id", "q_centroid").join(qparams, "q_id")
     guarded = _sq_guarded_codes_sql("sq_codes", dim, "sq probe")
@@ -2438,7 +2457,9 @@ def _pq_query_frame(
     schema = "q_id long, q_v array<double>, lut array<array<double>>"
     if centroids is not None:
         schema += ", q_centroid int"
-    return spark.createDataFrame(rows, schema)
+    from wikiextractor_spark.localframe import local_rows_df
+
+    return local_rows_df(spark, rows, schema)
 
 
 def _validate_pq_queries(queries, dim: int) -> None:
@@ -2639,7 +2660,10 @@ def ann_ivf_pq_topk(
     # the shortlist feeds two joins below — materialize the tiny
     # (queries × topk × refine)-row set once
     shortlist = shortlist.localCheckpoint(eager=True)
-    qdf = spark.createDataFrame(
+    from wikiextractor_spark.localframe import local_rows_df
+
+    qdf = local_rows_df(
+        spark,
         [(qid, [float(x) for x in qv]) for qid, qv in queries],
         "q_id long, q_v array<double>",
     )
@@ -2797,7 +2821,10 @@ def sq_search(
     _validate_pq_queries(queries, dim)
     guarded = _sq_guarded_codes_sql("codes", dim, "sq_search")
     if len(queries) > broadcast_threshold:
-        qframe = codes.sparkSession.createDataFrame(
+        from wikiextractor_spark.localframe import local_rows_df
+
+        qframe = local_rows_df(
+            codes.sparkSession,
             [
                 (int(qid),) + _sq_query_params(sq, qv)
                 for qid, qv in queries

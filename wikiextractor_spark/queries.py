@@ -43,6 +43,9 @@ from wikiextractor_spark.functions.cleaning import (
     clean_markup_native,
 )
 from wikiextractor_spark.operators import dedup, multimodal, similarity
+from wikiextractor_spark.localframe import (
+    local_rows_df as _local_rows_df,
+)
 from wikiextractor_spark.session import tune
 from wikiextractor_spark.sources.tables import load_table, register_views
 
@@ -4594,13 +4597,35 @@ def ta_chunk_documents(spark, sf_dir):
         chunk_token_ids,
     )
 
+    # r17 optimization (guide §1.2/§6; the r16 VERDICT's
+    # share-the-scan item): the 13 family subtrees each re-scanned
+    # the documents table and re-paid the _docs_par exchange (28
+    # scans / a dozen exchanges in the r16 plan, with no exchange
+    # reuse across the union's branches).  Under _docs_par's own
+    # gate — fewer scan splits than cores, i.e. a driver-sized
+    # battery layout — the repartitioned scan is materialized ONCE
+    # with an eager localCheckpoint inside the query and every
+    # family reads the in-memory blocks; on production layouts the
+    # gate is false and each family keeps its plain column-pruned
+    # scan (materializing a 100 TB corpus would be the wrong trade).
+    # Computed fresh on every invocation — nothing persists across
+    # calls.
+    d0 = _docs(spark, sf_dir)
+    _par = spark.sparkContext.defaultParallelism
+    if d0.rdd.getNumPartitions() < _par:
+        dpar = d0.repartition(_par, F.col("doc_id")).localCheckpoint(
+            eager=True
+        )
+    else:
+        dpar = d0
+
     text_fam = chunk_documents(
-        _docs_par(spark, sf_dir), chunk_tokens=16, overlap=4
+        dpar, chunk_tokens=16, overlap=4
     ).select(
         F.lit("text").alias("family"),
         "doc_id", "chunk_no", "chunk", "n_tokens",
     )
-    ids_df = _docs_par(spark, sf_dir).select(
+    ids_df = dpar.select(
         "doc_id",
         F.expr(
             "transform(split(text, ' '), x -> CAST(length(x) AS BIGINT))"
@@ -4657,7 +4682,7 @@ def ta_chunk_documents(spark, sf_dir):
             -10.0,
         )
         uids_ids = unigram_token_ids(
-            _docs_par(spark, sf_dir), uids_lm, out_col="token_ids"
+            dpar, uids_lm, out_col="token_ids"
         )
         uids_fam = uids_ids.select(
             F.lit("uids").alias("family"),
@@ -4690,7 +4715,7 @@ def ta_chunk_documents(spark, sf_dir):
     def _usp_fam_build():
         usp_lm = unigram_from_tokens(spark, _USP_LM, _USP_UNK)
         return unigram_token_ids(
-            _docs_par(spark, sf_dir), usp_lm, out_col="token_ids",
+            dpar, usp_lm, out_col="token_ids",
             space_marker=_USP_MARK,
         ).select(
             F.lit("usp").alias("family"),
@@ -4707,7 +4732,7 @@ def ta_chunk_documents(spark, sf_dir):
     from wikiextractor_spark.operators.fim import fim_transform_text
 
     fimc_fam = fim_transform_text(
-        _docs_par(spark, sf_dir), fim_rate=_FIM_RATE, salt="fimc",
+        dpar, fim_rate=_FIM_RATE, salt="fimc",
     ).select(
         F.lit("fimc").alias("family"),
         "doc_id",
@@ -4746,7 +4771,7 @@ def ta_chunk_documents(spark, sf_dir):
     # 'sent' family: the REAL chunk_sentences greedy fill over the
     # shared synthesized-punctuation splice
     sent_fam = chunk_sentences(
-        _docs_par(spark, sf_dir).select(
+        dpar.select(
             "doc_id", F.expr(_C4_TEXT_SQL).alias("text")
         ),
         budget_words=12,
@@ -4878,7 +4903,7 @@ def ta_chunk_documents(spark, sf_dir):
             )
             return _pair_select(
                 tokenizer_json_encode_pairs(
-                    _docs_par(spark, sf_dir).select(
+                    dpar.select(
                         "doc_id",
                         F.col("text").alias("text_a"),
                         F.reverse("text").alias("text_b"),
@@ -4892,7 +4917,7 @@ def ta_chunk_documents(spark, sf_dir):
             pairt_model = load_tokenizer_json(spark, f"{pdir}/pairt.json")
             return _pair_select(
                 tokenizer_json_encode_pairs(
-                    _docs_par(spark, sf_dir).select(
+                    dpar.select(
                         "doc_id",
                         F.col("text").alias("text_a"),
                         F.reverse("text").alias("text_b"),
@@ -4904,7 +4929,7 @@ def ta_chunk_documents(spark, sf_dir):
 
         def _bf_chain():
             bf_model = load_tokenizer_json(spark, f"{pdir}/bf.json")
-            bf_docs = _docs_par(spark, sf_dir).select(
+            bf_docs = dpar.select(
                 "doc_id",
                 F.concat(F.col("text"), F.lit(_UBF_SUFFIX)).alias("text"),
             )
@@ -6572,7 +6597,7 @@ def ta_term_stats(spark, sf_dir):
         wp_learned = f_wp.result()
         wpb_learned = f_wpb.result()
         model, index = f_bm25.result()
-    merges_df = spark.createDataFrame(
+    merges_df = _local_rows_df(spark, 
         [
             ("bpe_merge", -1, f"{a} {b}", float(cnt), i + 1)
             for i, (a, b, cnt) in enumerate(learned)
@@ -6581,7 +6606,7 @@ def ta_term_stats(spark, sf_dir):
     )
     out = base.unionByName(merges_df)
     out = out.unionByName(
-        spark.createDataFrame(
+        _local_rows_df(spark, 
             [
                 ("bpe_merge_bl", -1, f"{a} {b}", float(cnt), i + 1)
                 for i, (a, b, cnt) in enumerate(bl_learned)
@@ -6591,7 +6616,7 @@ def ta_term_stats(spark, sf_dir):
         )
     )
     out = out.unionByName(
-        spark.createDataFrame(
+        _local_rows_df(spark, 
             [
                 ("wp_train", -1, f"{a} {b} -> {fz}", float(cnt), i + 1)
                 for i, (a, b, fz, cnt) in enumerate(wp_learned)
@@ -6601,7 +6626,7 @@ def ta_term_stats(spark, sf_dir):
         )
     )
     out = out.unionByName(
-        spark.createDataFrame(
+        _local_rows_df(spark, 
             [
                 ("wp_train_b", -1, f"{a} {b} -> {fz}", float(cnt), i + 1)
                 for i, (a, b, fz, cnt) in enumerate(wpb_learned)
@@ -6668,7 +6693,7 @@ def ta_term_stats(spark, sf_dir):
     # still checks every collected frequency
     n_mindf2 = sum(1 for d in index.df.values() if d >= 2)
     out = out.unionByName(
-        spark.createDataFrame(
+        _local_rows_df(spark, 
             [
                 ("bm25_index", -1, "vocab_mindf1", float(len(index.df)), 1),
                 ("bm25_index", -1, "vocab_mindf2", float(n_mindf2), 2),

@@ -113,8 +113,10 @@ def add_embeddings_batch(
         batch_df.select(F.col(id_col), F.col(vec_col)),
         id_col, vec_col, **kwargs,
     )
+    from wikiextractor_spark.localframe import local_rows_df
+
     write_one_file(
-        spark.createDataFrame([(int(batch_id),)], "batch_id long"),
+        local_rows_df(spark, [(int(batch_id),)], "batch_id long"),
         f"{index_dir}/ingest_log",
         mode="append",
     )
@@ -128,8 +130,10 @@ def compact_ingest_log(spark: SparkSession, index_dir: str) -> int:
     return the number of applied batches.  Same maintenance role as
     the signature store's compaction."""
     applied = sorted(_applied_batches(spark, index_dir))
+    from wikiextractor_spark.localframe import local_rows_df
+
     write_one_file(
-        spark.createDataFrame([(b,) for b in applied], "batch_id long"),
+        local_rows_df(spark, [(b,) for b in applied], "batch_id long"),
         f"{index_dir}/ingest_log",
     )
     return len(applied)
