@@ -1327,7 +1327,27 @@ def compact_ivf_index(
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_vec = pool.submit(_vectors_unit)
         f_asn = pool.submit(_assignments_unit)
-        compacted = f_vec.result() + f_asn.result()
+        from concurrent.futures import wait as _wait
+
+        _wait([f_vec, f_asn])
+    _errs = [
+        e for e in (f_vec.exception(), f_asn.exception()) if e is not None
+    ]
+    if _errs:
+        # the units run concurrently, so one may have completed and
+        # swapped when the other fails (r16 ADVICE: sequential code
+        # stopped before the second unit ran) — restore the
+        # no-scratch invariant via the repair pass, which resolves
+        # every protocol state safely (succeeded unit's retired data
+        # deleted, failed unit's tmp removed, half-swaps rolled
+        # back), then propagate the first error in the r16 result
+        # order
+        try:
+            _compaction_repair(spark, index_dir)
+        except Exception:
+            pass  # best-effort: the original failure wins
+        raise _errs[0]
+    compacted = f_vec.result() + f_asn.result()
     # every swap left its retired entry for this sweep (live exists,
     # so a crash before it resolves identically in repair); clear the
     # scratch roots so a compacted index has no leftover dot-dirs

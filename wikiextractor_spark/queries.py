@@ -5752,71 +5752,87 @@ def st_stream_hourly(spark, sf_dir):
             spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt",
             watermark="1 second", path_glob="events.parquet",
         )
-        # --- corpus family: one micro-batch of the streaming corpus
-        # pipeline with the URL gate (the r9 pytest-only surface) ---
-        from wikiextractor_spark.streaming.corpus import (
-            DOCUMENTS_URL_SCHEMA,
-            prepare_corpus_stream,
-        )
-
-        docs = _docs(spark, sf_dir)
-        (
-            docs.select(
-                "doc_id",
-                "text",
-                F.lit("xx").alias("lang"),
-                F.lit("battery").alias("source"),
-                F.length("text").cast("long").alias("n_chars"),
-                F.expr(
-                    "CASE CAST(doc_id % 5 AS INT) "
-                    "WHEN 0 THEN 'https://spam.bad.com/p/' || doc_id "
-                    "WHEN 1 THEN 'https://ok.org/p/' || doc_id "
-                    "WHEN 2 THEN 'https://www.block.net/p/' || doc_id "
-                    "WHEN 3 THEN 'not a url ' || doc_id "
-                    "ELSE 'https://bad.com.evil.io/p/' || doc_id END"
-                ).alias("url"),
+        # the prep below runs while q drains (r16 overlap) — if any of
+        # it raises, STOP the live stream(s) before the finally deletes
+        # their sink/checkpoint directories out from under them (r16
+        # ADVICE: this error path is new with the overlap)
+        cq = None
+        try:
+            # --- corpus family: one micro-batch of the streaming
+            # corpus pipeline with the URL gate (the r9 pytest-only
+            # surface) ---
+            from wikiextractor_spark.streaming.corpus import (
+                DOCUMENTS_URL_SCHEMA,
+                prepare_corpus_stream,
             )
-            .write.mode("overwrite")
-            .parquet(f"{base}/corpus_in")
-        )
-        # pre-fitted DSIR weights (the ta_quality_classifier split:
-        # target = doc_id < 25, raw = all) — the stream collects the
-        # artifact once at definition and gates every micro-batch
-        from wikiextractor_spark.operators import dsir as _dsir_op
 
-        weights = _dsir_op.importance_weights(
-            _dsir_op.bucket_histogram(
-                docs.filter(F.col("doc_id") < 25), "text",
-                _DSIR_N, _DSIR_B, _DSIR_SALT,
-            ),
-            _dsir_op.bucket_histogram(
-                docs, "text", _DSIR_N, _DSIR_B, _DSIR_SALT
-            ),
-            _DSIR_B, 1.0,
-        )
-        cq = prepare_corpus_stream(
-            spark,
-            f"{base}/corpus_in",
-            out_dir=f"{base}/corpus_out",
-            checkpoint_dir=f"{base}/corpus_ckpt",
-            state_dir=f"{base}/corpus_state",
-            schema=DOCUMENTS_URL_SCHEMA,
-            url_blocklist=[".www.bad.com.", "block.net"],
-            dsir_weights=weights,
-            min_dsir_weight_micro=0,
-            dsir_opts={
-                "n": _DSIR_N, "buckets": _DSIR_B, "salt": _DSIR_SALT,
-            },
-            dedup=None,
-        )
-        max_ts = (
-            load_table(spark, sf_dir, "events")
-            .agg(F.max("ts").alias("m"))
-            .collect()[0]["m"]
-        )
-        cutoff_s = (max_ts - datetime.timedelta(seconds=1)).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
+            docs = _docs(spark, sf_dir)
+            (
+                docs.select(
+                    "doc_id",
+                    "text",
+                    F.lit("xx").alias("lang"),
+                    F.lit("battery").alias("source"),
+                    F.length("text").cast("long").alias("n_chars"),
+                    F.expr(
+                        "CASE CAST(doc_id % 5 AS INT) "
+                        "WHEN 0 THEN 'https://spam.bad.com/p/' || doc_id "
+                        "WHEN 1 THEN 'https://ok.org/p/' || doc_id "
+                        "WHEN 2 THEN 'https://www.block.net/p/' || doc_id "
+                        "WHEN 3 THEN 'not a url ' || doc_id "
+                        "ELSE 'https://bad.com.evil.io/p/' || doc_id END"
+                    ).alias("url"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{base}/corpus_in")
+            )
+            # pre-fitted DSIR weights (the ta_quality_classifier
+            # split: target = doc_id < 25, raw = all) — the stream
+            # collects the artifact once at definition and gates
+            # every micro-batch
+            from wikiextractor_spark.operators import dsir as _dsir_op
+
+            weights = _dsir_op.importance_weights(
+                _dsir_op.bucket_histogram(
+                    docs.filter(F.col("doc_id") < 25), "text",
+                    _DSIR_N, _DSIR_B, _DSIR_SALT,
+                ),
+                _dsir_op.bucket_histogram(
+                    docs, "text", _DSIR_N, _DSIR_B, _DSIR_SALT
+                ),
+                _DSIR_B, 1.0,
+            )
+            cq = prepare_corpus_stream(
+                spark,
+                f"{base}/corpus_in",
+                out_dir=f"{base}/corpus_out",
+                checkpoint_dir=f"{base}/corpus_ckpt",
+                state_dir=f"{base}/corpus_state",
+                schema=DOCUMENTS_URL_SCHEMA,
+                url_blocklist=[".www.bad.com.", "block.net"],
+                dsir_weights=weights,
+                min_dsir_weight_micro=0,
+                dsir_opts={
+                    "n": _DSIR_N, "buckets": _DSIR_B, "salt": _DSIR_SALT,
+                },
+                dedup=None,
+            )
+            max_ts = (
+                load_table(spark, sf_dir, "events")
+                .agg(F.max("ts").alias("m"))
+                .collect()[0]["m"]
+            )
+            cutoff_s = (max_ts - datetime.timedelta(seconds=1)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+        except BaseException:
+            for live in (q, cq):
+                if live is not None:
+                    try:
+                        live.stop()
+                    except Exception:
+                        pass  # best-effort: the original error wins
+            raise
         if not q.awaitTermination(120):
             q.stop()
             cq.stop()
