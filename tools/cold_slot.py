@@ -71,7 +71,8 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        wq.awaitTermination(60)
+        if not wq.awaitTermination(60):
+            wq.stop()  # never rmtree a live stream's checkpoint
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 

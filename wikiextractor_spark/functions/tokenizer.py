@@ -495,8 +495,17 @@ def _whole_text_artifact(spark, path: str, caller: str) -> str:
             f"{caller}: expected exactly one file at {path!r}, "
             f"found {len(matched)}"
         )
+    # transparent compression decoding, like the RDD route's record
+    # reader: a .gz/.bz2-suffixed artifact must keep loading (the
+    # CompressionCodecFactory resolves by extension exactly as
+    # wholeTextFiles did)
+    codec = spark._jvm.org.apache.hadoop.io.compress.CompressionCodecFactory(
+        spark._jsc.hadoopConfiguration()
+    ).getCodec(matched[0])
     stream = fs.open(matched[0])
     try:
+        if codec is not None:
+            stream = codec.createInputStream(stream)
         data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
             stream
         )

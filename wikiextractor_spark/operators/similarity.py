@@ -1635,6 +1635,11 @@ class _Probes:
             spark, self.qvecs,
             StructType([schema["q_id"], schema["q_v"]]),
         )
+        # the source q_id type, for every downstream frame that joins
+        # back onto the probe frame (LUT/affine-param attach) — a
+        # hardcoded long there would re-introduce the coercion this
+        # class stopped making (r16 ADVICE, second pass)
+        self.id_type_ddl = schema["q_id"].dataType.simpleString()
 
 
 def _probe_rows(
@@ -1876,7 +1881,8 @@ def _probe_and_rank_pq(
     from wikiextractor_spark.localframe import local_rows_df
 
     luts = local_rows_df(
-        spark, lut_rows, "q_id long, lut array<array<double>>",
+        spark, lut_rows,
+        f"q_id {probes.id_type_ddl}, lut array<array<double>>",
     )
     # probes already carries (q_id, q_centroid); attaching the LUT is
     # a tiny driver-frame join, broadcast below as one unit
@@ -2016,7 +2022,8 @@ def _probe_and_rank_sq(
     from wikiextractor_spark.localframe import local_rows_df
 
     qparams = local_rows_df(
-        spark, qparam_rows, "q_id long, base double, w array<double>",
+        spark, qparam_rows,
+        f"q_id {probes.id_type_ddl}, base double, w array<double>",
     )
     probe_params = probes.df.select("q_id", "q_centroid").join(qparams, "q_id")
     guarded = _sq_guarded_codes_sql("sq_codes", dim, "sq probe")

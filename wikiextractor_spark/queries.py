@@ -78,7 +78,7 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
-def _docs_par(spark, sf_dir):
+def _docs_par(spark, sf_dir, materialize=False):
     """The documents table, repartitioned to the session's default
     parallelism when the file layout yields fewer scan splits than
     that (r16 optimization — guide §2.5's input-skew-at-the-source
@@ -89,11 +89,21 @@ def _docs_par(spark, sf_dir):
     task retries, unlike round-robin).  On production layouts (many
     files × many row groups) the condition is false and the scan
     keeps its natural partitioning — no extra exchange.  Row set
-    unchanged either way; used by the kernel-heavy slots only."""
+    unchanged either way; used by the kernel-heavy slots only.
+
+    ``materialize`` (r17): eagerly localCheckpoint the repartitioned
+    scan so MANY consumers in one query share a single
+    materialization instead of each re-paying the scan + exchange —
+    gated on the SAME small-layout condition, so a production-sized
+    corpus is never checkpointed (per-consumer column-pruned scans
+    stay the right trade there).  Computed fresh per invocation;
+    blocks are freed by the ContextCleaner when the frame dies."""
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
-        return d.repartition(par, F.col("doc_id"))
+        d = d.repartition(par, F.col("doc_id"))
+        if materialize:
+            d = d.localCheckpoint(eager=True)
     return d
 
 
@@ -4601,23 +4611,13 @@ def ta_chunk_documents(spark, sf_dir):
     # share-the-scan item): the 13 family subtrees each re-scanned
     # the documents table and re-paid the _docs_par exchange (28
     # scans / a dozen exchanges in the r16 plan, with no exchange
-    # reuse across the union's branches).  Under _docs_par's own
-    # gate — fewer scan splits than cores, i.e. a driver-sized
-    # battery layout — the repartitioned scan is materialized ONCE
-    # with an eager localCheckpoint inside the query and every
-    # family reads the in-memory blocks; on production layouts the
-    # gate is false and each family keeps its plain column-pruned
-    # scan (materializing a 100 TB corpus would be the wrong trade).
-    # Computed fresh on every invocation — nothing persists across
-    # calls.
-    d0 = _docs(spark, sf_dir)
-    _par = spark.sparkContext.defaultParallelism
-    if d0.rdd.getNumPartitions() < _par:
-        dpar = d0.repartition(_par, F.col("doc_id")).localCheckpoint(
-            eager=True
-        )
-    else:
-        dpar = d0
+    # reuse across the union's branches) — one materialized
+    # _docs_par now feeds every family (28 scans → 1 ExistingRDD,
+    # 34 Exchange → 6 in the committed plans); on production
+    # layouts _docs_par's gate is false and each family keeps its
+    # plain column-pruned scan.  Computed fresh on every invocation
+    # — nothing persists across calls.
+    dpar = _docs_par(spark, sf_dir, materialize=True)
 
     text_fam = chunk_documents(
         dpar, chunk_tokens=16, overlap=4
