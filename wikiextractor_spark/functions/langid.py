@@ -160,15 +160,42 @@ def fit_langid(
 
     # checkpoint the labeled projection ONCE: the NULL-row check, the
     # fit aggregations, and the prior aggregation are separate
-    # actions, and without this each re-runs char_grams_expr over the
-    # source (r14 ADVICE) — the docstring's scanned-exactly-once
-    # rationale holds for the SOURCE scan; the gram arrays are
-    # sample-sized by the caller's contract, so materializing them is
-    # bounded
+    # actions, and without this each re-runs the normalization over
+    # the source (r14 ADVICE) — the docstring's scanned-exactly-once
+    # rationale holds for the SOURCE scan.  r17: the checkpoint
+    # carries the NORMALIZED TEXT, not the gram ARRAYS — the arrays
+    # are a several-fold byte blowup of the text (one n-char string
+    # per character position, each with per-element overhead), and
+    # every consumer can derive them from the text with the same
+    # window expression (guide §2.3, materialize fewer bytes; paired
+    # interleaved A/B at sf0.1: min 4.47 s vs 5.25 s, model
+    # bit-identical).  `_t` is exactly char_grams_expr's inner
+    # normalization, so NULL/empty semantics carry: _g NULL ⟺ _t
+    # NULL, _g empty ⟺ length(_t) = 0.
+    from wikiextractor_spark.functions.tokenizer import (
+        WS_SPLIT_PATTERN_JVM,
+    )
+
     lab = labeled.select(
         F.col(label_col).cast("string").alias("lang"),
-        char_grams_expr(text_col, n).alias("_g"),
+        F.expr(
+            f"btrim(regexp_replace(lower({text_col}), "
+            f"'{WS_SPLIT_PATTERN_JVM}', ' '))"
+        ).alias("_t"),
     ).localCheckpoint(eager=True)
+    # the gram windows over the materialized normalization — the same
+    # CASE char_grams_expr builds, minus the (already-applied)
+    # normalization step
+    grams = F.expr(
+        f"""
+        CASE WHEN _t IS NULL THEN NULL
+             WHEN length(_t) = 0 THEN array()
+             WHEN length(_t) < {n} THEN array(_t)
+             ELSE transform(sequence(1, length(_t) - {n} + 1),
+                            i -> substring(_t, i, {n}))
+        END
+        """
+    )
     weights = None
     try:
         # r17 optimization (guide §1.2/§2.6): ONE concurrent wave of
@@ -192,7 +219,7 @@ def fit_langid(
         ab = float(alpha) * buckets
 
         counts = (
-            lab.select("lang", F.explode("_g").alias("_gram"))
+            lab.select("lang", F.explode(grams).alias("_gram"))
             .select(
                 "lang",
                 _bucket_col(F.col("_gram"), buckets, salt).alias("bucket"),
@@ -221,7 +248,7 @@ def fit_langid(
         docn = lab.groupBy("lang").agg(
             F.count(F.lit(1)).alias("nd"),
             F.sum(
-                F.when(F.col("_g").isNull(), F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("_t").isNull(), F.lit(1)).otherwise(F.lit(0))
             ).alias("nbg"),
         )
 
